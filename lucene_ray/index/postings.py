@@ -1,0 +1,251 @@
+"""Posting-list block codec: delta + patched-FOR 128-int blocks + vint tail.
+
+Format semantics mirror the reference codec
+(`lucene/core/src/java/org/apache/lucene/codecs/lucene90/PForUtil.java:61-117`,
+`ForUtil.java:32` — 128-value blocks, ≤7 patch exceptions stored as
+(position, high-bits) byte pairs, all-equal short-circuit) and the per-block
+competitive impacts
+(`lucene/core/src/java/org/apache/lucene/codecs/CompetitiveImpactAccumulator.java:30-120`).
+The byte layout itself is ours (this is not a file-format port): everything
+is numpy-vectorized for use inside Ray Data `map_batches` tasks.
+
+Per-term layout in a shard's ``postings.bin``:
+
+    [full block 0: doc PFor | freq PFor]
+    [full block 1: ...] ...
+    [tail: vint deltas xN | vint freqs xN]        (N = df % 128)
+
+A sidecar per-term skip table (kept in the term dictionary, not inline)
+records for each full block: last docID, byte offset, and the competitive
+impact skyline (freq, norm) pairs; the tail contributes one more skip entry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128          # ForUtil.BLOCK_SIZE
+MAX_EXCEPTIONS = 7        # PForUtil.MAX_EXCEPTIONS
+
+
+def _bit_length(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, dtype=np.uint64)
+    out = np.zeros(v.shape, dtype=np.int64)
+    x = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = x >= (np.uint64(1) << np.uint64(s))
+        out += np.where(mask, s, 0)
+        x = np.where(mask, x >> np.uint64(s), x)
+    return out + (v != 0)
+
+
+# ---------------------------------------------------------------------------
+# bit packing (FOR)
+# ---------------------------------------------------------------------------
+
+_BIT_W = {b: (np.uint64(1) << np.arange(b, dtype=np.uint64)) for b in range(1, 33)}
+
+
+def pack_bits(vals: np.ndarray, bits: int) -> bytes:
+    """Pack exactly BLOCK_SIZE values at `bits` bits each, little-endian bit order."""
+    if bits == 0:
+        return b""
+    v = vals.astype(np.uint64)
+    b = ((v[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(b.reshape(-1), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: memoryview | bytes, bits: int, count: int = BLOCK_SIZE) -> np.ndarray:
+    if bits == 0:
+        return np.zeros(count, dtype=np.uint64)
+    nbytes = (count * bits + 7) // 8
+    raw = np.frombuffer(buf[:nbytes], dtype=np.uint8)
+    bitarr = np.unpackbits(raw, count=count * bits, bitorder="little")
+    return (bitarr.reshape(count, bits).astype(np.uint64) * _BIT_W[bits]).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# vectorized variable-byte ints (tail encoding)
+# ---------------------------------------------------------------------------
+
+def vint_encode(vals: np.ndarray) -> bytes:
+    v = np.asarray(vals, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nb = np.maximum((_bit_length(v) + 6) // 7, 1)
+    maxb = int(nb.max())
+    cols = np.stack([((v >> np.uint64(7 * i)) & np.uint64(0x7F)) for i in range(maxb)], axis=1).astype(np.uint8)
+    idx = np.arange(maxb)
+    cols |= ((idx[None, :] < (nb[:, None] - 1)) * 0x80).astype(np.uint8)
+    mask = idx[None, :] < nb[:, None]
+    return cols[mask].tobytes()
+
+
+def vint_decode(buf: memoryview | bytes, n: int) -> tuple[np.ndarray, int]:
+    """Decode n varints; returns (values, bytes_consumed)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), 0
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.nonzero((raw & 0x80) == 0)[0]
+    ends = ends[:n]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    out = np.zeros(n, dtype=np.uint64)
+    nb = ends - starts + 1
+    for j in range(int(nb.max())):
+        sel = nb > j
+        out[sel] |= (raw[starts[sel] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+    return out, int(ends[-1]) + 1
+
+
+# ---------------------------------------------------------------------------
+# PFor block (PForUtil.java:61-117 semantics)
+# ---------------------------------------------------------------------------
+
+def pfor_encode(vals: np.ndarray) -> bytes:
+    """Encode one full block of BLOCK_SIZE positive ints."""
+    assert len(vals) == BLOCK_SIZE
+    v = vals.astype(np.uint64).copy()
+    order = np.argsort(v, kind="stable")
+    top_idx = order[-(MAX_EXCEPTIONS + 1):]          # the 8 largest
+    top_value = int(v[top_idx[0]])                   # 8th largest
+    max_bits = int(_bit_length(np.uint64(int(v[top_idx[-1]]))))
+    patched_bits = max(int(_bit_length(np.uint64(top_value))), max_bits - 8)
+    max_unpatched = (1 << patched_bits) - 1
+
+    exc_pos = np.nonzero(v > max_unpatched)[0]
+    assert len(exc_pos) <= MAX_EXCEPTIONS
+    exc_high = (v[exc_pos] >> np.uint64(patched_bits)).astype(np.uint8)
+    v[exc_pos] &= np.uint64(max_unpatched)
+
+    out = bytearray()
+    if np.all(v == v[0]) and max_bits <= 8:
+        # all-equal short-circuit: token bits=0, value as vint
+        out.append(len(exc_pos) << 5)
+        out += vint_encode(np.array([v[0]], dtype=np.uint64))
+        # exceptions store the full shifted value in this mode
+        exc_high = (exc_high.astype(np.uint64) << np.uint64(patched_bits)).astype(np.uint8)
+    else:
+        out.append((len(exc_pos) << 5) | patched_bits)
+        out += pack_bits(v, patched_bits)
+    for p, h in zip(exc_pos, exc_high):
+        out.append(int(p))
+        out.append(int(h))
+    return bytes(out)
+
+
+def pfor_decode(buf: memoryview | bytes, off: int = 0) -> tuple[np.ndarray, int]:
+    """Decode one block; returns (values uint64[BLOCK_SIZE], bytes_consumed_end_offset)."""
+    token = buf[off]
+    n_exc = token >> 5
+    bits = token & 0x1F
+    pos = off + 1
+    if bits == 0:
+        val, used = vint_decode(memoryview(buf)[pos:pos + 10], 1)
+        pos += used
+        vals = np.full(BLOCK_SIZE, val[0], dtype=np.uint64)
+        if n_exc:
+            exc = np.frombuffer(memoryview(buf)[pos:pos + 2 * n_exc], dtype=np.uint8).reshape(-1, 2)
+            pos += 2 * n_exc
+            vals[exc[:, 0]] |= exc[:, 1].astype(np.uint64)
+    else:
+        nbytes = BLOCK_SIZE * bits // 8
+        vals = unpack_bits(memoryview(buf)[pos:pos + nbytes], bits)
+        pos += nbytes
+        if n_exc:
+            exc = np.frombuffer(memoryview(buf)[pos:pos + 2 * n_exc], dtype=np.uint8).reshape(-1, 2)
+            pos += 2 * n_exc
+            vals[exc[:, 0]] |= exc[:, 1].astype(np.uint64) << np.uint64(bits)
+    return vals, pos
+
+
+# ---------------------------------------------------------------------------
+# whole posting list
+# ---------------------------------------------------------------------------
+
+def encode_postings(doc_ids: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Encode a sorted posting list.
+
+    Returns (payload_bytes, block_offsets int32[], block_last_docs int32[]).
+    block_offsets has one entry per FULL block (offset of its doc-block within
+    payload); the tail (df % 128 entries) starts after the last full block.
+    """
+    df = len(doc_ids)
+    n_full = df // BLOCK_SIZE
+    deltas = np.empty(df, dtype=np.uint64)
+    deltas[0] = doc_ids[0] + 1        # first entry stores docID+1 so deltas are >0
+    deltas[1:] = np.diff(doc_ids.astype(np.int64)).astype(np.uint64)
+
+    out = bytearray()
+    offsets = np.empty(n_full, dtype=np.int32)
+    last_docs = np.empty(n_full, dtype=np.int32)
+    for b in range(n_full):
+        lo = b * BLOCK_SIZE
+        offsets[b] = len(out)
+        last_docs[b] = doc_ids[lo + BLOCK_SIZE - 1]
+        out += pfor_encode(deltas[lo:lo + BLOCK_SIZE])
+        out += pfor_encode(freqs[lo:lo + BLOCK_SIZE].astype(np.uint64))
+    tail = df - n_full * BLOCK_SIZE
+    if tail:
+        lo = n_full * BLOCK_SIZE
+        out += vint_encode(deltas[lo:])
+        out += vint_encode(freqs[lo:].astype(np.uint64))
+    return bytes(out), offsets, last_docs
+
+
+def decode_postings(buf: memoryview | bytes, df: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full posting list; returns (doc_ids int32[], freqs int32[])."""
+    n_full = df // BLOCK_SIZE
+    deltas = np.empty(df, dtype=np.uint64)
+    freqs = np.empty(df, dtype=np.int64)
+    pos = 0
+    for b in range(n_full):
+        lo = b * BLOCK_SIZE
+        d, pos = pfor_decode(buf, pos)
+        deltas[lo:lo + BLOCK_SIZE] = d
+        f, pos = pfor_decode(buf, pos)
+        freqs[lo:lo + BLOCK_SIZE] = f.astype(np.int64)
+    tail = df - n_full * BLOCK_SIZE
+    if tail:
+        d, used = vint_decode(memoryview(buf)[pos:], tail)
+        pos += used
+        f, used = vint_decode(memoryview(buf)[pos:], tail)
+        deltas[n_full * BLOCK_SIZE:] = d
+        freqs[n_full * BLOCK_SIZE:] = f.astype(np.int64)
+    doc_ids = np.cumsum(deltas.astype(np.int64)) - 1
+    return doc_ids.astype(np.int32), freqs.astype(np.int32)
+
+
+def decode_block(buf: memoryview | bytes, off: int, prev_last_doc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one full block at `off` given the previous block's last docID
+    (-1 for the first block); returns (doc_ids, freqs)."""
+    d, pos = pfor_decode(buf, off)
+    f, _ = pfor_decode(buf, pos)
+    # first delta of the list encodes docID+1, so prev_last_doc=-1 works out:
+    # -1 + (doc0 + 1) = doc0; later blocks store plain deltas from prev last.
+    docs = np.cumsum(d.astype(np.int64)) + prev_last_doc
+    return docs.astype(np.int32), f.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# competitive impacts (CompetitiveImpactAccumulator.java:30-120 semantics)
+# ---------------------------------------------------------------------------
+
+def impact_skyline(freqs: np.ndarray, norms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block competitive (freq, norm) skyline.
+
+    Keeps, per distinct norm byte, the max freq; then prunes pairs dominated
+    by another pair with >= freq and <= norm.  Returns (freqs int32, norms
+    uint8) sorted by norm ascending with freq strictly increasing.
+    """
+    norms = np.asarray(norms, dtype=np.uint8)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    uniq, inv = np.unique(norms, return_inverse=True)
+    maxf = np.zeros(len(uniq), dtype=np.int64)
+    np.maximum.at(maxf, inv, freqs)
+    # norm asc; a pair survives iff its freq exceeds every freq at smaller norm
+    keep = np.ones(len(uniq), dtype=bool)
+    run = np.maximum.accumulate(maxf)
+    keep[1:] = maxf[1:] > run[:-1]
+    return maxf[keep].astype(np.int32), uniq[keep]
