@@ -167,28 +167,31 @@ def pfor_decode(buf: memoryview | bytes, off: int = 0) -> tuple[np.ndarray, int]
 def encode_postings(doc_ids: np.ndarray, freqs: np.ndarray) -> tuple[bytes, np.ndarray, np.ndarray]:
     """Encode a sorted posting list.
 
-    Returns (payload_bytes, block_offsets int32[], block_last_docs int32[]).
-    block_offsets has one entry per FULL block (offset of its doc-block within
-    payload); the tail (df % 128 entries) starts after the last full block.
+    Returns (payload_bytes, skip_offsets int32[], skip_last_docs int32[]):
+    one skip entry per FULL block plus, when df %% 128 != 0, a final entry for
+    the vint tail (offset where the tail starts, last docID of the list).
     """
     df = len(doc_ids)
     n_full = df // BLOCK_SIZE
+    tail = df - n_full * BLOCK_SIZE
+    n_skip = n_full + (1 if tail else 0)
     deltas = np.empty(df, dtype=np.uint64)
     deltas[0] = doc_ids[0] + 1        # first entry stores docID+1 so deltas are >0
     deltas[1:] = np.diff(doc_ids.astype(np.int64)).astype(np.uint64)
 
     out = bytearray()
-    offsets = np.empty(n_full, dtype=np.int32)
-    last_docs = np.empty(n_full, dtype=np.int32)
+    offsets = np.empty(n_skip, dtype=np.int32)
+    last_docs = np.empty(n_skip, dtype=np.int32)
     for b in range(n_full):
         lo = b * BLOCK_SIZE
         offsets[b] = len(out)
         last_docs[b] = doc_ids[lo + BLOCK_SIZE - 1]
         out += pfor_encode(deltas[lo:lo + BLOCK_SIZE])
         out += pfor_encode(freqs[lo:lo + BLOCK_SIZE].astype(np.uint64))
-    tail = df - n_full * BLOCK_SIZE
     if tail:
         lo = n_full * BLOCK_SIZE
+        offsets[n_full] = len(out)
+        last_docs[n_full] = doc_ids[df - 1]
         out += vint_encode(deltas[lo:])
         out += vint_encode(freqs[lo:].astype(np.uint64))
     return bytes(out), offsets, last_docs
@@ -224,6 +227,15 @@ def decode_block(buf: memoryview | bytes, off: int, prev_last_doc: int) -> tuple
     f, _ = pfor_decode(buf, pos)
     # first delta of the list encodes docID+1, so prev_last_doc=-1 works out:
     # -1 + (doc0 + 1) = doc0; later blocks store plain deltas from prev last.
+    docs = np.cumsum(d.astype(np.int64)) + prev_last_doc
+    return docs.astype(np.int32), f.astype(np.int32)
+
+
+def decode_tail(buf: memoryview | bytes, off: int, n: int, prev_last_doc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the vint tail (n entries) at `off`; returns (doc_ids, freqs)."""
+    mv = memoryview(buf)[off:]
+    d, used = vint_decode(mv, n)
+    f, _ = vint_decode(mv[used:], n)
     docs = np.cumsum(d.astype(np.int64)) + prev_last_doc
     return docs.astype(np.int32), f.astype(np.int32)
 

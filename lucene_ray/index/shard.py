@@ -1,0 +1,331 @@
+"""Segment-like posting shard: build (inversion + encode) and mmap read.
+
+A shard is the Ray-Data equivalent of a flushed Lucene segment
+(`lucene/core/src/java/org/apache/lucene/index/DocumentsWriterPerThread.java:342`
+flush path → `codecs/lucene90/Lucene90PostingsWriter.java:211-250`): one input
+partition → one immutable directory:
+
+    shard-{pid:05d}/
+      postings.bin    per-term block payloads (mmap'd at query time)
+      terms.parquet   sorted term dict: df/ttf/offsets/skip+impact metadata
+      norms.bin       uint8 norm byte per local doc (mmap'd)
+      docmap.parquet  local docID -> (conv_id, turn_idx)  [stored-fields pointer]
+      manifest.json   lineage: pid, doc_base, counts, fingerprint, status
+
+Local docIDs are dense int32 in (conv_id, turn_idx) order; global docID =
+``doc_base + local`` (int64), mirroring Lucene's per-segment docBase scheme
+(`index/SegmentInfos.java`, `IndexWriter.java:200` MAX_DOCS int32 cap per
+segment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analysis.standard import analyze
+from ..util.smallfloat import int_to_byte4
+from .postings import BLOCK_SIZE, encode_postings, impact_skyline, vint_encode
+
+TERMS_FILE = "terms.parquet"
+POSTINGS_FILE = "postings.bin"
+NORMS_FILE = "norms.bin"
+DOCMAP_FILE = "docmap.parquet"
+MANIFEST_FILE = "manifest.json"
+
+
+def invert(token_lists: list[list[str]]):
+    """Invert tokenized docs into sorted posting lists (vectorized).
+
+    Returns (terms: pa.StringArray sorted asc, term_starts int64[] into the
+    postings arrays, doc_of int32[], freq int32[], lengths int32[] per doc).
+    This is the DWPT in-memory term-hash equivalent
+    (`index/TermsHashPerField.java:104-122`), done with factorize + one sort.
+    """
+    import pandas as pd
+
+    lengths = np.fromiter((len(t) for t in token_lists), dtype=np.int32, count=len(token_lists))
+    n_docs = len(token_lists)
+    flat = [tok for toks in token_lists for tok in toks]
+    if not flat:
+        empty = np.array([], dtype=np.int64)
+        return pa.array([], type=pa.string()), empty, empty.astype(np.int32), empty.astype(np.int32), lengths
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    order = pa.compute.sort_indices(pa.array(uniq, type=pa.string())).to_numpy()
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq))
+    sorted_terms = pa.array(uniq[order], type=pa.string())
+
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    key = rank[codes] * n_docs + doc_idx
+    ukey, counts = np.unique(key, return_counts=True)      # sorted by (term, doc)
+    term_of = ukey // n_docs
+    doc_of = (ukey % n_docs).astype(np.int32)
+    freq = counts.astype(np.int32)
+    # start index of each term's posting run (terms are dense 0..V-1)
+    term_starts = np.searchsorted(term_of, np.arange(len(uniq) + 1))
+    return sorted_terms, term_starts, doc_of, freq, lengths
+
+
+def _encode_small_terms(term_starts, doc_of, freq, small_ids):
+    """Vectorized vint encoding for all tail-only terms (df < BLOCK_SIZE).
+
+    Builds ONE interleaved value array [deltas_t | freqs_t]* and encodes it
+    with a single vint_encode call; per-term offsets come from per-value byte
+    counts.  Returns (payload bytes, nbytes int64[] per small term).
+    """
+    if len(small_ids) == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    dfs = (term_starts[small_ids + 1] - term_starts[small_ids]).astype(np.int64)
+    total = int(dfs.sum())
+    # gather per-term doc runs
+    idx = np.concatenate([np.arange(term_starts[t], term_starts[t + 1]) for t in small_ids]) \
+        if len(small_ids) < 100000 else None
+    if idx is None:
+        # faster run construction for very many terms
+        reps = dfs
+        starts = term_starts[small_ids]
+        idx = np.repeat(starts - np.concatenate(([0], np.cumsum(reps)[:-1])), reps) + np.arange(total)
+    docs = doc_of[idx].astype(np.int64)
+    frqs = freq[idx].astype(np.int64)
+    # per-term deltas with first entry doc0+1
+    run_start = np.zeros(total, dtype=bool)
+    run_bounds = np.cumsum(dfs)[:-1]
+    run_start[0] = True
+    run_start[run_bounds] = True
+    deltas = np.empty(total, dtype=np.int64)
+    deltas[0] = docs[0] + 1
+    deltas[1:] = docs[1:] - docs[:-1]
+    deltas[run_start] = docs[run_start] + 1
+    # interleave [deltas_t, freqs_t] per term
+    combined = np.empty(2 * total, dtype=np.uint64)
+    # positions: for term k occupying run [s,e): deltas at out[2s .. ), freqs after
+    out_base = np.repeat(np.cumsum(np.concatenate(([0], 2 * dfs[:-1]))), dfs)
+    within = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(dfs)[:-1])), dfs)
+    combined[out_base + within] = deltas.astype(np.uint64)
+    combined[out_base + within + np.repeat(dfs, dfs)] = frqs.astype(np.uint64)
+    payload = vint_encode(combined)
+    # byte length per value -> per term
+    from .postings import _bit_length
+    vb = np.maximum((_bit_length(combined) + 6) // 7, 1)
+    per_val_off = np.concatenate(([0], np.cumsum(vb)))
+    term_val_bounds = np.cumsum(np.concatenate(([0], 2 * dfs)))
+    nbytes = per_val_off[term_val_bounds[1:]] - per_val_off[term_val_bounds[:-1]]
+    return payload, nbytes.astype(np.int64)
+
+
+def write_shard(out_dir: str, pid: int, doc_base: int, table: pa.Table,
+                fingerprint: str, text_col: str = "text",
+                key_cols: tuple[str, str] = ("conv_id", "turn_idx")) -> dict:
+    """Build one shard from this partition's rows; atomic (tmp dir + rename).
+
+    Rows are sorted by key_cols (stable global order); local docIDs are their
+    ranks.  Returns the manifest dict (also persisted as manifest.json).
+    """
+    final_dir = os.path.join(out_dir, f"shard-{pid:05d}")
+    if os.path.exists(final_dir):
+        m = read_manifest(final_dir)
+        if m and m.get("status") == "committed" and m.get("fingerprint") == fingerprint:
+            return m          # resume: already built
+        shutil.rmtree(final_dir)
+    tmp_dir = final_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+
+    table = table.sort_by([(key_cols[0], "ascending"), (key_cols[1], "ascending")])
+    texts = table.column(text_col).to_pylist()
+    token_lists = [analyze(t) if t else [] for t in texts]
+    terms, term_starts, doc_of, freq, lengths = invert(token_lists)
+    n_docs = len(texts)
+    norms = int_to_byte4(lengths.astype(np.int64))
+
+    V = len(terms)
+    dfs = (term_starts[1:] - term_starts[:-1]).astype(np.int64)
+    small_mask = dfs < BLOCK_SIZE
+    small_ids = np.nonzero(small_mask)[0]
+    big_ids = np.nonzero(~small_mask)[0]
+
+    # ---- encode: vectorized small terms + per-term loop for big terms ----
+    small_payload, small_nbytes = _encode_small_terms(term_starts, doc_of, freq, small_ids)
+    offs = np.zeros(V, dtype=np.int64)
+    nbytes = np.zeros(V, dtype=np.int64)
+    nbytes[small_ids] = small_nbytes
+    small_offs = np.concatenate(([0], np.cumsum(small_nbytes[:-1]))) if len(small_ids) else np.zeros(0)
+    offs[small_ids] = small_offs
+
+    big_payloads = []
+    big_meta = {}
+    cursor = len(small_payload)
+    for t in big_ids:
+        s, e = term_starts[t], term_starts[t + 1]
+        payload, b_offs, b_last = encode_postings(doc_of[s:e], freq[s:e])
+        offs[t] = cursor
+        nbytes[t] = len(payload)
+        big_meta[int(t)] = (b_offs, b_last)
+        big_payloads.append(payload)
+        cursor += len(payload)
+
+    with open(os.path.join(tmp_dir, POSTINGS_FILE), "wb") as f:
+        f.write(small_payload)
+        for p in big_payloads:
+            f.write(p)
+
+    # ---- skip/impact metadata ----
+    # small terms: one skip entry (off 0, last doc = final doc, single
+    # conservative impact pair max_freq/min_norm)
+    ends = term_starts[1:] - 1
+    last_doc_small = doc_of[ends]                     # last doc per term
+    pnorms = norms[doc_of]                            # norm byte per posting
+    maxf = np.zeros(V, dtype=np.int64)
+    np.maximum.at(maxf, np.repeat(np.arange(V), dfs), freq.astype(np.int64))
+    minn = np.full(V, 255, dtype=np.int64)
+    np.minimum.at(minn, np.repeat(np.arange(V), dfs), pnorms.astype(np.int64))
+
+    skip_offs, skip_last, imp_counts, imp_freqs, imp_norms = [], [], [], [], []
+    for t in range(V):
+        if small_mask[t]:
+            skip_offs.append([0])
+            skip_last.append([int(last_doc_small[t])])
+            imp_counts.append([1])
+            imp_freqs.append([int(maxf[t])])
+            imp_norms.append([int(minn[t])])
+        else:
+            s, e = term_starts[t], term_starts[t + 1]
+            b_offs, b_last = big_meta[int(t)]       # include the tail entry
+            ic, _if, _in = [], [], []
+            df = e - s
+            for b in range(len(b_offs)):
+                lo = s + b * BLOCK_SIZE
+                hi = min(lo + BLOCK_SIZE, e)
+                sf, sn = impact_skyline(freq[lo:hi], pnorms[lo:hi])
+                ic.append(len(sf)); _if.extend(sf.tolist()); _in.extend(sn.tolist())
+            skip_offs.append(b_offs.tolist())
+            skip_last.append(b_last.tolist())
+            imp_counts.append(ic)
+            imp_freqs.append(_if)
+            imp_norms.append(_in)
+
+    terms_table = pa.table({
+        "term": terms,
+        "df": pa.array(dfs, type=pa.int32()),
+        "ttf": pa.array([int(x) for x in np.add.reduceat(freq.astype(np.int64), term_starts[:-1])] if V else [], type=pa.int64()),
+        "off": pa.array(offs, type=pa.int64()),
+        "nbytes": pa.array(nbytes, type=pa.int64()),
+        "skip_offs": pa.array(skip_offs, type=pa.list_(pa.int32())),
+        "skip_last": pa.array(skip_last, type=pa.list_(pa.int32())),
+        "imp_counts": pa.array(imp_counts, type=pa.list_(pa.int32())),
+        "imp_freqs": pa.array(imp_freqs, type=pa.list_(pa.int32())),
+        "imp_norms": pa.array(imp_norms, type=pa.list_(pa.int32())),
+    })
+    pq.write_table(terms_table, os.path.join(tmp_dir, TERMS_FILE))
+
+    norms.astype(np.uint8).tofile(os.path.join(tmp_dir, NORMS_FILE))
+    pq.write_table(table.select(list(key_cols)), os.path.join(tmp_dir, DOCMAP_FILE))
+
+    manifest = {
+        "pid": int(pid),
+        "doc_base": int(doc_base),
+        "doc_count": int(n_docs),
+        "doc_count_field": int((lengths > 0).sum()),   # docs with >=1 term (Terms.getDocCount semantics)
+        "sum_ttf": int(lengths.astype(np.int64).sum()),
+        "sum_df": int(dfs.sum()),
+        "n_terms": int(V),
+        "fingerprint": fingerprint,
+        "status": "committed",
+    }
+    with open(os.path.join(tmp_dir, MANIFEST_FILE), "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp_dir, final_dir)
+    return manifest
+
+
+def read_manifest(shard_dir: str) -> dict | None:
+    p = os.path.join(shard_dir, MANIFEST_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+class ShardReader:
+    """Memory-mapped reader over one shard (the per-slice hot query state,
+    analogous to an mmap'd SegmentReader — `store/MMapDirectory.java:97,131`).
+
+    The term dictionary is loaded into RAM (sorted Arrow table → binary
+    search); postings.bin and norms.bin are np.memmap'd so the OS page cache
+    is shared across query actors on a node.
+    """
+
+    def __init__(self, shard_dir: str):
+        self.dir = shard_dir
+        self.manifest = read_manifest(shard_dir)
+        if self.manifest is None or self.manifest.get("status") != "committed":
+            raise FileNotFoundError(f"shard not committed: {shard_dir}")
+        self.doc_base = int(self.manifest["doc_base"])
+        self.doc_count = int(self.manifest["doc_count"])
+        t = pq.read_table(os.path.join(shard_dir, TERMS_FILE))
+        self._terms = t.column("term").combine_chunks()
+        self._df = t.column("df").to_numpy()
+        self._ttf = t.column("ttf").to_numpy()
+        self._off = t.column("off").to_numpy()
+        self._nbytes = t.column("nbytes").to_numpy()
+        self._skip_offs = t.column("skip_offs").combine_chunks()
+        self._skip_last = t.column("skip_last").combine_chunks()
+        self._imp_counts = t.column("imp_counts").combine_chunks()
+        self._imp_freqs = t.column("imp_freqs").combine_chunks()
+        self._imp_norms = t.column("imp_norms").combine_chunks()
+        # numpy views for fast binary search
+        self._term_np = self._terms.to_numpy(zero_copy_only=False)
+        psize = os.path.getsize(os.path.join(shard_dir, POSTINGS_FILE))
+        self._post = (np.memmap(os.path.join(shard_dir, POSTINGS_FILE), dtype=np.uint8, mode="r")
+                      if psize else np.zeros(0, dtype=np.uint8))
+        self.norms = np.memmap(os.path.join(shard_dir, NORMS_FILE), dtype=np.uint8, mode="r") \
+            if self.doc_count else np.zeros(0, dtype=np.uint8)
+        self._docmap = None
+
+    @property
+    def n_terms(self) -> int:
+        return len(self._df)
+
+    def seek_exact(self, term: str) -> int:
+        """Sorted-term binary search (block-tree seekExact equivalent,
+        `blocktree/Lucene90BlockTreeTermsReader.java:341`); -1 if absent."""
+        i = int(np.searchsorted(self._term_np, term))
+        if i < len(self._term_np) and self._term_np[i] == term:
+            return i
+        return -1
+
+    def term_stats(self, tid: int) -> tuple[int, int]:
+        return int(self._df[tid]), int(self._ttf[tid])
+
+    def payload(self, tid: int) -> memoryview:
+        o, n = int(self._off[tid]), int(self._nbytes[tid])
+        return memoryview(self._post)[o:o + n]
+
+    def postings(self, tid: int):
+        """Full decode: (local doc_ids int32[], freqs int32[])."""
+        from .postings import decode_postings
+        return decode_postings(self.payload(tid), int(self._df[tid]))
+
+    def skip_data(self, tid: int):
+        """(skip_offs, skip_last, imp_counts, imp_freqs, imp_norms) numpy."""
+        return (self._skip_offs[tid].values.to_numpy(),
+                self._skip_last[tid].values.to_numpy(),
+                self._imp_counts[tid].values.to_numpy(),
+                self._imp_freqs[tid].values.to_numpy(),
+                self._imp_norms[tid].values.to_numpy())
+
+    def docmap(self) -> pa.Table:
+        if self._docmap is None:
+            self._docmap = pq.read_table(os.path.join(self.dir, DOCMAP_FILE))
+        return self._docmap
+
+    def lookup_docs(self, local_ids: np.ndarray) -> pa.Table:
+        """(conv_id, turn_idx) rows for the given local docIDs (top-k only)."""
+        return self.docmap().take(pa.array(local_ids, type=pa.int64()))

@@ -1,0 +1,71 @@
+"""Query AST — the north-rule subset of Lucene's Query classes
+(`search/TermQuery.java`, `search/BooleanQuery.java`, `search/BooleanClause.java:25-46`):
+TermQuery + BooleanQuery with SHOULD / MUST / FILTER / MUST_NOT occurs and
+minimumNumberShouldMatch, plus MatchAllDocsQuery.  A tiny builder replaces
+the classic query-parser grammar: :func:`parse_query` analyzes free text into
+a SHOULD-of-terms BooleanQuery the way QueryParser does for a default field.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+SHOULD = "SHOULD"
+MUST = "MUST"
+FILTER = "FILTER"
+MUST_NOT = "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    term: str
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery:
+    pass
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: "TermQuery"
+    occur: str = SHOULD
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    clauses: tuple[BooleanClause, ...] = ()
+    minimum_should_match: int = 0
+
+    def __post_init__(self):
+        if len(self.clauses) > 1024:   # BooleanQuery.maxClauseCount
+            raise ValueError("too many clauses")
+
+
+def bool_query(should=(), must=(), filter_=(), must_not=(), minimum_should_match=0) -> BooleanQuery:
+    cl = [BooleanClause(TermQuery(t) if isinstance(t, str) else t, SHOULD) for t in should]
+    cl += [BooleanClause(TermQuery(t) if isinstance(t, str) else t, MUST) for t in must]
+    cl += [BooleanClause(TermQuery(t) if isinstance(t, str) else t, FILTER) for t in filter_]
+    cl += [BooleanClause(TermQuery(t) if isinstance(t, str) else t, MUST_NOT) for t in must_not]
+    return BooleanQuery(tuple(cl), minimum_should_match)
+
+
+def parse_query(text: str, field: str = "text"):
+    """Free text -> SHOULD-of-analyzed-terms (QueryParser default-field
+    behavior, `queryparser/classic/QueryParserBase.java:132`)."""
+    from ..analysis.standard import analyze
+
+    terms = analyze(text)
+    if len(terms) == 1:
+        return TermQuery(terms[0], field)
+    return bool_query(should=[TermQuery(t, field) for t in terms])
+
+
+def extract_terms(q) -> list[TermQuery]:
+    if isinstance(q, TermQuery):
+        return [q]
+    if isinstance(q, BooleanQuery):
+        return [c.query for c in q.clauses]
+    return []

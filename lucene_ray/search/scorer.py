@@ -1,0 +1,263 @@
+"""Per-shard query execution: exhaustive TAAT oracle + block-max WAND.
+
+Two engines over the same shard format:
+
+- :func:`search_shard_exhaustive` — vectorized term-at-a-time scoring into a
+  dense float32 accumulator (the CheckHits-style naive oracle,
+  `test-framework/.../CheckHits.java:57`), supporting the full boolean
+  algebra (SHOULD/MUST/FILTER/MUST_NOT + minimumNumberShouldMatch).
+- :class:`BlockMaxWand` — document-ordered block-at-a-time scoring with
+  block-max pruning for (pure disjunctive / conjunctive) scoring clauses:
+  the WANDScorer / ImpactsDISI / MaxScoreCache re-expression
+  (`search/WANDScorer.java:31-117`, `search/ImpactsDISI.java:92-124`,
+  `search/MaxScoreCache.java:60-112`) at 128-doc block granularity — a block
+  is skipped (never decoded) when the sum of participating per-block max
+  scores cannot beat the current k-th score, with Lucene's
+  totalHitsThreshold semantics (pruning arms only after `threshold` hits;
+  `IndexSearcher.java:101`, `TopScoreDocCollector.java:208-227`).
+
+Both produce identical top-k (score desc, docID asc tie-break) — asserted by
+tests/test_wand.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.postings import BLOCK_SIZE, decode_block, decode_tail
+from .query import FILTER, MUST, MUST_NOT, SHOULD
+
+TOTAL_HITS_THRESHOLD = 1000
+RELATION_EQ = "EQUAL_TO"
+RELATION_GTE = "GREATER_THAN_OR_EQUAL_TO"
+
+
+def _top_k(scores: np.ndarray, docs: np.ndarray, k: int):
+    """(score desc, doc asc) selection — HitQueue order (`search/HitQueue.java`)."""
+    if len(scores) > k:
+        order = np.lexsort((docs, -scores))[:k]
+    else:
+        order = np.lexsort((docs, -scores))
+    return scores[order], docs[order]
+
+
+def search_shard_exhaustive(reader, compiled, k: int, after=None):
+    """Exhaustive boolean scoring over one shard.
+
+    compiled: dict with keys scoring [(term, scorer, occur)], filters [term],
+    must_nots [term], msm int, n_required int (MUST+FILTER count).
+    Returns (scores f32[], local_docs i32[], total_hits, relation).
+    """
+    n = reader.doc_count
+    norms = reader.norms
+    acc = np.zeros(n, dtype=np.float32)
+    matched = np.zeros(n, dtype=bool)
+    req_cnt = np.zeros(n, dtype=np.int16) if compiled["n_required"] else None
+    should_cnt = np.zeros(n, dtype=np.int16) if compiled["msm"] else None
+
+    any_scoring = False
+    for term, scorer, occur in compiled["scoring"]:
+        tid = reader.seek_exact(term)
+        if tid < 0:
+            if occur == MUST:
+                return (np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ)
+            continue
+        any_scoring = True
+        docs, freqs = reader.postings(tid)
+        acc[docs] += scorer.score(freqs, norms[docs])
+        matched[docs] = True
+        if occur == MUST and req_cnt is not None:
+            req_cnt[docs] += 1
+        if occur == SHOULD and should_cnt is not None:
+            should_cnt[docs] += 1
+
+    for term in compiled["filters"]:
+        tid = reader.seek_exact(term)
+        if tid < 0:
+            return (np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ)
+        docs, _ = reader.postings(tid)
+        matched[docs] = True
+        req_cnt[docs] += 1
+
+    eligible = matched
+    if req_cnt is not None:
+        eligible = req_cnt == compiled["n_required"]
+        if not compiled["scoring"] and not any_scoring:
+            pass  # constant-score filter-only query
+    elif compiled["msm"]:
+        eligible = should_cnt >= compiled["msm"]
+    if compiled["msm"] and req_cnt is not None and should_cnt is not None:
+        eligible &= should_cnt >= compiled["msm"]
+
+    for term in compiled["must_nots"]:
+        tid = reader.seek_exact(term)
+        if tid >= 0:
+            docs, _ = reader.postings(tid)
+            eligible = eligible.copy()
+            eligible[docs] = False
+
+    cand = np.nonzero(eligible)[0].astype(np.int32)
+    sc = acc[cand]
+    if after is not None:
+        a_score, a_doc = np.float32(after[0]), after[1]
+        keep = (sc < a_score) | ((sc == a_score) & (cand.astype(np.int64) > a_doc))
+        cand, sc = cand[keep], sc[keep]
+    total = int(len(cand))
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
+class _TermState:
+    __slots__ = ("term", "scorer", "skip_offs", "skip_last", "block_max", "df",
+                 "payload", "bi", "prev_last", "consumed", "decoded", "n_blocks", "occur")
+
+    def __init__(self, reader, tid, term, scorer, occur):
+        self.term = term
+        self.scorer = scorer
+        self.occur = occur
+        self.df = int(reader._df[tid])
+        so, sl, ic, if_, in_ = reader.skip_data(tid)
+        self.skip_offs = so
+        self.skip_last = sl
+        self.n_blocks = len(so)
+        # per-block max score from impact skylines (MaxScoreCache equivalent)
+        bounds = np.concatenate(([0], np.cumsum(ic)))
+        self.block_max = np.array(
+            [scorer.max_score(if_[bounds[i]:bounds[i + 1]], in_[bounds[i]:bounds[i + 1]])
+             for i in range(len(ic))], dtype=np.float32)
+        self.payload = reader.payload(tid)
+        self.bi = 0
+        self.prev_last = -1
+        self.consumed = -1          # last docID already scored
+        self.decoded = None         # (docs, freqs) of current block
+
+    @property
+    def exhausted(self):
+        return self.bi >= self.n_blocks
+
+    def cur_last(self):
+        return int(self.skip_last[self.bi])
+
+    def cur_max(self):
+        return self.block_max[self.bi]
+
+    def decode_cur(self, norms):
+        if self.decoded is None:
+            n_full = self.df // BLOCK_SIZE
+            if self.bi < n_full:
+                docs, freqs = decode_block(self.payload, int(self.skip_offs[self.bi]), self.prev_last)
+            else:
+                docs, freqs = decode_tail(self.payload, int(self.skip_offs[self.bi]),
+                                          self.df % BLOCK_SIZE, self.prev_last)
+            scores = self.scorer.score(freqs, norms[docs])
+            self.decoded = (docs, scores)
+        return self.decoded
+
+    def advance(self):
+        self.prev_last = self.cur_last()
+        self.consumed = self.prev_last
+        self.bi += 1
+        self.decoded = None
+
+
+class BlockMaxWand:
+    """Block-max WAND over scoring term clauses (pure SHOULD disjunction, or
+    pure MUST conjunction via `conjunctive=True`)."""
+
+    def __init__(self, reader, terms, k: int, *, conjunctive: bool = False,
+                 threshold: int = TOTAL_HITS_THRESHOLD, msm: int = 0):
+        self.reader = reader
+        self.k = k
+        self.conjunctive = conjunctive
+        self.threshold = threshold
+        self.msm = max(msm, 1) if not conjunctive else 0
+        self.states = terms    # list[_TermState]
+        self.blocks_decoded = 0
+        self.blocks_skipped = 0
+
+    def run(self, after=None):
+        norms = self.reader.norms
+        k = self.k
+        states = [s for s in self.states if not s.exhausted]
+        if self.conjunctive and len(states) < len(self.states):
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+
+        top_scores = np.zeros(0, dtype=np.float32)
+        top_docs = np.zeros(0, dtype=np.int32)
+        theta = -np.inf
+        collected = 0
+        pruned = False
+
+        while states:
+            w_hi = min(s.cur_last() for s in states)
+            parts = [s for s in states if s.prev_last < w_hi]
+            ub = float(sum(float(s.cur_max()) for s in parts))
+            prune_ready = len(top_docs) >= k and collected >= self.threshold
+            if self.conjunctive and len(parts) < len(states):
+                # a MUST term has no docs in this window: leapfrog
+                # (BlockMaxConjunctionScorer-style block skip)
+                self.blocks_skipped += len(parts)
+                for s in parts:
+                    s.consumed = w_hi
+            elif prune_ready and ub <= theta:
+                self.blocks_skipped += len(parts)
+                pruned = True
+                for s in parts:
+                    s.consumed = w_hi
+            else:
+                cand_docs, cand_scores, cnt = [], [], []
+                for s in parts:
+                    docs, scores = s.decode_cur(norms)
+                    self.blocks_decoded += 1
+                    lo = np.searchsorted(docs, s.consumed, side="right")
+                    hi = np.searchsorted(docs, w_hi, side="right")
+                    if hi > lo:
+                        cand_docs.append(docs[lo:hi])
+                        cand_scores.append(scores[lo:hi])
+                    s.consumed = w_hi
+                if cand_docs:
+                    d = np.concatenate(cand_docs)
+                    sc = np.concatenate(cand_scores)
+                    order = np.argsort(d, kind="stable")
+                    d, sc = d[order], sc[order]
+                    uniq_mask = np.empty(len(d), dtype=bool)
+                    uniq_mask[0] = True
+                    np.not_equal(d[1:], d[:-1], out=uniq_mask[1:])
+                    starts = np.nonzero(uniq_mask)[0]
+                    udocs = d[starts]
+                    nmatch = np.diff(np.concatenate((starts, [len(d)])))
+                    # left-to-right float32 accumulation in clause order (the
+                    # stable sort keeps per-doc contributions in clause order),
+                    # bit-identical to the TAAT accumulator / reference order
+                    usum = np.zeros(len(udocs), dtype=np.float32)
+                    for j in range(int(nmatch.max())):
+                        sel = nmatch > j
+                        usum[sel] += sc[starts[sel] + j]
+                    if self.conjunctive:
+                        sel = nmatch == len(self.states)
+                    else:
+                        sel = nmatch >= self.msm
+                    udocs, usum = udocs[sel], usum[sel]
+                    if after is not None:
+                        a_s, a_d = np.float32(after[0]), after[1]
+                        keep = (usum < a_s) | ((usum == a_s) & (udocs.astype(np.int64) > a_d))
+                        udocs, usum = udocs[keep], usum[keep]
+                    collected += int(len(udocs))
+                    if len(udocs):
+                        top_scores = np.concatenate((top_scores, usum))
+                        top_docs = np.concatenate((top_docs, udocs))
+                        if len(top_docs) > 4 * k + 64:
+                            top_scores, top_docs = _top_k(top_scores, top_docs, k)
+                        if len(top_docs) >= k:
+                            ts, td = _top_k(top_scores, top_docs, k)
+                            theta = float(ts[-1]) if len(ts) == k else -np.inf
+            for s in parts:
+                if s.cur_last() <= w_hi:
+                    s.advance()
+            states = [s for s in states if not s.exhausted]
+            if self.conjunctive and len(states) < len(self.states):
+                break   # a MUST term is exhausted: no further matches
+
+        top_scores, top_docs = _top_k(top_scores, top_docs, self.k)
+        relation = RELATION_GTE if pruned else RELATION_EQ
+        return top_scores, top_docs, collected, relation

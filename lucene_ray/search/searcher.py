@@ -1,0 +1,222 @@
+"""IndexSearcher over an index directory of posting shards.
+
+Mirrors the reference read path (`search/IndexSearcher.java:507` →
+createWeight → per-leaf scorers → `TopDocs.merge`): global collection /
+term statistics come from the commit + the merged term_stats table (so
+scoring equals a single-reader Lucene searcher over the same corpus), each
+shard is scored independently (a "leaf slice"), and per-shard top-k results
+merge with score-desc, global-docID-asc tie-break
+(`search/TopDocs.java:202-299`: (shardIndex, doc) asc == global docID asc
+because doc bases are assigned in partition order).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..index.manifest import latest_commit
+from ..index.shard import ShardReader
+from .query import FILTER, MUST, MUST_NOT, SHOULD, BooleanQuery, MatchAllDocsQuery, TermQuery
+from .scorer import (
+    RELATION_EQ,
+    RELATION_GTE,
+    TOTAL_HITS_THRESHOLD,
+    BlockMaxWand,
+    _TermState,
+    _top_k,
+    search_shard_exhaustive,
+)
+from .similarity import BM25Similarity
+
+
+@dataclass
+class ScoreDoc:
+    score: float
+    gid: int                      # global docID = doc_base + local
+    conv_id: str = ""
+    turn_idx: int = -1
+
+
+@dataclass
+class TopDocs:
+    hits: list[ScoreDoc]
+    total_hits: int
+    relation: str
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str, similarity: BM25Similarity | None = None,
+                 use_wand: bool = True):
+        self.index_dir = index_dir
+        self.commit = latest_commit(index_dir)
+        if self.commit is None:
+            raise FileNotFoundError(f"no commit in {index_dir}")
+        self.sim = similarity or BM25Similarity()
+        self.use_wand = use_wand
+        self.doc_count = int(self.commit["doc_count_field"])
+        self.sum_ttf = int(self.commit["sum_ttf"])
+        self._readers: dict[int, ShardReader] = {}
+        self._pids = [m["pid"] for m in self.commit["shards"]]
+        self._bases = {m["pid"]: int(m["doc_base"]) for m in self.commit["shards"]}
+        self._stats = None
+
+    # ---- global stats ----
+    def _term_stats(self) -> dict[str, int]:
+        """term -> global docFreq, from the salted-shuffle-merged stats table."""
+        if self._stats is None:
+            import pyarrow.parquet as pq
+
+            stats_dir = os.path.join(self.index_dir, "term_stats")
+            dfs = {}
+            for p in sorted(glob.glob(os.path.join(stats_dir, "*.parquet"))):
+                t = pq.read_table(p, columns=["term", "df"])
+                terms = t.column("term").to_pylist()
+                vals = t.column("df").to_numpy()
+                dfs.update(zip(terms, (int(v) for v in vals)))
+            self._stats = dfs
+        return self._stats
+
+    def df(self, term: str) -> int:
+        return self._term_stats().get(term, 0)
+
+    def reader(self, pid: int) -> ShardReader:
+        r = self._readers.get(pid)
+        if r is None:
+            r = ShardReader(os.path.join(self.index_dir, "shards", f"shard-{pid:05d}"))
+            self._readers[pid] = r
+        return r
+
+    # ---- query compilation (createWeight equivalent) ----
+    def compile(self, query) -> dict:
+        if isinstance(query, TermQuery):
+            query = BooleanQuery((_clause(query, SHOULD),))
+        if isinstance(query, MatchAllDocsQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": True}
+        scoring, filters, must_nots = [], [], []
+        n_required = 0
+        for c in query.clauses:
+            t = c.query.term
+            if c.occur in (SHOULD, MUST):
+                df = self.df(t)
+                if df == 0 and c.occur == MUST:
+                    return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
+                            "msm": 0, "n_required": 1, "match_all": False}
+                if df > 0:
+                    scorer = self.sim.scorer(c.query.boost, self.doc_count, self.sum_ttf, df)
+                    scoring.append((t, scorer, c.occur))
+                    if c.occur == MUST:
+                        n_required += 1
+            elif c.occur == FILTER:
+                filters.append(t)
+                n_required += 1
+            elif c.occur == MUST_NOT:
+                must_nots.append(t)
+        return {"scoring": scoring, "filters": filters, "must_nots": must_nots,
+                "msm": int(query.minimum_should_match), "n_required": n_required,
+                "match_all": False}
+
+    # ---- search ----
+    def search(self, query, k: int = 10, after=None,
+               total_hits_threshold: int = TOTAL_HITS_THRESHOLD) -> TopDocs:
+        compiled = self.compile(query)
+        per_shard = []
+        for pid in self._pids:
+            rdr = self.reader(pid)
+            res = self.search_shard(rdr, compiled, k, after=_local_after(after, self._bases[pid]),
+                                    total_hits_threshold=total_hits_threshold)
+            per_shard.append((pid, rdr, res))
+        return self._merge(per_shard, k)
+
+    def search_shard(self, rdr, compiled, k, after=None,
+                     total_hits_threshold: int = TOTAL_HITS_THRESHOLD):
+        if compiled.get("match_all"):
+            docs = np.arange(min(k, rdr.doc_count), dtype=np.int32)
+            return np.ones(len(docs), np.float32), docs, rdr.doc_count, RELATION_EQ
+        wandable = (self.use_wand and compiled["scoring"] and not compiled["filters"]
+                    and not compiled["must_nots"]
+                    and (all(o == SHOULD for _, _, o in compiled["scoring"])
+                         or all(o == MUST for _, _, o in compiled["scoring"])))
+        if wandable:
+            conj = compiled["scoring"][0][2] == MUST
+            states = []
+            missing = False
+            for term, scorer, _ in compiled["scoring"]:
+                tid = rdr.seek_exact(term)
+                if tid < 0:
+                    missing = True
+                    continue
+                states.append(_TermState(rdr, tid, term, scorer, None))
+            if conj and missing:
+                return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+            if not states:
+                return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+            wand = BlockMaxWand(rdr, states, k, conjunctive=conj,
+                                threshold=total_hits_threshold,
+                                msm=compiled["msm"])
+            return wand.run(after=after)
+        return search_shard_exhaustive(rdr, compiled, k, after=after)
+
+    def _merge(self, per_shard, k) -> TopDocs:
+        all_scores, all_gids, owners = [], [], []
+        total = 0
+        relation = RELATION_EQ
+        for pid, rdr, (scores, local_docs, t, rel) in per_shard:
+            base = self._bases[pid]
+            all_scores.append(scores)
+            all_gids.append(local_docs.astype(np.int64) + base)
+            owners.append((pid, rdr, local_docs))
+            total += t
+            if rel == RELATION_GTE:
+                relation = RELATION_GTE
+        scores = np.concatenate(all_scores) if all_scores else np.zeros(0, np.float32)
+        gids = np.concatenate(all_gids) if all_gids else np.zeros(0, np.int64)
+        order = np.lexsort((gids, -scores))[:k]
+        hits = []
+        # resolve (conv_id, turn_idx) for final hits only
+        for i in order:
+            gid = int(gids[i])
+            pid = self._pid_of(gid)
+            rdr = self.reader(pid)
+            local = gid - self._bases[pid]
+            row = rdr.lookup_docs(np.array([local]))
+            hits.append(ScoreDoc(float(scores[i]), gid,
+                                 row.column("conv_id")[0].as_py(),
+                                 int(row.column("turn_idx")[0].as_py())))
+        return TopDocs(hits, total, relation)
+
+    def _pid_of(self, gid: int) -> int:
+        # doc bases are sorted by pid
+        pids = self._pids
+        bases = [self._bases[p] for p in pids]
+        i = int(np.searchsorted(bases, gid, side="right")) - 1
+        return pids[i]
+
+    def count(self, query) -> int:
+        """IndexSearcher.count equivalent (`search/IndexSearcher.java:428`)."""
+        compiled = self.compile(query)
+        total = 0
+        for pid in self._pids:
+            rdr = self.reader(pid)
+            if compiled.get("match_all"):
+                total += rdr.doc_count
+                continue
+            _, _, t, _ = search_shard_exhaustive(rdr, compiled, 1)
+            total += t
+        return total
+
+
+def _clause(q, occur):
+    from .query import BooleanClause
+
+    return BooleanClause(q, occur)
+
+
+def _local_after(after, base):
+    if after is None:
+        return None
+    return (after[0], after[1] - base)

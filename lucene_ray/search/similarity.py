@@ -1,0 +1,67 @@
+"""BM25 scoring, float32-exact to the reference.
+
+Formulas and float operation ORDER are ported from
+`lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java`:
+
+- idf   = (float) ln(1 + (docCount - df + 0.5)/(df + 0.5))      [:104-106]
+- avgdl = (float) (sumTotalTermFreq / (double) docCount)        [:109-111]
+- cache[i] = 1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl)) [:205-208]
+- score = weight - weight / (1 + freq * cache[normByte])        [:240-252]
+  with weight = boost * idf (float)                             [:226]
+
+All per-element math is float32 (numpy) in exactly that order; IEEE-754
+float32 ops are deterministic, so identical inputs produce bit-identical
+scores to the JVM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..util.smallfloat import LENGTH_TABLE
+
+
+class BM25Similarity:
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        if not np.isfinite(k1) or k1 < 0 or not (0 <= b <= 1):
+            raise ValueError("illegal k1/b")
+        self.k1 = np.float32(k1)
+        self.b = np.float32(b)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        # double math, cast to float (BM25Similarity.java:104-106)
+        return np.float32(np.log(1 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+    def avg_field_length(self, sum_ttf: int, doc_count: int) -> np.float32:
+        return np.float32(sum_ttf / float(doc_count))
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int) -> "BM25Scorer":
+        idf = self.idf(doc_freq, doc_count)
+        avgdl = self.avg_field_length(sum_ttf, doc_count)
+        one = np.float32(1.0)
+        # float32 op order: b * LENGTH_TABLE[i] -> / avgdl -> (1-b) + _ -> k1 * _ -> 1/_
+        cache = one / (self.k1 * ((one - self.b) + self.b * LENGTH_TABLE / avgdl))
+        return BM25Scorer(np.float32(boost) * idf, cache.astype(np.float32))
+
+
+class BM25Scorer:
+    """SimScorer equivalent: weight + per-norm-byte cache."""
+
+    __slots__ = ("weight", "cache", "max_score_cache")
+
+    def __init__(self, weight: np.float32, cache: np.ndarray):
+        self.weight = weight
+        self.cache = cache
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        """Vectorized float32: weight - weight / (1 + freq * cache[norm])."""
+        one = np.float32(1.0)
+        norm_inv = self.cache[norm_bytes.astype(np.int64) & 0xFF]
+        return self.weight - self.weight / (one + freqs.astype(np.float32) * norm_inv)
+
+    def max_score(self, imp_freqs: np.ndarray, imp_norms: np.ndarray) -> np.float32:
+        """Block max score from the impact skyline (MaxScoreCache.java:60-112):
+        max over pairs of score(freq, norm) — monotone in freq * cache[norm]."""
+        if len(imp_freqs) == 0:
+            return np.float32(np.inf)
+        return np.max(self.score(imp_freqs, imp_norms))

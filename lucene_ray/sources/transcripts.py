@@ -1,0 +1,144 @@
+"""Deterministic synthetic transcript corpus + adapters.
+
+The engine's primary input (BASELINE.json input_hint) is a Parquet table of
+multi-turn conversation/agent transcripts:
+
+    (conv_id: string, turn_idx: int32, role: string, text: string,
+     tool: string, ts: timestamp[us])
+
+The sandbox testdata has no transcripts table, so we synthesize one
+deterministically (seeded, no wall clock):
+
+- :func:`synth_transcripts` — seeded generator with Zipf term distribution,
+  Zipf turns-per-conversation skew, and the FIXTURES.md §1 analyzer edge
+  cases embedded at fixed rows.
+- :func:`transcripts_from_documents` — maps the driver-generated
+  ``documents.parquet`` (doc_id, text, ...) into transcript shape so oracle
+  SQL over `documents` stays expressible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+_VOCAB_COMMON = (
+    "the a of to and in query data table scan sort merge join filter group "
+    "order key value row column hash index batch stream window part line "
+    "fast slow small big agg vector spark customer tool agent model token "
+    "search run call result error retry plan step think answer user turn"
+).split()
+
+_VOCAB_RARE = [f"rareterm{i:04d}" for i in range(2000)]
+
+_ROLES = ["user", "assistant", "system", "tool"]
+_TOOLS = ["", "", "", "", "search", "bash", "browser", "editor"]
+
+EDGE_TEXTS = [
+    "x" * 255,
+    "y" * 256,
+    "İstanbul ΣΊΣΥΦΟΣ straße",
+    "3.14 1,000 state-of-the-art o'neil foo_bar",
+    "bob@example.com https://x.y/z?a=1",
+    "日本語 テスト ひらがな 한국어 🇺🇸 👍🏻",
+    "",
+    "   \t  ",
+    "z" * 70000,
+    "duplicate text body for tie break",
+    "duplicate text body for tie break",
+]
+
+BASE_TS_US = 1_700_000_000_000_000  # fixed epoch base (no wall clock)
+
+
+def synth_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
+    """Deterministic transcript table with n_turns rows, sorted by
+    (conv_id, turn_idx)."""
+    rng = np.random.default_rng(seed)
+    # Zipf-distributed turns per conversation in [1, 64]
+    conv_sizes = []
+    total = 0
+    while total < n_turns:
+        s = int(min(64, rng.zipf(1.3)))
+        conv_sizes.append(s)
+        total += s
+    conv_sizes[-1] -= total - n_turns
+    if conv_sizes[-1] == 0:
+        conv_sizes.pop()
+
+    conv_ids, turn_idxs = [], []
+    for c, size in enumerate(conv_sizes):
+        cid = f"conv-{c:08d}"
+        conv_ids.extend([cid] * size)
+        turn_idxs.extend(range(size))
+
+    n = len(conv_ids)
+    # Zipf vocab sampling: common terms hot, rare terms long tail
+    zipf_w = 1.0 / np.arange(1, len(_VOCAB_COMMON) + 1) ** 0.9
+    zipf_p = zipf_w / zipf_w.sum()
+    texts = []
+    for i in range(n):
+        ln = int(rng.integers(3, 40))
+        words = list(rng.choice(_VOCAB_COMMON, size=ln, p=zipf_p))
+        if rng.random() < 0.3:
+            words.append(_VOCAB_RARE[int(rng.integers(len(_VOCAB_RARE)))])
+        texts.append(" ".join(words))
+    # plant the analyzer edge cases at fixed positions
+    for j, t in enumerate(EDGE_TEXTS):
+        if j < n:
+            texts[j * max(1, n // (len(EDGE_TEXTS) + 1))] = t
+
+    roles = [_ROLES[int(x)] for x in rng.integers(0, len(_ROLES), size=n)]
+    tools = [_TOOLS[int(x)] for x in rng.integers(0, len(_TOOLS), size=n)]
+    ts = BASE_TS_US + np.arange(n, dtype=np.int64) * 1_000_000
+
+    return pa.table({
+        "conv_id": pa.array(conv_ids, type=pa.string()),
+        "turn_idx": pa.array(turn_idxs, type=pa.int32()),
+        "role": pa.array(roles, type=pa.string()),
+        "text": pa.array(texts, type=pa.string()),
+        "tool": pa.array(tools, type=pa.string()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+
+
+TURNS_PER_CONV = 5
+
+
+def doc_batch_to_transcripts(batch: pa.Table) -> pa.Table:
+    """Vectorized map: documents(doc_id, text) rows -> transcript rows.
+
+    conv_id groups TURNS_PER_CONV consecutive doc_ids; deterministic, so the
+    mapping is also expressible in oracle SQL over `documents`.
+    """
+    doc_id = batch.column("doc_id").to_numpy()
+    conv = np.char.add("conv-", np.char.zfill((doc_id // TURNS_PER_CONV).astype(str), 8))
+    turn = (doc_id % TURNS_PER_CONV).astype(np.int32)
+    role = np.array(_ROLES, dtype=object)[doc_id % len(_ROLES)]
+    tool = np.array(_TOOLS, dtype=object)[doc_id % len(_TOOLS)]
+    ts = BASE_TS_US + doc_id * 1_000_000
+    return pa.table({
+        "conv_id": pa.array(conv, type=pa.string()),
+        "turn_idx": pa.array(turn, type=pa.int32()),
+        "role": pa.array(role, type=pa.string()),
+        "text": batch.column("text"),
+        "tool": pa.array(tool, type=pa.string()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+
+
+def transcripts_from_documents(sf_dir: str):
+    """documents.parquet -> transcripts Dataset (streaming map_batches)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(doc_batch_to_transcripts, batch_format="pyarrow")

@@ -82,9 +82,18 @@ def test_postings_roundtrip(df):
     assert np.array_equal(out_docs, doc_ids)
     assert np.array_equal(out_freqs, freqs)
     n_full = df // BLOCK_SIZE
-    assert len(offsets) == n_full == len(last_docs)
+    n_skip = n_full + (1 if df % BLOCK_SIZE else 0)
+    assert len(offsets) == n_skip == len(last_docs)
     if n_full:
-        assert np.array_equal(last_docs, doc_ids[BLOCK_SIZE - 1::BLOCK_SIZE][:n_full])
+        assert np.array_equal(last_docs[:n_full], doc_ids[BLOCK_SIZE - 1::BLOCK_SIZE][:n_full])
+    assert last_docs[-1] == doc_ids[-1]
+    # tail random access
+    if df % BLOCK_SIZE:
+        from lucene_ray.index.postings import decode_tail
+        prev = -1 if n_full == 0 else int(doc_ids[n_full * BLOCK_SIZE - 1])
+        td, tf = decode_tail(payload, int(offsets[-1]), df % BLOCK_SIZE, prev)
+        assert np.array_equal(td, doc_ids[n_full * BLOCK_SIZE:])
+        assert np.array_equal(tf, freqs[n_full * BLOCK_SIZE:])
 
 
 def test_decode_block_random_access():
@@ -93,7 +102,7 @@ def test_decode_block_random_access():
     doc_ids = (np.cumsum(gaps) - 1).astype(np.int32)
     freqs = rng.integers(1, 20, size=df, dtype=np.int32)
     payload, offsets, last_docs = encode_postings(doc_ids, freqs)
-    for b in range(len(offsets)):
+    for b in range(df // BLOCK_SIZE):
         prev = -1 if b == 0 else int(last_docs[b - 1])
         docs, fr = decode_block(payload, int(offsets[b]), prev)
         lo = b * BLOCK_SIZE
