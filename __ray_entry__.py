@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in lucene_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship: documents(sf0.001) → transcripts → inverted-index
+  build (Ray pipeline, lineage manifests) → BM25 reference query set.
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data operators); each takes sf_dir.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry
+  (same column names; index/BM25-engine internals and approximate/LSH ops
+  are rows-only).
 """
 
 from __future__ import annotations
@@ -18,27 +17,179 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_EN_STOP = "'the','and','of','to','a','in','is','it','that','for'"
+_DE_STOP = "'der','die','das','und','ist','nicht','ein','mit','auf','zu'"
+_FR_STOP = "'le','la','les','et','est','un','une','dans','pour','que'"
+
+# tokens CTE shared by the text oracles (simple tokenizer == StandardAnalyzer
+# on this pure-lowercase-ASCII corpus)
+_TOKS = ("WITH toklists AS (SELECT doc_id, list_transform(regexp_extract_all(text, "
+         "'[A-Za-z0-9]+'), x -> lower(x)) AS toks FROM documents), "
+         "tokens AS (SELECT doc_id, unnest(toks) AS term FROM toklists)")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from lucene_ray.pipelines.flagship import index_bm25_topk
+
+    return index_bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_ray.pipelines import bm25scan, dedup, knn, textstats, windows
+    from lucene_ray.pipelines.flagship import index_bm25_topk, index_term_dictionary
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- analysis / term statistics (SURVEY §2.2, §2.5) ---
+        "term_counts": textstats.term_counts,
+        "top_terms": textstats.top_terms,
+        "collection_stats": textstats.collection_stats,
+        "doc_token_stats": textstats.doc_token_stats,
+        # --- text analysis for training-data pipelines ---
+        "quality_stats": textstats.quality_stats,
+        "langid": textstats.langid,
+        "fingerprints": textstats.fingerprints,
+        # --- grouping / faceting / distinct (SURVEY §2.5-2.7) ---
+        "facet_counts": textstats.facet_counts,
+        "distinct_langs": textstats.distinct_langs,
+        "grouped_topk": textstats.grouped_topk,
+        # --- dedup family ---
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash_pairs": dedup.dedup_simhash,
+        "ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # --- similarity search ---
+        "knn_cosine": knn.knn_cosine,
+        "knn_lsh": knn.knn_lsh,
+        # --- streaming-shaped (events log) ---
+        "tumbling_counts": windows.tumbling_counts,
+        "sessionize": windows.sessionize,
+        # --- BM25: index-free SQL-checkable scan + the real engine ---
+        "bm25_scan_topk": bm25scan.bm25_scan_topk,
+        "bm25_scan_count": bm25scan.bm25_scan_count,
+        "index_term_dictionary": index_term_dictionary,
+        "index_bm25_topk": index_bm25_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    k1, b = 1.2, 0.75
+    bm25_terms = ("merge", "join")
+    tf_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{t}' AS term, len(list_filter(toks, x -> x = '{t}')) AS tf FROM toklists"
+        for t in bm25_terms)
+    return {
+        "term_counts": _TOKS + """
+            SELECT term, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM tokens GROUP BY term""",
+        "top_terms": _TOKS + """
+            SELECT term, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM tokens GROUP BY term
+            ORDER BY n_occurrences DESC, term ASC LIMIT 100""",
+        "collection_stats": _TOKS + """
+            SELECT (SELECT count(*) FROM documents)::BIGINT AS doc_count,
+                   count(*)::BIGINT AS sum_tokens,
+                   count(DISTINCT term)::BIGINT AS n_terms
+            FROM tokens""",
+        "doc_token_stats": _TOKS + """
+            SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+                   len(t.toks)::BIGINT AS n_tokens,
+                   len(list_distinct(t.toks))::BIGINT AS n_unique
+            FROM documents d JOIN toklists t USING (doc_id)""",
+        "quality_stats": _TOKS + f"""
+            SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                   len(list_filter(toks, x -> x IN ({_EN_STOP})))::BIGINT AS n_stop_en,
+                   len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))::BIGINT AS n_digit_tokens,
+                   coalesce(list_max(list_transform(toks, x -> length(x))), 0)::BIGINT AS max_token_len
+            FROM toklists""",
+        "langid": _TOKS + f"""
+            SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ({_EN_STOP})))::BIGINT AS n_en,
+                   len(list_filter(toks, x -> x IN ({_DE_STOP})))::BIGINT AS n_de,
+                   len(list_filter(toks, x -> x IN ({_FR_STOP})))::BIGINT AS n_fr,
+                   CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 THEN 'und'
+                        WHEN n_en >= n_de AND n_en >= n_fr THEN 'en'
+                        WHEN n_de >= n_fr THEN 'de' ELSE 'fr' END AS lang_pred
+            FROM toklists""",
+        "fingerprints": _TOKS + """
+            SELECT d.doc_id,
+                   md5(array_to_string(t.toks, ' ')) AS token_fp,
+                   md5(d.text) AS raw_fp
+            FROM documents d JOIN toklists t USING (doc_id)""",
+        "facet_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+        "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "grouped_topk": """
+            SELECT doc_id, lang, n_chars, rank FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank
+              FROM documents) WHERE rank <= 3""",
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS rep_doc_id,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY md5(text)""",
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_vec_id, embedding FROM embeddings
+                       WHERE vec_id IN (0, 1, 2)),
+            sims AS (
+              SELECT q.query_vec_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> q.query_vec_id),
+            ranked AS (
+              SELECT query_vec_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_vec_id
+                                        ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank
+              FROM sims)
+            SELECT query_vec_id::BIGINT AS query_vec_id, rank, vec_id::BIGINT AS vec_id,
+                   round(cos, 4) AS cos
+            FROM ranked WHERE rank <= 10""",
+        "tumbling_counts": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "sessionize": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+              FROM ordered),
+            sess AS (
+              SELECT user_id,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+              FROM flagged)
+            SELECT user_id::BIGINT AS user_id, session_id,
+                   count(*)::BIGINT AS n_events
+            FROM sess GROUP BY user_id, session_id""",
+        "bm25_scan_topk": _TOKS + f""",
+            tf AS ({tf_union}),
+            stats AS (SELECT count(*) AS n_docs,
+                             (SELECT count(*) FROM tokens) * 1.0 / count(*) AS avgdl
+                      FROM documents),
+            df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
+            dl AS (SELECT doc_id, len(toks) AS dl FROM toklists),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                         * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))) AS score
+              FROM tf, stats, df, dl
+              WHERE tf.term = df.term AND tf.doc_id = dl.doc_id AND tf.tf > 0
+              GROUP BY tf.doc_id)
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id::BIGINT AS doc_id, round(score, 4) AS score
+            FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "bm25_scan_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE list_contains(toks, 'merge') AND list_contains(toks, 'join')""",
+        "index_term_dictionary": _TOKS + """
+            SELECT term, count(DISTINCT doc_id)::INT AS df,
+                   count(*)::BIGINT AS ttf
+            FROM tokens GROUP BY term ORDER BY term""",
+        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash_pairs,
+        # ngram_jaccard, knn_lsh, index_bm25_topk
+    }

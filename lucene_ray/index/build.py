@@ -75,6 +75,13 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
 
     os.makedirs(os.path.join(index_dir, "shards"), exist_ok=True)
 
+    # fast path: a commit with this input already exists and is intact
+    prev = mf.latest_commit(index_dir)
+    if prev is not None and input_desc and prev.get("input_desc") == input_desc:
+        have = mf.committed_shards(index_dir, prev["fingerprint"])
+        if set(have) == {m["pid"] for m in prev["shards"]}:
+            return prev
+
     # ---- planning pass: conv_id -> row count (small; pre-aggregated) ----
     conv_counts = (
         ds.select_columns(list(key_cols))
@@ -129,6 +136,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
 
     commit = mf.commit_index(index_dir, list(done.values()), {
         "fingerprint": fp,
+        "input_desc": input_desc,
         "split_points": split_points,
         "key_cols": list(key_cols),
         "text_col": text_col,

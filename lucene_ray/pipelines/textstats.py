@@ -1,0 +1,189 @@
+"""Text-analysis pipelines over the `documents` table — language ID, quality
+metrics, token counting, fingerprinting, term statistics.
+
+These use the SIMPLE tokenizer (``[A-Za-z0-9]+`` runs, ASCII-lowercased) so
+every pipeline has an exact DuckDB oracle:
+``list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x))``.
+The Lucene-parity analyzer (lucene_ray.analysis.standard) is validated
+separately by golden fixtures + the BM25 oracle tests.
+
+All stages are vectorized map_batches (pandas str ops / numpy); aggregations
+pre-combine per batch before the groupby shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SIMPLE_TOKEN = re.compile(r"[A-Za-z0-9]+")
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+}
+
+
+def simple_tokens(text: str) -> list[str]:
+    return [t.lower() for t in SIMPLE_TOKEN.findall(text)]
+
+
+def _tokens_series(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").str.findall(SIMPLE_TOKEN).map(lambda ts: [t.lower() for t in ts])
+
+
+def _read_documents(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# term statistics (the SQL-checkable analogue of the index stats merge)
+# ---------------------------------------------------------------------------
+
+def term_counts(sf_dir: str):
+    """(term, n_occurrences, n_docs) — per-batch partial aggregation before
+    the groupby(term) shuffle (combiner pattern)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens_series(df["text"])
+        flat = toks.explode().dropna()
+        occ = flat.groupby(flat).size()
+        docs = flat.groupby([flat.index, flat]).size().groupby(level=1).size()
+        return pd.DataFrame({"term": occ.index, "n_occurrences": occ.values,
+                             "n_docs": docs.reindex(occ.index).values})
+
+    return (_read_documents(sf_dir)
+            .map_batches(partial, batch_format="pandas")
+            .groupby("term")
+            .aggregate(Sum("n_occurrences", alias_name="n_occurrences"),
+                       Sum("n_docs", alias_name="n_docs")))
+
+
+def top_terms(sf_dir: str, k: int = 100):
+    """Top-k terms by occurrences, tie-break term asc (deterministic)."""
+    t = term_counts(sf_dir).to_pandas()
+    t = t.sort_values(["n_occurrences", "term"], ascending=[False, True]).head(k)
+    return t.reset_index(drop=True)
+
+
+def collection_stats(sf_dir: str):
+    """One row: doc_count, total token occurrences, distinct terms."""
+    tc = term_counts(sf_dir).to_pandas()
+    n_docs = _read_documents(sf_dir, columns=("doc_id",)).count()
+    return pd.DataFrame({
+        "doc_count": [int(n_docs)],
+        "sum_tokens": [int(tc["n_occurrences"].sum())],
+        "n_terms": [int(len(tc))],
+    })
+
+
+# ---------------------------------------------------------------------------
+# per-document analyses (pure map_batches, no shuffle)
+# ---------------------------------------------------------------------------
+
+def doc_token_stats(sf_dir: str):
+    """(doc_id, n_chars, n_tokens, n_unique) token counting per document."""
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens_series(df["text"])
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars": df["text"].fillna("").str.len().astype("int64"),
+            "n_tokens": toks.map(len).astype("int64"),
+            "n_unique": toks.map(lambda t: len(set(t))).astype("int64"),
+        })
+
+    return _read_documents(sf_dir).map_batches(stats, batch_format="pandas")
+
+
+def quality_stats(sf_dir: str):
+    """Quality-scoring signals as exact integer counts (hash-safe):
+    (doc_id, n_tokens, n_stop_en, n_digit_tokens, max_token_len)."""
+    stop_en = set(STOPWORDS["en"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens_series(df["text"])
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": toks.map(len).astype("int64"),
+            "n_stop_en": toks.map(lambda t: sum(x in stop_en for x in t)).astype("int64"),
+            "n_digit_tokens": toks.map(lambda t: sum(x.isdigit() for x in t)).astype("int64"),
+            "max_token_len": toks.map(lambda t: max((len(x) for x in t), default=0)).astype("int64"),
+        })
+
+    return _read_documents(sf_dir).map_batches(stats, batch_format="pandas")
+
+
+def langid(sf_dir: str):
+    """Stopword-hit language ID: per-language hit counts + deterministic
+    argmax (en >= de >= fr precedence on ties; 'und' when all zero)."""
+    sets = {lang: set(ws) for lang, ws in STOPWORDS.items()}
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens_series(df["text"])
+        n = {lang: toks.map(lambda t, s=s: sum(x in s for x in t)).astype("int64")
+             for lang, s in sets.items()}
+        pred = np.where(
+            (n["en"] == 0) & (n["de"] == 0) & (n["fr"] == 0), "und",
+            np.where((n["en"] >= n["de"]) & (n["en"] >= n["fr"]), "en",
+                     np.where(n["de"] >= n["fr"], "de", "fr")))
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_en": n["en"], "n_de": n["de"],
+                             "n_fr": n["fr"], "lang_pred": pred})
+
+    return _read_documents(sf_dir).map_batches(stats, batch_format="pandas")
+
+
+def fingerprints(sf_dir: str):
+    """Document fingerprinting: md5 of the normalized token stream (and of the
+    raw text) — both mirrored exactly by DuckDB's md5()."""
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens_series(df["text"])
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "token_fp": toks.map(lambda t: hashlib.md5(" ".join(t).encode()).hexdigest()),
+            "raw_fp": df["text"].fillna("").map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+        })
+
+    return _read_documents(sf_dir).map_batches(fp, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# grouping / faceting (SURVEY §2.5-2.6 analogues over documents)
+# ---------------------------------------------------------------------------
+
+def facet_counts(sf_dir: str):
+    """Facet counting: docs per lang (FastTaxonomyFacetCounts analogue)."""
+    from ray.data.aggregate import Count
+
+    return (_read_documents(sf_dir, columns=("doc_id", "lang"))
+            .groupby("lang").aggregate(Count(alias_name="n_docs")))
+
+
+def distinct_langs(sf_dir: str):
+    """DistinctValuesCollector analogue."""
+    import ray.data as rd
+
+    vals = _read_documents(sf_dir, columns=("lang",)).unique("lang")
+    return pd.DataFrame({"lang": sorted(vals)})
+
+
+def grouped_topk(sf_dir: str, k: int = 3):
+    """Two-pass grouping search analogue: top-k docs by n_chars per lang
+    (tie-break doc_id asc)."""
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return (_read_documents(sf_dir, columns=("doc_id", "lang", "n_chars"))
+            .groupby("lang")
+            .map_groups(topk, batch_format="pandas"))
