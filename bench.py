@@ -1,0 +1,225 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline: end-to-end inverted-index build (turns/sec) over a deterministic
+synthetic transcript corpus + BM25 query latency (p50/p99) through the
+actor-pool searcher, plus per-pipeline timings over $GRAFT_SF_DIR tables.
+
+    python bench.py              # single run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes; reports scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS,
+BENCH_TURNS (default 150000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_TURNS = int(os.environ.get("BENCH_TURNS", "300000"))
+
+
+def _corpus_path(n_turns: int) -> str:
+    """Deterministic synthetic transcript parquet, generated once and cached."""
+    path = f"/tmp/lucene_ray_bench/transcripts_{n_turns}_seed42"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_ray.sources.transcripts import synth_transcripts, synth_transcripts_tiled
+
+        os.makedirs(path, exist_ok=True)
+        if n_turns > 200_000:
+            tiles = synth_transcripts_tiled(n_turns)
+            for i, t in enumerate(tiles):
+                pq.write_table(t, os.path.join(path, f"part-{i:03d}.parquet"))
+        else:
+            t = synth_transcripts(n_turns, seed=42)
+            n_files = 16
+            rows = len(t)
+            for i in range(n_files):
+                lo = i * rows // n_files
+                hi = (i + 1) * rows // n_files
+                pq.write_table(t.slice(lo, hi - lo), os.path.join(path, f"part-{i:03d}.parquet"))
+        open(done, "w").close()
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.pipelines import bm25scan, dedup, knn, textstats, windows
+    from lucene_ray.pipelines.flagship import QUERY_SET
+    from lucene_ray.search.actors import QueryService
+
+    timings: dict[str, float] = {}
+
+    corpus = _corpus_path(N_TURNS)
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    rd.read_parquet(corpus).count()
+    # warm the worker pool (module imports + pipeline compilation) with a
+    # throwaway mini-build, so the timed run measures compute + shuffle,
+    # not one-time process spawn
+    warm_dir = f"/tmp/lucene_ray_bench/warm_{NUM_CPUS}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    warm_corpus = _corpus_path(5000)
+    build_index(rd.read_parquet(warm_corpus), warm_dir,
+                target_docs_per_partition=500, input_desc="warmup")
+
+    # ---- headline: index build (same partitioning at every CPU level so
+    # the produced index is identical; best of 2 runs to damp host noise) ----
+    ds = rd.read_parquet(corpus, override_num_blocks=128)
+    tpp = max(2000, N_TURNS // 128)
+    build_sec = None
+    for attempt in range(2):
+        index_dir = f"/tmp/lucene_ray_bench/idx_{NUM_CPUS}"
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        commit = build_index(ds, index_dir, target_docs_per_partition=tpp,
+                             input_desc=f"bench{N_TURNS}-{attempt}")
+        dt = time.perf_counter() - t0
+        build_sec = dt if build_sec is None else min(build_sec, dt)
+    timings["index_build"] = build_sec
+    turns_per_sec = commit["doc_count"] / build_sec
+
+    # ---- query latency through the actor pool ----
+    svc = QueryService(index_dir, num_actors=max(2, NUM_CPUS // 4))
+    lat = []
+    for _ in range(3):                                  # warmup
+        for _, q, k in QUERY_SET:
+            svc.search(q, k=k)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        for _, q, k in QUERY_SET:
+            tq = time.perf_counter()
+            svc.search(q, k=k)
+            lat.append(time.perf_counter() - tq)
+    timings["query_total"] = time.perf_counter() - t0
+    svc.shutdown()
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+
+    # ---- pipeline suite over SF_DIR ----
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        r = fn(SF_DIR)
+        if hasattr(r, "to_pandas"):
+            r.to_pandas()
+        timings[name] = time.perf_counter() - t0
+
+    timed("term_counts", textstats.term_counts)
+    timed("dedup_exact", dedup.dedup_exact)
+    timed("knn_cosine", knn.knn_cosine)
+    timed("sessionize", windows.sessionize)
+    timed("bm25_scan_topk", bm25scan.bm25_scan_topk)
+
+    calib = None
+    if os.environ.get("BENCH_CALIBRATE"):
+        calib = _cpu_calibration(NUM_CPUS)
+
+    ray.shutdown()
+    return {
+        "cpu_calibration": calib,
+        "metric": "index_build_plus_query_suite",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_turns": N_TURNS,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "query_p50_ms": round(p50 * 1000, 2),
+        "query_p99_ms": round(p99 * 1000, 2),
+    }
+
+
+def _cpu_calibration(ncpu: int, sec: float = 2.0) -> float:
+    """Aggregate pure-CPU throughput of `ncpu` spin tasks — measures how much
+    real parallel CPU this (virtualized, possibly stolen-time) host actually
+    delivers at a given num_cpus, independent of our code."""
+    import ray
+
+    @ray.remote
+    def spin(sec):
+        t0 = time.perf_counter()
+        n = 0
+        x = 1.0
+        while time.perf_counter() - t0 < sec:
+            for _ in range(10000):
+                x = x * 1.0000001
+            n += 10000
+        return n
+
+    ray.get([spin.remote(0.3) for _ in range(min(4, ncpu))])      # warm workers
+    t0 = time.perf_counter()
+    tot = sum(ray.get([spin.remote(sec) for _ in range(ncpu)]))
+    return tot / (time.perf_counter() - t0)
+
+
+def run_scaling() -> dict:
+    """Same build job at two parallelism levels in fresh processes.
+
+    Reports raw scaling efficiency AND hardware-normalized efficiency: the
+    sandbox host is a shared VM whose pure-CPU throughput itself scales
+    sublinearly in num_cpus (measured by the spin calibration), so the
+    normalized number (our scaling / the hardware's own scaling ceiling) is
+    the honest proxy for multi-node scaling, where per-node CPU and memory
+    bandwidth are constant.
+    """
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CALIBRATE="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("SCALE_LO", "8"))
+    hi = int(os.environ.get("SCALE_HI", "32"))
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    hw_eff = None
+    norm_eff = None
+    if r_lo.get("cpu_calibration") and r_hi.get("cpu_calibration"):
+        hw_eff = (r_hi["cpu_calibration"] / r_lo["cpu_calibration"]) / (hi / lo)
+        norm_eff = eff / hw_eff if hw_eff else None
+    return {
+        "metric": "index_build_scaling",
+        "unit": "efficiency",
+        "value": round(eff, 3),
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "hardware_cpu_scaling": round(hw_eff, 3) if hw_eff else None,
+        "normalized_efficiency": round(norm_eff, 3) if norm_eff else None,
+        "n_turns": r_lo["n_turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

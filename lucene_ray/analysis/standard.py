@@ -240,7 +240,7 @@ def fast_tokens(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH) -> 
     """Token texts via the combined single-regex pass (no types)."""
     pat = _ASCII if text.isascii() else _FAST
     toks = pat.findall(text)
-    if not any(len(t) > max_token_length for t in toks):
+    if len(text) <= max_token_length or not any(len(t) > max_token_length for t in toks):
         return toks
     # over-long match(es): chop + re-lex from each cut (rare path)
     out = []
@@ -267,6 +267,10 @@ def analyze(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH) -> list
 
     Position increments are all 1 (empty stop set), so position i == index i.
     """
+    if text.isascii():
+        # ASCII str.lower() == JDK simple mapping, and lowering the whole
+        # text first cannot change ASCII token boundaries — one C call
+        return fast_tokens(text.lower(), max_token_length)
     return [jdk_lower(t) for t in fast_tokens(text, max_token_length)]
 
 
@@ -281,3 +285,73 @@ def analyze_detailed(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
 def tokenize_batch(texts) -> list[list[str]]:
     """Batch form used inside map_batches: list of docs -> list of term lists."""
     return [analyze(t) if t else [] for t in texts]
+
+
+# ---------------------------------------------------------------------------
+# Columnar batch tokenization (the index-build hot path).
+#
+# ASCII rows take a GIL-free Rust-regex path (polars str.to_lowercase +
+# str.extract_all with the same ASCII WORD pattern — leftmost-first
+# alternation semantics match Python re); rows that are non-ASCII or might
+# contain >255-char tokens fall back to the per-row analyzer.  Token parity
+# with analyze() is asserted in tests.
+# ---------------------------------------------------------------------------
+
+def tokenize_column(col):
+    """pa.Array/ChunkedArray of text -> (lengths int64[], flat tokens pa.Array).
+
+    flat concatenates every document's terms in document order; lengths give
+    tokens per document.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), pa.array([], type=pa.string())
+    try:
+        import os
+
+        # one tokenize task == one CPU slot; don't let polars spawn a pool
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        s = pl.Series("t", col).fill_null("")
+        fast_mask = (s.str.len_bytes() == s.str.len_chars()) & (s.str.len_bytes() <= DEFAULT_MAX_TOKEN_LENGTH)
+        fast = s.set(~fast_mask, "")          # slow rows contribute 0 fast tokens
+        toks = fast.str.to_lowercase().str.extract_all(_ASCII.pattern)
+        lengths = toks.list.len().cast(pl.Int64).to_numpy().copy()
+        flat = toks.explode().drop_nulls()
+        flat_pa = flat.to_arrow()
+        slow_idx = np.nonzero(~fast_mask.to_numpy())[0]
+    except Exception:
+        slow_idx = np.arange(n)
+        lengths = np.zeros(n, dtype=np.int64)
+        flat_pa = pa.array([], type=pa.string())
+
+    if len(slow_idx):
+        # per-row analyzer for non-ASCII / chop-risk rows, stitched back in
+        # document order
+        slow_tokens = []
+        for i in slow_idx:
+            v = col[int(i)].as_py()
+            slow_tokens.append(analyze(v) if v else [])
+        offsets = np.concatenate(([0], np.cumsum(lengths)))
+        parts = []
+        prev = 0
+        flat_np = None
+        for j, i in enumerate(slow_idx):
+            cut = int(offsets[i])
+            if cut > prev:
+                parts.append(flat_pa.slice(prev, cut - prev))
+            if slow_tokens[j]:
+                parts.append(pa.array(slow_tokens[j], type=flat_pa.type))
+            prev = cut
+            lengths[i] = len(slow_tokens[j])
+        if prev < len(flat_pa):
+            parts.append(flat_pa.slice(prev))
+        flat_pa = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                                    for p in parts]) if parts else pa.array([], type=pa.string())
+    return lengths, flat_pa

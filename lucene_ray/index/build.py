@@ -2,21 +2,21 @@
 path (`index/DocumentsWriter.java` DWPT flush → `SegmentInfos` publish):
 
     read_parquet(transcripts)
-      → per-batch partial conv counts            (map_batches, pyarrow)
-      → groupby(conv_id).sum                     (small shuffle: planning pass)
-      → [driver] range boundaries + doc bases    (tiny, P entries)
+      → seeded conv_id sample                    (tiny planning pass)
+      → [driver] quantile range boundaries       (P-1 split points only)
       → tag pid per row                          (map_batches, searchsorted)
       → filter already-committed pids            (resume from lineage)
       → groupby(pid).map_groups(write_shard)     (THE shuffle: one task = one
                                                   DWPT-equivalent flush)
-      → commit segments_N + salted term-stats merge
+      → commit segments_N (assigns doc bases) + salted term-stats merge
 
 Partitioning: conv_id range buckets (ONE partitioning key reused across
-stages); every partition owns a contiguous (conv_id, turn_idx) range, so
-``global_doc_id = doc_base[pid] + local_id`` preserves stable global doc
-order (SURVEY.md §1.5).  At 10^12 turns the planning pass aggregates
-per-conversation counts (pre-aggregated per batch before the groupby) and the
-driver only ever holds the P range boundaries, never the data.
+stages); every partition owns a contiguous (conv_id, turn_idx) range, and
+the commit assigns ``doc_base[pid]`` as the prefix sum of shard doc counts
+in pid order, so ``global_doc_id = doc_base[pid] + local_id`` preserves the
+stable global (conv_id, turn_idx) order (SURVEY.md §1.5) without an exact
+global counting pass.  The driver only ever holds the P split points, never
+the data.
 """
 
 from __future__ import annotations
@@ -32,44 +32,48 @@ from .shard import write_shard
 FORMAT_VERSION = 1
 
 
-def _partial_conv_counts(batch: pa.Table) -> pa.Table:
-    """Pre-aggregate rows per conv_id inside the batch (combiner before the
-    planning groupby — keeps the shuffle tiny)."""
-    import pyarrow.compute as pc
+def plan_split_points(ds, n_parts: int, key: str, sample_per_part: int = 256) -> list[str]:
+    """Range boundaries from a seeded conv_id sample (quantile split).
 
-    counts = batch.group_by("conv_id").aggregate([("conv_id", "count")])
-    return counts.rename_columns(["conv_id", "n"])
-
-
-def plan_partitions(conv_counts, target_docs_per_partition: int):
-    """Driver-side planning from the (conv_id, n) table sorted by conv_id.
-
-    Returns (split_points: list[str], doc_counts: np.ndarray per pid).
-    Partition p = conv_ids in [split[p-1], split[p]); doc bases are the
-    prefix sum of doc_counts.
+    Exact per-partition doc counts are NOT needed at planning time: global
+    doc bases are assigned at commit as the prefix sum of shard doc_counts
+    in pid order, so sampling only has to balance partition sizes.  The
+    sample is seeded; the resulting split points are part of the build
+    fingerprint, so a resume either sees identical boundaries (and skips
+    committed shards) or rebuilds under a new fingerprint.
     """
-    conv_ids = conv_counts["conv_id"].to_numpy()
-    ns = conv_counts["n"].to_numpy().astype(np.int64)
-    cum = np.cumsum(ns)
-    total = int(cum[-1]) if len(cum) else 0
-    n_parts = max(1, -(-total // target_docs_per_partition))
-    targets = (np.arange(1, n_parts) * total) // n_parts
-    cut_idx = np.unique(np.searchsorted(cum, targets, side="left") + 1)
-    cut_idx = cut_idx[cut_idx < len(conv_ids)]
-    split_points = conv_ids[cut_idx].tolist()
-    bounds = np.concatenate(([0], cut_idx, [len(conv_ids)]))
-    doc_counts = np.array([int(ns[int(a):int(b)].sum()) for a, b in zip(bounds[:-1], bounds[1:])],
-                          dtype=np.int64)
-    return split_points, doc_counts
+    if n_parts <= 1:
+        return []
+    n_total = ds.count()
+    frac = min(1.0, (sample_per_part * n_parts) / max(n_total, 1))
+    sample = ds.select_columns([key]).random_sample(frac, seed=42).take_all()
+    cids = np.sort(np.array([r[key] for r in sample], dtype=object))
+    if len(cids) == 0:
+        return []
+    q = (np.arange(1, n_parts) * len(cids)) // n_parts
+    return np.unique(cids[q]).tolist()
 
 
 def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 text_col: str = "text", key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
-                input_desc: str = "", merge_stats: bool = True) -> dict:
+                input_desc: str = "", merge_stats: bool = True,
+                exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
 
     ``ds`` must contain key_cols + text_col.  Ray must already be
     initialized by the caller.
+
+    exchange:
+      - "tasks" (default): explicit two-stage partition exchange with raw Ray
+        tasks — each input block is split into per-pid sub-tables (P-way
+        dynamic returns), each partition's flush task gathers exactly its
+        slices and writes the shard.  Chosen because Ray Data's sort-based
+        groupby serializes on the sort barrier for this workload; the manual
+        exchange moves the same bytes with no sort and full reduce
+        parallelism (this IS the explicit partitioning/shuffle the design
+        calls for).
+      - "groupby": `groupby(pid).map_groups(flush)` via Ray Data (kept for
+        comparison and as the multi-node spill-friendly fallback).
     """
     import ray.data
 
@@ -82,15 +86,10 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         if set(have) == {m["pid"] for m in prev["shards"]}:
             return prev
 
-    # ---- planning pass: conv_id -> row count (small; pre-aggregated) ----
-    conv_counts = (
-        ds.select_columns(list(key_cols))
-        .map_batches(_partial_conv_counts, batch_format="pyarrow")
-        .groupby("conv_id").sum("n")
-    ).to_pandas()
-    conv_counts = conv_counts.rename(columns={"sum(n)": "n"}).sort_values("conv_id")
-    split_points, doc_counts = plan_partitions(conv_counts, target_docs_per_partition)
-    doc_bases = np.concatenate(([0], np.cumsum(doc_counts)[:-1])).astype(np.int64)
+    # ---- planning pass: sampled range boundaries over the partition key ----
+    n_total = ds.count()           # parquet metadata only
+    n_parts = max(1, -(-n_total // target_docs_per_partition))
+    split_points = plan_split_points(ds, n_parts, key_cols[0])
 
     fp = mf.fingerprint({
         "input": input_desc,
@@ -101,12 +100,11 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
     })
 
     done = mf.committed_shards(index_dir, fp)
-    todo = [p for p in range(len(doc_counts)) if p not in done]
+    todo = [p for p in range(len(split_points) + 1) if p not in done]
 
     if todo:
         splits_arr = np.array(split_points, dtype=object)
         shards_dir = os.path.join(index_dir, "shards")
-        bases = {int(p): int(doc_bases[p]) for p in range(len(doc_counts))}
         done_set = frozenset(done)
 
         def tag_pid(batch: pa.Table) -> pa.Table:
@@ -121,16 +119,21 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
 
         def flush_partition(group: pa.Table) -> pa.Table:
             pid = int(group.column("pid")[0].as_py())
-            m = write_shard(shards_dir, pid, bases[pid], group.drop_columns(["pid"]),
+            m = write_shard(shards_dir, pid, group.drop_columns(["pid"]),
                             fp, text_col=text_col, key_cols=key_cols)
             return pa.table({k: [v] for k, v in m.items()})
 
-        new_manifests = (
-            ds.select_columns([*key_cols, text_col])
-            .map_batches(tag_pid, batch_format="pyarrow")
-            .groupby("pid")
-            .map_groups(flush_partition, batch_format="pyarrow")
-        ).take_all()
+        proj = ds.select_columns([*key_cols, text_col])
+        if exchange == "tasks":
+            new_manifests = _exchange_with_tasks(
+                proj, tag_pid, len(split_points) + 1, shards_dir, fp,
+                text_col, key_cols)
+        else:
+            new_manifests = (
+                proj.map_batches(tag_pid, batch_format="pyarrow")
+                .groupby("pid")
+                .map_groups(flush_partition, batch_format="pyarrow")
+            ).take_all()
         for m in new_manifests:
             done[int(m["pid"])] = dict(m)
 
@@ -148,37 +151,112 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
     return commit
 
 
+def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
+                         text_col: str, key_cols) -> list[dict]:
+    """Explicit map/reduce partition exchange (raw Ray tasks).
+
+    Map side: one task per input block tags pids and splits the block into P
+    per-partition sub-tables (dynamic P-way returns, so each reduce task
+    fetches exactly its own slices from the object store — same byte volume
+    as a shuffle, no sort).  Reduce side: one flush task per partition
+    concatenates its slices in any order (write_shard re-sorts by
+    (conv_id, turn_idx)) and writes the shard.  Empty partitions produce no
+    shard.  Failure handling: tasks are retried by Ray; write_shard is
+    idempotent (tmp dir + rename keyed by pid + fingerprint).
+    """
+    import ray
+
+    @ray.remote(num_returns=n_parts)
+    def split_block(tbl: pa.Table):
+        tagged = tag_pid(tbl)
+        pid = tagged.column("pid").to_numpy()
+        order = np.argsort(pid, kind="stable")
+        sorted_tbl = tagged.take(pa.array(order))
+        spid = pid[order]
+        bounds = np.searchsorted(spid, np.arange(n_parts + 1))
+        out = [sorted_tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+               for p in range(n_parts)]
+        return out if n_parts > 1 else out[0]
+
+    @ray.remote
+    def flush(pid: int, *tables):
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return None
+        group = pa.concat_tables(tables).drop_columns(["pid"])
+        return write_shard(shards_dir, pid, group, fp,
+                           text_col=text_col, key_cols=key_cols)
+
+    per_pid: list[list] = [[] for _ in range(n_parts)]
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            refs = split_block.remote(block_ref)
+            if n_parts == 1:
+                refs = [refs]
+            for p, r in enumerate(refs):
+                per_pid[p].append(r)
+    futs = [flush.remote(p, *per_pid[p]) for p in range(n_parts)]
+    return [m for m in ray.get(futs) if m is not None]
+
+
 def merge_term_stats(index_dir: str, commit: dict, n_salts: int = 16) -> str:
-    """Global term statistics via the salted groupby-on-term shuffle.
+    """Global term statistics via the groupby-on-term merge shuffle.
 
-    Per-shard term dictionaries already hold partial (df, ttf) — the
-    per-partition combiner.  This stage is the Lucene merge's ``mergeTerms``
-    statistics half (`index/SegmentMerger.java:196`), expressed as:
+    This is the Lucene merge's ``mergeTerms`` statistics half
+    (`index/SegmentMerger.java:196`) as a two-level aggregation:
 
-        read shard terms → add salt → groupby(term, salt).sum   (spreads hot
-        terms that appear in EVERY shard across reducers)
-        → groupby(term).sum → write term_stats parquet
+    1. map-side combine (NO shuffle): within each batch of shard term rows,
+       sum (df, ttf) per (term, salt) — per-shard dictionaries are already
+       unique per term, so after the combine a hot term (one that appears in
+       EVERY shard) contributes at most ``n_salts`` rows per batch instead
+       of one row per shard.  The salt bounds any single reducer key's
+       group size regardless of how many shards a term appears in — the
+       explicit skew guard for stopword-class terms.
+    2. ONE groupby(term) shuffle over the combined partials, summing the
+       salted partials into the final (term, df, ttf) row.
 
     At 10^12 scale the output would be hash-partitioned by term; here it is
     one parquet directory loaded into RAM by searchers.
     """
+    import ray
     import ray.data
 
     paths = [os.path.join(index_dir, "shards", f"shard-{m['pid']:05d}", "terms.parquet")
              for m in commit["shards"]]
     out_dir = os.path.join(index_dir, "term_stats")
 
-    def add_salt(batch: pa.Table) -> pa.Table:
+    total_term_rows = sum(int(m["n_terms"]) for m in commit["shards"])
+    if total_term_rows <= 2_000_000:
+        # small-vocabulary fast path: parallel shard reads + driver combine
+        # (the groupby shuffle below is the path for vocabularies that don't
+        # fit one process)
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        @ray.remote
+        def read_terms(p):
+            return pq.read_table(p, columns=["term", "df", "ttf"])
+
+        parts = ray.get([read_terms.remote(p) for p in paths])
+        merged = pa.concat_tables(parts).group_by("term").aggregate(
+            [("df", "sum"), ("ttf", "sum")])
+        merged = merged.rename_columns(["term", "df", "ttf"])
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+        pq.write_table(merged, os.path.join(out_dir, "part-0.parquet"))
+        return out_dir
+
+    def combine(batch: pa.Table) -> pa.Table:
         salt = (np.arange(len(batch)) % n_salts).astype(np.int32)
-        return batch.append_column("salt", pa.array(salt, type=pa.int32()))
+        batch = batch.append_column("salt", pa.array(salt, type=pa.int32()))
+        out = batch.group_by(["term", "salt"]).aggregate([("df", "sum"), ("ttf", "sum")])
+        return out.rename_columns(["term", "salt", "df", "ttf"]).drop_columns(["salt"])
 
     stats = (
         ray.data.read_parquet(paths, columns=["term", "df", "ttf"])
-        .map_batches(add_salt, batch_format="pyarrow")
-        .groupby(["term", "salt"]).aggregate(
-            ray.data.aggregate.Sum("df", alias_name="df"),
-            ray.data.aggregate.Sum("ttf", alias_name="ttf"))
-        .drop_columns(["salt"])
+        .map_batches(combine, batch_format="pyarrow")
         .groupby("term").aggregate(
             ray.data.aggregate.Sum("df", alias_name="df"),
             ray.data.aggregate.Sum("ttf", alias_name="ttf"))

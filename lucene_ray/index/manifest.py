@@ -29,6 +29,12 @@ def fingerprint(payload: dict) -> str:
 def commit_index(index_dir: str, shard_manifests: list[dict], meta: dict) -> dict:
     """Write the next segments_{gen}.json atomically; returns the commit."""
     shard_manifests = sorted(shard_manifests, key=lambda m: m["pid"])
+    # global doc bases: prefix sum of shard doc counts in pid (= range) order
+    base = 0
+    shard_manifests = [dict(m) for m in shard_manifests]
+    for m in shard_manifests:
+        m["doc_base"] = base
+        base += int(m["doc_count"])
     gen = 1 + max((int(os.path.basename(p).split("_")[1].split(".")[0])
                    for p in glob.glob(os.path.join(index_dir, "segments_*.json"))), default=0)
     commit = {

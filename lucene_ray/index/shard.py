@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis.standard import analyze
+from ..analysis.standard import analyze, tokenize_column
 from ..util.smallfloat import int_to_byte4
 from .postings import BLOCK_SIZE, encode_postings, impact_skyline, vint_encode
 
@@ -70,6 +70,38 @@ def invert(token_lists: list[list[str]]):
     # start index of each term's posting run (terms are dense 0..V-1)
     term_starts = np.searchsorted(term_of, np.arange(len(uniq) + 1))
     return sorted_terms, term_starts, doc_of, freq, lengths
+
+
+def invert_flat(flat: pa.Array, lengths: np.ndarray):
+    """Columnar inversion: flat term array + per-doc lengths -> sorted
+    posting lists, entirely via Arrow dictionary encoding + one numpy sort
+    (no per-token Python objects).
+
+    Returns (terms sorted asc, term_starts, doc_of int32[], freq int32[]).
+    """
+    n_docs = len(lengths)
+    if len(flat) == 0:
+        empty = np.array([], dtype=np.int64)
+        return pa.array([], type=pa.string()), np.zeros(1, dtype=np.int64), \
+            empty.astype(np.int32), empty.astype(np.int32)
+    denc = pa.compute.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy().astype(np.int64)
+    uniq = denc.dictionary
+    order = pa.compute.sort_indices(uniq).to_numpy()
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order] = np.arange(len(uniq))
+    sorted_terms = uniq.take(pa.array(order))
+
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    key = rank[codes] * n_docs + doc_idx
+    ukey, counts = np.unique(key, return_counts=True)      # sorted by (term, doc)
+    term_of = ukey // n_docs
+    doc_of = (ukey % n_docs).astype(np.int32)
+    freq = counts.astype(np.int32)
+    term_starts = np.searchsorted(term_of, np.arange(len(uniq) + 1))
+    return sorted_terms, term_starts, doc_of, freq
 
 
 def _encode_small_terms(term_starts, doc_of, freq, small_ids):
@@ -119,13 +151,16 @@ def _encode_small_terms(term_starts, doc_of, freq, small_ids):
     return payload, nbytes.astype(np.int64)
 
 
-def write_shard(out_dir: str, pid: int, doc_base: int, table: pa.Table,
+def write_shard(out_dir: str, pid: int, table: pa.Table,
                 fingerprint: str, text_col: str = "text",
                 key_cols: tuple[str, str] = ("conv_id", "turn_idx")) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
-    ranks.  Returns the manifest dict (also persisted as manifest.json).
+    ranks.  Global doc bases are NOT known here — the commit assigns
+    ``doc_base`` as the prefix sum of shard doc_counts in pid (= conv-range)
+    order, which equals the stable global ordering.  Returns the manifest
+    dict (also persisted as manifest.json).
     """
     final_dir = os.path.join(out_dir, f"shard-{pid:05d}")
     if os.path.exists(final_dir):
@@ -139,10 +174,9 @@ def write_shard(out_dir: str, pid: int, doc_base: int, table: pa.Table,
     os.makedirs(tmp_dir)
 
     table = table.sort_by([(key_cols[0], "ascending"), (key_cols[1], "ascending")])
-    texts = table.column(text_col).to_pylist()
-    token_lists = [analyze(t) if t else [] for t in texts]
-    terms, term_starts, doc_of, freq, lengths = invert(token_lists)
-    n_docs = len(texts)
+    lengths, flat = tokenize_column(table.column(text_col))
+    terms, term_starts, doc_of, freq = invert_flat(flat, lengths)
+    n_docs = table.num_rows
     norms = int_to_byte4(lengths.astype(np.int64))
 
     V = len(terms)
@@ -187,41 +221,62 @@ def write_shard(out_dir: str, pid: int, doc_base: int, table: pa.Table,
     minn = np.full(V, 255, dtype=np.int64)
     np.minimum.at(minn, np.repeat(np.arange(V), dfs), pnorms.astype(np.int64))
 
-    skip_offs, skip_last, imp_counts, imp_freqs, imp_norms = [], [], [], [], []
-    for t in range(V):
-        if small_mask[t]:
-            skip_offs.append([0])
-            skip_last.append([int(last_doc_small[t])])
-            imp_counts.append([1])
-            imp_freqs.append([int(maxf[t])])
-            imp_norms.append([int(minn[t])])
-        else:
-            s, e = term_starts[t], term_starts[t + 1]
-            b_offs, b_last = big_meta[int(t)]       # include the tail entry
-            ic, _if, _in = [], [], []
-            df = e - s
-            for b in range(len(b_offs)):
-                lo = s + b * BLOCK_SIZE
-                hi = min(lo + BLOCK_SIZE, e)
-                sf, sn = impact_skyline(freq[lo:hi], pnorms[lo:hi])
-                ic.append(len(sf)); _if.extend(sf.tolist()); _in.extend(sn.tolist())
-            skip_offs.append(b_offs.tolist())
-            skip_last.append(b_last.tolist())
-            imp_counts.append(ic)
-            imp_freqs.append(_if)
-            imp_norms.append(_in)
+    # vectorized list-column assembly: small terms have exactly one skip
+    # entry ([0], last_doc, single conservative impact pair); big terms get
+    # their per-block entries from the (few) per-term python loops above
+    n_skip = np.ones(V, dtype=np.int64)
+    big_imp = {}
+    n_imp = np.ones(V, dtype=np.int64)
+    for t in big_ids:
+        s, e = term_starts[t], term_starts[t + 1]
+        b_offs, b_last = big_meta[int(t)]           # includes the tail entry
+        n_skip[t] = len(b_offs)
+        ic, _if, _in = [], [], []
+        for b in range(len(b_offs)):
+            lo = s + b * BLOCK_SIZE
+            hi = min(lo + BLOCK_SIZE, e)
+            sf, sn = impact_skyline(freq[lo:hi], pnorms[lo:hi])
+            ic.append(len(sf)); _if.append(sf); _in.append(sn)
+        big_imp[int(t)] = (np.array(ic), np.concatenate(_if), np.concatenate(_in))
+        n_imp[t] = len(big_imp[int(t)][1])
+
+    skip_bounds = np.concatenate(([0], np.cumsum(n_skip)))
+    imp_bounds = np.concatenate(([0], np.cumsum(n_imp)))
+    v_skip_offs = np.zeros(skip_bounds[-1], dtype=np.int32)
+    v_skip_last = np.zeros(skip_bounds[-1], dtype=np.int32)
+    v_imp_counts = np.ones(skip_bounds[-1], dtype=np.int32)
+    v_imp_freqs = np.zeros(imp_bounds[-1], dtype=np.int32)
+    v_imp_norms = np.zeros(imp_bounds[-1], dtype=np.int32)
+    if len(small_ids):
+        v_skip_last[skip_bounds[small_ids]] = last_doc_small[small_ids]
+        v_imp_freqs[imp_bounds[small_ids]] = maxf[small_ids]
+        v_imp_norms[imp_bounds[small_ids]] = minn[small_ids]
+    for t in big_ids:
+        b_offs, b_last = big_meta[int(t)]
+        sb, ib = skip_bounds[t], imp_bounds[t]
+        v_skip_offs[sb:sb + n_skip[t]] = b_offs
+        v_skip_last[sb:sb + n_skip[t]] = b_last
+        ic, vf, vn = big_imp[int(t)]
+        v_imp_counts[sb:sb + n_skip[t]] = ic
+        v_imp_freqs[ib:ib + n_imp[t]] = vf
+        v_imp_norms[ib:ib + n_imp[t]] = vn
+
+    def _list_arr(values, bounds):
+        return pa.ListArray.from_arrays(pa.array(bounds, type=pa.int32()),
+                                        pa.array(values, type=pa.int32()))
 
     terms_table = pa.table({
         "term": terms,
         "df": pa.array(dfs, type=pa.int32()),
-        "ttf": pa.array([int(x) for x in np.add.reduceat(freq.astype(np.int64), term_starts[:-1])] if V else [], type=pa.int64()),
+        "ttf": pa.array(np.add.reduceat(freq.astype(np.int64), term_starts[:-1]) if V else
+                        np.zeros(0, dtype=np.int64), type=pa.int64()),
         "off": pa.array(offs, type=pa.int64()),
         "nbytes": pa.array(nbytes, type=pa.int64()),
-        "skip_offs": pa.array(skip_offs, type=pa.list_(pa.int32())),
-        "skip_last": pa.array(skip_last, type=pa.list_(pa.int32())),
-        "imp_counts": pa.array(imp_counts, type=pa.list_(pa.int32())),
-        "imp_freqs": pa.array(imp_freqs, type=pa.list_(pa.int32())),
-        "imp_norms": pa.array(imp_norms, type=pa.list_(pa.int32())),
+        "skip_offs": _list_arr(v_skip_offs, skip_bounds),
+        "skip_last": _list_arr(v_skip_last, skip_bounds),
+        "imp_counts": _list_arr(v_imp_counts, skip_bounds),
+        "imp_freqs": _list_arr(v_imp_freqs, imp_bounds),
+        "imp_norms": _list_arr(v_imp_norms, imp_bounds),
     })
     pq.write_table(terms_table, os.path.join(tmp_dir, TERMS_FILE))
 
@@ -230,7 +285,6 @@ def write_shard(out_dir: str, pid: int, doc_base: int, table: pa.Table,
 
     manifest = {
         "pid": int(pid),
-        "doc_base": int(doc_base),
         "doc_count": int(n_docs),
         "doc_count_field": int((lengths > 0).sum()),   # docs with >=1 term (Terms.getDocCount semantics)
         "sum_ttf": int(lengths.astype(np.int64).sum()),
@@ -267,7 +321,7 @@ class ShardReader:
         self.manifest = read_manifest(shard_dir)
         if self.manifest is None or self.manifest.get("status") != "committed":
             raise FileNotFoundError(f"shard not committed: {shard_dir}")
-        self.doc_base = int(self.manifest["doc_base"])
+        self.doc_base = int(self.manifest.get("doc_base", 0))  # set by commit
         self.doc_count = int(self.manifest["doc_count"])
         t = pq.read_table(os.path.join(shard_dir, TERMS_FILE))
         self._terms = t.column("term").combine_chunks()
@@ -309,9 +363,11 @@ class ShardReader:
         return memoryview(self._post)[o:o + n]
 
     def postings(self, tid: int):
-        """Full decode: (local doc_ids int32[], freqs int32[])."""
-        from .postings import decode_postings
-        return decode_postings(self.payload(tid), int(self._df[tid]))
+        """Full decode: (local doc_ids int32[], freqs int32[]) — batched
+        group-by-bit-width decode via the skip table."""
+        from .postings import decode_list
+        return decode_list(self.payload(tid), int(self._df[tid]),
+                           self._skip_offs[tid].values.to_numpy())
 
     def skip_data(self, tid: int):
         """(skip_offs, skip_last, imp_counts, imp_freqs, imp_norms) numpy."""

@@ -71,8 +71,7 @@ def knn_cosine(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
         {"query_vec_id": "int64", "rank": "int64", "vec_id": "int64"})
 
 
-N_PLANES = 8
-_rng = np.random.default_rng(424242)
+N_PLANES = 6
 _PLANES_BY_DIM: dict[int, np.ndarray] = {}
 
 
@@ -91,9 +90,16 @@ def knn_lsh(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
     planes = _planes(qm.shape[1])
     qsig = ((qm @ planes.T) > 0).astype(np.uint32)
     qbuckets = (qsig << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
-    # probe bucket + all Hamming-1 neighbors
-    probe = {int(q): {int(b)} | {int(b) ^ (1 << i) for i in range(N_PLANES)}
-             for q, b in zip(qids, qbuckets)}
+    # multiprobe: bucket + all Hamming-1 and Hamming-2 neighbors
+    def neighborhood(b: int) -> set[int]:
+        out = {b}
+        for i in range(N_PLANES):
+            out.add(b ^ (1 << i))
+            for j in range(i + 1, N_PLANES):
+                out.add(b ^ (1 << i) ^ (1 << j))
+        return out
+
+    probe = {int(q): neighborhood(int(b)) for q, b in zip(qids, qbuckets)}
     qnorm = np.linalg.norm(qm, axis=1)
     ref = ray.put((qids, qm, qnorm, probe))
 

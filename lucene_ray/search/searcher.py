@@ -142,6 +142,18 @@ class IndexSearcher:
                     and (all(o == SHOULD for _, _, o in compiled["scoring"])
                          or all(o == MUST for _, _, o in compiled["scoring"])))
         if wandable:
+            # cost router (BooleanScorer-style heuristic): when the scoring
+            # terms cover a large fraction of the shard, block-max pruning
+            # cannot skip anything and per-window bookkeeping loses to the
+            # vectorized TAAT accumulator; keep WAND for selective queries.
+            local_df = 0
+            for term, _, _ in compiled["scoring"]:
+                tid = rdr.seek_exact(term)
+                if tid >= 0:
+                    local_df += int(rdr._df[tid])
+            if local_df > 0.15 * max(rdr.doc_count, 1):
+                wandable = False
+        if wandable:
             conj = compiled["scoring"][0][2] == MUST
             states = []
             missing = False

@@ -142,3 +142,24 @@ def transcripts_from_documents(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(doc_batch_to_transcripts, batch_format="pyarrow")
+
+
+def synth_transcripts_tiled(n_turns: int, base_n: int = 150_000, seed: int = 42) -> "list[pa.Table]":
+    """Large deterministic corpus: a seeded base table tiled with re-prefixed
+    conv_ids (fast path for multi-million-turn benchmarks; term distribution
+    repeats per tile, conv identity stays globally unique)."""
+    base = synth_transcripts(min(base_n, n_turns), seed)
+    tiles = []
+    made = 0
+    j = 0
+    while made < n_turns:
+        take = min(len(base), n_turns - made)
+        t = base.slice(0, take)
+        conv = np.char.add(f"t{j:03d}-", t.column("conv_id").to_numpy(zero_copy_only=False).astype(str))
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("int64") + j
+        t = (t.set_column(0, "conv_id", pa.array(conv, type=pa.string()))
+              .set_column(5, "ts", pa.array(ts, type=pa.timestamp("us"))))
+        tiles.append(t)
+        made += take
+        j += 1
+    return tiles

@@ -39,7 +39,7 @@ def big_shard(tmp_path_factory):
         "text": pa.array(texts),
     })
     d = str(tmp_path_factory.mktemp("bigshard"))
-    m = write_shard(d, 0, 0, table, "wandfp")
+    m = write_shard(d, 0, table, "wandfp")
     rdr = ShardReader(f"{d}/shard-00000")
     return rdr, m
 
@@ -120,7 +120,7 @@ def skewed_shard(tmp_path_factory):
         "text": pa.array(texts),
     })
     d = str(tmp_path_factory.mktemp("skewshard"))
-    m = write_shard(d, 0, 0, table, "skewfp")
+    m = write_shard(d, 0, table, "skewfp")
     return ShardReader(f"{d}/shard-00000"), m
 
 
