@@ -29,7 +29,7 @@ import pyarrow as pa
 from . import manifest as mf
 from .shard import write_shard
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def plan_split_points(ds, n_parts: int, key: str, sample_per_part: int = 256) -> list[str]:

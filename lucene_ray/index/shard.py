@@ -34,6 +34,7 @@ from .postings import BLOCK_SIZE, encode_postings, impact_skyline, vint_encode
 
 TERMS_FILE = "terms.parquet"
 POSTINGS_FILE = "postings.bin"
+POSITIONS_FILE = "positions.bin"
 NORMS_FILE = "norms.bin"
 DOCMAP_FILE = "docmap.parquet"
 MANIFEST_FILE = "manifest.json"
@@ -77,13 +78,16 @@ def invert_flat(flat: pa.Array, lengths: np.ndarray):
     posting lists, entirely via Arrow dictionary encoding + one numpy sort
     (no per-token Python objects).
 
-    Returns (terms sorted asc, term_starts, doc_of int32[], freq int32[]).
+    Returns (terms sorted asc, term_starts, doc_of int32[], freq int32[],
+    positions int32[]): positions is aligned with the posting runs — posting
+    p's occurrence positions are ``positions[pb[p]:pb[p+1]]`` (ascending)
+    with ``pb = concatenate(([0], cumsum(freq)))``.
     """
     n_docs = len(lengths)
     if len(flat) == 0:
         empty = np.array([], dtype=np.int64)
-        return pa.array([], type=pa.string()), np.zeros(1, dtype=np.int64), \
-            empty.astype(np.int32), empty.astype(np.int32)
+        return (pa.array([], type=pa.string()), np.zeros(1, dtype=np.int64),
+                empty.astype(np.int32), empty.astype(np.int32), empty.astype(np.int32))
     denc = pa.compute.dictionary_encode(flat)
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
@@ -95,13 +99,24 @@ def invert_flat(flat: pa.Array, lengths: np.ndarray):
     sorted_terms = uniq.take(pa.array(order))
 
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    # token position within its doc (position increments are all 1)
+    doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    tok_pos = (np.arange(len(codes)) - np.repeat(doc_starts, lengths)).astype(np.int32)
+
     key = rank[codes] * n_docs + doc_idx
-    ukey, counts = np.unique(key, return_counts=True)      # sorted by (term, doc)
+    sort_idx = np.argsort(key, kind="stable")     # stable keeps position order
+    sk = key[sort_idx]
+    run_start = np.empty(len(sk), dtype=bool)
+    run_start[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=run_start[1:])
+    starts = np.nonzero(run_start)[0]
+    ukey = sk[starts]
+    freq = np.diff(np.concatenate((starts, [len(sk)]))).astype(np.int32)
     term_of = ukey // n_docs
     doc_of = (ukey % n_docs).astype(np.int32)
-    freq = counts.astype(np.int32)
+    positions = tok_pos[sort_idx]
     term_starts = np.searchsorted(term_of, np.arange(len(uniq) + 1))
-    return sorted_terms, term_starts, doc_of, freq
+    return sorted_terms, term_starts, doc_of, freq, positions
 
 
 def _encode_small_terms(term_starts, doc_of, freq, small_ids):
@@ -153,7 +168,8 @@ def _encode_small_terms(term_starts, doc_of, freq, small_ids):
 
 def write_shard(out_dir: str, pid: int, table: pa.Table,
                 fingerprint: str, text_col: str = "text",
-                key_cols: tuple[str, str] = ("conv_id", "turn_idx")) -> dict:
+                key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+                index_positions: bool = True) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -175,7 +191,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
 
     table = table.sort_by([(key_cols[0], "ascending"), (key_cols[1], "ascending")])
     lengths, flat = tokenize_column(table.column(text_col))
-    terms, term_starts, doc_of, freq = invert_flat(flat, lengths)
+    terms, term_starts, doc_of, freq, positions = invert_flat(flat, lengths)
     n_docs = table.num_rows
     norms = int_to_byte4(lengths.astype(np.int64))
 
@@ -261,6 +277,34 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         v_imp_freqs[ib:ib + n_imp[t]] = vf
         v_imp_norms[ib:ib + n_imp[t]] = vn
 
+    # ---- positions stream (DOCS_AND_FREQS_AND_POSITIONS; PhraseQuery) ----
+    # per-posting delta encoding: first occurrence stores the position, later
+    # ones the gap (Lucene90PostingsWriter position semantics); ONE vint pass
+    # for the whole shard, per-term byte offsets from per-value byte counts
+    ttf_per_term = np.add.reduceat(freq.astype(np.int64), term_starts[:-1]) if V else np.zeros(0, dtype=np.int64)
+    if index_positions and len(positions):
+        from .postings import _bit_length
+
+        pb = np.concatenate(([0], np.cumsum(freq.astype(np.int64))))
+        run_start = np.zeros(len(positions), dtype=bool)
+        run_start[pb[:-1]] = True
+        pdelta = np.empty(len(positions), dtype=np.int64)
+        pdelta[0] = positions[0]
+        pdelta[1:] = positions[1:].astype(np.int64) - positions[:-1].astype(np.int64)
+        pdelta[run_start] = positions[run_start]
+        pos_payload = vint_encode(pdelta.astype(np.uint64))
+        vb = np.maximum((_bit_length(pdelta.astype(np.uint64)) + 6) // 7, 1)
+        val_off = np.concatenate(([0], np.cumsum(vb)))
+        term_val_bounds = pb[term_starts]          # value index at each term boundary
+        pos_off = val_off[term_val_bounds[:-1]]
+        pos_n = val_off[term_val_bounds[1:]] - pos_off
+        with open(os.path.join(tmp_dir, POSITIONS_FILE), "wb") as f:
+            f.write(pos_payload)
+    else:
+        pos_off = np.zeros(V, dtype=np.int64)
+        pos_n = np.zeros(V, dtype=np.int64)
+        index_positions = False
+
     def _list_arr(values, bounds):
         return pa.ListArray.from_arrays(pa.array(bounds, type=pa.int32()),
                                         pa.array(values, type=pa.int32()))
@@ -268,8 +312,9 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     terms_table = pa.table({
         "term": terms,
         "df": pa.array(dfs, type=pa.int32()),
-        "ttf": pa.array(np.add.reduceat(freq.astype(np.int64), term_starts[:-1]) if V else
-                        np.zeros(0, dtype=np.int64), type=pa.int64()),
+        "ttf": pa.array(ttf_per_term, type=pa.int64()),
+        "pos_off": pa.array(pos_off, type=pa.int64()),
+        "pos_n": pa.array(pos_n, type=pa.int64()),
         "off": pa.array(offs, type=pa.int64()),
         "nbytes": pa.array(nbytes, type=pa.int64()),
         "skip_offs": _list_arr(v_skip_offs, skip_bounds),
@@ -290,6 +335,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         "sum_ttf": int(lengths.astype(np.int64).sum()),
         "sum_df": int(dfs.sum()),
         "n_terms": int(V),
+        "has_positions": bool(index_positions),
         "fingerprint": fingerprint,
         "status": "committed",
     }
@@ -334,6 +380,9 @@ class ShardReader:
         self._imp_counts = t.column("imp_counts").combine_chunks()
         self._imp_freqs = t.column("imp_freqs").combine_chunks()
         self._imp_norms = t.column("imp_norms").combine_chunks()
+        self._pos_off = t.column("pos_off").to_numpy() if "pos_off" in t.column_names else None
+        self._pos_n = t.column("pos_n").to_numpy() if "pos_n" in t.column_names else None
+        self._pos = None
         # numpy views for fast binary search
         self._term_np = self._terms.to_numpy(zero_copy_only=False)
         psize = os.path.getsize(os.path.join(shard_dir, POSTINGS_FILE))
@@ -376,6 +425,32 @@ class ShardReader:
                 self._imp_counts[tid].values.to_numpy(),
                 self._imp_freqs[tid].values.to_numpy(),
                 self._imp_norms[tid].values.to_numpy())
+
+    def positions(self, tid: int, freqs: np.ndarray) -> np.ndarray:
+        """Flat occurrence positions for this term's postings, given the
+        decoded freqs (posting p's positions are flat[pb[p]:pb[p+1]] with
+        pb = cumsum(freqs)).  Lazy vint decode from positions.bin."""
+        from .postings import vint_decode
+
+        if self._pos is None:
+            p = os.path.join(self.dir, POSITIONS_FILE)
+            self._pos = np.memmap(p, dtype=np.uint8, mode="r")
+        o, n = int(self._pos_off[tid]), int(self._pos_n[tid])
+        total = int(freqs.sum())
+        deltas, _ = vint_decode(memoryview(self._pos)[o:o + n], total)
+        d = deltas.astype(np.int64)
+        csum = np.cumsum(d)
+        pb = np.cumsum(freqs.astype(np.int64))[:-1]
+        run_base = np.zeros(total, dtype=np.int64)
+        if len(pb):
+            starts = pb
+            base_vals = csum[starts - 1]
+            run_id = np.zeros(total, dtype=np.int64)
+            run_id[starts] = 1
+            run_id = np.cumsum(run_id)
+            bases = np.concatenate(([0], base_vals))
+            run_base = bases[run_id]
+        return (csum - run_base).astype(np.int32)
 
     def docmap(self) -> pa.Table:
         if self._docmap is None:

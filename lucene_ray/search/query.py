@@ -29,6 +29,22 @@ class MatchAllDocsQuery:
 
 
 @dataclass(frozen=True)
+class PhraseQuery:
+    """Exact phrase (slop=0) over consecutive positions
+    (`search/PhraseQuery.java`, `ExactPhraseMatcher.java` semantics:
+    phraseFreq = number of exact occurrences; weight uses the SUM of the
+    terms' idfs — `BM25Similarity.idfExplain(collectionStats, termStats[])`)."""
+    terms: tuple[str, ...]
+    field: str = "text"
+    boost: float = 1.0
+    slop: int = 0
+
+    def __post_init__(self):
+        if self.slop != 0:
+            raise NotImplementedError("sloppy phrase matching not supported yet")
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "TermQuery"
     occur: str = SHOULD
@@ -42,6 +58,47 @@ class BooleanQuery:
     def __post_init__(self):
         if len(self.clauses) > 1024:   # BooleanQuery.maxClauseCount
             raise ValueError("too many clauses")
+
+
+@dataclass(frozen=True)
+class PrefixQuery:
+    """Term-dictionary prefix expansion, rewritten to a constant-score union
+    (`search/PrefixQuery.java` with CONSTANT_SCORE_REWRITE semantics: every
+    matching doc scores boost)."""
+    prefix: str
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery:
+    """`*` (any run) / `?` (one char) pattern over the term dictionary
+    (`search/WildcardQuery.java`), constant-score rewrite."""
+    pattern: str
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery:
+    """Anchored regular-expression term expansion (`search/RegexpQuery.java`),
+    constant-score rewrite."""
+    regexp: str
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    """Levenshtein expansion within max_edits (`search/FuzzyQuery.java`);
+    scored constant-score here (the reference's default blended-freq rewrite
+    is noted as a divergence in the docstring: we score matching docs with
+    the flat boost instead of blended term stats)."""
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    field: str = "text"
+    boost: float = 1.0
 
 
 def bool_query(should=(), must=(), filter_=(), must_not=(), minimum_should_match=0) -> BooleanQuery:

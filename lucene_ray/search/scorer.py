@@ -261,3 +261,56 @@ class BlockMaxWand:
         top_scores, top_docs = _top_k(top_scores, top_docs, self.k)
         relation = RELATION_GTE if pruned else RELATION_EQ
         return top_scores, top_docs, collected, relation
+
+
+def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
+    """Exact-phrase scoring over one shard (ExactPhraseMatcher equivalent,
+    vectorized): for phrase term i, build composite keys (doc, pos - i) and
+    intersect across terms — surviving keys are phrase start positions;
+    per-doc counts are the phrase freq, scored like a term with the summed
+    idf weight."""
+    tids = []
+    for t in terms:
+        tid = reader.seek_exact(t)
+        if tid < 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+        tids.append(tid)
+    inter = None
+    for i, tid in enumerate(tids):
+        docs, freqs = reader.postings(tid)
+        pos = reader.positions(tid, freqs)
+        doc_exp = np.repeat(docs.astype(np.int64), freqs)
+        comp = (doc_exp << np.int64(33)) | (pos.astype(np.int64) - i + 4)
+        inter = comp if inter is None else np.intersect1d(inter, comp, assume_unique=True)
+        if len(inter) == 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    pdocs, pfreq = np.unique(inter >> np.int64(33), return_counts=True)
+    pdocs = pdocs.astype(np.int32)
+    scores = scorer.score(pfreq.astype(np.float32), reader.norms[pdocs])
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (scores < a_s) | ((scores == a_s) & (pdocs.astype(np.int64) > a_d))
+        pdocs, scores = pdocs[keep], scores[keep]
+    total = int(len(pdocs))
+    scores, pdocs = _top_k(scores, pdocs, k)
+    return scores, pdocs, total, RELATION_EQ
+
+
+def search_shard_const(reader, terms: list[str], boost: float, k: int, after=None):
+    """Constant-score union over expanded terms (MultiTermQuery
+    CONSTANT_SCORE_REWRITE: every matching doc scores `boost`; tie-break is
+    pure docID order)."""
+    matched = np.zeros(reader.doc_count, dtype=bool)
+    for t in terms:
+        tid = reader.seek_exact(t)
+        if tid >= 0:
+            docs, _ = reader.postings(tid)
+            matched[docs] = True
+    cand = np.nonzero(matched)[0].astype(np.int32)
+    sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    total = int(len(cand))
+    return sc[:k], cand[:k], total, RELATION_EQ

@@ -20,7 +20,16 @@ import numpy as np
 
 from ..index.manifest import latest_commit
 from ..index.shard import ShardReader
-from .query import FILTER, MUST, MUST_NOT, SHOULD, BooleanQuery, MatchAllDocsQuery, TermQuery
+from .query import (
+    FILTER,
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    TermQuery,
+)
 from .scorer import (
     RELATION_EQ,
     RELATION_GTE,
@@ -29,6 +38,7 @@ from .scorer import (
     _TermState,
     _top_k,
     search_shard_exhaustive,
+    search_shard_phrase,
 )
 from .similarity import BM25Similarity
 
@@ -83,6 +93,46 @@ class IndexSearcher:
     def df(self, term: str) -> int:
         return self._term_stats().get(term, 0)
 
+    def _sorted_terms(self) -> np.ndarray:
+        if getattr(self, "_terms_sorted", None) is None:
+            self._terms_sorted = np.sort(np.array(list(self._term_stats()), dtype=object))
+        return self._terms_sorted
+
+    def _expand(self, query) -> list[str]:
+        """MultiTermQuery expansion against the global term dictionary
+        (sorted-array range scan here; the scale path is a per-shard
+        automaton intersection, `util/automaton/CompiledAutomaton`)."""
+        import re as _re
+
+        from .query import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
+
+        terms = self._sorted_terms()
+        if isinstance(query, PrefixQuery):
+            lo = int(np.searchsorted(terms, query.prefix))
+            hi = int(np.searchsorted(terms, query.prefix + "￿"))
+            return terms[lo:hi].tolist()
+        if isinstance(query, WildcardQuery):
+            pat = _re.compile("".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in query.pattern))
+            return [t for t in terms if pat.fullmatch(t)]
+        if isinstance(query, RegexpQuery):
+            pat = _re.compile(query.regexp)
+            return [t for t in terms if pat.fullmatch(t)]
+        if isinstance(query, FuzzyQuery):
+            base = query.term
+            pre = base[:query.prefix_length]
+            out = []
+            for t in terms:
+                if not t.startswith(pre):
+                    continue
+                if abs(len(t) - len(base)) > query.max_edits:
+                    continue
+                if _levenshtein_leq(t, base, query.max_edits):
+                    out.append(t)
+            return out
+        raise TypeError(type(query))
+
     def reader(self, pid: int) -> ShardReader:
         r = self._readers.get(pid)
         if r is None:
@@ -97,6 +147,27 @@ class IndexSearcher:
         if isinstance(query, MatchAllDocsQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": True}
+        from .query import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
+
+        if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "const_terms": self._expand(query), "boost": query.boost}
+        if isinstance(query, PhraseQuery):
+            # PhraseWeight: idf = SUM of the terms' idfs (idfExplain for
+            # multiple termStats), float32 accumulation in term order
+            dfs = [self.df(t) for t in query.terms]
+            if any(d == 0 for d in dfs):
+                return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
+                        "msm": 0, "n_required": 1, "match_all": False}
+            idf_sum = np.float32(0.0)
+            for d in dfs:
+                idf_sum = idf_sum + self.sim.idf(d, self.doc_count)
+            scorer = self.sim.scorer_with_idf(query.boost, idf_sum,
+                                              self.doc_count, self.sum_ttf)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "phrase": (list(query.terms), scorer)}
         scoring, filters, must_nots = [], [], []
         n_required = 0
         for c in query.clauses:
@@ -137,6 +208,14 @@ class IndexSearcher:
         if compiled.get("match_all"):
             docs = np.arange(min(k, rdr.doc_count), dtype=np.int32)
             return np.ones(len(docs), np.float32), docs, rdr.doc_count, RELATION_EQ
+        if compiled.get("phrase"):
+            terms, scorer = compiled["phrase"]
+            return search_shard_phrase(rdr, terms, scorer, k, after=after)
+        if compiled.get("const_terms") is not None:
+            from .scorer import search_shard_const
+
+            return search_shard_const(rdr, compiled["const_terms"], compiled["boost"],
+                                      k, after=after)
         wandable = (self.use_wand and compiled["scoring"] and not compiled["filters"]
                     and not compiled["must_nots"]
                     and (all(o == SHOULD for _, _, o in compiled["scoring"])
@@ -217,9 +296,40 @@ class IndexSearcher:
             if compiled.get("match_all"):
                 total += rdr.doc_count
                 continue
-            _, _, t, _ = search_shard_exhaustive(rdr, compiled, 1)
+            if compiled.get("phrase"):
+                terms, scorer = compiled["phrase"]
+                _, _, t, _ = search_shard_phrase(rdr, terms, scorer, 1)
+            elif compiled.get("const_terms") is not None:
+                from .scorer import search_shard_const
+
+                _, _, t, _ = search_shard_const(rdr, compiled["const_terms"],
+                                                compiled["boost"], 1)
+            else:
+                _, _, t, _ = search_shard_exhaustive(rdr, compiled, 1)
             total += t
         return total
+
+
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Banded edit distance <= k (the dictionary-scan stand-in for the
+    reference's Levenshtein automata, `util/automaton/LevenshteinAutomata`)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i]
+        best = i
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            c = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ai != b[j - 1]))
+            cur.append(c)
+            if c < best:
+                best = c
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
 
 
 def _clause(q, occur):

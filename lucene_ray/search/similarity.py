@@ -36,7 +36,12 @@ class BM25Similarity:
         return np.float32(sum_ttf / float(doc_count))
 
     def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int) -> "BM25Scorer":
-        idf = self.idf(doc_freq, doc_count)
+        return self.scorer_with_idf(boost, self.idf(doc_freq, doc_count), doc_count, sum_ttf)
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int) -> "BM25Scorer":
+        """Scorer from a precomputed idf (e.g. the summed idf of a phrase's
+        terms, `BM25Similarity.idfExplain(collectionStats, termStats[])`)."""
         avgdl = self.avg_field_length(sum_ttf, doc_count)
         one = np.float32(1.0)
         # float32 op order: b * LENGTH_TABLE[i] -> / avgdl -> (1-b) + _ -> k1 * _ -> 1/_

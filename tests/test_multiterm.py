@@ -1,0 +1,79 @@
+"""MultiTermQuery expansions (prefix / wildcard / regexp / fuzzy) with
+constant-score rewrite, vs brute-force dictionary + postings scans."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.search.query import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
+from lucene_ray.search.searcher import IndexSearcher, _levenshtein_leq
+from lucene_ray.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def setup(ray_session, tmp_path_factory):
+    import pyarrow as pa
+
+    import lucene_ray.analysis.standard as std
+    import ray.data as rd
+
+    t = synth_transcripts(1500, seed=9)
+    d = str(tmp_path_factory.mktemp("mtidx"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=400, input_desc="mt")
+    t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    tokens = [std.analyze(x) if x else [] for x in t.column("text").to_pylist()]
+    return IndexSearcher(d), tokens
+
+
+def _brute_docs(tokens, pred):
+    return sorted(d for d, toks in enumerate(tokens) if any(pred(t) for t in toks))
+
+
+def test_levenshtein():
+    assert _levenshtein_leq("kitten", "sitting", 3)
+    assert not _levenshtein_leq("kitten", "sitting", 2)
+    assert _levenshtein_leq("abc", "abc", 0)
+    assert _levenshtein_leq("abc", "abd", 1)
+    assert not _levenshtein_leq("abcdef", "fedcba", 2)
+
+
+def test_prefix_query(setup):
+    s, tokens = setup
+    td = s.search(PrefixQuery("rareterm00"), k=1000)
+    want = _brute_docs(tokens, lambda t: t.startswith("rareterm00"))
+    assert [h.gid for h in td.hits] == want
+    assert all(h.score == 1.0 for h in td.hits)
+    assert td.total_hits == len(want)
+
+
+def test_wildcard_query(setup):
+    s, tokens = setup
+    td = s.search(WildcardQuery("qu*y"), k=1000)
+    import re
+    pat = re.compile(r"qu.*y")
+    want = _brute_docs(tokens, lambda t: bool(pat.fullmatch(t)))
+    assert [h.gid for h in td.hits] == want
+    td2 = s.search(WildcardQuery("dat?"), k=1000)
+    pat2 = re.compile(r"dat.")
+    want2 = _brute_docs(tokens, lambda t: bool(pat2.fullmatch(t)))
+    assert [h.gid for h in td2.hits] == want2
+
+
+def test_regexp_query(setup):
+    s, tokens = setup
+    import re
+    td = s.search(RegexpQuery("rareterm0[01]2."), k=1000)
+    pat = re.compile("rareterm0[01]2.")
+    want = _brute_docs(tokens, lambda t: bool(pat.fullmatch(t)))
+    assert [h.gid for h in td.hits] == want
+
+
+def test_fuzzy_query(setup):
+    s, tokens = setup
+    td = s.search(FuzzyQuery("quera", max_edits=1), k=1000)
+    want = _brute_docs(tokens, lambda t: _levenshtein_leq(t, "quera", 1))
+    assert [h.gid for h in td.hits] == want
+    # prefix_length constrains the expansion
+    td2 = s.search(FuzzyQuery("query", max_edits=2, prefix_length=5), k=1000)
+    want2 = _brute_docs(tokens, lambda t: t.startswith("query") and _levenshtein_leq(t, "query", 2))
+    assert [h.gid for h in td2.hits] == want2

@@ -206,6 +206,55 @@ def test_hit_identity_resolution(index, corpus):
         assert h.turn_idx == turn[h.gid]
 
 
+def test_phrase_query(index, corpus, oracle):
+    """Exact phrase: rank + score identical to a brute-force position scan
+    with the summed-idf PhraseWeight semantics."""
+    from lucene_ray.search.query import PhraseQuery
+
+    s = IndexSearcher(index[0])
+    _, tokens = corpus
+    for phrase in [("query", "data"), ("the", "query"), ("data", "table", "scan"),
+                   ("zzz", "absent")]:
+        td = s.search(PhraseQuery(tuple(phrase)), k=10)
+        # brute force: count exact occurrences per doc
+        hits = {}
+        for d, toks in enumerate(tokens):
+            cnt = sum(1 for i in range(len(toks) - len(phrase) + 1)
+                      if tuple(toks[i:i + len(phrase)]) == tuple(phrase))
+            if cnt:
+                hits[d] = cnt
+        if not hits or any(oracle.df.get(t, 0) == 0 for t in phrase):
+            assert td.hits == []
+            continue
+        idf_sum = np.float32(0.0)
+        for t in phrase:
+            df = oracle.df[t]
+            idf_sum = idf_sum + np.float32(
+                np.log(1 + (oracle.doc_count - df + 0.5) / (df + 0.5)))
+        one = np.float32(1.0)
+        want = []
+        for d, cnt in hits.items():
+            ln = LENGTH_TABLE[int(oracle.norm_bytes[d])]
+            norm_inv = one / (oracle.k1 * ((one - oracle.b) + oracle.b * ln / oracle.avgdl))
+            sc = idf_sum - idf_sum / (one + np.float32(cnt) * norm_inv)
+            want.append((d, float(sc)))
+        want.sort(key=lambda x: (-x[1], x[0]))
+        got = [(h.gid, h.score) for h in td.hits]
+        assert got == want[:10], (phrase, got, want[:10])
+        assert td.total_hits == len(hits)
+
+
+def test_phrase_count(index, corpus):
+    from lucene_ray.search.query import PhraseQuery
+
+    s = IndexSearcher(index[0])
+    _, tokens = corpus
+    phrase = ("query", "data")
+    want = sum(1 for toks in tokens
+               if any(tuple(toks[i:i + 2]) == phrase for i in range(len(toks) - 1)))
+    assert s.count(PhraseQuery(phrase)) == want
+
+
 def test_partitioning_invariance(ray_session, corpus, oracle, tmp_path_factory):
     """Different partition sizes must produce identical global docIDs and
     identical top-k (stable (conv_id, turn_idx) global order)."""
