@@ -68,7 +68,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scan_count": bm25scan.bm25_scan_count,
         "index_term_dictionary": index_term_dictionary,
         "index_bm25_topk": index_bm25_topk,
+        # --- percolator (Monitor) + multimodal actor-pool plumbing ---
+        "percolate": _percolate,
+        "media_features": _media_features,
     }
+
+
+def _percolate(sf_dir):
+    from lucene_ray.pipelines.percolate import percolate
+
+    return percolate(sf_dir)
+
+
+def _media_features(sf_dir):
+    from lucene_ray.pipelines.multimodal import media_features_table
+
+    return media_features_table(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -190,6 +205,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(DISTINCT doc_id)::INT AS df,
                    count(*)::BIGINT AS ttf
             FROM tokens GROUP BY term ORDER BY term""",
+        "percolate": _TOKS + " " + _percolate_sql(),
+        "media_features": """
+            SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents""",
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash_pairs,
         # ngram_jaccard, knn_lsh, index_bm25_topk
     }
+
+
+def _percolate_sql() -> str:
+    from lucene_ray.pipelines.percolate import percolate_oracle_sql
+
+    return percolate_oracle_sql()

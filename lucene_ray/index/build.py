@@ -56,6 +56,7 @@ def plan_split_points(ds, n_parts: int, key: str, sample_per_part: int = 256) ->
 
 def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 text_col: str = "text", key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+                keyword_cols: tuple[str, ...] = (),
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -81,7 +82,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
 
     # fast path: a commit with this input already exists and is intact
     prev = mf.latest_commit(index_dir)
-    if prev is not None and input_desc and prev.get("input_desc") == input_desc:
+    if prev is not None and input_desc and prev.get("input_desc") == input_desc \
+            and prev.get("format") == FORMAT_VERSION:
         have = mf.committed_shards(index_dir, prev["fingerprint"])
         if set(have) == {m["pid"] for m in prev["shards"]}:
             return prev
@@ -97,6 +99,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "format": FORMAT_VERSION,
         "text_col": text_col,
         "key_cols": list(key_cols),
+        "keyword_cols": list(keyword_cols),
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -120,14 +123,15 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         def flush_partition(group: pa.Table) -> pa.Table:
             pid = int(group.column("pid")[0].as_py())
             m = write_shard(shards_dir, pid, group.drop_columns(["pid"]),
-                            fp, text_col=text_col, key_cols=key_cols)
+                            fp, text_col=text_col, key_cols=key_cols,
+                            keyword_cols=keyword_cols)
             return pa.table({k: [v] for k, v in m.items()})
 
-        proj = ds.select_columns([*key_cols, text_col])
+        proj = ds.select_columns([*key_cols, text_col, *keyword_cols])
         if exchange == "tasks":
             new_manifests = _exchange_with_tasks(
                 proj, tag_pid, len(split_points) + 1, shards_dir, fp,
-                text_col, key_cols)
+                text_col, key_cols, keyword_cols)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -152,7 +156,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
 
 
 def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
-                         text_col: str, key_cols) -> list[dict]:
+                         text_col: str, key_cols, keyword_cols=()) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -185,7 +189,8 @@ def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
             return None
         group = pa.concat_tables(tables).drop_columns(["pid"])
         return write_shard(shards_dir, pid, group, fp,
-                           text_col=text_col, key_cols=key_cols)
+                           text_col=text_col, key_cols=key_cols,
+                           keyword_cols=keyword_cols)
 
     per_pid: list[list] = [[] for _ in range(n_parts)]
     for bundle in ds.iter_internal_ref_bundles():
@@ -266,3 +271,68 @@ def merge_term_stats(index_dir: str, commit: dict, n_salts: int = 16) -> str:
         shutil.rmtree(out_dir)
     stats.write_parquet(out_dir)
     return out_dir
+
+
+def append_index(ds, index_dir: str, *, input_desc: str,
+                 target_docs_per_partition: int = 200_000,
+                 text_col: str = "text",
+                 key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+                 keyword_cols: tuple[str, ...] = (),
+                 merge_stats: bool = True) -> dict:
+    """Incremental build: index NEW rows as additional shards and publish a
+    new commit generation containing old + new (the near-real-time refresh
+    model, `DirectoryReader.openIfChanged` / segment append — SURVEY §2.10).
+
+    Appended docs get doc bases AFTER all existing docs (arrival order, like
+    Lucene segment docIDs), so global ordering is (existing corpus order,
+    then appended corpus order) — not a re-sort of the union.
+    """
+    prev = mf.latest_commit(index_dir)
+    if prev is None:
+        return build_index(ds, index_dir, target_docs_per_partition=target_docs_per_partition,
+                           text_col=text_col, key_cols=key_cols, keyword_cols=keyword_cols,
+                           input_desc=input_desc, merge_stats=merge_stats)
+    pid_offset = 1 + max(m["pid"] for m in prev["shards"])
+
+    n_total = ds.count()
+    n_parts = max(1, -(-n_total // target_docs_per_partition))
+    split_points = plan_split_points(ds, n_parts, key_cols[0])
+    fp = mf.fingerprint({
+        "input": input_desc, "splits": split_points, "format": FORMAT_VERSION,
+        "text_col": text_col, "key_cols": list(key_cols),
+        "keyword_cols": list(keyword_cols), "append_after": prev["fingerprint"],
+    })
+    shards_dir = os.path.join(index_dir, "shards")
+    done = mf.committed_shards(index_dir, fp)
+    splits_arr = np.array(split_points, dtype=object)
+    done_set = frozenset(done)
+
+    def tag_pid(batch: pa.Table) -> pa.Table:
+        cids = batch.column(key_cols[0]).to_numpy(zero_copy_only=False)
+        pid = (np.searchsorted(splits_arr, cids, side="right") + pid_offset).astype(np.int32)
+        batch = batch.append_column("pid", pa.array(pid, type=pa.int32()))
+        if done_set:
+            keep = pa.compute.invert(pa.compute.is_in(
+                batch.column("pid"), value_set=pa.array(sorted(done_set), type=pa.int32())))
+            batch = batch.filter(keep)
+        return batch
+
+    todo = [p for p in range(pid_offset, pid_offset + len(split_points) + 1) if p not in done]
+    if todo:
+        proj = ds.select_columns([*key_cols, text_col, *keyword_cols])
+        new_manifests = _exchange_with_tasks(
+            proj, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
+            text_col, key_cols, keyword_cols)
+        for m in new_manifests:
+            done[int(m["pid"])] = dict(m)
+
+    all_shards = [m for m in prev["shards"]] + list(done.values())
+    commit = mf.commit_index(index_dir, all_shards, {
+        "fingerprint": fp, "input_desc": input_desc,
+        "split_points": prev.get("split_points", []) + split_points,
+        "key_cols": list(key_cols), "text_col": text_col,
+        "format": FORMAT_VERSION,
+    })
+    if merge_stats:
+        merge_term_stats(index_dir, commit)
+    return commit

@@ -1,0 +1,119 @@
+"""Index integrity checker — the CheckIndex equivalent
+(`lucene/core/src/java/org/apache/lucene/index/CheckIndex.java` model):
+re-reads every structure of every shard and validates invariants.
+
+Checks per shard:
+- term dictionary sorted strictly ascending
+- every posting list decodes; docIDs strictly ascending, within [0, doc_count)
+- df == len(docs); ttf == sum(freqs); freqs >= 1
+- skip table last-docs match decoded blocks; impact skylines upper-bound
+  every (freq, norm) pair in their block
+- norms length == doc_count; docmap row count == doc_count and sorted by key
+Global:
+- commit doc bases are the prefix sum of shard doc counts
+- collection stats equal the sum over shards
+- merged term_stats (df, ttf) equal the sum of per-shard stats
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from ..search.similarity import BM25Similarity
+from .manifest import latest_commit
+from .postings import BLOCK_SIZE
+from .shard import ShardReader
+
+
+def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
+    commit = latest_commit(index_dir)
+    if commit is None:
+        raise FileNotFoundError(f"no commit in {index_dir}")
+    errors: list[str] = []
+    n_terms_checked = 0
+    sim = BM25Similarity()
+
+    base = 0
+    agg = {"doc_count": 0, "doc_count_field": 0, "sum_ttf": 0, "sum_df": 0}
+    shard_stats: dict[str, list[int]] = {}
+    for m in commit["shards"]:
+        if m["doc_base"] != base:
+            errors.append(f"shard {m['pid']}: doc_base {m['doc_base']} != prefix sum {base}")
+        base += m["doc_count"]
+        for k in agg:
+            agg[k] += m[k]
+        rdr = ShardReader(os.path.join(index_dir, "shards", f"shard-{m['pid']:05d}"))
+        if len(rdr.norms) != rdr.doc_count:
+            errors.append(f"shard {m['pid']}: norms length mismatch")
+        dm = rdr.docmap()
+        if dm.num_rows != rdr.doc_count:
+            errors.append(f"shard {m['pid']}: docmap rows != doc_count")
+        tids = range(rdr.n_terms)
+        if sample_terms and rdr.n_terms > sample_terms:
+            tids = np.linspace(0, rdr.n_terms - 1, sample_terms).astype(int)
+        prev_term = None
+        scorer = sim.scorer(1.0, max(commit["doc_count_field"], 1),
+                            max(commit["sum_ttf"], 1), 1)
+        for tid in tids:
+            term = rdr._term_np[tid]
+            if prev_term is not None and not (prev_term < term):
+                errors.append(f"shard {m['pid']}: term order violation at {term!r}")
+            prev_term = term
+            df, ttf = rdr.term_stats(int(tid))
+            docs, freqs = rdr.postings(int(tid))
+            if len(docs) != df:
+                errors.append(f"shard {m['pid']} {term!r}: df {df} != {len(docs)}")
+            if int(freqs.sum()) != ttf:
+                errors.append(f"shard {m['pid']} {term!r}: ttf mismatch")
+            if len(docs) and (docs[0] < 0 or docs[-1] >= rdr.doc_count):
+                errors.append(f"shard {m['pid']} {term!r}: docID out of range")
+            if np.any(np.diff(docs.astype(np.int64)) <= 0):
+                errors.append(f"shard {m['pid']} {term!r}: docIDs not strictly ascending")
+            if np.any(freqs < 1):
+                errors.append(f"shard {m['pid']} {term!r}: freq < 1")
+            # impact skylines upper-bound their blocks
+            so, sl, ic, if_, in_ = rdr.skip_data(int(tid))
+            bounds = np.concatenate(([0], np.cumsum(ic)))
+            for b in range(len(so)):
+                lo = b * BLOCK_SIZE
+                hi = min(lo + BLOCK_SIZE, df)
+                if sl[b] != docs[hi - 1]:
+                    errors.append(f"shard {m['pid']} {term!r}: skip last_doc wrong at block {b}")
+                bf = if_[bounds[b]:bounds[b + 1]]
+                bn = in_[bounds[b]:bounds[b + 1]]
+                bmax = scorer.max_score(bf, bn)
+                actual = scorer.score(freqs[lo:hi], rdr.norms[docs[lo:hi]])
+                if np.any(actual > bmax + 1e-6):
+                    errors.append(f"shard {m['pid']} {term!r}: impact bound violated at block {b}")
+            n_terms_checked += 1
+            key = str(term)
+            s = shard_stats.setdefault(key, [0, 0])
+            s[0] += df
+            s[1] += ttf
+
+    for k in agg:
+        if commit[k] != agg[k]:
+            errors.append(f"commit {k} {commit[k]} != shard sum {agg[k]}")
+
+    # merged term_stats consistency (only for fully-checked dictionaries)
+    if sample_terms is None:
+        import pyarrow.parquet as pq
+
+        stats_dir = os.path.join(index_dir, "term_stats")
+        got = {}
+        for p in sorted(glob.glob(os.path.join(stats_dir, "*.parquet"))):
+            t = pq.read_table(p)
+            for term, df, ttf in zip(t.column("term").to_pylist(),
+                                     t.column("df").to_pylist(),
+                                     t.column("ttf").to_pylist()):
+                got[term] = [int(df), int(ttf)]
+        if got != shard_stats:
+            diff = {k for k in set(got) | set(shard_stats)
+                    if got.get(k) != shard_stats.get(k)}
+            errors.append(f"term_stats mismatch for {len(diff)} terms e.g. {sorted(diff)[:3]}")
+
+    return {"ok": not errors, "errors": errors,
+            "n_shards": len(commit["shards"]), "n_terms_checked": n_terms_checked}

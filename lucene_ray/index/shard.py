@@ -166,10 +166,65 @@ def _encode_small_terms(term_starts, doc_of, freq, small_ids):
     return payload, nbytes.astype(np.int64)
 
 
+KEYWORD_SEP = "\x1f"     # cannot appear inside an analyzed token
+
+
+def keyword_term(field: str, value: str) -> str:
+    """Term-dictionary key for an un-tokenized keyword field value
+    (StringField/KeywordField semantics, `document/StringField.java:27`):
+    one posting per doc with that exact value, freq=1, non-scoring."""
+    return f"{field}{KEYWORD_SEP}{value}"
+
+
+def _append_keyword_postings(terms, term_starts, doc_of, freq, positions,
+                             table: pa.Table, keyword_cols):
+    """Extend the inversion arrays with keyword-field postings, then re-sort
+    the term runs so the dictionary stays globally sorted."""
+    kw_terms, kw_docs = [], []
+    for col in keyword_cols:
+        if col not in table.column_names:
+            continue
+        arr = table.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        denc = pa.compute.dictionary_encode(arr)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        for vi, val in enumerate(denc.dictionary.to_pylist()):
+            if val is None or val == "":
+                continue
+            docs = np.nonzero(codes == vi)[0].astype(np.int32)   # ascending
+            kw_terms.append(keyword_term(col, val))
+            kw_docs.append(docs)
+    if not kw_terms:
+        return terms, term_starts, doc_of, freq, positions
+
+    text_terms = terms.to_numpy(zero_copy_only=False) if isinstance(terms, (pa.Array, pa.ChunkedArray)) \
+        else np.asarray(terms, dtype=object)
+    all_terms = np.concatenate((text_terms.astype(object),
+                                np.asarray(kw_terms, dtype=object)))
+    run_docs = [doc_of[term_starts[t]:term_starts[t + 1]] for t in range(len(terms))] + kw_docs
+    run_freq = [freq[term_starts[t]:term_starts[t + 1]] for t in range(len(terms))] + \
+        [np.ones(len(d), dtype=np.int32) for d in kw_docs]
+    pb = np.concatenate(([0], np.cumsum(freq.astype(np.int64))))
+    run_pos = [positions[pb[term_starts[t]]:pb[term_starts[t + 1]]] for t in range(len(terms))] + \
+        [np.zeros(len(d), dtype=np.int32) for d in kw_docs]
+    order = np.argsort(all_terms)
+    sorted_terms = pa.array(all_terms[order], type=pa.string())
+    doc_of2 = np.concatenate([run_docs[i] for i in order]) if len(order) else doc_of
+    freq2 = np.concatenate([run_freq[i] for i in order]) if len(order) else freq
+    pos2 = np.concatenate([run_pos[i] for i in order]) if len(order) else positions
+    lens = np.array([len(run_docs[i]) for i in order], dtype=np.int64)
+    term_starts2 = np.concatenate(([0], np.cumsum(lens)))
+    return sorted_terms, term_starts2, doc_of2.astype(np.int32), freq2.astype(np.int32), pos2.astype(np.int32)
+
+
 def write_shard(out_dir: str, pid: int, table: pa.Table,
                 fingerprint: str, text_col: str = "text",
                 key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
-                index_positions: bool = True) -> dict:
+                index_positions: bool = True,
+                keyword_cols: tuple[str, ...] = ()) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -192,6 +247,9 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     table = table.sort_by([(key_cols[0], "ascending"), (key_cols[1], "ascending")])
     lengths, flat = tokenize_column(table.column(text_col))
     terms, term_starts, doc_of, freq, positions = invert_flat(flat, lengths)
+    if keyword_cols:
+        terms, term_starts, doc_of, freq, positions = _append_keyword_postings(
+            terms, term_starts, doc_of, freq, positions, table, keyword_cols)
     n_docs = table.num_rows
     norms = int_to_byte4(lengths.astype(np.int64))
 

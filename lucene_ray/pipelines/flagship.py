@@ -14,7 +14,7 @@ import os
 import pandas as pd
 
 from ..index.build import build_index
-from ..search.query import TermQuery, bool_query
+from ..search.query import FuzzyQuery, PhraseQuery, PrefixQuery, TermQuery, WildcardQuery, bool_query
 from ..search.searcher import IndexSearcher
 from ..sources.transcripts import transcripts_from_documents
 
@@ -30,6 +30,10 @@ QUERY_SET = [
     ("q-filter", bool_query(should=["merge"], filter_=["join"]), 10),
     ("q-mustnot", bool_query(should=["merge"], must_not=["join"]), 10),
     ("q-msm", bool_query(should=["merge", "join", "sort"], minimum_should_match=2), 10),
+    ("q-phrase", PhraseQuery(("merge", "join")), 10),
+    ("q-prefix", PrefixQuery("sca"), 10),
+    ("q-wildcard", WildcardQuery("s*t"), 10),
+    ("q-fuzzy", FuzzyQuery("querz", max_edits=1), 10),
 ]
 
 

@@ -287,6 +287,45 @@ class IndexSearcher:
         i = int(np.searchsorted(bases, gid, side="right")) - 1
         return pids[i]
 
+    def explain(self, query, gid: int) -> dict:
+        """Score explanation for one document (Explanation tree equivalent,
+        `search/Weight.explain` / `BM25Similarity.explain`): per scoring
+        clause the (df, idf, freq, norm byte, decoded dl, weight, score)
+        factors; the clause scores sum (float32, clause order) to the same
+        score `search` produces."""
+        from ..util.smallfloat import LENGTH_TABLE
+
+        compiled = self.compile(query)
+        pid = self._pid_of(gid)
+        rdr = self.reader(pid)
+        local = gid - self._bases[pid]
+        details = []
+        total = np.float32(0.0)
+        matched = False
+        for term, scorer, occur in compiled.get("scoring", []):
+            tid = rdr.seek_exact(term)
+            entry = {"term": term, "occur": occur, "df": self.df(term),
+                     "doc_count": self.doc_count,
+                     "idf": float(self.sim.idf(self.df(term), self.doc_count)),
+                     "weight": float(scorer.weight), "match": False}
+            if tid >= 0:
+                docs, freqs = rdr.postings(tid)
+                i = int(np.searchsorted(docs, local))
+                if i < len(docs) and docs[i] == local:
+                    nb = int(rdr.norms[local])
+                    sc = scorer.score(freqs[i:i + 1], rdr.norms[local:local + 1])[0]
+                    entry.update(match=True, freq=int(freqs[i]), norm_byte=nb,
+                                 dl=float(LENGTH_TABLE[nb]),
+                                 avgdl=float(self.sim.avg_field_length(self.sum_ttf, self.doc_count)),
+                                 score=float(sc))
+                    total = total + np.float32(sc)
+                    matched = True
+            details.append(entry)
+        return {"gid": gid, "value": float(total) if matched else 0.0,
+                "match": matched, "details": details,
+                "description": "sum of clause scores (BM25, k1=%.1f b=%.2f)"
+                               % (self.sim.k1, self.sim.b)}
+
     def count(self, query) -> int:
         """IndexSearcher.count equivalent (`search/IndexSearcher.java:428`)."""
         compiled = self.compile(query)
