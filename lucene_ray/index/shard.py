@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis.standard import analyze, tokenize_column
+from ..analysis.standard import tokenize_column
 from ..util.smallfloat import int_to_byte4
 from .postings import BLOCK_SIZE, encode_postings, impact_skyline, vint_encode
 
@@ -38,39 +38,6 @@ POSITIONS_FILE = "positions.bin"
 NORMS_FILE = "norms.bin"
 DOCMAP_FILE = "docmap.parquet"
 MANIFEST_FILE = "manifest.json"
-
-
-def invert(token_lists: list[list[str]]):
-    """Invert tokenized docs into sorted posting lists (vectorized).
-
-    Returns (terms: pa.StringArray sorted asc, term_starts int64[] into the
-    postings arrays, doc_of int32[], freq int32[], lengths int32[] per doc).
-    This is the DWPT in-memory term-hash equivalent
-    (`index/TermsHashPerField.java:104-122`), done with factorize + one sort.
-    """
-    import pandas as pd
-
-    lengths = np.fromiter((len(t) for t in token_lists), dtype=np.int32, count=len(token_lists))
-    n_docs = len(token_lists)
-    flat = [tok for toks in token_lists for tok in toks]
-    if not flat:
-        empty = np.array([], dtype=np.int64)
-        return pa.array([], type=pa.string()), empty, empty.astype(np.int32), empty.astype(np.int32), lengths
-    codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-    order = pa.compute.sort_indices(pa.array(uniq, type=pa.string())).to_numpy()
-    rank = np.empty(len(uniq), dtype=np.int64)
-    rank[order] = np.arange(len(uniq))
-    sorted_terms = pa.array(uniq[order], type=pa.string())
-
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
-    key = rank[codes] * n_docs + doc_idx
-    ukey, counts = np.unique(key, return_counts=True)      # sorted by (term, doc)
-    term_of = ukey // n_docs
-    doc_of = (ukey % n_docs).astype(np.int32)
-    freq = counts.astype(np.int32)
-    # start index of each term's posting run (terms are dense 0..V-1)
-    term_starts = np.searchsorted(term_of, np.arange(len(uniq) + 1))
-    return sorted_terms, term_starts, doc_of, freq, lengths
 
 
 def invert_flat(flat: pa.Array, lengths: np.ndarray):
@@ -469,12 +436,36 @@ class ShardReader:
         o, n = int(self._off[tid]), int(self._nbytes[tid])
         return memoryview(self._post)[o:o + n]
 
+    # process-wide decoded-postings cache (LRUQueryCache analogue,
+    # `search/LRUQueryCache.java`): hot terms are decoded once per actor
+    # process, not once per query.  Size-bounded by byte footprint.
+    _CACHE: "dict[tuple[str, int], tuple[np.ndarray, np.ndarray]]" = {}
+    _CACHE_BYTES = [0]
+    _CACHE_LIMIT = 256 * 1024 * 1024
+
     def postings(self, tid: int):
         """Full decode: (local doc_ids int32[], freqs int32[]) — batched
-        group-by-bit-width decode via the skip table."""
+        group-by-bit-width decode via the skip table, LRU-cached."""
         from .postings import decode_list
-        return decode_list(self.payload(tid), int(self._df[tid]),
-                           self._skip_offs[tid].values.to_numpy())
+
+        key = (self.dir, self.manifest.get("fingerprint", ""), tid)
+        hit = ShardReader._CACHE.get(key)
+        if hit is not None:
+            # move-to-end = recently used (dict preserves insertion order)
+            ShardReader._CACHE.pop(key)
+            ShardReader._CACHE[key] = hit
+            return hit
+        out = decode_list(self.payload(tid), int(self._df[tid]),
+                          self._skip_offs[tid].values.to_numpy())
+        nbytes = out[0].nbytes + out[1].nbytes
+        if nbytes < ShardReader._CACHE_LIMIT // 8:
+            ShardReader._CACHE[key] = out
+            ShardReader._CACHE_BYTES[0] += nbytes
+            while ShardReader._CACHE_BYTES[0] > ShardReader._CACHE_LIMIT:
+                old_key, old = next(iter(ShardReader._CACHE.items()))
+                ShardReader._CACHE.pop(old_key)
+                ShardReader._CACHE_BYTES[0] -= old[0].nbytes + old[1].nbytes
+        return out
 
     def skip_data(self, tid: int):
         """(skip_offs, skip_last, imp_counts, imp_freqs, imp_norms) numpy."""

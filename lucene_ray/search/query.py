@@ -61,6 +61,29 @@ class BooleanQuery:
 
 
 @dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """score = max(clause scores) + tie_breaker * sum(other clause scores)
+    (`search/DisjunctionMaxQuery.java`); clauses are TermQuerys."""
+    queries: tuple[TermQuery, ...]
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class BoostQuery:
+    """Wraps a query, multiplying its boost (`search/BoostQuery.java`)."""
+    query: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery:
+    """Matches of the inner query all score `boost`
+    (`search/ConstantScoreQuery.java`)."""
+    query: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PrefixQuery:
     """Term-dictionary prefix expansion, rewritten to a constant-score union
     (`search/PrefixQuery.java` with CONSTANT_SCORE_REWRITE semantics: every

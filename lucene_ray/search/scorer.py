@@ -314,3 +314,30 @@ def search_shard_const(reader, terms: list[str], boost: float, k: int, after=Non
         cand, sc = cand[keep], sc[keep]
     total = int(len(cand))
     return sc[:k], cand[:k], total, RELATION_EQ
+
+
+def search_shard_dismax(reader, sub, tie: np.float32, k: int, after=None):
+    """DisjunctionMaxScorer: score = max(sub scores) + tie * (sum - max),
+    float32 (`search/DisjunctionMaxQuery.java` / DisjunctionMaxScorer)."""
+    n = reader.doc_count
+    acc_max = np.zeros(n, dtype=np.float32)
+    acc_sum = np.zeros(n, dtype=np.float32)
+    matched = np.zeros(n, dtype=bool)
+    for term, scorer in sub:
+        tid = reader.seek_exact(term)
+        if tid < 0:
+            continue
+        docs, freqs = reader.postings(tid)
+        s = scorer.score(freqs, reader.norms[docs])
+        np.maximum.at(acc_max, docs, s)
+        acc_sum[docs] += s
+        matched[docs] = True
+    cand = np.nonzero(matched)[0].astype(np.int32)
+    sc = acc_max[cand] + tie * (acc_sum[cand] - acc_max[cand])
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    total = int(len(cand))
+    sc, cand = _top_k(sc.astype(np.float32), cand, k)
+    return sc, cand, total, RELATION_EQ

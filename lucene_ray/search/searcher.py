@@ -147,8 +147,33 @@ class IndexSearcher:
         if isinstance(query, MatchAllDocsQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": True}
-        from .query import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
+        from .query import (
+            BoostQuery,
+            ConstantScoreQuery,
+            DisjunctionMaxQuery,
+            FuzzyQuery,
+            PrefixQuery,
+            RegexpQuery,
+            WildcardQuery,
+        )
 
+        if isinstance(query, BoostQuery):
+            return self.compile(_boosted(query.query, query.boost))
+        if isinstance(query, ConstantScoreQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "const_wrap": self.compile(query.query),
+                    "boost": query.boost}
+        if isinstance(query, DisjunctionMaxQuery):
+            sub = []
+            for tq in query.queries:
+                df = self.df(tq.term)
+                if df > 0:
+                    sub.append((tq.term, self.sim.scorer(tq.boost, self.doc_count,
+                                                         self.sum_ttf, df)))
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "dismax": sub, "tie": np.float32(query.tie_breaker)}
         if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
@@ -216,6 +241,23 @@ class IndexSearcher:
 
             return search_shard_const(rdr, compiled["const_terms"], compiled["boost"],
                                       k, after=after)
+        if compiled.get("const_wrap") is not None:
+            # ConstantScoreQuery: inner query's MATCH set, flat boost score
+            _, docs, total, rel = self.search_shard(
+                rdr, compiled["const_wrap"], rdr.doc_count,
+                total_hits_threshold=2**31 - 1)
+            docs = np.sort(docs)
+            sc = np.full(len(docs), np.float32(compiled["boost"]), dtype=np.float32)
+            if after is not None:
+                a_s, a_d = np.float32(after[0]), after[1]
+                keep = (sc < a_s) | ((sc == a_s) & (docs.astype(np.int64) > a_d))
+                docs, sc = docs[keep], sc[keep]
+            return sc[:k], docs[:k], total, rel
+        if compiled.get("dismax") is not None:
+            from .scorer import search_shard_dismax
+
+            return search_shard_dismax(rdr, compiled["dismax"], compiled["tie"],
+                                       k, after=after)
         wandable = (self.use_wand and compiled["scoring"] and not compiled["filters"]
                     and not compiled["must_nots"]
                     and (all(o == SHOULD for _, _, o in compiled["scoring"])
@@ -335,18 +377,39 @@ class IndexSearcher:
             if compiled.get("match_all"):
                 total += rdr.doc_count
                 continue
-            if compiled.get("phrase"):
-                terms, scorer = compiled["phrase"]
-                _, _, t, _ = search_shard_phrase(rdr, terms, scorer, 1)
-            elif compiled.get("const_terms") is not None:
-                from .scorer import search_shard_const
-
-                _, _, t, _ = search_shard_const(rdr, compiled["const_terms"],
-                                                compiled["boost"], 1)
-            else:
-                _, _, t, _ = search_shard_exhaustive(rdr, compiled, 1)
+            _, _, t, _ = self.search_shard(rdr, compiled, 1,
+                                           total_hits_threshold=2**31 - 1)
             total += t
         return total
+
+
+def _boosted(q, b: float):
+    """Push a BoostQuery's multiplier into the wrapped query's boosts."""
+    import dataclasses
+
+    from .query import (
+        BooleanClause,
+        BooleanQuery,
+        BoostQuery,
+        ConstantScoreQuery,
+        FuzzyQuery,
+        PhraseQuery,
+        PrefixQuery,
+        RegexpQuery,
+        TermQuery,
+        WildcardQuery,
+    )
+
+    if isinstance(q, BoostQuery):
+        return _boosted(q.query, b * q.boost)
+    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, WildcardQuery,
+                      RegexpQuery, FuzzyQuery, ConstantScoreQuery)):
+        return dataclasses.replace(q, boost=q.boost * b)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(tuple(
+            BooleanClause(_boosted(c.query, b), c.occur) for c in q.clauses),
+            q.minimum_should_match)
+    raise TypeError(f"cannot boost {type(q)}")
 
 
 def _levenshtein_leq(a: str, b: str, k: int) -> bool:

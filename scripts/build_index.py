@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Build (or resume) an inverted index from transcript parquet.
+
+The `IndexFiles` demo equivalent (`lucene/demo/.../IndexFiles.java:58`),
+runnable directly or via `ray job submit -- python scripts/build_index.py ...`.
+
+    python scripts/build_index.py --input /data/transcripts --index /data/index \
+        [--append] [--target-docs 200000] [--keyword-cols role,tool] [--num-cpus 32]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _REPO)
+# ray workers import lucene_ray too
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet file/dir of transcripts")
+    ap.add_argument("--index", required=True, help="output index directory")
+    ap.add_argument("--append", action="store_true", help="append to an existing index")
+    ap.add_argument("--target-docs", type=int, default=200_000)
+    ap.add_argument("--keyword-cols", default="", help="comma-separated keyword columns")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    from lucene_ray.index.build import append_index, build_index
+
+    ds = rd.read_parquet(args.input)
+    kw = tuple(c for c in args.keyword_cols.split(",") if c)
+    fn = append_index if args.append else build_index
+    commit = fn(ds, args.index, target_docs_per_partition=args.target_docs,
+                keyword_cols=kw, input_desc=f"cli:{args.input}")
+    print(json.dumps({k: commit[k] for k in
+                      ("generation", "doc_count", "doc_count_field", "sum_ttf",
+                       "fingerprint")} | {"n_shards": len(commit["shards"])}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Query an index from the command line (`SearchFiles.java:48` equivalent).
+
+    python scripts/search.py --index /data/index --query "merge join" [-k 10]
+        [--must] [--phrase] [--actors 4] [--count-only]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _REPO)
+# ray workers import lucene_ray too
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True, help="free text (analyzed)")
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--must", action="store_true", help="AND the terms instead of OR")
+    ap.add_argument("--phrase", action="store_true", help="exact phrase")
+    ap.add_argument("--actors", type=int, default=0, help="serve via an actor pool of N")
+    ap.add_argument("--count-only", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=max(4, args.actors or 4),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from lucene_ray.analysis.standard import analyze
+    from lucene_ray.search.query import PhraseQuery, bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+
+    terms = analyze(args.query)
+    if args.phrase:
+        q = PhraseQuery(tuple(terms))
+    elif args.must:
+        q = bool_query(must=terms)
+    else:
+        q = bool_query(should=terms)
+
+    searcher = IndexSearcher(args.index)
+    if args.count_only:
+        print(json.dumps({"count": searcher.count(q)}))
+    else:
+        if args.actors:
+            from lucene_ray.search.actors import QueryService
+
+            svc = QueryService(args.index, num_actors=args.actors)
+            td = svc.search(q, k=args.k)
+            svc.shutdown()
+        else:
+            td = searcher.search(q, k=args.k)
+        print(json.dumps({
+            "total_hits": td.total_hits, "relation": td.relation,
+            "hits": [{"rank": i + 1, "score": h.score, "conv_id": h.conv_id,
+                      "turn_idx": h.turn_idx, "gid": h.gid}
+                     for i, h in enumerate(td.hits)],
+        }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""DisjunctionMaxQuery / BoostQuery / ConstantScoreQuery vs brute force."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.search.query import (
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    PhraseQuery,
+    TermQuery,
+    bool_query,
+)
+from lucene_ray.search.searcher import IndexSearcher
+from lucene_ray.sources.transcripts import synth_transcripts
+from lucene_ray.util.smallfloat import LENGTH_TABLE, int_to_byte4
+
+
+@pytest.fixture(scope="module")
+def setup(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    import lucene_ray.analysis.standard as std
+
+    t = synth_transcripts(1800, seed=77)
+    d = str(tmp_path_factory.mktemp("exq"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=500, input_desc="exq")
+    t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    tokens = [std.analyze(x) if x else [] for x in t.column("text").to_pylist()]
+    return IndexSearcher(d), tokens
+
+
+def _term_scores(s, tokens, term, boost=1.0):
+    df = sum(term in set(t) for t in tokens)
+    if df == 0:
+        return {}
+    N = sum(1 for t in tokens if t)
+    sum_ttf = sum(len(t) for t in tokens)
+    idf = np.float32(np.log(1 + (N - df + 0.5) / (df + 0.5)))
+    w = np.float32(boost) * idf
+    avgdl = np.float32(sum_ttf / float(N))
+    one = np.float32(1.0)
+    out = {}
+    for d, toks in enumerate(tokens):
+        f = toks.count(term)
+        if f:
+            ln = LENGTH_TABLE[int(int_to_byte4(len(toks)))]
+            ninv = one / (np.float32(1.2) * ((one - np.float32(0.75)) + np.float32(0.75) * ln / avgdl))
+            out[d] = w - w / (one + np.float32(f) * ninv)
+    return out
+
+
+def test_dismax(setup):
+    s, tokens = setup
+    q = DisjunctionMaxQuery((TermQuery("query"), TermQuery("data")), tie_breaker=0.3)
+    td = s.search(q, k=15)
+    s1 = _term_scores(s, tokens, "query")
+    s2 = _term_scores(s, tokens, "data")
+    want = {}
+    tie = np.float32(0.3)
+    for d in set(s1) | set(s2):
+        a = s1.get(d, np.float32(0))
+        b = s2.get(d, np.float32(0))
+        mx = max(a, b)
+        want[d] = float(mx + tie * ((a + b) - mx))
+    ranked = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:15]
+    assert [(h.gid, h.score) for h in td.hits] == [(d, v) for d, v in ranked]
+    assert s.count(q) == len(want)
+
+
+def test_boost_query(setup):
+    s, tokens = setup
+    plain = s.search(TermQuery("query"), k=10)
+    boosted = s.search(BoostQuery(TermQuery("query"), 2.5), k=10)
+    assert [h.gid for h in boosted.hits] == [h.gid for h in plain.hits]
+    for hb, hp in zip(boosted.hits, plain.hits):
+        want = _term_scores(s, tokens, "query", boost=2.5)[hb.gid]
+        assert np.float32(hb.score) == np.float32(want)
+    # nested boost through a boolean query
+    bq = BoostQuery(bool_query(should=["query", "data"]), 3.0)
+    td = s.search(bq, k=5)
+    assert td.hits[0].score > s.search(bool_query(should=["query", "data"]), k=5).hits[0].score
+
+
+def test_constant_score(setup):
+    s, tokens = setup
+    inner = bool_query(must=["merge", "join"])
+    td = s.search(ConstantScoreQuery(inner, boost=2.0), k=4000)
+    want = sorted(d for d, t in enumerate(tokens)
+                  if "merge" in t and "join" in t)
+    assert [h.gid for h in td.hits] == want
+    assert all(h.score == 2.0 for h in td.hits)
+    assert td.total_hits == len(want)
+    # constant score over a phrase
+    td2 = s.search(ConstantScoreQuery(PhraseQuery(("query", "data"))), k=4000)
+    want2 = sorted(d for d, t in enumerate(tokens)
+                   if any(t[i:i + 2] == ["query", "data"] for i in range(len(t) - 1)))
+    assert [h.gid for h in td2.hits] == want2
