@@ -68,10 +68,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scan_count": bm25scan.bm25_scan_count,
         "index_term_dictionary": index_term_dictionary,
         "index_bm25_topk": index_bm25_topk,
+        "index_bm25_sql_topk": _index_bm25_sql_topk,
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
         "percolate": _percolate,
         "media_features": _media_features,
     }
+
+
+def _index_bm25_sql_topk(sf_dir):
+    from lucene_ray.pipelines.flagship import index_bm25_sql_topk
+
+    return index_bm25_sql_topk(sf_dir)
 
 
 def _percolate(sf_dir):
@@ -205,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(DISTINCT doc_id)::INT AS df,
                    count(*)::BIGINT AS ttf
             FROM tokens GROUP BY term ORDER BY term""",
+        "index_bm25_sql_topk": _index_bm25_oracle_sql(),
         "percolate": _TOKS + " " + _percolate_sql(),
         "media_features": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
@@ -213,6 +221,12 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash_pairs,
         # ngram_jaccard, knn_lsh, index_bm25_topk
     }
+
+
+def _index_bm25_oracle_sql() -> str:
+    from lucene_ray.pipelines.flagship import index_bm25_oracle_sql
+
+    return index_bm25_oracle_sql()
 
 
 def _percolate_sql() -> str:

@@ -74,6 +74,69 @@ def index_bm25_topk(sf_dir: str, use_actors: bool = False) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
 
 
+BM25_SQL_TERMS = ("merge", "join")
+BM25_SQL_K = 20
+
+
+def index_bm25_sql_topk(sf_dir: str) -> pd.DataFrame:
+    """Index-backed BM25 top-k with an exact DuckDB oracle: the oracle embeds
+    the SmallFloat norm quantization table, so the full engine chain
+    (analyze → norm byte → BM25 float32) is value-checked against SQL to
+    4 decimals.  (rank, conv_id, turn_idx, score)."""
+    from ..search.query import bool_query
+
+    index_dir = build_transcript_index(sf_dir)
+    searcher = IndexSearcher(index_dir)
+    td = searcher.search(bool_query(should=list(BM25_SQL_TERMS)), k=BM25_SQL_K)
+    rows = [(r, h.conv_id, int(h.turn_idx), round(float(h.score), 4))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+def index_bm25_oracle_sql() -> str:
+    """DuckDB twin of index_bm25_sql_topk (shares only constants, no code)."""
+    import numpy as np
+
+    from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    # norm quantization: raw length -> decoded length, for every length that
+    # can occur in this corpus (<= 1024)
+    pairs = []
+    for n in range(0, 1025):
+        dec = float(LENGTH_TABLE[int(int_to_byte4(np.int64(n)))])
+        pairs.append(f"({n},{dec})")
+    qmap = ",".join(pairs)
+    terms = BM25_SQL_TERMS
+    tf_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{t}' AS term, len(list_filter(toks, x -> x = '{t}')) AS tf FROM toklists"
+        for t in terms)
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents),
+        normmap(n, dec) AS (VALUES {qmap}),
+        dl AS (SELECT t.doc_id, len(t.toks) AS raw_dl, m.dec AS dl
+               FROM toklists t JOIN normmap m ON m.n = len(t.toks)),
+        stats AS (SELECT count(*) AS n_docs,
+                         sum(raw_dl) * 1.0 / count(*) AS avgdl FROM dl),
+        tf AS ({tf_union}),
+        df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf, stats, df, dl
+          WHERE tf.term = df.term AND tf.doc_id = dl.doc_id AND tf.tf > 0
+          GROUP BY tf.doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_SQL_K}"""
+
+
 def index_term_dictionary(sf_dir: str) -> pd.DataFrame:
     """Global merged term statistics from the index (term, df, ttf) — the
     groupby-on-term shuffle output, SQL-checkable against tokenizing
