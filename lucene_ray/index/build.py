@@ -170,6 +170,13 @@ def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
     """
     import ray
 
+    def _compact(tbl: pa.Table) -> pa.Table:
+        # CRITICAL: pickling a sliced Arrow table serializes the WHOLE parent
+        # buffer (P-fold write amplification through the object store);
+        # concat_arrays on the sliced chunks copies just the slice
+        return pa.table({name: pa.concat_arrays([c for c in tbl.column(name).chunks])
+                         for name in tbl.column_names})
+
     @ray.remote(num_returns=n_parts)
     def split_block(tbl: pa.Table):
         tagged = tag_pid(tbl)
@@ -178,7 +185,7 @@ def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
         sorted_tbl = tagged.take(pa.array(order))
         spid = pid[order]
         bounds = np.searchsorted(spid, np.arange(n_parts + 1))
-        out = [sorted_tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+        out = [_compact(sorted_tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p])))
                for p in range(n_parts)]
         return out if n_parts > 1 else out[0]
 
