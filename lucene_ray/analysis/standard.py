@@ -323,7 +323,7 @@ def tokenize_column(col):
         fast = s.set(~fast_mask, "")          # slow rows contribute 0 fast tokens
         toks = fast.str.to_lowercase().str.extract_all(_ASCII.pattern)
         lengths = toks.list.len().cast(pl.Int64).to_numpy().copy()
-        flat = toks.explode().drop_nulls()
+        flat = toks.explode(empty_as_null=True).drop_nulls()
         flat_pa = flat.to_arrow()
         slow_idx = np.nonzero(~fast_mask.to_numpy())[0]
     except Exception:
