@@ -23,7 +23,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_TURNS = int(os.environ.get("BENCH_TURNS", "300000"))
+N_TURNS = int(os.environ.get("BENCH_TURNS", "1000000"))
 
 
 def _corpus_path(n_turns: int) -> str:
@@ -115,6 +115,11 @@ def run_bench() -> dict:
             svc.search(q, k=k)
             lat.append(time.perf_counter() - tq)
     timings["query_total"] = time.perf_counter() - t0
+    # pipelined QPS (search_many keeps every actor busy)
+    qlist = [q for _, q, _ in QUERY_SET] * 10
+    t0 = time.perf_counter()
+    svc.search_many(qlist, k=10)
+    qps = len(qlist) / (time.perf_counter() - t0)
     svc.shutdown()
     lat.sort()
     p50 = lat[len(lat) // 2]
@@ -151,6 +156,7 @@ def run_bench() -> dict:
         "turns_per_sec": round(turns_per_sec, 1),
         "query_p50_ms": round(p50 * 1000, 2),
         "query_p99_ms": round(p99 * 1000, 2),
+        "query_qps_pipelined": round(qps, 1),
     }
 
 
