@@ -69,10 +69,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_term_dictionary": index_term_dictionary,
         "index_bm25_topk": index_bm25_topk,
         "index_bm25_sql_topk": _index_bm25_sql_topk,
+        "index_phrase_count": _lazy("index_phrase_count"),
+        "index_prefix_count": _lazy("index_prefix_count"),
+        "index_keyword_count": _lazy("index_keyword_count"),
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
         "percolate": _percolate,
         "media_features": _media_features,
     }
+
+
+def _lazy(name):
+    def call(sf_dir):
+        from lucene_ray.pipelines import flagship
+
+        return getattr(flagship, name)(sf_dir)
+    return call
 
 
 def _index_bm25_sql_topk(sf_dir):
@@ -213,6 +224,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS ttf
             FROM tokens GROUP BY term ORDER BY term""",
         "index_bm25_sql_topk": _index_bm25_oracle_sql(),
+        "index_phrase_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE len(toks) >= 2 AND len(list_filter(
+                generate_series(1, len(toks) - 1),
+                i -> toks[i] = 'merge' AND toks[i + 1] = 'join')) > 0""",
+        "index_prefix_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE len(list_filter(toks, t -> t LIKE 's%')) > 0""",
+        "index_keyword_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE doc_id % 4 = 0 AND list_contains(toks, 'merge')""",
         "percolate": _TOKS + " " + _percolate_sql(),
         "media_features": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -49,8 +49,33 @@ def build_transcript_index(sf_dir: str, index_dir: str | None = None,
     index_dir = index_dir or index_dir_for(sf_dir)
     ds = transcripts_from_documents(sf_dir)
     build_index(ds, index_dir, target_docs_per_partition=target_docs_per_partition,
-                input_desc=f"documents@{sf_dir}")
+                keyword_cols=("role", "tool"),
+                input_desc=f"documents@{sf_dir}+kw")
     return index_dir
+
+
+def index_phrase_count(sf_dir: str) -> pd.DataFrame:
+    """Exact-phrase doc count through the index (positions + intersection)."""
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n = searcher.count(PhraseQuery(("merge", "join")))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
+def index_prefix_count(sf_dir: str) -> pd.DataFrame:
+    """Prefix-expansion doc count through the index term dictionary."""
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n = searcher.count(PrefixQuery("s"))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
+def index_keyword_count(sf_dir: str) -> pd.DataFrame:
+    """Keyword FILTER + scoring term conjunction through the index."""
+    from ..index.shard import keyword_term
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n = searcher.count(bool_query(must=["merge"],
+                                  filter_=[keyword_term("role", "user")]))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
 
 
 def index_bm25_topk(sf_dir: str, use_actors: bool = False) -> pd.DataFrame:
