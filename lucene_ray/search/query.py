@@ -40,8 +40,9 @@ class PhraseQuery:
     slop: int = 0
 
     def __post_init__(self):
-        if self.slop != 0:
-            raise NotImplementedError("sloppy phrase matching not supported yet")
+        if self.slop > 0 and len(set(self.terms)) != len(self.terms):
+            raise NotImplementedError(
+                "sloppy matching with repeating terms not supported yet")
 
 
 @dataclass(frozen=True)

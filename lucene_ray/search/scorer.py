@@ -341,3 +341,102 @@ def search_shard_dismax(reader, sub, tie: np.float32, k: int, after=None):
     total = int(len(cand))
     sc, cand = _top_k(sc.astype(np.float32), cand, k)
     return sc, cand, total, RELATION_EQ
+
+
+def sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> np.float32:
+    """SloppyPhraseMatcher greedy traversal for NON-REPEATING phrase terms
+    (`search/SloppyPhraseMatcher.java:174-205` nextMatch + PhraseScorer freq
+    accumulation): pos_lists[i] holds term i's in-doc positions ALREADY
+    shifted by the phrase offset (position - i); each match with
+    matchLength = maxpos - minpos contributes 1/(1+matchLength), float32.
+
+    Matches the reference's greedy enumeration exactly, including its
+    documented asymmetries (not every valid combination is counted)."""
+    import heapq
+
+    k = len(pos_lists)
+    idx = [0] * k
+    pos = [int(p[0]) for p in pos_lists]
+    end = max(pos)
+    # heap ordered by (position, phrase offset, ord) — PhraseQueue.lessThan
+    heap = [(pos[i], i, i) for i in range(k)]
+    heapq.heapify(heap)
+    freq = np.float32(0.0)
+    one = np.float32(1.0)
+
+    def advance(i):
+        nonlocal end
+        idx[i] += 1
+        if idx[i] >= len(pos_lists[i]):
+            return False
+        pos[i] = int(pos_lists[i][idx[i]])
+        if pos[i] > end:
+            end = pos[i]
+        return True
+
+    _, _, cur = heapq.heappop(heap)
+    match_length = end - pos[cur]
+    nxt = heap[0][0]
+    while True:
+        if not advance(cur):
+            break
+        if pos[cur] > nxt:
+            heapq.heappush(heap, (pos[cur], cur, cur))
+            if match_length <= slop:
+                freq = freq + one / (one + np.float32(match_length))
+            _, _, cur = heapq.heappop(heap)
+            nxt = heap[0][0]
+            match_length = end - pos[cur]
+        else:
+            ml2 = end - pos[cur]
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq = freq + one / (one + np.float32(match_length))
+    return freq
+
+
+def search_shard_phrase_sloppy(reader, terms: list[str], slop: int, scorer,
+                               k: int, after=None):
+    """Sloppy phrase over one shard: conjunction of the terms' postings, then
+    the greedy matcher per candidate doc; scored like a term with the summed
+    idf weight and float sloppy freq."""
+    tids, posting = [], []
+    for t in terms:
+        tid = reader.seek_exact(t)
+        if tid < 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+        docs, freqs = reader.postings(tid)
+        pos = reader.positions(tid, freqs)
+        pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+        posting.append((docs, freqs, pos, pb))
+        tids.append(tid)
+    common = posting[0][0]
+    for docs, _, _, _ in posting[1:]:
+        common = np.intersect1d(common, docs, assume_unique=True)
+    if len(common) == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+
+    out_docs, out_freqs = [], []
+    for d in common:
+        pls = []
+        for i, (docs, freqs, pos, pb) in enumerate(posting):
+            j = int(np.searchsorted(docs, d))
+            pl = pos[int(pb[j]):int(pb[j + 1])].astype(np.int64) - i
+            pls.append(pl)
+        f = sloppy_freq(pls, slop)
+        if f > 0:
+            out_docs.append(int(d))
+            out_freqs.append(f)
+    if not out_docs:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    pdocs = np.array(out_docs, dtype=np.int32)
+    pfreq = np.array(out_freqs, dtype=np.float32)
+    scores = scorer.score(pfreq, reader.norms[pdocs])
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (scores < a_s) | ((scores == a_s) & (pdocs.astype(np.int64) > a_d))
+        pdocs, scores = pdocs[keep], scores[keep]
+    total = int(len(pdocs))
+    scores, pdocs = _top_k(scores, pdocs, k)
+    return scores, pdocs, total, RELATION_EQ

@@ -192,7 +192,7 @@ class IndexSearcher:
                                               self.doc_count, self.sum_ttf)
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
-                    "phrase": (list(query.terms), scorer)}
+                    "phrase": (list(query.terms), scorer, int(query.slop))}
         scoring, filters, must_nots = [], [], []
         n_required = 0
         for c in query.clauses:
@@ -234,7 +234,11 @@ class IndexSearcher:
             docs = np.arange(min(k, rdr.doc_count), dtype=np.int32)
             return np.ones(len(docs), np.float32), docs, rdr.doc_count, RELATION_EQ
         if compiled.get("phrase"):
-            terms, scorer = compiled["phrase"]
+            terms, scorer, slop = compiled["phrase"]
+            if slop > 0:
+                from .scorer import search_shard_phrase_sloppy
+
+                return search_shard_phrase_sloppy(rdr, terms, slop, scorer, k, after=after)
             return search_shard_phrase(rdr, terms, scorer, k, after=after)
         if compiled.get("const_terms") is not None:
             from .scorer import search_shard_const
