@@ -211,6 +211,9 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         shutil.rmtree(tmp_dir)
     os.makedirs(tmp_dir)
 
+    if table.num_rows >= 2**31 - 128:      # IndexWriter.MAX_DOCS-style cap
+        raise ValueError("partition exceeds int32 local docID space; lower "
+                         "target_docs_per_partition")
     table = table.sort_by([(key_cols[0], "ascending"), (key_cols[1], "ascending")])
     lengths, flat = tokenize_column(table.column(text_col))
     terms, term_starts, doc_of, freq, positions = invert_flat(flat, lengths)

@@ -150,3 +150,70 @@ def extract_terms(q) -> list[TermQuery]:
     if isinstance(q, BooleanQuery):
         return [c.query for c in q.clauses]
     return []
+
+
+def parse_classic(text: str, field: str = "text"):
+    """Classic-QueryParser-subset syntax (`queryparser/classic/QueryParser.java`
+    surface, re-implemented):
+
+        +term      -> MUST          -term      -> MUST_NOT
+        term       -> SHOULD        "a b"      -> PhraseQuery
+        "a b"~2    -> sloppy phrase  term~1     -> FuzzyQuery(max_edits)
+        pre*       -> PrefixQuery    w?ld*card  -> WildcardQuery
+        term^2.5   -> boost
+
+    Whitespace-separated clauses; free text falls back to analyzed SHOULD
+    terms (QueryParserBase.parse default-field behavior)."""
+    import re as _re
+
+    from ..analysis.standard import analyze
+
+    clause_pat = _re.compile(
+        r'([+-]?)(?:"([^"]*)"(?:~(\d+))?|(\S+))')
+    clauses = []
+    for sign, phrase, slop, word in clause_pat.findall(text):
+        occur = MUST if sign == "+" else MUST_NOT if sign == "-" else SHOULD
+        if phrase:
+            terms = tuple(analyze(phrase))
+            if not terms:
+                continue
+            q = PhraseQuery(terms, field, slop=int(slop) if slop else 0) \
+                if len(terms) > 1 else TermQuery(terms[0], field)
+            clauses.append((q, occur))
+            continue
+        boost = 1.0
+        m = _re.fullmatch(r"(.*)\^(\d+(?:\.\d+)?)", word)
+        if m:
+            word, boost = m.group(1), float(m.group(2))
+        m = _re.fullmatch(r"(.*)~(\d+)", word)
+        if m:
+            clauses.append((FuzzyQuery(analyze(m.group(1))[0], max_edits=int(m.group(2)),
+                                       field=field, boost=boost), occur))
+            continue
+        if "*" in word or "?" in word:
+            if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
+                clauses.append((PrefixQuery(word[:-1].lower(), field, boost), occur))
+            else:
+                clauses.append((WildcardQuery(word.lower(), field, boost), occur))
+            continue
+        for t in analyze(word):
+            clauses.append((TermQuery(t, field, boost), occur))
+    if len(clauses) == 1 and clauses[0][1] == SHOULD:
+        return clauses[0][0]
+    # non-term clauses can't nest in our BooleanQuery yet: wrap by rewriting
+    # MultiTerm/Phrase SHOULD-only combinations via dedicated queries
+    if all(isinstance(q, TermQuery) for q, _ in clauses):
+        return BooleanQuery(tuple(BooleanClause(q, o) for q, o in clauses))
+    if len(clauses) == 1:
+        q, o = clauses[0]
+        if o == SHOULD:
+            return q
+    # fall back: keep only the first non-boolean-compatible clause semantics
+    term_clauses = [(q, o) for q, o in clauses if isinstance(q, TermQuery)]
+    others = [(q, o) for q, o in clauses if not isinstance(q, TermQuery)]
+    if not term_clauses and len(others) == 1:
+        return others[0][0]
+    if others:
+        raise NotImplementedError(
+            "mixing phrase/multiterm clauses with boolean clauses is not supported yet")
+    return BooleanQuery(tuple(BooleanClause(q, o) for q, o in term_clauses))
