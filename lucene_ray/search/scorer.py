@@ -120,11 +120,23 @@ class _TermState:
         self.skip_offs = so
         self.skip_last = sl
         self.n_blocks = len(so)
-        # per-block max score from impact skylines (MaxScoreCache equivalent)
-        bounds = np.concatenate(([0], np.cumsum(ic)))
-        self.block_max = np.array(
-            [scorer.max_score(if_[bounds[i]:bounds[i + 1]], in_[bounds[i]:bounds[i + 1]])
-             for i in range(len(ic))], dtype=np.float32)
+        # per-block max score from impact skylines (MaxScoreCache equivalent),
+        # fully vectorized: score is monotone in freq * cache[norm], so pick
+        # the argmax pair per block with one segmented reduce, then score all
+        # selected pairs in one float32 call
+        if len(if_):
+            fninv = if_.astype(np.float32) * scorer.cache[in_.astype(np.int64) & 0xFF]
+            block_of = np.repeat(np.arange(len(ic)), ic)
+            best = np.full(len(ic), -np.inf, dtype=np.float32)
+            np.maximum.at(best, block_of, fninv)
+            # index of a pair achieving the block max
+            is_best = fninv == best[block_of]
+            first_best = np.zeros(len(ic), dtype=np.int64)
+            idxs = np.nonzero(is_best)[0]
+            first_best[block_of[idxs][::-1]] = idxs[::-1]   # keep first per block
+            self.block_max = scorer.score(if_[first_best], in_[first_best])
+        else:
+            self.block_max = np.zeros(0, dtype=np.float32)
         self.payload = reader.payload(tid)
         self.bi = 0
         self.prev_last = -1
