@@ -252,11 +252,17 @@ def fast_tokens(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH) -> 
         else:
             cur, end = m.start(), m.end()
             while cur < end:
-                mm = pat.match(text, cur)
+                # match against a bounded window: re-lexing a giant run with
+                # an unbounded match would be O(n^2) in the run length
+                win = text[cur:min(end, cur + max_token_length + 64)]
+                mm = pat.match(win)
                 if mm is None:
                     cur += 1
                     continue
-                cut = min(mm.end(), cur + max_token_length)
+                if mm.end() == len(win) and cur + len(win) < end:
+                    cut = cur + max_token_length       # token continues: chop
+                else:
+                    cut = cur + min(mm.end(), max_token_length)
                 append(text[cur:cut])
                 cur = cut
     return out

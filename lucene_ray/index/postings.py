@@ -74,7 +74,9 @@ def vint_encode(vals: np.ndarray) -> bytes:
         return b""
     nb = np.maximum((_bit_length(v) + 6) // 7, 1)
     maxb = int(nb.max())
-    cols = np.stack([((v >> np.uint64(7 * i)) & np.uint64(0x7F)) for i in range(maxb)], axis=1).astype(np.uint8)
+    cols = np.empty((len(v), maxb), dtype=np.uint8)
+    for i in range(maxb):
+        cols[:, i] = ((v >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
     idx = np.arange(maxb)
     cols |= ((idx[None, :] < (nb[:, None] - 1)) * 0x80).astype(np.uint8)
     mask = idx[None, :] < nb[:, None]
@@ -107,10 +109,9 @@ def pfor_encode(vals: np.ndarray) -> bytes:
     """Encode one full block of BLOCK_SIZE positive ints."""
     assert len(vals) == BLOCK_SIZE
     v = vals.astype(np.uint64).copy()
-    order = np.argsort(v, kind="stable")
-    top_idx = order[-(MAX_EXCEPTIONS + 1):]          # the 8 largest
-    top_value = int(v[top_idx[0]])                   # 8th largest
-    max_bits = int(v[top_idx[-1]]).bit_length()
+    top8 = np.partition(v, BLOCK_SIZE - (MAX_EXCEPTIONS + 1))[-(MAX_EXCEPTIONS + 1):]
+    top_value = int(top8.min())                      # 8th largest
+    max_bits = int(top8.max()).bit_length()
     patched_bits = max(top_value.bit_length(), max_bits - 8)
     max_unpatched = (1 << patched_bits) - 1
 
@@ -121,9 +122,14 @@ def pfor_encode(vals: np.ndarray) -> bytes:
 
     out = bytearray()
     if np.all(v == v[0]) and max_bits <= 8:
-        # all-equal short-circuit: token bits=0, value as vint
+        # all-equal short-circuit: token bits=0, value as vint (inline — the
+        # patched value fits 8 bits, so at most 2 vint bytes)
         out.append(len(exc_pos) << 5)
-        out += vint_encode(np.array([v[0]], dtype=np.uint64))
+        val = int(v[0])
+        while val >= 0x80:
+            out.append((val & 0x7F) | 0x80)
+            val >>= 7
+        out.append(val)
         # exceptions store the full shifted value in this mode
         exc_high = (exc_high.astype(np.uint64) << np.uint64(patched_bits)).astype(np.uint8)
     else:
