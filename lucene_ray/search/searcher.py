@@ -448,3 +448,29 @@ def _local_after(after, base):
     if after is None:
         return None
     return (after[0], after[1] - base)
+
+
+def suggest(searcher: "IndexSearcher", prefix: str, k: int = 10) -> list[tuple[str, int]]:
+    """Prefix suggester over the term dictionary weighted by total term
+    frequency (the `suggest` module's analyzing-prefix surface, backed by the
+    merged stats table instead of a dedicated FST).  Returns [(term, ttf)]
+    by weight desc, term asc."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+    import os as _os
+
+    terms = searcher._sorted_terms()
+    lo = int(np.searchsorted(terms, prefix))
+    hi = int(np.searchsorted(terms, prefix + "￿"))
+    cands = terms[lo:hi].tolist()
+    if not cands:
+        return []
+    ttfs = {}
+    for p in sorted(_glob.glob(_os.path.join(searcher.index_dir, "term_stats", "*.parquet"))):
+        t = pq.read_table(p, columns=["term", "ttf"])
+        for term, ttf in zip(t.column("term").to_pylist(), t.column("ttf").to_pylist()):
+            if term in ttfs or not term.startswith(prefix):
+                continue
+            ttfs[term] = int(ttf)
+    ranked = sorted(((t, ttfs.get(t, 0)) for t in cands), key=lambda x: (-x[1], x[0]))
+    return ranked[:k]

@@ -97,3 +97,16 @@ def test_constant_score(setup):
     want2 = sorted(d for d, t in enumerate(tokens)
                    if any(t[i:i + 2] == ["query", "data"] for i in range(len(t) - 1)))
     assert [h.gid for h in td2.hits] == want2
+
+
+def test_suggest(setup):
+    from lucene_ray.search.searcher import suggest
+
+    s, tokens = setup
+    out = suggest(s, "quer", k=5)
+    assert out and out[0][0] == "query"
+    want_ttf = sum(t.count("query") for t in tokens)
+    assert out[0][1] == want_ttf
+    # weight-desc, term-asc deterministic order
+    assert all(out[i][1] >= out[i + 1][1] for i in range(len(out) - 1))
+    assert suggest(s, "zzznope") == []
