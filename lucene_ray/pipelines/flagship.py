@@ -170,7 +170,10 @@ def index_term_dictionary(sf_dir: str) -> pd.DataFrame:
 
     import pyarrow.parquet as pq
 
+    from ..index.shard import KEYWORD_SEP
+
     index_dir = build_transcript_index(sf_dir)
     parts = sorted(glob.glob(os.path.join(index_dir, "term_stats", "*.parquet")))
     df = pd.concat([pq.read_table(p).to_pandas() for p in parts], ignore_index=True)
+    df = df[~df["term"].str.contains(KEYWORD_SEP)]       # text field only
     return df.sort_values("term").reset_index(drop=True)[["term", "df", "ttf"]]
