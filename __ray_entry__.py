@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_term_dictionary": index_term_dictionary,
         "index_bm25_topk": index_bm25_topk,
         "index_bm25_sql_topk": _index_bm25_sql_topk,
+        "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS ttf
             FROM tokens GROUP BY term ORDER BY term""",
         "index_bm25_sql_topk": _index_bm25_oracle_sql(),
+        "index_bm25_bool_sql": _index_bool_oracle_sql(),
         "index_phrase_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE len(toks) >= 2 AND len(list_filter(
@@ -249,6 +251,12 @@ def _index_bm25_oracle_sql() -> str:
     from lucene_ray.pipelines.flagship import index_bm25_oracle_sql
 
     return index_bm25_oracle_sql()
+
+
+def _index_bool_oracle_sql() -> str:
+    from lucene_ray.pipelines.flagship import index_bool_oracle_sql
+
+    return index_bool_oracle_sql()
 
 
 def _percolate_sql() -> str:

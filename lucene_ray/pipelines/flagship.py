@@ -162,6 +162,65 @@ def index_bm25_oracle_sql() -> str:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_SQL_K}"""
 
 
+BOOL_SQL_MUST = ("merge", "join")
+BOOL_SQL_NOT = ("window",)
+
+
+def index_bm25_bool_sql(sf_dir: str) -> pd.DataFrame:
+    """Boolean MUST + MUST_NOT scoring through the index, SQL-value-checked:
+    docs containing ALL of BOOL_SQL_MUST and none of BOOL_SQL_NOT, scored by
+    the sum of the MUST terms' BM25 contributions."""
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    td = searcher.search(bool_query(must=list(BOOL_SQL_MUST),
+                                    must_not=list(BOOL_SQL_NOT)), k=BM25_SQL_K)
+    rows = [(r, h.conv_id, int(h.turn_idx), round(float(h.score), 4))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+def index_bool_oracle_sql() -> str:
+    import numpy as np
+
+    from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    pairs = ",".join(f"({n},{float(LENGTH_TABLE[int(int_to_byte4(np.int64(n)))])})"
+                     for n in range(0, 1025))
+    must, must_not = BOOL_SQL_MUST, BOOL_SQL_NOT
+    tf_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{t}' AS term, len(list_filter(toks, x -> x = '{t}')) AS tf FROM toklists"
+        for t in must)
+    notcond = " AND ".join(f"NOT list_contains(t.toks, '{t}')" for t in must_not)
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents),
+        normmap(n, dec) AS (VALUES {pairs}),
+        dl AS (SELECT t.doc_id, len(t.toks) AS raw_dl, m.dec AS dl
+               FROM toklists t JOIN normmap m ON m.n = len(t.toks)),
+        stats AS (SELECT count(*) AS n_docs,
+                         sum(raw_dl) * 1.0 / count(*) AS avgdl FROM dl),
+        tf AS ({tf_union}),
+        df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
+        eligible AS (SELECT doc_id FROM toklists t
+                     WHERE {" AND ".join(f"list_contains(t.toks, '{t}')" for t in must)}
+                       AND {notcond}),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf, stats, df, dl
+          WHERE tf.term = df.term AND tf.doc_id = dl.doc_id AND tf.tf > 0
+            AND tf.doc_id IN (SELECT doc_id FROM eligible)
+          GROUP BY tf.doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_SQL_K}"""
+
+
 def index_term_dictionary(sf_dir: str) -> pd.DataFrame:
     """Global merged term statistics from the index (term, df, ttf) — the
     groupby-on-term shuffle output, SQL-checkable against tokenizing
