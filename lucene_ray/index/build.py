@@ -178,9 +178,9 @@ def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
                          for name in tbl.column_names})
 
     @ray.remote(num_returns=n_parts)
-    def split_block(tbl: pa.Table):
-        tagged = tag_pid(tbl)
-        pid = tagged.column("pid").to_numpy()
+    def split_blocks(*tbls):
+        tagged = pa.concat_tables([tag_pid(t) for t in tbls])
+        pid = tagged.column("pid").to_numpy(zero_copy_only=False)
         order = np.argsort(pid, kind="stable")
         sorted_tbl = tagged.take(pa.array(order))
         spid = pid[order]
@@ -199,14 +199,19 @@ def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
                            text_col=text_col, key_cols=key_cols,
                            keyword_cols=keyword_cols)
 
+    block_refs = [br for bundle in ds.iter_internal_ref_bundles()
+                  for br in bundle.block_refs]
+    # several blocks per split task: fewer (task, object) overheads while
+    # keeping enough tasks to fill the CPU pool
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    per_task = max(1, len(block_refs) // (2 * n_cpus))
     per_pid: list[list] = [[] for _ in range(n_parts)]
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            refs = split_block.remote(block_ref)
-            if n_parts == 1:
-                refs = [refs]
-            for p, r in enumerate(refs):
-                per_pid[p].append(r)
+    for i in range(0, len(block_refs), per_task):
+        refs = split_blocks.remote(*block_refs[i:i + per_task])
+        if n_parts == 1:
+            refs = [refs]
+        for p, r in enumerate(refs):
+            per_pid[p].append(r)
     futs = [flush.remote(p, *per_pid[p]) for p in range(n_parts)]
     return [m for m in ray.get(futs) if m is not None]
 
