@@ -357,3 +357,4 @@ def decode_list(buf, df: int, skip_offs: np.ndarray) -> tuple[np.ndarray, np.nda
         all_freqs[n_full * BLOCK_SIZE:] = f.astype(np.int64)
     doc_ids = np.cumsum(all_deltas) - 1
     return doc_ids.astype(np.int32), all_freqs.astype(np.int32)
+
