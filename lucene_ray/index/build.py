@@ -146,6 +146,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "input_desc": input_desc,
         "split_points": split_points,
         "key_cols": list(key_cols),
+        "keyword_cols": list(keyword_cols),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -256,6 +257,8 @@ def merge_term_stats(index_dir: str, commit: dict, n_salts: int = 16) -> str:
             return pq.read_table(p, columns=["term", "df", "ttf"])
 
         parts = ray.get([read_terms.remote(p) for p in paths])
+        schema = pa.schema([("term", pa.string()), ("df", pa.int32()), ("ttf", pa.int64())])
+        parts = [t.cast(schema) for t in parts]
         merged = pa.concat_tables(parts).group_by("term").aggregate(
             [("df", "sum"), ("ttf", "sum")])
         merged = merged.rename_columns(["term", "df", "ttf"])
@@ -289,7 +292,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
                  target_docs_per_partition: int = 200_000,
                  text_col: str = "text",
                  key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
-                 keyword_cols: tuple[str, ...] = (),
+                 keyword_cols: tuple[str, ...] | None = None,
                  merge_stats: bool = True) -> dict:
     """Incremental build: index NEW rows as additional shards and publish a
     new commit generation containing old + new (the near-real-time refresh
@@ -304,6 +307,10 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         return build_index(ds, index_dir, target_docs_per_partition=target_docs_per_partition,
                            text_col=text_col, key_cols=key_cols, keyword_cols=keyword_cols,
                            input_desc=input_desc, merge_stats=merge_stats)
+    if keyword_cols is None:
+        # inherit the existing index's keyword fields — appending without them
+        # would leave keyword filters silently blind to the new docs
+        keyword_cols = tuple(prev.get("keyword_cols", ()))
     pid_offset = 1 + max(m["pid"] for m in prev["shards"])
 
     n_total = ds.count()
@@ -342,7 +349,8 @@ def append_index(ds, index_dir: str, *, input_desc: str,
     commit = mf.commit_index(index_dir, all_shards, {
         "fingerprint": fp, "input_desc": input_desc,
         "split_points": prev.get("split_points", []) + split_points,
-        "key_cols": list(key_cols), "text_col": text_col,
+        "key_cols": list(key_cols), "keyword_cols": list(keyword_cols),
+        "text_col": text_col,
         "format": FORMAT_VERSION,
     })
     if merge_stats:

@@ -220,6 +220,9 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     if keyword_cols:
         terms, term_starts, doc_of, freq, positions = _append_keyword_postings(
             terms, term_starts, doc_of, freq, positions, table, keyword_cols)
+    # normalize the dictionary type: the polars fast path yields large_string,
+    # the keyword merge yields string — shards must agree for stats concat
+    terms = pa.compute.cast(terms, pa.string())
     n_docs = table.num_rows
     norms = int_to_byte4(lengths.astype(np.int64))
 
