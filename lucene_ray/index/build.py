@@ -293,7 +293,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
                  text_col: str = "text",
                  key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
                  keyword_cols: tuple[str, ...] | None = None,
-                 merge_stats: bool = True) -> dict:
+                 merge_stats: bool = True, update: bool = False) -> dict:
     """Incremental build: index NEW rows as additional shards and publish a
     new commit generation containing old + new (the near-real-time refresh
     model, `DirectoryReader.openIfChanged` / segment append — SURVEY §2.10).
@@ -301,6 +301,13 @@ def append_index(ds, index_dir: str, *, input_desc: str,
     Appended docs get doc bases AFTER all existing docs (arrival order, like
     Lucene segment docIDs), so global ordering is (existing corpus order,
     then appended corpus order) — not a re-sort of the union.
+
+    ``update=True`` gives updateDocument semantics (delete-by-term + add,
+    `index/IndexWriter.java:1517`): after the appended shards commit, any
+    OLDER doc sharing an appended (conv_id, turn_idx) key is marked deleted
+    via the live-docs sidecar (a second commit generation; a crash between
+    the two commits leaves duplicates visible, unlike the reference's
+    single-IW-lock atomicity — rerun the delete to converge).
     """
     prev = mf.latest_commit(index_dir)
     if prev is None:
@@ -353,6 +360,17 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
+    if update:
+        import pyarrow.parquet as pq
+
+        from .deletes import delete_by_keys
+
+        new_pids = sorted(m["pid"] for m in commit["shards"] if m["pid"] >= pid_offset)
+        keys = pa.concat_tables([
+            pq.read_table(os.path.join(shards_dir, f"shard-{p:05d}", "docmap.parquet"))
+            for p in new_pids])
+        commit = delete_by_keys(index_dir, keys, key_cols=key_cols,
+                                only_pids={m["pid"] for m in prev["shards"]})
     if merge_stats:
         merge_term_stats(index_dir, commit)
     return commit

@@ -1,0 +1,88 @@
+"""Live-docs deletions — the `Lucene90LiveDocsFormat` re-expression
+(`codecs/lucene90/Lucene90LiveDocsFormat.java:49,82-102` + the buffered
+delete-by-term path `index/DocumentsWriterDeleteQueue.java`):
+
+Shard directories stay immutable; deletions live in generational sidecar
+bitmaps under ``index_dir/deletes/shard-{pid}-gen{g}.npy`` referenced from
+the commit (``del_file`` / ``del_count`` per shard).  Query execution masks
+deleted docs; collection/term statistics intentionally KEEP counting deleted
+docs until a rewrite/merge — exactly the reference's behavior (stats are
+per-segment and only shrink when segments merge).
+
+``delete_by_keys`` is the delete-by-term primitive; ``append_index(...,
+update=True)`` composes it into updateDocument semantics (delete old docs
+with the same (conv_id, turn_idx), then the appended shards supply the new
+versions).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .manifest import commit_index, latest_commit
+
+
+def delete_by_keys(index_dir: str, keys: pa.Table, *,
+                   key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+                   only_pids: set[int] | None = None) -> dict:
+    """Mark every doc whose (conv_id, turn_idx) appears in `keys` as deleted;
+    publishes a new commit generation.  Returns the new commit.
+
+    One Ray task per shard joins the key set against the shard's docmap and
+    writes the next-generation bitmap; the key table is broadcast via the
+    object store (small side of a semi-join).
+    """
+    import ray
+
+    commit = latest_commit(index_dir)
+    if commit is None:
+        raise FileNotFoundError(index_dir)
+    del_dir = os.path.join(index_dir, "deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    keys_ref = ray.put(keys.select(list(key_cols)))
+
+    @ray.remote
+    def mark(shard_dir: str, pid: int, doc_count: int, old_del, gen: int):
+        import pyarrow.parquet as pq
+
+        keys = ray.get(keys_ref)
+        dm = pq.read_table(os.path.join(shard_dir, "docmap.parquet"))
+        dm = dm.append_column("_lid", pa.array(np.arange(dm.num_rows), type=pa.int64()))
+        hit = dm.join(keys, keys=list(key_cols), join_type="inner")
+        deleted = np.zeros(doc_count, dtype=bool)
+        if old_del and os.path.exists(old_del):
+            deleted |= np.load(old_del)
+        if hit.num_rows:
+            deleted[hit.column("_lid").to_numpy()] = True
+        n = int(deleted.sum())
+        path = os.path.join(del_dir, f"shard-{pid:05d}-gen{gen}.npy")
+        if n:
+            np.save(path, deleted)
+            return n, path
+        return 0, None
+
+    gen = commit["generation"] + 1
+    futs = []
+    for m in commit["shards"]:
+        if only_pids is not None and m["pid"] not in only_pids:
+            futs.append(None)
+            continue
+        shard_dir = os.path.join(index_dir, "shards", f"shard-{m['pid']:05d}")
+        futs.append(mark.remote(shard_dir, m["pid"], m["doc_count"],
+                                m.get("del_file"), gen))
+    new_shards = []
+    for m, f in zip(commit["shards"], futs):
+        m = dict(m)
+        if f is not None:
+            n, path = ray.get(f)
+            if path is not None:
+                m["del_count"] = n
+                m["del_file"] = path
+        new_shards.append(m)
+    meta = {k: commit[k] for k in ("fingerprint", "input_desc", "split_points",
+                                   "key_cols", "keyword_cols", "text_col", "format")
+            if k in commit}
+    return commit_index(index_dir, new_shards, meta)

@@ -422,6 +422,14 @@ class ShardReader:
         self.norms = np.memmap(os.path.join(shard_dir, NORMS_FILE), dtype=np.uint8, mode="r") \
             if self.doc_count else np.zeros(0, dtype=np.uint8)
         self._docmap = None
+        self.deleted = None          # optional live-docs mask (set by searcher)
+
+    def set_deletes(self, path: str | None):
+        """Attach a generational live-docs sidecar (commit-referenced)."""
+        if path and os.path.exists(path):
+            self.deleted = np.load(path)
+        else:
+            self.deleted = None
 
     @property
     def n_terms(self) -> int:

@@ -96,6 +96,9 @@ def search_shard_exhaustive(reader, compiled, k: int, after=None):
             eligible = eligible.copy()
             eligible[docs] = False
 
+    if reader.deleted is not None:
+        eligible = eligible & ~reader.deleted
+
     cand = np.nonzero(eligible)[0].astype(np.int32)
     sc = acc[cand]
     if after is not None:
@@ -249,6 +252,8 @@ class BlockMaxWand:
                         sel = nmatch == len(self.states)
                     else:
                         sel = nmatch >= self.msm
+                    if self.reader.deleted is not None:
+                        sel = sel & ~self.reader.deleted[udocs]
                     udocs, usum = udocs[sel], usum[sel]
                     if after is not None:
                         a_s, a_d = np.float32(after[0]), after[1]
@@ -298,6 +303,9 @@ def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
             return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
     pdocs, pfreq = np.unique(inter >> np.int64(33), return_counts=True)
     pdocs = pdocs.astype(np.int32)
+    if reader.deleted is not None:
+        live = ~reader.deleted[pdocs]
+        pdocs, pfreq = pdocs[live], pfreq[live]
     scores = scorer.score(pfreq.astype(np.float32), reader.norms[pdocs])
     if after is not None:
         a_s, a_d = np.float32(after[0]), after[1]
@@ -318,6 +326,8 @@ def search_shard_const(reader, terms: list[str], boost: float, k: int, after=Non
         if tid >= 0:
             docs, _ = reader.postings(tid)
             matched[docs] = True
+    if reader.deleted is not None:
+        matched &= ~reader.deleted
     cand = np.nonzero(matched)[0].astype(np.int32)
     sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
     if after is not None:
@@ -344,6 +354,8 @@ def search_shard_dismax(reader, sub, tie: np.float32, k: int, after=None):
         np.maximum.at(acc_max, docs, s)
         acc_sum[docs] += s
         matched[docs] = True
+    if reader.deleted is not None:
+        matched &= ~reader.deleted
     cand = np.nonzero(matched)[0].astype(np.int32)
     sc = acc_max[cand] + tie * (acc_sum[cand] - acc_max[cand])
     if after is not None:
@@ -426,6 +438,8 @@ def search_shard_phrase_sloppy(reader, terms: list[str], slop: int, scorer,
     common = posting[0][0]
     for docs, _, _, _ in posting[1:]:
         common = np.intersect1d(common, docs, assume_unique=True)
+    if reader.deleted is not None and len(common):
+        common = common[~reader.deleted[common]]
     if len(common) == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
 

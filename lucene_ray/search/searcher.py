@@ -72,6 +72,7 @@ class IndexSearcher:
         self._readers: dict[int, ShardReader] = {}
         self._pids = [m["pid"] for m in self.commit["shards"]]
         self._bases = {m["pid"]: int(m["doc_base"]) for m in self.commit["shards"]}
+        self._dels = {m["pid"]: m.get("del_file") for m in self.commit["shards"]}
         self._stats = None
 
     # ---- global stats ----
@@ -137,6 +138,7 @@ class IndexSearcher:
         r = self._readers.get(pid)
         if r is None:
             r = ShardReader(os.path.join(self.index_dir, "shards", f"shard-{pid:05d}"))
+            r.set_deletes(self._dels.get(pid))
             self._readers[pid] = r
         return r
 
@@ -231,6 +233,10 @@ class IndexSearcher:
     def search_shard(self, rdr, compiled, k, after=None,
                      total_hits_threshold: int = TOTAL_HITS_THRESHOLD):
         if compiled.get("match_all"):
+            if rdr.deleted is not None:
+                live = np.nonzero(~rdr.deleted)[0].astype(np.int32)
+                return (np.ones(min(k, len(live)), np.float32), live[:k],
+                        int(len(live)), RELATION_EQ)
             docs = np.arange(min(k, rdr.doc_count), dtype=np.int32)
             return np.ones(len(docs), np.float32), docs, rdr.doc_count, RELATION_EQ
         if compiled.get("phrase"):
@@ -379,7 +385,7 @@ class IndexSearcher:
         for pid in self._pids:
             rdr = self.reader(pid)
             if compiled.get("match_all"):
-                total += rdr.doc_count
+                total += rdr.doc_count - int(rdr.deleted.sum() if rdr.deleted is not None else 0)
                 continue
             _, _, t, _ = self.search_shard(rdr, compiled, 1,
                                            total_hits_threshold=2**31 - 1)
