@@ -85,6 +85,15 @@ class ConstantScoreQuery:
 
 
 @dataclass(frozen=True)
+class FieldExistsQuery:
+    """Matches docs that have any value for a keyword field
+    (`search/FieldExistsQuery.java` surface): rewritten to a prefix scan of
+    the field's keyword-term namespace, constant-score."""
+    field: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PrefixQuery:
     """Term-dictionary prefix expansion, rewritten to a constant-score union
     (`search/PrefixQuery.java` with CONSTANT_SCORE_REWRITE semantics: every

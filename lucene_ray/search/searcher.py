@@ -75,6 +75,26 @@ class IndexSearcher:
         self._dels = {m["pid"]: m.get("del_file") for m in self.commit["shards"]}
         self._stats = None
 
+    def refresh(self) -> bool:
+        """openIfChanged equivalent (`DirectoryReader.openIfChanged`): reload
+        the latest commit if a newer generation exists; returns True when the
+        view changed.  Shard readers for unchanged shards are kept (their
+        files are immutable); delete sidecars are re-attached."""
+        latest = latest_commit(self.index_dir)
+        if latest is None or latest["generation"] == self.commit["generation"]:
+            return False
+        self.commit = latest
+        self.doc_count = int(latest["doc_count_field"])
+        self.sum_ttf = int(latest["sum_ttf"])
+        self._pids = [m["pid"] for m in latest["shards"]]
+        self._bases = {m["pid"]: int(m["doc_base"]) for m in latest["shards"]}
+        self._dels = {m["pid"]: m.get("del_file") for m in latest["shards"]}
+        for pid, r in self._readers.items():
+            r.set_deletes(self._dels.get(pid))
+        self._stats = None
+        self._terms_sorted = None
+        return True
+
     # ---- global stats ----
     def _term_stats(self) -> dict[str, int]:
         """term -> global docFreq, from the salted-shuffle-merged stats table."""
@@ -176,6 +196,12 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "dismax": sub, "tie": np.float32(query.tie_breaker)}
+        from .query import FieldExistsQuery
+
+        if isinstance(query, FieldExistsQuery):
+            from ..index.shard import KEYWORD_SEP
+
+            query = PrefixQuery(f"{query.field}{KEYWORD_SEP}", boost=query.boost)
         if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--input", required=True, help="parquet file/dir of transcripts")
     ap.add_argument("--index", required=True, help="output index directory")
     ap.add_argument("--append", action="store_true", help="append to an existing index")
+    ap.add_argument("--update", action="store_true",
+                    help="with --append: updateDocument semantics (appended keys delete their older versions)")
     ap.add_argument("--target-docs", type=int, default=200_000)
     ap.add_argument("--keyword-cols", default="", help="comma-separated keyword columns")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -40,9 +42,13 @@ def main():
 
     ds = rd.read_parquet(args.input)
     kw = tuple(c for c in args.keyword_cols.split(",") if c)
-    fn = append_index if args.append else build_index
-    commit = fn(ds, args.index, target_docs_per_partition=args.target_docs,
-                keyword_cols=kw, input_desc=f"cli:{args.input}")
+    if args.append:
+        commit = append_index(ds, args.index, target_docs_per_partition=args.target_docs,
+                              keyword_cols=kw or None, input_desc=f"cli:{args.input}",
+                              update=args.update)
+    else:
+        commit = build_index(ds, args.index, target_docs_per_partition=args.target_docs,
+                             keyword_cols=kw, input_desc=f"cli:{args.input}")
     print(json.dumps({k: commit[k] for k in
                       ("generation", "doc_count", "doc_count_field", "sum_ttf",
                        "fingerprint")} | {"n_shards": len(commit["shards"])}))

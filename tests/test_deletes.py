@@ -91,3 +91,26 @@ def test_append_update_replaces_docs(ray_session, tmp_path):
                            upd.column("turn_idx").to_pylist()))
     for h in s.search(TermQuery("query"), k=800).hits:
         assert (h.conv_id, h.turn_idx) not in keys_updated
+
+
+def test_refresh_and_field_exists(ray_session, tmp_path):
+    import ray.data as rd
+
+    from lucene_ray.search.query import FieldExistsQuery
+
+    t = synth_transcripts(600, seed=72)
+    d = str(tmp_path / "nrt")
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300,
+                keyword_cols=("tool",), input_desc="nrt0")
+    s = IndexSearcher(d)
+    n0 = s.count(MatchAllDocsQuery())
+    assert s.refresh() is False                      # nothing new
+    # FieldExistsQuery: docs with a non-empty tool value
+    tools = t.column("tool").to_pylist()
+    assert s.count(FieldExistsQuery("tool")) == sum(1 for x in tools if x)
+    # NRT: append becomes visible after refresh, not before
+    append_index(rd.from_arrow(synth_transcripts(200, seed=73)), d,
+                 input_desc="nrt1", target_docs_per_partition=300)
+    assert s.count(MatchAllDocsQuery()) == n0        # stale view
+    assert s.refresh() is True
+    assert s.count(MatchAllDocsQuery()) == n0 + 200
