@@ -48,6 +48,12 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
         rdr = ShardReader(os.path.join(index_dir, "shards", f"shard-{m['pid']:05d}"))
         if len(rdr.norms) != rdr.doc_count:
             errors.append(f"shard {m['pid']}: norms length mismatch")
+        if m.get("del_file"):
+            dels = np.load(m["del_file"])
+            if len(dels) != m["doc_count"]:
+                errors.append(f"shard {m['pid']}: delete bitmap length mismatch")
+            if int(dels.sum()) != m.get("del_count"):
+                errors.append(f"shard {m['pid']}: del_count inconsistent with bitmap")
         dm = rdr.docmap()
         if dm.num_rows != rdr.doc_count:
             errors.append(f"shard {m['pid']}: docmap rows != doc_count")

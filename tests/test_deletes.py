@@ -114,3 +114,29 @@ def test_refresh_and_field_exists(ray_session, tmp_path):
     assert s.count(MatchAllDocsQuery()) == n0        # stale view
     assert s.refresh() is True
     assert s.count(MatchAllDocsQuery()) == n0 + 200
+
+
+def test_check_index_validates_deletes(idx):
+    from lucene_ray.index.check import check_index
+
+    d, t = idx
+    s = IndexSearcher(d)
+    h = s.search(TermQuery("the"), k=1).hits[0]
+    delete_by_keys(d, pa.table({"conv_id": [h.conv_id],
+                                "turn_idx": pa.array([h.turn_idx], type=pa.int32())}))
+    report = check_index(d, sample_terms=30)
+    assert report["ok"], report["errors"][:3]
+    # corrupt the del_count in the commit -> detected
+    import glob
+    import json
+    import os
+
+    latest = sorted(glob.glob(os.path.join(d, "segments_*.json")),
+                    key=lambda p: int(p.split("_")[-1].split(".")[0]))[-1]
+    c = json.load(open(latest))
+    for m in c["shards"]:
+        if m.get("del_file"):
+            m["del_count"] += 1
+    json.dump(c, open(latest, "w"))
+    report2 = check_index(d, sample_terms=30)
+    assert not report2["ok"]
