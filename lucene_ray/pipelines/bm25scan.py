@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .textstats import SIMPLE_TOKEN, _read_documents, _tokens_series
+from .textstats import _read_documents, _tokens_series
 
 K1 = 1.2
 B = 0.75

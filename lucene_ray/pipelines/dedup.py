@@ -138,7 +138,6 @@ def dedup_minhash(sf_dir: str, k: int = 3, threshold: float = 0.7):
                 pairs.add((int(ids[i]), int(ids[j])))
     need = sorted({d for p in pairs for d in p})
     if need:
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],

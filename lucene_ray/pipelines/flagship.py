@@ -14,7 +14,7 @@ import os
 import pandas as pd
 
 from ..index.build import build_index
-from ..search.query import FuzzyQuery, PhraseQuery, PrefixQuery, TermQuery, WildcardQuery, bool_query
+from ..search.query import FuzzyQuery, PhraseQuery, PrefixQuery, WildcardQuery, bool_query
 from ..search.searcher import IndexSearcher
 from ..sources.transcripts import transcripts_from_documents
 

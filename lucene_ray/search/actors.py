@@ -16,8 +16,6 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from ..index.manifest import latest_commit
-from ..index.shard import ShardReader
 from .scorer import RELATION_EQ, RELATION_GTE
 from .searcher import IndexSearcher, ScoreDoc, TopDocs
 

@@ -36,7 +36,6 @@ from .scorer import (
     TOTAL_HITS_THRESHOLD,
     BlockMaxWand,
     _TermState,
-    _top_k,
     search_shard_exhaustive,
     search_shard_phrase,
 )
