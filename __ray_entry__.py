@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_phrase_count": _lazy("index_phrase_count"),
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
+        "index_delete_count": _lazy("index_delete_count"),
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
         "percolate": _percolate,
         "media_features": _media_features,
@@ -237,6 +238,9 @@ def oracle_sql() -> dict[str, str]:
         "index_keyword_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE doc_id % 4 = 0 AND list_contains(toks, 'merge')""",
+        "index_delete_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE doc_id % 7 <> 0 AND list_contains(toks, 'merge')""",
         "percolate": _TOKS + " " + _percolate_sql(),
         "media_features": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

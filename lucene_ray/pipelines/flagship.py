@@ -99,6 +99,37 @@ def index_bm25_topk(sf_dir: str, use_actors: bool = False) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
 
 
+def index_delete_count(sf_dir: str) -> pd.DataFrame:
+    """Live-docs deletions through the driver gate: build a private index,
+    delete every doc with doc_id %% 7 == 0 (expressed as transcript keys),
+    and count a term query over the survivors — SQL mirror filters the same
+    modulo predicate."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..index.deletes import delete_by_keys
+    from ..sources.transcripts import TURNS_PER_CONV
+
+    index_dir = index_dir_for(sf_dir) + "-del"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ds = transcripts_from_documents(sf_dir)
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                input_desc=f"documents@{sf_dir}+del")
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]) \
+        .column("doc_id").to_numpy()
+    victims = doc_ids[doc_ids % 7 == 0]
+    keys = pa.table({
+        "conv_id": pa.array([f"conv-{d // TURNS_PER_CONV:08d}" for d in victims]),
+        "turn_idx": pa.array((victims % TURNS_PER_CONV).astype("int32")),
+    })
+    delete_by_keys(index_dir, keys)
+    searcher = IndexSearcher(index_dir)
+    n = searcher.count(bool_query(must=["merge"]))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
 BM25_SQL_TERMS = ("merge", "join")
 BM25_SQL_K = 20
 
