@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
         "index_delete_count": _lazy("index_delete_count"),
+        # --- joins ---
+        "bucketed_join": _bucketed_join,
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
         "percolate": _percolate,
         "media_features": _media_features,
@@ -92,6 +94,12 @@ def _index_bm25_sql_topk(sf_dir):
     from lucene_ray.pipelines.flagship import index_bm25_sql_topk
 
     return index_bm25_sql_topk(sf_dir)
+
+
+def _bucketed_join(sf_dir):
+    from lucene_ray.pipelines.joins import doc_embedding_join
+
+    return doc_embedding_join(sf_dir)
 
 
 def _percolate(sf_dir):
@@ -238,6 +246,9 @@ def oracle_sql() -> dict[str, str]:
         "index_keyword_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE doc_id % 4 = 0 AND list_contains(toks, 'merge')""",
+        "bucketed_join": """
+            SELECT d.doc_id, d.lang, e.label
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",
         "index_delete_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE doc_id % 7 <> 0 AND list_contains(toks, 'merge')""",
