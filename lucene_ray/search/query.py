@@ -62,6 +62,25 @@ class BooleanQuery:
 
 
 @dataclass(frozen=True)
+class SynonymQuery:
+    """Scores several terms as ONE pseudo-term (`search/SynonymQuery.java:51`,
+    SynonymWeight at :199-227): pseudo docFreq = max of the terms' dfs,
+    pseudo totalTermFreq = sum; per-doc freq = sum of boost_i * freq_i
+    (boosts in (0, 1]); a single BM25 evaluation on the blended freq."""
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...] = ()
+    field: str = "text"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.boosts and len(self.boosts) != len(self.terms):
+            raise ValueError("boosts must match terms")
+        for b in self.boosts:
+            if not (0 < b <= 1):
+                raise ValueError("synonym term boost must be in (0, 1]")
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery:
     """score = max(clause scores) + tie_breaker * sum(other clause scores)
     (`search/DisjunctionMaxQuery.java`); clauses are TermQuerys."""

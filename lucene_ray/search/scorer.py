@@ -466,3 +466,29 @@ def search_shard_phrase_sloppy(reader, terms: list[str], slop: int, scorer,
     total = int(len(pdocs))
     scores, pdocs = _top_k(scores, pdocs, k)
     return scores, pdocs, total, RELATION_EQ
+
+
+def search_shard_synonym(reader, terms_boosts, scorer, k: int, after=None):
+    """SynonymQuery execution: blended freq = sum(boost_i * freq_i) float32
+    in term order, scored once with the pseudo-term scorer."""
+    n = reader.doc_count
+    freq_acc = np.zeros(n, dtype=np.float32)
+    matched = np.zeros(n, dtype=bool)
+    for term, boost in terms_boosts:
+        tid = reader.seek_exact(term)
+        if tid < 0:
+            continue
+        docs, freqs = reader.postings(tid)
+        freq_acc[docs] += np.float32(boost) * freqs.astype(np.float32)
+        matched[docs] = True
+    if reader.deleted is not None:
+        matched &= ~reader.deleted
+    cand = np.nonzero(matched)[0].astype(np.int32)
+    sc = scorer.score(freq_acc[cand], reader.norms[cand])
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    total = int(len(cand))
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ

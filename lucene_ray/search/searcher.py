@@ -185,6 +185,19 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "const_wrap": self.compile(query.query),
                     "boost": query.boost}
+        from .query import SynonymQuery
+
+        if isinstance(query, SynonymQuery):
+            boosts = query.boosts or tuple(1.0 for _ in query.terms)
+            present = [(t, b) for t, b in zip(query.terms, boosts) if self.df(t) > 0]
+            if not present:
+                return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
+                        "msm": 0, "n_required": 1, "match_all": False}
+            df = max(self.df(t) for t, _ in present)
+            scorer = self.sim.scorer(query.boost, self.doc_count, self.sum_ttf, df)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "synonym": (present, scorer)}
         if isinstance(query, DisjunctionMaxQuery):
             sub = []
             for tq in query.queries:
@@ -293,6 +306,11 @@ class IndexSearcher:
 
             return search_shard_dismax(rdr, compiled["dismax"], compiled["tie"],
                                        k, after=after)
+        if compiled.get("synonym") is not None:
+            from .scorer import search_shard_synonym
+
+            terms, scorer = compiled["synonym"]
+            return search_shard_synonym(rdr, terms, scorer, k, after=after)
         wandable = (self.use_wand and compiled["scoring"] and not compiled["filters"]
                     and not compiled["must_nots"]
                     and (all(o == SHOULD for _, _, o in compiled["scoring"])

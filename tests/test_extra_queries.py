@@ -110,3 +110,34 @@ def test_suggest(setup):
     # weight-desc, term-asc deterministic order
     assert all(out[i][1] >= out[i + 1][1] for i in range(len(out) - 1))
     assert suggest(s, "zzznope") == []
+
+
+def test_synonym_query(setup):
+    from lucene_ray.search.query import SynonymQuery
+
+    s, tokens = setup
+    terms = ("query", "data")
+    boosts = (1.0, 0.5)
+    td = s.search(SynonymQuery(terms, boosts), k=15)
+    # brute force: pseudo df = max df, blended freq = sum(boost*freq) f32
+    N = sum(1 for t in tokens if t)
+    sum_ttf = sum(len(t) for t in tokens)
+    dfs = [sum(t_ in set(tk) for tk in tokens) for t_ in terms]
+    df = max(dfs)
+    idf = np.float32(np.log(1 + (N - df + 0.5) / (df + 0.5)))
+    avgdl = np.float32(sum_ttf / float(N))
+    one = np.float32(1.0)
+    want = {}
+    for d, tk in enumerate(tokens):
+        f = np.float32(0.0)
+        for t_, b_ in zip(terms, boosts):
+            c = tk.count(t_)
+            if c:
+                f = f + np.float32(b_) * np.float32(c)
+        if f > 0:
+            ln = LENGTH_TABLE[int(int_to_byte4(len(tk)))]
+            ninv = one / (np.float32(1.2) * ((one - np.float32(0.75)) + np.float32(0.75) * ln / avgdl))
+            want[d] = float(idf - idf / (one + f * ninv))
+    ranked = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:15]
+    assert [(h.gid, h.score) for h in td.hits] == ranked
+    assert td.total_hits == len(want)
