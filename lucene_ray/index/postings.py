@@ -291,9 +291,14 @@ def decode_list(buf, df: int, skip_offs: np.ndarray) -> tuple[np.ndarray, np.nda
         tokens = raw[offs]
         n_exc = (tokens >> 5).astype(np.int64)
         bits = (tokens & 0x1F).astype(np.int64)
-        # vint-value fast path only when the value fits one byte; else scalar
-        fallback = (bits == 0) & (raw[offs + 1] >= 0x80)
-        sizes = np.where(bits == 0, 2 + 2 * n_exc, 1 + BLOCK_SIZE * bits // 8 + 2 * n_exc)
+        # vint-value fast path only when the value fits one byte; else scalar.
+        # bits==0 blocks whose all-equal value is >=128 carry a 2-byte vint
+        # (encoder guarantees <=2 bytes: patched value fits 8 bits), so the
+        # block size must account for the extra byte even on the fallback path.
+        vint2 = (bits == 0) & (raw[offs + 1] >= 0x80)
+        fallback = vint2
+        sizes = np.where(bits == 0, 2 + vint2.astype(np.int64) + 2 * n_exc,
+                         1 + BLOCK_SIZE * bits // 8 + 2 * n_exc)
         for b in np.unique(bits[~fallback] if fallback.any() else bits):
             b = int(b)
             sel = np.nonzero((bits == b) & ~fallback)[0]

@@ -101,11 +101,13 @@ def search_shard_exhaustive(reader, compiled, k: int, after=None):
 
     cand = np.nonzero(eligible)[0].astype(np.int32)
     sc = acc[cand]
+    # totalHits counts every match, including hits on previous pages
+    # (TopScoreDocCollector paging collector increments before cursor check)
+    total = int(len(cand))
     if after is not None:
         a_score, a_doc = np.float32(after[0]), after[1]
         keep = (sc < a_score) | ((sc == a_score) & (cand.astype(np.int64) > a_doc))
         cand, sc = cand[keep], sc[keep]
-    total = int(len(cand))
     sc, cand = _top_k(sc, cand, k)
     return sc, cand, total, RELATION_EQ
 
@@ -206,7 +208,11 @@ class BlockMaxWand:
         while states:
             w_hi = min(s.cur_last() for s in states)
             parts = [s for s in states if s.prev_last < w_hi]
+            # Upward-rounding compensation (MaxScoreSumPropagator.sumUpperBound):
+            # doc scores accumulate in float32 and can round above the exact
+            # float64 sum of block maxes, so inflate the bound by ~2n ulps.
             ub = float(sum(float(s.cur_max()) for s in parts))
+            ub *= 1.0 + 2.0 * len(parts) * 2.0 ** -24
             prune_ready = len(top_docs) >= k and collected >= self.threshold
             if self.conjunctive and len(parts) < len(states):
                 # a MUST term has no docs in this window: leapfrog
@@ -255,11 +261,12 @@ class BlockMaxWand:
                     if self.reader.deleted is not None:
                         sel = sel & ~self.reader.deleted[udocs]
                     udocs, usum = udocs[sel], usum[sel]
+                    # count every match (pages before the cursor included)
+                    collected += int(len(udocs))
                     if after is not None:
                         a_s, a_d = np.float32(after[0]), after[1]
                         keep = (usum < a_s) | ((usum == a_s) & (udocs.astype(np.int64) > a_d))
                         udocs, usum = udocs[keep], usum[keep]
-                    collected += int(len(udocs))
                     if len(udocs):
                         top_scores = np.concatenate((top_scores, usum))
                         top_docs = np.concatenate((top_docs, udocs))
@@ -293,11 +300,15 @@ def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
             return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
         tids.append(tid)
     inter = None
+    # Offset keeps the adjusted position strictly positive for every phrase
+    # length (pos >= 0, i < len(terms)  =>  pos - i + len(terms) >= 1), so the
+    # low 33 bits never borrow into the doc bits.
+    off = np.int64(len(terms))
     for i, tid in enumerate(tids):
         docs, freqs = reader.postings(tid)
         pos = reader.positions(tid, freqs)
         doc_exp = np.repeat(docs.astype(np.int64), freqs)
-        comp = (doc_exp << np.int64(33)) | (pos.astype(np.int64) - i + 4)
+        comp = (doc_exp << np.int64(33)) | (pos.astype(np.int64) - i + off)
         inter = comp if inter is None else np.intersect1d(inter, comp, assume_unique=True)
         if len(inter) == 0:
             return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
@@ -307,11 +318,11 @@ def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
         live = ~reader.deleted[pdocs]
         pdocs, pfreq = pdocs[live], pfreq[live]
     scores = scorer.score(pfreq.astype(np.float32), reader.norms[pdocs])
+    total = int(len(pdocs))
     if after is not None:
         a_s, a_d = np.float32(after[0]), after[1]
         keep = (scores < a_s) | ((scores == a_s) & (pdocs.astype(np.int64) > a_d))
         pdocs, scores = pdocs[keep], scores[keep]
-    total = int(len(pdocs))
     scores, pdocs = _top_k(scores, pdocs, k)
     return scores, pdocs, total, RELATION_EQ
 
@@ -330,11 +341,11 @@ def search_shard_const(reader, terms: list[str], boost: float, k: int, after=Non
         matched &= ~reader.deleted
     cand = np.nonzero(matched)[0].astype(np.int32)
     sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
+    total = int(len(cand))
     if after is not None:
         a_s, a_d = np.float32(after[0]), after[1]
         keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
         cand, sc = cand[keep], sc[keep]
-    total = int(len(cand))
     return sc[:k], cand[:k], total, RELATION_EQ
 
 

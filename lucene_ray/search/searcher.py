@@ -128,8 +128,7 @@ class IndexSearcher:
 
         terms = self._sorted_terms()
         if isinstance(query, PrefixQuery):
-            lo = int(np.searchsorted(terms, query.prefix))
-            hi = int(np.searchsorted(terms, query.prefix + "￿"))
+            lo, hi = _prefix_range(terms, query.prefix)
             return terms[lo:hi].tolist()
         if isinstance(query, WildcardQuery):
             pat = _re.compile("".join(
@@ -493,6 +492,23 @@ def _clause(q, occur):
     return BooleanClause(q, occur)
 
 
+def _prefix_range(sorted_terms: np.ndarray, prefix: str) -> tuple[int, int]:
+    """Exact [lo, hi) range of terms starting with `prefix` in a sorted term
+    array.  Uses the successor string (increment the last non-max code point)
+    as the exclusive upper bound — unlike prefix+'\\uffff', this includes
+    terms whose next code point is supplementary (> U+FFFF), matching the
+    reference's byte-wise term ranges."""
+    lo = int(np.searchsorted(sorted_terms, prefix))
+    s = prefix
+    while s and ord(s[-1]) == 0x10FFFF:
+        s = s[:-1]
+    if not s:
+        return lo, len(sorted_terms)
+    upper = s[:-1] + chr(ord(s[-1]) + 1)
+    hi = int(np.searchsorted(sorted_terms, upper))
+    return lo, hi
+
+
 def _local_after(after, base):
     if after is None:
         return None
@@ -509,8 +525,7 @@ def suggest(searcher: "IndexSearcher", prefix: str, k: int = 10) -> list[tuple[s
     import os as _os
 
     terms = searcher._sorted_terms()
-    lo = int(np.searchsorted(terms, prefix))
-    hi = int(np.searchsorted(terms, prefix + "￿"))
+    lo, hi = _prefix_range(terms, prefix)
     cands = terms[lo:hi].tolist()
     if not cands:
         return []
