@@ -1,0 +1,136 @@
+"""End-to-end distributed dedup tests (the round-1 verdict's top item):
+the MinHash / SimHash / n-gram-Jaccard pipelines must run entirely through
+Ray Data — candidate generation, verify, and clustering all inside
+map_batches / groupby.map_groups — with planted-duplicate recall, parity
+between the scalar reference helpers and the vectorized batch kernels, and
+bounded output for degenerate mass-duplication buckets."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.pipelines import dedup
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def planted(tmp_path_factory):
+    rng = np.random.default_rng(99)
+    vocab = [f"word{i}" for i in range(500)]
+    texts = []
+    for i in range(120):
+        texts.append(" ".join(rng.choice(vocab, size=40)))
+    # planted near-dup cluster A: docs 120,121,122 share a 60-token base
+    base = " ".join(f"alpha{i}" for i in range(60))
+    texts.append(base)
+    texts.append(base + " tail one")
+    texts.append("head zero " + base)
+    # planted pair B: docs 123,124
+    b2 = " ".join(f"beta{i}" for i in range(50))
+    texts.append(b2)
+    texts.append(b2.replace("beta4", "betaX"))
+    d = tmp_path_factory.mktemp("planted")
+    return _write_docs(d, texts), texts
+
+
+def test_scalar_batch_minhash_parity(ray_session, planted):
+    """The vectorized _sketch_batch signatures equal minhash_signature."""
+    sf, texts = planted
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    rows = dedup._sketch_batch(df, k=3)
+    # recompute per doc with the scalar path and compare the band keys
+    for doc_id in (0, 120, 124):
+        toks = [t.lower() for t in dedup.SIMPLE_TOKEN.findall(texts[doc_id])]
+        sig = dedup.minhash_signature(toks, k=3)
+        expect = dedup._band_keys(sig[None, :])[0]
+        got = rows[rows.doc_id == doc_id].sort_values("band")["bhash"].to_numpy()
+        np.testing.assert_array_equal(got.astype(np.uint64), expect)
+
+
+def test_scalar_batch_simhash_parity(planted):
+    sf, texts = planted
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = dedup._simhash_batch(df)
+    for doc_id in (0, 50, 121):
+        toks = [t.lower() for t in dedup.SIMPLE_TOKEN.findall(texts[doc_id])]
+        assert int(out[out.doc_id == doc_id].simhash.iloc[0]) == int(dedup.simhash64(toks))
+
+
+def test_minhash_cluster_recall(ray_session, planted):
+    sf, texts = planted
+    out = dedup.dedup_minhash(sf, threshold=0.5)
+    # all of cluster A collapses to rep 120; pair B to rep 123
+    reps = dict(zip(out.doc_id, out.cluster_rep))
+    assert reps.get(121) == 120
+    assert reps.get(122) == 120
+    assert reps.get(124) == 123
+    # min-label invariant: every rep is the min doc of its component
+    assert (out.cluster_rep < out.doc_id).all()
+
+
+def test_ngram_jaccard_exact_values(ray_session, planted):
+    sf, texts = planted
+    out = dedup.ngram_jaccard_pairs(sf, k=3, threshold=0.5)
+    pairs = {(a, b): j for a, b, j in zip(out.doc_a, out.doc_b, out.jaccard)}
+    # brute-force oracle on shingle hash sets
+    for (a, b) in [(120, 121), (120, 122), (123, 124)]:
+        ta = [t.lower() for t in dedup.SIMPLE_TOKEN.findall(texts[a])]
+        tb = [t.lower() for t in dedup.SIMPLE_TOKEN.findall(texts[b])]
+        sa = set(dedup.shingle_hashes(ta, 3).tolist())
+        sb = set(dedup.shingle_hashes(tb, 3).tolist())
+        expect = round(len(sa & sb) / len(sa | sb), 6)
+        assert (a, b) in pairs
+        assert abs(pairs[(a, b)] - expect) < 1e-9
+
+
+def test_simhash_pairs_recall_and_verify(ray_session, planted):
+    sf, texts = planted
+    out = dedup.dedup_simhash(sf, max_hamming=10)
+    got = set(zip(out.doc_a, out.doc_b))
+    assert (120, 121) in got or (120, 122) in got or (121, 122) in got
+    # every reported hamming is the true sketch distance
+    hv = {}
+    for d in set(out.doc_a) | set(out.doc_b):
+        toks = [t.lower() for t in dedup.SIMPLE_TOKEN.findall(texts[int(d)])]
+        hv[int(d)] = int(dedup.simhash64(toks))
+    for a, b, h in zip(out.doc_a, out.doc_b, out.hamming):
+        assert bin(hv[int(a)] ^ hv[int(b)]).count("1") == int(h)
+
+
+def test_mass_dup_bucket_is_capped(ray_session, tmp_path):
+    """A degenerate corpus (500 identical docs) must produce O(n) pairs
+    (star against the min doc), not C(n,2), and still one cluster."""
+    n = 500
+    assert n > dedup.MAX_BUCKET_DOCS
+    texts = ["the same exact document body repeated many times over"] * n
+    sf = _write_docs(tmp_path, texts)
+    pairs = dedup.verified_pairs(sf, k=3, threshold=0.7).to_pandas()
+    assert len(pairs) <= 4 * n          # linear, not 124k
+    out = dedup.dedup_minhash(sf, threshold=0.7)
+    assert len(out) == n - 1
+    assert set(out.cluster_rep) == {0}
+
+
+def test_transitive_chain_clusters(ray_session, tmp_path):
+    """A->B->C->D chain where A and D share little: min-label propagation
+    must still collapse the whole chain to rep A."""
+    base = [f"tok{i}" for i in range(80)]
+    texts = []
+    for shift in (0, 12, 24, 36):       # consecutive overlap high, ends low
+        texts.append(" ".join(base[shift:shift + 44]))
+    for i in range(30):
+        texts.append(f"noise doc number {i} with filler content {i * 13}")
+    sf = _write_docs(tmp_path, texts)
+    out = dedup.dedup_minhash(sf, threshold=0.3)
+    reps = dict(zip(out.doc_id, out.cluster_rep))
+    assert reps.get(1) == 0 and reps.get(2) == 0 and reps.get(3) == 0
