@@ -74,6 +74,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
         "index_delete_count": _lazy("index_delete_count"),
+        # --- doc-values: numeric/date range + sort-by-field (SURVEY §2 gaps
+        #     closed in round 2) ---
+        "index_range_count": _lazy("index_range_count"),
+        "index_sorted_topk": _lazy("index_sorted_topk"),
+        "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         # --- joins ---
         "bucketed_join": _bucketed_join,
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
@@ -252,6 +257,28 @@ def oracle_sql() -> dict[str, str]:
         "index_delete_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE doc_id % 7 <> 0 AND list_contains(toks, 'merge')""",
+        # ts = 1700000000000000 + doc_id * 1000000 (transcript adapter), so the
+        # ts window [BASE+100e6, BASE+300e6] is exactly doc_id in [100, 300]
+        "index_range_count": _TOKS + """
+            SELECT (SELECT count(*) FROM toklists
+                    WHERE doc_id BETWEEN 100 AND 300
+                      AND list_contains(toks, 'merge'))::BIGINT AS n_matching,
+                   (SELECT count(*) FROM documents
+                    WHERE doc_id BETWEEN 100 AND 300)::BIGINT AS n_in_range""",
+        "index_sorted_topk": _TOKS + """
+            SELECT row_number() OVER (ORDER BY (doc_id % 5) DESC, doc_id ASC)::BIGINT AS rank,
+                   printf('conv-%08d', doc_id // 5) AS conv_id,
+                   (doc_id % 5)::BIGINT AS turn_idx,
+                   (doc_id % 5)::BIGINT AS sort_value
+            FROM toklists WHERE list_contains(toks, 'merge')
+            ORDER BY (doc_id % 5) DESC, doc_id ASC LIMIT 15""",
+        "index_sorted_ts_topk": _TOKS + """
+            SELECT row_number() OVER (ORDER BY doc_id DESC)::BIGINT AS rank,
+                   printf('conv-%08d', doc_id // 5) AS conv_id,
+                   (doc_id % 5)::BIGINT AS turn_idx,
+                   (1700000000000000 + doc_id * 1000000)::BIGINT AS ts_us
+            FROM toklists WHERE list_contains(toks, 'merge') AND doc_id <= 300
+            ORDER BY doc_id DESC LIMIT 15""",
         "percolate": _TOKS + " " + _percolate_sql(),
         "media_features": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

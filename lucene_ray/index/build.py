@@ -29,7 +29,7 @@ import pyarrow as pa
 from . import manifest as mf
 from .shard import write_shard
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def plan_split_points(ds, n_parts: int, key: str, sample_per_part: int = 256) -> list[str]:
@@ -57,6 +57,7 @@ def plan_split_points(ds, n_parts: int, key: str, sample_per_part: int = 256) ->
 def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 text_col: str = "text", key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
                 keyword_cols: tuple[str, ...] = (),
+                docvalue_cols: tuple[str, ...] = (),
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -100,6 +101,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "text_col": text_col,
         "key_cols": list(key_cols),
         "keyword_cols": list(keyword_cols),
+        "docvalue_cols": list(docvalue_cols),
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -124,14 +126,15 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
             pid = int(group.column("pid")[0].as_py())
             m = write_shard(shards_dir, pid, group.drop_columns(["pid"]),
                             fp, text_col=text_col, key_cols=key_cols,
-                            keyword_cols=keyword_cols)
+                            keyword_cols=keyword_cols, docvalue_cols=docvalue_cols)
             return pa.table({k: [v] for k, v in m.items()})
 
-        proj = ds.select_columns([*key_cols, text_col, *keyword_cols])
+        extra_dv = [c for c in docvalue_cols if c not in key_cols]
+        proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv])
         if exchange == "tasks":
             new_manifests = _exchange_with_tasks(
                 proj, tag_pid, len(split_points) + 1, shards_dir, fp,
-                text_col, key_cols, keyword_cols)
+                text_col, key_cols, keyword_cols, docvalue_cols)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -147,6 +150,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "split_points": split_points,
         "key_cols": list(key_cols),
         "keyword_cols": list(keyword_cols),
+        "docvalue_cols": list(docvalue_cols),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -157,7 +161,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
 
 
 def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
-                         text_col: str, key_cols, keyword_cols=()) -> list[dict]:
+                         text_col: str, key_cols, keyword_cols=(),
+                         docvalue_cols=()) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -198,7 +203,7 @@ def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
         group = pa.concat_tables(tables).drop_columns(["pid"])
         return write_shard(shards_dir, pid, group, fp,
                            text_col=text_col, key_cols=key_cols,
-                           keyword_cols=keyword_cols)
+                           keyword_cols=keyword_cols, docvalue_cols=docvalue_cols)
 
     block_refs = [br for bundle in ds.iter_internal_ref_bundles()
                   for br in bundle.block_refs]
@@ -293,6 +298,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
                  text_col: str = "text",
                  key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
                  keyword_cols: tuple[str, ...] | None = None,
+                 docvalue_cols: tuple[str, ...] | None = None,
                  merge_stats: bool = True, update: bool = False) -> dict:
     """Incremental build: index NEW rows as additional shards and publish a
     new commit generation containing old + new (the near-real-time refresh
@@ -312,12 +318,17 @@ def append_index(ds, index_dir: str, *, input_desc: str,
     prev = mf.latest_commit(index_dir)
     if prev is None:
         return build_index(ds, index_dir, target_docs_per_partition=target_docs_per_partition,
-                           text_col=text_col, key_cols=key_cols, keyword_cols=keyword_cols,
+                           text_col=text_col, key_cols=key_cols,
+                           keyword_cols=keyword_cols or (),
+                           docvalue_cols=docvalue_cols or (),
                            input_desc=input_desc, merge_stats=merge_stats)
     if keyword_cols is None:
         # inherit the existing index's keyword fields — appending without them
         # would leave keyword filters silently blind to the new docs
         keyword_cols = tuple(prev.get("keyword_cols", ()))
+    if docvalue_cols is None:
+        # inherit doc-values fields for the same reason
+        docvalue_cols = tuple(prev.get("docvalue_cols", ()))
     pid_offset = 1 + max(m["pid"] for m in prev["shards"])
 
     n_total = ds.count()
@@ -327,6 +338,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "input": input_desc, "splits": split_points, "format": FORMAT_VERSION,
         "text_col": text_col, "key_cols": list(key_cols),
         "keyword_cols": list(keyword_cols), "append_after": prev["fingerprint"],
+        "docvalue_cols": list(docvalue_cols),
     })
     shards_dir = os.path.join(index_dir, "shards")
     done = mf.committed_shards(index_dir, fp)
@@ -345,10 +357,11 @@ def append_index(ds, index_dir: str, *, input_desc: str,
 
     todo = [p for p in range(pid_offset, pid_offset + len(split_points) + 1) if p not in done]
     if todo:
-        proj = ds.select_columns([*key_cols, text_col, *keyword_cols])
+        extra_dv = [c for c in docvalue_cols if c not in key_cols]
+        proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv])
         new_manifests = _exchange_with_tasks(
             proj, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
-            text_col, key_cols, keyword_cols)
+            text_col, key_cols, keyword_cols, docvalue_cols)
         for m in new_manifests:
             done[int(m["pid"])] = dict(m)
 
@@ -357,6 +370,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "fingerprint": fp, "input_desc": input_desc,
         "split_points": prev.get("split_points", []) + split_points,
         "key_cols": list(key_cols), "keyword_cols": list(keyword_cols),
+        "docvalue_cols": list(docvalue_cols),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })

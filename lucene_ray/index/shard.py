@@ -191,7 +191,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 fingerprint: str, text_col: str = "text",
                 key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
                 index_positions: bool = True,
-                keyword_cols: tuple[str, ...] = ()) -> dict:
+                keyword_cols: tuple[str, ...] = (),
+                docvalue_cols: tuple[str, ...] = ()) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -357,7 +358,24 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     pq.write_table(terms_table, os.path.join(tmp_dir, TERMS_FILE))
 
     norms.astype(np.uint8).tofile(os.path.join(tmp_dir, NORMS_FILE))
-    pq.write_table(table.select(list(key_cols)), os.path.join(tmp_dir, DOCMAP_FILE))
+    # docmap doubles as the doc-values store (NumericDocValues analogue,
+    # `index/NumericDocValues.java`): per-doc int64 columns in local-docID
+    # order; timestamps are stored as epoch-us int64.  Parquet column
+    # projection keeps lookups cheap; manifest min/max enables shard pruning
+    # for RangeQuery (the flat stand-in for BKD cell bounds).
+    dv_cols = [c for c in docvalue_cols if c not in key_cols]
+    docmap_tbl = table.select(list(key_cols) + dv_cols)
+    dv_ranges = {}
+    for c in list(key_cols[1:]) + dv_cols:
+        col = docmap_tbl.column(c)
+        if pa.types.is_timestamp(col.type):
+            col = pa.compute.cast(col, pa.int64())
+            docmap_tbl = docmap_tbl.set_column(
+                docmap_tbl.column_names.index(c), c, col)
+        if pa.types.is_integer(col.type) and len(col):
+            dv_ranges[c] = [int(pa.compute.min(col).as_py()),
+                            int(pa.compute.max(col).as_py())]
+    pq.write_table(docmap_tbl, os.path.join(tmp_dir, DOCMAP_FILE))
 
     manifest = {
         "pid": int(pid),
@@ -367,6 +385,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         "sum_df": int(dfs.sum()),
         "n_terms": int(V),
         "has_positions": bool(index_positions),
+        "docvalues": dv_ranges,
         "fingerprint": fingerprint,
         "status": "committed",
     }
@@ -519,6 +538,30 @@ class ShardReader:
         if self._docmap is None:
             self._docmap = pq.read_table(os.path.join(self.dir, DOCMAP_FILE))
         return self._docmap
+
+    def docvalue(self, field: str) -> np.ndarray:
+        """Per-doc int64 doc-values column in local-docID order (lazy, cached;
+        reads only the requested parquet column)."""
+        cache = getattr(self, "_dv_cache", None)
+        if cache is None:
+            cache = self._dv_cache = {}
+        dv = cache.get(field)
+        if dv is None:
+            if self._docmap is not None:
+                col = self._docmap.column(field)
+            else:
+                col = pq.read_table(os.path.join(self.dir, DOCMAP_FILE),
+                                    columns=[field]).column(field)
+            if pa.types.is_timestamp(col.type):
+                col = pa.compute.cast(col, pa.int64())
+            dv = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            cache[field] = dv
+        return dv
+
+    def docvalue_range(self, field: str) -> tuple[int, int] | None:
+        """(min, max) for shard pruning, from the manifest; None if unknown."""
+        r = self.manifest.get("docvalues", {}).get(field)
+        return (int(r[0]), int(r[1])) if r else None
 
     def lookup_docs(self, local_ids: np.ndarray) -> pa.Table:
         """(conv_id, turn_idx) rows for the given local docIDs (top-k only)."""

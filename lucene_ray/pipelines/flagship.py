@@ -49,8 +49,8 @@ def build_transcript_index(sf_dir: str, index_dir: str | None = None,
     index_dir = index_dir or index_dir_for(sf_dir)
     ds = transcripts_from_documents(sf_dir)
     build_index(ds, index_dir, target_docs_per_partition=target_docs_per_partition,
-                keyword_cols=("role", "tool"),
-                input_desc=f"documents@{sf_dir}+kw")
+                keyword_cols=("role", "tool"), docvalue_cols=("ts",),
+                input_desc=f"documents@{sf_dir}+kw+dv")
     return index_dir
 
 
@@ -128,6 +128,66 @@ def index_delete_count(sf_dir: str) -> pd.DataFrame:
     searcher = IndexSearcher(index_dir)
     n = searcher.count(bool_query(must=["merge"]))
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
+# doc_id range for the ts range-query entries (ts = BASE_TS_US + doc_id*1e6)
+RANGE_LO_DOC, RANGE_HI_DOC = 100, 300
+SORT_K = 15
+
+
+def index_range_count(sf_dir: str) -> pd.DataFrame:
+    """Numeric/date range FILTER through the index doc-values: count of docs
+    containing 'merge' with ts in [lo, hi] (PointRangeQuery-in-FILTER
+    semantics; SQL mirror filters the same doc_id window)."""
+    from ..search.query import BooleanClause, BooleanQuery, RangeQuery, TermQuery
+    from ..search.query import FILTER as F, MUST as M
+    from ..sources.transcripts import BASE_TS_US
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    lo = BASE_TS_US + RANGE_LO_DOC * 1_000_000
+    hi = BASE_TS_US + RANGE_HI_DOC * 1_000_000
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), M),
+                      BooleanClause(RangeQuery("ts", lo, hi), F)))
+    n = searcher.count(q)
+    # standalone range count too (pure doc-values scan, no term clause)
+    n_range_only = searcher.count(RangeQuery("ts", lo, hi))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64"),
+                         "n_in_range": pd.Series([n_range_only], dtype="int64")})
+
+
+def index_sorted_topk(sf_dir: str) -> pd.DataFrame:
+    """Sort-by-field top-k through the index (TopFieldCollector analogue):
+    docs containing 'merge', ordered by turn_idx DESC with global-docID-asc
+    tie-break — heavy ties (turn_idx in 0..4) exercise the tie-break.
+    (rank, conv_id, turn_idx, sort_value)."""
+    from ..search.query import SortField
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    td = searcher.search(bool_query(should=["merge"]), k=SORT_K,
+                         sort=SortField("turn_idx", reverse=True))
+    rows = [(r, h.conv_id, int(h.turn_idx), int(h.fields[0]))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "sort_value"]) \
+        .astype({"rank": "int64", "turn_idx": "int64", "sort_value": "int64"})
+
+
+def index_sorted_ts_topk(sf_dir: str) -> pd.DataFrame:
+    """Most-recent-matching-turns: docs containing 'merge' by ts DESC, k=15
+    (the 'search within a time window, newest first' surface), combined with
+    a ts range FILTER.  (rank, conv_id, turn_idx, ts_us)."""
+    from ..search.query import BooleanClause, BooleanQuery, RangeQuery, SortField, TermQuery
+    from ..search.query import FILTER as F, MUST as M
+    from ..sources.transcripts import BASE_TS_US
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    hi = BASE_TS_US + RANGE_HI_DOC * 1_000_000
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), M),
+                      BooleanClause(RangeQuery("ts", None, hi), F)))
+    td = searcher.search(q, k=SORT_K, sort=SortField("ts", reverse=True))
+    rows = [(r, h.conv_id, int(h.turn_idx), int(h.fields[0]))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "ts_us"]) \
+        .astype({"rank": "int64", "turn_idx": "int64", "ts_us": "int64"})
 
 
 BM25_SQL_TERMS = ("merge", "join")

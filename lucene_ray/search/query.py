@@ -46,6 +46,30 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class RangeQuery:
+    """Inclusive numeric/date range over a doc-values column
+    (`search/PointRangeQuery.java` / `document/LongPoint.newRangeQuery`
+    semantics re-expressed Ray-native: per-shard int64 doc-values columns
+    with manifest min/max shard pruning instead of a BKD tree).  `None`
+    bounds are open.  Standalone it scores constant `boost`; in FILTER
+    position it contributes no score."""
+    field: str
+    lo: int | None = None
+    hi: int | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SortField:
+    """Sort specification for field-sorted top-k
+    (`search/SortField.java:57-126`): order by the doc-values column
+    (descending when reverse), tie-break global docID ascending
+    (`search/TopFieldCollector.java:39` + TopDocs merge semantics)."""
+    field: str
+    reverse: bool = False
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "TermQuery"
     occur: str = SHOULD

@@ -89,6 +89,16 @@ def search_shard_exhaustive(reader, compiled, k: int, after=None):
     if compiled["msm"] and req_cnt is not None and should_cnt is not None:
         eligible &= should_cnt >= compiled["msm"]
 
+    rmask = _range_mask(reader, compiled.get("range_filters"),
+                        compiled.get("range_must_nots"))
+    if rmask is not None:
+        if not compiled["scoring"] and not compiled["filters"]:
+            # range-only boolean (no term clause seeds `matched`): the range
+            # mask IS the match set, scored 0 like any filter-only query
+            eligible = rmask
+        else:
+            eligible = eligible & rmask
+
     for term in compiled["must_nots"]:
         tid = reader.seek_exact(term)
         if tid >= 0:
@@ -285,6 +295,57 @@ class BlockMaxWand:
         top_scores, top_docs = _top_k(top_scores, top_docs, self.k)
         relation = RELATION_GTE if pruned else RELATION_EQ
         return top_scores, top_docs, collected, relation
+
+
+def _range_mask(reader, range_filters, range_must_nots):
+    """Boolean mask over local docs for doc-values range clauses (None when
+    there are no range clauses).  Shard min/max pruning short-circuits the
+    per-doc compare when the whole shard is inside / outside the range."""
+    if not range_filters and not range_must_nots:
+        return None
+    n = reader.doc_count
+    mask = np.ones(n, dtype=bool)
+    for field, lo, hi in (range_filters or ()):
+        mm = reader.docvalue_range(field)
+        if mm is not None:
+            if (lo is not None and mm[1] < lo) or (hi is not None and mm[0] > hi):
+                return np.zeros(n, dtype=bool)          # shard fully outside
+            if (lo is None or mm[0] >= lo) and (hi is None or mm[1] <= hi):
+                continue                                 # shard fully inside
+        dv = reader.docvalue(field)
+        if lo is not None:
+            mask &= dv >= lo
+        if hi is not None:
+            mask &= dv <= hi
+    for field, lo, hi in (range_must_nots or ()):
+        mm = reader.docvalue_range(field)
+        if mm is not None and ((lo is not None and mm[1] < lo)
+                               or (hi is not None and mm[0] > hi)):
+            continue                                     # shard fully outside: no-op
+        dv = reader.docvalue(field)
+        m = np.ones(n, dtype=bool)
+        if lo is not None:
+            m &= dv >= lo
+        if hi is not None:
+            m &= dv <= hi
+        mask &= ~m
+    return mask
+
+
+def search_shard_range(reader, spec, boost: float, k: int, after=None):
+    """Standalone RangeQuery: constant-score docs whose doc-value lies in
+    [lo, hi] (PointRangeQuery constant-score rewrite; docID-order ties)."""
+    mask = _range_mask(reader, [spec], None)
+    if reader.deleted is not None:
+        mask = mask & ~reader.deleted
+    cand = np.nonzero(mask)[0].astype(np.int32)
+    sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    return sc[:k], cand[:k], total, RELATION_EQ
 
 
 def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):

@@ -48,6 +48,7 @@ class ScoreDoc:
     gid: int                      # global docID = doc_base + local
     conv_id: str = ""
     turn_idx: int = -1
+    fields: tuple = ()            # sort-field values (FieldDoc.fields analogue)
 
 
 @dataclass
@@ -184,6 +185,15 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "const_wrap": self.compile(query.query),
                     "boost": query.boost}
+        from .query import RangeQuery
+
+        if isinstance(query, RangeQuery):
+            # standalone numeric range: constant-score over the doc-values
+            # mask (PointRangeQuery rewritten to constant score)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "range": (query.field, query.lo, query.hi),
+                    "boost": query.boost}
         from .query import SynonymQuery
 
         if isinstance(query, SynonymQuery):
@@ -233,8 +243,21 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "phrase": (list(query.terms), scorer, int(query.slop))}
         scoring, filters, must_nots = [], [], []
+        range_filters, range_must_nots = [], []
         n_required = 0
         for c in query.clauses:
+            from .query import RangeQuery as _RQ
+
+            if isinstance(c.query, _RQ):
+                # numeric range as a non-scoring clause (FILTER / MUST_NOT);
+                # a MUST range behaves like FILTER (contributes no score,
+                # like a constant-score-0 required clause)
+                spec = (c.query.field, c.query.lo, c.query.hi)
+                if c.occur == MUST_NOT:
+                    range_must_nots.append(spec)
+                else:
+                    range_filters.append(spec)
+                continue
             t = c.query.term
             if c.occur in (SHOULD, MUST):
                 df = self.df(t)
@@ -252,12 +275,16 @@ class IndexSearcher:
             elif c.occur == MUST_NOT:
                 must_nots.append(t)
         return {"scoring": scoring, "filters": filters, "must_nots": must_nots,
+                "range_filters": range_filters, "range_must_nots": range_must_nots,
                 "msm": int(query.minimum_should_match), "n_required": n_required,
                 "match_all": False}
 
     # ---- search ----
     def search(self, query, k: int = 10, after=None,
-               total_hits_threshold: int = TOTAL_HITS_THRESHOLD) -> TopDocs:
+               total_hits_threshold: int = TOTAL_HITS_THRESHOLD,
+               sort=None) -> TopDocs:
+        if sort is not None:
+            return self._search_sorted(query, sort, k)
         compiled = self.compile(query)
         per_shard = []
         for pid in self._pids:
@@ -283,6 +310,11 @@ class IndexSearcher:
 
                 return search_shard_phrase_sloppy(rdr, terms, slop, scorer, k, after=after)
             return search_shard_phrase(rdr, terms, scorer, k, after=after)
+        if compiled.get("range") is not None:
+            from .scorer import search_shard_range
+
+            return search_shard_range(rdr, compiled["range"], compiled["boost"],
+                                      k, after=after)
         if compiled.get("const_terms") is not None:
             from .scorer import search_shard_const
 
@@ -311,6 +343,8 @@ class IndexSearcher:
             terms, scorer = compiled["synonym"]
             return search_shard_synonym(rdr, terms, scorer, k, after=after)
         wandable = (self.use_wand and compiled["scoring"] and not compiled["filters"]
+                    and not compiled.get("range_filters")
+                    and not compiled.get("range_must_nots")
                     and not compiled["must_nots"]
                     and (all(o == SHOULD for _, _, o in compiled["scoring"])
                          or all(o == MUST for _, _, o in compiled["scoring"])))
@@ -345,6 +379,49 @@ class IndexSearcher:
                                 msm=compiled["msm"])
             return wand.run(after=after)
         return search_shard_exhaustive(rdr, compiled, k, after=after)
+
+    def _search_sorted(self, query, sort, k: int) -> TopDocs:
+        """Field-sorted top-k (TopFieldCollector + TopDocs.merge semantics,
+        `search/TopFieldCollector.java:39`): per shard, collect the full
+        match set, order by the doc-values column (desc when sort.reverse)
+        with local-docID-asc tie-break, keep k; merge shards by (value,
+        global docID asc).  Scores are not computed (Lucene's sorted
+        collector with needsScores=false); hit.score carries the sort value
+        as float and hit.fields the exact int.  Scale path: shards whose
+        doc-values range cannot beat the current k-th value could be pruned
+        via manifest min/max before collection (not needed at this scale)."""
+        compiled = self.compile(query)
+        vals_all, gids_all = [], []
+        total = 0
+        for pid in self._pids:
+            rdr = self.reader(pid)
+            _, docs, t, _ = self.search_shard(rdr, compiled, rdr.doc_count,
+                                              total_hits_threshold=2**31 - 1)
+            total += t
+            if len(docs) == 0:
+                continue
+            dv = rdr.docvalue(sort.field)[docs]
+            key = -dv if sort.reverse else dv
+            order = np.lexsort((docs, key))[:k]
+            vals_all.append(dv[order])
+            gids_all.append(docs[order].astype(np.int64) + self._bases[pid])
+        if not vals_all:
+            return TopDocs([], total, RELATION_EQ)
+        vals = np.concatenate(vals_all)
+        gids = np.concatenate(gids_all)
+        key = -vals if sort.reverse else vals
+        order = np.lexsort((gids, key))[:k]
+        hits = []
+        for i in order:
+            gid = int(gids[i])
+            pid = self._pid_of(gid)
+            rdr = self.reader(pid)
+            row = rdr.lookup_docs(np.array([gid - self._bases[pid]]))
+            hits.append(ScoreDoc(float(vals[i]), gid,
+                                 row.column("conv_id")[0].as_py(),
+                                 int(row.column("turn_idx")[0].as_py()),
+                                 fields=(int(vals[i]),)))
+        return TopDocs(hits, total, RELATION_EQ)
 
     def _merge(self, per_shard, k) -> TopDocs:
         all_scores, all_gids, owners = [], [], []

@@ -1,0 +1,151 @@
+"""Numeric/date RangeQuery (PointRangeQuery analogue over doc-values with
+shard min/max pruning) and sort-by-field top-k (TopFieldCollector analogue):
+value-checked against brute-force oracles over the raw corpus."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.search.query import (
+    FILTER,
+    MUST,
+    MUST_NOT,
+    BooleanClause,
+    BooleanQuery,
+    RangeQuery,
+    SortField,
+    TermQuery,
+    bool_query,
+)
+from lucene_ray.search.searcher import IndexSearcher
+from lucene_ray.sources.transcripts import synth_transcripts
+
+N_TURNS = 3000
+
+
+@pytest.fixture(scope="module")
+def dv_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    t = synth_transcripts(N_TURNS, seed=42)
+    index_dir = str(tmp_path_factory.mktemp("dvidx"))
+    ds = rd.from_arrow(t)
+    build_index(ds, index_dir, target_docs_per_partition=500,
+                docvalue_cols=("ts",), input_desc="synth3000dv")
+    sorted_t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    ts = sorted_t.column("ts").cast("int64").to_numpy()
+    turn = sorted_t.column("turn_idx").to_numpy().astype(np.int64)
+    texts = sorted_t.column("text").to_pylist()
+    import lucene_ray.analysis.standard as std
+
+    tokens = [set(std.analyze(x)) if x else set() for x in texts]
+    return IndexSearcher(index_dir), ts, turn, tokens
+
+
+def test_range_standalone_count(dv_index):
+    s, ts, turn, tokens = dv_index
+    lo, hi = int(ts[400]), int(ts[1700])
+    n = s.count(RangeQuery("ts", lo, hi))
+    assert n == int(((ts >= lo) & (ts <= hi)).sum())
+
+
+def test_range_standalone_search_const_score(dv_index):
+    s, ts, turn, tokens = dv_index
+    lo, hi = int(ts[10]), int(ts[40])
+    td = s.search(RangeQuery("ts", lo, hi, boost=2.5), k=100)
+    expect = set(np.nonzero((ts >= lo) & (ts <= hi))[0].tolist())
+    assert {h.gid for h in td.hits} == expect
+    assert all(abs(h.score - 2.5) < 1e-6 for h in td.hits)
+    assert td.total_hits == len(expect)
+
+
+def test_range_open_bounds(dv_index):
+    s, ts, turn, tokens = dv_index
+    hi = int(ts[123])
+    assert s.count(RangeQuery("ts", None, hi)) == int((ts <= hi).sum())
+    lo = int(ts[2900])
+    assert s.count(RangeQuery("ts", lo, None)) == int((ts >= lo).sum())
+    assert s.count(RangeQuery("ts", None, None)) == len(ts)
+
+
+def test_range_filter_in_boolean(dv_index):
+    s, ts, turn, tokens = dv_index
+    lo, hi = int(ts[200]), int(ts[2500])
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), MUST),
+                      BooleanClause(RangeQuery("ts", lo, hi), FILTER)))
+    n = s.count(q)
+    expect = sum(1 for d in range(len(ts))
+                 if "merge" in tokens[d] and lo <= ts[d] <= hi)
+    assert n == expect
+    # FILTER must not change scores: compare against plain MUST over the same docs
+    td = s.search(q, k=expect + 5, total_hits_threshold=2**31 - 1)
+    td_plain = s.search(bool_query(must=["merge"]), k=N_TURNS, total_hits_threshold=2**31 - 1)
+    plain = {h.gid: h.score for h in td_plain.hits}
+    for h in td.hits:
+        assert lo <= ts[h.gid] <= hi
+        assert h.score == plain[h.gid]
+
+
+def test_range_must_not(dv_index):
+    s, ts, turn, tokens = dv_index
+    lo, hi = int(ts[100]), int(ts[2000])
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), MUST),
+                      BooleanClause(RangeQuery("ts", lo, hi), MUST_NOT)))
+    n = s.count(q)
+    expect = sum(1 for d in range(len(ts))
+                 if "merge" in tokens[d] and not (lo <= ts[d] <= hi))
+    assert n == expect
+
+
+def test_range_shard_pruning_bounds(dv_index):
+    """A range covering only one shard's ts values returns exactly its docs
+    (manifest min/max pruning must not drop boundary docs)."""
+    s, ts, turn, tokens = dv_index
+    for pid in s._pids[:3]:
+        rdr = s.reader(pid)
+        mm = rdr.docvalue_range("ts")
+        assert mm is not None
+        n = s.count(RangeQuery("ts", mm[0], mm[1]))
+        assert n == int(((ts >= mm[0]) & (ts <= mm[1])).sum())
+
+
+def test_sort_by_ts_desc(dv_index):
+    s, ts, turn, tokens = dv_index
+    k = 25
+    td = s.search(bool_query(should=["merge"]), k=k, sort=SortField("ts", reverse=True))
+    match = [d for d in range(len(ts)) if "merge" in tokens[d]]
+    expect = sorted(match, key=lambda d: (-ts[d], d))[:k]
+    assert [h.gid for h in td.hits] == expect
+    assert [h.fields[0] for h in td.hits] == [int(ts[d]) for d in expect]
+    assert td.total_hits == len(match)
+
+
+def test_sort_by_turn_idx_ties(dv_index):
+    """turn_idx has massive ties -> exercises the global-docID-asc tie-break."""
+    s, ts, turn, tokens = dv_index
+    k = 40
+    td = s.search(bool_query(should=["merge"]), k=k,
+                  sort=SortField("turn_idx", reverse=True))
+    match = [d for d in range(len(ts)) if "merge" in tokens[d]]
+    expect = sorted(match, key=lambda d: (-turn[d], d))[:k]
+    assert [h.gid for h in td.hits] == expect
+
+
+def test_sort_ascending(dv_index):
+    s, ts, turn, tokens = dv_index
+    td = s.search(bool_query(should=["merge"]), k=10, sort=SortField("ts"))
+    match = [d for d in range(len(ts)) if "merge" in tokens[d]]
+    expect = sorted(match, key=lambda d: (ts[d], d))[:10]
+    assert [h.gid for h in td.hits] == expect
+
+
+def test_sort_with_range_filter(dv_index):
+    s, ts, turn, tokens = dv_index
+    lo, hi = int(ts[500]), int(ts[1500])
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), MUST),
+                      BooleanClause(RangeQuery("ts", lo, hi), FILTER)))
+    td = s.search(q, k=10, sort=SortField("ts", reverse=True))
+    match = [d for d in range(len(ts))
+             if "merge" in tokens[d] and lo <= ts[d] <= hi]
+    expect = sorted(match, key=lambda d: (-ts[d], d))[:10]
+    assert [h.gid for h in td.hits] == expect
