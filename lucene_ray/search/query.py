@@ -39,10 +39,22 @@ class PhraseQuery:
     boost: float = 1.0
     slop: int = 0
 
+
+@dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Phrase where each position (slot) accepts any of several terms
+    (`search/MultiPhraseQuery.java`): a slot's postings are the union of its
+    terms' postings with sorted merged positions (UnionPostingsEnum,
+    MultiPhraseQuery.java:419-500); matching/scoring like PhraseQuery with
+    idf summed over every provided term with df > 0 (getStats at :221-244)."""
+    slots: tuple[tuple[str, ...], ...]
+    field: str = "text"
+    boost: float = 1.0
+    slop: int = 0
+
     def __post_init__(self):
-        if self.slop > 0 and len(set(self.terms)) != len(self.terms):
-            raise NotImplementedError(
-                "sloppy matching with repeating terms not supported yet")
+        if any(len(s) == 0 for s in self.slots):
+            raise ValueError("empty slot")
 
 
 @dataclass(frozen=True)

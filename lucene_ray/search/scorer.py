@@ -540,6 +540,82 @@ def search_shard_phrase_sloppy(reader, terms: list[str], slop: int, scorer,
     return scores, pdocs, total, RELATION_EQ
 
 
+def search_shard_phrase_general(reader, slots, slop: int, scorer, k: int, after=None):
+    """General phrase execution: multi-term slots (MultiPhraseQuery union
+    postings) and/or repeating terms, exact (slop=0) or sloppy.  Conjunction
+    over slot doc unions, then per candidate doc: merged slot positions
+    (sorted multiset union — UnionPostingsEnum semantics) fed to the exact
+    composite-key intersect (slop=0) or the full SloppyPhraseMatcher."""
+    from .phrase_matcher import SloppyPhraseMatcher
+
+    slot_data = []
+    for ts in slots:
+        per_term = []
+        for t in ts:
+            tid = reader.seek_exact(t)
+            if tid < 0:
+                continue
+            docs, freqs = reader.postings(tid)
+            pos = reader.positions(tid, freqs)
+            pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+            per_term.append((docs, pos, pb))
+        if not per_term:
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+        union_docs = per_term[0][0]
+        for docs, _, _ in per_term[1:]:
+            union_docs = np.union1d(union_docs, docs)
+        slot_data.append((per_term, union_docs))
+
+    common = slot_data[0][1]
+    for _, ud in slot_data[1:]:
+        common = np.intersect1d(common, ud, assume_unique=True)
+    if reader.deleted is not None and len(common):
+        common = common[~reader.deleted[common]]
+    if len(common) == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+
+    matcher = SloppyPhraseMatcher([tuple(ts) for ts in slots], slop) if slop > 0 else None
+    out_docs, out_freqs = [], []
+    for d in common:
+        pls = []
+        for per_term, _ in slot_data:
+            parts = []
+            for docs, pos, pb in per_term:
+                j = int(np.searchsorted(docs, d))
+                if j < len(docs) and docs[j] == d:
+                    parts.append(pos[int(pb[j]):int(pb[j + 1])])
+            if len(parts) == 1:
+                pl = parts[0].astype(np.int64)
+            else:
+                pl = np.sort(np.concatenate(parts).astype(np.int64))
+            pls.append(pl)
+        if slop == 0:
+            inter = np.unique(pls[0])
+            for i in range(1, len(pls)):
+                inter = np.intersect1d(inter, np.unique(pls[i]) - i,
+                                       assume_unique=True)
+                if len(inter) == 0:
+                    break
+            f = np.float32(len(inter))
+        else:
+            f = matcher.freq(pls)
+        if f > 0:
+            out_docs.append(int(d))
+            out_freqs.append(f)
+    if not out_docs:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    pdocs = np.array(out_docs, dtype=np.int32)
+    pfreq = np.array(out_freqs, dtype=np.float32)
+    scores = scorer.score(pfreq, reader.norms[pdocs])
+    total = int(len(pdocs))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (scores < a_s) | ((scores == a_s) & (pdocs.astype(np.int64) > a_d))
+        pdocs, scores = pdocs[keep], scores[keep]
+    scores, pdocs = _top_k(scores, pdocs, k)
+    return scores, pdocs, total, RELATION_EQ
+
+
 def search_shard_synonym(reader, terms_boosts, scorer, k: int, after=None):
     """SynonymQuery execution: blended freq = sum(boost_i * freq_i) float32
     in term order, scored once with the pseudo-term scorer."""

@@ -227,6 +227,35 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "const_terms": self._expand(query), "boost": query.boost}
+        from .query import MultiPhraseQuery
+
+        if isinstance(query, MultiPhraseQuery):
+            # MultiPhraseQuery stats (MultiPhraseQuery.java:221-244): idf sums
+            # over EVERY provided term with df > 0, slot order; a slot whose
+            # terms are all absent can never match
+            idf_sum = np.float32(0.0)
+            any_term = False
+            for slot in query.slots:
+                slot_present = False
+                for t in slot:
+                    d = self.df(t)
+                    if d > 0:
+                        idf_sum = idf_sum + self.sim.idf(d, self.doc_count)
+                        any_term = True
+                        slot_present = True
+                if not slot_present:
+                    return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
+                            "msm": 0, "n_required": 1, "match_all": False}
+            if not any_term:
+                return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
+                        "msm": 0, "n_required": 1, "match_all": False}
+            scorer = self.sim.scorer_with_idf(query.boost, idf_sum,
+                                              self.doc_count, self.sum_ttf)
+            slots = tuple(tuple(t for t in slot if self.df(t) > 0)
+                          for slot in query.slots)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "phrase_general": (slots, scorer, int(query.slop))}
         if isinstance(query, PhraseQuery):
             # PhraseWeight: idf = SUM of the terms' idfs (idfExplain for
             # multiple termStats), float32 accumulation in term order
@@ -239,6 +268,12 @@ class IndexSearcher:
                 idf_sum = idf_sum + self.sim.idf(d, self.doc_count)
             scorer = self.sim.scorer_with_idf(query.boost, idf_sum,
                                               self.doc_count, self.sum_ttf)
+            if query.slop > 0 and len(set(query.terms)) != len(query.terms):
+                # repeating terms: full SloppyPhraseMatcher path
+                return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                        "n_required": 0, "match_all": False,
+                        "phrase_general": (tuple((t,) for t in query.terms),
+                                           scorer, int(query.slop))}
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "phrase": (list(query.terms), scorer, int(query.slop))}
@@ -303,6 +338,11 @@ class IndexSearcher:
                         int(len(live)), RELATION_EQ)
             docs = np.arange(min(k, rdr.doc_count), dtype=np.int32)
             return np.ones(len(docs), np.float32), docs, rdr.doc_count, RELATION_EQ
+        if compiled.get("phrase_general"):
+            from .scorer import search_shard_phrase_general
+
+            slots, scorer, slop = compiled["phrase_general"]
+            return search_shard_phrase_general(rdr, slots, slop, scorer, k, after=after)
         if compiled.get("phrase"):
             terms, scorer, slop = compiled["phrase"]
             if slop > 0:

@@ -101,6 +101,8 @@ def test_slop0_equals_exact(shard):
     assert np.array_equal(se, ss)
 
 
-def test_repeating_terms_rejected():
-    with pytest.raises(NotImplementedError):
-        PhraseQuery(("a", "b", "a"), slop=1)
+def test_repeating_terms_now_supported():
+    # round-2: the guard is gone — repeating-term sloppy phrases route to the
+    # full SloppyPhraseMatcher (tests/test_sloppy_repeats.py)
+    q = PhraseQuery(("a", "b", "a"), slop=1)
+    assert q.slop == 1
