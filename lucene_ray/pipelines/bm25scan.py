@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .textstats import _read_documents, _tokens_series
+from .textstats import _flat_tokens_np, _read_documents, _seg_sum
 
 K1 = 1.2
 B = 0.75
@@ -35,10 +35,10 @@ def bm25_scan_topk(sf_dir: str, terms=("merge", "join"), k: int = 20):
 
     # ---- pass 1: global stats via per-batch partials + driver sum ----
     def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens_series(df["text"])
-        row = {"n_docs": [len(df)], "n_tokens": [int(toks.map(len).sum())]}
+        flat, lens = _flat_tokens_np(df["text"])
+        row = {"n_docs": [len(df)], "n_tokens": [int(lens.sum())]}
         for t in terms:
-            row[f"df_{t}"] = [int(toks.map(lambda x, t=t: t in x).sum())]
+            row[f"df_{t}"] = [int((_seg_sum((flat == t).to_numpy(), lens) > 0).sum())]
         return pd.DataFrame(row)
 
     stats = (_read_documents(sf_dir)
@@ -53,12 +53,12 @@ def bm25_scan_topk(sf_dir: str, terms=("merge", "join"), k: int = 20):
     # ---- pass 2: broadcast stats, score every batch, local top-k ----
     def score_batch(df: pd.DataFrame) -> pd.DataFrame:
         idf, avgdl = ray.get(ref)
-        toks = _tokens_series(df["text"])
-        dl = toks.map(len).to_numpy(dtype=np.float64)
+        flat, lens = _flat_tokens_np(df["text"])
+        dl = lens.astype(np.float64)
         score = np.zeros(len(df), dtype=np.float64)
         matched = np.zeros(len(df), dtype=bool)
         for t in terms:
-            tf = toks.map(lambda x, t=t: x.count(t)).to_numpy(dtype=np.float64)
+            tf = _seg_sum((flat == t).to_numpy(), lens).astype(np.float64)
             hit = tf > 0
             matched |= hit
             denom = tf + K1 * (1 - B + B * dl / avgdl)
@@ -82,12 +82,12 @@ def bm25_scan_count(sf_dir: str, must=("merge", "join"), must_not=()):
     must, must_not = list(must), list(must_not)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens_series(df["text"])
+        flat, lens = _flat_tokens_np(df["text"])
         ok = np.ones(len(df), dtype=bool)
         for t in must:
-            ok &= toks.map(lambda x, t=t: t in x).to_numpy()
+            ok &= _seg_sum((flat == t).to_numpy(), lens) > 0
         for t in must_not:
-            ok &= ~toks.map(lambda x, t=t: t in x).to_numpy()
+            ok &= ~(_seg_sum((flat == t).to_numpy(), lens) > 0)
         return pd.DataFrame({"n": [int(ok.sum())]})
 
     total = (_read_documents(sf_dir)

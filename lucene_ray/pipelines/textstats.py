@@ -37,6 +37,47 @@ def _tokens_series(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.findall(SIMPLE_TOKEN).map(lambda ts: [t.lower() for t in ts])
 
 
+def _pl_tokens(texts: pd.Series):
+    """Lowercased token lists as a polars Series (native regex kernel — the
+    vectorized replacement for the per-row `_tokens_series` lambdas)."""
+    import polars as pl
+
+    s = pl.from_pandas(texts).cast(pl.Utf8).fill_null("")
+    return s.str.to_lowercase().str.extract_all(SIMPLE_TOKEN.pattern)
+
+
+def _flat_tokens_np(texts: pd.Series):
+    """(flat polars token Series, per-doc token counts int64) for segmented
+    numpy reductions."""
+    toks = _pl_tokens(texts)
+    lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls()
+    return flat, lens
+
+
+def _seg_starts(lens: np.ndarray) -> np.ndarray:
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return starts
+
+
+def _seg_sum(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-doc sums over a flat per-token array (empty docs -> 0)."""
+    out = np.zeros(len(lens), dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        out[nz] = np.add.reduceat(vals.astype(np.int64), _seg_starts(lens)[nz])
+    return out
+
+
+def _seg_max(vals: np.ndarray, lens: np.ndarray, default: int = 0) -> np.ndarray:
+    out = np.full(len(lens), default, dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        out[nz] = np.maximum.reduceat(vals.astype(np.int64), _seg_starts(lens)[nz])
+    return out
+
+
 def _read_documents(sf_dir: str, columns=("doc_id", "text")):
     import ray.data as rd
 
@@ -54,12 +95,17 @@ def term_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens_series(df["text"])
-        flat = toks.explode().dropna()
-        occ = flat.groupby(flat).size()
-        docs = flat.groupby([flat.index, flat]).size().groupby(level=1).size()
-        return pd.DataFrame({"term": occ.index, "n_occurrences": occ.values,
-                             "n_docs": docs.reindex(occ.index).values})
+        import polars as pl
+
+        flat, lens = _flat_tokens_np(df["text"])
+        tl = pl.DataFrame({
+            "doc": np.repeat(np.arange(len(lens), dtype=np.int64), lens),
+            "term": flat,
+        })
+        agg = (tl.group_by("term")
+               .agg(pl.len().cast(pl.Int64).alias("n_occurrences"),
+                    pl.col("doc").n_unique().cast(pl.Int64).alias("n_docs")))
+        return agg.to_pandas()
 
     return (_read_documents(sf_dir)
             .map_batches(partial, batch_format="pandas")
@@ -93,12 +139,15 @@ def collection_stats(sf_dir: str):
 def doc_token_stats(sf_dir: str):
     """(doc_id, n_chars, n_tokens, n_unique) token counting per document."""
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens_series(df["text"])
+        import polars as pl
+
+        toks = _pl_tokens(df["text"])
+        s = pl.from_pandas(df["text"]).cast(pl.Utf8).fill_null("")
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "n_chars": df["text"].fillna("").str.len().astype("int64"),
-            "n_tokens": toks.map(len).astype("int64"),
-            "n_unique": toks.map(lambda t: len(set(t))).astype("int64"),
+            "n_chars": s.str.len_chars().to_numpy().astype("int64"),
+            "n_tokens": toks.list.len().fill_null(0).to_numpy().astype("int64"),
+            "n_unique": toks.list.n_unique().fill_null(0).to_numpy().astype("int64"),
         })
 
     return _read_documents(sf_dir).map_batches(stats, batch_format="pandas")
@@ -107,16 +156,20 @@ def doc_token_stats(sf_dir: str):
 def quality_stats(sf_dir: str):
     """Quality-scoring signals as exact integer counts (hash-safe):
     (doc_id, n_tokens, n_stop_en, n_digit_tokens, max_token_len)."""
-    stop_en = set(STOPWORDS["en"])
+    stop_en = STOPWORDS["en"]
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens_series(df["text"])
+        flat, lens = _flat_tokens_np(df["text"])
+        is_stop = flat.is_in(stop_en).to_numpy()
+        # tokens are [A-Za-z0-9]+ runs: digit-only <=> no letters
+        is_digit = flat.str.contains(r"^[0-9]+$").to_numpy()
+        tok_len = flat.str.len_chars().to_numpy()
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "n_tokens": toks.map(len).astype("int64"),
-            "n_stop_en": toks.map(lambda t: sum(x in stop_en for x in t)).astype("int64"),
-            "n_digit_tokens": toks.map(lambda t: sum(x.isdigit() for x in t)).astype("int64"),
-            "max_token_len": toks.map(lambda t: max((len(x) for x in t), default=0)).astype("int64"),
+            "n_tokens": lens,
+            "n_stop_en": _seg_sum(is_stop, lens),
+            "n_digit_tokens": _seg_sum(is_digit, lens),
+            "max_token_len": _seg_max(tok_len, lens),
         })
 
     return _read_documents(sf_dir).map_batches(stats, batch_format="pandas")
@@ -125,12 +178,10 @@ def quality_stats(sf_dir: str):
 def langid(sf_dir: str):
     """Stopword-hit language ID: per-language hit counts + deterministic
     argmax (en >= de >= fr precedence on ties; 'und' when all zero)."""
-    sets = {lang: set(ws) for lang, ws in STOPWORDS.items()}
-
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens_series(df["text"])
-        n = {lang: toks.map(lambda t, s=s: sum(x in s for x in t)).astype("int64")
-             for lang, s in sets.items()}
+        flat, lens = _flat_tokens_np(df["text"])
+        n = {lang: _seg_sum(flat.is_in(ws).to_numpy(), lens)
+             for lang, ws in STOPWORDS.items()}
         pred = np.where(
             (n["en"] == 0) & (n["de"] == 0) & (n["fr"] == 0), "und",
             np.where((n["en"] >= n["de"]) & (n["en"] >= n["fr"]), "en",
@@ -145,10 +196,11 @@ def fingerprints(sf_dir: str):
     """Document fingerprinting: md5 of the normalized token stream (and of the
     raw text) — both mirrored exactly by DuckDB's md5()."""
     def fp(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens_series(df["text"])
+        # token join is vectorized (polars); md5 itself is a per-row C call
+        joined = _pl_tokens(df["text"]).list.join(" ").fill_null("").to_list()
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "token_fp": toks.map(lambda t: hashlib.md5(" ".join(t).encode()).hexdigest()),
+            "token_fp": [hashlib.md5(s.encode()).hexdigest() for s in joined],
             "raw_fp": df["text"].fillna("").map(lambda s: hashlib.md5(s.encode()).hexdigest()),
         })
 
