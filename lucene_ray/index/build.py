@@ -29,7 +29,8 @@ import pyarrow as pa
 from . import manifest as mf
 from .shard import write_shard
 
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
+STATS_BUCKETS = 64     # hash-partitions of the merged term-stats store
 
 
 def plan_split_points(ds, n_parts: int, key: str, sample_per_part: int = 256) -> list[str]:
@@ -238,11 +239,14 @@ def merge_term_stats(index_dir: str, commit: dict, n_salts: int = 16) -> str:
     2. ONE groupby(term) shuffle over the combined partials, summing the
        salted partials into the final (term, df, ttf) row.
 
-    At 10^12 scale the output would be hash-partitioned by term; here it is
-    one parquet directory loaded into RAM by searchers.
+    The output is hash-partitioned by term (bucket-%04d.parquet, bucket =
+    fnv1a64(term) %% STATS_BUCKETS) so searchers load only the buckets their
+    query terms hash to — the driver never needs the full dictionary in RAM.
     """
     import ray
     import ray.data
+
+    from ..util.hashing import fnv1a64
 
     paths = [os.path.join(index_dir, "shards", f"shard-{m['pid']:05d}", "terms.parquet")
              for m in commit["shards"]]
@@ -270,7 +274,16 @@ def merge_term_stats(index_dir: str, commit: dict, n_salts: int = 16) -> str:
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
         os.makedirs(out_dir)
-        pq.write_table(merged, os.path.join(out_dir, "part-0.parquet"))
+        bucket = (fnv1a64(merged.column("term")) % np.uint64(STATS_BUCKETS)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        merged = merged.take(pa.array(order))
+        bucket = bucket[order]
+        bounds = np.searchsorted(bucket, np.arange(STATS_BUCKETS + 1))
+        for b in range(STATS_BUCKETS):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            if hi > lo:
+                pq.write_table(merged.slice(lo, hi - lo),
+                               os.path.join(out_dir, f"bucket-{b:04d}.parquet"))
         return out_dir
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -289,7 +302,23 @@ def merge_term_stats(index_dir: str, commit: dict, n_salts: int = 16) -> str:
     import shutil
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
-    stats.write_parquet(out_dir)
+    os.makedirs(out_dir)
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        b = (fnv1a64(batch.column("term")) % np.uint64(STATS_BUCKETS)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        b = int(group.column("bucket")[0].as_py())
+        pq_path = os.path.join(out_dir, f"bucket-{b:04d}.parquet")
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(group.drop_columns(["bucket"]), pq_path)
+        return pa.table({"bucket": [b], "rows": [group.num_rows]})
+
+    (stats.map_batches(tag_bucket, batch_format="pyarrow")
+     .groupby("bucket").map_groups(write_bucket, batch_format="pyarrow")
+     .take_all())
     return out_dir
 
 

@@ -41,9 +41,10 @@ from .textstats import SIMPLE_TOKEN, _read_documents
 # vectorized hashing
 # ---------------------------------------------------------------------------
 
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+from ..util.hashing import FNV_OFFSET as _FNV_OFFSET
+from ..util.hashing import FNV_PRIME as _FNV_PRIME
+from ..util.hashing import GOLDEN as _GOLDEN
+from ..util.hashing import fnv1a64 as _fnv1a64_impl
 
 # number of hash-partitions for the bucket-pairing shuffles; at cluster scale
 # raise this (it bounds the largest map_groups task, not correctness)
@@ -54,31 +55,8 @@ MAX_BUCKET_DOCS = 256
 
 
 def _fnv1a64(arr, seed: int = 0) -> np.ndarray:
-    """Vectorized FNV-1a 64-bit over a pyarrow string array (zero-copy over
-    the Arrow offsets/data buffers; one masked pass per byte position)."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if not isinstance(arr, pa.Array):
-        arr = pa.array(arr, type=pa.string())
-    if pa.types.is_large_string(arr.type):
-        off_dt = np.int64
-    else:
-        off_dt = np.int32
-    n = len(arr)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=off_dt)[arr.offset:arr.offset + n + 1].astype(np.int64)
-    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
-    starts, lens = offs[:-1], offs[1:] - offs[:-1]
-    with np.errstate(over="ignore"):
-        h = np.full(n, (_FNV_OFFSET ^ (np.uint64(seed) * _GOLDEN)) * _FNV_PRIME,
-                    dtype=np.uint64)
-        maxlen = int(lens.max()) if n else 0
-        for j in range(maxlen):
-            m = lens > j
-            h[m] = (h[m] ^ data[starts[m] + j].astype(np.uint64)) * _FNV_PRIME
-    return h
+    """Vectorized FNV-1a 64-bit (shared kernel in util/hashing.py)."""
+    return _fnv1a64_impl(arr, seed)
 
 
 def _mix_windows(th: np.ndarray, lens: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -92,42 +92,51 @@ class IndexSearcher:
         for pid, r in self._readers.items():
             r.set_deletes(self._dels.get(pid))
         self._stats = None
-        self._terms_sorted = None
         return True
 
-    # ---- global stats ----
-    def _term_stats(self) -> dict[str, int]:
-        """term -> global docFreq, from the salted-shuffle-merged stats table."""
-        if self._stats is None:
-            import pyarrow.parquet as pq
+    # ---- global stats (hash-bucketed; the driver never loads the full
+    # dictionary — `df` reads only the bucket a term hashes to) ----
+    def _stats_bucket(self, term: str) -> dict[str, int]:
+        from ..index.build import STATS_BUCKETS
+        from ..util.hashing import fnv1a64_str
 
-            stats_dir = os.path.join(self.index_dir, "term_stats")
-            dfs = {}
-            for p in sorted(glob.glob(os.path.join(stats_dir, "*.parquet"))):
-                t = pq.read_table(p, columns=["term", "df"])
-                terms = t.column("term").to_pylist()
-                vals = t.column("df").to_numpy()
-                dfs.update(zip(terms, (int(v) for v in vals)))
-            self._stats = dfs
-        return self._stats
+        if self._stats is None:
+            self._stats = {}
+        b = fnv1a64_str(term) % STATS_BUCKETS
+        cached = self._stats.get(b)
+        if cached is None:
+            cached = self._load_stats_files(
+                glob.glob(os.path.join(self.index_dir, "term_stats",
+                                       f"bucket-{b:04d}.parquet")))
+            self._stats[b] = cached
+        return cached
+
+    @staticmethod
+    def _load_stats_files(paths) -> dict[str, int]:
+        import pyarrow.parquet as pq
+
+        dfs: dict[str, int] = {}
+        for p in sorted(paths):
+            t = pq.read_table(p, columns=["term", "df"])
+            dfs.update(zip(t.column("term").to_pylist(),
+                           (int(v) for v in t.column("df").to_numpy())))
+        return dfs
 
     def df(self, term: str) -> int:
-        return self._term_stats().get(term, 0)
+        return self._stats_bucket(term).get(term, 0)
 
-    def _sorted_terms(self) -> np.ndarray:
-        if getattr(self, "_terms_sorted", None) is None:
-            self._terms_sorted = np.sort(np.array(list(self._term_stats()), dtype=object))
-        return self._terms_sorted
-
-    def _expand(self, query) -> list[str]:
-        """MultiTermQuery expansion against the global term dictionary
-        (sorted-array range scan here; the scale path is a per-shard
-        automaton intersection, `util/automaton/CompiledAutomaton`)."""
+    def _expand_shard(self, rdr, query) -> list[str]:
+        """MultiTermQuery expansion against ONE shard's sorted dictionary
+        (the per-leaf automaton-intersection model,
+        `util/automaton/CompiledAutomaton` /
+        `blocktree/Lucene90BlockTreeTermsReader.java:341`): each shard
+        expands only its own terms, so no global dictionary is ever
+        materialized on the driver."""
         import re as _re
 
         from .query import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
 
-        terms = self._sorted_terms()
+        terms = rdr._term_np
         if isinstance(query, PrefixQuery):
             lo, hi = _prefix_range(terms, query.prefix)
             return terms[lo:hi].tolist()
@@ -135,17 +144,19 @@ class IndexSearcher:
             pat = _re.compile("".join(
                 ".*" if c == "*" else "." if c == "?" else _re.escape(c)
                 for c in query.pattern))
-            return [t for t in terms if pat.fullmatch(t)]
+            # literal-prefix range narrowing before the regex scan
+            pre = _re.match(r"[^*?]*", query.pattern).group(0)
+            lo, hi = _prefix_range(terms, pre) if pre else (0, len(terms))
+            return [t for t in terms[lo:hi] if pat.fullmatch(t)]
         if isinstance(query, RegexpQuery):
             pat = _re.compile(query.regexp)
             return [t for t in terms if pat.fullmatch(t)]
         if isinstance(query, FuzzyQuery):
             base = query.term
             pre = base[:query.prefix_length]
+            lo, hi = _prefix_range(terms, pre) if pre else (0, len(terms))
             out = []
-            for t in terms:
-                if not t.startswith(pre):
-                    continue
+            for t in terms[lo:hi]:
                 if abs(len(t) - len(base)) > query.max_edits:
                     continue
                 if _levenshtein_leq(t, base, query.max_edits):
@@ -224,9 +235,11 @@ class IndexSearcher:
 
             query = PrefixQuery(f"{query.field}{KEYWORD_SEP}", boost=query.boost)
         if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)):
+            # expansion happens PER SHARD at execution time (const_query);
+            # constant-score rewrite needs no global stats
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
-                    "const_terms": self._expand(query), "boost": query.boost}
+                    "const_query": query, "boost": query.boost}
         from .query import MultiPhraseQuery
 
         if isinstance(query, MultiPhraseQuery):
@@ -355,11 +368,11 @@ class IndexSearcher:
 
             return search_shard_range(rdr, compiled["range"], compiled["boost"],
                                       k, after=after)
-        if compiled.get("const_terms") is not None:
+        if compiled.get("const_query") is not None:
             from .scorer import search_shard_const
 
-            return search_shard_const(rdr, compiled["const_terms"], compiled["boost"],
-                                      k, after=after)
+            return search_shard_const(rdr, self._expand_shard(rdr, compiled["const_query"]),
+                                      compiled["boost"], k, after=after)
         if compiled.get("const_wrap") is not None:
             # ConstantScoreQuery: inner query's MATCH set, flat boost score
             _, docs, total, rel = self.search_shard(
@@ -633,25 +646,16 @@ def _local_after(after, base):
 
 
 def suggest(searcher: "IndexSearcher", prefix: str, k: int = 10) -> list[tuple[str, int]]:
-    """Prefix suggester over the term dictionary weighted by total term
-    frequency (the `suggest` module's analyzing-prefix surface, backed by the
-    merged stats table instead of a dedicated FST).  Returns [(term, ttf)]
-    by weight desc, term asc."""
-    import pyarrow.parquet as pq
-    import glob as _glob
-    import os as _os
-
-    terms = searcher._sorted_terms()
-    lo, hi = _prefix_range(terms, prefix)
-    cands = terms[lo:hi].tolist()
-    if not cands:
-        return []
-    ttfs = {}
-    for p in sorted(_glob.glob(_os.path.join(searcher.index_dir, "term_stats", "*.parquet"))):
-        t = pq.read_table(p, columns=["term", "ttf"])
-        for term, ttf in zip(t.column("term").to_pylist(), t.column("ttf").to_pylist()):
-            if term in ttfs or not term.startswith(prefix):
-                continue
-            ttfs[term] = int(ttf)
-    ranked = sorted(((t, ttfs.get(t, 0)) for t in cands), key=lambda x: (-x[1], x[0]))
+    """Prefix suggester over the term dictionaries weighted by total term
+    frequency (the `suggest` module's analyzing-prefix surface).  Scans each
+    shard's sorted dictionary range and sums per-shard ttf — global ttf
+    equals the sum, and the driver never loads the full stats table.
+    Returns [(term, ttf)] by weight desc, term asc."""
+    ttfs: dict[str, int] = {}
+    for pid in searcher._pids:
+        rdr = searcher.reader(pid)
+        lo, hi = _prefix_range(rdr._term_np, prefix)
+        for t, ttf in zip(rdr._term_np[lo:hi], rdr._ttf[lo:hi]):
+            ttfs[t] = ttfs.get(t, 0) + int(ttf)
+    ranked = sorted(ttfs.items(), key=lambda x: (-x[1], x[0]))
     return ranked[:k]

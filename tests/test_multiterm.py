@@ -77,3 +77,50 @@ def test_fuzzy_query(setup):
     td2 = s.search(FuzzyQuery("query", max_edits=2, prefix_length=5), k=1000)
     want2 = _brute_docs(tokens, lambda t: t.startswith("query") and _levenshtein_leq(t, "query", 2))
     assert [h.gid for h in td2.hits] == want2
+
+
+def test_expansion_without_global_dictionary(setup):
+    """Round-2 scale fix: multi-term expansion and suggest must work without
+    the driver ever materializing the full term dictionary — only per-term
+    stat-bucket loads are allowed."""
+    from lucene_ray.search.query import PrefixQuery, WildcardQuery, FuzzyQuery
+    from lucene_ray.search.searcher import IndexSearcher, suggest
+
+    s0, _ = setup
+    s = IndexSearcher(s0.index_dir)
+
+    def no_load(*a, **k):
+        raise AssertionError("full stats load attempted during expansion")
+
+    # expansion paths never consult global stats at all
+    s._stats_bucket = no_load
+    assert s.count(PrefixQuery("qu")) > 0
+    assert s.count(WildcardQuery("que*")) > 0
+    assert s.count(FuzzyQuery("querz", max_edits=1)) > 0
+    got = suggest(s, "que", k=5)
+    assert got and all(t.startswith("que") for t, _ in got)
+
+
+def test_stats_buckets_lazy_and_correct(setup):
+    """df() loads only the bucket a term hashes to, and matches the full
+    stats table."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.search.searcher import IndexSearcher
+
+    s0, _ = setup
+    index_dir = s0.index_dir
+    files = glob.glob(os.path.join(index_dir, "term_stats", "bucket-*.parquet"))
+    assert len(files) > 1              # hash-partitioned layout
+    full = {}
+    for p in files:
+        t = pq.read_table(p, columns=["term", "df"])
+        full.update(zip(t.column("term").to_pylist(), t.column("df").to_numpy()))
+    s = IndexSearcher(index_dir)
+    for term in ["query", "data", "merge", "nonexistenttermxyz"]:
+        assert s.df(term) == int(full.get(term, 0))
+    # only the buckets actually touched are resident
+    assert len(s._stats) <= 4
