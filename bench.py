@@ -56,6 +56,9 @@ def _corpus_path(n_turns: int) -> str:
 def run_bench() -> dict:
     import ray
 
+    from lucene_ray.util.warmup import set_worker_env, warm_workers
+
+    set_worker_env()           # polars/rayon 1-thread + glibc malloc tunables
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import logging
@@ -85,11 +88,18 @@ def run_bench() -> dict:
     warm_corpus = _corpus_path(5000)
     build_index(rd.read_parquet(warm_corpus), warm_dir,
                 target_docs_per_partition=500, input_desc="warmup")
+    # pre-fault worker heaps (first-touch page-fault storms serialize in the
+    # kernel when every worker does it inside the timed run — NOTES.md)
+    warm_workers(NUM_CPUS)
 
     # ---- headline: index build (same partitioning at every CPU level so
     # the produced index is identical; best of 2 runs to damp host noise) ----
     ds = rd.read_parquet(corpus, override_num_blocks=128)
-    tpp = max(2000, N_TURNS // 128)
+    # 256 partitions: ~39k-turn shards pack 32 workers in 8 waves — measured
+    # better wave-packing + lower per-task memory spikes than 128x78k
+    # (NOTES.md round-2 scaling profile); shard count is a bench knob, the
+    # library default target_docs_per_partition is unchanged
+    tpp = max(2000, N_TURNS // 256)
     build_sec = None
     for attempt in range(2):
         index_dir = f"/tmp/lucene_ray_bench/idx_{NUM_CPUS}"

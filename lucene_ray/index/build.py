@@ -22,6 +22,8 @@ the data.
 from __future__ import annotations
 
 import os
+import sys
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -80,6 +82,14 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
     """
     import ray.data
 
+    prof = os.environ.get("LUCENE_RAY_PROFILE")
+    t_start = time.perf_counter()
+
+    def _mark(name):
+        if prof:
+            print(f"[build-prof] {name}: {time.perf_counter() - t_start:.2f}s",
+                  file=sys.stderr)
+
     os.makedirs(os.path.join(index_dir, "shards"), exist_ok=True)
 
     # fast path: a commit with this input already exists and is intact
@@ -107,6 +117,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
 
     done = mf.committed_shards(index_dir, fp)
     todo = [p for p in range(len(split_points) + 1) if p not in done]
+    _mark("plan")
 
     if todo:
         splits_arr = np.array(split_points, dtype=object)
@@ -144,6 +155,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
             ).take_all()
         for m in new_manifests:
             done[int(m["pid"])] = dict(m)
+    _mark("exchange+flush")
 
     commit = mf.commit_index(index_dir, list(done.values()), {
         "fingerprint": fp,
@@ -158,6 +170,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
 
     if merge_stats:
         merge_term_stats(index_dir, commit)
+    _mark("stats-merge")
     return commit
 
 
