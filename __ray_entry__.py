@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_range_count": _lazy("index_range_count"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
+        "index_stemmed_count": _lazy("index_stemmed_count"),
         # --- joins ---
         "bucketed_join": _bucketed_join,
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
@@ -272,6 +273,13 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 5)::BIGINT AS sort_value
             FROM toklists WHERE list_contains(toks, 'merge')
             ORDER BY (doc_id % 5) DESC, doc_id ASC LIMIT 15""",
+        # Porter preimages within the closed corpus vocabulary:
+        # stem('merge')='merg' (only 'merge'), stem('query')='queri'
+        "index_stemmed_count": _TOKS + """
+            SELECT (SELECT count(*) FROM toklists
+                    WHERE list_contains(toks, 'merge'))::BIGINT AS n_merges,
+                   (SELECT count(*) FROM toklists
+                    WHERE list_contains(toks, 'query'))::BIGINT AS n_queries""",
         "index_sorted_ts_topk": _TOKS + """
             SELECT row_number() OVER (ORDER BY doc_id DESC)::BIGINT AS rank,
                    printf('conv-%08d', doc_id // 5) AS conv_id,

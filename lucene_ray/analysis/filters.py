@@ -1,0 +1,233 @@
+"""Opt-in token filters: ASCII folding and Porter stemming.
+
+- :func:`porter_stem` — the original Porter algorithm (M.F. Porter, 1980,
+  "An algorithm for suffix stripping"), Release-3 semantics as kept by the
+  reference (`analysis/common/.../en/PorterStemmer.java`, used by
+  `en/PorterStemFilter.java`).  Re-implemented from the published algorithm;
+  validated token-for-token against Martin Porter's official 23,531-word
+  test vocabulary (tests/test_filters.py).
+- :func:`ascii_fold` — accent/ligature folding to ASCII
+  (`analysis/common/.../miscellaneous/ASCIIFoldingFilter.java` semantics for
+  the Latin-script core): NFKD decomposition with combining marks stripped,
+  plus the non-decomposable special ligatures/letters the reference maps
+  explicitly.  Exotic punctuation/symbol mappings of the reference's full
+  table are intentionally out of scope (documented divergence).
+
+Filters plumb through the index build (``build_index(token_filters=...)``)
+and are recorded in the commit, so ``IndexSearcher`` applies the same chain
+to query terms — index and query sides always agree, like sharing one
+Analyzer.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(b: str, i: int) -> bool:
+    c = b[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return True if i == 0 else not _is_cons(b, i - 1)
+    return True
+
+
+def _measure(b: str, j: int) -> int:
+    """Number of VC sequences in b[0:j+1] (the m of [C](VC)^m[V])."""
+    n = 0
+    i = 0
+    # skip initial consonants
+    while True:
+        if i > j:
+            return n
+        if not _is_cons(b, i):
+            break
+        i += 1
+    i += 1
+    while True:
+        while True:
+            if i > j:
+                return n
+            if _is_cons(b, i):
+                break
+            i += 1
+        i += 1
+        n += 1
+        while True:
+            if i > j:
+                return n
+            if not _is_cons(b, i):
+                break
+            i += 1
+        i += 1
+
+
+def _vowel_in_stem(b: str, j: int) -> bool:
+    return any(not _is_cons(b, i) for i in range(j + 1))
+
+
+def _double_cons(b: str, j: int) -> bool:
+    return j >= 1 and b[j] == b[j - 1] and _is_cons(b, j)
+
+
+def _cvc(b: str, i: int) -> bool:
+    """consonant-vowel-consonant ending at i, last consonant not w/x/y."""
+    if i < 2 or not _is_cons(b, i) or _is_cons(b, i - 1) or not _is_cons(b, i - 2):
+        return False
+    return b[i] not in "wxy"
+
+
+def porter_stem(word: str) -> str:
+    b = word
+    if len(b) <= 2:
+        return b
+
+    # ---- step 1a ----
+    if b.endswith("s"):
+        if b.endswith("sses"):
+            b = b[:-2]
+        elif b.endswith("ies"):
+            b = b[:-2]
+        elif not b.endswith("ss"):
+            b = b[:-1]
+
+    # ---- step 1b ----
+    extra = False
+    if b.endswith("eed"):
+        if _measure(b, len(b) - 4) > 0:
+            b = b[:-1]
+    elif b.endswith("ed") and _vowel_in_stem(b, len(b) - 3):
+        b = b[:-2]
+        extra = True
+    elif b.endswith("ing") and _vowel_in_stem(b, len(b) - 4):
+        b = b[:-3]
+        extra = True
+    if extra:
+        if b.endswith(("at", "bl", "iz")):
+            b = b + "e"
+        elif _double_cons(b, len(b) - 1):
+            if b[-1] not in "lsz":
+                b = b[:-1]
+        elif _measure(b, len(b) - 1) == 1 and _cvc(b, len(b) - 1):
+            b = b + "e"
+
+    # ---- step 1c ----
+    if b.endswith("y") and _vowel_in_stem(b, len(b) - 2):
+        b = b[:-1] + "i"
+
+    # ---- helper for suffix-map steps ----
+    def _replace(b: str, pairs, min_m=0):
+        for suf, rep in pairs:
+            if b.endswith(suf):
+                j = len(b) - len(suf) - 1
+                if j >= 0 and _measure(b, j) > min_m:
+                    return b[: j + 1] + rep, True
+                return b, True        # matched suffix: stop scanning
+        return b, False
+
+    # ---- step 2 (m > 0) ----
+    b, _ = _replace(b, [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("bli", "ble"),
+        ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+        ("biliti", "ble"), ("logi", "log"),
+    ])
+
+    # ---- step 3 (m > 0) ----
+    b, _ = _replace(b, [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ])
+
+    # ---- step 4 (m > 1) ----
+    matched = False
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                "ous", "ive", "ize"):
+        if b.endswith(suf):
+            j = len(b) - len(suf) - 1
+            if suf == "ion":
+                if j >= 0 and b[j] in "st" and _measure(b, j) > 1:
+                    b = b[: j + 1]
+            elif j >= 0 and _measure(b, j) > 1:
+                b = b[: j + 1]
+            matched = True
+            break
+    del matched
+
+    # ---- step 5a ----
+    if b.endswith("e"):
+        m = _measure(b, len(b) - 2)
+        if m > 1 or (m == 1 and not _cvc(b, len(b) - 2)):
+            b = b[:-1]
+
+    # ---- step 5b ----
+    if b.endswith("ll") and _measure(b, len(b) - 1) > 1:
+        b = b[:-1]
+
+    return b
+
+
+# non-decomposable Latin letters/ligatures the reference maps explicitly
+_FOLD_SPECIAL = {
+    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ß": "ss",
+    "ð": "d", "Ð": "D", "ø": "o", "Ø": "O", "þ": "th", "Þ": "TH",
+    "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H", "ı": "i", "ĸ": "q",
+    "ł": "l", "Ł": "L", "ŋ": "n", "Ŋ": "N", "ŧ": "t", "Ŧ": "T",
+    "ƀ": "b", "ǥ": "g", "ȝ": "yogh",
+}
+
+
+def ascii_fold(s: str) -> str:
+    if s.isascii():
+        return s
+    out = []
+    for ch in s:
+        if ord(ch) < 128:
+            out.append(ch)
+            continue
+        sp = _FOLD_SPECIAL.get(ch)
+        if sp is not None:
+            out.append(sp)
+            continue
+        dec = unicodedata.normalize("NFKD", ch)
+        kept = "".join(c for c in dec if not unicodedata.combining(c) and ord(c) < 128)
+        out.append(kept if kept else ch)
+    return "".join(out)
+
+
+FILTERS = {
+    "ascii_fold": ascii_fold,
+    "porter": porter_stem,
+}
+
+
+def apply_filters_str(term: str, names) -> str:
+    for n in names:
+        term = FILTERS[n](term)
+    return term
+
+
+def apply_filters_column(flat, names):
+    """Apply a filter chain to a flat token array, vectorized through the
+    Arrow dictionary: the chain runs once per DISTINCT token, then a `take`
+    scatters — vocabulary is tiny next to token count.  Returns pa.Array."""
+    import pyarrow as pa
+
+    if not names:
+        return flat
+    if not isinstance(flat, (pa.Array, pa.ChunkedArray)):
+        flat = pa.array(np.asarray(flat, dtype=object), type=pa.string())
+    denc = pa.compute.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    mapped = [apply_filters_str(t, names) for t in denc.dictionary.to_pylist()]
+    return pa.array(mapped, type=pa.string()).take(denc.indices)

@@ -49,7 +49,23 @@ def plan_split_points(ds, n_parts: int, key: str, sample_per_part: int = 256) ->
         return []
     n_total = ds.count()
     frac = min(1.0, (sample_per_part * n_parts) / max(n_total, 1))
-    sample = ds.select_columns([key]).random_sample(frac, seed=42).take_all()
+
+    def sample_batch(b: pa.Table) -> pa.Table:
+        # deterministic per-batch sample (seeded by the batch's first key) in
+        # ONE pass over the key column — no separate random_sample execution
+        n = len(b)
+        take = max(1, int(round(n * frac)))
+        if take >= n:
+            return b
+        from ..util.hashing import fnv1a64_str
+
+        seed = fnv1a64_str(str(b.column(key)[0].as_py())) & 0x7FFFFFFF
+        idx = np.random.default_rng((42, seed, n)).choice(n, size=take, replace=False)
+        return b.take(pa.array(np.sort(idx)))
+
+    sample = (ds.select_columns([key])
+              .map_batches(sample_batch, batch_format="pyarrow")
+              .take_all())
     cids = np.sort(np.array([r[key] for r in sample], dtype=object))
     if len(cids) == 0:
         return []
@@ -61,6 +77,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 text_col: str = "text", key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
                 keyword_cols: tuple[str, ...] = (),
                 docvalue_cols: tuple[str, ...] = (),
+                token_filters: tuple[str, ...] = (),
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -113,6 +130,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "key_cols": list(key_cols),
         "keyword_cols": list(keyword_cols),
         "docvalue_cols": list(docvalue_cols),
+        "token_filters": list(token_filters),
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -138,7 +156,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
             pid = int(group.column("pid")[0].as_py())
             m = write_shard(shards_dir, pid, group.drop_columns(["pid"]),
                             fp, text_col=text_col, key_cols=key_cols,
-                            keyword_cols=keyword_cols, docvalue_cols=docvalue_cols)
+                            keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
+                            token_filters=token_filters)
             return pa.table({k: [v] for k, v in m.items()})
 
         extra_dv = [c for c in docvalue_cols if c not in key_cols]
@@ -146,7 +165,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         if exchange == "tasks":
             new_manifests = _exchange_with_tasks(
                 proj, tag_pid, len(split_points) + 1, shards_dir, fp,
-                text_col, key_cols, keyword_cols, docvalue_cols)
+                text_col, key_cols, keyword_cols, docvalue_cols, token_filters)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -164,6 +183,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "key_cols": list(key_cols),
         "keyword_cols": list(keyword_cols),
         "docvalue_cols": list(docvalue_cols),
+        "token_filters": list(token_filters),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -176,7 +196,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
 
 def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
                          text_col: str, key_cols, keyword_cols=(),
-                         docvalue_cols=()) -> list[dict]:
+                         docvalue_cols=(), token_filters=()) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -217,7 +237,8 @@ def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
         group = pa.concat_tables(tables).drop_columns(["pid"])
         return write_shard(shards_dir, pid, group, fp,
                            text_col=text_col, key_cols=key_cols,
-                           keyword_cols=keyword_cols, docvalue_cols=docvalue_cols)
+                           keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
+                           token_filters=token_filters)
 
     block_refs = [br for bundle in ds.iter_internal_ref_bundles()
                   for br in bundle.block_refs]
@@ -341,6 +362,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
                  key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
                  keyword_cols: tuple[str, ...] | None = None,
                  docvalue_cols: tuple[str, ...] | None = None,
+                 token_filters: tuple[str, ...] | None = None,
                  merge_stats: bool = True, update: bool = False) -> dict:
     """Incremental build: index NEW rows as additional shards and publish a
     new commit generation containing old + new (the near-real-time refresh
@@ -363,6 +385,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
                            text_col=text_col, key_cols=key_cols,
                            keyword_cols=keyword_cols or (),
                            docvalue_cols=docvalue_cols or (),
+                           token_filters=token_filters or (),
                            input_desc=input_desc, merge_stats=merge_stats)
     if keyword_cols is None:
         # inherit the existing index's keyword fields — appending without them
@@ -371,6 +394,10 @@ def append_index(ds, index_dir: str, *, input_desc: str,
     if docvalue_cols is None:
         # inherit doc-values fields for the same reason
         docvalue_cols = tuple(prev.get("docvalue_cols", ()))
+    if token_filters is None:
+        # inherit the analyzer chain — appending unfiltered tokens would
+        # silently split the dictionary between stemmed and raw forms
+        token_filters = tuple(prev.get("token_filters", ()))
     pid_offset = 1 + max(m["pid"] for m in prev["shards"])
 
     n_total = ds.count()
@@ -381,6 +408,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "text_col": text_col, "key_cols": list(key_cols),
         "keyword_cols": list(keyword_cols), "append_after": prev["fingerprint"],
         "docvalue_cols": list(docvalue_cols),
+        "token_filters": list(token_filters),
     })
     shards_dir = os.path.join(index_dir, "shards")
     done = mf.committed_shards(index_dir, fp)
@@ -403,7 +431,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv])
         new_manifests = _exchange_with_tasks(
             proj, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
-            text_col, key_cols, keyword_cols, docvalue_cols)
+            text_col, key_cols, keyword_cols, docvalue_cols, token_filters)
         for m in new_manifests:
             done[int(m["pid"])] = dict(m)
 
@@ -413,6 +441,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "split_points": prev.get("split_points", []) + split_points,
         "key_cols": list(key_cols), "keyword_cols": list(keyword_cols),
         "docvalue_cols": list(docvalue_cols),
+        "token_filters": list(token_filters),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })

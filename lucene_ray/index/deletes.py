@@ -83,7 +83,7 @@ def delete_by_keys(index_dir: str, keys: pa.Table, *,
                 m["del_file"] = path
         new_shards.append(m)
     meta = {k: commit[k] for k in ("fingerprint", "input_desc", "split_points",
-                                   "key_cols", "keyword_cols", "docvalue_cols",
+                                   "key_cols", "keyword_cols", "docvalue_cols", "token_filters",
                                    "text_col", "format")
             if k in commit}
     return commit_index(index_dir, new_shards, meta)

@@ -192,7 +192,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
                 index_positions: bool = True,
                 keyword_cols: tuple[str, ...] = (),
-                docvalue_cols: tuple[str, ...] = ()) -> dict:
+                docvalue_cols: tuple[str, ...] = (),
+                token_filters: tuple[str, ...] = ()) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -217,6 +218,15 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                          "target_docs_per_partition")
     table = table.sort_by([(key_cols[0], "ascending"), (key_cols[1], "ascending")])
     lengths, flat = tokenize_column(table.column(text_col))
+    if token_filters:
+        # opt-in analyzer chain (ASCIIFolding / Porter) applied to the flat
+        # token stream before inversion; query side applies the same chain
+        # (commit records token_filters), so both sides agree like one
+        # shared Analyzer.  Token COUNT is unchanged (no filter drops
+        # tokens), so norms/lengths are unaffected.
+        from ..analysis.filters import apply_filters_column
+
+        flat = apply_filters_column(flat, token_filters)
     terms, term_starts, doc_of, freq, positions = invert_flat(flat, lengths)
     if keyword_cols:
         terms, term_starts, doc_of, freq, positions = _append_keyword_postings(

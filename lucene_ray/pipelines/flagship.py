@@ -190,6 +190,28 @@ def index_sorted_ts_topk(sf_dir: str) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64", "ts_us": "int64"})
 
 
+def index_stemmed_count(sf_dir: str) -> pd.DataFrame:
+    """Porter-stemmed index: querying the inflected form 'merges' matches
+    docs containing 'merge' (both stem to 'merg'; the searcher applies the
+    commit's filter chain to query terms).  The corpus vocabulary is closed,
+    so the SQL mirror's preimage set {merge} is exact.
+    (n_merges = count for query 'merges', n_queries = count for 'queries')."""
+    import shutil
+
+    from ..index.build import build_index as _build
+
+    index_dir = index_dir_for(sf_dir) + "-stem"
+    ds = transcripts_from_documents(sf_dir)
+    _build(ds, index_dir, target_docs_per_partition=100_000,
+           token_filters=("ascii_fold", "porter"),
+           input_desc=f"documents@{sf_dir}+stem")
+    searcher = IndexSearcher(index_dir)
+    n1 = searcher.count(bool_query(must=["merges"]))
+    n2 = searcher.count(bool_query(must=["queries"]))
+    return pd.DataFrame({"n_merges": pd.Series([n1], dtype="int64"),
+                         "n_queries": pd.Series([n2], dtype="int64")})
+
+
 BM25_SQL_TERMS = ("merge", "join")
 BM25_SQL_K = 20
 

@@ -74,6 +74,64 @@ class IndexSearcher:
         self._bases = {m["pid"]: int(m["doc_base"]) for m in self.commit["shards"]}
         self._dels = {m["pid"]: m.get("del_file") for m in self.commit["shards"]}
         self._stats = None
+        self.token_filters = tuple(self.commit.get("token_filters", ()))
+
+    def _ft(self, term: str) -> str:
+        """Apply the index's analyzer filter chain to one query term (shared
+        Analyzer contract: index and query sides always agree).  Keyword
+        terms (field\\x1fvalue) are never filtered."""
+        from ..index.shard import KEYWORD_SEP
+
+        if not self.token_filters or KEYWORD_SEP in term:
+            return term
+        from ..analysis.filters import apply_filters_str
+
+        return apply_filters_str(term, self.token_filters)
+
+    def _normalize(self, query):
+        """Rewrite a query tree with the filter chain applied to its terms."""
+        if not self.token_filters:
+            return query
+        import dataclasses
+
+        from .query import (
+            BooleanClause,
+            BooleanQuery,
+            BoostQuery,
+            ConstantScoreQuery,
+            DisjunctionMaxQuery,
+            FuzzyQuery,
+            MultiPhraseQuery,
+            PhraseQuery,
+            SynonymQuery,
+            TermQuery,
+        )
+
+        q = query
+        if isinstance(q, TermQuery):
+            return dataclasses.replace(q, term=self._ft(q.term))
+        if isinstance(q, PhraseQuery):
+            return dataclasses.replace(q, terms=tuple(self._ft(t) for t in q.terms))
+        if isinstance(q, MultiPhraseQuery):
+            return dataclasses.replace(q, slots=tuple(
+                tuple(self._ft(t) for t in slot) for slot in q.slots))
+        if isinstance(q, SynonymQuery):
+            return dataclasses.replace(q, terms=tuple(self._ft(t) for t in q.terms))
+        if isinstance(q, DisjunctionMaxQuery):
+            return dataclasses.replace(q, queries=tuple(
+                self._normalize(t) for t in q.queries))
+        if isinstance(q, FuzzyQuery):
+            return dataclasses.replace(q, term=self._ft(q.term))
+        if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            return dataclasses.replace(q, query=self._normalize(q.query))
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(tuple(
+                BooleanClause(self._normalize(c.query), c.occur) for c in q.clauses),
+                q.minimum_should_match)
+        # Prefix/Wildcard/Regexp/Range/MatchAll/FieldExists: patterns run
+        # against the (already filtered) dictionary unmodified, like the
+        # reference's multi-term queries which bypass analysis
+        return q
 
     def refresh(self) -> bool:
         """openIfChanged equivalent (`DirectoryReader.openIfChanged`): reload
@@ -89,6 +147,7 @@ class IndexSearcher:
         self._pids = [m["pid"] for m in latest["shards"]]
         self._bases = {m["pid"]: int(m["doc_base"]) for m in latest["shards"]}
         self._dels = {m["pid"]: m.get("del_file") for m in latest["shards"]}
+        self.token_filters = tuple(latest.get("token_filters", ()))
         for pid, r in self._readers.items():
             r.set_deletes(self._dels.get(pid))
         self._stats = None
@@ -173,7 +232,11 @@ class IndexSearcher:
         return r
 
     # ---- query compilation (createWeight equivalent) ----
-    def compile(self, query) -> dict:
+    def compile(self, query, _normalized: bool = False) -> dict:
+        if not _normalized:
+            # normalize exactly once — the Porter chain is not guaranteed
+            # idempotent, and compile recurses (Boost/ConstantScore)
+            query = self._normalize(query)
         if isinstance(query, TermQuery):
             query = BooleanQuery((_clause(query, SHOULD),))
         if isinstance(query, MatchAllDocsQuery):
@@ -190,11 +253,11 @@ class IndexSearcher:
         )
 
         if isinstance(query, BoostQuery):
-            return self.compile(_boosted(query.query, query.boost))
+            return self.compile(_boosted(query.query, query.boost), _normalized=True)
         if isinstance(query, ConstantScoreQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
-                    "const_wrap": self.compile(query.query),
+                    "const_wrap": self.compile(query.query, _normalized=True),
                     "boost": query.boost}
         from .query import RangeQuery
 
