@@ -20,26 +20,76 @@ from .scorer import RELATION_EQ, RELATION_GTE
 from .searcher import IndexSearcher, ScoreDoc, TopDocs
 
 
+@ray.remote(num_cpus=0)
+class ThetaBoard:
+    """Cross-actor min-competitive-score exchange
+    (`search/MaxScoreAccumulator.java` analogue): per query, each actor
+    publishes its running k-th-score lower bound + hit count; others raise
+    their WAND pruning threshold with the global max.  Entries are evicted
+    FIFO so the board stays O(live queries)."""
+
+    def __init__(self, cap: int = 4096):
+        from collections import OrderedDict
+
+        self._q = OrderedDict()
+        self._cap = cap
+
+    def update(self, qid: str, actor_id: int, theta: float, collected: int):
+        ent = self._q.get(qid)
+        if ent is None:
+            ent = self._q[qid] = {}
+            while len(self._q) > self._cap:
+                self._q.popitem(last=False)
+        ent[actor_id] = (theta, collected)
+
+    def get(self, qid: str, actor_id: int):
+        ent = self._q.get(qid)
+        if not ent:
+            return float("-inf"), 0
+        thetas = [v[0] for a, v in ent.items() if a != actor_id]
+        coll = sum(v[1] for a, v in ent.items() if a != actor_id)
+        return (max(thetas) if thetas else float("-inf")), coll
+
+
 @ray.remote
 class QueryActor:
-    def __init__(self, index_dir: str, pids: list[int], use_wand: bool = True):
+    def __init__(self, index_dir: str, pids: list[int], use_wand: bool = True,
+                 board=None, actor_id: int = 0):
         self.searcher = IndexSearcher(index_dir, use_wand=use_wand)
         self.pids = pids
+        self.board = board
+        self.actor_id = actor_id
         # eager mmap open (the expensive part amortized across queries)
         self.readers = {pid: self.searcher.reader(pid) for pid in pids}
         self.bases = {pid: self.searcher._bases[pid] for pid in pids}
 
-    def search(self, compiled: dict, k: int, after=None, threshold: int = 1000):
+    def search(self, compiled: dict, k: int, after=None, threshold: int = 1000,
+               qid: str | None = None):
         out_scores, out_gids, out_conv, out_turn = [], [], [], []
         total = 0
         relation = RELATION_EQ
-        for pid in self.pids:
+        share = self.board is not None and qid is not None and after is None
+        run_scores = np.zeros(0, dtype=np.float32)   # running local top-k scores
+        for si, pid in enumerate(self.pids):
             rdr = self.readers[pid]
             base = self.bases[pid]
             local_after = None if after is None else (after[0], after[1] - base)
+            ext_theta, ext_coll = float("-inf"), 0
+            if share and si > 0:
+                # one tiny RPC per shard after the first: fetch the other
+                # actors' published floor before scoring the next leaf
+                ext_theta, ext_coll = ray.get(
+                    self.board.get.remote(qid, self.actor_id))
             scores, local_docs, t, rel = self.searcher.search_shard(
-                rdr, compiled, k, after=local_after, total_hits_threshold=threshold)
+                rdr, compiled, k, after=local_after, total_hits_threshold=threshold,
+                ext_theta=ext_theta, ext_collected=ext_coll)
             total += t
+            if share:
+                run_scores = np.sort(np.concatenate((run_scores, scores)))[::-1][:k]
+                if len(run_scores) == k:
+                    # fire-and-forget publish of our current k-th score
+                    self.board.update.remote(qid, self.actor_id,
+                                             float(run_scores[-1]), total)
             if rel == RELATION_GTE:
                 relation = RELATION_GTE
             if len(local_docs):
@@ -65,7 +115,7 @@ class QueryService:
     gather → TopDocs.merge)."""
 
     def __init__(self, index_dir: str, num_actors: int = 4, use_wand: bool = True,
-                 num_cpus_per_actor: float = 1):
+                 num_cpus_per_actor: float = 1, share_theta: bool = True):
         self.index_dir = index_dir
         self.searcher = IndexSearcher(index_dir, use_wand=use_wand)  # stats + compile
         commit = self.searcher.commit
@@ -78,22 +128,35 @@ class QueryService:
             i = int(np.argmin(load))
             assign[i].append(m["pid"])
             load[i] += m["doc_count"]
+        assign = [pids for pids in assign if pids]
+        # cross-actor min-competitive sharing only pays when actors hold
+        # multiple shards each (the floor is fetched between shards)
+        self.board = ThetaBoard.remote() if (
+            share_theta and len(assign) > 1 and any(len(p) > 1 for p in assign)
+        ) else None
         self.actors = [
             QueryActor.options(num_cpus=num_cpus_per_actor).remote(
-                index_dir, sorted(pids), use_wand)
-            for pids in assign if pids
+                index_dir, sorted(pids), use_wand, board=self.board, actor_id=i)
+            for i, pids in enumerate(assign)
         ]
         ray.get([a.ping.remote() for a in self.actors])
+        self._qseq = 0
+
+    def _next_qid(self) -> str:
+        self._qseq += 1
+        return f"q{self._qseq}"
 
     def search(self, query, k: int = 10, after=None, threshold: int = 1000) -> TopDocs:
         compiled = self.searcher.compile(query)
-        futs = [a.search.remote(compiled, k, after, threshold) for a in self.actors]
+        qid = self._next_qid()
+        futs = [a.search.remote(compiled, k, after, threshold, qid) for a in self.actors]
         return self._merge(ray.get(futs), k)
 
     def search_many(self, queries, k: int = 10) -> list[TopDocs]:
         """Pipeline a batch of queries across the pool (keeps all actors busy)."""
         compiled = [self.searcher.compile(q) for q in queries]
-        futs = [[a.search.remote(c, k, None, 1000) for a in self.actors] for c in compiled]
+        futs = [[a.search.remote(c, k, None, 1000, self._next_qid())
+                 for a in self.actors] for c in compiled]
         return [self._merge(ray.get(f), k) for f in futs]
 
     @staticmethod
@@ -111,4 +174,7 @@ class QueryService:
     def shutdown(self):
         for a in self.actors:
             ray.kill(a)
+        if self.board is not None:
+            ray.kill(self.board)
+            self.board = None
         self.actors = []

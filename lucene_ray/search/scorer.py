@@ -192,7 +192,8 @@ class BlockMaxWand:
     pure MUST conjunction via `conjunctive=True`)."""
 
     def __init__(self, reader, terms, k: int, *, conjunctive: bool = False,
-                 threshold: int = TOTAL_HITS_THRESHOLD, msm: int = 0):
+                 threshold: int = TOTAL_HITS_THRESHOLD, msm: int = 0,
+                 ext_theta: float = -np.inf, ext_collected: int = 0):
         self.reader = reader
         self.k = k
         self.conjunctive = conjunctive
@@ -201,6 +202,12 @@ class BlockMaxWand:
         self.states = terms    # list[_TermState]
         self.blocks_decoded = 0
         self.blocks_skipped = 0
+        # cross-leaf min-competitive sharing (MaxScoreAccumulator.java): an
+        # external k-th-score lower bound and hit count from OTHER shards /
+        # actors — valid for pruning because the global k-th score only
+        # grows as more leaves merge.  Never added to this shard's totals.
+        self.ext_theta = float(ext_theta)
+        self.ext_collected = int(ext_collected)
 
     def run(self, after=None):
         norms = self.reader.norms
@@ -214,6 +221,8 @@ class BlockMaxWand:
         theta = -np.inf
         collected = 0
         pruned = False
+        ext_ready = (self.ext_theta > -np.inf
+                     and self.ext_collected >= self.threshold)
 
         while states:
             w_hi = min(s.cur_last() for s in states)
@@ -223,7 +232,10 @@ class BlockMaxWand:
             # float64 sum of block maxes, so inflate the bound by ~2n ulps.
             ub = float(sum(float(s.cur_max()) for s in parts))
             ub *= 1.0 + 2.0 * len(parts) * 2.0 ** -24
-            prune_ready = len(top_docs) >= k and collected >= self.threshold
+            prune_ready = (len(top_docs) >= k and collected >= self.threshold) \
+                or ext_ready
+            if ext_ready and self.ext_theta > theta:
+                theta = self.ext_theta
             if self.conjunctive and len(parts) < len(states):
                 # a MUST term has no docs in this window: leapfrog
                 # (BlockMaxConjunctionScorer-style block skip)

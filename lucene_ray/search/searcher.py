@@ -406,7 +406,8 @@ class IndexSearcher:
         return self._merge(per_shard, k)
 
     def search_shard(self, rdr, compiled, k, after=None,
-                     total_hits_threshold: int = TOTAL_HITS_THRESHOLD):
+                     total_hits_threshold: int = TOTAL_HITS_THRESHOLD,
+                     ext_theta: float = float("-inf"), ext_collected: int = 0):
         if compiled.get("match_all"):
             if rdr.deleted is not None:
                 live = np.nonzero(~rdr.deleted)[0].astype(np.int32)
@@ -492,7 +493,8 @@ class IndexSearcher:
                 return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
             wand = BlockMaxWand(rdr, states, k, conjunctive=conj,
                                 threshold=total_hits_threshold,
-                                msm=compiled["msm"])
+                                msm=compiled["msm"],
+                                ext_theta=ext_theta, ext_collected=ext_collected)
             return wand.run(after=after)
         return search_shard_exhaustive(rdr, compiled, k, after=after)
 
