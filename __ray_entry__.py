@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         # --- grouping / faceting / distinct (SURVEY §2.5-2.7) ---
         "facet_counts": textstats.facet_counts,
+        "facet_ranges": textstats.facet_ranges,
+        "facet_taxonomy": textstats.facet_taxonomy,
         "distinct_langs": textstats.distinct_langs,
         "grouped_topk": textstats.grouped_topk,
         # --- dedup family ---
@@ -60,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_cosine": knn.knn_cosine,
         "knn_lsh": knn.knn_lsh,
+        "knn_ivf": knn.knn_ivf,
+        "dedup_embedding": knn.dedup_embedding,
+        "dedup_embedding_lsh": knn.dedup_embedding_lsh,
         # --- streaming-shaped (events log) ---
         "tumbling_counts": windows.tumbling_counts,
         "sessionize": windows.sessionize,
@@ -167,6 +172,30 @@ def oracle_sql() -> dict[str, str]:
                    md5(d.text) AS raw_fp
             FROM documents d JOIN toklists t USING (doc_id)""",
         "facet_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+        "facet_ranges": """
+            WITH edges(bucket, lo, hi) AS (VALUES
+              (0, 0, 100), (1, 100, 200), (2, 200, 400), (3, 400, 800),
+              (4, 800, 1099511627776)),
+            b AS (SELECT e.bucket, e.lo, e.hi, count(*) AS n_docs
+                  FROM documents d JOIN edges e
+                    ON d.n_chars >= e.lo AND d.n_chars < e.hi
+                  GROUP BY e.bucket, e.lo, e.hi)
+            SELECT bucket::BIGINT AS bucket, lo::BIGINT AS lo, hi::BIGINT AS hi,
+                   n_docs::BIGINT AS n_docs
+            FROM b ORDER BY bucket""",
+        "facet_taxonomy": """
+            SELECT lang, coalesce(source, '') AS source, count(*)::BIGINT AS n_docs
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (lang, source))
+            ORDER BY lang, source""",
+        "dedup_embedding": """
+            SELECT a.vec_id::BIGINT AS doc_a, b.vec_id::BIGINT AS doc_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) >= 0.4
+            ORDER BY doc_a, doc_b""",
         "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
         "grouped_topk": """
             SELECT doc_id, lang, n_chars, rank FROM (
@@ -292,8 +321,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                    md5(text) AS payload_md5
             FROM documents""",
-        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash_pairs,
-        # ngram_jaccard, knn_lsh, index_bm25_topk
+        # rows-only (non-SQL-expressible / approximate): dedup_minhash,
+        # dedup_simhash_pairs, ngram_jaccard, knn_lsh, knn_ivf,
+        # dedup_embedding_lsh, index_bm25_topk
     }
 
 

@@ -117,10 +117,22 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         if set(have) == {m["pid"] for m in prev["shards"]}:
             return prev
 
-    # ---- planning pass: sampled range boundaries over the partition key ----
+    # ---- planning pass: sampled range boundaries over the partition key.
+    # tasks path: materialize the projected block refs ONCE and sample them
+    # with tiny ray tasks — the same refs then feed the exchange, so the
+    # corpus is read exactly once instead of once for planning and once for
+    # the exchange ----
     n_total = ds.count()           # parquet metadata only
     n_parts = max(1, -(-n_total // target_docs_per_partition))
-    split_points = plan_split_points(ds, n_parts, key_cols[0])
+    extra_dv = [c for c in docvalue_cols if c not in key_cols]
+    proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv])
+    block_refs = None
+    if exchange == "tasks":
+        block_refs = [br for bundle in proj.iter_internal_ref_bundles()
+                      for br in bundle.block_refs]
+        split_points = _plan_from_blocks(block_refs, n_parts, key_cols[0])
+    else:
+        split_points = plan_split_points(ds, n_parts, key_cols[0])
 
     fp = mf.fingerprint({
         "input": input_desc,
@@ -160,11 +172,9 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                             token_filters=token_filters)
             return pa.table({k: [v] for k, v in m.items()})
 
-        extra_dv = [c for c in docvalue_cols if c not in key_cols]
-        proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv])
         if exchange == "tasks":
             new_manifests = _exchange_with_tasks(
-                proj, tag_pid, len(split_points) + 1, shards_dir, fp,
+                block_refs, tag_pid, len(split_points) + 1, shards_dir, fp,
                 text_col, key_cols, keyword_cols, docvalue_cols, token_filters)
         else:
             new_manifests = (
@@ -194,7 +204,44 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
     return commit
 
 
-def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
+def _plan_from_blocks(block_refs, n_parts: int, key: str,
+                      sample_per_part: int = 256) -> list[str]:
+    """Split points from already-materialized block refs: one tiny ray task
+    per block samples its key column (seeded by the block's first key, so
+    resume sees identical boundaries); quantiles over the union."""
+    import ray
+
+    from ..util.hashing import fnv1a64_str
+
+    if n_parts <= 1 or not block_refs:
+        return []
+
+    target = sample_per_part * n_parts
+
+    @ray.remote
+    def sample_block(tbl, per_block: int):
+        col = tbl.column(key)
+        n = len(col)
+        if n == 0:
+            return np.empty(0, dtype=object)
+        vals = col.to_numpy(zero_copy_only=False)
+        if per_block >= n:
+            return vals.astype(object)
+        seed = fnv1a64_str(str(vals[0])) & 0x7FFFFFFF
+        idx = np.random.default_rng((42, seed, n)).choice(n, size=per_block,
+                                                          replace=False)
+        return vals[np.sort(idx)].astype(object)
+
+    per_block = max(1, target // len(block_refs))
+    samples = ray.get([sample_block.remote(br, per_block) for br in block_refs])
+    cids = np.sort(np.concatenate(samples)) if samples else np.empty(0, object)
+    if len(cids) == 0:
+        return []
+    q = (np.arange(1, n_parts) * len(cids)) // n_parts
+    return np.unique(cids[q]).tolist()
+
+
+def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp: str,
                          text_col: str, key_cols, keyword_cols=(),
                          docvalue_cols=(), token_filters=()) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
@@ -240,8 +287,6 @@ def _exchange_with_tasks(ds, tag_pid, n_parts: int, shards_dir: str, fp: str,
                            keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
                            token_filters=token_filters)
 
-    block_refs = [br for bundle in ds.iter_internal_ref_bundles()
-                  for br in bundle.block_refs]
     # several blocks per split task: fewer (task, object) overheads while
     # keeping enough tasks to fill the CPU pool
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -429,8 +474,10 @@ def append_index(ds, index_dir: str, *, input_desc: str,
     if todo:
         extra_dv = [c for c in docvalue_cols if c not in key_cols]
         proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv])
+        block_refs = [br for bundle in proj.iter_internal_ref_bundles()
+                      for br in bundle.block_refs]
         new_manifests = _exchange_with_tasks(
-            proj, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
+            block_refs, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
             text_col, key_cols, keyword_cols, docvalue_cols, token_filters)
         for m in new_manifests:
             done[int(m["pid"])] = dict(m)

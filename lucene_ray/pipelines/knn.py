@@ -99,12 +99,13 @@ def knn_lsh(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
                 out.add(b ^ (1 << i) ^ (1 << j))
         return out
 
-    probe = {int(q): neighborhood(int(b)) for q, b in zip(qids, qbuckets)}
+    probe_arr = {int(q): np.array(sorted(neighborhood(int(b))), dtype=np.uint32)
+                 for q, b in zip(qids, qbuckets)}
     qnorm = np.linalg.norm(qm, axis=1)
-    ref = ray.put((qids, qm, qnorm, probe))
+    ref = ray.put((qids, qm, qnorm, probe_arr))
 
     def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        qids, qm, qnorm, probe = ray.get(ref)
+        qids, qm, qnorm, probe_arr = ray.get(ref)
         vm = np.stack(batch["embedding"].to_list()).astype(np.float64)
         planes = _planes(vm.shape[1])
         sig = ((vm @ planes.T) > 0).astype(np.uint32)
@@ -113,8 +114,192 @@ def knn_lsh(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
         vnorm = np.linalg.norm(vm, axis=1)
         out = []
         for j, q in enumerate(qids):
-            sel = np.array([int(b) in probe[int(q)] for b in buckets])
-            sel &= vid != q
+            sel = np.isin(buckets, probe_arr[int(q)]) & (vid != q)
+            if not sel.any():
+                continue
+            idx = np.nonzero(sel)[0]
+            s = (vm[idx] @ qm[j]) / (vnorm[idx] * qnorm[j])
+            top = np.lexsort((vid[idx], -s))[:k]
+            out.append(pd.DataFrame({"query_vec_id": int(q), "vec_id": vid[idx][top],
+                                     "cos": s[top]}))
+        if not out:
+            return pd.DataFrame({"query_vec_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    cands = (_read_embeddings(sf_dir)
+             .map_batches(score_batch, batch_format="pandas", batch_size=4096)
+             ).to_pandas()
+    cands = cands.sort_values(["query_vec_id", "cos", "vec_id"],
+                              ascending=[True, False, True])
+    cands["rank"] = cands.groupby("query_vec_id").cumcount() + 1
+    out = cands[cands["rank"] <= k].reset_index(drop=True)
+    out["cos"] = out["cos"].round(4)
+    return out[["query_vec_id", "rank", "vec_id", "cos"]].astype(
+        {"query_vec_id": "int64", "rank": "int64", "vec_id": "int64"})
+
+
+def dedup_embedding(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup: ALL pairs (a < b) with cosine >= threshold
+    (doc_a, doc_b, cos rounded 4dp).
+
+    Exact variant: the normalized matrix is broadcast once (`ray.put`) and
+    each batch does one blocked matmul against it — O(n^2/B) work spread
+    over the pool, nothing driver-side.  Fits while the matrix fits workers
+    (~25 GB at 10^8x64f); past that, switch to the hyperplane-bucketed
+    variant (:func:`dedup_embedding_lsh`) whose recall is measured in tests.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    norms = np.linalg.norm(m, axis=1)
+    ref = ray.put((ids, m, norms))
+
+    def pairs_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_m, all_norm = ray.get(ref)
+        vm = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        vnorm = np.linalg.norm(vm, axis=1)
+        vid = batch["vec_id"].to_numpy()
+        # dot/(|a||b|) exactly as the SQL list_cosine_similarity oracle, and
+        # threshold AFTER 4dp rounding so both sides agree at the boundary
+        sims = (vm @ all_m.T) / (vnorm[:, None] * all_norm[None, :])
+        r = np.round(sims, 4)
+        hit_r, hit_c = np.nonzero(r >= threshold)
+        keep = vid[hit_r] < all_ids[hit_c]
+        return pd.DataFrame({"doc_a": vid[hit_r[keep]].astype("int64"),
+                             "doc_b": all_ids[hit_c[keep]].astype("int64"),
+                             "cos": r[hit_r[keep], hit_c[keep]]})
+
+    out = (_read_embeddings(sf_dir)
+           .map_batches(pairs_batch, batch_format="pandas", batch_size=2048)
+           ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+N_SIG_BANDS = 4
+
+
+def _band_planes(dim: int, band: int) -> np.ndarray:
+    return np.random.default_rng((424242, dim, band)).normal(size=(N_PLANES, dim))
+
+
+def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
+    """Scale path for embedding near-dup: N_SIG_BANDS independent hyperplane
+    signatures (minhash-banding style — any band collision makes a
+    candidate), exact cosine verify inside each bucket group, pairs deduped
+    across bands.  Recall is 1-(1-p^N_PLANES)^bands for per-bit agreement p;
+    near-identical vectors (cos >= 0.95) are found with high probability
+    while the shuffle stays O(bands x corpus)."""
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        vm = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        n = len(vm)
+        out = []
+        for band in range(N_SIG_BANDS):
+            planes = _band_planes(vm.shape[1], band)
+            sig = ((vm @ planes.T) > 0).astype(np.uint32)
+            bucket = (sig << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
+            out.append(pd.DataFrame({
+                "bucket": (bucket.astype("int64") * N_SIG_BANDS + band),
+                "vec_id": batch["vec_id"].astype("int64"),
+                "embedding": batch["embedding"]}))
+        return pd.concat(out, ignore_index=True)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        vm = np.stack(g["embedding"].to_list()).astype(np.float64)
+        vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+        vid = g["vec_id"].to_numpy()
+        order = np.argsort(vid)
+        vid, vm = vid[order], vm[order]
+        sims = np.round(vm @ vm.T, 4)
+        ia, ib = np.triu_indices(len(vid), 1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame({"doc_a": vid[ia[keep]].astype("int64"),
+                             "doc_b": vid[ib[keep]].astype("int64"),
+                             "cos": sims[ia[keep], ib[keep]]})
+
+    out = (_read_embeddings(sf_dir)
+           .map_batches(sig_batch, batch_format="pandas")
+           .groupby("bucket")
+           .map_groups(verify, batch_format="pandas")
+           ).to_pandas()
+    if len(out):
+        out = out.drop_duplicates(["doc_a", "doc_b"])   # across bands
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    out["cos"] = out["cos"].round(4)
+    return out
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _ivf_centroids(sf_dir: str, n_centroids: int = N_CENTROIDS,
+                   iters: int = 5) -> np.ndarray:
+    """Deterministic mini k-means on a seeded sample (the IVF training pass;
+    at scale: sample via ray.data, iterate with map-side partial sums)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.default_rng(777)
+    sample = m[rng.choice(len(m), size=min(4096, len(m)), replace=False)]
+    cents = sample[rng.choice(len(sample), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(n_centroids):
+            sel = sample[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
+            nprobe: int = N_PROBE):
+    """IVF-style ANN (the persisted-index scale path of
+    Lucene95HnswVectorsFormat's role, bucketed instead of graph-based):
+    vectors are assigned to their nearest centroid (inverted lists); a query
+    scores only the vectors in its `nprobe` closest lists."""
+    import ray
+
+    cents = _ivf_centroids(sf_dir)
+    qids, qm = _query_matrix(sf_dir, list(query_vec_ids))
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probe_lists = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    qnorm = np.linalg.norm(qm, axis=1)
+    ref = ray.put((qids, qm, qnorm, cents, probe_lists))
+
+    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        qids, qm, qnorm, cents, probe_lists = ray.get(ref)
+        vm = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+        assign = np.argmax(vn @ cents.T, axis=1)
+        vid = batch["vec_id"].to_numpy()
+        vnorm = np.linalg.norm(vm, axis=1)
+        out = []
+        for j, q in enumerate(qids):
+            sel = np.isin(assign, probe_lists[j]) & (vid != q)
             if not sel.any():
                 continue
             idx = np.nonzero(sel)[0]

@@ -239,3 +239,51 @@ def grouped_topk(sf_dir: str, k: int = 3):
     return (_read_documents(sf_dir, columns=("doc_id", "lang", "n_chars"))
             .groupby("lang")
             .map_groups(topk, batch_format="pandas"))
+
+
+RANGE_EDGES = (0, 100, 200, 400, 800, 1 << 40)
+
+
+def facet_ranges(sf_dir: str, edges=RANGE_EDGES):
+    """Numeric range facets over n_chars (LongRange facet counting,
+    `facet/range/LongRangeFacetCounts.java` analogue): per-batch bincount
+    partials + one tiny groupby — (bucket, lo, hi, n_docs)."""
+    from ray.data.aggregate import Sum
+
+    edges_arr = np.asarray(edges, dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(edges_arr, df["n_chars"].to_numpy(), side="right") - 1
+        b = np.clip(b, 0, len(edges_arr) - 2)
+        counts = np.bincount(b, minlength=len(edges_arr) - 1)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({"bucket": nz.astype("int64"),
+                             "n_docs": counts[nz].astype("int64")})
+
+    out = (_read_documents(sf_dir, columns=("doc_id", "n_chars"))
+           .map_batches(partial, batch_format="pandas")
+           .groupby("bucket")
+           .aggregate(Sum("n_docs", alias_name="n_docs"))
+           ).to_pandas()
+    out["lo"] = edges_arr[out["bucket"].to_numpy()].astype("int64")
+    out["hi"] = edges_arr[out["bucket"].to_numpy() + 1].astype("int64")
+    return (out[["bucket", "lo", "hi", "n_docs"]].astype({"n_docs": "int64"})
+            .sort_values("bucket").reset_index(drop=True))
+
+
+def facet_taxonomy(sf_dir: str):
+    """Hierarchical taxonomy facets (FastTaxonomyFacetCounts analogue): the
+    two-level dimension lang -> source with rollup — one row per (lang, '')
+    parent and one per (lang, source) child, counts summed distributed."""
+    from ray.data.aggregate import Count
+
+    child = (_read_documents(sf_dir, columns=("doc_id", "lang", "source"))
+             .groupby(["lang", "source"])
+             .aggregate(Count(alias_name="n_docs"))
+             ).to_pandas()
+    parent = (child.groupby("lang", as_index=False)["n_docs"].sum())
+    parent["source"] = ""
+    out = pd.concat([parent[["lang", "source", "n_docs"]],
+                     child[["lang", "source", "n_docs"]]], ignore_index=True)
+    return (out.astype({"n_docs": "int64"})
+            .sort_values(["lang", "source"]).reset_index(drop=True))

@@ -70,16 +70,26 @@ class QueryActor:
         relation = RELATION_EQ
         share = self.board is not None and qid is not None and after is None
         run_scores = np.zeros(0, dtype=np.float32)   # running local top-k scores
+        ext_theta, ext_coll = float("-inf"), 0
+        pending = None          # in-flight board fetch (never block on it)
         for si, pid in enumerate(self.pids):
             rdr = self.readers[pid]
             base = self.bases[pid]
             local_after = None if after is None else (after[0], after[1] - base)
-            ext_theta, ext_coll = float("-inf"), 0
             if share and si > 0:
-                # one tiny RPC per shard after the first: fetch the other
-                # actors' published floor before scoring the next leaf
-                ext_theta, ext_coll = ray.get(
-                    self.board.get.remote(qid, self.actor_id))
+                # non-blocking floor refresh: harvest the previous fetch if
+                # it landed, then launch the next — scoring never waits on
+                # the board (MaxScoreAccumulator's relaxed-read model)
+                if pending is not None:
+                    done, _ = ray.wait([pending], timeout=0)
+                    if done:
+                        t_new, c_new = ray.get(done[0])
+                        if t_new > ext_theta:
+                            ext_theta = t_new
+                        ext_coll = max(ext_coll, c_new)
+                        pending = None
+                if pending is None:
+                    pending = self.board.get.remote(qid, self.actor_id)
             scores, local_docs, t, rel = self.searcher.search_shard(
                 rdr, compiled, k, after=local_after, total_hits_threshold=threshold,
                 ext_theta=ext_theta, ext_collected=ext_coll)

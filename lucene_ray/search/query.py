@@ -217,67 +217,124 @@ def extract_terms(q) -> list[TermQuery]:
 
 
 def parse_classic(text: str, field: str = "text"):
-    """Classic-QueryParser-subset syntax (`queryparser/classic/QueryParser.java`
-    surface, re-implemented):
+    """Classic-QueryParser syntax (`queryparser/classic/QueryParser.java`
+    surface, re-implemented as a small recursive-descent parser):
 
         +term      -> MUST          -term      -> MUST_NOT
         term       -> SHOULD        "a b"      -> PhraseQuery
         "a b"~2    -> sloppy phrase  term~1     -> FuzzyQuery(max_edits)
         pre*       -> PrefixQuery    w?ld*card  -> WildcardQuery
-        term^2.5   -> boost
+        term^2.5   -> boost          (a b) +c   -> nested BooleanQuery
+        role:user  -> keyword-field TermQuery (non-default field)
+        ts:[1 TO 9] / ts:{1 TO 9}   -> inclusive/exclusive int RangeQuery
+        ts:[* TO 9]                 -> open bound
 
-    Whitespace-separated clauses; free text falls back to analyzed SHOULD
-    terms (QueryParserBase.parse default-field behavior)."""
+    Free text falls back to analyzed SHOULD terms (QueryParserBase.parse
+    default-field behavior); nested groups execute through the recursive
+    dense boolean path."""
     import re as _re
 
-    from ..analysis.standard import analyze
+    # lexer: parens, field ranges, quoted phrases (with slop), bare words
+    tok_pat = _re.compile(
+        r"""(?P<lp>\()|(?P<rp>\))|(?P<sign>[+-])(?=\S)
+          |(?P<range>\w+:[\[\{][^\]\}]*?\s+TO\s+[^\]\}]*?[\]\}])
+          |"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+          |(?P<word>[^\s()]+)""", _re.VERBOSE)
+    tokens = []
+    for m in tok_pat.finditer(text):
+        if m.group("lp"):
+            tokens.append(("(", None))
+        elif m.group("rp"):
+            tokens.append((")", None))
+        elif m.group("sign"):
+            tokens.append(("sign", m.group("sign")))
+        elif m.group("range"):
+            tokens.append(("range", m.group("range")))
+        elif m.group("phrase") is not None:
+            tokens.append(("phrase", (m.group("phrase"), m.group("slop"))))
+        else:
+            tokens.append(("word", m.group("word")))
 
-    clause_pat = _re.compile(
-        r'([+-]?)(?:"([^"]*)"(?:~(\d+))?|(\S+))')
-    clauses = []
-    for sign, phrase, slop, word in clause_pat.findall(text):
-        occur = MUST if sign == "+" else MUST_NOT if sign == "-" else SHOULD
-        if phrase:
-            terms = tuple(analyze(phrase))
-            if not terms:
+    pos = [0]
+
+    def parse_group():
+        from ..analysis.standard import analyze
+
+        clauses = []
+        while pos[0] < len(tokens):
+            kind, val = tokens[pos[0]]
+            if kind == ")":
+                pos[0] += 1
+                break
+            occur = SHOULD
+            if kind == "sign":
+                occur = MUST if val == "+" else MUST_NOT
+                pos[0] += 1
+                if pos[0] >= len(tokens):
+                    break
+                kind, val = tokens[pos[0]]
+            if kind == "(":
+                pos[0] += 1
+                sub = parse_group()
+                if sub is not None:
+                    clauses.append((sub, occur))
                 continue
-            q = PhraseQuery(terms, field, slop=int(slop) if slop else 0) \
-                if len(terms) > 1 else TermQuery(terms[0], field)
-            clauses.append((q, occur))
-            continue
-        boost = 1.0
-        m = _re.fullmatch(r"(.*)\^(\d+(?:\.\d+)?)", word)
-        if m:
-            word, boost = m.group(1), float(m.group(2))
-        m = _re.fullmatch(r"(.*)~(\d+)", word)
-        if m:
-            clauses.append((FuzzyQuery(analyze(m.group(1))[0], max_edits=int(m.group(2)),
-                                       field=field, boost=boost), occur))
-            continue
-        if "*" in word or "?" in word:
-            if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
-                clauses.append((PrefixQuery(word[:-1].lower(), field, boost), occur))
-            else:
-                clauses.append((WildcardQuery(word.lower(), field, boost), occur))
-            continue
-        for t in analyze(word):
-            clauses.append((TermQuery(t, field, boost), occur))
-    if len(clauses) == 1 and clauses[0][1] == SHOULD:
-        return clauses[0][0]
-    # non-term clauses can't nest in our BooleanQuery yet: wrap by rewriting
-    # MultiTerm/Phrase SHOULD-only combinations via dedicated queries
-    if all(isinstance(q, TermQuery) for q, _ in clauses):
+            pos[0] += 1
+            if kind == ")":
+                break
+            if kind == "range":
+                m = _re.fullmatch(
+                    r"(\w+):([\[\{])\s*([^\s]+)\s+TO\s+([^\s]+)\s*([\]\}])", val)
+                f, lb, lo, hi, rb = m.groups()
+                lo_v = None if lo == "*" else int(lo) + (1 if lb == "{" else 0)
+                hi_v = None if hi == "*" else int(hi) - (1 if rb == "}" else 0)
+                clauses.append((RangeQuery(f, lo_v, hi_v), occur))
+                continue
+            if kind == "phrase":
+                ptext, slop = val
+                terms = tuple(analyze(ptext))
+                if not terms:
+                    continue
+                q = PhraseQuery(terms, field, slop=int(slop) if slop else 0) \
+                    if len(terms) > 1 else TermQuery(terms[0], field)
+                clauses.append((q, occur))
+                continue
+            word = val
+            f = field
+            fm = _re.fullmatch(r"(\w+):(.+)", word)
+            if fm and fm.group(1) != field:
+                # non-default field: keyword-term namespace (StringField)
+                f, kw_val = fm.group(1), fm.group(2)
+                clauses.append((TermQuery(f"{f}\x1f{kw_val}", f), occur))
+                continue
+            if fm:
+                word = fm.group(2)
+            boost = 1.0
+            bm = _re.fullmatch(r"(.*)\^(\d+(?:\.\d+)?)", word)
+            if bm:
+                word, boost = bm.group(1), float(bm.group(2))
+            em = _re.fullmatch(r"(.*)~(\d+)", word)
+            if em:
+                analyzed = analyze(em.group(1))
+                if analyzed:
+                    clauses.append((FuzzyQuery(analyzed[0], max_edits=int(em.group(2)),
+                                               field=field, boost=boost), occur))
+                continue
+            if "*" in word or "?" in word:
+                if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
+                    clauses.append((PrefixQuery(word[:-1].lower(), field, boost), occur))
+                else:
+                    clauses.append((WildcardQuery(word.lower(), field, boost), occur))
+                continue
+            for t in analyze(word):
+                clauses.append((TermQuery(t, field, boost), occur))
+        if not clauses:
+            return None
+        if len(clauses) == 1 and clauses[0][1] == SHOULD:
+            return clauses[0][0]
         return BooleanQuery(tuple(BooleanClause(q, o) for q, o in clauses))
-    if len(clauses) == 1:
-        q, o = clauses[0]
-        if o == SHOULD:
-            return q
-    # fall back: keep only the first non-boolean-compatible clause semantics
-    term_clauses = [(q, o) for q, o in clauses if isinstance(q, TermQuery)]
-    others = [(q, o) for q, o in clauses if not isinstance(q, TermQuery)]
-    if not term_clauses and len(others) == 1:
-        return others[0][0]
-    if others:
-        raise NotImplementedError(
-            "mixing phrase/multiterm clauses with boolean clauses is not supported yet")
-    return BooleanQuery(tuple(BooleanClause(q, o) for q, o in term_clauses))
+
+    q = parse_group()
+    if q is None:
+        return BooleanQuery(())
+    return q

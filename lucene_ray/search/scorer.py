@@ -628,6 +628,91 @@ def search_shard_phrase_general(reader, slots, slop: int, scorer, k: int, after=
     return scores, pdocs, total, RELATION_EQ
 
 
+def evaluate_dense(reader, query, searcher):
+    """Recursive dense evaluation of an arbitrary query tree over one shard:
+    returns (scores float32[n_docs], matched bool[n_docs]).
+
+    This is the nested-BooleanQuery path (`BooleanWeight` over arbitrary
+    sub-weights): per node, child scores sum float32 in clause order for
+    matching docs (sum-of-matching-clauses scoring), MUST/FILTER are
+    required, MUST_NOT excludes, minimumNumberShouldMatch counts SHOULD
+    matches.  Leaf nodes reuse the per-shard top-k engines with k=doc_count
+    (exhaustive).  Deletes are NOT applied here — the caller masks once at
+    the top.
+    """
+    from .query import (
+        FILTER,
+        MUST,
+        MUST_NOT,
+        SHOULD,
+        BooleanQuery,
+        MatchAllDocsQuery,
+    )
+
+    n = reader.doc_count
+    if isinstance(query, MatchAllDocsQuery):
+        return np.zeros(n, dtype=np.float32), np.ones(n, dtype=bool)
+    if isinstance(query, BooleanQuery):
+        acc = np.zeros(n, dtype=np.float32)
+        matched = np.zeros(n, dtype=bool)
+        required = None
+        excluded = np.zeros(n, dtype=bool)
+        should_cnt = np.zeros(n, dtype=np.int16) if query.minimum_should_match else None
+        any_positive = False
+        for c in query.clauses:
+            s, m = evaluate_dense(reader, c.query, searcher)
+            if c.occur in (SHOULD, MUST):
+                any_positive = True
+                acc[m] += s[m]
+                matched |= m
+                if c.occur == MUST:
+                    required = m if required is None else (required & m)
+                elif should_cnt is not None:
+                    should_cnt[m] += 1
+            elif c.occur == FILTER:
+                required = m if required is None else (required & m)
+            else:
+                excluded |= m
+        eligible = matched if any_positive else (
+            required if required is not None else np.zeros(n, dtype=bool))
+        if required is not None:
+            eligible = eligible & required
+        if should_cnt is not None:
+            eligible = eligible & (should_cnt >= query.minimum_should_match)
+        eligible = eligible & ~excluded
+        return acc, eligible
+    # leaf: run the flat engine for ALL docs and densify
+    save_deleted = reader.deleted
+    reader.deleted = None          # deletes applied once at the top level
+    try:
+        compiled = searcher.compile(query, _normalized=True)
+        scores, docs, _, _ = searcher.search_shard(
+            reader, compiled, n, total_hits_threshold=2**31 - 1)
+    finally:
+        reader.deleted = save_deleted
+    dense = np.zeros(n, dtype=np.float32)
+    m = np.zeros(n, dtype=bool)
+    dense[docs] = scores
+    m[docs] = True
+    return dense, m
+
+
+def search_shard_nested(reader, query, searcher, k: int, after=None):
+    """Top-k over an arbitrary (nested) query tree on one shard."""
+    scores, matched = evaluate_dense(reader, query, searcher)
+    if reader.deleted is not None:
+        matched = matched & ~reader.deleted
+    cand = np.nonzero(matched)[0].astype(np.int32)
+    sc = scores[cand]
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
 def search_shard_synonym(reader, terms_boosts, scorer, k: int, after=None):
     """SynonymQuery execution: blended freq = sum(boost_i * freq_i) float32
     in term order, scored once with the pseudo-term scorer."""

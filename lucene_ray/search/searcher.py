@@ -353,12 +353,18 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "phrase": (list(query.terms), scorer, int(query.slop))}
+        from .query import RangeQuery as _RQ
+
+        if any(not isinstance(c.query, (TermQuery, _RQ)) for c in query.clauses):
+            # nested sub-queries (grouping parens, phrases/multiterm inside a
+            # boolean): recursive dense evaluation path (BooleanWeight over
+            # arbitrary sub-weights)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False, "nested": query}
         scoring, filters, must_nots = [], [], []
         range_filters, range_must_nots = [], []
         n_required = 0
         for c in query.clauses:
-            from .query import RangeQuery as _RQ
-
             if isinstance(c.query, _RQ):
                 # numeric range as a non-scoring clause (FILTER / MUST_NOT);
                 # a MUST range behaves like FILTER (contributes no score,
@@ -415,6 +421,10 @@ class IndexSearcher:
                         int(len(live)), RELATION_EQ)
             docs = np.arange(min(k, rdr.doc_count), dtype=np.int32)
             return np.ones(len(docs), np.float32), docs, rdr.doc_count, RELATION_EQ
+        if compiled.get("nested") is not None:
+            from .scorer import search_shard_nested
+
+            return search_shard_nested(rdr, compiled["nested"], self, k, after=after)
         if compiled.get("phrase_general"):
             from .scorer import search_shard_phrase_general
 

@@ -1,0 +1,108 @@
+"""Embedding-cosine near-dup (exact + LSH), IVF ANN, and range/taxonomy
+facets — property and recall tests (the exact variants are also value-checked
+against DuckDB by the driver gate)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_embedding_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.knn import dedup_embedding
+
+    out = dedup_embedding(SF, threshold=0.4)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    norms = np.linalg.norm(m, axis=1)
+    sims = np.round((m @ m.T) / (norms[:, None] * norms[None, :]), 4)
+    ia, ib = np.triu_indices(len(ids), 1)
+    keep = sims[ia, ib] >= 0.4
+    expect = set(zip(ids[ia[keep]].tolist(), ids[ib[keep]].tolist()))
+    got = set(zip(out.doc_a.tolist(), out.doc_b.tolist()))
+    assert got == expect
+    for a, b, c in zip(out.doc_a, out.doc_b, out.cos):
+        i, j = int(np.searchsorted(ids, a)), int(np.searchsorted(ids, b))
+        assert abs(c - sims[i, j]) < 1e-9
+
+
+def test_dedup_embedding_lsh_planted(ray_session, tmp_path):
+    """Banded-signature LSH finds planted near-identical vectors (the real
+    near-dup regime, cos >= 0.98); every reported pair is exact-verified."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.knn import dedup_embedding, dedup_embedding_lsh
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(60, 64))
+    # planted dups: 60..62 are tiny perturbations of vector 0
+    planted = base[0][None, :] + rng.normal(scale=0.01, size=(3, 64))
+    m = np.vstack([base, planted])
+    t = pa.table({"vec_id": pa.array(range(len(m)), type=pa.int64()),
+                  "embedding": pa.array([row.tolist() for row in m],
+                                        type=pa.list_(pa.float32())),
+                  "label": pa.array([0] * len(m), type=pa.int32())})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    sf = str(tmp_path)
+    approx = dedup_embedding_lsh(sf, threshold=0.9)
+    got = set(zip(approx.doc_a, approx.doc_b))
+    # all planted pairs (0,60..62 and 60-62 among themselves) recovered
+    expect = {(0, 60), (0, 61), (0, 62), (60, 61), (60, 62), (61, 62)}
+    assert expect <= got
+    exact = dedup_embedding(sf, threshold=0.9)
+    e = set(zip(exact.doc_a, exact.doc_b))
+    assert got <= e                         # precision: every pair is real
+
+
+def test_knn_ivf_recall(ray_session):
+    from lucene_ray.pipelines.knn import knn_cosine, knn_ivf
+
+    exact = knn_cosine(SF, k=10)
+    approx = knn_ivf(SF, k=10)
+    recall = []
+    for q in exact.query_vec_id.unique():
+        e = set(exact[exact.query_vec_id == q].vec_id)
+        a = set(approx[approx.query_vec_id == q].vec_id)
+        recall.append(len(e & a) / len(e))
+    assert np.mean(recall) > 0.5
+    # IVF results are a subset of brute force with identical cosines
+    merged = approx.merge(exact, on=["query_vec_id", "vec_id"], suffixes=("_a", "_e"))
+    assert (abs(merged.cos_a - merged.cos_e) < 1e-9).all()
+
+
+def test_facet_ranges_counts(ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import RANGE_EDGES, facet_ranges
+
+    out = facet_ranges(SF)
+    nc = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"]) \
+        .column("n_chars").to_numpy()
+    assert int(out.n_docs.sum()) == len(nc)
+    for _, row in out.iterrows():
+        assert row.n_docs == int(((nc >= row.lo) & (nc < row.hi)).sum())
+
+
+def test_facet_taxonomy_rollup(ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import facet_taxonomy
+
+    out = facet_taxonomy(SF)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "source"]).to_pandas()
+    parents = out[out.source == ""]
+    children = out[out.source != ""]
+    # parent rows equal the sum of their children; totals equal the corpus
+    for _, p in parents.iterrows():
+        kids = children[children.lang == p.lang]
+        assert int(kids.n_docs.sum()) == int(p.n_docs)
+        assert int(p.n_docs) == int((t.lang == p.lang).sum())
+    for _, c in children.iterrows():
+        assert int(c.n_docs) == int(((t.lang == c.lang) & (t.source == c.source)).sum())

@@ -67,3 +67,98 @@ def test_highlight_no_match():
 def test_highlight_case_and_unicode():
     snip = highlight("İstanbul is big", ["istanbul"])
     assert snip is not None and "<b>İstanbul</b>" in snip
+
+
+def test_parser_grouping_parens():
+    from lucene_ray.search.query import (
+        MUST, MUST_NOT, SHOULD, BooleanQuery, TermQuery, parse_classic,
+    )
+
+    q = parse_classic("(merge join) +scan")
+    assert isinstance(q, BooleanQuery)
+    occurs = [c.occur for c in q.clauses]
+    assert occurs == [SHOULD, MUST]
+    inner = q.clauses[0].query
+    assert isinstance(inner, BooleanQuery)
+    assert [c.query.term for c in inner.clauses] == ["merge", "join"]
+    assert q.clauses[1].query.term == "scan"
+    # nested MUST_NOT group
+    q2 = parse_classic("merge -(join sort)")
+    assert q2.clauses[1].occur == MUST_NOT
+    assert isinstance(q2.clauses[1].query, BooleanQuery)
+
+
+def test_parser_field_qualified_and_range():
+    from lucene_ray.search.query import RangeQuery, TermQuery, parse_classic
+
+    q = parse_classic("role:user")
+    assert isinstance(q, TermQuery)
+    assert q.term == "role\x1fuser"
+    q2 = parse_classic("ts:[100 TO 200]")
+    assert q2 == RangeQuery("ts", 100, 200)
+    q3 = parse_classic("ts:{100 TO 200}")
+    assert q3 == RangeQuery("ts", 101, 199)
+    q4 = parse_classic("ts:[* TO 50]")
+    assert q4 == RangeQuery("ts", None, 50)
+    q5 = parse_classic("+merge ts:[10 TO 20]")
+    assert len(q5.clauses) == 2
+
+
+def test_nested_boolean_execution(ray_session, tmp_path_factory):
+    """(a OR b) AND NOT c through the recursive dense path == flat algebra."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import (
+        MUST, MUST_NOT, SHOULD, BooleanClause, BooleanQuery, PhraseQuery,
+        TermQuery, bool_query, parse_classic,
+    )
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+    import lucene_ray.analysis.standard as std
+
+    t = synth_transcripts(2000, seed=21)
+    d = str(tmp_path_factory.mktemp("nested"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=700,
+                input_desc="nested")
+    s = IndexSearcher(d)
+    ts = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    tokens = [set(std.analyze(x)) if x else set() for x in ts.column("text").to_pylist()]
+
+    # nested group of SHOULD == flat boolean (same matches AND scores)
+    nested = BooleanQuery((
+        BooleanClause(bool_query(should=["merge", "join"]), SHOULD),))
+    flat = bool_query(should=["merge", "join"])
+    a = s.search(nested, k=30, total_hits_threshold=2**31 - 1)
+    b = s.search(flat, k=30, total_hits_threshold=2**31 - 1)
+    assert [(h.gid, h.score) for h in a.hits] == [(h.gid, h.score) for h in b.hits]
+    assert a.total_hits == b.total_hits
+
+    # (merge OR join) MUST, NOT sort — brute-force match-set oracle
+    q = BooleanQuery((
+        BooleanClause(bool_query(should=["merge", "join"]), MUST),
+        BooleanClause(TermQuery("sort"), MUST_NOT)))
+    got = s.search(q, k=3000, total_hits_threshold=2**31 - 1)
+    expect = {d_ for d_, tk in enumerate(tokens)
+              if ({"merge", "join"} & tk) and "sort" not in tk}
+    assert {h.gid for h in got.hits} == expect
+
+    # phrase inside a boolean (previously unsupported)
+    qp = BooleanQuery((
+        BooleanClause(PhraseQuery(("the", "data")), MUST),
+        BooleanClause(TermQuery("merge"), SHOULD)))
+    got2 = s.search(qp, k=3000, total_hits_threshold=2**31 - 1)
+    texts = ts.column("text").to_pylist()
+    expect2 = set()
+    for d_, x in enumerate(texts):
+        toks = std.analyze(x) if x else []
+        if any(toks[i] == "the" and toks[i + 1] == "data"
+               for i in range(len(toks) - 1)):
+            expect2.add(d_)
+    assert {h.gid for h in got2.hits} == expect2
+
+    # parsed grouped query runs end-to-end
+    q3 = parse_classic('(merge join) +"the data"')
+    got3 = s.search(q3, k=10)
+    assert got3.total_hits > 0
