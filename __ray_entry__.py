@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": knn.dedup_embedding_lsh,
         # --- streaming-shaped (events log) ---
         "tumbling_counts": windows.tumbling_counts,
+        "hopping_counts": windows.hopping_counts,
+        "windowed_topk_users": windows.windowed_topk_users,
         "sessionize": windows.sessionize,
         # --- BM25: index-free SQL-checkable scan + the real engine ---
         "bm25_scan_topk": bm25scan.bm25_scan_topk,
@@ -85,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_sorted_topk": _lazy("index_sorted_topk"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
+        "index_interval_count": _lazy("index_interval_count"),
         # --- joins ---
         "bucketed_join": _bucketed_join,
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
@@ -226,6 +229,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "hopping_counts": """
+            WITH hops AS (SELECT range AS i FROM range(0, 4)),
+            ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+            exp AS (SELECT event_type,
+                           (ts_us // 900000000 * 900000000 - i * 900000000) AS ws
+                    FROM ev, hops
+                    WHERE (ts_us // 900000000 * 900000000 - i * 900000000)
+                          + 3600000000 > ts_us)
+            SELECT event_type, make_timestamp(ws) AS window_start,
+                   count(*)::BIGINT AS n_events
+            FROM exp GROUP BY event_type, ws""",
+        "windowed_topk_users": """
+            WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+            cnt AS (SELECT (ts_us // 86400000000 * 86400000000) AS ws, user_id,
+                           count(*) AS n
+                    FROM ev GROUP BY ws, user_id),
+            ranked AS (SELECT ws, user_id, n,
+                              row_number() OVER (PARTITION BY ws
+                                                 ORDER BY n DESC, user_id ASC) AS rank
+                       FROM cnt)
+            SELECT ws::BIGINT AS window_start, rank::BIGINT AS rank,
+                   user_id::BIGINT AS user_id, n::BIGINT AS n_events
+            FROM ranked WHERE rank <= 3""",
         "sessionize": """
             WITH ordered AS (
               SELECT user_id, ts, event_id,
@@ -302,6 +328,15 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 5)::BIGINT AS sort_value
             FROM toklists WHERE list_contains(toks, 'merge')
             ORDER BY (doc_id % 5) DESC, doc_id ASC LIMIT 15""",
+        "index_interval_count": _TOKS + """,
+            tp AS (SELECT doc_id, unnest(toks) AS term,
+                          unnest(range(1, len(toks) + 1)) AS pos FROM toklists)
+            SELECT (SELECT count(DISTINCT a.doc_id) FROM tp a JOIN tp b
+                      ON a.doc_id = b.doc_id AND a.term = 'merge' AND b.term = 'join'
+                     AND b.pos > a.pos AND b.pos - a.pos + 1 <= 5)::BIGINT AS n_ordered,
+                   (SELECT count(DISTINCT a.doc_id) FROM tp a JOIN tp b
+                      ON a.doc_id = b.doc_id AND a.term = 'merge' AND b.term = 'join'
+                     AND abs(b.pos - a.pos) + 1 <= 5)::BIGINT AS n_unordered""",
         # Porter preimages within the closed corpus vocabulary:
         # stem('merge')='merg' (only 'merge'), stem('query')='queri'
         "index_stemmed_count": _TOKS + """

@@ -190,6 +190,22 @@ def index_sorted_ts_topk(sf_dir: str) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64", "ts_us": "int64"})
 
 
+INTERVAL_W = 5
+
+
+def index_interval_count(sf_dir: str) -> pd.DataFrame:
+    """Interval proximity through the index positions: docs where 'merge'
+    precedes 'join' within a span of INTERVAL_W positions (ordered), and
+    where both occur within the span in any order (unordered)."""
+    from ..search.query import IntervalQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n_ord = searcher.count(IntervalQuery(("merge", "join"), INTERVAL_W, ordered=True))
+    n_any = searcher.count(IntervalQuery(("merge", "join"), INTERVAL_W, ordered=False))
+    return pd.DataFrame({"n_ordered": pd.Series([n_ord], dtype="int64"),
+                         "n_unordered": pd.Series([n_any], dtype="int64")})
+
+
 def index_stemmed_count(sf_dir: str) -> pd.DataFrame:
     """Porter-stemmed index: querying the inflected form 'merges' matches
     docs containing 'merge' (both stem to 'merg'; the searcher applies the

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-N_BUCKETS = 8
+TARGET_ROWS_PER_BUCKET = 250_000
 
 
 def doc_embedding_join(sf_dir: str):
@@ -20,6 +20,10 @@ def doc_embedding_join(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    # bucket count scales with the larger side so one bucket group stays a
+    # bounded map_groups task at any corpus size (parquet-metadata count)
+    n_rows = max(docs.count(), embs.count())
+    N_BUCKETS = max(8, -(-n_rows // TARGET_ROWS_PER_BUCKET))
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"bucket": (df["doc_id"] % N_BUCKETS).astype("int64"),

@@ -58,6 +58,21 @@ class MultiPhraseQuery:
 
 
 @dataclass(frozen=True)
+class IntervalQuery:
+    """Proximity interval matching (`queries/intervals/Intervals.java`
+    surface: ordered / unordered with maxwidth): matches docs containing one
+    occurrence of every term inside a window of span <= max_width positions
+    (span = last - first + 1), in query order when `ordered`.  Constant-score
+    rewrite (the reference's IntervalScorer freq weighting is out of scope —
+    match semantics only, documented divergence)."""
+    terms: tuple[str, ...]
+    max_width: int
+    ordered: bool = True
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class RangeQuery:
     """Inclusive numeric/date range over a doc-values column
     (`search/PointRangeQuery.java` / `document/LongPoint.newRangeQuery`
@@ -114,6 +129,23 @@ class SynonymQuery:
         for b in self.boosts:
             if not (0 < b <= 1):
                 raise ValueError("synonym term boost must be in (0, 1]")
+
+
+@dataclass(frozen=True)
+class BlendedTermQuery:
+    """Blends several terms' statistics so their scores are comparable
+    (`search/BlendedTermQuery.java`): every term is scored with the MAX
+    docFreq across the set (the df-adjustment of adjustFrequencies), then
+    combined with the default DisjunctionMax rewrite (tie_breaker = 0.01,
+    BlendedTermQuery.DISJUNCTION_MAX_REWRITE)."""
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...] = ()
+    field: str = "text"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.boosts and len(self.boosts) != len(self.terms):
+            raise ValueError("boosts must match terms")
 
 
 @dataclass(frozen=True)

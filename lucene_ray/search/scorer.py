@@ -628,6 +628,97 @@ def search_shard_phrase_general(reader, slots, slop: int, scorer, k: int, after=
     return scores, pdocs, total, RELATION_EQ
 
 
+def _min_span_ordered(pls: list[np.ndarray]) -> int:
+    """Smallest span (last - first + 1) of strictly-increasing positions,
+    one per term in order; large sentinel if none."""
+    n = len(pls)
+    idx = [0] * n
+    best = 1 << 40
+    while True:
+        for i in range(1, n):
+            prev = pls[i - 1][idx[i - 1]]
+            a = pls[i]
+            j = int(np.searchsorted(a, prev, side="right"))
+            if j >= len(a):
+                return best
+            idx[i] = max(idx[i], j)
+            if idx[i] >= len(a):
+                return best
+        span = int(pls[n - 1][idx[n - 1]] - pls[0][idx[0]] + 1)
+        if span < best:
+            best = span
+        idx[0] += 1
+        if idx[0] >= len(pls[0]):
+            return best
+
+
+def _min_span_unordered(pls: list[np.ndarray]) -> int:
+    """Smallest window covering >= multiplicity occurrences of every term
+    (positions are distinct per doc)."""
+    n = len(pls)
+    pos = np.concatenate(pls)
+    tid = np.concatenate([np.full(len(p), i) for i, p in enumerate(pls)])
+    order = np.argsort(pos, kind="stable")
+    pos, tid = pos[order], tid[order]
+    need = n
+    have = np.zeros(n, dtype=np.int64)
+    covered = 0
+    best = 1 << 40
+    left = 0
+    for right in range(len(pos)):
+        t = tid[right]
+        have[t] += 1
+        if have[t] == 1:
+            covered += 1
+        while covered == need:
+            span = int(pos[right] - pos[left] + 1)
+            if span < best:
+                best = span
+            tl = tid[left]
+            have[tl] -= 1
+            if have[tl] == 0:
+                covered -= 1
+            left += 1
+    return best
+
+
+def search_shard_interval(reader, terms, max_width: int, ordered: bool,
+                          boost: float, k: int, after=None):
+    """Interval proximity matching over one shard: conjunction of the terms'
+    postings, per-doc minimum span from the position lists, constant score."""
+    posting = []
+    for t in terms:
+        tid = reader.seek_exact(t)
+        if tid < 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+        docs, freqs = reader.postings(tid)
+        pos = reader.positions(tid, freqs)
+        pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+        posting.append((docs, pos, pb))
+    common = posting[0][0]
+    for docs, _, _ in posting[1:]:
+        common = np.intersect1d(common, docs, assume_unique=True)
+    if reader.deleted is not None and len(common):
+        common = common[~reader.deleted[common]]
+    out = []
+    for d in common:
+        pls = []
+        for docs, pos, pb in posting:
+            j = int(np.searchsorted(docs, d))
+            pls.append(pos[int(pb[j]):int(pb[j + 1])].astype(np.int64))
+        span = _min_span_ordered(pls) if ordered else _min_span_unordered(pls)
+        if span <= max_width:
+            out.append(int(d))
+    cand = np.array(out, dtype=np.int32)
+    sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    return sc[:k], cand[:k], total, RELATION_EQ
+
+
 def evaluate_dense(reader, query, searcher):
     """Recursive dense evaluation of an arbitrary query tree over one shard:
     returns (scores float32[n_docs], matched bool[n_docs]).

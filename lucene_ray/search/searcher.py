@@ -122,6 +122,10 @@ class IndexSearcher:
                 self._normalize(t) for t in q.queries))
         if isinstance(q, FuzzyQuery):
             return dataclasses.replace(q, term=self._ft(q.term))
+        from .query import IntervalQuery as _IQ
+
+        if isinstance(q, _IQ):
+            return dataclasses.replace(q, terms=tuple(self._ft(t) for t in q.terms))
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return dataclasses.replace(q, query=self._normalize(q.query))
         if isinstance(q, BooleanQuery):
@@ -259,8 +263,14 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "const_wrap": self.compile(query.query, _normalized=True),
                     "boost": query.boost}
-        from .query import RangeQuery
+        from .query import IntervalQuery, RangeQuery
 
+        if isinstance(query, IntervalQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "interval": (tuple(query.terms), int(query.max_width),
+                                 bool(query.ordered)),
+                    "boost": query.boost}
         if isinstance(query, RangeQuery):
             # standalone numeric range: constant-score over the doc-values
             # mask (PointRangeQuery rewritten to constant score)
@@ -281,6 +291,23 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "synonym": (present, scorer)}
+        from .query import BlendedTermQuery
+
+        if isinstance(query, BlendedTermQuery):
+            # adjustFrequencies: score every term with the max df of the set,
+            # then DisMax(tie=0.01) — BlendedTermQuery's default rewrite
+            boosts = query.boosts or tuple(1.0 for _ in query.terms)
+            dfs = {t: self.df(t) for t in query.terms}
+            df_max = max(dfs.values(), default=0)
+            if df_max == 0:
+                return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
+                        "msm": 0, "n_required": 1, "match_all": False}
+            sub = [(t, self.sim.scorer(query.boost * b, self.doc_count,
+                                       self.sum_ttf, df_max))
+                   for t, b in zip(query.terms, boosts) if dfs[t] > 0]
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "dismax": sub, "tie": np.float32(0.01)}
         if isinstance(query, DisjunctionMaxQuery):
             sub = []
             for tq in query.queries:
@@ -437,6 +464,12 @@ class IndexSearcher:
 
                 return search_shard_phrase_sloppy(rdr, terms, slop, scorer, k, after=after)
             return search_shard_phrase(rdr, terms, scorer, k, after=after)
+        if compiled.get("interval") is not None:
+            from .scorer import search_shard_interval
+
+            terms, mw, ordered = compiled["interval"]
+            return search_shard_interval(rdr, terms, mw, ordered,
+                                         compiled["boost"], k, after=after)
         if compiled.get("range") is not None:
             from .scorer import search_shard_range
 

@@ -141,3 +141,35 @@ def test_synonym_query(setup):
     ranked = sorted(want.items(), key=lambda x: (-x[1], x[0]))[:15]
     assert [(h.gid, h.score) for h in td.hits] == ranked
     assert td.total_hits == len(want)
+
+
+def test_blended_term_query(setup):
+    """BlendedTermQuery: every term scored with the shared max df, DisMax
+    tie=0.01 combination — verified against a hand-computed oracle."""
+    import numpy as np
+
+    from lucene_ray.search.query import BlendedTermQuery
+    from lucene_ray.search.similarity import BM25Similarity
+
+    s, tokens = setup
+    q = BlendedTermQuery(("merge", "join"))
+    td = s.search(q, k=30, total_hits_threshold=2**31 - 1)
+    assert td.total_hits > 0
+    sim = BM25Similarity()
+    df_max = max(s.df("merge"), s.df("join"))
+    sc_m = sim.scorer(1.0, s.doc_count, s.sum_ttf, df_max)
+    sc_j = sim.scorer(1.0, s.doc_count, s.sum_ttf, df_max)
+    # oracle for a few hits: max + 0.01 * (sum - max) over per-term scores
+    for h in td.hits[:10]:
+        toks = tokens[h.gid]
+        parts = []
+        for t, sc in (("merge", sc_m), ("join", sc_j)):
+            f = toks.count(t)
+            if f:
+                pid = s._pid_of(h.gid)
+                rdr = s.reader(pid)
+                local = h.gid - s._bases[pid]
+                parts.append(float(sc.score(np.array([f], np.float32),
+                                            rdr.norms[local:local + 1])[0]))
+        expect = max(parts) + 0.01 * (sum(parts) - max(parts))
+        assert abs(h.score - np.float32(expect)) < 1e-5

@@ -105,3 +105,32 @@ def test_queries_oracle_contract():
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_hopping_counts_membership(ray_session):
+    """Every event lands in exactly window/hop hopping windows; totals agree
+    with tumbling at hop == window."""
+    from lucene_ray.pipelines.windows import hopping_counts, tumbling_counts
+
+    hop = hopping_counts(SF).to_pandas()
+    tum = tumbling_counts(SF).to_pandas()
+    # 60-min windows hopping by 15 -> each event counted 4x
+    assert hop.n_events.sum() == 4 * tum.n_events.sum()
+
+
+def test_windowed_topk_users_oracle(ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.windows import windowed_topk_users
+
+    out = windowed_topk_users(SF).to_pandas().sort_values(
+        ["window_start", "rank"]).reset_index(drop=True)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    ts = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["ws"] = ts // 86400000000 * 86400000000
+    cnt = ev.groupby(["ws", "user_id"]).size().rename("n").reset_index()
+    for ws, g in cnt.groupby("ws"):
+        g = g.sort_values(["n", "user_id"], ascending=[False, True]).head(3)
+        got = out[out.window_start == ws]
+        assert list(got.user_id) == list(g.user_id), ws
+        assert list(got.n_events) == list(g.n)
