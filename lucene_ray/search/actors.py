@@ -156,16 +156,33 @@ class QueryService:
         self._qseq += 1
         return f"q{self._qseq}"
 
+    def _qid_for(self, compiled) -> str | None:
+        """Theta sharing pays only on SELECTIVE scoring queries that take the
+        WAND path per shard — hot disjunctions route to the vectorized TAAT
+        accumulator where the shared floor is never consulted, so the board
+        RPCs would be pure overhead (measured: p50 49->63ms on hot terms).
+        Gate with the same density heuristic the per-shard cost router uses,
+        evaluated on global stats."""
+        if self.board is None:
+            return None
+        scoring = compiled.get("scoring")
+        if not scoring or compiled.get("filters") or compiled.get("must_nots"):
+            return None
+        total_df = sum(self.searcher.df(t) for t, _, _ in scoring)
+        if total_df > 0.15 * max(self.searcher.doc_count, 1):
+            return None
+        return self._next_qid()
+
     def search(self, query, k: int = 10, after=None, threshold: int = 1000) -> TopDocs:
         compiled = self.searcher.compile(query)
-        qid = self._next_qid()
+        qid = self._qid_for(compiled)
         futs = [a.search.remote(compiled, k, after, threshold, qid) for a in self.actors]
         return self._merge(ray.get(futs), k)
 
     def search_many(self, queries, k: int = 10) -> list[TopDocs]:
         """Pipeline a batch of queries across the pool (keeps all actors busy)."""
         compiled = [self.searcher.compile(q) for q in queries]
-        futs = [[a.search.remote(c, k, None, 1000, self._next_qid())
+        futs = [[a.search.remote(c, k, None, 1000, self._qid_for(c))
                  for a in self.actors] for c in compiled]
         return [self._merge(ray.get(f), k) for f in futs]
 
