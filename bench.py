@@ -95,11 +95,13 @@ def run_bench() -> dict:
     # ---- headline: index build (same partitioning at every CPU level so
     # the produced index is identical; best of 2 runs to damp host noise) ----
     ds = rd.read_parquet(corpus, override_num_blocks=128)
-    # 256 partitions: ~39k-turn shards pack 32 workers in 8 waves — measured
-    # better wave-packing + lower per-task memory spikes than 128x78k
-    # (NOTES.md round-2 scaling profile); shard count is a bench knob, the
-    # library default target_docs_per_partition is unchanged
-    tpp = max(2000, N_TURNS // 256)
+    # partition count scales with corpus: >=128 tasks to fill the pool, and
+    # ~39k-turn shards at 10M (256 parts: measured better wave-packing +
+    # lower per-task memory spikes than 128x78k — NOTES.md); at 1M, 256
+    # shards would be 3.9k docs each, doubling per-query shard overhead, so
+    # stay at 128 there.  Same partitioning at every CPU level.
+    n_parts = 128 if N_TURNS <= 2_000_000 else 256
+    tpp = max(2000, N_TURNS // n_parts)
     build_sec = None
     for attempt in range(2):
         index_dir = f"/tmp/lucene_ray_bench/idx_{NUM_CPUS}"

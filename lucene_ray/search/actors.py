@@ -72,6 +72,7 @@ class QueryActor:
         run_scores = np.zeros(0, dtype=np.float32)   # running local top-k scores
         ext_theta, ext_coll = float("-inf"), 0
         pending = None          # in-flight board fetch (never block on it)
+        last_pub = -np.inf      # per-QUERY publish throttle state
         for si, pid in enumerate(self.pids):
             rdr = self.readers[pid]
             base = self.bases[pid]
@@ -97,9 +98,12 @@ class QueryActor:
             if share:
                 run_scores = np.sort(np.concatenate((run_scores, scores)))[::-1][:k]
                 if len(run_scores) == k:
-                    # fire-and-forget publish of our current k-th score
-                    self.board.update.remote(qid, self.actor_id,
-                                             float(run_scores[-1]), total)
+                    floor = float(run_scores[-1])
+                    # publish only on meaningful improvement — bounds board
+                    # traffic (MaxScoreAccumulator's epoch-throttling role)
+                    if floor > last_pub * 1.001 or last_pub == -np.inf:
+                        last_pub = floor
+                        self.board.update.remote(qid, self.actor_id, floor, total)
             if rel == RELATION_GTE:
                 relation = RELATION_GTE
             if len(local_docs):
@@ -180,9 +184,13 @@ class QueryService:
         return self._merge(ray.get(futs), k)
 
     def search_many(self, queries, k: int = 10) -> list[TopDocs]:
-        """Pipeline a batch of queries across the pool (keeps all actors busy)."""
+        """Pipeline a batch of queries across the pool (keeps all actors
+        busy).  Theta sharing stays OFF here: it trades board-actor traffic
+        for per-query latency, and in batch/throughput mode the board
+        serializes thousands of tiny messages (measured QPS drop) while
+        pipelining already hides per-query latency."""
         compiled = [self.searcher.compile(q) for q in queries]
-        futs = [[a.search.remote(c, k, None, 1000, self._qid_for(c))
+        futs = [[a.search.remote(c, k, None, 1000, None)
                  for a in self.actors] for c in compiled]
         return [self._merge(ray.get(f), k) for f in futs]
 

@@ -194,7 +194,23 @@ class IndexSearcher:
         `util/automaton/CompiledAutomaton` /
         `blocktree/Lucene90BlockTreeTermsReader.java:341`): each shard
         expands only its own terms, so no global dictionary is ever
-        materialized on the driver."""
+        materialized on the driver.  Memoized per (shard, query) — shard
+        dictionaries are immutable, and repeated query shapes are the common
+        serving pattern (the TermInSetQuery/rewrite cache role)."""
+        cache = getattr(self, "_expand_cache", None)
+        if cache is None:
+            cache = self._expand_cache = {}
+        key = (rdr.dir, query)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._expand_shard_uncached(rdr, query)
+        if len(cache) > 4096:
+            cache.clear()
+        cache[key] = out
+        return out
+
+    def _expand_shard_uncached(self, rdr, query) -> list[str]:
         import re as _re
 
         from .query import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
