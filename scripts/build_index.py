@@ -28,11 +28,18 @@ def main():
                     help="with --append: updateDocument semantics (appended keys delete their older versions)")
     ap.add_argument("--target-docs", type=int, default=200_000)
     ap.add_argument("--keyword-cols", default="", help="comma-separated keyword columns")
+    ap.add_argument("--docvalue-cols", default="",
+                    help="comma-separated numeric/timestamp doc-values columns (RangeQuery/sort)")
+    ap.add_argument("--token-filters", default="",
+                    help="comma-separated analyzer filters applied index+query side (ascii_fold,porter)")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
     import ray
 
+    from lucene_ray.util.warmup import set_worker_env
+
+    set_worker_env()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
@@ -42,13 +49,17 @@ def main():
 
     ds = rd.read_parquet(args.input)
     kw = tuple(c for c in args.keyword_cols.split(",") if c)
+    dv = tuple(c for c in args.docvalue_cols.split(",") if c)
+    tf = tuple(c for c in args.token_filters.split(",") if c)
     if args.append:
         commit = append_index(ds, args.index, target_docs_per_partition=args.target_docs,
-                              keyword_cols=kw or None, input_desc=f"cli:{args.input}",
-                              update=args.update)
+                              keyword_cols=kw or None, docvalue_cols=dv or None,
+                              token_filters=tf or None,
+                              input_desc=f"cli:{args.input}", update=args.update)
     else:
         commit = build_index(ds, args.index, target_docs_per_partition=args.target_docs,
-                             keyword_cols=kw, input_desc=f"cli:{args.input}")
+                             keyword_cols=kw, docvalue_cols=dv, token_filters=tf,
+                             input_desc=f"cli:{args.input}")
     print(json.dumps({k: commit[k] for k in
                       ("generation", "doc_count", "doc_count_field", "sum_ttf",
                        "fingerprint")} | {"n_shards": len(commit["shards"])}))

@@ -23,6 +23,11 @@ def main():
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--must", action="store_true", help="AND the terms instead of OR")
     ap.add_argument("--phrase", action="store_true", help="exact phrase")
+    ap.add_argument("--classic", action="store_true",
+                    help="classic QueryParser syntax (+/-, \"phrase\"~n, parens, "
+                         "field:value, ts:[a TO b], wildcards, fuzzy, boosts)")
+    ap.add_argument("--sort", default="",
+                    help="sort by a doc-values field instead of score, e.g. 'ts' or 'ts:desc'")
     ap.add_argument("--actors", type=int, default=0, help="serve via an actor pool of N")
     ap.add_argument("--count-only", action="store_true")
     args = ap.parse_args()
@@ -38,12 +43,22 @@ def main():
     from lucene_ray.search.searcher import IndexSearcher
 
     terms = analyze(args.query)
-    if args.phrase:
+    if args.classic:
+        from lucene_ray.search.query import parse_classic
+
+        q = parse_classic(args.query)
+    elif args.phrase:
         q = PhraseQuery(tuple(terms))
     elif args.must:
         q = bool_query(must=terms)
     else:
         q = bool_query(should=terms)
+    sort = None
+    if args.sort:
+        from lucene_ray.search.query import SortField
+
+        parts = args.sort.split(":")
+        sort = SortField(parts[0], reverse=(len(parts) > 1 and parts[1] == "desc"))
 
     searcher = IndexSearcher(args.index)
     if args.count_only:
@@ -54,9 +69,13 @@ def main():
 
             svc = QueryService(args.index, num_actors=args.actors)
             td = svc.search(q, k=args.k)
+            if sort is not None:
+                print(json.dumps({"warning": "--sort served by the local searcher"}),
+                      file=sys.stderr)
+                td = searcher.search(q, k=args.k, sort=sort)
             svc.shutdown()
         else:
-            td = searcher.search(q, k=args.k)
+            td = searcher.search(q, k=args.k, sort=sort)
         print(json.dumps({
             "total_hits": td.total_hits, "relation": td.relation,
             "hits": [{"rank": i + 1, "score": h.score, "conv_id": h.conv_id,
