@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": knn.knn_cosine,
         "knn_lsh": knn.knn_lsh,
         "knn_ivf": knn.knn_ivf,
+        "knn_hnsw": _knn_hnsw,
         "dedup_embedding": knn.dedup_embedding,
         "dedup_embedding_lsh": knn.dedup_embedding_lsh,
         # --- streaming-shaped (events log) ---
@@ -108,6 +109,12 @@ def _index_bm25_sql_topk(sf_dir):
     from lucene_ray.pipelines.flagship import index_bm25_sql_topk
 
     return index_bm25_sql_topk(sf_dir)
+
+
+def _knn_hnsw(sf_dir):
+    from lucene_ray.pipelines.hnsw import knn_hnsw
+
+    return knn_hnsw(sf_dir)
 
 
 def _bucketed_join(sf_dir):
@@ -357,7 +364,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS payload_md5
             FROM documents""",
         # rows-only (non-SQL-expressible / approximate): dedup_minhash,
-        # dedup_simhash_pairs, ngram_jaccard, knn_lsh, knn_ivf,
+        # dedup_simhash_pairs, ngram_jaccard, knn_lsh, knn_ivf, knn_hnsw,
         # dedup_embedding_lsh, index_bm25_topk
     }
 

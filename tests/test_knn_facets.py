@@ -106,3 +106,42 @@ def test_facet_taxonomy_rollup(ray_session):
         assert int(p.n_docs) == int((t.lang == p.lang).sum())
     for _, c in children.iterrows():
         assert int(c.n_docs) == int(((t.lang == c.lang) & (t.source == c.source)).sum())
+
+
+def test_knn_hnsw_recall(ray_session, tmp_path, monkeypatch):
+    """Persisted per-shard HNSW graphs: high recall vs brute force, graphs
+    survive a save/load roundtrip."""
+    import lucene_ray.pipelines.hnsw as hnsw
+    from lucene_ray.pipelines.knn import knn_cosine
+
+    monkeypatch.setattr(hnsw, "_index_dir", lambda sf: str(tmp_path / "hnsw"))
+    exact = knn_cosine(SF, k=10)
+    approx = hnsw.knn_hnsw(SF, k=10)
+    recall = []
+    for q in exact.query_vec_id.unique():
+        e = set(exact[exact.query_vec_id == q].vec_id)
+        a = set(approx[approx.query_vec_id == q].vec_id)
+        recall.append(len(e & a) / len(e))
+    assert np.mean(recall) >= 0.9, recall
+    # second call loads the persisted graphs (DONE marker) — same results
+    again = hnsw.knn_hnsw(SF, k=10)
+    pd.testing.assert_frame_equal(approx, again)
+
+
+def test_hnsw_graph_roundtrip(tmp_path):
+    from lucene_ray.pipelines.hnsw import HnswGraph
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(300, 32))
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = np.arange(1000, 1300, dtype=np.int64)
+    g = HnswGraph(m, ids, seed=7).build()
+    p = str(tmp_path / "g.npz")
+    g.save(p)
+    g2 = HnswGraph.load(p)
+    q = m[17]
+    r1 = g.search(q, 5)
+    r2 = g2.search(q, 5)
+    np.testing.assert_array_equal(r1[0], r2[0])
+    # the query vector's own id must be rank-1 with sim ~1
+    assert r1[0][0] == 1017
