@@ -652,15 +652,17 @@ def _min_span_ordered(pls: list[np.ndarray]) -> int:
             return best
 
 
-def _min_span_unordered(pls: list[np.ndarray]) -> int:
-    """Smallest window covering >= multiplicity occurrences of every term
-    (positions are distinct per doc)."""
+def _min_span_unordered(pls: list[np.ndarray], need: list[int] | None = None) -> int:
+    """Smallest window containing >= need[i] DISTINCT occurrences of term i
+    (need defaults to 1 per list; repeated query terms pass their
+    multiplicity so one occurrence cannot satisfy two slots)."""
     n = len(pls)
+    if need is None:
+        need = [1] * n
     pos = np.concatenate(pls)
     tid = np.concatenate([np.full(len(p), i) for i, p in enumerate(pls)])
     order = np.argsort(pos, kind="stable")
     pos, tid = pos[order], tid[order]
-    need = n
     have = np.zeros(n, dtype=np.int64)
     covered = 0
     best = 1 << 40
@@ -668,15 +670,15 @@ def _min_span_unordered(pls: list[np.ndarray]) -> int:
     for right in range(len(pos)):
         t = tid[right]
         have[t] += 1
-        if have[t] == 1:
+        if have[t] == need[t]:
             covered += 1
-        while covered == need:
+        while covered == n:
             span = int(pos[right] - pos[left] + 1)
             if span < best:
                 best = span
             tl = tid[left]
             have[tl] -= 1
-            if have[tl] == 0:
+            if have[tl] == need[tl] - 1:
                 covered -= 1
             left += 1
     return best
@@ -686,8 +688,16 @@ def search_shard_interval(reader, terms, max_width: int, ordered: bool,
                           boost: float, k: int, after=None):
     """Interval proximity matching over one shard: conjunction of the terms'
     postings, per-doc minimum span from the position lists, constant score."""
+    # unordered: merge repeated query terms into one postings list with a
+    # multiplicity requirement (one occurrence can't satisfy two slots)
+    if ordered:
+        uniq_terms = list(terms)
+        need = None
+    else:
+        uniq_terms = list(dict.fromkeys(terms))
+        need = [sum(1 for t in terms if t == u) for u in uniq_terms]
     posting = []
-    for t in terms:
+    for t in uniq_terms:
         tid = reader.seek_exact(t)
         if tid < 0:
             return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
@@ -706,7 +716,10 @@ def search_shard_interval(reader, terms, max_width: int, ordered: bool,
         for docs, pos, pb in posting:
             j = int(np.searchsorted(docs, d))
             pls.append(pos[int(pb[j]):int(pb[j + 1])].astype(np.int64))
-        span = _min_span_ordered(pls) if ordered else _min_span_unordered(pls)
+        if ordered:
+            span = _min_span_ordered(pls)
+        else:
+            span = _min_span_unordered(pls, need)
         if span <= max_width:
             out.append(int(d))
     cand = np.array(out, dtype=np.int32)

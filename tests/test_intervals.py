@@ -106,3 +106,17 @@ def test_shard_interval_matches_brute(iv_shard, w, ordered):
     expect = {i for i, toks in enumerate(docs) if brute(toks, ["merge", "join"], w)}
     assert set(cand.tolist()) == expect, (w, ordered)
     assert total == len(expect)
+
+
+def test_unordered_repeated_terms_need_distinct_occurrences(iv_shard):
+    """'merge merge'~w must need TWO distinct occurrences of merge."""
+    import pyarrow as pa
+
+    from lucene_ray.index.shard import ShardReader, write_shard
+
+    rdr, docs = iv_shard
+    # docs with a single merge must NOT match ("merge", "merge")
+    sc, cand, total, _ = search_shard_interval(rdr, ("merge", "merge"), 10,
+                                               False, 1.0, k=20)
+    expect = {i for i, toks in enumerate(docs) if toks.count("merge") >= 2}
+    assert set(cand.tolist()) == expect
