@@ -52,6 +52,9 @@ N_PARTS = 64
 # buckets larger than this emit star-pairs (min doc vs rest) instead of all
 # C(g,2) pairs — linear output for degenerate mass-dup buckets
 MAX_BUCKET_DOCS = 256
+# verified-edge count below which clustering runs as driver union-find (the
+# edge list is tiny next to the corpus); above it, distributed min-label
+CLUSTER_DRIVER_EDGE_LIMIT = 2_000_000
 
 
 def _fnv1a64(arr, seed: int = 0) -> np.ndarray:
@@ -384,9 +387,35 @@ def _min_label_components(pairs_ds, max_iters: int = 50) -> pd.DataFrame:
                              "src": src, "dst": dst})
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_rep": pd.Series(dtype="int64")})
+    if n_edges <= CLUSTER_DRIVER_EDGE_LIMIT:
+        # small-edge-list fast path: the VERIFIED edge list (not candidates,
+        # not text) fits one process — plain union-find beats paying Ray
+        # round-trip overhead per propagation round.  The distributed
+        # min-label loop below is the path past ~1M near-dup edges.
+        df = edges.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(df["src"].to_numpy(), df["dst"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        docs = np.unique(df["src"].to_numpy())
+        out = pd.DataFrame({"doc_id": docs.astype("int64"),
+                            "cluster_rep": np.array([find(int(d)) for d in docs],
+                                                    dtype="int64")})
+        out = out[out["doc_id"] != out["cluster_rep"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
 
     def seed_labels(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["src"],

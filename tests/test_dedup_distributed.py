@@ -121,7 +121,7 @@ def test_mass_dup_bucket_is_capped(ray_session, tmp_path):
     assert set(out.cluster_rep) == {0}
 
 
-def test_transitive_chain_clusters(ray_session, tmp_path):
+def test_transitive_chain_clusters_distributed_path(ray_session, tmp_path, monkeypatch):
     """A->B->C->D chain where A and D share little: min-label propagation
     must still collapse the whole chain to rep A."""
     base = [f"tok{i}" for i in range(80)]
@@ -131,6 +131,8 @@ def test_transitive_chain_clusters(ray_session, tmp_path):
     for i in range(30):
         texts.append(f"noise doc number {i} with filler content {i * 13}")
     sf = _write_docs(tmp_path, texts)
+    # force the DISTRIBUTED min-label loop (driver fast path covered elsewhere)
+    monkeypatch.setattr(dedup, "CLUSTER_DRIVER_EDGE_LIMIT", 0)
     out = dedup.dedup_minhash(sf, threshold=0.3)
     reps = dict(zip(out.doc_id, out.cluster_rep))
     assert reps.get(1) == 0 and reps.get(2) == 0 and reps.get(3) == 0
