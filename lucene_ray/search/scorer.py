@@ -136,20 +136,15 @@ class _TermState:
         self.skip_last = sl
         self.n_blocks = len(so)
         # per-block max score from impact skylines (MaxScoreCache equivalent),
-        # fully vectorized: score is monotone in freq * cache[norm], so pick
-        # the argmax pair per block with one segmented reduce, then score all
-        # selected pairs in one float32 call
+        # fully vectorized and similarity-agnostic: score EVERY skyline pair
+        # in one float32 call (skylines hold only a few pairs per block) and
+        # take the segmented max per block
         if len(if_):
-            fninv = if_.astype(np.float32) * scorer.cache[in_.astype(np.int64) & 0xFF]
+            pair_scores = scorer.score(if_, in_)
             block_of = np.repeat(np.arange(len(ic)), ic)
             best = np.full(len(ic), -np.inf, dtype=np.float32)
-            np.maximum.at(best, block_of, fninv)
-            # index of a pair achieving the block max
-            is_best = fninv == best[block_of]
-            first_best = np.zeros(len(ic), dtype=np.int64)
-            idxs = np.nonzero(is_best)[0]
-            first_best[block_of[idxs][::-1]] = idxs[::-1]   # keep first per block
-            self.block_max = scorer.score(if_[first_best], in_[first_best])
+            np.maximum.at(best, block_of, pair_scores)
+            self.block_max = best.astype(np.float32)
         else:
             self.block_max = np.zeros(0, dtype=np.float32)
         self.payload = reader.payload(tid)

@@ -175,18 +175,23 @@ class IndexSearcher:
         return cached
 
     @staticmethod
-    def _load_stats_files(paths) -> dict[str, int]:
+    def _load_stats_files(paths) -> dict[str, tuple[int, int]]:
         import pyarrow.parquet as pq
 
-        dfs: dict[str, int] = {}
+        stats: dict[str, tuple[int, int]] = {}
         for p in sorted(paths):
-            t = pq.read_table(p, columns=["term", "df"])
-            dfs.update(zip(t.column("term").to_pylist(),
-                           (int(v) for v in t.column("df").to_numpy())))
-        return dfs
+            t = pq.read_table(p, columns=["term", "df", "ttf"])
+            stats.update(zip(t.column("term").to_pylist(),
+                             zip((int(v) for v in t.column("df").to_numpy()),
+                                 (int(v) for v in t.column("ttf").to_numpy()))))
+        return stats
 
     def df(self, term: str) -> int:
-        return self._stats_bucket(term).get(term, 0)
+        return self._stats_bucket(term).get(term, (0, 0))[0]
+
+    def ttf(self, term: str) -> int:
+        """Global totalTermFreq (for LM similarities)."""
+        return self._stats_bucket(term).get(term, (0, 0))[1]
 
     def _expand_shard(self, rdr, query) -> list[str]:
         """MultiTermQuery expansion against ONE shard's sorted dictionary
@@ -425,7 +430,8 @@ class IndexSearcher:
                     return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
                             "msm": 0, "n_required": 1, "match_all": False}
                 if df > 0:
-                    scorer = self.sim.scorer(c.query.boost, self.doc_count, self.sum_ttf, df)
+                    scorer = self.sim.scorer(c.query.boost, self.doc_count,
+                                             self.sum_ttf, df, ttf=self.ttf(t))
                     scoring.append((t, scorer, c.occur))
                     if c.occur == MUST:
                         n_required += 1

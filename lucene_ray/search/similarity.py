@@ -35,7 +35,8 @@ class BM25Similarity:
     def avg_field_length(self, sum_ttf: int, doc_count: int) -> np.float32:
         return np.float32(sum_ttf / float(doc_count))
 
-    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int) -> "BM25Scorer":
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None) -> "BM25Scorer":
         return self.scorer_with_idf(boost, self.idf(doc_freq, doc_count), doc_count, sum_ttf)
 
     def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
@@ -70,3 +71,108 @@ class BM25Scorer:
         if len(imp_freqs) == 0:
             return np.float32(np.inf)
         return np.max(self.score(imp_freqs, imp_norms))
+
+
+# ---------------------------------------------------------------------------
+# alternative similarity models (§2.9 widening): pluggable via
+# IndexSearcher(similarity=...); every scorer exposes the same
+# score(freqs, norm_bytes) surface, so all query paths (TAAT, WAND with
+# skyline-pair block maxes, phrases, dismax, ...) work unchanged.
+# ---------------------------------------------------------------------------
+
+
+class _TableScorer:
+    """Scorer whose score factors as weight * tf(freq) * norm_table[byte]."""
+
+    __slots__ = ("weight", "cache", "_tf")
+
+    def __init__(self, weight, cache, tf):
+        self.weight = weight
+        self.cache = cache       # per-norm-byte factor
+        self._tf = tf
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        return (self.weight * self._tf(freqs.astype(np.float32))
+                * self.cache[norm_bytes.astype(np.int64) & 0xFF])
+
+
+class ClassicSimilarity:
+    """TF-IDF (`search/similarities/ClassicSimilarity.java`): idf =
+    ln((docCount+1)/(df+1)) + 1, tf = sqrt(freq), lengthNorm = 1/sqrt(dl)
+    (dl decoded from the shared SmallFloat norm byte)."""
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(np.log((doc_count + 1) / (doc_freq + 1.0)) + 1.0)
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None):
+        return self.scorer_with_idf(boost, self.idf(doc_freq, doc_count),
+                                    doc_count, sum_ttf)
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        cache = (np.float32(1.0)
+                 / np.sqrt(np.maximum(LENGTH_TABLE, 1.0))).astype(np.float32)
+        return _TableScorer(np.float32(boost) * idf * idf, cache,
+                            lambda f: np.sqrt(f, dtype=np.float32))
+
+
+class BooleanSimilarity:
+    """Frequency- and length-blind matching score = boost
+    (`search/similarities/BooleanSimilarity.java`)."""
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None):
+        return self.scorer_with_idf(boost, np.float32(1.0), doc_count, sum_ttf)
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        cache = np.ones(256, dtype=np.float32)
+        w = np.float32(boost) * idf
+        return _TableScorer(w, cache, lambda f: np.ones_like(f, dtype=np.float32))
+
+
+class LMDirichletScorer:
+    __slots__ = ("weight", "cache", "mu", "p_w")
+
+    def __init__(self, boost, mu, p_w):
+        self.weight = np.float32(boost)
+        self.mu = np.float32(mu)
+        self.p_w = np.float64(p_w)
+        # per-norm-byte doc-length factor log(mu / (dl + mu))
+        self.cache = np.log(mu / (LENGTH_TABLE.astype(np.float64) + mu)) \
+            .astype(np.float32)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        f = freqs.astype(np.float64)
+        term = np.log(1.0 + f / (float(self.mu) * self.p_w))
+        s = self.weight * (term + self.cache[norm_bytes.astype(np.int64) & 0xFF]
+                           .astype(np.float64))
+        return np.maximum(s, 0.0).astype(np.float32)
+
+
+class LMDirichletSimilarity:
+    """Language model with Dirichlet smoothing
+    (`search/similarities/LMDirichletSimilarity.java`): score =
+    boost * max(0, log(1 + freq/(mu*p_w)) + log(mu/(dl+mu))), with
+    p_w = ttf / total collection tokens."""
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = mu
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)          # LM scoring has no idf factor
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None):
+        # collection LM probability; fall back to df when ttf is unavailable
+        occ = ttf if ttf is not None else max(doc_freq, 1)
+        p_w = max(occ, 1) / max(sum_ttf, 1)
+        return LMDirichletScorer(boost, self.mu, p_w)
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        raise NotImplementedError("LM Dirichlet phrase scoring not supported")
