@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
         "percolate": _percolate,
         "media_features": _media_features,
+        "media_frames": _media_frames,
     }
 
 
@@ -133,6 +134,12 @@ def _media_features(sf_dir):
     from lucene_ray.pipelines.multimodal import media_features_table
 
     return media_features_table(sf_dir)
+
+
+def _media_frames(sf_dir):
+    from lucene_ray.pipelines.multimodal import media_frames
+
+    return media_frames(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -362,6 +369,11 @@ def oracle_sql() -> dict[str, str]:
         "media_features": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                    md5(text) AS payload_md5
+            FROM documents""",
+        "media_frames": """
+            SELECT doc_id,
+                   ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_frames,
+                   ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0)::BIGINT AS n_sampled
             FROM documents""",
         # rows-only (non-SQL-expressible / approximate): dedup_minhash,
         # dedup_simhash_pairs, ngram_jaccard, knn_lsh, knn_ivf, knn_hnsw,

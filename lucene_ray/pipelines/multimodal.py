@@ -77,3 +77,97 @@ def media_features_table(sf_dir: str):
     ds = media_features(sf_dir)
     return ds.map_batches(lambda t: t.select(["doc_id", "n_bytes", "payload_md5"]),
                           batch_format="pyarrow")
+
+
+FRAME_BYTES = 64           # stub "frame" size: payload = sequence of frames
+FRAME_STRIDE = 4           # sample every 4th frame
+
+
+class ImageResizer:
+    """Actor-pool resize stage (decode -> resize -> re-encode shape).  The
+    decode is the same stub boundary; the resize itself is real vectorized
+    numpy (area downsampling to `target` x `target`)."""
+
+    def __init__(self, target: int = 8):
+        self.target = target
+
+    @staticmethod
+    def decode_image(payload: bytes) -> np.ndarray:
+        """STUB: a real decoder (PIL) would produce HxW pixels; the fake is
+        a deterministic 16x16 'image' tiled from the payload bytes."""
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        need = 16 * 16
+        if len(arr) == 0:
+            arr = np.zeros(need, dtype=np.uint8)
+        reps = -(-need // len(arr))
+        return np.tile(arr, reps)[:need].reshape(16, 16)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        out_md5, out_mean = [], []
+        for p in batch.column("payload").to_pylist():
+            img = self.decode_image(p).astype(np.float64)
+            # area resize 16x16 -> t x t (block mean)
+            f = 16 // t
+            small = img.reshape(t, f, t, f).mean(axis=(1, 3))
+            q = np.clip(np.round(small), 0, 255).astype(np.uint8)
+            out_md5.append(hashlib.md5(q.tobytes()).hexdigest())
+            out_mean.append(float(small.mean()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "width": pa.array([t] * len(out_md5), type=pa.int64()),
+            "height": pa.array([t] * len(out_md5), type=pa.int64()),
+            "resized_md5": pa.array(out_md5, type=pa.string()),
+            "mean_px": pa.array(out_mean, type=pa.float64()),
+        })
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: the payload is treated as a sequence
+    of FRAME_BYTES-sized frames (the stub stand-in for video packets); every
+    FRAME_STRIDE-th frame is kept.  Counting semantics are exact and
+    SQL-mirrorable on octet_length."""
+
+    def __init__(self, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fb, st = self.frame_bytes, self.stride
+        n_frames, n_sampled, smd5 = [], [], []
+        for p in batch.column("payload").to_pylist():
+            nf = -(-len(p) // fb) if p else 0
+            idxs = list(range(0, nf, st))
+            n_frames.append(nf)
+            n_sampled.append(len(idxs))
+            sampled = b"".join(p[i * fb:(i + 1) * fb] for i in idxs)
+            smd5.append(hashlib.md5(sampled).hexdigest())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_frames": pa.array(n_frames, type=pa.int64()),
+            "n_sampled": pa.array(n_sampled, type=pa.int64()),
+            "sample_md5": pa.array(smd5, type=pa.string()),
+        })
+
+
+def media_frames(sf_dir: str, concurrency: int = 2):
+    """documents -> payload -> frame sampling (actor pool); the counting
+    columns are SQL-checkable via octet_length."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (ds.map_batches(_attach_payload, batch_format="pyarrow")
+            .map_batches(FrameSampler, batch_format="pyarrow",
+                         batch_size=256, concurrency=concurrency, num_cpus=1)
+            .map_batches(lambda t: t.select(["doc_id", "n_frames", "n_sampled"]),
+                         batch_format="pyarrow"))
+
+
+def media_resize(sf_dir: str, concurrency: int = 2):
+    """documents -> payload -> decode+resize (actor pool)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (ds.map_batches(_attach_payload, batch_format="pyarrow")
+            .map_batches(ImageResizer, batch_format="pyarrow",
+                         batch_size=256, concurrency=concurrency, num_cpus=1))

@@ -134,3 +134,32 @@ def test_windowed_topk_users_oracle(ray_session):
         got = out[out.window_start == ws]
         assert list(got.user_id) == list(g.user_id), ws
         assert list(got.n_events) == list(g.n)
+
+
+def test_media_resize_and_frames(ray_session):
+    """Resize + frame-sample actor-pool stages: deterministic stubs, real
+    plumbing; counting semantics match the byte-length oracle."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        media_frames,
+        media_resize,
+    )
+
+    fr = media_frames(SF).to_pandas()
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]) \
+        .to_pandas().set_index("doc_id")["text"]
+    for _, row in fr.sample(20, random_state=0).iterrows():
+        nbytes = len(texts[row.doc_id].encode())
+        nf = -(-nbytes // FRAME_BYTES) if nbytes else 0
+        assert row.n_frames == nf
+        assert row.n_sampled == len(range(0, nf, FRAME_STRIDE))
+    rs = media_resize(SF).to_pandas()
+    assert set(rs.columns) == {"doc_id", "width", "height", "resized_md5", "mean_px"}
+    assert (rs.width == 8).all() and (rs.height == 8).all()
+    # deterministic across runs
+    rs2 = media_resize(SF).to_pandas()
+    pd.testing.assert_frame_equal(rs.sort_values("doc_id").reset_index(drop=True),
+                                  rs2.sort_values("doc_id").reset_index(drop=True))
