@@ -789,3 +789,29 @@ def suggest(searcher: "IndexSearcher", prefix: str, k: int = 10) -> list[tuple[s
             ttfs[t] = ttfs.get(t, 0) + int(ttf)
     ranked = sorted(ttfs.items(), key=lambda x: (-x[1], x[0]))
     return ranked[:k]
+
+
+def spell_correct(searcher: "IndexSearcher", term: str, max_edits: int = 2,
+                  k: int = 5) -> list[tuple[str, int]]:
+    """Did-you-mean suggestions (`suggest/spell/DirectSpellChecker.java`
+    surface): dictionary terms within `max_edits`, ranked by (edit distance
+    asc, docFreq desc, term asc), scanned per shard (union of shard
+    dictionaries == global dictionary; no global load)."""
+    from .query import FuzzyQuery
+
+    cands: dict[str, int] = {}
+    q = FuzzyQuery(term, max_edits=max_edits)
+    for pid in searcher._pids:
+        rdr = searcher.reader(pid)
+        for t in searcher._expand_shard(rdr, q):
+            if t != term and t not in cands:
+                cands[t] = searcher.df(t)
+
+    def dist(t: str) -> int:
+        for d in range(max_edits + 1):
+            if _levenshtein_leq(t, term, d):
+                return d
+        return max_edits
+
+    ranked = sorted(cands.items(), key=lambda x: (dist(x[0]), -x[1], x[0]))
+    return ranked[:k]

@@ -162,3 +162,22 @@ def test_nested_boolean_execution(ray_session, tmp_path_factory):
     q3 = parse_classic('(merge join) +"the data"')
     got3 = s.search(q3, k=10)
     assert got3.total_hits > 0
+
+
+def test_spell_correct(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.searcher import IndexSearcher, spell_correct
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    d = str(tmp_path_factory.mktemp("spell"))
+    build_index(rd.from_arrow(synth_transcripts(1200, seed=3)), d,
+                target_docs_per_partition=500, input_desc="spell")
+    s = IndexSearcher(d)
+    got = spell_correct(s, "querz", max_edits=1)
+    assert got and got[0][0] == "query"
+    got2 = spell_correct(s, "mergee", max_edits=2)
+    assert any(t == "merge" for t, _ in got2)
+    # exact term not suggested for itself
+    assert all(t != "querz" for t, _ in got)
