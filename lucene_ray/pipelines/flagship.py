@@ -37,6 +37,31 @@ QUERY_SET = [
 ]
 
 
+def _extra_queries():
+    """Round-2 query types appended to the reference set (lazy: the query
+    classes import cleanly even when only the classic set is exercised)."""
+    from ..search.query import (
+        FILTER,
+        MUST,
+        BooleanClause,
+        BooleanQuery,
+        IntervalQuery,
+        MultiPhraseQuery,
+        RangeQuery,
+        TermQuery,
+    )
+    from ..sources.transcripts import BASE_TS_US
+
+    return [
+        ("q-range-filter", BooleanQuery((
+            BooleanClause(TermQuery("merge"), MUST),
+            BooleanClause(RangeQuery("ts", None, BASE_TS_US + 400_000_000), FILTER))), 10),
+        ("q-multiphrase", MultiPhraseQuery((("merge", "sort"), ("join",))), 10),
+        ("q-interval", IntervalQuery(("merge", "join"), 6, ordered=False), 10),
+        ("q-sloppy-rpt", PhraseQuery(("merge", "join", "merge"), slop=8), 10),
+    ]
+
+
 def index_dir_for(sf_dir: str) -> str:
     h = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     return os.path.join("/tmp", "lucene_ray_indexes", h)
@@ -90,7 +115,7 @@ def index_bm25_topk(sf_dir: str, use_actors: bool = False) -> pd.DataFrame:
         searcher = IndexSearcher(index_dir)
         search = searcher.search
     rows = []
-    for qid, q, k in QUERY_SET:
+    for qid, q, k in QUERY_SET + _extra_queries():
         td = search(q, k=k)
         for rank, h in enumerate(td.hits, 1):
             rows.append((qid, rank, h.conv_id, h.turn_idx, float(h.score)))
