@@ -450,7 +450,8 @@ class IndexSearcher:
                total_hits_threshold: int = TOTAL_HITS_THRESHOLD,
                sort=None) -> TopDocs:
         if sort is not None:
-            return self._search_sorted(query, sort, k)
+            # after for sorted search is a (sort_value, gid) FieldDoc cursor
+            return self._search_sorted(query, sort, k, after=after)
         compiled = self.compile(query)
         per_shard = []
         for pid in self._pids:
@@ -563,7 +564,7 @@ class IndexSearcher:
             return wand.run(after=after)
         return search_shard_exhaustive(rdr, compiled, k, after=after)
 
-    def _search_sorted(self, query, sort, k: int) -> TopDocs:
+    def _search_sorted(self, query, sort, k: int, after=None) -> TopDocs:
         """Field-sorted top-k (TopFieldCollector + TopDocs.merge semantics,
         `search/TopFieldCollector.java:39`): per shard, collect the full
         match set, order by the doc-values column (desc when sort.reverse)
@@ -584,10 +585,21 @@ class IndexSearcher:
             if len(docs) == 0:
                 continue
             dv = rdr.docvalue(sort.field)[docs]
+            gid64 = docs.astype(np.int64) + self._bases[pid]
+            if after is not None:
+                # FieldDoc paging: strictly after the (sort value, gid) cursor
+                a_v, a_g = int(after[0]), int(after[1])
+                if sort.reverse:
+                    keep = (dv < a_v) | ((dv == a_v) & (gid64 > a_g))
+                else:
+                    keep = (dv > a_v) | ((dv == a_v) & (gid64 > a_g))
+                docs, dv, gid64 = docs[keep], dv[keep], gid64[keep]
+                if len(docs) == 0:
+                    continue
             key = -dv if sort.reverse else dv
             order = np.lexsort((docs, key))[:k]
             vals_all.append(dv[order])
-            gids_all.append(docs[order].astype(np.int64) + self._bases[pid])
+            gids_all.append(gid64[order])
         if not vals_all:
             return TopDocs([], total, RELATION_EQ)
         vals = np.concatenate(vals_all)

@@ -149,3 +149,33 @@ def test_sort_with_range_filter(dv_index):
              if "merge" in tokens[d] and lo <= ts[d] <= hi]
     expect = sorted(match, key=lambda d: (-ts[d], d))[:10]
     assert [h.gid for h in td.hits] == expect
+
+
+def test_sorted_search_after_pagination(dv_index):
+    """FieldDoc-cursor paging through a sorted result: pages concatenate to
+    the full ordering, totals stay the full match count."""
+    s, ts, turn, tokens = dv_index
+    match = [d for d in range(len(ts)) if "merge" in tokens[d]]
+    expect = sorted(match, key=lambda d: (-ts[d], d))
+    pages, after = [], None
+    for _ in range(4):
+        td = s.search(bool_query(should=["merge"]), k=7,
+                      sort=SortField("ts", reverse=True), after=after)
+        assert td.total_hits == len(match)
+        if not td.hits:
+            break
+        pages.extend(h.gid for h in td.hits)
+        last = td.hits[-1]
+        after = (last.fields[0], last.gid)
+    assert pages == expect[:len(pages)]
+    assert len(set(pages)) == len(pages)
+    # ascending with heavy ties (turn_idx) pages correctly too
+    expect2 = sorted(match, key=lambda d: (turn[d], d))
+    pages2, after = [], None
+    for _ in range(3):
+        td = s.search(bool_query(should=["merge"]), k=9,
+                      sort=SortField("turn_idx"), after=after)
+        pages2.extend(h.gid for h in td.hits)
+        last = td.hits[-1]
+        after = (last.fields[0], last.gid)
+    assert pages2 == expect2[:len(pages2)]
