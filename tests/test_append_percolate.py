@@ -80,3 +80,44 @@ def test_multimodal_actor_pool(ray_session):
     out = out.sort_values("doc_id").reset_index(drop=True)
     assert (out.payload_md5 == out2.payload_md5).all()
     assert np.allclose(np.stack(out.feat.map(np.asarray)), np.stack(out2.feat.map(np.asarray)))
+
+
+def test_append_inherits_docvalues_and_filters(ray_session, tmp_path_factory):
+    """Appending without repeating the schema flags must inherit
+    docvalue_cols AND token_filters from the existing commit — otherwise
+    range/sort queries go blind and the dictionary splits stemmed/raw."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_ray.index.build import append_index, build_index
+    from lucene_ray.search.query import RangeQuery, SortField, bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    t1 = synth_transcripts(800, seed=51)
+    d = str(tmp_path_factory.mktemp("appdv"))
+    build_index(rd.from_arrow(t1), d, target_docs_per_partition=400,
+                docvalue_cols=("ts",), token_filters=("porter",),
+                input_desc="base")
+    t2 = synth_transcripts(400, seed=52)
+    import pyarrow as pa
+
+    conv = ["z" + c for c in t2.column("conv_id").to_pylist()]   # disjoint keys
+    t2 = t2.set_column(0, "conv_id", pa.array(conv, type=pa.string()))
+    append_index(rd.from_arrow(t2), d, input_desc="more",
+                 target_docs_per_partition=400)
+    s = IndexSearcher(d)
+    assert s.token_filters == ("porter",)
+    # range over ts covers appended docs too (their dv column exists)
+    n_all = s.count(RangeQuery("ts", None, None))
+    assert n_all == 800 + 400
+    # stemmed query matches docs from BOTH generations
+    td = s.search(bool_query(should=["queries"]), k=1300,
+                  total_hits_threshold=2**31 - 1)
+    gids = [h.gid for h in td.hits]
+    assert any(g < 800 for g in gids) and any(g >= 800 for g in gids)
+    # sort across generations is globally ordered
+    td2 = s.search(bool_query(should=["queries"]), k=50,
+                   sort=SortField("ts", reverse=True))
+    vals = [h.fields[0] for h in td2.hits]
+    assert vals == sorted(vals, reverse=True)
