@@ -11,9 +11,12 @@ from ..analysis.standard import scan, jdk_lower
 
 
 def highlight(text: str, query_terms, max_passage_tokens: int = 24,
-              pre: str = "<b>", post: str = "</b>") -> str | None:
-    """Best-passage snippet with matched terms wrapped, or None if no term
-    of the query occurs in `text`."""
+              pre: str = "<b>", post: str = "</b>",
+              num_passages: int = 1, joiner: str = " … ") -> str | None:
+    """Top-`num_passages` snippet with matched terms wrapped, or None if no
+    term of the query occurs in `text`.  Passages are scored by (unique
+    matched terms, total matches), selected greedily without overlap, and
+    emitted in document order (UnifiedHighlighter passage semantics)."""
     qset = {t.lower() for t in query_terms}
     toks = [(jdk_lower(tok), s, e) for tok, s, e, _ in scan(text)]
     if not toks:
@@ -22,41 +25,59 @@ def highlight(text: str, query_terms, max_passage_tokens: int = 24,
     if not hits:
         return None
 
-    # best window of up to max_passage_tokens tokens: maximize
-    # (unique matched terms, total matches, -start) — earliest on ties
-    best = None
+    # candidate windows anchored at each hit: (unique terms, matches, -start)
+    cands = []
     for i in hits:
         lo = i
         hi = min(len(toks), lo + max_passage_tokens)
         window_hits = [j for j in hits if lo <= j < hi]
         uniq = len({toks[j][0] for j in window_hits})
-        key = (uniq, len(window_hits), -lo)
-        if best is None or key > best[0]:
-            best = (key, lo, hi, window_hits)
-    _, lo, hi, window_hits = best
+        cands.append(((uniq, len(window_hits), -lo), lo, hi, window_hits))
+    cands.sort(key=lambda c: c[0], reverse=True)
 
-    start = toks[lo][1]
-    end = toks[hi - 1][2]
-    # wrap matches inside the passage (offset order)
+    chosen = []
+    for key, lo, hi, wh in cands:
+        if len(chosen) >= num_passages:
+            break
+        if any(lo < h and c_lo < hi for _, c_lo, h, _ in chosen):
+            continue                     # overlaps an already-chosen passage
+        chosen.append((key, lo, hi, wh))
+    chosen.sort(key=lambda c: c[1])      # document order
+
+    parts = []
+    for _, lo, hi, window_hits in chosen:
+        start = toks[lo][1]
+        end = toks[hi - 1][2]
+        out = []
+        cur = start
+        for j in window_hits:
+            _, s, e = toks[j]
+            out.append(text[cur:s])
+            out.append(pre)
+            out.append(text[s:e])
+            out.append(post)
+            cur = e
+        out.append(text[cur:end])
+        parts.append("".join(out))
+    first_start = toks[chosen[0][1]][1]
+    last_end = toks[chosen[-1][2] - 1][2]
+    prefix = "" if first_start == 0 else "…"
+    suffix = "" if last_end == len(text) else "…"
+    return prefix + joiner.join(parts) + suffix
+
+
+def highlight_hits(searcher, query, fetch_text, k: int = 10, **kw):
+    """Search + snippet per hit: [(ScoreDoc, snippet|None)].  `fetch_text`
+    maps a hit's (conv_id, turn_idx) (or gid via attribute access) to its
+    raw text — the docmap stores keys only, so text comes from the source
+    table (the common pattern: a dict built from one filtered parquet read,
+    or a callable over the source)."""
+    from .query import extract_terms
+
+    td = searcher.search(query, k=k)
+    terms = [t.term for t in extract_terms(searcher._normalize(query))]
     out = []
-    cur = start
-    for j in window_hits:
-        _, s, e = toks[j]
-        out.append(text[cur:s])
-        out.append(pre)
-        out.append(text[s:e])
-        out.append(post)
-        cur = e
-    out.append(text[cur:end])
-    prefix = "" if start == 0 else "…"
-    suffix = "" if end == len(text) else "…"
-    return prefix + "".join(out) + suffix
-
-
-def highlight_hits(searcher, query, k: int = 10, **kw):
-    """Search + snippet per hit: [(ScoreDoc, snippet)] — resolves each hit's
-    text from the docmap is not possible (docmap keeps keys only), so this
-    helper takes hits whose text the caller fetches; kept here for the
-    common case where the caller re-reads the source parquet row."""
-    raise NotImplementedError(
-        "fetch hit text from the source table and call highlight() per hit")
+    for h in td.hits:
+        text = fetch_text(h) if callable(fetch_text) else             fetch_text.get((h.conv_id, h.turn_idx), "")
+        out.append((h, highlight(text, terms, **kw) if text else None))
+    return out

@@ -181,3 +181,39 @@ def test_spell_correct(ray_session, tmp_path_factory):
     assert any(t == "merge" for t, _ in got2)
     # exact term not suggested for itself
     assert all(t != "querz" for t, _ in got)
+
+
+def test_highlight_multi_passage():
+    from lucene_ray.search.highlight import highlight
+
+    text = ("merge starts here with join nearby " + "filler " * 40 +
+            "and later merge again with join close by " + "tail " * 10)
+    one = highlight(text, ["merge", "join"], max_passage_tokens=8, num_passages=1)
+    two = highlight(text, ["merge", "join"], max_passage_tokens=8, num_passages=2)
+    assert one.count("<b>") >= 2
+    assert two.count("<b>") > one.count("<b>")
+    assert " … " in two                      # two passages joined
+    # passages in document order
+    assert two.index("starts") < two.index("again")
+
+
+def test_highlight_hits_end_to_end(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.highlight import highlight_hits
+    from lucene_ray.search.query import bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(600, seed=61)
+    d = str(tmp_path_factory.mktemp("hl"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300, input_desc="hl")
+    text_by_key = {(c, i): x for c, i, x in zip(t.column("conv_id").to_pylist(),
+                                                t.column("turn_idx").to_pylist(),
+                                                t.column("text").to_pylist())}
+    s = IndexSearcher(d)
+    res = highlight_hits(s, bool_query(should=["merge"]), text_by_key, k=5)
+    assert len(res) == 5
+    for h, snip in res:
+        assert snip is not None and "<b>merge</b>" in snip
