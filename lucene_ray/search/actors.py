@@ -120,6 +120,19 @@ class QueryActor:
                 [out_conv[i] for i in order], [out_turn[i] for i in order],
                 total, relation)
 
+    def refresh(self, pids: list[int]):
+        """openIfChanged for the pool: reload the commit, take over the
+        (possibly extended) shard assignment, re-attach delete sidecars."""
+        self.searcher.refresh()
+        self.pids = pids
+        for pid in pids:
+            if pid not in self.readers:
+                self.readers[pid] = self.searcher.reader(pid)
+                self.bases[pid] = self.searcher._bases[pid]
+            else:
+                self.readers[pid].set_deletes(self.searcher._dels.get(pid))
+        return len(self.pids)
+
     def ping(self):
         return len(self.pids)
 
@@ -143,6 +156,8 @@ class QueryService:
             assign[i].append(m["pid"])
             load[i] += m["doc_count"]
         assign = [pids for pids in assign if pids]
+        self._assign = assign
+        self._doc_counts = {m["pid"]: m["doc_count"] for m in shards}
         # cross-actor min-competitive sharing only pays when actors hold
         # multiple shards each (the floor is fetched between shards)
         self.board = ThetaBoard.remote() if (
@@ -205,6 +220,26 @@ class QueryService:
         order = np.lexsort((gids, -scores))[:k]
         hits = [ScoreDoc(float(scores[i]), int(gids[i]), convs[i], turns[i]) for i in order]
         return TopDocs(hits, total, relation)
+
+    def refresh(self) -> bool:
+        """Propagate a new commit generation to the pool (NRT refresh):
+        appended shards are greedily assigned to the least-loaded actors;
+        deletes re-attach everywhere.  Returns True when the view changed."""
+        if not self.searcher.refresh():
+            return False
+        commit = self.searcher.commit
+        assigned = {p for a_pids in self._assign for p in a_pids}
+        load = [sum(self._doc_counts.get(p, 0) for p in pids)
+                for pids in self._assign]
+        for m in sorted(commit["shards"], key=lambda m: -m["doc_count"]):
+            self._doc_counts[m["pid"]] = m["doc_count"]
+            if m["pid"] not in assigned:
+                i = int(np.argmin(load))
+                self._assign[i].append(m["pid"])
+                load[i] += m["doc_count"]
+        ray.get([a.refresh.remote(sorted(pids))
+                 for a, pids in zip(self.actors, self._assign)])
+        return True
 
     def shutdown(self):
         for a in self.actors:

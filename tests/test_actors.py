@@ -82,3 +82,35 @@ def test_theta_sharing_results_unchanged(ray_session, tmp_path_factory):
             assert [h.gid for h in a.hits] == [h.gid for h in b.hits]
             # totals are a valid lower bound of the exact count
             assert a.total_hits <= c.total_hits
+
+
+def test_actor_pool_nrt_refresh(ray_session, tmp_path_factory):
+    """Append a new generation, refresh the pool, results include new docs
+    and match the local searcher."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.index.build import append_index
+    from lucene_ray.search.actors import QueryService
+
+    d = str(tmp_path_factory.mktemp("nrtpool"))
+    t1 = synth_transcripts(1500, seed=71)
+    build_index(rd.from_arrow(t1), d, target_docs_per_partition=500,
+                input_desc="nrt-base")
+    svc = QueryService(d, num_actors=2)
+    q = bool_query(should=["merge"])
+    before = svc.search(q, k=10)
+    t2 = synth_transcripts(600, seed=72)
+    conv = ["zz" + c for c in t2.column("conv_id").to_pylist()]
+    t2 = t2.set_column(0, "conv_id", pa.array(conv, type=pa.string()))
+    append_index(rd.from_arrow(t2), d, input_desc="nrt-more",
+                 target_docs_per_partition=500)
+    assert svc.refresh() is True
+    after = svc.search(q, k=2200)
+    local = IndexSearcher(d)
+    expect = local.search(q, k=2200, total_hits_threshold=2**31 - 1)
+    # pool counts pruned-threshold-free? use large k and compare hit sets
+    assert {h.gid for h in after.hits} == {h.gid for h in expect.hits}
+    assert after.total_hits >= before.total_hits
+    assert svc.refresh() is False          # no newer generation
+    svc.shutdown()
