@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
         "index_interval_count": _lazy("index_interval_count"),
+        "index_facet_role": _lazy("index_facet_role"),
         # --- joins ---
         "bucketed_join": _bucketed_join,
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
@@ -342,6 +343,13 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 5)::BIGINT AS sort_value
             FROM toklists WHERE list_contains(toks, 'merge')
             ORDER BY (doc_id % 5) DESC, doc_id ASC LIMIT 15""",
+        # adapter: role = ['user','assistant','system','tool'][doc_id %% 4]
+        "index_facet_role": """
+            WITH r AS (SELECT doc_id,
+                              ['user','assistant','system','tool'][doc_id % 4 + 1] AS role
+                       FROM documents)
+            SELECT role, count(*)::BIGINT AS n_docs FROM r
+            GROUP BY role ORDER BY role""",
         "index_interval_count": _TOKS + """,
             tp AS (SELECT doc_id, unnest(toks) AS term,
                           unnest(range(1, len(toks) + 1)) AS pos FROM toklists)

@@ -231,6 +231,19 @@ def index_interval_count(sf_dir: str) -> pd.DataFrame:
                          "n_unordered": pd.Series([n_any], dtype="int64")})
 
 
+def index_facet_role(sf_dir: str) -> pd.DataFrame:
+    """Index-backed faceting: docs per `role` keyword value, read straight
+    from the merged keyword-term statistics (no source-table scan) — the
+    SSDV-faceting role of `facet/sortedset/SortedSetDocValuesFacetCounts`.
+    SQL mirror uses the deterministic role = _ROLES[doc_id %% 4] adapter."""
+    from ..index.shard import keyword_term
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    roles = ["assistant", "system", "tool", "user"]
+    rows = [(r, searcher.df(keyword_term("role", r))) for r in roles]
+    return pd.DataFrame(rows, columns=["role", "n_docs"]).astype({"n_docs": "int64"})
+
+
 def index_stemmed_count(sf_dir: str) -> pd.DataFrame:
     """Porter-stemmed index: querying the inflected form 'merges' matches
     docs containing 'merge' (both stem to 'merg'; the searcher applies the
