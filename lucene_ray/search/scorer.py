@@ -79,25 +79,24 @@ def search_shard_exhaustive(reader, compiled, k: int, after=None):
         matched[docs] = True
         req_cnt[docs] += 1
 
-    eligible = matched
+    # BooleanWeight matching rules (Boolean2ScorerSupplier): when any
+    # required clause exists (MUST / FILTER / range FILTER) and
+    # minShouldMatch == 0, SHOULD clauses are scoring-only; without required
+    # clauses at least one positive clause must match.
+    rq_mask = _range_mask(reader, compiled.get("range_filters"), None)
     if req_cnt is not None:
         eligible = req_cnt == compiled["n_required"]
-        if not compiled["scoring"] and not any_scoring:
-            pass  # constant-score filter-only query
-    elif compiled["msm"]:
-        eligible = should_cnt >= compiled["msm"]
-    if compiled["msm"] and req_cnt is not None and should_cnt is not None:
-        eligible &= should_cnt >= compiled["msm"]
-
-    rmask = _range_mask(reader, compiled.get("range_filters"),
-                        compiled.get("range_must_nots"))
-    if rmask is not None:
-        if not compiled["scoring"] and not compiled["filters"]:
-            # range-only boolean (no term clause seeds `matched`): the range
-            # mask IS the match set, scored 0 like any filter-only query
-            eligible = rmask
-        else:
-            eligible = eligible & rmask
+    elif rq_mask is not None:
+        eligible = np.ones(n, dtype=bool)
+    else:
+        eligible = matched
+    if rq_mask is not None:
+        eligible = eligible & rq_mask
+    # each MUST_NOT range excludes independently (docs inside ANY of them)
+    for spec in (compiled.get("range_must_nots") or ()):
+        eligible = eligible & ~_range_mask(reader, [spec], None)
+    if compiled["msm"] and should_cnt is not None:
+        eligible = eligible & (should_cnt >= compiled["msm"])
 
     for term in compiled["must_nots"]:
         tid = reader.seek_exact(term)
@@ -772,10 +771,16 @@ def evaluate_dense(reader, query, searcher):
                 required = m if required is None else (required & m)
             else:
                 excluded |= m
-        eligible = matched if any_positive else (
-            required if required is not None else np.zeros(n, dtype=bool))
+        # BooleanWeight matching rules (Boolean2ScorerSupplier): when required
+        # clauses (MUST/FILTER) exist and minShouldMatch == 0, SHOULD clauses
+        # are scoring-only — a doc matching just the required set matches.
+        # Without required clauses, at least one positive clause must match.
         if required is not None:
-            eligible = eligible & required
+            eligible = required
+        elif any_positive:
+            eligible = matched
+        else:
+            eligible = np.zeros(n, dtype=bool)
         if should_cnt is not None:
             eligible = eligible & (should_cnt >= query.minimum_should_match)
         eligible = eligible & ~excluded
