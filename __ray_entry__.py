@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stemmed_count": _lazy("index_stemmed_count"),
         "index_interval_count": _lazy("index_interval_count"),
         "index_facet_role": _lazy("index_facet_role"),
+        # --- vector search as a first-class index query (round 3) ---
+        "index_knn_filtered": _vs("index_knn_filtered"),
+        "index_knn_topk": _vs("index_knn_topk"),
+        "index_hybrid_rrf": _vs("index_hybrid_rrf"),
         # --- joins ---
         "bucketed_join": _bucketed_join,
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
@@ -114,9 +118,17 @@ def _index_bm25_sql_topk(sf_dir):
 
 
 def _knn_hnsw(sf_dir):
-    from lucene_ray.pipelines.hnsw import knn_hnsw
+    from lucene_ray.pipelines.vsearch import knn_hnsw
 
     return knn_hnsw(sf_dir)
+
+
+def _vs(name):
+    def call(sf_dir):
+        from lucene_ray.pipelines import vsearch
+
+        return getattr(vsearch, name)(sf_dir)
+    return call
 
 
 def _bucketed_join(sf_dir):
@@ -311,6 +323,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tokens GROUP BY term ORDER BY term""",
         "index_bm25_sql_topk": _index_bm25_oracle_sql(),
         "index_bm25_bool_sql": _index_bool_oracle_sql(),
+        "index_knn_filtered": _knn_filtered_sql(),
+        "index_hybrid_rrf": _hybrid_rrf_sql(),
         "index_phrase_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE len(toks) >= 2 AND len(list_filter(
@@ -405,3 +419,15 @@ def _percolate_sql() -> str:
     from lucene_ray.pipelines.percolate import percolate_oracle_sql
 
     return percolate_oracle_sql()
+
+
+def _knn_filtered_sql() -> str:
+    from lucene_ray.pipelines.vsearch import index_knn_filtered_oracle_sql
+
+    return index_knn_filtered_oracle_sql()
+
+
+def _hybrid_rrf_sql() -> str:
+    from lucene_ray.pipelines.vsearch import index_hybrid_rrf_oracle_sql
+
+    return index_hybrid_rrf_oracle_sql()

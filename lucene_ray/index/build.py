@@ -78,6 +78,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 keyword_cols: tuple[str, ...] = (),
                 docvalue_cols: tuple[str, ...] = (),
                 token_filters: tuple[str, ...] = (),
+                vector_col: str | None = None,
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -125,11 +126,14 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
     n_total = ds.count()           # parquet metadata only
     n_parts = max(1, -(-n_total // target_docs_per_partition))
     extra_dv = [c for c in docvalue_cols if c not in key_cols]
-    proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv])
+    extra_vec = [vector_col] if vector_col else []
+    proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv,
+                              *extra_vec])
     block_refs = None
     if exchange == "tasks":
         block_refs = [br for bundle in proj.iter_internal_ref_bundles()
-                      for br in bundle.block_refs]
+                      for br, meta in zip(bundle.block_refs, bundle.metadata)
+                      if meta.num_rows]            # drop empty sentinel blocks
         split_points = _plan_from_blocks(block_refs, n_parts, key_cols[0])
     else:
         split_points = plan_split_points(ds, n_parts, key_cols[0])
@@ -143,6 +147,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "keyword_cols": list(keyword_cols),
         "docvalue_cols": list(docvalue_cols),
         "token_filters": list(token_filters),
+        "vector_col": vector_col,
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -169,13 +174,14 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
             m = write_shard(shards_dir, pid, group.drop_columns(["pid"]),
                             fp, text_col=text_col, key_cols=key_cols,
                             keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
-                            token_filters=token_filters)
+                            token_filters=token_filters, vector_col=vector_col)
             return pa.table({k: [v] for k, v in m.items()})
 
         if exchange == "tasks":
             new_manifests = _exchange_with_tasks(
                 block_refs, tag_pid, len(split_points) + 1, shards_dir, fp,
-                text_col, key_cols, keyword_cols, docvalue_cols, token_filters)
+                text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
+                vector_col)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -194,6 +200,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "keyword_cols": list(keyword_cols),
         "docvalue_cols": list(docvalue_cols),
         "token_filters": list(token_filters),
+        "vector_col": vector_col,
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -243,7 +250,8 @@ def _plan_from_blocks(block_refs, n_parts: int, key: str,
 
 def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp: str,
                          text_col: str, key_cols, keyword_cols=(),
-                         docvalue_cols=(), token_filters=()) -> list[dict]:
+                         docvalue_cols=(), token_filters=(),
+                         vector_col=None) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -285,7 +293,7 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
         return write_shard(shards_dir, pid, group, fp,
                            text_col=text_col, key_cols=key_cols,
                            keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
-                           token_filters=token_filters)
+                           token_filters=token_filters, vector_col=vector_col)
 
     # several blocks per split task: fewer (task, object) overheads while
     # keeping enough tasks to fill the CPU pool
@@ -475,7 +483,8 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         extra_dv = [c for c in docvalue_cols if c not in key_cols]
         proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv])
         block_refs = [br for bundle in proj.iter_internal_ref_bundles()
-                      for br in bundle.block_refs]
+                      for br, meta in zip(bundle.block_refs, bundle.metadata)
+                      if meta.num_rows]            # drop empty sentinel blocks
         new_manifests = _exchange_with_tasks(
             block_refs, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
             text_col, key_cols, keyword_cols, docvalue_cols, token_filters)

@@ -1,34 +1,31 @@
-"""HNSW approximate-nearest-neighbor graphs over the `embeddings` table.
+"""Per-shard HNSW graph — the vector half of a segment.
 
-The persisted-ANN-index role of the reference's per-segment vector format
+The role of the reference's per-segment vector format + graph
 (`codecs/lucene95/Lucene95HnswVectorsFormat.java:99`,
-`util/hnsw/HnswGraphBuilder.java` / `HnswGraphSearcher.java`), re-expressed
-Ray-native: embeddings are partitioned into shards, one HNSW graph is built
-PER SHARD in parallel Ray tasks (the per-segment graph model), each graph is
-persisted (npz: flat neighbor arrays per level + vectors), and a query
-searches every shard graph and merges top-k exactly like TopDocs.merge.
-At cluster scale the per-shard graphs live with their shards and queries
-fan out over the actor pool; here the fan-out is a task per shard.
+`util/hnsw/HnswGraphBuilder.java`, `util/hnsw/HnswGraphSearcher.java`):
+each posting shard can carry a `vectors.npy` (float32 matrix in local-docID
+order, mmap'd at query time) and an `hnsw.npz` graph built from THAT
+partition's rows inside the same flush task — never on the driver.  Search
+supports an accept mask (`HnswGraphSearcher`'s acceptDocs): non-accepted
+nodes are traversed but not collected, so deletes and pre-filters compose
+with the approximate path.
 
 Algorithm: standard HNSW (Malkov & Yashunin 2016) with seeded deterministic
-level assignment, ef_construction beam inserts, simple closest-M neighbor
-selection, M0 = 2M at level 0.  Distances are cosine (vectors stored
-normalized; inner product == cosine).
+level assignment, ef_construction beam inserts, closest-M neighbor
+selection, M0 = 2M at level 0.  Vectors are stored raw; the graph holds a
+row-normalized copy so inner product == cosine.
 """
 
 from __future__ import annotations
 
-import hashlib
-import os
+import heapq
 
 import numpy as np
-import pandas as pd
 
 M = 12
 M0 = 24
 EF_CONSTRUCTION = 80
 EF_SEARCH = 60
-N_SHARDS = 4
 
 
 class HnswGraph:
@@ -55,30 +52,37 @@ class HnswGraph:
             self._insert(i)
         return self
 
-    def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int):
-        """Beam search on one layer; returns list of (sim, node) best-first."""
-        import heapq
-
+    def _search_layer(self, q: np.ndarray, entry: int, ef: int, level: int,
+                      accept: np.ndarray | None = None):
+        """Beam search on one layer; returns list of (sim, node) best-first.
+        With `accept`, non-accepted nodes are traversed but never collected
+        (HnswGraphSearcher acceptDocs semantics)."""
         adj = self.neighbors[level]
         visited = {entry}
         d0 = float(self.vecs[entry] @ q)
         cand = [(-d0, entry)]              # max-heap by sim (min-heap on -sim)
-        best = [(d0, entry)]               # min-heap of kept results (by sim)
-        heapq.heapify(best)
+        best = []                          # min-heap of kept results (by sim)
+        if accept is None or accept[entry]:
+            best.append((d0, entry))
         while cand:
             negs, node = heapq.heappop(cand)
-            if -negs < best[0][0] and len(best) >= ef:
+            if len(best) >= ef and -negs < best[0][0]:
                 break
-            for nb in adj.get(node, ()):
-                if nb in visited:
-                    continue
-                visited.add(nb)
-                d = float(self.vecs[nb] @ q)
-                if len(best) < ef or d > best[0][0]:
+            nbs = [nb for nb in adj.get(node, ()) if nb not in visited]
+            if not nbs:
+                continue
+            visited.update(nbs)
+            dists = self.vecs[np.asarray(nbs, dtype=np.int64)] @ q
+            floor = best[0][0] if len(best) >= ef else -np.inf
+            for nb, d in zip(nbs, dists):
+                d = float(d)
+                if len(best) < ef or d > floor:
                     heapq.heappush(cand, (-d, nb))
-                    heapq.heappush(best, (d, nb))
-                    if len(best) > ef:
-                        heapq.heappop(best)
+                    if accept is None or accept[nb]:
+                        heapq.heappush(best, (d, nb))
+                        if len(best) > ef:
+                            heapq.heappop(best)
+                        floor = best[0][0] if len(best) >= ef else -np.inf
         return sorted(best, reverse=True)
 
     def _insert(self, i: int):
@@ -116,7 +120,11 @@ class HnswGraph:
             self.entry = i
 
     # ---- search ----
-    def search(self, q: np.ndarray, k: int, ef: int = EF_SEARCH):
+    def search(self, q: np.ndarray, k: int, ef: int = EF_SEARCH,
+               accept: np.ndarray | None = None):
+        """Top-k (ids, sims) by inner product over the stored normalized
+        vectors; `accept` is an optional bool mask over nodes (live docs ∧
+        pre-filter)."""
         if self.entry < 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         ep = self.entry
@@ -125,7 +133,7 @@ class HnswGraph:
                 continue
             res = self._search_layer(q, ep, 1, lv)
             ep = res[0][1]
-        res = self._search_layer(q, ep, max(ef, k), 0)[:k]
+        res = self._search_layer(q, ep, max(ef, k), 0, accept=accept)[:k]
         nodes = np.array([n for _, n in res], dtype=np.int64)
         sims = np.array([s for s, _ in res], dtype=np.float64)
         return self.ids[nodes], sims
@@ -164,69 +172,3 @@ class HnswGraph:
                 adj[int(keys[ki])] = flat[int(bounds[ki]):int(bounds[ki + 1])].tolist()
             g.neighbors.append(adj)
         return g
-
-
-def _index_dir(sf_dir: str) -> str:
-    h = hashlib.sha256(f"hnsw:{sf_dir}".encode()).hexdigest()[:10]
-    return os.path.join("/tmp", "lucene_ray_indexes", f"hnsw-{h}")
-
-
-def build_hnsw_index(sf_dir: str, n_shards: int = N_SHARDS) -> str:
-    """Build (or reuse) per-shard HNSW graphs with parallel Ray tasks;
-    returns the index directory with shard-%02d.npz files."""
-    import ray
-    import pyarrow.parquet as pq
-
-    out = _index_dir(sf_dir)
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
-        return out
-    os.makedirs(out, exist_ok=True)
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, m = ids[order], m[order]
-
-    @ray.remote
-    def build_shard(sid: int, vecs, vids):
-        g = HnswGraph(vecs, vids, seed=1000 + sid).build()
-        g.save(os.path.join(out, f"shard-{sid:02d}.npz"))
-        return sid
-
-    bounds = np.linspace(0, len(ids), n_shards + 1).astype(int)
-    ray.get([build_shard.remote(s, m[bounds[s]:bounds[s + 1]],
-                                ids[bounds[s]:bounds[s + 1]])
-             for s in range(n_shards) if bounds[s + 1] > bounds[s]])
-    open(done, "w").close()
-    return out
-
-
-def knn_hnsw(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
-             ef: int = EF_SEARCH):
-    """(query_vec_id, rank, vec_id, cos rounded 4dp) via the persisted
-    per-shard HNSW graphs (searched per shard, merged like TopDocs.merge)."""
-    from .knn import _query_matrix
-
-    idx = build_hnsw_index(sf_dir)
-    graphs = [HnswGraph.load(os.path.join(idx, f))
-              for f in sorted(os.listdir(idx)) if f.endswith(".npz")]
-    qids, qm = _query_matrix(sf_dir, list(query_vec_ids))
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    rows = []
-    for qi, q in zip(qids, qn):
-        cands_ids, cands_sims = [], []
-        for g in graphs:
-            gids, sims = g.search(q, k + 1, ef=ef)
-            cands_ids.append(gids)
-            cands_sims.append(sims)
-        gids = np.concatenate(cands_ids)
-        sims = np.concatenate(cands_sims)
-        keep = gids != qi
-        gids, sims = gids[keep], sims[keep]
-        top = np.lexsort((gids, -sims))[:k]
-        for r, j in enumerate(top, 1):
-            rows.append((int(qi), r, int(gids[j]), round(float(sims[j]), 4)))
-    return pd.DataFrame(rows, columns=["query_vec_id", "rank", "vec_id", "cos"]) \
-        .astype({"query_vec_id": "int64", "rank": "int64", "vec_id": "int64"})

@@ -38,6 +38,8 @@ POSITIONS_FILE = "positions.bin"
 NORMS_FILE = "norms.bin"
 DOCMAP_FILE = "docmap.parquet"
 MANIFEST_FILE = "manifest.json"
+VECTORS_FILE = "vectors.npy"
+HNSW_FILE = "hnsw.npz"
 
 
 def invert_flat(flat: pa.Array, lengths: np.ndarray):
@@ -193,7 +195,9 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 index_positions: bool = True,
                 keyword_cols: tuple[str, ...] = (),
                 docvalue_cols: tuple[str, ...] = (),
-                token_filters: tuple[str, ...] = ()) -> dict:
+                token_filters: tuple[str, ...] = (),
+                vector_col: str | None = None,
+                vector_graph: bool = True) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -217,6 +221,29 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         raise ValueError("partition exceeds int32 local docID space; lower "
                          "target_docs_per_partition")
     table = table.sort_by([(key_cols[0], "ascending"), (key_cols[1], "ascending")])
+
+    vector_dim = 0
+    if vector_col and vector_col in table.column_names:
+        # per-shard vector store + HNSW graph, built from THIS partition's
+        # rows inside the flush task (Lucene95HnswVectorsFormat's
+        # per-segment graph; never materialized on the driver)
+        varr = table.column(vector_col).combine_chunks()
+        vals = varr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+        if table.num_rows:
+            vector_dim = len(vals) // table.num_rows
+            vm = vals.reshape(table.num_rows, vector_dim)
+            np.save(os.path.join(tmp_dir, VECTORS_FILE), vm)
+            if vector_graph:
+                from .hnsw import HnswGraph
+
+                norms_v = np.linalg.norm(vm.astype(np.float64), axis=1)
+                norms_v[norms_v == 0] = 1.0
+                normed = vm.astype(np.float64) / norms_v[:, None]
+                g = HnswGraph(normed, np.arange(table.num_rows, dtype=np.int64),
+                              seed=1000 + pid).build()
+                g.save(os.path.join(tmp_dir, HNSW_FILE))
+        table = table.drop_columns([vector_col])
+
     lengths, flat = tokenize_column(table.column(text_col))
     if token_filters:
         # opt-in analyzer chain (ASCIIFolding / Porter) applied to the flat
@@ -395,6 +422,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         "sum_df": int(dfs.sum()),
         "n_terms": int(V),
         "has_positions": bool(index_positions),
+        "vector_dim": int(vector_dim),
         "docvalues": dv_ranges,
         "fingerprint": fingerprint,
         "status": "committed",
@@ -543,6 +571,37 @@ class ShardReader:
             bases = np.concatenate(([0], base_vals))
             run_base = bases[run_id]
         return (csum - run_base).astype(np.int32)
+
+    def vectors(self) -> np.ndarray | None:
+        """mmap'd float32 (doc_count, dim) vector matrix in local-docID order
+        (the per-segment flat-vector file of Lucene95HnswVectorsFormat);
+        None when the shard has no vector column."""
+        v = getattr(self, "_vecs", False)
+        if v is False:
+            p = os.path.join(self.dir, VECTORS_FILE)
+            v = self._vecs = (np.load(p, mmap_mode="r")
+                              if os.path.exists(p) else None)
+        return v
+
+    def vector_norms(self) -> np.ndarray:
+        """Cached float64 L2 norms of the raw vectors (cosine denominators)."""
+        n = getattr(self, "_vec_norms", None)
+        if n is None:
+            vm = self.vectors()
+            n = np.linalg.norm(vm.astype(np.float64), axis=1)
+            n[n == 0] = 1.0
+            self._vec_norms = n
+        return n
+
+    def hnsw(self):
+        """Lazy per-shard HNSW graph; None when absent (exact fallback)."""
+        g = getattr(self, "_hnsw", False)
+        if g is False:
+            from .hnsw import HnswGraph
+
+            p = os.path.join(self.dir, HNSW_FILE)
+            g = self._hnsw = HnswGraph.load(p) if os.path.exists(p) else None
+        return g
 
     def docmap(self) -> pa.Table:
         if self._docmap is None:

@@ -286,8 +286,10 @@ def index_bm25_sql_topk(sf_dir: str) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64"})
 
 
-def index_bm25_oracle_sql() -> str:
-    """DuckDB twin of index_bm25_sql_topk (shares only constants, no code)."""
+def bm25_scored_cte(terms: tuple[str, ...]) -> str:
+    """Shared DuckDB CTE chain ending in ``scored(doc_id, score)`` — the SQL
+    twin of the engine's analyze → SmallFloat norm → BM25 chain, reused by
+    the BM25 and hybrid oracles."""
     import numpy as np
 
     from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
@@ -299,12 +301,10 @@ def index_bm25_oracle_sql() -> str:
         dec = float(LENGTH_TABLE[int(int_to_byte4(np.int64(n)))])
         pairs.append(f"({n},{dec})")
     qmap = ",".join(pairs)
-    terms = BM25_SQL_TERMS
     tf_union = " UNION ALL ".join(
         f"SELECT doc_id, '{t}' AS term, len(list_filter(toks, x -> x = '{t}')) AS tf FROM toklists"
         for t in terms)
-    return f"""
-        WITH toklists AS (
+    return f"""toklists AS (
           SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
                                         x -> lower(x)) AS toks
           FROM documents),
@@ -321,7 +321,13 @@ def index_bm25_oracle_sql() -> str:
                      * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
           FROM tf, stats, df, dl
           WHERE tf.term = df.term AND tf.doc_id = dl.doc_id AND tf.tf > 0
-          GROUP BY tf.doc_id)
+          GROUP BY tf.doc_id)"""
+
+
+def index_bm25_oracle_sql() -> str:
+    """DuckDB twin of index_bm25_sql_topk (shares only constants, no code)."""
+    return f"""
+        WITH {bm25_scored_cte(BM25_SQL_TERMS)}
         SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
                printf('conv-%08d', doc_id // 5) AS conv_id,
                (doc_id % 5)::BIGINT AS turn_idx,

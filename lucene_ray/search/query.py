@@ -29,6 +29,32 @@ class MatchAllDocsQuery:
 
 
 @dataclass(frozen=True)
+class MatchNoDocsQuery:
+    """Matches nothing (`search/MatchNoDocsQuery.java`) — the empty element
+    of the rewrite algebra (e.g. a fully-analyzed-away query)."""
+    reason: str = ""
+
+
+@dataclass(frozen=True)
+class KnnVectorQuery:
+    """Approximate k-nearest-neighbor by cosine over the index's per-shard
+    vector store (`search/KnnFloatVectorQuery.java:1-120` semantics): each
+    shard collects its k best vectors — through its HNSW graph
+    (`util/hnsw/HnswGraphSearcher.java`) with live-docs as the accept mask —
+    and the per-shard results merge TopDocs-style (score desc, global docID
+    asc).  With `filter`, matching docs are resolved first and the shard
+    runs EXACT search over the filtered subset (the reference's
+    exact-search fallback when the filter is selective); the unfiltered path
+    is approximate.  Score is raw cosine similarity."""
+    vector: tuple[float, ...]
+    k: int = 10
+    filter: object | None = None
+    field: str = "embedding"
+    boost: float = 1.0
+    ef: int = 0          # 0 -> max(EF_SEARCH, k)
+
+
+@dataclass(frozen=True)
 class PhraseQuery:
     """Exact phrase (slop=0) over consecutive positions
     (`search/PhraseQuery.java`, `ExactPhraseMatcher.java` semantics:

@@ -267,6 +267,22 @@ class IndexSearcher:
         if isinstance(query, MatchAllDocsQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": True}
+        from .query import KnnVectorQuery, MatchNoDocsQuery
+
+        if isinstance(query, MatchNoDocsQuery):
+            return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
+                    "msm": 0, "n_required": 1, "match_all": False}
+        if isinstance(query, KnnVectorQuery):
+            # KnnFloatVectorQuery.createWeight analogue: the filter compiles
+            # once here; per-shard execution picks approximate (HNSW +
+            # live-docs accept mask) or exact-over-filtered
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "knn": {"vec": np.asarray(query.vector, dtype=np.float64),
+                            "k": int(query.k), "ef": int(query.ef),
+                            "boost": float(query.boost),
+                            "filter": (None if query.filter is None
+                                       else self.compile(query.filter))}}
         from .query import (
             BoostQuery,
             ConstantScoreQuery,
@@ -471,6 +487,8 @@ class IndexSearcher:
                         int(len(live)), RELATION_EQ)
             docs = np.arange(min(k, rdr.doc_count), dtype=np.int32)
             return np.ones(len(docs), np.float32), docs, rdr.doc_count, RELATION_EQ
+        if compiled.get("knn") is not None:
+            return self._knn_shard(rdr, compiled["knn"], after=after)
         if compiled.get("nested") is not None:
             from .scorer import search_shard_nested
 
@@ -563,6 +581,63 @@ class IndexSearcher:
                                 ext_theta=ext_theta, ext_collected=ext_collected)
             return wand.run(after=after)
         return search_shard_exhaustive(rdr, compiled, k, after=after)
+
+    def _knn_shard(self, rdr, spec, after=None):
+        """Per-shard k-NN (the per-leaf half of KnnFloatVectorQuery.rewrite):
+        collects the shard's `spec.k` best vectors by cosine.  Scores stay
+        float64 (documented divergence from the reference's float32 vector
+        scores — keeps the exact path value-checkable against SQL to 4dp).
+
+        Unfiltered: HNSW graph search with live docs as the accept mask
+        (`HnswGraphSearcher` + acceptDocs), exact brute-force when the shard
+        carries no graph.  Filtered: resolve the filter's doc set first, then
+        EXACT cosine over that subset (the reference's exact fallback when
+        the filter is selective enough that graph search would visit more
+        nodes than brute force)."""
+        q = spec["vec"]
+        qnorm = float(np.linalg.norm(q)) or 1.0
+        kk = spec["k"]
+        deleted = rdr.deleted
+        empty = (np.zeros(0, np.float64), np.zeros(0, np.int32), 0, RELATION_EQ)
+        if rdr.vectors() is None:
+            return empty
+        if spec["filter"] is not None:
+            _, docs, _, _ = self.search_shard(rdr, spec["filter"], rdr.doc_count,
+                                              total_hits_threshold=2**31 - 1)
+            docs = np.sort(docs).astype(np.int64)
+            if deleted is not None and len(docs):
+                docs = docs[~deleted[docs]]
+            if len(docs) == 0:
+                return empty
+            sub = np.asarray(rdr.vectors()[docs], dtype=np.float64)
+            sims = (sub @ q) / (rdr.vector_norms()[docs] * qnorm)
+        else:
+            accept = None if deleted is None else ~deleted
+            g = rdr.hnsw()
+            if g is not None:
+                from ..index.hnsw import EF_SEARCH
+
+                ef = spec["ef"] or max(EF_SEARCH, kk)
+                docs, sims = g.search(q / qnorm, kk, ef=ef, accept=accept)
+                docs = docs.astype(np.int64)
+            else:
+                docs = np.arange(rdr.doc_count, dtype=np.int64)
+                if accept is not None:
+                    docs = docs[accept]
+                if len(docs) == 0:
+                    return empty
+                sub = np.asarray(rdr.vectors()[docs], dtype=np.float64)
+                sims = (sub @ q) / (rdr.vector_norms()[docs] * qnorm)
+        if spec["boost"] != 1.0:
+            sims = sims * spec["boost"]
+        order = np.lexsort((docs, -sims))
+        docs, sims = docs[order], sims[order]
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (sims < a_s) | ((sims == a_s) & (docs > a_d))
+            docs, sims = docs[keep], sims[keep]
+        n = min(kk, len(docs))
+        return sims[:n], docs[:n].astype(np.int32), n, RELATION_EQ
 
     def _search_sorted(self, query, sort, k: int, after=None) -> TopDocs:
         """Field-sorted top-k (TopFieldCollector + TopDocs.merge semantics,

@@ -144,6 +144,60 @@ def transcripts_from_documents(sf_dir: str):
     return ds.map_batches(doc_batch_to_transcripts, batch_format="pyarrow")
 
 
+def transcripts_with_vectors(sf_dir: str, target_rows_per_bucket: int = 250_000):
+    """documents ⋈ embeddings (doc_id == vec_id) → transcript shape plus an
+    `embedding` (list<float32>) column, via the explicit bucketed hash join
+    (tag both sides with bucket = key %% B, union, groupby(bucket), join
+    inside map_groups — no broadcast, no driver materialization of either
+    side).  Feeds the vector-enabled index build."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n_rows = max(docs.count(), embs.count())        # parquet metadata only
+    nb = max(4, -(-n_rows // target_rows_per_bucket))
+    etype = pa.list_(pa.float32())
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        key = b.column("doc_id").to_numpy()
+        return pa.table({
+            "bucket": pa.array(key % nb, type=pa.int64()),
+            "key": pa.array(key, type=pa.int64()),
+            "text": b.column("text"),
+            "embedding": pa.nulls(len(b), type=etype)})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        key = b.column("vec_id").to_numpy()
+        return pa.table({
+            "bucket": pa.array(key % nb, type=pa.int64()),
+            "key": pa.array(key, type=pa.int64()),
+            "text": pa.nulls(len(b), type=pa.string()),
+            "embedding": pc.cast(b.column("embedding"), etype)})
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        left = g.filter(pc.is_valid(g.column("text")))
+        right = g.filter(pc.invert(pc.is_valid(g.column("text"))))
+        lk = left.column("key").to_numpy()
+        rk = right.column("key").to_numpy()
+        lo, ro = np.argsort(lk), np.argsort(rk)
+        common, li, ri = np.intersect1d(lk[lo], rk[ro], return_indices=True)
+        if len(common) == 0:
+            return doc_batch_to_transcripts(
+                pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "text": pa.array([], type=pa.string())})) \
+                .append_column("embedding", pa.nulls(0, type=etype))
+        lt = left.take(pa.array(lo[li]))
+        rt = right.take(pa.array(ro[ri]))
+        out = doc_batch_to_transcripts(
+            pa.table({"doc_id": lt.column("key"), "text": lt.column("text")}))
+        return out.append_column("embedding", rt.column("embedding"))
+
+    tagged = docs.map_batches(tag_left, batch_format="pyarrow").union(
+        embs.map_batches(tag_right, batch_format="pyarrow"))
+    return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
 def synth_transcripts_tiled(n_turns: int, base_n: int = 150_000, seed: int = 42) -> "list[pa.Table]":
     """Large deterministic corpus: a seeded base table tiled with re-prefixed
     conv_ids (fast path for multi-million-turn benchmarks; term distribution

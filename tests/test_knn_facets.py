@@ -108,28 +108,28 @@ def test_facet_taxonomy_rollup(ray_session):
         assert int(c.n_docs) == int(((t.lang == c.lang) & (t.source == c.source)).sum())
 
 
-def test_knn_hnsw_recall(ray_session, tmp_path, monkeypatch):
-    """Persisted per-shard HNSW graphs: high recall vs brute force, graphs
-    survive a save/load roundtrip."""
-    import lucene_ray.pipelines.hnsw as hnsw
+def test_knn_hnsw_recall(ray_session, tmp_path):
+    """Per-shard HNSW graphs through the integrated index path: high recall
+    vs brute force; the second call reuses the committed index."""
     from lucene_ray.pipelines.knn import knn_cosine
+    from lucene_ray.pipelines.vsearch import knn_hnsw
 
-    monkeypatch.setattr(hnsw, "_index_dir", lambda sf: str(tmp_path / "hnsw"))
+    idx = str(tmp_path / "vecidx")
     exact = knn_cosine(SF, k=10)
-    approx = hnsw.knn_hnsw(SF, k=10)
+    approx = knn_hnsw(SF, k=10, index_dir=idx)
     recall = []
     for q in exact.query_vec_id.unique():
         e = set(exact[exact.query_vec_id == q].vec_id)
         a = set(approx[approx.query_vec_id == q].vec_id)
         recall.append(len(e & a) / len(e))
     assert np.mean(recall) >= 0.9, recall
-    # second call loads the persisted graphs (DONE marker) — same results
-    again = hnsw.knn_hnsw(SF, k=10)
+    # second call resumes from the committed index — same results
+    again = knn_hnsw(SF, k=10, index_dir=idx)
     pd.testing.assert_frame_equal(approx, again)
 
 
 def test_hnsw_graph_roundtrip(tmp_path):
-    from lucene_ray.pipelines.hnsw import HnswGraph
+    from lucene_ray.index.hnsw import HnswGraph
 
     rng = np.random.default_rng(5)
     m = rng.normal(size=(300, 32))
