@@ -21,6 +21,24 @@ def _read_embeddings(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
+def _embedding_block_refs(sf_dir: str):
+    """Materialized non-empty block refs of the embeddings table (read once,
+    consumed by tiny per-block tasks — the driver never holds the data)."""
+    ds = _read_embeddings(sf_dir)
+    return [br for bundle in ds.iter_internal_ref_bundles()
+            for br, meta in zip(bundle.block_refs, bundle.metadata)
+            if meta.num_rows]
+
+
+def _block_matrix(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids int64[], float64 matrix) from one Arrow block, via the flat
+    list buffer (no per-row Python objects)."""
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    arr = tbl.column("embedding").combine_chunks()
+    vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids, vals.reshape(len(ids), -1) if len(ids) else vals.reshape(0, 0)
+
+
 def _query_matrix(sf_dir: str, query_vec_ids: list[int]) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -144,22 +162,26 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
     """Embedding-cosine near-dup: ALL pairs (a < b) with cosine >= threshold
     (doc_a, doc_b, cos rounded 4dp).
 
-    Exact variant: the normalized matrix is broadcast once (`ray.put`) and
-    each batch does one blocked matmul against it — O(n^2/B) work spread
-    over the pool, nothing driver-side.  Fits while the matrix fits workers
-    (~25 GB at 10^8x64f); past that, switch to the hyperplane-bucketed
-    variant (:func:`dedup_embedding_lsh`) whose recall is measured in tests.
+    Exact variant: the right-hand matrix is assembled INSIDE a Ray task from
+    the table's block refs (the driver never touches the data) and stays in
+    the object store; each batch does one blocked matmul against it —
+    O(n^2/B) work spread over the pool.  Fits while the matrix fits one
+    worker (~25 GB at 10^8x64f); past that, switch to the
+    hyperplane-bucketed variant (:func:`dedup_embedding_lsh`) whose recall
+    is measured in tests.
     """
     import ray
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    order = np.argsort(ids)
-    ids, m = ids[order], m[order]
-    norms = np.linalg.norm(m, axis=1)
-    ref = ray.put((ids, m, norms))
+    @ray.remote
+    def assemble(*tbls):
+        parts = [_block_matrix(t) for t in tbls]
+        ids = np.concatenate([p[0] for p in parts])
+        m = np.vstack([p[1] for p in parts])
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        return ids, m, np.linalg.norm(m, axis=1)
+
+    ref = assemble.remote(*_embedding_block_refs(sf_dir))
 
     def pairs_batch(batch: pd.DataFrame) -> pd.DataFrame:
         all_ids, all_m, all_norm = ray.get(ref)
@@ -248,21 +270,44 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
 
 
 N_CENTROIDS = 16
-N_PROBE = 4
+N_PROBE = 6
 
 
 def _ivf_centroids(sf_dir: str, n_centroids: int = N_CENTROIDS,
-                   iters: int = 5) -> np.ndarray:
-    """Deterministic mini k-means on a seeded sample (the IVF training pass;
-    at scale: sample via ray.data, iterate with map-side partial sums)."""
-    import pyarrow.parquet as pq
+                   iters: int = 5, sample_target: int = 4096) -> np.ndarray:
+    """Deterministic mini k-means on a distributed seeded sample (the IVF
+    training pass): one tiny Ray task per block draws its share of the
+    sample (seeded by the block's first vec_id, so the draw is stable under
+    re-execution), only the ≤sample_target sampled rows ever reach the
+    driver, and k-means runs on that sample."""
+    import ray
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    refs = _embedding_block_refs(sf_dir)
+
+    @ray.remote
+    def sample_block(tbl, take: int):
+        ids, m = _block_matrix(tbl)
+        if len(ids) == 0:
+            return m
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        if take >= len(ids):
+            return m
+        rng = np.random.default_rng((777, int(ids[0]), len(ids)))
+        return m[np.sort(rng.choice(len(ids), size=take, replace=False))]
+
+    per_block = max(1, sample_target // max(len(refs), 1))
+    sample = np.vstack(ray.get([sample_block.remote(r, per_block) for r in refs]))
+    # deterministic k-means++ init on the sample (spreads centroids; recall
+    # is far less sensitive to the sample draw than uniform init)
     rng = np.random.default_rng(777)
-    sample = m[rng.choice(len(m), size=min(4096, len(m)), replace=False)]
-    cents = sample[rng.choice(len(sample), size=n_centroids, replace=False)].copy()
+    n_centroids = min(n_centroids, len(sample))
+    cents = np.empty((n_centroids, sample.shape[1]))
+    cents[0] = sample[int(rng.integers(len(sample)))]
+    d2 = 1.0 - sample @ cents[0]                    # cosine distance
+    for c in range(1, n_centroids):
+        p = np.clip(d2, 1e-12, None)
+        cents[c] = sample[int(rng.choice(len(sample), p=p / p.sum()))]
+        d2 = np.minimum(d2, 1.0 - sample @ cents[c])
     for _ in range(iters):
         assign = np.argmax(sample @ cents.T, axis=1)
         for c in range(n_centroids):

@@ -115,20 +115,37 @@ def term_counts(sf_dir: str):
 
 
 def top_terms(sf_dir: str, k: int = 100):
-    """Top-k terms by occurrences, tie-break term asc (deterministic)."""
-    t = term_counts(sf_dir).to_pandas()
+    """Top-k terms by occurrences, tie-break term asc (deterministic).
+
+    The groupby(term) output blocks hold disjoint terms, so a per-block
+    top-k combiner runs first and only k × n_blocks candidate rows ever
+    reach the driver — the vocabulary itself (billions of rows at web
+    scale) stays distributed."""
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_occurrences", "term"],
+                              ascending=[False, True]).head(k)
+
+    t = (term_counts(sf_dir)
+         .map_batches(local_topk, batch_format="pandas")
+         ).to_pandas()
     t = t.sort_values(["n_occurrences", "term"], ascending=[False, True]).head(k)
     return t.reset_index(drop=True)
 
 
 def collection_stats(sf_dir: str):
-    """One row: doc_count, total token occurrences, distinct terms."""
-    tc = term_counts(sf_dir).to_pandas()
+    """One row: doc_count, total token occurrences, distinct terms —
+    Sum/Count aggregates over the distributed term stats (3 numbers to the
+    driver, never the vocabulary)."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = term_counts(sf_dir).aggregate(
+        Sum("n_occurrences", alias_name="sum_tokens"),
+        Count(alias_name="n_terms"))
     n_docs = _read_documents(sf_dir, columns=("doc_id",)).count()
     return pd.DataFrame({
         "doc_count": [int(n_docs)],
-        "sum_tokens": [int(tc["n_occurrences"].sum())],
-        "n_terms": [int(len(tc))],
+        "sum_tokens": [int(agg["sum_tokens"])],
+        "n_terms": [int(agg["n_terms"])],
     })
 
 
