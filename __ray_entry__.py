@@ -88,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_sorted_topk": _lazy("index_sorted_topk"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
+        "index_synonym_count": _lazy("index_synonym_count"),
+        "index_shingle_count": _lazy("index_shingle_count"),
+        "index_stop_count": _lazy("index_stop_count"),
         "index_interval_count": _lazy("index_interval_count"),
         "index_facet_role": _lazy("index_facet_role"),
         # --- vector search as a first-class index query (round 3) ---
@@ -380,6 +383,36 @@ def oracle_sql() -> dict[str, str]:
                     WHERE list_contains(toks, 'merge'))::BIGINT AS n_merges,
                    (SELECT count(*) FROM toklists
                     WHERE list_contains(toks, 'query'))::BIGINT AS n_queries""",
+        # syn:join=merge -> 'merge' matches docs with merge OR join; phrase
+        # 'merge sort' matches (merge|join) immediately followed by sort
+        "index_synonym_count": _TOKS + """
+            SELECT (SELECT count(*) FROM toklists
+                    WHERE list_contains(toks, 'merge')
+                       OR list_contains(toks, 'join'))::BIGINT AS n_merge,
+                   (SELECT count(*) FROM toklists
+                    WHERE len(toks) >= 2 AND len(list_filter(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i] IN ('merge', 'join')
+                             AND toks[i + 1] = 'sort')) > 0)::BIGINT AS n_phrase""",
+        "index_shingle_count": _TOKS + """
+            SELECT (SELECT count(*) FROM toklists
+                    WHERE len(toks) >= 2 AND len(list_filter(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i] = 'merge' AND toks[i + 1] = 'join')) > 0
+                   )::BIGINT AS n_bigram,
+                   (SELECT count(*) FROM toklists
+                    WHERE list_contains(toks, 'merge'))::BIGINT AS n_unigram""",
+        # stopwords leave position gaps: phrase adjacency == ORIGINAL stream
+        # adjacency, stop terms themselves never match
+        "index_stop_count": _TOKS + """
+            SELECT 0::BIGINT AS n_the,
+                   (SELECT count(*) FROM toklists
+                    WHERE list_contains(toks, 'merge'))::BIGINT AS n_merge,
+                   (SELECT count(*) FROM toklists
+                    WHERE len(toks) >= 2 AND len(list_filter(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i] = 'merge' AND toks[i + 1] = 'join')) > 0
+                   )::BIGINT AS n_phrase""",
         "index_sorted_ts_topk": _TOKS + """
             SELECT row_number() OVER (ORDER BY doc_id DESC)::BIGINT AS rank,
                    printf('conv-%08d', doc_id // 5) AS conv_id,

@@ -209,15 +209,27 @@ FILTERS = {
     "porter": porter_stem,
 }
 
+# Lucene's EnglishAnalyzer default stop set
+# (`analysis/en/EnglishAnalyzer.java` ENGLISH_STOP_WORDS_SET)
+ENGLISH_STOP = ("a an and are as at be but by for if in into is it no not of "
+                "on or such that the their then there these they this to was "
+                "will with").split()
+
 
 def apply_filters_str(term: str, names) -> str:
+    """Query-side chain: only 1:1 per-term filters apply (graph stages —
+    stop/syn/shingle — are index-side rewrites; query terms hit the already
+    rewritten dictionary directly, like Lucene's multi-term queries
+    bypassing analysis)."""
     for n in names:
-        term = FILTERS[n](term)
+        f = FILTERS.get(n)
+        if f is not None:
+            term = f(term)
     return term
 
 
 def apply_filters_column(flat, names):
-    """Apply a filter chain to a flat token array, vectorized through the
+    """Apply a 1:1 filter chain to a flat token array, vectorized through the
     Arrow dictionary: the chain runs once per DISTINCT token, then a `take`
     scatters — vocabulary is tiny next to token count.  Returns pa.Array."""
     import pyarrow as pa
@@ -231,3 +243,115 @@ def apply_filters_column(flat, names):
         denc = denc.combine_chunks()
     mapped = [apply_filters_str(t, names) for t in denc.dictionary.to_pylist()]
     return pa.array(mapped, type=pa.string()).take(denc.indices)
+
+
+def _parse_stop(spec: str) -> list[str]:
+    body = spec[len("stop:"):]
+    return ENGLISH_STOP if body == "english" else body.split(",")
+
+
+def _parse_syn(spec: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for rule in spec[len("syn:"):].split(";"):
+        if rule:
+            src, alts = rule.split("=")
+            out[src] = alts.split("|")
+    return out
+
+
+def run_token_chain(flat, lengths: np.ndarray, specs):
+    """Position-aware analyzer chain — the TokenStream graph semantics of the
+    reference's filter zoo for the supported stages, vectorized over the
+    whole shard's flat token stream:
+
+    - 1:1 filters (``ascii_fold``, ``porter``) — dictionary-vectorized.
+    - ``stop:w1,w2,...`` / ``stop:english`` — StopFilter
+      (`analysis/core/StopFilter.java`) with enablePositionIncrements:
+      removed tokens leave position GAPS, so phrases do not match across a
+      removed stopword; norms count only surviving tokens.
+    - ``syn:src=alt1|alt2;...`` — SynonymGraphFilter
+      (`analysis/synonym/SynonymGraphFilter.java:1-616`) for single-token →
+      single-token rules: alternatives are emitted at the SAME position
+      (posInc 0) and, per the IndexingChain overlap discount
+      (`index/IndexingChain.java:1151-1188`), do not count toward the norm.
+      Multi-word rules (posLen > 1) are out of scope (documented divergence).
+    - ``shingle`` — ShingleFilter(2,2) with outputUnigrams
+      (`analysis/shingle/ShingleFilter.java:1-555`): a ``"a b"`` token per
+      strictly-consecutive position pair, emitted at the first constituent's
+      position as an overlap (no filler tokens across stop gaps —
+      documented divergence from the ``_`` filler).
+
+    Returns (flat pa.Array doc-major/position-sorted, tok_counts int64[],
+    positions int32[] | None, norm_lengths int64[]).  positions is None when
+    only 1:1 stages ran (all increments 1, the fast path)."""
+    import pyarrow as pa
+
+    one2one = [s for s in specs if s in FILTERS]
+    graph = [s for s in specs if s not in FILTERS]
+    if one2one:
+        # leading 1:1 stages run dictionary-vectorized before any graph stage
+        lead = []
+        for s in specs:
+            if s in FILTERS:
+                lead.append(s)
+            else:
+                break
+        flat = apply_filters_column(flat, lead)
+        rest = specs[len(lead):]
+    else:
+        rest = specs
+    if not graph:
+        return flat, lengths, None, lengths
+
+    if not isinstance(flat, (pa.Array, pa.ChunkedArray)):
+        flat = pa.array(np.asarray(flat, dtype=object), type=pa.string())
+    toks = np.asarray(flat, dtype=object)
+    n_docs = len(lengths)
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    pos = (np.arange(len(toks)) - np.repeat(starts, lengths)).astype(np.int32)
+    incr = np.ones(len(toks), dtype=bool)
+
+    for spec in rest:
+        if spec in FILTERS:
+            toks = np.asarray(apply_filters_column(
+                pa.array(toks, type=pa.string()), (spec,)), dtype=object)
+        elif spec.startswith("stop:"):
+            keep = ~np.isin(toks, np.asarray(_parse_stop(spec), dtype=object))
+            toks, doc, pos, incr = toks[keep], doc[keep], pos[keep], incr[keep]
+        elif spec.startswith("syn:"):
+            add_t, add_d, add_p = [], [], []
+            for src, alts in _parse_syn(spec).items():
+                hit = np.nonzero((toks == src) & incr)[0]
+                for alt in alts:
+                    add_t.append(np.full(len(hit), alt, dtype=object))
+                    add_d.append(doc[hit])
+                    add_p.append(pos[hit])
+            if add_t:
+                toks = np.concatenate((toks, *add_t))
+                doc = np.concatenate((doc, *add_d))
+                pos = np.concatenate((pos, *add_p))
+                incr = np.concatenate((incr, np.zeros(sum(map(len, add_t)), bool)))
+        elif spec == "shingle":
+            # pair ORIGINAL tokens at strictly-consecutive positions in the
+            # same doc (stream order = doc-major position order for incr
+            # tokens at this point)
+            oi = np.nonzero(incr)[0]
+            o = oi[np.lexsort((pos[oi], doc[oi]))]
+            adj = (doc[o][1:] == doc[o][:-1]) & (pos[o][1:] == pos[o][:-1] + 1)
+            a, b = o[:-1][adj], o[1:][adj]
+            if len(a):
+                big = np.array([f"{x} {y}" for x, y in zip(toks[a], toks[b])],
+                               dtype=object)
+                toks = np.concatenate((toks, big))
+                doc = np.concatenate((doc, doc[a]))
+                pos = np.concatenate((pos, pos[a]))
+                incr = np.concatenate((incr, np.zeros(len(a), bool)))
+        else:
+            raise ValueError(f"unknown token filter spec: {spec}")
+
+    order = np.lexsort((pos, doc))       # stable: overlays stay after originals
+    toks, doc, pos, incr = toks[order], doc[order], pos[order], incr[order]
+    tok_counts = np.bincount(doc, minlength=n_docs).astype(np.int64)
+    norm_lengths = np.bincount(doc[incr], minlength=n_docs).astype(np.int64)
+    return pa.array(toks, type=pa.string()), tok_counts, pos, norm_lengths

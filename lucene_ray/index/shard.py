@@ -42,10 +42,16 @@ VECTORS_FILE = "vectors.npy"
 HNSW_FILE = "hnsw.npz"
 
 
-def invert_flat(flat: pa.Array, lengths: np.ndarray):
+def invert_flat(flat: pa.Array, lengths: np.ndarray,
+                positions: np.ndarray | None = None):
     """Columnar inversion: flat term array + per-doc lengths -> sorted
     posting lists, entirely via Arrow dictionary encoding + one numpy sort
     (no per-token Python objects).
+
+    ``positions`` (optional) carries explicit per-token positions for graph
+    analyzer chains (stop gaps, posInc-0 synonym/shingle overlays); when
+    None all position increments are 1.  Tokens must arrive doc-major with
+    positions non-decreasing within each doc.
 
     Returns (terms sorted asc, term_starts, doc_of int32[], freq int32[],
     positions int32[]): positions is aligned with the posting runs — posting
@@ -68,9 +74,12 @@ def invert_flat(flat: pa.Array, lengths: np.ndarray):
     sorted_terms = uniq.take(pa.array(order))
 
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
-    # token position within its doc (position increments are all 1)
-    doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-    tok_pos = (np.arange(len(codes)) - np.repeat(doc_starts, lengths)).astype(np.int32)
+    if positions is not None:
+        tok_pos = positions.astype(np.int32)
+    else:
+        # token position within its doc (position increments are all 1)
+        doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        tok_pos = (np.arange(len(codes)) - np.repeat(doc_starts, lengths)).astype(np.int32)
 
     key = rank[codes] * n_docs + doc_idx
     sort_idx = np.argsort(key, kind="stable")     # stable keeps position order
@@ -245,16 +254,21 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         table = table.drop_columns([vector_col])
 
     lengths, flat = tokenize_column(table.column(text_col))
+    tok_positions = None
+    norm_lengths = lengths
     if token_filters:
-        # opt-in analyzer chain (ASCIIFolding / Porter) applied to the flat
-        # token stream before inversion; query side applies the same chain
-        # (commit records token_filters), so both sides agree like one
-        # shared Analyzer.  Token COUNT is unchanged (no filter drops
-        # tokens), so norms/lengths are unaffected.
-        from ..analysis.filters import apply_filters_column
+        # opt-in analyzer chain applied to the flat token stream before
+        # inversion; the commit records token_filters so the query side
+        # applies the same (1:1 part of the) chain — both sides agree like
+        # one shared Analyzer.  Graph stages (stop/syn/shingle) may change
+        # token counts and positions; norms count only non-overlap tokens
+        # (IndexingChain discountOverlaps).
+        from ..analysis.filters import run_token_chain
 
-        flat = apply_filters_column(flat, token_filters)
-    terms, term_starts, doc_of, freq, positions = invert_flat(flat, lengths)
+        flat, lengths, tok_positions, norm_lengths = run_token_chain(
+            flat, lengths, token_filters)
+    terms, term_starts, doc_of, freq, positions = invert_flat(
+        flat, lengths, tok_positions)
     if keyword_cols:
         terms, term_starts, doc_of, freq, positions = _append_keyword_postings(
             terms, term_starts, doc_of, freq, positions, table, keyword_cols)
@@ -262,7 +276,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     # the keyword merge yields string — shards must agree for stats concat
     terms = pa.compute.cast(terms, pa.string())
     n_docs = table.num_rows
-    norms = int_to_byte4(lengths.astype(np.int64))
+    norms = int_to_byte4(norm_lengths.astype(np.int64))
 
     V = len(terms)
     dfs = (term_starts[1:] - term_starts[:-1]).astype(np.int64)

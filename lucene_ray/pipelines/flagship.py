@@ -266,6 +266,64 @@ def index_stemmed_count(sf_dir: str) -> pd.DataFrame:
                          "n_queries": pd.Series([n2], dtype="int64")})
 
 
+def index_synonym_count(sf_dir: str) -> pd.DataFrame:
+    """SynonymGraphFilter chain: rule join=merge emits 'merge' at every
+    'join' position (posInc 0).  n_merge counts docs matching 'merge'
+    (= docs containing merge OR join); n_phrase counts the exact phrase
+    'merge sort' (= docs where sort follows merge-or-join)."""
+    from ..search.query import PhraseQuery
+
+    index_dir = index_dir_for(sf_dir) + "-syn"
+    ds = transcripts_from_documents(sf_dir)
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                token_filters=("syn:join=merge",),
+                input_desc=f"documents@{sf_dir}+syn")
+    searcher = IndexSearcher(index_dir)
+    n1 = searcher.count(bool_query(must=["merge"]))
+    n2 = searcher.count(PhraseQuery(("merge", "sort")))
+    return pd.DataFrame({"n_merge": pd.Series([n1], dtype="int64"),
+                         "n_phrase": pd.Series([n2], dtype="int64")})
+
+
+def index_shingle_count(sf_dir: str) -> pd.DataFrame:
+    """ShingleFilter(2,2, outputUnigrams) chain: a 'a b' token per adjacent
+    pair.  n_bigram counts docs containing the shingle term 'merge join';
+    n_unigram checks unigrams still index ('merge')."""
+    from ..search.query import TermQuery
+
+    index_dir = index_dir_for(sf_dir) + "-shingle"
+    ds = transcripts_from_documents(sf_dir)
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                token_filters=("shingle",),
+                input_desc=f"documents@{sf_dir}+shingle")
+    searcher = IndexSearcher(index_dir)
+    n1 = searcher.count(TermQuery("merge join"))
+    n2 = searcher.count(TermQuery("merge"))
+    return pd.DataFrame({"n_bigram": pd.Series([n1], dtype="int64"),
+                         "n_unigram": pd.Series([n2], dtype="int64")})
+
+
+def index_stop_count(sf_dir: str) -> pd.DataFrame:
+    """Configurable StopFilter chain (enablePositionIncrements): stopwords
+    vanish from the dictionary (n_the = 0), non-stop terms are unaffected
+    (n_merge), and phrases do NOT match across the position gap a removed
+    stopword leaves (n_phrase = original-adjacency 'merge join' count)."""
+    from ..search.query import PhraseQuery
+
+    index_dir = index_dir_for(sf_dir) + "-stop"
+    ds = transcripts_from_documents(sf_dir)
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                token_filters=("stop:the,and,of,to,a,in,is,it,that,for",),
+                input_desc=f"documents@{sf_dir}+stop")
+    searcher = IndexSearcher(index_dir)
+    n_the = searcher.count(bool_query(must=["the"]))
+    n_merge = searcher.count(bool_query(must=["merge"]))
+    n_phrase = searcher.count(PhraseQuery(("merge", "join")))
+    return pd.DataFrame({"n_the": pd.Series([n_the], dtype="int64"),
+                         "n_merge": pd.Series([n_merge], dtype="int64"),
+                         "n_phrase": pd.Series([n_phrase], dtype="int64")})
+
+
 BM25_SQL_TERMS = ("merge", "join")
 BM25_SQL_K = 20
 

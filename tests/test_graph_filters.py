@@ -1,0 +1,89 @@
+"""Graph analyzer stages (stop / synonym / shingle): position semantics,
+norm overlap discount, and end-to-end phrase behavior through an index."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.analysis.filters import run_token_chain
+
+
+def _chain(texts, specs):
+    from lucene_ray.analysis.standard import tokenize_column
+
+    lengths, flat = tokenize_column(pa.array(texts, type=pa.string()))
+    return run_token_chain(flat, lengths, specs)
+
+
+def test_stop_filter_gaps_and_norms():
+    flat, counts, pos, norms = _chain(["merge the join", "the the the"],
+                                      ("stop:the,and",))
+    toks = np.asarray(flat, dtype=object)
+    assert toks.tolist() == ["merge", "join"]
+    assert counts.tolist() == [2, 0]
+    assert pos.tolist() == [0, 2]          # gap where 'the' was
+    assert norms.tolist() == [2, 0]
+
+
+def test_synonym_same_position_no_norm():
+    flat, counts, pos, norms = _chain(["join sort"], ("syn:join=merge",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    # overlay sorted after the original at the same position
+    assert toks == ["join", "merge", "sort"]
+    assert pos.tolist() == [0, 0, 1]
+    assert counts.tolist() == [3]
+    assert norms.tolist() == [2]           # overlap discounted
+
+
+def test_shingle_bigrams():
+    flat, counts, pos, norms = _chain(["a b c"], ("shingle",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["a", "a b", "b", "b c", "c"]
+    assert pos.tolist() == [0, 0, 1, 1, 2]
+    assert norms.tolist() == [3]
+
+
+def test_stop_then_shingle_no_filler():
+    # stop gap suppresses the shingle across it (documented divergence from
+    # the reference's '_' filler)
+    flat, _, pos, _ = _chain(["merge the join sort"],
+                             ("stop:the", "shingle"))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert "merge join" not in toks
+    assert "join sort" in toks
+
+
+def test_one2one_fast_path_unchanged():
+    flat, counts, pos, norms = _chain(["Merges running"], ("porter",))
+    assert pos is None                     # fast path: no positions array
+    assert np.asarray(flat, dtype=object).tolist() == ["merg", "run"]
+
+
+def test_chain_end_to_end_index(ray_session, tmp_path):
+    """Build a tiny index with stop+synonym and check phrase/count semantics
+    through the searcher."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import PhraseQuery, bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+
+    rows = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(4)]),
+        "turn_idx": pa.array([0] * 4, type=pa.int32()),
+        "text": pa.array([
+            "merge the join",          # phrase gap
+            "merge join now",          # adjacent
+            "combine data",            # synonym source
+            "nothing here",
+        ]),
+    })
+    ds = rd.from_arrow(rows)
+    build_index(ds, str(tmp_path / "idx"), target_docs_per_partition=100,
+                token_filters=("stop:the", "syn:combine=merge"),
+                input_desc="t")
+    s = IndexSearcher(str(tmp_path / "idx"))
+    assert s.count(bool_query(must=["the"])) == 0
+    assert s.count(bool_query(must=["merge"])) == 3      # syn adds doc 2
+    assert s.count(PhraseQuery(("merge", "join"))) == 1  # gap blocks doc 0
+    assert s.count(PhraseQuery(("merge", "join"), slop=1)) == 2
