@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stop_count": _lazy("index_stop_count"),
         "index_interval_count": _lazy("index_interval_count"),
         "index_facet_role": _lazy("index_facet_role"),
+        "index_conv_topk": _lazy("index_conv_topk"),
+        "index_mlt_topk": _lazy("index_mlt_topk"),
         # --- vector search as a first-class index query (round 3) ---
         "index_knn_filtered": _vs("index_knn_filtered"),
         "index_knn_topk": _vs("index_knn_topk"),
@@ -326,6 +328,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tokens GROUP BY term ORDER BY term""",
         "index_bm25_sql_topk": _index_bm25_oracle_sql(),
         "index_bm25_bool_sql": _index_bool_oracle_sql(),
+        "index_conv_topk": _conv_join_sql(),
+        "index_mlt_topk": _mlt_sql(),
         "index_knn_filtered": _knn_filtered_sql(),
         "index_hybrid_rrf": _hybrid_rrf_sql(),
         "index_phrase_count": _TOKS + """
@@ -452,6 +456,18 @@ def _percolate_sql() -> str:
     from lucene_ray.pipelines.percolate import percolate_oracle_sql
 
     return percolate_oracle_sql()
+
+
+def _mlt_sql() -> str:
+    from lucene_ray.pipelines.flagship import index_mlt_oracle_sql
+
+    return index_mlt_oracle_sql()
+
+
+def _conv_join_sql() -> str:
+    from lucene_ray.pipelines.flagship import index_conv_oracle_sql
+
+    return index_conv_oracle_sql()
 
 
 def _knn_filtered_sql() -> str:

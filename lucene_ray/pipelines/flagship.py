@@ -344,21 +344,25 @@ def index_bm25_sql_topk(sf_dir: str) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64"})
 
 
-def bm25_scored_cte(terms: tuple[str, ...]) -> str:
-    """Shared DuckDB CTE chain ending in ``scored(doc_id, score)`` — the SQL
-    twin of the engine's analyze → SmallFloat norm → BM25 chain, reused by
-    the BM25 and hybrid oracles."""
+def _normmap_values() -> str:
+    """VALUES list of (raw length -> SmallFloat-decoded length) pairs for
+    every length that can occur in this corpus (<= 1024)."""
     import numpy as np
 
     from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
 
-    # norm quantization: raw length -> decoded length, for every length that
-    # can occur in this corpus (<= 1024)
     pairs = []
     for n in range(0, 1025):
         dec = float(LENGTH_TABLE[int(int_to_byte4(np.int64(n)))])
         pairs.append(f"({n},{dec})")
-    qmap = ",".join(pairs)
+    return ",".join(pairs)
+
+
+def bm25_scored_cte(terms: tuple[str, ...]) -> str:
+    """Shared DuckDB CTE chain ending in ``scored(doc_id, score)`` — the SQL
+    twin of the engine's analyze → SmallFloat norm → BM25 chain, reused by
+    the BM25 and hybrid oracles."""
+    qmap = _normmap_values()
     tf_union = " UNION ALL ".join(
         f"SELECT doc_id, '{t}' AS term, len(list_filter(toks, x -> x = '{t}')) AS tf FROM toklists"
         for t in terms)
@@ -450,6 +454,103 @@ def index_bool_oracle_sql() -> str:
                (doc_id % 5)::BIGINT AS turn_idx,
                round(score, 4) AS score
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_SQL_K}"""
+
+
+MLT_DOC_ID = 0
+MLT_K = 10
+MLT_MAX_TERMS = 25
+MLT_MIN_TF = 2
+MLT_MIN_DF = 5
+
+
+def index_mlt_topk(sf_dir: str, k: int = MLT_K) -> pd.DataFrame:
+    """MoreLikeThis: interesting terms (tf >= 2, df >= 5, top-25 by
+    tf * classic idf) from the text of doc MLT_DOC_ID, searched as a SHOULD
+    BooleanQuery with BM25 — the whole select-then-search chain is
+    SQL-value-checked.  (rank, conv_id, turn_idx, score 4dp)."""
+    import pyarrow.parquet as pq
+
+    from ..search.searcher import more_like_this
+
+    text = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"],
+                         filters=[("doc_id", "=", MLT_DOC_ID)]) \
+        .column("text")[0].as_py()
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = more_like_this(searcher, text, max_query_terms=MLT_MAX_TERMS,
+                       min_term_freq=MLT_MIN_TF, min_doc_freq=MLT_MIN_DF)
+    td = searcher.search(q, k=k)
+    rows = [(r, h.conv_id, int(h.turn_idx), round(float(h.score), 4))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+def index_mlt_oracle_sql(k: int = MLT_K) -> str:
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents),
+        tokens AS (SELECT doc_id, unnest(toks) AS term FROM toklists),
+        normmap(n, dec) AS (VALUES {_normmap_values()}),
+        dl AS (SELECT t.doc_id, len(t.toks) AS raw_dl, m.dec AS dl
+               FROM toklists t JOIN normmap m ON m.n = len(t.toks)),
+        stats AS (SELECT count(*) AS n_docs,
+                         sum(raw_dl) * 1.0 / count(*) AS avgdl FROM dl),
+        liketf AS (SELECT term, count(*) AS tf FROM tokens
+                   WHERE doc_id = {MLT_DOC_ID} GROUP BY term),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens
+                GROUP BY term),
+        interesting AS (
+          SELECT l.term FROM liketf l JOIN dft d USING (term), stats s
+          WHERE l.tf >= {MLT_MIN_TF} AND d.df >= {MLT_MIN_DF}
+          ORDER BY l.tf * (ln((s.n_docs + 1.0) / (d.df + 1.0)) + 1.0) DESC,
+                   l.term ASC
+          LIMIT {MLT_MAX_TERMS}),
+        tfq AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tokens t
+                JOIN interesting USING (term) GROUP BY t.doc_id, t.term),
+        scored AS (
+          SELECT tfq.doc_id,
+                 sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * tfq.tf / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+          FROM tfq JOIN dft d USING (term)
+          JOIN dl ON dl.doc_id = tfq.doc_id, stats s
+          GROUP BY tfq.doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+CONV_JOIN_K = 10
+
+
+def index_conv_topk(sf_dir: str, k: int = CONV_JOIN_K) -> pd.DataFrame:
+    """Parent/child block join: top-k CONVERSATIONS by the max BM25 score of
+    their matching turns for the reference term pair (ToParentBlockJoinQuery
+    with ScoreMode.Max), SQL-value-checked.  (rank, conv_id, score 4dp)."""
+    from ..search.query import ToParentBlockJoinQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = ToParentBlockJoinQuery(bool_query(should=list(BM25_SQL_TERMS)),
+                               score_mode="max")
+    td = searcher.search(q, k=k)
+    rows = [(r, h.conv_id, round(float(h.score), 4))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "score"]) \
+        .astype({"rank": "int64"})
+
+
+def index_conv_oracle_sql(k: int = CONV_JOIN_K) -> str:
+    return f"""
+        WITH {bm25_scored_cte(BM25_SQL_TERMS)},
+        conv AS (SELECT doc_id // 5 AS conv, max(score) AS score
+                 FROM scored GROUP BY doc_id // 5)
+        SELECT row_number() OVER (ORDER BY score DESC, conv ASC)::BIGINT AS rank,
+               printf('conv-%08d', conv) AS conv_id, round(score, 4) AS score
+        FROM conv ORDER BY score DESC, conv ASC LIMIT {k}"""
 
 
 def index_term_dictionary(sf_dir: str) -> pd.DataFrame:

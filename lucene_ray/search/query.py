@@ -113,6 +113,26 @@ class RangeQuery:
 
 
 @dataclass(frozen=True)
+class ToParentBlockJoinQuery:
+    """Child-to-parent join (`join/src/java/org/apache/lucene/search/join/
+    ToParentBlockJoinQuery.java` / `ParentChildrenBlockJoinQuery.java`
+    semantics, Ray-native): parents are CONVERSATIONS, children are turns.
+    The build's conv_id range partitioning co-locates every conversation
+    inside one shard (the doc-block invariant the reference gets from
+    addDocuments), so the join is a per-shard segmented reduction: run the
+    child query, group matching turns by conv_id, combine child scores with
+    `score_mode` (max | total | avg), represent each parent by its FIRST
+    matching child's docID (global order == conv order) and merge parent
+    top-k TopDocs-style."""
+    child: object
+    score_mode: str = "max"
+
+    def __post_init__(self):
+        if self.score_mode not in ("max", "total", "avg"):
+            raise ValueError(self.score_mode)
+
+
+@dataclass(frozen=True)
 class SortField:
     """Sort specification for field-sorted top-k
     (`search/SortField.java:57-126`): order by the doc-values column
@@ -272,6 +292,161 @@ def extract_terms(q) -> list[TermQuery]:
     if isinstance(q, BooleanQuery):
         return [c.query for c in q.clauses]
     return []
+
+
+def parse_simple(text: str, field: str = "text", default_operator: str = SHOULD):
+    """SimpleQueryParser — the tolerant end-user dialect
+    (`queryparser/simple/SimpleQueryParser.java:1-651`): never raises; any
+    malformed syntax degrades to terms.
+
+        a b        -> a OR b (default operator SHOULD; pass MUST for AND)
+        a + b      -> a AND b          a | b     -> a OR b
+        -a         -> NOT a            "a b"     -> phrase, "a b"~2 sloppy
+        pre*       -> prefix           term~1    -> fuzzy
+        (a | b) + c                    precedence: + binds tighter than |
+
+    Unbalanced quotes/parens and dangling operators are repaired, matching
+    the reference's error-tolerant contract."""
+    import re as _re
+
+    from ..analysis.standard import analyze
+
+    tok_pat = _re.compile(
+        r"""(?P<lp>\()|(?P<rp>\))|(?P<and>\+)|(?P<or>\|)|(?P<not>-(?=\S))
+          |"(?P<phrase>[^"]*)"?(?:~(?P<slop>\d+))?
+          |(?P<word>[^\s()+|]+)""", _re.VERBOSE)
+    tokens = []
+    for m in tok_pat.finditer(text):
+        if m.group("lp"):
+            tokens.append(("(", None))
+        elif m.group("rp"):
+            tokens.append((")", None))
+        elif m.group("and"):
+            tokens.append(("AND", None))
+        elif m.group("or"):
+            tokens.append(("OR", None))
+        elif m.group("not"):
+            tokens.append(("NOT", None))
+        elif m.group("phrase") is not None:
+            tokens.append(("phrase", (m.group("phrase"), m.group("slop"))))
+        else:
+            tokens.append(("word", m.group("word")))
+
+    pos = [0]
+
+    def _atom():
+        """One clause: term / phrase / prefix / fuzzy / group; None if the
+        next token cannot start a clause (tolerance)."""
+        while pos[0] < len(tokens):
+            kind, val = tokens[pos[0]]
+            if kind in ("AND", "OR"):      # dangling operator: skip
+                pos[0] += 1
+                continue
+            break
+        if pos[0] >= len(tokens):
+            return None
+        kind, val = tokens[pos[0]]
+        if kind == ")":
+            return None
+        if kind == "NOT":
+            pos[0] += 1
+            sub = _atom()
+            return ("NOT", sub) if sub is not None else None
+        if kind == "(":
+            pos[0] += 1
+            sub = _expr()
+            if pos[0] < len(tokens) and tokens[pos[0]][0] == ")":
+                pos[0] += 1
+            return sub
+        pos[0] += 1
+        if kind == "phrase":
+            ptext, slop = val
+            terms = tuple(analyze(ptext))
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return TermQuery(terms[0], field)
+            return PhraseQuery(terms, field, slop=int(slop) if slop else 0)
+        word = val
+        fm = _re.fullmatch(r"(.*)~(\d+)", word)
+        if fm:
+            analyzed = analyze(fm.group(1))
+            if not analyzed:
+                return None
+            return FuzzyQuery(analyzed[0], max_edits=int(fm.group(2)), field=field)
+        if word.endswith("*") and len(word) > 1:
+            return PrefixQuery(word[:-1].lower(), field)
+        terms = analyze(word)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return TermQuery(terms[0], field)
+        return bool_query(should=[TermQuery(t, field) for t in terms])
+
+    def _and_group():
+        """clause (+ clause)* — explicit '+' joins as MUST."""
+        parts = [("POS", None)]
+        first = _atom()
+        if first is None:
+            return None
+        parts = [first]
+        while pos[0] < len(tokens) and tokens[pos[0]][0] == "AND":
+            pos[0] += 1
+            nxt = _atom()
+            if nxt is None:
+                break
+            parts.append(nxt)
+        if len(parts) == 1:
+            return parts[0]
+        clauses = []
+        for p in parts:
+            if isinstance(p, tuple) and p and p[0] == "NOT":
+                clauses.append(BooleanClause(p[1], MUST_NOT))
+            else:
+                clauses.append(BooleanClause(p, MUST))
+        return BooleanQuery(tuple(clauses))
+
+    def _expr():
+        """and_group (('|' | adjacency) and_group)* with the default
+        operator joining adjacent groups."""
+        groups = []
+        ops = []
+        g = _and_group()
+        if g is None:
+            return None
+        groups.append(g)
+        while pos[0] < len(tokens):
+            kind, _ = tokens[pos[0]]
+            if kind == ")":
+                break
+            if kind == "OR":
+                pos[0] += 1
+                ops.append(SHOULD)
+            else:
+                ops.append(default_operator)
+            g = _and_group()
+            if g is None:
+                ops.pop()
+                break
+            groups.append(g)
+        if len(groups) == 1:
+            g = groups[0]
+            if isinstance(g, tuple) and g and g[0] == "NOT":
+                return BooleanQuery((BooleanClause(g[1], MUST_NOT),))
+            return g
+        # mixed operators: explicit '|' anywhere makes the join SHOULD;
+        # all-default joins use the default operator
+        occur = SHOULD if SHOULD in ops else MUST
+        clauses = []
+        for g in groups:
+            if isinstance(g, tuple) and g and g[0] == "NOT":
+                clauses.append(BooleanClause(g[1], MUST_NOT))
+            else:
+                clauses.append(BooleanClause(g, occur))
+        return BooleanQuery(tuple(clauses))
+
+    q = _expr()
+    return q if q is not None else BooleanQuery(())
 
 
 def parse_classic(text: str, field: str = "text"):

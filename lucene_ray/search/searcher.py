@@ -267,8 +267,13 @@ class IndexSearcher:
         if isinstance(query, MatchAllDocsQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": True}
-        from .query import KnnVectorQuery, MatchNoDocsQuery
+        from .query import KnnVectorQuery, MatchNoDocsQuery, ToParentBlockJoinQuery
 
+        if isinstance(query, ToParentBlockJoinQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "block_join": (self.compile(query.child, _normalized=False),
+                                   query.score_mode)}
         if isinstance(query, MatchNoDocsQuery):
             return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
                     "msm": 0, "n_required": 1, "match_all": False}
@@ -489,6 +494,9 @@ class IndexSearcher:
             return np.ones(len(docs), np.float32), docs, rdr.doc_count, RELATION_EQ
         if compiled.get("knn") is not None:
             return self._knn_shard(rdr, compiled["knn"], after=after)
+        if compiled.get("block_join") is not None:
+            return self._block_join_shard(rdr, compiled["block_join"], k,
+                                          after=after)
         if compiled.get("nested") is not None:
             from .scorer import search_shard_nested
 
@@ -638,6 +646,49 @@ class IndexSearcher:
             docs, sims = docs[keep], sims[keep]
         n = min(kk, len(docs))
         return sims[:n], docs[:n].astype(np.int32), n, RELATION_EQ
+
+    def _block_join_shard(self, rdr, spec, k, after=None):
+        """Per-shard child→parent join: conversations never span shards
+        (conv_id range partitioning), so matching child turns group by
+        conv_id with one segmented reduction.  Parent rep doc = first
+        matching child (global docID order == conv order), so the standard
+        (score desc, gid asc) merge gives parent-docID tie-break like
+        ToParentBlockJoinQuery.  total = number of matching parents."""
+        inner, mode = spec
+        empty = (np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ)
+        scores, docs, _, _ = self.search_shard(rdr, inner, rdr.doc_count,
+                                               total_hits_threshold=2**31 - 1)
+        if len(docs) == 0:
+            return empty
+        order = np.argsort(docs)
+        docs, scores = docs[order], scores[order].astype(np.float64)
+        conv = getattr(rdr, "_conv_np", None)
+        if conv is None:
+            conv = rdr._conv_np = rdr.docmap().column("conv_id") \
+                .to_numpy(zero_copy_only=False)
+        cids = conv[docs]
+        # docs ascend and global order is (conv_id, turn_idx): convs form runs
+        run_start = np.ones(len(docs), dtype=bool)
+        run_start[1:] = cids[1:] != cids[:-1]
+        starts = np.nonzero(run_start)[0]
+        bounds = np.concatenate((starts, [len(docs)]))
+        counts = np.diff(bounds)
+        if mode == "max":
+            pscore = np.maximum.reduceat(scores, starts)
+        elif mode == "total":
+            pscore = np.add.reduceat(scores, starts)
+        else:                                            # avg
+            pscore = np.add.reduceat(scores, starts) / counts
+        rep = docs[starts]                               # first matching child
+        total = len(starts)
+        pscore32 = pscore.astype(np.float32)
+        if after is not None:
+            a_s, a_d = np.float32(after[0]), int(after[1])
+            keep = (pscore32 < a_s) | ((pscore32 == a_s)
+                                       & (rep.astype(np.int64) > a_d))
+            pscore32, rep = pscore32[keep], rep[keep]
+        top = np.lexsort((rep, -pscore32))[:k]
+        return pscore32[top], rep[top].astype(np.int32), total, RELATION_EQ
 
     def _search_sorted(self, query, sort, k: int, after=None) -> TopDocs:
         """Field-sorted top-k (TopFieldCollector + TopDocs.merge semantics,
@@ -876,6 +927,39 @@ def suggest(searcher: "IndexSearcher", prefix: str, k: int = 10) -> list[tuple[s
             ttfs[t] = ttfs.get(t, 0) + int(ttf)
     ranked = sorted(ttfs.items(), key=lambda x: (-x[1], x[0]))
     return ranked[:k]
+
+
+def more_like_this(searcher: "IndexSearcher", text: str,
+                   max_query_terms: int = 25, min_term_freq: int = 2,
+                   min_doc_freq: int = 5):
+    """Find-similar query construction
+    (`queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java:1-970`):
+    analyze the like-text, keep terms with tf >= min_term_freq and
+    docFreq >= min_doc_freq, rank by tf * classic idf
+    (`TFIDFSimilarity.idf`: ln((docCount+1)/(docFreq+1)) + 1 — the
+    createQueue scoring), and build a SHOULD BooleanQuery of the top
+    max_query_terms interesting terms (ties broken term-asc,
+    deterministic).  docFreq comes from the hash-bucketed global stats —
+    no dictionary load."""
+    import math
+    from collections import Counter
+
+    from ..analysis.standard import analyze
+    from .query import bool_query
+
+    tf = Counter(searcher._ft(t) for t in analyze(text))
+    n = max(searcher.doc_count, 1)
+    scored = []
+    for term, f in tf.items():
+        if f < min_term_freq:
+            continue
+        df = searcher.df(term)
+        if df < min_doc_freq:
+            continue
+        idf = math.log((n + 1) / (df + 1)) + 1.0
+        scored.append((f * idf, term))
+    top = sorted(scored, key=lambda x: (-x[0], x[1]))[:max_query_terms]
+    return bool_query(should=[t for _, t in top])
 
 
 def spell_correct(searcher: "IndexSearcher", term: str, max_edits: int = 2,
