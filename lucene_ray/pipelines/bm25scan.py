@@ -19,7 +19,7 @@ reproduce it bit-for-bit modulo rounding to 4dp).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 from .textstats import _flat_tokens_np, _read_documents, _seg_sum
 
@@ -34,15 +34,15 @@ def bm25_scan_topk(sf_dir: str, terms=("merge", "join"), k: int = 20):
     terms = list(terms)
 
     # ---- pass 1: global stats via per-batch partials + driver sum ----
-    def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
-        flat, lens = _flat_tokens_np(df["text"])
-        row = {"n_docs": [len(df)], "n_tokens": [int(lens.sum())]}
+    def partial_stats(t_in: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens_np(t_in.column("text"))
+        row = {"n_docs": [t_in.num_rows], "n_tokens": [int(lens.sum())]}
         for t in terms:
             row[f"df_{t}"] = [int((_seg_sum((flat == t).to_numpy(), lens) > 0).sum())]
-        return pd.DataFrame(row)
+        return pa.table(row)
 
     stats = (_read_documents(sf_dir)
-             .map_batches(partial_stats, batch_format="pandas")
+             .map_batches(partial_stats, batch_format="pyarrow")
              .sum(["n_docs", "n_tokens"] + [f"df_{t}" for t in terms]))
     n_docs = int(stats["sum(n_docs)"])
     avgdl = stats["sum(n_tokens)"] / n_docs
@@ -51,25 +51,25 @@ def bm25_scan_topk(sf_dir: str, terms=("merge", "join"), k: int = 20):
     ref = ray.put((idf, avgdl))
 
     # ---- pass 2: broadcast stats, score every batch, local top-k ----
-    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def score_batch(t_in: pa.Table) -> pa.Table:
         idf, avgdl = ray.get(ref)
-        flat, lens = _flat_tokens_np(df["text"])
+        flat, lens = _flat_tokens_np(t_in.column("text"))
         dl = lens.astype(np.float64)
-        score = np.zeros(len(df), dtype=np.float64)
-        matched = np.zeros(len(df), dtype=bool)
+        score = np.zeros(t_in.num_rows, dtype=np.float64)
+        matched = np.zeros(t_in.num_rows, dtype=bool)
         for t in terms:
             tf = _seg_sum((flat == t).to_numpy(), lens).astype(np.float64)
             hit = tf > 0
             matched |= hit
             denom = tf + K1 * (1 - B + B * dl / avgdl)
             score = np.where(hit, score + idf[t] * tf / denom, score)
-        ids = df["doc_id"].to_numpy()[matched]
+        ids = t_in.column("doc_id").to_numpy()[matched]
         sc = score[matched]
         top = np.lexsort((ids, -sc))[:k]
-        return pd.DataFrame({"doc_id": ids[top], "score": sc[top]})
+        return pa.table({"doc_id": pa.array(ids[top]), "score": pa.array(sc[top])})
 
     cands = (_read_documents(sf_dir)
-             .map_batches(score_batch, batch_format="pandas")).to_pandas()
+             .map_batches(score_batch, batch_format="pyarrow")).to_pandas()
     cands = cands.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
     cands = cands.reset_index(drop=True)
     cands["rank"] = np.arange(1, len(cands) + 1, dtype="int64")
@@ -81,15 +81,17 @@ def bm25_scan_count(sf_dir: str, must=("merge", "join"), must_not=()):
     """Boolean count: docs containing ALL of `must` and NONE of `must_not`."""
     must, must_not = list(must), list(must_not)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        flat, lens = _flat_tokens_np(df["text"])
-        ok = np.ones(len(df), dtype=bool)
+    def partial(t_in: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens_np(t_in.column("text"))
+        ok = np.ones(t_in.num_rows, dtype=bool)
         for t in must:
             ok &= _seg_sum((flat == t).to_numpy(), lens) > 0
         for t in must_not:
             ok &= ~(_seg_sum((flat == t).to_numpy(), lens) > 0)
-        return pd.DataFrame({"n": [int(ok.sum())]})
+        return pa.table({"n": [int(ok.sum())]})
 
     total = (_read_documents(sf_dir)
-             .map_batches(partial, batch_format="pandas").sum("n"))
+             .map_batches(partial, batch_format="pyarrow").sum("n"))
+    import pandas as pd
+
     return pd.DataFrame({"n_matching": [int(total)]})

@@ -112,14 +112,17 @@ def _unique_per_doc(doc_idx: np.ndarray, sh: np.ndarray) -> tuple[np.ndarray, np
 
 def _flat_tokens(texts) -> tuple[pa.Array, np.ndarray]:
     """Lowercased [A-Za-z0-9]+ tokens for a batch: (flat token array,
-    per-doc token counts) — native polars kernels, no per-row Python."""
+    per-doc token counts) — native polars kernels, no per-row Python.
+    Accepts pandas Series, Arrow arrays (zero-copy) or python lists."""
     import polars as pl
 
-    if isinstance(texts, pd.Series):
-        s = pl.from_pandas(texts).cast(pl.Utf8).fill_null("")
+    from .textstats import _pl_tokens
+
+    if isinstance(texts, (pd.Series, pa.Array, pa.ChunkedArray)):
+        toks = _pl_tokens(texts)
     else:
         s = pl.Series("t", list(texts), dtype=pl.Utf8).fill_null("")
-    toks = s.str.to_lowercase().str.extract_all(SIMPLE_TOKEN.pattern)
+        toks = s.str.to_lowercase().str.extract_all(SIMPLE_TOKEN.pattern)
     lens = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
     flat = toks.explode().drop_nulls()
     return flat.to_arrow(), lens
@@ -133,14 +136,15 @@ def dedup_exact(sf_dir: str):
     """Exact dedup: (text_md5 -> representative doc_id = min, n_dups)."""
     from ray.data.aggregate import Count, Min
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "text_md5": df["text"].fillna("").map(lambda s: hashlib.md5(s.encode()).hexdigest()),
-            "doc_id": df["doc_id"],
+    def add_hash(t: pa.Table) -> pa.Table:
+        texts = pa.compute.fill_null(t.column("text"), "").to_pylist()
+        return pa.table({
+            "text_md5": pa.array([hashlib.md5(s.encode()).hexdigest() for s in texts]),
+            "doc_id": t.column("doc_id"),
         })
 
     return (_read_documents(sf_dir)
-            .map_batches(add_hash, batch_format="pandas")
+            .map_batches(add_hash, batch_format="pyarrow")
             .groupby("text_md5")
             .aggregate(Min("doc_id", alias_name="rep_doc_id"),
                        Count(alias_name="n_dups")))
@@ -199,24 +203,25 @@ def _band_keys(sigs: np.ndarray) -> np.ndarray:
     return bh
 
 
-def _sketch_batch(df: pd.DataFrame, k: int = 3) -> pd.DataFrame:
+_SKETCH_SCHEMA = pa.schema([
+    ("band", pa.int32()), ("bhash", pa.uint64()), ("part", pa.int32()),
+    ("doc_id", pa.int64()), ("sh", pa.list_(pa.uint64()))])
+
+
+def _sketch_batch(t: pa.Table, k: int = 3) -> pa.Table:
     """Per batch: doc_id -> sorted unique shingle hashes + N_BANDS band rows.
-    Emits one row per (doc, band) carrying the doc's shingle set so the
-    verify runs inside the bucket group without a second join.  Docs with no
-    tokens are dropped (an empty shingle set would collide every empty doc
-    into one degenerate bucket)."""
-    if len(df) == 0:
-        return pd.DataFrame({"band": pd.Series(dtype="int32"),
-                             "bhash": pd.Series(dtype="uint64"),
-                             "part": pd.Series(dtype="int32"),
-                             "doc_id": pd.Series(dtype="int64"),
-                             "sh": pd.Series(dtype="object")})
-    flat, lens = _flat_tokens(df["text"])
+    Emits one row per (doc, band) carrying the doc's shingle set as a native
+    Arrow list<uint64> column so the verify runs inside the bucket group
+    without a second join.  Docs with no tokens are dropped (an empty
+    shingle set would collide every empty doc into one degenerate bucket)."""
+    if t.num_rows == 0:
+        return _SKETCH_SCHEMA.empty_table()
+    flat, lens = _flat_tokens(t.column("text"))
     th = _fnv1a64(flat)
     d_idx, sh = _mix_windows(th, lens, k)
     d_idx, sh = _unique_per_doc(d_idx, sh)
-    counts = np.bincount(d_idx, minlength=len(df)).astype(np.int64)
-    starts = np.zeros(len(df), dtype=np.int64)
+    counts = np.bincount(d_idx, minlength=t.num_rows).astype(np.int64)
+    starts = np.zeros(t.num_rows, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
 
     nz = np.nonzero(counts > 0)[0]
@@ -232,29 +237,41 @@ def _sketch_batch(df: pd.DataFrame, k: int = 3) -> pd.DataFrame:
                 sigs[:, p] = np.minimum.reduceat(vals, seg_starts)
     bkeys = _band_keys(sigs)                      # (nnz, N_BANDS)
 
-    doc_ids = df["doc_id"].to_numpy()[nz]
-    sh_lists = [sh[starts[d]:starts[d] + counts[d]] for d in nz]
+    doc_ids = t.column("doc_id").to_numpy()[nz]
     n = len(nz)
-    return pd.DataFrame({
-        "band": np.tile(np.arange(N_BANDS, dtype=np.int32), n),
-        "bhash": bkeys.reshape(-1),
-        "part": ((bkeys.reshape(-1) ^ _GOLDEN) % np.uint64(N_PARTS)).astype(np.int32),
-        "doc_id": np.repeat(doc_ids, N_BANDS).astype(np.int64),
-        "sh": [sh_lists[i // N_BANDS] for i in range(n * N_BANDS)],
+    # sh holds only non-empty docs' segments in nz order: one ListArray,
+    # rows repeated per band via take (no Python list-of-arrays)
+    offs = np.concatenate(([0], np.cumsum(counts[nz]))).astype(np.int32)
+    sh_list = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),
+                                       pa.array(sh, type=pa.uint64()))
+    return pa.table({
+        "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+        "bhash": pa.array(bkeys.reshape(-1)),
+        "part": pa.array(((bkeys.reshape(-1) ^ _GOLDEN)
+                          % np.uint64(N_PARTS)).astype(np.int32)),
+        "doc_id": pa.array(np.repeat(doc_ids, N_BANDS).astype(np.int64)),
+        "sh": sh_list.take(pa.array(np.repeat(np.arange(n), N_BANDS))),
     })
 
 
-def _pairs_in_partition(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+def _pairs_in_partition(g: pa.Table, threshold: float) -> pa.Table:
     """Vectorized bucket pairing + exact Jaccard verify over one hash
     partition: sort by (band, bhash), find bucket boundaries with a change
     mask, emit verified pairs.  Buckets larger than MAX_BUCKET_DOCS emit
     star-pairs against their smallest doc (marked truncated=True)."""
-    band = g["band"].to_numpy()
-    bh = g["bhash"].to_numpy().astype(np.uint64)
-    doc = g["doc_id"].to_numpy().astype(np.int64)
+    band = g.column("band").to_numpy()
+    bh = g.column("bhash").to_numpy().astype(np.uint64)
+    doc = g.column("doc_id").to_numpy().astype(np.int64)
     order = np.lexsort((doc, bh, band))
     band, bh, doc = band[order], bh[order], doc[order]
-    sh_col = g["sh"].to_numpy()[order]
+    sh_arr = g.column("sh").combine_chunks()
+    sh_vals = sh_arr.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    sh_offs = sh_arr.offsets.to_numpy()
+
+    def _sh_of(row):                       # row index in ORIGINAL table order
+        return sh_vals[sh_offs[row]:sh_offs[row + 1]]
+
+    row_of = order                         # sorted pos -> original row
     n = len(doc)
     newg = np.empty(n, dtype=bool)
     newg[0] = True
@@ -280,8 +297,8 @@ def _pairs_in_partition(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
         else:
             ia, ib = np.triu_indices(len(idxs), 1)
         for x, y in zip(ia, ib):
-            sa = np.asarray(sh_col[idxs[x]], dtype=np.uint64)
-            sb = np.asarray(sh_col[idxs[y]], dtype=np.uint64)
+            sa = _sh_of(row_of[idxs[x]])
+            sb = _sh_of(row_of[idxs[y]])
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             j = 1.0 if union == 0 else inter / union
@@ -290,53 +307,53 @@ def _pairs_in_partition(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
                 rows_b.append(doc[idxs[y]])
                 jac.append(j)
                 trunc.append(truncated)
-    return pd.DataFrame({"doc_a": pd.Series(rows_a, dtype="int64"),
-                         "doc_b": pd.Series(rows_b, dtype="int64"),
-                         "jaccard": pd.Series(jac, dtype="float64"),
-                         "truncated": pd.Series(trunc, dtype="bool")})
+    return pa.table({"doc_a": pa.array(rows_a, type=pa.int64()),
+                     "doc_b": pa.array(rows_b, type=pa.int64()),
+                     "jaccard": pa.array(jac, type=pa.float64()),
+                     "truncated": pa.array(trunc, type=pa.bool_())})
 
 
 def verified_pairs(sf_dir: str, k: int = 3, threshold: float = 0.5):
     """LSH candidates verified by exact shingle-set Jaccard, deduped across
     bands — entirely inside Ray Data (no driver-side candidate sets)."""
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["doc_a"].to_numpy()
-        b = g["doc_b"].to_numpy()
+    def dedupe(g: pa.Table) -> pa.Table:
+        a = g.column("doc_a").to_numpy()
+        b = g.column("doc_b").to_numpy()
         order = np.lexsort((b, a))
         a, b = a[order], b[order]
         keep = np.empty(len(a), dtype=bool)
         if len(a):
             keep[0] = True
             keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep],
-                             "jaccard": g["jaccard"].to_numpy()[order][keep]})
+        return pa.table({"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep]),
+                         "jaccard": pa.array(
+                             g.column("jaccard").to_numpy()[order][keep])})
 
-    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+    def add_pair_part(t: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
-            pp = ((df["doc_a"].to_numpy().astype(np.uint64) * _GOLDEN)
-                  ^ df["doc_b"].to_numpy().astype(np.uint64)) % np.uint64(N_PARTS)
-        out = df[["doc_a", "doc_b", "jaccard"]].copy()
-        out["ppart"] = pp.astype(np.int32)
-        return out
+            pp = ((t.column("doc_a").to_numpy().astype(np.uint64) * _GOLDEN)
+                  ^ t.column("doc_b").to_numpy().astype(np.uint64)) % np.uint64(N_PARTS)
+        return t.select(["doc_a", "doc_b", "jaccard"]).append_column(
+            "ppart", pa.array(pp.astype(np.int32)))
 
     ds = (_read_documents(sf_dir)
-          .map_batches(_sketch_batch, batch_format="pandas", fn_kwargs={"k": k})
+          .map_batches(_sketch_batch, batch_format="pyarrow", fn_kwargs={"k": k})
           .groupby("part")
-          .map_groups(_pairs_in_partition, batch_format="pandas",
+          .map_groups(_pairs_in_partition, batch_format="pyarrow",
                       fn_kwargs={"threshold": threshold})
-          .map_batches(add_pair_part, batch_format="pandas")
+          .map_batches(add_pair_part, batch_format="pyarrow")
           .groupby("ppart")
-          .map_groups(dedupe, batch_format="pandas"))
+          .map_groups(dedupe, batch_format="pyarrow"))
     return ds
 
 
 def minhash_candidates(sf_dir: str, k: int = 3):
     """LSH bucket stage: (band, bhash) groups with >= 2 docs -> candidate
     doc_id lists (the shingle->minhash->band->bucket groupby surface)."""
-    def buckets(g: pd.DataFrame) -> pd.DataFrame:
-        band = g["band"].to_numpy()
-        bh = g["bhash"].to_numpy().astype(np.uint64)
-        doc = g["doc_id"].to_numpy().astype(np.int64)
+    def buckets(g: pa.Table) -> pa.Table:
+        band = g.column("band").to_numpy()
+        bh = g.column("bhash").to_numpy().astype(np.uint64)
+        doc = g.column("doc_id").to_numpy().astype(np.int64)
         order = np.lexsort((doc, bh, band))
         band, bh, doc = band[order], bh[order], doc[order]
         n = len(doc)
@@ -353,14 +370,14 @@ def minhash_candidates(sf_dir: str, k: int = 3):
             out_band.append(int(band[s]))
             out_bh.append(bh[s])
             out_ids.append(ids.tolist())
-        return pd.DataFrame({"band": pd.Series(out_band, dtype="int32"),
-                             "bhash": pd.Series(out_bh, dtype="uint64"),
-                             "doc_ids": pd.Series(out_ids, dtype="object")})
+        return pa.table({"band": pa.array(out_band, type=pa.int32()),
+                         "bhash": pa.array(out_bh, type=pa.uint64()),
+                         "doc_ids": pa.array(out_ids, type=pa.list_(pa.int64()))})
 
     return (_read_documents(sf_dir)
-            .map_batches(_sketch_batch, batch_format="pandas", fn_kwargs={"k": k})
+            .map_batches(_sketch_batch, batch_format="pyarrow", fn_kwargs={"k": k})
             .groupby("part")
-            .map_groups(buckets, batch_format="pandas"))
+            .map_groups(buckets, batch_format="pyarrow"))
 
 
 def jaccard(a: set, b: set) -> float:
@@ -378,15 +395,15 @@ def _min_label_components(pairs_ds, max_iters: int = 50) -> pd.DataFrame:
     per round to keep lineage flat."""
     from ray.data.aggregate import Min
 
-    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["doc_a"].to_numpy().astype(np.int64)
-        b = df["doc_b"].to_numpy().astype(np.int64)
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy().astype(np.int64)
+        b = t.column("doc_b").to_numpy().astype(np.int64)
         src = np.concatenate((a, b))
         dst = np.concatenate((b, a))
-        return pd.DataFrame({"bucket": (src % N_PARTS).astype(np.int32),
-                             "src": src, "dst": dst})
+        return pa.table({"bucket": pa.array((src % N_PARTS).astype(np.int32)),
+                         "src": pa.array(src), "dst": pa.array(dst)})
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -417,11 +434,13 @@ def _min_label_components(pairs_ds, max_iters: int = 50) -> pd.DataFrame:
         out = out[out["doc_id"] != out["cluster_rep"]]
         return out.sort_values("doc_id").reset_index(drop=True)
 
-    def seed_labels(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["src"],
-                             "label": np.minimum(df["src"], df["dst"])})
+    def seed_labels(t: pa.Table) -> pa.Table:
+        src_np = t.column("src").to_numpy()
+        return pa.table({"doc_id": t.column("src"),
+                         "label": pa.array(np.minimum(
+                             src_np, t.column("dst").to_numpy()))})
 
-    labels = (edges.map_batches(seed_labels, batch_format="pandas")
+    labels = (edges.map_batches(seed_labels, batch_format="pyarrow")
               .groupby("doc_id").aggregate(Min("label", alias_name="label"))
               .materialize())
     prev_sum = None
@@ -431,33 +450,39 @@ def _min_label_components(pairs_ds, max_iters: int = 50) -> pd.DataFrame:
             break
         prev_sum = s
 
-        def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"bucket": (df["doc_id"] % N_PARTS).astype(np.int32),
-                                 "src": df["doc_id"].astype(np.int64),
-                                 "dst": np.int64(-1),
-                                 "label": df["label"].astype(np.int64)})
+        def tag_labels(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy().astype(np.int64)
+            return pa.table({"bucket": pa.array((d % N_PARTS).astype(np.int32)),
+                             "src": pa.array(d),
+                             "dst": pa.array(np.full(len(d), -1, dtype=np.int64)),
+                             "label": pa.array(
+                                 t.column("label").to_numpy().astype(np.int64))})
 
-        def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[["bucket", "src", "dst"]].copy()
-            out["label"] = np.int64(-1)
-            return out
+        def tag_edges(t: pa.Table) -> pa.Table:
+            return t.select(["bucket", "src", "dst"]).append_column(
+                "label", pa.array(np.full(t.num_rows, -1, dtype=np.int64)))
 
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g[g["dst"] < 0]
-            edg = g[g["dst"] >= 0]
-            m = edg.merge(lab[["src", "label"]], on="src", how="inner",
-                          suffixes=("", "_l"))
-            # candidate label for dst = label[src]; keep current labels too
-            return pd.DataFrame({
-                "doc_id": np.concatenate((m["dst"].to_numpy(np.int64),
-                                          lab["src"].to_numpy(np.int64))),
-                "label": np.concatenate((m["label_l"].to_numpy(np.int64),
-                                         lab["label"].to_numpy(np.int64))),
+        def propagate(g: pa.Table) -> pa.Table:
+            dst = g.column("dst").to_numpy().astype(np.int64)
+            src_np = g.column("src").to_numpy().astype(np.int64)
+            lbl = g.column("label").to_numpy().astype(np.int64)
+            is_lab = dst < 0
+            lab_src, lab_lbl = src_np[is_lab], lbl[is_lab]
+            order = np.argsort(lab_src)
+            lab_src, lab_lbl = lab_src[order], lab_lbl[order]
+            e_src, e_dst = src_np[~is_lab], dst[~is_lab]
+            # inner join edge.src -> label via searchsorted (no pandas merge)
+            pos = np.searchsorted(lab_src, e_src)
+            pos = np.clip(pos, 0, max(len(lab_src) - 1, 0))
+            found = (lab_src[pos] == e_src) if len(lab_src) else                 np.zeros(len(e_src), dtype=bool)
+            return pa.table({
+                "doc_id": pa.array(np.concatenate((e_dst[found], lab_src))),
+                "label": pa.array(np.concatenate((lab_lbl[pos[found]], lab_lbl))),
             })
 
-        tagged = labels.map_batches(tag_labels, batch_format="pandas").union(
-            edges.map_batches(tag_edges, batch_format="pandas"))
-        labels = (tagged.groupby("bucket").map_groups(propagate, batch_format="pandas")
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow").union(
+            edges.map_batches(tag_edges, batch_format="pyarrow"))
+        labels = (tagged.groupby("bucket").map_groups(propagate, batch_format="pyarrow")
                   .groupby("doc_id").aggregate(Min("label", alias_name="label"))
                   .materialize())
     out = labels.to_pandas()          # final result: docs with near-dup edges only
@@ -498,10 +523,10 @@ def simhash64(tokens: list[str]) -> np.uint64:
     return np.uint64(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
-def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+def _simhash_batch(t: pa.Table) -> pa.Table:
     """(doc_id, simhash, n_tokens) per doc — one FNV pass over the flat token
     array, bit-majority via segmented sums (no per-doc Python)."""
-    flat, lens = _flat_tokens(df["text"])
+    flat, lens = _flat_tokens(t.column("text"))
     th = _fnv1a64(flat, seed=7)
     n_docs = len(lens)
     starts = np.zeros(n_docs, dtype=np.int64)
@@ -517,19 +542,20 @@ def _simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
         # reduceat merges adjacent segments when starts repeat — guarded by nz
         hv = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
         h[nz] = hv
-    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy().astype(np.int64),
-                         "simhash": h, "n_tokens": lens})
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "simhash": pa.array(h), "n_tokens": pa.array(lens)})
 
 
 def simhash_table(sf_dir: str):
     """(doc_id, simhash hex) per document — vectorized per batch."""
-    def to_hex(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["doc_id"],
-                             "simhash": [format(int(h), "016x") for h in df["simhash"]]})
+    def to_hex(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "simhash": pa.array([format(int(h), "016x")
+                                              for h in t.column("simhash").to_numpy()])})
 
     return (_read_documents(sf_dir)
-            .map_batches(_simhash_batch, batch_format="pandas")
-            .map_batches(to_hex, batch_format="pandas"))
+            .map_batches(_simhash_batch, batch_format="pyarrow")
+            .map_batches(to_hex, batch_format="pyarrow"))
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -539,11 +565,11 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         .reshape(-1, 64).sum(axis=1).astype(np.int64)
 
 
-def _simhash_pairs_in_partition(g: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
-    band = g["band"].to_numpy()
-    key = g["key"].to_numpy()
-    doc = g["doc_id"].to_numpy().astype(np.int64)
-    h = g["h"].to_numpy().astype(np.uint64)
+def _simhash_pairs_in_partition(g: pa.Table, max_hamming: int) -> pa.Table:
+    band = g.column("band").to_numpy()
+    key = g.column("key").to_numpy()
+    doc = g.column("doc_id").to_numpy().astype(np.int64)
+    h = g.column("h").to_numpy().astype(np.uint64)
     order = np.lexsort((doc, key, band))
     band, key, doc, h = band[order], key[order], doc[order], h[order]
     n = len(doc)
@@ -571,12 +597,11 @@ def _simhash_pairs_in_partition(g: pd.DataFrame, max_hamming: int) -> pd.DataFra
         out_b.append(ids[ib[keep]])
         out_d.append(d[keep])
     if not out_a:
-        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                             "doc_b": pd.Series(dtype="int64"),
-                             "hamming": pd.Series(dtype="int64")})
-    return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                         "doc_b": np.concatenate(out_b),
-                         "hamming": np.concatenate(out_d).astype(np.int64)})
+        return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("hamming", pa.int64())]).empty_table()
+    return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                     "doc_b": pa.array(np.concatenate(out_b)),
+                     "hamming": pa.array(np.concatenate(out_d).astype(np.int64))})
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):
@@ -584,11 +609,11 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     -> candidate), Hamming verify inside the partitioned bucket groups,
     dedupe pairs across bands — no driver materialization of the sketch
     table."""
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        live = df[df["n_tokens"] > 0]
-        h = live["simhash"].to_numpy().astype(np.uint64)
-        doc = live["doc_id"].to_numpy().astype(np.int64)
-        n = len(live)
+    def explode(t: pa.Table) -> pa.Table:
+        live = t.filter(pa.compute.greater(t.column("n_tokens"), 0))
+        h = live.column("simhash").to_numpy().astype(np.uint64)
+        doc = live.column("doc_id").to_numpy().astype(np.int64)
+        n = live.num_rows
         bands = np.tile(np.arange(4, dtype=np.int32), n)
         keys = np.empty(4 * n, dtype=np.int64)
         for i, shift in enumerate((0, 16, 32, 48)):
@@ -596,38 +621,40 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
         with np.errstate(over="ignore"):
             part = ((keys.astype(np.uint64) * _GOLDEN + bands.astype(np.uint64))
                     % np.uint64(N_PARTS)).astype(np.int32)
-        return pd.DataFrame({"band": bands, "key": keys, "part": part,
-                             "doc_id": np.repeat(doc, 4), "h": np.repeat(h, 4)})
+        return pa.table({"band": pa.array(bands), "key": pa.array(keys),
+                         "part": pa.array(part),
+                         "doc_id": pa.array(np.repeat(doc, 4)),
+                         "h": pa.array(np.repeat(h, 4))})
 
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        a = g["doc_a"].to_numpy()
-        b = g["doc_b"].to_numpy()
-        d = g["hamming"].to_numpy()
+    def dedupe(g: pa.Table) -> pa.Table:
+        a = g.column("doc_a").to_numpy()
+        b = g.column("doc_b").to_numpy()
+        d = g.column("hamming").to_numpy()
         order = np.lexsort((b, a))
         a, b, d = a[order], b[order], d[order]
         keep = np.empty(len(a), dtype=bool)
         if len(a):
             keep[0] = True
             keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep], "hamming": d[keep]})
+        return pa.table({"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep]),
+                         "hamming": pa.array(d[keep])})
 
-    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+    def add_pair_part(t: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
-            pp = ((df["doc_a"].to_numpy().astype(np.uint64) * _GOLDEN)
-                  ^ df["doc_b"].to_numpy().astype(np.uint64)) % np.uint64(N_PARTS)
-        out = df[["doc_a", "doc_b", "hamming"]].copy()
-        out["ppart"] = pp.astype(np.int32)
-        return out
+            pp = ((t.column("doc_a").to_numpy().astype(np.uint64) * _GOLDEN)
+                  ^ t.column("doc_b").to_numpy().astype(np.uint64)) % np.uint64(N_PARTS)
+        return t.select(["doc_a", "doc_b", "hamming"]).append_column(
+            "ppart", pa.array(pp.astype(np.int32)))
 
     out = (_read_documents(sf_dir)
-           .map_batches(_simhash_batch, batch_format="pandas")
-           .map_batches(explode, batch_format="pandas")
+           .map_batches(_simhash_batch, batch_format="pyarrow")
+           .map_batches(explode, batch_format="pyarrow")
            .groupby("part")
-           .map_groups(_simhash_pairs_in_partition, batch_format="pandas",
+           .map_groups(_simhash_pairs_in_partition, batch_format="pyarrow",
                        fn_kwargs={"max_hamming": max_hamming})
-           .map_batches(add_pair_part, batch_format="pandas")
+           .map_batches(add_pair_part, batch_format="pyarrow")
            .groupby("ppart")
-           .map_groups(dedupe, batch_format="pandas")
+           .map_groups(dedupe, batch_format="pyarrow")
            .to_pandas())
     if len(out) == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 TARGET_ROWS_PER_BUCKET = 250_000
 
@@ -25,24 +26,35 @@ def doc_embedding_join(sf_dir: str):
     n_rows = max(docs.count(), embs.count())
     N_BUCKETS = max(8, -(-n_rows // TARGET_ROWS_PER_BUCKET))
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"bucket": (df["doc_id"] % N_BUCKETS).astype("int64"),
-                             "key": df["doc_id"].astype("int64"),
-                             "side": "L", "lang": df["lang"], "label": None})
+    def tag_left(t: pa.Table) -> pa.Table:
+        key = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({"bucket": pa.array(key % N_BUCKETS),
+                         "key": pa.array(key),
+                         "lang": t.column("lang"),
+                         "label": pa.nulls(len(key), type=pa.int64())})
 
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"bucket": (df["vec_id"] % N_BUCKETS).astype("int64"),
-                             "key": df["vec_id"].astype("int64"),
-                             "side": "R", "lang": None, "label": df["label"]})
+    def tag_right(t: pa.Table) -> pa.Table:
+        key = t.column("vec_id").to_numpy().astype(np.int64)
+        return pa.table({"bucket": pa.array(key % N_BUCKETS),
+                         "key": pa.array(key),
+                         "lang": pa.nulls(len(key), type=pa.string()),
+                         "label": pa.compute.cast(t.column("label"), pa.int64())})
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == "L"][["key", "lang"]]
-        right = g[g["side"] == "R"][["key", "label"]]
-        out = left.merge(right, on="key", how="inner")
-        return pd.DataFrame({"doc_id": out["key"].astype("int64"),
-                             "lang": out["lang"].astype(str),
-                             "label": out["label"].astype("int64")})
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    tagged = docs.map_batches(tag_left, batch_format="pandas").union(
-        embs.map_batches(tag_right, batch_format="pandas"))
-    return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+        left = g.filter(pc.is_valid(g.column("lang")))
+        right = g.filter(pc.invert(pc.is_valid(g.column("lang"))))
+        lk = left.column("key").to_numpy()
+        rk = right.column("key").to_numpy()
+        lo, ro = np.argsort(lk), np.argsort(rk)
+        _, li, ri = np.intersect1d(lk[lo], rk[ro], return_indices=True)
+        lt = left.take(pa.array(lo[li]))
+        rt = right.take(pa.array(ro[ri]))
+        return pa.table({"doc_id": lt.column("key"),
+                         "lang": lt.column("lang"),
+                         "label": rt.column("label")})
+
+    tagged = docs.map_batches(tag_left, batch_format="pyarrow").union(
+        embs.map_batches(tag_right, batch_format="pyarrow"))
+    return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")

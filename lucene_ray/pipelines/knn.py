@@ -60,25 +60,26 @@ def knn_cosine(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
     qnorm = np.linalg.norm(qm, axis=1)
     ref = ray.put((qids, qm, qnorm))
 
-    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def score_batch(batch: pa.Table) -> pa.Table:
         qids, qm, qnorm = ray.get(ref)
-        vm = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        vid, vm = _block_matrix(batch)
         vnorm = np.linalg.norm(vm, axis=1)
         sims = (vm @ qm.T) / (vnorm[:, None] * qnorm[None, :])
-        out = []
-        vid = batch["vec_id"].to_numpy()
+        oq, ov, oc = [], [], []
         for j, q in enumerate(qids):
             s = sims[:, j]
-            mask = vid != q
-            idx = np.nonzero(mask)[0]
+            idx = np.nonzero(vid != q)[0]
             # local top-k candidates only (combiner before the global sort)
             top = idx[np.lexsort((vid[idx], -s[idx]))[:k]]
-            out.append(pd.DataFrame({"query_vec_id": int(q), "vec_id": vid[top],
-                                     "cos": s[top]}))
-        return pd.concat(out, ignore_index=True)
+            oq.append(np.full(len(top), int(q), dtype=np.int64))
+            ov.append(vid[top])
+            oc.append(s[top])
+        return pa.table({"query_vec_id": pa.array(np.concatenate(oq)),
+                         "vec_id": pa.array(np.concatenate(ov)),
+                         "cos": pa.array(np.concatenate(oc))})
 
     cands = (_read_embeddings(sf_dir)
-             .map_batches(score_batch, batch_format="pandas", batch_size=4096)
+             .map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
              ).to_pandas()
     cands = cands.sort_values(["query_vec_id", "cos", "vec_id"],
                               ascending=[True, False, True])
@@ -122,15 +123,14 @@ def knn_lsh(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
     qnorm = np.linalg.norm(qm, axis=1)
     ref = ray.put((qids, qm, qnorm, probe_arr))
 
-    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def score_batch(batch: pa.Table) -> pa.Table:
         qids, qm, qnorm, probe_arr = ray.get(ref)
-        vm = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        vid, vm = _block_matrix(batch)
         planes = _planes(vm.shape[1])
         sig = ((vm @ planes.T) > 0).astype(np.uint32)
         buckets = (sig << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
-        vid = batch["vec_id"].to_numpy()
         vnorm = np.linalg.norm(vm, axis=1)
-        out = []
+        oq, ov, oc = [], [], []
         for j, q in enumerate(qids):
             sel = np.isin(buckets, probe_arr[int(q)]) & (vid != q)
             if not sel.any():
@@ -138,16 +138,18 @@ def knn_lsh(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10):
             idx = np.nonzero(sel)[0]
             s = (vm[idx] @ qm[j]) / (vnorm[idx] * qnorm[j])
             top = np.lexsort((vid[idx], -s))[:k]
-            out.append(pd.DataFrame({"query_vec_id": int(q), "vec_id": vid[idx][top],
-                                     "cos": s[top]}))
-        if not out:
-            return pd.DataFrame({"query_vec_id": pd.Series([], dtype="int64"),
-                                 "vec_id": pd.Series([], dtype="int64"),
-                                 "cos": pd.Series([], dtype="float64")})
-        return pd.concat(out, ignore_index=True)
+            oq.append(np.full(len(top), int(q), dtype=np.int64))
+            ov.append(vid[idx][top])
+            oc.append(s[top])
+        if not oq:
+            return pa.schema([("query_vec_id", pa.int64()), ("vec_id", pa.int64()),
+                              ("cos", pa.float64())]).empty_table()
+        return pa.table({"query_vec_id": pa.array(np.concatenate(oq)),
+                         "vec_id": pa.array(np.concatenate(ov)),
+                         "cos": pa.array(np.concatenate(oc))})
 
     cands = (_read_embeddings(sf_dir)
-             .map_batches(score_batch, batch_format="pandas", batch_size=4096)
+             .map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
              ).to_pandas()
     cands = cands.sort_values(["query_vec_id", "cos", "vec_id"],
                               ascending=[True, False, True])
@@ -183,23 +185,22 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
 
     ref = assemble.remote(*_embedding_block_refs(sf_dir))
 
-    def pairs_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def pairs_batch(batch: pa.Table) -> pa.Table:
         all_ids, all_m, all_norm = ray.get(ref)
-        vm = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        vid, vm = _block_matrix(batch)
         vnorm = np.linalg.norm(vm, axis=1)
-        vid = batch["vec_id"].to_numpy()
         # dot/(|a||b|) exactly as the SQL list_cosine_similarity oracle, and
         # threshold AFTER 4dp rounding so both sides agree at the boundary
         sims = (vm @ all_m.T) / (vnorm[:, None] * all_norm[None, :])
         r = np.round(sims, 4)
         hit_r, hit_c = np.nonzero(r >= threshold)
         keep = vid[hit_r] < all_ids[hit_c]
-        return pd.DataFrame({"doc_a": vid[hit_r[keep]].astype("int64"),
-                             "doc_b": all_ids[hit_c[keep]].astype("int64"),
-                             "cos": r[hit_r[keep], hit_c[keep]]})
+        return pa.table({"doc_a": pa.array(vid[hit_r[keep]].astype("int64")),
+                         "doc_b": pa.array(all_ids[hit_c[keep]].astype("int64")),
+                         "cos": pa.array(r[hit_r[keep], hit_c[keep]])})
 
     out = (_read_embeddings(sf_dir)
-           .map_batches(pairs_batch, batch_format="pandas", batch_size=2048)
+           .map_batches(pairs_batch, batch_format="pyarrow", batch_size=2048)
            ).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
@@ -222,41 +223,42 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.4):
     across bands.  Recall is 1-(1-p^N_PLANES)^bands for per-bit agreement p;
     near-identical vectors (cos >= 0.95) are found with high probability
     while the shuffle stays O(bands x corpus)."""
-    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        vm = np.stack(batch["embedding"].to_list()).astype(np.float64)
-        n = len(vm)
-        out = []
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        vid, vm = _block_matrix(batch)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        parts = []
         for band in range(N_SIG_BANDS):
             planes = _band_planes(vm.shape[1], band)
             sig = ((vm @ planes.T) > 0).astype(np.uint32)
             bucket = (sig << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
-            out.append(pd.DataFrame({
-                "bucket": (bucket.astype("int64") * N_SIG_BANDS + band),
-                "vec_id": batch["vec_id"].astype("int64"),
-                "embedding": batch["embedding"]}))
-        return pd.concat(out, ignore_index=True)
+            parts.append(pa.table({
+                "bucket": pa.array(bucket.astype("int64") * N_SIG_BANDS + band),
+                "vec_id": pa.array(vid),
+                "embedding": emb}))
+        return pa.concat_tables(parts)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64"),
-                                 "cos": pd.Series(dtype="float64")})
-        vm = np.stack(g["embedding"].to_list()).astype(np.float64)
+    def verify(g: pa.Table) -> pa.Table:
+        empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                           ("cos", pa.float64())]).empty_table()
+        if g.num_rows < 2:
+            return empty
+        vid, vm = _block_matrix(g)
         vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
-        vid = g["vec_id"].to_numpy()
         order = np.argsort(vid)
         vid, vm = vid[order], vm[order]
         sims = np.round(vm @ vm.T, 4)
         ia, ib = np.triu_indices(len(vid), 1)
         keep = sims[ia, ib] >= threshold
-        return pd.DataFrame({"doc_a": vid[ia[keep]].astype("int64"),
-                             "doc_b": vid[ib[keep]].astype("int64"),
-                             "cos": sims[ia[keep], ib[keep]]})
+        return pa.table({"doc_a": pa.array(vid[ia[keep]].astype("int64")),
+                         "doc_b": pa.array(vid[ib[keep]].astype("int64")),
+                         "cos": pa.array(sims[ia[keep], ib[keep]])})
 
     out = (_read_embeddings(sf_dir)
-           .map_batches(sig_batch, batch_format="pandas")
+           .map_batches(sig_batch, batch_format="pyarrow")
            .groupby("bucket")
-           .map_groups(verify, batch_format="pandas")
+           .map_groups(verify, batch_format="pyarrow")
            ).to_pandas()
     if len(out):
         out = out.drop_duplicates(["doc_a", "doc_b"])   # across bands
@@ -335,14 +337,13 @@ def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
     qnorm = np.linalg.norm(qm, axis=1)
     ref = ray.put((qids, qm, qnorm, cents, probe_lists))
 
-    def score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    def score_batch(batch: pa.Table) -> pa.Table:
         qids, qm, qnorm, cents, probe_lists = ray.get(ref)
-        vm = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        vid, vm = _block_matrix(batch)
         vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
         assign = np.argmax(vn @ cents.T, axis=1)
-        vid = batch["vec_id"].to_numpy()
         vnorm = np.linalg.norm(vm, axis=1)
-        out = []
+        oq, ov, oc = [], [], []
         for j, q in enumerate(qids):
             sel = np.isin(assign, probe_lists[j]) & (vid != q)
             if not sel.any():
@@ -350,16 +351,18 @@ def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
             idx = np.nonzero(sel)[0]
             s = (vm[idx] @ qm[j]) / (vnorm[idx] * qnorm[j])
             top = np.lexsort((vid[idx], -s))[:k]
-            out.append(pd.DataFrame({"query_vec_id": int(q), "vec_id": vid[idx][top],
-                                     "cos": s[top]}))
-        if not out:
-            return pd.DataFrame({"query_vec_id": pd.Series([], dtype="int64"),
-                                 "vec_id": pd.Series([], dtype="int64"),
-                                 "cos": pd.Series([], dtype="float64")})
-        return pd.concat(out, ignore_index=True)
+            oq.append(np.full(len(top), int(q), dtype=np.int64))
+            ov.append(vid[idx][top])
+            oc.append(s[top])
+        if not oq:
+            return pa.schema([("query_vec_id", pa.int64()), ("vec_id", pa.int64()),
+                              ("cos", pa.float64())]).empty_table()
+        return pa.table({"query_vec_id": pa.array(np.concatenate(oq)),
+                         "vec_id": pa.array(np.concatenate(ov)),
+                         "cos": pa.array(np.concatenate(oc))})
 
     cands = (_read_embeddings(sf_dir)
-             .map_batches(score_batch, batch_format="pandas", batch_size=4096)
+             .map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
              ).to_pandas()
     cands = cands.sort_values(["query_vec_id", "cos", "vec_id"],
                               ascending=[True, False, True])

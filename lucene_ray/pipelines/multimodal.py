@@ -52,9 +52,11 @@ class FeatureExtractor:
         feats = np.stack([self.decode(p) @ self.proj for p in payloads]) \
             if payloads else np.zeros((0, self.proj.shape[1]))
         md5s = [hashlib.md5(p).hexdigest() for p in payloads]
+        n_bytes = pa.compute.cast(
+            pa.compute.binary_length(batch.column("payload")), pa.int64())
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+            "n_bytes": n_bytes,
             "payload_md5": pa.array(md5s, type=pa.string()),
             "feat": pa.array([row.tolist() for row in feats],
                              type=pa.list_(pa.float64())),

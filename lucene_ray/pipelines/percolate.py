@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .textstats import _flat_tokens_np
 
@@ -75,7 +76,7 @@ class QueryIndex:
         order = np.argsort(trig_t, kind="stable")
         self.trig_t, self.trig_q = trig_t[order], trig_q[order]
 
-    def match_batch(self, doc_ids: np.ndarray, texts: pd.Series):
+    def match_batch(self, doc_ids: np.ndarray, texts):
         """(matched doc_ids, matched query indices) for one batch."""
         V = len(self.vocab)
         flat, lens = _flat_tokens_np(texts)
@@ -135,13 +136,14 @@ def percolate(sf_dir: str, queries=None):
 
     qi = QueryIndex(queries if queries is not None else REGISTERED)
 
-    def match(df: pd.DataFrame) -> pd.DataFrame:
-        docs, qidx = qi.match_batch(df["doc_id"].to_numpy(), df["text"])
-        return pd.DataFrame({"doc_id": pd.Series(docs, dtype="int64"),
-                             "query_id": pd.Series(qi.query_ids[qidx],
-                                                   dtype="object")})
+    def match(t: pa.Table) -> pa.Table:
+        docs, qidx = qi.match_batch(t.column("doc_id").to_numpy(),
+                                    t.column("text"))
+        return pa.table({"doc_id": pa.array(docs, type=pa.int64()),
+                         "query_id": pa.array(qi.query_ids[qidx],
+                                              type=pa.string())})
 
-    return _read_documents(sf_dir).map_batches(match, batch_format="pandas")
+    return _read_documents(sf_dir).map_batches(match, batch_format="pyarrow")
 
 
 def percolate_oracle_sql() -> str:

@@ -37,16 +37,23 @@ def _tokens_series(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.findall(SIMPLE_TOKEN).map(lambda ts: [t.lower() for t in ts])
 
 
-def _pl_tokens(texts: pd.Series):
+def _pl_tokens(texts):
     """Lowercased token lists as a polars Series (native regex kernel — the
-    vectorized replacement for the per-row `_tokens_series` lambdas)."""
+    vectorized replacement for the per-row `_tokens_series` lambdas).
+    Accepts a pandas Series or an Arrow Array/ChunkedArray (zero-copy)."""
     import polars as pl
 
-    s = pl.from_pandas(texts).cast(pl.Utf8).fill_null("")
+    if isinstance(texts, pa.ChunkedArray):
+        s = pl.from_arrow(texts)
+    elif isinstance(texts, pa.Array):
+        s = pl.from_arrow(pa.chunked_array([texts]))
+    else:
+        s = pl.from_pandas(texts)
+    s = s.cast(pl.Utf8).fill_null("")
     return s.str.to_lowercase().str.extract_all(SIMPLE_TOKEN.pattern)
 
 
-def _flat_tokens_np(texts: pd.Series):
+def _flat_tokens_np(texts):
     """(flat polars token Series, per-doc token counts int64) for segmented
     numpy reductions."""
     toks = _pl_tokens(texts)
@@ -94,10 +101,10 @@ def term_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
         import polars as pl
 
-        flat, lens = _flat_tokens_np(df["text"])
+        flat, lens = _flat_tokens_np(t.column("text"))
         tl = pl.DataFrame({
             "doc": np.repeat(np.arange(len(lens), dtype=np.int64), lens),
             "term": flat,
@@ -105,10 +112,13 @@ def term_counts(sf_dir: str):
         agg = (tl.group_by("term")
                .agg(pl.len().cast(pl.Int64).alias("n_occurrences"),
                     pl.col("doc").n_unique().cast(pl.Int64).alias("n_docs")))
-        return agg.to_pandas()
+        out = agg.to_arrow()
+        return out.cast(pa.schema([("term", pa.string()),
+                                   ("n_occurrences", pa.int64()),
+                                   ("n_docs", pa.int64())]))
 
     return (_read_documents(sf_dir)
-            .map_batches(partial, batch_format="pandas")
+            .map_batches(partial, batch_format="pyarrow")
             .groupby("term")
             .aggregate(Sum("n_occurrences", alias_name="n_occurrences"),
                        Sum("n_docs", alias_name="n_docs")))
@@ -121,12 +131,12 @@ def top_terms(sf_dir: str, k: int = 100):
     top-k combiner runs first and only k × n_blocks candidate rows ever
     reach the driver — the vocabulary itself (billions of rows at web
     scale) stays distributed."""
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["n_occurrences", "term"],
-                              ascending=[False, True]).head(k)
+    def local_topk(t: pa.Table) -> pa.Table:
+        return t.sort_by([("n_occurrences", "descending"),
+                          ("term", "ascending")]).slice(0, k)
 
     t = (term_counts(sf_dir)
-         .map_batches(local_topk, batch_format="pandas")
+         .map_batches(local_topk, batch_format="pyarrow")
          ).to_pandas()
     t = t.sort_values(["n_occurrences", "term"], ascending=[False, True]).head(k)
     return t.reset_index(drop=True)
@@ -155,19 +165,19 @@ def collection_stats(sf_dir: str):
 
 def doc_token_stats(sf_dir: str):
     """(doc_id, n_chars, n_tokens, n_unique) token counting per document."""
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
+    def stats(t: pa.Table) -> pa.Table:
         import polars as pl
 
-        toks = _pl_tokens(df["text"])
-        s = pl.from_pandas(df["text"]).cast(pl.Utf8).fill_null("")
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_chars": s.str.len_chars().to_numpy().astype("int64"),
-            "n_tokens": toks.list.len().fill_null(0).to_numpy().astype("int64"),
-            "n_unique": toks.list.n_unique().fill_null(0).to_numpy().astype("int64"),
+        toks = _pl_tokens(t.column("text"))
+        s = pl.from_arrow(t.column("text")).cast(pl.Utf8).fill_null("")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pa.array(s.str.len_chars().to_numpy().astype("int64")),
+            "n_tokens": pa.array(toks.list.len().fill_null(0).to_numpy().astype("int64")),
+            "n_unique": pa.array(toks.list.n_unique().fill_null(0).to_numpy().astype("int64")),
         })
 
-    return _read_documents(sf_dir).map_batches(stats, batch_format="pandas")
+    return _read_documents(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
 def quality_stats(sf_dir: str):
@@ -175,53 +185,55 @@ def quality_stats(sf_dir: str):
     (doc_id, n_tokens, n_stop_en, n_digit_tokens, max_token_len)."""
     stop_en = STOPWORDS["en"]
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        flat, lens = _flat_tokens_np(df["text"])
+    def stats(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens_np(t.column("text"))
         is_stop = flat.is_in(stop_en).to_numpy()
         # tokens are [A-Za-z0-9]+ runs: digit-only <=> no letters
         is_digit = flat.str.contains(r"^[0-9]+$").to_numpy()
         tok_len = flat.str.len_chars().to_numpy()
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_tokens": lens,
-            "n_stop_en": _seg_sum(is_stop, lens),
-            "n_digit_tokens": _seg_sum(is_digit, lens),
-            "max_token_len": _seg_max(tok_len, lens),
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(lens),
+            "n_stop_en": pa.array(_seg_sum(is_stop, lens)),
+            "n_digit_tokens": pa.array(_seg_sum(is_digit, lens)),
+            "max_token_len": pa.array(_seg_max(tok_len, lens)),
         })
 
-    return _read_documents(sf_dir).map_batches(stats, batch_format="pandas")
+    return _read_documents(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
 def langid(sf_dir: str):
     """Stopword-hit language ID: per-language hit counts + deterministic
     argmax (en >= de >= fr precedence on ties; 'und' when all zero)."""
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        flat, lens = _flat_tokens_np(df["text"])
+    def stats(t: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens_np(t.column("text"))
         n = {lang: _seg_sum(flat.is_in(ws).to_numpy(), lens)
              for lang, ws in STOPWORDS.items()}
         pred = np.where(
             (n["en"] == 0) & (n["de"] == 0) & (n["fr"] == 0), "und",
             np.where((n["en"] >= n["de"]) & (n["en"] >= n["fr"]), "en",
                      np.where(n["de"] >= n["fr"], "de", "fr")))
-        return pd.DataFrame({"doc_id": df["doc_id"], "n_en": n["en"], "n_de": n["de"],
-                             "n_fr": n["fr"], "lang_pred": pred})
+        return pa.table({"doc_id": t.column("doc_id"), "n_en": pa.array(n["en"]),
+                         "n_de": pa.array(n["de"]), "n_fr": pa.array(n["fr"]),
+                         "lang_pred": pa.array(pred, type=pa.string())})
 
-    return _read_documents(sf_dir).map_batches(stats, batch_format="pandas")
+    return _read_documents(sf_dir).map_batches(stats, batch_format="pyarrow")
 
 
 def fingerprints(sf_dir: str):
     """Document fingerprinting: md5 of the normalized token stream (and of the
     raw text) — both mirrored exactly by DuckDB's md5()."""
-    def fp(df: pd.DataFrame) -> pd.DataFrame:
+    def fp(t: pa.Table) -> pa.Table:
         # token join is vectorized (polars); md5 itself is a per-row C call
-        joined = _pl_tokens(df["text"]).list.join(" ").fill_null("").to_list()
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "token_fp": [hashlib.md5(s.encode()).hexdigest() for s in joined],
-            "raw_fp": df["text"].fillna("").map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+        joined = _pl_tokens(t.column("text")).list.join(" ").fill_null("").to_list()
+        raw = pa.compute.fill_null(t.column("text"), "").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "token_fp": pa.array([hashlib.md5(s.encode()).hexdigest() for s in joined]),
+            "raw_fp": pa.array([hashlib.md5(s.encode()).hexdigest() for s in raw]),
         })
 
-    return _read_documents(sf_dir).map_batches(fp, batch_format="pandas")
+    return _read_documents(sf_dir).map_batches(fp, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -247,15 +259,14 @@ def distinct_langs(sf_dir: str):
 def grouped_topk(sf_dir: str, k: int = 3):
     """Two-pass grouping search analogue: top-k docs by n_chars per lang
     (tie-break doc_id asc)."""
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("n_chars", "descending"), ("doc_id", "ascending")]) \
+            .slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(1, len(g) + 1)))
 
     return (_read_documents(sf_dir, columns=("doc_id", "lang", "n_chars"))
             .groupby("lang")
-            .map_groups(topk, batch_format="pandas"))
+            .map_groups(topk, batch_format="pyarrow"))
 
 
 RANGE_EDGES = (0, 100, 200, 400, 800, 1 << 40)
@@ -269,16 +280,16 @@ def facet_ranges(sf_dir: str, edges=RANGE_EDGES):
 
     edges_arr = np.asarray(edges, dtype=np.int64)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        b = np.searchsorted(edges_arr, df["n_chars"].to_numpy(), side="right") - 1
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.searchsorted(edges_arr, t.column("n_chars").to_numpy(), side="right") - 1
         b = np.clip(b, 0, len(edges_arr) - 2)
         counts = np.bincount(b, minlength=len(edges_arr) - 1)
         nz = np.nonzero(counts)[0]
-        return pd.DataFrame({"bucket": nz.astype("int64"),
-                             "n_docs": counts[nz].astype("int64")})
+        return pa.table({"bucket": pa.array(nz.astype("int64")),
+                         "n_docs": pa.array(counts[nz].astype("int64"))})
 
     out = (_read_documents(sf_dir, columns=("doc_id", "n_chars"))
-           .map_batches(partial, batch_format="pandas")
+           .map_batches(partial, batch_format="pyarrow")
            .groupby("bucket")
            .aggregate(Sum("n_docs", alias_name="n_docs"))
            ).to_pandas()

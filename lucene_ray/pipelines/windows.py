@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _read_events(sf_dir: str, columns=("event_id", "ts", "user_id", "event_type", "value")):
@@ -26,14 +27,14 @@ def tumbling_counts(sf_dir: str, minutes: int = 60):
 
     step = np.timedelta64(minutes * 60 * 1_000_000, "us")
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df["ts"].to_numpy().astype("datetime64[us]")
-        win = ts.astype("int64") // int(step.astype("int64")) * int(step.astype("int64"))
-        return pd.DataFrame({"event_type": df["event_type"],
-                             "window_start": win.astype("datetime64[us]")})
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype("int64")
+        win = ts // int(step.astype("int64")) * int(step.astype("int64"))
+        return pa.table({"event_type": t.column("event_type"),
+                         "window_start": pa.array(win.astype("datetime64[us]"))})
 
     return (_read_events(sf_dir, columns=("ts", "event_type"))
-            .map_batches(bucket, batch_format="pandas")
+            .map_batches(bucket, batch_format="pyarrow")
             .groupby(["event_type", "window_start"])
             .aggregate(Count(alias_name="n_events")))
 
@@ -43,19 +44,29 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     (user_id, session_id, n_events) — groupby(user).map_groups over ts order."""
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new)
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sid})
-        return (out.groupby(["user_id", "session_id"]).size()
-                .rename("n_events").reset_index().astype("int64"))
+    def sessions(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype("int64")
+        uid = g.column("user_id").to_numpy().astype(np.int64)
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = ((ts[1:] - ts[:-1]) > gap_us) | (uid[1:] != uid[:-1])
+        sid_all = np.cumsum(new)
+        # per-user session ids restart at 1 (sid minus the user's first sid +1)
+        ustart = np.ones(len(ts), dtype=bool)
+        ustart[1:] = uid[1:] != uid[:-1]
+        base = sid_all[np.nonzero(ustart)[0]]
+        sid = sid_all - np.repeat(base, np.diff(np.concatenate(
+            (np.nonzero(ustart)[0], [len(ts)])))) + 1
+        # session sizes via run-length over (uid, sid) boundaries
+        b = np.nonzero(new)[0]
+        sizes = np.diff(np.concatenate((b, [len(ts)])))
+        return pa.table({"user_id": pa.array(uid[b]),
+                         "session_id": pa.array(sid[b].astype(np.int64)),
+                         "n_events": pa.array(sizes.astype(np.int64))})
 
     return (_read_events(sf_dir, columns=("event_id", "ts", "user_id"))
             .groupby("user_id")
-            .map_groups(sessions, batch_format="pandas"))
+            .map_groups(sessions, batch_format="pyarrow"))
 
 
 def hopping_counts(sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15):
@@ -69,20 +80,23 @@ def hopping_counts(sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15)
     hop_us = hop_minutes * 60 * 1_000_000
     n_hops = win_us // hop_us
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype("int64")
         # latest hop-aligned window start containing the event, then walk back
         base = ts // hop_us * hop_us
         starts = (base[:, None] - np.arange(n_hops, dtype=np.int64)[None, :] * hop_us)
         valid = starts + win_us > ts[:, None]        # event inside [start, start+win)
-        et = np.repeat(df["event_type"].to_numpy(), n_hops)
         flat = starts.reshape(-1)
         keep = valid.reshape(-1)
-        return pd.DataFrame({"event_type": et[keep],
-                             "window_start": flat[keep].astype("datetime64[us]")})
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        idx = np.repeat(np.arange(t.num_rows), n_hops)[keep]
+        return pa.table({"event_type": et.take(pa.array(idx)),
+                         "window_start": pa.array(flat[keep].astype("datetime64[us]"))})
 
     return (_read_events(sf_dir, columns=("ts", "event_type"))
-            .map_batches(explode, batch_format="pandas")
+            .map_batches(explode, batch_format="pyarrow")
             .groupby(["event_type", "window_start"])
             .aggregate(Count(alias_name="n_events")))
 
@@ -95,26 +109,26 @@ def windowed_topk_users(sf_dir: str, minutes: int = 1440, k: int = 3):
 
     step_us = minutes * 60 * 1_000_000
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").astype("int64")
         win = ts // step_us * step_us
-        g = (pd.DataFrame({"window_start": win, "user_id": df["user_id"]})
-             .groupby(["window_start", "user_id"]).size().rename("n").reset_index())
-        return g
+        g = pa.table({"window_start": pa.array(win),
+                      "user_id": t.column("user_id")}) \
+            .group_by(["window_start", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["window_start", "user_id", "n"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", "user_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame({
-            "window_start": g["window_start"].astype("int64"),
-            "rank": np.arange(1, len(g) + 1, dtype="int64"),
-            "user_id": g["user_id"].astype("int64"),
-            "n_events": g["n"].astype("int64"),
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("n", "descending"), ("user_id", "ascending")]).slice(0, k)
+        return pa.table({
+            "window_start": pa.compute.cast(g.column("window_start"), pa.int64()),
+            "rank": pa.array(np.arange(1, g.num_rows + 1, dtype="int64")),
+            "user_id": pa.compute.cast(g.column("user_id"), pa.int64()),
+            "n_events": pa.compute.cast(g.column("n"), pa.int64()),
         })
 
     return (_read_events(sf_dir, columns=("ts", "user_id"))
-            .map_batches(partial, batch_format="pandas")
+            .map_batches(partial, batch_format="pyarrow")
             .groupby(["window_start", "user_id"])
             .aggregate(Sum("n", alias_name="n"))
             .groupby("window_start")
-            .map_groups(topk, batch_format="pandas"))
+            .map_groups(topk, batch_format="pyarrow"))

@@ -44,9 +44,11 @@ def planted(tmp_path_factory):
 def test_scalar_batch_minhash_parity(ray_session, planted):
     """The vectorized _sketch_batch signatures equal minhash_signature."""
     sf, texts = planted
-    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
-                       "text": texts})
-    rows = dedup._sketch_batch(df, k=3)
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": np.arange(len(texts), dtype=np.int64),
+                  "text": texts})
+    rows = dedup._sketch_batch(t, k=3).to_pandas()
     # recompute per doc with the scalar path and compare the band keys
     for doc_id in (0, 120, 124):
         toks = [t.lower() for t in dedup.SIMPLE_TOKEN.findall(texts[doc_id])]
@@ -58,9 +60,11 @@ def test_scalar_batch_minhash_parity(ray_session, planted):
 
 def test_scalar_batch_simhash_parity(planted):
     sf, texts = planted
-    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
-                       "text": texts})
-    out = dedup._simhash_batch(df)
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": np.arange(len(texts), dtype=np.int64),
+                  "text": texts})
+    out = dedup._simhash_batch(t).to_pandas()
     for doc_id in (0, 50, 121):
         toks = [t.lower() for t in dedup.SIMPLE_TOKEN.findall(texts[doc_id])]
         assert int(out[out.doc_id == doc_id].simhash.iloc[0]) == int(dedup.simhash64(toks))
