@@ -248,6 +248,13 @@ def _plan_from_blocks(block_refs, n_parts: int, key: str,
     return np.unique(cids[q]).tolist()
 
 
+# above this many partitions the exchange goes two-level: a split task's
+# return-object count is the coarse-bucket count C (~sqrt(P) scaled to the
+# pool), not P, so total exchange objects stay O(split_tasks x sqrt(P) + P)
+# instead of O(split_tasks x P)
+TWO_LEVEL_PARTS = 384
+
+
 def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp: str,
                          text_col: str, key_cols, keyword_cols=(),
                          docvalue_cols=(), token_filters=(),
@@ -264,6 +271,11 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
     idempotent (tmp dir + rename keyed by pid + fingerprint).
     """
     import ray
+
+    if n_parts > TWO_LEVEL_PARTS:
+        return _exchange_two_level(block_refs, tag_pid, n_parts, shards_dir, fp,
+                                   text_col, key_cols, keyword_cols,
+                                   docvalue_cols, token_filters, vector_col)
 
     def _compact(tbl: pa.Table) -> pa.Table:
         # CRITICAL: pickling a sliced Arrow table serializes the WHOLE parent
@@ -308,6 +320,82 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
             per_pid[p].append(r)
     futs = [flush.remote(p, *per_pid[p]) for p in range(n_parts)]
     return [m for m in ray.get(futs) if m is not None]
+
+
+def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
+                        fp: str, text_col: str, key_cols, keyword_cols=(),
+                        docvalue_cols=(), token_filters=(),
+                        vector_col=None) -> list[dict]:
+    """Two-level exchange for large partition counts (block → coarse bucket →
+    shards): split tasks return one object per COARSE bucket (contiguous pid
+    range), and one flush task per bucket re-splits its data by pid and
+    writes each shard.  Exchange objects: split_tasks × C + C instead of
+    split_tasks × P; flush parallelism = C tasks.  C is max(√P, 2×CPUs)
+    so per-bucket work shrinks as the pool grows; at 10^12 turns / 5M
+    partitions this keeps the object count in the tens of millions instead
+    of tens of billions (NOTES.md round-3)."""
+    import math
+
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    C = min(n_parts, max(int(math.ceil(math.sqrt(n_parts))), 2 * n_cpus))
+    step = -(-n_parts // C)                      # pids per coarse bucket
+    C = -(-n_parts // step)                      # tighten after rounding
+
+    def _compact(tbl: pa.Table) -> pa.Table:
+        # slicing note as in the single-level exchange: pickling a slice
+        # ships the whole parent buffer; concat_arrays copies just the slice
+        return pa.table({name: pa.concat_arrays([c for c in tbl.column(name).chunks])
+                         for name in tbl.column_names})
+
+    @ray.remote(num_returns=C)
+    def split_coarse(*tbls):
+        tagged = pa.concat_tables([tag_pid(t) for t in tbls])
+        pid = tagged.column("pid").to_numpy(zero_copy_only=False)
+        coarse = pid // step
+        order = np.argsort(coarse, kind="stable")
+        sorted_tbl = tagged.take(pa.array(order))
+        sc = coarse[order]
+        bounds = np.searchsorted(sc, np.arange(C + 1))
+        out = [_compact(sorted_tbl.slice(int(bounds[c]), int(bounds[c + 1] - bounds[c])))
+               for c in range(C)]
+        return out if C > 1 else out[0]
+
+    @ray.remote
+    def flush_bucket(c: int, *tables):
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return []
+        group = pa.concat_tables(tables)
+        pid = group.column("pid").to_numpy(zero_copy_only=False)
+        order = np.argsort(pid, kind="stable")
+        group = group.take(pa.array(order))
+        spid = pid[order]
+        lo_pid, hi_pid = c * step, min((c + 1) * step, n_parts)
+        bounds = np.searchsorted(spid, np.arange(lo_pid, hi_pid + 1))
+        manifests = []
+        for i, p in enumerate(range(lo_pid, hi_pid)):
+            sub = group.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            if sub.num_rows == 0:
+                continue
+            manifests.append(write_shard(
+                shards_dir, p, sub.drop_columns(["pid"]), fp,
+                text_col=text_col, key_cols=key_cols, keyword_cols=keyword_cols,
+                docvalue_cols=docvalue_cols, token_filters=token_filters,
+                vector_col=vector_col))
+        return manifests
+
+    per_task = max(1, len(block_refs) // (2 * n_cpus))
+    per_bucket: list[list] = [[] for _ in range(C)]
+    for i in range(0, len(block_refs), per_task):
+        refs = split_coarse.remote(*block_refs[i:i + per_task])
+        if C == 1:
+            refs = [refs]
+        for c, r in enumerate(refs):
+            per_bucket[c].append(r)
+    futs = [flush_bucket.remote(c, *per_bucket[c]) for c in range(C)]
+    return [m for ms in ray.get(futs) for m in ms]
 
 
 def merge_term_stats(index_dir: str, commit: dict, n_salts: int = 16) -> str:
