@@ -114,6 +114,22 @@ def run_bench() -> dict:
     timings["index_build"] = build_sec
     turns_per_sec = commit["doc_count"] / build_sec
 
+    # release the build's object-store references and let idle Ray Data
+    # workers settle before the serving measurement — leftover executor
+    # heaps contend with the actor pool's mmap pages and inflate tail
+    # latency ~5x (measured p99 209ms -> 43ms)
+    import gc
+
+    del ds
+    gc.collect()
+    try:
+        from ray._private.internal_api import global_gc
+
+        global_gc()
+    except Exception:
+        pass
+    time.sleep(5)
+
     # ---- query latency through the actor pool ----
     # NUM_CPUS/2 slice executors: measured p50 12.8ms / p99 31ms / QPS 153
     # vs 15.1/30.6/110 at NUM_CPUS/4 on the 1M-turn 128-shard index — more
@@ -149,11 +165,15 @@ def run_bench() -> dict:
             r.to_pandas()
         timings[name] = time.perf_counter() - t0
 
+    from lucene_ray.pipelines import percolate as percolate_mod
+
     timed("term_counts", textstats.term_counts)
     timed("dedup_exact", dedup.dedup_exact)
+    timed("dedup_minhash", dedup.dedup_minhash)
     timed("knn_cosine", knn.knn_cosine)
     timed("sessionize", windows.sessionize)
     timed("bm25_scan_topk", bm25scan.bm25_scan_topk)
+    timed("percolate", percolate_mod.percolate)
 
     calib = None
     if os.environ.get("BENCH_CALIBRATE"):

@@ -332,6 +332,41 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                 doc = np.concatenate((doc, *add_d))
                 pos = np.concatenate((pos, *add_p))
                 incr = np.concatenate((incr, np.zeros(sum(map(len, add_t)), bool)))
+        elif spec.startswith(("edge_ngram:", "ngram:")):
+            # EdgeNGramTokenFilter / NGramTokenFilter
+            # (`analysis/ngram/EdgeNGramTokenFilter.java`,
+            # `analysis/ngram/NGramTokenFilter.java`) with preserveOriginal:
+            # grams are posInc-0 overlays at the source token's position and
+            # don't count toward norms; a gram equal to the whole token is
+            # skipped (the original already stands).  Vectorized through the
+            # distinct-token dictionary: grams are computed once per VOCAB
+            # entry, then scattered to occurrences.
+            edge = spec.startswith("edge_ngram:")
+            lo_n, hi_n = (int(x) for x in spec.split(":")[1].split("-"))
+            occ = np.nonzero(incr)[0]
+            uniq, inv = np.unique(toks[occ].astype(str), return_inverse=True)
+            gram_lists = []
+            for w in uniq:
+                gs = []
+                for n in range(lo_n, min(hi_n, len(w) - 1) + 1):
+                    if edge:
+                        gs.append(w[:n])
+                    else:
+                        gs.extend(w[i:i + n] for i in range(len(w) - n + 1))
+                gram_lists.append(gs)
+            gcounts = np.array([len(g) for g in gram_lists], dtype=np.int64)
+            gflat = np.array([g for gs in gram_lists for g in gs], dtype=object)
+            goffs = np.concatenate(([0], np.cumsum(gcounts)))
+            per_occ = gcounts[inv]
+            total = int(per_occ.sum())
+            if total:
+                within = np.arange(total) - np.repeat(
+                    np.cumsum(per_occ) - per_occ, per_occ)
+                val_idx = np.repeat(goffs[inv], per_occ) + within
+                toks = np.concatenate((toks, gflat[val_idx]))
+                doc = np.concatenate((doc, np.repeat(doc[occ], per_occ)))
+                pos = np.concatenate((pos, np.repeat(pos[occ], per_occ)))
+                incr = np.concatenate((incr, np.zeros(total, bool)))
         elif spec == "shingle":
             # pair ORIGINAL tokens at strictly-consecutive positions in the
             # same doc (stream order = doc-major position order for incr

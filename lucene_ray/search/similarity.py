@@ -176,3 +176,47 @@ class LMDirichletSimilarity:
     def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
                         sum_ttf: int):
         raise NotImplementedError("LM Dirichlet phrase scoring not supported")
+
+
+class LMJelinekMercerScorer:
+    __slots__ = ("weight", "cache", "lam", "p_w")
+
+    def __init__(self, boost, lam, p_w):
+        self.weight = np.float32(boost)
+        self.lam = np.float64(lam)
+        self.p_w = np.float64(p_w)
+        # per-norm-byte 1/dl factor (decoded lengths; dl >= 1 for docs with
+        # a match, but guard the zero byte)
+        self.cache = (1.0 / np.maximum(LENGTH_TABLE.astype(np.float64), 1.0))
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        f = freqs.astype(np.float64)
+        inv_dl = self.cache[norm_bytes.astype(np.int64) & 0xFF]
+        s = np.log(1.0 + ((1.0 - self.lam) * f * inv_dl)
+                   / (self.lam * self.p_w))
+        return (self.weight * s).astype(np.float32)
+
+
+class LMJelinekMercerSimilarity:
+    """Language model with Jelinek-Mercer smoothing
+    (`search/similarities/LMJelinekMercerSimilarity.java:55-77`): score =
+    boost * log(1 + ((1-λ) * freq/dl) / (λ * p_w)), p_w = ttf / total
+    collection tokens, dl decoded from the shared SmallFloat norm byte."""
+
+    def __init__(self, lam: float = 0.1):
+        if not (0 < lam <= 1):
+            raise ValueError("lambda must be in (0, 1]")
+        self.lam = lam
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)          # LM scoring has no idf factor
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None):
+        occ = ttf if ttf is not None else max(doc_freq, 1)
+        p_w = max(occ, 1) / max(sum_ttf, 1)
+        return LMJelinekMercerScorer(boost, self.lam, p_w)
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        raise NotImplementedError("LM JM phrase scoring not supported")

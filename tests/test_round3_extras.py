@@ -1,0 +1,103 @@
+"""Round-3 extras: n-gram / edge-n-gram graph stages, the infix suggester,
+and LM Jelinek-Mercer similarity (brute-force oracle)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _chain(texts, specs):
+    from lucene_ray.analysis.filters import run_token_chain
+    from lucene_ray.analysis.standard import tokenize_column
+
+    lengths, flat = tokenize_column(pa.array(texts, type=pa.string()))
+    return run_token_chain(flat, lengths, specs)
+
+
+def test_edge_ngram_overlays():
+    flat, counts, pos, norms = _chain(["search box"], ("edge_ngram:2-3",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["search", "se", "sea", "box", "bo"]
+    assert pos.tolist() == [0, 0, 0, 1, 1]
+    assert norms.tolist() == [2]          # overlays discounted
+    assert counts.tolist() == [5]
+
+
+def test_ngram_overlays():
+    flat, _, pos, _ = _chain(["abcd"], ("ngram:3-3",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["abcd", "abc", "bcd"]
+    assert pos.tolist() == [0, 0, 0]
+
+
+def test_edge_ngram_end_to_end_prefix_term(ray_session, tmp_path):
+    """An edge-n-gram index answers prefix lookups as plain TermQuerys."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    rows = pa.table({
+        "conv_id": pa.array(["a", "b", "c"]),
+        "turn_idx": pa.array([0, 0, 0], type=pa.int32()),
+        "text": pa.array(["searching code", "searched result", "sorting data"]),
+    })
+    build_index(rd.from_arrow(rows), str(tmp_path / "idx"),
+                target_docs_per_partition=100,
+                token_filters=("edge_ngram:3-5",), input_desc="t")
+    s = IndexSearcher(str(tmp_path / "idx"))
+    assert s.count(TermQuery("sear")) == 2       # edge gram of search*
+    assert s.count(TermQuery("sort")) == 1
+    assert s.count(TermQuery("searching")) == 1  # original preserved
+
+
+def test_suggest_infix(ray_session):
+    from lucene_ray.pipelines.flagship import build_transcript_index
+    from lucene_ray.search.searcher import IndexSearcher, suggest_infix
+
+    s = IndexSearcher(build_transcript_index(SF))
+    got = suggest_infix(s, "erg", k=5)           # m-erg-e
+    assert any(t == "merge" for t, _ in got)
+    # brute-force oracle over the union dictionary
+    ttfs = {}
+    for pid in s._pids:
+        rdr = s.reader(pid)
+        for t, ttf in zip(rdr._term_np, rdr._ttf):
+            if "erg" in t:
+                ttfs[t] = ttfs.get(t, 0) + int(ttf)
+    expect = sorted(ttfs.items(), key=lambda x: (-x[1], x[0]))[:5]
+    assert got == expect
+
+
+def test_lm_jelinek_mercer_bruteforce(ray_session):
+    """LMJM top-k through the engine equals a brute-force recomputation from
+    decoded postings + norms."""
+    from lucene_ray.pipelines.flagship import build_transcript_index
+    from lucene_ray.search.query import bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.search.similarity import LMJelinekMercerSimilarity
+    from lucene_ray.util.smallfloat import LENGTH_TABLE
+
+    sim = LMJelinekMercerSimilarity(lam=0.3)
+    s = IndexSearcher(build_transcript_index(SF), similarity=sim)
+    term = "merge"
+    td = s.search(bool_query(should=[term]), k=10)
+    # brute force
+    p_w = s.ttf(term) / s.sum_ttf
+    rows = []
+    for pid in s._pids:
+        rdr = s.reader(pid)
+        tid = rdr.seek_exact(term)
+        if tid < 0:
+            continue
+        docs, freqs = rdr.postings(tid)
+        dl = np.maximum(LENGTH_TABLE[rdr.norms[docs] & 0xFF].astype(np.float64), 1.0)
+        sc = np.log(1.0 + ((1 - 0.3) * freqs / dl) / (0.3 * p_w)).astype(np.float32)
+        for d, v in zip(docs, sc):
+            rows.append((float(v), int(d) + s._bases[pid]))
+    rows.sort(key=lambda x: (-x[0], x[1]))
+    assert [(h.gid, round(h.score, 5)) for h in td.hits] == \
+        [(g, round(v, 5)) for v, g in rows[:10]]
