@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_facet_role": _lazy("index_facet_role"),
         "index_conv_topk": _lazy("index_conv_topk"),
         "index_mlt_topk": _lazy("index_mlt_topk"),
+        "index_expr_topk": _lazy("index_expr_topk"),
         # --- vector search as a first-class index query (round 3) ---
         "index_knn_filtered": _vs("index_knn_filtered"),
         "index_knn_topk": _vs("index_knn_topk"),
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "index_bm25_bool_sql": _index_bool_oracle_sql(),
         "index_conv_topk": _conv_join_sql(),
         "index_mlt_topk": _mlt_sql(),
+        "index_expr_topk": _expr_sql(),
         "index_knn_filtered": _knn_filtered_sql(),
         "index_hybrid_rrf": _hybrid_rrf_sql(),
         "index_phrase_count": _TOKS + """
@@ -456,6 +458,12 @@ def _percolate_sql() -> str:
     from lucene_ray.pipelines.percolate import percolate_oracle_sql
 
     return percolate_oracle_sql()
+
+
+def _expr_sql() -> str:
+    from lucene_ray.pipelines.flagship import index_expr_oracle_sql
+
+    return index_expr_oracle_sql()
 
 
 def _mlt_sql() -> str:

@@ -456,6 +456,37 @@ def index_bool_oracle_sql() -> str:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_SQL_K}"""
 
 
+EXPR_K = 10
+EXPR_SRC = "_score * 2 + ln(1 + turn_idx)"
+
+
+def index_expr_topk(sf_dir: str, k: int = EXPR_K) -> pd.DataFrame:
+    """Scripted-scoring (expressions module surface): rescore the reference
+    BM25 matches with `_score * 2 + ln(1 + turn_idx)` over doc-values —
+    value-checked against SQL.  (rank, conv_id, turn_idx, score 4dp)."""
+    from ..search.query import FunctionScoreQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = FunctionScoreQuery(bool_query(should=list(BM25_SQL_TERMS)), EXPR_SRC)
+    td = searcher.search(q, k=k)
+    rows = [(r, h.conv_id, int(h.turn_idx), round(float(h.score), 4))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+def index_expr_oracle_sql(k: int = EXPR_K) -> str:
+    return f"""
+        WITH {bm25_scored_cte(BM25_SQL_TERMS)},
+        fn AS (SELECT doc_id, score * 2 + ln(1 + doc_id % 5) AS fscore
+               FROM scored)
+        SELECT row_number() OVER (ORDER BY fscore DESC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               round(fscore, 4) AS score
+        FROM fn ORDER BY fscore DESC, doc_id ASC LIMIT {k}"""
+
+
 MLT_DOC_ID = 0
 MLT_K = 10
 MLT_MAX_TERMS = 25

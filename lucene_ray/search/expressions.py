@@ -1,0 +1,75 @@
+"""Scripted scoring expressions — the role of the reference's `expressions`
+module (`lucene/expressions/src/java/org/apache/lucene/expressions/
+Expression.java` + `js/JavascriptCompiler.java`): compile an arithmetic
+formula over `_score` and doc-values fields into a vectorized evaluator.
+
+Re-expression: instead of bytecode generation, the formula is parsed with
+Python's `ast` into a WHITELISTED node tree (numbers, + - * / % **, unary -,
+comparisons, and the function table below) and evaluated with numpy over
+the matched docs' value arrays — one vectorized pass per shard, no per-doc
+Python.  Unknown names resolve to doc-values columns at execution time.
+"""
+
+from __future__ import annotations
+
+import ast
+
+import numpy as np
+
+FUNCS = {
+    "ln": np.log, "log": np.log, "log10": np.log10, "sqrt": np.sqrt,
+    "abs": np.abs, "min": np.minimum, "max": np.maximum, "pow": np.power,
+    "exp": np.exp,
+}
+
+_BINOPS = {
+    ast.Add: np.add, ast.Sub: np.subtract, ast.Mult: np.multiply,
+    ast.Div: np.true_divide, ast.Mod: np.mod, ast.Pow: np.power,
+}
+
+
+def compile_expression(src: str):
+    """Parse `src` once; returns (evaluator, variable names).  The evaluator
+    takes a dict of name -> float64 ndarray (must include every variable)
+    and returns a float64 ndarray."""
+    tree = ast.parse(src, mode="eval")
+    names: set[str] = set()
+
+    def check(node):
+        if isinstance(node, ast.Expression):
+            check(node.body)
+        elif isinstance(node, ast.BinOp) and type(node.op) in _BINOPS:
+            check(node.left)
+            check(node.right)
+        elif isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.USub, ast.UAdd)):
+            check(node.operand)
+        elif isinstance(node, ast.Call):
+            if not (isinstance(node.func, ast.Name) and node.func.id in FUNCS) \
+                    or node.keywords:
+                raise ValueError(f"disallowed call in expression: {ast.dump(node)}")
+            for a in node.args:
+                check(a)
+        elif isinstance(node, ast.Name):
+            names.add(node.id)
+        elif isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+            pass
+        else:
+            raise ValueError(f"disallowed expression node: {type(node).__name__}")
+
+    check(tree)
+
+    def ev(node, env):
+        if isinstance(node, ast.Expression):
+            return ev(node.body, env)
+        if isinstance(node, ast.BinOp):
+            return _BINOPS[type(node.op)](ev(node.left, env), ev(node.right, env))
+        if isinstance(node, ast.UnaryOp):
+            v = ev(node.operand, env)
+            return -v if isinstance(node.op, ast.USub) else +v
+        if isinstance(node, ast.Call):
+            return FUNCS[node.func.id](*(ev(a, env) for a in node.args))
+        if isinstance(node, ast.Name):
+            return env[node.id]
+        return np.float64(node.value)
+
+    return (lambda env: np.asarray(ev(tree, env), dtype=np.float64)), sorted(names)

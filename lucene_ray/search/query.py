@@ -133,6 +133,18 @@ class ToParentBlockJoinQuery:
 
 
 @dataclass(frozen=True)
+class FunctionScoreQuery:
+    """Rescores the wrapped query's matches with an arithmetic expression
+    over `_score` and doc-values fields (`queries/function/
+    FunctionScoreQuery.java` + the `expressions` module's
+    `JavascriptCompiler` binding `SimpleBindings` to sort fields/score).
+    The expression string is compiled per shard into one vectorized numpy
+    pass (see search/expressions.py)."""
+    query: object
+    expression: str
+
+
+@dataclass(frozen=True)
 class SortField:
     """Sort specification for field-sorted top-k
     (`search/SortField.java:57-126`): order by the doc-values column

@@ -267,8 +267,18 @@ class IndexSearcher:
         if isinstance(query, MatchAllDocsQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": True}
-        from .query import KnnVectorQuery, MatchNoDocsQuery, ToParentBlockJoinQuery
+        from .query import (
+            FunctionScoreQuery,
+            KnnVectorQuery,
+            MatchNoDocsQuery,
+            ToParentBlockJoinQuery,
+        )
 
+        if isinstance(query, FunctionScoreQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "fnscore": (self.compile(query.query, _normalized=False),
+                                query.expression)}
         if isinstance(query, ToParentBlockJoinQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
@@ -497,6 +507,8 @@ class IndexSearcher:
         if compiled.get("block_join") is not None:
             return self._block_join_shard(rdr, compiled["block_join"], k,
                                           after=after)
+        if compiled.get("fnscore") is not None:
+            return self._fnscore_shard(rdr, compiled["fnscore"], k, after=after)
         if compiled.get("nested") is not None:
             from .scorer import search_shard_nested
 
@@ -652,6 +664,42 @@ class IndexSearcher:
             docs, sims = docs[keep], sims[keep]
         n = min(kk, len(docs))
         return sims[:n], docs[:n].astype(np.int32), n, RELATION_EQ
+
+    _EXPR_CACHE: dict = {}
+
+    def _fnscore_shard(self, rdr, spec, k, after=None):
+        """FunctionScoreQuery per shard: collect the inner query's full
+        match set, evaluate the compiled expression vectorized over
+        (_score float64 of the float32 inner scores, doc-values columns),
+        keep the shard's top-k.  Scores stay float64 so expression entries
+        are SQL-value-checkable (same convention as kNN)."""
+        inner, expr = spec
+        ev = IndexSearcher._EXPR_CACHE.get(expr)
+        if ev is None:
+            from .expressions import compile_expression
+
+            ev = IndexSearcher._EXPR_CACHE[expr] = compile_expression(expr)
+        fn, names = ev
+        empty = (np.zeros(0, np.float64), np.zeros(0, np.int32), 0, RELATION_EQ)
+        scores, docs, total, rel = self.search_shard(
+            rdr, inner, rdr.doc_count, total_hits_threshold=2**31 - 1)
+        if len(docs) == 0:
+            return empty
+        env = {}
+        for n in names:
+            if n == "_score":
+                env[n] = scores.astype(np.float64)
+            else:
+                env[n] = rdr.docvalue(n)[docs].astype(np.float64)
+        new = fn(env)
+        if new.shape == ():                 # constant expression
+            new = np.full(len(docs), float(new))
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (new < a_s) | ((new == a_s) & (docs.astype(np.int64) > a_d))
+            new, docs = new[keep], docs[keep]
+        top = np.lexsort((docs, -new))[:k]
+        return new[top], docs[top], total, rel
 
     def _block_join_shard(self, rdr, spec, k, after=None):
         """Per-shard child→parent join: conversations never span shards

@@ -101,3 +101,45 @@ def test_lm_jelinek_mercer_bruteforce(ray_session):
     rows.sort(key=lambda x: (-x[0], x[1]))
     assert [(h.gid, round(h.score, 5)) for h in td.hits] == \
         [(g, round(v, 5)) for v, g in rows[:10]]
+
+
+def test_expression_compiler_safety_and_values():
+    import numpy as np
+
+    from lucene_ray.search.expressions import compile_expression
+
+    fn, names = compile_expression("_score * 2 + ln(1 + turn_idx)")
+    assert names == ["_score", "turn_idx"]
+    out = fn({"_score": np.array([1.0, 2.0]), "turn_idx": np.array([0.0, 3.0])})
+    np.testing.assert_allclose(out, [2.0, 4.0 + np.log(4.0)])
+    for evil in ("__import__('os')", "x.y", "(lambda: 1)()", "[1,2]",
+                 "open('f')"):
+        with pytest.raises(ValueError):
+            compile_expression(evil)
+
+
+def test_function_score_query(ray_session):
+    """FunctionScoreQuery rescoring equals recomputing from the inner
+    query's hits + doc values; runs through the actor pool identically."""
+    import numpy as np
+
+    from lucene_ray.pipelines.flagship import build_transcript_index
+    from lucene_ray.search.actors import QueryService
+    from lucene_ray.search.query import FunctionScoreQuery, bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+
+    idx = build_transcript_index(SF)
+    s = IndexSearcher(idx)
+    inner = bool_query(should=["merge", "join"])
+    q = FunctionScoreQuery(inner, "_score * 2 + ln(1 + turn_idx)")
+    td = s.search(q, k=10)
+    base = s.search(inner, k=10 ** 6, total_hits_threshold=2 ** 31 - 1)
+    exp = sorted(((np.float64(h.score) * 2 + np.log(1 + h.turn_idx), h.gid)
+                  for h in base.hits), key=lambda x: (-x[0], x[1]))[:10]
+    assert [(round(h.score, 9), h.gid) for h in td.hits] == \
+        [(round(v, 9), g) for v, g in exp]
+    svc = QueryService(idx, num_actors=2)
+    pooled = svc.search(q, k=10)
+    svc.shutdown()
+    assert [(h.gid, round(h.score, 9)) for h in pooled.hits] == \
+        [(h.gid, round(h.score, 9)) for h in td.hits]
