@@ -204,10 +204,33 @@ def ascii_fold(s: str) -> str:
     return "".join(out)
 
 
+def english_minimal_stem(word: str) -> str:
+    """EnglishMinimalStemFilter (`analysis/en/EnglishMinimalStemFilter.java`
+    → `EnglishMinimalStemmer.java`): strip a plural -s unless the word ends
+    in -us/-ss/-s preceded by nothing, length > 2."""
+    if len(word) < 3 or not word.endswith("s"):
+        return word
+    if word.endswith(("us", "ss")):
+        return word
+    return word[:-1]
+
+
+def reverse_token(word: str) -> str:
+    """ReverseStringFilter (`analysis/reverse/ReverseStringFilter.java`):
+    leading-wildcard support via a reversed-token field."""
+    return word[::-1]
+
+
 FILTERS = {
     "ascii_fold": ascii_fold,
     "porter": porter_stem,
+    "english_minimal": english_minimal_stem,
+    "reverse": reverse_token,
 }
+
+
+def _make_truncate(n: int):
+    return lambda w: w[:n]
 
 # Lucene's EnglishAnalyzer default stop set
 # (`analysis/en/EnglishAnalyzer.java` ENGLISH_STOP_WORDS_SET)
@@ -216,13 +239,24 @@ ENGLISH_STOP = ("a an and are as at be but by for if in into is it no not of "
                 "will with").split()
 
 
+def resolve_one2one(spec: str):
+    """Filter callable for a 1:1 spec (named or parameterized like
+    ``truncate:N``); None for graph stages."""
+    f = FILTERS.get(spec)
+    if f is not None:
+        return f
+    if spec.startswith("truncate:"):
+        return _make_truncate(int(spec.split(":")[1]))
+    return None
+
+
 def apply_filters_str(term: str, names) -> str:
     """Query-side chain: only 1:1 per-term filters apply (graph stages —
-    stop/syn/shingle — are index-side rewrites; query terms hit the already
-    rewritten dictionary directly, like Lucene's multi-term queries
-    bypassing analysis)."""
+    stop/syn/shingle/ngram/length — are index-side rewrites; query terms hit
+    the already rewritten dictionary directly, like Lucene's multi-term
+    queries bypassing analysis)."""
     for n in names:
-        f = FILTERS.get(n)
+        f = resolve_one2one(n)
         if f is not None:
             term = f(term)
     return term
@@ -286,13 +320,13 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
     only 1:1 stages ran (all increments 1, the fast path)."""
     import pyarrow as pa
 
-    one2one = [s for s in specs if s in FILTERS]
-    graph = [s for s in specs if s not in FILTERS]
+    one2one = [s for s in specs if resolve_one2one(s) is not None]
+    graph = [s for s in specs if resolve_one2one(s) is None]
     if one2one:
         # leading 1:1 stages run dictionary-vectorized before any graph stage
         lead = []
         for s in specs:
-            if s in FILTERS:
+            if resolve_one2one(s) is not None:
                 lead.append(s)
             else:
                 break
@@ -313,9 +347,16 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
     incr = np.ones(len(toks), dtype=bool)
 
     for spec in rest:
-        if spec in FILTERS:
+        if resolve_one2one(spec) is not None:
             toks = np.asarray(apply_filters_column(
                 pa.array(toks, type=pa.string()), (spec,)), dtype=object)
+        elif spec.startswith("length:"):
+            # LengthFilter (`analysis/miscellaneous/LengthFilter.java`):
+            # out-of-bounds tokens drop, leaving position gaps
+            lo_n, hi_n = (int(x) for x in spec.split(":")[1].split("-"))
+            ln = np.array([len(w) for w in toks], dtype=np.int64)
+            keep = (ln >= lo_n) & (ln <= hi_n)
+            toks, doc, pos, incr = toks[keep], doc[keep], pos[keep], incr[keep]
         elif spec.startswith("stop:"):
             keep = ~np.isin(toks, np.asarray(_parse_stop(spec), dtype=object))
             toks, doc, pos, incr = toks[keep], doc[keep], pos[keep], incr[keep]

@@ -57,6 +57,24 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
         dm = rdr.docmap()
         if dm.num_rows != rdr.doc_count:
             errors.append(f"shard {m['pid']}: docmap rows != doc_count")
+        # vector files (when the shard carries a vector column): row count
+        # matches, finite values, graph loads and its node ids are in range
+        if int(m.get("vector_dim", 0)) > 0:
+            vm = rdr.vectors()
+            if vm is None:
+                errors.append(f"shard {m['pid']}: vector_dim set but vectors.npy missing")
+            else:
+                if vm.shape != (rdr.doc_count, int(m["vector_dim"])):
+                    errors.append(f"shard {m['pid']}: vectors shape {vm.shape} != "
+                                  f"({rdr.doc_count}, {m['vector_dim']})")
+                if not np.isfinite(np.asarray(vm, dtype=np.float64)).all():
+                    errors.append(f"shard {m['pid']}: non-finite vector values")
+            g = rdr.hnsw()
+            if g is not None:
+                if len(g.ids) and (g.ids.min() < 0 or g.ids.max() >= rdr.doc_count):
+                    errors.append(f"shard {m['pid']}: hnsw node id out of range")
+                if g.entry >= rdr.doc_count:
+                    errors.append(f"shard {m['pid']}: hnsw entry out of range")
         tids = range(rdr.n_terms)
         if sample_terms and rdr.n_terms > sample_terms:
             tids = np.linspace(0, rdr.n_terms - 1, sample_terms).astype(int)

@@ -7,7 +7,59 @@ returns the best passage with query terms wrapped.
 
 from __future__ import annotations
 
-from ..analysis.standard import scan, jdk_lower
+import re
+
+from ..analysis.standard import jdk_lower, scan
+
+_SENT_BOUND = re.compile(r"(?<=[.!?])\s+|\n{2,}")
+
+
+def highlight_sentences(text: str, query_terms, num_passages: int = 1,
+                        pre: str = "<b>", post: str = "</b>",
+                        joiner: str = " … ") -> str | None:
+    """Sentence-bounded passages — the UnifiedHighlighter model
+    (`search/uhighlight/UnifiedHighlighter.java:1-1505` with the default
+    sentence BreakIterator + PassageScorer): the text splits at sentence
+    boundaries, each sentence containing a query term becomes a candidate
+    passage scored by (unique matched terms, total matches, earlier first),
+    the top `num_passages` are emitted in document order with matches
+    wrapped.  Returns None when no query term occurs."""
+    qset = {t.lower() for t in query_terms}
+    # sentence spans [start, end)
+    spans = []
+    start = 0
+    for m in _SENT_BOUND.finditer(text):
+        spans.append((start, m.start()))
+        start = m.end()
+    spans.append((start, len(text)))
+    # token hits with offsets
+    hits = [(s, e) for tok, s, e, _ in scan(text) if jdk_lower(tok) in qset]
+    if not hits:
+        return None
+    cands = []
+    for lo, hi in spans:
+        in_span = [(s, e) for s, e in hits if lo <= s and e <= hi]
+        if not in_span:
+            continue
+        uniq = len({jdk_lower(text[s:e]) for s, e in in_span})
+        cands.append(((uniq, len(in_span), -lo), lo, hi, in_span))
+    cands.sort(key=lambda c: c[0], reverse=True)
+    chosen = sorted(cands[:num_passages], key=lambda c: c[1])
+    parts = []
+    for _, lo, hi, in_span in chosen:
+        out = []
+        cur = lo
+        for s, e in in_span:
+            out.append(text[cur:s])
+            out.append(pre)
+            out.append(text[s:e])
+            out.append(post)
+            cur = e
+        out.append(text[cur:hi])
+        parts.append("".join(out).strip())
+    prefix = "" if chosen[0][1] == 0 else "…"
+    suffix = "" if chosen[-1][2] == len(text) else "…"
+    return prefix + joiner.join(parts) + suffix
 
 
 def highlight(text: str, query_terms, max_passage_tokens: int = 24,

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--keyword-cols", default="", help="comma-separated keyword columns")
     ap.add_argument("--docvalue-cols", default="",
                     help="comma-separated numeric/timestamp doc-values columns (RangeQuery/sort)")
+    ap.add_argument("--vector-col", default="",
+                    help="list<float> column to index as per-shard vectors + HNSW")
     ap.add_argument("--token-filters", default="",
                     help="comma-separated analyzer filters applied index+query side (ascii_fold,porter)")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -59,6 +61,7 @@ def main():
     else:
         commit = build_index(ds, args.index, target_docs_per_partition=args.target_docs,
                              keyword_cols=kw, docvalue_cols=dv, token_filters=tf,
+                             vector_col=args.vector_col or None,
                              input_desc=f"cli:{args.input}")
     print(json.dumps({k: commit[k] for k in
                       ("generation", "doc_count", "doc_count_field", "sum_ttf",

@@ -19,13 +19,23 @@ os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True, help="free text (analyzed)")
+    ap.add_argument("--query", default="", help="free text (analyzed); "
+                    "optional when --knn is given (then acts as the filter)")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--must", action="store_true", help="AND the terms instead of OR")
     ap.add_argument("--phrase", action="store_true", help="exact phrase")
     ap.add_argument("--classic", action="store_true",
                     help="classic QueryParser syntax (+/-, \"phrase\"~n, parens, "
                          "field:value, ts:[a TO b], wildcards, fuzzy, boosts)")
+    ap.add_argument("--simple", action="store_true",
+                    help="SimpleQueryParser dialect (tolerant: + | - parens "
+                         "\"phrase\"~n prefix* fuzzy~n)")
+    ap.add_argument("--knn", default="",
+                    help="comma-separated query vector: k-NN by cosine over the "
+                         "index's vector column (optionally filtered by --query)")
+    ap.add_argument("--expr", default="",
+                    help="rescore matches with an expression over _score and "
+                         "doc-values fields, e.g. '_score * 2 + ln(1 + turn_idx)'")
     ap.add_argument("--sort", default="",
                     help="sort by a doc-values field instead of score, e.g. 'ts' or 'ts:desc'")
     ap.add_argument("--actors", type=int, default=0, help="serve via an actor pool of N")
@@ -47,12 +57,26 @@ def main():
         from lucene_ray.search.query import parse_classic
 
         q = parse_classic(args.query)
+    elif args.simple:
+        from lucene_ray.search.query import parse_simple
+
+        q = parse_simple(args.query)
     elif args.phrase:
         q = PhraseQuery(tuple(terms))
     elif args.must:
         q = bool_query(must=terms)
     else:
         q = bool_query(should=terms)
+    if args.knn:
+        from lucene_ray.search.query import KnnVectorQuery
+
+        vec = tuple(float(x) for x in args.knn.split(","))
+        filt = q if args.query.strip() else None
+        q = KnnVectorQuery(vec, k=args.k, filter=filt)
+    if args.expr:
+        from lucene_ray.search.query import FunctionScoreQuery
+
+        q = FunctionScoreQuery(q, args.expr)
     sort = None
     if args.sort:
         from lucene_ray.search.query import SortField

@@ -143,3 +143,41 @@ def test_function_score_query(ray_session):
     svc.shutdown()
     assert [(h.gid, round(h.score, 9)) for h in pooled.hits] == \
         [(h.gid, round(h.score, 9)) for h in td.hits]
+
+
+def test_simple_filters_and_length():
+    from lucene_ray.analysis.filters import apply_filters_str
+
+    assert apply_filters_str("tables", ("english_minimal",)) == "table"
+    assert apply_filters_str("glass", ("english_minimal",)) == "glass"
+    assert apply_filters_str("corpus", ("english_minimal",)) == "corpus"
+    assert apply_filters_str("abcdef", ("truncate:3",)) == "abc"
+    assert apply_filters_str("abc", ("reverse",)) == "cba"
+    flat, counts, pos, norms = _chain(["a merge of things"], ("length:3-10",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["merge", "things"]
+    assert pos.tolist() == [1, 3]          # gaps where short tokens were
+    assert norms.tolist() == [2]
+
+
+def test_highlight_sentences():
+    from lucene_ray.search.highlight import highlight_sentences
+
+    text = ("The merge ran fine. Nothing to see here. "
+            "Then the join and merge both failed badly.")
+    out = highlight_sentences(text, ["merge", "join"], num_passages=1)
+    # best passage = the sentence with both terms
+    assert out is not None and "<b>join</b>" in out and "<b>merge</b>" in out
+    assert "ran fine" not in out
+    assert highlight_sentences(text, ["absent"]) is None
+    two = highlight_sentences(text, ["merge", "join"], num_passages=2)
+    assert "ran fine" in two and " … " in two
+
+
+def test_check_index_validates_vectors(ray_session, tmp_path):
+    from lucene_ray.index.check import check_index
+    from lucene_ray.pipelines.vsearch import build_vector_index
+
+    idx = build_vector_index(SF, str(tmp_path / "v"))
+    rep = check_index(idx, sample_terms=50)
+    assert rep["ok"], rep["errors"]
