@@ -220,3 +220,219 @@ class LMJelinekMercerSimilarity:
     def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
                         sum_ttf: int):
         raise NotImplementedError("LM JM phrase scoring not supported")
+
+
+# ---------------------------------------------------------------------------
+# SimilarityBase-style models (DFR / IB / DFI).  The reference computes these
+# in double precision from (freq, docLen) with docLen decoded from the shared
+# SmallFloat norm byte (`search/similarities/SimilarityBase.java:76-110`,
+# BasicSimScorer at :207-230), then casts the final score to float.  Each
+# scorer below vectorizes that contract: score(freqs, norm_bytes) evaluates
+# the whole posting block in one float64 numpy expression.  All models are
+# non-decreasing in freq at fixed norm, so the skyline-pair block maxes used
+# by BlockMaxWand remain valid upper bounds.
+
+_LOG2 = np.log(2.0)
+_DL_TABLE = np.maximum(LENGTH_TABLE.astype(np.float64), 1.0)
+
+
+def _log2(x):
+    return np.log(x) / _LOG2
+
+
+class _FreqLenScorer:
+    """score = float32(fn(freq_f64, docLen_f64)); docLen from the norm byte."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = _DL_TABLE[norm_bytes.astype(np.int64) & 0xFF]
+        return self.fn(freqs.astype(np.float64), dl).astype(np.float32)
+
+
+class DFRSimilarity:
+    """Divergence-from-randomness (`search/similarities/DFRSimilarity.java:
+    score = boost * basicModel(tfn) * aeTimes1pTfn` with the rewritten
+    non-decreasing forms).  Components:
+
+    basic models (`BasicModelIn/G/IF/Ine.java`):
+      I(n):  A=log2((N+1)/(n+0.5));              score = A*ae*(1 - 1/(1+tfn))
+      I(F):  A=log2(1+(N+1)/(F+0.5));            score = A*ae*(1 - 1/(1+tfn))
+      I(ne): ne=N*(1-((N-1)/N)^F); A=log2((N+1)/(ne+0.5)); same shape
+      G:     lam=F'/(N+F'), F'=F+1; A=log2(lam+1); B=log2((1+lam)/lam);
+             score = (B - (B-A)/(1+tfn))*ae
+    after effects (`AfterEffectL/B.java` scoreTimes1pTfn):
+      L: 1.0        B: (F+2)/(n+1)   [Java: F'=ttf+1, n'=df+1 -> (F'+1)/n']
+    normalizations (`NormalizationH1/H2.java`):
+      H1: tfn = tf * c * avgfl/dl     H2: tfn = tf * log2(1 + c*avgfl/dl)
+      none: tfn = tf
+    """
+
+    def __init__(self, basic_model: str = "I(n)", after_effect: str = "L",
+                 normalization: str = "H2", c: float = 1.0):
+        if basic_model not in ("I(n)", "I(F)", "I(ne)", "G"):
+            raise ValueError(f"unknown basic model {basic_model!r}")
+        if after_effect not in ("L", "B"):
+            raise ValueError(f"unknown after effect {after_effect!r}")
+        if normalization not in ("H1", "H2", "none"):
+            raise ValueError(f"unknown normalization {normalization!r}")
+        self.basic_model = basic_model
+        self.after_effect = after_effect
+        self.normalization = normalization
+        self.c = float(c)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def _tfn(self, avgfl: float):
+        c = self.c
+        if self.normalization == "H1":
+            return lambda f, dl: f * c * (avgfl / dl)
+        if self.normalization == "H2":
+            return lambda f, dl: f * _log2(1.0 + c * avgfl / dl)
+        return lambda f, dl: f
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None):
+        N = float(doc_count)
+        n = float(doc_freq)
+        F = float(ttf if ttf is not None else doc_freq)
+        avgfl = sum_ttf / max(N, 1.0)
+        ae = 1.0 if self.after_effect == "L" else (F + 2.0) / (n + 1.0)
+        tfn = self._tfn(avgfl)
+        bm = self.basic_model
+        if bm == "I(n)":
+            A = _log2((N + 1.0) / (n + 0.5))
+            model = lambda t: A * ae * (1.0 - 1.0 / (1.0 + t))
+        elif bm == "I(F)":
+            A = _log2(1.0 + (N + 1.0) / (F + 0.5))
+            model = lambda t: A * ae * (1.0 - 1.0 / (1.0 + t))
+        elif bm == "I(ne)":
+            ne = N * (1.0 - ((N - 1.0) / N) ** F) if N > 0 else 0.0
+            A = _log2((N + 1.0) / (ne + 0.5))
+            model = lambda t: A * ae * (1.0 - 1.0 / (1.0 + t))
+        else:                           # G
+            Fp = F + 1.0
+            lam = Fp / (N + Fp)
+            A = _log2(lam + 1.0)
+            B = _log2((1.0 + lam) / lam)
+            model = lambda t: (B - (B - A) / (1.0 + t)) * ae
+        b = float(boost)
+        return _FreqLenScorer(lambda f, dl: b * model(tfn(f, dl)))
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        raise NotImplementedError("DFR phrase scoring not supported")
+
+
+class IBSimilarity:
+    """Information-based model (`search/similarities/IBSimilarity.java`):
+    score = boost * distribution(tfn, lambda).
+
+    distributions (`DistributionLL/SPL.java`):
+      LL:  -ln(lam / (tfn + lam))
+      SPL: -ln((lam^(1 - 1/(tfn+1)) - lam) / (1 - lam))   [with the Java
+           nextUp/nextDown guards against pow collapsing to lam]
+    lambdas (`LambdaDF/LambdaTTF.java`, float math then nextDown at 1):
+      DF:  (n+1)/(N+1)        TTF: (F+1)/(N+1)
+    normalizations: H1 / H2 / none as in DFR.
+    """
+
+    def __init__(self, distribution: str = "SPL", lambda_: str = "DF",
+                 normalization: str = "H2", c: float = 1.0):
+        if distribution not in ("LL", "SPL"):
+            raise ValueError(f"unknown distribution {distribution!r}")
+        if lambda_ not in ("DF", "TTF"):
+            raise ValueError(f"unknown lambda {lambda_!r}")
+        if normalization not in ("H1", "H2", "none"):
+            raise ValueError(f"unknown normalization {normalization!r}")
+        self.distribution = distribution
+        self.lambda_ = lambda_
+        self.normalization = normalization
+        self.c = float(c)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None):
+        N = float(doc_count)
+        occ = float(doc_freq) if self.lambda_ == "DF" \
+            else float(ttf if ttf is not None else doc_freq)
+        lam = np.float32((occ + 1.0) / (N + 1.0))
+        if lam == np.float32(1.0):      # LambdaDF.java: SPL cannot take lam=1
+            lam = np.nextafter(lam, np.float32(0.0))
+        lam = float(lam)
+        c = self.c
+        avgfl = sum_ttf / max(N, 1.0)
+        if self.normalization == "H1":
+            tfn = lambda f, dl: f * c * (avgfl / dl)
+        elif self.normalization == "H2":
+            tfn = lambda f, dl: f * _log2(1.0 + c * avgfl / dl)
+        else:
+            tfn = lambda f, dl: f
+        b = float(boost)
+        if self.distribution == "LL":
+            return _FreqLenScorer(
+                lambda f, dl: b * -np.log(lam / (tfn(f, dl) + lam)))
+
+        def spl(f, dl):
+            t = tfn(f, dl)
+            q = 1.0 - 1.0 / (t + 1.0)
+            q = np.where(q == 1.0, np.nextafter(1.0, 0.0), q)
+            pow_ = np.power(lam, q)
+            # DistributionSPL.java: force pow != lam under fp rounding
+            bumped = np.nextafter(lam, 1.0 if lam < 1 else 0.0)
+            pow_ = np.where(pow_ == lam, bumped, pow_)
+            return b * -np.log((pow_ - lam) / (1.0 - lam))
+
+        return _FreqLenScorer(spl)
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        raise NotImplementedError("IB phrase scoring not supported")
+
+
+class DFISimilarity:
+    """Divergence-from-independence (`search/similarities/DFISimilarity.java`):
+    expected = (F+1) * dl / (T+1) with T = total field tokens; score = 0 when
+    freq <= expected else boost * log2(independence(freq, expected) + 1).
+
+    independence measures (`IndependenceChiSquared/Saturated/Standardized.java`):
+      ChiSquared:   (f-e)^2 / e     Saturated: (f-e)/e    Standardized: (f-e)/sqrt(e)
+    """
+
+    def __init__(self, independence: str = "ChiSquared"):
+        if independence not in ("ChiSquared", "Saturated", "Standardized"):
+            raise ValueError(f"unknown independence {independence!r}")
+        self.independence = independence
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None):
+        F = float(ttf if ttf is not None else doc_freq)
+        T = float(sum_ttf)
+        ind = self.independence
+        b = float(boost)
+
+        def fn(f, dl):
+            expected = (F + 1.0) * dl / (T + 1.0)
+            e = np.maximum(expected, 1e-12)
+            if ind == "ChiSquared":
+                m = (f - e) * (f - e) / e
+            elif ind == "Saturated":
+                m = (f - e) / e
+            else:
+                m = (f - e) / np.sqrt(e)
+            return np.where(f <= expected, 0.0, b * _log2(m + 1.0))
+
+        return _FreqLenScorer(fn)
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        raise NotImplementedError("DFI phrase scoring not supported")

@@ -89,3 +89,138 @@ def test_wand_matches_exhaustive_classic(sim_index):
         a = s_wand.search(q, k=10)
         b = s_taat.search(q, k=10)
         assert [(h.gid, h.score) for h in a.hits] == [(h.gid, h.score) for h in b.hits]
+
+
+# --- SimilarityBase family (DFR / IB / DFI), round 3 ----------------------
+
+import math
+
+from lucene_ray.search.similarity import (
+    DFISimilarity,
+    DFRSimilarity,
+    IBSimilarity,
+)
+
+
+def _lg2(x):
+    return math.log(x) / math.log(2)
+
+
+def _corpus_stats(tokens, term):
+    N = sum(1 for t in tokens if t)
+    df = sum(term in set(t) for t in tokens)
+    ttf = sum(t.count(term) for t in tokens)
+    sum_ttf = sum(len(t) for t in tokens)
+    return N, df, ttf, sum_ttf
+
+
+def _tfn(norm_kind, c, f, dl, avgfl):
+    if norm_kind == "H1":
+        return f * c * (avgfl / dl)
+    if norm_kind == "H2":
+        return f * _lg2(1 + c * avgfl / dl)
+    return f
+
+
+@pytest.mark.parametrize("bm,ae,nz", [
+    ("I(n)", "L", "H2"), ("I(F)", "B", "H1"),
+    ("I(ne)", "B", "H2"), ("G", "L", "H1"),
+])
+def test_dfr_oracle(sim_index, bm, ae, nz):
+    d, tokens = sim_index
+    s = IndexSearcher(d, similarity=DFRSimilarity(bm, ae, nz, c=1.0))
+    for term in ("merge", "data"):
+        N, df, ttf, sum_ttf = _corpus_stats(tokens, term)
+        avgfl = sum_ttf / N
+        aev = 1.0 if ae == "L" else (ttf + 2.0) / (df + 1.0)
+        td = s.search(bool_query(should=[term]), k=10,
+                      total_hits_threshold=2**31 - 1)
+        assert td.hits
+        for h in td.hits[:6]:
+            f = tokens[h.gid].count(term)
+            dl = _decoded_dl(tokens, h.gid)
+            t = _tfn(nz, 1.0, f, dl, avgfl)
+            if bm == "I(n)":
+                A = _lg2((N + 1) / (df + 0.5))
+                exp = A * aev * (1 - 1 / (1 + t))
+            elif bm == "I(F)":
+                A = _lg2(1 + (N + 1) / (ttf + 0.5))
+                exp = A * aev * (1 - 1 / (1 + t))
+            elif bm == "I(ne)":
+                ne = N * (1 - ((N - 1) / N) ** ttf)
+                A = _lg2((N + 1) / (ne + 0.5))
+                exp = A * aev * (1 - 1 / (1 + t))
+            else:
+                lam = (ttf + 1.0) / (N + ttf + 1.0)
+                A = _lg2(lam + 1)
+                B = _lg2((1 + lam) / lam)
+                exp = (B - (B - A) / (1 + t)) * aev
+            assert abs(h.score - exp) < 1e-4 * max(1.0, abs(exp)), (bm, ae, nz, term)
+
+
+@pytest.mark.parametrize("dist,lam_k,nz", [
+    ("LL", "DF", "H1"), ("LL", "TTF", "H2"),
+    ("SPL", "DF", "H2"), ("SPL", "TTF", "H1"),
+])
+def test_ib_oracle(sim_index, dist, lam_k, nz):
+    d, tokens = sim_index
+    s = IndexSearcher(d, similarity=IBSimilarity(dist, lam_k, nz, c=1.0))
+    for term in ("merge", "query"):
+        N, df, ttf, sum_ttf = _corpus_stats(tokens, term)
+        avgfl = sum_ttf / N
+        occ = df if lam_k == "DF" else ttf
+        lam = float(np.float32((occ + 1.0) / (N + 1.0)))
+        td = s.search(bool_query(should=[term]), k=10,
+                      total_hits_threshold=2**31 - 1)
+        assert td.hits
+        for h in td.hits[:6]:
+            f = tokens[h.gid].count(term)
+            dl = _decoded_dl(tokens, h.gid)
+            t = _tfn(nz, 1.0, f, dl, avgfl)
+            if dist == "LL":
+                exp = -math.log(lam / (t + lam))
+            else:
+                q = 1 - 1 / (t + 1)
+                exp = -math.log((lam ** q - lam) / (1 - lam))
+            assert abs(h.score - exp) < 1e-4 * max(1.0, abs(exp)), (dist, lam_k, nz)
+
+
+@pytest.mark.parametrize("ind", ["ChiSquared", "Saturated", "Standardized"])
+def test_dfi_oracle(sim_index, ind):
+    d, tokens = sim_index
+    s = IndexSearcher(d, similarity=DFISimilarity(ind))
+    for term in ("merge", "data"):
+        N, df, ttf, sum_ttf = _corpus_stats(tokens, term)
+        td = s.search(bool_query(should=[term]), k=10,
+                      total_hits_threshold=2**31 - 1)
+        assert td.hits
+        for h in td.hits[:6]:
+            f = tokens[h.gid].count(term)
+            dl = _decoded_dl(tokens, h.gid)
+            expected = (ttf + 1) * dl / (sum_ttf + 1)
+            if f <= expected:
+                exp = 0.0
+            else:
+                if ind == "ChiSquared":
+                    m = (f - expected) ** 2 / expected
+                elif ind == "Saturated":
+                    m = (f - expected) / expected
+                else:
+                    m = (f - expected) / math.sqrt(expected)
+                exp = _lg2(m + 1)
+            assert abs(h.score - exp) < 1e-4 * max(1.0, abs(exp)), (ind, term)
+
+
+def test_wand_matches_exhaustive_dfr_ib(sim_index):
+    d, tokens = sim_index
+    for sim in (DFRSimilarity("I(ne)", "B", "H2"),
+                IBSimilarity("SPL", "TTF", "H2"),
+                DFISimilarity("ChiSquared")):
+        s_wand = IndexSearcher(d, similarity=sim, use_wand=True)
+        s_taat = IndexSearcher(d, similarity=sim, use_wand=False)
+        for q in [bool_query(should=["merge", "join", "scan"]),
+                  bool_query(must=["sort", "data"])]:
+            a = s_wand.search(q, k=10)
+            b = s_taat.search(q, k=10)
+            assert [(h.gid, h.score) for h in a.hits] == \
+                   [(h.gid, h.score) for h in b.hits], type(sim).__name__
