@@ -113,6 +113,23 @@ class RangeQuery:
 
 
 @dataclass(frozen=True)
+class IndexOrDocValuesQuery:
+    """Wrapper over two EQUIVALENT queries with different execution profiles
+    (`search/IndexOrDocValuesQuery.java`): `index_query` is efficient when it
+    leads iteration, `dv_query` when another clause leads and the range only
+    verifies candidates.  The caller contracts that both match the same docs
+    (Lucene does not verify either).  Execution here is cost-based in the
+    boolean scorer: with required term clauses present the range is checked
+    per-candidate against doc-values (`scorer._verify_ranges`); standalone or
+    range-led booleans use the full-shard mask with min/max shard pruning."""
+    index_query: "RangeQuery"
+    dv_query: "RangeQuery | None" = None
+
+    def rewrite(self) -> "RangeQuery":
+        return self.index_query
+
+
+@dataclass(frozen=True)
 class ToParentBlockJoinQuery:
     """Child-to-parent join (`join/src/java/org/apache/lucene/search/join/
     ToParentBlockJoinQuery.java` / `ParentChildrenBlockJoinQuery.java`

@@ -83,7 +83,17 @@ def search_shard_exhaustive(reader, compiled, k: int, after=None):
     # required clause exists (MUST / FILTER / range FILTER) and
     # minShouldMatch == 0, SHOULD clauses are scoring-only; without required
     # clauses at least one positive clause must match.
-    rq_mask = _range_mask(reader, compiled.get("range_filters"), None)
+    #
+    # IndexOrDocValuesQuery cost model (`search/IndexOrDocValuesQuery.java`
+    # ScorerSupplier.get(leadCost)): when required TERM clauses lead, range
+    # clauses are verified per-candidate against doc-values (the dvQuery
+    # path) after the candidate set is known; only when the range itself
+    # must lead (no required term clauses) is the full-shard mask computed
+    # (the indexQuery path, with shard min/max pruning).
+    range_filters = compiled.get("range_filters")
+    range_must_nots = compiled.get("range_must_nots")
+    dv_verify = req_cnt is not None            # term clauses lead the iteration
+    rq_mask = None if dv_verify else _range_mask(reader, range_filters, None)
     if req_cnt is not None:
         eligible = req_cnt == compiled["n_required"]
     elif rq_mask is not None:
@@ -92,9 +102,10 @@ def search_shard_exhaustive(reader, compiled, k: int, after=None):
         eligible = matched
     if rq_mask is not None:
         eligible = eligible & rq_mask
-    # each MUST_NOT range excludes independently (docs inside ANY of them)
-    for spec in (compiled.get("range_must_nots") or ()):
-        eligible = eligible & ~_range_mask(reader, [spec], None)
+    if not dv_verify:
+        # each MUST_NOT range excludes independently (docs inside ANY of them)
+        for spec in (range_must_nots or ()):
+            eligible = eligible & ~_range_mask(reader, [spec], None)
     if compiled["msm"] and should_cnt is not None:
         eligible = eligible & (should_cnt >= compiled["msm"])
 
@@ -109,6 +120,8 @@ def search_shard_exhaustive(reader, compiled, k: int, after=None):
         eligible = eligible & ~reader.deleted
 
     cand = np.nonzero(eligible)[0].astype(np.int32)
+    if dv_verify and (range_filters or range_must_nots) and len(cand):
+        cand = _verify_ranges(reader, cand, range_filters, range_must_nots)
     sc = acc[cand]
     # totalHits counts every match, including hits on previous pages
     # (TopScoreDocCollector paging collector increments before cursor check)
@@ -301,6 +314,44 @@ class BlockMaxWand:
         top_scores, top_docs = _top_k(top_scores, top_docs, self.k)
         relation = RELATION_GTE if pruned else RELATION_EQ
         return top_scores, top_docs, collected, relation
+
+
+def _verify_ranges(reader, cand: np.ndarray, range_filters, range_must_nots):
+    """Doc-values verification at candidate positions only — the dvQuery arm
+    of `search/IndexOrDocValuesQuery.java` (two-phase: the lead iterator
+    produces candidates, ranges check `dv[cand]` instead of scanning the
+    shard).  Shard min/max pruning still short-circuits whole shards."""
+    for field, lo, hi in (range_filters or ()):
+        if not len(cand):
+            return cand
+        mm = reader.docvalue_range(field)
+        if mm is not None:
+            if (lo is not None and mm[1] < lo) or (hi is not None and mm[0] > hi):
+                return cand[:0]                          # shard fully outside
+            if (lo is None or mm[0] >= lo) and (hi is None or mm[1] <= hi):
+                continue                                 # shard fully inside
+        dv = reader.docvalue(field)[cand]
+        keep = np.ones(len(cand), dtype=bool)
+        if lo is not None:
+            keep &= dv >= lo
+        if hi is not None:
+            keep &= dv <= hi
+        cand = cand[keep]
+    for field, lo, hi in (range_must_nots or ()):
+        if not len(cand):
+            return cand
+        mm = reader.docvalue_range(field)
+        if mm is not None and ((lo is not None and mm[1] < lo)
+                               or (hi is not None and mm[0] > hi)):
+            continue                                     # shard fully outside: no-op
+        dv = reader.docvalue(field)[cand]
+        inside = np.ones(len(cand), dtype=bool)
+        if lo is not None:
+            inside &= dv >= lo
+        if hi is not None:
+            inside &= dv <= hi
+        cand = cand[~inside]
+    return cand
 
 
 def _range_mask(reader, range_filters, range_must_nots):

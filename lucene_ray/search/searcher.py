@@ -262,6 +262,10 @@ class IndexSearcher:
             # normalize exactly once — the Porter chain is not guaranteed
             # idempotent, and compile recurses (Boost/ConstantScore)
             query = self._normalize(query)
+        from .query import IndexOrDocValuesQuery as _IODV
+
+        if isinstance(query, _IODV):
+            query = query.rewrite()
         if isinstance(query, TermQuery):
             query = BooleanQuery((_clause(query, SHOULD),))
         if isinstance(query, MatchAllDocsQuery):
@@ -433,7 +437,12 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "phrase": (list(query.terms), scorer, int(query.slop))}
         from .query import RangeQuery as _RQ
+        from .query import BooleanClause as _BC
 
+        if any(isinstance(c.query, _IODV) for c in query.clauses):
+            query = BooleanQuery(tuple(
+                _BC(c.query.rewrite() if isinstance(c.query, _IODV) else c.query,
+                    c.occur) for c in query.clauses), query.minimum_should_match)
         if any(not isinstance(c.query, (TermQuery, _RQ)) for c in query.clauses):
             # nested sub-queries (grouping parens, phrases/multiterm inside a
             # boolean): recursive dense evaluation path (BooleanWeight over

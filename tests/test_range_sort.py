@@ -179,3 +179,54 @@ def test_sorted_search_after_pagination(dv_index):
         last = td.hits[-1]
         after = (last.fields[0], last.gid)
     assert pages2 == expect2[:len(pages2)]
+
+
+# --- IndexOrDocValuesQuery (round 3) --------------------------------------
+
+from lucene_ray.search.query import IndexOrDocValuesQuery
+
+
+def test_iodv_standalone_equals_range(dv_index):
+    s, ts, turn, tokens = dv_index
+    lo, hi = int(ts[300]), int(ts[1500])
+    rq = RangeQuery("ts", lo, hi, boost=1.5)
+    a = s.search(IndexOrDocValuesQuery(rq, rq), k=50)
+    b = s.search(rq, k=50)
+    assert [(h.gid, h.score) for h in a.hits] == [(h.gid, h.score) for h in b.hits]
+    assert a.total_hits == b.total_hits
+
+
+def test_iodv_as_filter_dv_verification(dv_index):
+    """Term clauses lead -> the range verifies candidates via doc-values; the
+    result must equal both the full-mask RangeQuery filter and brute force."""
+    s, ts, turn, tokens = dv_index
+    lo, hi = int(ts[100]), int(ts[2500])
+    rq = RangeQuery("ts", lo, hi)
+    for term, occur in (("merge", MUST), ("data", FILTER)):
+        q_iodv = BooleanQuery((BooleanClause(TermQuery(term), occur),
+                               BooleanClause(IndexOrDocValuesQuery(rq, rq), FILTER)))
+        q_rng = BooleanQuery((BooleanClause(TermQuery(term), occur),
+                              BooleanClause(rq, FILTER)))
+        a = s.search(q_iodv, k=30, total_hits_threshold=2**31 - 1)
+        b = s.search(q_rng, k=30, total_hits_threshold=2**31 - 1)
+        assert [(h.gid, h.score) for h in a.hits] == \
+               [(h.gid, h.score) for h in b.hits]
+        assert a.total_hits == b.total_hits
+        expect = {i for i in range(len(ts))
+                  if term in tokens[i] and lo <= ts[i] <= hi}
+        got = {h.gid for h in s.search(q_iodv, k=len(ts),
+                                       total_hits_threshold=2**31 - 1).hits}
+        assert got == expect
+
+
+def test_iodv_must_not_range(dv_index):
+    s, ts, turn, tokens = dv_index
+    lo, hi = int(ts[500]), int(ts[2000])
+    rq = RangeQuery("ts", lo, hi)
+    q = BooleanQuery((BooleanClause(TermQuery("data"), MUST),
+                      BooleanClause(IndexOrDocValuesQuery(rq, rq), MUST_NOT)))
+    got = {h.gid for h in s.search(q, k=len(ts),
+                                   total_hits_threshold=2**31 - 1).hits}
+    expect = {i for i in range(len(ts))
+              if "data" in tokens[i] and not (lo <= ts[i] <= hi)}
+    assert got == expect
