@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         # --- grouping / faceting / distinct (SURVEY §2.5-2.7) ---
         "facet_counts": textstats.facet_counts,
+        "facet_sampled": textstats.facet_counts_sampled,
         "facet_ranges": textstats.facet_ranges,
         "facet_taxonomy": textstats.facet_taxonomy,
         "distinct_langs": textstats.distinct_langs,

@@ -248,6 +248,46 @@ def facet_counts(sf_dir: str):
             .groupby("lang").aggregate(Count(alias_name="n_docs")))
 
 
+def facet_counts_sampled(sf_dir: str, sample_rate: float = 0.25,
+                         seed: int = 0xFACE7):
+    """Sampled facet counting (`facet/RandomSamplingFacetsCollector.java`):
+    count facets over a random sample of the docs, then amortize the counts
+    by 1/samplingRate (:220-249 ``amortizeFacetCounts``: correctedCount =
+    count / samplingRate, clamped to the doc count).
+
+    Distributed twist: instead of the reference's driver-side XORShift over
+    a collected hit list, sampling is a deterministic per-doc hash test
+    (fnv1a64(doc_id, seed) < rate * 2^64) inside ``map_batches`` — every
+    worker makes the same keep/drop decision with no coordination and no
+    materialized hit list, so the stage streams at any scale.  Returns
+    (lang, n_docs_sampled, n_docs_est) sorted by lang.
+    """
+    from ray.data.aggregate import Count
+
+    from ..util.hashing import fnv1a64
+
+    if not (0 < sample_rate <= 1):
+        raise ValueError("sample_rate must be in (0, 1]")
+    # u64 threshold; rate=1 keeps everything (clamp to avoid overflow)
+    thr = np.uint64(min(int(sample_rate * 2.0**64), 2**64 - 1))
+
+    def keep_sample(t: pa.Table) -> pa.Table:
+        h = fnv1a64(t.column("doc_id"), seed=seed)
+        return t.filter(pa.array(h < thr))
+
+    sampled = (_read_documents(sf_dir, columns=("doc_id", "lang"))
+               .map_batches(keep_sample, batch_format="pyarrow")
+               .groupby("lang").aggregate(Count(alias_name="n_docs_sampled"))
+               .to_pandas())
+    total_sampled = int(sampled["n_docs_sampled"].sum())
+    n_docs = _read_documents(sf_dir, columns=("doc_id",)).count()
+    # measured rate, like the reference's sampleSize/totalHits (:137)
+    rate = total_sampled / n_docs if n_docs else 1.0
+    est = (sampled["n_docs_sampled"] / max(rate, 1e-12)).astype(np.int64)
+    sampled["n_docs_est"] = np.minimum(est, np.int64(n_docs))
+    return sampled.sort_values("lang", ignore_index=True)
+
+
 def distinct_langs(sf_dir: str):
     """DistinctValuesCollector analogue."""
     import ray.data as rd

@@ -21,6 +21,9 @@ def fnv1a64(arr, seed: int = 0) -> np.ndarray:
         arr = arr.combine_chunks()
     if not isinstance(arr, pa.Array):
         arr = pa.array(list(arr), type=pa.string())
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        # string_view / dictionary inputs carry a different buffer layout
+        arr = arr.cast(pa.large_string())
     off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     n = len(arr)
     if n == 0:

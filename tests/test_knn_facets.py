@@ -145,3 +145,42 @@ def test_hnsw_graph_roundtrip(tmp_path):
     np.testing.assert_array_equal(r1[0], r2[0])
     # the query vector's own id must be rank-1 with sim ~1
     assert r1[0][0] == 1017
+
+
+def test_facet_counts_sampled(ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import facet_counts_sampled
+    from lucene_ray.util.hashing import fnv1a64_str
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    langs = t.column("lang").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    exact = {}
+    for lg in langs:
+        exact[lg] = exact.get(lg, 0) + 1
+
+    # rate=1.0 reproduces the exact facet counts (amortization is identity)
+    full = facet_counts_sampled(SF, sample_rate=1.0)
+    assert dict(zip(full.lang, full.n_docs_sampled)) == exact
+    assert dict(zip(full.lang, full.n_docs_est)) == exact
+
+    # rate<1: per-doc hash sampling is deterministic; the sampled counts
+    # must equal the driver-side replay of the same hash test, and the
+    # amortized estimates must be within a loose statistical band
+    rate, seed = 0.4, 0xFACE7
+    thr = int(rate * 2.0**64)
+    keep_lang = [lg for i, lg in zip(ids, langs)
+                 if fnv1a64_str(str(i), seed=seed) < thr]
+    expect_sampled = {}
+    for lg in keep_lang:
+        expect_sampled[lg] = expect_sampled.get(lg, 0) + 1
+    out = facet_counts_sampled(SF, sample_rate=rate, seed=seed)
+    assert dict(zip(out.lang, out.n_docs_sampled)) == expect_sampled
+    n = len(ids)
+    meas_rate = len(keep_lang) / n
+    for _, row in out.iterrows():
+        assert row.n_docs_est == min(int(row.n_docs_sampled / meas_rate), n)
+        # estimate within 35% of truth for the non-tiny facets
+        if exact[row.lang] >= 50:
+            assert abs(row.n_docs_est - exact[row.lang]) <= 0.35 * exact[row.lang]
