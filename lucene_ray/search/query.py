@@ -600,3 +600,176 @@ def parse_classic(text: str, field: str = "text"):
     if q is None:
         return BooleanQuery(())
     return q
+
+
+class SurroundParseError(ValueError):
+    """Raised for syntax the surround dialect (or this subset) rejects."""
+
+
+def parse_surround(text: str, field: str = "text"):
+    """Surround-QueryParser dialect (`queryparser/surround/parser/
+    QueryParser.jj`): span-proximity operators over the boolean algebra,
+    case-insensitive, both infix and prefix forms.
+
+        a W b        -> ordered, adjacent          a N b   -> unordered
+        a 3W b       -> ordered within distance 3 (SpanNear slop = 2)
+        3W(a, b, c)  -> prefix form, 2-99
+        a AND b / AND(a, b), OR, NOT    (NOT is infix-only, binary)
+        pre*         -> prefix, te?m -> wildcard (boolean positions only)
+        role:user    -> keyword-field term        ( ... )  -> grouping
+
+    Precedence (loosest to tightest): OR, AND, NOT, N, W — as in the
+    reference grammar.  Distance ops compile to IntervalQuery with
+    max_width = n_terms + distance - 1 (the SpanNearQuery slop = distance-1
+    rewrite in `surround/query/DistanceQuery.java:70-90`).  Subset: distance
+    operands must be plain single terms — the reference allows nested spans
+    (`(aa or bb) w cc`); here that raises SurroundParseError (documented
+    divergence), as does mixing W/N in one chain."""
+    import re as _re
+
+    from ..analysis.standard import analyze
+
+    tok_pat = _re.compile(
+        r"""(?P<lp>\()|(?P<rp>\))|(?P<comma>,)
+          |(?P<dist>\d{1,2}[wWnN])(?=[\s(])
+          |(?P<word>[^\s(),]+)""", _re.VERBOSE)
+    tokens = []
+    for m in tok_pat.finditer(text):
+        if m.group("lp"):
+            tokens.append(("(", None))
+        elif m.group("rp"):
+            tokens.append((")", None))
+        elif m.group("comma"):
+            tokens.append((",", None))
+        elif m.group("dist"):
+            d = m.group("dist")
+            tokens.append(("distop", (int(d[:-1]), d[-1].lower() == "w")))
+        else:
+            w = m.group("word")
+            u = w.upper()
+            if u in ("AND", "OR", "NOT"):
+                tokens.append((u, None))
+            elif u in ("W", "N"):
+                tokens.append(("distop", (1, u == "W")))
+            else:
+                tokens.append(("word", w))
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else (None, None)
+
+    def expect(kind):
+        k, v = peek()
+        if k != kind:
+            raise SurroundParseError(f"expected {kind!r}, got {k!r} in {text!r}")
+        pos[0] += 1
+        return v
+
+    def term_of(q):
+        if isinstance(q, TermQuery) and "\x1f" not in q.term:
+            return q.term
+        raise SurroundParseError(
+            "distance operands must be plain terms in this subset")
+
+    def mk_distance(operands, dist, ordered):
+        terms = tuple(term_of(q) for q in operands)
+        return IntervalQuery(terms, max_width=len(terms) + dist - 1,
+                             ordered=ordered, field=field)
+
+    def prefix_args(parse_fn):
+        expect("(")
+        args = [parse_fn()]
+        while peek()[0] == ",":
+            pos[0] += 1
+            args.append(parse_fn())
+        expect(")")
+        return args
+
+    def parse_primary():
+        k, v = peek()
+        if k == "(":
+            pos[0] += 1
+            q = parse_or()
+            expect(")")
+            return q
+        if k == "distop" and pos[0] + 1 < len(tokens) \
+                and tokens[pos[0] + 1][0] == "(":
+            pos[0] += 1
+            dist, ordered = v
+            return mk_distance(prefix_args(parse_primary), dist, ordered)
+        if k in ("AND", "OR") and pos[0] + 1 < len(tokens) \
+                and tokens[pos[0] + 1][0] == "(":
+            pos[0] += 1
+            occ = MUST if k == "AND" else SHOULD
+            args = prefix_args(parse_or)
+            return BooleanQuery(tuple(BooleanClause(q, occ) for q in args))
+        if k != "word":
+            raise SurroundParseError(f"unexpected {k!r} in {text!r}")
+        pos[0] += 1
+        word = v
+        fm = _re.fullmatch(r"(\w+):(.+)", word)
+        if fm and fm.group(1) != field:
+            return TermQuery(f"{fm.group(1)}\x1f{fm.group(2)}", fm.group(1))
+        if fm:
+            word = fm.group(2)
+        if "*" in word or "?" in word:
+            if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
+                return PrefixQuery(word[:-1].lower(), field)
+            return WildcardQuery(word.lower(), field)
+        analyzed = analyze(word)
+        if not analyzed:
+            raise SurroundParseError(f"term {word!r} analyzes to nothing")
+        return TermQuery(analyzed[0], field)
+
+    def parse_dist():
+        q = parse_primary()
+        k, v = peek()
+        if k != "distop":
+            return q
+        dist, ordered = v
+        operands = [q]
+        while peek()[0] == "distop":
+            d2, o2 = peek()[1]
+            if (d2, o2) != (dist, ordered):
+                raise SurroundParseError(
+                    "mixed distance operators in one chain are not supported")
+            pos[0] += 1
+            operands.append(parse_primary())
+        return mk_distance(operands, dist, ordered)
+
+    def parse_not():
+        q = parse_dist()
+        clauses = None
+        while peek()[0] == "NOT":
+            pos[0] += 1
+            if clauses is None:
+                clauses = [BooleanClause(q, MUST)]
+            clauses.append(BooleanClause(parse_dist(), MUST_NOT))
+        return q if clauses is None else BooleanQuery(tuple(clauses))
+
+    def parse_and():
+        q = parse_not()
+        clauses = None
+        while peek()[0] == "AND":
+            pos[0] += 1
+            if clauses is None:
+                clauses = [BooleanClause(q, MUST)]
+            clauses.append(BooleanClause(parse_not(), MUST))
+        return q if clauses is None else BooleanQuery(tuple(clauses))
+
+    def parse_or():
+        q = parse_and()
+        clauses = None
+        while peek()[0] == "OR":
+            pos[0] += 1
+            if clauses is None:
+                clauses = [BooleanClause(q, SHOULD)]
+            clauses.append(BooleanClause(parse_and(), SHOULD))
+        return q if clauses is None else BooleanQuery(tuple(clauses))
+
+    if not tokens:
+        raise SurroundParseError("empty query")
+    q = parse_or()
+    if pos[0] != len(tokens):
+        raise SurroundParseError(f"trailing input at token {pos[0]} in {text!r}")
+    return q

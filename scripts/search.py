@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--simple", action="store_true",
                     help="SimpleQueryParser dialect (tolerant: + | - parens "
                          "\"phrase\"~n prefix* fuzzy~n)")
+    ap.add_argument("--surround", action="store_true",
+                    help="surround dialect (a 3W b / 3N(a,b,c) proximity, "
+                         "AND/OR/NOT, prefix forms)")
     ap.add_argument("--knn", default="",
                     help="comma-separated query vector: k-NN by cosine over the "
                          "index's vector column (optionally filtered by --query)")
@@ -61,6 +64,10 @@ def main():
         from lucene_ray.search.query import parse_simple
 
         q = parse_simple(args.query)
+    elif args.surround:
+        from lucene_ray.search.query import parse_surround
+
+        q = parse_surround(args.query)
     elif args.phrase:
         q = PhraseQuery(tuple(terms))
     elif args.must:
