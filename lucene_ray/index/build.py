@@ -79,6 +79,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 docvalue_cols: tuple[str, ...] = (),
                 token_filters: tuple[str, ...] = (),
                 vector_col: str | None = None,
+                term_vectors: bool = False,
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -148,6 +149,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "docvalue_cols": list(docvalue_cols),
         "token_filters": list(token_filters),
         "vector_col": vector_col,
+        "term_vectors": bool(term_vectors),
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -174,14 +176,15 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
             m = write_shard(shards_dir, pid, group.drop_columns(["pid"]),
                             fp, text_col=text_col, key_cols=key_cols,
                             keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
-                            token_filters=token_filters, vector_col=vector_col)
+                            token_filters=token_filters, vector_col=vector_col,
+                            term_vectors=term_vectors)
             return pa.table({k: [v] for k, v in m.items()})
 
         if exchange == "tasks":
             new_manifests = _exchange_with_tasks(
                 block_refs, tag_pid, len(split_points) + 1, shards_dir, fp,
                 text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
-                vector_col)
+                vector_col, term_vectors)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -201,6 +204,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "docvalue_cols": list(docvalue_cols),
         "token_filters": list(token_filters),
         "vector_col": vector_col,
+        "term_vectors": bool(term_vectors),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -258,7 +262,7 @@ TWO_LEVEL_PARTS = 384
 def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp: str,
                          text_col: str, key_cols, keyword_cols=(),
                          docvalue_cols=(), token_filters=(),
-                         vector_col=None) -> list[dict]:
+                         vector_col=None, term_vectors=False) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -275,7 +279,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
     if n_parts > TWO_LEVEL_PARTS:
         return _exchange_two_level(block_refs, tag_pid, n_parts, shards_dir, fp,
                                    text_col, key_cols, keyword_cols,
-                                   docvalue_cols, token_filters, vector_col)
+                                   docvalue_cols, token_filters, vector_col,
+                                   term_vectors)
 
     def _compact(tbl: pa.Table) -> pa.Table:
         # CRITICAL: pickling a sliced Arrow table serializes the WHOLE parent
@@ -305,7 +310,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
         return write_shard(shards_dir, pid, group, fp,
                            text_col=text_col, key_cols=key_cols,
                            keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
-                           token_filters=token_filters, vector_col=vector_col)
+                           token_filters=token_filters, vector_col=vector_col,
+                           term_vectors=term_vectors)
 
     # several blocks per split task: fewer (task, object) overheads while
     # keeping enough tasks to fill the CPU pool
@@ -325,7 +331,7 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
 def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                         fp: str, text_col: str, key_cols, keyword_cols=(),
                         docvalue_cols=(), token_filters=(),
-                        vector_col=None) -> list[dict]:
+                        vector_col=None, term_vectors=False) -> list[dict]:
     """Two-level exchange for large partition counts (block → coarse bucket →
     shards): split tasks return one object per COARSE bucket (contiguous pid
     range), and one flush task per bucket re-splits its data by pid and
@@ -383,7 +389,7 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                 shards_dir, p, sub.drop_columns(["pid"]), fp,
                 text_col=text_col, key_cols=key_cols, keyword_cols=keyword_cols,
                 docvalue_cols=docvalue_cols, token_filters=token_filters,
-                vector_col=vector_col))
+                vector_col=vector_col, term_vectors=term_vectors))
         return manifests
 
     per_task = max(1, len(block_refs) // (2 * n_cpus))
@@ -504,6 +510,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
                  keyword_cols: tuple[str, ...] | None = None,
                  docvalue_cols: tuple[str, ...] | None = None,
                  token_filters: tuple[str, ...] | None = None,
+                 term_vectors: bool | None = None,
                  merge_stats: bool = True, update: bool = False) -> dict:
     """Incremental build: index NEW rows as additional shards and publish a
     new commit generation containing old + new (the near-real-time refresh
@@ -527,6 +534,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
                            keyword_cols=keyword_cols or (),
                            docvalue_cols=docvalue_cols or (),
                            token_filters=token_filters or (),
+                           term_vectors=bool(term_vectors),
                            input_desc=input_desc, merge_stats=merge_stats)
     if keyword_cols is None:
         # inherit the existing index's keyword fields — appending without them
@@ -539,6 +547,9 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         # inherit the analyzer chain — appending unfiltered tokens would
         # silently split the dictionary between stemmed and raw forms
         token_filters = tuple(prev.get("token_filters", ()))
+    if term_vectors is None:
+        # inherit so appended shards stay term-vector-complete
+        term_vectors = bool(prev.get("term_vectors", False))
     pid_offset = 1 + max(m["pid"] for m in prev["shards"])
 
     n_total = ds.count()
@@ -550,6 +561,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "keyword_cols": list(keyword_cols), "append_after": prev["fingerprint"],
         "docvalue_cols": list(docvalue_cols),
         "token_filters": list(token_filters),
+        "term_vectors": bool(term_vectors),
     })
     shards_dir = os.path.join(index_dir, "shards")
     done = mf.committed_shards(index_dir, fp)
@@ -575,7 +587,8 @@ def append_index(ds, index_dir: str, *, input_desc: str,
                       if meta.num_rows]            # drop empty sentinel blocks
         new_manifests = _exchange_with_tasks(
             block_refs, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
-            text_col, key_cols, keyword_cols, docvalue_cols, token_filters)
+            text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
+            term_vectors=term_vectors)
         for m in new_manifests:
             done[int(m["pid"])] = dict(m)
 
@@ -586,6 +599,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "key_cols": list(key_cols), "keyword_cols": list(keyword_cols),
         "docvalue_cols": list(docvalue_cols),
         "token_filters": list(token_filters),
+        "term_vectors": bool(term_vectors),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })

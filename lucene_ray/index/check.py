@@ -75,6 +75,29 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
                     errors.append(f"shard {m['pid']}: hnsw node id out of range")
                 if g.entry >= rdr.doc_count:
                     errors.append(f"shard {m['pid']}: hnsw entry out of range")
+        # term vectors (when stored): the doc-major transpose must agree
+        # with the postings — for sampled docs, every (term, freq) pair in
+        # the vector appears as (doc, freq) in that term's posting list
+        # (CheckIndex.testTermVectors cross-check semantics)
+        if m.get("term_vectors"):
+            sample_docs = np.linspace(0, rdr.doc_count - 1,
+                                      min(rdr.doc_count, 16)).astype(int) \
+                if rdr.doc_count else []
+            for d in sample_docs:
+                tv_t, tv_f, tv_p = rdr.term_vector(int(d), with_positions=True)
+                if np.any(np.diff(tv_t.astype(np.int64)) <= 0):
+                    errors.append(f"shard {m['pid']} doc {d}: tv terms not ascending")
+                for tid_, f_, pos_ in zip(tv_t, tv_f, tv_p):
+                    docs_, freqs_ = rdr.postings(int(tid_))
+                    j = np.searchsorted(docs_, d)
+                    if j >= len(docs_) or docs_[j] != d or freqs_[j] != f_:
+                        errors.append(f"shard {m['pid']} doc {d}: tv/postings "
+                                      f"freq mismatch for tid {tid_}")
+                    if len(pos_) != f_ or (len(pos_) > 1
+                                           and np.any(np.diff(pos_) < 0)):
+                        errors.append(f"shard {m['pid']} doc {d}: tv positions "
+                                      f"invalid for tid {tid_}")
+
         tids = range(rdr.n_terms)
         if sample_terms and rdr.n_terms > sample_terms:
             tids = np.linspace(0, rdr.n_terms - 1, sample_terms).astype(int)

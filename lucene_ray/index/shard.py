@@ -40,6 +40,8 @@ DOCMAP_FILE = "docmap.parquet"
 MANIFEST_FILE = "manifest.json"
 VECTORS_FILE = "vectors.npy"
 HNSW_FILE = "hnsw.npz"
+TV_FILES = ("tv_doc_ptr.npy", "tv_terms.npy", "tv_freqs.npy",
+            "tv_pos_ptr.npy", "tv_positions.npy")
 
 
 def invert_flat(flat: pa.Array, lengths: np.ndarray,
@@ -198,6 +200,38 @@ def _append_keyword_postings(terms, term_starts, doc_of, freq, positions,
     return sorted_terms, term_starts2, doc_of2.astype(np.int32), freq2.astype(np.int32), pos2.astype(np.int32)
 
 
+def _write_term_vectors(tmp_dir: str, terms, term_starts, doc_of, freq,
+                        positions, n_docs: int) -> None:
+    """Transpose posting-major (term -> docs) arrays into doc-major CSR term
+    vectors: tv_doc_ptr[d]..tv_doc_ptr[d+1] index (tv_terms, tv_freqs)
+    term-id/freq pairs for local doc d (term ids ascending); each pair p's
+    occurrence positions are tv_positions[tv_pos_ptr[p]:tv_pos_ptr[p+1]]."""
+    V = len(terms)
+    dfs_all = (term_starts[1:] - term_starts[:-1]).astype(np.int64)
+    term_of = np.repeat(np.arange(V, dtype=np.int64), dfs_all)
+    kw_mask = pa.compute.match_substring(terms, KEYWORD_SEP) \
+        .to_numpy(zero_copy_only=False).astype(bool)
+    p_idx = np.nonzero(~kw_mask[term_of])[0]
+    order = p_idx[np.argsort(doc_of[p_idx].astype(np.int64) * V + term_of[p_idx],
+                             kind="stable")]
+    tv_terms = term_of[order].astype(np.int32)
+    tv_freqs = freq[order].astype(np.int32)
+    counts = np.bincount(doc_of[order], minlength=n_docs)
+    tv_doc_ptr = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    pb = np.concatenate(([0], np.cumsum(freq.astype(np.int64))))
+    pos_counts = freq[order].astype(np.int64)
+    tv_pos_ptr = np.concatenate(([0], np.cumsum(pos_counts)))
+    # gather each reordered posting's position run from the flat stream
+    gather = np.repeat(pb[order], pos_counts) \
+        + (np.arange(tv_pos_ptr[-1], dtype=np.int64)
+           - np.repeat(tv_pos_ptr[:-1], pos_counts))
+    tv_positions = (positions[gather].astype(np.int32)
+                    if len(gather) else np.zeros(0, dtype=np.int32))
+    for name, arr in zip(TV_FILES, (tv_doc_ptr, tv_terms, tv_freqs,
+                                    tv_pos_ptr.astype(np.int64), tv_positions)):
+        np.save(os.path.join(tmp_dir, name), arr)
+
+
 def write_shard(out_dir: str, pid: int, table: pa.Table,
                 fingerprint: str, text_col: str = "text",
                 key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
@@ -206,7 +240,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 docvalue_cols: tuple[str, ...] = (),
                 token_filters: tuple[str, ...] = (),
                 vector_col: str | None = None,
-                vector_graph: bool = True) -> dict:
+                vector_graph: bool = True,
+                term_vectors: bool = False) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -277,6 +312,16 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     terms = pa.compute.cast(terms, pa.string())
     n_docs = table.num_rows
     norms = int_to_byte4(norm_lengths.astype(np.int64))
+
+    if term_vectors:
+        # term vectors = the doc-major transpose of the inversion
+        # (`codecs/lucene90/Lucene90TermVectorsFormat.java` — a per-doc mini
+        # inverted index with freqs + positions).  CSR layout over local
+        # docs, term-sorted within each doc, TEXT terms only (keyword-
+        # namespace postings are field metadata, not field content); stored
+        # as separate .npy sidecars so readers mmap them like postings.
+        _write_term_vectors(tmp_dir, terms, term_starts, doc_of, freq,
+                            positions, n_docs)
 
     V = len(terms)
     dfs = (term_starts[1:] - term_starts[:-1]).astype(np.int64)
@@ -436,6 +481,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         "sum_df": int(dfs.sum()),
         "n_terms": int(V),
         "has_positions": bool(index_positions),
+        "term_vectors": bool(term_vectors),
         "vector_dim": int(vector_dim),
         "docvalues": dv_ranges,
         "fingerprint": fingerprint,
@@ -493,6 +539,7 @@ class ShardReader:
         self.norms = np.memmap(os.path.join(shard_dir, NORMS_FILE), dtype=np.uint8, mode="r") \
             if self.doc_count else np.zeros(0, dtype=np.uint8)
         self._docmap = None
+        self._tv = None              # lazy-mmapped term-vector sidecars
         self.deleted = None          # optional live-docs mask (set by searcher)
 
     def set_deletes(self, path: str | None):
@@ -645,6 +692,30 @@ class ShardReader:
         """(min, max) for shard pruning, from the manifest; None if unknown."""
         r = self.manifest.get("docvalues", {}).get(field)
         return (int(r[0]), int(r[1])) if r else None
+
+    @property
+    def has_term_vectors(self) -> bool:
+        return bool(self.manifest.get("term_vectors"))
+
+    def term_vector(self, local_doc: int, with_positions: bool = False):
+        """Per-doc mini inverted index (`index/TermVectors.java#get` /
+        Lucene90TermVectorsFormat semantics): (term_ids asc int32[],
+        freqs int32[]) for the doc's TEXT terms, plus a list of per-term
+        ascending position arrays when `with_positions`.  Term ids index
+        this shard's dictionary (`self._term_np[tid]` is the term string).
+        Raises FileNotFoundError when the index was built without
+        term_vectors=True."""
+        if self._tv is None:
+            self._tv = tuple(np.load(os.path.join(self.dir, f), mmap_mode="r")
+                             for f in TV_FILES)
+        doc_ptr, tv_terms, tv_freqs, pos_ptr, tv_pos = self._tv
+        s, e = int(doc_ptr[local_doc]), int(doc_ptr[local_doc + 1])
+        tids, freqs = tv_terms[s:e], tv_freqs[s:e]
+        if not with_positions:
+            return tids, freqs
+        poss = [tv_pos[int(pos_ptr[p]):int(pos_ptr[p + 1])]
+                for p in range(s, e)]
+        return tids, freqs, poss
 
     def lookup_docs(self, local_ids: np.ndarray) -> pa.Table:
         """(conv_id, turn_idx) rows for the given local docIDs (top-k only)."""

@@ -1025,6 +1025,44 @@ def more_like_this(searcher: "IndexSearcher", text: str,
     return bool_query(should=[t for _, t in top])
 
 
+def more_like_this_doc(searcher: "IndexSearcher", gid: int,
+                       max_query_terms: int = 25, min_term_freq: int = 2,
+                       min_doc_freq: int = 5):
+    """MoreLikeThis from an INDEXED document (`mlt/MoreLikeThis.java`
+    ``like(int docNum)`` → ``retrieveTerms(docNum)``, which reads the doc's
+    term vector instead of re-analyzing stored content): resolve gid to its
+    shard, read the per-doc term vector (freqs are already analyzed/chain-
+    filtered), then rank interesting terms exactly like the like-text path.
+    Requires an index built with term_vectors=True."""
+    import math
+
+    from .query import bool_query
+
+    pid, rdr = None, None
+    for p in searcher._pids:
+        base = searcher._bases[p]
+        r = searcher.reader(p)
+        if base <= gid < base + r.doc_count:
+            pid, rdr = p, r
+            break
+    if rdr is None:
+        raise IndexError(f"gid {gid} out of range")
+    tids, freqs = rdr.term_vector(gid - searcher._bases[pid])
+    n = max(searcher.doc_count, 1)
+    scored = []
+    for tid, f in zip(tids, freqs):
+        if f < min_term_freq:
+            continue
+        term = str(rdr._term_np[int(tid)])
+        df = searcher.df(term)
+        if df < min_doc_freq:
+            continue
+        idf = math.log((n + 1) / (df + 1)) + 1.0
+        scored.append((int(f) * idf, term))
+    top = sorted(scored, key=lambda x: (-x[0], x[1]))[:max_query_terms]
+    return bool_query(should=[t for _, t in top])
+
+
 def suggest_infix(searcher: "IndexSearcher", substring: str, k: int = 10
                   ) -> list[tuple[str, int]]:
     """Infix (substring) suggester over the term dictionaries weighted by
