@@ -29,14 +29,17 @@ MAX_EXCEPTIONS = 7        # PForUtil.MAX_EXCEPTIONS
 
 
 def _bit_length(v: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length: frexp exponent (exact for v < 2^53 where
+    float64 represents every integer; frexp(0) yields 0), scalar fallback
+    for the rare huge values where float rounding could cross a power of
+    two."""
     v = np.asarray(v, dtype=np.uint64)
-    out = np.zeros(v.shape, dtype=np.int64)
-    x = v.copy()
-    for s in (32, 16, 8, 4, 2, 1):
-        mask = x >= (np.uint64(1) << np.uint64(s))
-        out += np.where(mask, s, 0)
-        x = np.where(mask, x >> np.uint64(s), x)
-    return out + (v != 0)
+    e = np.frexp(v.astype(np.float64))[1].astype(np.int64)
+    big = v >= np.uint64(1 << 53)
+    if big.any():
+        e[big] = np.fromiter((int(x).bit_length() for x in v[big]),
+                             dtype=np.int64, count=int(big.sum()))
+    return e
 
 
 # ---------------------------------------------------------------------------
@@ -139,6 +142,170 @@ def pfor_encode(vals: np.ndarray) -> bytes:
         out.append(int(p))
         out.append(int(h))
     return bytes(out)
+
+
+def pfor_encode_blocks(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized PFor encode of MANY full 128-value blocks at once (one row
+    per block) — the batch twin of :func:`pfor_encode`, removing the
+    per-block Python call from the big-term flush path.  Byte layout per
+    row is decode-compatible (same token/packed/exception format); the only
+    divergence is that the bits=0 all-equal vint short-circuit is taken
+    only for exception-free rows (others emit packed form, which the
+    decoder also accepts).
+
+    Returns (payload uint8[], nbytes int64[n_rows]); row r's bytes are
+    payload[row_off[r]:row_off[r+1]] with row_off = [0, cumsum(nbytes)].
+    """
+    B = mat.shape[0]
+    if B == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    assert mat.shape[1] == BLOCK_SIZE
+    v = mat.astype(np.uint64).copy()
+    part = np.partition(v, BLOCK_SIZE - (MAX_EXCEPTIONS + 1),
+                        axis=1)[:, -(MAX_EXCEPTIONS + 1):]
+    # the partitioned top slice is NOT sorted — reduce, don't index
+    top_value = part.min(axis=1)                 # 8th largest per row
+    max_bits = _bit_length(part.max(axis=1))
+    patched_bits = np.maximum(_bit_length(top_value),
+                              np.maximum(max_bits - 8, 0)).astype(np.int64)
+    max_unpatched = (np.uint64(1) << patched_bits.astype(np.uint64)) - np.uint64(1)
+    exc_mask = v > max_unpatched[:, None]
+    n_exc = exc_mask.sum(axis=1).astype(np.int64)
+    exc_high = (v >> patched_bits.astype(np.uint64)[:, None]).astype(np.uint8)
+    v &= max_unpatched[:, None]
+
+    vint_mode = ((v.min(axis=1) == v.max(axis=1)) & (max_bits <= 8)
+                 & (n_exc == 0))
+    # packed rows keep >=1 bit so the bits=0 token stays unambiguous
+    bits = np.where(vint_mode, 0, np.maximum(patched_bits, 1)).astype(np.int64)
+    v0 = v[:, 0]
+    vlen = np.where(v0 >= 128, 2, 1).astype(np.int64)
+    body = np.where(vint_mode, vlen, 16 * bits)
+    nbytes = 1 + body + 2 * n_exc
+    row_off = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(row_off[-1]), dtype=np.uint8)
+
+    out[row_off[:-1]] = ((n_exc << 5) | bits).astype(np.uint8)
+    vr = np.nonzero(vint_mode)[0]
+    if len(vr):
+        one = vr[v0[vr] < 128]
+        two = vr[v0[vr] >= 128]
+        out[row_off[one] + 1] = v0[one].astype(np.uint8)
+        out[row_off[two] + 1] = ((v0[two] & np.uint64(0x7F))
+                                 | np.uint64(0x80)).astype(np.uint8)
+        out[row_off[two] + 2] = (v0[two] >> np.uint64(7)).astype(np.uint8)
+    for b in np.unique(bits[~vint_mode]):
+        rows = np.nonzero(~vint_mode & (bits == b))[0]
+        expanded = ((v[rows][:, :, None]
+                     >> np.arange(b, dtype=np.uint64)[None, None, :])
+                    & np.uint64(1)).astype(np.uint8)
+        packed = np.packbits(expanded.reshape(len(rows), -1), axis=1,
+                             bitorder="little")
+        idx = (row_off[rows] + 1)[:, None] + np.arange(16 * int(b))
+        out[idx] = packed
+    er, ec = np.nonzero(exc_mask)                # row-major: ascending per row
+    if len(er):
+        first = np.concatenate(([0], np.cumsum(n_exc)[:-1]))
+        ordinal = np.arange(len(er)) - first[er]
+        base = (row_off[:-1] + 1 + body)[er] + 2 * ordinal
+        out[base] = ec.astype(np.uint8)
+        out[base + 1] = exc_high[er, ec]
+    return out, nbytes
+
+
+def encode_postings_batch(doc_of: np.ndarray, freq: np.ndarray,
+                          term_starts: np.ndarray, big_ids: np.ndarray):
+    """Encode ALL big terms' posting lists in one vectorized pass: full
+    128-blocks through :func:`pfor_encode_blocks` (interleaved delta/freq
+    rows in term order) and every vint tail through ONE vint_encode call.
+
+    Returns a dict tid -> (payload bytes, skip_offsets int32[],
+    skip_last_docs int32[]) matching :func:`encode_postings` output.
+    """
+    if len(big_ids) == 0:
+        return {}
+    dfs = (term_starts[big_ids + 1] - term_starts[big_ids]).astype(np.int64)
+    n_full = dfs // BLOCK_SIZE
+    tails = dfs - n_full * BLOCK_SIZE
+    starts = term_starts[big_ids].astype(np.int64)
+
+    # per-term deltas over the full runs (first entry stores docID+1)
+    total = int(dfs.sum())
+    idx = np.repeat(starts - np.concatenate(([0], np.cumsum(dfs)[:-1])),
+                    dfs) + np.arange(total)
+    docs = doc_of[idx].astype(np.int64)
+    frqs = freq[idx].astype(np.uint64)
+    run_start = np.zeros(total, dtype=bool)
+    run_start[0] = True
+    run_start[np.cumsum(dfs)[:-1]] = True
+    deltas = np.empty(total, dtype=np.int64)
+    deltas[0] = docs[0] + 1
+    deltas[1:] = docs[1:] - docs[:-1]
+    deltas[run_start] = docs[run_start] + 1
+    deltas = deltas.astype(np.uint64)
+
+    # gather full-block regions into (2*total_blocks, 128): rows ordered
+    # term-major, alternating delta/freq per block
+    tb = int(n_full.sum())
+    run_base = np.concatenate(([0], np.cumsum(dfs)[:-1]))
+    blk_term = np.repeat(np.arange(len(big_ids)), n_full)
+    blk_no = np.arange(tb) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_full)[:-1])), n_full)
+    src = (run_base[blk_term] + blk_no * BLOCK_SIZE)[:, None] \
+        + np.arange(BLOCK_SIZE)
+    mat = np.empty((2 * tb, BLOCK_SIZE), dtype=np.uint64)
+    mat[0::2] = deltas[src]
+    mat[1::2] = frqs[src]
+    payload, row_nbytes = pfor_encode_blocks(mat)
+    row_off = np.concatenate(([0], np.cumsum(row_nbytes)))
+    # per-block byte size = its delta row + freq row
+    blk_bytes = row_nbytes[0::2] + row_nbytes[1::2]
+    blk_start = row_off[0::2]
+
+    # all tails in one vint pass: [tail_deltas_t | tail_freqs_t]*
+    t_rows = np.nonzero(tails)[0]
+    tail_payload = b""
+    tail_slices = {}
+    if len(t_rows):
+        t_lens = tails[t_rows]
+        t_total = int(t_lens.sum())
+        t_src = np.repeat(run_base[t_rows] + n_full[t_rows] * BLOCK_SIZE
+                          - np.concatenate(([0], np.cumsum(t_lens)[:-1])),
+                          t_lens) + np.arange(t_total)
+        td, tf = deltas[t_src], frqs[t_src]
+        combined = np.empty(2 * t_total, dtype=np.uint64)
+        out_base = np.repeat(np.cumsum(np.concatenate(([0], 2 * t_lens[:-1]))),
+                             t_lens)
+        within = np.arange(t_total) - np.repeat(
+            np.concatenate(([0], np.cumsum(t_lens)[:-1])), t_lens)
+        combined[out_base + within] = td
+        combined[out_base + within + np.repeat(t_lens, t_lens)] = tf
+        tail_payload = vint_encode(combined)
+        vb = np.maximum((_bit_length(combined) + 6) // 7, 1)
+        voff = np.concatenate(([0], np.cumsum(vb)))
+        bounds = np.cumsum(np.concatenate(([0], 2 * t_lens)))
+        for j, t in enumerate(t_rows):
+            tail_slices[int(t)] = (int(voff[bounds[j]]), int(voff[bounds[j + 1]]))
+
+    out = {}
+    nb_bounds = np.concatenate(([0], np.cumsum(n_full)))
+    for j, tid in enumerate(big_ids):
+        s, e = nb_bounds[j], nb_bounds[j + 1]
+        offs_local = blk_start[s:e] - (blk_start[s] if e > s else 0)
+        body = payload[row_off[2 * s]:row_off[2 * e]].tobytes() if e > s else b""
+        run = docs[run_base[j]:run_base[j] + dfs[j]]
+        last_docs = run[np.minimum((np.arange(e - s) + 1) * BLOCK_SIZE - 1,
+                                   dfs[j] - 1)] if e > s else np.zeros(0, np.int64)
+        offsets = list(offs_local)
+        lasts = list(last_docs)
+        if tails[j]:
+            a, bnd = tail_slices[int(j)]
+            offsets.append(len(body))
+            lasts.append(int(run[-1]))
+            body = body + tail_payload[a:bnd]
+        out[int(tid)] = (body, np.asarray(offsets, dtype=np.int32),
+                        np.asarray(lasts, dtype=np.int32))
+    return out
 
 
 def pfor_decode(buf: memoryview | bytes, off: int = 0) -> tuple[np.ndarray, int]:

@@ -30,7 +30,13 @@ import pyarrow.parquet as pq
 
 from ..analysis.standard import tokenize_column
 from ..util.smallfloat import int_to_byte4
-from .postings import BLOCK_SIZE, encode_postings, impact_skyline, vint_encode
+from .postings import (
+    BLOCK_SIZE,
+    encode_postings,
+    encode_postings_batch,
+    impact_skyline,
+    vint_encode,
+)
 
 TERMS_FILE = "terms.parquet"
 POSTINGS_FILE = "postings.bin"
@@ -340,9 +346,9 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     big_payloads = []
     big_meta = {}
     cursor = len(small_payload)
+    batch_enc = encode_postings_batch(doc_of, freq, term_starts, big_ids)
     for t in big_ids:
-        s, e = term_starts[t], term_starts[t + 1]
-        payload, b_offs, b_last = encode_postings(doc_of[s:e], freq[s:e])
+        payload, b_offs, b_last = batch_enc[int(t)]
         offs[t] = cursor
         nbytes[t] = len(payload)
         big_meta[int(t)] = (b_offs, b_last)
@@ -371,18 +377,39 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     n_skip = np.ones(V, dtype=np.int64)
     big_imp = {}
     n_imp = np.ones(V, dtype=np.int64)
-    for t in big_ids:
-        s, e = term_starts[t], term_starts[t + 1]
-        b_offs, b_last = big_meta[int(t)]           # includes the tail entry
-        n_skip[t] = len(b_offs)
-        ic, _if, _in = [], [], []
-        for b in range(len(b_offs)):
-            lo = s + b * BLOCK_SIZE
-            hi = min(lo + BLOCK_SIZE, e)
-            sf, sn = impact_skyline(freq[lo:hi], pnorms[lo:hi])
-            ic.append(len(sf)); _if.append(sf); _in.append(sn)
-        big_imp[int(t)] = (np.array(ic), np.concatenate(_if), np.concatenate(_in))
-        n_imp[t] = len(big_imp[int(t)][1])
+    if len(big_ids):
+        # batched skylines: one dense (block x norm-byte) max-freq matrix for
+        # ALL big-term blocks, then the monotone-prune vectorized per row —
+        # identical output to per-block impact_skyline without the Python
+        # loop over blocks
+        dfs_big = dfs[big_ids].astype(np.int64)
+        nb_term = (dfs_big + BLOCK_SIZE - 1) // BLOCK_SIZE
+        blk_base = np.concatenate(([0], np.cumsum(nb_term)))
+        tot = int(dfs_big.sum())
+        run_pref = np.concatenate(([0], np.cumsum(dfs_big)[:-1]))
+        starts_big = term_starts[big_ids].astype(np.int64)
+        idx = np.repeat(starts_big - run_pref, dfs_big) + np.arange(tot)
+        ordinal = np.arange(tot) - np.repeat(run_pref, dfs_big)
+        blk_of = np.repeat(blk_base[:-1], dfs_big) + ordinal // BLOCK_SIZE
+        dense = np.zeros((int(blk_base[-1]), 256), dtype=np.int32)
+        np.maximum.at(dense, (blk_of, pnorms[idx].astype(np.int64)),
+                      freq[idx].astype(np.int32))
+        run = np.maximum.accumulate(dense, axis=1)
+        keep = dense > 0
+        keep[:, 1:] &= dense[:, 1:] > run[:, :-1]
+        ic_all = keep.sum(axis=1).astype(np.int64)
+        rows_k, cols_k = np.nonzero(keep)
+        sky_f = dense[rows_k, cols_k].astype(np.int32)
+        sky_n = cols_k.astype(np.uint8)
+        sky_bounds = np.concatenate(([0], np.cumsum(ic_all)))
+        for j, t in enumerate(big_ids):
+            b_offs, b_last = big_meta[int(t)]       # includes the tail entry
+            n_skip[t] = len(b_offs)
+            bs, be = blk_base[j], blk_base[j + 1]
+            big_imp[int(t)] = (ic_all[bs:be],
+                               sky_f[sky_bounds[bs]:sky_bounds[be]],
+                               sky_n[sky_bounds[bs]:sky_bounds[be]])
+            n_imp[t] = int(sky_bounds[be] - sky_bounds[bs])
 
     skip_bounds = np.concatenate(([0], np.cumsum(n_skip)))
     imp_bounds = np.concatenate(([0], np.cumsum(n_imp)))

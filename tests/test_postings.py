@@ -139,3 +139,55 @@ def test_impact_skyline_random():
         sf, sn = impact_skyline(freqs, norms)
         for f, nn in zip(freqs, norms):
             assert any(f <= f2 and nn >= n2 for f2, n2 in zip(sf, sn))
+
+
+def test_encode_postings_batch_roundtrip_equivalence():
+    """The batched big-term encoder decodes identically to the per-term
+    encoder (payload bytes may differ only in the documented all-equal+exc
+    corner; decoded postings and skip metadata must match exactly)."""
+    from lucene_ray.index.postings import (
+        decode_postings,
+        encode_postings,
+        encode_postings_batch,
+    )
+
+    rng = np.random.default_rng(123)
+    doc_runs, freq_runs = [], []
+    for df in (128, 129, 200, 256, 300, 1000, 4097, 130):
+        gaps = rng.integers(1, 50, size=df)
+        big = rng.random(df) < 0.05              # gap outliers -> exceptions
+        gaps[big] = rng.integers(1, 100000, size=int(big.sum()))
+        docs = np.cumsum(gaps) - 1
+        freqs = rng.integers(1, 8, size=df)
+        freqs[rng.random(df) < 0.03] = 10000     # freq outliers -> exceptions
+        doc_runs.append(docs.astype(np.int32))
+        freq_runs.append(freqs.astype(np.int32))
+    # one all-equal-delta run (vint short-circuit territory)
+    doc_runs.append((np.arange(512) * 3).astype(np.int32))
+    freq_runs.append(np.ones(512, dtype=np.int32))
+
+    dfs = np.array([len(d) for d in doc_runs], dtype=np.int64)
+    term_starts = np.concatenate(([0], np.cumsum(dfs)))
+    doc_of = np.concatenate(doc_runs).astype(np.int32)
+    freq = np.concatenate(freq_runs).astype(np.int32)
+    big_ids = np.arange(len(doc_runs))
+
+    batch = encode_postings_batch(doc_of, freq, term_starts, big_ids)
+    for t in big_ids:
+        s, e = term_starts[t], term_starts[t + 1]
+        ref_payload, ref_offs, ref_last = encode_postings(doc_of[s:e], freq[s:e])
+        payload, offs, last = batch[int(t)]
+        d1, f1 = decode_postings(payload, int(dfs[t]))
+        assert np.array_equal(d1, doc_of[s:e]), t
+        assert np.array_equal(f1, freq[s:e]), t
+        assert np.array_equal(last, ref_last), t
+        # skip offsets must let decode_block start at every full block
+        from lucene_ray.index.postings import decode_block
+
+        prev = -1
+        for b in range(len(offs) - (1 if dfs[t] % 128 else 0)):
+            db, fb = decode_block(payload, int(offs[b]), prev)
+            lo = b * 128
+            assert np.array_equal(db, doc_of[s + lo:s + lo + 128]), (t, b)
+            assert np.array_equal(fb, freq[s + lo:s + lo + 128]), (t, b)
+            prev = int(db[-1])
