@@ -423,6 +423,35 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                 doc = np.concatenate((doc, doc[a]))
                 pos = np.concatenate((pos, pos[a]))
                 incr = np.concatenate((incr, np.zeros(len(a), bool)))
+        elif spec.startswith("minhash:"):
+            # MinHashFilter (`analysis/minhash/MinHashFilter.java`): consume
+            # the whole token stream per doc and emit only its K minimum
+            # distinct 64-bit hashes as hex tokens (the hashCount=1,
+            # hashSetSize=K variant, emitted at stream end) — indexing these
+            # makes Jaccard-similar docs share terms, so near-dup candidate
+            # pairs fall out of ordinary term queries.
+            import pyarrow as _pa
+
+            from ..util.hashing import fnv1a64
+
+            k_mh = int(spec.split(":")[1])
+            h = fnv1a64(_pa.array(toks, type=_pa.string()))
+            order_mh = np.lexsort((h, doc))
+            dd, hh = doc[order_mh], h[order_mh]
+            if len(dd):
+                first = np.ones(len(dd), dtype=bool)
+                first[1:] = (dd[1:] != dd[:-1]) | (hh[1:] != hh[:-1])
+                dd, hh = dd[first], hh[first]
+                grp = np.concatenate(([True], dd[1:] != dd[:-1]))
+                gs = np.nonzero(grp)[0]
+                glen = np.diff(np.concatenate((gs, [len(dd)])))
+                rank = np.arange(len(dd)) - np.repeat(gs, glen)
+                keep_mh = rank < k_mh
+                dd, hh, rank = dd[keep_mh], hh[keep_mh], rank[keep_mh]
+            toks = np.array([format(int(x), "016x") for x in hh], dtype=object)
+            doc = dd
+            pos = rank.astype(np.int32) if len(dd) else np.zeros(0, np.int32)
+            incr = np.ones(len(dd), dtype=bool)
         else:
             raise ValueError(f"unknown token filter spec: {spec}")
 

@@ -773,3 +773,24 @@ def parse_surround(text: str, field: str = "text"):
     if pos[0] != len(tokens):
         raise SurroundParseError(f"trailing input at token {pos[0]} in {text!r}")
     return q
+
+
+@dataclass(frozen=True)
+class NGramPhraseQuery:
+    """Phrase over an n-gram analyzed stream (`search/NGramPhraseQuery.java`):
+    for exact (slop=0) consecutive phrases of >= 3 grams with n >= 2, the
+    rewrite keeps only every n-th gram plus the last, each pinned at its
+    original position — equivalent on n-gram token streams (the retained
+    grams overlap-cover the whole string) and ~n times cheaper.  When not
+    optimizable it degrades to the wrapped PhraseQuery."""
+    n: int
+    phrase: PhraseQuery
+
+    def rewrite(self):
+        """Returns either the plain PhraseQuery or (terms, positions)."""
+        terms = self.phrase.terms
+        if self.phrase.slop != 0 or self.n < 2 or len(terms) < 3:
+            return self.phrase
+        keep = [i for i in range(len(terms))
+                if i % self.n == 0 or i == len(terms) - 1]
+        return tuple(terms[i] for i in keep), tuple(keep)

@@ -597,7 +597,8 @@ def search_shard_phrase_sloppy(reader, terms: list[str], slop: int, scorer,
     return scores, pdocs, total, RELATION_EQ
 
 
-def search_shard_phrase_general(reader, slots, slop: int, scorer, k: int, after=None):
+def search_shard_phrase_general(reader, slots, slop: int, scorer, k: int,
+                                after=None, offsets=None):
     """General phrase execution: multi-term slots (MultiPhraseQuery union
     postings) and/or repeating terms, exact (slop=0) or sloppy.  Conjunction
     over slot doc unions, then per candidate doc: merged slot positions
@@ -647,9 +648,12 @@ def search_shard_phrase_general(reader, slots, slop: int, scorer, k: int, after=
                 pl = np.sort(np.concatenate(parts).astype(np.int64))
             pls.append(pl)
         if slop == 0:
-            inter = np.unique(pls[0])
+            # explicit slot offsets (NGramPhraseQuery sparse positions);
+            # default = consecutive
+            offs = offsets if offsets is not None else range(len(pls))
+            inter = np.unique(pls[0]) - offs[0]
             for i in range(1, len(pls)):
-                inter = np.intersect1d(inter, np.unique(pls[i]) - i,
+                inter = np.intersect1d(inter, np.unique(pls[i]) - offs[i],
                                        assume_unique=True)
                 if len(inter) == 0:
                     break

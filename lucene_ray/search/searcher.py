@@ -415,6 +415,26 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "phrase_general": (slots, scorer, int(query.slop))}
+        from .query import NGramPhraseQuery as _NGPQ
+
+        if isinstance(query, _NGPQ):
+            rw = query.rewrite()
+            if isinstance(rw, PhraseQuery):
+                return self.compile(rw, _normalized=True)
+            terms, offsets = rw
+            dfs = [self.df(t) for t in terms]
+            if any(d == 0 for d in dfs):
+                return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
+                        "msm": 0, "n_required": 1, "match_all": False}
+            idf_sum = np.float32(0.0)
+            for d in dfs:
+                idf_sum = idf_sum + self.sim.idf(d, self.doc_count)
+            scorer = self.sim.scorer_with_idf(query.phrase.boost, idf_sum,
+                                              self.doc_count, self.sum_ttf)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "phrase_general": (tuple((t,) for t in terms), scorer, 0),
+                    "phrase_offsets": tuple(offsets)}
         if isinstance(query, PhraseQuery):
             # PhraseWeight: idf = SUM of the terms' idfs (idfExplain for
             # multiple termStats), float32 accumulation in term order
@@ -526,7 +546,9 @@ class IndexSearcher:
             from .scorer import search_shard_phrase_general
 
             slots, scorer, slop = compiled["phrase_general"]
-            return search_shard_phrase_general(rdr, slots, slop, scorer, k, after=after)
+            return search_shard_phrase_general(
+                rdr, slots, slop, scorer, k, after=after,
+                offsets=compiled.get("phrase_offsets"))
         if compiled.get("phrase"):
             terms, scorer, slop = compiled["phrase"]
             if slop > 0:

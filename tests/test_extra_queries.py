@@ -173,3 +173,62 @@ def test_blended_term_query(setup):
                                             rdr.norms[local:local + 1])[0]))
         expect = max(parts) + 0.01 * (sum(parts) - max(parts))
         assert abs(h.score - np.float32(expect)) < 1e-5
+
+
+# --- NGramPhraseQuery (round 3) -------------------------------------------
+
+def test_ngram_phrase_query(ray_session, tmp_path_factory):
+    """On n-gram token streams the sparse rewrite (every n-th gram + last,
+    pinned at original positions) matches exactly the docs the full
+    consecutive phrase matches."""
+    import string
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import NGramPhraseQuery, PhraseQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    rng = np.random.default_rng(42)
+    N_GRAM = 2
+    strings = ["".join(rng.choice(list(string.ascii_lowercase[:6]),
+                                  size=rng.integers(5, 15)))
+               for _ in range(300)]
+    # token stream of a string = its overlapping character n-grams
+    texts = [" ".join(s[i:i + N_GRAM] for i in range(len(s) - N_GRAM + 1))
+             for s in strings]
+    t = pa.table({
+        "conv_id": pa.array([f"c{i:04d}" for i in range(len(texts))]),
+        "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+        "text": pa.array(texts),
+    })
+    d = str(tmp_path_factory.mktemp("ngpidx"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=100,
+                input_desc="ngp")
+    s = IndexSearcher(d)
+
+    checked = 0
+    for src in strings[:40]:
+        if len(src) < 6:
+            continue
+        sub = src[1:6]                                # 5-char substring
+        grams = tuple(sub[i:i + N_GRAM] for i in range(len(sub) - N_GRAM + 1))
+        full = PhraseQuery(grams)
+        ngp = NGramPhraseQuery(N_GRAM, full)
+        th = 2**31 - 1
+        a = s.search(full, k=300, total_hits_threshold=th)
+        b = s.search(ngp, k=300, total_hits_threshold=th)
+        want = {i for i, st in enumerate(strings) if sub in st}
+        assert {h.gid for h in a.hits} == want, sub
+        assert {h.gid for h in b.hits} == want, sub
+        assert b.total_hits == a.total_hits
+        checked += 1
+    assert checked >= 30
+
+    # non-optimizable shapes degrade to the plain phrase
+    short = NGramPhraseQuery(N_GRAM, PhraseQuery(("ab", "bc")))
+    assert short.rewrite() == PhraseQuery(("ab", "bc"))
+    sloppy = NGramPhraseQuery(N_GRAM, PhraseQuery(("ab", "bc", "cd"), slop=1))
+    assert sloppy.rewrite() == PhraseQuery(("ab", "bc", "cd"), slop=1)

@@ -87,3 +87,63 @@ def test_chain_end_to_end_index(ray_session, tmp_path):
     assert s.count(bool_query(must=["merge"])) == 3      # syn adds doc 2
     assert s.count(PhraseQuery(("merge", "join"))) == 1  # gap blocks doc 0
     assert s.count(PhraseQuery(("merge", "join"), slop=1)) == 2
+
+
+def test_minhash_filter_stage():
+    """MinHashFilter surface: each doc's stream collapses to its K minimum
+    distinct fnv1a64 hashes as hex tokens; identical streams share all K."""
+    from lucene_ray.util.hashing import fnv1a64_str
+
+    texts = ["merge the data and sort it carefully now",
+             "merge the data and sort it carefully now",     # exact dup
+             "completely different words entirely here today",
+             ""]
+    K = 3
+    flat, counts, pos, norms = _chain(texts, (f"minhash:{K}",))
+    toks = np.asarray(flat, dtype=object)
+    assert counts.tolist() == [K, K, K, 0]
+    assert norms.tolist() == [K, K, K, 0]
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    per_doc = [toks[bounds[i]:bounds[i + 1]].tolist() for i in range(4)]
+    assert per_doc[0] == per_doc[1]                 # dups share every token
+    assert set(per_doc[0]).isdisjoint(per_doc[2])
+    # oracle: K smallest distinct hashes of the analyzed tokens
+    from lucene_ray.analysis.standard import analyze
+
+    for i, txt in enumerate(texts[:3]):
+        hs = sorted({fnv1a64_str(t) for t in analyze(txt)})[:K]
+        assert per_doc[i] == [format(h, "016x") for h in hs], i
+    # positions are 0..K-1 (stream-end emission)
+    assert pos[bounds[0]:bounds[1]].tolist() == list(range(K))
+
+
+def test_minhash_after_shingle_end_to_end(ray_session, tmp_path):
+    """shingle -> minhash chain through a real index: exact dup docs collide
+    on ALL minhash terms (candidate-pair discovery via plain term queries)."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import TermQuery, bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy dog",
+             "an utterly unrelated sentence about compilers"]
+    t = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+        "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+        "text": pa.array(texts),
+    })
+    d = str(tmp_path / "mhidx")
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=10,
+                token_filters=("shingle", "minhash:4"), input_desc="mh")
+    s = IndexSearcher(d)
+    # pick doc 0's minhash terms from its shard dictionary postings
+    rdr = s.reader(s._pids[0])
+    terms0 = [str(rdr._term_np[tid]) for tid in range(rdr.n_terms)
+              if 0 in rdr.postings(tid)[0]]
+    assert len(terms0) == 4
+    for term in terms0:
+        td = s.search(bool_query(should=[term]), k=10,
+                      total_hits_threshold=2**31 - 1)
+        assert {h.gid for h in td.hits} == {0, 1}, term
