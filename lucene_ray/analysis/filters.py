@@ -1,4 +1,12 @@
-"""Opt-in token filters: ASCII folding and Porter stemming.
+"""Opt-in token filters — the analysis/common zoo subset.
+
+1:1 filters: ascii_fold, porter, english_minimal, french_minimal,
+german_minimal, german_normalize, scandinavian_fold, reverse, trim, upper,
+capitalization, decimal_digit, truncate:N, elision:articles,
+keyword_marker:words (stemmer protection).  Graph stages (index-side, via
+:func:`run_token_chain`): stop, syn, shingle, edge_ngram/ngram, minhash,
+length, keep, remove_duplicates, stem_repeat, common_grams, limit,
+fingerprint, word_delimiter[:preserve].
 
 - :func:`porter_stem` — the original Porter algorithm (M.F. Porter, 1980,
   "An algorithm for suffix stripping"), Release-3 semantics as kept by the
@@ -221,12 +229,220 @@ def reverse_token(word: str) -> str:
     return word[::-1]
 
 
+def trim_token(word: str) -> str:
+    """TrimFilter (`analysis/miscellaneous/TrimFilter.java`): strip leading/
+    trailing chars <= ' ' (the Java definition of whitespace there)."""
+    return word.strip("".join(chr(c) for c in range(0x21)))
+
+
+def jdk_upper(word: str) -> str:
+    """UpperCaseFilter (`analysis/core/UpperCaseFilter.java` →
+    CharacterUtils.toUpperCase): per-code-point Character.toUpperCase —
+    code points whose uppercase expands to multiple chars (ß, ligatures)
+    stay unchanged, unlike str.upper()."""
+    out = []
+    for ch in word:
+        up = ch.upper()
+        out.append(up if len(up) == 1 else ch)
+    return "".join(out)
+
+
+def capitalization(word: str) -> str:
+    """CapitalizationFilter defaults (`analysis/miscellaneous/
+    CapitalizationFilter.java`: onlyFirstWord=true, forceFirstLetter=true):
+    inner words (split on chars <= ' ' or '.') past the first are fully
+    lowercased; the first word gets first-char upper + rest lower."""
+    parts, cur, first_done = [], [], False
+    for ch in word:
+        if ch <= " " or ch == ".":
+            if cur:
+                w = "".join(cur)
+                parts.append((w[0].upper() + w[1:].lower()) if not first_done
+                             else w.lower())
+                first_done = True
+                cur = []
+            parts.append(ch)
+        else:
+            cur.append(ch)
+    if cur:
+        w = "".join(cur)
+        parts.append((w[0].upper() + w[1:].lower()) if not first_done
+                     else w.lower())
+    return "".join(parts)
+
+
+def decimal_digit_fold(word: str) -> str:
+    """DecimalDigitFilter (`analysis/core/DecimalDigitFilter.java`): fold
+    every non-Basic-Latin decimal digit (General_Category=Nd) to 0-9."""
+    out = []
+    for ch in word:
+        if ord(ch) > 0x7F and unicodedata.category(ch) == "Nd":
+            out.append(str(unicodedata.digit(ch)))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def french_minimal_stem(word: str) -> str:
+    """FrenchMinimalStemFilter (`analysis/fr/FrenchMinimalStemmer.java`,
+    Savoy's minimal French stemmer) — exact port of the published rules."""
+    if len(word) < 6:
+        return word
+    s = list(word)
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            s[-2] = "l"
+        return "".join(s[:-1])
+    n = len(s)
+    if s[n - 1] == "s":
+        n -= 1
+    if s[n - 1] == "r":
+        n -= 1
+    if s[n - 1] == "e":
+        n -= 1
+    if s[n - 1] == "é":
+        n -= 1
+    if s[n - 1] == s[n - 2] and s[n - 1].isalpha():
+        n -= 1
+    return "".join(s[:n])
+
+
+def german_minimal_stem(word: str) -> str:
+    """GermanMinimalStemFilter (`analysis/de/GermanMinimalStemmer.java`) —
+    exact port: umlaut fold then plural/case suffix strip."""
+    if len(word) < 5:
+        return word
+    s = list(word)
+    tr = {"ä": "a", "ö": "o", "ü": "u"}
+    s = [tr.get(c, c) for c in s]
+    n = len(s)
+    if n > 6 and s[n - 3] == "n" and s[n - 2] == "e" and s[n - 1] == "n":
+        return "".join(s[: n - 3])
+    if n > 5 and (
+        (s[n - 1] == "n" and s[n - 2] == "e")
+        or (s[n - 1] == "e" and s[n - 2] == "s")
+        or (s[n - 1] == "s" and s[n - 2] == "e")
+        or (s[n - 1] == "r" and s[n - 2] == "e")
+    ):
+        return "".join(s[: n - 2])
+    if s[n - 1] in ("n", "e", "s", "r"):
+        return "".join(s[: n - 1])
+    return "".join(s)
+
+
+def german_normalize(word: str) -> str:
+    """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
+    — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
+    deleted after a/o/u-in-initial-state ('ue' → 'u' only after a vowel
+    state, so 'quelle' keeps its e)."""
+    N, V, U = 0, 1, 2
+    state = N
+    out = []
+    for c in word:
+        if c in ("a", "o"):
+            state = U
+            out.append(c)
+        elif c == "u":
+            state = U if state == N else V
+            out.append(c)
+        elif c == "e":
+            if state == U:
+                state = V
+                continue        # deleted
+            state = V
+            out.append(c)
+        elif c in ("i", "q", "y"):
+            state = V
+            out.append(c)
+        elif c == "ä":
+            state = V
+            out.append("a")
+        elif c == "ö":
+            state = V
+            out.append("o")
+        elif c == "ü":
+            state = V
+            out.append("u")
+        elif c == "ß":
+            state = N
+            out.append("ss")
+        else:
+            state = N
+            out.append(c)
+    return "".join(out)
+
+
+def scandinavian_fold(word: str) -> str:
+    """ScandinavianFoldingFilter (`analysis/miscellaneous/
+    ScandinavianFoldingFilter.java` → ScandinavianNormalizer with ALL
+    foldings, folded to the plain vowel): å/æ/ä→a, ø/ö→o, and the
+    double-vowel digraphs aa/ao/ae→a, oe/oo→o (second char any case)."""
+    single = {"å": "a", "Å": "A", "æ": "a", "Æ": "A",
+              "ä": "a", "Ä": "A", "ø": "o", "Ø": "O",
+              "ö": "o", "Ö": "O"}
+    out = []
+    i = 0
+    while i < len(word):
+        c = word[i]
+        if c in single:
+            out.append(single[c])
+            i += 1
+            continue
+        nxt = word[i + 1].lower() if i + 1 < len(word) else ""
+        if c in "aA" and nxt in ("a", "o", "e"):
+            out.append(c)
+            i += 2
+            continue
+        if c in "oO" and nxt in ("e", "o"):
+            out.append(c)
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# FrenchAnalyzer.DEFAULT_ARTICLES (`analysis/fr/FrenchAnalyzer.java`)
+FRENCH_ARTICLES = ("l m t qu n s j d c jusqu quoiqu lorsqu puisqu").split()
+
+
+def _make_elision(articles):
+    aset = set(articles)
+
+    def elide(word: str) -> str:
+        """ElisionFilter (`analysis/util/ElisionFilter.java`): if the token
+        contains an apostrophe and the prefix before it is an article,
+        strip prefix + apostrophe."""
+        for apo in ("'", "’"):
+            idx = word.find(apo)
+            if idx >= 0:
+                if word[:idx].lower() in aset:
+                    return word[idx + 1:]
+                return word
+        return word
+
+    return elide
+
+
 FILTERS = {
     "ascii_fold": ascii_fold,
     "porter": porter_stem,
     "english_minimal": english_minimal_stem,
+    "french_minimal": french_minimal_stem,
+    "german_minimal": german_minimal_stem,
+    "german_normalize": german_normalize,
+    "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,
+    "trim": trim_token,
+    "upper": jdk_upper,
+    "capitalization": capitalization,
+    "decimal_digit": decimal_digit_fold,
 }
+
+# stemmer specs that KeywordMarkerFilter protection applies to
+# (`analysis/miscellaneous/KeywordMarkerFilter.java` sets KeywordAttribute;
+# stemmers skip keyword terms)
+STEMMERS = {"porter", "english_minimal", "french_minimal", "german_minimal"}
 
 
 def _make_truncate(n: int):
@@ -247,15 +463,35 @@ def resolve_one2one(spec: str):
         return f
     if spec.startswith("truncate:"):
         return _make_truncate(int(spec.split(":")[1]))
+    if spec.startswith("elision:"):
+        body = spec[len("elision:"):]
+        return _make_elision(FRENCH_ARTICLES if body == "french"
+                             else body.split(","))
     return None
+
+
+def is_one2one(spec: str) -> bool:
+    """True for specs that map one token to one token (incl. the stateful
+    ``keyword_marker:`` protection marker) — these run dictionary-vectorized
+    and also apply to query terms."""
+    return resolve_one2one(spec) is not None or spec.startswith("keyword_marker:")
 
 
 def apply_filters_str(term: str, names) -> str:
     """Query-side chain: only 1:1 per-term filters apply (graph stages —
     stop/syn/shingle/ngram/length — are index-side rewrites; query terms hit
     the already rewritten dictionary directly, like Lucene's multi-term
-    queries bypassing analysis)."""
+    queries bypassing analysis).  ``keyword_marker:w1,w2`` sets the
+    KeywordAttribute (`analysis/miscellaneous/KeywordMarkerFilter.java`):
+    once the current term is marked, later STEMMERS skip it."""
+    protected = False
     for n in names:
+        if n.startswith("keyword_marker:"):
+            if term in n[len("keyword_marker:"):].split(","):
+                protected = True
+            continue
+        if protected and n in STEMMERS:
+            continue
         f = resolve_one2one(n)
         if f is not None:
             term = f(term)
@@ -293,6 +529,50 @@ def _parse_syn(spec: str) -> dict[str, list[str]]:
     return out
 
 
+def _wd_parts(w: str) -> list[str]:
+    """Split one token per WordDelimiterIterator default rules
+    (`analysis/miscellaneous/WordDelimiterIterator.java`): possessive 's
+    stripped first, then boundaries at non-alphanumeric delimiters,
+    lower→Upper case changes, letter↔digit changes, and the acronym rule
+    (in an uppercase run followed by lowercase, the last upper starts the
+    new part: "XLSpreadsheet" → XL, Spreadsheet)."""
+    if len(w) >= 2 and w[-1] in "sS" and w[-2] in ("'", "’"):
+        w = w[:-2]
+
+    def _cls(c: str) -> str:
+        if c.isdigit():
+            return "d"
+        if c.isalpha():
+            return "u" if c.isupper() else "l"
+        return "x"
+
+    parts: list[str] = []
+    cur: list[str] = []
+    prev = None
+    for c in w:
+        k = _cls(c)
+        if k == "x":
+            if cur:
+                parts.append("".join(cur))
+                cur = []
+            prev = None
+            continue
+        if cur:
+            if (prev == "l" and k == "u") or \
+               ((prev == "d") != (k == "d")):
+                parts.append("".join(cur))
+                cur = []
+            elif prev == "u" and k == "l" and len(cur) >= 2:
+                last = cur.pop()
+                parts.append("".join(cur))
+                cur = [last]
+        cur.append(c)
+        prev = k
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def run_token_chain(flat, lengths: np.ndarray, specs):
     """Position-aware analyzer chain — the TokenStream graph semantics of the
     reference's filter zoo for the supported stages, vectorized over the
@@ -320,22 +600,32 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
     only 1:1 stages ran (all increments 1, the fast path)."""
     import pyarrow as pa
 
-    one2one = [s for s in specs if resolve_one2one(s) is not None]
-    graph = [s for s in specs if resolve_one2one(s) is None]
-    if one2one:
-        # leading 1:1 stages run dictionary-vectorized before any graph stage
-        lead = []
-        for s in specs:
-            if resolve_one2one(s) is not None:
-                lead.append(s)
-            else:
-                break
+    # leading 1:1 stages run dictionary-vectorized before any graph stage
+    lead = []
+    for s in specs:
+        if is_one2one(s):
+            lead.append(s)
+        else:
+            break
+    rest = list(specs[len(lead):])
+    if lead:
         flat = apply_filters_column(flat, lead)
-        rest = specs[len(lead):]
-    else:
-        rest = specs
-    if not graph:
+    if not rest:
         return flat, lengths, None, lengths
+
+    # group consecutive 1:1 specs so stateful keyword_marker protection
+    # stays in one chain with the stemmers it guards; earlier markers
+    # carry forward to later 1:1 runs
+    stages: list = []
+    for s in rest:
+        if is_one2one(s):
+            if stages and isinstance(stages[-1], list):
+                stages[-1].append(s)
+            else:
+                stages.append([s])
+        else:
+            stages.append(s)
+    markers = [s for s in lead if s.startswith("keyword_marker:")]
 
     if not isinstance(flat, (pa.Array, pa.ChunkedArray)):
         flat = pa.array(np.asarray(flat, dtype=object), type=pa.string())
@@ -345,11 +635,14 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
     starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
     pos = (np.arange(len(toks)) - np.repeat(starts, lengths)).astype(np.int32)
     incr = np.ones(len(toks), dtype=bool)
+    mutated = False     # any graph stage ran (positions may be non-dense)
 
-    for spec in rest:
-        if resolve_one2one(spec) is not None:
+    for spec in stages:
+        if isinstance(spec, list):
             toks = np.asarray(apply_filters_column(
-                pa.array(toks, type=pa.string()), (spec,)), dtype=object)
+                pa.array(toks, type=pa.string()), markers + spec),
+                dtype=object)
+            markers += [s for s in spec if s.startswith("keyword_marker:")]
         elif spec.startswith("length:"):
             # LengthFilter (`analysis/miscellaneous/LengthFilter.java`):
             # out-of-bounds tokens drop, leaving position gaps
@@ -452,8 +745,161 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
             doc = dd
             pos = rank.astype(np.int32) if len(dd) else np.zeros(0, np.int32)
             incr = np.ones(len(dd), dtype=bool)
+        elif spec.startswith("keep:"):
+            # KeepWordFilter (`analysis/miscellaneous/KeepWordFilter.java`):
+            # inverse of stop — only listed words survive, position gaps kept
+            words = np.asarray(spec[len("keep:"):].split(","), dtype=object)
+            kmask = np.isin(toks, words)
+            toks, doc, pos, incr = toks[kmask], doc[kmask], pos[kmask], incr[kmask]
+        elif spec == "remove_duplicates":
+            # RemoveDuplicatesTokenFilter (`analysis/miscellaneous/
+            # RemoveDuplicatesTokenFilter.java`): drop tokens with the same
+            # term at the same position; an original (incr) occurrence wins
+            # over an overlay so norms are unchanged
+            order_rd = np.lexsort((~incr, toks.astype(str), pos, doc))
+            d_o, p_o, t_o = doc[order_rd], pos[order_rd], toks[order_rd]
+            first = np.ones(len(order_rd), dtype=bool)
+            if len(order_rd) > 1:
+                first[1:] = ((d_o[1:] != d_o[:-1]) | (p_o[1:] != p_o[:-1])
+                             | (t_o[1:] != t_o[:-1]))
+            keep_idx = order_rd[first]
+            toks, doc, pos, incr = (toks[keep_idx], doc[keep_idx],
+                                    pos[keep_idx], incr[keep_idx])
+        elif spec.startswith("stem_repeat:"):
+            # KeywordRepeatFilter + stemmer + RemoveDuplicatesTokenFilter
+            # (`analysis/miscellaneous/KeywordRepeatFilter.java` combo): the
+            # original term stays and, when the stem differs, the stemmed
+            # form is added at the same position as an overlay (posInc 0,
+            # no norm contribution)
+            stem_f = resolve_one2one(spec[len("stem_repeat:"):])
+            if stem_f is None:
+                raise ValueError(f"unknown stemmer in {spec}")
+            uniq_sr, inv_sr = np.unique(toks.astype(str), return_inverse=True)
+            stemmed = np.array([stem_f(w) for w in uniq_sr], dtype=object)
+            differs = stemmed[inv_sr] != toks
+            hit = np.nonzero(differs)[0]
+            if len(hit):
+                toks = np.concatenate((toks, stemmed[inv_sr][hit]))
+                doc = np.concatenate((doc, doc[hit]))
+                pos = np.concatenate((pos, pos[hit]))
+                incr = np.concatenate((incr, np.zeros(len(hit), bool)))
+        elif spec.startswith("common_grams:"):
+            # CommonGramsFilter (`analysis/commongrams/CommonGramsFilter.java`):
+            # for each stream-adjacent pair where either side is a common
+            # word, emit "a_b" at the first constituent's position with
+            # posInc 0 / posLen 2 (an overlap — no norm contribution)
+            body = spec[len("common_grams:"):]
+            common = np.asarray(ENGLISH_STOP if body == "english"
+                                else body.split(","), dtype=object)
+            oi = np.nonzero(incr)[0]
+            o = oi[np.lexsort((pos[oi], doc[oi]))]
+            if len(o) > 1:
+                adj = doc[o][1:] == doc[o][:-1]
+                a, b = o[:-1][adj], o[1:][adj]
+                is_c = np.isin(toks[a], common) | np.isin(toks[b], common)
+                a, b = a[is_c], b[is_c]
+                if len(a):
+                    grams = np.array(
+                        [f"{x}_{y}" for x, y in zip(toks[a], toks[b])],
+                        dtype=object)
+                    toks = np.concatenate((toks, grams))
+                    doc = np.concatenate((doc, doc[a]))
+                    pos = np.concatenate((pos, pos[a]))
+                    incr = np.concatenate((incr, np.zeros(len(a), bool)))
+        elif spec.startswith("limit:"):
+            # LimitTokenCountFilter (`analysis/miscellaneous/
+            # LimitTokenCountFilter.java`, consumeAllTokens): only the first
+            # maxTokenCount tokens of each doc's stream survive (stream
+            # order: originals before their overlays); norms count survivors
+            n_lim = int(spec.split(":")[1])
+            order_lm = np.lexsort((~incr, pos, doc))
+            rank = np.empty(len(order_lm), dtype=np.int64)
+            d_o = doc[order_lm]
+            grp = np.concatenate(([True], d_o[1:] != d_o[:-1])) \
+                if len(d_o) else np.zeros(0, bool)
+            gs = np.nonzero(grp)[0]
+            glen = np.diff(np.concatenate((gs, [len(d_o)])))
+            rank[order_lm] = np.arange(len(d_o)) - np.repeat(gs, glen)
+            kmask = rank < n_lim
+            toks, doc, pos, incr = toks[kmask], doc[kmask], pos[kmask], incr[kmask]
+        elif spec == "fingerprint":
+            # FingerprintFilter (`analysis/miscellaneous/FingerprintFilter.java`):
+            # consume the whole stream per doc and emit ONE token — the
+            # sorted distinct terms joined by ' '; docs whose fingerprint
+            # exceeds 1024 chars emit nothing
+            order_fp = np.lexsort((toks.astype(str), doc))
+            d_o, t_o = doc[order_fp], toks[order_fp].astype(str)
+            first = np.ones(len(d_o), dtype=bool)
+            if len(d_o) > 1:
+                first[1:] = (d_o[1:] != d_o[:-1]) | (t_o[1:] != t_o[:-1])
+            d_o, t_o = d_o[first], t_o[first]
+            out_t, out_d = [], []
+            grp = np.concatenate(([True], d_o[1:] != d_o[:-1])) \
+                if len(d_o) else np.zeros(0, bool)
+            gs = np.nonzero(grp)[0]
+            ge = np.concatenate((gs[1:], [len(d_o)]))
+            for s_i, e_i in zip(gs, ge):
+                fp = " ".join(t_o[s_i:e_i])
+                if len(fp) <= 1024:
+                    out_t.append(fp)
+                    out_d.append(d_o[s_i])
+            toks = np.array(out_t, dtype=object)
+            doc = np.array(out_d, dtype=np.int64)
+            pos = np.zeros(len(toks), dtype=np.int32)
+            incr = np.ones(len(toks), dtype=bool)
+        elif spec.startswith("word_delimiter"):
+            # WordDelimiterGraphFilter default flags (`analysis/miscellaneous/
+            # WordDelimiterGraphFilter.java` + WordDelimiterIterator.java:
+            # GENERATE_WORD_PARTS|GENERATE_NUMBER_PARTS|SPLIT_ON_CASE_CHANGE|
+            # SPLIT_ON_NUMERICS|STEM_ENGLISH_POSSESSIVE): each token splits
+            # into parts at delimiters / case changes / letter-digit
+            # boundaries; parts take consecutive REAL positions (following
+            # tokens shift), so this stage must run before any overlay/
+            # gap-creating stage.  ``word_delimiter:preserve`` additionally
+            # overlays the unsplit original at the first part's position.
+            if mutated:
+                raise ValueError(
+                    "word_delimiter must be the first graph stage")
+            preserve = spec.endswith(":preserve")
+            uniq_wd, inv_wd = np.unique(toks.astype(str), return_inverse=True)
+            plists = [_wd_parts(w) for w in uniq_wd]
+            pcounts = np.array([len(p) for p in plists], dtype=np.int64)
+            pflat = np.array([p for ps in plists for p in ps], dtype=object)
+            poffs = np.concatenate(([0], np.cumsum(pcounts)))
+            per = pcounts[inv_wd]
+            total = int(per.sum())
+            within = np.arange(total) - np.repeat(np.cumsum(per) - per, per)
+            val_idx = np.repeat(poffs[inv_wd], per) + within
+            new_toks = pflat[val_idx]
+            new_doc = np.repeat(doc, per)
+            # renumber: sequential positions per doc (docs are in order,
+            # original positions dense)
+            if len(new_doc):
+                dgrp = np.concatenate(([True], new_doc[1:] != new_doc[:-1]))
+                dgs = np.nonzero(dgrp)[0]
+                dglen = np.diff(np.concatenate((dgs, [len(new_doc)])))
+                new_pos = (np.arange(total)
+                           - np.repeat(dgs, dglen)).astype(np.int32)
+            else:
+                new_pos = np.zeros(0, np.int32)
+            new_incr = np.ones(total, dtype=bool)
+            if preserve:
+                firsts = np.cumsum(per) - per      # new-index of first part
+                changed = np.nonzero(
+                    (per != 1) | (new_toks[np.minimum(firsts, max(total - 1, 0))]
+                                  != toks))[0] if total else np.zeros(0, int)
+                changed = changed[per[changed] > 0]
+                if len(changed):
+                    new_toks = np.concatenate((new_toks, toks[changed]))
+                    new_doc = np.concatenate((new_doc, doc[changed]))
+                    new_pos = np.concatenate((new_pos, new_pos[firsts[changed]]))
+                    new_incr = np.concatenate(
+                        (new_incr, np.zeros(len(changed), bool)))
+            toks, doc, pos, incr = new_toks, new_doc, new_pos, new_incr
         else:
             raise ValueError(f"unknown token filter spec: {spec}")
+        if not isinstance(spec, list):
+            mutated = True
 
     order = np.lexsort((pos, doc))       # stable: overlays stay after originals
     toks, doc, pos, incr = toks[order], doc[order], pos[order], incr[order]

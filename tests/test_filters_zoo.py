@@ -1,0 +1,231 @@
+"""Round-3 analysis-zoo additions: 1:1 filters (trim/upper/capitalization/
+decimal-digit/elision/French+German minimal stemmers/German+Scandinavian
+normalizers), keyword-marker stemmer protection, and the new graph stages
+(keep / remove_duplicates / stem_repeat / common_grams / limit /
+fingerprint / word_delimiter).  Expected values traced by hand from the
+reference filters cited in lucene_ray/analysis/filters.py docstrings."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.analysis.filters import (
+    _wd_parts,
+    apply_filters_str,
+    capitalization,
+    decimal_digit_fold,
+    french_minimal_stem,
+    german_minimal_stem,
+    german_normalize,
+    jdk_upper,
+    resolve_one2one,
+    run_token_chain,
+    scandinavian_fold,
+    trim_token,
+)
+
+
+def _chain(texts, specs):
+    from lucene_ray.analysis.standard import tokenize_column
+
+    lengths, flat = tokenize_column(pa.array(texts, type=pa.string()))
+    return run_token_chain(flat, lengths, specs)
+
+
+# ---------------------------------------------------------------- 1:1 filters
+
+def test_trim_and_upper():
+    assert trim_token("\x01 word \t") == "word"
+    assert jdk_upper("straße") == "STRAßE"   # ß has no 1:1 uppercase
+    assert jdk_upper("abc") == "ABC"
+
+
+def test_capitalization_defaults():
+    # onlyFirstWord=true: first word Title-cased, later words lowercased
+    assert capitalization("hello") == "Hello"
+    assert capitalization("hELLO") == "Hello"
+    assert capitalization("big.CITY") == "Big.city"
+
+
+def test_decimal_digit_fold():
+    assert decimal_digit_fold("٣١٤") == "314"     # Arabic-Indic
+    assert decimal_digit_fold("１２a") == "12a"   # fullwidth
+    assert decimal_digit_fold("42") == "42"
+
+
+def test_elision():
+    el = resolve_one2one("elision:french")
+    assert el("l'avion") == "avion"
+    assert el("d’accord") == "accord"
+    assert el("aujourd'hui") == "aujourd'hui"     # not an article
+    assert el("avion") == "avion"
+    custom = resolve_one2one("elision:l")
+    assert custom("d'accord") == "d'accord"
+
+
+def test_french_minimal_stem():
+    assert french_minimal_stem("chevaux") == "cheval"
+    assert french_minimal_stem("baux") == "baux"          # < 6 chars
+    assert french_minimal_stem("chanter") == "chant"      # -r then -e? no: r,e
+    assert french_minimal_stem("chats") == "chats"        # < 6
+
+
+def test_german_minimal_stem():
+    assert german_minimal_stem("häuser") == "haus"        # fold + -er
+    assert german_minimal_stem("bilder") == "bild"
+    assert german_minimal_stem("sagen") == "sage"         # len 5: only -n
+    assert german_minimal_stem("haus") == "haus"          # < 5
+
+
+def test_german_normalize():
+    assert german_normalize("staerke") == "starke"        # ae -> a
+    assert german_normalize("quelle") == "quelle"         # e kept after q-state
+    assert german_normalize("äpfel") == "apfel"
+    assert german_normalize("straße") == "strasse"
+
+
+def test_scandinavian_fold():
+    assert scandinavian_fold("räksmörgås") == "raksmorgas"
+    assert scandinavian_fold("blaabaer") == "blabar"
+    assert scandinavian_fold("bøker") == "boker"
+
+
+def test_keyword_marker_protects_stemmer():
+    chain = ("keyword_marker:running", "porter")
+    assert apply_filters_str("running", chain) == "running"
+    assert apply_filters_str("jumping", chain) == "jump"
+    # marker checks the CURRENT term value at its chain position
+    chain2 = ("porter", "keyword_marker:running")
+    assert apply_filters_str("running", chain2) == "run"
+
+
+# ------------------------------------------------------------- word delimiter
+
+@pytest.mark.parametrize("token,parts", [
+    ("PowerShot", ["Power", "Shot"]),
+    ("wi-fi", ["wi", "fi"]),
+    ("j2se", ["j", "2", "se"]),
+    ("O'Neil's", ["O", "Neil"]),
+    ("XLSpreadsheet", ["XL", "Spreadsheet"]),
+    ("TransAM", ["Trans", "AM"]),
+    ("500-42", ["500", "42"]),
+    ("plain", ["plain"]),
+    ("--", []),
+])
+def test_wd_parts(token, parts):
+    assert _wd_parts(token) == parts
+
+
+def test_word_delimiter_chain_renumbers_positions():
+    flat, counts, pos, norms = _chain(["j2se rocks"], ("word_delimiter",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["j", "2", "se", "rocks"]
+    assert pos.tolist() == [0, 1, 2, 3]
+    assert counts.tolist() == [4]
+    assert norms.tolist() == [4]
+
+
+def test_word_delimiter_preserve_overlay():
+    flat, counts, pos, norms = _chain(["j2se"], ("word_delimiter:preserve",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["j", "j2se", "2", "se"]   # overlay after original at pos 0
+    assert pos.tolist() == [0, 0, 1, 2]
+    assert norms.tolist() == [3]              # overlay discounted
+
+
+def test_word_delimiter_must_lead():
+    with pytest.raises(ValueError):
+        _chain(["a b"], ("stop:a", "word_delimiter"))
+
+
+# -------------------------------------------------------------- graph stages
+
+def test_keep_word_filter():
+    flat, counts, pos, norms = _chain(["merge the join"], ("keep:merge,join",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["merge", "join"]
+    assert pos.tolist() == [0, 2]             # gap preserved
+    assert norms.tolist() == [2]
+
+
+def test_remove_duplicates_after_synonym():
+    # syn overlays 'merge' onto a doc that already has 'merge' next token —
+    # same (pos, term) duplicates come from syn:join=join-like rules; build
+    # an actual dup via two syn rules mapping to the same alt
+    flat, counts, pos, norms = _chain(
+        ["join"], ("syn:join=merge;merge=x", "syn:join=merge",
+                   "remove_duplicates"))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks.count("merge") == 1
+    assert norms.tolist() == [1]
+
+
+def test_stem_repeat():
+    flat, counts, pos, norms = _chain(["running fast"], ("stem_repeat:porter",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["running", "run", "fast"]
+    assert pos.tolist() == [0, 0, 1]
+    assert norms.tolist() == [2]              # stems are overlays
+
+
+def test_common_grams():
+    flat, counts, pos, norms = _chain(["the quick brown fox"],
+                                      ("common_grams:english",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["the", "the_quick", "quick", "brown", "fox"]
+    assert pos.tolist() == [0, 0, 1, 2, 3]
+    assert counts.tolist() == [5]
+    assert norms.tolist() == [4]              # gram is an overlap
+
+
+def test_common_grams_both_sides():
+    flat, *_ = _chain(["of the people"], ("common_grams:of,the",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert "of_the" in toks and "the_people" in toks
+
+
+def test_limit_token_count():
+    flat, counts, pos, norms = _chain(["a b c d", "x y"], ("limit:2",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["a", "b", "x", "y"]
+    assert counts.tolist() == [2, 2]
+    assert norms.tolist() == [2, 2]
+
+
+def test_fingerprint():
+    flat, counts, pos, norms = _chain(["b a b", "z"], ("fingerprint",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["a b", "z"]
+    assert counts.tolist() == [1, 1]
+    assert pos.tolist() == [0, 0]
+
+
+def test_fingerprint_overflow_drops_doc():
+    long_doc = " ".join(f"tok{i:05d}" for i in range(200))   # > 1024 chars
+    flat, counts, _, _ = _chain([long_doc, "ok"], ("fingerprint",))
+    assert counts.tolist() == [0, 1]
+
+
+# ---------------------------------------------------------------- end-to-end
+
+def test_word_delimiter_end_to_end_index(tmp_path, ray_session):
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    rows = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(4)]),
+        "turn_idx": pa.array([0] * 4, type=pa.int32()),
+        "text": pa.array(["install j2se now", "java 2 standard edition",
+                          "x10-v2 shipped", "plain text here"]),
+    })
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(rows), idx, target_docs_per_partition=10,
+                token_filters=("word_delimiter",), input_desc="wd")
+    s = IndexSearcher(idx)
+    assert s.count(TermQuery("j")) == 1
+    assert s.count(TermQuery("2")) == 3      # j2se, "java 2", x10-v2
+    assert s.count(TermQuery("v")) == 1
+    assert s.count(TermQuery("j2se")) == 0   # split away (no preserve)
