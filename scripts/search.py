@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--surround", action="store_true",
                     help="surround dialect (a 3W b / 3N(a,b,c) proximity, "
                          "AND/OR/NOT, prefix forms)")
+    ap.add_argument("--xml", action="store_true",
+                    help="CoreParser XML dialect (TermQuery/BooleanQuery/"
+                         "SpanNear/RangeQuery/UserQuery/... elements)")
     ap.add_argument("--knn", default="",
                     help="comma-separated query vector: k-NN by cosine over the "
                          "index's vector column (optionally filtered by --query)")
@@ -68,6 +71,10 @@ def main():
         from lucene_ray.search.query import parse_surround
 
         q = parse_surround(args.query)
+    elif args.xml:
+        from lucene_ray.search.xmlparser import parse_xml
+
+        q = parse_xml(args.query)
     elif args.phrase:
         q = PhraseQuery(tuple(terms))
     elif args.must:

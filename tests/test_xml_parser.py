@@ -1,0 +1,205 @@
+"""XML query parser dialect (CoreParser element set —
+`queryparser/xml/CoreParser.java` + `builders/`): AST shapes, attribute
+conventions (fieldName inheritance, occurs values, boost wrapping), and
+execution equivalence against directly-constructed queries."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.search.query import (
+    FILTER,
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanClause,
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    IntervalQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    RangeQuery,
+    SynonymQuery,
+    TermQuery,
+    parse_classic,
+)
+from lucene_ray.search.searcher import IndexSearcher
+from lucene_ray.search.xmlparser import XmlParseError, parse_xml
+
+
+# --- AST shapes -----------------------------------------------------------
+
+def test_term_query():
+    assert parse_xml('<TermQuery fieldName="text">merge</TermQuery>') \
+        == TermQuery("merge", field="text")
+    # default field when no fieldName anywhere
+    assert parse_xml("<TermQuery>merge</TermQuery>") == TermQuery("merge")
+
+
+def test_term_query_boost():
+    q = parse_xml('<TermQuery boost="2.5">merge</TermQuery>')
+    assert q == BoostQuery(TermQuery("merge"), 2.5)
+
+
+def test_terms_query_analyzed():
+    q = parse_xml('<TermsQuery fieldName="text">Merge JOIN data</TermsQuery>')
+    assert q == BooleanQuery(tuple(
+        BooleanClause(TermQuery(t), SHOULD) for t in ("merge", "join", "data")))
+
+
+def test_match_all():
+    assert parse_xml("<MatchAllDocsQuery/>") == MatchAllDocsQuery()
+
+
+def test_boolean_query_occurs_and_msm():
+    xml = """
+    <BooleanQuery minimumNumberShouldMatch="1" fieldName="text">
+      <Clause occurs="must"><TermQuery>merge</TermQuery></Clause>
+      <Clause occurs="mustNot"><TermQuery>scan</TermQuery></Clause>
+      <Clause occurs="filter"><TermQuery>sort</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery>join</TermQuery></Clause>
+      <Clause><TermQuery>data</TermQuery></Clause>
+    </BooleanQuery>"""
+    q = parse_xml(xml)
+    assert q == BooleanQuery((
+        BooleanClause(TermQuery("merge"), MUST),
+        BooleanClause(TermQuery("scan"), MUST_NOT),
+        BooleanClause(TermQuery("sort"), FILTER),
+        BooleanClause(TermQuery("join"), SHOULD),
+        BooleanClause(TermQuery("data"), SHOULD),
+    ), minimum_should_match=1)
+
+
+def test_bad_occurs_raises():
+    with pytest.raises(XmlParseError):
+        parse_xml('<BooleanQuery><Clause occurs="nope">'
+                  "<TermQuery>x</TermQuery></Clause></BooleanQuery>")
+
+
+def test_field_name_inheritance():
+    xml = """
+    <BooleanQuery fieldName="other">
+      <Clause occurs="must"><TermQuery>a</TermQuery></Clause>
+      <Clause occurs="must"><TermQuery fieldName="text">b</TermQuery></Clause>
+    </BooleanQuery>"""
+    q = parse_xml(xml)
+    assert q.clauses[0].query.field == "other"
+    assert q.clauses[1].query.field == "text"
+
+
+def test_range_query_bounds():
+    q = parse_xml('<RangeQuery fieldName="ts" lowerTerm="5" upperTerm="9"/>')
+    assert q == RangeQuery("ts", 5, 9)
+    q = parse_xml('<PointRangeQuery fieldName="ts" upperTerm="9" type="long"/>')
+    assert q == RangeQuery("ts", None, 9)
+    q = parse_xml('<RangeQuery fieldName="ts" lowerTerm="5" upperTerm="9" '
+                  'includeLower="false" includeUpper="false"/>')
+    assert q == RangeQuery("ts", 6, 8)
+
+
+def test_dismax():
+    xml = """
+    <DisjunctionMaxQuery tieBreaker="0.3" fieldName="text">
+      <TermQuery>merge</TermQuery>
+      <TermQuery boost="2">join</TermQuery>
+    </DisjunctionMaxQuery>"""
+    q = parse_xml(xml)
+    assert q == DisjunctionMaxQuery(
+        (TermQuery("merge"), TermQuery("join", boost=2.0)), tie_breaker=0.3)
+
+
+def test_constant_score():
+    q = parse_xml('<ConstantScoreQuery boost="3">'
+                  "<TermQuery>merge</TermQuery></ConstantScoreQuery>")
+    assert q == ConstantScoreQuery(TermQuery("merge"), boost=3.0)
+
+
+def test_user_query_is_classic():
+    q = parse_xml("<UserQuery>+merge (join sort)</UserQuery>")
+    assert q == parse_classic("+merge (join sort)")
+
+
+def test_span_near_exact_and_sloppy():
+    exact = parse_xml('<SpanNear slop="0" inOrder="true">'
+                      "<SpanTerm>merge</SpanTerm><SpanTerm>join</SpanTerm>"
+                      "</SpanNear>")
+    assert exact == PhraseQuery(("merge", "join"))
+    near = parse_xml('<SpanNear slop="2" inOrder="false">'
+                     "<SpanTerm>merge</SpanTerm><SpanTerm>join</SpanTerm>"
+                     "</SpanNear>")
+    assert near == IntervalQuery(("merge", "join"), max_width=4, ordered=False)
+
+
+def test_span_or_terms():
+    q = parse_xml("<SpanOrTerms>merge join</SpanOrTerms>")
+    assert q == SynonymQuery(("merge", "join"))
+
+
+def test_unsupported_and_malformed():
+    with pytest.raises(XmlParseError):
+        parse_xml("<SpanFirst end='3'><SpanTerm>a</SpanTerm></SpanFirst>")
+    with pytest.raises(XmlParseError):
+        parse_xml("<TermQuery>merge")        # malformed
+    with pytest.raises(XmlParseError):
+        parse_xml("<TermQuery>  </TermQuery>")
+
+
+# --- execution equivalence ------------------------------------------------
+
+@pytest.fixture(scope="module")
+def xml_idx(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("xmlidx")
+    texts = [
+        "merge the join carefully",
+        "merge sort is stable",
+        "join the data now",
+        "scan every row",
+        "merge join merge join",
+    ]
+    rows = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+        "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+        "ts": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    import ray.data as rd
+
+    idx = str(d / "idx")
+    build_index(rd.from_arrow(rows), idx, target_docs_per_partition=100,
+                docvalue_cols=("ts",), input_desc="xmltest")
+    return IndexSearcher(idx)
+
+
+def test_xml_execution_matches_direct(xml_idx):
+    s = xml_idx
+    xml = """
+    <BooleanQuery>
+      <Clause occurs="must"><TermQuery>merge</TermQuery></Clause>
+      <Clause occurs="mustNot"><TermQuery>scan</TermQuery></Clause>
+      <Clause occurs="filter">
+        <RangeQuery fieldName="ts" lowerTerm="0" upperTerm="3"/>
+      </Clause>
+    </BooleanQuery>"""
+    direct = BooleanQuery((
+        BooleanClause(TermQuery("merge"), MUST),
+        BooleanClause(TermQuery("scan"), MUST_NOT),
+        BooleanClause(RangeQuery("ts", 0, 3), FILTER),
+    ))
+    got = s.search(parse_xml(xml), 10)
+    want = s.search(direct, 10)
+    assert [(h.gid, h.score) for h in got.hits] \
+        == [(h.gid, h.score) for h in want.hits]
+    assert got.total_hits == want.total_hits == 2
+
+
+def test_xml_span_near_counts(xml_idx):
+    s = xml_idx
+    exact = parse_xml("<SpanNear><SpanTerm>merge</SpanTerm>"
+                      "<SpanTerm>join</SpanTerm></SpanNear>")
+    assert s.count(exact) == 1               # only doc 4 has them adjacent
+    near = parse_xml('<SpanNear slop="2" inOrder="true">'
+                     "<SpanTerm>merge</SpanTerm><SpanTerm>join</SpanTerm>"
+                     "</SpanNear>")
+    assert s.count(near) == 2                # doc 0 within window too
