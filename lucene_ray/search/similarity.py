@@ -436,3 +436,65 @@ class DFISimilarity:
     def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
                         sum_ttf: int):
         raise NotImplementedError("DFI phrase scoring not supported")
+
+
+class AxiomaticSimilarity:
+    """Axiomatic retrieval models (`search/similarities/Axiomatic.java` +
+    `AxiomaticF{1,2,3}{EXP,LOG}.java`):
+
+    score = max(0, boost * (tf * ln * tfln * idf - gamma)) with defaults
+    s=0.25, queryLen=1, k=0.35 (Axiomatic.java:91-93).  Per variant:
+
+      F1: tf = 1 + log(1 + log(freq+1));
+          ln = (avgfl + s) / (avgfl + dl*s); tfln = 1
+      F2: tf = ln = 1; tfln = freq / (freq + s + s*dl/avgfl)
+      F3: tf as F1; ln = tfln = 1;
+          gamma = (dl - queryLen) * s * queryLen / avgfl
+      EXP: idf = ((N+1)/df)^k          LOG: idf = log((N+1)/df)
+
+    All variants are non-decreasing in freq at fixed docLen (gamma is
+    freq-independent), so BlockMaxWand skyline bounds stay valid."""
+
+    def __init__(self, variant: str = "F2EXP", s: float = 0.25,
+                 query_len: int = 1, k: float = 0.35):
+        if variant not in ("F1EXP", "F1LOG", "F2EXP", "F2LOG",
+                           "F3EXP", "F3LOG"):
+            raise ValueError(f"unknown axiomatic variant {variant!r}")
+        self.variant = variant
+        self.s = float(s)
+        self.query_len = int(query_len)
+        self.k = float(k)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None):
+        N = float(doc_count)
+        n = max(float(doc_freq), 1.0)
+        avgfl = sum_ttf / max(N, 1.0)
+        s = self.s
+        ql = float(self.query_len)
+        fam, shape = self.variant[:2], self.variant[2:]
+        idf_v = ((N + 1.0) / n) ** self.k if shape == "EXP" \
+            else np.log((N + 1.0) / n)
+        b = float(boost)
+
+        def fn(f, dl):
+            if fam == "F1":
+                core = (1.0 + np.log(1.0 + np.log(f + 1.0))) \
+                    * ((avgfl + s) / (avgfl + dl * s))
+                gamma = 0.0
+            elif fam == "F2":
+                core = f / (f + s + s * dl / avgfl)
+                gamma = 0.0
+            else:                       # F3
+                core = 1.0 + np.log(1.0 + np.log(f + 1.0))
+                gamma = (dl - ql) * s * ql / avgfl
+            return np.maximum(0.0, b * (core * idf_v - gamma))
+
+        return _FreqLenScorer(fn)
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        raise NotImplementedError("Axiomatic phrase scoring not supported")

@@ -46,6 +46,10 @@ def main():
                     help="sort by a doc-values field instead of score, e.g. 'ts' or 'ts:desc'")
     ap.add_argument("--actors", type=int, default=0, help="serve via an actor pool of N")
     ap.add_argument("--count-only", action="store_true")
+    ap.add_argument("--similarity", default="bm25",
+                    help="scoring model: bm25 | classic | boolean | "
+                         "lmdirichlet | lmjm | dfr | ib | dfi | "
+                         "f1exp|f1log|f2exp|f2log|f3exp|f3log (axiomatic)")
     args = ap.parse_args()
 
     import ray
@@ -98,7 +102,25 @@ def main():
         parts = args.sort.split(":")
         sort = SortField(parts[0], reverse=(len(parts) > 1 and parts[1] == "desc"))
 
-    searcher = IndexSearcher(args.index)
+    sim_name = args.similarity.lower()
+    if sim_name != "bm25":
+        from lucene_ray.search import similarity as sims
+
+        sim = {
+            "classic": sims.ClassicSimilarity, "boolean": sims.BooleanSimilarity,
+            "lmdirichlet": sims.LMDirichletSimilarity,
+            "lmjm": sims.LMJelinekMercerSimilarity,
+            "dfr": sims.DFRSimilarity, "ib": sims.IBSimilarity,
+            "dfi": sims.DFISimilarity,
+        }.get(sim_name)
+        if sim is not None:
+            searcher = IndexSearcher(args.index, similarity=sim())
+        else:
+            searcher = IndexSearcher(
+                args.index,
+                similarity=sims.AxiomaticSimilarity(sim_name.upper()))
+    else:
+        searcher = IndexSearcher(args.index)
     if args.count_only:
         print(json.dumps({"count": searcher.count(q)}))
     else:

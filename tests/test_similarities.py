@@ -224,3 +224,54 @@ def test_wand_matches_exhaustive_dfr_ib(sim_index):
             b = s_taat.search(q, k=10)
             assert [(h.gid, h.score) for h in a.hits] == \
                    [(h.gid, h.score) for h in b.hits], type(sim).__name__
+
+
+# --- Axiomatic family (F1/F2/F3 x EXP/LOG) --------------------------------
+
+from lucene_ray.search.similarity import AxiomaticSimilarity
+
+
+@pytest.mark.parametrize("variant", ["F1EXP", "F1LOG", "F2EXP",
+                                     "F2LOG", "F3EXP", "F3LOG"])
+def test_axiomatic_oracle(sim_index, variant):
+    d, tokens = sim_index
+    s = IndexSearcher(d, similarity=AxiomaticSimilarity(variant))
+    s_pars = dict(s=0.25, ql=1.0, k=0.35)
+    for term in ("merge", "data"):
+        N, df, ttf, sum_ttf = _corpus_stats(tokens, term)
+        avgfl = sum_ttf / N
+        idf = ((N + 1.0) / df) ** s_pars["k"] if variant.endswith("EXP") \
+            else math.log((N + 1.0) / df)
+        td = s.search(bool_query(should=[term]), k=10,
+                      total_hits_threshold=2**31 - 1)
+        assert td.hits
+        for h in td.hits[:6]:
+            f = tokens[h.gid].count(term)
+            dl = _decoded_dl(tokens, h.gid)
+            sp = s_pars["s"]
+            if variant.startswith("F1"):
+                core = (1 + math.log(1 + math.log(f + 1))) \
+                    * ((avgfl + sp) / (avgfl + dl * sp))
+                gamma = 0.0
+            elif variant.startswith("F2"):
+                core = f / (f + sp + sp * dl / avgfl)
+                gamma = 0.0
+            else:
+                core = 1 + math.log(1 + math.log(f + 1))
+                gamma = (dl - s_pars["ql"]) * sp * s_pars["ql"] / avgfl
+            exp = max(0.0, core * idf - gamma)
+            assert abs(h.score - exp) < 1e-4 * max(1.0, abs(exp)), (variant, term)
+
+
+def test_wand_matches_exhaustive_axiomatic(sim_index):
+    d, tokens = sim_index
+    for variant in ("F2EXP", "F3LOG"):
+        sim = AxiomaticSimilarity(variant)
+        s_wand = IndexSearcher(d, similarity=sim, use_wand=True)
+        s_taat = IndexSearcher(d, similarity=sim, use_wand=False)
+        for q in [bool_query(should=["merge", "join", "scan"]),
+                  bool_query(must=["sort", "data"])]:
+            a = s_wand.search(q, k=10)
+            b = s_taat.search(q, k=10)
+            assert [(h.gid, h.score) for h in a.hits] == \
+                   [(h.gid, h.score) for h in b.hits], variant
