@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_knn_filtered": _vs("index_knn_filtered"),
         "index_knn_topk": _vs("index_knn_topk"),
         "index_hybrid_rrf": _vs("index_hybrid_rrf"),
+        # --- suggesters (FST-suggester surface) ---
+        "suggest_analyzing": _suggest_analyzing,
+        "suggest_fuzzy": _suggest_fuzzy,
         # --- joins ---
         "bucketed_join": _bucketed_join,
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
@@ -136,6 +139,18 @@ def _vs(name):
 
         return getattr(vsearch, name)(sf_dir)
     return call
+
+
+def _suggest_analyzing(sf_dir):
+    from lucene_ray.pipelines.suggesters import suggest_analyzing
+
+    return suggest_analyzing(sf_dir)
+
+
+def _suggest_fuzzy(sf_dir):
+    from lucene_ray.pipelines.suggesters import suggest_fuzzy
+
+    return suggest_fuzzy(sf_dir)
 
 
 def _bucketed_join(sf_dir):
@@ -428,6 +443,16 @@ def oracle_sql() -> dict[str, str]:
             FROM toklists WHERE list_contains(toks, 'merge') AND doc_id <= 300
             ORDER BY doc_id DESC LIMIT 15""",
         "percolate": _TOKS + " " + _percolate_sql(),
+        "suggest_analyzing": """
+            WITH keyed AS (
+              SELECT text AS surface, n_chars::BIGINT AS weight,
+                     array_to_string(list_transform(
+                         regexp_extract_all(text, '[A-Za-z0-9]+'),
+                         x -> lower(x)), chr(31)) AS key
+              FROM documents)
+            SELECT surface, weight FROM keyed
+            WHERE starts_with(key, 'merge')
+            ORDER BY weight DESC, key ASC LIMIT 10""",
         "media_features": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                    md5(text) AS payload_md5
@@ -439,7 +464,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         # rows-only (non-SQL-expressible / approximate): dedup_minhash,
         # dedup_simhash_pairs, ngram_jaccard, knn_lsh, knn_ivf, knn_hnsw,
-        # dedup_embedding_lsh, index_bm25_topk
+        # dedup_embedding_lsh, index_bm25_topk, suggest_fuzzy (Damerau
+        # prefix automaton)
     }
 
 

@@ -1,0 +1,206 @@
+"""Analyzing / fuzzy completion suggesters — the FST-suggester surface
+(`suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+AnalyzingSuggester.java:1-900`, `FuzzySuggester.java:1-270`) re-expressed
+Ray-Data-first.
+
+The reference builds one FST from (surface, weight) pairs whose arcs are
+the ANALYZED form of the surface (tokens joined by SEP_LABEL 0x1f,
+preserveSep=true) with weights on the paths; lookup walks the analyzed
+query prefix (FuzzySuggester intersects a Levenshtein automaton instead of
+the literal prefix).  Here:
+
+- **build**: a Ray Dataset of (text, weight) rows is analyzed in
+  `map_batches` (pyarrow, vectorized tokenizer), keyed by the
+  \\x1f-joined token stream, globally sorted by key (the one wide op —
+  the analogue of the reference's offline sorter), and written as
+  sorted parquet shards with a per-shard [min,max] key manifest.  Shards
+  stay sorted on disk, so lookups touch only shards whose key range
+  intersects the prefix — the FST's prefix-walk pruning, re-expressed as
+  manifest range pruning.
+- **lookup**: binary search (np.searchsorted) inside each candidate
+  shard for the analyzed prefix range; rank by (exactFirst, weight desc,
+  key asc) like TopNSearcher with exactFirst=true.
+- **lookup_fuzzy**: FuzzySuggester defaults (maxEdits=1,
+  nonFuzzyPrefix=1, minFuzzyLength=3, transpositions as unit edits):
+  keys sharing the first nonFuzzyPrefix chars are candidate-pruned via
+  the manifest, then a banded edit-distance DP over each DISTINCT
+  candidate prefix decides whether some prefix of the key is within
+  maxEdits of the analyzed query.
+
+Scale: the sorted build streams through `Dataset.sort`; lookups load only
+pruned shards (cached per process).  Suggestion corpora (query logs,
+titles) are small next to the corpus itself; per-shard columnar binary
+search keeps the driver footprint at one shard's keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEP = "\x1f"          # AnalyzingSuggester.SEP_LABEL (preserveSep=true)
+MANIFEST = "suggest_manifest.json"
+
+
+def analyzed_key(text: str) -> str:
+    from ..analysis.standard import analyze
+
+    return SEP.join(analyze(text))
+
+
+def build_suggester(ds, out_dir: str, *, text_col: str = "text",
+                    weight_col: str = "weight",
+                    num_partitions: int | None = None) -> dict:
+    """Build a sorted suggester store from a Ray Dataset of
+    (text_col, weight_col) rows.  Returns the manifest dict."""
+    from ..analysis.standard import tokenize_column
+
+    def _key_batch(t: pa.Table) -> pa.Table:
+        lengths, flat = tokenize_column(t.column(text_col))
+        toks = np.asarray(flat, dtype=object)
+        starts = np.concatenate(([0], np.cumsum(lengths)))
+        keys = [SEP.join(toks[starts[i]:starts[i + 1]])
+                for i in range(len(lengths))]
+        out = pa.table({
+            "key": pa.array(keys, type=pa.string()),
+            "surface": pa.compute.cast(t.column(text_col), pa.string()),
+            "weight": pa.compute.cast(t.column(weight_col), pa.int64()),
+        })
+        return out.filter(pa.compute.not_equal(out.column("key"), ""))
+
+    keyed = ds.map_batches(_key_batch, batch_format="pyarrow")
+    if num_partitions:
+        keyed = keyed.repartition(num_partitions)
+    ordered = keyed.sort("key")
+
+    os.makedirs(out_dir, exist_ok=True)
+    shards = []
+    # write each sorted block as its own shard, recording its key range
+    for i, ref in enumerate(ordered.to_arrow_refs()):
+        import ray
+
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        fn = f"shard-{i:05d}.parquet"
+        pq.write_table(t, os.path.join(out_dir, fn))
+        keys = t.column("key")
+        shards.append({"file": fn,
+                       "min": str(keys[0]), "max": str(keys[-1]),
+                       "rows": t.num_rows})
+    manifest = {"shards": shards, "sep": SEP}
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def _prefix_within_edits(key: str, q: str, max_edits: int) -> bool:
+    """True iff some prefix of `key` is within `max_edits` edits of `q`
+    (the automaton-intersection acceptance test).  Transpositions count
+    as ONE edit (FuzzySuggester.DEFAULT_TRANSPOSITIONS=true — the
+    LevenshteinAutomata are built with Damerau transpositions)."""
+    m = len(q)
+    # band the DP: only key prefixes up to m + max_edits can qualify
+    key = key[: m + max_edits]
+    prev2: list[int] | None = None
+    prev = list(range(m + 1))          # edits for key-prefix length 0
+    if prev[m] <= max_edits:
+        return True
+    for j, kc in enumerate(key, 1):
+        cur = [j] + [0] * m
+        for i in range(1, m + 1):
+            c = min(prev[i] + 1,               # delete from q
+                    cur[i - 1] + 1,            # insert into q
+                    prev[i - 1] + (q[i - 1] != kc))
+            if (prev2 is not None and i > 1 and j > 1
+                    and q[i - 1] == key[j - 2] and q[i - 2] == kc):
+                c = min(c, prev2[i - 2] + 1)   # transposition
+            cur[i] = c
+        if cur[m] <= max_edits:
+            return True
+        if min(cur) > max_edits:
+            return False
+        prev2, prev = prev, cur
+    return False
+
+
+class Suggester:
+    """Reader over a `build_suggester` store."""
+
+    def __init__(self, dir_: str):
+        self.dir = dir_
+        with open(os.path.join(dir_, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def _shard(self, fn: str):
+        got = self._cache.get(fn)
+        if got is None:
+            t = pq.read_table(os.path.join(self.dir, fn))
+            got = (np.asarray(t.column("key"), dtype=object).astype(str),
+                   np.asarray(t.column("surface"), dtype=object),
+                   t.column("weight").to_numpy())
+            self._cache[fn] = got
+        return got
+
+    def _candidates(self, lo_key: str, hi_key: str):
+        for s in self.manifest["shards"]:
+            if s["max"] >= lo_key and s["min"] < hi_key:
+                yield self._shard(s["file"])
+
+    def lookup(self, query: str, num: int = 5,
+               exact_first: bool = True) -> list[tuple[str, int]]:
+        """Completions for the analyzed prefix of `query`, ranked by
+        (exact match first, weight desc, key asc)."""
+        kq = analyzed_key(query)
+        if not kq:
+            return []
+        hi = kq + "￿"
+        out = []
+        for keys, surfaces, weights in self._candidates(kq, hi):
+            lo_i = int(np.searchsorted(keys, kq, side="left"))
+            hi_i = int(np.searchsorted(keys, hi, side="left"))
+            for i in range(lo_i, hi_i):
+                out.append((keys[i], str(surfaces[i]), int(weights[i])))
+        out.sort(key=lambda x: (not (exact_first and x[0] == kq),
+                                -x[2], x[0]))
+        return [(s, w) for _, s, w in out[:num]]
+
+    def lookup_fuzzy(self, query: str, num: int = 5, *,
+                     max_edits: int = 1, non_fuzzy_prefix: int = 1,
+                     min_fuzzy_length: int = 3) -> list[tuple[str, int]]:
+        """FuzzySuggester lookup: like `lookup` but the analyzed query may
+        differ from the key prefix by up to `max_edits` edits past the
+        first `non_fuzzy_prefix` chars; queries shorter than
+        `min_fuzzy_length` fall back to exact prefix matching."""
+        kq = analyzed_key(query)
+        if not kq:
+            return []
+        if len(kq) < min_fuzzy_length:
+            return self.lookup(query, num)
+        fixed = kq[:non_fuzzy_prefix]
+        lo_key, hi_key = fixed, fixed + "￿"
+        exact = kq
+        seen: dict[tuple[str, str], int] = {}
+        decided: dict[str, bool] = {}
+        probe = len(kq) + max_edits
+        for keys, surfaces, weights in self._candidates(lo_key, hi_key):
+            lo_i = int(np.searchsorted(keys, lo_key, side="left"))
+            hi_i = int(np.searchsorted(keys, hi_key, side="left"))
+            for i in range(lo_i, hi_i):
+                k = keys[i]
+                pref = k[:probe]
+                ok = decided.get(pref)
+                if ok is None:
+                    ok = _prefix_within_edits(pref, kq, max_edits)
+                    decided[pref] = ok
+                if ok:
+                    seen[(k, str(surfaces[i]))] = max(
+                        seen.get((k, str(surfaces[i])), -1), int(weights[i]))
+        out = [(k, s, w) for (k, s), w in seen.items()]
+        out.sort(key=lambda x: (not x[0] == exact, -x[2], x[0]))
+        return [(s, w) for _, s, w in out[:num]]
