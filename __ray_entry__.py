@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_sampled": textstats.facet_counts_sampled,
         "facet_ranges": textstats.facet_ranges,
         "facet_taxonomy": textstats.facet_taxonomy,
+        "drill_sideways": textstats.drill_sideways,
         "distinct_langs": textstats.distinct_langs,
         "grouped_topk": textstats.grouped_topk,
         # --- dedup family ---
@@ -443,6 +444,15 @@ def oracle_sql() -> dict[str, str]:
             FROM toklists WHERE list_contains(toks, 'merge') AND doc_id <= 300
             ORDER BY doc_id DESC LIMIT 15""",
         "percolate": _TOKS + " " + _percolate_sql(),
+        "drill_sideways": """
+            SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS n_docs
+            FROM documents WHERE source = 'src7' GROUP BY lang
+            UNION ALL
+            SELECT 'source', source, count(*)::BIGINT
+            FROM documents WHERE lang = 'en' GROUP BY source
+            UNION ALL
+            SELECT 'hits', '', count(*)::BIGINT
+            FROM documents WHERE lang = 'en' AND source = 'src7'""",
         "suggest_analyzing": """
             WITH keyed AS (
               SELECT text AS surface, n_chars::BIGINT AS weight,

@@ -309,6 +309,49 @@ def grouped_topk(sf_dir: str, k: int = 3):
             .map_groups(topk, batch_format="pyarrow"))
 
 
+def drill_sideways(sf_dir: str, lang: str = "en", source: str = "src7"):
+    """DrillSideways faceting (`facet/DrillSideways.java` +
+    `facet/DrillDownQuery.java`): drill down on (lang=lang, source=source);
+    report each dimension's facet counts computed with THAT dimension's
+    filter removed (the near-miss "sideways" counts — DrillSideways'
+    per-dimension collectors over the drill-sideways scorers), plus the
+    fully-drilled hit count.
+
+    One streaming pass: every batch computes per-dimension match masks and
+    emits partial (dim, value, n_docs) rows — a doc contributes to dim D's
+    counts iff it matches every OTHER dimension's filter — then one tiny
+    groupby-sum.  No per-dimension re-query, no materialization."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lv = np.asarray(t.column("lang"), dtype=object)
+        sv = np.asarray(t.column("source"), dtype=object)
+        m_lang = lv == lang
+        m_src = sv == source
+        dims, vals, ns = [], [], []
+        # sideways counts for 'lang': docs passing the OTHER filters (source)
+        lv_s = lv[m_src]
+        for v, c in zip(*np.unique(lv_s.astype(str), return_counts=True)):
+            dims.append("lang"); vals.append(v); ns.append(int(c))
+        sv_l = sv[m_lang]
+        for v, c in zip(*np.unique(sv_l.astype(str), return_counts=True)):
+            dims.append("source"); vals.append(v); ns.append(int(c))
+        nh = int((m_lang & m_src).sum())
+        if nh:
+            dims.append("hits"); vals.append(""); ns.append(nh)
+        return pa.table({"dim": pa.array(dims, type=pa.string()),
+                         "value": pa.array(vals, type=pa.string()),
+                         "n_docs": pa.array(ns, type=pa.int64())})
+
+    out = (_read_documents(sf_dir, columns=("doc_id", "lang", "source"))
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["dim", "value"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"))
+           ).to_pandas()
+    return (out.astype({"n_docs": "int64"})
+            .sort_values(["dim", "value"]).reset_index(drop=True))
+
+
 RANGE_EDGES = (0, 100, 200, 400, 800, 1 << 40)
 
 

@@ -184,3 +184,30 @@ def test_facet_counts_sampled(ray_session):
         # estimate within 35% of truth for the non-tiny facets
         if exact[row.lang] >= 50:
             assert abs(row.n_docs_est - exact[row.lang]) <= 0.35 * exact[row.lang]
+
+
+def test_drill_sideways(ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import drill_sideways
+
+    out = drill_sideways(SF, lang="en", source="src3")
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "source"])
+    lv = t.column("lang").to_pylist()
+    sv = t.column("source").to_pylist()
+    hits = sum(1 for a, b in zip(lv, sv) if a == "en" and b == "src3")
+    got_hits = out[out.dim == "hits"].n_docs.sum()
+    assert int(got_hits) == hits
+    # sideways lang counts: own filter removed, source filter applied
+    for _, row in out[out.dim == "lang"].iterrows():
+        want = sum(1 for a, b in zip(lv, sv)
+                   if a == row.value and b == "src3")
+        assert int(row.n_docs) == want
+    # sideways source counts: lang filter applied
+    for _, row in out[out.dim == "source"].iterrows():
+        want = sum(1 for a, b in zip(lv, sv)
+                   if a == "en" and b == row.value)
+        assert int(row.n_docs) == want
+    # the drilled value's sideways row exists and >= hits
+    en_row = out[(out.dim == "lang") & (out.value == "en")]
+    assert int(en_row.n_docs.iloc[0]) == hits
