@@ -99,6 +99,27 @@ class IntervalQuery:
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery:
+    """Single-term span restricted to a position window
+    (`queries/spans/SpanPositionRangeQuery.java`: spans with
+    start() >= start and end() <= end; a term span's end is pos+1).
+    Constant-score rewrite like IntervalQuery (documented divergence from
+    span freq weighting).  ``span_first(term, end)`` is the
+    SpanFirstQuery shorthand (`queries/spans/SpanFirstQuery.java` =
+    position range [0, end))."""
+    term: str
+    start: int = 0
+    end: int = 1 << 31
+    field: str = "text"
+    boost: float = 1.0
+
+
+def span_first(term: str, end: int, field: str = "text",
+               boost: float = 1.0) -> SpanPositionRangeQuery:
+    return SpanPositionRangeQuery(term, 0, end, field=field, boost=boost)
+
+
+@dataclass(frozen=True)
 class RangeQuery:
     """Inclusive numeric/date range over a doc-values column
     (`search/PointRangeQuery.java` / `document/LongPoint.newRangeQuery`

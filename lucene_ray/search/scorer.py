@@ -733,6 +733,34 @@ def _min_span_unordered(pls: list[np.ndarray], need: list[int] | None = None) ->
     return best
 
 
+def search_shard_posrange(reader, term: str, start: int, end: int,
+                          boost: float, k: int, after=None):
+    """Span-position-range over one shard
+    (`queries/spans/SpanPositionRangeQuery.java` semantics for a term
+    span): docs with an occurrence at position p where p >= start and
+    p + 1 <= end; constant score.  Vectorized: one positions decode, one
+    segmented any()."""
+    tid = reader.seek_exact(term)
+    if tid < 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    docs, freqs = reader.postings(tid)
+    pos = reader.positions(tid, freqs)
+    ok = (pos >= start) & (pos.astype(np.int64) + 1 <= end)
+    seg = np.repeat(np.arange(len(docs)), freqs)
+    hit = np.zeros(len(docs), dtype=bool)
+    hit[seg[ok]] = True
+    cand = docs[hit].astype(np.int32)
+    if reader.deleted is not None and len(cand):
+        cand = cand[~reader.deleted[cand]]
+    sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    return sc[:k], cand[:k], total, RELATION_EQ
+
+
 def search_shard_interval(reader, terms, max_width: int, ordered: bool,
                           boost: float, k: int, after=None):
     """Interval proximity matching over one shard: conjunction of the terms'

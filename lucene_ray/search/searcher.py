@@ -123,9 +123,12 @@ class IndexSearcher:
         if isinstance(q, FuzzyQuery):
             return dataclasses.replace(q, term=self._ft(q.term))
         from .query import IntervalQuery as _IQ
+        from .query import SpanPositionRangeQuery as _SPR
 
         if isinstance(q, _IQ):
             return dataclasses.replace(q, terms=tuple(self._ft(t) for t in q.terms))
+        if isinstance(q, _SPR):
+            return dataclasses.replace(q, term=self._ft(q.term))
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return dataclasses.replace(q, query=self._normalize(q.query))
         if isinstance(q, BooleanQuery):
@@ -319,13 +322,18 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "const_wrap": self.compile(query.query, _normalized=True),
                     "boost": query.boost}
-        from .query import IntervalQuery, RangeQuery
+        from .query import IntervalQuery, RangeQuery, SpanPositionRangeQuery
 
         if isinstance(query, IntervalQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "interval": (tuple(query.terms), int(query.max_width),
                                  bool(query.ordered)),
+                    "boost": query.boost}
+        if isinstance(query, SpanPositionRangeQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "posrange": (query.term, int(query.start), int(query.end)),
                     "boost": query.boost}
         if isinstance(query, RangeQuery):
             # standalone numeric range: constant-score over the doc-values
@@ -561,6 +569,12 @@ class IndexSearcher:
 
             terms, mw, ordered = compiled["interval"]
             return search_shard_interval(rdr, terms, mw, ordered,
+                                         compiled["boost"], k, after=after)
+        if compiled.get("posrange") is not None:
+            from .scorer import search_shard_posrange
+
+            term, p_lo, p_hi = compiled["posrange"]
+            return search_shard_posrange(rdr, term, p_lo, p_hi,
                                          compiled["boost"], k, after=after)
         if compiled.get("range") is not None:
             from .scorer import search_shard_range

@@ -27,10 +27,11 @@ Supported elements (attribute conventions follow the reference builders —
   max_width = n_terms + slop (the span-width equivalence also used by the
   surround dialect).
 - ``SpanOrTerms`` — analyzed content as one SynonymQuery.
+- ``SpanFirst`` / ``SpanPositionRange`` — single SpanTerm child restricted
+  to a position window (SpanPositionRangeQuery).
 
-SpanFirst / SpanNot / SpanPositionRange and the *LikeThis builders are out
-of scope (no position-range scorer surface; MLT lives on the searcher) —
-they raise ``XmlParseError``.
+SpanNot and the *LikeThis builders are out of scope (MLT lives on the
+searcher) — they raise ``XmlParseError``.
 
 Every element honors ``boost`` by wrapping in BoostQuery, like the
 reference builders do.
@@ -52,6 +53,7 @@ from .query import (
     MatchNoDocsQuery,
     PhraseQuery,
     RangeQuery,
+    SpanPositionRangeQuery,
     SynonymQuery,
     TermQuery,
     parse_classic,
@@ -187,6 +189,15 @@ def _build(e: ET.Element, inherited_field: str | None, default_field: str):
         if not toks:
             return MatchNoDocsQuery("no terms after analysis")
         return _boost(e, SynonymQuery(tuple(dict.fromkeys(toks)), field=fld))
+    if tag in ("SpanFirst", "SpanPositionRange"):
+        inner = _children(e)
+        if len(inner) != 1 or inner[0].tag != "SpanTerm":
+            raise XmlParseError(
+                f"{tag} supports a single SpanTerm child only")
+        start = int(e.get("start", "0")) if tag == "SpanPositionRange" else 0
+        end = int(e.get("end"))
+        return _boost(e, SpanPositionRangeQuery(
+            _text(inner[0]), start, end, field=fld))
     raise XmlParseError(f"unsupported query element: <{tag}>")
 
 

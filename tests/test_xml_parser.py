@@ -137,9 +137,19 @@ def test_span_or_terms():
     assert q == SynonymQuery(("merge", "join"))
 
 
+def test_span_first_and_position_range():
+    from lucene_ray.search.query import SpanPositionRangeQuery
+
+    q = parse_xml("<SpanFirst end='3'><SpanTerm>merge</SpanTerm></SpanFirst>")
+    assert q == SpanPositionRangeQuery("merge", 0, 3)
+    q = parse_xml("<SpanPositionRange start='2' end='5'>"
+                  "<SpanTerm>merge</SpanTerm></SpanPositionRange>")
+    assert q == SpanPositionRangeQuery("merge", 2, 5)
+
+
 def test_unsupported_and_malformed():
     with pytest.raises(XmlParseError):
-        parse_xml("<SpanFirst end='3'><SpanTerm>a</SpanTerm></SpanFirst>")
+        parse_xml("<SpanNot><SpanTerm>a</SpanTerm></SpanNot>")
     with pytest.raises(XmlParseError):
         parse_xml("<TermQuery>merge")        # malformed
     with pytest.raises(XmlParseError):
@@ -203,3 +213,28 @@ def test_xml_span_near_counts(xml_idx):
                      "<SpanTerm>merge</SpanTerm><SpanTerm>join</SpanTerm>"
                      "</SpanNear>")
     assert s.count(near) == 2                # doc 0 within window too
+
+
+def test_span_position_range_execution(xml_idx):
+    s = xml_idx
+    from lucene_ray.search.query import SpanPositionRangeQuery, span_first
+
+    # "merge" at position 0 in docs 0, 1, 4; at position 2 in doc 4 too
+    assert s.count(span_first("merge", 1)) == 3
+    assert s.count(SpanPositionRangeQuery("merge", 1, 4)) == 1   # doc 4 pos 2
+    assert s.count(SpanPositionRangeQuery("join", 0, 2)) == 2    # docs 2? check
+    # brute force over the corpus
+    import pyarrow as pa
+
+    from lucene_ray.analysis.standard import analyze
+
+    texts = ["merge the join carefully", "merge sort is stable",
+             "join the data now", "scan every row",
+             "merge join merge join"]
+    for term, lo, hi in [("merge", 0, 1), ("merge", 1, 4), ("join", 0, 2),
+                         ("join", 2, 6), ("data", 0, 2)]:
+        want = sum(1 for t in texts
+                   if any(lo <= p and p + 1 <= hi
+                          for p, w in enumerate(analyze(t)) if w == term))
+        got = s.count(SpanPositionRangeQuery(term, lo, hi))
+        assert got == want, (term, lo, hi)
