@@ -467,6 +467,14 @@ def resolve_one2one(spec: str):
         body = spec[len("elision:"):]
         return _make_elision(FRENCH_ARTICLES if body == "french"
                              else body.split(","))
+    if spec.startswith("pattern_replace:"):
+        # PatternReplaceFilter (`analysis/pattern/PatternReplaceFilter.java`,
+        # replaceAll semantics): spec is pattern_replace:<regex>=<repl>
+        import re
+
+        pat_s, repl = spec[len("pattern_replace:"):].rsplit("=", 1)
+        pat = re.compile(pat_s)
+        return lambda w: pat.sub(repl, w)
     return None
 
 
@@ -745,6 +753,80 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
             doc = dd
             pos = rank.astype(np.int32) if len(dd) else np.zeros(0, np.int32)
             incr = np.ones(len(dd), dtype=bool)
+        elif spec.startswith("dict_compound:"):
+            # DictionaryCompoundWordTokenFilter (`analysis/compound/
+            # DictionaryCompoundWordTokenFilter.java` decompose() +
+            # CompoundWordTokenFilterBase defaults minWordSize=5,
+            # minSubwordSize=2, maxSubwordSize=15): every dictionary word
+            # occurring as a substring of a long-enough token is emitted as
+            # a posInc-0 overlay at the token's position (original kept,
+            # overlays don't count toward norms)
+            words = set(spec[len("dict_compound:"):].split(","))
+            MIN_W, MIN_S, MAX_S = 5, 2, 15
+
+            def _decompose(w: str) -> list[str]:
+                if len(w) < MIN_W:
+                    return []
+                subs = []
+                for i in range(0, len(w) - MIN_S + 1):
+                    for j in range(MIN_S, MAX_S + 1):
+                        if i + j > len(w):
+                            break
+                        if w[i:i + j] in words:
+                            subs.append(w[i:i + j])
+                return subs
+
+            occ = np.nonzero(incr)[0]
+            uniq_dc, inv_dc = np.unique(toks[occ].astype(str),
+                                        return_inverse=True)
+            sub_lists = [_decompose(w) for w in uniq_dc]
+            scounts = np.array([len(s) for s in sub_lists], dtype=np.int64)
+            sflat = np.array([s for ss in sub_lists for s in ss], dtype=object)
+            soffs = np.concatenate(([0], np.cumsum(scounts)))
+            per_dc = scounts[inv_dc]
+            total_dc = int(per_dc.sum())
+            if total_dc:
+                within = np.arange(total_dc) - np.repeat(
+                    np.cumsum(per_dc) - per_dc, per_dc)
+                val_idx = np.repeat(soffs[inv_dc], per_dc) + within
+                toks = np.concatenate((toks, sflat[val_idx]))
+                doc = np.concatenate((doc, np.repeat(doc[occ], per_dc)))
+                pos = np.concatenate((pos, np.repeat(pos[occ], per_dc)))
+                incr = np.concatenate((incr, np.zeros(total_dc, bool)))
+        elif spec.startswith("pattern_capture:"):
+            # PatternCaptureGroupTokenFilter (`analysis/pattern/
+            # PatternCaptureGroupTokenFilter.java`, preserveOriginal=true):
+            # each capture group of each match (group 0 when the pattern
+            # has no groups) becomes a posInc-0 overlay when it differs
+            # from the original token
+            import re as _re
+
+            pat = _re.compile(spec[len("pattern_capture:"):])
+
+            def _captures(w: str) -> list[str]:
+                out = []
+                for m in pat.finditer(w):
+                    gs = [g for g in m.groups() if g] or [m.group(0)]
+                    out.extend(g for g in gs if g and g != w)
+                return out
+
+            occ = np.nonzero(incr)[0]
+            uniq_pc, inv_pc = np.unique(toks[occ].astype(str),
+                                        return_inverse=True)
+            cap_lists = [_captures(w) for w in uniq_pc]
+            ccounts = np.array([len(c) for c in cap_lists], dtype=np.int64)
+            cflat = np.array([c for cs in cap_lists for c in cs], dtype=object)
+            coffs = np.concatenate(([0], np.cumsum(ccounts)))
+            per_pc = ccounts[inv_pc]
+            total_pc = int(per_pc.sum())
+            if total_pc:
+                within = np.arange(total_pc) - np.repeat(
+                    np.cumsum(per_pc) - per_pc, per_pc)
+                val_idx = np.repeat(coffs[inv_pc], per_pc) + within
+                toks = np.concatenate((toks, cflat[val_idx]))
+                doc = np.concatenate((doc, np.repeat(doc[occ], per_pc)))
+                pos = np.concatenate((pos, np.repeat(pos[occ], per_pc)))
+                incr = np.concatenate((incr, np.zeros(total_pc, bool)))
         elif spec.startswith("keep:"):
             # KeepWordFilter (`analysis/miscellaneous/KeepWordFilter.java`):
             # inverse of stop — only listed words survive, position gaps kept

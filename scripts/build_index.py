@@ -52,7 +52,10 @@ def main():
     ds = rd.read_parquet(args.input)
     kw = tuple(c for c in args.keyword_cols.split(",") if c)
     dv = tuple(c for c in args.docvalue_cols.split(",") if c)
-    tf = tuple(c for c in args.token_filters.split(",") if c)
+    # space-separated when any spec carries comma/semicolon parameters
+    # (stop:a,b / dict_compound:w1,w2 / syn:a=b;c=d ...); else commas
+    tf_sep = None if " " in args.token_filters.strip() else ","
+    tf = tuple(c for c in args.token_filters.split(tf_sep) if c)
     if args.append:
         commit = append_index(ds, args.index, target_docs_per_partition=args.target_docs,
                               keyword_cols=kw or None, docvalue_cols=dv or None,

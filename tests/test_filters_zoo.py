@@ -229,3 +229,39 @@ def test_word_delimiter_end_to_end_index(tmp_path, ray_session):
     assert s.count(TermQuery("2")) == 3      # j2se, "java 2", x10-v2
     assert s.count(TermQuery("v")) == 1
     assert s.count(TermQuery("j2se")) == 0   # split away (no preserve)
+
+
+# ----------------------------------------------- compounds / pattern filters
+
+def test_pattern_replace_one2one():
+    f = resolve_one2one("pattern_replace:0+$=")
+    assert f("run100") == "run1"
+    assert f("abc") == "abc"
+    flat, _, pos, _ = _chain(["foo00 bar"], ("pattern_replace:0+$=",))
+    assert np.asarray(flat, dtype=object).tolist() == ["foo", "bar"]
+    assert pos is None
+
+
+def test_dict_compound_overlays():
+    flat, counts, pos, norms = _chain(
+        ["donaudampfschiff stays"],
+        ("dict_compound:donau,dampf,schiff,ampfs",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    # original kept; every dictionary substring overlaid at its position
+    assert toks[0] == "donaudampfschiff"
+    overlays = [t for t, p in zip(toks, pos.tolist()) if p == 0][1:]
+    assert sorted(overlays) == ["ampfs", "dampf", "donau", "schiff"]
+    assert norms.tolist() == [2]              # overlays discounted
+    # short tokens (< minWordSize=5) never decompose
+    flat2, *_ = _chain(["damp"], ("dict_compound:da,mp,damp",))
+    assert np.asarray(flat2, dtype=object).tolist() == ["damp"]
+
+
+def test_pattern_capture_groups():
+    flat, counts, pos, norms = _chain(
+        ["user123x plain"], ("pattern_capture:([a-z]+)([0-9]+)",))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks[0] == "user123x"
+    assert "user" in toks and "123" in toks
+    assert "plain" in toks
+    assert norms.tolist() == [2]
