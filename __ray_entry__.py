@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw": _knn_hnsw,
         "dedup_embedding": knn.dedup_embedding,
         "dedup_embedding_lsh": knn.dedup_embedding_lsh,
+        "quantize_embeddings": knn.quantize_embeddings,
         # --- streaming-shaped (events log) ---
         "tumbling_counts": windows.tumbling_counts,
         "hopping_counts": windows.hopping_counts,
@@ -444,6 +445,25 @@ def oracle_sql() -> dict[str, str]:
             FROM toklists WHERE list_contains(toks, 'merge') AND doc_id <= 300
             ORDER BY doc_id DESC LIMIT 15""",
         "percolate": _TOKS + " " + _percolate_sql(),
+        "quantize_embeddings": """
+            SELECT vec_id,
+                   CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale,
+                   CAST(list_sum(list_transform(embedding, x ->
+                        greatest(-127.0, least(127.0, floor(x /
+                        (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)
+                        + 0.5))))) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(embedding, x ->
+                        abs(greatest(-127.0, least(127.0, floor(x /
+                        (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)
+                        + 0.5)))))) AS BIGINT) AS q_l1,
+                   CAST(list_max(list_transform(embedding, x ->
+                        greatest(-127.0, least(127.0, floor(x /
+                        (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END)
+                        + 0.5))))) AS BIGINT) AS q_max
+            FROM (SELECT vec_id, embedding,
+                         list_max(list_transform(embedding, x ->
+                             CAST(abs(x) AS DOUBLE))) AS amax
+                  FROM embeddings)""",
         "drill_sideways": """
             SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS n_docs
             FROM documents WHERE source = 'src7' GROUP BY lang

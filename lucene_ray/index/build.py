@@ -127,7 +127,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
     n_total = ds.count()           # parquet metadata only
     n_parts = max(1, -(-n_total // target_docs_per_partition))
     extra_dv = [c for c in docvalue_cols if c not in key_cols]
-    extra_vec = [vector_col] if vector_col else []
+    # "col:int8" (scalar-quantized store) still reads the plain column
+    extra_vec = [vector_col.split(":")[0]] if vector_col else []
     proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv,
                               *extra_vec])
     block_refs = None

@@ -45,6 +45,7 @@ NORMS_FILE = "norms.bin"
 DOCMAP_FILE = "docmap.parquet"
 MANIFEST_FILE = "manifest.json"
 VECTORS_FILE = "vectors.npy"
+VECTORS_Q_FILE = "vectors_q.npy"   # int8 scalar-quantized (+ manifest scale)
 HNSW_FILE = "hnsw.npz"
 TV_FILES = ("tv_doc_ptr.npy", "tv_terms.npy", "tv_freqs.npy",
             "tv_pos_ptr.npy", "tv_positions.npy")
@@ -273,16 +274,34 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     table = table.sort_by([(key_cols[0], "ascending"), (key_cols[1], "ascending")])
 
     vector_dim = 0
-    if vector_col and vector_col in table.column_names:
+    vector_scale = None
+    if vector_col:
+        # "col:int8" requests per-shard scalar quantization
+        # (Lucene99ScalarQuantizedVectorsFormat model / KnnByteVectorQuery
+        # storage: int8 vectors + one uniform scale; a uniform scale cancels
+        # in cosine, so scoring semantics are preserved up to rounding).
+        vq = vector_col.endswith(":int8")
+        vcol = vector_col[:-5] if vq else vector_col
+    if vector_col and vcol in table.column_names:
         # per-shard vector store + HNSW graph, built from THIS partition's
         # rows inside the flush task (Lucene95HnswVectorsFormat's
         # per-segment graph; never materialized on the driver)
-        varr = table.column(vector_col).combine_chunks()
+        varr = table.column(vcol).combine_chunks()
         vals = varr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
         if table.num_rows:
             vector_dim = len(vals) // table.num_rows
             vm = vals.reshape(table.num_rows, vector_dim)
-            np.save(os.path.join(tmp_dir, VECTORS_FILE), vm)
+            if vq:
+                amax = float(np.abs(vm).max())
+                vector_scale = (amax / 127.0) if amax > 0 else 1.0
+                qm = np.clip(np.round(vm / vector_scale), -127, 127) \
+                    .astype(np.int8)
+                np.save(os.path.join(tmp_dir, VECTORS_Q_FILE), qm)
+                # the graph (and all scoring) sees the DEQUANTIZED values,
+                # so graph neighbors match search-time similarities exactly
+                vm = qm.astype(np.float32) * np.float32(vector_scale)
+            else:
+                np.save(os.path.join(tmp_dir, VECTORS_FILE), vm)
             if vector_graph:
                 from .hnsw import HnswGraph
 
@@ -292,7 +311,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 g = HnswGraph(normed, np.arange(table.num_rows, dtype=np.int64),
                               seed=1000 + pid).build()
                 g.save(os.path.join(tmp_dir, HNSW_FILE))
-        table = table.drop_columns([vector_col])
+        table = table.drop_columns([vcol])
 
     lengths, flat = tokenize_column(table.column(text_col))
     tok_positions = None
@@ -510,6 +529,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         "has_positions": bool(index_positions),
         "term_vectors": bool(term_vectors),
         "vector_dim": int(vector_dim),
+        "vector_scale": vector_scale,
         "docvalues": dv_ranges,
         "fingerprint": fingerprint,
         "status": "committed",
@@ -526,6 +546,32 @@ def read_manifest(shard_dir: str) -> dict | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+class _QuantizedVectors:
+    """Lazy dequantizing view over an int8 mmap (KnnByteVectorQuery-style
+    storage with one uniform shard scale): slicing returns float32
+    `int8 * scale`; the full matrix only materializes via astype()."""
+
+    __slots__ = ("q", "scale", "shape")
+
+    def __init__(self, q: np.ndarray, scale: float):
+        self.q = q
+        self.scale = np.float32(scale)
+        self.shape = q.shape
+
+    def __len__(self):
+        return len(self.q)
+
+    def __getitem__(self, idx):
+        return self.q[idx].astype(np.float32) * self.scale
+
+    def astype(self, dtype):
+        return (self.q.astype(np.float64) * float(self.scale)).astype(dtype)
+
+    def __array__(self, dtype=None, copy=None):
+        out = self.q.astype(np.float32) * self.scale
+        return out.astype(dtype) if dtype is not None else out
 
 
 class ShardReader:
@@ -660,15 +706,24 @@ class ShardReader:
             run_base = bases[run_id]
         return (csum - run_base).astype(np.int32)
 
-    def vectors(self) -> np.ndarray | None:
+    def vectors(self):
         """mmap'd float32 (doc_count, dim) vector matrix in local-docID order
         (the per-segment flat-vector file of Lucene95HnswVectorsFormat);
-        None when the shard has no vector column."""
+        None when the shard has no vector column.  Quantized shards return a
+        :class:`_QuantizedVectors` view: int8 stays mmap'd, slices
+        dequantize on access (KnnByteVectorQuery-style storage)."""
         v = getattr(self, "_vecs", False)
         if v is False:
             p = os.path.join(self.dir, VECTORS_FILE)
-            v = self._vecs = (np.load(p, mmap_mode="r")
-                              if os.path.exists(p) else None)
+            pq_ = os.path.join(self.dir, VECTORS_Q_FILE)
+            if os.path.exists(pq_):
+                scale = float(self.manifest.get("vector_scale") or 1.0)
+                v = _QuantizedVectors(np.load(pq_, mmap_mode="r"), scale)
+            elif os.path.exists(p):
+                v = np.load(p, mmap_mode="r")
+            else:
+                v = None
+            self._vecs = v
         return v
 
     def vector_norms(self) -> np.ndarray:

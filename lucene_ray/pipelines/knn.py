@@ -371,3 +371,35 @@ def knn_ivf(sf_dir: str, query_vec_ids=(0, 1, 2), k: int = 10,
     out["cos"] = out["cos"].round(4)
     return out[["query_vec_id", "rank", "vec_id", "cos"]].astype(
         {"query_vec_id": "int64", "rank": "int64", "vec_id": "int64"})
+
+
+def quantize_embeddings(sf_dir: str):
+    """Scalar quantization of the embeddings table — the training-data
+    analogue of the index's int8 vector store
+    (`Lucene99ScalarQuantizedVectorsFormat` model, per-vector symmetric
+    scale): q = floor(v/scale + 0.5) with scale = max|v|/127 (1.0 for the
+    zero vector).  Cosine is invariant to the per-vector scale, so the
+    quantized table serves ANN at 4x less memory.
+
+    Streams in one `map_batches`; returns per-vector verification columns
+    (scale + integer checksums) instead of the int8 list so the driver's
+    value-hash compares scalars: (vec_id, scale, q_sum, q_l1, q_max)."""
+    def qb(t: pa.Table) -> pa.Table:
+        ids, m = _block_matrix(t)
+        if not len(ids):
+            return pa.schema([("vec_id", pa.int64()), ("scale", pa.float64()),
+                              ("q_sum", pa.int64()), ("q_l1", pa.int64()),
+                              ("q_max", pa.int64())]).empty_table()
+        amax = np.abs(m).max(axis=1)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        q = np.floor(m / scale[:, None] + 0.5)     # half-up, SQL floor parity
+        q = np.clip(q, -127, 127)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "scale": pa.array(scale.astype(np.float64)),
+            "q_sum": pa.array(q.sum(axis=1).astype(np.int64)),
+            "q_l1": pa.array(np.abs(q).sum(axis=1).astype(np.int64)),
+            "q_max": pa.array(q.max(axis=1).astype(np.int64)),
+        })
+
+    return _read_embeddings(sf_dir).map_batches(qb, batch_format="pyarrow")
