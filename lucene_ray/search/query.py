@@ -277,6 +277,18 @@ class FieldExistsQuery:
 
 
 @dataclass(frozen=True)
+class TermInSetQuery:
+    """Matches docs containing ANY of the given terms, constant score
+    (`search/TermInSetQuery.java`: the efficient many-term filter that
+    rewrites to a bit-set union instead of a scoring disjunction).  Executes
+    on the same per-shard constant-score union path as the multi-term
+    queries; each shard intersects the set with its own dictionary."""
+    terms: tuple[str, ...]
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PrefixQuery:
     """Term-dictionary prefix expansion, rewritten to a constant-score union
     (`search/PrefixQuery.java` with CONSTANT_SCORE_REWRITE semantics: every

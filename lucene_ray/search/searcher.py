@@ -122,6 +122,11 @@ class IndexSearcher:
                 self._normalize(t) for t in q.queries))
         if isinstance(q, FuzzyQuery):
             return dataclasses.replace(q, term=self._ft(q.term))
+        from .query import TermInSetQuery as _TIS
+
+        if isinstance(q, _TIS):
+            return dataclasses.replace(
+                q, terms=tuple(self._ft(t) for t in q.terms))
         from .query import IntervalQuery as _IQ
         from .query import SpanPositionRangeQuery as _SPR
 
@@ -221,9 +226,18 @@ class IndexSearcher:
     def _expand_shard_uncached(self, rdr, query) -> list[str]:
         import re as _re
 
-        from .query import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
+        from .query import (
+            FuzzyQuery,
+            PrefixQuery,
+            RegexpQuery,
+            TermInSetQuery,
+            WildcardQuery,
+        )
 
         terms = rdr._term_np
+        if isinstance(query, TermInSetQuery):
+            want = np.asarray(sorted(set(query.terms)), dtype=terms.dtype)
+            return want[np.isin(want, terms)].tolist()
         if isinstance(query, PrefixQuery):
             lo, hi = _prefix_range(terms, query.prefix)
             return terms[lo:hi].tolist()
@@ -388,7 +402,10 @@ class IndexSearcher:
             from ..index.shard import KEYWORD_SEP
 
             query = PrefixQuery(f"{query.field}{KEYWORD_SEP}", boost=query.boost)
-        if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)):
+        from .query import TermInSetQuery
+
+        if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery,
+                              FuzzyQuery, TermInSetQuery)):
             # expansion happens PER SHARD at execution time (const_query);
             # constant-score rewrite needs no global stats
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,

@@ -124,3 +124,26 @@ def test_stats_buckets_lazy_and_correct(setup):
         assert s.df(term) == int(full.get(term, 0))
     # only the buckets actually touched are resident
     assert len(s._stats) <= 4
+
+
+def test_term_in_set_query(setup):
+    """TermInSetQuery: constant-score union, equals the equivalent
+    const-score SHOULD union; absent terms ignored; FILTER position works."""
+    import numpy as np
+
+    from lucene_ray.search.query import TermInSetQuery, bool_query
+
+    s, tokens = setup
+    q = TermInSetQuery(("merge", "join", "zzzabsent"))
+    want = sum(1 for t in tokens if t and ({"merge", "join"} & set(t)))
+    assert s.count(q) == want
+    td = s.search(q, k=5)
+    assert all(abs(h.score - 1.0) < 1e-6 for h in td.hits)
+    # FILTER position: with a required MUST clause the set restricts it;
+    # (with only SHOULD, the filter alone defines the match set — SHOULD
+    # is optional once a required clause exists, Boolean semantics)
+    both = s.count(bool_query(must=["data"], filter_=[q]))
+    want_b = sum(1 for t in tokens
+                 if t and "data" in t and ({"merge", "join"} & set(t)))
+    assert both == want_b
+    assert s.count(bool_query(should=["data"], filter_=[q])) == want
