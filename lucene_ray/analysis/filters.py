@@ -475,6 +475,27 @@ def resolve_one2one(spec: str):
         pat_s, repl = spec[len("pattern_replace:"):].rsplit("=", 1)
         pat = re.compile(pat_s)
         return lambda w: pat.sub(repl, w)
+    if spec.startswith("protected:"):
+        # ProtectedTermFilter / ConditionalTokenFilter
+        # (`analysis/miscellaneous/ProtectedTermFilter.java`): listed terms
+        # bypass the wrapped sub-chain entirely; everyone else runs it.
+        # Spec: protected:<w1>,<w2>:<spec1>+<spec2>  (sub-specs joined
+        # by '+' so their own ':' parameters survive)
+        body = spec[len("protected:"):]
+        words_s, chain_s = body.split(":", 1)
+        words = set(words_s.split(","))
+        subs = [resolve_one2one(s) for s in chain_s.split("+")]
+        if any(f is None for f in subs):
+            raise ValueError(f"non-1:1 sub-spec in {spec!r}")
+
+        def guarded(w: str) -> str:
+            if w in words:
+                return w
+            for f in subs:
+                w = f(w)
+            return w
+
+        return guarded
     return None
 
 

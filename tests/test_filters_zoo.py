@@ -265,3 +265,19 @@ def test_pattern_capture_groups():
     assert "user" in toks and "123" in toks
     assert "plain" in toks
     assert norms.tolist() == [2]
+
+
+def test_protected_term_filter():
+    f = resolve_one2one("protected:running,jumps:porter")
+    assert f("running") == "running"          # protected, sub-chain skipped
+    assert f("jumping") == "jump"
+    g = resolve_one2one("protected:abc:reverse+truncate:2")
+    assert g("abc") == "abc"
+    assert g("word") == "dr"                  # reversed then truncated
+    with pytest.raises(ValueError):
+        resolve_one2one("protected:x:shingle")
+    # end-to-end through the chain runner (1:1 fast path)
+    flat, _, pos, _ = _chain(["running jumping"],
+                             ("protected:running:porter",))
+    assert pos is None
+    assert np.asarray(flat, dtype=object).tolist() == ["running", "jump"]
