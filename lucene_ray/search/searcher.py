@@ -1162,3 +1162,51 @@ def spell_correct(searcher: "IndexSearcher", term: str, max_edits: int = 2,
 
     ranked = sorted(cands.items(), key=lambda x: (dist(x[0]), -x[1], x[0]))
     return ranked[:k]
+
+
+def suggest_word_breaks(searcher: "IndexSearcher", term: str,
+                        max_changes: int = 2, min_suggestion_freq: int = 1,
+                        min_break_length: int = 2,
+                        k: int = 5) -> list[tuple[tuple[str, ...], int]]:
+    """WordBreakSpellChecker.suggestWordBreaks
+    (`suggest/spell/WordBreakSpellChecker.java`): split a (likely
+    run-together) term into dictionary words, every part with
+    docFreq >= min_suggestion_freq and length >= min_break_length, using at
+    most `max_changes` break points.  Ranked like the reference's default
+    sort: fewer changes first, then higher frequency (here: the MINIMUM part
+    docFreq — the limiting word), then lexicographic.  Returns
+    [(parts, min_df)]."""
+    out: list[tuple[tuple[str, ...], int]] = []
+
+    def rec(rest: str, parts: tuple[str, ...], changes: int):
+        if changes > max_changes:
+            return
+        df_rest = searcher.df(rest) if len(rest) >= min_break_length else 0
+        if parts and df_rest >= min_suggestion_freq:
+            out.append((parts + (rest,),
+                        min([searcher.df(p) for p in parts] + [df_rest])))
+        for i in range(min_break_length, len(rest) - min_break_length + 1):
+            head = rest[:i]
+            if searcher.df(head) >= min_suggestion_freq:
+                rec(rest[i:], parts + (head,), changes + 1)
+
+    rec(term, (), 0)
+    uniq = {p: d for p, d in sorted(out, key=lambda x: (-x[1],))}
+    ranked = sorted(uniq.items(), key=lambda x: (len(x[0]), -x[1], x[0]))
+    return ranked[:k]
+
+
+def suggest_word_combinations(searcher: "IndexSearcher", terms,
+                              min_suggestion_freq: int = 1,
+                              k: int = 5) -> list[tuple[str, int]]:
+    """WordBreakSpellChecker.suggestWordCombinations: adjacent query terms
+    whose concatenation is a dictionary word with docFreq >=
+    min_suggestion_freq; ranked by docFreq desc, combined-term asc.
+    Returns [(combined, df)] for each adjacent pair that combines."""
+    cands = []
+    for a, b in zip(terms, terms[1:]):
+        comb = a + b
+        df = searcher.df(comb)
+        if df >= min_suggestion_freq:
+            cands.append((comb, df))
+    return sorted(set(cands), key=lambda x: (-x[1], x[0]))[:k]

@@ -1,0 +1,72 @@
+"""WordBreakSpellChecker surfaces (`suggest/spell/WordBreakSpellChecker.java`):
+run-together terms split into dictionary words; adjacent terms combined when
+the concatenation is a dictionary word."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.search.searcher import (
+    IndexSearcher,
+    suggest_word_breaks,
+    suggest_word_combinations,
+)
+
+
+@pytest.fixture(scope="module")
+def wb_index(ray_session, tmp_path_factory):
+    texts = [
+        "merge the join carefully",
+        "merge sort is stable",
+        "join the data now",
+        "mergejoin is one word here",
+        "data base versus database",
+    ]
+    rows = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+        "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+        "text": pa.array(texts),
+    })
+    import ray.data as rd
+
+    idx = str(tmp_path_factory.mktemp("wb") / "idx")
+    build_index(rd.from_arrow(rows), idx, target_docs_per_partition=100,
+                input_desc="wb")
+    return IndexSearcher(idx)
+
+
+def test_word_breaks_basic(wb_index):
+    got = suggest_word_breaks(wb_index, "mergejoin")
+    parts = [p for p, _ in got]
+    assert ("merge", "join") in parts
+    # min_df rank: merge df=3? (docs 0,1) + join (0,2) -> min(df)
+    top_parts, top_df = got[0]
+    assert top_parts == ("merge", "join")
+    assert top_df == min(wb_index.df("merge"), wb_index.df("join"))
+
+
+def test_word_breaks_multi_split(wb_index):
+    # "mergejoindata" needs 2 breaks
+    got = suggest_word_breaks(wb_index, "mergejoindata", max_changes=3)
+    assert ("merge", "join", "data") in [p for p, _ in got]
+    # with max_changes=1 the 3-way split is out of reach
+    got1 = suggest_word_breaks(wb_index, "mergejoindata", max_changes=1)
+    assert ("merge", "join", "data") not in [p for p, _ in got1]
+
+
+def test_word_breaks_no_garbage(wb_index):
+    assert suggest_word_breaks(wb_index, "zzzqqqxxx") == []
+    # a term that IS a dictionary word still only returns real splits
+    for parts, _ in suggest_word_breaks(wb_index, "database"):
+        assert all(wb_index.df(p) > 0 for p in parts)
+    assert ("data", "base") in [p for p, _ in
+                                suggest_word_breaks(wb_index, "database")]
+
+
+def test_word_combinations(wb_index):
+    got = suggest_word_combinations(wb_index, ["merge", "join", "now"])
+    assert got and got[0][0] == "mergejoin"
+    assert got[0][1] == wb_index.df("mergejoin")
+    got2 = suggest_word_combinations(wb_index, ["data", "base"])
+    assert got2[0][0] == "database"
+    assert suggest_word_combinations(wb_index, ["now", "stable"]) == []
