@@ -402,6 +402,47 @@ def scandinavian_fold(word: str) -> str:
     return "".join(out)
 
 
+def cjk_width(word: str) -> str:
+    """CJKWidthFilter (`analysis/cjk/CJKWidthFilter.java`), fullwidth half:
+    fold fullwidth ASCII variants (U+FF01–FF5E) to Basic Latin and
+    ideographic space to space.  The halfwidth-katakana composition table
+    is out of scope (documented divergence — no CJK corpus here)."""
+    out = []
+    for ch in word:
+        o = ord(ch)
+        if 0xFF01 <= o <= 0xFF5E:
+            out.append(chr(o - 0xFEE0))
+        elif o == 0x3000:
+            out.append(" ")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def turkish_lower(word: str) -> str:
+    """TurkishLowerCaseFilter (`analysis/tr/TurkishLowerCaseFilter.java`):
+    Turkic casing — I→ı, İ→i (incl. the combining-dot-above form),
+    everything else JDK lowercase."""
+    out = []
+    i = 0
+    while i < len(word):
+        ch = word[i]
+        if ch == "I":
+            # I + COMBINING DOT ABOVE -> i
+            if i + 1 < len(word) and word[i + 1] == "̇":
+                out.append("i")
+                i += 2
+                continue
+            out.append("ı")
+        elif ch == "İ":
+            out.append("i")
+        else:
+            low = ch.lower()
+            out.append(low if len(low) == 1 else ch)
+        i += 1
+    return "".join(out)
+
+
 # FrenchAnalyzer.DEFAULT_ARTICLES (`analysis/fr/FrenchAnalyzer.java`)
 FRENCH_ARTICLES = ("l m t qu n s j d c jusqu quoiqu lorsqu puisqu").split()
 
@@ -437,6 +478,8 @@ FILTERS = {
     "upper": jdk_upper,
     "capitalization": capitalization,
     "decimal_digit": decimal_digit_fold,
+    "cjk_width": cjk_width,
+    "turkish_lower": turkish_lower,
 }
 
 # stemmer specs that KeywordMarkerFilter protection applies to

@@ -281,3 +281,15 @@ def test_protected_term_filter():
                              ("protected:running:porter",))
     assert pos is None
     assert np.asarray(flat, dtype=object).tolist() == ["running", "jump"]
+
+
+def test_cjk_width_and_turkish_lower():
+    from lucene_ray.analysis.filters import cjk_width, turkish_lower
+
+    assert cjk_width("Ｈｅｌｌｏ！１２３") == "Hello!123"
+    assert cjk_width("a　b") == "a b"
+    assert cjk_width("plain") == "plain"
+    assert turkish_lower("III") == "ııı"
+    assert turkish_lower("İstanbul") == "istanbul"
+    assert turkish_lower("DIŞ") == "dış"
+    assert turkish_lower("İ") == "i"     # I + combining dot above
