@@ -293,3 +293,43 @@ def test_cjk_width_and_turkish_lower():
     assert turkish_lower("İstanbul") == "istanbul"
     assert turkish_lower("DIŞ") == "dış"
     assert turkish_lower("İ") == "i"     # I + combining dot above
+
+
+def test_chain_invariants_fuzz():
+    """Property fuzz over random chains: doc-major position order, norms ==
+    non-overlay count, tok_counts == per-doc token count, overlay stages
+    never shrink norms below 0, and the output feeds invert_flat."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    vocab = ["merge", "join", "the", "data", "run", "running", "j2se",
+             "powershot", "a", "of"]
+    stages_pool = [
+        ("porter",), ("stop:the,of",), ("syn:join=merge",), ("shingle",),
+        ("length:2-9",), ("keep:merge,join,data,run,running",),
+        ("stem_repeat:porter",), ("common_grams:the,of",), ("limit:3",),
+        ("remove_duplicates",), ("edge_ngram:2-3",),
+    ]
+    for trial in range(25):
+        n_docs = rng.randint(1, 5)
+        texts = [" ".join(rng.choices(vocab, k=rng.randint(0, 8)))
+                 for _ in range(n_docs)]
+        n_stages = rng.randint(1, 3)
+        specs = tuple(itertools.chain.from_iterable(
+            rng.sample(stages_pool, n_stages)))
+        flat, counts, pos, norms = _chain(texts, specs)
+        toks = np.asarray(flat, dtype=object)
+        assert counts.sum() == len(toks)
+        assert len(counts) == n_docs and len(norms) == n_docs
+        assert (norms <= counts).all() and (norms >= 0).all()
+        if pos is not None:
+            assert len(pos) == len(toks)
+            # doc-major, position-nondecreasing within doc
+            doc = np.repeat(np.arange(n_docs), counts)
+            for d in range(n_docs):
+                p = pos[doc == d]
+                assert (np.diff(p) >= 0).all(), (specs, texts)
+        from lucene_ray.index.shard import invert_flat
+
+        invert_flat(flat, counts, pos)     # must not raise
