@@ -120,6 +120,21 @@ def span_first(term: str, end: int, field: str = "text",
 
 
 @dataclass(frozen=True)
+class SpanNotQuery:
+    """Occurrences of `include` with NO `exclude` occurrence within
+    [pos - pre, pos + post] (`queries/spans/SpanNotQuery.java` for term
+    spans; pre/post default 0 = exact overlap exclusion).  A doc matches
+    when at least one include occurrence survives.  Constant-score rewrite
+    like the other span queries (documented divergence)."""
+    include: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class RangeQuery:
     """Inclusive numeric/date range over a doc-values column
     (`search/PointRangeQuery.java` / `document/LongPoint.newRangeQuery`

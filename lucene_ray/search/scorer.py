@@ -761,6 +761,49 @@ def search_shard_posrange(reader, term: str, start: int, end: int,
     return sc[:k], cand[:k], total, RELATION_EQ
 
 
+def search_shard_spannot(reader, include: str, exclude: str, pre: int,
+                         post: int, boost: float, k: int, after=None):
+    """SpanNot over one shard (`queries/spans/SpanNotQuery.java`, term
+    spans): docs where some `include` position p has no `exclude` position
+    in [p - pre, p + post].  Vectorized: per-doc exclude positions checked
+    with two searchsorteds against the include positions."""
+    tid = reader.seek_exact(include)
+    if tid < 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    docs, freqs = reader.postings(tid)
+    pos = reader.positions(tid, freqs).astype(np.int64)
+    seg = np.repeat(np.arange(len(docs)), freqs)
+
+    xtid = reader.seek_exact(exclude)
+    ok = np.ones(len(pos), dtype=bool)
+    if xtid >= 0:
+        xdocs, xfreqs = reader.postings(xtid)
+        xpos = reader.positions(xtid, xfreqs).astype(np.int64)
+        xpb = np.concatenate(([0], np.cumsum(xfreqs.astype(np.int64))))
+        # map each include doc to its slot in the exclude postings (if any)
+        xi = np.searchsorted(xdocs, docs)
+        has_x = (xi < len(xdocs)) & (xdocs[np.minimum(xi, len(xdocs) - 1)] == docs)
+        for j in np.nonzero(has_x)[0]:
+            sl = slice(int(xpb[xi[j]]), int(xpb[xi[j] + 1]))
+            xs = xpos[sl]                          # sorted positions
+            ps = pos[seg == j]
+            lo = np.searchsorted(xs, ps - pre)
+            hi = np.searchsorted(xs, ps + post, side="right")
+            ok[seg == j] = lo == hi                # no exclude in window
+    hit = np.zeros(len(docs), dtype=bool)
+    hit[seg[ok]] = True
+    cand = docs[hit].astype(np.int32)
+    if reader.deleted is not None and len(cand):
+        cand = cand[~reader.deleted[cand]]
+    sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    return sc[:k], cand[:k], total, RELATION_EQ
+
+
 def search_shard_interval(reader, terms, max_width: int, ordered: bool,
                           boost: float, k: int, after=None):
     """Interval proximity matching over one shard: conjunction of the terms'

@@ -134,6 +134,11 @@ class IndexSearcher:
             return dataclasses.replace(q, terms=tuple(self._ft(t) for t in q.terms))
         if isinstance(q, _SPR):
             return dataclasses.replace(q, term=self._ft(q.term))
+        from .query import SpanNotQuery as _SN
+
+        if isinstance(q, _SN):
+            return dataclasses.replace(q, include=self._ft(q.include),
+                                       exclude=self._ft(q.exclude))
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return dataclasses.replace(q, query=self._normalize(q.query))
         if isinstance(q, BooleanQuery):
@@ -348,6 +353,14 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "posrange": (query.term, int(query.start), int(query.end)),
+                    "boost": query.boost}
+        from .query import SpanNotQuery
+
+        if isinstance(query, SpanNotQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "spannot": (query.include, query.exclude,
+                                int(query.pre), int(query.post)),
                     "boost": query.boost}
         if isinstance(query, RangeQuery):
             # standalone numeric range: constant-score over the doc-values
@@ -593,6 +606,12 @@ class IndexSearcher:
             term, p_lo, p_hi = compiled["posrange"]
             return search_shard_posrange(rdr, term, p_lo, p_hi,
                                          compiled["boost"], k, after=after)
+        if compiled.get("spannot") is not None:
+            from .scorer import search_shard_spannot
+
+            inc, exc, pre_, post_ = compiled["spannot"]
+            return search_shard_spannot(rdr, inc, exc, pre_, post_,
+                                        compiled["boost"], k, after=after)
         if compiled.get("range") is not None:
             from .scorer import search_shard_range
 

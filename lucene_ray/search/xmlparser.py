@@ -29,9 +29,10 @@ Supported elements (attribute conventions follow the reference builders —
 - ``SpanOrTerms`` — analyzed content as one SynonymQuery.
 - ``SpanFirst`` / ``SpanPositionRange`` — single SpanTerm child restricted
   to a position window (SpanPositionRangeQuery).
+- ``SpanNot`` — Include/Exclude SpanTerm pair (SpanNotQuery).
 
-SpanNot and the *LikeThis builders are out of scope (MLT lives on the
-searcher) — they raise ``XmlParseError``.
+The *LikeThis builders are out of scope (MLT lives on the searcher) —
+they raise ``XmlParseError``.
 
 Every element honors ``boost`` by wrapping in BoostQuery, like the
 reference builders do.
@@ -53,6 +54,7 @@ from .query import (
     MatchNoDocsQuery,
     PhraseQuery,
     RangeQuery,
+    SpanNotQuery,
     SpanPositionRangeQuery,
     SynonymQuery,
     TermQuery,
@@ -189,6 +191,16 @@ def _build(e: ET.Element, inherited_field: str | None, default_field: str):
         if not toks:
             return MatchNoDocsQuery("no terms after analysis")
         return _boost(e, SynonymQuery(tuple(dict.fromkeys(toks)), field=fld))
+    if tag == "SpanNot":
+        # reference SpanNot has Include/Exclude wrapper children
+        inc = e.find("Include")
+        exc = e.find("Exclude")
+        if inc is None or exc is None or len(inc) != 1 or len(exc) != 1 \
+                or inc[0].tag != "SpanTerm" or exc[0].tag != "SpanTerm":
+            raise XmlParseError(
+                "SpanNot requires Include/Exclude each holding one SpanTerm")
+        return _boost(e, SpanNotQuery(_text(inc[0]), _text(exc[0]),
+                                      field=fld))
     if tag in ("SpanFirst", "SpanPositionRange"):
         inner = _children(e)
         if len(inner) != 1 or inner[0].tag != "SpanTerm":

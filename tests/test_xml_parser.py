@@ -238,3 +238,32 @@ def test_span_position_range_execution(xml_idx):
                           for p, w in enumerate(analyze(t)) if w == term))
         got = s.count(SpanPositionRangeQuery(term, lo, hi))
         assert got == want, (term, lo, hi)
+
+
+def test_span_not(xml_idx):
+    from lucene_ray.search.query import SpanNotQuery
+
+    q = parse_xml("<SpanNot><Include><SpanTerm>merge</SpanTerm></Include>"
+                  "<Exclude><SpanTerm>join</SpanTerm></Exclude></SpanNot>")
+    assert q == SpanNotQuery("merge", "join")
+    s = xml_idx
+    # pre/post=0: exclusion only when positions coincide -> never for
+    # distinct terms; all merge docs match
+    assert s.count(q) == s.count(parse_xml("<TermQuery>merge</TermQuery>"))
+    # window exclusion: merge occurrences with no adjacent 'join'
+    from lucene_ray.analysis.standard import analyze
+
+    texts = ["merge the join carefully", "merge sort is stable",
+             "join the data now", "scan every row",
+             "merge join merge join"]
+    for pre, post in [(0, 1), (1, 2), (0, 3)]:
+        want = 0
+        for t in texts:
+            toks = analyze(t)
+            mp = [i for i, w in enumerate(toks) if w == "merge"]
+            jp = [i for i, w in enumerate(toks) if w == "join"]
+            if any(all(not (p - pre <= x <= p + post) for x in jp)
+                   for p in mp):
+                want += 1
+        got = s.count(SpanNotQuery("merge", "join", pre=pre, post=post))
+        assert got == want, (pre, post)
