@@ -584,18 +584,25 @@ def index_conv_oracle_sql(k: int = CONV_JOIN_K) -> str:
         FROM conv ORDER BY score DESC, conv ASC LIMIT {k}"""
 
 
-def index_term_dictionary(sf_dir: str) -> pd.DataFrame:
+def index_term_dictionary(sf_dir: str):
     """Global merged term statistics from the index (term, df, ttf) — the
     groupby-on-term shuffle output, SQL-checkable against tokenizing
-    documents (ASCII corpus: StandardAnalyzer == simple tokenizer)."""
-    import glob
-
-    import pyarrow.parquet as pq
+    documents (ASCII corpus: StandardAnalyzer == simple tokenizer).
+    Returned as a streaming Dataset: the stats stay in their bucketed
+    parquet files and the keyword-namespace filter runs per batch — the
+    driver never concatenates the vocabulary (it is billions of rows at
+    the target scale)."""
+    import pyarrow.compute as pc
+    import ray.data
 
     from ..index.shard import KEYWORD_SEP
 
     index_dir = build_transcript_index(sf_dir)
-    parts = sorted(glob.glob(os.path.join(index_dir, "term_stats", "*.parquet")))
-    df = pd.concat([pq.read_table(p).to_pandas() for p in parts], ignore_index=True)
-    df = df[~df["term"].str.contains(KEYWORD_SEP)]       # text field only
-    return df.sort_values("term").reset_index(drop=True)[["term", "df", "ttf"]]
+
+    def _text_terms(t):
+        return t.filter(pc.invert(pc.match_substring(
+            pc.cast(t.column("term"), "string"), KEYWORD_SEP)))
+
+    return (ray.data.read_parquet(os.path.join(index_dir, "term_stats"),
+                                  columns=["term", "df", "ttf"])
+            .map_batches(_text_terms, batch_format="pyarrow"))
