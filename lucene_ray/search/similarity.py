@@ -498,3 +498,53 @@ class AxiomaticSimilarity:
     def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
                         sum_ttf: int):
         raise NotImplementedError("Axiomatic phrase scoring not supported")
+
+
+class _MultiScorer:
+    __slots__ = ("subs",)
+
+    def __init__(self, subs):
+        self.subs = subs
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        out = self.subs[0].score(freqs, norm_bytes).astype(np.float32)
+        for s in self.subs[1:]:
+            out = out + s.score(freqs, norm_bytes).astype(np.float32)
+        return out
+
+
+class MultiSimilarity:
+    """Sum of several similarities' scores
+    (`search/similarities/MultiSimilarity.java`: MultiSimScorer.score =
+    float32 running sum of the sub-scorers).  All wrapped models here are
+    non-decreasing in freq, so the sum is too — WAND block maxes stay
+    valid upper bounds."""
+
+    def __init__(self, sims):
+        if not sims:
+            raise ValueError("MultiSimilarity needs at least one similarity")
+        self.sims = tuple(sims)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None):
+        return _MultiScorer([s.scorer(boost, doc_count, sum_ttf, doc_freq,
+                                      ttf=ttf)
+                             if _takes_ttf(s) else
+                             s.scorer(boost, doc_count, sum_ttf, doc_freq)
+                             for s in self.sims])
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        raise NotImplementedError("Multi phrase scoring not supported")
+
+
+def _takes_ttf(sim) -> bool:
+    import inspect
+
+    try:
+        return "ttf" in inspect.signature(sim.scorer).parameters
+    except (TypeError, ValueError):
+        return False

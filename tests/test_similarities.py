@@ -275,3 +275,33 @@ def test_wand_matches_exhaustive_axiomatic(sim_index):
             b = s_taat.search(q, k=10)
             assert [(h.gid, h.score) for h in a.hits] == \
                    [(h.gid, h.score) for h in b.hits], variant
+
+
+def test_multi_similarity_sum(sim_index):
+    from lucene_ray.search.similarity import (
+        BM25Similarity,
+        MultiSimilarity,
+    )
+
+    d, tokens = sim_index
+    multi = MultiSimilarity([BM25Similarity(), ClassicSimilarity()])
+    s_m = IndexSearcher(d, similarity=multi)
+    s_b = IndexSearcher(d, similarity=BM25Similarity())
+    s_c = IndexSearcher(d, similarity=ClassicSimilarity())
+    for term in ("merge", "data"):
+        q = bool_query(should=[term])
+        hm = {h.gid: h.score for h in
+              s_m.search(q, k=10, total_hits_threshold=2**31 - 1).hits}
+        hb = {h.gid: h.score
+              for h in s_b.search(q, k=500, total_hits_threshold=2**31 - 1).hits}
+        hc = {h.gid: h.score
+              for h in s_c.search(q, k=500, total_hits_threshold=2**31 - 1).hits}
+        for gid, sc in hm.items():
+            want = np.float32(hb[gid]) + np.float32(hc[gid])
+            assert abs(sc - float(want)) < 1e-5 * max(1.0, abs(float(want)))
+    # WAND == TAAT under the summed model
+    s_w = IndexSearcher(d, similarity=multi, use_wand=True)
+    s_t = IndexSearcher(d, similarity=multi, use_wand=False)
+    q = bool_query(should=["merge", "join", "scan"])
+    assert [(h.gid, h.score) for h in s_w.search(q, k=10).hits] == \
+           [(h.gid, h.score) for h in s_t.search(q, k=10).hits]
