@@ -358,10 +358,14 @@ def _normmap_values() -> str:
     return ",".join(pairs)
 
 
-def bm25_scored_cte(terms: tuple[str, ...]) -> str:
+def bm25_scored_cte(terms: tuple[str, ...],
+                    corpus_sql: str = "documents") -> str:
     """Shared DuckDB CTE chain ending in ``scored(doc_id, score)`` — the SQL
     twin of the engine's analyze → SmallFloat norm → BM25 chain, reused by
-    the BM25 and hybrid oracles."""
+    the BM25 and hybrid oracles.  ``corpus_sql`` restricts the corpus (and
+    with it df/avgdl/doc_count) — the hybrid oracle passes the
+    documents⋈embeddings join because the vector index only contains docs
+    that carry embeddings."""
     qmap = _normmap_values()
     tf_union = " UNION ALL ".join(
         f"SELECT doc_id, '{t}' AS term, len(list_filter(toks, x -> x = '{t}')) AS tf FROM toklists"
@@ -369,7 +373,7 @@ def bm25_scored_cte(terms: tuple[str, ...]) -> str:
     return f"""toklists AS (
           SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
                                         x -> lower(x)) AS toks
-          FROM documents),
+          FROM {corpus_sql}),
         normmap(n, dec) AS (VALUES {qmap}),
         dl AS (SELECT t.doc_id, len(t.toks) AS raw_dl, m.dec AS dl
                FROM toklists t JOIN normmap m ON m.n = len(t.toks)),

@@ -161,8 +161,10 @@ def index_hybrid_rrf(sf_dir: str, k: int = HYBRID_K) -> pd.DataFrame:
 
 
 def index_hybrid_rrf_oracle_sql(k: int = HYBRID_K) -> str:
+    vec_corpus = ("(SELECT d.doc_id, d.text FROM documents d "
+                  "JOIN embeddings e ON d.doc_id = e.vec_id)")
     return f"""
-        WITH {bm25_scored_cte(HYBRID_TERMS)},
+        WITH {bm25_scored_cte(HYBRID_TERMS, corpus_sql=vec_corpus)},
         bm AS (SELECT doc_id,
                       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
                FROM scored QUALIFY r <= {HYBRID_TOPN}),
