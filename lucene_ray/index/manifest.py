@@ -76,3 +76,79 @@ def committed_shards(index_dir: str, fp: str) -> dict[int, dict]:
             if m.get("status") == "committed" and m.get("fingerprint") == fp:
                 out[m["pid"]] = m
     return out
+
+
+def list_commits(index_dir: str) -> list[dict]:
+    """All commit points, generation asc (`IndexDeletionPolicy` view:
+    every segments_N still on disk is an openable point-in-time)."""
+    out = []
+    for p in sorted(glob.glob(os.path.join(index_dir, "segments_*.json")),
+                    key=lambda p: int(os.path.basename(p).split("_")[1].split(".")[0])):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def rollback(index_dir: str, generation: int,
+             remerge_stats: bool = True) -> dict:
+    """Restore an earlier commit point (`IndexWriter.rollback` +
+    SnapshotDeletionPolicy model): the chosen generation's shard list is
+    re-published as the NEWEST segments_{gen}.json, so live readers pick it
+    up through the normal ``refresh()`` path (highest generation wins) and
+    no shard file is touched — generational files are immutable.  The
+    commit-level global term-stats table is re-merged for the restored
+    shard set (it is derived state, like the merged statistics a Lucene
+    reader recomputes per commit point)."""
+    src = os.path.join(index_dir, f"segments_{generation}.json")
+    if not os.path.exists(src):
+        raise FileNotFoundError(f"no commit generation {generation}")
+    with open(src) as f:
+        commit = json.load(f)
+    new_gen = 1 + max(int(os.path.basename(p).split("_")[1].split(".")[0])
+                      for p in glob.glob(os.path.join(index_dir, "segments_*.json")))
+    commit = dict(commit)
+    commit["generation"] = new_gen
+    commit["rolled_back_from"] = generation
+    path = os.path.join(index_dir, f"segments_{new_gen}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(commit, f)
+    os.rename(tmp, path)
+    if remerge_stats:
+        from .build import merge_term_stats    # lazy: avoids import cycle
+
+        merge_term_stats(index_dir, commit)
+    return commit
+
+
+def prune_commits(index_dir: str, keep_last: int = 1,
+                  snapshots: tuple[int, ...] = ()) -> dict:
+    """IndexFileDeleter analogue: drop commit points older than the last
+    ``keep_last`` (except explicitly snapshotted generations), then delete
+    shard directories referenced by NO remaining commit.  Returns
+    {"removed_commits": [...], "removed_shards": [...]}."""
+    commits = list_commits(index_dir)
+    if not commits:
+        return {"removed_commits": [], "removed_shards": []}
+    keep_gens = {c["generation"] for c in commits[-keep_last:]} | set(snapshots)
+    removed_commits = []
+    kept = []
+    for c in commits:
+        if c["generation"] in keep_gens:
+            kept.append(c)
+        else:
+            os.remove(os.path.join(index_dir,
+                                   f"segments_{c['generation']}.json"))
+            removed_commits.append(c["generation"])
+    referenced = {f"shard-{m['pid']:05d}" for c in kept for m in c["shards"]}
+    removed_shards = []
+    import shutil
+
+    for d in glob.glob(os.path.join(index_dir, "shards", "shard-*")):
+        name = os.path.basename(d)
+        if name.endswith(".tmp") or name in referenced:
+            continue
+        shutil.rmtree(d)
+        removed_shards.append(name)
+    return {"removed_commits": removed_commits,
+            "removed_shards": sorted(removed_shards)}
