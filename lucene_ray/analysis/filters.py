@@ -482,10 +482,21 @@ FILTERS = {
     "turkish_lower": turkish_lower,
 }
 
+
+def _porter2(word: str) -> str:
+    from .porter2 import porter2_stem
+
+    return porter2_stem(word)
+
+
+FILTERS["porter2"] = _porter2
+FILTERS["english_snowball"] = _porter2
+
 # stemmer specs that KeywordMarkerFilter protection applies to
 # (`analysis/miscellaneous/KeywordMarkerFilter.java` sets KeywordAttribute;
 # stemmers skip keyword terms)
-STEMMERS = {"porter", "english_minimal", "french_minimal", "german_minimal"}
+STEMMERS = {"porter", "porter2", "english_snowball", "english_minimal",
+            "french_minimal", "german_minimal"}
 
 
 def _make_truncate(n: int):

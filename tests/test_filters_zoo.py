@@ -333,3 +333,28 @@ def test_chain_invariants_fuzz():
         from lucene_ray.index.shard import invert_flat
 
         invert_flat(flat, counts, pos)     # must not raise
+
+
+def test_porter2_full_golden_vocabulary():
+    """Snowball English (Porter2) exact on the reference's 2,000-pair test
+    vocabulary (analysis/snowball/english.zip voc/output)."""
+    import os
+
+    from lucene_ray.analysis.porter2 import porter2_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_english_pairs.txt")
+    n = 0
+    for line in open(path):
+        a, b = line.split()
+        assert porter2_stem(a) == b, (a, b, porter2_stem(a))
+        n += 1
+    assert n == 2000
+
+
+def test_porter2_in_chain_and_protection():
+    flat, _, pos, _ = _chain(["generously running"], ("porter2",))
+    assert pos is None
+    assert np.asarray(flat, dtype=object).tolist() == ["generous", "run"]
+    assert apply_filters_str("running", ("keyword_marker:running", "porter2")) \
+        == "running"
