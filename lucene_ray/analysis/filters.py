@@ -330,6 +330,38 @@ def german_minimal_stem(word: str) -> str:
     return "".join(s)
 
 
+_DE_ST_END = set("bdfghklmnt")
+_DE_FOLD = {"ä": "a", "à": "a", "á": "a", "â": "a",
+            "ö": "o", "ò": "o", "ó": "o", "ô": "o",
+            "ï": "i", "ì": "i", "í": "i", "î": "i",
+            "ü": "u", "ù": "u", "ú": "u", "û": "u"}
+
+
+def german_light_stem(word: str) -> str:
+    """GermanLightStemFilter (`analysis/de/GermanLightStemmer.java`, Savoy's
+    light German stemmer) — exact port: accent fold, then plural/case strip
+    (step1), then superlative/-er/-st strip (step2)."""
+    s = [_DE_FOLD.get(c, c) for c in word]
+    n = len(s)
+    # step 1
+    if n > 5 and s[n - 3] == "e" and s[n - 2] == "r" and s[n - 1] == "n":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in ("m", "n", "r", "s"):
+        n -= 2
+    elif n > 3 and s[n - 1] == "e":
+        n -= 1
+    elif n > 3 and s[n - 1] == "s" and s[n - 2] in _DE_ST_END:
+        n -= 1
+    # step 2
+    if n > 5 and s[n - 3] == "e" and s[n - 2] == "s" and s[n - 1] == "t":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in ("r", "n"):
+        n -= 2
+    elif n > 4 and s[n - 2] == "s" and s[n - 1] == "t" and s[n - 3] in _DE_ST_END:
+        n -= 2
+    return "".join(s[:n])
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -471,6 +503,7 @@ FILTERS = {
     "english_minimal": english_minimal_stem,
     "french_minimal": french_minimal_stem,
     "german_minimal": german_minimal_stem,
+    "german_light": german_light_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,
@@ -496,7 +529,7 @@ FILTERS["english_snowball"] = _porter2
 # (`analysis/miscellaneous/KeywordMarkerFilter.java` sets KeywordAttribute;
 # stemmers skip keyword terms)
 STEMMERS = {"porter", "porter2", "english_snowball", "english_minimal",
-            "french_minimal", "german_minimal"}
+            "french_minimal", "german_minimal", "german_light"}
 
 
 def _make_truncate(n: int):

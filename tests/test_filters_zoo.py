@@ -358,3 +358,21 @@ def test_porter2_in_chain_and_protection():
     assert np.asarray(flat, dtype=object).tolist() == ["generous", "run"]
     assert apply_filters_str("running", ("keyword_marker:running", "porter2")) \
         == "running"
+
+
+def test_german_light_golden_sample():
+    """GermanLightStemmer exact on a 1-in-17 deterministic sample of the
+    reference's 35,033-pair delight.txt vocabulary (full set verified
+    offline, 0 mismatches)."""
+    import os
+
+    from lucene_ray.analysis.filters import german_light_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "german_light_pairs.txt")
+    n = 0
+    for line in open(path):
+        a, b = line.rstrip("\n").split("\t")
+        assert german_light_stem(a) == b, (a, b)
+        n += 1
+    assert n > 2000
