@@ -362,6 +362,73 @@ def german_light_stem(word: str) -> str:
     return "".join(s[:n])
 
 
+_ES_FOLD = {**{c: "a" for c in "àáâä"}, **{c: "o" for c in "òóôö"},
+            **{c: "e" for c in "èéêë"}, **{c: "u" for c in "ùúûü"},
+            **{c: "i" for c in "ìíîï"}}
+
+
+def spanish_light_stem(word: str) -> str:
+    """SpanishLightStemFilter (`analysis/es/SpanishLightStemmer.java`,
+    Savoy's light Spanish stemmer) — exact port: accent fold, then
+    vowel/plural endings with the ces→z rewrite."""
+    if len(word) < 5:
+        return word
+    s = [_ES_FOLD.get(c, c) for c in word]
+    n = len(s)
+    last = s[n - 1]
+    if last in ("o", "a", "e"):
+        return "".join(s[: n - 1])
+    if last == "s":
+        if s[n - 2] == "e" and s[n - 3] == "s" and s[n - 4] == "e":
+            return "".join(s[: n - 2])
+        if s[n - 2] == "e" and s[n - 3] == "c":
+            s[n - 3] = "z"
+            return "".join(s[: n - 2])
+        if s[n - 2] in ("o", "a", "e"):
+            return "".join(s[: n - 2])
+    return "".join(s)
+
+
+def swedish_light_stem(word: str) -> str:
+    """SwedishLightStemFilter (`analysis/sv/SwedishLightStemmer.java`) —
+    exact port: optional -s, then definite/comparative/agent endings by
+    decreasing length."""
+    s = word
+    n = len(s)
+    if n > 4 and s[n - 1] == "s":
+        n -= 1
+    if n > 7 and (s[:n].endswith("elser") or s[:n].endswith("heten")):
+        return s[: n - 5]
+    if n > 6 and s[:n].endswith(("arne", "erna", "ande", "else",
+                                 "aste", "orna", "aren")):
+        return s[: n - 4]
+    if n > 5 and s[:n].endswith(("are", "ast", "het")):
+        return s[: n - 3]
+    if n > 4 and s[:n].endswith(("ar", "er", "or", "en", "at", "te", "et")):
+        return s[: n - 2]
+    if n > 3 and s[n - 1] in ("t", "a", "e", "n"):
+        return s[: n - 1]
+    return s[:n]
+
+
+def italian_light_stem(word: str) -> str:
+    """ItalianLightStemFilter (`analysis/it/ItalianLightStemmer.java`) —
+    exact port: accent fold, then final-vowel strip with the i/h digraph
+    rules."""
+    if len(word) < 6:
+        return word
+    s = [_ES_FOLD.get(c, c) for c in word]
+    n = len(s)
+    last, prev = s[n - 1], s[n - 2]
+    if last == "e":
+        return "".join(s[: n - 2 if prev in ("i", "h") else n - 1])
+    if last == "i":
+        return "".join(s[: n - 2 if prev in ("h", "i") else n - 1])
+    if last in ("a", "o"):
+        return "".join(s[: n - 2 if prev == "i" else n - 1])
+    return "".join(s)
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -504,6 +571,9 @@ FILTERS = {
     "french_minimal": french_minimal_stem,
     "german_minimal": german_minimal_stem,
     "german_light": german_light_stem,
+    "spanish_light": spanish_light_stem,
+    "swedish_light": swedish_light_stem,
+    "italian_light": italian_light_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,
