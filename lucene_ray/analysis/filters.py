@@ -429,6 +429,116 @@ def italian_light_stem(word: str) -> str:
     return "".join(s)
 
 
+_RU_4 = ("иями", "оями")
+_RU_3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+         "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв", "ою",
+         "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев", "ий", "им",
+         "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+_RU_1 = set("аеиоуйыяь")
+
+
+def russian_light_stem(word: str) -> str:
+    """RussianLightStemFilter (`analysis/ru/RussianLightStemmer.java`) —
+    exact port: case-ending removal by decreasing length, then the
+    ь/и/нн normalization."""
+    s = word
+    n = len(s)
+    if n > 6 and s[:n].endswith(_RU_4):
+        n -= 4
+    elif n > 5 and s[:n].endswith(_RU_3):
+        n -= 3
+    elif n > 4 and s[:n].endswith(_RU_2):
+        n -= 2
+    elif n > 3 and s[n - 1] in _RU_1:
+        n -= 1
+    if n > 3:
+        if s[n - 1] in ("ь", "и"):
+            n -= 1
+        elif s[n - 1] == "н" and s[n - 2] == "н":
+            n -= 1
+    return s[:n]
+
+
+_PT_FOLD = {**{c: "a" for c in "àáâäã"}, **{c: "o" for c in "òóôöõ"},
+            **{c: "e" for c in "èéêë"}, **{c: "u" for c in "ùúûü"},
+            **{c: "i" for c in "ìíîï"}, "ç": "c"}
+
+
+def _pt_remove_suffix(s: list[str]) -> list[str]:
+    n = len(s)
+    w = "".join(s)
+    if n > 4 and w.endswith("es") and s[n - 3] in ("r", "s", "l", "z"):
+        return s[: n - 2]
+    if n > 3 and w.endswith("ns"):
+        s[n - 2] = "m"
+        return s[: n - 1]
+    if n > 4 and (w.endswith("eis") or w.endswith("éis")):
+        s[n - 3] = "e"
+        s[n - 2] = "l"
+        return s[: n - 1]
+    if n > 4 and w.endswith("ais"):
+        s[n - 2] = "l"
+        return s[: n - 1]
+    if n > 4 and w.endswith("óis"):
+        s[n - 3] = "o"
+        s[n - 2] = "l"
+        return s[: n - 1]
+    if n > 4 and w.endswith("is"):
+        s[n - 1] = "l"
+        return s
+    if n > 3 and (w.endswith("ões") or w.endswith("ães")):
+        s = s[: n - 1]
+        s[-2] = "ã"
+        s[-1] = "o"
+        return s
+    if n > 6 and w.endswith("mente"):
+        return s[: n - 5]
+    if n > 3 and s[n - 1] == "s":
+        return s[: n - 1]
+    return s
+
+
+def _pt_norm_feminine(s: list[str]) -> list[str]:
+    n = len(s)
+    w = "".join(s)
+    if n > 7 and (w.endswith("inha") or w.endswith("iaca")
+                  or w.endswith("eira")):
+        s[n - 1] = "o"
+        return s
+    if n > 6:
+        if w.endswith(("osa", "ica", "ida", "ada", "iva", "ama")):
+            s[n - 1] = "o"
+            return s
+        if w.endswith("ona"):
+            s[n - 3] = "ã"
+            s[n - 2] = "o"
+            return s[: n - 1]
+        if w.endswith("ora"):
+            return s[: n - 1]
+        if w.endswith("esa"):
+            s[n - 3] = "ê"
+            return s[: n - 1]
+        if w.endswith("na"):
+            s[n - 1] = "o"
+            return s
+    return s
+
+
+def portuguese_light_stem(word: str) -> str:
+    """PortugueseLightStemFilter (`analysis/pt/PortugueseLightStemmer.java`)
+    — exact port: plural/adverb suffix rewrite, feminine normalization,
+    final-vowel strip, then accent fold."""
+    if len(word) < 4:
+        return word
+    s = _pt_remove_suffix(list(word))
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in ("e", "a", "o"):
+        s = s[:-1]
+    return "".join(_PT_FOLD.get(c, c) for c in s)
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -574,6 +684,8 @@ FILTERS = {
     "spanish_light": spanish_light_stem,
     "swedish_light": swedish_light_stem,
     "italian_light": italian_light_stem,
+    "russian_light": russian_light_stem,
+    "portuguese_light": portuguese_light_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,
