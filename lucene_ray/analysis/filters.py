@@ -539,6 +539,209 @@ def portuguese_light_stem(word: str) -> str:
     return "".join(_PT_FOLD.get(c, c) for c in s)
 
 
+_FI_VOWELS = set("aeiouy")
+
+
+def finnish_light_stem(word: str) -> str:
+    """FinnishLightStemFilter (`analysis/fi/FinnishLightStemmer.java`) —
+    exact port: ä/å/ö fold, clitic strip (step1, recursive), possessive
+    (step2), case endings (step3), then the two normalization passes incl.
+    the hde→ksi rewrite and k/p/t gemination collapse."""
+    if len(word) < 4:
+        return word
+    s = ["a" if c in ("ä", "å") else "o" if c == "ö" else c for c in word]
+
+    def step1(s: list[str]) -> list[str]:
+        n = len(s)
+        w = "".join(s)
+        if n > 8:
+            if w.endswith("kin"):
+                return step1(s[: n - 3])
+            if w.endswith("ko"):
+                return step1(s[: n - 2])
+        if n > 11:
+            if w.endswith("dellinen"):
+                return s[: n - 8]
+            if w.endswith("dellisuus"):
+                return s[: n - 9]
+        return s
+
+    s = step1(s)
+    # step 2
+    n = len(s)
+    w = "".join(s)
+    if n > 5:
+        if w.endswith(("lla", "tse", "sti")):
+            s = s[: n - 3]
+        elif w.endswith("ni"):
+            s = s[: n - 2]
+        elif w.endswith("aa"):
+            s = s[: n - 1]
+    # step 3
+    n = len(s)
+    w = "".join(s)
+    done = False
+    if n > 8:
+        if w.endswith("nnen"):
+            s[n - 4] = "s"
+            s = s[: n - 3]
+            done = True
+        elif w.endswith("ntena"):
+            s[n - 5] = "s"
+            s = s[: n - 4]
+            done = True
+        elif w.endswith("tten"):
+            s = s[: n - 4]
+            done = True
+        elif w.endswith("eiden"):
+            s = s[: n - 5]
+            done = True
+    if not done and n > 6:
+        if w.endswith(("neen", "niin", "seen", "teen", "inen")):
+            s = s[: n - 4]
+            done = True
+        elif s[n - 3] == "h" and s[n - 2] in _FI_VOWELS and s[n - 1] == "n":
+            s = s[: n - 3]
+            done = True
+        elif w.endswith("den"):
+            s[n - 3] = "s"
+            s = s[: n - 2]
+            done = True
+        elif w.endswith("ksen"):
+            s[n - 4] = "s"
+            s = s[: n - 3]
+            done = True
+        elif w.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            s = s[: n - 3]
+            done = True
+    if not done and n > 5:
+        if w.endswith(("na", "ne")):
+            s = s[: n - 2]
+            done = True
+        elif w.endswith("nei"):
+            s = s[: n - 3]
+            done = True
+    if not done and n > 4:
+        if w.endswith(("ja", "ta")):
+            s = s[: n - 2]
+        elif s[n - 1] == "a":
+            s = s[: n - 1]
+        elif s[n - 1] == "n" and s[n - 2] in _FI_VOWELS:
+            s = s[: n - 2]
+        elif s[n - 1] == "n":
+            s = s[: n - 1]
+    # norm 1
+    n = len(s)
+    w = "".join(s)
+    if n > 5 and w.endswith("hde"):
+        s[n - 3] = "k"
+        s[n - 2] = "s"
+        s[n - 1] = "i"
+        w = "".join(s)
+    if n > 4 and w.endswith(("ei", "at")):
+        s = s[: n - 2]
+    elif n > 3 and s[n - 1] in ("t", "s", "j", "e", "a", "i"):
+        s = s[: n - 1]
+    # norm 2
+    n = len(s)
+    if n > 8 and s[n - 1] in ("e", "o", "u"):
+        s = s[: n - 1]
+        n -= 1
+    if n > 4:
+        if s[n - 1] == "i":
+            s = s[: n - 1]
+        if len(s) > 4:
+            out = [s[0]]
+            for c in s[1:]:
+                if c == out[-1] and c in ("k", "p", "t"):
+                    continue
+                out.append(c)
+            s = out
+    return "".join(s)
+
+
+_HU_FOLD = {"á": "a", "ë": "e", "é": "e", "í": "i",
+            **{c: "o" for c in "óőõö"}, **{c: "u" for c in "úűũûü"}}
+
+
+def hungarian_light_stem(word: str) -> str:
+    """HungarianLightStemFilter (`analysis/hu/HungarianLightStemmer.java`)
+    — exact port: accent fold, case endings, possessives, plural -k (with
+    the a/o/e fallthrough), final-vowel normalization."""
+    s = [_HU_FOLD.get(c, c) for c in word]
+    V = _FI_VOWELS          # a e i o u y
+
+    def remove_case(s):
+        n = len(s)
+        w = "".join(s)
+        if n > 6 and w.endswith("kent"):
+            return s[: n - 4]
+        if n > 5:
+            if w.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                           "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+                return s[: n - 3]
+            if w.endswith(("al", "el")) and s[n - 3] not in V \
+                    and s[n - 3] == s[n - 4]:
+                return s[: n - 3]
+        if n > 4:
+            if w.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                           "be", "ul", "ig")):
+                return s[: n - 2]
+            if w.endswith(("on", "en")) and s[n - 3] not in V:
+                return s[: n - 2]
+            if s[n - 1] in ("t", "n"):
+                return s[: n - 1]
+            if s[n - 1] in ("a", "e") and s[n - 2] == s[n - 3] \
+                    and s[n - 2] not in V:
+                return s[: n - 2]
+        return s
+
+    def remove_possessive(s):
+        n = len(s)
+        w = "".join(s)
+        if n > 6:
+            if s[n - 5] not in V and w.endswith(("atok", "otok", "etek")):
+                return s[: n - 4]
+            if w.endswith(("itek", "itok")):
+                return s[: n - 4]
+        if n > 5:
+            if s[n - 4] not in V and w.endswith(("unk", "tok", "tek")):
+                return s[: n - 3]
+            if s[n - 4] in V and w.endswith("juk"):
+                return s[: n - 3]
+            if w.endswith("ink"):
+                return s[: n - 3]
+        if n > 4:
+            if s[n - 3] not in V and w.endswith(("am", "em", "om", "ad",
+                                                 "ed", "od", "uk")):
+                return s[: n - 2]
+            if s[n - 3] in V and w.endswith(("nk", "ja", "je")):
+                return s[: n - 2]
+            if w.endswith(("im", "id", "ik")):
+                return s[: n - 2]
+        if n > 3:
+            if s[n - 1] in ("a", "e") and s[n - 2] not in V:
+                return s[: n - 1]
+            if s[n - 1] in ("m", "d") and s[n - 2] in V:
+                return s[: n - 1]
+            if s[n - 1] == "i":
+                return s[: n - 1]
+        return s
+
+    def remove_plural(s):
+        n = len(s)
+        if n > 3 and s[n - 1] == "k":
+            if s[n - 2] in ("a", "o", "e") and n > 4:
+                return s[: n - 2]
+            return s[: n - 1]
+        return s
+
+    s = remove_plural(remove_possessive(remove_case(s)))
+    if len(s) > 3 and s[-1] in ("a", "e", "i", "o"):
+        s = s[:-1]
+    return "".join(s)
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -686,6 +889,8 @@ FILTERS = {
     "italian_light": italian_light_stem,
     "russian_light": russian_light_stem,
     "portuguese_light": portuguese_light_stem,
+    "finnish_light": finnish_light_stem,
+    "hungarian_light": hungarian_light_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,
