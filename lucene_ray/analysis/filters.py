@@ -742,6 +742,157 @@ def hungarian_light_stem(word: str) -> str:
     return "".join(s)
 
 
+_FR_FOLD = {"à": "a", "á": "a", "â": "a", "ô": "o", "è": "e", "é": "e",
+            "ê": "e", "ù": "u", "û": "u", "î": "i", "ç": "c"}
+
+
+def _fr_norm(s: list[str]) -> str:
+    if len(s) > 4:
+        s = [_FR_FOLD.get(c, c) for c in s]
+        out = [s[0]]
+        for c in s[1:]:
+            if c == out[-1] and c.isalpha():
+                continue
+            out.append(c)
+        s = out
+    n = len(s)
+    if n > 4 and "".join(s).endswith("ie"):
+        n -= 2
+    if n > 4:
+        if s[n - 1] == "r":
+            n -= 1
+        if s[n - 1] == "e":
+            n -= 1
+        if s[n - 1] == "e":
+            n -= 1
+        if s[n - 1] == s[n - 2] and s[n - 1].isalpha():
+            n -= 1
+    return "".join(s[:n])
+
+
+def french_light_stem(word: str) -> str:
+    """FrenchLightStemFilter (`analysis/fr/FrenchLightStemmer.java`, Savoy's
+    light French stemmer) — exact port: x/s plural strips, the agent/
+    quality suffix rewrites (…issement→…ir, …ateur→…er, …trice→…teur,
+    ication→iquer, …), then norm() (accent fold, letter-run collapse,
+    ie/r/e/double strips)."""
+    s = list(word)
+    n = len(s)
+
+    def w() -> str:
+        return "".join(s[:n])
+
+    if n > 5 and s[n - 1] == "x":
+        if s[n - 3] == "a" and s[n - 2] == "u" and s[n - 4] != "e":
+            s[n - 2] = "l"
+        n -= 1
+    if n > 3 and s[n - 1] == "x":
+        n -= 1
+    if n > 3 and s[n - 1] == "s":
+        n -= 1
+    if n > 9 and w().endswith("issement"):
+        n -= 6
+        s[n - 1] = "r"
+        return _fr_norm(s[:n])
+    if n > 8 and w().endswith("issant"):
+        n -= 4
+        s[n - 1] = "r"
+        return _fr_norm(s[:n])
+    if n > 6 and w().endswith("ement"):
+        n -= 4
+        if n > 3 and w().endswith("ive"):
+            n -= 1
+            s[n - 1] = "f"
+        return _fr_norm(s[:n])
+    if n > 11 and w().endswith("ficatrice"):
+        n -= 5
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return _fr_norm(s[:n])
+    if n > 10 and w().endswith("ficateur"):
+        n -= 4
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return _fr_norm(s[:n])
+    if n > 9 and w().endswith("catrice"):
+        n -= 3
+        s[n - 4] = "q"
+        s[n - 3] = "u"
+        s[n - 2] = "e"
+        return _fr_norm(s[:n])
+    if n > 8 and w().endswith("cateur"):
+        n -= 2
+        s[n - 4] = "q"
+        s[n - 3] = "u"
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return _fr_norm(s[:n])
+    if n > 8 and w().endswith("atrice"):
+        n -= 4
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return _fr_norm(s[:n])
+    if n > 7 and w().endswith("ateur"):
+        n -= 3
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return _fr_norm(s[:n])
+    if n > 6 and w().endswith("trice"):
+        n -= 1
+        s[n - 3] = "e"
+        s[n - 2] = "u"
+        s[n - 1] = "r"
+    if n > 5 and w().endswith("ième"):
+        return _fr_norm(s[: n - 4])
+    if n > 7 and w().endswith("teuse"):
+        n -= 2
+        s[n - 1] = "r"
+        return _fr_norm(s[:n])
+    if n > 6 and w().endswith("teur"):
+        n -= 1
+        s[n - 1] = "r"
+        return _fr_norm(s[:n])
+    if n > 5 and w().endswith("euse"):
+        return _fr_norm(s[: n - 2])
+    if n > 8 and w().endswith("ère"):
+        n -= 1
+        s[n - 2] = "e"
+        return _fr_norm(s[:n])
+    if n > 7 and w().endswith("ive"):
+        n -= 1
+        s[n - 1] = "f"
+        return _fr_norm(s[:n])
+    if n > 4 and (w().endswith("folle") or w().endswith("molle")):
+        n -= 2
+        s[n - 1] = "u"
+        return _fr_norm(s[:n])
+    if n > 9 and w().endswith("nnelle"):
+        return _fr_norm(s[: n - 5])
+    if n > 9 and w().endswith("nnel"):
+        return _fr_norm(s[: n - 3])
+    if n > 4 and w().endswith("ète"):
+        n -= 1
+        s[n - 2] = "e"
+    if n > 8 and w().endswith("ique"):
+        n -= 4
+    if n > 8 and w().endswith("esse"):
+        return _fr_norm(s[: n - 3])
+    if n > 7 and w().endswith("inage"):
+        return _fr_norm(s[: n - 3])
+    if n > 9 and w().endswith("isation"):
+        n -= 7
+        if n > 5 and w().endswith("ual"):
+            s[n - 2] = "e"
+        return _fr_norm(s[:n])
+    if n > 9 and w().endswith("isateur"):
+        return _fr_norm(s[: n - 7])
+    if n > 8 and w().endswith("ation"):
+        return _fr_norm(s[: n - 5])
+    if n > 8 and w().endswith("ition"):
+        return _fr_norm(s[: n - 5])
+    return _fr_norm(s[:n])
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -891,6 +1042,7 @@ FILTERS = {
     "portuguese_light": portuguese_light_stem,
     "finnish_light": finnish_light_stem,
     "hungarian_light": hungarian_light_stem,
+    "french_light": french_light_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,
