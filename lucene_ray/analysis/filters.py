@@ -893,6 +893,70 @@ def french_light_stem(word: str) -> str:
     return _fr_norm(s[:n])
 
 
+_ES_INVARIANT = set("""abrebotellas abrecartas abrelatas afueras albatros
+albricias aledaños alexis alicates analisis andurriales antitesis añicos
+apendicitis apocalipsis arcoiris aries bilis boletus boris brindis cactus
+canutas caries cascanueces cascarrabias ciempies cifosis cortaplumas corpus
+cosmos cosquillas creces crisis cuatrocientas cuatrocientos cuelgacapas
+cuentacuentos cuentapasos cumpleaños doscientas doscientos dosis enseres
+entonces esponsales estatus exequias fauces forceps fotosintesis gafas
+gafotas gargaras gris honorarios ictus jueves lapsus lavacoches lavaplatos
+limpiabotas lunes maitines martes mondadientes novecientas novecientos
+nupcias ochocientas ochocientos pais paris parabrisas paracaidas
+parachoques paraguas pararrayos pisapapeles piscis portaaviones
+portamaletas portamantas quinientas quinientos quitamanchas recogepelotas
+rictus rompeolas sacacorchos sacapuntas saltamontes salvavidas seis
+seiscientas seiscientos setecientas setecientos sintesis tenis tifus
+trabalenguas vacaciones venus versus viacrucis virus viveres
+volandas""".split())
+_ES_SPECIAL = set("yoes noes sies clubes faralaes albalaes itemes albumes "
+                  "sandwiches relojes bojes contrarreloj carcajes".split())
+_ES_PL_VOWEL = set("aeiou")
+
+
+def spanish_plural_stem(word: str) -> str:
+    """SpanishPluralStemFilter (`analysis/es/SpanishPluralStemmer.java`) —
+    exact port incl. the invariant/special word lists and the reference's
+    own operator-precedence quirk in the qu/gu branch."""
+    if len(word) < 4:
+        return word
+    s = [_ES_FOLD.get(c, c) for c in word]
+    w = "".join(s)
+    if w in _ES_INVARIANT:
+        return w
+    if w in _ES_SPECIAL:
+        return w[:-2]
+    n = len(s)
+    if s[n - 1] == "s":
+        V = _ES_PL_VOWEL
+        if s[n - 2] not in V:
+            return w[: n - 1]
+        if s[n - 4] == "q" or (s[n - 4] == "g" and s[n - 3] == "u"
+                               and s[n - 2] in ("i", "e")):
+            return w[: n - 1]
+        if s[n - 4] in V and s[n - 3] == "r" and s[n - 2] == "e":
+            return w[: n - 2]
+        if s[n - 4] in V and s[n - 3] in ("d", "l", "n", "x") \
+                and s[n - 2] == "e":
+            return w[: n - 2]
+        if s[n - 3] in ("y", "u") and s[n - 2] == "e":
+            return w[: n - 2]
+        if s[n - 4] in ("u", "l", "r", "t", "n") and s[n - 3] == "i" \
+                and s[n - 2] == "e":
+            return w[: n - 2]
+        if s[n - 3] == "s" and s[n - 2] == "e":
+            return w[: n - 2]
+        if s[n - 3] in V and s[n - 2] == "i":
+            return w[: n - 2] + "y"
+        if s[n - 3] == "d" and s[n - 2] == "i":
+            return w[: n - 2] + "y"
+        if s[n - 2] == "e" and s[n - 3] == "c":
+            return w[: n - 3] + "z"
+        if s[n - 2] in V:
+            return w[: n - 1]
+    return w
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -1043,6 +1107,7 @@ FILTERS = {
     "finnish_light": finnish_light_stem,
     "hungarian_light": hungarian_light_stem,
     "french_light": french_light_stem,
+    "spanish_plural": spanish_plural_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,

@@ -389,12 +389,13 @@ def test_german_light_golden_sample():
     ("hungarian_light_pairs.txt", "hungarian_light_stem"),
     ("french_light_pairs.txt", "french_light_stem"),
     ("german_minimal_pairs.txt", "german_minimal_stem"),
+    ("spanish_plural_pairs.txt", "spanish_plural_stem"),
 ])
 def test_light_stemmers_golden_samples(fixture, fname):
     """Light/minimal language stemmers exact on deterministic samples of
     the reference's vocabulary zips (full sets verified offline with 0
     mismatches: fr 20,403 / es 28,377 / sv 30,623 / it 35,494 /
-    ru 49,673 / pt 32,016 / fi 50,000 / hu 30,000 / fr-light 20,403 / de-minimal 35,033)."""
+    ru 49,673 / pt 32,016 / fi 50,000 / hu 30,000 / fr-light 20,403 / de-minimal 35,033 / es-plural 28,754)."""
     import os
 
     import lucene_ray.analysis.filters as F
