@@ -1066,6 +1066,64 @@ def sorani_stem(word: str) -> str:
     return w
 
 
+_AR = dict(ALEF="ا", ALEF_MADDA="آ", ALEF_HAMZA_ABOVE="أ",
+           ALEF_HAMZA_BELOW="إ", YEH="ي", DOTLESS_YEH="ى",
+           TEH_MARBUTA="ة", HEH="ه", BEH="ب", TEH="ت",
+           FEH="ف", KAF="ك", LAM="ل", NOON="ن",
+           WAW="و")
+_AR_DELETE = {chr(c) for c in (0x0640, 0x064B, 0x064C, 0x064D, 0x064E,
+                               0x064F, 0x0650, 0x0651, 0x0652)}
+_AR_PREFIXES = tuple(
+    "".join(_AR[k] for k in ks)
+    for ks in (("ALEF", "LAM"), ("WAW", "ALEF", "LAM"), ("BEH", "ALEF", "LAM"),
+               ("KAF", "ALEF", "LAM"), ("FEH", "ALEF", "LAM"), ("LAM", "LAM"),
+               ("WAW",)))
+_AR_SUFFIXES = tuple(
+    "".join(_AR[k] for k in ks)
+    for ks in (("HEH", "ALEF"), ("ALEF", "NOON"), ("ALEF", "TEH"),
+               ("WAW", "NOON"), ("YEH", "NOON"), ("YEH", "HEH"),
+               ("YEH", "TEH_MARBUTA"), ("HEH",), ("TEH_MARBUTA",), ("YEH",)))
+
+
+def arabic_normalize(word: str) -> str:
+    """ArabicNormalizationFilter (`analysis/ar/ArabicNormalizer.java`) —
+    exact port: hamza-form alef unification, dotless yeh → yeh, teh marbuta
+    → heh, tatweel/harakat removal."""
+    out = []
+    for ch in word:
+        if ch in (_AR["ALEF_MADDA"], _AR["ALEF_HAMZA_ABOVE"],
+                  _AR["ALEF_HAMZA_BELOW"]):
+            out.append(_AR["ALEF"])
+        elif ch == _AR["DOTLESS_YEH"]:
+            out.append(_AR["YEH"])
+        elif ch == _AR["TEH_MARBUTA"]:
+            out.append(_AR["HEH"])
+        elif ch in _AR_DELETE:
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def arabic_stem(word: str) -> str:
+    """ArabicStemFilter (`analysis/ar/ArabicStemmer.java`, the Larkey
+    light-10 stemmer) — exact port: one definite-article/waw prefix strip
+    (length-guarded), then every matching suffix strips in list order."""
+    s = word
+    for p in _AR_PREFIXES:
+        if len(p) == 1 and len(s) < 4:
+            continue
+        if len(p) > 1 and len(s) < len(p) + 2:
+            continue
+        if s.startswith(p):
+            s = s[len(p):]
+            break
+    for suf in _AR_SUFFIXES:
+        if len(s) >= len(suf) + 2 and s.endswith(suf):
+            s = s[: len(s) - len(suf)]
+    return s
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -1219,6 +1277,8 @@ FILTERS = {
     "spanish_plural": spanish_plural_stem,
     "sorani_normalize": sorani_normalize,
     "sorani_stem": sorani_stem,
+    "arabic_normalize": arabic_normalize,
+    "arabic_stem": arabic_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,

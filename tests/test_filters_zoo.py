@@ -425,3 +425,21 @@ def test_sorani_golden_sample():
         assert sorani_stem(sorani_normalize(a)) == b, (a, b)
         n += 1
     assert n > 1500
+
+
+def test_arabic_normalize_and_stem():
+    """Arabic light-10 stemmer + normalizer: the reference's
+    TestArabicStemFilter / TestArabicNormalizationFilter case sets."""
+    from lucene_ray.analysis.filters import arabic_normalize, arabic_stem
+
+    for a, b in [("الحسن", "حسن"), ("والحسن", "حسن"), ("بالحسن", "حسن"),
+                 ("كالحسن", "حسن"), ("فالحسن", "حسن"), ("للاخر", "اخر"),
+                 ("وحسن", "حسن"), ("زوجها", "زوج"), ("ساهدان", "ساهد"),
+                 ("ساهدات", "ساهد"), ("ساهدون", "ساهد"), ("ساهدين", "ساهد"),
+                 ("ساهديه", "ساهد"), ("ساهدية", "ساهد"), ("ساهده", "ساهد"),
+                 ("ساهدة", "ساهد"), ("ساهدي", "ساهد"), ("وساهدون", "ساهد"),
+                 ("ساهدهات", "ساهد"), ("الو", "الو"), ("English", "English")]:
+        assert arabic_stem(a) == b, (a, b)
+    for a, b in [("الأول", "الاول"), ("إعاذة", "اعاذه"), ("آب", "اب"),
+                 ("مَنْ", "من"), ("مكتبة", "مكتبه")]:
+        assert arabic_normalize(a) == b, (a, b)
