@@ -1124,6 +1124,229 @@ def arabic_stem(word: str) -> str:
     return s
 
 
+
+def norwegian_light_stem(word: str, bokmaal: bool = True,
+                         nynorsk: bool = False) -> str:
+    """NorwegianLightStemFilter (`analysis/no/NorwegianLightStemmer.java`,
+    default BOKMAAL flags) — exact port: possessive -s then the single-pass
+    ending chain with per-dialect gating."""
+    s = word
+    n = len(s)
+    if n > 4 and s[n - 1] == "s":
+        n -= 1
+    w = s[:n]
+    if n > 7 and ((w.endswith(("heter", "heten")) and bokmaal)
+                  or (w.endswith("heita") and nynorsk)):
+        return w[: n - 5]
+    if n > 8 and nynorsk and w.endswith(("heiter", "leiken", "leikar")):
+        return w[: n - 6]
+    if n > 5 and (w.endswith("dom") or (w.endswith("het") and bokmaal)):
+        return w[: n - 3]
+    if n > 6 and nynorsk and w.endswith(("heit", "semd", "leik")):
+        return w[: n - 4]
+    if n > 7 and w.endswith(("elser", "elsen")):
+        return w[: n - 5]
+    if n > 6 and ((w.endswith("ende") and bokmaal)
+                  or (w.endswith("ande") and nynorsk)
+                  or w.endswith("else")
+                  or (w.endswith("este") and bokmaal)
+                  or (w.endswith("aste") and nynorsk)
+                  or (w.endswith("eren") and bokmaal)
+                  or (w.endswith("aren") and nynorsk)):
+        return w[: n - 4]
+    if n > 5 and ((w.endswith("ere") and bokmaal)
+                  or (w.endswith("are") and nynorsk)
+                  or (w.endswith("est") and bokmaal)
+                  or (w.endswith("ast") and nynorsk)
+                  or w.endswith("ene")
+                  or (w.endswith("ane") and nynorsk)):
+        return w[: n - 3]
+    if n > 4 and (w.endswith(("er", "en", "et", "te"))
+                  or (w.endswith("ar") and nynorsk)
+                  or (w.endswith("st") and bokmaal)):
+        return w[: n - 2]
+    if n > 3 and w[n - 1] in ("a", "e", "n"):
+        return w[: n - 1]
+    return w
+
+
+_CZ_3 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+         "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+         "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+_CZ_2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+         "mi", "ou")
+_CZ_1 = set("aeiouůyáéíýě")
+
+
+def czech_stem(word: str) -> str:
+    """CzechStemFilter (`analysis/cz/CzechStemmer.java`, Dolamic & Savoy's
+    light Czech stemmer) — exact port: case endings, possessive -ov/-in/-ův,
+    then palatalization normalization (čt→ck, št→sk, c/č→k, z/ž→h,
+    e-insertion removal, ů→o)."""
+    s = list(word)
+    n = len(s)
+    w = "".join(s)
+    if n > 7 and w.endswith("atech"):
+        n -= 5
+    elif n > 6 and w.endswith(("ětem", "etem", "atům")):
+        n -= 4
+    elif n > 5 and w.endswith(_CZ_3):
+        n -= 3
+    elif n > 4 and w.endswith(_CZ_2):
+        n -= 2
+    elif n > 3 and s[n - 1] in _CZ_1:
+        n -= 1
+    s = s[:n]
+    w = "".join(s)
+    if n > 5 and w.endswith(("ov", "in", "ův")):
+        s = s[: n - 2]
+    if not s:
+        return ""
+    n = len(s)
+    w = "".join(s)
+    if w.endswith("čt"):
+        s[n - 2] = "c"
+        s[n - 1] = "k"
+        return "".join(s)
+    if w.endswith("št"):
+        s[n - 2] = "s"
+        s[n - 1] = "k"
+        return "".join(s)
+    if s[n - 1] in ("c", "č"):
+        s[n - 1] = "k"
+        return "".join(s)
+    if s[n - 1] in ("z", "ž"):
+        s[n - 1] = "h"
+        return "".join(s)
+    if n > 1 and s[n - 2] == "e":
+        s[n - 2] = s[n - 1]
+        return "".join(s[: n - 1])
+    if n > 2 and s[n - 2] == "ů":
+        s[n - 2] = "o"
+        return "".join(s)
+    return "".join(s)
+
+
+def bulgarian_stem(word: str) -> str:
+    """BulgarianStemFilter (`analysis/bg/BulgarianStemmer.java`, the light
+    stemmer of Nakov et al. with the ен→н fix) — exact port."""
+    s = list(word)
+    n = len(s)
+    if n < 4:
+        return word
+    w = "".join(s)
+    if n > 5 and w.endswith("ища"):
+        return w[: n - 3]
+    # article
+    if n > 6 and w.endswith("ият"):
+        n -= 3
+    elif n > 5 and w.endswith(("ът", "то", "те", "та", "ия")):
+        n -= 2
+    elif n > 4 and w.endswith("ят"):
+        n -= 2
+    s = s[:n]
+    w = "".join(s)
+    # plural
+    if n > 6 and w.endswith("овци"):
+        s = s[: n - 3]
+    elif n > 6 and w.endswith("ове"):
+        s = s[: n - 3]
+    elif n > 6 and w.endswith("еве"):
+        s[n - 3] = "й"
+        s = s[: n - 2]
+    elif n > 5 and w.endswith("ища"):
+        s = s[: n - 3]
+    elif n > 5 and w.endswith("та"):
+        s = s[: n - 2]
+    elif n > 5 and w.endswith("ци"):
+        s[n - 2] = "к"
+        s = s[: n - 1]
+    elif n > 5 and w.endswith("зи"):
+        s[n - 2] = "г"
+        s = s[: n - 1]
+    elif n > 5 and s[n - 3] == "е" and s[n - 1] == "и":
+        s[n - 3] = "я"
+        s = s[: n - 1]
+    elif n > 4 and w.endswith("си"):
+        s[n - 2] = "х"
+        s = s[: n - 1]
+    elif n > 4 and w.endswith("и"):
+        s = s[: n - 1]
+    n = len(s)
+    if n > 3:
+        if s[n - 1] == "я":
+            s = s[: n - 1]
+            n -= 1
+        if n and s[n - 1] in ("а", "о", "е"):
+            s = s[: n - 1]
+            n -= 1
+    w = "".join(s)
+    if n > 4 and w.endswith("ен"):
+        s[n - 2] = "н"
+        s = s[: n - 1]
+        n -= 1
+    if n > 5 and s[n - 2] == "ъ":
+        s[n - 2] = s[n - 1]
+        s = s[: n - 1]
+    return "".join(s)
+
+
+_FA = dict(YEH="\u064a", FARSI_YEH="\u06cc", YEH_BARREE="\u06d2",
+           KEHEH="\u06a9", KAF="\u0643", HAMZA_ABOVE="\u0654",
+           HEH_YEH="\u06c0", HEH_GOAL="\u06c1", HEH="\u0647")
+
+
+def persian_normalize(word: str) -> str:
+    """PersianNormalizationFilter (`analysis/fa/PersianNormalizer.java`) —
+    exact port: farsi yeh / yeh barree → yeh, keheh → kaf, heh variants →
+    heh, hamza-above removal."""
+    F = {k: v.encode().decode("unicode_escape") if len(v) > 1 else v
+         for k, v in _FA.items()}
+    out = []
+    for ch in word:
+        if ch in (F["FARSI_YEH"], F["YEH_BARREE"]):
+            out.append(F["YEH"])
+        elif ch == F["KEHEH"]:
+            out.append(F["KAF"])
+        elif ch in (F["HEH_YEH"], F["HEH_GOAL"]):
+            out.append(F["HEH"])
+        elif ch == F["HAMZA_ABOVE"]:
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+_HI_5 = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
+_HI_4 = ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+         "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+         "ियों", "ियां")
+_HI_3 = ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+         "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+         "ुआं")
+_HI_2 = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती",
+         "ता", "ाँ", "ां", "ों", "ें")
+_HI_1 = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
+
+
+def hindi_stem(word: str) -> str:
+    """HindiStemFilter (`analysis/hi/HindiStemmer.java`, the lightweight
+    stemmer of Ramanathan & Rao) — exact port: longest-first suffix strip
+    with per-length minimums."""
+    n = len(word)
+    if n > 6 and word.endswith(_HI_5):
+        return word[: n - 5]
+    if n > 5 and word.endswith(_HI_4):
+        return word[: n - 4]
+    if n > 4 and word.endswith(_HI_3):
+        return word[: n - 3]
+    if n > 3 and word.endswith(_HI_2):
+        return word[: n - 2]
+    if n > 2 and word.endswith(_HI_1):
+        return word[: n - 1]
+    return word
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -1279,6 +1502,11 @@ FILTERS = {
     "sorani_stem": sorani_stem,
     "arabic_normalize": arabic_normalize,
     "arabic_stem": arabic_stem,
+    "norwegian_light": norwegian_light_stem,
+    "czech": czech_stem,
+    "bulgarian": bulgarian_stem,
+    "persian_normalize": persian_normalize,
+    "hindi": hindi_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,

@@ -443,3 +443,39 @@ def test_arabic_normalize_and_stem():
     for a, b in [("الأول", "الاول"), ("إعاذة", "اعاذه"), ("آب", "اب"),
                  ("مَنْ", "من"), ("مكتبة", "مكتبه")]:
         assert arabic_normalize(a) == b, (a, b)
+
+
+def test_norwegian_czech_bulgarian_hindi_persian():
+    """Remaining language stemmers/normalizers against the reference's
+    complete case sets (Norwegian nb/nn vocab files, Czech/Bulgarian/Hindi
+    analyzer cases, Persian normalizer cases)."""
+    import os
+
+    from lucene_ray.analysis.filters import (
+        bulgarian_stem,
+        czech_stem,
+        hindi_stem,
+        norwegian_light_stem,
+        persian_normalize,
+    )
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+
+    def pairs(fn):
+        for line in open(os.path.join(data, fn), encoding="utf-8"):
+            a, b = line.rstrip("\n").split("\t")
+            yield a, b
+
+    for a, b in pairs("norwegian_nb_light.txt"):
+        assert norwegian_light_stem(a) == b, (a, b)
+    for a, b in pairs("norwegian_nn_light.txt"):
+        assert norwegian_light_stem(a, bokmaal=False, nynorsk=True) == b, (a, b)
+    for a, b in pairs("czech_cases.txt"):
+        assert czech_stem(a) == b, (a, b)
+    for a, b in pairs("bulgarian_cases.txt"):
+        assert bulgarian_stem(a) == b, (a, b)
+    for a, b in pairs("hindi_cases.txt"):
+        assert hindi_stem(a) == b, (a, b)
+    for a, b in [("های", "هاي"), ("هاے", "هاي"), ("کشاندن", "كشاندن"),
+                 ("كتابۀ", "كتابه"), ("كتابهٔ", "كتابه"), ("زادہ", "زاده")]:
+        assert persian_normalize(a) == b, (a, b)
