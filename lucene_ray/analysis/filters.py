@@ -2099,3 +2099,49 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
     tok_counts = np.bincount(doc, minlength=n_docs).astype(np.int64)
     norm_lengths = np.bincount(doc[incr], minlength=n_docs).astype(np.int64)
     return pa.array(toks, type=pa.string()), tok_counts, pos, norm_lengths
+
+
+def english_possessive(word: str) -> str:
+    """EnglishPossessiveFilter (`analysis/en/EnglishPossessiveFilter.java`):
+    strip a trailing 's (ASCII, right single quote, or fullwidth
+    apostrophe variants)."""
+    if len(word) >= 2 and word[-1] in ("s", "S") \
+            and word[-2] in ("'", "\u2019", "\uff07"):
+        return word[:-2]
+    return word
+
+
+FILTERS["english_possessive"] = english_possessive
+
+# per-language analyzer presets — the filter half of the reference's
+# per-language Analyzers (`analysis/<lang>/<Lang>Analyzer.java`
+# createComponents chains, minus tokenizer+lowercase which the engine
+# always applies); pass to build_index(token_filters=analyzer_preset(lang))
+ANALYZER_PRESETS = {
+    "english": ("english_possessive", "stop:english", "porter"),
+    "german": ("german_normalize", "german_light"),
+    "french": ("elision:french", "french_light"),
+    "spanish": ("spanish_light",),
+    "italian": ("elision:l,m,t,qu,n,s,j,d,c", "italian_light"),
+    "portuguese": ("portuguese_light",),
+    "swedish": ("swedish_light",),
+    "norwegian": ("norwegian_light",),
+    "finnish": ("finnish_light",),
+    "hungarian": ("hungarian_light",),
+    "russian": ("russian_light",),
+    "czech": ("czech",),
+    "bulgarian": ("bulgarian",),
+    "arabic": ("arabic_normalize", "arabic_stem"),
+    "persian": ("arabic_normalize", "persian_normalize"),
+    "sorani": ("sorani_normalize", "sorani_stem"),
+    "hindi": ("hindi",),
+    "turkish": ("turkish_lower",),
+}
+
+
+def analyzer_preset(language: str) -> tuple:
+    try:
+        return ANALYZER_PRESETS[language]
+    except KeyError:
+        raise ValueError(f"no analyzer preset for {language!r}; "
+                         f"available: {sorted(ANALYZER_PRESETS)}") from None

@@ -479,3 +479,37 @@ def test_norwegian_czech_bulgarian_hindi_persian():
     for a, b in [("های", "هاي"), ("هاے", "هاي"), ("کشاندن", "كشاندن"),
                  ("كتابۀ", "كتابه"), ("كتابهٔ", "كتابه"), ("زادہ", "زاده")]:
         assert persian_normalize(a) == b, (a, b)
+
+
+def test_english_possessive_and_presets():
+    from lucene_ray.analysis.filters import (
+        ANALYZER_PRESETS,
+        analyzer_preset,
+        english_possessive,
+        is_one2one,
+        resolve_one2one,
+    )
+
+    assert english_possessive("dog's") == "dog"
+    assert english_possessive("dog’s") == "dog"
+    assert english_possessive("its") == "its"
+    assert english_possessive("'s") == ""        # reference strips to empty
+    assert english_possessive("s") == "s"
+    # every preset spec resolves (1:1 or a known graph stage)
+    graph_ok = {"stop:english"}
+    for lang, chain in ANALYZER_PRESETS.items():
+        for spec in chain:
+            assert is_one2one(spec) or spec in graph_ok \
+                or spec.startswith("stop:"), (lang, spec)
+    with pytest.raises(ValueError):
+        analyzer_preset("klingon")
+
+
+def test_preset_end_to_end_chain():
+    flat, counts, pos, norms = _chain(
+        ["the dog's bones"],
+        __import__("lucene_ray.analysis.filters",
+                   fromlist=["analyzer_preset"]).analyzer_preset("english"))
+    toks = np.asarray(flat, dtype=object).tolist()
+    assert toks == ["dog", "bone"]
+    assert pos.tolist() == [1, 2]                # stop gap at position 0
