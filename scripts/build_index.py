@@ -32,6 +32,10 @@ def main():
                     help="comma-separated numeric/timestamp doc-values columns (RangeQuery/sort)")
     ap.add_argument("--vector-col", default="",
                     help="list<float> column to index as per-shard vectors + HNSW")
+    ap.add_argument("--analyzer", default="",
+                    help="per-language analyzer preset (english, german, "
+                         "french, ... — see ANALYZER_PRESETS); extra "
+                         "--token-filters append after it")
     ap.add_argument("--token-filters", default="",
                     help="comma-separated analyzer filters applied index+query side (ascii_fold,porter)")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -56,6 +60,10 @@ def main():
     # (stop:a,b / dict_compound:w1,w2 / syn:a=b;c=d ...); else commas
     tf_sep = None if " " in args.token_filters.strip() else ","
     tf = tuple(c for c in args.token_filters.split(tf_sep) if c)
+    if args.analyzer:
+        from lucene_ray.analysis.filters import analyzer_preset
+
+        tf = analyzer_preset(args.analyzer) + tf
     if args.append:
         commit = append_index(ds, args.index, target_docs_per_partition=args.target_docs,
                               keyword_cols=kw or None, docvalue_cols=dv or None,
