@@ -1347,6 +1347,116 @@ def hindi_stem(word: str) -> str:
     return word
 
 
+
+def indonesian_stem(word: str, stem_derivational: bool = True) -> str:
+    """IndonesianStemFilter (`analysis/id/IndonesianStemmer.java`, the
+    Asian/Tala stemmer) — exact port: particle and possessive-pronoun
+    strips, then the first-order prefix / suffix / second-order prefix
+    interplay with the REMOVED_* flag constraints and syllable budget."""
+    s = list(word)
+    state = {"syll": sum(1 for c in s if c in "aeiou"), "flags": set()}
+
+    def w():
+        return "".join(s)
+
+    def remove_particle():
+        if w().endswith(("kah", "lah", "pun")):
+            state["syll"] -= 1
+            del s[-3:]
+
+    def remove_possessive():
+        if w().endswith(("ku", "mu")):
+            state["syll"] -= 1
+            del s[-2:]
+        elif w().endswith("nya"):
+            state["syll"] -= 1
+            del s[-3:]
+
+    def first_order_prefix():
+        t = w()
+        F = state["flags"]
+        if t.startswith("meng"):
+            F.add("MENG"); state["syll"] -= 1; del s[:4]; return True
+        if t.startswith("meny") and len(s) > 4 and s[4] in "aeiou":
+            F.add("MENG"); s[3] = "s"; state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("men"):
+            F.add("MENG"); state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("mem"):
+            F.add("MENG"); state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("me"):
+            F.add("MENG"); state["syll"] -= 1; del s[:2]; return True
+        if t.startswith("peng"):
+            F.add("PENG"); state["syll"] -= 1; del s[:4]; return True
+        if t.startswith("peny") and len(s) > 4 and s[4] in "aeiou":
+            F.add("PENG"); s[3] = "s"; state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("peny"):
+            F.add("PENG"); state["syll"] -= 1; del s[:4]; return True
+        if t.startswith("pen") and len(s) > 3 and s[3] in "aeiou":
+            F.add("PENG"); s[2] = "t"; state["syll"] -= 1; del s[:2]; return True
+        if t.startswith("pen"):
+            F.add("PENG"); state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("pem"):
+            F.add("PENG"); state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("di"):
+            F.add("DI"); state["syll"] -= 1; del s[:2]; return True
+        if t.startswith("ter"):
+            F.add("TER"); state["syll"] -= 1; del s[:3]; return True
+        if t.startswith("ke"):
+            F.add("KE"); state["syll"] -= 1; del s[:2]; return True
+        return False
+
+    def second_order_prefix():
+        t = w()
+        F = state["flags"]
+        if t.startswith("ber"):
+            F.add("BER"); state["syll"] -= 1; del s[:3]; return
+        if len(s) == 7 and t.startswith("belajar"):
+            F.add("BER"); state["syll"] -= 1; del s[:3]; return
+        if t.startswith("be") and len(s) > 4 and s[2] not in "aeiou" \
+                and s[3] == "e" and s[4] == "r":
+            F.add("BER"); state["syll"] -= 1; del s[:2]; return
+        if t.startswith("per"):
+            state["syll"] -= 1; del s[:3]; return
+        if len(s) == 7 and t.startswith("pelajar"):
+            state["syll"] -= 1; del s[:3]; return
+        if t.startswith("pe"):
+            F.add("PE"); state["syll"] -= 1; del s[:2]; return
+
+    def suffix():
+        t = w()
+        F = state["flags"]
+        if t.endswith("kan") and "KE" not in F and "PENG" not in F \
+                and "PE" not in F:
+            state["syll"] -= 1; del s[-3:]; return
+        if t.endswith("an") and "DI" not in F and "MENG" not in F \
+                and "TER" not in F:
+            state["syll"] -= 1; del s[-2:]; return
+        if t.endswith("i") and not t.endswith("si") and "BER" not in F \
+                and "KE" not in F and "PENG" not in F:
+            state["syll"] -= 1; del s[-1:]; return
+
+    if state["syll"] > 2:
+        remove_particle()
+    if state["syll"] > 2:
+        remove_possessive()
+    if stem_derivational:
+        fired = False
+        if state["syll"] > 2:
+            fired = first_order_prefix()
+        if fired:
+            before = len(s)
+            if state["syll"] > 2:
+                suffix()
+            if len(s) != before and state["syll"] > 2:
+                second_order_prefix()
+        else:
+            if state["syll"] > 2:
+                second_order_prefix()
+            if state["syll"] > 2:
+                suffix()
+    return "".join(s)
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -1507,6 +1617,7 @@ FILTERS = {
     "bulgarian": bulgarian_stem,
     "persian_normalize": persian_normalize,
     "hindi": hindi_stem,
+    "indonesian": indonesian_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,

@@ -513,3 +513,19 @@ def test_preset_end_to_end_chain():
     toks = np.asarray(flat, dtype=object).tolist()
     assert toks == ["dog", "bone"]
     assert pos.tolist() == [1, 2]                # stop gap at position 0
+
+
+def test_indonesian_stemmer_cases():
+    """Indonesian stemmer against the reference's full checkOneTerm set."""
+    import os
+
+    from lucene_ray.analysis.filters import indonesian_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "indonesian_cases.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert indonesian_stem(a) == b, (a, b)
+        n += 1
+    assert n > 50
