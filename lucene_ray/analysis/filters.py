@@ -1457,6 +1457,66 @@ def indonesian_stem(word: str, stem_derivational: bool = True) -> str:
     return "".join(s)
 
 
+
+_LV_AFFIXES = (("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+               ("aj\u0101m", 2, False), ("ajos", 2, False),
+               ("aj\u0101s", 2, False), ("iem", 2, True),
+               ("aj\u0101", 2, False), ("ais", 2, False), ("ai", 2, False),
+               ("ei", 2, False), ("\u0101m", 1, False), ("am", 1, False),
+               ("\u0113m", 1, False), ("\u012bm", 1, False),
+               ("im", 1, False), ("um", 1, False), ("us", 1, True),
+               ("as", 1, False), ("\u0101s", 1, False), ("es", 1, False),
+               ("os", 1, True), ("ij", 1, False), ("\u012bs", 1, False),
+               ("\u0113s", 1, False), ("is", 1, False), ("ie", 1, False),
+               ("u", 1, True), ("a", 1, True), ("i", 1, True),
+               ("e", 1, False), ("\u0101", 1, False), ("\u0113", 1, False),
+               ("\u012b", 1, False), ("\u016b", 1, False), ("o", 1, False),
+               ("s", 0, False), ("\u0161", 0, False))
+_LV_VOWELS = set("aeiou\u0101\u012b\u0113\u016b")
+
+
+def latvian_stem(word: str) -> str:
+    """LatvianStemFilter (`analysis/lv/LatvianStemmer.java`, light stemmer
+    on the Rijkhoff/Karlsson model) — exact port: vowel-budgeted affix
+    table with unpalatalization rules (kš→kst / ņņ→nn after -u, labial-j,
+    šņ/žņ/šļ/žļ/ļņ/ļļ rewrites, č/ļ/ņ fold)."""
+    s = list(word)
+    n_vowels = sum(1 for c in s if c in _LV_VOWELS)
+    for affix, vc, pal in _LV_AFFIXES:
+        if n_vowels > vc and len(s) >= len(affix) + 3 \
+                and "".join(s).endswith(affix):
+            rest = s[: len(s) - len(affix)]
+            if not pal:
+                return "".join(rest)
+            removed = s[len(rest)]           # first removed char
+            return _lv_unpalatalize(rest, removed)
+    return "".join(s)
+
+
+def _lv_unpalatalize(s: list[str], removed: str) -> str:
+    w = "".join(s)
+    n = len(s)
+    if removed == "u":
+        if w.endswith("k\u0161"):
+            return w[: n - 2] + "kst"
+        if w.endswith("\u0146\u0146"):
+            return w[: n - 2] + "nn"
+    if w.endswith(("pj", "bj", "mj", "vj")):
+        return w[: n - 1]
+    for suf, rep in (("\u0161\u0146", "sn"), ("\u017e\u0146", "zn"),
+                     ("\u0161\u013c", "sl"), ("\u017e\u013c", "zl"),
+                     ("\u013c\u0146", "ln"), ("\u013c\u013c", "ll")):
+        if w.endswith(suf):
+            return w[: n - 2] + rep
+    if w and w[-1] == "\u010d":
+        return w[: n - 1] + "c"
+    if w and w[-1] == "\u013c":
+        return w[: n - 1] + "l"
+    if w and w[-1] == "\u0146":
+        return w[: n - 1] + "n"
+    return w
+
+
 def german_normalize(word: str) -> str:
     """GermanNormalizationFilter (`analysis/de/GermanNormalizationFilter.java`)
     — exact port of its U/V/N state machine: ä/ö/ü fold, ß→ss, and 'e'
@@ -1618,6 +1678,7 @@ FILTERS = {
     "persian_normalize": persian_normalize,
     "hindi": hindi_stem,
     "indonesian": indonesian_stem,
+    "latvian": latvian_stem,
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,

@@ -529,3 +529,19 @@ def test_indonesian_stemmer_cases():
         assert indonesian_stem(a) == b, (a, b)
         n += 1
     assert n > 50
+
+
+def test_latvian_stemmer_cases():
+    """Latvian stemmer against the reference's complete checkOneTerm set."""
+    import os
+
+    from lucene_ray.analysis.filters import latvian_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "latvian_cases.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert latvian_stem(a) == b, (a, b)
+        n += 1
+    assert n > 100
