@@ -191,6 +191,19 @@ def _build(e: ET.Element, inherited_field: str | None, default_field: str):
         if not toks:
             return MatchNoDocsQuery("no terms after analysis")
         return _boost(e, SynonymQuery(tuple(dict.fromkeys(toks)), field=fld))
+    if tag == "SpanOr":
+        # general span-or (`builders/SpanOrBuilder.java`): SpanTerm children
+        # union like SynonymQuery; SpanNear children become a SHOULD union
+        # of their rewrites (constant-score-compatible disjunction)
+        kids = [_build(c, fld if e.get("fieldName") else inherited_field,
+                       default_field) for c in _children(e)]
+        if not kids:
+            raise XmlParseError("SpanOr requires children")
+        if all(isinstance(k, TermQuery) for k in kids):
+            return _boost(e, SynonymQuery(
+                tuple(dict.fromkeys(k.term for k in kids)), field=fld))
+        return _boost(e, BooleanQuery(tuple(
+            BooleanClause(k, SHOULD) for k in kids)))
     if tag == "SpanNot":
         # reference SpanNot has Include/Exclude wrapper children
         inc = e.find("Include")

@@ -267,3 +267,17 @@ def test_span_not(xml_idx):
                 want += 1
         got = s.count(SpanNotQuery("merge", "join", pre=pre, post=post))
         assert got == want, (pre, post)
+
+
+def test_span_or_general(xml_idx):
+    from lucene_ray.search.query import SynonymQuery
+
+    q = parse_xml("<SpanOr><SpanTerm>merge</SpanTerm>"
+                  "<SpanTerm>scan</SpanTerm></SpanOr>")
+    assert q == SynonymQuery(("merge", "scan"))
+    s = xml_idx
+    mixed = parse_xml("<SpanOr><SpanTerm>scan</SpanTerm>"
+                      "<SpanNear><SpanTerm>merge</SpanTerm>"
+                      "<SpanTerm>join</SpanTerm></SpanNear></SpanOr>")
+    # docs matching 'scan' (doc 3) OR exact "merge join" (doc 4)
+    assert s.count(mixed) == 2
