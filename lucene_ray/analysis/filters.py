@@ -1679,6 +1679,20 @@ FILTERS = {
     "hindi": hindi_stem,
     "indonesian": indonesian_stem,
     "latvian": latvian_stem,
+}
+
+
+def _rslp(name):
+    def f(word: str) -> str:
+        from . import rslp
+
+        return getattr(rslp, name)(word)
+    return f
+
+
+FILTERS.update({
+    "portuguese_rslp": _rslp("portuguese_rslp_stem"),
+    "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,
@@ -1688,7 +1702,7 @@ FILTERS = {
     "decimal_digit": decimal_digit_fold,
     "cjk_width": cjk_width,
     "turkish_lower": turkish_lower,
-}
+})
 
 
 def _porter2(word: str) -> str:
