@@ -1692,6 +1692,7 @@ def _rslp(name):
 
 FILTERS.update({
     "portuguese_rslp": _rslp("portuguese_rslp_stem"),
+    "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,

@@ -74,6 +74,12 @@ def portuguese_rslp_stem(word: str) -> str:
     return "".join(_PT_ACCENTS.get(c, c) for c in w)
 
 
+def portuguese_minimal_stem(word: str) -> str:
+    """PortugueseMinimalStemFilter (`analysis/pt/PortugueseMinimalStemmer.java`)
+    — the RSLP plural step alone."""
+    return _PT["Plural"].apply(word)
+
+
 def galician_stem(word: str) -> str:
     """GalicianStemFilter (`analysis/gl/GalicianStemmer.java`, RSLG)."""
     w = word

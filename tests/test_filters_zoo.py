@@ -567,3 +567,20 @@ def test_rslp_golden_samples(fixture, fname):
         assert f(a) == b, (fixture, a, b, f(a))
         n += 1
     assert n > 1500
+
+
+def test_portuguese_minimal_golden_sample():
+    """PortugueseMinimal = the RSLP plural step; exact on a sample of the
+    32,016-pair ptminimal vocabulary (full set verified offline)."""
+    import os
+
+    from lucene_ray.analysis.rslp import portuguese_minimal_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "portuguese_minimal_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert portuguese_minimal_stem(a) == b, (a, b)
+        n += 1
+    assert n > 1500
