@@ -1692,6 +1692,12 @@ def _rslp(name):
 
 FILTERS.update({
     "portuguese_rslp": _rslp("portuguese_rslp_stem"),
+    "greek_lowercase": lambda w: __import__(
+        "lucene_ray.analysis.greek", fromlist=["greek_lowercase"]
+    ).greek_lowercase(w),
+    "greek": lambda w: __import__(
+        "lucene_ray.analysis.greek", fromlist=["greek_stem"]
+    ).greek_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,

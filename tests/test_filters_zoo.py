@@ -584,3 +584,19 @@ def test_portuguese_minimal_golden_sample():
         assert portuguese_minimal_stem(a) == b, (a, b)
         n += 1
     assert n > 1500
+
+
+def test_greek_stemmer_full_case_set():
+    """Greek lowercase+stem against the reference's complete 343-case
+    TestGreekStemmer set."""
+    import os
+
+    from lucene_ray.analysis.greek import greek_lowercase, greek_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data", "greek_cases.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert greek_stem(greek_lowercase(a)) == b, (a, b)
+        n += 1
+    assert n == 343
