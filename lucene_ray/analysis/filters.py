@@ -2329,6 +2329,9 @@ ANALYZER_PRESETS = {
     "sorani": ("sorani_normalize", "sorani_stem"),
     "hindi": ("hindi",),
     "turkish": ("turkish_lower",),
+    "greek": ("greek_lowercase", "greek"),
+    "latvian": ("latvian",),
+    "indonesian": ("indonesian",),
 }
 
 
