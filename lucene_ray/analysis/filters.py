@@ -1698,6 +1698,15 @@ FILTERS.update({
     "greek": lambda w: __import__(
         "lucene_ray.analysis.greek", fromlist=["greek_stem"]
     ).greek_stem(w),
+    "danish_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_scandinavian",
+        fromlist=["danish_snowball_stem"]).danish_snowball_stem(w),
+    "swedish_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_scandinavian",
+        fromlist=["swedish_snowball_stem"]).swedish_snowball_stem(w),
+    "norwegian_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_scandinavian",
+        fromlist=["norwegian_snowball_stem"]).norwegian_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
@@ -2329,6 +2338,7 @@ ANALYZER_PRESETS = {
     "sorani": ("sorani_normalize", "sorani_stem"),
     "hindi": ("hindi",),
     "turkish": ("turkish_lower",),
+    "danish": ("danish_snowball",),
     "greek": ("greek_lowercase", "greek"),
     "latvian": ("latvian",),
     "indonesian": ("indonesian",),
