@@ -1707,6 +1707,9 @@ FILTERS.update({
     "norwegian_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_scandinavian",
         fromlist=["norwegian_snowball_stem"]).norwegian_snowball_stem(w),
+    "dutch_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_dutch",
+        fromlist=["dutch_snowball_stem"]).dutch_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
@@ -2339,6 +2342,7 @@ ANALYZER_PRESETS = {
     "hindi": ("hindi",),
     "turkish": ("turkish_lower",),
     "danish": ("danish_snowball",),
+    "dutch": ("dutch_snowball",),
     "greek": ("greek_lowercase", "greek"),
     "latvian": ("latvian",),
     "indonesian": ("indonesian",),

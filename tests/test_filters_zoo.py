@@ -622,3 +622,20 @@ def test_scandinavian_snowball_golden(fixture, fname):
         assert f(a) == b, (fixture, a, b, f(a))
         n += 1
     assert n == 1000
+
+
+def test_dutch_snowball_golden():
+    """Snowball Dutch exact on a 1,000-pair sample (full 2,000-pair
+    vocabulary verified offline, 0 mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_dutch import dutch_snowball_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_dutch_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert dutch_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 1000
