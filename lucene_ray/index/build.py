@@ -430,7 +430,7 @@ def merge_term_stats(index_dir: str, commit: dict, n_salts: int = 16) -> str:
 
     from ..util.hashing import fnv1a64
 
-    paths = [os.path.join(index_dir, "shards", f"shard-{m['pid']:05d}", "terms.parquet")
+    paths = [os.path.join(mf.shard_dirpath(index_dir, m), "terms.parquet")
              for m in commit["shards"]]
     out_dir = os.path.join(index_dir, "term_stats")
 
@@ -609,10 +609,11 @@ def append_index(ds, index_dir: str, *, input_desc: str,
 
         from .deletes import delete_by_keys
 
-        new_pids = sorted(m["pid"] for m in commit["shards"] if m["pid"] >= pid_offset)
+        new_shards = sorted((m for m in commit["shards"] if m["pid"] >= pid_offset),
+                            key=lambda m: m["pid"])
         keys = pa.concat_tables([
-            pq.read_table(os.path.join(shards_dir, f"shard-{p:05d}", "docmap.parquet"))
-            for p in new_pids])
+            pq.read_table(os.path.join(mf.shard_dirpath(index_dir, m), "docmap.parquet"))
+            for m in new_shards])
         commit = delete_by_keys(index_dir, keys, key_cols=key_cols,
                                 only_pids={m["pid"] for m in prev["shards"]})
     if merge_stats:

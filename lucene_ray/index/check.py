@@ -23,7 +23,7 @@ import os
 import numpy as np
 
 from ..search.similarity import BM25Similarity
-from .manifest import latest_commit
+from .manifest import latest_commit, shard_dirpath
 from .postings import BLOCK_SIZE
 from .shard import ShardReader
 
@@ -45,7 +45,7 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
         base += m["doc_count"]
         for k in agg:
             agg[k] += m[k]
-        rdr = ShardReader(os.path.join(index_dir, "shards", f"shard-{m['pid']:05d}"))
+        rdr = ShardReader(shard_dirpath(index_dir, m))
         if len(rdr.norms) != rdr.doc_count:
             errors.append(f"shard {m['pid']}: norms length mismatch")
         if m.get("del_file"):

@@ -22,7 +22,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from .manifest import commit_index, latest_commit
+from .manifest import commit_index, latest_commit, shard_dirpath
 
 
 def delete_by_keys(index_dir: str, keys: pa.Table, *,
@@ -70,7 +70,7 @@ def delete_by_keys(index_dir: str, keys: pa.Table, *,
         if only_pids is not None and m["pid"] not in only_pids:
             futs.append(None)
             continue
-        shard_dir = os.path.join(index_dir, "shards", f"shard-{m['pid']:05d}")
+        shard_dir = shard_dirpath(index_dir, m)
         futs.append(mark.remote(shard_dir, m["pid"], m["doc_count"],
                                 m.get("del_file"), gen))
     new_shards = []

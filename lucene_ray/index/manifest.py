@@ -26,6 +26,19 @@ def fingerprint(payload: dict) -> str:
     return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def shard_dirname(m: dict) -> str:
+    """Directory name for a shard manifest entry.  Flush-built shards live at
+    ``shard-{pid:05d}``; merge-built shards carry an explicit ``dir`` (the
+    merged segment keeps its group's first pid — which preserves the global
+    doc order under the pid-sorted doc_base prefix sum — but needs a fresh
+    directory because shard dirs are immutable)."""
+    return m.get("dir") or f"shard-{m['pid']:05d}"
+
+
+def shard_dirpath(index_dir: str, m: dict) -> str:
+    return os.path.join(index_dir, "shards", shard_dirname(m))
+
+
 def commit_index(index_dir: str, shard_manifests: list[dict], meta: dict) -> dict:
     """Write the next segments_{gen}.json atomically; returns the commit."""
     shard_manifests = sorted(shard_manifests, key=lambda m: m["pid"])
@@ -140,7 +153,7 @@ def prune_commits(index_dir: str, keep_last: int = 1,
             os.remove(os.path.join(index_dir,
                                    f"segments_{c['generation']}.json"))
             removed_commits.append(c["generation"])
-    referenced = {f"shard-{m['pid']:05d}" for c in kept for m in c["shards"]}
+    referenced = {shard_dirname(m) for c in kept for m in c["shards"]}
     removed_shards = []
     import shutil
 

@@ -32,7 +32,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from .manifest import latest_commit
+from .manifest import latest_commit, shard_dirpath
 from .shard import ShardReader
 
 
@@ -46,7 +46,7 @@ def merge_postings(index_dir: str, commit: dict | None = None, *,
     commit = commit or latest_commit(index_dir)
     out_dir = out_dir or os.path.join(index_dir, "merged_postings")
 
-    shard_rows = [{"shard_dir": os.path.join(index_dir, "shards", f"shard-{m['pid']:05d}"),
+    shard_rows = [{"shard_dir": shard_dirpath(index_dir, m),
                    "doc_base": int(m["doc_base"])}
                   for m in commit["shards"]]
 
@@ -132,3 +132,264 @@ class MergedPostingsReader:
         docs = np.asarray(t.column("docs")[0].as_py(), dtype=np.int64)
         freqs = np.asarray(t.column("freqs")[0].as_py(), dtype=np.int32)
         return docs, freqs
+
+
+# ---------------------------------------------------------------------------
+# Segment-level merge: IndexWriter.forceMerge / SegmentMerger re-expression
+# ---------------------------------------------------------------------------
+
+def _merge_group(index_dir: str, members: list[dict], pid: int,
+                 dirname: str, fp: str, key_cols: list[str]) -> dict:
+    """Rewrite one contiguous group of shards into a single new shard.
+
+    The reference merge (`index/SegmentMerger.java:104-145`; ``mergeTerms``
+    at :196 k-way-merges sorted term streams, `index/DocIDMerger.java`
+    remaps docIDs, and under an index sort `index/SortingCodecReader.java`
+    re-sorts the merged docs by the sort key).  Here the whole group is one
+    Ray task — decode every member's postings, drop deleted docs (merge
+    expunges deletes: `index/IndexWriter.java` forceMergeDeletes contract),
+    remap + re-sort by ``key_cols`` (the index sort), and hand the merged
+    inversion arrays to the same ``_persist_shard`` codec-write path a
+    flush uses.  No driver-side data: members stream from shard files on
+    whatever node the task lands on.
+    """
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from .shard import (
+        HNSW_FILE,
+        KEYWORD_SEP,
+        VECTORS_FILE,
+        VECTORS_Q_FILE,
+        _persist_shard,
+        read_manifest,
+    )
+
+    out_dir = os.path.join(index_dir, "shards")
+    final_dir = os.path.join(out_dir, dirname)
+    if os.path.exists(final_dir):
+        m = read_manifest(final_dir)
+        if m and m.get("status") == "committed" and m.get("fingerprint") == fp:
+            return m                       # resume: identical merge already done
+        shutil.rmtree(final_dir)
+    tmp_dir = final_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+
+    has_pos = all(m.get("has_positions") for m in members)
+    want_vecs = all(int(m.get("vector_dim") or 0) > 0 for m in members)
+    quantized = want_vecs and all(m.get("vector_scale") is not None for m in members)
+    want_graph = False
+    want_tv = all(m.get("term_vectors") for m in members)
+
+    terms_parts, inv_sizes = [], []
+    dfs_parts, docs_parts, freqs_parts, pos_parts = [], [], [], []
+    norms_parts, dm_parts, vec_parts = [], [], []
+    base = 0
+    for m in sorted(members, key=lambda x: x["pid"]):
+        rdr = ShardReader(shard_dirpath(index_dir, m))
+        rdr.set_deletes(m.get("del_file"))
+        deleted = rdr.deleted if (rdr.deleted is not None and rdr.deleted.any()) else None
+        keep_doc = None
+        if deleted is not None:
+            keep_doc = ~deleted
+            old2new = np.cumsum(keep_doc) - 1        # survivor rank
+        n_live = int(keep_doc.sum()) if keep_doc is not None else rdr.doc_count
+
+        t_docs, t_freqs, t_pos, t_dfs, used = [], [], [], [], []
+        for tid in range(rdr.n_terms):
+            docs, freqs = rdr.postings(tid)
+            pos = rdr.positions(tid, freqs) if has_pos else None
+            if deleted is not None:
+                keepp = keep_doc[docs]
+                if not keepp.all():
+                    if pos is not None:
+                        pos = pos[np.repeat(keepp, freqs)]
+                    docs, freqs = docs[keepp], freqs[keepp]
+                    if not len(docs):
+                        continue           # term fully expunged
+                docs = old2new[docs]
+            used.append(tid)
+            t_dfs.append(len(docs))
+            t_docs.append(docs.astype(np.int64) + base)
+            t_freqs.append(freqs)
+            if pos is not None:
+                t_pos.append(pos)
+        terms_parts.append(rdr._term_np[used])
+        inv_sizes.append(len(used))
+        dfs_parts.append(np.asarray(t_dfs, dtype=np.int64))
+        docs_parts.append(np.concatenate(t_docs) if t_docs else np.zeros(0, np.int64))
+        freqs_parts.append(np.concatenate(t_freqs) if t_freqs else np.zeros(0, np.int32))
+        if has_pos:
+            pos_parts.append(np.concatenate(t_pos) if t_pos else np.zeros(0, np.int32))
+
+        nb = np.asarray(rdr.norms)
+        norms_parts.append(nb[keep_doc] if keep_doc is not None else nb)
+        dm = rdr.docmap()
+        dm_parts.append(dm.filter(pa.array(keep_doc)) if keep_doc is not None else dm)
+        if want_vecs:
+            vm = np.asarray(rdr.vectors(), dtype=np.float32)
+            vec_parts.append(vm[keep_doc] if keep_doc is not None else vm)
+            want_graph = want_graph or rdr.hnsw() is not None
+        base += n_live
+
+    n_docs = base
+    if n_docs >= 2**31 - 128:
+        raise ValueError("merged segment exceeds int32 local docID space; "
+                         "raise max_segments")
+
+    # ---- index sort: re-sort merged docs by key_cols (SortingCodecReader) ----
+    merged_dm = pa.concat_tables(dm_parts).combine_chunks() if dm_parts else None
+    sort_keys = [merged_dm.column(c) for c in key_cols]
+    perm = np.lexsort(tuple(k.to_numpy(zero_copy_only=False)
+                            for k in reversed(sort_keys)))
+    sort_map = np.empty(n_docs, dtype=np.int64)
+    sort_map[perm] = np.arange(n_docs)
+    merged_dm = merged_dm.take(pa.array(perm))
+    norms = np.concatenate(norms_parts)[perm] if norms_parts else np.zeros(0, np.uint8)
+
+    # ---- merge term dictionaries + flat posting arrays ----
+    all_terms = np.concatenate(terms_parts)
+    merged_terms, inv = np.unique(all_terms, return_inverse=True)
+    inv_bounds = np.concatenate(([0], np.cumsum(inv_sizes)))
+    tid_pp = np.concatenate([
+        np.repeat(inv[inv_bounds[i]:inv_bounds[i + 1]], dfs_parts[i])
+        for i in range(len(members))]) if len(all_terms) else np.zeros(0, np.int64)
+    docs_flat = sort_map[np.concatenate(docs_parts)] if len(tid_pp) else np.zeros(0, np.int64)
+    freqs_flat = np.concatenate(freqs_parts) if len(tid_pp) else np.zeros(0, np.int32)
+    order = np.lexsort((docs_flat, tid_pp))
+    doc_of = docs_flat[order].astype(np.int32)
+    freq = freqs_flat[order].astype(np.int32)
+    term_starts = np.concatenate(([0], np.cumsum(
+        np.bincount(tid_pp, minlength=len(merged_terms))))).astype(np.int64)
+
+    if has_pos and len(tid_pp):
+        pos_flat = np.concatenate(pos_parts)
+        pb = np.concatenate(([0], np.cumsum(freqs_flat.astype(np.int64))))
+        lens = freqs_flat[order].astype(np.int64)
+        out_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gather = np.repeat(pb[:-1][order], lens) + (
+            np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(out_starts, lens))
+        positions = pos_flat[gather].astype(np.int32)
+    else:
+        positions = np.zeros(0, np.int32)
+
+    terms_pa = pa.array(merged_terms, type=pa.string())
+
+    # live stats shrink at merge time (the reference's per-segment stats
+    # contract): recompute from the surviving TEXT postings
+    kw_mask = pc.match_substring(terms_pa, KEYWORD_SEP) \
+        .to_numpy(zero_copy_only=False).astype(bool) if len(merged_terms) \
+        else np.zeros(0, bool)
+    text_pp = ~kw_mask[tid_pp[order]] if len(tid_pp) else np.zeros(0, bool)
+    sum_ttf = int(freq[text_pp].sum()) if len(freq) else 0
+    doc_count_field = int(len(np.unique(doc_of[text_pp]))) if len(doc_of) else 0
+
+    # ---- vectors: concat survivors (sorted), requantize, rebuild the graph ----
+    vector_dim, vector_scale = 0, None
+    if want_vecs and n_docs:
+        vm = np.concatenate(vec_parts)[perm]
+        vector_dim = vm.shape[1]
+        if quantized:
+            amax = float(np.abs(vm).max())
+            vector_scale = (amax / 127.0) if amax > 0 else 1.0
+            qm = np.clip(np.round(vm / vector_scale), -127, 127).astype(np.int8)
+            np.save(os.path.join(tmp_dir, VECTORS_Q_FILE), qm)
+            vm = qm.astype(np.float32) * np.float32(vector_scale)
+        else:
+            np.save(os.path.join(tmp_dir, VECTORS_FILE), vm)
+        if want_graph:
+            from .hnsw import HnswGraph
+
+            nrm = np.linalg.norm(vm.astype(np.float64), axis=1)
+            nrm[nrm == 0] = 1.0
+            g = HnswGraph(vm.astype(np.float64) / nrm[:, None],
+                          np.arange(n_docs, dtype=np.int64),
+                          seed=1000 + pid).build()
+            g.save(os.path.join(tmp_dir, HNSW_FILE))
+
+    range_cols = [c for c in merged_dm.column_names if c != key_cols[0]]
+    return _persist_shard(
+        tmp_dir, final_dir, pid, terms_pa, term_starts, doc_of, freq, positions,
+        index_positions=has_pos, norms=norms, docmap_tbl=merged_dm,
+        range_cols=range_cols, doc_count_field=doc_count_field,
+        sum_ttf=sum_ttf, vector_dim=vector_dim, vector_scale=vector_scale,
+        term_vectors=want_tv, fingerprint=fp,
+        extra={"dir": dirname, "merged_from": [int(m["pid"]) for m in members]})
+
+
+def _plan_merge_groups(shards: list[dict], max_segments: int) -> list[list[dict]]:
+    """Contiguous (pid-ordered) grouping balanced by live doc count — the
+    stand-in for TieredMergePolicy's forceMerge spec (`TieredMergePolicy
+    .java:30-91`); contiguity preserves global doc order under the
+    pid-sorted doc_base prefix sum."""
+    n = max(1, min(max_segments, len(shards)))
+    live = [m["doc_count"] - int(m.get("del_count") or 0) for m in shards]
+    total = sum(live) or 1
+    groups, cur, acc = [], [], 0
+    for i, m in enumerate(shards):
+        cur.append(m)
+        acc += live[i]
+        remaining = len(shards) - i - 1
+        if (len(groups) + 1 < n and acc >= total / n
+                and remaining >= n - len(groups) - 1):
+            groups.append(cur)
+            cur, acc = [], 0
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def force_merge(index_dir: str, max_segments: int = 1, *,
+                expunge_deletes_only: bool = False,
+                commit: dict | None = None, merge_stats: bool = True) -> dict:
+    """``IndexWriter.forceMerge(maxNumSegments)`` (`index/IndexWriter.java:
+    2069-2130`) / ``forceMergeDeletes`` re-expression: rewrite the committed
+    shards into at most ``max_segments`` segments (one Ray task per merge
+    group, scheduled concurrently), expunging deleted docs, then publish a
+    new commit generation.  Old shard dirs stay on disk (immutable,
+    referenced by older commit points) until ``prune_commits``.
+
+    ``expunge_deletes_only=True`` keeps the segment count but rewrites only
+    shards carrying deletes (forceMergeDeletes semantics).  Shards that end
+    up alone in their group with no deletes pass through untouched.
+    """
+    import ray
+
+    from . import manifest as mf
+    from .build import merge_term_stats
+
+    commit = commit or latest_commit(index_dir)
+    if commit is None:
+        raise FileNotFoundError(f"no commit in {index_dir}")
+    shards = sorted(commit["shards"], key=lambda m: m["pid"])
+    key_cols = list(commit.get("key_cols") or ("conv_id", "turn_idx"))
+    if expunge_deletes_only:
+        groups = [[m] for m in shards]
+    else:
+        groups = _plan_merge_groups(shards, max_segments)
+    new_gen = int(commit["generation"]) + 1
+
+    merge_group = ray.remote(_merge_group)
+    futs, out = [], []
+    for g in groups:
+        if len(g) == 1 and not g[0].get("del_count"):
+            out.append((len(out) + len(futs), dict(g[0])))    # pass-through
+            continue
+        pid = int(g[0]["pid"])
+        dirname = f"shard-{pid:05d}-g{new_gen}"
+        fp = mf.fingerprint({
+            "merge": [[int(m["pid"]), m.get("fingerprint"),
+                       int(m.get("del_count") or 0)] for m in g]})
+        futs.append(merge_group.remote(index_dir, [dict(m) for m in g],
+                                       pid, dirname, fp, key_cols))
+    manifests = [m for _, m in out] + list(ray.get(futs))
+    meta = {k: v for k, v in commit.items()
+            if k not in ("generation", "shards", "doc_count",
+                         "doc_count_field", "sum_ttf", "sum_df")}
+    new_commit = mf.commit_index(index_dir, manifests, meta)
+    if merge_stats:
+        merge_term_stats(index_dir, new_commit)
+    return new_commit

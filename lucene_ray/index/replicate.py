@@ -37,7 +37,7 @@ def replicate(src_index: str, dst_index: str) -> dict | None:
 
     copied = 0
     for m in commit["shards"]:
-        name = f"shard-{m['pid']:05d}"
+        name = mf.shard_dirname(m)
         dst = os.path.join(dst_index, "shards", name)
         dm = read_manifest(dst)
         if dm and dm.get("status") == "committed" \

@@ -335,8 +335,33 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     # normalize the dictionary type: the polars fast path yields large_string,
     # the keyword merge yields string — shards must agree for stats concat
     terms = pa.compute.cast(terms, pa.string())
-    n_docs = table.num_rows
     norms = int_to_byte4(norm_lengths.astype(np.int64))
+    dv_cols = [c for c in docvalue_cols if c not in key_cols]
+    return _persist_shard(
+        tmp_dir, final_dir, pid, terms, term_starts, doc_of, freq, positions,
+        index_positions=index_positions, norms=norms,
+        docmap_tbl=table.select(list(key_cols) + dv_cols),
+        range_cols=list(key_cols[1:]) + dv_cols,
+        doc_count_field=int((lengths > 0).sum()),   # docs with >=1 term (Terms.getDocCount semantics)
+        sum_ttf=int(lengths.astype(np.int64).sum()),
+        vector_dim=vector_dim, vector_scale=vector_scale,
+        term_vectors=term_vectors, fingerprint=fingerprint)
+
+
+def _persist_shard(tmp_dir: str, final_dir: str, pid: int, terms,
+                   term_starts, doc_of, freq, positions, *,
+                   index_positions: bool, norms: np.ndarray,
+                   docmap_tbl: pa.Table, range_cols,
+                   doc_count_field: int, sum_ttf: int,
+                   vector_dim: int = 0, vector_scale=None,
+                   term_vectors: bool = False, fingerprint: str = "",
+                   extra: dict | None = None) -> dict:
+    """Encode + persist one shard from its inversion arrays — the codec-write
+    half of the flush, shared by ``write_shard`` and the SegmentMerger path
+    (``index/merge.py::force_merge``), which supplies already-merged arrays
+    instead of re-analyzing.  ``terms`` is a sorted pa.string array; posting
+    p's occurrence positions are ``positions[pb[p]:pb[p+1]]``."""
+    n_docs = len(norms)
 
     if term_vectors:
         # term vectors = the doc-major transpose of the inversion
@@ -505,10 +530,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     # order; timestamps are stored as epoch-us int64.  Parquet column
     # projection keeps lookups cheap; manifest min/max enables shard pruning
     # for RangeQuery (the flat stand-in for BKD cell bounds).
-    dv_cols = [c for c in docvalue_cols if c not in key_cols]
-    docmap_tbl = table.select(list(key_cols) + dv_cols)
     dv_ranges = {}
-    for c in list(key_cols[1:]) + dv_cols:
+    for c in range_cols:
         col = docmap_tbl.column(c)
         if pa.types.is_timestamp(col.type):
             col = pa.compute.cast(col, pa.int64())
@@ -522,8 +545,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     manifest = {
         "pid": int(pid),
         "doc_count": int(n_docs),
-        "doc_count_field": int((lengths > 0).sum()),   # docs with >=1 term (Terms.getDocCount semantics)
-        "sum_ttf": int(lengths.astype(np.int64).sum()),
+        "doc_count_field": int(doc_count_field),
+        "sum_ttf": int(sum_ttf),
         "sum_df": int(dfs.sum()),
         "n_terms": int(V),
         "has_positions": bool(index_positions),
@@ -533,6 +556,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         "docvalues": dv_ranges,
         "fingerprint": fingerprint,
         "status": "committed",
+        **(extra or {}),
     }
     with open(os.path.join(tmp_dir, MANIFEST_FILE), "w") as f:
         json.dump(manifest, f)

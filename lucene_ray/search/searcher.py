@@ -18,7 +18,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..index.manifest import latest_commit
+from ..index.manifest import latest_commit, shard_dirname
 from ..index.shard import ShardReader
 from .query import (
     FILTER,
@@ -73,6 +73,7 @@ class IndexSearcher:
         self._pids = [m["pid"] for m in self.commit["shards"]]
         self._bases = {m["pid"]: int(m["doc_base"]) for m in self.commit["shards"]}
         self._dels = {m["pid"]: m.get("del_file") for m in self.commit["shards"]}
+        self._dirs = {m["pid"]: shard_dirname(m) for m in self.commit["shards"]}
         self._stats = None
         self.token_filters = tuple(self.commit.get("token_filters", ()))
 
@@ -164,6 +165,13 @@ class IndexSearcher:
         self._pids = [m["pid"] for m in latest["shards"]]
         self._bases = {m["pid"]: int(m["doc_base"]) for m in latest["shards"]}
         self._dels = {m["pid"]: m.get("del_file") for m in latest["shards"]}
+        dirs = {m["pid"]: shard_dirname(m) for m in latest["shards"]}
+        # a merge reuses a pid but rewrites it into a new directory — drop
+        # readers whose backing dir changed (segments are otherwise immutable)
+        for pid in [p for p, r in self._readers.items()
+                    if dirs.get(p) != self._dirs.get(p)]:
+            del self._readers[pid]
+        self._dirs = dirs
         self.token_filters = tuple(latest.get("token_filters", ()))
         for pid, r in self._readers.items():
             r.set_deletes(self._dels.get(pid))
@@ -273,7 +281,8 @@ class IndexSearcher:
     def reader(self, pid: int) -> ShardReader:
         r = self._readers.get(pid)
         if r is None:
-            r = ShardReader(os.path.join(self.index_dir, "shards", f"shard-{pid:05d}"))
+            r = ShardReader(os.path.join(self.index_dir, "shards",
+                                         self._dirs.get(pid, f"shard-{pid:05d}")))
             r.set_deletes(self._dels.get(pid))
             self._readers[pid] = r
         return r
