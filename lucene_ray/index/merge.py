@@ -356,27 +356,33 @@ def force_merge(index_dir: str, max_segments: int = 1, *,
     shards carrying deletes (forceMergeDeletes semantics).  Shards that end
     up alone in their group with no deletes pass through untouched.
     """
+    commit = commit or latest_commit(index_dir)
+    if commit is None:
+        raise FileNotFoundError(f"no commit in {index_dir}")
+    shards = sorted(commit["shards"], key=lambda m: m["pid"])
+    if expunge_deletes_only:
+        groups = [[m] for m in shards]
+    else:
+        groups = _plan_merge_groups(shards, max_segments)
+    return _run_merge(index_dir, commit, groups, merge_stats=merge_stats)
+
+
+def _run_merge(index_dir: str, commit: dict, groups: list[list[dict]],
+               *, merge_stats: bool = True) -> dict:
+    """Execute a merge plan: one Ray task per multi-shard (or
+    delete-carrying) group, pass-through for the rest, then commit."""
     import ray
 
     from . import manifest as mf
     from .build import merge_term_stats
 
-    commit = commit or latest_commit(index_dir)
-    if commit is None:
-        raise FileNotFoundError(f"no commit in {index_dir}")
-    shards = sorted(commit["shards"], key=lambda m: m["pid"])
     key_cols = list(commit.get("key_cols") or ("conv_id", "turn_idx"))
-    if expunge_deletes_only:
-        groups = [[m] for m in shards]
-    else:
-        groups = _plan_merge_groups(shards, max_segments)
     new_gen = int(commit["generation"]) + 1
-
     merge_group = ray.remote(_merge_group)
     futs, out = [], []
     for g in groups:
         if len(g) == 1 and not g[0].get("del_count"):
-            out.append((len(out) + len(futs), dict(g[0])))    # pass-through
+            out.append(dict(g[0]))                            # pass-through
             continue
         pid = int(g[0]["pid"])
         dirname = f"shard-{pid:05d}-g{new_gen}"
@@ -385,7 +391,7 @@ def force_merge(index_dir: str, max_segments: int = 1, *,
                        int(m.get("del_count") or 0)] for m in g]})
         futs.append(merge_group.remote(index_dir, [dict(m) for m in g],
                                        pid, dirname, fp, key_cols))
-    manifests = [m for _, m in out] + list(ray.get(futs))
+    manifests = out + list(ray.get(futs))
     meta = {k: v for k, v in commit.items()
             if k not in ("generation", "shards", "doc_count",
                          "doc_count_field", "sum_ttf", "sum_df")}
@@ -393,3 +399,58 @@ def force_merge(index_dir: str, max_segments: int = 1, *,
     if merge_stats:
         merge_term_stats(index_dir, new_commit)
     return new_commit
+
+
+def maybe_merge(index_dir: str, *, target_docs_per_segment: int = 200_000,
+                max_merge_at_once: int = 10, deletes_pct_allowed: float = 20.0,
+                commit: dict | None = None,
+                merge_stats: bool = True) -> dict | None:
+    """``IndexWriter.maybeMerge`` + TieredMergePolicy-lite
+    (`index/TieredMergePolicy.java:30-91`: defaults maxMergeAtOnce=10,
+    deletesPctAllowed=20): after appends/deletes have accumulated small or
+    delete-heavy segments, consolidate them in the background.
+
+    A shard is merge-eligible when its LIVE doc count is under half the
+    target (undersized — typical of incremental appends) or its delete
+    ratio exceeds ``deletes_pct_allowed``.  Adjacent eligible shards are
+    greedily grouped (contiguity preserves global doc order) up to
+    ``max_merge_at_once`` members / ``target_docs_per_segment`` live docs
+    per group.  Returns the new commit, or None when nothing qualifies —
+    the steady state, so repeated calls are cheap and idempotent.
+    """
+    commit = commit or latest_commit(index_dir)
+    if commit is None:
+        raise FileNotFoundError(f"no commit in {index_dir}")
+    shards = sorted(commit["shards"], key=lambda m: m["pid"])
+
+    def live(m):
+        return int(m["doc_count"]) - int(m.get("del_count") or 0)
+
+    def eligible(m):
+        dels = int(m.get("del_count") or 0)
+        return (live(m) < target_docs_per_segment // 2
+                or (m["doc_count"] and
+                    100.0 * dels / m["doc_count"] > deletes_pct_allowed))
+
+    groups, cur, acc = [], [], 0
+    did_work = False
+    for m in shards:
+        if (eligible(m) and len(cur) < max_merge_at_once
+                and acc + live(m) <= target_docs_per_segment):
+            cur.append(m)
+            acc += live(m)
+            continue
+        if cur:
+            did_work = did_work or len(cur) > 1 or bool(cur[0].get("del_count"))
+            groups.append(cur)
+            cur, acc = [], 0
+        if eligible(m):
+            cur, acc = [m], live(m)
+        else:
+            groups.append([m])
+    if cur:
+        did_work = did_work or len(cur) > 1 or bool(cur[0].get("del_count"))
+        groups.append(cur)
+    if not did_work:
+        return None
+    return _run_merge(index_dir, commit, groups, merge_stats=merge_stats)

@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--token-filters", default="",
                     help="comma-separated analyzer filters applied index+query side (ascii_fold,porter)")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--force-merge", type=int, default=0, metavar="N",
+                    help="after building, forceMerge the index down to N segments")
+    ap.add_argument("--maybe-merge", action="store_true",
+                    help="after building, run the tiered merge policy "
+                         "(consolidates undersized / delete-heavy segments)")
     args = ap.parse_args()
 
     import ray
@@ -74,6 +79,15 @@ def main():
                              keyword_cols=kw, docvalue_cols=dv, token_filters=tf,
                              vector_col=args.vector_col or None,
                              input_desc=f"cli:{args.input}")
+    if args.force_merge:
+        from lucene_ray.index.merge import force_merge
+
+        commit = force_merge(args.index, args.force_merge)
+    elif args.maybe_merge:
+        from lucene_ray.index.merge import maybe_merge
+
+        commit = maybe_merge(args.index,
+                             target_docs_per_segment=args.target_docs) or commit
     print(json.dumps({k: commit[k] for k in
                       ("generation", "doc_count", "doc_count_field", "sum_ttf",
                        "fingerprint")} | {"n_shards": len(commit["shards"])}))

@@ -181,3 +181,61 @@ def test_force_merge_idempotent_resume(ray_session, tmp_path):
     c2 = force_merge(d, 1)         # same plan -> reuses the built dir
     assert c2["shards"][0]["dir"] == g1["dir"]
     assert c2["shards"][0]["fingerprint"] == g1["fingerprint"]
+
+
+def test_maybe_merge_consolidates_small_segments(ray_session, tmp_path):
+    import ray.data as rd
+
+    from lucene_ray.index.build import append_index
+    from lucene_ray.index.merge import maybe_merge
+
+    t = synth_transcripts(1200, seed=96)
+    d = str(tmp_path / "tiered")
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300,
+                input_desc="t0")
+    extra = synth_transcripts(400, seed=97)
+    extra = extra.set_column(0, "conv_id", pa.array(
+        ["app-" + c for c in extra.column("conv_id").to_pylist()]))
+    append_index(rd.from_arrow(extra), d, target_docs_per_partition=300,
+                 input_desc="t1")
+    n0 = len(latest_commit(d)["shards"])
+    s = IndexSearcher(d)
+    want = {(h.conv_id, h.turn_idx, round(h.score, 6))
+            for h in s.search(TermQuery("data"), k=40).hits}
+    total = s.count(MatchAllDocsQuery())
+
+    c = maybe_merge(d, target_docs_per_segment=900)
+    assert c is not None and len(c["shards"]) < n0
+    s2 = IndexSearcher(d)
+    assert s2.count(MatchAllDocsQuery()) == total
+    got = {(h.conv_id, h.turn_idx, round(h.score, 6))
+           for h in s2.search(TermQuery("data"), k=40).hits}
+    assert got == want            # no deletes -> stats and scores unchanged
+    assert not check_index(d)["errors"]
+    # steady state: a second pass finds nothing merge-eligible
+    assert maybe_merge(d, target_docs_per_segment=900) is None
+
+
+def test_maybe_merge_delete_ratio_trigger(ray_session, tmp_path):
+    from lucene_ray.index.merge import maybe_merge
+
+    t = synth_transcripts(600, seed=98)
+    d = _build(tmp_path, "delpct", t, target_docs_per_partition=300)
+    ts = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    keys = pa.table({
+        "conv_id": ts.column("conv_id").slice(0, 130),
+        "turn_idx": ts.column("turn_idx").slice(0, 130),
+    })
+    delete_by_keys(d, keys)
+    dirty = {m["pid"] for m in latest_commit(d)["shards"] if m.get("del_count")}
+
+    # target 2 disables the undersized trigger; only delete-pct (>20%) fires
+    c = maybe_merge(d, target_docs_per_segment=2)
+    assert c is not None
+    assert c["doc_count"] == t.num_rows - 130
+    for m in c["shards"]:
+        assert not m.get("del_file")
+        if m["pid"] in dirty and m["doc_count"]:
+            assert m.get("dir")
+    assert not check_index(d)["errors"]
+    assert maybe_merge(d, target_docs_per_segment=2) is None
