@@ -260,6 +260,25 @@ class BlendedTermQuery:
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery:
+    """Splits its terms by document frequency at rewrite time
+    (`queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java:
+    1-418`): rare terms form a low-frequency group (``low_freq_occur`` per
+    term + ``low_freq_msm``), common terms a high-frequency SHOULD-style
+    group — so stopword-like terms influence ranking without gating recall.
+    ``max_term_frequency`` >= 1.0 is an absolute docFreq cutoff, else a
+    fraction of maxDoc.  Rewrites: both groups present -> Boolean(MUST
+    low-group, SHOULD high-group); one group empty -> the other alone."""
+    terms: tuple[str, ...]
+    max_term_frequency: float = 0.01
+    low_freq_occur: str = SHOULD
+    high_freq_occur: str = SHOULD
+    low_freq_msm: int = 0
+    high_freq_msm: int = 0
+    field: str = "text"
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery:
     """score = max(clause scores) + tie_breaker * sum(other clause scores)
     (`search/DisjunctionMaxQuery.java`); clauses are TermQuerys."""

@@ -140,6 +140,10 @@ class IndexSearcher:
         if isinstance(q, _SN):
             return dataclasses.replace(q, include=self._ft(q.include),
                                        exclude=self._ft(q.exclude))
+        from .query import CommonTermsQuery as _CTQ
+
+        if isinstance(q, _CTQ):
+            return dataclasses.replace(q, terms=tuple(self._ft(t) for t in q.terms))
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return dataclasses.replace(q, query=self._normalize(q.query))
         if isinstance(q, BooleanQuery):
@@ -287,6 +291,29 @@ class IndexSearcher:
             self._readers[pid] = r
         return r
 
+    def _rewrite_common_terms(self, q):
+        """CommonTermsQuery.rewrite (`queries/CommonTermsQuery.java:116-189`
+        buildQuery): split terms at the docFreq cutoff into a low-frequency
+        group (low_freq_occur + msm) and a high-frequency group; with both
+        present the low group is required and the high group optional."""
+        from .query import BooleanClause, BooleanQuery, TermQuery
+
+        max_doc = int(self.commit["doc_count"])
+        cut = (q.max_term_frequency if q.max_term_frequency >= 1.0
+               else q.max_term_frequency * max_doc)
+        low = [t for t in q.terms if self.df(t) <= cut]
+        high = [t for t in q.terms if self.df(t) > cut]
+        lowq = BooleanQuery(tuple(BooleanClause(TermQuery(t), q.low_freq_occur)
+                                  for t in low), q.low_freq_msm)
+        highq = BooleanQuery(tuple(BooleanClause(TermQuery(t), q.high_freq_occur)
+                                   for t in high), q.high_freq_msm)
+        if not high:
+            return lowq
+        if not low:
+            return highq
+        return BooleanQuery((BooleanClause(lowq, MUST),
+                             BooleanClause(highq, SHOULD)))
+
     # ---- query compilation (createWeight equivalent) ----
     def compile(self, query, _normalized: bool = False) -> dict:
         if not _normalized:
@@ -297,6 +324,10 @@ class IndexSearcher:
 
         if isinstance(query, _IODV):
             query = query.rewrite()
+        from .query import CommonTermsQuery as _CTQ
+
+        if isinstance(query, _CTQ):
+            query = self._rewrite_common_terms(query)
         if isinstance(query, TermQuery):
             query = BooleanQuery((_clause(query, SHOULD),))
         if isinstance(query, MatchAllDocsQuery):
