@@ -852,6 +852,17 @@ def search_shard_interval(reader, terms, max_width: int, ordered: bool,
     return sc[:k], cand[:k], total, RELATION_EQ
 
 
+def _scoreless_matches(reader, query, searcher):
+    """Matching-doc mask for a non-scoring (FILTER / MUST_NOT) sub-query,
+    served through the searcher's LRUQueryCache when one is installed."""
+    cache = getattr(searcher, "query_cache", None)
+    if cache is None:
+        return evaluate_dense(reader, query, searcher)[1]
+    return cache.matches(
+        reader.dir, query,
+        lambda: evaluate_dense(reader, query, searcher)[1])
+
+
 def evaluate_dense(reader, query, searcher):
     """Recursive dense evaluation of an arbitrary query tree over one shard:
     returns (scores float32[n_docs], matched bool[n_docs]).
@@ -884,8 +895,8 @@ def evaluate_dense(reader, query, searcher):
         should_cnt = np.zeros(n, dtype=np.int16) if query.minimum_should_match else None
         any_positive = False
         for c in query.clauses:
-            s, m = evaluate_dense(reader, c.query, searcher)
             if c.occur in (SHOULD, MUST):
+                s, m = evaluate_dense(reader, c.query, searcher)
                 any_positive = True
                 acc[m] += s[m]
                 matched |= m
@@ -893,10 +904,16 @@ def evaluate_dense(reader, query, searcher):
                     required = m if required is None else (required & m)
                 elif should_cnt is not None:
                     should_cnt[m] += 1
-            elif c.occur == FILTER:
-                required = m if required is None else (required & m)
             else:
-                excluded |= m
+                # FILTER / MUST_NOT are scoreless — exactly the iterators
+                # BooleanWeight routes through the LRUQueryCache in the
+                # reference (`LRUQueryCache.java` CachingWrapperWeight is
+                # only consulted when scores are not needed).
+                m = _scoreless_matches(reader, c.query, searcher)
+                if c.occur == FILTER:
+                    required = m if required is None else (required & m)
+                else:
+                    excluded |= m
         # BooleanWeight matching rules (Boolean2ScorerSupplier): when required
         # clauses (MUST/FILTER) exist and minShouldMatch == 0, SHOULD clauses
         # are scoring-only — a doc matching just the required set matches.

@@ -60,13 +60,22 @@ class TopDocs:
 
 class IndexSearcher:
     def __init__(self, index_dir: str, similarity: BM25Similarity | None = None,
-                 use_wand: bool = True):
+                 use_wand: bool = True, query_cache=None):
         self.index_dir = index_dir
         self.commit = latest_commit(index_dir)
         if self.commit is None:
             raise FileNotFoundError(f"no commit in {index_dir}")
         self.sim = similarity or BM25Similarity()
         self.use_wand = use_wand
+        # default-on filter-result cache, as `IndexSearcher.java:171-178`
+        # installs a shared LRUQueryCache(1000, 32MB) by default; pass
+        # query_cache=False to disable (setQueryCache(null)).
+        if query_cache is None:
+            from .cache import LRUQueryCache
+            query_cache = LRUQueryCache()
+        elif query_cache is False:
+            query_cache = None
+        self.query_cache = query_cache
         self.doc_count = int(self.commit["doc_count_field"])
         self.sum_ttf = int(self.commit["sum_ttf"])
         self._readers: dict[int, ShardReader] = {}
@@ -180,6 +189,11 @@ class IndexSearcher:
         for pid, r in self._readers.items():
             r.set_deletes(self._dels.get(pid))
         self._stats = None
+        # a new commit may have merged shards (pid reused, docids remapped):
+        # drop all cached filter sets, as the reference drops per-core cache
+        # entries when a segment reader closes (`LRUQueryCache.java:258-270`)
+        if self.query_cache is not None:
+            self.query_cache.clear()
         return True
 
     # ---- global stats (hash-bucketed; the driver never loads the full
