@@ -112,7 +112,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _percolate,
         "media_features": _media_features,
         "media_frames": _media_frames,
+        # --- classification module (reference classification/) ---
+        "classify_naive_bayes": _classify_nb,
+        "classify_knn": _classify_knn,
     }
+
+
+def _classify_nb(sf_dir):
+    from lucene_ray.pipelines.classify import classify_naive_bayes
+
+    return classify_naive_bayes(sf_dir)
+
+
+def _classify_knn(sf_dir):
+    from lucene_ray.pipelines.classify import classify_knn
+
+    return classify_knn(sf_dir)
 
 
 def _lazy(name):
@@ -492,11 +507,18 @@ def oracle_sql() -> dict[str, str]:
                    ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_frames,
                    ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0)::BIGINT AS n_sampled
             FROM documents""",
+        "classify_naive_bayes": _classify_nb_sql(),
         # rows-only (non-SQL-expressible / approximate): dedup_minhash,
         # dedup_simhash_pairs, ngram_jaccard, knn_lsh, knn_ivf, knn_hnsw,
         # dedup_embedding_lsh, index_bm25_topk, suggest_fuzzy (Damerau
-        # prefix automaton)
+        # prefix automaton), classify_knn (doc-vs-doc BM25 self-join)
     }
+
+
+def _classify_nb_sql() -> str:
+    from lucene_ray.pipelines.classify import naive_bayes_oracle_sql
+
+    return naive_bayes_oracle_sql()
 
 
 def _index_bm25_oracle_sql() -> str:

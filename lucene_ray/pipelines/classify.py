@@ -1,0 +1,326 @@
+"""Classification — the reference's classification module re-expressed
+Ray-Data-first.
+
+Two classifiers:
+
+- Multinomial Naive Bayes over a labeled corpus column
+  (`classification/src/java/org/apache/lucene/classification/
+  SimpleNaiveBayesClassifier.java:1-280`): log prior + per-token
+  log-likelihood with add-one (Laplace) smoothing.  The reference computes
+  word-in-class frequencies lazily per query through index term stats; here
+  training is a distributed Ray Data aggregation (per-batch partial counts →
+  ``groupby(cls, term)`` — the combiner pattern) and the fitted model is a
+  broadcast lookup table (`ray.put` once, read per actor), so classifying a
+  corpus is a single vectorized ``map_batches`` pass.
+- k-nearest-neighbor over the inverted index
+  (`classification/.../KNearestNeighborClassifier.java:1-250`): build a
+  MoreLikeThis query from the input text, take BM25 top-k, majority class
+  vote with score-sum tie-break (``classifyFromTopDocs``).  The class of a
+  hit is resolved from the index itself — each class value's keyword
+  postings (`role\\x1fuser` style) tested by sorted membership — so no
+  stored-field fetch and no driver-side corpus state.
+
+Scale notes (100 TB): NB training shuffles only (class, term) partial counts
+(vocabulary-bounded, not corpus-bounded); `max_features` caps the broadcast
+model by global-frequency feature selection (per-block top-k combiner — the
+vocabulary itself never lands on the driver).  kNN classification is one
+index search per input plus |classes| cached postings lookups per shard.
+
+The tokenizer is the SIMPLE one shared with textstats (``[A-Za-z0-9]+``
+lowercased) so Naive Bayes has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .textstats import _flat_tokens_np, _seg_starts
+
+# ---------------------------------------------------------------------------
+# Naive Bayes
+# ---------------------------------------------------------------------------
+
+
+def train_naive_bayes(sf_dir: str, class_col: str = "lang",
+                      max_features: int | None = None):
+    """Fit a multinomial NB model over documents(text, class_col).
+
+    Distributed: per-batch polars partial counts → ``groupby(cls, term)``
+    global sum (all-to-all on the vocabulary, not the corpus).  Returns a
+    plain dict of numpy arrays (the broadcastable model):
+    ``classes`` (sorted str), ``log_prior`` (C,), ``vocab`` (sorted str),
+    ``log_lik`` (V, C) for seen terms, ``log_lik_oov`` (C,) for unseen.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", class_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        flat, lens = _flat_tokens_np(t.column("text"))
+        cls = t.column(class_col).to_numpy(zero_copy_only=False)
+        tl = pl.DataFrame({
+            "cls": np.repeat(cls, lens),
+            "term": flat,
+        })
+        agg = tl.group_by(["cls", "term"]).agg(
+            pl.len().cast(pl.Int64).alias("cnt"))
+        return agg.to_arrow().cast(pa.schema([
+            ("cls", pa.string()), ("term", pa.string()), ("cnt", pa.int64())]))
+
+    wc = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["cls", "term"])
+          .aggregate(Sum("cnt", alias_name="cnt")))
+
+    if max_features is not None:
+        # feature selection by global term frequency: per-block top-k
+        # combiner, then a k × n_blocks merge — the full vocabulary never
+        # materializes on the driver (same shape as textstats.top_terms)
+        from ray.data.aggregate import Sum as _Sum
+
+        gl = wc.groupby("term").aggregate(_Sum("cnt", alias_name="gcnt"))
+
+        def local_topk(t: pa.Table) -> pa.Table:
+            return t.sort_by([("gcnt", "descending"),
+                              ("term", "ascending")]).slice(0, max_features)
+
+        keep_tbl = (gl.map_batches(local_topk, batch_format="pyarrow")
+                    .to_pandas()
+                    .sort_values(["gcnt", "term"], ascending=[False, True])
+                    .head(max_features))
+        keep = set(keep_tbl["term"])
+        wc_df = wc.to_pandas()
+        wc_df = wc_df[wc_df["term"].isin(keep)]
+    else:
+        wc_df = wc.to_pandas()
+
+    # class priors from a small groupby (C rows)
+    cls_df = (ds.groupby(class_col).count().to_pandas()
+              .rename(columns={class_col: "cls", "count()": "nd"}))
+    n_docs = int(cls_df["nd"].sum())
+
+    classes = np.array(sorted(cls_df["cls"]))
+    c_index = {c: i for i, c in enumerate(classes)}
+    nd = np.zeros(len(classes), dtype=np.float64)
+    for _, row in cls_df.iterrows():
+        nd[c_index[row["cls"]]] = float(row["nd"])
+
+    vocab = np.array(sorted(wc_df["term"].unique()))
+    v_index = pd.Series(np.arange(len(vocab)), index=vocab)
+    cnt = np.zeros((len(vocab), len(classes)), dtype=np.float64)
+    ci = wc_df["cls"].map(c_index).to_numpy()
+    vi = v_index[wc_df["term"]].to_numpy()
+    cnt[vi, ci] = wc_df["cnt"].to_numpy().astype(np.float64)
+
+    tot = cnt.sum(axis=0)                       # tokens per class (kept terms)
+    v = float(len(vocab))                       # smoothing vocabulary size
+    # SimpleNaiveBayesClassifier math: log(P(c)) + Σ log((tf+1)/(den));
+    # den = class token mass + vocabulary size (add-one smoothing)
+    log_prior = np.log(nd / n_docs)
+    log_lik = np.log((cnt + 1.0) / (tot + v)[None, :])
+    log_lik_oov = np.log(1.0 / (tot + v))
+    return {"classes": classes, "log_prior": log_prior, "vocab": vocab,
+            "log_lik": log_lik, "log_lik_oov": log_lik_oov}
+
+
+def classify_naive_bayes(sf_dir: str, class_col: str = "lang",
+                         max_features: int | None = None) -> pd.DataFrame:
+    """(doc_id, pred) — NB self-classification of every document: fit on the
+    labeled corpus, then one broadcast + vectorized map_batches scoring pass
+    (``assignClass`` over a stream instead of one text at a time).
+
+    Per batch: tokens resolve to vocab rows via ``pc.index_in`` (OOV → the
+    smoothing row), per-doc per-class log-likelihood sums via a segmented
+    ``np.add.reduceat`` over the (n_tokens, C) matrix — no Python loop over
+    docs.  argmax ties break class-ascending (np.argmax takes the first
+    maximum over the sorted class axis), mirrored by the SQL oracle's
+    ``ORDER BY score DESC, cls ASC``."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    model = train_naive_bayes(sf_dir, class_col, max_features)
+    lnp_ext = np.vstack([model["log_lik"], model["log_lik_oov"][None, :]])
+    ref = ray.put((pa.array(model["vocab"]), lnp_ext,
+                   model["log_prior"], model["classes"]))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_arr, lnp_ext, log_prior, classes = ray.get(ref)
+        oov_row = lnp_ext.shape[0] - 1
+        flat, lens = _flat_tokens_np(t.column("text"))
+        idx = pc.index_in(pa.array(flat.to_numpy(), type=pa.string()),
+                          value_set=vocab_arr)
+        idx = idx.to_numpy(zero_copy_only=False)
+        idx = np.where(pd.isna(idx), oov_row, idx).astype(np.int64)
+        scores = np.tile(log_prior, (len(lens), 1))
+        nz = lens > 0
+        if nz.any():
+            scores[nz] += np.add.reduceat(
+                lnp_ext[idx], _seg_starts(lens)[nz], axis=0)
+        pred = classes[np.argmax(scores, axis=1)]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pred": pa.array(pred, type=pa.string()),
+        })
+
+    out = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def naive_bayes_oracle_sql(class_col: str = "lang") -> str:
+    """DuckDB twin of classify_naive_bayes (same tokenizer, same smoothing,
+    same tie-break)."""
+    return f"""
+WITH toklists AS (
+  SELECT doc_id, {class_col} AS cls,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                        x -> lower(x)) AS toks
+  FROM documents),
+tokens AS (SELECT doc_id, cls, unnest(toks) AS term FROM toklists),
+cl AS (SELECT {class_col} AS cls, count(*)::DOUBLE AS nd
+       FROM documents GROUP BY 1),
+total AS (SELECT count(*)::DOUBLE AS n FROM documents),
+wc AS (SELECT cls, term, count(*)::DOUBLE AS cnt FROM tokens GROUP BY 1, 2),
+tot AS (SELECT cls, sum(cnt) AS tot FROM wc GROUP BY 1),
+voc AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM tokens),
+tokscore AS (
+  SELECT t.doc_id, c.cls,
+         sum(ln((coalesce(w.cnt, 0) + 1)
+                / (tt.tot + (SELECT v FROM voc)))) AS s
+  FROM tokens t
+  CROSS JOIN cl c
+  LEFT JOIN wc w ON w.cls = c.cls AND w.term = t.term
+  JOIN tot tt ON tt.cls = c.cls
+  GROUP BY 1, 2),
+scores AS (
+  SELECT d.doc_id, c.cls,
+         ln(c.nd / (SELECT n FROM total)) + coalesce(ts.s, 0) AS score
+  FROM documents d
+  CROSS JOIN cl c
+  LEFT JOIN tokscore ts ON ts.doc_id = d.doc_id AND ts.cls = c.cls)
+SELECT doc_id, cls AS pred
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, cls ASC) = 1
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-nearest-neighbor over the index
+# ---------------------------------------------------------------------------
+
+
+def _keyword_classes(searcher, class_field: str) -> list[str]:
+    """Distinct values of a keyword field, from the shards' sorted term
+    dictionaries (prefix range over `field\\x1f`) — no corpus scan."""
+    from ..index.shard import KEYWORD_SEP
+    from ..search.searcher import _prefix_range
+
+    prefix = f"{class_field}{KEYWORD_SEP}"
+    vals: set[str] = set()
+    for pid in searcher._pids:
+        rdr = searcher.reader(pid)
+        lo, hi = _prefix_range(rdr._term_np, prefix)
+        for t in rdr._term_np[lo:hi]:
+            vals.add(str(t)[len(prefix):])
+    return sorted(vals)
+
+
+def _classes_of_hits(searcher, gids: np.ndarray, class_field: str,
+                     classes: list[str]) -> list[str | None]:
+    """Resolve each hit's class by sorted-membership against the class
+    values' keyword postings (per-shard, LRU-cached decode)."""
+    from ..index.shard import keyword_term
+
+    out: list[str | None] = [None] * len(gids)
+    order = np.argsort(gids)
+    # group hits by shard so each class's postings decode once per shard
+    for pid in searcher._pids:
+        base = searcher._bases[pid]
+        rdr = searcher.reader(pid)
+        in_shard = [i for i in order
+                    if base <= gids[i] < base + rdr.doc_count]
+        if not in_shard:
+            continue
+        local = np.array([gids[i] - base for i in in_shard], dtype=np.int64)
+        for c in classes:
+            tid = rdr.seek_exact(keyword_term(class_field, c))
+            if tid < 0:
+                continue
+            docs, _ = rdr.postings(tid)
+            pos = np.searchsorted(docs, local)
+            hit = (pos < len(docs)) & (docs[np.minimum(pos, len(docs) - 1)]
+                                       == local)
+            for j, i in enumerate(in_shard):
+                if hit[j]:
+                    out[i] = c
+    return out
+
+
+def knn_classify(searcher, text: str, class_field: str = "role",
+                 k: int = 10, classes: list[str] | None = None,
+                 max_query_terms: int = 25, min_term_freq: int = 1,
+                 min_doc_freq: int = 1):
+    """`KNearestNeighborClassifier.assignClass`: MoreLikeThis query from the
+    input text → BM25 top-k → per-class (votes, score-sum) from the top
+    docs, winner by votes desc / score-sum desc / class asc
+    (`classifyFromTopDocs` + `buildListFromTopDocs`).  Returns
+    (predicted_class | None, votes, score_sum)."""
+    from ..search.searcher import more_like_this
+
+    q = more_like_this(searcher, text, max_query_terms=max_query_terms,
+                       min_term_freq=min_term_freq, min_doc_freq=min_doc_freq)
+    if not q.clauses:
+        return None, 0, 0.0
+    td = searcher.search(q, k=k)
+    if not td.hits:
+        return None, 0, 0.0
+    if classes is None:
+        classes = _keyword_classes(searcher, class_field)
+    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
+    cls = _classes_of_hits(searcher, gids, class_field, classes)
+    votes: dict[str, int] = {}
+    ssum: dict[str, float] = {}
+    for h, c in zip(td.hits, cls):
+        if c is None:
+            continue
+        votes[c] = votes.get(c, 0) + 1
+        ssum[c] = ssum.get(c, 0.0) + float(h.score)
+    if not votes:
+        return None, 0, 0.0
+    best = sorted(votes, key=lambda c: (-votes[c], -ssum[c], c))[0]
+    return best, votes[best], ssum[best]
+
+
+def classify_knn(sf_dir: str, n_queries: int = 20, k: int = 10) -> pd.DataFrame:
+    """(i, pred_role, votes) — kNN-classify the first `n_queries` transcript
+    texts (deterministic sample) against the flagship index by `role`.
+    Driver entry is rows-only: the oracle would be a doc-vs-doc BM25
+    self-join, out of SQL reach at any scale."""
+    import pyarrow.parquet as pq
+
+    from ..search.searcher import IndexSearcher
+    from .flagship import build_transcript_index
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    t = t.sort_by([("doc_id", "ascending")])
+    texts = t.column("text").to_pylist()[:n_queries]
+    classes = _keyword_classes(searcher, "role")
+    rows = []
+    for i, text in enumerate(texts):
+        pred, votes, _ = knn_classify(searcher, text or "", "role", k=k,
+                                      classes=classes)
+        rows.append((i, pred or "", votes))
+    return pd.DataFrame(rows, columns=["i", "pred_role", "votes"]).astype(
+        {"i": "int64", "pred_role": "string", "votes": "int64"})

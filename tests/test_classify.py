@@ -1,0 +1,115 @@
+"""Classification module (`classification/SimpleNaiveBayesClassifier.java`,
+`KNearestNeighborClassifier.java`): NB model math vs an independent in-test
+reimplementation, NB pipeline vs its DuckDB oracle, kNN vote semantics vs a
+brute-force recount, and determinism."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from lucene_ray.pipelines.classify import (
+    classify_knn,
+    classify_naive_bayes,
+    knn_classify,
+    naive_bayes_oracle_sql,
+    train_naive_bayes,
+)
+from lucene_ray.pipelines.textstats import simple_tokens
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_nb_model_matches_hand_computation(ray_session):
+    import pyarrow.parquet as pq
+
+    model = train_naive_bayes(SF, "lang")
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text", "lang"])
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    # independent counts
+    cls_docs = Counter(langs)
+    wc: dict[tuple, int] = Counter()
+    for txt, lg in zip(texts, langs):
+        for tok in simple_tokens(txt or ""):
+            wc[(lg, tok)] += 1
+    vocab = sorted({t for _, t in wc})
+    assert list(model["classes"]) == sorted(cls_docs)
+    assert list(model["vocab"]) == vocab
+    n = len(texts)
+    for ci, c in enumerate(model["classes"]):
+        assert model["log_prior"][ci] == pytest.approx(
+            math.log(cls_docs[c] / n), abs=1e-12)
+        tot_c = sum(v for (lg, _), v in wc.items() if lg == c)
+        # spot-check a few terms
+        for vi in (0, len(vocab) // 2, len(vocab) - 1):
+            cnt = wc.get((c, vocab[vi]), 0)
+            assert model["log_lik"][vi, ci] == pytest.approx(
+                math.log((cnt + 1) / (tot_c + len(vocab))), abs=1e-12)
+        assert model["log_lik_oov"][ci] == pytest.approx(
+            math.log(1 / (tot_c + len(vocab))), abs=1e-12)
+
+
+def test_nb_pipeline_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    mine = classify_naive_bayes(SF)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.sql(naive_bayes_oracle_sql()).df()
+    assert len(mine) == len(want)
+    m = mine.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert (m["pred"].astype(str) == w["pred"].astype(str)).all()
+    assert (m["doc_id"].to_numpy() == w["doc_id"].to_numpy()).all()
+
+
+def test_nb_max_features_restricts_vocab(ray_session):
+    full = train_naive_bayes(SF, "lang")
+    small = train_naive_bayes(SF, "lang", max_features=10)
+    assert len(small["vocab"]) == 10
+    assert set(small["vocab"]) <= set(full["vocab"])
+    # still classifies (every doc gets a prediction)
+    out = classify_naive_bayes(SF, max_features=10)
+    assert len(out) == len(classify_naive_bayes(SF))
+    assert out["pred"].notna().all()
+
+
+def test_knn_classifier_vote_semantics(ray_session):
+    """Recount votes independently from the engine's own top-k + per-doc
+    class resolution (classifyFromTopDocs parity)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.classify import _classes_of_hits, _keyword_classes
+    from lucene_ray.pipelines.flagship import build_transcript_index
+    from lucene_ray.search.searcher import IndexSearcher, more_like_this
+
+    searcher = IndexSearcher(build_transcript_index(SF))
+    classes = _keyword_classes(searcher, "role")
+    assert set(classes) <= {"user", "assistant", "system", "tool"}
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    text = t.sort_by([("doc_id", "ascending")]).column("text")[3].as_py()
+    pred, votes, ssum = knn_classify(searcher, text, "role", k=15,
+                                     classes=classes)
+    # brute-force recount from the same top docs
+    q = more_like_this(searcher, text, min_term_freq=1, min_doc_freq=1)
+    td = searcher.search(q, k=15)
+    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
+    cls = _classes_of_hits(searcher, gids, "role", classes)
+    assert all(c in classes for c in cls)          # every hit resolved
+    vc, sc = Counter(), Counter()
+    for h, c in zip(td.hits, cls):
+        vc[c] += 1
+        sc[c] += float(h.score)
+    best = sorted(vc, key=lambda c: (-vc[c], -sc[c], c))[0]
+    assert pred == best and votes == vc[best]
+    assert ssum == pytest.approx(sc[best])
+
+
+def test_classify_knn_pipeline_deterministic(ray_session):
+    a = classify_knn(SF, n_queries=8)
+    b = classify_knn(SF, n_queries=8)
+    assert a.equals(b)
+    assert list(a.columns) == ["i", "pred_role", "votes"]
+    assert len(a) == 8 and (a["votes"] > 0).all()
