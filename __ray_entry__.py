@@ -115,7 +115,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- classification module (reference classification/) ---
         "classify_naive_bayes": _classify_nb,
         "classify_knn": _classify_knn,
+        # --- Monitor over query ASTs (MemoryIndex verification) ---
+        "percolate_ast": _percolate_ast,
     }
+
+
+def _percolate_ast(sf_dir):
+    from lucene_ray.pipelines.percolate import percolate_ast
+
+    return percolate_ast(sf_dir)
 
 
 def _classify_nb(sf_dir):
@@ -508,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
                    ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0)::BIGINT AS n_sampled
             FROM documents""",
         "classify_naive_bayes": _classify_nb_sql(),
+        "percolate_ast": _TOKS + " " + _percolate_ast_sql(),
         # rows-only (non-SQL-expressible / approximate): dedup_minhash,
         # dedup_simhash_pairs, ngram_jaccard, knn_lsh, knn_ivf, knn_hnsw,
         # dedup_embedding_lsh, index_bm25_topk, suggest_fuzzy (Damerau
@@ -519,6 +528,12 @@ def _classify_nb_sql() -> str:
     from lucene_ray.pipelines.classify import naive_bayes_oracle_sql
 
     return naive_bayes_oracle_sql()
+
+
+def _percolate_ast_sql() -> str:
+    from lucene_ray.pipelines.percolate import percolate_ast_oracle_sql
+
+    return percolate_ast_oracle_sql()
 
 
 def _index_bm25_oracle_sql() -> str:

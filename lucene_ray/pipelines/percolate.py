@@ -146,6 +146,177 @@ def percolate(sf_dir: str, queries=None):
     return _read_documents(sf_dir).map_batches(match, batch_format="pyarrow")
 
 
+def trigger_terms(q):
+    """TermFilteredPresearcher term extraction
+    (`monitor/TermFilteredPresearcher.java:1-280` collectTerms): a set of
+    terms such that any matching document must contain AT LEAST ONE, or
+    None when the query cannot be prescreened by exact terms (multi-term
+    expansions, ranges, match-all — the reference's ANYTOKEN fallback,
+    which makes the query a candidate for every document)."""
+    from ..search.query import (
+        FILTER,
+        MUST,
+        SHOULD,
+        BooleanQuery,
+        BoostQuery,
+        ConstantScoreQuery,
+        IntervalQuery,
+        MultiPhraseQuery,
+        PhraseQuery,
+        SynonymQuery,
+        TermInSetQuery,
+        TermQuery,
+    )
+
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, (PhraseQuery, IntervalQuery)):
+        # every phrase term is required — one suffices as a trigger; longest
+        # is the rarity heuristic the reference uses for minimum-weight terms
+        return {max(q.terms, key=lambda t: (len(t), t))}
+    if isinstance(q, MultiPhraseQuery):
+        # one term per slot is required — trigger on the smallest slot
+        slot = min(q.slots, key=len)
+        return set(slot)
+    if isinstance(q, (SynonymQuery, TermInSetQuery)):
+        return set(q.terms)
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return trigger_terms(q.query)
+    if isinstance(q, BooleanQuery):
+        best = None
+        for c in q.clauses:
+            if c.occur in (MUST, FILTER):
+                t = trigger_terms(c.query)
+                if t is not None and (best is None or len(t) < len(best)):
+                    best = t
+        if best is not None:
+            return best
+        shoulds = [trigger_terms(c.query) for c in q.clauses
+                   if c.occur == SHOULD]
+        if shoulds and all(s is not None for s in shoulds):
+            return set().union(*shoulds)
+        return None
+    return None
+
+
+# richer registered set exercising the MemoryIndex verification path
+def _registered_ast():
+    from ..search.query import PhraseQuery, PrefixQuery, bool_query
+
+    return [
+        ("pq-ast-phrase", PhraseQuery(("merge", "join"))),
+        ("pq-ast-bool", bool_query(must=["merge"], should=["sort", "scan"],
+                                   minimum_should_match=1)),
+        ("pq-ast-prefix", PrefixQuery("vec")),
+        ("pq-ast-not", bool_query(must=["window"], must_not=["batch"])),
+    ]
+
+
+class AstMonitor:
+    """Monitor over arbitrary query ASTs (`monitor/Monitor.java:230-254`
+    match flow): vectorized trigger-term presearch (QueryIndex role) +
+    exact per-candidate verification against a single-doc MemoryIndex
+    (`monitor/CandidateMatcher.java` — the reference verifies candidates by
+    running the real query against a MemoryIndex of the streamed doc)."""
+
+    def __init__(self, registered):
+        self.query_ids = np.array([qid for qid, _ in registered], dtype=object)
+        self.queries = [q for _, q in registered]
+        trig = [trigger_terms(q) for q in self.queries]
+        self.always = np.array([i for i, t in enumerate(trig) if t is None],
+                               dtype=np.int64)
+        vocab = sorted({t for ts in trig if ts for t in ts})
+        self.vocab = np.array(vocab, dtype=object)
+        tid = {t: i for i, t in enumerate(vocab)}
+        trig_t, trig_q = [], []
+        for qi, ts in enumerate(trig):
+            for t in (ts or ()):
+                trig_t.append(tid[t])
+                trig_q.append(qi)
+        order = np.argsort(np.array(trig_t, dtype=np.int64), kind="stable")
+        self.trig_t = np.array(trig_t, dtype=np.int64)[order]
+        self.trig_q = np.array(trig_q, dtype=np.int64)[order]
+
+    def match_batch(self, doc_ids: np.ndarray, texts):
+        from ..index.memoryindex import MemoryIndex
+
+        V = len(self.vocab)
+        texts_py = texts.to_pylist() if hasattr(texts, "to_pylist") else list(texts)
+        n_docs = len(texts_py)
+        flat, lens = _flat_tokens_np(texts)
+        flat_np = flat.to_numpy().astype(object)
+        code = np.searchsorted(self.vocab, flat_np) if V else np.empty(0, np.int64)
+        valid = code < V
+        if valid.any():
+            valid[valid] = self.vocab[code[valid]] == flat_np[valid]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        present = (np.unique(doc_idx[valid] * max(V, 1) + code[valid])
+                   if valid.any() else np.empty(0, np.int64))
+        p_doc, p_term = present // max(V, 1), present % max(V, 1)
+        lo = np.searchsorted(self.trig_t, p_term, side="left")
+        hi = np.searchsorted(self.trig_t, p_term, side="right")
+        reps = hi - lo
+        pairs = set()
+        hit = reps > 0
+        if hit.any():
+            cand_doc = np.repeat(p_doc[hit], reps[hit])
+            starts = lo[hit]
+            span = np.arange(reps[hit].sum()) - np.repeat(
+                np.cumsum(reps[hit]) - reps[hit], reps[hit])
+            cand_q = self.trig_q[np.repeat(starts, reps[hit]) + span]
+            pairs.update(zip(cand_doc.tolist(), cand_q.tolist()))
+        for qi in self.always:                   # ANYTOKEN queries
+            pairs.update((d, int(qi)) for d in range(n_docs))
+        # exact verification through a per-doc MemoryIndex, built lazily
+        # once per doc that has candidates
+        mems: dict[int, MemoryIndex] = {}
+        out_d, out_q = [], []
+        for d, qi in sorted(pairs):
+            m = mems.get(d)
+            if m is None:
+                m = MemoryIndex().add_field("text", texts_py[d] or "")
+                mems[d] = m
+            if m.matches(self.queries[qi]):
+                out_d.append(d)
+                out_q.append(qi)
+        idx = np.array(out_d, dtype=np.int64)
+        qidx = np.array(out_q, dtype=np.int64)
+        order = np.lexsort((idx, qidx))
+        return doc_ids[idx[order]] if len(idx) else idx, qidx[order]
+
+
+def percolate_ast(sf_dir: str, registered=None):
+    """(doc_id, query_id) matches of AST-registered queries (phrases,
+    nested booleans, prefix) — presearch + MemoryIndex verify."""
+    from .textstats import _read_documents
+
+    mon = AstMonitor(registered if registered is not None else _registered_ast())
+
+    def match(t: pa.Table) -> pa.Table:
+        docs, qidx = mon.match_batch(t.column("doc_id").to_numpy(),
+                                     t.column("text"))
+        return pa.table({"doc_id": pa.array(docs, type=pa.int64()),
+                         "query_id": pa.array(mon.query_ids[qidx],
+                                              type=pa.string())})
+
+    return _read_documents(sf_dir).map_batches(match, batch_format="pyarrow")
+
+
+def percolate_ast_oracle_sql() -> str:
+    """DuckDB twin of percolate_ast over the fixed _registered_ast set."""
+    phrase = ("' ' || array_to_string(toks, ' ') || ' ' LIKE '% merge join %'")
+    return " UNION ALL ".join([
+        f"SELECT doc_id, 'pq-ast-phrase' AS query_id FROM toklists WHERE {phrase}",
+        "SELECT doc_id, 'pq-ast-bool' AS query_id FROM toklists "
+        "WHERE list_contains(toks, 'merge') AND "
+        "(list_contains(toks, 'sort') OR list_contains(toks, 'scan'))",
+        "SELECT doc_id, 'pq-ast-prefix' AS query_id FROM toklists "
+        "WHERE len(list_filter(toks, x -> x LIKE 'vec%')) > 0",
+        "SELECT doc_id, 'pq-ast-not' AS query_id FROM toklists "
+        "WHERE list_contains(toks, 'window') AND NOT list_contains(toks, 'batch')",
+    ])
+
+
 def percolate_oracle_sql() -> str:
     """DuckDB twin of percolate() over the same registered query set."""
     parts = []
