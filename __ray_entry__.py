@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- classification module (reference classification/) ---
         "classify_naive_bayes": _classify_nb,
         "classify_knn": _classify_knn,
+        "classify_perceptron": _classify_perceptron,
         # --- Monitor over query ASTs (MemoryIndex verification) ---
         "percolate_ast": _percolate_ast,
     }
@@ -136,6 +137,12 @@ def _classify_knn(sf_dir):
     from lucene_ray.pipelines.classify import classify_knn
 
     return classify_knn(sf_dir)
+
+
+def _classify_perceptron(sf_dir):
+    from lucene_ray.pipelines.classify import classify_perceptron
+
+    return classify_perceptron(sf_dir)
 
 
 def _lazy(name):

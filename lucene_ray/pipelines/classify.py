@@ -301,6 +301,152 @@ def knn_classify(searcher, text: str, class_field: str = "role",
     return best, votes[best], ssum[best]
 
 
+def knn_classify_doc(searcher, gid: int, class_field: str = "role",
+                     k: int = 10, classes: list[str] | None = None):
+    """`KNearestNeighborDocumentClassifier.assignClass`: like knn_classify
+    but the query is built from an INDEXED document's term vector
+    (MoreLikeThis like(docNum)) instead of re-analyzed text."""
+    from ..search.searcher import more_like_this_doc
+
+    q = more_like_this_doc(searcher, gid, min_term_freq=1, min_doc_freq=1)
+    if not q.clauses:
+        return None, 0, 0.0
+    td = searcher.search(q, k=k + 1)
+    hits = [h for h in td.hits if h.gid != gid][:k]     # exclude self
+    if not hits:
+        return None, 0, 0.0
+    if classes is None:
+        classes = _keyword_classes(searcher, class_field)
+    gids = np.array([h.gid for h in hits], dtype=np.int64)
+    cls = _classes_of_hits(searcher, gids, class_field, classes)
+    votes: dict[str, int] = {}
+    ssum: dict[str, float] = {}
+    for h, c in zip(hits, cls):
+        if c is None:
+            continue
+        votes[c] = votes.get(c, 0) + 1
+        ssum[c] = ssum.get(c, 0.0) + float(h.score)
+    if not votes:
+        return None, 0, 0.0
+    best = sorted(votes, key=lambda c: (-votes[c], -ssum[c], c))[0]
+    return best, votes[best], ssum[best]
+
+
+# ---------------------------------------------------------------------------
+# Boolean (two-class) perceptron
+# ---------------------------------------------------------------------------
+
+
+def train_perceptron(sf_dir: str, positive_lang: str = "en", epochs: int = 3,
+                     learning_rate: float = 1.0):
+    """Binary perceptron over term-frequency features
+    (`classification/BooleanPerceptronClassifier.java:1-230`: FST of
+    per-term weights updated on misclassified docs, thresholded at 0).
+
+    The reference's update loop is inherently sequential over docs; the
+    distributed re-expression is parameter mixing (averaged perceptron,
+    McDonald/Mann-style): each partition trains a local perceptron for
+    `epochs` passes over its own docs, and the global model is the
+    doc-count-weighted average of the partition weight vectors.  Features
+    hash into a fixed 2^18 weight vector so the broadcast model is bounded
+    regardless of vocabulary size.
+
+    Label: doc.lang == positive_lang (a deterministic stand-in for the
+    reference's boolean class field).  Returns (weights, bias, dim).
+    """
+    import ray.data as rd
+
+    DIM = 1 << 18
+
+    def local_train(t: pa.Table) -> pa.Table:
+        w = np.zeros(DIM, dtype=np.float64)
+        b = 0.0
+        hcodes, lens = _hashed_features(t.column("text"), DIM)
+        starts = _seg_starts(lens)
+        y = np.where(
+            t.column("lang").to_numpy(zero_copy_only=False) == positive_lang,
+            1.0, -1.0)
+        for _ in range(epochs):
+            for i in range(len(lens)):
+                hc = hcodes[starts[i]:starts[i] + lens[i]]
+                score = w[hc].sum() + b
+                if y[i] * score <= 0:           # misclassified → update
+                    np.add.at(w, hc, learning_rate * y[i])
+                    b += learning_rate * y[i]
+        # sparse doc-count-weighted emission; idx=-1 is the per-partition
+        # sentinel carrying (bias, n) exactly once
+        nz = np.nonzero(w)[0]
+        idx = np.concatenate(([-1], nz))
+        wv = np.concatenate(([0.0], w[nz] * len(lens)))
+        return pa.table({
+            "idx": pa.array(idx, type=pa.int64()),
+            "w": pa.array(wv, type=pa.float64()),
+            "b": pa.array(np.r_[b * len(lens), np.zeros(len(nz))],
+                          type=pa.float64()),
+            "n": pa.array(np.r_[len(lens), np.zeros(len(nz), np.int64)],
+                          type=pa.int64()),
+        })
+
+    parts = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["text", "lang"])
+             .map_batches(local_train, batch_format="pyarrow")
+             .to_pandas())
+    if parts.empty:
+        return np.zeros(DIM), 0.0, DIM
+    total_n = int(parts["n"].sum())
+    agg = parts[parts["idx"] >= 0].groupby("idx")["w"].sum()
+    w = np.zeros(DIM, dtype=np.float64)
+    w[agg.index.to_numpy()] = agg.to_numpy() / total_n
+    bias = float(parts["b"].sum()) / total_n
+    return w, bias, DIM
+
+
+def _hashed_features(texts, dim: int):
+    """(per-token hashed feature codes int64, per-doc lengths) — vectorized
+    FNV-1a over the flat Arrow token buffer (no per-token Python)."""
+    from ..util.hashing import fnv1a64
+
+    flat, lens = _flat_tokens_np(texts)
+    hcodes = (fnv1a64(flat.to_arrow()) % np.uint64(dim)).astype(np.int64)
+    return hcodes, lens
+
+
+def perceptron_predict(model, texts) -> np.ndarray:
+    """Vectorized batch prediction: True where w·x + b > 0."""
+    w, b, dim = model
+    hcodes, lens = _hashed_features(pd.Series(list(texts)), dim)
+    scores = np.full(len(lens), b, dtype=np.float64)
+    nz = lens > 0
+    if nz.any():
+        scores[nz] += np.add.reduceat(w[hcodes], _seg_starts(lens)[nz])
+    return scores > 0
+
+
+def classify_perceptron(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, pred) — train the parameter-mixed boolean perceptron
+    (positive class: lang == 'en') and predict every document in one
+    vectorized map_batches pass.  Rows-only driver entry (the averaged
+    model depends on partition boundaries, not SQL-expressible)."""
+    import ray
+    import ray.data as rd
+
+    model = train_perceptron(sf_dir)
+    ref = ray.put(model)
+
+    def pred(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pred": pa.array(perceptron_predict(m, t.column("text").to_pylist())),
+        })
+
+    out = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+           .map_batches(pred, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def classify_knn(sf_dir: str, n_queries: int = 20, k: int = 10) -> pd.DataFrame:
     """(i, pred_role, votes) — kNN-classify the first `n_queries` transcript
     texts (deterministic sample) against the flagship index by `role`.

@@ -107,6 +107,85 @@ def test_knn_classifier_vote_semantics(ray_session):
     assert ssum == pytest.approx(sc[best])
 
 
+def test_knn_doc_classifier_votes(ray_session, tmp_path_factory):
+    """Document-variant kNN classifier over a term-vector-enabled index:
+    vote recount parity + self-exclusion."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.pipelines.classify import (
+        _classes_of_hits,
+        _keyword_classes,
+        knn_classify_doc,
+    )
+    from lucene_ray.search.searcher import IndexSearcher, more_like_this_doc
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(800, seed=33)
+    d = str(tmp_path_factory.mktemp("knndoc"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300,
+                keyword_cols=("role",), term_vectors=True,
+                input_desc="knndoc")
+    searcher = IndexSearcher(d)
+    classes = _keyword_classes(searcher, "role")
+    gid = 5
+    pred, votes, ssum = knn_classify_doc(searcher, gid, "role", k=12,
+                                         classes=classes)
+    assert pred in classes and votes > 0
+    # brute recount
+    q = more_like_this_doc(searcher, gid, min_term_freq=1, min_doc_freq=1)
+    td = searcher.search(q, k=13)
+    hits = [h for h in td.hits if h.gid != gid][:12]
+    assert gid not in [h.gid for h in hits]
+    gids = np.array([h.gid for h in hits], dtype=np.int64)
+    cls = _classes_of_hits(searcher, gids, "role", classes)
+    vc, sc = Counter(), Counter()
+    for h, c in zip(hits, cls):
+        vc[c] += 1
+        sc[c] += float(h.score)
+    best = sorted(vc, key=lambda c: (-vc[c], -sc[c], c))[0]
+    assert (pred, votes) == (best, vc[best])
+    assert ssum == pytest.approx(sc[best])
+
+
+def test_perceptron_linearly_separable(ray_session, tmp_path):
+    """Parameter-mixed perceptron reaches perfect accuracy on a separable
+    synthetic corpus (positive docs carry a marker token)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+
+    from lucene_ray.pipelines.classify import perceptron_predict, train_perceptron
+
+    rng = np.random.default_rng(7)
+    texts, langs = [], []
+    base = ["merge", "join", "scan", "sort", "data", "query"]
+    for i in range(400):
+        words = list(rng.choice(base, size=12))
+        if i % 2 == 0:
+            words.insert(int(rng.integers(0, 12)), "positivemarker")
+            langs.append("en")
+        else:
+            langs.append("de")
+        texts.append(" ".join(words))
+    tbl = pa.table({"doc_id": pa.array(range(400), type=pa.int64()),
+                    "text": texts, "lang": langs})
+    pq_w.write_table(tbl, str(tmp_path / "documents.parquet"))
+    model = train_perceptron(str(tmp_path), positive_lang="en", epochs=5)
+    pred = perceptron_predict(model, texts)
+    want = np.array([lg == "en" for lg in langs])
+    assert (pred == want).all()
+
+
+def test_perceptron_runs_on_real_corpus(ray_session):
+    from lucene_ray.pipelines.classify import perceptron_predict, train_perceptron
+
+    model = train_perceptron(SF, positive_lang="en", epochs=1)
+    w, b, dim = model
+    assert dim == 1 << 18 and np.isfinite(w).all() and np.isfinite(b)
+    pred = perceptron_predict(model, ["the merge join wins", ""])
+    assert pred.shape == (2,) and pred.dtype == bool
+
+
 def test_classify_knn_pipeline_deterministic(ray_session):
     a = classify_knn(SF, n_queries=8)
     b = classify_knn(SF, n_queries=8)
