@@ -228,6 +228,14 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
         nb = np.asarray(rdr.norms)
         norms_parts.append(nb[keep_doc] if keep_doc is not None else nb)
         dm = rdr.docmap()
+        # fold doc-values update generations into the merged segment (the
+        # SegmentMerger reads through the updated reader view and the
+        # sidecars die with the old segment — ReadersAndUpdates semantics)
+        for fld in (m.get("dv_files") or {}):
+            rdr.set_dv_updates(m.get("dv_files"), m.get("dv_ranges"))
+            col = dm.column(fld)
+            upd = pa.array(rdr.docvalue(fld), type=pa.int64()).cast(col.type)
+            dm = dm.set_column(dm.column_names.index(fld), fld, upd)
         dm_parts.append(dm.filter(pa.array(keep_doc)) if keep_doc is not None else dm)
         if want_vecs:
             vm = np.asarray(rdr.vectors(), dtype=np.float32)

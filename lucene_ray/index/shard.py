@@ -775,28 +775,44 @@ class ShardReader:
             self._docmap = pq.read_table(os.path.join(self.dir, DOCMAP_FILE))
         return self._docmap
 
+    def set_dv_updates(self, files: dict | None,
+                       ranges: dict | None = None) -> None:
+        """Attach generational doc-values sidecars (commit-referenced; the
+        `docValuesGen` overlay — newest generation replaces the column)."""
+        self._dv_files = dict(files or {})
+        self._dv_ranges = dict(ranges or {})
+        self._dv_cache = {}
+
     def docvalue(self, field: str) -> np.ndarray:
         """Per-doc int64 doc-values column in local-docID order (lazy, cached;
-        reads only the requested parquet column)."""
+        reads only the requested parquet column; a dv-update sidecar
+        generation, when attached, replaces the original column)."""
         cache = getattr(self, "_dv_cache", None)
         if cache is None:
             cache = self._dv_cache = {}
         dv = cache.get(field)
         if dv is None:
-            if self._docmap is not None:
-                col = self._docmap.column(field)
+            upd = getattr(self, "_dv_files", {}).get(field)
+            if upd and os.path.exists(upd):
+                dv = np.load(upd).astype(np.int64)
             else:
-                col = pq.read_table(os.path.join(self.dir, DOCMAP_FILE),
-                                    columns=[field]).column(field)
-            if pa.types.is_timestamp(col.type):
-                col = pa.compute.cast(col, pa.int64())
-            dv = col.to_numpy(zero_copy_only=False).astype(np.int64)
+                if self._docmap is not None:
+                    col = self._docmap.column(field)
+                else:
+                    col = pq.read_table(os.path.join(self.dir, DOCMAP_FILE),
+                                        columns=[field]).column(field)
+                if pa.types.is_timestamp(col.type):
+                    col = pa.compute.cast(col, pa.int64())
+                dv = col.to_numpy(zero_copy_only=False).astype(np.int64)
             cache[field] = dv
         return dv
 
     def docvalue_range(self, field: str) -> tuple[int, int] | None:
-        """(min, max) for shard pruning, from the manifest; None if unknown."""
-        r = self.manifest.get("docvalues", {}).get(field)
+        """(min, max) for shard pruning — the dv-update generation's range
+        when one is attached (the original manifest range is stale then),
+        else the immutable shard manifest's."""
+        r = getattr(self, "_dv_ranges", {}).get(field) \
+            or self.manifest.get("docvalues", {}).get(field)
         return (int(r[0]), int(r[1])) if r else None
 
     @property

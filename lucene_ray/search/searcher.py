@@ -82,6 +82,8 @@ class IndexSearcher:
         self._pids = [m["pid"] for m in self.commit["shards"]]
         self._bases = {m["pid"]: int(m["doc_base"]) for m in self.commit["shards"]}
         self._dels = {m["pid"]: m.get("del_file") for m in self.commit["shards"]}
+        self._dvu = {m["pid"]: (m.get("dv_files"), m.get("dv_ranges"))
+                     for m in self.commit["shards"] if m.get("dv_files")}
         self._dirs = {m["pid"]: shard_dirname(m) for m in self.commit["shards"]}
         self._stats = None
         self.token_filters = tuple(self.commit.get("token_filters", ()))
@@ -186,8 +188,13 @@ class IndexSearcher:
             del self._readers[pid]
         self._dirs = dirs
         self.token_filters = tuple(latest.get("token_filters", ()))
+        self._dvu = {m["pid"]: (m.get("dv_files"), m.get("dv_ranges"))
+                     for m in latest["shards"] if m.get("dv_files")}
         for pid, r in self._readers.items():
             r.set_deletes(self._dels.get(pid))
+            dvu = self._dvu.get(pid)
+            r.set_dv_updates(dvu[0] if dvu else None,
+                             dvu[1] if dvu else None)
         self._stats = None
         # a new commit may have merged shards (pid reused, docids remapped):
         # drop all cached filter sets, as the reference drops per-core cache
@@ -302,6 +309,9 @@ class IndexSearcher:
             r = ShardReader(os.path.join(self.index_dir, "shards",
                                          self._dirs.get(pid, f"shard-{pid:05d}")))
             r.set_deletes(self._dels.get(pid))
+            dvu = self._dvu.get(pid)
+            if dvu:
+                r.set_dv_updates(dvu[0], dvu[1])
             self._readers[pid] = r
         return r
 
