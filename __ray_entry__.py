@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- suggesters (FST-suggester surface) ---
         "suggest_analyzing": _suggest_analyzing,
         "suggest_fuzzy": _suggest_fuzzy,
+        "suggest_freetext": _suggest_freetext,
         # --- joins ---
         "bucketed_join": _bucketed_join,
         # --- percolator (Monitor) + multimodal actor-pool plumbing ---
@@ -183,6 +184,12 @@ def _suggest_fuzzy(sf_dir):
     from lucene_ray.pipelines.suggesters import suggest_fuzzy
 
     return suggest_fuzzy(sf_dir)
+
+
+def _suggest_freetext(sf_dir):
+    from lucene_ray.pipelines.suggesters import suggest_freetext
+
+    return suggest_freetext(sf_dir)
 
 
 def _bucketed_join(sf_dir):
@@ -524,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "classify_naive_bayes": _classify_nb_sql(),
         "percolate_ast": _TOKS + " " + _percolate_ast_sql(),
+        "suggest_freetext": _suggest_freetext_sql(),
         # rows-only (non-SQL-expressible / approximate): dedup_minhash,
         # dedup_simhash_pairs, ngram_jaccard, knn_lsh, knn_ivf, knn_hnsw,
         # dedup_embedding_lsh, index_bm25_topk, suggest_fuzzy (Damerau
@@ -541,6 +549,12 @@ def _percolate_ast_sql() -> str:
     from lucene_ray.pipelines.percolate import percolate_ast_oracle_sql
 
     return percolate_ast_oracle_sql()
+
+
+def _suggest_freetext_sql() -> str:
+    from lucene_ray.pipelines.suggesters import suggest_freetext_oracle_sql
+
+    return suggest_freetext_oracle_sql()
 
 
 def _index_bm25_oracle_sql() -> str:

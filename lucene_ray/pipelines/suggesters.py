@@ -27,6 +27,163 @@ def _store_dir(sf_dir: str) -> str:
     return d
 
 
+def train_freetext(sf_dir: str, max_order: int = 3, min_count: int = 1):
+    """n-gram language model for the FreeTextSuggester
+    (`suggest/src/java/org/apache/lucene/suggest/analyzing/
+    FreeTextSuggester.java:1-800`: ShingleFilter n-grams → weighted FST;
+    here: distributed n-gram counting — per-batch vectorized gram extraction
+    → ``groupby(gram)`` sum — with the counts kept as plain dicts, the
+    broadcastable model).  Returns {"counts": {order: {gram_str: n}},
+    "totals": {order: Σ}, "max_order": o}; grams join tokens with '\\x1e'
+    (the reference's separator)."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .textstats import _flat_tokens_np
+
+    SEP = "\x1e"
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        flat, lens = _flat_tokens_np(t.column("text"))
+        toks = flat.to_numpy().astype(object)
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        grams, orders = [], []
+        for o in range(1, max_order + 1):
+            if len(toks) < o:
+                break
+            ok = doc[: len(doc) - o + 1] == doc[o - 1:]
+            g = toks[: len(toks) - o + 1].copy()
+            for j in range(1, o):
+                g = g + SEP
+                g = g + toks[j: len(toks) - o + 1 + j]
+            grams.append(g[ok])
+            orders.append(np.full(int(ok.sum()), o, dtype=np.int64))
+        if not grams:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "order": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        tl = pl.DataFrame({"gram": np.concatenate(grams),
+                           "order": np.concatenate(orders)})
+        agg = tl.group_by(["gram", "order"]).agg(
+            pl.len().cast(pl.Int64).alias("cnt"))
+        return agg.to_arrow().cast(pa.schema([
+            ("gram", pa.string()), ("order", pa.int64()), ("cnt", pa.int64())]))
+
+    df = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["text"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["gram", "order"])
+          .aggregate(Sum("cnt", alias_name="cnt"))
+          .to_pandas())
+    counts: dict[int, dict[str, int]] = {o: {} for o in range(1, max_order + 1)}
+    for gram, order, cnt in df.itertuples(index=False):
+        if cnt >= min_count:
+            counts[int(order)][gram] = int(cnt)
+    totals = {o: sum(counts[o].values()) for o in counts}
+    return {"counts": counts, "totals": totals, "max_order": max_order}
+
+
+def freetext_lookup(model, text: str, k: int = 5, alpha: float = 0.4):
+    """Stupid-backoff next-word suggestion (`FreeTextSuggester.lookup`
+    semantics): the longest available context order scores candidates
+    count(context·w)/count(context); each backoff level multiplies by
+    ALPHA (= 0.4, `FreeTextSuggester.java` ALPHA) and only contributes
+    words the higher orders did not already offer.  A trailing partial
+    token (no trailing separator) becomes a prefix filter on the suggested
+    word.  Returns [(word, score)] sorted score desc, word asc."""
+    from .textstats import simple_tokens
+
+    SEP = "\x1e"
+    toks = simple_tokens(text)
+    prefix = ""
+    if text and not text[-1].isspace() and toks:
+        prefix, toks = toks[-1], toks[:-1]
+    counts, totals = model["counts"], model["totals"]
+    max_order = model["max_order"]
+    out: dict[str, float] = {}
+    backoff = 0
+    for order in range(min(max_order, len(toks) + 1), 0, -1):
+        ctx = toks[len(toks) - (order - 1):]
+        ctx_key = SEP.join(ctx)
+        if order > 1:
+            denom = counts[order - 1].get(ctx_key, 0)
+        else:
+            denom = totals[1]
+        if denom:
+            pre = ctx_key + SEP if ctx_key else ""
+            for gram, c in counts[order].items():
+                if not gram.startswith(pre):
+                    continue
+                w = gram[len(pre):]
+                if SEP in w or (prefix and not w.startswith(prefix)):
+                    continue
+                if w not in out:
+                    out[w] = (alpha ** backoff) * c / denom
+        backoff += 1
+    ranked = sorted(out.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return ranked
+
+
+def suggest_freetext(sf_dir: str, contexts=("the", "merge", "data"),
+                     k: int = 5):
+    """(context, rank, term, score) — bigram/unigram FreeTextSuggester over
+    the documents table for fixed one-word contexts.  SQL-checkable EXACTLY:
+    each score is one float64 division of integer counts (plus one 0.4
+    multiply on the backoff path) evaluated in the same operation order as
+    the oracle, so the values compare bit-identical unrounded."""
+    import pandas as pd
+
+    model = train_freetext(sf_dir, max_order=2)
+    rows = []
+    for ctx in contexts:
+        for rank, (w, s) in enumerate(freetext_lookup(model, ctx + " ", k=k),
+                                      start=1):
+            rows.append((ctx, rank, w, s))
+    return pd.DataFrame(rows, columns=["context", "rank", "term", "score"]) \
+        .astype({"context": "object", "rank": "int64", "term": "object",
+                 "score": "float64"})
+
+
+def suggest_freetext_oracle_sql(contexts=("the", "merge", "data"),
+                                k: int = 5) -> str:
+    """DuckDB twin of suggest_freetext (same tokenizer, same backoff)."""
+    ctx_values = ", ".join(f"('{c}')" for c in contexts)
+    return f"""
+WITH toklists AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                x -> lower(x)) AS toks FROM documents),
+tok_pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos FROM toklists),
+big AS (
+  SELECT a.term AS ctx, b.term AS nxt, count(*)::BIGINT AS c
+  FROM tok_pos a JOIN tok_pos b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+uni AS (SELECT term, count(*)::BIGINT AS c FROM tok_pos GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS t FROM tok_pos),
+ctxs(ctx) AS (VALUES {ctx_values}),
+cand AS (
+  SELECT c.ctx, b.nxt AS term, b.c::DOUBLE / u.c AS score
+  FROM ctxs c JOIN big b ON b.ctx = c.ctx JOIN uni u ON u.term = c.ctx
+  UNION ALL
+  SELECT c.ctx, u.term, 0.4 * u.c / (SELECT t FROM tot) AS score
+  FROM ctxs c CROSS JOIN uni u
+  WHERE NOT EXISTS (SELECT 1 FROM big b
+                    WHERE b.ctx = c.ctx AND b.nxt = u.term))
+SELECT ctx AS context,
+       row_number() OVER (PARTITION BY ctx
+                          ORDER BY score DESC, term ASC)::BIGINT AS rank,
+       term, score
+FROM cand
+QUALIFY rank <= {k}
+ORDER BY context, rank
+"""
+
+
 def suggest_analyzing(sf_dir: str, prefix: str = "merge",
                       k: int = 10) -> pa.Table:
     """Top-k completions of `prefix` by weight desc, key asc (exactFirst

@@ -1,0 +1,80 @@
+"""FreeTextSuggester (stupid-backoff n-gram LM): hand-computed trigram /
+backoff / prefix-filter semantics on a tiny corpus, plus the SQL-green
+pipeline shape."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.pipelines.suggesters import (
+    freetext_lookup,
+    suggest_freetext,
+    train_freetext,
+)
+
+DOCS = [
+    "merge join wins",
+    "merge join loses",
+    "merge sort wins",
+    "the merge join",
+    "join wins big",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_model(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ft")
+    pq.write_table(pa.table({"doc_id": list(range(len(DOCS))),
+                             "text": DOCS}), str(d / "documents.parquet"))
+    return train_freetext(str(d), max_order=3)
+
+
+def test_ngram_counts(tiny_model):
+    c = tiny_model["counts"]
+    S = "\x1e"
+    assert c[1]["merge"] == 4 and c[1]["join"] == 4 and c[1]["wins"] == 3
+    assert c[2][f"merge{S}join"] == 3 and c[2][f"merge{S}sort"] == 1
+    assert c[3][f"merge{S}join{S}wins"] == 1
+    assert tiny_model["totals"][1] == sum(len(t.split()) for t in DOCS)
+
+
+def test_trigram_context_scores(tiny_model):
+    # context "merge join" → trigram candidates wins/loses at 1/3 each,
+    # then backoff fills other words at lower weight
+    got = dict(freetext_lookup(tiny_model, "merge join ", k=10))
+    assert got["wins"] == pytest.approx(1 / 3)
+    assert got["loses"] == pytest.approx(1 / 3)
+    # 'sort' never follows "merge join": reached only via backoff, scored
+    # below the trigram candidates
+    assert 0 < got["sort"] < got["wins"]
+
+
+def test_backoff_keeps_higher_order_score(tiny_model):
+    # "join" follows "merge" 3/4 of the time (bigram); the unigram backoff
+    # must NOT overwrite that with 0.4 * 4/16
+    got = dict(freetext_lookup(tiny_model, "merge ", k=10))
+    assert got["join"] == pytest.approx(3 / 4)
+    assert got["sort"] == pytest.approx(1 / 4)
+
+
+def test_prefix_filter(tiny_model):
+    # trailing partial token filters candidates by prefix
+    got = freetext_lookup(tiny_model, "merge jo", k=10)
+    assert [w for w, _ in got] == ["join"]
+    got = freetext_lookup(tiny_model, "merge w", k=10)
+    # 'wins' only via backoff under context 'merge' (no bigram merge→w...)
+    assert [w for w, _ in got] == ["wins"]
+
+
+def test_unseen_context_backs_off_to_unigrams(tiny_model):
+    got = freetext_lookup(tiny_model, "zzz ", k=3)
+    words = [w for w, _ in got]
+    assert words[0] in ("join", "merge")    # highest unigram counts (tie)
+    assert len(got) == 3
+
+
+def test_pipeline_shape(ray_session):
+    df = suggest_freetext("/root/testdata/sf0.001", contexts=("the",), k=5)
+    assert list(df.columns) == ["context", "rank", "term", "score"]
+    assert len(df) == 5 and (df["rank"] == [1, 2, 3, 4, 5]).all()
+    assert df["score"].is_monotonic_decreasing
