@@ -1736,6 +1736,26 @@ def _porter2(word: str) -> str:
 FILTERS["porter2"] = _porter2
 FILTERS["english_snowball"] = _porter2
 
+
+def _phonetic(name):
+    def f(word: str) -> str:
+        from . import phonetic
+
+        return getattr(phonetic, name)(word)
+    return f
+
+
+# analysis/phonetic module (PhoneticFilter inject=false — token replaced by
+# its phonetic key; commons-codec encoder algorithms, public specs)
+FILTERS.update({
+    "soundex": _phonetic("soundex"),
+    "refined_soundex": _phonetic("refined_soundex"),
+    "metaphone": _phonetic("metaphone"),
+    "cologne": _phonetic("cologne"),
+    "nysiis": _phonetic("nysiis"),
+    "caverphone2": _phonetic("caverphone2"),
+})
+
 # stemmer specs that KeywordMarkerFilter protection applies to
 # (`analysis/miscellaneous/KeywordMarkerFilter.java` sets KeywordAttribute;
 # stemmers skip keyword terms)
