@@ -545,6 +545,29 @@ def parse_simple(text: str, field: str = "text", default_operator: str = SHOULD)
     return q if q is not None else BooleanQuery(())
 
 
+@dataclass(frozen=True)
+class ComplexPhraseQuery:
+    """Phrase whose slots may be multi-term expansions — wildcard, prefix,
+    fuzzy, or (a b) alternative groups embedded in a quoted phrase
+    (`queryparser/complexPhrase/ComplexPhraseQueryParser.java:1-480`, which
+    rewrites to SpanNearQuery over SpanMultiTermQueryWrapper spans).  Each
+    slot is a tuple whose elements are concrete term strings or multi-term
+    primitives (PrefixQuery / WildcardQuery / RegexpQuery / FuzzyQuery /
+    TermInSetQuery); expansion happens PER SHARD against that shard's
+    dictionary at execution time (the per-leaf rewrite model — no global
+    dictionary).  Scored constant `boost` per matching doc — the repo's
+    multi-term CONSTANT_SCORE rewrite convention (the reference's span
+    scoring is noted as a divergence, like FuzzyQuery's blended rewrite)."""
+    slots: tuple[tuple, ...]
+    slop: int = 0
+    field: str = "text"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if any(len(s) == 0 for s in self.slots):
+            raise ValueError("empty slot")
+
+
 def parse_classic(text: str, field: str = "text"):
     """Classic-QueryParser syntax (`queryparser/classic/QueryParser.java`
     surface, re-implemented as a small recursive-descent parser):
@@ -561,6 +584,56 @@ def parse_classic(text: str, field: str = "text"):
     Free text falls back to analyzed SHOULD terms (QueryParserBase.parse
     default-field behavior); nested groups execute through the recursive
     dense boolean path."""
+    return _parse_classic(text, field, complex_phrases=False)
+
+
+def parse_complex_phrase(text: str, field: str = "text"):
+    """ComplexPhraseQueryParser dialect (`queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java:1-480`): classic syntax, but quoted
+    phrases may embed wildcard / prefix / fuzzy terms and (a b) alternative
+    groups — e.g. ``"(john jon) smyth~1"`` or ``"merge jo*"~2`` — parsed
+    into :class:`ComplexPhraseQuery`.  Plain quoted phrases stay ordinary
+    PhraseQueries."""
+    return _parse_classic(text, field, complex_phrases=True)
+
+
+def _complex_phrase_query(ptext: str, slop: int, field: str):
+    """Inner-phrase parser: whitespace items; ``(a b)`` = one slot of
+    alternatives; per item wildcard/prefix/fuzzy primitives or analyzed
+    terms."""
+    import re as _re
+
+    from ..analysis.standard import analyze
+
+    slots = []
+    for item in _re.findall(r"\([^)]*\)|\S+", ptext):
+        alts = item[1:-1].split() if item.startswith("(") else [item]
+        slot = []
+        for w in alts:
+            em = _re.fullmatch(r"(.+)~(\d+)", w)
+            if em:
+                base = analyze(em.group(1))
+                if base:
+                    slot.append(FuzzyQuery(base[0], max_edits=int(em.group(2)),
+                                           field=field))
+                continue
+            if "*" in w or "?" in w:
+                if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
+                    slot.append(PrefixQuery(w[:-1].lower(), field))
+                else:
+                    slot.append(WildcardQuery(w.lower(), field))
+                continue
+            slot.extend(analyze(w))
+        if slot:
+            slots.append(tuple(slot))
+    if not slots:
+        return None
+    if len(slots) == 1 and len(slots[0]) == 1 and isinstance(slots[0][0], str):
+        return TermQuery(slots[0][0], field)
+    return ComplexPhraseQuery(tuple(slots), slop=slop, field=field)
+
+
+def _parse_classic(text: str, field: str, complex_phrases: bool):
     import re as _re
 
     # lexer: parens, field ranges, quoted phrases (with slop), bare words
@@ -621,10 +694,16 @@ def parse_classic(text: str, field: str = "text"):
                 continue
             if kind == "phrase":
                 ptext, slop = val
+                slop_i = int(slop) if slop else 0
+                if complex_phrases and _re.search(r"[*?~(]", ptext):
+                    q = _complex_phrase_query(ptext, slop_i, field)
+                    if q is not None:
+                        clauses.append((q, occur))
+                    continue
                 terms = tuple(analyze(ptext))
                 if not terms:
                     continue
-                q = PhraseQuery(terms, field, slop=int(slop) if slop else 0) \
+                q = PhraseQuery(terms, field, slop=slop_i) \
                     if len(terms) > 1 else TermQuery(terms[0], field)
                 clauses.append((q, occur))
                 continue

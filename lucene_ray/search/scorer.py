@@ -597,6 +597,20 @@ def search_shard_phrase_sloppy(reader, terms: list[str], slop: int, scorer,
     return scores, pdocs, total, RELATION_EQ
 
 
+class ConstFreqScorer:
+    """Scorer yielding a constant score for any freq/norm — the
+    CONSTANT_SCORE multi-term rewrite plugged into the phrase machinery
+    (ComplexPhraseQuery execution)."""
+
+    __slots__ = ("boost",)
+
+    def __init__(self, boost: float):
+        self.boost = np.float32(boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        return np.full(len(freqs), self.boost, dtype=np.float32)
+
+
 def search_shard_phrase_general(reader, slots, slop: int, scorer, k: int,
                                 after=None, offsets=None):
     """General phrase execution: multi-term slots (MultiPhraseQuery union

@@ -155,6 +155,14 @@ class IndexSearcher:
 
         if isinstance(q, _CTQ):
             return dataclasses.replace(q, terms=tuple(self._ft(t) for t in q.terms))
+        from .query import ComplexPhraseQuery as _CPQ
+
+        if isinstance(q, _CPQ):
+            # concrete slot terms go through the chain; embedded multi-term
+            # primitives bypass analysis like their standalone counterparts
+            return dataclasses.replace(q, slots=tuple(
+                tuple(self._ft(el) if isinstance(el, str) else el
+                      for el in slot) for slot in q.slots))
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return dataclasses.replace(q, query=self._normalize(q.query))
         if isinstance(q, BooleanQuery):
@@ -426,6 +434,14 @@ class IndexSearcher:
                     "spannot": (query.include, query.exclude,
                                 int(query.pre), int(query.post)),
                     "boost": query.boost}
+        from .query import ComplexPhraseQuery as _CPQ
+
+        if isinstance(query, _CPQ):
+            # slots expand per shard at execution (SpanMultiTermQueryWrapper
+            # per-leaf rewrite); constant-score
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "complex_phrase": query}
         if isinstance(query, RangeQuery):
             # standalone numeric range: constant-score over the doc-values
             # mask (PointRangeQuery rewritten to constant score)
@@ -651,6 +667,27 @@ class IndexSearcher:
             return search_shard_phrase_general(
                 rdr, slots, slop, scorer, k, after=after,
                 offsets=compiled.get("phrase_offsets"))
+        if compiled.get("complex_phrase") is not None:
+            from .scorer import ConstFreqScorer, search_shard_phrase_general
+
+            cpq = compiled["complex_phrase"]
+            slots = []
+            for slot in cpq.slots:
+                terms: list[str] = []
+                for el in slot:
+                    if isinstance(el, str):
+                        terms.append(el)
+                    else:
+                        terms.extend(self._expand_shard(rdr, el))
+                if not terms:       # an unexpandable slot kills the phrase
+                    from .scorer import RELATION_EQ
+
+                    return (np.zeros(0, np.float32), np.zeros(0, np.int32),
+                            0, RELATION_EQ)
+                slots.append(tuple(sorted(set(terms))))
+            return search_shard_phrase_general(
+                rdr, slots, int(cpq.slop), ConstFreqScorer(cpq.boost),
+                k, after=after)
         if compiled.get("phrase"):
             terms, scorer, slop = compiled["phrase"]
             if slop > 0:

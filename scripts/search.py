@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--simple", action="store_true",
                     help="SimpleQueryParser dialect (tolerant: + | - parens "
                          "\"phrase\"~n prefix* fuzzy~n)")
+    ap.add_argument("--complex", action="store_true",
+                    help="ComplexPhrase dialect (wildcards/fuzzy/groups "
+                         "inside quoted phrases, e.g. '\"merge jo*\"~2')")
     ap.add_argument("--surround", action="store_true",
                     help="surround dialect (a 3W b / 3N(a,b,c) proximity, "
                          "AND/OR/NOT, prefix forms)")
@@ -67,6 +70,10 @@ def main():
         from lucene_ray.search.query import parse_classic
 
         q = parse_classic(args.query)
+    elif args.complex:
+        from lucene_ray.search.query import parse_complex_phrase
+
+        q = parse_complex_phrase(args.query)
     elif args.simple:
         from lucene_ray.search.query import parse_simple
 
