@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_bm25_sql_topk": _index_bm25_sql_topk,
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
+        "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
         "index_delete_count": _lazy("index_delete_count"),
@@ -397,6 +398,11 @@ def oracle_sql() -> dict[str, str]:
         "index_prefix_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE len(list_filter(toks, t -> t LIKE 's%')) > 0""",
+        "index_complex_phrase_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE len(toks) >= 2 AND len(list_filter(
+                generate_series(1, len(toks) - 1),
+                i -> toks[i] = 'merge' AND toks[i + 1] LIKE 'jo%')) > 0""",
         "index_keyword_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE doc_id % 4 = 0 AND list_contains(toks, 'merge')""",

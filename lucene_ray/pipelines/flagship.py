@@ -93,6 +93,16 @@ def index_prefix_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
 
 
+def index_complex_phrase_count(sf_dir: str) -> pd.DataFrame:
+    """ComplexPhrase doc count: 'merge' followed by a 'jo'-prefixed token
+    (wildcard-in-phrase, per-shard slot expansion)."""
+    from ..search.query import ComplexPhraseQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n = searcher.count(ComplexPhraseQuery((("merge",), (PrefixQuery("jo"),))))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
 def index_keyword_count(sf_dir: str) -> pd.DataFrame:
     """Keyword FILTER + scoring term conjunction through the index."""
     from ..index.shard import keyword_term
