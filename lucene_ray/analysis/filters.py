@@ -1589,6 +1589,17 @@ def scandinavian_fold(word: str) -> str:
     return "".join(out)
 
 
+def apostrophe_strip(word: str) -> str:
+    """ApostropheFilter (`analysis/tr/ApostropheFilter.java:1-60`): drop the
+    apostrophe and everything after it (Turkish possessive suffixes:
+    istanbul'da → istanbul)."""
+    for apo in ("'", "’"):
+        i = word.find(apo)
+        if i >= 0:
+            return word[:i]
+    return word
+
+
 def cjk_width(word: str) -> str:
     """CJKWidthFilter (`analysis/cjk/CJKWidthFilter.java`), fullwidth half:
     fold fullwidth ASCII variants (U+FF01–FF5E) to Basic Latin and
@@ -1724,6 +1735,7 @@ FILTERS.update({
     "decimal_digit": decimal_digit_fold,
     "cjk_width": cjk_width,
     "turkish_lower": turkish_lower,
+    "apostrophe": apostrophe_strip,
 })
 
 
@@ -2363,7 +2375,9 @@ ANALYZER_PRESETS = {
     "persian": ("arabic_normalize", "persian_normalize"),
     "sorani": ("sorani_normalize", "sorani_stem"),
     "hindi": ("hindi",),
-    "turkish": ("turkish_lower",),
+    # TurkishAnalyzer chain: ApostropheFilter then TurkishLowerCaseFilter
+    # (`analysis/tr/TurkishAnalyzer.java:104-110`)
+    "turkish": ("apostrophe", "turkish_lower"),
     "danish": ("danish_snowball",),
     "dutch": ("dutch_snowball",),
     "greek": ("greek_lowercase", "greek"),

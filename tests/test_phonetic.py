@@ -79,6 +79,14 @@ def test_metaphone_rules():
     assert metaphone("rite") == metaphone("Wright")   # sound-alike
 
 
+def test_apostrophe_filter():
+    from lucene_ray.analysis.filters import apostrophe_strip
+
+    assert apostrophe_strip("istanbul'da") == "istanbul"
+    assert apostrophe_strip("türkiye’nin") == "türkiye"
+    assert apostrophe_strip("plain") == "plain"
+
+
 def test_filter_registry_and_index(ray_session, tmp_path):
     import ray.data as rd
 
