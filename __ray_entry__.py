@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
         "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
+        "index_highlight_topk": _lazy("index_highlight_topk"),
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
         "index_delete_count": _lazy("index_delete_count"),

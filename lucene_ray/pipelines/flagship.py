@@ -93,6 +93,36 @@ def index_prefix_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
 
 
+def index_highlight_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """BM25 top-k for 'merge join' with sentence-passage snippets
+    (UnifiedHighlighter model: sentence BreakIterator + passage scoring).
+    Rows-only driver entry — passage scoring is not SQL-expressible; the
+    snippet/selection math has pytest oracles (tests/test_parser_highlight)."""
+    import pyarrow.parquet as pq
+
+    from ..search.highlight import highlight_sentences
+    from ..sources.transcripts import TURNS_PER_CONV
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    td = searcher.search(bool_query(must=["merge", "join"]), k=k)
+    # invert the deterministic documents→transcripts key mapping
+    doc_ids = [int(h.conv_id[5:]) * TURNS_PER_CONV + int(h.turn_idx)
+               for h in td.hits]
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "in", list(set(doc_ids)))])
+    texts = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("text").to_pylist()))
+    rows = []
+    for rank, (h, did) in enumerate(zip(td.hits, doc_ids), start=1):
+        snip = highlight_sentences(texts.get(did, ""),
+                                   ["merge", "join"], num_passages=1)
+        rows.append((rank, h.conv_id, int(h.turn_idx), snip or ""))
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
+                                       "snippet"]).astype(
+        {"rank": "int64", "turn_idx": "int64"})
+
+
 def index_complex_phrase_count(sf_dir: str) -> pd.DataFrame:
     """ComplexPhrase doc count: 'merge' followed by a 'jo'-prefixed token
     (wildcard-in-phrase, per-shard slot expansion)."""
