@@ -680,8 +680,6 @@ class IndexSearcher:
                     else:
                         terms.extend(self._expand_shard(rdr, el))
                 if not terms:       # an unexpandable slot kills the phrase
-                    from .scorer import RELATION_EQ
-
                     return (np.zeros(0, np.float32), np.zeros(0, np.int32),
                             0, RELATION_EQ)
                 slots.append(tuple(sorted(set(terms))))
