@@ -27,7 +27,8 @@ def _store_dir(sf_dir: str) -> str:
     return d
 
 
-def train_freetext(sf_dir: str, max_order: int = 3, min_count: int = 1):
+def train_freetext(sf_dir: str, max_order: int = 3, min_count: int = 1,
+                   max_grams_per_order: int | None = None):
     """n-gram language model for the FreeTextSuggester
     (`suggest/src/java/org/apache/lucene/suggest/analyzing/
     FreeTextSuggester.java:1-800`: ShingleFilter n-grams → weighted FST;
@@ -72,12 +73,33 @@ def train_freetext(sf_dir: str, max_order: int = 3, min_count: int = 1):
         return agg.to_arrow().cast(pa.schema([
             ("gram", pa.string()), ("order", pa.int64()), ("cnt", pa.int64())]))
 
-    df = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["text"])
-          .map_batches(partial, batch_format="pyarrow")
-          .groupby(["gram", "order"])
-          .aggregate(Sum("cnt", alias_name="cnt"))
-          .to_pandas())
+    agg = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["gram", "order"])
+           .aggregate(Sum("cnt", alias_name="cnt")))
+    if max_grams_per_order is not None:
+        # 100-TB guard: web-scale trigram vocabularies dwarf driver memory.
+        # Per-block top-k combiner (blocks hold disjoint grams after the
+        # groupby), then the final head() — the same shape as
+        # textstats.top_terms; the full gram table never reaches the driver.
+        m = max_grams_per_order
+
+        def local_topk(t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            return (pl.from_arrow(t)
+                    .sort(["cnt", "gram"], descending=[True, False])
+                    .group_by("order", maintain_order=True)
+                    .head(m)
+                    .select(t.column_names)        # polars group_by reorders
+                    .to_arrow().cast(t.schema))
+
+        df = (agg.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+              .sort_values(["cnt", "gram"], ascending=[False, True])
+              .groupby("order", sort=False).head(m))
+    else:
+        df = agg.to_pandas()
     counts: dict[int, dict[str, int]] = {o: {} for o in range(1, max_order + 1)}
     for gram, order, cnt in df.itertuples(index=False):
         if cnt >= min_count:

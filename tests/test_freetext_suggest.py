@@ -73,6 +73,19 @@ def test_unseen_context_backs_off_to_unigrams(tiny_model):
     assert len(got) == 3
 
 
+def test_max_grams_cap(ray_session, tmp_path):
+    pq.write_table(pa.table({"doc_id": list(range(len(DOCS))),
+                             "text": DOCS}), str(tmp_path / "documents.parquet"))
+    capped = train_freetext(str(tmp_path), max_order=2,
+                            max_grams_per_order=3)
+    assert all(len(capped["counts"][o]) <= 3 for o in capped["counts"])
+    # the cap keeps the highest-count grams
+    full = train_freetext(str(tmp_path), max_order=2)
+    top_uni = sorted(full["counts"][1].items(),
+                     key=lambda x: (-x[1], x[0]))[:3]
+    assert capped["counts"][1] == dict(top_uni)
+
+
 def test_pipeline_shape(ray_session):
     df = suggest_freetext("/root/testdata/sf0.001", contexts=("the",), k=5)
     assert list(df.columns) == ["context", "rank", "term", "score"]
