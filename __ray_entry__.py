@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
         "index_delete_count": _lazy("index_delete_count"),
+        "index_dv_update_count": _lazy("index_dv_update_count"),
         # --- doc-values: numeric/date range + sort-by-field (SURVEY §2 gaps
         #     closed in round 2) ---
         "index_range_count": _lazy("index_range_count"),
@@ -413,6 +414,9 @@ def oracle_sql() -> dict[str, str]:
         "index_delete_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE doc_id % 7 <> 0 AND list_contains(toks, 'merge')""",
+        "index_dv_update_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE doc_id % 5 = 0 AND list_contains(toks, 'merge')""",
         # ts = 1700000000000000 + doc_id * 1000000 (transcript adapter), so the
         # ts window [BASE+100e6, BASE+300e6] is exactly doc_id in [100, 300]
         "index_range_count": _TOKS + """

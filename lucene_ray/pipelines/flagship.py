@@ -195,6 +195,45 @@ def index_delete_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
 
 
+DV_SENTINEL_TS = 9_000_000_000_000_000        # far above every real ts
+
+
+def index_dv_update_count(sf_dir: str) -> pd.DataFrame:
+    """updateNumericDocValue through the driver gate: build a private index,
+    set ts to a sentinel for every doc with doc_id %% 5 == 0 (generational
+    dv sidecars), and count 'merge' docs whose ts now equals the sentinel —
+    SQL mirror filters the same modulo predicate."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..index.dvupdates import update_numeric_docvalue
+    from ..search.query import BooleanClause, BooleanQuery, RangeQuery, TermQuery
+    from ..search.query import FILTER as F, MUST as M
+    from ..sources.transcripts import TURNS_PER_CONV
+
+    index_dir = index_dir_for(sf_dir) + "-dvu"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ds = transcripts_from_documents(sf_dir)
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                docvalue_cols=("ts",), input_desc=f"documents@{sf_dir}+dvu")
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]) \
+        .column("doc_id").to_numpy()
+    victims = doc_ids[doc_ids % 5 == 0]
+    keys = pa.table({
+        "conv_id": pa.array([f"conv-{d // TURNS_PER_CONV:08d}" for d in victims]),
+        "turn_idx": pa.array((victims % TURNS_PER_CONV).astype("int32")),
+    })
+    update_numeric_docvalue(index_dir, keys, "ts", DV_SENTINEL_TS)
+    searcher = IndexSearcher(index_dir)
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), M),
+                      BooleanClause(RangeQuery("ts", DV_SENTINEL_TS,
+                                               DV_SENTINEL_TS), F)))
+    n = searcher.count(q)
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
 # doc_id range for the ts range-query entries (ts = BASE_TS_US + doc_id*1e6)
 RANGE_LO_DOC, RANGE_HI_DOC = 100, 300
 SORT_K = 15
