@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_term_dictionary": index_term_dictionary,
         "index_bm25_topk": index_bm25_topk,
         "index_bm25_sql_topk": _index_bm25_sql_topk,
+        "index_diversified_topk": _lazy("index_diversified_topk"),
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
         "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
@@ -386,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS ttf
             FROM tokens GROUP BY term ORDER BY term""",
         "index_bm25_sql_topk": _index_bm25_oracle_sql(),
+        "index_diversified_topk": _index_diversified_sql(),
         "index_bm25_bool_sql": _index_bool_oracle_sql(),
         "index_conv_topk": _conv_join_sql(),
         "index_mlt_topk": _mlt_sql(),
@@ -572,6 +574,12 @@ def _index_bm25_oracle_sql() -> str:
     from lucene_ray.pipelines.flagship import index_bm25_oracle_sql
 
     return index_bm25_oracle_sql()
+
+
+def _index_diversified_sql() -> str:
+    from lucene_ray.pipelines.flagship import index_diversified_oracle_sql
+
+    return index_diversified_oracle_sql()
 
 
 def _index_bool_oracle_sql() -> str:

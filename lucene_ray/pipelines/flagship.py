@@ -423,6 +423,42 @@ def index_bm25_sql_topk(sf_dir: str) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64"})
 
 
+DIV_MAX_PER_KEY = 1
+
+
+def index_diversified_topk(sf_dir: str) -> pd.DataFrame:
+    """DiversifiedTopDocsCollector through the driver gate: BM25 top-k with
+    at most DIV_MAX_PER_KEY hit per conversation; SQL twin caps via
+    row_number() over the same scored CTE.  (rank, conv_id, turn_idx,
+    score 4dp)."""
+    from ..search.query import bool_query
+    from ..search.searcher import diversified_search
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    td = diversified_search(searcher, bool_query(should=list(BM25_SQL_TERMS)),
+                            k=BM25_SQL_K, max_per_key=DIV_MAX_PER_KEY)
+    rows = [(r, h.conv_id, int(h.turn_idx), round(float(h.score), 4))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+def index_diversified_oracle_sql() -> str:
+    return f"""
+        WITH {bm25_scored_cte(BM25_SQL_TERMS)},
+        capped AS (
+          SELECT doc_id, score,
+                 row_number() OVER (PARTITION BY doc_id // 5
+                                    ORDER BY score DESC, doc_id ASC) AS rk
+          FROM scored)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               round(score, 4) AS score
+        FROM capped WHERE rk <= {DIV_MAX_PER_KEY}
+        ORDER BY score DESC, doc_id ASC LIMIT {BM25_SQL_K}"""
+
+
 def _normmap_values() -> str:
     """VALUES list of (raw length -> SmallFloat-decoded length) pairs for
     every length that can occur in this corpus (<= 1024)."""

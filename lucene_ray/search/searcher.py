@@ -1163,6 +1163,33 @@ def suggest(searcher: "IndexSearcher", prefix: str, k: int = 10) -> list[tuple[s
     return ranked[:k]
 
 
+def diversified_search(searcher: "IndexSearcher", query, k: int = 10,
+                       max_per_key: int = 1) -> TopDocs:
+    """Diversified top-k (`misc/src/java/org/apache/lucene/misc/search/
+    DiversifiedTopDocsCollector.java:1-200`): global score order, but at
+    most `max_per_key` hits per key (here the conversation) — equivalent to
+    per-key top-m then global top-k.  Greedy selection over the globally
+    ordered hit stream is exact because ties break (score desc, gid asc)
+    deterministically.
+
+    Scale note: conversations are co-located in one shard by the build's
+    conv_id partitioning, so the distributed form applies the cap per shard
+    inside the query actors and merges k as usual; this driver-side form
+    consumes the merged stream directly."""
+    td = searcher.search(query, k=searcher.doc_count,
+                         total_hits_threshold=2**31 - 1)
+    taken: dict[str, int] = {}
+    hits = []
+    for h in td.hits:
+        c = taken.get(h.conv_id, 0)
+        if c < max_per_key:
+            taken[h.conv_id] = c + 1
+            hits.append(h)
+            if len(hits) == k:
+                break
+    return TopDocs(hits, td.total_hits, td.relation)
+
+
 def more_like_this(searcher: "IndexSearcher", text: str,
                    max_query_terms: int = 25, min_term_freq: int = 2,
                    min_doc_freq: int = 5):

@@ -117,6 +117,49 @@ class ClassicSimilarity:
                             lambda f: np.sqrt(f, dtype=np.float32))
 
 
+class SweetSpotSimilarity(ClassicSimilarity):
+    """`misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java`:
+    classic TF-IDF with a flat length-norm "sweet spot" plateau and a
+    baseline tf.
+
+    - lengthNorm(dl) = 1/sqrt(steepness * (|dl-min| + |dl-max| - (max-min))
+      + 1): inside [ln_min, ln_max] the norm is exactly 1; outside it decays
+      (`setLengthNormFactors`, SweetSpotSimilarity.java:110-140).
+    - baselineTf(freq) = 0 if freq <= 0; base if freq <= tf_min; else
+      sqrt(freq + base² - tf_min) (`baselineTf`, :160-185).  Defaults
+      (base=0, tf_min=0) reduce to sqrt(freq).
+
+    The reference bakes lengthNorm into the index-time norm byte; here norms
+    store the SmallFloat-encoded LENGTH, so the plateau applies at query
+    time over the decoded-length table — same math, same quantization."""
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 steepness: float = 0.5, tf_base: float = 0.0,
+                 tf_min: float = 0.0):
+        self.ln_min = float(ln_min)
+        self.ln_max = float(ln_max)
+        self.steepness = float(steepness)
+        self.tf_base = np.float32(tf_base)
+        self.tf_min = np.float32(tf_min)
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        dl = np.maximum(LENGTH_TABLE, 1.0).astype(np.float64)
+        raw = (self.steepness
+               * (np.abs(dl - self.ln_min) + np.abs(dl - self.ln_max)
+                  - (self.ln_max - self.ln_min)) + 1.0)
+        cache = (1.0 / np.sqrt(raw)).astype(np.float32)
+        base, fmin = self.tf_base, self.tf_min
+
+        def tf(f):
+            out = np.sqrt(np.maximum(f + base * base - fmin,
+                                     np.float32(0.0)), dtype=np.float32)
+            out = np.where(f <= fmin, base, out)
+            return np.where(f <= 0, np.float32(0.0), out).astype(np.float32)
+
+        return _TableScorer(np.float32(boost) * idf * idf, cache, tf)
+
+
 class BooleanSimilarity:
     """Frequency- and length-blind matching score = boost
     (`search/similarities/BooleanSimilarity.java`)."""

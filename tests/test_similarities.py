@@ -305,3 +305,72 @@ def test_multi_similarity_sum(sim_index):
     q = bool_query(should=["merge", "join", "scan"])
     assert [(h.gid, h.score) for h in s_w.search(q, k=10).hits] == \
            [(h.gid, h.score) for h in s_t.search(q, k=10).hits]
+
+
+def test_sweetspot_defaults_equal_classic(sim_index):
+    """ln_min=ln_max=1, steepness=0.5 collapses the plateau formula to
+    1/sqrt(dl); base=0, tf_min=0 collapses baselineTf to sqrt(freq) — the
+    default SweetSpotSimilarity must score exactly like Classic
+    (SweetSpotSimilarity.java javadoc: defaults 'should produce results
+    identical to DefaultSimilarity')."""
+    from lucene_ray.search.similarity import SweetSpotSimilarity
+
+    d, tokens = sim_index
+    sc = IndexSearcher(d, similarity=ClassicSimilarity())
+    ss = IndexSearcher(d, similarity=SweetSpotSimilarity())
+    for term in ("merge", "data"):
+        a = sc.search(bool_query(should=[term]), k=20,
+                      total_hits_threshold=2**31 - 1)
+        b = ss.search(bool_query(should=[term]), k=20,
+                      total_hits_threshold=2**31 - 1)
+        assert [(h.gid, h.score) for h in a.hits] == \
+               [(h.gid, h.score) for h in b.hits]
+
+
+def test_sweetspot_plateau_oracle(sim_index):
+    """With a [2, 60] plateau, docs whose decoded length falls inside score
+    with lengthNorm exactly 1; outside, the steepness decay applies —
+    checked against a direct evaluation of the published formula."""
+    from lucene_ray.search.similarity import SweetSpotSimilarity
+
+    d, tokens = sim_index
+    lo, hi, steep = 2, 60, 0.5
+    s = IndexSearcher(d, similarity=SweetSpotSimilarity(
+        ln_min=lo, ln_max=hi, steepness=steep))
+    N = sum(1 for t in tokens if t)
+    term = "merge"
+    df = sum(term in set(t) for t in tokens)
+    idf = np.float32(np.log((N + 1) / (df + 1.0)) + 1.0)
+    td = s.search(bool_query(should=[term]), k=25,
+                  total_hits_threshold=2**31 - 1)
+    saw_inside = saw_outside = False
+    for h in td.hits:
+        f = tokens[h.gid].count(term)
+        dl = _decoded_dl(tokens, h.gid)
+        norm = 1.0 / np.sqrt(
+            steep * (abs(dl - lo) + abs(dl - hi) - (hi - lo)) + 1.0)
+        expect = float(np.float32(idf * idf)
+                       * np.float32(np.sqrt(np.float32(f)))
+                       * np.float32(norm))
+        assert abs(h.score - expect) < 1e-5 * max(1.0, abs(expect))
+        if lo <= dl <= hi:
+            saw_inside = True
+            assert norm == pytest.approx(1.0)
+        else:
+            saw_outside = True
+    assert saw_inside      # the plateau actually covered some docs
+
+
+def test_sweetspot_baseline_tf(sim_index):
+    """tf_base/tf_min reshape the tf curve: freq <= tf_min scores base."""
+    from lucene_ray.search.similarity import SweetSpotSimilarity
+
+    sim = SweetSpotSimilarity(tf_base=1.5, tf_min=2.0)
+    sc = sim.scorer_with_idf(1.0, np.float32(1.0), 100, 1000)
+    f = np.array([0, 1, 2, 5], dtype=np.float32)
+    norms = np.array([int(int_to_byte4(np.int64(1)))] * 4, dtype=np.uint8)
+    got = sc.score(f, norms)
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.5)            # freq <= min -> base
+    assert got[2] == pytest.approx(1.5)
+    assert got[3] == pytest.approx(np.sqrt(5 + 1.5 ** 2 - 2.0), rel=1e-6)
