@@ -144,11 +144,14 @@ class SweetSpotSimilarity(ClassicSimilarity):
 
     def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
                         sum_ttf: int):
-        dl = np.maximum(LENGTH_TABLE, 1.0).astype(np.float64)
-        raw = (self.steepness
-               * (np.abs(dl - self.ln_min) + np.abs(dl - self.ln_max)
-                  - (self.ln_max - self.ln_min)) + 1.0)
-        cache = (1.0 / np.sqrt(raw)).astype(np.float32)
+        # float32 throughout so the default parameters reproduce Classic's
+        # 1/sqrt(dl) cache BIT-EXACTLY (steep=0.5, min=max=1 → raw == dl)
+        dl = np.maximum(LENGTH_TABLE, np.float32(1.0)).astype(np.float32)
+        raw = (np.float32(self.steepness)
+               * (np.abs(dl - np.float32(self.ln_min))
+                  + np.abs(dl - np.float32(self.ln_max))
+                  - np.float32(self.ln_max - self.ln_min)) + np.float32(1.0))
+        cache = (np.float32(1.0) / np.sqrt(raw)).astype(np.float32)
         base, fmin = self.tf_base, self.tf_min
 
         def tf(f):
