@@ -118,7 +118,7 @@ def main():
             "lmdirichlet": sims.LMDirichletSimilarity,
             "lmjm": sims.LMJelinekMercerSimilarity,
             "dfr": sims.DFRSimilarity, "ib": sims.IBSimilarity,
-            "dfi": sims.DFISimilarity,
+            "dfi": sims.DFISimilarity, "sweetspot": sims.SweetSpotSimilarity,
         }.get(sim_name)
         if sim is not None:
             searcher = IndexSearcher(args.index, similarity=sim())
