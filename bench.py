@@ -187,6 +187,12 @@ def run_bench() -> dict:
     timed("sessionize", windows.sessionize)
     timed("bm25_scan_topk", bm25scan.bm25_scan_topk)
     timed("percolate", percolate_mod.percolate)
+    # round-3 session-5 components: NB classification (distributed train +
+    # broadcast scoring) and AST percolation (presearch + MemoryIndex verify)
+    from lucene_ray.pipelines import classify as classify_mod
+
+    timed("classify_nb", classify_mod.classify_naive_bayes)
+    timed("percolate_ast", percolate_mod.percolate_ast)
 
     calib = None
     if os.environ.get("BENCH_CALIBRATE"):

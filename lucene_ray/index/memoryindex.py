@@ -57,6 +57,19 @@ class MemoryIndex:
         self._len[field] = base + len(toks)
         return self
 
+    @classmethod
+    def from_tokens(cls, tokens, field: str = "text") -> "MemoryIndex":
+        """Build directly from an ALREADY-analyzed token sequence — the
+        fromAnalyzer-bypass used when the caller has batch-tokenized text
+        (the percolator's vectorized pipeline re-uses its flat token arrays
+        instead of re-running the per-string analyzer)."""
+        m = cls()
+        d = m._pos.setdefault(field, {})
+        for i, t in enumerate(tokens):
+            d.setdefault(t, []).append(i)
+        m._len[field] = len(tokens)
+        return m
+
     def add_keyword(self, field: str, value: str) -> "MemoryIndex":
         """Untokenized single-term field (KeywordAnalyzer addField)."""
         from .shard import keyword_term
@@ -84,9 +97,73 @@ class MemoryIndex:
         return float(score) if matched else 0.0
 
     def matches(self, query, field: str = "text") -> bool:
+        """Match-only evaluation — no scoring work (the percolator's hot
+        path; `MemoryIndex.search` callers who only test > 0 in the
+        reference pay the score, we don't have to)."""
+        from ..search.query import (
+            FILTER,
+            MUST,
+            MUST_NOT,
+            SHOULD,
+            BooleanQuery,
+            BoostQuery,
+            ConstantScoreQuery,
+            IntervalQuery,
+            MatchAllDocsQuery,
+            MatchNoDocsQuery,
+            MultiPhraseQuery,
+            PhraseQuery,
+            SynonymQuery,
+            TermQuery,
+        )
+
+        q = query
+        if isinstance(q, TermQuery):
+            return bool(self._positions(field, q.term))
+        if isinstance(q, MatchAllDocsQuery):
+            return True
+        if isinstance(q, MatchNoDocsQuery):
+            return False
+        if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            return self.matches(q.query, field)
+        if isinstance(q, SynonymQuery):
+            return any(self._positions(field, t) for t in q.terms)
+        if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
+            return self._phrase_freq(q, field)[0] > 0
+        if isinstance(q, BooleanQuery):
+            required: bool | None = None
+            matched = False
+            any_positive = False
+            should_hits = 0
+            for c in q.clauses:
+                m = self.matches(c.query, field)
+                if c.occur in (SHOULD, MUST):
+                    any_positive = True
+                    if m:
+                        matched = True
+                        if c.occur == SHOULD:
+                            should_hits += 1
+                    if c.occur == MUST:
+                        required = m if required is None else (required and m)
+                elif c.occur == FILTER:
+                    required = m if required is None else (required and m)
+                elif c.occur == MUST_NOT and m:
+                    return False
+            if required is not None:
+                ok = required
+            elif any_positive:
+                ok = matched
+            else:
+                ok = False
+            if q.minimum_should_match:
+                ok = ok and should_hits >= q.minimum_should_match
+            return bool(ok)
+        if isinstance(q, IntervalQuery):
+            return self._interval(q, field)[1]
+        # multi-term / range / keyword shapes carry no scoring anyway
         from ..search.similarity import BM25Similarity
 
-        return self._eval(query, field, BM25Similarity())[1]
+        return self._eval(q, field, BM25Similarity())[1]
 
     # ---- internals ----
 
@@ -252,7 +329,8 @@ class MemoryIndex:
             raise TypeError(type(query).__name__)
         return np.float32(getattr(query, "boost", 1.0)), ok
 
-    def _phrase(self, query, field: str, sim) -> tuple:
+    def _phrase_freq(self, query, field: str):
+        """(phrase freq, present terms) — 0 freq means no match."""
         from ..search.query import MultiPhraseQuery
         from ..search.scorer import sloppy_freq
 
@@ -267,7 +345,7 @@ class MemoryIndex:
         for ts in slots:
             merged = sorted(p for t in ts for p in self._positions(field, t))
             if not merged:
-                return np.float32(0.0), False
+                return np.float32(0.0), []
             pos_lists.append(np.array(merged, dtype=np.int64))
             present_terms.extend(t for t in ts if self._positions(field, t))
         flat = [t for ts in slots for t in ts]
@@ -282,6 +360,10 @@ class MemoryIndex:
             for i, pl in enumerate(pos_lists[1:], start=1):
                 starts = starts[np.isin(starts, pl - i)]
             freq = np.float32(len(starts))
+        return np.float32(freq), present_terms
+
+    def _phrase(self, query, field: str, sim) -> tuple:
+        freq, present_terms = self._phrase_freq(query, field)
         if freq <= 0:
             return np.float32(0.0), False
         # PhraseWeight: idf = Σ idf over PRESENT terms (df=1 each; absent

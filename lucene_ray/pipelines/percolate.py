@@ -199,6 +199,57 @@ def trigger_terms(q):
     return None
 
 
+def trigger_prefixes(q):
+    """Prefix triggers for queries exact terms cannot prescreen: a list of
+    non-empty prefixes such that any matching doc contains a token starting
+    with at least one (sound over-approximation — verification prunes).
+    None = not derivable (true ANYTOKEN)."""
+    from ..search.query import (
+        FILTER,
+        MUST,
+        SHOULD,
+        BooleanQuery,
+        BoostQuery,
+        ConstantScoreQuery,
+        FuzzyQuery,
+        PrefixQuery,
+        WildcardQuery,
+    )
+
+    if isinstance(q, PrefixQuery):
+        return [q.prefix] if q.prefix else None
+    if isinstance(q, WildcardQuery):
+        lit = q.pattern.split("*")[0].split("?")[0]
+        return [lit] if lit else None
+    if isinstance(q, FuzzyQuery):
+        return [q.term[:q.prefix_length]] if q.prefix_length > 0 else None
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return trigger_prefixes(q.query)
+    if isinstance(q, BooleanQuery):
+        best = None
+        for c in q.clauses:
+            if c.occur in (MUST, FILTER):
+                p = trigger_prefixes(c.query)
+                if p and (best is None or len(p) < len(best)):
+                    best = p
+        if best is not None:
+            return best
+        out = []
+        for c in q.clauses:
+            if c.occur != SHOULD:
+                continue
+            ts = trigger_terms(c.query)
+            if ts is not None:
+                out.extend(ts)          # an exact term is its own prefix
+                continue
+            p = trigger_prefixes(c.query)
+            if not p:
+                return None
+            out.extend(p)
+        return out or None
+    return None
+
+
 # richer registered set exercising the MemoryIndex verification path
 def _registered_ast():
     from ..search.query import PhraseQuery, PrefixQuery, bool_query
@@ -223,8 +274,19 @@ class AstMonitor:
         self.query_ids = np.array([qid for qid, _ in registered], dtype=object)
         self.queries = [q for _, q in registered]
         trig = [trigger_terms(q) for q in self.queries]
-        self.always = np.array([i for i, t in enumerate(trig) if t is None],
-                               dtype=np.int64)
+        # term-unscreenable queries fall back to vectorized prefix triggers
+        # before the true ANYTOKEN bucket
+        self.prefix_triggers = []
+        always = []
+        for i, t in enumerate(trig):
+            if t is not None:
+                continue
+            p = trigger_prefixes(self.queries[i])
+            if p:
+                self.prefix_triggers.append((i, sorted(set(p))))
+            else:
+                always.append(i)
+        self.always = np.array(always, dtype=np.int64)
         vocab = sorted({t for ts in trig if ts for t in ts})
         self.vocab = np.array(vocab, dtype=object)
         tid = {t: i for i, t in enumerate(vocab)}
@@ -241,9 +303,8 @@ class AstMonitor:
         from ..index.memoryindex import MemoryIndex
 
         V = len(self.vocab)
-        texts_py = texts.to_pylist() if hasattr(texts, "to_pylist") else list(texts)
-        n_docs = len(texts_py)
         flat, lens = _flat_tokens_np(texts)
+        n_docs = len(lens)
         flat_np = flat.to_numpy().astype(object)
         code = np.searchsorted(self.vocab, flat_np) if V else np.empty(0, np.int64)
         valid = code < V
@@ -265,16 +326,29 @@ class AstMonitor:
                 np.cumsum(reps[hit]) - reps[hit], reps[hit])
             cand_q = self.trig_q[np.repeat(starts, reps[hit]) + span]
             pairs.update(zip(cand_doc.tolist(), cand_q.tolist()))
+        if self.prefix_triggers and len(flat_np):
+            fs = flat_np.astype(str)
+            for qi, prefixes in self.prefix_triggers:
+                m = np.zeros(len(fs), dtype=bool)
+                for p in prefixes:
+                    m |= np.char.startswith(fs, p)
+                for d in np.unique(doc_idx[m]):
+                    pairs.add((int(d), int(qi)))
         for qi in self.always:                   # ANYTOKEN queries
             pairs.update((d, int(qi)) for d in range(n_docs))
         # exact verification through a per-doc MemoryIndex, built lazily
-        # once per doc that has candidates
+        # once per doc that has candidates — from the batch's ALREADY
+        # tokenized flat arrays (no per-candidate re-analysis)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        flat_list = flat_np.tolist()
         mems: dict[int, MemoryIndex] = {}
         out_d, out_q = [], []
         for d, qi in sorted(pairs):
             m = mems.get(d)
             if m is None:
-                m = MemoryIndex().add_field("text", texts_py[d] or "")
+                m = MemoryIndex.from_tokens(
+                    flat_list[starts[d]:starts[d] + lens[d]])
                 mems[d] = m
             if m.matches(self.queries[qi]):
                 out_d.append(d)
