@@ -57,6 +57,19 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
         dm = rdr.docmap()
         if dm.num_rows != rdr.doc_count:
             errors.append(f"shard {m['pid']}: docmap rows != doc_count")
+        for fld, path in (m.get("dv_files") or {}).items():
+            if not os.path.exists(path):
+                errors.append(f"shard {m['pid']}: dv sidecar missing: {path}")
+                continue
+            dv = np.load(path)
+            if len(dv) != m["doc_count"]:
+                errors.append(f"shard {m['pid']}: dv sidecar {fld} length "
+                              f"{len(dv)} != doc_count {m['doc_count']}")
+            r = (m.get("dv_ranges") or {}).get(fld)
+            if r and len(dv) and (int(dv.min()) < int(r[0])
+                                  or int(dv.max()) > int(r[1])):
+                errors.append(f"shard {m['pid']}: dv sidecar {fld} values "
+                              f"outside committed dv_ranges")
         # vector files (when the shard carries a vector column): row count
         # matches, finite values, graph loads and its node ids are in range
         if int(m.get("vector_dim", 0)) > 0:

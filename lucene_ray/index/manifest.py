@@ -163,5 +163,21 @@ def prune_commits(index_dir: str, keep_last: int = 1,
             continue
         shutil.rmtree(d)
         removed_shards.append(name)
+    # generational sidecars (live-docs bitmaps, dv-update columns) referenced
+    # by no surviving commit die with their commit points too
+    live_files = set()
+    for c in kept:
+        for m in c["shards"]:
+            if m.get("del_file"):
+                live_files.add(os.path.abspath(m["del_file"]))
+            for p in (m.get("dv_files") or {}).values():
+                live_files.add(os.path.abspath(p))
+    removed_sidecars = []
+    for sub in ("deletes", "dvups"):
+        for f in glob.glob(os.path.join(index_dir, sub, "*.npy")):
+            if os.path.abspath(f) not in live_files:
+                os.remove(f)
+                removed_sidecars.append(os.path.basename(f))
     return {"removed_commits": removed_commits,
-            "removed_shards": sorted(removed_shards)}
+            "removed_shards": sorted(removed_shards),
+            "removed_sidecars": sorted(removed_sidecars)}

@@ -112,3 +112,31 @@ def test_update_requires_docvalue_column(dv_index):
     d, _ = dv_index
     with pytest.raises(ValueError):
         update_numeric_docvalue(d, _keys([("conv-0", 0)]), "nope", 1)
+
+
+def test_checkindex_and_prune_sidecars(dv_index):
+    from lucene_ray.index.check import check_index
+    from lucene_ray.index.manifest import prune_commits
+
+    d, _ = dv_index
+    s = IndexSearcher(d)
+    dm = s.reader(s._pids[0]).docmap()
+    k1 = (dm.column("conv_id")[0].as_py(), dm.column("turn_idx")[0].as_py())
+    update_numeric_docvalue(d, _keys([k1]), "ts", 6_000_000_000_000_000)
+    rep = check_index(d)
+    assert rep["ok"], rep["errors"]
+    # second generation orphans the first sidecar; prune cleans it up
+    update_numeric_docvalue(d, _keys([k1]), "ts", 6_000_000_000_000_001)
+    import glob as _g
+    import os as _os
+
+    n_before = len(_g.glob(_os.path.join(d, "dvups", "*.npy")))
+    out = prune_commits(d, keep_last=1)
+    n_after = len(_g.glob(_os.path.join(d, "dvups", "*.npy")))
+    assert n_after < n_before and out["removed_sidecars"]
+    assert check_index(d)["ok"]
+    s2 = IndexSearcher(d)
+    from lucene_ray.search.query import RangeQuery
+
+    assert s2.count(RangeQuery("ts", 6_000_000_000_000_001,
+                               6_000_000_000_000_001)) == 1
