@@ -16,10 +16,31 @@ import ast
 
 import numpy as np
 
+def _haversin(lat1, lon1, lat2, lon2):
+    """Great-circle distance in meters (the reference's haversin function,
+    `expressions/src/java/org/apache/lucene/expressions/js/
+    JavascriptCompiler.java` function table + util/SloppyMath.haversinMeters;
+    mean earth radius 6371008.7714 m)."""
+    r1, r2 = np.radians(lat1), np.radians(lat2)
+    dlat = r2 - r1
+    dlon = np.radians(lon2) - np.radians(lon1)
+    a = (np.sin(dlat / 2) ** 2
+         + np.cos(r1) * np.cos(r2) * np.sin(dlon / 2) ** 2)
+    return 2 * 6_371_008.7714 * np.arcsin(np.sqrt(a))
+
+
+# the full JavascriptCompiler.DEFAULT_FUNCTIONS surface
 FUNCS = {
     "ln": np.log, "log": np.log, "log10": np.log10, "sqrt": np.sqrt,
     "abs": np.abs, "min": np.minimum, "max": np.maximum, "pow": np.power,
     "exp": np.exp,
+    "acos": np.arccos, "acosh": np.arccosh, "asin": np.arcsin,
+    "asinh": np.arcsinh, "atan": np.arctan, "atan2": np.arctan2,
+    "atanh": np.arctanh, "ceil": np.ceil, "cos": np.cos, "cosh": np.cosh,
+    "floor": np.floor, "sin": np.sin, "sinh": np.sinh, "tan": np.tan,
+    "tanh": np.tanh,
+    "logn": lambda base, x: np.log(x) / np.log(base),
+    "haversin": _haversin,
 }
 
 _BINOPS = {

@@ -181,3 +181,20 @@ def test_check_index_validates_vectors(ray_session, tmp_path):
     idx = build_vector_index(SF, str(tmp_path / "v"))
     rep = check_index(idx, sample_terms=50)
     assert rep["ok"], rep["errors"]
+
+
+def test_expression_function_library():
+    """Full JavascriptCompiler function surface: trig/hyperbolic/rounding,
+    logn, and haversin (LAX→BNA great-circle ≈ 2886 km, the reference's own
+    SloppyMath example)."""
+    import numpy as np
+
+    from lucene_ray.search.expressions import compile_expression
+
+    ev, vars_ = compile_expression("ceil(sin(x) + cos(x)) + logn(2, 8)")
+    assert vars_ == ["x"]
+    np.testing.assert_allclose(ev({"x": np.array([0.0, 1.0])}), [4.0, 5.0])
+    ev2, _ = compile_expression("haversin(36.12, -86.67, 33.94, -118.40)")
+    assert float(ev2({})) == pytest.approx(2_886_448.4, rel=1e-4)
+    ev3, _ = compile_expression("atan2(floor(1.9), tanh(100))")
+    assert float(ev3({})) == pytest.approx(np.arctan2(1.0, np.tanh(100.0)))
