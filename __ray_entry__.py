@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_bm25_topk": index_bm25_topk,
         "index_bm25_sql_topk": _index_bm25_sql_topk,
         "index_diversified_topk": _lazy("index_diversified_topk"),
+        "index_grouped_topk": _lazy("index_grouped_topk"),
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
         "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
@@ -388,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tokens GROUP BY term ORDER BY term""",
         "index_bm25_sql_topk": _index_bm25_oracle_sql(),
         "index_diversified_topk": _index_diversified_sql(),
+        "index_grouped_topk": _index_grouped_sql(),
         "index_bm25_bool_sql": _index_bool_oracle_sql(),
         "index_conv_topk": _conv_join_sql(),
         "index_mlt_topk": _mlt_sql(),
@@ -580,6 +582,12 @@ def _index_diversified_sql() -> str:
     from lucene_ray.pipelines.flagship import index_diversified_oracle_sql
 
     return index_diversified_oracle_sql()
+
+
+def _index_grouped_sql() -> str:
+    from lucene_ray.pipelines.flagship import index_grouped_oracle_sql
+
+    return index_grouped_oracle_sql()
 
 
 def _index_bool_oracle_sql() -> str:

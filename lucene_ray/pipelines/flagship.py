@@ -443,6 +443,59 @@ def index_diversified_topk(sf_dir: str) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64"})
 
 
+GROUP_DOCS_PER = 3
+
+
+def index_grouped_topk(sf_dir: str) -> pd.DataFrame:
+    """GroupingSearch through the driver gate: BM25 over the query terms,
+    grouped by the role keyword (two-pass collector semantics), top
+    GROUP_DOCS_PER docs per group; SQL twin partitions the scored CTE by
+    the deterministic doc_id→role mapping.  (group_rank, role, doc_rank,
+    conv_id, turn_idx, score 4dp)."""
+    from ..search.query import bool_query
+    from ..search.searcher import grouped_search
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    groups = grouped_search(searcher, bool_query(should=list(BM25_SQL_TERMS)),
+                            group_field="role", n_groups=4,
+                            docs_per_group=GROUP_DOCS_PER)
+    rows = []
+    for grank, (role, _best, hits) in enumerate(groups, start=1):
+        for drank, h in enumerate(hits, start=1):
+            rows.append((grank, role, drank, h.conv_id, int(h.turn_idx),
+                         round(float(h.score), 4)))
+    return pd.DataFrame(rows, columns=["group_rank", "role", "doc_rank",
+                                       "conv_id", "turn_idx", "score"]) \
+        .astype({"group_rank": "int64", "doc_rank": "int64",
+                 "turn_idx": "int64"})
+
+
+def index_grouped_oracle_sql() -> str:
+    return f"""
+        WITH {bm25_scored_cte(BM25_SQL_TERMS)},
+        keyed AS (
+          SELECT doc_id, score,
+                 ['user','assistant','system','tool'][doc_id % 4 + 1] AS role
+          FROM scored),
+        docs_ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY role
+                                       ORDER BY score DESC, doc_id ASC) AS doc_rank
+          FROM keyed),
+        grp AS (
+          SELECT role, score AS best, doc_id AS best_doc,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC, role ASC)
+                     AS group_rank
+          FROM docs_ranked WHERE doc_rank = 1)
+        SELECT g.group_rank::BIGINT AS group_rank, d.role,
+               d.doc_rank::BIGINT AS doc_rank,
+               printf('conv-%08d', d.doc_id // 5) AS conv_id,
+               (d.doc_id % 5)::BIGINT AS turn_idx,
+               round(d.score, 4) AS score
+        FROM docs_ranked d JOIN grp g ON g.role = d.role
+        WHERE d.doc_rank <= {GROUP_DOCS_PER} AND g.group_rank <= 4
+        ORDER BY g.group_rank, d.doc_rank"""
+
+
 def index_diversified_oracle_sql() -> str:
     return f"""
         WITH {bm25_scored_cte(BM25_SQL_TERMS)},

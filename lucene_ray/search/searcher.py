@@ -1190,6 +1190,39 @@ def diversified_search(searcher: "IndexSearcher", query, k: int = 10,
     return TopDocs(hits, td.total_hits, td.relation)
 
 
+def grouped_search(searcher: "IndexSearcher", query, group_field: str = "role",
+                   n_groups: int = 4, docs_per_group: int = 2,
+                   classes: list[str] | None = None):
+    """Index-side two-pass grouping (`grouping/GroupingSearch.java` +
+    FirstPass/SecondPassGroupingCollector): groups ranked by their best
+    doc's relevance (ties: best doc's gid asc, then value asc), top
+    `docs_per_group` docs inside each group by (score desc, gid asc).
+    Group membership resolves from the group field's keyword postings —
+    the index IS the doc→group map, no stored-field fetch.
+
+    Returns [(group_value, best_score, [ScoreDoc, ...])] of length
+    <= n_groups."""
+    from ..pipelines.classify import _classes_of_hits, _keyword_classes
+
+    td = searcher.search(query, k=searcher.doc_count,
+                         total_hits_threshold=2**31 - 1)
+    if classes is None:
+        classes = _keyword_classes(searcher, group_field)
+    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
+    vals = _classes_of_hits(searcher, gids, group_field, classes)
+    groups: dict[str, list] = {}
+    for h, v in zip(td.hits, vals):       # stream is (score desc, gid asc)
+        if v is None:
+            continue
+        bucket = groups.setdefault(v, [])
+        if len(bucket) < docs_per_group:
+            bucket.append(h)
+    ranked = sorted(groups.items(),
+                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid, kv[0]))
+    return [(v, float(hits[0].score), hits)
+            for v, hits in ranked[:n_groups]]
+
+
 def more_like_this(searcher: "IndexSearcher", text: str,
                    max_query_terms: int = 25, min_term_freq: int = 2,
                    min_doc_freq: int = 5):

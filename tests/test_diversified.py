@@ -58,3 +58,29 @@ def test_cap_two_matches_manual_greedy(searcher):
     td1 = diversified_search(searcher, q, k=k, max_per_key=1)
     for a, b in zip(td2.hits, td1.hits):
         assert a.score >= b.score
+
+
+def test_grouped_search_two_pass_semantics(searcher):
+    """GroupingSearch parity: groups ranked by best doc, docs capped and
+    ordered inside groups, group membership consistent with the keyword
+    postings."""
+    from lucene_ray.pipelines.classify import _classes_of_hits, _keyword_classes
+    from lucene_ray.search.searcher import grouped_search
+    import numpy as np
+
+    q = bool_query(should=["merge", "join"])
+    groups = grouped_search(searcher, q, "role", n_groups=4, docs_per_group=3)
+    assert 1 <= len(groups) <= 4
+    bests = [best for _, best, _ in groups]
+    assert bests == sorted(bests, reverse=True)
+    classes = _keyword_classes(searcher, "role")
+    for role, best, hits in groups:
+        assert role in classes
+        assert 1 <= len(hits) <= 3
+        scores = [h.score for h in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert best == hits[0].score
+        got = _classes_of_hits(searcher,
+                               np.array([h.gid for h in hits], dtype=np.int64),
+                               "role", classes)
+        assert all(c == role for c in got)
