@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": textstats.quality_stats,
         "langid": textstats.langid,
         "fingerprints": textstats.fingerprints,
+        "redact": textstats.redact,
         # --- grouping / faceting / distinct (SURVEY §2.5-2.7) ---
         "facet_counts": textstats.facet_counts,
         "facet_sampled": textstats.facet_counts_sampled,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(t.toks, ' ')) AS token_fp,
                    md5(d.text) AS raw_fp
             FROM documents d JOIN toklists t USING (doc_id)""",
+        "redact": _redact_sql(),
         "facet_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
         "facet_ranges": """
             WITH edges(bucket, lo, hi) AS (VALUES
@@ -558,6 +560,12 @@ def _classify_nb_sql() -> str:
     from lucene_ray.pipelines.classify import naive_bayes_oracle_sql
 
     return naive_bayes_oracle_sql()
+
+
+def _redact_sql() -> str:
+    from lucene_ray.pipelines.textstats import redact_oracle_sql
+
+    return redact_oracle_sql()
 
 
 def _percolate_ast_sql() -> str:

@@ -95,6 +95,59 @@ def _read_documents(sf_dir: str, columns=("doc_id", "text")):
 # term statistics (the SQL-checkable analogue of the index stats merge)
 # ---------------------------------------------------------------------------
 
+# ordered (pattern, replacement) pairs — RE2-safe syntax (polars' rust regex
+# and DuckDB RE2 agree; no lookarounds, no backrefs)
+REDACT_RULES = (
+    (r"[A-Za-z0-9]+@[A-Za-z0-9]+\.[A-Za-z]+", "[EMAIL]"),
+    (r"https?://[^\s]+", "[URL]"),
+    (r"[0-9]{4,}", "[NUM]"),
+)
+
+
+def redact(sf_dir: str, rules=REDACT_RULES):
+    """(doc_id, clean_text, n_redactions) — training-data scrubbing as a
+    pure vectorized map_batches stage: each rule is one native regex
+    replace_all over the column (PatternReplaceFilter generalized from
+    tokens to documents; rules apply in order, so later patterns see
+    earlier replacements).  n_redactions counts matches before any
+    rewriting.  SQL twin: regexp_replace(..., 'g') chain +
+    len(regexp_extract_all) sums."""
+    import ray.data as rd
+
+    def scrub(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(t.column("text").combine_chunks()) \
+            .cast(pl.Utf8).fill_null("")
+        n = None
+        for pat, _ in rules:
+            c = s.str.count_matches(pat).cast(pl.Int64)
+            n = c if n is None else n + c
+        clean = s
+        for pat, repl in rules:
+            clean = clean.str.replace_all(pat, repl)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "clean_text": clean.to_arrow().cast(pa.string()),
+            "n_redactions": n.to_arrow().cast(pa.int64()),
+        })
+
+    return (_read_documents(sf_dir)
+            .map_batches(scrub, batch_format="pyarrow"))
+
+
+def redact_oracle_sql(rules=REDACT_RULES) -> str:
+    repl = "text"
+    for pat, rep in rules:
+        repl = f"regexp_replace({repl}, '{pat}', '{rep}', 'g')"
+    counts = " + ".join(f"len(regexp_extract_all(text, '{pat}'))"
+                        for pat, _ in rules)
+    return f"""
+        SELECT doc_id, {repl} AS clean_text,
+               ({counts})::BIGINT AS n_redactions
+        FROM documents"""
+
+
 def term_counts(sf_dir: str):
     """(term, n_occurrences, n_docs) — per-batch partial aggregation before
     the groupby(term) shuffle (combiner pattern)."""

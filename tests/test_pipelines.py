@@ -163,3 +163,27 @@ def test_media_resize_and_frames(ray_session):
     rs2 = media_resize(SF).to_pandas()
     pd.testing.assert_frame_equal(rs.sort_values("doc_id").reset_index(drop=True),
                                   rs2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_redact_rules_fire_and_match_counts(ray_session, tmp_path):
+    """Redaction rewrites emails/URLs/digit-runs and counts matches on the
+    ORIGINAL text (rules apply in order on progressively cleaned text)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import redact
+
+    docs = [
+        "mail bob@corp.com or see https://x.io/p id 123456",
+        "no pii here",
+        "a1234567b and c@d.net",
+    ]
+    pq.write_table(pa.table({"doc_id": [0, 1, 2], "text": docs}),
+                   str(tmp_path / "documents.parquet"))
+    out = redact(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert out["clean_text"].tolist() == [
+        "mail [EMAIL] or see [URL] id [NUM]",
+        "no pii here",
+        "a[NUM]b and [EMAIL]",
+    ]
+    assert out["n_redactions"].tolist() == [3, 0, 2]
