@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textstats.langid,
         "fingerprints": textstats.fingerprints,
         "redact": textstats.redact,
+        "pack_sequences": textstats.pack_sequences,
         # --- grouping / faceting / distinct (SURVEY §2.5-2.7) ---
         "facet_counts": textstats.facet_counts,
         "facet_sampled": textstats.facet_counts_sampled,

@@ -148,6 +148,59 @@ def redact_oracle_sql(rules=REDACT_RULES) -> str:
         FROM documents"""
 
 
+def pack_sequences(sf_dir: str, max_tokens: int = 256,
+                   override_num_blocks: int | None = None):
+    """(doc_id, n_tokens, pack_seq, pack_pos) — greedy next-fit sequence
+    packing for training batches: docs in doc_id order accumulate into a
+    pack until the budget would overflow, then a new pack opens; docs
+    longer than the budget get a pack of their own.
+
+    Distribution model: packing runs independently PER PARTITION (each
+    map_batches task packs its own doc range; `pack_seq` restarts per
+    partition and is globally identified with the partition's first doc_id)
+    — the standard sharded-packing compromise: at most one under-filled
+    pack per partition, no cross-partition coordination.  Rows-only driver
+    entry (the reset-on-overflow recurrence is not SQL-expressible without
+    recursion)."""
+    import ray.data as rd
+
+    def pack(t: pa.Table) -> pa.Table:
+        _, lens = _flat_tokens_np(t.column("text"))
+        doc_ids = t.column("doc_id").to_numpy()
+        order = np.argsort(doc_ids, kind="stable")
+        seq = np.empty(len(order), dtype=np.int64)
+        pos = np.empty(len(order), dtype=np.int64)
+        cur = 0
+        cur_tokens = 0
+        cur_pos = 0
+        for j, i in enumerate(order):
+            n = int(lens[i])
+            if cur_tokens and cur_tokens + n > max_tokens:
+                cur += 1
+                cur_tokens = 0
+                cur_pos = 0
+            seq[j] = cur
+            pos[j] = cur_pos
+            cur_tokens += n
+            cur_pos += 1
+        part = int(doc_ids[order[0]]) if len(order) else 0
+        return pa.table({
+            "doc_id": pa.array(doc_ids[order], type=pa.int64()),
+            "n_tokens": pa.array(lens[order], type=pa.int64()),
+            "pack_seq": pa.array([f"p{part}-{s}" for s in seq],
+                                 type=pa.string()),
+            "pack_pos": pa.array(pos, type=pa.int64()),
+        })
+
+    import ray.data as _rd
+
+    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"],
+                          override_num_blocks=override_num_blocks)
+    return ds.map_batches(pack, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def term_counts(sf_dir: str):
     """(term, n_occurrences, n_docs) — per-batch partial aggregation before
     the groupby(term) shuffle (combiner pattern)."""

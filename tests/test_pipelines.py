@@ -187,3 +187,28 @@ def test_redact_rules_fire_and_match_counts(ray_session, tmp_path):
         "a[NUM]b and [EMAIL]",
     ]
     assert out["n_redactions"].tolist() == [3, 0, 2]
+
+
+def test_pack_sequences_greedy_invariants(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import pack_sequences
+
+    texts = ["w " * n for n in (100, 100, 100, 300, 50, 50, 50, 50, 10)]
+    pq.write_table(pa.table({"doc_id": list(range(len(texts))),
+                             "text": [t.strip() for t in texts]}),
+                   str(tmp_path / "documents.parquet"))
+    out = pack_sequences(str(tmp_path), max_tokens=256, override_num_blocks=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # greedy next-fit at 256: [100,100]=200, +100 overflows -> new pack;
+    # [100], +300 overflows -> [300] alone; [50,50,50,50,10]=210
+    assert out["pack_seq"].tolist() == [
+        "p0-0", "p0-0", "p0-1", "p0-2", "p0-3", "p0-3", "p0-3", "p0-3",
+        "p0-3"]
+    assert out["pack_pos"].tolist() == [0, 1, 0, 0, 0, 1, 2, 3, 4]
+    assert out["n_tokens"].tolist() == [100, 100, 100, 300, 50, 50, 50, 50, 10]
+    # budget invariant: every pack except oversize singletons fits
+    g = out.groupby("pack_seq")["n_tokens"].sum()
+    for pack, tot in g.items():
+        assert tot <= 256 or (out["pack_seq"] == pack).sum() == 1
