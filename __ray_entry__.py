@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "redact": textstats.redact,
         "pack_sequences": textstats.pack_sequences,
+        "dataset_split": textstats.dataset_split,
         # --- grouping / faceting / distinct (SURVEY §2.5-2.7) ---
         "facet_counts": textstats.facet_counts,
         "facet_sampled": textstats.facet_counts_sampled,
@@ -270,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(d.text) AS raw_fp
             FROM documents d JOIN toklists t USING (doc_id)""",
         "redact": _redact_sql(),
+        "dataset_split": _dataset_split_sql(),
         "facet_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
         "facet_ranges": """
             WITH edges(bucket, lo, hi) AS (VALUES
@@ -567,6 +569,12 @@ def _redact_sql() -> str:
     from lucene_ray.pipelines.textstats import redact_oracle_sql
 
     return redact_oracle_sql()
+
+
+def _dataset_split_sql() -> str:
+    from lucene_ray.pipelines.textstats import dataset_split_oracle_sql
+
+    return dataset_split_oracle_sql()
 
 
 def _percolate_ast_sql() -> str:

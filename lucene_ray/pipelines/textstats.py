@@ -201,6 +201,47 @@ def pack_sequences(sf_dir: str, max_tokens: int = 256,
                           batch_size=None)
 
 
+_KNUTH = 2654435761          # Knuth multiplicative hash constant (2^32/phi)
+_SPLIT_EDGES = ((0.8, "train"), (0.9, "val"), (1.0, "test"))
+
+
+def dataset_split(sf_dir: str):
+    """(doc_id, split) — deterministic 80/10/10 train/val/test assignment by
+    Knuth multiplicative hashing of doc_id (((id mod 2^32) * 2654435761)
+    mod 2^32): stable across runs, machines and partitionings — the
+    holdout-split op every training pipeline needs, with an EXACT SQL twin
+    (pure integer arithmetic both sides)."""
+    import ray.data as rd
+
+    edges = [(int(frac * 2**32), name) for frac, name in _SPLIT_EDGES]
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = ((ids % np.uint64(2**32)) * np.uint64(_KNUTH)) % np.uint64(2**32)
+        split = np.full(len(ids), "test", dtype=object)
+        for hi, name in reversed(edges):
+            split[h < hi] = name
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "split": pa.array(split, type=pa.string()),
+        })
+
+    return (_read_documents(sf_dir, columns=("doc_id",))
+            .map_batches(assign, batch_format="pyarrow"))
+
+
+def dataset_split_oracle_sql() -> str:
+    e = [(int(frac * 2**32), name) for frac, name in _SPLIT_EDGES]
+    return f"""
+        SELECT doc_id,
+               CASE WHEN ((doc_id % 4294967296) * {_KNUTH}) % 4294967296
+                         < {e[0][0]} THEN '{e[0][1]}'
+                    WHEN ((doc_id % 4294967296) * {_KNUTH}) % 4294967296
+                         < {e[1][0]} THEN '{e[1][1]}'
+                    ELSE '{e[2][1]}' END AS split
+        FROM documents"""
+
+
 def term_counts(sf_dir: str):
     """(term, n_occurrences, n_docs) — per-batch partial aggregation before
     the groupby(term) shuffle (combiner pattern)."""

@@ -212,3 +212,17 @@ def test_pack_sequences_greedy_invariants(ray_session, tmp_path):
     g = out.groupby("pack_seq")["n_tokens"].sum()
     for pack, tot in g.items():
         assert tot <= 256 or (out["pack_seq"] == pack).sum() == 1
+
+
+def test_dataset_split_deterministic_and_proportional(ray_session):
+    from lucene_ray.pipelines.textstats import dataset_split
+
+    a = dataset_split("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dataset_split("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)                       # stable across runs
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.7 < frac.get("train", 0) < 0.9  # ~80/10/10 at n=500
+    assert 0.04 < frac.get("val", 0) < 0.17
+    assert 0.04 < frac.get("test", 0) < 0.17
