@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": textstats.grouped_topk,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
+        "contamination": dedup.contamination,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash_pairs": dedup.dedup_simhash,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN toklists t USING (doc_id)""",
         "redact": _redact_sql(),
         "dataset_split": _dataset_split_sql(),
+        "contamination": _contamination_sql(),
         "facet_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
         "facet_ranges": """
             WITH edges(bucket, lo, hi) AS (VALUES
@@ -575,6 +577,12 @@ def _dataset_split_sql() -> str:
     from lucene_ray.pipelines.textstats import dataset_split_oracle_sql
 
     return dataset_split_oracle_sql()
+
+
+def _contamination_sql() -> str:
+    from lucene_ray.pipelines.dedup import contamination_oracle_sql
+
+    return contamination_oracle_sql()
 
 
 def _percolate_ast_sql() -> str:

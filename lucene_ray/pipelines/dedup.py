@@ -132,6 +132,88 @@ def _flat_tokens(texts) -> tuple[pa.Array, np.ndarray]:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+CONTAM_N = 8
+CONTAM_BENCH_DOCS = 10          # docs 0..9 form the "benchmark" set
+
+
+def contamination(sf_dir: str, n: int = CONTAM_N,
+                  bench_docs: int = CONTAM_BENCH_DOCS):
+    """(doc_id, n_overlap) — benchmark-contamination screening: count each
+    document's word n-gram OCCURRENCES that appear anywhere in a benchmark
+    set (here: docs 0..bench_docs-1, standing in for an eval set).  The
+    standard decontamination primitive for training corpora (n-gram overlap
+    against held-out benchmarks).
+
+    Ray shape: the benchmark grams are one `ray.put` broadcast set (eval
+    sets are small); each map_batches task builds its batch's grams with
+    the vectorized object-array concat (no per-row Python) and counts
+    membership — no shuffle, O(tokens) per task."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .textstats import _flat_tokens_np, _seg_starts
+
+    def _grams(texts):
+        flat, lens = _flat_tokens_np(texts)
+        toks = flat.to_numpy().astype(object)
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(toks) < n:
+            return np.empty(0, dtype=object), np.zeros(len(lens), np.int64)
+        ok = doc[: len(doc) - n + 1] == doc[n - 1:]
+        g = toks[: len(toks) - n + 1].copy()
+        for j in range(1, n):
+            g = g + " "
+            g = g + toks[j: len(toks) - n + 1 + j]
+        # per-doc gram counts: max(len - n + 1, 0)
+        glens = np.maximum(lens - (n - 1), 0)
+        return g[ok], glens
+
+    bench_t = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            filters=[("doc_id", "<", bench_docs)])
+    bench_grams, _ = _grams(bench_t.column("text"))
+    ref = ray.put(frozenset(bench_grams.tolist()))
+
+    def score(t: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        g, glens = _grams(t.column("text"))
+        hit = np.fromiter((x in bench for x in g), dtype=bool, count=len(g))
+        out = np.zeros(len(glens), dtype=np.int64)
+        nz = glens > 0
+        if nz.any() and len(hit):
+            out[nz] = np.add.reduceat(hit.astype(np.int64),
+                                      _seg_starts(glens)[nz])
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_overlap": pa.array(out, type=pa.int64())})
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow"))
+
+
+def contamination_oracle_sql(n: int = CONTAM_N,
+                             bench_docs: int = CONTAM_BENCH_DOCS) -> str:
+    grams = (f"list_transform(range(1, len(toks) - {n} + 2), "
+             f"i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' '))")
+    return f"""
+WITH toklists AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                x -> lower(x)) AS toks FROM documents),
+bench AS (
+  SELECT DISTINCT unnest({grams}) AS g
+  FROM toklists WHERE doc_id < {bench_docs} AND len(toks) >= {n}),
+doc_g AS (
+  SELECT doc_id, unnest({grams}) AS g
+  FROM toklists WHERE len(toks) >= {n}),
+hits AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n_overlap
+  FROM doc_g d JOIN bench b ON b.g = d.g GROUP BY 1)
+SELECT t.doc_id, coalesce(h.n_overlap, 0)::BIGINT AS n_overlap
+FROM toklists t LEFT JOIN hits h ON h.doc_id = t.doc_id
+ORDER BY t.doc_id"""
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup: (text_md5 -> representative doc_id = min, n_dups)."""
     from ray.data.aggregate import Count, Min

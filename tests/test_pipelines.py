@@ -226,3 +226,29 @@ def test_dataset_split_deterministic_and_proportional(ray_session):
     assert 0.7 < frac.get("train", 0) < 0.9  # ~80/10/10 at n=500
     assert 0.04 < frac.get("val", 0) < 0.17
     assert 0.04 < frac.get("test", 0) < 0.17
+
+
+def test_contamination_planted_overlap(ray_session, tmp_path):
+    """A doc sharing an 8-gram with a benchmark doc is flagged with the
+    right occurrence count; disjoint docs score 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.dedup import contamination
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    overlap = "xx alpha beta gamma delta epsilon zeta eta theta yy"
+    double = bench + " " + bench          # repeats benchmark grams
+    clean = "one two three four five six seven eight nine ten"
+    short = "tiny doc"
+    pq.write_table(pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [bench, overlap, double, clean, short],
+    }), str(tmp_path / "documents.parquet"))
+    out = contamination(str(tmp_path), n=8, bench_docs=1).to_pandas() \
+        .sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    assert got[0] == 3                    # bench overlaps itself: 10-8+1
+    assert got[1] == 1                    # one shared 8-gram window
+    assert got[2] > 3                     # repeated benchmark content
+    assert got[3] == 0 and got[4] == 0
