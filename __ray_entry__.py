@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact": textstats.redact,
         "pack_sequences": textstats.pack_sequences,
         "dataset_split": textstats.dataset_split,
+        "doc_length_deciles": textstats.doc_length_deciles,
         # --- grouping / faceting / distinct (SURVEY §2.5-2.7) ---
         "facet_counts": textstats.facet_counts,
         "facet_sampled": textstats.facet_counts_sampled,
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "redact": _redact_sql(),
         "dataset_split": _dataset_split_sql(),
         "contamination": _contamination_sql(),
+        "doc_length_deciles": _deciles_sql(),
         "facet_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
         "facet_ranges": """
             WITH edges(bucket, lo, hi) AS (VALUES
@@ -583,6 +585,12 @@ def _contamination_sql() -> str:
     from lucene_ray.pipelines.dedup import contamination_oracle_sql
 
     return contamination_oracle_sql()
+
+
+def _deciles_sql() -> str:
+    from lucene_ray.pipelines.textstats import doc_length_deciles_oracle_sql
+
+    return doc_length_deciles_oracle_sql()
 
 
 def _percolate_ast_sql() -> str:

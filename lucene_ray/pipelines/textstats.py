@@ -242,6 +242,59 @@ def dataset_split_oracle_sql() -> str:
         FROM documents"""
 
 
+def doc_length_deciles(sf_dir: str):
+    """(p, value) for p = 1..9 — EXACT token-length deciles computed
+    distributed: per-batch partial length histograms → ``groupby(length)``
+    (the value domain, ≤ a few thousand distinct lengths, not the corpus)
+    → driver-side cumulative walk.  value = the length at sorted position
+    floor(p·(n-1)/10), identical to the SQL twin's row_number pick — no
+    approximate sketch needed because the domain is small; the same shape
+    scales to any corpus size (the shuffle carries one row per distinct
+    length per partition)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        _, lens = _flat_tokens_np(t.column("text"))
+        return (pl.DataFrame({"l": lens}).group_by("l")
+                .agg(pl.len().cast(pl.Int64).alias("cnt"))
+                .to_arrow().cast(pa.schema([("l", pa.int64()),
+                                            ("cnt", pa.int64())])))
+
+    hist = (_read_documents(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("l").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values("l").reset_index(drop=True))
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    lengths = hist["l"].to_numpy()
+    rows = []
+    for p in range(1, 10):
+        idx = (p * (n - 1)) // 10                 # 0-based sorted position
+        value = int(lengths[np.searchsorted(cum, idx + 1)])
+        rows.append((p, value))
+    return pd.DataFrame(rows, columns=["p", "value"]).astype(
+        {"p": "int64", "value": "int64"})
+
+
+def doc_length_deciles_oracle_sql() -> str:
+    return """
+WITH toklists AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                x -> lower(x)) AS toks FROM documents),
+ranked AS (
+  SELECT len(toks) AS l,
+         row_number() OVER (ORDER BY len(toks), doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM toklists),
+ps AS (SELECT unnest(range(1, 10)) AS p)
+SELECT ps.p::BIGINT AS p, r.l::BIGINT AS value
+FROM ps JOIN ranked r ON r.rn = (ps.p * (r.n - 1)) // 10 + 1
+ORDER BY ps.p"""
+
+
 def term_counts(sf_dir: str):
     """(term, n_occurrences, n_docs) — per-batch partial aggregation before
     the groupby(term) shuffle (combiner pattern)."""
