@@ -195,12 +195,15 @@ def run_bench() -> dict:
     timed("percolate_ast", percolate_mod.percolate_ast)
 
     calib = None
+    bw = None
     if os.environ.get("BENCH_CALIBRATE"):
         calib = _cpu_calibration(NUM_CPUS)
+        bw = _bw_calibration(NUM_CPUS)
 
     ray.shutdown()
     return {
         "cpu_calibration": calib,
+        "bw_calibration_gbps": round(bw, 1) if bw else None,
         "metric": "index_build_plus_query_suite",
         "value": round(build_sec, 3),
         "unit": "sec",
@@ -238,6 +241,29 @@ def _cpu_calibration(ncpu: int, sec: float = 2.0) -> float:
     return tot / (time.perf_counter() - t0)
 
 
+def _bw_calibration(ncpu: int) -> float:
+    """Aggregate memory-STREAM throughput (GB/s) of `ncpu` concurrent
+    sequential-sum tasks.  The spin calibration is cache-resident and blind
+    to the co-tenant bandwidth ceiling that actually bounds the
+    exchange+flush pipeline; a flat bw ceiling at higher ncpu explains raw
+    build scaling collapses on contended windows (measured: bw scaling 0.32
+    alongside build scaling 0.276 in the same window)."""
+    import ray
+
+    @ray.remote
+    def stream(_):
+        import numpy as np
+
+        a = np.ones(100_000_000 // 8)          # ~100 MB
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(3):
+            s += a.sum()
+        return (3 * a.nbytes / 1e9) / (time.perf_counter() - t0)
+
+    return float(sum(ray.get([stream.remote(i) for i in range(ncpu)])))
+
+
 def run_scaling() -> dict:
     """Same build job at two parallelism levels in fresh processes.
 
@@ -261,9 +287,13 @@ def run_scaling() -> dict:
     eff = (t_lo / t_hi) / (hi / lo)
     hw_eff = None
     norm_eff = None
+    bw_eff = None
     if r_lo.get("cpu_calibration") and r_hi.get("cpu_calibration"):
         hw_eff = (r_hi["cpu_calibration"] / r_lo["cpu_calibration"]) / (hi / lo)
         norm_eff = eff / hw_eff if hw_eff else None
+    if r_lo.get("bw_calibration_gbps") and r_hi.get("bw_calibration_gbps"):
+        bw_eff = (r_hi["bw_calibration_gbps"]
+                  / r_lo["bw_calibration_gbps"]) / (hi / lo)
     return {
         "metric": "index_build_scaling",
         "unit": "efficiency",
@@ -274,6 +304,7 @@ def run_scaling() -> dict:
         f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "hardware_cpu_scaling": round(hw_eff, 3) if hw_eff else None,
+        "memory_bw_scaling": round(bw_eff, 3) if bw_eff else None,
         "normalized_efficiency": round(norm_eff, 3) if norm_eff else None,
         "n_turns": r_lo["n_turns"],
     }
