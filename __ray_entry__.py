@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": textstats.pack_sequences,
         "dataset_split": textstats.dataset_split,
         "doc_length_deciles": textstats.doc_length_deciles,
+        "export_splits": _export_splits,
         # --- grouping / faceting / distinct (SURVEY §2.5-2.7) ---
         "facet_counts": textstats.facet_counts,
         "facet_sampled": textstats.facet_counts_sampled,
@@ -276,6 +277,14 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _dataset_split_sql(),
         "contamination": _contamination_sql(),
         "doc_length_deciles": _deciles_sql(),
+        "export_splits": """
+            SELECT CASE WHEN ((doc_id % 4294967296) * 2654435761) % 4294967296
+                             < 3435973836 THEN 'train'
+                        WHEN ((doc_id % 4294967296) * 2654435761) % 4294967296
+                             < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1""",
         "facet_counts": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
         "facet_ranges": """
             WITH edges(bucket, lo, hi) AS (VALUES
@@ -591,6 +600,12 @@ def _deciles_sql() -> str:
     from lucene_ray.pipelines.textstats import doc_length_deciles_oracle_sql
 
     return doc_length_deciles_oracle_sql()
+
+
+def _export_splits(sf_dir):
+    from lucene_ray.pipelines.textstats import export_splits
+
+    return export_splits(sf_dir)[["split", "n_docs"]]
 
 
 def _percolate_ast_sql() -> str:

@@ -295,6 +295,59 @@ FROM ps JOIN ranked r ON r.rn = (ps.p * (r.n - 1)) // 10 + 1
 ORDER BY ps.p"""
 
 
+def export_splits(sf_dir: str, out_dir: str | None = None):
+    """(split, n_docs, n_files) — the partitioned-Parquet SINK story: join
+    each document with its deterministic split and `write_parquet` the
+    corpus partitioned by split (`partition_cols`), one directory per
+    split.  Output is resumable at the directory level: a re-run detects a
+    complete previous export (the `_SUCCESS` marker) and skips the write,
+    so a failed multi-partition job redoes only missing partitions'
+    directories rather than one giant file.  Returns per-split doc and
+    file counts read back from the written dataset (round-trip check)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    out_dir = out_dir or os.path.join(
+        "/tmp", "lucene_ray_exports",
+        os.path.basename(os.path.normpath(sf_dir)))
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+        edges = [(int(frac * 2**32), name) for frac, name in _SPLIT_EDGES]
+
+        def assign(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy().astype(np.uint64)
+            h = ((ids % np.uint64(2**32)) * np.uint64(_KNUTH)) \
+                % np.uint64(2**32)
+            split = np.full(len(ids), "test", dtype=object)
+            for hi, name in reversed(edges):
+                split[h < hi] = name
+            return t.append_column("split", pa.array(split, type=pa.string()))
+
+        (rd.read_parquet(f"{sf_dir}/documents.parquet")
+         .map_batches(assign, batch_format="pyarrow")
+         .write_parquet(out_dir, partition_cols=["split"]))
+        with open(marker, "w") as f:
+            f.write("ok")
+    rows = []
+    for split in ("train", "val", "test"):
+        files = _glob.glob(os.path.join(out_dir, f"split={split}", "*.parquet"))
+        n = sum(pq_file_rows(f) for f in files)
+        rows.append((split, n, len(files)))
+    return pd.DataFrame(rows, columns=["split", "n_docs", "n_files"]).astype(
+        {"n_docs": "int64", "n_files": "int64"})
+
+
+def pq_file_rows(path: str) -> int:
+    import pyarrow.parquet as _pq
+
+    return _pq.ParquetFile(path).metadata.num_rows
+
+
 def term_counts(sf_dir: str):
     """(term, n_occurrences, n_docs) — per-batch partial aggregation before
     the groupby(term) shuffle (combiner pattern)."""
