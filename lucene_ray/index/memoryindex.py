@@ -277,6 +277,9 @@ class MemoryIndex:
             should_hits = 0
             any_positive = False
             for c in query.clauses:
+                # FILTER ranges are scoreless-required; SHOULD/MUST ranges
+                # are constant-score clauses contributing their boost (the
+                # engine routes those to the dense path — same semantics)
                 s, m = self._eval(c.query, field, sim)
                 if c.occur in (SHOULD, MUST):
                     any_positive = True

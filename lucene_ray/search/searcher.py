@@ -581,10 +581,16 @@ class IndexSearcher:
             query = BooleanQuery(tuple(
                 _BC(c.query.rewrite() if isinstance(c.query, _IODV) else c.query,
                     c.occur) for c in query.clauses), query.minimum_should_match)
-        if any(not isinstance(c.query, (TermQuery, _RQ)) for c in query.clauses):
+        if any(not isinstance(c.query, (TermQuery, _RQ)) for c in query.clauses) \
+                or any(isinstance(c.query, _RQ) and c.occur in (SHOULD, MUST)
+                       for c in query.clauses):
             # nested sub-queries (grouping parens, phrases/multiterm inside a
             # boolean): recursive dense evaluation path (BooleanWeight over
-            # arbitrary sub-weights)
+            # arbitrary sub-weights).  SHOULD/MUST ranges also route here:
+            # Lucene's constant-score clauses CONTRIBUTE their boost to the
+            # sum (ConstantScoreWeight), which the dense path implements;
+            # only FILTER/MUST_NOT ranges stay on the flat fast path, where
+            # scoreless-required is the correct semantics.
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False, "nested": query}
         scoring, filters, must_nots = [], [], []

@@ -136,3 +136,22 @@ def test_token_filters_applied():
     m.add_field("text", "the merges are running")
     assert m.matches(TermQuery("merg"))         # porter-stemmed
     assert not m.matches(TermQuery("merges"))
+
+
+def test_fuzz_random_trees_vs_one_doc_engine(one_doc_index, mem):
+    """Random nested query trees (terms/phrases/ranges/booleans with every
+    occur flavor + msm) score identically on the MemoryIndex and the real
+    one-doc index."""
+    import numpy as np
+
+    from tests.test_nested_fuzz import _random_tree
+
+    rng = np.random.default_rng(99)
+    ts = np.array([200], dtype=np.int64)
+    for _ in range(80):
+        q = _random_tree(rng, ts)
+        td = one_doc_index.search(q, k=1)
+        engine = float(td.hits[0].score) if td.hits else 0.0
+        got = mem.search(q)
+        assert got == pytest.approx(engine, rel=1e-6, abs=1e-7), repr(q)
+        assert mem.matches(q) == bool(td.hits), repr(q)
