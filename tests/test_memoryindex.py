@@ -155,3 +155,40 @@ def test_fuzz_random_trees_vs_one_doc_engine(one_doc_index, mem):
         got = mem.search(q)
         assert got == pytest.approx(engine, rel=1e-6, abs=1e-7), repr(q)
         assert mem.matches(q) == bool(td.hits), repr(q)
+
+
+DIVERSE_DOCS = [
+    ("short", "merge join", 77),
+    ("repeats", "scan scan scan scan merge scan scan data data merge", 150),
+    ("long", " ".join(["the merge join sort scan data window batch"] * 12), 350),
+]
+
+
+@pytest.mark.parametrize("name,doc,tsv", DIVERSE_DOCS,
+                         ids=[d[0] for d in DIVERSE_DOCS])
+def test_fuzz_diverse_docs(ray_session, tmp_path_factory, name, doc, tsv):
+    """The MemoryIndex == one-doc-engine contract holds across doc shapes
+    (short, heavy repeats, long multi-sentence → different norm bytes)."""
+    import ray.data as rd
+
+    from tests.test_nested_fuzz import _random_tree
+
+    t = pa.table({
+        "conv_id": ["c"], "turn_idx": pa.array([0], type=pa.int32()),
+        "role": ["user"], "tool": ["x"], "ts": pa.array([tsv], type=pa.int64()),
+        "text": [doc],
+    })
+    d = str(tmp_path_factory.mktemp(f"onedoc_{name}"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=10,
+                docvalue_cols=("ts",), input_desc=name)
+    s = IndexSearcher(d)
+    m = MemoryIndex().add_field("text", doc).add_numeric("ts", tsv)
+    rng = np.random.default_rng(hash(name) % 2**31)
+    ts = np.array([tsv], dtype=np.int64)
+    for _ in range(50):
+        q = _random_tree(rng, ts)
+        td = s.search(q, k=1)
+        engine = float(td.hits[0].score) if td.hits else 0.0
+        got = m.search(q)
+        assert got == pytest.approx(engine, rel=1e-6, abs=1e-7), repr(q)
+        assert m.matches(q) == bool(td.hits), repr(q)
