@@ -185,3 +185,30 @@ def test_refresh_clears_cache(cache_index):
     assert len(s.query_cache) == 0
     got = s.search(q, k=10)            # still correct after a clear
     assert got.total_hits >= 0
+
+
+def test_fuzz_random_trees_cached_vs_uncached(cache_index):
+    """Random nested trees, every query run twice through a searcher whose
+    policy admits EVERYTHING (so the second run reads packed bitsets from
+    the cache) — results must equal the uncached searcher's exactly."""
+    import numpy as np
+
+    from lucene_ray.search.cache import LRUQueryCache
+    from tests.test_nested_fuzz import _random_tree
+    from tests.test_query_cache import _AlwaysCache
+
+    s_off = IndexSearcher(cache_index, query_cache=False)
+    s_on = IndexSearcher(cache_index,
+                         query_cache=LRUQueryCache(policy=_AlwaysCache()))
+    rng = np.random.default_rng(5)
+    ts = np.array([1_700_000_000_000_000 + i * 1_000_000 for i in range(1500)],
+                  dtype=np.int64)
+    for _ in range(40):
+        q = _random_tree(rng, ts)
+        base = s_off.search(q, k=25)
+        for _ in range(2):                     # second pass hits the cache
+            got = s_on.search(q, k=25)
+            assert [(h.gid, h.score) for h in got.hits] == \
+                   [(h.gid, h.score) for h in base.hits], repr(q)
+            assert got.total_hits == base.total_hits
+    assert s_on.query_cache.hit_count > 0
