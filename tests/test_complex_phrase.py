@@ -122,3 +122,40 @@ def test_unmatchable_slot_empty(cp_index):
     s, _ = cp_index
     q = ComplexPhraseQuery((("merge",), (PrefixQuery("zzzzqq"),)))
     assert _matched_gids(s, q) == []
+
+
+def test_fuzz_random_slot_configs(cp_index):
+    """Random slot mixes (terms / prefixes / alternative groups) match the
+    positional brute force exactly (slop=0)."""
+    VOCAB = ["merge", "join", "sort", "scan", "data", "query", "the",
+             "window", "batch", "customer"]
+    s, tokens = cp_index
+    rng = np.random.default_rng(23)
+
+    def rand_slot():
+        k = rng.integers(0, 3)
+        if k == 0:
+            return (VOCAB[int(rng.integers(len(VOCAB)))],)
+        if k == 1:
+            w = VOCAB[int(rng.integers(len(VOCAB)))]
+            return (PrefixQuery(w[: int(rng.integers(2, 4))]),)
+        i, j = rng.integers(0, len(VOCAB), size=2)
+        return (VOCAB[int(i)], VOCAB[int(j)])
+
+    def elem_ok(el, tok):
+        if isinstance(el, str):
+            return tok == el
+        return tok.startswith(el.prefix)
+
+    for _ in range(40):
+        slots = tuple(rand_slot() for _ in range(int(rng.integers(2, 4))))
+        q = ComplexPhraseQuery(slots)
+        got = _matched_gids(s, q)
+        want = []
+        for d, tk in enumerate(tokens):
+            n = len(slots)
+            if any(all(any(elem_ok(el, tk[i + j]) for el in slot)
+                       for j, slot in enumerate(slots))
+                   for i in range(len(tk) - n + 1)):
+                want.append(d)
+        assert got == want, repr(q)
