@@ -91,3 +91,48 @@ def test_pipeline_shape(ray_session):
     assert list(df.columns) == ["context", "rank", "term", "score"]
     assert len(df) == 5 and (df["rank"] == [1, 2, 3, 4, 5]).all()
     assert df["score"].is_monotonic_decreasing
+
+
+def test_fuzz_lookup_vs_brute_backoff(ray_session, tmp_path):
+    """Random corpora: freetext_lookup equals an independent brute-force
+    stupid-backoff implementation (trigram model, prefix filters)."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    vocab = ["aa", "ab", "abc", "b", "bc", "c", "ca"]
+    docs = [" ".join(rng.choice(vocab, size=int(rng.integers(3, 12))))
+            for _ in range(30)]
+    pq.write_table(pa.table({"doc_id": list(range(len(docs))),
+                             "text": docs}), str(tmp_path / "documents.parquet"))
+    model = train_freetext(str(tmp_path), max_order=3)
+    S = "\x1e"
+
+    def brute(text, k=6, alpha=0.4):
+        toks = text.split()
+        prefix = ""
+        if text and not text[-1].isspace() and toks:
+            prefix, toks = toks[-1], toks[:-1]
+        out = {}
+        backoff = 0
+        for order in range(min(3, len(toks) + 1), 0, -1):
+            ctx = S.join(toks[len(toks) - (order - 1):])
+            denom = (model["counts"][order - 1].get(ctx, 0) if order > 1
+                     else model["totals"][1])
+            if denom:
+                pre = ctx + S if ctx else ""
+                for gram, c in model["counts"][order].items():
+                    if not gram.startswith(pre):
+                        continue
+                    w = gram[len(pre):]
+                    if S in w or (prefix and not w.startswith(prefix)):
+                        continue
+                    out.setdefault(w, (alpha ** backoff) * c / denom)
+            backoff += 1
+        return sorted(out.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+    queries = ["aa ", "aa ab ", "b c ", "zz ", "aa a", "ca b", "abc aa a"]
+    for _ in range(15):
+        queries.append(" ".join(rng.choice(vocab,
+                                           size=int(rng.integers(1, 4)))) + " ")
+    for qtext in queries:
+        assert freetext_lookup(model, qtext, k=6) == brute(qtext), qtext
