@@ -184,13 +184,23 @@ def trigger_terms(q):
         return trigger_terms(q.query)
     if isinstance(q, BooleanQuery):
         best = None
+        has_required = False
         for c in q.clauses:
             if c.occur in (MUST, FILTER):
+                has_required = True
                 t = trigger_terms(c.query)
                 if t is not None and (best is None or len(t) < len(best)):
                     best = t
         if best is not None:
             return best
+        # With required clauses present and none screenable, SHOULD clauses
+        # are optional (msm=0): a doc can match via the required clauses
+        # alone, so the SHOULD union would be unsound — the reference
+        # TermFilteredPresearcher treats this as ANYTOKEN.  Only when the
+        # query is pure-SHOULD (or msm>=1 forces a SHOULD hit) is the
+        # union of SHOULD triggers a sound prescreen.
+        if has_required and q.minimum_should_match < 1:
+            return None
         shoulds = [trigger_terms(c.query) for c in q.clauses
                    if c.occur == SHOULD]
         if shoulds and all(s is not None for s in shoulds):
@@ -227,13 +237,20 @@ def trigger_prefixes(q):
         return trigger_prefixes(q.query)
     if isinstance(q, BooleanQuery):
         best = None
+        has_required = False
         for c in q.clauses:
             if c.occur in (MUST, FILTER):
-                p = trigger_prefixes(c.query)
+                has_required = True
+                ts = trigger_terms(c.query)
+                p = list(ts) if ts is not None else trigger_prefixes(c.query)
                 if p and (best is None or len(p) < len(best)):
                     best = p
         if best is not None:
             return best
+        # Same soundness rule as trigger_terms: required-but-unscreenable
+        # clauses mean SHOULD triggers cannot prescreen (ANYTOKEN).
+        if has_required and q.minimum_should_match < 1:
+            return None
         out = []
         for c in q.clauses:
             if c.occur != SHOULD:

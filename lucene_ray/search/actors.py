@@ -65,6 +65,8 @@ class QueryActor:
 
     def search(self, compiled: dict, k: int, after=None, threshold: int = 1000,
                qid: str | None = None):
+        if self.searcher.query_cache is not None:
+            self.searcher.query_cache.begin_search()
         out_scores, out_gids, out_conv, out_turn = [], [], [], []
         total = 0
         relation = RELATION_EQ

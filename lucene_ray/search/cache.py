@@ -124,9 +124,20 @@ class LRUQueryCache:
         self.miss_count = 0
         self.cache_count = 0        # entries ever stored
         self.eviction_count = 0
+        # sub-queries already usage-counted during the current search:
+        # matches() is invoked once per segment, but the reference
+        # UsageTrackingQueryCachingPolicy counts one use per *search*
+        # (IndexSearcher calls onUse from the cached-weight wrapper once),
+        # so dedupe within a search to avoid N-shard inflation.
+        self._used_this_search: set = set()
 
     def __len__(self) -> int:
         return len(self._map)
+
+    def begin_search(self) -> None:
+        """Mark the start of a top-level search: usage counting resets so
+        each distinct sub-query counts at most one use this search."""
+        self._used_this_search.clear()
 
     def clear(self) -> None:
         self._map.clear()
@@ -138,8 +149,11 @@ class LRUQueryCache:
         merge rewrites into a fresh dir, so stale sets can never be read),
         consulting / populating the cache.  `compute()` produces the
         uncached answer (a bool[n_docs] array, deletes NOT applied)."""
-        self.policy.on_use(query)
-        key = (segment_key, query_key(query))
+        qk = query_key(query)
+        if qk not in self._used_this_search:
+            self._used_this_search.add(qk)
+            self.policy.on_use(query)
+        key = (segment_key, qk)
         hit = self._map.get(key)
         if hit is not None:
             self.hit_count += 1

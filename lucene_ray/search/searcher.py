@@ -13,6 +13,7 @@ because doc bases are assigned in partition order).
 from __future__ import annotations
 
 import glob
+import math
 import os
 from dataclasses import dataclass
 
@@ -331,8 +332,10 @@ class IndexSearcher:
         from .query import BooleanClause, BooleanQuery, TermQuery
 
         max_doc = int(self.commit["doc_count"])
+        # fractional cutoff uses ceil (CommonTermsQuery.java:155:
+        # docFreq > ceil(maxTermFrequency * maxDoc) is high-frequency)
         cut = (q.max_term_frequency if q.max_term_frequency >= 1.0
-               else q.max_term_frequency * max_doc)
+               else math.ceil(q.max_term_frequency * max_doc))
         low = [t for t in q.terms if self.df(t) <= cut]
         high = [t for t in q.terms if self.df(t) > cut]
         lowq = BooleanQuery(tuple(BooleanClause(TermQuery(t), q.low_freq_occur)
@@ -636,6 +639,8 @@ class IndexSearcher:
         if sort is not None:
             # after for sorted search is a (sort_value, gid) FieldDoc cursor
             return self._search_sorted(query, sort, k, after=after)
+        if self.query_cache is not None:
+            self.query_cache.begin_search()
         compiled = self.compile(query)
         per_shard = []
         for pid in self._pids:
@@ -940,6 +945,8 @@ class IndexSearcher:
         as float and hit.fields the exact int.  Scale path: shards whose
         doc-values range cannot beat the current k-th value could be pruned
         via manifest min/max before collection (not needed at this scale)."""
+        if self.query_cache is not None:
+            self.query_cache.begin_search()
         compiled = self.compile(query)
         vals_all, gids_all = [], []
         total = 0
@@ -1060,6 +1067,8 @@ class IndexSearcher:
 
     def count(self, query) -> int:
         """IndexSearcher.count equivalent (`search/IndexSearcher.java:428`)."""
+        if self.query_cache is not None:
+            self.query_cache.begin_search()
         compiled = self.compile(query)
         total = 0
         for pid in self._pids:

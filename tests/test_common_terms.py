@@ -1,6 +1,8 @@
 """CommonTermsQuery: df-split rewrite vs the hand-built boolean equivalent
 (`queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java:116-189`)."""
 
+import math
+
 import pytest
 
 from lucene_ray.index.build import build_index
@@ -37,7 +39,7 @@ def test_split_matches_manual_boolean(setup):
     terms = ("the", "data", "merge", "join")   # dfs ~91/44/34/32% of maxDoc
     dfs = {t: s.df(t) for t in terms}
     max_doc = int(s.commit["doc_count"])
-    cut = 0.4 * max_doc
+    cut = math.ceil(0.4 * max_doc)             # CommonTermsQuery.java:155
     low = [t for t in terms if dfs[t] <= cut]
     high = [t for t in terms if dfs[t] > cut]
     assert low and high                        # the fixture really mixes both
@@ -80,3 +82,20 @@ def test_high_group_widens_recall_without_gating(setup):
                                           max_term_frequency=0.4,
                                           low_freq_occur=MUST), k=200)
     assert n_both == n_low
+
+
+def test_fractional_cutoff_uses_ceil(setup):
+    """ADVICE r3 (low): df in (f*maxDoc, ceil(f*maxDoc)] is LOW-frequency
+    (CommonTermsQuery.java:155 classifies high only when
+    docFreq > ceil(maxTermFrequency * maxDoc))."""
+    s = setup
+    max_doc = int(s.commit["doc_count"])
+    df = s.df("merge")
+    assert df > 0
+    # pick a fraction so f*maxDoc is just under df: without ceil the term
+    # would flip to the high-frequency group
+    f = (df - 0.5) / max_doc
+    assert f * max_doc < df <= math.ceil(f * max_doc)
+    q = CommonTermsQuery(("merge",), max_term_frequency=f, low_freq_occur=MUST)
+    manual = BooleanQuery((BooleanClause(TermQuery("merge"), MUST),))
+    assert _hits(s, q) == _hits(s, manual)

@@ -70,3 +70,40 @@ def test_ast_monitor_presearch_prunes(ray_session):
     t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     d, q = mon.match_batch(t.column("doc_id").to_numpy(), t.column("text"))
     assert len(d) == 0 and len(mon.always) == 0
+
+
+def test_required_unscreenable_not_masked_by_should():
+    """ADVICE r3 (high): MUST/FILTER clauses that cannot be prescreened must
+    not fall back to the SHOULD-trigger union when msm=0 — a doc matching
+    only the required clause would be a percolator false negative.  The
+    reference TermFilteredPresearcher treats this case as ANYTOKEN."""
+    from lucene_ray.pipelines.percolate import trigger_prefixes
+
+    q = bool_query(must=[PrefixQuery("vec")], should=["merge"])
+    # exact-term prescreen is impossible — but NOT the should-union
+    assert trigger_terms(q) is None
+    # the prefix path screens on the required prefix (sound)
+    assert trigger_prefixes(q) == ["vec"]
+    # fuzzy MUST with prefix_length=0 → no prefix either: true ANYTOKEN
+    q2 = bool_query(must=[FuzzyQuery("merge")], should=["scan"])
+    assert trigger_terms(q2) is None and trigger_prefixes(q2) is None
+    # msm>=1 makes SHOULD required again → union is sound
+    q3 = bool_query(must=[FuzzyQuery("merge")], should=["scan", "sort"],
+                    minimum_should_match=1)
+    assert trigger_terms(q3) == {"scan", "sort"}
+    # pure-SHOULD unchanged
+    assert trigger_terms(bool_query(should=["a", "b"])) == {"a", "b"}
+
+
+def test_ast_monitor_required_prefix_end_to_end(ray_session):
+    """End-to-end reproduction of the ADVICE case: a doc containing
+    'vector' but not 'merge' must match bool(must=[prefix(vec)],
+    should=[merge])."""
+    registered = [("pq-req-prefix",
+                   bool_query(must=[PrefixQuery("vec")], should=["merge"]))]
+    mon = AstMonitor(registered)
+    doc_ids = np.array([1, 2, 3], dtype=np.int64)
+    import pyarrow as pa
+    texts = pa.array(["the vector index", "merge sort only", "plain text"])
+    d, q = mon.match_batch(doc_ids, texts)
+    assert set(d.tolist()) == {1}

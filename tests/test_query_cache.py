@@ -212,3 +212,20 @@ def test_fuzz_random_trees_cached_vs_uncached(cache_index):
                    [(h.gid, h.score) for h in base.hits], repr(q)
             assert got.total_hits == base.total_hits
     assert s_on.query_cache.hit_count > 0
+
+
+def test_usage_counted_once_per_search_not_per_segment(cache_index):
+    """ADVICE r3 (low): one search over an N-shard index must count ONE
+    policy use, not N — otherwise any costly filter reaches
+    minFrequencyToCache (2) during its very first search and one-off
+    queries pollute the cache."""
+    s = IndexSearcher(cache_index)
+    assert len(s._pids) >= 2           # the fixture really is multi-shard
+    q = BooleanQuery((
+        BooleanClause(TermQuery("data"), SHOULD),
+        BooleanClause(PrefixQuery("mer"), FILTER),   # costly: admits at 2 uses
+    ))
+    s.search(q, k=10)
+    assert len(s.query_cache) == 0     # first search: freq 1 < 2, not cached
+    s.search(q, k=10)
+    assert len(s.query_cache) > 0      # second search admits it
