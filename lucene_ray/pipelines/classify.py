@@ -44,7 +44,7 @@ from .textstats import _flat_tokens_np, _seg_starts
 
 
 def train_naive_bayes(sf_dir: str, class_col: str = "lang",
-                      max_features: int | None = None):
+                      max_features: int | None = 1 << 20):
     """Fit a multinomial NB model over documents(text, class_col).
 
     Distributed: per-batch polars partial counts → ``groupby(cls, term)``
@@ -52,8 +52,18 @@ def train_naive_bayes(sf_dir: str, class_col: str = "lang",
     plain dict of numpy arrays (the broadcastable model):
     ``classes`` (sorted str), ``log_prior`` (C,), ``vocab`` (sorted str),
     ``log_lik`` (V, C) for seen terms, ``log_lik_oov`` (C,) for unseen.
+
+    ``max_features`` defaults to 2^20 so the driver materialization is
+    bounded at web scale: feature selection (global-frequency top-k) AND
+    the (class × term) filter both run distributed; only the ≤
+    max_features × C selected rows ever reach the driver.  Corpora whose
+    vocabulary fits under the cap get the exact uncapped model (top-k
+    keeps everything).  ``None`` (explicit, small-data/tests only)
+    materializes the full vocabulary.
     """
+    import ray
     import ray.data as rd
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -93,9 +103,14 @@ def train_naive_bayes(sf_dir: str, class_col: str = "lang",
                     .to_pandas()
                     .sort_values(["gcnt", "term"], ascending=[False, True])
                     .head(max_features))
-        keep = set(keep_tbl["term"])
-        wc_df = wc.to_pandas()
-        wc_df = wc_df[wc_df["term"].isin(keep)]
+        # filter the (cls, term) table DISTRIBUTED against the broadcast
+        # keep-set, so only <= max_features x C rows reach the driver
+        keep_ref = ray.put(pa.array(keep_tbl["term"].to_numpy(), type=pa.string()))
+
+        def keep_only(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("term"), value_set=ray.get(keep_ref)))
+
+        wc_df = wc.map_batches(keep_only, batch_format="pyarrow").to_pandas()
     else:
         wc_df = wc.to_pandas()
 
@@ -129,7 +144,7 @@ def train_naive_bayes(sf_dir: str, class_col: str = "lang",
 
 
 def classify_naive_bayes(sf_dir: str, class_col: str = "lang",
-                         max_features: int | None = None) -> pd.DataFrame:
+                         max_features: int | None = 1 << 20) -> pd.DataFrame:
     """(doc_id, pred) — NB self-classification of every document: fit on the
     labeled corpus, then one broadcast + vectorized map_batches scoring pass
     (``assignClass`` over a stream instead of one text at a time).

@@ -174,6 +174,17 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.4):
     """
     import ray
 
+    # size guard: this is the SQL-exact all-pairs twin — refuse to launch a
+    # silent O(N^2) job past the broadcast-matrix regime instead of melting
+    # the cluster; callers at scale use dedup_embedding_lsh.
+    n_rows = _read_embeddings(sf_dir).count()
+    MAX_EXACT_ROWS = 2_000_000
+    if n_rows > MAX_EXACT_ROWS:
+        raise ValueError(
+            f"dedup_embedding is the exact all-pairs variant (O(N^2)); "
+            f"{n_rows} rows > {MAX_EXACT_ROWS}. Use dedup_embedding_lsh "
+            f"for web-scale corpora.")
+
     @ray.remote
     def assemble(*tbls):
         parts = [_block_matrix(t) for t in tbls]

@@ -28,7 +28,7 @@ def _store_dir(sf_dir: str) -> str:
 
 
 def train_freetext(sf_dir: str, max_order: int = 3, min_count: int = 1,
-                   max_grams_per_order: int | None = None):
+                   max_grams_per_order: int | None = 1 << 20):
     """n-gram language model for the FreeTextSuggester
     (`suggest/src/java/org/apache/lucene/suggest/analyzing/
     FreeTextSuggester.java:1-800`: ShingleFilter n-grams → weighted FST;
@@ -36,7 +36,12 @@ def train_freetext(sf_dir: str, max_order: int = 3, min_count: int = 1,
     → ``groupby(gram)`` sum — with the counts kept as plain dicts, the
     broadcastable model).  Returns {"counts": {order: {gram_str: n}},
     "totals": {order: Σ}, "max_order": o}; grams join tokens with '\\x1e'
-    (the reference's separator)."""
+    (the reference's separator).
+
+    ``max_grams_per_order`` defaults to 2^20 so web-scale n-gram tables
+    never materialize on the driver (per-block top-k combiner below);
+    corpora under the cap get the exact uncapped model.  ``None``
+    (explicit, small-data/tests only) disables the guard."""
     import numpy as np
     import ray.data as rd
     from ray.data.aggregate import Sum
