@@ -32,6 +32,19 @@ import pyarrow as pa
 
 from .textstats import _flat_tokens_np
 
+
+def _vocab_codes(flat, vocab_arr: pa.Array):
+    """Vocab ids for a flat polars token Series via Arrow ``index_in``
+    (zero-copy — no per-token Python-object materialization, the
+    classify.py scoring-pass pattern): (codes int64, valid bool) where
+    valid marks tokens present in the vocabulary."""
+    import pyarrow.compute as pc
+
+    arr = flat.to_arrow()
+    idx = pc.index_in(arr, value_set=vocab_arr.cast(arr.type))
+    codes = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, codes >= 0
+
 # the registered query set (deterministic; mirrored in the SQL oracle)
 REGISTERED = [
     {"query_id": "pq-merge-join", "must": ["merge", "join"], "should": []},
@@ -50,6 +63,7 @@ class QueryIndex:
         self.query_ids = np.array([q["query_id"] for q in queries], dtype=object)
         vocab = sorted({t for q in queries for t in q["must"] + q["should"]})
         self.vocab = np.array(vocab, dtype=object)
+        self.vocab_arr = pa.array(vocab, type=pa.string())
         tid = {t: i for i, t in enumerate(vocab)}
         must_runs = [[tid[t] for t in q["must"]] for q in queries]
         should_runs = [[tid[t] for t in q["should"]] for q in queries]
@@ -80,11 +94,7 @@ class QueryIndex:
         """(matched doc_ids, matched query indices) for one batch."""
         V = len(self.vocab)
         flat, lens = _flat_tokens_np(texts)
-        flat_np = flat.to_numpy().astype(object)
-        code = np.searchsorted(self.vocab, flat_np)
-        valid = code < V
-        if valid.any():
-            valid[valid] = self.vocab[code[valid]] == flat_np[valid]
+        code, valid = _vocab_codes(flat, self.vocab_arr)
         doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
         present = np.unique(doc_idx[valid] * V + code[valid])
         if len(present) == 0:
@@ -306,6 +316,7 @@ class AstMonitor:
         self.always = np.array(always, dtype=np.int64)
         vocab = sorted({t for ts in trig if ts for t in ts})
         self.vocab = np.array(vocab, dtype=object)
+        self.vocab_arr = pa.array(vocab, type=pa.string())
         tid = {t: i for i, t in enumerate(vocab)}
         trig_t, trig_q = [], []
         for qi, ts in enumerate(trig):
@@ -319,14 +330,17 @@ class AstMonitor:
     def match_batch(self, doc_ids: np.ndarray, texts):
         from ..index.memoryindex import MemoryIndex
 
+        import pyarrow.compute as pc
+
         V = len(self.vocab)
         flat, lens = _flat_tokens_np(texts)
         n_docs = len(lens)
-        flat_np = flat.to_numpy().astype(object)
-        code = np.searchsorted(self.vocab, flat_np) if V else np.empty(0, np.int64)
-        valid = code < V
-        if valid.any():
-            valid[valid] = self.vocab[code[valid]] == flat_np[valid]
+        flat_arr = flat.to_arrow()              # zero-copy token column
+        if V:
+            code, valid = _vocab_codes(flat, self.vocab_arr)
+        else:
+            code = np.empty(0, np.int64)
+            valid = np.zeros(len(flat_arr), dtype=bool)
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
         present = (np.unique(doc_idx[valid] * max(V, 1) + code[valid])
                    if valid.any() else np.empty(0, np.int64))
@@ -343,12 +357,12 @@ class AstMonitor:
                 np.cumsum(reps[hit]) - reps[hit], reps[hit])
             cand_q = self.trig_q[np.repeat(starts, reps[hit]) + span]
             pairs.update(zip(cand_doc.tolist(), cand_q.tolist()))
-        if self.prefix_triggers and len(flat_np):
-            fs = flat_np.astype(str)
+        if self.prefix_triggers and len(flat_arr):
             for qi, prefixes in self.prefix_triggers:
-                m = np.zeros(len(fs), dtype=bool)
+                m = np.zeros(len(flat_arr), dtype=bool)
                 for p in prefixes:
-                    m |= np.char.startswith(fs, p)
+                    m |= pc.starts_with(flat_arr, p).to_numpy(
+                        zero_copy_only=False)
                 for d in np.unique(doc_idx[m]):
                     pairs.add((int(d), int(qi)))
         for qi in self.always:                   # ANYTOKEN queries
@@ -358,14 +372,15 @@ class AstMonitor:
         # tokenized flat arrays (no per-candidate re-analysis)
         starts = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        flat_list = flat_np.tolist()
         mems: dict[int, MemoryIndex] = {}
         out_d, out_q = [], []
         for d, qi in sorted(pairs):
             m = mems.get(d)
             if m is None:
+                # tokens materialize to Python lazily, only for docs that
+                # actually have candidates (slice of the Arrow token column)
                 m = MemoryIndex.from_tokens(
-                    flat_list[starts[d]:starts[d] + lens[d]])
+                    flat_arr.slice(starts[d], lens[d]).to_pylist())
                 mems[d] = m
             if m.matches(self.queries[qi]):
                 out_d.append(d)

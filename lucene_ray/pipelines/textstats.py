@@ -33,13 +33,9 @@ def simple_tokens(text: str) -> list[str]:
     return [t.lower() for t in SIMPLE_TOKEN.findall(text)]
 
 
-def _tokens_series(texts: pd.Series) -> pd.Series:
-    return texts.fillna("").str.findall(SIMPLE_TOKEN).map(lambda ts: [t.lower() for t in ts])
-
-
 def _pl_tokens(texts):
     """Lowercased token lists as a polars Series (native regex kernel — the
-    vectorized replacement for the per-row `_tokens_series` lambdas).
+    vectorized replacement for per-row Python token loops).
     Accepts a pandas Series or an Arrow Array/ChunkedArray (zero-copy)."""
     import polars as pl
 
