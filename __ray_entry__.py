@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
         "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
+        "index_flexible_count": _lazy("index_flexible_count"),
         "index_highlight_topk": _lazy("index_highlight_topk"),
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
@@ -423,6 +424,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(toks) >= 2 AND len(list_filter(
                 generate_series(1, len(toks) - 1),
                 i -> toks[i] = 'merge' AND toks[i + 1] LIKE 'jo%')) > 0""",
+        # flexible parser: (merge AND jo*) OR (scan sort filter)@2
+        "index_flexible_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE (list_contains(toks, 'merge')
+                   AND len(list_filter(toks, t -> t LIKE 'jo%')) > 0)
+               OR (list_contains(toks, 'scan')::INT
+                   + list_contains(toks, 'sort')::INT
+                   + list_contains(toks, 'filter')::INT >= 2)""",
         "index_keyword_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE doc_id % 4 = 0 AND list_contains(toks, 'merge')""",

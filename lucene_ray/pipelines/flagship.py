@@ -93,6 +93,19 @@ def index_prefix_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
 
 
+def index_flexible_count(sf_dir: str) -> pd.DataFrame:
+    """Flexible (Standard) parser dialect end-to-end: a query using AND,
+    prefix wildcard and the '@n' minimum-should-match group syntax
+    (`flexible/standard/parser/StandardSyntaxParser.jj` surface) parsed by
+    parse_flexible and counted through the index."""
+    from ..search.flexible import parse_flexible
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = parse_flexible('(merge AND jo*) OR (scan sort filter)@2')
+    n = searcher.count(q)
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
 def index_highlight_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """BM25 top-k for 'merge join' with sentence-passage snippets
     (UnifiedHighlighter model: sentence BreakIterator + passage scoring).

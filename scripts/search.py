@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--surround", action="store_true",
                     help="surround dialect (a 3W b / 3N(a,b,c) proximity, "
                          "AND/OR/NOT, prefix forms)")
+    ap.add_argument("--flexible", action="store_true",
+                    help="flexible (Standard) dialect (AND/OR/NOT && || !, "
+                         "/regexp/, (a b c)@msm, field<val ranges, "
+                         "fn:ordered(...) interval functions)")
     ap.add_argument("--xml", action="store_true",
                     help="CoreParser XML dialect (TermQuery/BooleanQuery/"
                          "SpanNear/RangeQuery/UserQuery/... elements)")
@@ -82,6 +86,10 @@ def main():
         from lucene_ray.search.query import parse_surround
 
         q = parse_surround(args.query)
+    elif args.flexible:
+        from lucene_ray.search.flexible import parse_flexible
+
+        q = parse_flexible(args.query)
     elif args.xml:
         from lucene_ray.search.xmlparser import parse_xml
 
