@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_phrase_count": _lazy("index_phrase_count"),
         "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
         "index_flexible_count": _lazy("index_flexible_count"),
+        "index_span_near_count": _lazy("index_span_near_count"),
         "index_highlight_topk": _lazy("index_highlight_topk"),
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
@@ -424,6 +425,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(toks) >= 2 AND len(list_filter(
                 generate_series(1, len(toks) - 1),
                 i -> toks[i] = 'merge' AND toks[i + 1] LIKE 'jo%')) > 0""",
+        # span-near(span-or(merge,sort), the) slop=3 ordered: exists i with
+        # toks[i] in {merge,sort} and 'the' at i+1..i+4 (gap <= 3)
+        "index_span_near_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE len(list_filter(
+                generate_series(1, len(toks)),
+                i -> (toks[i] = 'merge' OR toks[i] = 'sort')
+                     AND len(list_filter(generate_series(i + 1,
+                             least(i + 4, len(toks))),
+                         j -> toks[j] = 'the')) > 0)) > 0""",
         # flexible parser: (merge AND jo*) OR (scan sort filter)@2
         "index_flexible_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists

@@ -93,6 +93,19 @@ def index_prefix_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
 
 
+def index_span_near_count(sf_dir: str) -> pd.DataFrame:
+    """Nested span algebra end-to-end: span-near(span-or(merge, sort),
+    'the') with slop 3 in order — doc count through the index
+    (`queries/spans/SpanNearQuery.java` + `SpanOrQuery.java` semantics)."""
+    from ..search.spans import SpanNearQuery, SpanOrQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = SpanNearQuery((SpanOrQuery(("merge", "sort")), "the"),
+                      slop=3, in_order=True)
+    n = searcher.count(q)
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
 def index_flexible_count(sf_dir: str) -> pd.DataFrame:
     """Flexible (Standard) parser dialect end-to-end: a query using AND,
     prefix wildcard and the '@n' minimum-should-match group syntax

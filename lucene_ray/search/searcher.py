@@ -164,6 +164,25 @@ class IndexSearcher:
             return dataclasses.replace(q, slots=tuple(
                 tuple(self._ft(el) if isinstance(el, str) else el
                       for el in slot) for slot in q.slots))
+        from .spans import (
+            SpanContainingQuery,
+            SpanNearQuery,
+            SpanOrQuery,
+            SpanWithinQuery,
+        )
+
+        if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+            return dataclasses.replace(q, clauses=tuple(
+                self._ft(c) if isinstance(c, str) else self._normalize(c)
+                for c in q.clauses))
+        if isinstance(q, SpanContainingQuery):
+            return dataclasses.replace(
+                q, big=self._normalize_span_leaf(q.big),
+                little=self._normalize_span_leaf(q.little))
+        if isinstance(q, SpanWithinQuery):
+            return dataclasses.replace(
+                q, little=self._normalize_span_leaf(q.little),
+                big=self._normalize_span_leaf(q.big))
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return dataclasses.replace(q, query=self._normalize(q.query))
         if isinstance(q, BooleanQuery):
@@ -174,6 +193,9 @@ class IndexSearcher:
         # against the (already filtered) dictionary unmodified, like the
         # reference's multi-term queries which bypass analysis
         return q
+
+    def _normalize_span_leaf(self, leaf):
+        return self._ft(leaf) if isinstance(leaf, str) else self._normalize(leaf)
 
     def refresh(self) -> bool:
         """openIfChanged equivalent (`DirectoryReader.openIfChanged`): reload
@@ -437,6 +459,14 @@ class IndexSearcher:
                     "spannot": (query.include, query.exclude,
                                 int(query.pre), int(query.post)),
                     "boost": query.boost}
+        from .spans import SPAN_TYPES
+
+        if isinstance(query, SPAN_TYPES):
+            # nested span algebra: per-shard candidate + position-list
+            # enumeration (spans.py); constant-score
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "spans": query, "boost": query.boost}
         from .query import ComplexPhraseQuery as _CPQ
 
         if isinstance(query, _CPQ):
@@ -722,6 +752,11 @@ class IndexSearcher:
             inc, exc, pre_, post_ = compiled["spannot"]
             return search_shard_spannot(rdr, inc, exc, pre_, post_,
                                         compiled["boost"], k, after=after)
+        if compiled.get("spans") is not None:
+            from .spans import search_shard_spans
+
+            return search_shard_spans(rdr, compiled["spans"], self,
+                                      compiled["boost"], k, after=after)
         if compiled.get("range") is not None:
             from .scorer import search_shard_range
 

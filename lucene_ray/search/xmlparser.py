@@ -95,6 +95,35 @@ def _children(e: ET.Element) -> list[ET.Element]:
     return list(e)
 
 
+def _build_span(e: ET.Element, fld: str):
+    """One node of a nested span tree (`builders/SpanQueryBuilderFactory`):
+    SpanTerm → term string, SpanNear/SpanOr → span query objects,
+    SpanOrTerms → analyzed-term SpanOr."""
+    from .spans import SpanNearQuery, SpanOrQuery
+
+    if e.tag == "SpanTerm":
+        return _text(e)
+    if e.tag == "SpanNear":
+        kids = _children(e)
+        if not kids:
+            raise XmlParseError("SpanNear requires children")
+        return SpanNearQuery(tuple(_build_span(c, fld) for c in kids),
+                             slop=int(e.get("slop", "0")),
+                             in_order=e.get("inOrder", "true").lower() != "false",
+                             field=fld)
+    if e.tag == "SpanOr":
+        kids = _children(e)
+        if not kids:
+            raise XmlParseError("SpanOr requires children")
+        return SpanOrQuery(tuple(_build_span(c, fld) for c in kids), field=fld)
+    if e.tag == "SpanOrTerms":
+        toks = analyze(_text(e))
+        if not toks:
+            raise XmlParseError("SpanOrTerms analyzed to no terms")
+        return SpanOrQuery(tuple(dict.fromkeys(toks)), field=fld)
+    raise XmlParseError(f"unsupported span element {e.tag}")
+
+
 def _build(e: ET.Element, inherited_field: str | None, default_field: str):
     tag = e.tag
     fld = _field(e, inherited_field, default_field)
@@ -171,21 +200,25 @@ def _build(e: ET.Element, inherited_field: str | None, default_field: str):
     if tag == "SpanNear":
         slop = int(e.get("slop", "0"))
         in_order = e.get("inOrder", "true").lower() != "false"
-        terms = []
-        for c in _children(e):
-            if c.tag != "SpanTerm":
-                raise XmlParseError(
-                    f"SpanNear supports SpanTerm children only, got {c.tag}")
-            terms.append(_text(c))
-        if not terms:
-            raise XmlParseError("SpanNear requires SpanTerm children")
-        if len(terms) == 1:
-            return _boost(e, TermQuery(terms[0], field=fld))
-        if in_order and slop == 0:
-            return _boost(e, PhraseQuery(tuple(terms), field=fld))
-        return _boost(e, IntervalQuery(tuple(terms),
-                                       max_width=len(terms) + slop,
-                                       ordered=in_order, field=fld))
+        kids = _children(e)
+        if not kids:
+            raise XmlParseError("SpanNear requires children")
+        if all(c.tag == "SpanTerm" for c in kids):
+            # flat term spans keep their specialized rewrites
+            terms = [_text(c) for c in kids]
+            if len(terms) == 1:
+                return _boost(e, TermQuery(terms[0], field=fld))
+            if in_order and slop == 0:
+                return _boost(e, PhraseQuery(tuple(terms), field=fld))
+            return _boost(e, IntervalQuery(tuple(terms),
+                                           max_width=len(terms) + slop,
+                                           ordered=in_order, field=fld))
+        # nested span algebra (`builders/SpanNearBuilder.java` accepts any
+        # SpanQuery children): SpanNear / SpanOr / SpanTerm compose
+        from .spans import SpanNearQuery as _SN
+
+        return _boost(e, _SN(tuple(_build_span(c, fld) for c in kids),
+                             slop=slop, in_order=in_order, field=fld))
     if tag == "SpanOrTerms":
         toks = analyze(_text(e))
         if not toks:
@@ -193,17 +226,18 @@ def _build(e: ET.Element, inherited_field: str | None, default_field: str):
         return _boost(e, SynonymQuery(tuple(dict.fromkeys(toks)), field=fld))
     if tag == "SpanOr":
         # general span-or (`builders/SpanOrBuilder.java`): SpanTerm children
-        # union like SynonymQuery; SpanNear children become a SHOULD union
-        # of their rewrites (constant-score-compatible disjunction)
-        kids = [_build(c, fld if e.get("fieldName") else inherited_field,
-                       default_field) for c in _children(e)]
+        # union like SynonymQuery; composite span children form a true
+        # SpanOrQuery usable inside an enclosing SpanNear
+        kids = _children(e)
         if not kids:
             raise XmlParseError("SpanOr requires children")
-        if all(isinstance(k, TermQuery) for k in kids):
+        if all(c.tag == "SpanTerm" for c in kids):
             return _boost(e, SynonymQuery(
-                tuple(dict.fromkeys(k.term for k in kids)), field=fld))
-        return _boost(e, BooleanQuery(tuple(
-            BooleanClause(k, SHOULD) for k in kids)))
+                tuple(dict.fromkeys(_text(c) for c in kids)), field=fld))
+        from .spans import SpanOrQuery as _SO
+
+        return _boost(e, _SO(tuple(_build_span(c, fld) for c in kids),
+                             field=fld))
     if tag == "SpanNot":
         # reference SpanNot has Include/Exclude wrapper children
         inc = e.find("Include")
