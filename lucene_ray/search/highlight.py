@@ -124,12 +124,21 @@ def highlight_hits(searcher, query, fetch_text, k: int = 10, **kw):
     raw text — the docmap stores keys only, so text comes from the source
     table (the common pattern: a dict built from one filtered parquet read,
     or a callable over the source)."""
+    from .fvh import fvh_highlight, fvh_supported
     from .query import extract_terms
 
     td = searcher.search(query, k=k)
-    terms = [t.term for t in extract_terms(searcher._normalize(query))]
+    use_fvh = fvh_supported(searcher)   # term-vector-accelerated path
+    terms = None if use_fvh else \
+        [t.term for t in extract_terms(searcher._normalize(query))]
     out = []
     for h in td.hits:
-        text = fetch_text(h) if callable(fetch_text) else             fetch_text.get((h.conv_id, h.turn_idx), "")
-        out.append((h, highlight(text, terms, **kw) if text else None))
+        text = fetch_text(h) if callable(fetch_text) else \
+            fetch_text.get((h.conv_id, h.turn_idx), "")
+        if not text:
+            out.append((h, None))
+        elif use_fvh:
+            out.append((h, fvh_highlight(searcher, h.gid, text, query, **kw)))
+        else:
+            out.append((h, highlight(text, terms, **kw)))
     return out
