@@ -1932,6 +1932,91 @@ def _wd_parts(w: str) -> list[str]:
     return parts
 
 
+# ---------------------------------------------------------------------------
+# CJKBigramFilter (`analysis/common/src/java/org/apache/lucene/analysis/cjk/
+# CJKBigramFilter.java:1-380`): bigram offset-adjacent CJK codepoints of the
+# enabled writing systems; lone CJK codepoints become <SINGLE> unigrams;
+# non-CJK tokens pass through.  outputUnigrams interleaves <SINGLE> unigrams
+# (posInc 1) with overlapping <DOUBLE> bigrams (posInc 0).
+# ---------------------------------------------------------------------------
+
+CJK_HAN, CJK_HIRAGANA, CJK_KATAKANA, CJK_HANGUL = 1, 2, 4, 8
+CJK_ALL = CJK_HAN | CJK_HIRAGANA | CJK_KATAKANA | CJK_HANGUL
+
+_CJK_TYPE_FLAG = {"<IDEOGRAPHIC>": CJK_HAN, "<HIRAGANA>": CJK_HIRAGANA,
+                  "<KATAKANA>": CJK_KATAKANA, "<HANGUL>": CJK_HANGUL}
+
+
+def _cjk_char_flag(ch: str) -> int:
+    """Writing-system flag of one codepoint (StandardTokenizer type ranges)."""
+    o = ord(ch)
+    if 0x3040 <= o <= 0x309F:
+        return CJK_HIRAGANA
+    if 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF:
+        return CJK_KATAKANA
+    if 0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF or 0x3130 <= o <= 0x318F:
+        return CJK_HANGUL
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF \
+            or 0xF900 <= o <= 0xFAFF or 0x20000 <= o <= 0x2FA1F:
+        return CJK_HAN
+    return 0
+
+
+def _cjk_token_flag(tok: str) -> int:
+    """Token-level writing system: the flag when EVERY codepoint shares one
+    accepted system, else 0 (the reference keys on the tokenizer's token
+    type, so mixed-script ALPHANUM tokens never bigram)."""
+    first = _cjk_char_flag(tok[0]) if tok else 0
+    if first and all(_cjk_char_flag(c) == first for c in tok[1:]):
+        return first
+    return 0
+
+
+def cjk_bigram_stream(detailed, flags: int = CJK_ALL,
+                      output_unigrams: bool = False):
+    """Reference-shaped stream transform over analyze_detailed() output
+    [(term, pos, start, end, type)] → [(term, pos_inc, start, end, type)].
+    Adjacency is offset-exact (start == previous end), matching
+    CJKBigramFilter's unaligned-offset queue clear."""
+    out = []
+    buf: list[tuple[str, int, int]] = []     # accepted codepoints (ch, s, e)
+
+    def flush():
+        n = len(buf)
+        if n == 1:
+            out.append((buf[0][0], 1, buf[0][1], buf[0][2], "<SINGLE>"))
+        elif n > 1:
+            if output_unigrams:
+                for i, (ch, s, e) in enumerate(buf):
+                    out.append((ch, 1, s, e, "<SINGLE>"))
+                    if i < n - 1:
+                        out.append((ch + buf[i + 1][0], 0, s, buf[i + 1][2],
+                                    "<DOUBLE>"))
+            else:
+                for i in range(n - 1):
+                    out.append((buf[i][0] + buf[i + 1][0], 1, buf[i][1],
+                                buf[i + 1][2], "<DOUBLE>"))
+        buf.clear()
+
+    last_end = -1
+    for term, _pos, s, e, ty in detailed:
+        fl = _CJK_TYPE_FLAG.get(ty, 0)
+        if fl and (fl & flags):
+            if buf and s != last_end:        # unaligned: clear queue
+                flush()
+            off = s
+            for ch in term:                  # multi-codepoint CJK tokens
+                buf.append((ch, off, off + 1))
+                off += 1
+            last_end = e
+        else:
+            flush()
+            out.append((term, 1, s, e, ty))
+            last_end = -1
+    flush()
+    return out
+
+
 def run_token_chain(flat, lengths: np.ndarray, specs):
     """Position-aware analyzer chain — the TokenStream graph semantics of the
     reference's filter zoo for the supported stages, vectorized over the
@@ -2329,6 +2414,88 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                     new_incr = np.concatenate(
                         (new_incr, np.zeros(len(changed), bool)))
             toks, doc, pos, incr = new_toks, new_doc, new_pos, new_incr
+        elif spec == "cjk_bigram" or spec.startswith("cjk_bigram:"):
+            # CJKBigramFilter as an index-side graph stage.  Options:
+            # cjk_bigram[:han|hiragana|katakana|hangul[,...]][:unigrams].
+            # Chain tokens carry positions but not offsets, so adjacency is
+            # approximated by position adjacency (pos diff 1 in the same
+            # doc) — whitespace-separated CJK codepoints bigram here where
+            # the reference's offset check would not (documented
+            # divergence; CJK running text carries no spaces).  Codepoints
+            # inside one multi-char token (katakana/hangul runs) are always
+            # adjacent; their extra bigrams overlay the run's position.
+            opts = spec.split(":")[1:]
+            cjk_flags = 0
+            cjk_unigrams = False
+            for op in opts:
+                for word_ in op.split(","):
+                    if word_ == "unigrams":
+                        cjk_unigrams = True
+                    elif word_:
+                        cjk_flags |= {"han": CJK_HAN, "hiragana": CJK_HIRAGANA,
+                                      "katakana": CJK_KATAKANA,
+                                      "hangul": CJK_HANGUL}[word_]
+            cjk_flags = cjk_flags or CJK_ALL
+            tok_fl = np.array([_cjk_token_flag(str(w)) for w in toks],
+                              dtype=np.int64)
+            acc = (tok_fl & cjk_flags) > 0
+            if acc.any():
+                touched = np.unique(doc[acc])
+                keep_mask = ~np.isin(doc, touched)
+                nt = list(toks[keep_mask])
+                nd = list(doc[keep_mask])
+                npos = list(pos[keep_mask])
+                ninc = list(incr[keep_mask])
+                o = np.lexsort((~incr, pos, doc))     # originals first
+                sel = o[np.isin(doc[o], touched)]
+                run: list[tuple[str, int]] = []       # (codepoint, position)
+
+                def _flush_run(dd):
+                    n_r = len(run)
+                    if n_r == 1:
+                        nt.append(run[0][0]); nd.append(dd)
+                        npos.append(run[0][1]); ninc.append(True)
+                    elif n_r > 1:
+                        if cjk_unigrams:
+                            for i_r, (ch, p_r) in enumerate(run):
+                                nt.append(ch); nd.append(dd)
+                                npos.append(p_r); ninc.append(True)
+                                if i_r < n_r - 1:
+                                    nt.append(ch + run[i_r + 1][0]); nd.append(dd)
+                                    npos.append(p_r); ninc.append(False)
+                        else:
+                            seen_pos = set()
+                            for i_r in range(n_r - 1):
+                                p_r = run[i_r][1]
+                                nt.append(run[i_r][0] + run[i_r + 1][0])
+                                nd.append(dd); npos.append(p_r)
+                                ninc.append(p_r not in seen_pos)
+                                seen_pos.add(p_r)
+                    run.clear()
+
+                cur_doc, last_pos = -1, None
+                for j in sel:
+                    d_j, p_j, w_j = int(doc[j]), int(pos[j]), str(toks[j])
+                    if d_j != cur_doc:
+                        _flush_run(cur_doc)
+                        cur_doc, last_pos = d_j, None
+                    fl_j = _cjk_token_flag(w_j)
+                    if fl_j and (fl_j & cjk_flags) and incr[j]:
+                        if run and last_pos is not None and p_j != last_pos + 1:
+                            _flush_run(d_j)
+                        for ch in w_j:
+                            run.append((ch, p_j))
+                        last_pos = p_j
+                    else:
+                        _flush_run(d_j)
+                        last_pos = None
+                        nt.append(w_j); nd.append(d_j)
+                        npos.append(p_j); ninc.append(bool(incr[j]))
+                _flush_run(cur_doc)
+                toks = np.array(nt, dtype=object)
+                doc = np.array(nd, dtype=np.int64)
+                pos = np.array(npos, dtype=np.int32)
+                incr = np.array(ninc, dtype=bool)
         else:
             raise ValueError(f"unknown token filter spec: {spec}")
         if not isinstance(spec, list):
@@ -2358,6 +2525,11 @@ FILTERS["english_possessive"] = english_possessive
 # createComponents chains, minus tokenizer+lowercase which the engine
 # always applies); pass to build_index(token_filters=analyzer_preset(lang))
 ANALYZER_PRESETS = {
+    # CJKAnalyzer (`analysis/common/.../cjk/CJKAnalyzer.java:92-99`):
+    # width-fold BEFORE bigramming ("it sometimes combines characters"),
+    # lowercase (the engine tokenizer already lowercases), bigrams, then
+    # the English-function-word stop set
+    "cjk": ("cjk_width", "cjk_bigram", "stop:english"),
     "english": ("english_possessive", "stop:english", "porter"),
     "german": ("german_normalize", "german_light"),
     "french": ("elision:french", "french_light"),
