@@ -193,6 +193,14 @@ def run_bench() -> dict:
 
     timed("classify_nb", classify_mod.classify_naive_bayes)
     timed("percolate_ast", percolate_mod.percolate_ast)
+    # vectors-on variant: per-shard HNSW build + graph-served top-k over the
+    # embeddings table (tracks the round-4 batched-insert construction cost;
+    # the cached vector index is removed so the graph build is IN the time)
+    from lucene_ray.pipelines import vsearch as vsearch_mod
+    from lucene_ray.pipelines.flagship import index_dir_for
+
+    shutil.rmtree(index_dir_for(SF_DIR) + "-vec", ignore_errors=True)
+    timed("knn_hnsw_build_query", vsearch_mod.knn_hnsw)
 
     calib = None
     bw = None
