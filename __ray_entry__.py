@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- suggesters (FST-suggester surface) ---
         "suggest_analyzing": _suggest_analyzing,
         "suggest_fuzzy": _suggest_fuzzy,
+        "suggest_blended": _suggest_blended,
         "suggest_freetext": _suggest_freetext,
         # --- joins / percolator / multimodal / classification ---
         "bucketed_join": _bucketed_join,
@@ -92,7 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- family representatives (rest of each family after slot 50) ---
         "term_counts": textstats.term_counts,
         "collection_stats": textstats.collection_stats,
-        "grouped_topk": textstats.grouped_topk,
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
         "knn_cosine": knn.knn_cosine,
@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": windows.sessionize,
         "bm25_scan_topk": bm25scan.bm25_scan_topk,
         # ---------------- beyond the 50-entry driver window ----------------
+        "grouped_topk": textstats.grouped_topk,
         "top_terms": textstats.top_terms,
         "doc_token_stats": textstats.doc_token_stats,
         "quality_stats": textstats.quality_stats,
@@ -193,6 +194,12 @@ def _suggest_fuzzy(sf_dir):
     from lucene_ray.pipelines.suggesters import suggest_fuzzy
 
     return suggest_fuzzy(sf_dir)
+
+
+def _suggest_blended(sf_dir):
+    from lucene_ray.pipelines.suggesters import suggest_blended
+
+    return suggest_blended(sf_dir)
 
 
 def _suggest_freetext(sf_dir):

@@ -223,6 +223,18 @@ def suggest_analyzing(sf_dir: str, prefix: str = "merge",
     })
 
 
+def suggest_blended(sf_dir: str, query: str = "merge",
+                    k: int = 10) -> pa.Table:
+    """BlendedInfixSuggester lookup: infix candidates re-scored by the
+    position of the first matching token (position_linear blending)."""
+    s = Suggester(_store_dir(sf_dir))
+    got = s.lookup_blended(query, k)
+    return pa.table({
+        "surface": pa.array([g[0] for g in got], type=pa.string()),
+        "score": pa.array([g[1] for g in got], type=pa.int64()),
+    })
+
+
 def suggest_fuzzy(sf_dir: str, query: str = "mergw",
                   k: int = 10) -> pa.Table:
     """FuzzySuggester lookup (maxEdits=1 past the first char)."""

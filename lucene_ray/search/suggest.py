@@ -204,3 +204,82 @@ class Suggester:
         out = [(k, s, w) for (k, s), w in seen.items()]
         out.sort(key=lambda x: (not x[0] == exact, -x[2], x[0]))
         return [(s, w) for _, s, w in out[:num]]
+
+    # ---- infix + blended lookups -------------------------------------
+
+    def _infix_matches(self, query: str):
+        """(key_tokens, surface, weight, first_match_pos) for suggestions
+        matching every analyzed query token — earlier tokens exactly, the
+        LAST token as a prefix (`AnalyzingInfixSuggester.lookup`'s
+        finishFirstToken handling).  Scans every shard (no range pruning
+        for infix matching, like the reference's dedicated internal
+        index)."""
+        kq = analyzed_key(query)
+        if not kq:
+            return
+        qtoks = kq.split(SEP)
+        exact, last = qtoks[:-1], qtoks[-1]
+        for s in self.manifest["shards"]:
+            keys, surfaces, weights = self._shard(s["file"])
+            for i in range(len(keys)):
+                ktoks = keys[i].split(SEP)
+                first = None
+                ok = True
+                for t in exact:
+                    pos = next((j for j, kt in enumerate(ktoks) if kt == t),
+                               None)
+                    if pos is None:
+                        ok = False
+                        break
+                    first = pos if first is None or pos < first else first
+                if not ok:
+                    continue
+                pos = next((j for j, kt in enumerate(ktoks)
+                            if kt.startswith(last)), None)
+                if pos is None:
+                    continue
+                first = pos if first is None or pos < first else first
+                yield ktoks, str(surfaces[i]), int(weights[i]), int(first)
+
+    def lookup_infix(self, query: str, num: int = 5) -> list[tuple[str, int]]:
+        """AnalyzingInfixSuggester surface: suggestions containing every
+        query token (last = prefix), ranked by weight desc, surface asc."""
+        out = [(s, w) for _, s, w, _ in self._infix_matches(query)]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:num]
+
+    def lookup_blended(self, query: str, num: int = 5, *,
+                       blender_type: str = "position_linear",
+                       num_factor: int = 10,
+                       exponent: float = 2.0) -> list[tuple[str, int]]:
+        """BlendedInfixSuggester lookup (`suggest/analyzing/
+        BlendedInfixSuggester.java:159-365`): infix candidates fetched
+        num × num_factor deep by raw weight, then re-scored by the position
+        of the FIRST matching token —
+
+        - ``position_linear``:                 weight × (1 − 0.10·pos)
+        - ``position_reciprocal``:             weight / (1 + pos)
+        - ``position_exponential_reciprocal``: weight / (1 + pos)^exponent
+
+        with the reference's weight adjustments (0 → 1; |w| < 10 scaled ×10
+        to keep integer blending precision) and the final long truncation.
+        Returns [(surface, blended_score)]."""
+        cands = sorted(self._infix_matches(query),
+                       key=lambda x: (-x[2], x[1]))[:num * num_factor]
+        out = []
+        for _ktoks, surface, w, pos in cands:
+            if w == 0:
+                w = 1
+            if -10 < w < 10:                  # 1 / LINEAR_COEF
+                w *= 10
+            if blender_type == "position_linear":
+                coef = 1.0 - 0.10 * pos
+            elif blender_type == "position_reciprocal":
+                coef = 1.0 / (1.0 + pos)
+            elif blender_type == "position_exponential_reciprocal":
+                coef = 1.0 / ((1.0 + pos) ** exponent)
+            else:
+                raise ValueError(f"unknown blender_type {blender_type!r}")
+            out.append((surface, int(w * coef)))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:num]
