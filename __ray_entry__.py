@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_naive_bayes": _classify_nb,
         "classify_knn": _classify_knn,
         "classify_perceptron": _classify_perceptron,
+        "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         # --- family representatives (rest of each family after slot 50) ---
         "term_counts": textstats.term_counts,
         "collection_stats": textstats.collection_stats,
@@ -304,6 +305,13 @@ def oracle_sql() -> dict[str, str]:
             FROM b ORDER BY bucket""",
         "facet_taxonomy": """
             SELECT lang, coalesce(source, '') AS source, count(*)::BIGINT AS n_docs
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (lang, source))
+            ORDER BY lang, source""",
+        "facet_taxonomy_assoc": """
+            SELECT lang, coalesce(source, '') AS source,
+                   sum(n_chars)::BIGINT AS sum_assoc,
+                   max(n_chars)::BIGINT AS max_assoc
             FROM documents
             GROUP BY GROUPING SETS ((lang), (lang, source))
             ORDER BY lang, source""",

@@ -647,3 +647,27 @@ def facet_taxonomy(sf_dir: str):
                      child[["lang", "source", "n_docs"]]], ignore_index=True)
     return (out.astype({"n_docs": "int64"})
             .sort_values(["lang", "source"]).reset_index(drop=True))
+
+
+def facet_taxonomy_assoc(sf_dir: str):
+    """Weighted taxonomy facet associations
+    (`facet/.../taxonomy/TaxonomyFacetIntAssociations.java` with the SUM and
+    MAX AssociationAggregationFunctions): every doc associates an int value
+    (n_chars) with its (lang -> source) category; per category the SUM and
+    MAX aggregate distributed, with hierarchical rollup (parent = aggregate
+    over its children's docs, `FacetsConfig` rollup semantics)."""
+    from ray.data.aggregate import Max, Sum
+
+    child = (_read_documents(sf_dir, columns=("doc_id", "lang", "source",
+                                              "n_chars"))
+             .groupby(["lang", "source"])
+             .aggregate(Sum("n_chars", alias_name="sum_assoc"),
+                        Max("n_chars", alias_name="max_assoc"))
+             ).to_pandas()
+    parent = child.groupby("lang", as_index=False).agg(
+        sum_assoc=("sum_assoc", "sum"), max_assoc=("max_assoc", "max"))
+    parent["source"] = ""
+    cols = ["lang", "source", "sum_assoc", "max_assoc"]
+    out = pd.concat([parent[cols], child[cols]], ignore_index=True)
+    return (out.astype({"sum_assoc": "int64", "max_assoc": "int64"})
+            .sort_values(["lang", "source"]).reset_index(drop=True))
