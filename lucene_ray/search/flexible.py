@@ -101,6 +101,34 @@ def _lex(text: str):
     return toks
 
 
+def _to_span_node(q):
+    """Convert a parsed interval-function Query into a span-algebra node so
+    it can nest inside an enclosing interval function."""
+    from .query import MatchAllDocsQuery  # noqa: F401 (guard import cycle)
+    from .spans import SPAN_TYPES
+
+    if isinstance(q, (str, *SPAN_TYPES, PrefixQuery, WildcardQuery,
+                      RegexpQuery, FuzzyQuery)):
+        return q
+    if isinstance(q, TermQuery):
+        return q.term
+    if isinstance(q, IntervalQuery):
+        # ordered interval with width cap w over unit terms == span-near
+        # with total gap cap w - n (NearSpansOrdered math)
+        slop = (1 << 29 if q.max_width >= (1 << 29)
+                else max(0, int(q.max_width) - len(q.terms)))
+        from .spans import SpanNearQuery
+
+        return SpanNearQuery(tuple(q.terms), slop=slop,
+                             in_order=q.ordered, field=q.field)
+    if isinstance(q, TermInSetQuery):
+        from .spans import SpanOrQuery
+
+        return SpanOrQuery(tuple(q.terms), field=q.field)
+    raise NotImplementedError(
+        f"{type(q).__name__} cannot nest inside an interval function")
+
+
 def _float_to_edits(similarity: float, term_len: int) -> int:
     """FuzzyQuery.floatToEdits (`search/FuzzyQuery.java:436-444`)."""
     if similarity >= 1.0:
@@ -370,29 +398,78 @@ class _Flex:
         from ..analysis.standard import analyze
 
         out = []
-        while self.peek()[0] == "word":
+        while self.peek()[0] == "word" and not self._at_fn():
             out.extend(analyze(_unescape(self.take()[1])))
         return tuple(out)
 
+    def _at_fn(self) -> bool:
+        return (self.peek() == ("word", "fn")
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == ("cmp", ":"))
+
+    def _interval_args(self, field):
+        """Mixed args: plain analyzed terms and nested fn: sources — the
+        recursive IntervalFun grammar.  Returns span-algebra nodes (a term
+        string, or a Span*/FuzzyQuery node)."""
+        out = []
+        from ..analysis.standard import analyze
+
+        while True:
+            if self._at_fn():
+                out.append(_to_span_node(self.interval(field)))
+            elif self.peek()[0] == "word":
+                out.extend(analyze(_unescape(self.take()[1])))
+            else:
+                break
+        return out
+
     def _interval_body(self, name, field):
-        if name in ("ordered", "unordered"):
-            terms = self._interval_words()
-            if not terms:
-                raise FlexibleParseError(f"fn:{name} needs terms")
-            # unbounded width: presence (+ order) anywhere in the doc
-            return IntervalQuery(terms, 1 << 30, ordered=(name == "ordered"),
+        from .spans import SpanContainingQuery, SpanNearQuery, SpanOrQuery,\
+            SpanWithinQuery
+
+        if name in ("ordered", "unordered", "phrase"):
+            args = self._interval_args(field)
+            if not args:
+                raise FlexibleParseError(f"fn:{name} needs arguments")
+            in_order = name != "unordered"
+            if all(isinstance(a, str) for a in args):
+                # pure-term sources keep the specialized interval engine
+                width = len(args) if name == "phrase" else 1 << 30
+                return IntervalQuery(tuple(args), width, ordered=in_order,
+                                     field=field)
+            # nested positional sources compose on the span algebra
+            slop = 0 if name == "phrase" else 1 << 29
+            return SpanNearQuery(tuple(args), slop=slop, in_order=in_order,
                                  field=field)
-        if name == "phrase":
-            terms = self._interval_words()
-            if not terms:
-                raise FlexibleParseError("fn:phrase needs terms")
-            return IntervalQuery(terms, len(terms), ordered=True, field=field)
         if name == "or":
-            terms = self._interval_words()
-            if not terms:
-                raise FlexibleParseError("fn:or needs terms")
-            # standalone positional disjunction == any-term presence
-            return TermInSetQuery(terms, field=field)
+            args = self._interval_args(field)
+            if not args:
+                raise FlexibleParseError("fn:or needs arguments")
+            if all(isinstance(a, str) for a in args):
+                # standalone positional disjunction == any-term presence
+                return TermInSetQuery(tuple(args), field=field)
+            return SpanOrQuery(tuple(args), field=field)
+        if name in ("before", "after"):
+            args = self._interval_args(field)
+            if len(args) != 2:
+                raise FlexibleParseError(f"fn:{name} needs (source reference)")
+            src, ref = args
+            # doc-level: source strictly before/after the reference
+            pair = (src, ref) if name == "before" else (ref, src)
+            return SpanNearQuery(pair, slop=1 << 29, in_order=True,
+                                 field=field)
+        if name in ("containing", "containedby"):
+            args = self._interval_args(field)
+            if len(args) != 2:
+                raise FlexibleParseError(f"fn:{name} needs two sources")
+            if name == "containing":                 # (big small)
+                return SpanContainingQuery(args[0], args[1], field=field)
+            return SpanWithinQuery(args[0], args[1], field=field)  # (small big)
+        if name == "fuzzyterm":
+            kind, val = self.take()
+            if kind != "word":
+                raise FlexibleParseError("fn:fuzzyTerm needs a term")
+            return FuzzyQuery(_unescape(val).lower(), field=field)
         if name == "wildcard":
             kind, val = self.take()
             if kind != "word":
@@ -412,22 +489,29 @@ class _Flex:
                     BooleanClause(TermQuery(t, field), SHOULD)
                     for t in terms), n)
             # maxwidth / maxgaps wrap ONE positional source
-            if self.peek()[0] == "word" and self.peek()[1] == "fn":
+            if self._at_fn():
                 sub = self.interval(field)
             else:
                 terms = self._interval_words()
                 sub = IntervalQuery(terms, 1 << 30, ordered=False, field=field) \
                     if terms else None
+            if isinstance(sub, SpanNearQuery) and name == "maxgaps" \
+                    and sub.slop >= 1 << 29:
+                # gap cap maps directly onto span-near slop
+                import dataclasses
+
+                return dataclasses.replace(sub, slop=n)
             if not isinstance(sub, IntervalQuery):
                 raise NotImplementedError(
-                    f"fn:{name} supports ordered/unordered/phrase sources "
-                    f"only (got {type(sub).__name__})")
+                    f"fn:{name} supports ordered/unordered/phrase term "
+                    f"sources only (got {type(sub).__name__})")
             width = n if name == "maxwidth" else len(sub.terms) + n
             return IntervalQuery(sub.terms, min(width, sub.max_width),
                                  ordered=sub.ordered, field=field)
         raise NotImplementedError(
-            f"interval function fn:{name} not supported (supported: "
-            f"ordered unordered phrase or wildcard maxwidth maxgaps atLeast)")
+            f"interval function fn:{name} not supported (supported: ordered "
+            f"unordered phrase or before after containing containedBy "
+            f"wildcard fuzzyTerm maxwidth maxgaps atLeast)")
 
 
 def parse_flexible(text: str, field: str = "text",

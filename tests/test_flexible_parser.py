@@ -237,3 +237,57 @@ def test_flexible_matches_handbuilt_end_to_end(flex_index):
     # non-trivial hit counts (corpus really exercises the queries)
     assert _ids(s, parse_flexible("merge AND join"))[1] > 0
     assert _ids(s, parse_flexible("(merge join scan)@2"))[1] > 0
+
+
+def test_interval_functions_on_span_algebra():
+    """Nested interval functions compose on the span algebra; pure-term
+    sources keep the specialized interval engine."""
+    from lucene_ray.search.spans import (
+        SpanContainingQuery,
+        SpanNearQuery,
+        SpanOrQuery,
+        SpanWithinQuery,
+    )
+
+    # nested or inside ordered -> span near of span or
+    q = parse_flexible("fn:ordered(fn:or(quick fast) fox)")
+    assert q == SpanNearQuery((SpanOrQuery(("quick", "fast")), "fox"),
+                              slop=1 << 29, in_order=True)
+    # before/after are ordered pairs (doc-level existence)
+    assert parse_flexible("fn:before(a b)") == SpanNearQuery(
+        ("a", "b"), slop=1 << 29, in_order=True)
+    assert parse_flexible("fn:after(a b)") == SpanNearQuery(
+        ("b", "a"), slop=1 << 29, in_order=True)
+    # containing(big small) / containedBy(small big)
+    big = SpanNearQuery(("the", "data"), slop=1 << 29, in_order=True)
+    assert parse_flexible("fn:containing(fn:ordered(the data) of)") == \
+        SpanContainingQuery(big, "of")
+    assert parse_flexible("fn:containedBy(of fn:ordered(the data))") == \
+        SpanWithinQuery("of", big)
+    # fuzzyTerm leaf
+    assert parse_flexible("fn:ordered(fn:fuzzyTerm(merge) x)") == \
+        SpanNearQuery((FuzzyQuery("merge"), "x"), slop=1 << 29, in_order=True)
+    # maxgaps over a nested span source maps onto span-near slop
+    got = parse_flexible("fn:maxgaps(2 fn:ordered(fn:or(a b) c))")
+    assert got == SpanNearQuery((SpanOrQuery(("a", "b")), "c"), slop=2,
+                                in_order=True)
+    # nested phrase converts to a slop-0 span source inside ordered
+    got = parse_flexible("fn:ordered(fn:phrase(big data) fn:or(x y))")
+    assert got == SpanNearQuery(
+        (SpanNearQuery(("big", "data"), slop=0, in_order=True),
+         SpanOrQuery(("x", "y"))), slop=1 << 29, in_order=True)
+    # pure-term forms unchanged (interval engine)
+    assert parse_flexible("fn:ordered(quick brown fox)") == IntervalQuery(
+        ("quick", "brown", "fox"), 1 << 30, ordered=True)
+
+
+def test_interval_span_functions_end_to_end(flex_index):
+    from lucene_ray.search.spans import SpanNearQuery, SpanOrQuery
+
+    s = flex_index
+    q = parse_flexible("fn:ordered(fn:or(merge sort) join)")
+    want = SpanNearQuery((SpanOrQuery(("merge", "sort")), "join"),
+                         slop=1 << 29, in_order=True)
+    got, n_got = _ids(s, q)
+    expect, n_want = _ids(s, want)
+    assert (got, n_got) == (expect, n_want) and n_got > 0
