@@ -83,11 +83,16 @@ def train_naive_bayes(sf_dir: str, class_col: str = "lang",
         return agg.to_arrow().cast(pa.schema([
             ("cls", pa.string()), ("term", pa.string()), ("cnt", pa.int64())]))
 
+    # materialize the (class x term) aggregate ONCE: the selection pass and
+    # the keep-filter both consume it, and an unmaterialized Dataset would
+    # re-run the corpus read + tokenize per consumer.  The materialized set
+    # is vocabulary-bounded (aggregate output), not corpus-sized.
     wc = (ds.map_batches(partial, batch_format="pyarrow")
           .groupby(["cls", "term"])
-          .aggregate(Sum("cnt", alias_name="cnt")))
+          .aggregate(Sum("cnt", alias_name="cnt"))
+          .materialize())
 
-    if max_features is not None:
+    if max_features is not None and wc.count() > max_features:
         # feature selection by global term frequency: per-block top-k
         # combiner, then a k × n_blocks merge — the full vocabulary never
         # materializes on the driver (same shape as textstats.top_terms)
