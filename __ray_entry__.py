@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_interval_count": _lazy("index_interval_count"),
         "index_facet_role": _lazy("index_facet_role"),
         "index_conv_topk": _lazy("index_conv_topk"),
+        "index_conv_children_count": _lazy("index_conv_children_count"),
         "index_mlt_topk": _lazy("index_mlt_topk"),
         "index_expr_topk": _lazy("index_expr_topk"),
         # --- vector search as a first-class index query (round 3) ---
@@ -423,6 +424,12 @@ def oracle_sql() -> dict[str, str]:
         "index_grouped_topk": _index_grouped_sql(),
         "index_bm25_bool_sql": _index_bool_oracle_sql(),
         "index_conv_topk": _conv_join_sql(),
+        "index_conv_children_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM documents
+            WHERE doc_id // 5 IN (
+                SELECT doc_id // 5 FROM toklists
+                WHERE list_contains(toks, 'merge')
+                  AND list_contains(toks, 'join'))""",
         "index_mlt_topk": _mlt_sql(),
         "index_expr_topk": _expr_sql(),
         "index_knn_filtered": _knn_filtered_sql(),

@@ -772,6 +772,17 @@ def index_conv_topk(sf_dir: str, k: int = CONV_JOIN_K) -> pd.DataFrame:
         .astype({"rank": "int64"})
 
 
+def index_conv_children_count(sf_dir: str) -> pd.DataFrame:
+    """Parent→child block join (ToChildBlockJoinQuery): count of live turns
+    belonging to conversations that contain a '+merge +join' turn."""
+    from ..search.query import ToChildBlockJoinQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n = searcher.count(ToChildBlockJoinQuery(
+        bool_query(must=["merge", "join"])))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
 def index_conv_oracle_sql(k: int = CONV_JOIN_K) -> str:
     return f"""
         WITH {bm25_scored_cte(BM25_SQL_TERMS)},

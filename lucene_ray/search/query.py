@@ -186,6 +186,24 @@ class ToParentBlockJoinQuery:
 
 
 @dataclass(frozen=True)
+class ToChildBlockJoinQuery:
+    """Parent-to-child join (`join/src/java/org/apache/lucene/search/join/
+    ToChildBlockJoinQuery.java` semantics, Ray-native): the parent side is a
+    conversation-level match — expressed, like :class:`ToParentBlockJoinQuery`,
+    as a child query aggregated per conversation with `score_mode` — and the
+    result enumerates EVERY live turn of each matching conversation, scored
+    with its parent's joined score (the reference's parentScore
+    propagation).  Same doc-block invariant: conv_id range partitioning
+    keeps each conversation inside one shard."""
+    parent: object
+    score_mode: str = "max"
+
+    def __post_init__(self):
+        if self.score_mode not in ("max", "total", "avg"):
+            raise ValueError(self.score_mode)
+
+
+@dataclass(frozen=True)
 class FunctionScoreQuery:
     """Rescores the wrapped query's matches with an arithmetic expression
     over `_score` and doc-values fields (`queries/function/

@@ -407,6 +407,13 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "block_join": (self.compile(query.child, _normalized=False),
                                    query.score_mode)}
+        from .query import ToChildBlockJoinQuery
+
+        if isinstance(query, ToChildBlockJoinQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "to_child": (self.compile(query.parent, _normalized=False),
+                                 query.score_mode)}
         if isinstance(query, MatchNoDocsQuery):
             return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
                     "msm": 0, "n_required": 1, "match_all": False}
@@ -695,6 +702,9 @@ class IndexSearcher:
         if compiled.get("block_join") is not None:
             return self._block_join_shard(rdr, compiled["block_join"], k,
                                           after=after)
+        if compiled.get("to_child") is not None:
+            return self._to_child_shard(rdr, compiled["to_child"], k,
+                                        after=after)
         if compiled.get("fnscore") is not None:
             return self._fnscore_shard(rdr, compiled["fnscore"], k, after=after)
         if compiled.get("nested") is not None:
@@ -969,6 +979,40 @@ class IndexSearcher:
             pscore32, rep = pscore32[keep], rep[keep]
         top = np.lexsort((rep, -pscore32))[:k]
         return pscore32[top], rep[top].astype(np.int32), total, RELATION_EQ
+
+    def _to_child_shard(self, rdr, spec, k, after=None):
+        """Per-shard parent→child join (ToChildBlockJoinQuery): join the
+        parent side ToParent-style (matching conversations + combined
+        scores), then emit EVERY live turn of each matching conversation
+        carrying its parent score (parentScore propagation).  Child docID
+        ascending == (conv, turn) order, so the standard merge applies."""
+        empty = (np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ)
+        pscores, preps, n_parents, _ = self._block_join_shard(
+            rdr, spec, rdr.doc_count)
+        if n_parents == 0:
+            return empty
+        conv = getattr(rdr, "_conv_np", None)
+        if conv is None:
+            conv = rdr._conv_np = rdr.docmap().column("conv_id") \
+                .to_numpy(zero_copy_only=False)
+        # matched conv ids ascend (parent rep docs ascend in conv order)
+        order = np.argsort(preps)
+        mcids = conv[preps[order]]
+        mscores = pscores[order]
+        pos = np.searchsorted(mcids, conv)
+        pos_c = np.minimum(pos, len(mcids) - 1)
+        is_child = mcids[pos_c] == conv
+        if rdr.deleted is not None:
+            is_child &= ~rdr.deleted
+        docs = np.nonzero(is_child)[0].astype(np.int32)
+        sc = mscores[pos_c[is_child]].astype(np.float32)
+        total = int(len(docs))
+        if after is not None:
+            a_s, a_d = np.float32(after[0]), int(after[1])
+            keep = (sc < a_s) | ((sc == a_s) & (docs.astype(np.int64) > a_d))
+            sc, docs = sc[keep], docs[keep]
+        top = np.lexsort((docs, -sc))[:k]
+        return sc[top], docs[top], total, RELATION_EQ
 
     def _search_sorted(self, query, sort, k: int, after=None) -> TopDocs:
         """Field-sorted top-k (TopFieldCollector + TopDocs.merge semantics,

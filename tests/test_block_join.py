@@ -61,3 +61,38 @@ def test_block_join_through_actor_pool(idx):
     svc.shutdown()
     assert [(h.conv_id, round(h.score, 6)) for h in pooled.hits] == \
         [(h.conv_id, round(h.score, 6)) for h in local.hits]
+
+
+def test_to_child_block_join_brute_force(idx):
+    """ToChildBlockJoinQuery vs brute force: every turn of each matching
+    conversation appears exactly once, scored with the parent's joined
+    score; count() agrees."""
+    from collections import Counter
+
+    from lucene_ray.search.query import ToChildBlockJoinQuery, bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import TURNS_PER_CONV
+
+    s = IndexSearcher(idx)
+    child_q = bool_query(must=["merge", "join"])
+    td_child = s.search(child_q, k=10 ** 6, total_hits_threshold=2 ** 31 - 1)
+    parent_score = {}
+    for h in td_child.hits:
+        parent_score[h.conv_id] = max(parent_score.get(h.conv_id, -1e30),
+                                      np.float32(h.score))
+    assert parent_score
+    n_docs = int(s.commit["doc_count"])
+    turns_of = Counter()
+    for cid in parent_score:
+        first = int(cid[5:]) * TURNS_PER_CONV
+        turns_of[cid] = min(TURNS_PER_CONV, n_docs - first)
+    want_total = sum(turns_of.values())
+
+    td = s.search(ToChildBlockJoinQuery(child_q, score_mode="max"), k=10 ** 6)
+    assert td.total_hits == want_total
+    got = Counter()
+    for h in td.hits:
+        got[h.conv_id] += 1
+        assert np.float32(h.score) == parent_score[h.conv_id], h.conv_id
+    assert got == turns_of
+    assert s.count(ToChildBlockJoinQuery(child_q)) == want_total
