@@ -94,7 +94,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         # --- family representatives (rest of each family after slot 50) ---
         "term_counts": textstats.term_counts,
-        "collection_stats": textstats.collection_stats,
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
         "knn_cosine": knn.knn_cosine,
@@ -102,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": windows.sessionize,
         "bm25_scan_topk": bm25scan.bm25_scan_topk,
         # ---------------- beyond the 50-entry driver window ----------------
+        "collection_stats": textstats.collection_stats,
         "grouped_topk": textstats.grouped_topk,
         "top_terms": textstats.top_terms,
         "doc_token_stats": textstats.doc_token_stats,
