@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_delete_count": _lazy("index_delete_count"),
         "index_dv_update_count": _lazy("index_dv_update_count"),
         "index_range_count": _lazy("index_range_count"),
+        "index_point_range_count": _lazy("index_point_range_count"),
+        "index_geo_count": _lazy("index_geo_count"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
@@ -79,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_hybrid_rrf": _vs("index_hybrid_rrf"),
         # --- suggesters (FST-suggester surface) ---
         "suggest_analyzing": _suggest_analyzing,
-        "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
         "suggest_freetext": _suggest_freetext,
         # --- joins / percolator / multimodal / classification ---
@@ -97,10 +98,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
         "knn_cosine": knn.knn_cosine,
-        "knn_ivf": knn.knn_ivf,
         "sessionize": windows.sessionize,
         "bm25_scan_topk": bm25scan.bm25_scan_topk,
         # ---------------- beyond the 50-entry driver window ----------------
+        "suggest_fuzzy": _suggest_fuzzy,
+        "knn_ivf": knn.knn_ivf,
         "collection_stats": textstats.collection_stats,
         "grouped_topk": textstats.grouped_topk,
         "top_terms": textstats.top_terms,
@@ -232,6 +234,63 @@ def _media_frames(sf_dir):
     from lucene_ray.pipelines.multimodal import media_frames
 
     return media_frames(sf_dir)
+
+
+def _geo_sql() -> str:
+    """Oracle for index_geo_count: re-derive the deterministic doc_id->geo
+    assignment, quantize with the same GeoEncodingUtils scale model (exact
+    double math both sides), and apply the box / dateline-box / haversine
+    predicates the LatLonPoint queries implement."""
+    from lucene_ray.pipelines.flagship import GEO_BOX, GEO_CIRCLE, GEO_DATELINE_BOX
+    from lucene_ray.search.geo import (
+        MEAN_EARTH_RADIUS_M,
+        encode_latitude,
+        encode_longitude,
+    )
+    from lucene_ray.sources.transcripts import (
+        GEO_LAT_MOD,
+        GEO_LAT_MULT,
+        GEO_LON_MOD,
+        GEO_LON_MULT,
+    )
+
+    b_lat_lo, b_lat_hi = int(encode_latitude(GEO_BOX[0])), int(encode_latitude(GEO_BOX[1]))
+    b_lon_lo, b_lon_hi = int(encode_longitude(GEO_BOX[2])), int(encode_longitude(GEO_BOX[3]))
+    d_lat_lo, d_lat_hi = int(encode_latitude(GEO_DATELINE_BOX[0])), int(encode_latitude(GEO_DATELINE_BOX[1]))
+    d_lon_w, d_lon_e = int(encode_longitude(GEO_DATELINE_BOX[2])), int(encode_longitude(GEO_DATELINE_BOX[3]))
+    qlat, qlon, radius = GEO_CIRCLE
+    return f"""
+        WITH geo AS (
+          SELECT doc_id,
+            floor(((((doc_id * {GEO_LAT_MULT}) % {GEO_LAT_MOD}) / 10000.0) - 90.0)
+                  * (4294967296.0 / 180.0)) AS lat_e,
+            floor(((((doc_id * {GEO_LON_MULT}) % {GEO_LON_MOD}) / 10000.0) - 180.0)
+                  * (4294967296.0 / 360.0)) AS lon_e
+          FROM documents),
+        dec AS (
+          SELECT doc_id,
+                 lat_e / (4294967296.0 / 180.0) AS dlat,
+                 lon_e / (4294967296.0 / 360.0) AS dlon,
+                 lat_e, lon_e
+          FROM geo),
+        hv AS (
+          SELECT doc_id, lat_e, lon_e,
+                 sin((radians({qlat!r}) - radians(dlat)) / 2) AS slat,
+                 cos(radians(dlat)) AS c1,
+                 sin((radians({qlon!r}) - radians(dlon)) / 2) AS slon
+          FROM dec)
+        SELECT
+          (SELECT count(*) FROM geo
+           WHERE lat_e BETWEEN {b_lat_lo} AND {b_lat_hi}
+             AND lon_e BETWEEN {b_lon_lo} AND {b_lon_hi})::BIGINT AS n_in_box,
+          (SELECT count(*) FROM geo
+           WHERE lat_e BETWEEN {d_lat_lo} AND {d_lat_hi}
+             AND (lon_e >= {d_lon_w} OR lon_e <= {d_lon_e}))::BIGINT AS n_dateline,
+          (SELECT count(*) FROM hv
+           WHERE 2 * {MEAN_EARTH_RADIUS_M!r}
+                 * asin(sqrt(least(1.0, slat * slat
+                       + c1 * cos(radians({qlat!r})) * (slon * slon))))
+                 <= {radius!r})::BIGINT AS n_in_radius"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -485,6 +544,12 @@ def oracle_sql() -> dict[str, str]:
                       AND list_contains(toks, 'merge'))::BIGINT AS n_matching,
                    (SELECT count(*) FROM documents
                     WHERE doc_id BETWEEN 100 AND 300)::BIGINT AS n_in_range""",
+        "index_point_range_count": """
+            SELECT (SELECT count(*) FROM documents
+                    WHERE doc_id BETWEEN 100 AND 300)::BIGINT AS n_in_range,
+                   (SELECT count(*) FROM documents
+                    WHERE doc_id IN (17, 99, 256))::BIGINT AS n_in_set""",
+        "index_geo_count": _geo_sql(),
         "index_sorted_topk": _TOKS + """
             SELECT row_number() OVER (ORDER BY (doc_id % 5) DESC, doc_id ASC)::BIGINT AS rank,
                    printf('conv-%08d', doc_id // 5) AS conv_id,

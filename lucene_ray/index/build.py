@@ -80,6 +80,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 token_filters: tuple[str, ...] = (),
                 vector_col: str | None = None,
                 term_vectors: bool = False,
+                point_cols: dict | None = None,
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -129,8 +130,11 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
     extra_dv = [c for c in docvalue_cols if c not in key_cols]
     # "col:int8" (scalar-quantized store) still reads the plain column
     extra_vec = [vector_col.split(":")[0]] if vector_col else []
+    extra_pt = [c for cols in (point_cols or {}).values() for c in cols
+                if c not in key_cols and c not in docvalue_cols
+                and c not in keyword_cols and c != text_col]
     proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv,
-                              *extra_vec])
+                              *extra_vec, *extra_pt])
     block_refs = None
     if exchange == "tasks":
         block_refs = [br for bundle in proj.iter_internal_ref_bundles()
@@ -151,6 +155,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "token_filters": list(token_filters),
         "vector_col": vector_col,
         "term_vectors": bool(term_vectors),
+        "point_cols": {k: list(v) for k, v in (point_cols or {}).items()},
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -178,14 +183,14 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                             fp, text_col=text_col, key_cols=key_cols,
                             keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
                             token_filters=token_filters, vector_col=vector_col,
-                            term_vectors=term_vectors)
+                            term_vectors=term_vectors, point_cols=point_cols)
             return pa.table({k: [v] for k, v in m.items()})
 
         if exchange == "tasks":
             new_manifests = _exchange_with_tasks(
                 block_refs, tag_pid, len(split_points) + 1, shards_dir, fp,
                 text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
-                vector_col, term_vectors)
+                vector_col, term_vectors, point_cols)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -206,6 +211,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "token_filters": list(token_filters),
         "vector_col": vector_col,
         "term_vectors": bool(term_vectors),
+        "point_cols": {k: list(v) for k, v in (point_cols or {}).items()},
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -263,7 +269,8 @@ TWO_LEVEL_PARTS = 384
 def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp: str,
                          text_col: str, key_cols, keyword_cols=(),
                          docvalue_cols=(), token_filters=(),
-                         vector_col=None, term_vectors=False) -> list[dict]:
+                         vector_col=None, term_vectors=False,
+                         point_cols=None) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -281,7 +288,7 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
         return _exchange_two_level(block_refs, tag_pid, n_parts, shards_dir, fp,
                                    text_col, key_cols, keyword_cols,
                                    docvalue_cols, token_filters, vector_col,
-                                   term_vectors)
+                                   term_vectors, point_cols)
 
     def _compact(tbl: pa.Table) -> pa.Table:
         # CRITICAL: pickling a sliced Arrow table serializes the WHOLE parent
@@ -312,7 +319,7 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                            text_col=text_col, key_cols=key_cols,
                            keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
                            token_filters=token_filters, vector_col=vector_col,
-                           term_vectors=term_vectors)
+                           term_vectors=term_vectors, point_cols=point_cols)
 
     # several blocks per split task: fewer (task, object) overheads while
     # keeping enough tasks to fill the CPU pool
@@ -332,7 +339,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
 def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                         fp: str, text_col: str, key_cols, keyword_cols=(),
                         docvalue_cols=(), token_filters=(),
-                        vector_col=None, term_vectors=False) -> list[dict]:
+                        vector_col=None, term_vectors=False,
+                        point_cols=None) -> list[dict]:
     """Two-level exchange for large partition counts (block → coarse bucket →
     shards): split tasks return one object per COARSE bucket (contiguous pid
     range), and one flush task per bucket re-splits its data by pid and
@@ -390,7 +398,8 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                 shards_dir, p, sub.drop_columns(["pid"]), fp,
                 text_col=text_col, key_cols=key_cols, keyword_cols=keyword_cols,
                 docvalue_cols=docvalue_cols, token_filters=token_filters,
-                vector_col=vector_col, term_vectors=term_vectors))
+                vector_col=vector_col, term_vectors=term_vectors,
+                point_cols=point_cols))
         return manifests
 
     per_task = max(1, len(block_refs) // (2 * n_cpus))

@@ -70,6 +70,16 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
                                   or int(dv.max()) > int(r[1])):
                 errors.append(f"shard {m['pid']}: dv sidecar {fld} values "
                               f"outside committed dv_ranges")
+        # point sidecars: shapes/ranges/leaf bounds/sort order validated by
+        # the module's own checker (BKD-block invariants)
+        for fld, meta in (m.get("points") or {}).items():
+            from .points import check_points
+
+            try:
+                check_points(shard_dirpath(index_dir, m), fld, meta,
+                             rdr.doc_count)
+            except (ValueError, FileNotFoundError) as e:
+                errors.append(f"shard {m['pid']}: {e}")
         # vector files (when the shard carries a vector column): row count
         # matches, finite values, graph loads and its node ids are in range
         if int(m.get("vector_dim", 0)) > 0:

@@ -187,6 +187,7 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
     terms_parts, inv_sizes = [], []
     dfs_parts, docs_parts, freqs_parts, pos_parts = [], [], [], []
     norms_parts, dm_parts, vec_parts = [], [], []
+    pts_parts: dict[str, list] = {}
     base = 0
     for m in sorted(members, key=lambda x: x["pid"]):
         rdr = ShardReader(shard_dirpath(index_dir, m))
@@ -241,6 +242,16 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
             vm = np.asarray(rdr.vectors(), dtype=np.float32)
             vec_parts.append(vm[keep_doc] if keep_doc is not None else vm)
             want_graph = want_graph or rdr.hnsw() is not None
+        # point sidecars: survivors remapped like postings docs; the merged
+        # sidecar is rebuilt (re-sorted into leaf order) after the index sort
+        for fld in (m.get("points") or {}):
+            pr = rdr.points(fld)
+            pvals = np.asarray(pr.vals)
+            pdocs = np.asarray(pr.docs).astype(np.int64)
+            if deleted is not None:
+                kp = keep_doc[pdocs]
+                pvals, pdocs = pvals[kp], old2new[pdocs[kp]]
+            pts_parts.setdefault(fld, []).append((pvals, pdocs + base))
         base += n_live
 
     n_docs = base
@@ -318,6 +329,16 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
                           seed=1000 + pid).build()
             g.save(os.path.join(tmp_dir, HNSW_FILE))
 
+    points_meta = {}
+    if pts_parts:
+        from .points import write_points
+
+        for fld, parts in sorted(pts_parts.items()):
+            coords = np.concatenate([v for v, _ in parts])
+            pdocs = sort_map[np.concatenate([d for _, d in parts])]
+            points_meta[fld] = write_points(tmp_dir, fld, coords,
+                                            pdocs.astype(np.int32))
+
     range_cols = [c for c in merged_dm.column_names if c != key_cols[0]]
     return _persist_shard(
         tmp_dir, final_dir, pid, terms_pa, term_starts, doc_of, freq, positions,
@@ -325,7 +346,8 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
         range_cols=range_cols, doc_count_field=doc_count_field,
         sum_ttf=sum_ttf, vector_dim=vector_dim, vector_scale=vector_scale,
         term_vectors=want_tv, fingerprint=fp,
-        extra={"dir": dirname, "merged_from": [int(m["pid"]) for m in members]})
+        extra={"dir": dirname, "merged_from": [int(m["pid"]) for m in members],
+               **({"points": points_meta} if points_meta else {})})
 
 
 def _plan_merge_groups(shards: list[dict], max_segments: int) -> list[list[dict]]:

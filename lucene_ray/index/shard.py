@@ -248,7 +248,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 token_filters: tuple[str, ...] = (),
                 vector_col: str | None = None,
                 vector_graph: bool = True,
-                term_vectors: bool = False) -> dict:
+                term_vectors: bool = False,
+                point_cols: dict | None = None) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -313,6 +314,36 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 g.save(os.path.join(tmp_dir, HNSW_FILE))
         table = table.drop_columns([vcol])
 
+    points_meta = {}
+    if point_cols:
+        # BKD-style point sidecars (`index/points.py`): each field maps to a
+        # tuple of per-dimension int64 columns; rows with a null dimension
+        # are absent from the sidecar.  Built inside the flush task from
+        # THIS partition's (sorted) rows, like vectors/term-vectors.
+        from .points import write_points
+
+        keep_cols = set(key_cols) | set(docvalue_cols) | set(keyword_cols) \
+            | {text_col}
+        for field, dims in point_cols.items():
+            arrs = []
+            valid = np.ones(table.num_rows, dtype=bool)
+            for c in dims:
+                col = table.column(c)
+                if pa.types.is_timestamp(col.type):
+                    col = pa.compute.cast(col, pa.int64())
+                valid &= pa.compute.is_valid(col).combine_chunks() \
+                    .to_numpy(zero_copy_only=False)
+                arrs.append(col.combine_chunks()
+                            .to_numpy(zero_copy_only=False))
+            coords = np.stack([np.where(valid, a, 0) for a in arrs], axis=1) \
+                .astype(np.int64)[valid]
+            docs = np.nonzero(valid)[0].astype(np.int32)
+            points_meta[field] = write_points(tmp_dir, field, coords, docs)
+        drop = [c for cols in point_cols.values() for c in cols
+                if c not in keep_cols and c in table.column_names]
+        if drop:
+            table = table.drop_columns(sorted(set(drop)))
+
     lengths, flat = tokenize_column(table.column(text_col))
     tok_positions = None
     norm_lengths = lengths
@@ -345,7 +376,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         doc_count_field=int((lengths > 0).sum()),   # docs with >=1 term (Terms.getDocCount semantics)
         sum_ttf=int(lengths.astype(np.int64).sum()),
         vector_dim=vector_dim, vector_scale=vector_scale,
-        term_vectors=term_vectors, fingerprint=fingerprint)
+        term_vectors=term_vectors, fingerprint=fingerprint,
+        extra={"points": points_meta} if points_meta else None)
 
 
 def _persist_shard(tmp_dir: str, final_dir: str, pid: int, terms,
@@ -637,7 +669,30 @@ class ShardReader:
             if self.doc_count else np.zeros(0, dtype=np.uint8)
         self._docmap = None
         self._tv = None              # lazy-mmapped term-vector sidecars
+        self._points = {}            # lazy PointsReaders by field
         self.deleted = None          # optional live-docs mask (set by searcher)
+
+    def points(self, field: str):
+        """mmap'd PointsReader for one point field; None when the field has
+        no point sidecar in this shard (query matches nothing here)."""
+        if field not in self._points:
+            meta = (self.manifest.get("points") or {}).get(field)
+            if meta is None:
+                self._points[field] = None
+            else:
+                from .points import PointsReader
+
+                self._points[field] = PointsReader(self.dir, field, meta)
+        return self._points[field]
+
+    def point_bounds(self, field: str):
+        """Shard-level (min, max) per-dim bounds from the manifest
+        (getMinPackedValue/getMaxPackedValue shard pruning); None when the
+        field is absent or empty."""
+        meta = (self.manifest.get("points") or {}).get(field)
+        if not meta or not meta.get("min"):
+            return None
+        return meta["min"], meta["max"]
 
     def set_deletes(self, path: str | None):
         """Attach a generational live-docs sidecar (commit-referenced)."""

@@ -285,6 +285,60 @@ def index_range_count(sf_dir: str) -> pd.DataFrame:
                          "n_in_range": pd.Series([n_range_only], dtype="int64")})
 
 
+# geo query constants shared with the oracle SQL (__ray_entry__)
+GEO_BOX = (-30.0, 45.0, -90.0, 60.0)                # min_lat,max_lat,min_lon,max_lon
+GEO_DATELINE_BOX = (-90.0, 90.0, 150.0, -150.0)     # crosses the dateline
+GEO_CIRCLE = (12.0, -47.0, 3_000_000.0)             # lat, lon, radius_m
+POINT_SET_DOCS = (17, 99, 256)
+
+
+def build_geo_index(sf_dir: str, index_dir: str | None = None) -> str:
+    """Index variant carrying BKD point sidecars: a 2-D LatLonPoint field
+    `loc` (lat/lon derived deterministically from doc_id, quantized with the
+    GeoEncodingUtils scale model) and a 1-D point field `ts_pt` over ts."""
+    from ..sources.transcripts import transcripts_with_geo
+
+    index_dir = index_dir or index_dir_for(sf_dir) + "-geo"
+    ds = transcripts_with_geo(sf_dir)
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                point_cols={"loc": ("lat_enc", "lon_enc"), "ts_pt": ("ts",)},
+                input_desc=f"documents@{sf_dir}+geo")
+    return index_dir
+
+
+def index_point_range_count(sf_dir: str) -> pd.DataFrame:
+    """1-D BKD point queries (`search/PointRangeQuery.java` /
+    `PointInSetQuery.java` over `index/points.py` leaf blocks): range count
+    over the ts point field and an exact-value set count."""
+    from ..search.query import PointInSetQuery, PointRangeQuery
+    from ..sources.transcripts import BASE_TS_US
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    lo = BASE_TS_US + RANGE_LO_DOC * 1_000_000
+    hi = BASE_TS_US + RANGE_HI_DOC * 1_000_000
+    n_range = searcher.count(PointRangeQuery("ts_pt", lo, hi))
+    vals = tuple(BASE_TS_US + d * 1_000_000 for d in POINT_SET_DOCS)
+    n_set = searcher.count(PointInSetQuery("ts_pt", vals))
+    return pd.DataFrame({"n_in_range": pd.Series([n_range], dtype="int64"),
+                         "n_in_set": pd.Series([n_set], dtype="int64")})
+
+
+def index_geo_count(sf_dir: str) -> pd.DataFrame:
+    """LatLonPoint queries through the 2-D BKD sidecar
+    (`document/LatLonPoint.java` box/distance semantics): a plain box, a
+    dateline-crossing box (two-range rewrite) and a haversine distance
+    query (bbox prune + exact verify on decoded coords)."""
+    from ..search.geo import LatLonDistanceQuery, lat_lon_box_query
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    n_box = searcher.count(lat_lon_box_query("loc", *GEO_BOX))
+    n_dateline = searcher.count(lat_lon_box_query("loc", *GEO_DATELINE_BOX))
+    n_radius = searcher.count(LatLonDistanceQuery("loc", *GEO_CIRCLE))
+    return pd.DataFrame({"n_in_box": pd.Series([n_box], dtype="int64"),
+                         "n_dateline": pd.Series([n_dateline], dtype="int64"),
+                         "n_in_radius": pd.Series([n_radius], dtype="int64")})
+
+
 def index_sorted_topk(sf_dir: str) -> pd.DataFrame:
     """Sort-by-field top-k through the index (TopFieldCollector analogue):
     docs containing 'merge', ordered by turn_idx DESC with global-docID-asc

@@ -1,0 +1,145 @@
+"""LatLon point queries over the BKD-style sidecar.
+
+Re-creates the reference's geo surface (`core/src/java/org/apache/lucene/
+document/LatLonPoint.java`, `geo/GeoEncodingUtils.java`,
+`document/LatLonPointDistanceQuery.java` semantics) on `index/points.py`:
+
+- lat/lon quantized to int32 with the GeoEncodingUtils scale model
+  (floor(value * 2^32 / range), clamped; ~1 cm resolution), so points sort
+  and prune as plain 2-D int points;
+- box query = a 2-D PointRangeQuery over encoded bounds (two boxes unioned
+  under a BooleanQuery when the box crosses the dateline, exactly
+  LatLonPoint.newBoxQuery's split);
+- distance query = the bounding-box prune (circle bounding box per the
+  standard lat/lon-of-circle formulas, GeoUtils.Circle2D model) followed by
+  an exact haversine verify on the DECODED candidate coordinates —
+  matching semantics are defined on quantized values, like the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# GeoEncodingUtils scale model: full int32 range over the coordinate span
+LAT_SCALE = 4294967296.0 / 180.0          # 2^32 / 180
+LON_SCALE = 4294967296.0 / 360.0          # 2^32 / 360
+MEAN_EARTH_RADIUS_M = 6_371_008.7714      # SloppyMath.haversinMeters radius
+
+
+def encode_latitude(lat) -> np.ndarray:
+    """double latitude [-90, 90] -> sortable int32 (in an int64 array)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    enc = np.floor(lat * LAT_SCALE)
+    return np.clip(enc, -(2.0**31), 2.0**31 - 1).astype(np.int64)
+
+
+def encode_longitude(lon) -> np.ndarray:
+    lon = np.asarray(lon, dtype=np.float64)
+    enc = np.floor(lon * LON_SCALE)
+    return np.clip(enc, -(2.0**31), 2.0**31 - 1).astype(np.int64)
+
+
+def decode_latitude(enc) -> np.ndarray:
+    return np.asarray(enc, dtype=np.float64) / LAT_SCALE
+
+
+def decode_longitude(enc) -> np.ndarray:
+    return np.asarray(enc, dtype=np.float64) / LON_SCALE
+
+
+def haversine_meters(lat1, lon1, lat2, lon2):
+    """Great-circle distance in meters (SloppyMath.haversinMeters model,
+    exact trig rather than the reference's table-driven approximation)."""
+    r1, r2 = np.radians(lat1), np.radians(lat2)
+    dlat = r2 - r1
+    dlon = np.radians(lon2) - np.radians(lon1)
+    a = (np.sin(dlat / 2) ** 2
+         + np.cos(r1) * np.cos(r2) * np.sin(dlon / 2) ** 2)
+    return 2 * MEAN_EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+
+def lat_lon_box_query(field: str, min_lat: float, max_lat: float,
+                      min_lon: float, max_lon: float, boost: float = 1.0):
+    """LatLonPoint.newBoxQuery: inclusive box on quantized coordinates.
+    min_lon > max_lon means the box crosses the dateline and splits into
+    two PointRangeQueries unioned in a BooleanQuery (the reference's
+    rewrite)."""
+    from .query import SHOULD, BooleanClause, BooleanQuery, PointRangeQuery
+
+    lat_lo = int(encode_latitude(min_lat))
+    lat_hi = int(encode_latitude(max_lat))
+    if min_lon <= max_lon:
+        return PointRangeQuery(field,
+                               (lat_lo, int(encode_longitude(min_lon))),
+                               (lat_hi, int(encode_longitude(max_lon))),
+                               boost=boost)
+    west = PointRangeQuery(field, (lat_lo, int(encode_longitude(min_lon))),
+                           (lat_hi, int(encode_longitude(180.0))))
+    east = PointRangeQuery(field, (lat_lo, int(encode_longitude(-180.0))),
+                           (lat_hi, int(encode_longitude(max_lon))))
+    return BooleanQuery((BooleanClause(west, SHOULD),
+                         BooleanClause(east, SHOULD)),
+                        minimum_should_match=1)
+
+
+def circle_bbox(lat: float, lon: float, radius_m: float):
+    """Bounding box of a spherical circle: (min_lat, max_lat, min_lon,
+    max_lon) in degrees; min_lon > max_lon signals a dateline wrap.  Poles
+    inside the circle widen longitude to the full range (GeoUtils model —
+    conservative box, exactness comes from the haversine verify)."""
+    rad = radius_m / MEAN_EARTH_RADIUS_M
+    lat_r = np.radians(lat)
+    min_lat = lat_r - rad
+    max_lat = lat_r + rad
+    if min_lat > -np.pi / 2 and max_lat < np.pi / 2:
+        dlon = np.arcsin(np.sin(rad) / np.cos(lat_r))
+        min_lon = np.radians(lon) - dlon
+        max_lon = np.radians(lon) + dlon
+        if min_lon < -np.pi:
+            min_lon += 2 * np.pi
+        if max_lon > np.pi:
+            max_lon -= 2 * np.pi
+    else:
+        # a pole is inside: latitude clamps, longitude spans everything
+        min_lat = max(min_lat, -np.pi / 2)
+        max_lat = min(max_lat, np.pi / 2)
+        min_lon, max_lon = -np.pi, np.pi
+    return (float(np.degrees(min_lat)), float(np.degrees(max_lat)),
+            float(np.degrees(min_lon)), float(np.degrees(max_lon)))
+
+
+@dataclass(frozen=True)
+class LatLonDistanceQuery:
+    """LatLonPoint.newDistanceQuery: docs whose quantized point lies within
+    ``radius_m`` meters (haversine) of (lat, lon).  Constant score."""
+    field: str
+    lat: float
+    lon: float
+    radius_m: float
+    boost: float = 1.0
+
+
+def distance_query_docs(preader, q: LatLonDistanceQuery) -> np.ndarray:
+    """Execute a distance query against one shard's PointsReader: bbox
+    prune through the BKD intersect, then exact haversine on decoded
+    coords (LatLonPointDistanceQuery's two-phase visit)."""
+    min_lat, max_lat, min_lon, max_lon = circle_bbox(q.lat, q.lon, q.radius_m)
+    lat_lo, lat_hi = int(encode_latitude(min_lat)), int(encode_latitude(max_lat))
+    if min_lon <= max_lon:
+        boxes = [((lat_lo, int(encode_longitude(min_lon))),
+                  (lat_hi, int(encode_longitude(max_lon))))]
+    else:
+        boxes = [((lat_lo, int(encode_longitude(min_lon))),
+                  (lat_hi, int(encode_longitude(180.0)))),
+                 ((lat_lo, int(encode_longitude(-180.0))),
+                  (lat_hi, int(encode_longitude(max_lon))))]
+    cands = [preader.intersect_box(lo, hi) for lo, hi in boxes]
+    cand = np.unique(np.concatenate(cands)) if cands else np.zeros(0, np.int32)
+    if len(cand) == 0:
+        return cand.astype(np.int32)
+    pts = preader.doc_values(cand.astype(np.int64))
+    d = haversine_meters(decode_latitude(pts[:, 0]), decode_longitude(pts[:, 1]),
+                         q.lat, q.lon)
+    return cand[d <= q.radius_m].astype(np.int32)

@@ -149,6 +149,42 @@ class RangeQuery:
 
 
 @dataclass(frozen=True)
+class PointRangeQuery:
+    """Inclusive k-dimensional box over a BKD point field
+    (`search/PointRangeQuery.java` over `index/points.py` sidecars;
+    `document/LongPoint.newRangeQuery` builds the 1-D case).  ``lower`` /
+    ``upper`` are per-dimension int bounds (``None`` = open); a doc matches
+    when its point lies inside on EVERY dimension.  Constant score; in
+    FILTER position it contributes no score (ConstantScoreWeight)."""
+    field: str
+    lower: tuple
+    upper: tuple
+    boost: float = 1.0
+
+    def __post_init__(self):
+        lo = self.lower if isinstance(self.lower, tuple) else (self.lower,)
+        hi = self.upper if isinstance(self.upper, tuple) else (self.upper,)
+        object.__setattr__(self, "lower", lo)
+        object.__setattr__(self, "upper", hi)
+        if len(lo) != len(hi):
+            raise ValueError("lower/upper dimensionality mismatch")
+
+
+@dataclass(frozen=True)
+class PointInSetQuery:
+    """Point-membership query (`search/PointInSetQuery.java` /
+    `document/LongPoint.newSetQuery`): a doc matches when its point equals
+    one of ``values`` exactly (each value a per-dimension int tuple).
+    Constant score."""
+    field: str
+    values: tuple
+
+    def __post_init__(self):
+        vals = tuple(v if isinstance(v, tuple) else (v,) for v in self.values)
+        object.__setattr__(self, "values", vals)
+
+
+@dataclass(frozen=True)
 class IndexOrDocValuesQuery:
     """Wrapper over two EQUIVALENT queries with different execution profiles
     (`search/IndexOrDocValuesQuery.java`): `index_query` is efficient when it

@@ -405,6 +405,63 @@ def search_shard_range(reader, spec, boost: float, k: int, after=None):
     return sc[:k], cand[:k], total, RELATION_EQ
 
 
+def search_shard_points(reader, query, boost: float, k: int, after=None):
+    """BKD point query over one shard: constant-score docs whose point
+    matches the query (PointRangeQuery / PointInSetQuery /
+    LatLonDistanceQuery constant-score rewrite; docID-order ties).  Shard
+    manifest min/max bounds prune before any sidecar is touched."""
+    from .geo import LatLonDistanceQuery, circle_bbox, distance_query_docs, \
+        encode_latitude, encode_longitude
+    from .query import PointInSetQuery, PointRangeQuery
+
+    def _empty():
+        return (np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ)
+
+    bounds = reader.point_bounds(query.field)
+    if bounds is None:
+        return _empty()
+    smin, smax = bounds
+
+    if isinstance(query, PointRangeQuery):
+        lo, hi = query.lower, query.upper
+        for d in range(len(lo)):
+            if (lo[d] is not None and smax[d] < lo[d]) or \
+                    (hi[d] is not None and smin[d] > hi[d]):
+                return _empty()                       # shard fully outside
+        cand = reader.points(query.field).intersect_box(lo, hi)
+    elif isinstance(query, PointInSetQuery):
+        vals = [v for v in query.values
+                if all(smin[d] <= v[d] <= smax[d] for d in range(len(v)))]
+        if not vals:
+            return _empty()
+        pr = reader.points(query.field)
+        parts = [pr.intersect_box(v, v) for v in vals]
+        cand = np.unique(np.concatenate(parts))
+    elif isinstance(query, LatLonDistanceQuery):
+        min_lat, max_lat, min_lon, max_lon = circle_bbox(
+            query.lat, query.lon, query.radius_m)
+        if int(encode_latitude(max_lat)) < smin[0] or \
+                int(encode_latitude(min_lat)) > smax[0]:
+            return _empty()
+        if min_lon <= max_lon and (int(encode_longitude(max_lon)) < smin[1]
+                                   or int(encode_longitude(min_lon)) > smax[1]):
+            return _empty()
+        cand = distance_query_docs(reader.points(query.field), query)
+    else:                                              # pragma: no cover
+        raise TypeError(type(query))
+
+    if reader.deleted is not None and len(cand):
+        cand = cand[~reader.deleted[cand]]
+    cand = cand.astype(np.int32)
+    sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    return sc[:k], cand[:k], total, RELATION_EQ
+
+
 def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
     """Exact-phrase scoring over one shard (ExactPhraseMatcher equivalent,
     vectorized): for phrase term i, build composite keys (doc, pos - i) and

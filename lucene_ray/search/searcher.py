@@ -489,6 +489,21 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "range": (query.field, query.lo, query.hi),
                     "boost": query.boost}
+        from .query import PointInSetQuery, PointRangeQuery
+
+        if isinstance(query, (PointRangeQuery, PointInSetQuery)):
+            # BKD point queries: constant-score leaf-visit execution against
+            # the per-shard point sidecar (search/PointRangeQuery.java /
+            # PointInSetQuery.java constant-score rewrite)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "points": query, "boost": getattr(query, "boost", 1.0)}
+        from .geo import LatLonDistanceQuery
+
+        if isinstance(query, LatLonDistanceQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "points": query, "boost": query.boost}
         from .query import SynonymQuery
 
         if isinstance(query, SynonymQuery):
@@ -772,6 +787,11 @@ class IndexSearcher:
 
             return search_shard_range(rdr, compiled["range"], compiled["boost"],
                                       k, after=after)
+        if compiled.get("points") is not None:
+            from .scorer import search_shard_points
+
+            return search_shard_points(rdr, compiled["points"],
+                                       compiled["boost"], k, after=after)
         if compiled.get("const_query") is not None:
             from .scorer import search_shard_const
 

@@ -144,6 +144,40 @@ def transcripts_from_documents(sf_dir: str):
     return ds.map_batches(doc_batch_to_transcripts, batch_format="pyarrow")
 
 
+# deterministic synthetic geolocation per doc_id (Knuth multiplicative
+# constants; exact int64 math so the oracle SQL reproduces it bit-for-bit)
+GEO_LAT_MULT, GEO_LAT_MOD = 2654435761, 1_800_000
+GEO_LON_MULT, GEO_LON_MOD = 2246822519, 3_600_000
+
+
+def geo_of_doc_id(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """doc_id -> (lat, lon) degrees, ~0.0001° grid over the full globe."""
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    lat = ((doc_id * GEO_LAT_MULT) % GEO_LAT_MOD) / 10_000.0 - 90.0
+    lon = ((doc_id * GEO_LON_MULT) % GEO_LON_MOD) / 10_000.0 - 180.0
+    return lat, lon
+
+
+def transcripts_with_geo(sf_dir: str):
+    """transcripts plus GeoEncodingUtils-quantized `lat_enc`/`lon_enc`
+    point columns derived from doc_id (LatLonPoint document model: the
+    field stores the encoded ints; see `search/geo.py`)."""
+    import ray.data as rd
+
+    from ..search.geo import encode_latitude, encode_longitude
+
+    def add_geo(batch: pa.Table) -> pa.Table:
+        t = doc_batch_to_transcripts(batch)
+        lat, lon = geo_of_doc_id(batch.column("doc_id").to_numpy())
+        t = t.append_column("lat_enc", pa.array(encode_latitude(lat),
+                                                type=pa.int64()))
+        return t.append_column("lon_enc", pa.array(encode_longitude(lon),
+                                                   type=pa.int64()))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(add_geo, batch_format="pyarrow")
+
+
 def transcripts_with_vectors(sf_dir: str, target_rows_per_bucket: int = 250_000):
     """documents ⋈ embeddings (doc_id == vec_id) → transcript shape plus an
     `embedding` (list<float32>) column, via the explicit bucketed hash join

@@ -1,0 +1,307 @@
+"""BKD-style point index + LatLon geo queries, value-checked against
+brute-force oracles.
+
+Parity targets: `util/bkd/BKDWriter.java` / `BKDReader.java` (leaf-blocked
+point storage with cell-relation pruning), `search/PointRangeQuery.java`,
+`search/PointInSetQuery.java`, `document/LatLonPoint.java` +
+`geo/GeoEncodingUtils.java` (int32 quantization, box split on the dateline,
+distance = bbox prune + haversine verify)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.index.check import check_index
+from lucene_ray.index.points import PointsReader, check_points, write_points
+from lucene_ray.search.geo import (
+    LatLonDistanceQuery,
+    circle_bbox,
+    decode_latitude,
+    decode_longitude,
+    encode_latitude,
+    encode_longitude,
+    haversine_meters,
+    lat_lon_box_query,
+)
+from lucene_ray.search.query import (
+    FILTER,
+    MUST,
+    BooleanClause,
+    BooleanQuery,
+    PointInSetQuery,
+    PointRangeQuery,
+    TermQuery,
+)
+from lucene_ray.search.searcher import IndexSearcher
+from lucene_ray.sources.transcripts import BASE_TS_US, synth_transcripts
+
+# ---------------------------------------------------------------- sidecar
+
+
+def test_points_sidecar_fuzz(tmp_path):
+    """write/read/intersect over random boxes == brute force, 1-3 dims,
+    including empty sidecars and boxes with open (None) bounds."""
+    rng = np.random.default_rng(7)
+    for ndims in (1, 2, 3):
+        for n in (0, 3, 513, 4000):
+            coords = rng.integers(-500, 500, size=(n, ndims)).astype(np.int64)
+            docs = rng.permutation(n).astype(np.int32)
+            d = str(tmp_path / f"pt{ndims}_{n}")
+            import os
+
+            os.makedirs(d)
+            meta = write_points(d, "f", coords, docs)
+            check_points(d, "f", meta, max(n, 1))
+            r = PointsReader(d, "f", meta)
+            for _ in range(25):
+                lo = rng.integers(-600, 600, size=ndims)
+                hi = lo + rng.integers(0, 500, size=ndims)
+                lo_t = tuple(None if rng.random() < 0.15 else int(v) for v in lo)
+                hi_t = tuple(None if rng.random() < 0.15 else int(v) for v in hi)
+                got = r.intersect_box(lo_t, hi_t)
+                m = np.ones(n, dtype=bool)
+                for k in range(ndims):
+                    if lo_t[k] is not None:
+                        m &= coords[:, k] >= lo_t[k]
+                    if hi_t[k] is not None:
+                        m &= coords[:, k] <= hi_t[k]
+                want = np.sort(docs[m]) if n else np.zeros(0, np.int32)
+                assert np.array_equal(got, want)
+
+
+def test_points_doc_values_lookup(tmp_path):
+    rng = np.random.default_rng(3)
+    coords = rng.integers(-99, 99, size=(300, 2)).astype(np.int64)
+    docs = (np.arange(300, dtype=np.int32) * 2)      # even docIDs only
+    d = str(tmp_path)
+    meta = write_points(d, "f", coords, docs)
+    r = PointsReader(d, "f", meta)
+    ask = np.array([0, 1, 4, 599, 598], dtype=np.int64)
+    got = r.doc_values(ask)
+    sentinel = np.iinfo(np.int64).min
+    for i, doc in enumerate(ask):
+        if doc % 2 == 0 and doc < 600:
+            assert np.array_equal(got[i], coords[doc // 2])
+        else:
+            assert got[i, 0] == sentinel
+
+
+def test_check_points_detects_corruption(tmp_path):
+    import os
+
+    coords = np.arange(40, dtype=np.int64).reshape(-1, 2)
+    docs = np.arange(20, dtype=np.int32)
+    meta = write_points(str(tmp_path), "f", coords, docs)
+    # corrupt the leaf-min sidecar
+    p = os.path.join(str(tmp_path), "pt_f_leafmin.npy")
+    bad = np.load(p)
+    bad[0, 0] += 1
+    np.save(p, bad)
+    with pytest.raises(ValueError):
+        check_points(str(tmp_path), "f", meta, 20)
+
+
+# ---------------------------------------------------------------- geo units
+
+
+def test_geo_encode_bounds_and_resolution():
+    assert int(encode_latitude(90.0)) == 2**31 - 1      # clamp at the pole
+    assert int(encode_latitude(-90.0)) == -(2**31)
+    assert int(encode_longitude(180.0)) == 2**31 - 1
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-90, 90, 2000)
+    lon = rng.uniform(-180, 180, 2000)
+    # GeoEncodingUtils resolution: decode error < one quantization step
+    assert np.all(np.abs(decode_latitude(encode_latitude(lat)) - lat)
+                  <= 180.0 / 2**32 + 1e-12)
+    assert np.all(np.abs(decode_longitude(encode_longitude(lon)) - lon)
+                  <= 360.0 / 2**32 + 1e-12)
+    # quantization is monotone (sort order preserved)
+    s = np.sort(lat)
+    assert np.all(np.diff(encode_latitude(s)) >= 0)
+
+
+def test_box_query_dateline_split():
+    q = lat_lon_box_query("loc", -10.0, 10.0, 170.0, -170.0)
+    assert isinstance(q, BooleanQuery) and len(q.clauses) == 2
+    assert q.minimum_should_match == 1
+    plain = lat_lon_box_query("loc", -10.0, 10.0, -20.0, 20.0)
+    assert isinstance(plain, PointRangeQuery)
+
+
+def test_circle_bbox_pole():
+    # a circle containing the north pole spans all longitudes
+    min_lat, max_lat, min_lon, max_lon = circle_bbox(89.0, 0.0, 500_000.0)
+    assert (min_lon, max_lon) == (-180.0, 180.0)
+    assert max_lat == 90.0
+
+
+# ------------------------------------------------------------- end-to-end
+
+N_TURNS = 3000
+
+
+def _geo_of_rows(n):
+    """Deterministic lat/lon per row index (mirrors nothing in the corpus —
+    the test's own assignment)."""
+    i = np.arange(n, dtype=np.int64)
+    lat = ((i * 2654435761) % 1_800_000) / 10_000.0 - 90.0
+    lon = ((i * 2246822519) % 3_600_000) / 10_000.0 - 180.0
+    return lat, lon
+
+
+@pytest.fixture(scope="module")
+def pt_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    t = synth_transcripts(N_TURNS, seed=42)
+    # assign lat/lon by the SORTED (global docID) order so the brute-force
+    # oracle indexes line up with gids
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    lat, lon = _geo_of_rows(N_TURNS)
+    null_mask = (np.arange(N_TURNS) % 7) == 3          # every 7th row: no point
+    lat_e = encode_latitude(lat)
+    lon_e = encode_longitude(lon)
+    st = st.append_column("lat_enc", pa.array(
+        [None if null_mask[i] else int(lat_e[i]) for i in range(N_TURNS)],
+        type=pa.int64()))
+    st = st.append_column("lon_enc", pa.array(lon_e, type=pa.int64()))
+    index_dir = str(tmp_path_factory.mktemp("ptidx"))
+    build_index(rd.from_arrow(st), index_dir, target_docs_per_partition=500,
+                point_cols={"loc": ("lat_enc", "lon_enc"), "ts_pt": ("ts",)},
+                input_desc="synth3000pt")
+    ts = st.column("ts").cast("int64").to_numpy()
+    import lucene_ray.analysis.standard as std
+
+    tokens = [set(std.analyze(x)) if x else set()
+              for x in st.column("text").to_pylist()]
+    return (IndexSearcher(index_dir), index_dir, lat, lon, null_mask, ts,
+            tokens)
+
+
+def test_point_range_1d(pt_index):
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    lo, hi = int(ts[300]), int(ts[2100])
+    n = s.count(PointRangeQuery("ts_pt", lo, hi))
+    assert n == int(((ts >= lo) & (ts <= hi)).sum())
+    # open bounds
+    assert s.count(PointRangeQuery("ts_pt", None, hi)) == int((ts <= hi).sum())
+    assert s.count(PointRangeQuery("ts_pt", lo, None)) == int((ts >= lo).sum())
+
+
+def test_point_box_2d_search(pt_index):
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    q = lat_lon_box_query("loc", -30.0, 45.0, -90.0, 60.0, boost=1.0)
+    td = s.search(q, k=N_TURNS)
+    want = (~nulls & (lat >= decode_latitude(encode_latitude(-30.0)))
+            & (encode_latitude(lat) <= encode_latitude(45.0))
+            & (encode_longitude(lon) >= encode_longitude(-90.0))
+            & (encode_longitude(lon) <= encode_longitude(60.0)))
+    assert {h.gid for h in td.hits} == set(np.nonzero(want)[0].tolist())
+
+
+def test_point_box_dateline(pt_index):
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    q = lat_lon_box_query("loc", -90.0, 90.0, 150.0, -150.0)
+    n = s.count(q)
+    e_lon = encode_longitude(lon)
+    want = ~nulls & ((e_lon >= encode_longitude(150.0))
+                     | (e_lon <= encode_longitude(-150.0)))
+    assert n == int(want.sum())
+
+
+def test_point_in_set(pt_index):
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    vals = tuple((int(encode_latitude(lat[i])), int(encode_longitude(lon[i])))
+                 for i in (5, 17, 3))                   # row 3 is null-masked
+    n = s.count(PointInSetQuery("loc", vals))
+    # rows sharing the exact quantized point with 5 or 17 (3 has no point)
+    keys = {vals[0], vals[1]}
+    pts = list(zip(encode_latitude(lat).tolist(), encode_longitude(lon).tolist()))
+    want = sum(1 for i in range(N_TURNS)
+               if not nulls[i] and (pts[i][0], pts[i][1]) in keys)
+    assert n == want
+
+
+def test_geo_distance_vs_brute(pt_index):
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    qlat, qlon, radius = 12.0, -47.0, 3_000_000.0
+    n = s.count(LatLonDistanceQuery("loc", qlat, qlon, radius))
+    dlat = decode_latitude(encode_latitude(lat))
+    dlon = decode_longitude(encode_longitude(lon))
+    d = haversine_meters(dlat, dlon, qlat, qlon)
+    assert n == int((~nulls & (d <= radius)).sum())
+
+
+def test_geo_distance_dateline(pt_index):
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    qlat, qlon, radius = 0.0, 179.5, 2_000_000.0
+    n = s.count(LatLonDistanceQuery("loc", qlat, qlon, radius))
+    d = haversine_meters(decode_latitude(encode_latitude(lat)),
+                         decode_longitude(encode_longitude(lon)), qlat, qlon)
+    assert n == int((~nulls & (d <= radius)).sum())
+
+
+def test_point_filter_in_boolean(pt_index):
+    """PointRangeQuery in FILTER position beside a scoring MUST term: the
+    dense BooleanWeight path composes the constant-score point iterator."""
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    box = lat_lon_box_query("loc", 0.0, 90.0, -180.0, 180.0)
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), MUST),
+                      BooleanClause(box, FILTER)))
+    n = s.count(q)
+    want = sum(1 for i in range(N_TURNS)
+               if "merge" in tokens[i] and not nulls[i]
+               and encode_latitude(lat[i]) >= encode_latitude(0.0))
+    assert n == want
+
+
+def test_point_range_after_deletes_and_merge(ray_session, tmp_path):
+    """deletes drop points; force_merge(1) rebuilds a single sidecar that
+    answers identically; CheckIndex validates the merged point files."""
+    import ray.data as rd
+
+    from lucene_ray.index.deletes import delete_by_keys
+    from lucene_ray.index.merge import force_merge
+
+    n = 1200
+    t = synth_transcripts(n, seed=9)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    lat, lon = _geo_of_rows(n)
+    st = st.append_column("lat_enc", pa.array(encode_latitude(lat), type=pa.int64()))
+    st = st.append_column("lon_enc", pa.array(encode_longitude(lon), type=pa.int64()))
+    d = str(tmp_path / "idx")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=200,
+                point_cols={"loc": ("lat_enc", "lon_enc")},
+                input_desc="mergept")
+    s = IndexSearcher(d)
+    victims = s.search(lat_lon_box_query("loc", 40.0, 90.0, -180.0, 180.0),
+                       k=50).hits[:50]
+    keys = pa.table({
+        "conv_id": pa.array([h.conv_id for h in victims]),
+        "turn_idx": pa.array([h.turn_idx for h in victims], type=pa.int32()),
+    })
+    delete_by_keys(d, keys)
+    gone = {(h.conv_id, int(h.turn_idx)) for h in victims}
+    conv = st.column("conv_id").to_pylist()
+    turn = st.column("turn_idx").to_numpy()
+    live = np.array([(conv[i], int(turn[i])) not in gone for i in range(n)])
+
+    def expected(min_lat, max_lat):
+        e = encode_latitude(lat)
+        return int((live & (e >= encode_latitude(min_lat))
+                    & (e <= encode_latitude(max_lat))).sum())
+
+    q = lat_lon_box_query("loc", -20.0, 55.0, -180.0, 180.0)
+    s_del = IndexSearcher(d)
+    assert s_del.count(q) == expected(-20.0, 55.0)
+    force_merge(d, 1)
+    rep = check_index(d)
+    assert rep["errors"] == []
+    s_m = IndexSearcher(d)
+    assert s_m.count(q) == expected(-20.0, 55.0)
+    dq = LatLonDistanceQuery("loc", 10.0, 10.0, 4_000_000.0)
+    dd = haversine_meters(decode_latitude(encode_latitude(lat)),
+                          decode_longitude(encode_longitude(lon)), 10.0, 10.0)
+    assert s_m.count(dq) == int((live & (dd <= 4_000_000.0)).sum())
