@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_range_count": _lazy("index_range_count"),
         "index_point_range_count": _lazy("index_point_range_count"),
         "index_geo_count": _lazy("index_geo_count"),
+        "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
+        "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
@@ -90,8 +92,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_frames": _media_frames,
         "classify_naive_bayes": _classify_nb,
-        "classify_knn": _classify_knn,
-        "classify_perceptron": _classify_perceptron,
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         # --- family representatives (rest of each family after slot 50) ---
         "term_counts": textstats.term_counts,
@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- beyond the 50-entry driver window ----------------
         "suggest_fuzzy": _suggest_fuzzy,
         "knn_ivf": knn.knn_ivf,
+        "classify_knn": _classify_knn,
+        "classify_perceptron": _classify_perceptron,
         "collection_stats": textstats.collection_stats,
         "grouped_topk": textstats.grouped_topk,
         "top_terms": textstats.top_terms,
@@ -236,17 +238,11 @@ def _media_frames(sf_dir):
     return media_frames(sf_dir)
 
 
-def _geo_sql() -> str:
-    """Oracle for index_geo_count: re-derive the deterministic doc_id->geo
-    assignment, quantize with the same GeoEncodingUtils scale model (exact
-    double math both sides), and apply the box / dateline-box / haversine
-    predicates the LatLonPoint queries implement."""
-    from lucene_ray.pipelines.flagship import GEO_BOX, GEO_CIRCLE, GEO_DATELINE_BOX
-    from lucene_ray.search.geo import (
-        MEAN_EARTH_RADIUS_M,
-        encode_latitude,
-        encode_longitude,
-    )
+def _geo_cte() -> str:
+    """Shared oracle prologue: re-derive the deterministic doc_id->geo
+    assignment, quantize with the GeoEncodingUtils scale model (exact
+    double math both sides), and decode back (what the engine's verify
+    steps operate on)."""
     from lucene_ray.sources.transcripts import (
         GEO_LAT_MOD,
         GEO_LAT_MULT,
@@ -254,11 +250,6 @@ def _geo_sql() -> str:
         GEO_LON_MULT,
     )
 
-    b_lat_lo, b_lat_hi = int(encode_latitude(GEO_BOX[0])), int(encode_latitude(GEO_BOX[1]))
-    b_lon_lo, b_lon_hi = int(encode_longitude(GEO_BOX[2])), int(encode_longitude(GEO_BOX[3]))
-    d_lat_lo, d_lat_hi = int(encode_latitude(GEO_DATELINE_BOX[0])), int(encode_latitude(GEO_DATELINE_BOX[1]))
-    d_lon_w, d_lon_e = int(encode_longitude(GEO_DATELINE_BOX[2])), int(encode_longitude(GEO_DATELINE_BOX[3]))
-    qlat, qlon, radius = GEO_CIRCLE
     return f"""
         WITH geo AS (
           SELECT doc_id,
@@ -272,13 +263,34 @@ def _geo_sql() -> str:
                  lat_e / (4294967296.0 / 180.0) AS dlat,
                  lon_e / (4294967296.0 / 360.0) AS dlon,
                  lat_e, lon_e
-          FROM geo),
-        hv AS (
-          SELECT doc_id, lat_e, lon_e,
-                 sin((radians({qlat!r}) - radians(dlat)) / 2) AS slat,
-                 cos(radians(dlat)) AS c1,
-                 sin((radians({qlon!r}) - radians(dlon)) / 2) AS slon
-          FROM dec)
+          FROM geo)"""
+
+
+def _haversine_sql(qlat: float, qlon: float) -> str:
+    """SQL haversine meters from (qlat, qlon) to (dlat, dlon), mirroring
+    `search/geo.py` haversine_meters operation-for-operation."""
+    from lucene_ray.search.geo import MEAN_EARTH_RADIUS_M
+
+    return (f"2 * {MEAN_EARTH_RADIUS_M!r} * asin(sqrt(least(1.0, "
+            f"sin((radians({qlat!r}) - radians(dlat)) / 2)"
+            f" * sin((radians({qlat!r}) - radians(dlat)) / 2)"
+            f" + cos(radians(dlat)) * cos(radians({qlat!r}))"
+            f" * (sin((radians({qlon!r}) - radians(dlon)) / 2)"
+            f" * sin((radians({qlon!r}) - radians(dlon)) / 2)))))")
+
+
+def _geo_sql() -> str:
+    """Oracle for index_geo_count: box / dateline-box / haversine-radius
+    predicates over the shared geo CTE."""
+    from lucene_ray.pipelines.flagship import GEO_BOX, GEO_CIRCLE, GEO_DATELINE_BOX
+    from lucene_ray.search.geo import encode_latitude, encode_longitude
+
+    b_lat_lo, b_lat_hi = int(encode_latitude(GEO_BOX[0])), int(encode_latitude(GEO_BOX[1]))
+    b_lon_lo, b_lon_hi = int(encode_longitude(GEO_BOX[2])), int(encode_longitude(GEO_BOX[3]))
+    d_lat_lo, d_lat_hi = int(encode_latitude(GEO_DATELINE_BOX[0])), int(encode_latitude(GEO_DATELINE_BOX[1]))
+    d_lon_w, d_lon_e = int(encode_longitude(GEO_DATELINE_BOX[2])), int(encode_longitude(GEO_DATELINE_BOX[3]))
+    qlat, qlon, radius = GEO_CIRCLE
+    return _geo_cte() + f"""
         SELECT
           (SELECT count(*) FROM geo
            WHERE lat_e BETWEEN {b_lat_lo} AND {b_lat_hi}
@@ -286,11 +298,47 @@ def _geo_sql() -> str:
           (SELECT count(*) FROM geo
            WHERE lat_e BETWEEN {d_lat_lo} AND {d_lat_hi}
              AND (lon_e >= {d_lon_w} OR lon_e <= {d_lon_e}))::BIGINT AS n_dateline,
-          (SELECT count(*) FROM hv
-           WHERE 2 * {MEAN_EARTH_RADIUS_M!r}
-                 * asin(sqrt(least(1.0, slat * slat
-                       + c1 * cos(radians({qlat!r})) * (slon * slon))))
-                 <= {radius!r})::BIGINT AS n_in_radius"""
+          (SELECT count(*) FROM dec
+           WHERE {_haversine_sql(qlat, qlon)} <= {radius!r})::BIGINT AS n_in_radius"""
+
+
+def _geo_polygon_sql() -> str:
+    """Oracle for index_geo_polygon_count: the query triangle is convex and
+    CCW in the lon/lat plane, so containment (boundary-inclusive, matching
+    Polygon2D) is three half-plane cross-product tests on decoded coords."""
+    from lucene_ray.pipelines.flagship import GEO_TRI_LATS, GEO_TRI_LONS
+
+    edges = []
+    n = len(GEO_TRI_LATS)
+    for i in range(n):
+        x1, y1 = GEO_TRI_LONS[i], GEO_TRI_LATS[i]
+        x2, y2 = GEO_TRI_LONS[(i + 1) % n], GEO_TRI_LATS[(i + 1) % n]
+        edges.append(f"(({x2!r} - {x1!r}) * (dlat - {y1!r})"
+                     f" - ({y2!r} - {y1!r}) * (dlon - {x1!r})) >= 0")
+    return _geo_cte() + f"""
+        SELECT count(*)::BIGINT AS n_in_polygon
+        FROM dec WHERE {' AND '.join(edges)}"""
+
+
+def _geo_dist_topk_sql() -> str:
+    """Oracle for index_geo_distance_topk: 'merge' docs nearest-first from
+    the sort origin (haversine on decoded coords), doc_id-asc tie-break,
+    distance floored to integer meters."""
+    from lucene_ray.pipelines.flagship import GEO_SORT_ORIGIN, SORT_K
+
+    qlat, qlon = GEO_SORT_ORIGIN
+    return _geo_cte() + f""",
+        toklists AS (SELECT doc_id, list_transform(regexp_extract_all(text,
+            '[A-Za-z0-9]+'), x -> lower(x)) AS toks FROM documents),
+        matches AS (
+          SELECT dec.doc_id, {_haversine_sql(qlat, qlon)} AS d
+          FROM dec JOIN toklists USING (doc_id)
+          WHERE list_contains(toks, 'merge'))
+        SELECT row_number() OVER (ORDER BY d ASC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               floor(d)::BIGINT AS dist_m
+        FROM matches ORDER BY d ASC, doc_id ASC LIMIT {SORT_K}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -550,6 +598,8 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM documents
                     WHERE doc_id IN (17, 99, 256))::BIGINT AS n_in_set""",
         "index_geo_count": _geo_sql(),
+        "index_geo_polygon_count": _geo_polygon_sql(),
+        "index_geo_distance_topk": _geo_dist_topk_sql(),
         "index_sorted_topk": _TOKS + """
             SELECT row_number() OVER (ORDER BY (doc_id % 5) DESC, doc_id ASC)::BIGINT AS rank,
                    printf('conv-%08d', doc_id // 5) AS conv_id,

@@ -339,6 +339,41 @@ def index_geo_count(sf_dir: str) -> pd.DataFrame:
                          "n_in_radius": pd.Series([n_radius], dtype="int64")})
 
 
+# convex (CCW in the lon/lat plane) query triangle + distance-sort origin
+GEO_TRI_LATS = (-40.0, -10.0, 65.0)
+GEO_TRI_LONS = (-120.0, 100.0, -30.0)
+GEO_SORT_ORIGIN = (37.0, -122.0)
+
+
+def index_geo_polygon_count(sf_dir: str) -> pd.DataFrame:
+    """LatLonPoint.newPolygonQuery through the BKD sidecar: bbox prune +
+    exact even-odd containment verify on decoded coords
+    (`geo/Polygon2D.java` semantics)."""
+    from ..search.geo import LatLonPolygonQuery
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    n = searcher.count(LatLonPolygonQuery("loc", GEO_TRI_LATS, GEO_TRI_LONS))
+    return pd.DataFrame({"n_in_polygon": pd.Series([n], dtype="int64")})
+
+
+def index_geo_distance_topk(sf_dir: str) -> pd.DataFrame:
+    """Distance-sorted top-k (LatLonDocValuesField.newDistanceSort
+    analogue): docs containing 'merge', nearest-first from the origin,
+    haversine on decoded quantized coords; (rank, conv_id, turn_idx,
+    dist_m floored to integer meters for the SQL twin)."""
+    from ..search.geo import GeoDistanceSort
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    td = searcher.search(bool_query(should=["merge"]), k=SORT_K,
+                         sort=GeoDistanceSort("loc", *GEO_SORT_ORIGIN))
+    import math
+
+    rows = [(r, h.conv_id, int(h.turn_idx), int(math.floor(h.fields[0])))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "dist_m"]) \
+        .astype({"rank": "int64", "turn_idx": "int64", "dist_m": "int64"})
+
+
 def index_sorted_topk(sf_dir: str) -> pd.DataFrame:
     """Sort-by-field top-k through the index (TopFieldCollector analogue):
     docs containing 'merge', ordered by turn_idx DESC with global-docID-asc

@@ -111,6 +111,74 @@ def circle_bbox(lat: float, lon: float, radius_m: float):
 
 
 @dataclass(frozen=True)
+class LatLonPolygonQuery:
+    """LatLonPoint.newPolygonQuery: docs whose quantized point lies inside
+    (or on the boundary of) the polygon given as parallel lat/lon vertex
+    tuples (implicitly closed).  Constant score.  Executed as the polygon's
+    bounding box through the BKD intersect, then an exact even-odd
+    ray-casting containment test on the DECODED candidate coordinates
+    (`geo/Polygon2D.java` contains() semantics: boundary counts as
+    inside)."""
+    field: str
+    lats: tuple
+    lons: tuple
+    boost: float = 1.0
+
+
+def polygon_contains(plats, plons, lats, lons) -> np.ndarray:
+    """Vectorized even-odd point-in-polygon over decoded degree coords;
+    points exactly on an edge are contained (Polygon2D boundary model).
+    The loop runs per polygon EDGE (small); the compares are numpy over
+    all candidate points."""
+    x = np.asarray(lons, dtype=np.float64)
+    y = np.asarray(lats, dtype=np.float64)
+    inside = np.zeros(len(x), dtype=bool)
+    on_edge = np.zeros(len(x), dtype=bool)
+    n = len(plats)
+    for i in range(n):
+        x1, y1 = float(plons[i]), float(plats[i])
+        x2, y2 = float(plons[(i + 1) % n]), float(plats[(i + 1) % n])
+        cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+        on_edge |= ((cross == 0.0)
+                    & (x >= min(x1, x2)) & (x <= max(x1, x2))
+                    & (y >= min(y1, y2)) & (y <= max(y1, y2)))
+        spans = (y1 > y) != (y2 > y)
+        if y2 != y1:
+            xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            inside ^= spans & (x < xint)
+    return inside | on_edge
+
+
+def polygon_query_docs(preader, q: LatLonPolygonQuery) -> np.ndarray:
+    """Execute a polygon query against one shard's PointsReader: bounding-
+    box prune through the BKD intersect, then the exact containment verify
+    (`LatLonPointQuery` two-phase model)."""
+    lat_lo = int(encode_latitude(min(q.lats)))
+    lat_hi = int(encode_latitude(max(q.lats)))
+    lon_lo = int(encode_longitude(min(q.lons)))
+    lon_hi = int(encode_longitude(max(q.lons)))
+    cand = preader.intersect_box((lat_lo, lon_lo), (lat_hi, lon_hi))
+    if len(cand) == 0:
+        return cand.astype(np.int32)
+    pts = preader.doc_values(cand.astype(np.int64))
+    m = polygon_contains(q.lats, q.lons,
+                         decode_latitude(pts[:, 0]), decode_longitude(pts[:, 1]))
+    return cand[m].astype(np.int32)
+
+
+@dataclass(frozen=True)
+class GeoDistanceSort:
+    """LatLonDocValuesField.newDistanceSort analogue over the point sidecar:
+    ascending haversine meters from (lat, lon); docs without a point sort
+    last (missing value = +Inf, the reference's default)."""
+    field: str
+    lat: float
+    lon: float
+    # distance sort is ascending-only in the reference surface too
+    reverse: bool = False
+
+
+@dataclass(frozen=True)
 class LatLonDistanceQuery:
     """LatLonPoint.newDistanceQuery: docs whose quantized point lies within
     ``radius_m`` meters (haversine) of (lat, lon).  Constant score."""

@@ -410,8 +410,9 @@ def search_shard_points(reader, query, boost: float, k: int, after=None):
     matches the query (PointRangeQuery / PointInSetQuery /
     LatLonDistanceQuery constant-score rewrite; docID-order ties).  Shard
     manifest min/max bounds prune before any sidecar is touched."""
-    from .geo import LatLonDistanceQuery, circle_bbox, distance_query_docs, \
-        encode_latitude, encode_longitude
+    from .geo import LatLonDistanceQuery, LatLonPolygonQuery, circle_bbox, \
+        distance_query_docs, encode_latitude, encode_longitude, \
+        polygon_query_docs
     from .query import PointInSetQuery, PointRangeQuery
 
     def _empty():
@@ -447,6 +448,13 @@ def search_shard_points(reader, query, boost: float, k: int, after=None):
                                    or int(encode_longitude(min_lon)) > smax[1]):
             return _empty()
         cand = distance_query_docs(reader.points(query.field), query)
+    elif isinstance(query, LatLonPolygonQuery):
+        if int(encode_latitude(max(query.lats))) < smin[0] or \
+                int(encode_latitude(min(query.lats))) > smax[0] or \
+                int(encode_longitude(max(query.lons))) < smin[1] or \
+                int(encode_longitude(min(query.lons))) > smax[1]:
+            return _empty()
+        cand = polygon_query_docs(reader.points(query.field), query)
     else:                                              # pragma: no cover
         raise TypeError(type(query))
 

@@ -498,9 +498,9 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "points": query, "boost": getattr(query, "boost", 1.0)}
-        from .geo import LatLonDistanceQuery
+        from .geo import LatLonDistanceQuery, LatLonPolygonQuery
 
-        if isinstance(query, LatLonDistanceQuery):
+        if isinstance(query, (LatLonDistanceQuery, LatLonPolygonQuery)):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "points": query, "boost": query.boost}
@@ -1044,8 +1044,11 @@ class IndexSearcher:
         as float and hit.fields the exact int.  Scale path: shards whose
         doc-values range cannot beat the current k-th value could be pruned
         via manifest min/max before collection (not needed at this scale)."""
+        from .geo import GeoDistanceSort
+
         if self.query_cache is not None:
             self.query_cache.begin_search()
+        is_dist = isinstance(sort, GeoDistanceSort)
         compiled = self.compile(query)
         vals_all, gids_all = [], []
         total = 0
@@ -1056,11 +1059,15 @@ class IndexSearcher:
             total += t
             if len(docs) == 0:
                 continue
-            dv = rdr.docvalue(sort.field)[docs]
+            if is_dist:
+                dv = self._distances(rdr, sort, docs)
+            else:
+                dv = rdr.docvalue(sort.field)[docs]
             gid64 = docs.astype(np.int64) + self._bases[pid]
             if after is not None:
                 # FieldDoc paging: strictly after the (sort value, gid) cursor
-                a_v, a_g = int(after[0]), int(after[1])
+                a_v = float(after[0]) if is_dist else int(after[0])
+                a_g = int(after[1])
                 if sort.reverse:
                     keep = (dv < a_v) | ((dv == a_v) & (gid64 > a_g))
                 else:
@@ -1084,11 +1091,31 @@ class IndexSearcher:
             pid = self._pid_of(gid)
             rdr = self.reader(pid)
             row = rdr.lookup_docs(np.array([gid - self._bases[pid]]))
+            fv = float(vals[i]) if is_dist else int(vals[i])
             hits.append(ScoreDoc(float(vals[i]), gid,
                                  row.column("conv_id")[0].as_py(),
                                  int(row.column("turn_idx")[0].as_py()),
-                                 fields=(int(vals[i]),)))
+                                 fields=(fv,)))
         return TopDocs(hits, total, RELATION_EQ)
+
+    @staticmethod
+    def _distances(rdr, sort, docs):
+        """Haversine meters from the sort origin for each candidate doc,
+        read off the point sidecar (LatLonDocValuesField.newDistanceSort
+        comparator); docs without a point get +Inf (missing-last)."""
+        from .geo import decode_latitude, decode_longitude, haversine_meters
+
+        pr = rdr.points(sort.field)
+        if pr is None:
+            return np.full(len(docs), np.inf)
+        pts = pr.doc_values(docs.astype(np.int64))
+        missing = pts[:, 0] == np.iinfo(np.int64).min
+        safe = np.where(missing[:, None], 0, pts)
+        d = haversine_meters(decode_latitude(safe[:, 0]),
+                             decode_longitude(safe[:, 1]),
+                             sort.lat, sort.lon)
+        d[missing] = np.inf
+        return d
 
     def _merge(self, per_shard, k) -> TopDocs:
         all_scores, all_gids, owners = [], [], []

@@ -305,3 +305,88 @@ def test_point_range_after_deletes_and_merge(ray_session, tmp_path):
     dd = haversine_meters(decode_latitude(encode_latitude(lat)),
                           decode_longitude(encode_longitude(lon)), 10.0, 10.0)
     assert s_m.count(dq) == int((live & (dd <= 4_000_000.0)).sum())
+
+
+def test_polygon_query_nonconvex(pt_index):
+    """Even-odd ray casting vs brute force on a non-convex (star-ish)
+    polygon — the shape class the convex SQL twin can't check."""
+    from lucene_ray.search.geo import LatLonPolygonQuery, polygon_contains
+
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    plats = (-40.0, 20.0, -10.0, 60.0, 10.0)
+    plons = (-100.0, -20.0, 40.0, 10.0, -80.0)
+    n = s.count(LatLonPolygonQuery("loc", plats, plons))
+    dlat = decode_latitude(encode_latitude(lat))
+    dlon = decode_longitude(encode_longitude(lon))
+    want = polygon_contains(plats, plons, dlat, dlon) & ~nulls
+    assert n == int(want.sum())
+    # independent scalar ray-cast oracle (matplotlib-free textbook loop)
+    import random
+
+    rng = random.Random(5)
+    idx = rng.sample(range(N_TURNS), 300)
+    for i in idx:
+        x, y = float(dlon[i]), float(dlat[i])
+        inside = False
+        m = len(plats)
+        for e in range(m):
+            x1, y1 = plons[e], plats[e]
+            x2, y2 = plons[(e + 1) % m], plats[(e + 1) % m]
+            if (y1 > y) != (y2 > y) and x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                inside = not inside
+        got = bool(polygon_contains(plats, plons, np.array([y]), np.array([x]))[0])
+        assert got == inside, (i, x, y)
+
+
+def test_polygon_contains_boundary():
+    from lucene_ray.search.geo import polygon_contains
+
+    plats, plons = (0.0, 0.0, 10.0), (0.0, 10.0, 0.0)
+    # vertex, edge midpoint, interior, exterior
+    got = polygon_contains(plats, plons,
+                           np.array([0.0, 0.0, 2.0, 9.0]),
+                           np.array([0.0, 5.0, 2.0, 9.0]))
+    assert got.tolist() == [True, True, True, False]
+
+
+def test_geo_distance_sort(pt_index):
+    """Distance-sorted top-k vs brute force: ascending haversine from the
+    origin with gid tie-break; docs without a point sort last (+Inf)."""
+    from lucene_ray.search.geo import GeoDistanceSort
+    from lucene_ray.search.query import bool_query
+
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    qlat, qlon = 48.0, 2.0
+    k = 25
+    td = s.search(bool_query(should=["merge"]),
+                  k=k, sort=GeoDistanceSort("loc", qlat, qlon))
+    d = haversine_meters(decode_latitude(encode_latitude(lat)),
+                         decode_longitude(encode_longitude(lon)), qlat, qlon)
+    d = np.where(nulls, np.inf, d)
+    match = np.array(["merge" in t for t in tokens])
+    cand = np.nonzero(match)[0]
+    order = cand[np.lexsort((cand, d[cand]))][:k]
+    assert [h.gid for h in td.hits] == order.tolist()
+    assert np.allclose([h.fields[0] for h in td.hits], d[order])
+    assert td.total_hits == int(match.sum())
+    # pagination: page 2 via the (distance, gid) FieldDoc cursor
+    cur = (td.hits[-1].fields[0], td.hits[-1].gid)
+    td2 = s.search(bool_query(should=["merge"]), k=k,
+                   sort=GeoDistanceSort("loc", qlat, qlon), after=cur)
+    order2 = cand[np.lexsort((cand, d[cand]))][k:2 * k]
+    assert [h.gid for h in td2.hits] == order2.tolist()
+
+
+def test_geo_distance_sort_missing_last(pt_index):
+    """MatchAll sorted by distance: the tail of the full ranking is exactly
+    the docs with no point (missing = +Inf), gid ascending among them."""
+    from lucene_ray.search.geo import GeoDistanceSort
+    from lucene_ray.search.query import MatchAllDocsQuery
+
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    td = s.search(MatchAllDocsQuery(), k=N_TURNS,
+                  sort=GeoDistanceSort("loc", 0.0, 0.0))
+    n_missing = int(nulls.sum())
+    tail = [h.gid for h in td.hits[-n_missing:]]
+    assert tail == sorted(np.nonzero(nulls)[0].tolist())
+    assert all(h.fields[0] == float("inf") for h in td.hits[-n_missing:])
