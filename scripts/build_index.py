@@ -38,6 +38,12 @@ def main():
                          "--token-filters append after it")
     ap.add_argument("--token-filters", default="",
                     help="comma-separated analyzer filters applied index+query side (ascii_fold,porter)")
+    ap.add_argument("--point-cols", default="",
+                    help="BKD point fields: field=col or field=col1:col2 "
+                         "(int/timestamp columns), comma-separated")
+    ap.add_argument("--geo-col", default="",
+                    help="field=latCol:lonCol — degree columns quantized "
+                         "(GeoEncodingUtils int32) into a 2-D point field")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--force-merge", type=int, default=0, metavar="N",
                     help="after building, forceMerge the index down to N segments")
@@ -59,6 +65,34 @@ def main():
     from lucene_ray.index.build import append_index, build_index
 
     ds = rd.read_parquet(args.input)
+    point_cols = {}
+    for spec in (s for s in args.point_cols.split(",") if s):
+        field, cols = spec.split("=")
+        point_cols[field] = tuple(cols.split(":"))
+    if args.geo_col:
+        field, cols = args.geo_col.split("=")
+        lat_col, lon_col = cols.split(":")
+
+        def add_geo_enc(batch):
+            import numpy as np
+            import pyarrow as geo_pa
+
+            from lucene_ray.search.geo import encode_latitude, encode_longitude
+
+            lat = batch.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            lon = batch.column(lon_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            miss = np.isnan(lat) | np.isnan(lon)     # null coords -> no point
+            batch = batch.append_column(
+                f"__{field}_lat",
+                geo_pa.array(encode_latitude(np.where(miss, 0.0, lat)),
+                             type=geo_pa.int64(), mask=miss))
+            return batch.append_column(
+                f"__{field}_lon",
+                geo_pa.array(encode_longitude(np.where(miss, 0.0, lon)),
+                             type=geo_pa.int64(), mask=miss))
+
+        ds = ds.map_batches(add_geo_enc, batch_format="pyarrow")
+        point_cols[field] = (f"__{field}_lat", f"__{field}_lon")
     kw = tuple(c for c in args.keyword_cols.split(",") if c)
     dv = tuple(c for c in args.docvalue_cols.split(",") if c)
     # space-separated when any spec carries comma/semicolon parameters
@@ -78,6 +112,7 @@ def main():
         commit = build_index(ds, args.index, target_docs_per_partition=args.target_docs,
                              keyword_cols=kw, docvalue_cols=dv, token_filters=tf,
                              vector_col=args.vector_col or None,
+                             point_cols=point_cols or None,
                              input_desc=f"cli:{args.input}")
     if args.force_merge:
         from lucene_ray.index.merge import force_merge

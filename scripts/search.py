@@ -49,6 +49,17 @@ def main():
     ap.add_argument("--expr", default="",
                     help="rescore matches with an expression over _score and "
                          "doc-values fields, e.g. '_score * 2 + ln(1 + turn_idx)'")
+    ap.add_argument("--geo-field", default="loc",
+                    help="point field for the --geo-* options")
+    ap.add_argument("--geo-box", default="",
+                    help="minLat,maxLat,minLon,maxLon (LatLonPoint box; "
+                         "minLon>maxLon crosses the dateline)")
+    ap.add_argument("--geo-dist", default="",
+                    help="lat,lon,radiusMeters (LatLonPoint distance query)")
+    ap.add_argument("--geo-polygon", default="",
+                    help="lat:lon,lat:lon,... vertices (LatLonPoint polygon)")
+    ap.add_argument("--sort-dist", default="",
+                    help="lat,lon — sort hits nearest-first from this origin")
     ap.add_argument("--sort", default="",
                     help="sort by a doc-values field instead of score, e.g. 'ts' or 'ts:desc'")
     ap.add_argument("--actors", type=int, default=0, help="serve via an actor pool of N")
@@ -100,6 +111,33 @@ def main():
         q = bool_query(must=terms)
     else:
         q = bool_query(should=terms)
+    geo_q = None
+    if args.geo_box:
+        from lucene_ray.search.geo import lat_lon_box_query
+
+        lo1, hi1, lo2, hi2 = (float(x) for x in args.geo_box.split(","))
+        geo_q = lat_lon_box_query(args.geo_field, lo1, hi1, lo2, hi2)
+    elif args.geo_dist:
+        from lucene_ray.search.geo import LatLonDistanceQuery
+
+        glat, glon, rad = (float(x) for x in args.geo_dist.split(","))
+        geo_q = LatLonDistanceQuery(args.geo_field, glat, glon, rad)
+    elif args.geo_polygon:
+        from lucene_ray.search.geo import LatLonPolygonQuery
+
+        verts = [v.split(":") for v in args.geo_polygon.split(",")]
+        geo_q = LatLonPolygonQuery(args.geo_field,
+                                   tuple(float(a) for a, _ in verts),
+                                   tuple(float(b) for _, b in verts))
+    if geo_q is not None:
+        if args.query.strip():
+            # text scores, geo restricts (the LatLonPoint filter idiom)
+            from lucene_ray.search.query import FILTER, MUST, BooleanClause, BooleanQuery
+
+            q = BooleanQuery((BooleanClause(q, MUST),
+                              BooleanClause(geo_q, FILTER)))
+        else:
+            q = geo_q
     if args.knn:
         from lucene_ray.search.query import KnnVectorQuery
 
@@ -111,7 +149,12 @@ def main():
 
         q = FunctionScoreQuery(q, args.expr)
     sort = None
-    if args.sort:
+    if args.sort_dist:
+        from lucene_ray.search.geo import GeoDistanceSort
+
+        slat, slon = (float(x) for x in args.sort_dist.split(","))
+        sort = GeoDistanceSort(args.geo_field, slat, slon)
+    elif args.sort:
         from lucene_ray.search.query import SortField
 
         parts = args.sort.split(":")
