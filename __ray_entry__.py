@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_geo_count": _lazy("index_geo_count"),
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
+        "index_feature_topk": _lazy("index_feature_topk"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
@@ -79,7 +80,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_expr_topk": _lazy("index_expr_topk"),
         # --- vector search as a first-class index query (round 3) ---
         "index_knn_filtered": _vs("index_knn_filtered"),
-        "index_knn_topk": _vs("index_knn_topk"),
         "index_hybrid_rrf": _vs("index_hybrid_rrf"),
         # --- suggesters (FST-suggester surface) ---
         "suggest_analyzing": _suggest_analyzing,
@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scan_topk": bm25scan.bm25_scan_topk,
         # ---------------- beyond the 50-entry driver window ----------------
         "suggest_fuzzy": _suggest_fuzzy,
+        "index_knn_topk": _vs("index_knn_topk"),
         "knn_ivf": knn.knn_ivf,
         "classify_knn": _classify_knn,
         "classify_perceptron": _classify_perceptron,
@@ -600,6 +601,17 @@ def oracle_sql() -> dict[str, str]:
         "index_geo_count": _geo_sql(),
         "index_geo_polygon_count": _geo_polygon_sql(),
         "index_geo_distance_topk": _geo_dist_topk_sql(),
+        "index_feature_topk": """
+            WITH feat AS (SELECT doc_id, (doc_id % 97 + 1) AS s FROM documents)
+            SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,
+                   printf('conv-%08d', doc_id // 5) AS conv_id,
+                   (doc_id % 5)::BIGINT AS turn_idx,
+                   CAST(CAST(1.5 * ln(CAST(CAST(0.5 + s AS FLOAT) AS DOUBLE))
+                        AS FLOAT) AS DOUBLE) AS score_log,
+                   CAST(CAST(2.0 AS FLOAT) * (CAST(1.0 AS FLOAT)
+                        - CAST(8.0 AS FLOAT) / (CAST(s AS FLOAT)
+                        + CAST(8.0 AS FLOAT))) AS DOUBLE) AS score_sat
+            FROM feat ORDER BY s DESC, doc_id ASC LIMIT 15""",
         "index_sorted_topk": _TOKS + """
             SELECT row_number() OVER (ORDER BY (doc_id % 5) DESC, doc_id ASC)::BIGINT AS rank,
                    printf('conv-%08d', doc_id // 5) AS conv_id,

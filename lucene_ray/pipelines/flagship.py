@@ -302,6 +302,7 @@ def build_geo_index(sf_dir: str, index_dir: str | None = None) -> str:
     ds = transcripts_with_geo(sf_dir)
     build_index(ds, index_dir, target_docs_per_partition=100_000,
                 point_cols={"loc": ("lat_enc", "lon_enc"), "ts_pt": ("ts",)},
+                docvalue_cols=("feat_pr",),
                 input_desc=f"documents@{sf_dir}+geo")
     return index_dir
 
@@ -337,6 +338,28 @@ def index_geo_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_in_box": pd.Series([n_box], dtype="int64"),
                          "n_dateline": pd.Series([n_dateline], dtype="int64"),
                          "n_in_radius": pd.Series([n_radius], dtype="int64")})
+
+
+def index_feature_topk(sf_dir: str) -> pd.DataFrame:
+    """FeatureField scoring (`document/FeatureField.java`): top-k by the
+    log feature function over the encoded `feat_pr` doc-values column,
+    with the saturation score (explicit pivot) reported for the same docs
+    — both functions are monotone in S, so the rankings coincide and the
+    SQL twin reproduces the float32 score math exactly."""
+    from ..search.feature import FeatureQuery
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    td = searcher.search(FeatureQuery("feat_pr", "log", boost=1.5,
+                                      scaling_factor=0.5), k=SORT_K)
+    td_sat = searcher.search(FeatureQuery("feat_pr", "saturation", boost=2.0,
+                                          pivot=8.0), k=SORT_K)
+    assert [h.gid for h in td.hits] == [h.gid for h in td_sat.hits]
+    rows = [(r, h.conv_id, int(h.turn_idx), float(h.score), float(hs.score))
+            for r, (h, hs) in enumerate(zip(td.hits, td_sat.hits), 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
+                                       "score_log", "score_sat"]) \
+        .astype({"rank": "int64", "turn_idx": "int64",
+                 "score_log": "float64", "score_sat": "float64"})
 
 
 # convex (CCW in the lon/lat plane) query triangle + distance-sort origin

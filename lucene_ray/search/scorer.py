@@ -470,6 +470,27 @@ def search_shard_points(reader, query, boost: float, k: int, after=None):
     return sc[:k], cand[:k], total, RELATION_EQ
 
 
+def search_shard_feature(reader, q, pivot, k: int, after=None):
+    """FeatureQuery over one shard: docs whose encoded feature freq is > 0,
+    scored by the feature function (`document/FeatureField.java` SimScorers,
+    vectorized over the doc-values column); score-desc, docID-asc ties."""
+    from .feature import score_feature
+
+    dv = np.asarray(reader.docvalue(q.field), dtype=np.int64)
+    matched = dv > 0
+    if reader.deleted is not None:
+        matched &= ~reader.deleted
+    cand = np.nonzero(matched)[0].astype(np.int32)
+    sc = score_feature(dv[cand], q, pivot)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
 def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
     """Exact-phrase scoring over one shard (ExactPhraseMatcher equivalent,
     vectorized): for phrase term i, build composite keys (doc, pos - i) and

@@ -504,6 +504,19 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "points": query, "boost": query.boost}
+        from .feature import FeatureQuery, compute_pivot
+
+        if isinstance(query, FeatureQuery):
+            # FeatureField scoring query (document/FeatureField.java): a
+            # saturation query without a pivot computes it at rewrite time
+            # from the whole index's feature stats (:625-638)
+            pivot = query.pivot
+            if query.function == "saturation" and pivot is None:
+                pivot = compute_pivot((self.reader(p) for p in self._pids),
+                                      query.field)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "feature": (query, pivot)}
         from .query import SynonymQuery
 
         if isinstance(query, SynonymQuery):
@@ -792,6 +805,11 @@ class IndexSearcher:
 
             return search_shard_points(rdr, compiled["points"],
                                        compiled["boost"], k, after=after)
+        if compiled.get("feature") is not None:
+            from .scorer import search_shard_feature
+
+            fq, pivot = compiled["feature"]
+            return search_shard_feature(rdr, fq, pivot, k, after=after)
         if compiled.get("const_query") is not None:
             from .scorer import search_shard_const
 

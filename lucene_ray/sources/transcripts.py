@@ -160,19 +160,28 @@ def geo_of_doc_id(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def transcripts_with_geo(sf_dir: str):
     """transcripts plus GeoEncodingUtils-quantized `lat_enc`/`lon_enc`
-    point columns derived from doc_id (LatLonPoint document model: the
-    field stores the encoded ints; see `search/geo.py`)."""
+    point columns and an encoded `feat_pr` feature column (FeatureField
+    document model), all derived from doc_id (see `search/geo.py`,
+    `search/feature.py`)."""
     import ray.data as rd
 
+    from ..search.feature import encode_feature_value
     from ..search.geo import encode_latitude, encode_longitude
 
     def add_geo(batch: pa.Table) -> pa.Table:
         t = doc_batch_to_transcripts(batch)
-        lat, lon = geo_of_doc_id(batch.column("doc_id").to_numpy())
+        doc_id = batch.column("doc_id").to_numpy()
+        lat, lon = geo_of_doc_id(doc_id)
         t = t.append_column("lat_enc", pa.array(encode_latitude(lat),
                                                 type=pa.int64()))
-        return t.append_column("lon_enc", pa.array(encode_longitude(lon),
-                                                   type=pa.int64()))
+        t = t.append_column("lon_enc", pa.array(encode_longitude(lon),
+                                                type=pa.int64()))
+        # pagerank-ish static signal: small ints survive the 9-bit-mantissa
+        # feature quantization exactly, so the SQL oracle sees S verbatim
+        feat = (doc_id % 97 + 1).astype(np.float32)
+        return t.append_column("feat_pr",
+                               pa.array(encode_feature_value(feat),
+                                        type=pa.int64()))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(add_geo, batch_format="pyarrow")

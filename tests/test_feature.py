@@ -1,0 +1,147 @@
+"""FeatureField scoring (`document/FeatureField.java`): encode/decode
+quantization, the four score functions (float32-exact vs scalar oracles),
+computed saturation pivot, and boolean composition with BM25 clauses."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.search.feature import (
+    FeatureQuery,
+    decode_feature_value,
+    encode_feature_value,
+)
+from lucene_ray.search.query import SHOULD, BooleanClause, BooleanQuery, TermQuery
+from lucene_ray.search.searcher import IndexSearcher
+from lucene_ray.sources.transcripts import synth_transcripts
+
+
+def test_encode_decode_quantization():
+    # small ints (<= 9 significant bits) survive exactly
+    v = np.arange(1, 512, dtype=np.float32)
+    assert np.array_equal(decode_feature_value(encode_feature_value(v)), v)
+    # the encoding drops the low 15 bits of the float32 representation:
+    # nearby values collapse to the same bucket, decode <= original
+    rng = np.random.default_rng(0)
+    w = rng.uniform(1e-3, 1e6, 5000).astype(np.float32)
+    d = decode_feature_value(encode_feature_value(w))
+    assert np.all(d <= w)
+    # relative quantization error bounded by 2^-9 of the value
+    assert np.all((w - d) / w < 2.0**-8)
+    # encoding is monotone
+    s = np.sort(w)
+    assert np.all(np.diff(encode_feature_value(s)) >= 0)
+    with pytest.raises(ValueError):
+        encode_feature_value(0.0)          # not a positive normal float
+    with pytest.raises(ValueError):
+        encode_feature_value(-1.0)
+
+
+def test_score_functions_scalar_oracle():
+    from lucene_ray.search.feature import score_feature
+
+    freqs = encode_feature_value(np.array([1.0, 8.0, 97.0, 400.0], np.float32))
+    s = decode_feature_value(freqs).astype(np.float64)
+    # linear: w * S (float32)
+    got = score_feature(freqs, FeatureQuery("f", "linear", boost=1.5), None)
+    assert np.array_equal(got, (np.float32(1.5) * s.astype(np.float32)))
+    # log: (float)(w * log(a + S))
+    got = score_feature(freqs, FeatureQuery("f", "log", boost=1.5,
+                                            scaling_factor=0.5), None)
+    want = (1.5 * np.log((np.float32(0.5) + s.astype(np.float32))
+                         .astype(np.float64))).astype(np.float32)
+    assert np.array_equal(got, want)
+    # saturation: w * (1 - k / (S + k)) in float32
+    got = score_feature(freqs, FeatureQuery("f", "saturation", boost=2.0,
+                                            pivot=8.0), 8.0)
+    sf = s.astype(np.float32)
+    want = np.float32(2.0) * (np.float32(1.0)
+                              - np.float32(8.0) / (sf + np.float32(8.0)))
+    assert np.array_equal(got, want)
+    # sigmoid: (float)(w * (1 - k^a / (S^a + k^a)))
+    got = score_feature(freqs, FeatureQuery("f", "sigmoid", boost=1.0,
+                                            pivot=8.0, exponent=2.0), None)
+    kpa = 8.0 ** 2.0
+    want = (1.0 * (1.0 - kpa / (s ** 2.0 + kpa))).astype(np.float32)
+    assert np.array_equal(got, want)
+
+
+N = 2500
+
+
+@pytest.fixture(scope="module")
+def feat_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    t = synth_transcripts(N, seed=21)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    vals = (np.arange(N) % 53 + 1).astype(np.float32)
+    enc = encode_feature_value(vals)
+    enc[::11] = 0                       # every 11th doc: feature absent
+    st = st.append_column("feat", pa.array(enc, type=pa.int64()))
+    d = str(tmp_path_factory.mktemp("featidx"))
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=400,
+                docvalue_cols=("feat",), input_desc="synthfeat")
+    import lucene_ray.analysis.standard as std
+
+    tokens = [set(std.analyze(x)) if x else set()
+              for x in st.column("text").to_pylist()]
+    return IndexSearcher(d), vals, enc, tokens
+
+
+def test_feature_topk_and_absent(feat_index):
+    s, vals, enc, tokens = feat_index
+    td = s.search(FeatureQuery("feat", "log", boost=1.0, scaling_factor=1.0),
+                  k=40)
+    present = enc > 0
+    assert td.total_hits == int(present.sum())
+    sc = (1.0 * np.log((np.float32(1.0) + vals).astype(np.float64))) \
+        .astype(np.float32)
+    sc = np.where(present, sc, -np.inf)
+    order = np.lexsort((np.arange(N), -sc))[:40]
+    assert [h.gid for h in td.hits] == order.tolist()
+    assert np.array_equal(np.array([h.score for h in td.hits], np.float32),
+                          sc[order])
+
+
+def test_feature_saturation_computed_pivot(feat_index):
+    s, vals, enc, tokens = feat_index
+    td = s.search(FeatureQuery("feat", "saturation", boost=1.0), k=10)
+    present = enc > 0
+    # pivot = decode(float32(mean encoded freq)) over docs with the feature
+    avg = np.float32(np.float64(enc[present].sum()) / present.sum())
+    pivot = float(decode_feature_value(np.float64(avg)))
+    sf = vals.astype(np.float32)
+    sc = np.float32(1.0) * (np.float32(1.0)
+                            - np.float32(pivot) / (sf + np.float32(pivot)))
+    sc = np.where(present, sc, -np.inf)
+    order = np.lexsort((np.arange(N), -sc))[:10]
+    assert [h.gid for h in td.hits] == order.tolist()
+    assert np.allclose([h.score for h in td.hits], sc[order], rtol=0, atol=0)
+
+
+def test_feature_in_boolean_with_bm25(feat_index):
+    """BM25 SHOULD term + feature SHOULD clause: scores sum in clause order
+    (the static-signal ranking idiom FeatureField exists for)."""
+    s, vals, enc, tokens = feat_index
+    fq = FeatureQuery("feat", "saturation", boost=0.7, pivot=10.0)
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), SHOULD),
+                      BooleanClause(fq, SHOULD)))
+    td = s.search(q, k=15)
+    td_term = s.search(TermQuery("merge"), k=N)
+    bm25 = np.zeros(N, dtype=np.float32)
+    bm25[[h.gid for h in td_term.hits]] = [h.score for h in td_term.hits]
+    has_term = np.zeros(N, dtype=bool)
+    has_term[[h.gid for h in td_term.hits]] = True
+    present = enc > 0
+    sf = vals.astype(np.float32)
+    feat = np.float32(0.7) * (np.float32(1.0)
+                              - np.float32(10.0) / (sf + np.float32(10.0)))
+    total = bm25 + np.where(present, feat, np.float32(0.0))
+    matched = has_term | present
+    sc = np.where(matched, total, -np.inf)
+    order = np.lexsort((np.arange(N), -sc))[:15]
+    assert [h.gid for h in td.hits] == order.tolist()
+    got = np.array([h.score for h in td.hits], np.float32)
+    assert np.allclose(got, sc[order], rtol=1e-6)
