@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_dv_update_count": _lazy("index_dv_update_count"),
         "index_range_count": _lazy("index_range_count"),
         "index_point_range_count": _lazy("index_point_range_count"),
+        "index_range_field_count": _lazy("index_range_field_count"),
         "index_geo_count": _lazy("index_geo_count"),
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
@@ -78,12 +79,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_conv_children_count": _lazy("index_conv_children_count"),
         "index_mlt_topk": _lazy("index_mlt_topk"),
         "index_expr_topk": _lazy("index_expr_topk"),
+        "index_expr_sorted_topk": _lazy("index_expr_sorted_topk"),
         # --- vector search as a first-class index query (round 3) ---
         "index_knn_filtered": _vs("index_knn_filtered"),
         "index_hybrid_rrf": _vs("index_hybrid_rrf"),
         # --- suggesters (FST-suggester surface) ---
         "suggest_analyzing": _suggest_analyzing,
-        "suggest_blended": _suggest_blended,
         "suggest_freetext": _suggest_freetext,
         # --- joins / percolator / multimodal / classification ---
         "bucketed_join": _bucketed_join,
@@ -96,12 +97,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- family representatives (rest of each family after slot 50) ---
         "term_counts": textstats.term_counts,
         "dedup_exact": dedup.dedup_exact,
-        "dedup_minhash": dedup.dedup_minhash,
         "knn_cosine": knn.knn_cosine,
         "sessionize": windows.sessionize,
         "bm25_scan_topk": bm25scan.bm25_scan_topk,
         # ---------------- beyond the 50-entry driver window ----------------
         "suggest_fuzzy": _suggest_fuzzy,
+        "suggest_blended": _suggest_blended,
+        "dedup_minhash": dedup.dedup_minhash,
         "index_knn_topk": _vs("index_knn_topk"),
         "knn_ivf": knn.knn_ivf,
         "classify_knn": _classify_knn,
@@ -598,9 +600,36 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id BETWEEN 100 AND 300)::BIGINT AS n_in_range,
                    (SELECT count(*) FROM documents
                     WHERE doc_id IN (17, 99, 256))::BIGINT AS n_in_set""",
+        "index_range_field_count": """
+            WITH spans AS (SELECT doc_id, doc_id % 211 AS lo,
+                                  doc_id % 211 + doc_id % 37 AS hi
+                           FROM documents)
+            SELECT
+              (SELECT count(*) FROM spans
+               WHERE lo <= 120 AND hi >= 50)::BIGINT AS n_intersects,
+              (SELECT count(*) FROM spans
+               WHERE lo >= 50 AND hi <= 120)::BIGINT AS n_within,
+              (SELECT count(*) FROM spans
+               WHERE lo <= 50 AND hi >= 120)::BIGINT AS n_contains,
+              (SELECT count(*) FROM spans
+               WHERE lo <= 120 AND hi >= 50
+                 AND NOT (lo >= 50 AND hi <= 120))::BIGINT AS n_crosses""",
         "index_geo_count": _geo_sql(),
         "index_geo_polygon_count": _geo_polygon_sql(),
         "index_geo_distance_topk": _geo_dist_topk_sql(),
+        "index_expr_sorted_topk": _TOKS + """
+            , m AS (SELECT doc_id FROM toklists
+                    WHERE list_contains(toks, 'merge')),
+            v AS (SELECT doc_id,
+                         ln(1 + (doc_id % 5))
+                         + (1700000000000000 + doc_id * 1000000)
+                           / 100000000000000000 AS sort_value
+                  FROM m)
+            SELECT row_number() OVER (ORDER BY sort_value DESC, doc_id ASC)::BIGINT AS rank,
+                   printf('conv-%08d', doc_id // 5) AS conv_id,
+                   (doc_id % 5)::BIGINT AS turn_idx,
+                   sort_value
+            FROM v ORDER BY sort_value DESC, doc_id ASC LIMIT 15""",
         "index_feature_topk": """
             WITH feat AS (SELECT doc_id, (doc_id % 97 + 1) AS s FROM documents)
             SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC)::BIGINT AS rank,

@@ -301,7 +301,8 @@ def build_geo_index(sf_dir: str, index_dir: str | None = None) -> str:
     index_dir = index_dir or index_dir_for(sf_dir) + "-geo"
     ds = transcripts_with_geo(sf_dir)
     build_index(ds, index_dir, target_docs_per_partition=100_000,
-                point_cols={"loc": ("lat_enc", "lon_enc"), "ts_pt": ("ts",)},
+                point_cols={"loc": ("lat_enc", "lon_enc"), "ts_pt": ("ts",),
+                            "span": ("span_lo", "span_hi")},
                 docvalue_cols=("feat_pr",),
                 input_desc=f"documents@{sf_dir}+geo")
     return index_dir
@@ -360,6 +361,23 @@ def index_feature_topk(sf_dir: str) -> pd.DataFrame:
                                        "score_log", "score_sat"]) \
         .astype({"rank": "int64", "turn_idx": "int64",
                  "score_log": "float64", "score_sat": "float64"})
+
+
+RANGE_FIELD_Q = (50, 120)          # query range for index_range_field_count
+
+
+def index_range_field_count(sf_dir: str) -> pd.DataFrame:
+    """RangeField relations (`document/RangeFieldQuery.java`) over the
+    doc-side [span_lo, span_hi] ranges: intersects / within / contains /
+    crosses counts against the [50, 120] query range."""
+    from ..search.query import RangeFieldQuery
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    lo, hi = RANGE_FIELD_Q
+    counts = {rel: searcher.count(RangeFieldQuery("span", rel, lo, hi))
+              for rel in ("intersects", "within", "contains", "crosses")}
+    return pd.DataFrame({f"n_{rel}": pd.Series([n], dtype="int64")
+                         for rel, n in counts.items()})
 
 
 # convex (CCW in the lon/lat plane) query triangle + distance-sort origin
@@ -783,6 +801,27 @@ def index_expr_topk(sf_dir: str, k: int = EXPR_K) -> pd.DataFrame:
             for r, h in enumerate(td.hits, 1)]
     return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
         .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+EXPR_SORT_SRC = "ln(1 + turn_idx) + ts / 100000000000000000"
+
+
+def index_expr_sorted_topk(sf_dir: str) -> pd.DataFrame:
+    """Sort-by-expression top-k (`Expression.getSortField` /
+    ExpressionSortField surface): 'merge' docs ordered by a float64
+    expression over doc-values, descending, gid-asc ties.  (rank, conv_id,
+    turn_idx, sort_value)."""
+    from ..search.query import ExpressionSort
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    td = searcher.search(bool_query(should=["merge"]), k=SORT_K,
+                         sort=ExpressionSort(EXPR_SORT_SRC, reverse=True))
+    rows = [(r, h.conv_id, int(h.turn_idx), float(h.fields[0]))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
+                                       "sort_value"]) \
+        .astype({"rank": "int64", "turn_idx": "int64",
+                 "sort_value": "float64"})
 
 
 def index_expr_oracle_sql(k: int = EXPR_K) -> str:

@@ -171,6 +171,38 @@ class PointRangeQuery:
 
 
 @dataclass(frozen=True)
+class RangeFieldQuery:
+    """Query over doc-side RANGES (`document/RangeFieldQuery.java` /
+    `document/LongRange.java`): each doc stores a k-dim [min, max] range as
+    a 2k-dim point (first k dims = mins, last k = maxes — the reference's
+    packed layout).  ``relation`` selects the per-dim predicate
+    (RangeFieldQuery.QueryType):
+
+      intersects: doc.min <= q.max AND doc.max >= q.min
+      within:     doc.min >= q.min AND doc.max <= q.max
+      contains:   doc.min <= q.min AND doc.max >= q.max
+      crosses:    intersects AND NOT within      (:260-263)
+
+    The first three are single BKD box visits on the 2k-dim sidecar; crosses
+    is the set difference of two visits.  Constant score."""
+    field: str
+    relation: str
+    lower: tuple
+    upper: tuple
+    boost: float = 1.0
+
+    def __post_init__(self):
+        lo = self.lower if isinstance(self.lower, tuple) else (self.lower,)
+        hi = self.upper if isinstance(self.upper, tuple) else (self.upper,)
+        object.__setattr__(self, "lower", lo)
+        object.__setattr__(self, "upper", hi)
+        if len(lo) != len(hi):
+            raise ValueError("lower/upper dimensionality mismatch")
+        if self.relation not in ("intersects", "within", "contains", "crosses"):
+            raise ValueError(f"unknown range relation {self.relation!r}")
+
+
+@dataclass(frozen=True)
 class PointInSetQuery:
     """Point-membership query (`search/PointInSetQuery.java` /
     `document/LongPoint.newSetQuery`): a doc matches when its point equals
@@ -258,6 +290,18 @@ class SortField:
     (descending when reverse), tie-break global docID ascending
     (`search/TopFieldCollector.java:39` + TopDocs merge semantics)."""
     field: str
+    reverse: bool = False
+
+
+@dataclass(frozen=True)
+class ExpressionSort:
+    """Sort by an arithmetic expression over doc-values columns (the
+    `expressions` module's `Expression.getSortField` /
+    `DoubleValuesSource.getSortField` surface): float64 sort values,
+    global-docID-asc tie-break.  Same compiled-expression engine as
+    FunctionScoreQuery (`search/expressions.py`), without `_score` (sorted
+    collection runs scoreless, needsScores=false)."""
+    expression: str
     reverse: bool = False
 
 

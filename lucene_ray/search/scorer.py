@@ -413,7 +413,7 @@ def search_shard_points(reader, query, boost: float, k: int, after=None):
     from .geo import LatLonDistanceQuery, LatLonPolygonQuery, circle_bbox, \
         distance_query_docs, encode_latitude, encode_longitude, \
         polygon_query_docs
-    from .query import PointInSetQuery, PointRangeQuery
+    from .query import PointInSetQuery, PointRangeQuery, RangeFieldQuery
 
     def _empty():
         return (np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ)
@@ -423,7 +423,9 @@ def search_shard_points(reader, query, boost: float, k: int, after=None):
         return _empty()
     smin, smax = bounds
 
-    if isinstance(query, PointRangeQuery):
+    if isinstance(query, RangeFieldQuery):
+        cand = _range_field_docs(reader.points(query.field), query)
+    elif isinstance(query, PointRangeQuery):
         lo, hi = query.lower, query.upper
         for d in range(len(lo)):
             if (lo[d] is not None and smax[d] < lo[d]) or \
@@ -489,6 +491,29 @@ def search_shard_feature(reader, q, pivot, k: int, after=None):
         cand, sc = cand[keep], sc[keep]
     sc, cand = _top_k(sc, cand, k)
     return sc, cand, total, RELATION_EQ
+
+
+def _range_field_docs(pr, q) -> np.ndarray:
+    """RangeFieldQuery relations as box visits over the 2k-dim sidecar
+    (first k dims store range mins, last k store maxes)."""
+    k = pr.ndims // 2
+    none = (None,) * k
+
+    def intersects():
+        # doc.min_d <= q.max_d (upper bound on min dims) AND
+        # doc.max_d >= q.min_d (lower bound on max dims)
+        return pr.intersect_box(none + q.lower, q.upper + none)
+
+    def within():
+        return pr.intersect_box(q.lower + none, none + q.upper)
+
+    if q.relation == "intersects":
+        return intersects()
+    if q.relation == "within":
+        return within()
+    if q.relation == "contains":
+        return pr.intersect_box(none + q.upper, q.lower + none)
+    return np.setdiff1d(intersects(), within())        # crosses
 
 
 def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):

@@ -489,9 +489,10 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "range": (query.field, query.lo, query.hi),
                     "boost": query.boost}
-        from .query import PointInSetQuery, PointRangeQuery
+        from .query import PointInSetQuery, PointRangeQuery, RangeFieldQuery
 
-        if isinstance(query, (PointRangeQuery, PointInSetQuery)):
+        if isinstance(query, (PointRangeQuery, PointInSetQuery,
+                              RangeFieldQuery)):
             # BKD point queries: constant-score leaf-visit execution against
             # the per-shard point sidecar (search/PointRangeQuery.java /
             # PointInSetQuery.java constant-score rewrite)
@@ -1063,10 +1064,11 @@ class IndexSearcher:
         doc-values range cannot beat the current k-th value could be pruned
         via manifest min/max before collection (not needed at this scale)."""
         from .geo import GeoDistanceSort
+        from .query import ExpressionSort
 
         if self.query_cache is not None:
             self.query_cache.begin_search()
-        is_dist = isinstance(sort, GeoDistanceSort)
+        is_float = isinstance(sort, (GeoDistanceSort, ExpressionSort))
         compiled = self.compile(query)
         vals_all, gids_all = [], []
         total = 0
@@ -1077,14 +1079,16 @@ class IndexSearcher:
             total += t
             if len(docs) == 0:
                 continue
-            if is_dist:
+            if isinstance(sort, GeoDistanceSort):
                 dv = self._distances(rdr, sort, docs)
+            elif isinstance(sort, ExpressionSort):
+                dv = self._expr_sort_values(rdr, sort, docs)
             else:
                 dv = rdr.docvalue(sort.field)[docs]
             gid64 = docs.astype(np.int64) + self._bases[pid]
             if after is not None:
                 # FieldDoc paging: strictly after the (sort value, gid) cursor
-                a_v = float(after[0]) if is_dist else int(after[0])
+                a_v = float(after[0]) if is_float else int(after[0])
                 a_g = int(after[1])
                 if sort.reverse:
                     keep = (dv < a_v) | ((dv == a_v) & (gid64 > a_g))
@@ -1109,12 +1113,32 @@ class IndexSearcher:
             pid = self._pid_of(gid)
             rdr = self.reader(pid)
             row = rdr.lookup_docs(np.array([gid - self._bases[pid]]))
-            fv = float(vals[i]) if is_dist else int(vals[i])
+            fv = float(vals[i]) if is_float else int(vals[i])
             hits.append(ScoreDoc(float(vals[i]), gid,
                                  row.column("conv_id")[0].as_py(),
                                  int(row.column("turn_idx")[0].as_py()),
                                  fields=(fv,)))
         return TopDocs(hits, total, RELATION_EQ)
+
+    @staticmethod
+    def _expr_sort_values(rdr, sort, docs):
+        """Evaluate the sort expression vectorized over the matching docs'
+        doc-values columns (ExpressionSortField comparator)."""
+        ev = IndexSearcher._EXPR_CACHE.get(sort.expression)
+        if ev is None:
+            from .expressions import compile_expression
+
+            ev = IndexSearcher._EXPR_CACHE[sort.expression] = \
+                compile_expression(sort.expression)
+        fn, names = ev
+        if "_score" in names:
+            raise ValueError("_score is not available in a sort expression "
+                             "(sorted collection is scoreless)")
+        env = {n: rdr.docvalue(n)[docs].astype(np.float64) for n in names}
+        vals = fn(env)
+        if vals.shape == ():
+            vals = np.full(len(docs), float(vals))
+        return vals
 
     @staticmethod
     def _distances(rdr, sort, docs):

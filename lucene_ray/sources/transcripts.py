@@ -179,9 +179,15 @@ def transcripts_with_geo(sf_dir: str):
         # pagerank-ish static signal: small ints survive the 9-bit-mantissa
         # feature quantization exactly, so the SQL oracle sees S verbatim
         feat = (doc_id % 97 + 1).astype(np.float32)
-        return t.append_column("feat_pr",
-                               pa.array(encode_feature_value(feat),
-                                        type=pa.int64()))
+        t = t.append_column("feat_pr",
+                            pa.array(encode_feature_value(feat),
+                                     type=pa.int64()))
+        # doc-side [lo, hi] range (RangeField document model): stored as a
+        # 2-dim point (min dim, max dim)
+        lo = doc_id % 211
+        t = t.append_column("span_lo", pa.array(lo, type=pa.int64()))
+        return t.append_column("span_hi", pa.array(lo + doc_id % 37,
+                                                   type=pa.int64()))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(add_geo, batch_format="pyarrow")

@@ -154,6 +154,12 @@ def main():
 
         slat, slon = (float(x) for x in args.sort_dist.split(","))
         sort = GeoDistanceSort(args.geo_field, slat, slon)
+    elif args.sort.startswith("expr:"):
+        from lucene_ray.search.query import ExpressionSort
+
+        spec = args.sort[5:]
+        rev = spec.endswith(":desc")
+        sort = ExpressionSort(spec[:-5] if rev else spec, reverse=rev)
     elif args.sort:
         from lucene_ray.search.query import SortField
 

@@ -390,3 +390,67 @@ def test_geo_distance_sort_missing_last(pt_index):
     tail = [h.gid for h in td.hits[-n_missing:]]
     assert tail == sorted(np.nonzero(nulls)[0].tolist())
     assert all(h.fields[0] == float("inf") for h in td.hits[-n_missing:])
+
+
+def test_range_field_relations_fuzz(tmp_path):
+    """RangeFieldQuery relations vs brute force: random doc ranges (1-D and
+    2-D), random query boxes, all four relations
+    (`document/RangeFieldQuery.java` QueryType semantics)."""
+    from lucene_ray.search.query import RangeFieldQuery
+    from lucene_ray.search.scorer import _range_field_docs
+
+    rng = np.random.default_rng(13)
+    import os
+
+    for kd in (1, 2):
+        n = 3000
+        mins = rng.integers(-200, 200, size=(n, kd)).astype(np.int64)
+        maxs = mins + rng.integers(0, 120, size=(n, kd))
+        coords = np.concatenate([mins, maxs], axis=1)
+        docs = np.arange(n, dtype=np.int32)
+        d = str(tmp_path / f"rf{kd}")
+        os.makedirs(d)
+        meta = write_points(d, "span", coords, docs)
+        pr = PointsReader(d, "span", meta)
+        for _ in range(15):
+            qlo = rng.integers(-250, 200, size=kd)
+            qhi = qlo + rng.integers(0, 200, size=kd)
+            inter = np.all((mins <= qhi) & (maxs >= qlo), axis=1)
+            within = np.all((mins >= qlo) & (maxs <= qhi), axis=1)
+            contains = np.all((mins <= qlo) & (maxs >= qhi), axis=1)
+            want = {"intersects": inter, "within": within,
+                    "contains": contains, "crosses": inter & ~within}
+            for rel, m in want.items():
+                q = RangeFieldQuery("span", rel, tuple(int(v) for v in qlo),
+                                    tuple(int(v) for v in qhi))
+                got = _range_field_docs(pr, q)
+                assert np.array_equal(got, np.nonzero(m)[0]), (kd, rel)
+
+
+def test_range_field_end_to_end(ray_session, tmp_path):
+    from lucene_ray.search.query import RangeFieldQuery
+
+    import ray.data as rd
+
+    n = 1500
+    t = synth_transcripts(n, seed=4)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    i = np.arange(n, dtype=np.int64)
+    lo = i % 211
+    hi = lo + i % 37
+    st = st.append_column("span_lo", pa.array(lo, type=pa.int64()))
+    st = st.append_column("span_hi", pa.array(hi, type=pa.int64()))
+    d = str(tmp_path / "rfidx")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=400,
+                point_cols={"span": ("span_lo", "span_hi")},
+                input_desc="rfsynth")
+    s = IndexSearcher(d)
+    qlo, qhi = 50, 120
+    inter = (lo <= qhi) & (hi >= qlo)
+    within = (lo >= qlo) & (hi <= qhi)
+    assert s.count(RangeFieldQuery("span", "intersects", qlo, qhi)) == int(inter.sum())
+    assert s.count(RangeFieldQuery("span", "within", qlo, qhi)) == int(within.sum())
+    assert s.count(RangeFieldQuery("span", "contains", qlo, qhi)) \
+        == int(((lo <= qlo) & (hi >= qhi)).sum())
+    assert s.count(RangeFieldQuery("span", "crosses", qlo, qhi)) \
+        == int((inter & ~within).sum())

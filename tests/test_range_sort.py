@@ -230,3 +230,34 @@ def test_iodv_must_not_range(dv_index):
     expect = {i for i in range(len(ts))
               if "data" in tokens[i] and not (lo <= ts[i] <= hi)}
     assert got == expect
+
+
+def test_expression_sort_vs_brute(dv_index):
+    """ExpressionSort (Expression.getSortField surface): float64 expression
+    over doc-values, desc + paging, vs a numpy brute force."""
+    from lucene_ray.search.query import ExpressionSort
+
+    s, ts, turn, tokens = dv_index
+    expr = "ln(1 + turn_idx) + ts / 100000000000000000"
+    vals = np.log(1 + turn.astype(np.float64)) + ts.astype(np.float64) / 1e17
+    match = np.array(["merge" in t for t in tokens])
+    cand = np.nonzero(match)[0]
+    order = cand[np.lexsort((cand, -vals[cand]))]
+    td = s.search(bool_query(should=["merge"]), k=12,
+                  sort=ExpressionSort(expr, reverse=True))
+    assert [h.gid for h in td.hits] == order[:12].tolist()
+    assert np.array_equal([h.fields[0] for h in td.hits], vals[order[:12]])
+    cur = (td.hits[-1].fields[0], td.hits[-1].gid)
+    td2 = s.search(bool_query(should=["merge"]), k=12,
+                   sort=ExpressionSort(expr, reverse=True), after=cur)
+    assert [h.gid for h in td2.hits] == order[12:24].tolist()
+    # ascending too
+    td3 = s.search(bool_query(should=["merge"]), k=7, sort=ExpressionSort(expr))
+    order_asc = cand[np.lexsort((cand, vals[cand]))][:7]
+    assert [h.gid for h in td3.hits] == order_asc.tolist()
+    # _score is not available in scoreless sorted collection
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s.search(bool_query(should=["merge"]), k=3,
+                 sort=ExpressionSort("_score * 2"))
