@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_range_count": _lazy("index_range_count"),
         "index_point_range_count": _lazy("index_point_range_count"),
         "index_range_field_count": _lazy("index_range_field_count"),
+        "index_xy_count": _lazy("index_xy_count"),
         "index_geo_count": _lazy("index_geo_count"),
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
@@ -91,7 +92,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _percolate,
         "percolate_ast": _percolate_ast,
         "media_features": _media_features,
-        "media_frames": _media_frames,
         "classify_naive_bayes": _classify_nb,
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         # --- family representatives (rest of each family after slot 50) ---
@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- beyond the 50-entry driver window ----------------
         "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
+        "media_frames": _media_frames,
         "dedup_minhash": dedup.dedup_minhash,
         "index_knn_topk": _vs("index_knn_topk"),
         "knn_ivf": knn.knn_ivf,
@@ -280,6 +281,42 @@ def _haversine_sql(qlat: float, qlon: float) -> str:
             f" + cos(radians(dlat)) * cos(radians({qlat!r}))"
             f" * (sin((radians({qlon!r}) - radians(dlon)) / 2)"
             f" * sin((radians({qlon!r}) - radians(dlon)) / 2)))))")
+
+
+def _xy_sql() -> str:
+    """Oracle for index_xy_count: the XY coords are eighth-steps (exact in
+    binary at every precision), so the sortable-int encoding round-trips
+    them verbatim and the predicates apply to the raw doubles."""
+    from lucene_ray.pipelines.flagship import (
+        XY_BOX,
+        XY_CIRCLE,
+        XY_TRI_XS,
+        XY_TRI_YS,
+    )
+
+    qx, qy, r = XY_CIRCLE
+    edges = []
+    n = len(XY_TRI_XS)
+    for i in range(n):
+        x1, y1 = XY_TRI_XS[i], XY_TRI_YS[i]
+        x2, y2 = XY_TRI_XS[(i + 1) % n], XY_TRI_YS[(i + 1) % n]
+        edges.append(f"(({x2!r} - {x1!r}) * (y - {y1!r})"
+                     f" - ({y2!r} - {y1!r}) * (x - {x1!r})) >= 0")
+    return f"""
+        WITH xy AS (
+          SELECT doc_id,
+                 ((doc_id * 131) % 1000) / 8.0 - 60.0 AS x,
+                 ((doc_id * 173) % 1000) / 8.0 - 60.0 AS y
+          FROM documents)
+        SELECT
+          (SELECT count(*) FROM xy
+           WHERE x BETWEEN {XY_BOX[0]!r} AND {XY_BOX[1]!r}
+             AND y BETWEEN {XY_BOX[2]!r} AND {XY_BOX[3]!r})::BIGINT AS n_in_box,
+          (SELECT count(*) FROM xy
+           WHERE (x - {qx!r}) * (x - {qx!r}) + (y - {qy!r}) * (y - {qy!r})
+                 <= {r!r} * {r!r})::BIGINT AS n_in_radius,
+          (SELECT count(*) FROM xy
+           WHERE {' AND '.join(edges)})::BIGINT AS n_in_polygon"""
 
 
 def _geo_sql() -> str:
@@ -599,7 +636,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM documents
                     WHERE doc_id BETWEEN 100 AND 300)::BIGINT AS n_in_range,
                    (SELECT count(*) FROM documents
-                    WHERE doc_id IN (17, 99, 256))::BIGINT AS n_in_set""",
+                    WHERE doc_id IN (17, 99, 256))::BIGINT AS n_in_set,
+                   (SELECT count(*) FROM documents
+                    WHERE doc_id BETWEEN 100 AND 300
+                       OR doc_id BETWEEN 400 AND 450)::BIGINT AS n_multi""",
+        "index_xy_count": _xy_sql(),
         "index_range_field_count": """
             WITH spans AS (SELECT doc_id, doc_id % 211 AS lo,
                                   doc_id % 211 + doc_id % 37 AS hi

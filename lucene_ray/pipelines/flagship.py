@@ -302,7 +302,8 @@ def build_geo_index(sf_dir: str, index_dir: str | None = None) -> str:
     ds = transcripts_with_geo(sf_dir)
     build_index(ds, index_dir, target_docs_per_partition=100_000,
                 point_cols={"loc": ("lat_enc", "lon_enc"), "ts_pt": ("ts",),
-                            "span": ("span_lo", "span_hi")},
+                            "span": ("span_lo", "span_hi"),
+                            "xy": ("x_enc", "y_enc")},
                 docvalue_cols=("feat_pr",),
                 input_desc=f"documents@{sf_dir}+geo")
     return index_dir
@@ -312,17 +313,25 @@ def index_point_range_count(sf_dir: str) -> pd.DataFrame:
     """1-D BKD point queries (`search/PointRangeQuery.java` /
     `PointInSetQuery.java` over `index/points.py` leaf blocks): range count
     over the ts point field and an exact-value set count."""
-    from ..search.query import PointInSetQuery, PointRangeQuery
+    from ..search.query import PointInSetQuery, PointMultiRangeQuery, PointRangeQuery
     from ..sources.transcripts import BASE_TS_US
 
     searcher = IndexSearcher(build_geo_index(sf_dir))
-    lo = BASE_TS_US + RANGE_LO_DOC * 1_000_000
-    hi = BASE_TS_US + RANGE_HI_DOC * 1_000_000
-    n_range = searcher.count(PointRangeQuery("ts_pt", lo, hi))
-    vals = tuple(BASE_TS_US + d * 1_000_000 for d in POINT_SET_DOCS)
+
+    def ts(d):
+        return BASE_TS_US + d * 1_000_000
+
+    n_range = searcher.count(PointRangeQuery("ts_pt", ts(RANGE_LO_DOC),
+                                             ts(RANGE_HI_DOC)))
+    vals = tuple(ts(d) for d in POINT_SET_DOCS)
     n_set = searcher.count(PointInSetQuery("ts_pt", vals))
+    # union of disjoint ranges (sandbox MultiRangeQuery surface)
+    n_multi = searcher.count(PointMultiRangeQuery("ts_pt", (
+        ((ts(RANGE_LO_DOC),), (ts(RANGE_HI_DOC),)),
+        ((ts(400),), (ts(450),)))))
     return pd.DataFrame({"n_in_range": pd.Series([n_range], dtype="int64"),
-                         "n_in_set": pd.Series([n_set], dtype="int64")})
+                         "n_in_set": pd.Series([n_set], dtype="int64"),
+                         "n_multi": pd.Series([n_multi], dtype="int64")})
 
 
 def index_geo_count(sf_dir: str) -> pd.DataFrame:
@@ -361,6 +370,29 @@ def index_feature_topk(sf_dir: str) -> pd.DataFrame:
                                        "score_log", "score_sat"]) \
         .astype({"rank": "int64", "turn_idx": "int64",
                  "score_log": "float64", "score_sat": "float64"})
+
+
+# XY query shapes (index_xy_count); triangle is convex CCW in the x/y plane
+XY_BOX = (-20.0, 40.0, -10.0, 55.0)            # min_x, max_x, min_y, max_y
+XY_CIRCLE = (5.0, 12.0, 30.0)                  # x, y, radius
+XY_TRI_XS = (-55.0, 60.0, -10.0)
+XY_TRI_YS = (-50.0, -20.0, 62.0)
+
+
+def index_xy_count(sf_dir: str) -> pd.DataFrame:
+    """Cartesian XYPoint queries (`document/XYPointField.java` over the
+    sortable-float encoding): box, squared-euclidean distance and polygon
+    counts through the 2-D BKD sidecar."""
+    from ..search.xy import XYDistanceQuery, XYPolygonQuery, xy_box_query
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    n_box = searcher.count(xy_box_query("xy", XY_BOX[0], XY_BOX[1],
+                                        XY_BOX[2], XY_BOX[3]))
+    n_radius = searcher.count(XYDistanceQuery("xy", *XY_CIRCLE))
+    n_poly = searcher.count(XYPolygonQuery("xy", XY_TRI_XS, XY_TRI_YS))
+    return pd.DataFrame({"n_in_box": pd.Series([n_box], dtype="int64"),
+                         "n_in_radius": pd.Series([n_radius], dtype="int64"),
+                         "n_in_polygon": pd.Series([n_poly], dtype="int64")})
 
 
 RANGE_FIELD_Q = (50, 120)          # query range for index_range_field_count

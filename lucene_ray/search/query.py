@@ -203,6 +203,17 @@ class RangeFieldQuery:
 
 
 @dataclass(frozen=True)
+class PointMultiRangeQuery:
+    """Union of k-dim boxes over one point field (the sandbox
+    `sandbox/.../MultiRangeQuery.java` surface): a doc matches when its
+    point lies in ANY of the boxes.  Each range is a (lower, upper) pair of
+    per-dimension int tuples (``None`` = open).  Constant score."""
+    field: str
+    ranges: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PointInSetQuery:
     """Point-membership query (`search/PointInSetQuery.java` /
     `document/LongPoint.newSetQuery`): a doc matches when its point equals

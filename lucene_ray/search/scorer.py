@@ -413,7 +413,10 @@ def search_shard_points(reader, query, boost: float, k: int, after=None):
     from .geo import LatLonDistanceQuery, LatLonPolygonQuery, circle_bbox, \
         distance_query_docs, encode_latitude, encode_longitude, \
         polygon_query_docs
-    from .query import PointInSetQuery, PointRangeQuery, RangeFieldQuery
+    from .query import PointInSetQuery, PointMultiRangeQuery, \
+        PointRangeQuery, RangeFieldQuery
+    from .xy import XYDistanceQuery, XYPolygonQuery, xy_distance_docs, \
+        xy_polygon_docs
 
     def _empty():
         return (np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ)
@@ -425,6 +428,15 @@ def search_shard_points(reader, query, boost: float, k: int, after=None):
 
     if isinstance(query, RangeFieldQuery):
         cand = _range_field_docs(reader.points(query.field), query)
+    elif isinstance(query, PointMultiRangeQuery):
+        pr = reader.points(query.field)
+        parts = [pr.intersect_box(lo, hi) for lo, hi in query.ranges]
+        cand = np.unique(np.concatenate(parts)) if parts \
+            else np.zeros(0, np.int32)
+    elif isinstance(query, XYDistanceQuery):
+        cand = xy_distance_docs(reader.points(query.field), query)
+    elif isinstance(query, XYPolygonQuery):
+        cand = xy_polygon_docs(reader.points(query.field), query)
     elif isinstance(query, PointRangeQuery):
         lo, hi = query.lower, query.upper
         for d in range(len(lo)):

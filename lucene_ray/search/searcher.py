@@ -489,10 +489,13 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "range": (query.field, query.lo, query.hi),
                     "boost": query.boost}
-        from .query import PointInSetQuery, PointRangeQuery, RangeFieldQuery
+        from .query import PointInSetQuery, PointMultiRangeQuery, \
+            PointRangeQuery, RangeFieldQuery
+        from .xy import XYDistanceQuery, XYPolygonQuery
 
         if isinstance(query, (PointRangeQuery, PointInSetQuery,
-                              RangeFieldQuery)):
+                              RangeFieldQuery, PointMultiRangeQuery,
+                              XYDistanceQuery, XYPolygonQuery)):
             # BKD point queries: constant-score leaf-visit execution against
             # the per-shard point sidecar (search/PointRangeQuery.java /
             # PointInSetQuery.java constant-score rewrite)
@@ -1119,6 +1122,19 @@ class IndexSearcher:
                                  int(row.column("turn_idx")[0].as_py()),
                                  fields=(fv,)))
         return TopDocs(hits, total, RELATION_EQ)
+
+    def nearest(self, field: str, lat: float, lon: float, k: int) -> TopDocs:
+        """k nearest docs carrying a point in ``field``, by haversine meters
+        (`document/LatLonPoint.nearest` / FloatPointNearestNeighbor
+        surface): match-all + distance sort, docs without a point dropped
+        (they sort to +Inf)."""
+        from .geo import GeoDistanceSort
+        from .query import MatchAllDocsQuery
+
+        td = self._search_sorted(MatchAllDocsQuery(),
+                                 GeoDistanceSort(field, lat, lon), k)
+        hits = [h for h in td.hits if h.fields[0] != float("inf")]
+        return TopDocs(hits, len(hits), RELATION_EQ)
 
     @staticmethod
     def _expr_sort_values(rdr, sort, docs):

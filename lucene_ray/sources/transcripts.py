@@ -186,8 +186,17 @@ def transcripts_with_geo(sf_dir: str):
         # 2-dim point (min dim, max dim)
         lo = doc_id % 211
         t = t.append_column("span_lo", pa.array(lo, type=pa.int64()))
-        return t.append_column("span_hi", pa.array(lo + doc_id % 37,
-                                                   type=pa.int64()))
+        t = t.append_column("span_hi", pa.array(lo + doc_id % 37,
+                                                type=pa.int64()))
+        # cartesian XY floats (XYPointField model): eighth-steps are exact
+        # in binary, so the SQL oracle can compare the raw doubles
+        from ..search.xy import encode_xy
+
+        x = ((doc_id * 131) % 1000) / 8.0 - 60.0
+        y = ((doc_id * 173) % 1000) / 8.0 - 60.0
+        t = t.append_column("x_enc", pa.array(encode_xy(x), type=pa.int64()))
+        return t.append_column("y_enc", pa.array(encode_xy(y),
+                                                 type=pa.int64()))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(add_geo, batch_format="pyarrow")

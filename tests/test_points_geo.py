@@ -454,3 +454,93 @@ def test_range_field_end_to_end(ray_session, tmp_path):
         == int(((lo <= qlo) & (hi >= qhi)).sum())
     assert s.count(RangeFieldQuery("span", "crosses", qlo, qhi)) \
         == int((inter & ~within).sum())
+
+
+def test_sortable_numeric_encodings():
+    """NumericUtils sortable float/double maps: bijective + order preserving
+    across sign changes (`util/NumericUtils.java:40-85`)."""
+    from lucene_ray.util.numeric import (
+        double_to_sortable_long,
+        float_to_sortable_int,
+        sortable_int_to_float,
+        sortable_long_to_double,
+    )
+
+    rng = np.random.default_rng(2)
+    f = np.concatenate([rng.normal(0, 1e6, 3000).astype(np.float32),
+                        np.array([0.0, -0.0, 1.5, -1.5], np.float32)])
+    assert np.array_equal(sortable_int_to_float(float_to_sortable_int(f)), f)
+    s = np.sort(f)
+    assert np.all(np.diff(float_to_sortable_int(s).astype(np.int64)) >= 0)
+    d = np.concatenate([rng.normal(0, 1e12, 3000), [0.0, -0.0, 3.25]])
+    assert np.array_equal(sortable_long_to_double(double_to_sortable_long(d)), d)
+    sd = np.sort(d)
+    assert np.all(np.diff(double_to_sortable_long(sd)) >= 0)
+    with pytest.raises(ValueError):
+        float_to_sortable_int(np.float32("inf"))
+
+
+def test_xy_queries_vs_brute(ray_session, tmp_path):
+    """XYPoint box / distance / polygon via the searcher vs float brute
+    force (`document/XYPointField.java` semantics)."""
+    import ray.data as rd
+
+    from lucene_ray.search.geo import polygon_contains
+    from lucene_ray.search.xy import (
+        XYDistanceQuery,
+        XYPolygonQuery,
+        encode_xy,
+        xy_box_query,
+    )
+
+    n = 2000
+    t = synth_transcripts(n, seed=6)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    rng = np.random.default_rng(8)
+    x = rng.normal(0, 40, n).astype(np.float32)
+    y = rng.normal(0, 40, n).astype(np.float32)
+    st = st.append_column("x_enc", pa.array(encode_xy(x), type=pa.int64()))
+    st = st.append_column("y_enc", pa.array(encode_xy(y), type=pa.int64()))
+    d = str(tmp_path / "xyidx")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=400,
+                point_cols={"xy": ("x_enc", "y_enc")}, input_desc="xysynth")
+    s = IndexSearcher(d)
+    # box (inclusive, on the sortable-encoded values == raw float compare)
+    got = s.count(xy_box_query("xy", -25.0, 30.0, -10.0, 50.0))
+    want = int(((x >= -25.0) & (x <= 30.0) & (y >= -10.0) & (y <= 50.0)).sum())
+    assert got == want
+    # distance: squared euclidean on doubles
+    qx, qy, r = 10.0, -5.0, 35.0
+    dx = x.astype(np.float64) - qx
+    dy = y.astype(np.float64) - qy
+    want = int((dx * dx + dy * dy <= r * r).sum())
+    assert s.count(XYDistanceQuery("xy", qx, qy, r)) == want
+    # polygon (non-convex star)
+    xs = (-60.0, 0.0, 60.0, 20.0, -30.0)
+    ys = (-40.0, 70.0, -40.0, 10.0, 10.0)
+    m = polygon_contains(ys, xs, y.astype(np.float64), x.astype(np.float64))
+    assert s.count(XYPolygonQuery("xy", xs, ys)) == int(m.sum())
+
+
+def test_point_multi_range(pt_index):
+    from lucene_ray.search.query import PointMultiRangeQuery
+
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    r1 = (int(ts[100]), int(ts[400]))
+    r2 = (int(ts[900]), int(ts[1000]))
+    q = PointMultiRangeQuery("ts_pt", (((r1[0],), (r1[1],)),
+                                       ((r2[0],), (r2[1],))))
+    want = int((((ts >= r1[0]) & (ts <= r1[1]))
+                | ((ts >= r2[0]) & (ts <= r2[1]))).sum())
+    assert s.count(q) == want
+
+
+def test_nearest(pt_index):
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    td = s.nearest("loc", 48.0, 2.0, 12)
+    d = haversine_meters(decode_latitude(encode_latitude(lat)),
+                         decode_longitude(encode_longitude(lon)), 48.0, 2.0)
+    d = np.where(nulls, np.inf, d)
+    order = np.lexsort((np.arange(N_TURNS), d))[:12]
+    assert [h.gid for h in td.hits] == order.tolist()
+    assert not any(nulls[h.gid] for h in td.hits)
