@@ -64,12 +64,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_point_range_count": _lazy("index_point_range_count"),
         "index_range_field_count": _lazy("index_range_field_count"),
         "index_xy_count": _lazy("index_xy_count"),
+        "index_covering_count": _lazy("index_covering_count"),
         "index_geo_count": _lazy("index_geo_count"),
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
         "index_feature_topk": _lazy("index_feature_topk"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
-        "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
         "index_synonym_count": _lazy("index_synonym_count"),
         "index_shingle_count": _lazy("index_shingle_count"),
@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- beyond the 50-entry driver window ----------------
         "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
+        "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "media_frames": _media_frames,
         "dedup_minhash": dedup.dedup_minhash,
         "index_knn_topk": _vs("index_knn_topk"),
@@ -641,6 +642,16 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id BETWEEN 100 AND 300
                        OR doc_id BETWEEN 400 AND 450)::BIGINT AS n_multi""",
         "index_xy_count": _xy_sql(),
+        "index_covering_count": _TOKS + """
+            , cov AS (SELECT doc_id,
+                             list_contains(toks, 'merge')::INT
+                             + list_contains(toks, 'join')::INT
+                             + list_contains(toks, 'sort')::INT AS cnt
+                      FROM toklists)
+            SELECT (SELECT count(*) FROM cov
+                    WHERE cnt >= 1 + doc_id % 3)::BIGINT AS n_dv_min,
+                   (SELECT count(*) FROM cov
+                    WHERE cnt >= 2)::BIGINT AS n_const_min""",
         "index_range_field_count": """
             WITH spans AS (SELECT doc_id, doc_id % 211 AS lo,
                                   doc_id % 211 + doc_id % 37 AS hi

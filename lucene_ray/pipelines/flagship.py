@@ -304,9 +304,27 @@ def build_geo_index(sf_dir: str, index_dir: str | None = None) -> str:
                 point_cols={"loc": ("lat_enc", "lon_enc"), "ts_pt": ("ts",),
                             "span": ("span_lo", "span_hi"),
                             "xy": ("x_enc", "y_enc")},
-                docvalue_cols=("feat_pr",),
+                docvalue_cols=("feat_pr", "min_match"),
                 input_desc=f"documents@{sf_dir}+geo")
     return index_dir
+
+
+COVERING_TERMS = ("merge", "join", "sort")
+
+
+def index_covering_count(sf_dir: str) -> pd.DataFrame:
+    """CoveringQuery (`sandbox/search/CoveringQuery.java`): docs where the
+    number of matching term clauses reaches a PER-DOC minimum read from the
+    min_match doc-values column (1 + doc_id %% 3), plus a constant-minimum
+    variant (== minimumShouldMatch)."""
+    from ..search.query import CoveringQuery, TermQuery
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    subs = tuple(TermQuery(t) for t in COVERING_TERMS)
+    n_dv = searcher.count(CoveringQuery(subs, "min_match"))
+    n_const = searcher.count(CoveringQuery(subs, 2))
+    return pd.DataFrame({"n_dv_min": pd.Series([n_dv], dtype="int64"),
+                         "n_const_min": pd.Series([n_const], dtype="int64")})
 
 
 def index_point_range_count(sf_dir: str) -> pd.DataFrame:

@@ -203,6 +203,18 @@ class RangeFieldQuery:
 
 
 @dataclass(frozen=True)
+class CoveringQuery:
+    """Per-document minimum-should-match (`sandbox/search/CoveringQuery.java`
+    / CoveringScorer): a doc matches when at least ``min_match`` of the
+    sub-queries match it, where ``min_match`` is an int constant or the
+    name of an int64 doc-values column (LongValuesSource), clamped to >= 1
+    per doc (CoveringScorer.java:135-141).  Score = float32 sum of the
+    matching sub-queries' scores in clause order."""
+    queries: tuple
+    min_match: object            # int constant | str doc-values column
+
+
+@dataclass(frozen=True)
 class PointMultiRangeQuery:
     """Union of k-dim boxes over one point field (the sandbox
     `sandbox/.../MultiRangeQuery.java` surface): a doc matches when its

@@ -1097,6 +1097,37 @@ def search_shard_nested(reader, query, searcher, k: int, after=None):
     return sc, cand, total, RELATION_EQ
 
 
+def search_shard_covering(reader, query, searcher, k: int, after=None):
+    """CoveringQuery over one shard (`sandbox/search/CoveringScorer.java`):
+    per-doc matching-clause count vs a per-doc minimum (int constant or
+    int64 doc-values column, clamped to >= 1); score = float32 sum of the
+    matching clauses' scores in clause order."""
+    n = reader.doc_count
+    acc = np.zeros(n, dtype=np.float32)
+    count = np.zeros(n, dtype=np.int32)
+    for sub in query.queries:
+        s, m = evaluate_dense(reader, sub, searcher)
+        acc[m] += s[m]
+        count[m] += 1
+    if isinstance(query.min_match, str):
+        minm = np.maximum(np.asarray(reader.docvalue(query.min_match),
+                                     dtype=np.int64), 1)
+    else:
+        minm = max(1, int(query.min_match))
+    matched = count >= minm
+    if reader.deleted is not None:
+        matched &= ~reader.deleted
+    cand = np.nonzero(matched)[0].astype(np.int32)
+    sc = acc[cand]
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
 def search_shard_synonym(reader, terms_boosts, scorer, k: int, after=None):
     """SynonymQuery execution: blended freq = sum(boost_i * freq_i) float32
     in term order, scored once with the pseudo-term scorer."""

@@ -508,6 +508,11 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "points": query, "boost": query.boost}
+        from .query import CoveringQuery
+
+        if isinstance(query, CoveringQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False, "covering": query}
         from .feature import FeatureQuery, compute_pivot
 
         if isinstance(query, FeatureQuery):
@@ -814,6 +819,11 @@ class IndexSearcher:
 
             fq, pivot = compiled["feature"]
             return search_shard_feature(rdr, fq, pivot, k, after=after)
+        if compiled.get("covering") is not None:
+            from .scorer import search_shard_covering
+
+            return search_shard_covering(rdr, compiled["covering"], self, k,
+                                         after=after)
         if compiled.get("const_query") is not None:
             from .scorer import search_shard_const
 

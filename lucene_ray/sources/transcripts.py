@@ -195,8 +195,10 @@ def transcripts_with_geo(sf_dir: str):
         x = ((doc_id * 131) % 1000) / 8.0 - 60.0
         y = ((doc_id * 173) % 1000) / 8.0 - 60.0
         t = t.append_column("x_enc", pa.array(encode_xy(x), type=pa.int64()))
-        return t.append_column("y_enc", pa.array(encode_xy(y),
-                                                 type=pa.int64()))
+        t = t.append_column("y_enc", pa.array(encode_xy(y), type=pa.int64()))
+        # per-doc minimum-should-match (CoveringQuery LongValuesSource)
+        return t.append_column("min_match", pa.array(1 + doc_id % 3,
+                                                     type=pa.int64()))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(add_geo, batch_format="pyarrow")

@@ -145,3 +145,66 @@ def test_feature_in_boolean_with_bm25(feat_index):
     assert [h.gid for h in td.hits] == order.tolist()
     got = np.array([h.score for h in td.hits], np.float32)
     assert np.allclose(got, sc[order], rtol=1e-6)
+
+
+def test_covering_query(feat_index):
+    """CoveringQuery vs brute force: per-doc dv minimum (clamped >= 1),
+    constant minimum, and score = float32 sum of matching clause scores."""
+    from lucene_ray.search.query import CoveringQuery, PrefixQuery, TermQuery
+
+    s, vals, enc, tokens = feat_index
+    n = len(tokens)
+    terms = ("merge", "join", "sort")
+    member = np.stack([np.array([t in tk for tk in tokens]) for t in terms])
+    cnt = member.sum(axis=0)
+    subs = tuple(TermQuery(t) for t in terms)
+    td = s.search(CoveringQuery(subs, 2), k=n)
+    want = set(np.nonzero(cnt >= 2)[0].tolist())
+    assert {h.gid for h in td.hits} == want
+    assert td.total_hits == len(want)
+    # score = sum of the matching terms' BM25 scores
+    per_term = {}
+    for t in terms:
+        tdt = s.search(TermQuery(t), k=n)
+        v = np.zeros(n, dtype=np.float32)
+        v[[h.gid for h in tdt.hits]] = [h.score for h in tdt.hits]
+        per_term[t] = v
+    acc = np.zeros(n, dtype=np.float32)
+    for t in terms:                      # clause order
+        acc += per_term[t]
+    got = {h.gid: h.score for h in td.hits}
+    for g in list(want)[:50]:
+        assert abs(got[g] - float(acc[g])) < 1e-5
+    # multi-term sub-queries compose too (dense leaves)
+    td2 = s.search(CoveringQuery((TermQuery("merge"), PrefixQuery("jo")), 2),
+                   k=n)
+    pre = np.array([any(tok.startswith("jo") for tok in tk) for tk in tokens])
+    want2 = set(np.nonzero(member[0] & pre)[0].tolist())
+    assert {h.gid for h in td2.hits} == want2
+
+
+def test_covering_query_dv_minimum(ray_session, tmp_path):
+    from lucene_ray.search.query import CoveringQuery, TermQuery
+
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.sources.transcripts import synth_transcripts
+    import lucene_ray.analysis.standard as std
+
+    n = 1200
+    t = synth_transcripts(n, seed=33)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    mm = 1 + np.arange(n, dtype=np.int64) % 3
+    st = st.append_column("mm", _pa.array(mm, type=_pa.int64()))
+    d = str(tmp_path / "cov")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=300,
+                docvalue_cols=("mm",), input_desc="covsynth")
+    s = IndexSearcher(d)
+    tokens = [set(std.analyze(x)) if x else set()
+              for x in st.column("text").to_pylist()]
+    terms = ("merge", "join", "sort")
+    cnt = np.array([sum(t_ in tk for t_ in terms) for tk in tokens])
+    got = s.count(CoveringQuery(tuple(TermQuery(t_) for t_ in terms), "mm"))
+    assert got == int((cnt >= mm).sum())
