@@ -572,6 +572,15 @@ def _persist_shard(tmp_dir: str, final_dir: str, pid: int, terms,
         if pa.types.is_integer(col.type) and len(col):
             dv_ranges[c] = [int(pa.compute.min(col).as_py()),
                             int(pa.compute.max(col).as_py())]
+    # per-column aggregate stats (sum, n_positive): the analogue of the
+    # precomputed term stats FeatureField.computePivotFeatureValue reads —
+    # lets pivot computation stay O(shards) instead of scanning columns
+    dv_sums = {}
+    for c in range_cols:
+        col = docmap_tbl.column(c)
+        if pa.types.is_integer(col.type) and len(col):
+            arr = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            dv_sums[c] = [int(arr[arr > 0].sum()), int((arr > 0).sum())]
     pq.write_table(docmap_tbl, os.path.join(tmp_dir, DOCMAP_FILE))
 
     manifest = {
@@ -586,6 +595,7 @@ def _persist_shard(tmp_dir: str, final_dir: str, pid: int, terms,
         "vector_dim": int(vector_dim),
         "vector_scale": vector_scale,
         "docvalues": dv_ranges,
+        "dv_sums": dv_sums,
         "fingerprint": fingerprint,
         "status": "committed",
         **(extra or {}),

@@ -93,10 +93,18 @@ def compute_pivot(readers, field: str) -> float:
     total = 0
     n = 0
     for rdr in readers:
-        dv = np.asarray(rdr.docvalue(field), dtype=np.int64)
-        has = dv > 0
-        total += int(dv[has].sum())
-        n += int(has.sum())
+        st = (rdr.manifest.get("dv_sums") or {}).get(field)
+        if st is not None:
+            # precomputed at flush (the analogue of reading term stats) —
+            # O(shards), no column scan; like the reference, deletes and dv
+            # updates don't refresh these stats
+            total += int(st[0])
+            n += int(st[1])
+        else:
+            dv = np.asarray(rdr.docvalue(field), dtype=np.int64)
+            has = dv > 0
+            total += int(dv[has].sum())
+            n += int(has.sum())
     if n == 0:
         return 1.0
     avg_freq = np.float32(np.float64(total) / n)
