@@ -55,7 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
         "index_flexible_count": _lazy("index_flexible_count"),
         "index_span_near_count": _lazy("index_span_near_count"),
-        "index_highlight_topk": _lazy("index_highlight_topk"),
+        "index_automaton_count": _lazy("index_automaton_count"),
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
         "index_delete_count": _lazy("index_delete_count"),
@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
+        "index_highlight_topk": _lazy("index_highlight_topk"),
         "media_frames": _media_frames,
         "dedup_minhash": dedup.dedup_minhash,
         "index_knn_topk": _vs("index_knn_topk"),
@@ -582,6 +583,19 @@ def oracle_sql() -> dict[str, str]:
         "index_expr_topk": _expr_sql(),
         "index_knn_filtered": _knn_filtered_sql(),
         "index_hybrid_rrf": _hybrid_rrf_sql(),
+        "index_automaton_count": _TOKS + """
+            SELECT
+              (SELECT count(*) FROM toklists
+               WHERE len(toks) >= 3 AND len(list_filter(
+                   generate_series(1, len(toks) - 2),
+                   i -> toks[i] = 'merge' AND toks[i + 2] = 'join')) > 0
+              )::BIGINT AS n_gap,
+              (SELECT count(*) FROM toklists
+               WHERE len(toks) >= 2 AND len(list_filter(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] = 'merge'
+                        AND (toks[i + 1] = 'join' OR toks[i + 1] = 'sort'))) > 0
+              )::BIGINT AS n_union""",
         "index_phrase_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE len(toks) >= 2 AND len(list_filter(

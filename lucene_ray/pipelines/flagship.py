@@ -368,6 +368,33 @@ def index_geo_count(sf_dir: str) -> pd.DataFrame:
                          "n_in_radius": pd.Series([n_radius], dtype="int64")})
 
 
+def index_automaton_count(sf_dir: str) -> pd.DataFrame:
+    """TermAutomatonQuery end-to-end (`sandbox/.../TermAutomatonQuery.java`):
+    a gap pattern (merge · ANY · join) and a union-of-bigrams automaton
+    (merge→join | merge→sort), counted through the positional postings."""
+    from ..search.automaton import TermAutomatonQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    gap = TermAutomatonQuery()
+    s0, s1, s2, s3 = (gap.create_state() for _ in range(4))
+    gap.add_transition(s0, s1, "merge")
+    gap.add_any_transition(s1, s2)
+    gap.add_transition(s2, s3, "join")
+    gap.set_accept(s3, True)
+    n_gap = searcher.count(gap.finish())
+
+    uni = TermAutomatonQuery()
+    u0, u1a, u1b, u2 = (uni.create_state() for _ in range(4))
+    uni.add_transition(u0, u1a, "merge")
+    uni.add_transition(u1a, u2, "join")
+    uni.add_transition(u0, u1b, "merge")
+    uni.add_transition(u1b, u2, "sort")
+    uni.set_accept(u2, True)
+    n_union = searcher.count(uni.finish())
+    return pd.DataFrame({"n_gap": pd.Series([n_gap], dtype="int64"),
+                         "n_union": pd.Series([n_union], dtype="int64")})
+
+
 def index_feature_topk(sf_dir: str) -> pd.DataFrame:
     """FeatureField scoring (`document/FeatureField.java`): top-k by the
     log feature function over the encoded `feat_pr` doc-values column,

@@ -1128,6 +1128,53 @@ def search_shard_covering(reader, query, searcher, k: int, after=None):
     return sc, cand, total, RELATION_EQ
 
 
+def search_shard_automaton(reader, query, scorer, k: int, after=None):
+    """TermAutomatonQuery over one shard: gather (doc, pos, termID) for
+    every query term from the positional postings, replay the reference's
+    countMatches DP per candidate doc, score freq with the summed-idf
+    phrase-style scorer (`sandbox/.../TermAutomatonScorer.java`)."""
+    from .automaton import count_matches_doc
+
+    trans, accepts = query.det
+    parts = []
+    for qid, term in enumerate(query.terms):
+        tid = reader.seek_exact(term)
+        if tid < 0:
+            continue
+        docs, freqs = reader.postings(tid)
+        pos = reader.positions(tid, freqs)
+        doc_exp = np.repeat(docs.astype(np.int64), freqs)
+        parts.append(np.stack([doc_exp, pos.astype(np.int64),
+                               np.full(len(pos), qid, dtype=np.int64)], axis=1))
+    if not parts:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    allp = np.concatenate(parts)
+    allp = allp[np.lexsort((allp[:, 2], allp[:, 1], allp[:, 0]))]
+    doc_ids, starts = np.unique(allp[:, 0], return_index=True)
+    starts = np.append(starts, len(allp))
+    cand, cfreq = [], []
+    for i, d in enumerate(doc_ids):
+        rows = allp[starts[i]:starts[i + 1]]
+        f = count_matches_doc([(int(p), int(t)) for _, p, t in rows],
+                              trans, accepts)
+        if f > 0:
+            cand.append(int(d))
+            cfreq.append(f)
+    cand = np.asarray(cand, dtype=np.int32)
+    cfreq = np.asarray(cfreq, dtype=np.float32)
+    if reader.deleted is not None and len(cand):
+        live = ~reader.deleted[cand]
+        cand, cfreq = cand[live], cfreq[live]
+    sc = scorer.score(cfreq, reader.norms[cand])
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
 def search_shard_synonym(reader, terms_boosts, scorer, k: int, after=None):
     """SynonymQuery execution: blended freq = sum(boost_i * freq_i) float32
     in term order, scored once with the pseudo-term scorer."""

@@ -508,6 +508,28 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "points": query, "boost": query.boost}
+        from .automaton import TermAutomatonQuery as _TAQ
+
+        if isinstance(query, _TAQ):
+            # stats = similarity.scorer over every term with df > 0 (summed
+            # idf, TermAutomatonQuery.java:380-399); all-absent terms mean
+            # no enums anywhere -> match nothing
+            if query.det is None:
+                raise ValueError("call finish() first on the TermAutomatonQuery")
+            dfs = [(t, self.df(t)) for t in query.terms]
+            if all(d == 0 for _, d in dfs):
+                return {"scoring": [], "filters": ["\x00missing\x00"],
+                        "must_nots": [], "msm": 0, "n_required": 1,
+                        "match_all": False}
+            idf_sum = np.float32(0.0)
+            for _, d in dfs:
+                if d > 0:
+                    idf_sum = idf_sum + self.sim.idf(d, self.doc_count)
+            scorer = self.sim.scorer_with_idf(query.boost, idf_sum,
+                                              self.doc_count, self.sum_ttf)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "automaton": (query, scorer)}
         from .query import CoveringQuery
 
         if isinstance(query, CoveringQuery):
@@ -824,6 +846,11 @@ class IndexSearcher:
 
             return search_shard_covering(rdr, compiled["covering"], self, k,
                                          after=after)
+        if compiled.get("automaton") is not None:
+            from .scorer import search_shard_automaton
+
+            taq, scorer = compiled["automaton"]
+            return search_shard_automaton(rdr, taq, scorer, k, after=after)
         if compiled.get("const_query") is not None:
             from .scorer import search_shard_const
 
