@@ -71,13 +71,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_feature_topk": _lazy("index_feature_topk"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
+        "index_charfilter_count": _lazy("index_charfilter_count"),
         "index_synonym_count": _lazy("index_synonym_count"),
         "index_shingle_count": _lazy("index_shingle_count"),
         "index_stop_count": _lazy("index_stop_count"),
         "index_interval_count": _lazy("index_interval_count"),
         "index_facet_role": _lazy("index_facet_role"),
         "index_conv_topk": _lazy("index_conv_topk"),
-        "index_conv_children_count": _lazy("index_conv_children_count"),
         "index_mlt_topk": _lazy("index_mlt_topk"),
         "index_expr_topk": _lazy("index_expr_topk"),
         "index_expr_sorted_topk": _lazy("index_expr_sorted_topk"),
@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
+        "index_conv_children_count": _lazy("index_conv_children_count"),
         "index_highlight_topk": _lazy("index_highlight_topk"),
         "media_frames": _media_frames,
         "dedup_minhash": dedup.dedup_minhash,
@@ -583,6 +584,21 @@ def oracle_sql() -> dict[str, str]:
         "index_expr_topk": _expr_sql(),
         "index_knn_filtered": _knn_filtered_sql(),
         "index_hybrid_rrf": _hybrid_rrf_sql(),
+        "index_charfilter_count": """
+            WITH ws AS (SELECT doc_id,
+                               string_split(replace(text, 'fast', 'quick'),
+                                            ' ') AS parts
+                        FROM documents)
+            SELECT
+              (SELECT count(*) FROM ws
+               WHERE list_contains(parts, 'quick'))::BIGINT AS n_quick,
+              (SELECT count(*) FROM ws
+               WHERE list_contains(parts, 'fast'))::BIGINT AS n_fast,
+              (SELECT count(*) FROM ws
+               WHERE len(parts) >= 2 AND len(list_filter(
+                   generate_series(1, len(parts) - 1),
+                   i -> parts[i] = 'quick' AND parts[i + 1] = 'table')) > 0
+              )::BIGINT AS n_phrase""",
         "index_automaton_count": _TOKS + """
             SELECT
               (SELECT count(*) FROM toklists

@@ -1,0 +1,257 @@
+"""Char filters and alternate tokenizers.
+
+Char filters are TEXT-level transforms applied before tokenization
+(`analysis/charfilter/` in the reference); tokenizers replace the default
+UAX#29 StandardTokenizer.  Both ride the existing ``token_filters`` chain
+spec tuple — specs starting with ``char:`` and the single ``tokenizer:``
+spec are split off by ``split_text_stages`` before the per-token stages
+run, so fingerprinting / commit propagation / query-side agreement all
+come for free.
+
+Char filter specs:
+
+- ``char:html_strip`` — `charfilter/HTMLStripCharFilter.jflex`: comments
+  and <script>/<style> blocks removed (block -> '\\n'), CDATA unwrapped,
+  INLINE elements (:116-141) deleted, every other tag replaced with '\\n'
+  (BLOCK_LEVEL_*_TAG_REPLACEMENT, :148-153), character entities decoded
+  (common named set + numeric — a documented subset of the reference's
+  full HTML-4 table).
+- ``char:map:a=b;c=d`` — `charfilter/MappingCharFilter.java` /
+  NormalizeCharMap: greedy longest-match substitution, replacements are
+  not re-scanned.
+- ``char:pattern:<regex>=<repl>`` — `pattern/PatternReplaceCharFilter.java`
+  (replaceAll semantics).
+
+Tokenizer specs (`tokenizer:<name>`; CharTokenizer subclasses split runs
+longer than 255 chars exactly like maxTokenLen):
+
+- ``whitespace`` — `core/WhitespaceTokenizer.java`: runs of
+  non-Java-whitespace (Java's isWhitespace excludes NBSP/U+2007/U+202F,
+  unlike Python's str.split).
+- ``letter`` — `core/LetterTokenizer.java`: runs of Unicode letters.
+- ``keyword`` — `core/KeywordTokenizer.java`: the whole input, one token.
+- ``path_hierarchy[:<delim>]`` — `path/PathHierarchyTokenizer.java`
+  (skip=0): every prefix ending at a delimiter boundary.
+
+None of these lowercase (Lucene parity); compose with the ``lowercase``
+1:1 filter when wanted.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# Java Character.isWhitespace: \t \n \x0B \f \r \x1C-\x1F space, and the
+# Zs/Zl/Zp separators EXCEPT the non-breaking ones (\xa0    )
+_JAVA_WS = ("\\t\\n\\x0b\\f\\r\\x1c-\\x1f \\u1680\\u2000-\\u2006"
+            "\\u2008-\\u200a\\u2028\\u2029\\u205f\\u3000")
+_WS_RUN = re.compile(f"[^{_JAVA_WS}]{{1,255}}")
+
+_INLINE_ELEMENTS = frozenset(
+    "a b i q s u abbr acronym basefont bdo big cite code dfn em font img "
+    "input kbd label samp select small span strike strong sub sup textarea "
+    "tt var".split())
+
+_ENTITIES = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "nbsp": "\xa0", "copy": "\xa9", "reg": "\xae", "trade": "™",
+    "mdash": "—", "ndash": "–", "hellip": "…",
+    "lsquo": "‘", "rsquo": "’", "ldquo": "“",
+    "rdquo": "”", "eacute": "\xe9", "egrave": "\xe8", "agrave": "\xe0",
+    "uuml": "\xfc", "ouml": "\xf6", "auml": "\xe4", "szlig": "\xdf",
+    "ccedil": "\xe7", "ntilde": "\xf1", "deg": "\xb0", "plusmn": "\xb1",
+    "frac12": "\xbd", "times": "\xd7", "divide": "\xf7", "euro": "€",
+    "pound": "\xa3", "yen": "\xa5", "cent": "\xa2", "sect": "\xa7",
+    "para": "\xb6", "middot": "\xb7", "laquo": "\xab", "raquo": "\xbb",
+}
+
+_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT = re.compile(r"<script\b[^>]*>.*?</script\s*>", re.S | re.I)
+_STYLE = re.compile(r"<style\b[^>]*>.*?</style\s*>", re.S | re.I)
+_CDATA = re.compile(r"<!\[CDATA\[(.*?)\]\]>", re.S)
+_BANG = re.compile(r"<![^>]*>")
+_TAG = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)(?:\s[^>]*)?/?\s*>")
+_ENTITY = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
+
+
+def _decode_entity(m: re.Match) -> str:
+    body = m.group(1)
+    if body.startswith("#"):
+        try:
+            code = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
+            return chr(code) if 0 < code <= 0x10FFFF else m.group(0)
+        except ValueError:
+            return m.group(0)
+    return _ENTITIES.get(body, m.group(0))
+
+
+def html_strip(text: str) -> str:
+    # CDATA bodies are emitted verbatim (never re-scanned): stash them
+    # behind \x00 sentinels until every other pass has run
+    stash: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        stash.append(m.group(1))
+        return f"\x00{len(stash) - 1}\x00"
+
+    text = _CDATA.sub(_stash, text)
+    text = _COMMENT.sub("", text)
+    text = _SCRIPT.sub("\n", text)
+    text = _STYLE.sub("\n", text)
+    text = _BANG.sub("", text)
+    text = _TAG.sub(
+        lambda m: "" if m.group(1).lower() in _INLINE_ELEMENTS else "\n",
+        text)
+    text = _ENTITY.sub(_decode_entity, text)
+    if stash:
+        text = re.sub("\x00([0-9]+)\x00", lambda m: stash[int(m.group(1))],
+                      text)
+    return text
+
+
+def _compile_mapping(body: str):
+    """map:a=b;c=d -> greedy longest-match substituter (NormalizeCharMap:
+    alternation ordered longest-first so re picks the longest match)."""
+    pairs = []
+    for rule in body.split(";"):
+        if rule:
+            src, dst = rule.split("=", 1)
+            pairs.append((src, dst))
+    pairs.sort(key=lambda p: -len(p[0]))
+    table = dict(pairs)
+    pat = re.compile("|".join(re.escape(s) for s, _ in pairs))
+    return lambda t: pat.sub(lambda m: table[m.group(0)], t)
+
+
+def compile_char_filter(spec: str):
+    """One ``char:...`` spec -> str -> str callable."""
+    body = spec[len("char:"):]
+    if body == "html_strip":
+        return html_strip
+    if body.startswith("map:"):
+        return _compile_mapping(body[len("map:"):])
+    if body.startswith("pattern:"):
+        pat_s, repl = body[len("pattern:"):].rsplit("=", 1)
+        pat = re.compile(pat_s)
+        return lambda t: pat.sub(repl, t)
+    raise ValueError(f"unknown char filter spec {spec!r}")
+
+
+def split_text_stages(specs):
+    """(char_specs, tokenizer_name_or_None, per_token_specs).  Text-level
+    stages may appear anywhere in the tuple (they always run first)."""
+    chars, tok, rest = [], None, []
+    for s in specs or ():
+        if s.startswith("char:"):
+            chars.append(s)
+        elif s.startswith("tokenizer:"):
+            if tok is not None:
+                raise ValueError("multiple tokenizer: specs")
+            tok = s[len("tokenizer:"):]
+        else:
+            rest.append(s)
+    return tuple(chars), tok, tuple(rest)
+
+
+def apply_char_filters_str(text: str, char_specs) -> str:
+    for s in char_specs:
+        text = compile_char_filter(s)(text)
+    return text
+
+
+def apply_char_filters_column(col, char_specs):
+    """Text column -> filtered text column.  Regex passes run per row
+    (the reference's char filters are also per-document single-pass scans);
+    the surrounding build stage is already one Ray task per partition."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    fns = [compile_char_filter(s) for s in char_specs]
+    out = []
+    for v in col.to_pylist():
+        if v is not None:
+            for f in fns:
+                v = f(v)
+        out.append(v)
+    return pa.array(out, type=pa.string())
+
+
+# ------------------------------------------------------------- tokenizers
+
+
+def tokenize_text(text: str, tokenizer: str) -> list[str]:
+    """Per-string alternate tokenizer (query-side / slow-path twin of
+    tokenize_column_alt)."""
+    if tokenizer == "whitespace":
+        return _WS_RUN.findall(text)
+    if tokenizer == "letter":
+        out, run = [], []
+        for ch in text:
+            if ch.isalpha():
+                run.append(ch)
+                if len(run) == 255:            # maxTokenLen split
+                    out.append("".join(run))
+                    run = []
+            elif run:
+                out.append("".join(run))
+                run = []
+        if run:
+            out.append("".join(run))
+        return out
+    if tokenizer == "keyword":
+        return [text] if text else []
+    if tokenizer.startswith("path_hierarchy"):
+        delim = tokenizer[len("path_hierarchy:"):] \
+            if ":" in tokenizer else "/"
+        if not text:
+            return []
+        parts = text.split(delim)
+        toks = []
+        for i in range(1, len(parts) + 1):
+            prefix = delim.join(parts[:i])
+            if prefix:
+                toks.append(prefix)
+        return toks
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def tokenize_column_alt(col, tokenizer: str):
+    """(lengths int64[], flat tokens pa.Array) for an alternate tokenizer.
+    whitespace/letter vectorize through polars' Rust regex; keyword and
+    path_hierarchy are cheap string ops."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), pa.array([], type=pa.string())
+    pattern = None
+    if tokenizer == "whitespace":
+        pattern = f"[^{_JAVA_WS}]{{1,255}}"
+    elif tokenizer == "letter":
+        pattern = r"\p{L}{1,255}"
+    if pattern is not None:
+        try:
+            import os
+
+            os.environ.setdefault("POLARS_MAX_THREADS", "1")
+            import polars as pl
+
+            s = pl.Series("t", col).fill_null("")
+            toks = s.str.extract_all(pattern)
+            lengths = toks.list.len().cast(pl.Int64).to_numpy().copy()
+            flat = toks.explode(empty_as_null=True).drop_nulls().to_arrow()
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            return lengths, flat.cast(pa.string())
+        except Exception:
+            pass
+    lengths = np.zeros(n, dtype=np.int64)
+    flat: list[str] = []
+    for i in range(n):
+        v = col[i].as_py()
+        toks = tokenize_text(v, tokenizer) if v else []
+        lengths[i] = len(toks)
+        flat.extend(toks)
+    return lengths, pa.array(flat, type=pa.string())

@@ -1730,6 +1730,11 @@ FILTERS.update({
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,
     "trim": trim_token,
+    # LowerCaseFilter as a standalone 1:1 stage — the standard tokenizer
+    # path already lowercases, but alternate tokenizers (whitespace/letter/
+    # keyword, `analysis/chars.py`) are case-preserving like the reference
+    "lowercase": lambda w: __import__(
+        "lucene_ray.analysis.standard", fromlist=["jdk_lower"]).jdk_lower(w),
     "upper": jdk_upper,
     "capitalization": capitalization,
     "decimal_digit": decimal_digit_fold,

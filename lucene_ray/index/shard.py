@@ -344,7 +344,22 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         if drop:
             table = table.drop_columns(sorted(set(drop)))
 
-    lengths, flat = tokenize_column(table.column(text_col))
+    from ..analysis.chars import (
+        apply_char_filters_column,
+        split_text_stages,
+        tokenize_column_alt,
+    )
+
+    char_specs, alt_tok, token_filters = split_text_stages(token_filters)
+    text_arr = table.column(text_col)
+    if char_specs:
+        # char filters (html_strip / map / pattern) rewrite the text before
+        # tokenization, like the reference's CharFilter chain
+        text_arr = apply_char_filters_column(text_arr, char_specs)
+    if alt_tok:
+        lengths, flat = tokenize_column_alt(text_arr, alt_tok)
+    else:
+        lengths, flat = tokenize_column(text_arr)
     tok_positions = None
     norm_lengths = lengths
     if token_filters:

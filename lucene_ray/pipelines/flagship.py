@@ -368,6 +368,30 @@ def index_geo_count(sf_dir: str) -> pd.DataFrame:
                          "n_in_radius": pd.Series([n_radius], dtype="int64")})
 
 
+def index_charfilter_count(sf_dir: str) -> pd.DataFrame:
+    """Char filter + alternate tokenizer end-to-end: a MappingCharFilter
+    rewrite (fast→quick) feeding a case-preserving WhitespaceTokenizer +
+    LowerCaseFilter chain (`analysis/charfilter/MappingCharFilter.java`,
+    `analysis/core/WhitespaceTokenizer.java`); counts through the index
+    for the rewritten term, the erased source term, and a phrase over the
+    whitespace positions."""
+    from ..search.query import PhraseQuery, TermQuery
+
+    index_dir = index_dir_for(sf_dir) + "-ws"
+    ds = transcripts_from_documents(sf_dir)
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                token_filters=("char:map:fast=quick", "tokenizer:whitespace",
+                               "lowercase"),
+                input_desc=f"documents@{sf_dir}+ws")
+    searcher = IndexSearcher(index_dir)
+    n_quick = searcher.count(TermQuery("quick"))
+    n_fast = searcher.count(TermQuery("fast"))
+    n_phrase = searcher.count(PhraseQuery(("quick", "table")))
+    return pd.DataFrame({"n_quick": pd.Series([n_quick], dtype="int64"),
+                         "n_fast": pd.Series([n_fast], dtype="int64"),
+                         "n_phrase": pd.Series([n_phrase], dtype="int64")})
+
+
 def index_automaton_count(sf_dir: str) -> pd.DataFrame:
     """TermAutomatonQuery end-to-end (`sandbox/.../TermAutomatonQuery.java`):
     a gap pattern (merge · ANY · join) and a union-of-bigrams automaton
