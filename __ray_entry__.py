@@ -681,7 +681,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM cov
                     WHERE cnt >= 1 + doc_id % 3)::BIGINT AS n_dv_min,
                    (SELECT count(*) FROM cov
-                    WHERE cnt >= 2)::BIGINT AS n_const_min""",
+                    WHERE cnt >= 2)::BIGINT AS n_const_min,
+                   (SELECT count(*) FROM documents
+                    WHERE 1 + doc_id % 3 IN (1, 3))::BIGINT AS n_dv_in_set""",
         "index_range_field_count": """
             WITH spans AS (SELECT doc_id, doc_id % 211 AS lo,
                                   doc_id % 211 + doc_id % 37 AS hi

@@ -319,12 +319,17 @@ def index_covering_count(sf_dir: str) -> pd.DataFrame:
     variant (== minimumShouldMatch)."""
     from ..search.query import CoveringQuery, TermQuery
 
+    from ..search.query import DocValuesNumbersQuery
+
     searcher = IndexSearcher(build_geo_index(sf_dir))
     subs = tuple(TermQuery(t) for t in COVERING_TERMS)
     n_dv = searcher.count(CoveringQuery(subs, "min_match"))
     n_const = searcher.count(CoveringQuery(subs, 2))
+    # DocValuesNumbersQuery set membership over the same column
+    n_in_set = searcher.count(DocValuesNumbersQuery("min_match", (1, 3)))
     return pd.DataFrame({"n_dv_min": pd.Series([n_dv], dtype="int64"),
-                         "n_const_min": pd.Series([n_const], dtype="int64")})
+                         "n_const_min": pd.Series([n_const], dtype="int64"),
+                         "n_dv_in_set": pd.Series([n_in_set], dtype="int64")})
 
 
 def index_point_range_count(sf_dir: str) -> pd.DataFrame:

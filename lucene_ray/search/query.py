@@ -203,6 +203,21 @@ class RangeFieldQuery:
 
 
 @dataclass(frozen=True)
+class DocValuesNumbersQuery:
+    """Set membership over an int64 doc-values column
+    (`sandbox/search/DocValuesNumbersQuery.java`): a doc matches when its
+    value is one of ``values``.  Constant score; like the reference it is
+    a doc-values iterator (no index structure), so it shines in FILTER
+    position under a selective scoring clause."""
+    field: str
+    values: tuple
+
+    def __post_init__(self):
+        object.__setattr__(self, "values",
+                           tuple(int(v) for v in self.values))
+
+
+@dataclass(frozen=True)
 class CoveringQuery:
     """Per-document minimum-should-match (`sandbox/search/CoveringQuery.java`
     / CoveringScorer): a doc matches when at least ``min_match`` of the

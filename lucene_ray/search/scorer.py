@@ -528,6 +528,29 @@ def _range_field_docs(pr, q) -> np.ndarray:
     return np.setdiff1d(intersects(), within())        # crosses
 
 
+def search_shard_dv_numbers(reader, query, k: int, after=None):
+    """DocValuesNumbersQuery: constant-score docs whose doc-value is in the
+    set (np.isin over the column; shard manifest min/max prunes first)."""
+    vals = np.asarray(query.values, dtype=np.int64)
+    r = reader.docvalue_range(query.field)
+    if r is not None:
+        vals = vals[(vals >= r[0]) & (vals <= r[1])]
+    if len(vals) == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    dv = np.asarray(reader.docvalue(query.field), dtype=np.int64)
+    mask = np.isin(dv, vals)
+    if reader.deleted is not None:
+        mask &= ~reader.deleted
+    cand = np.nonzero(mask)[0].astype(np.int32)
+    sc = np.ones(len(cand), dtype=np.float32)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    return sc[:k], cand[:k], total, RELATION_EQ
+
+
 def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
     """Exact-phrase scoring over one shard (ExactPhraseMatcher equivalent,
     vectorized): for phrase term i, build composite keys (doc, pos - i) and

@@ -530,11 +530,14 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "automaton": (query, scorer)}
-        from .query import CoveringQuery
+        from .query import CoveringQuery, DocValuesNumbersQuery
 
         if isinstance(query, CoveringQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False, "covering": query}
+        if isinstance(query, DocValuesNumbersQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False, "dv_numbers": query}
         from .feature import FeatureQuery, compute_pivot
 
         if isinstance(query, FeatureQuery):
@@ -851,6 +854,11 @@ class IndexSearcher:
 
             taq, scorer = compiled["automaton"]
             return search_shard_automaton(rdr, taq, scorer, k, after=after)
+        if compiled.get("dv_numbers") is not None:
+            from .scorer import search_shard_dv_numbers
+
+            return search_shard_dv_numbers(rdr, compiled["dv_numbers"], k,
+                                           after=after)
         if compiled.get("const_query") is not None:
             from .scorer import search_shard_const
 

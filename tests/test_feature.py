@@ -208,3 +208,45 @@ def test_covering_query_dv_minimum(ray_session, tmp_path):
     cnt = np.array([sum(t_ in tk for t_ in terms) for tk in tokens])
     got = s.count(CoveringQuery(tuple(TermQuery(t_) for t_ in terms), "mm"))
     assert got == int((cnt >= mm).sum())
+
+
+def test_dv_numbers_query(ray_session, tmp_path):
+    """DocValuesNumbersQuery vs brute force: standalone constant-score
+    membership and FILTER-position composition with a scoring term."""
+    from lucene_ray.search.query import (
+        FILTER,
+        MUST,
+        BooleanClause,
+        BooleanQuery,
+        DocValuesNumbersQuery,
+    )
+
+    import pyarrow as _pa
+    import ray.data as rd
+
+    import lucene_ray.analysis.standard as std
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    n = 1000
+    t = synth_transcripts(n, seed=13)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    vals = (np.arange(n, dtype=np.int64) * 7) % 23
+    st = st.append_column("v", _pa.array(vals, type=_pa.int64()))
+    d = str(tmp_path / "dvn")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=250,
+                docvalue_cols=("v",), input_desc="dvnsynth")
+    s = IndexSearcher(d)
+    q = DocValuesNumbersQuery("v", (3, 11, 19, 99))
+    want = np.isin(vals, [3, 11, 19, 99])
+    td = s.search(q, k=n)
+    assert {h.gid for h in td.hits} == set(np.nonzero(want)[0].tolist())
+    assert td.total_hits == int(want.sum())
+    # out-of-range set fully pruned by the manifest bounds
+    assert s.count(DocValuesNumbersQuery("v", (500, 600))) == 0
+    # FILTER position beside a scoring MUST term (dense path)
+    tokens = [set(std.analyze(x)) if x else set()
+              for x in st.column("text").to_pylist()]
+    bq = BooleanQuery((BooleanClause(TermQuery("merge"), MUST),
+                       BooleanClause(q, FILTER)))
+    want_n = sum(1 for i in range(n) if "merge" in tokens[i] and want[i])
+    assert s.count(bq) == want_n
