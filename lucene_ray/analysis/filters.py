@@ -2037,7 +2037,12 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
       single-token rules: alternatives are emitted at the SAME position
       (posInc 0) and, per the IndexingChain overlap discount
       (`index/IndexingChain.java:1151-1188`), do not count toward the norm.
-      Multi-word rules (posLen > 1) are out of scope (documented divergence).
+      Multi-word SOURCE rules (``syn:hash join=hashjoin``) match original
+      tokens at strictly consecutive positions and emit the alias at the
+      first constituent's position — where Lucene's flattened index puts a
+      posLength>1 token.  Multi-word OUTPUT stays unsupported (rejected
+      with an error): index-side graph flattening makes it lossy in the
+      reference too, which recommends query-time expansion for that case.
     - ``shingle`` — ShingleFilter(2,2) with outputUnigrams
       (`analysis/shingle/ShingleFilter.java:1-555`): a ``"a b"`` token per
       strictly-consecutive position pair, emitted at the first constituent's
@@ -2105,7 +2110,36 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
         elif spec.startswith("syn:"):
             add_t, add_d, add_p = [], [], []
             for src, alts in _parse_syn(spec).items():
-                hit = np.nonzero((toks == src) & incr)[0]
+                if any(" " in a for a in alts):
+                    raise ValueError(
+                        "multi-word synonym OUTPUT is unsupported (index-"
+                        "side graph flattening; use a single-token alias)")
+                words = src.split(" ")
+                if len(words) == 1:
+                    hit = np.nonzero((toks == src) & incr)[0]
+                else:
+                    # multi-word SOURCE (SynonymGraphFilter phrase rules,
+                    # single-token output): match ORIGINAL tokens at
+                    # strictly consecutive positions in one doc; the alias
+                    # is emitted at the FIRST constituent's position as an
+                    # overlap — exactly where Lucene's flattened index
+                    # puts a posLength>1 token (posLength is not stored)
+                    oi = np.nonzero(incr)[0]
+                    o = oi[np.lexsort((pos[oi], doc[oi]))]
+                    L, n_o = len(words), len(oi)
+                    if n_o < L:
+                        hit = np.zeros(0, dtype=np.int64)
+                    else:
+                        w_n = n_o - L + 1
+                        m = np.ones(w_n, dtype=bool)
+                        base_d, base_p = doc[o], pos[o]
+                        for j, w in enumerate(words):
+                            sl = slice(j, w_n + j)
+                            m &= toks[o[sl]] == w
+                            if j:
+                                m &= (base_d[sl] == base_d[:w_n]) \
+                                    & (base_p[sl] == base_p[:w_n] + j)
+                        hit = o[:w_n][m]
                 for alt in alts:
                     add_t.append(np.full(len(hit), alt, dtype=object))
                     add_d.append(doc[hit])

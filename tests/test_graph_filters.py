@@ -147,3 +147,69 @@ def test_minhash_after_shingle_end_to_end(ray_session, tmp_path):
         td = s.search(bool_query(should=[term]), k=10,
                       total_hits_threshold=2**31 - 1)
         assert {h.gid for h in td.hits} == {0, 1}, term
+
+
+def test_multiword_synonym_source(ray_session, tmp_path):
+    """Multi-word synonym SOURCE rules (SynonymGraphFilter phrase rules,
+    single-token output): alias emitted at the first constituent's position
+    as an overlap — term-searchable, norm-neutral."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import lucene_ray.analysis.standard as std
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import PhraseQuery, TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    n = 1500
+    t = synth_transcripts(n, seed=62)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    d = str(tmp_path / "mwsyn")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=400,
+                token_filters=("syn:hash join=hashjoin;merge=blend",),
+                input_desc="mwsyn")
+    s = IndexSearcher(d)
+    toks = [std.analyze(x) if x else []
+            for x in st.column("text").to_pylist()]
+    want = sum(1 for tk in toks
+               if any(tk[i] == "hash" and tk[i + 1] == "join"
+                      for i in range(len(tk) - 1)))
+    assert s.count(TermQuery("hashjoin")) == want
+    # single-word rule still works alongside
+    assert s.count(TermQuery("blend")) == \
+        sum(1 for tk in toks if "merge" in tk)
+    # the alias sits at the first constituent's position: phrase
+    # "hashjoin join" matches wherever "hash join" occurred
+    want_ph = sum(1 for tk in toks
+                  if any(tk[i] == "hash" and tk[i + 1] == "join"
+                         for i in range(len(tk) - 1)))
+    assert s.count(PhraseQuery(("hashjoin", "join"))) == want_ph
+    # per-doc norms discount the overlays (rankings for an unrelated term
+    # match a plain index); absolute scores differ only through avgdl,
+    # because sumTotalTermFreq COUNTS injected tokens in Lucene too
+    d2 = str(tmp_path / "plain")
+    build_index(rd.from_arrow(st), d2, target_docs_per_partition=400,
+                input_desc="plain")
+    s2 = IndexSearcher(d2)
+    td1 = s.search(TermQuery("scan"), k=20)
+    td2 = s2.search(TermQuery("scan"), k=20)
+    assert [h.gid for h in td1.hits] == [h.gid for h in td2.hits]
+    for pid in range(4):
+        assert np.array_equal(s.reader(pid).norms, s2.reader(pid).norms)
+
+
+def test_multiword_synonym_output_rejected(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+    import pytest as _pytest
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(50, seed=1)
+    d = str(tmp_path / "bad")
+    with _pytest.raises(Exception):
+        build_index(rd.from_arrow(t), d, target_docs_per_partition=50,
+                    token_filters=("syn:nyc=new york",), input_desc="bad")
