@@ -2193,8 +2193,16 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
             adj = (doc[o][1:] == doc[o][:-1]) & (pos[o][1:] == pos[o][:-1] + 1)
             a, b = o[:-1][adj], o[1:][adj]
             if len(a):
-                big = np.array([f"{x} {y}" for x, y in zip(toks[a], toks[b])],
-                               dtype=object)
+                # vectorized "x y" join (this runs over ~every token in the
+                # shard; a Python f-string loop here dominated shingle
+                # builds at 10x scale)
+                import pyarrow as _pa
+                import pyarrow.compute as _pc
+
+                left = _pa.array(toks[a], type=_pa.string())
+                right = _pa.array(toks[b], type=_pa.string())
+                big = _pc.binary_join_element_wise(left, right, " ") \
+                    .to_numpy(zero_copy_only=False)
                 toks = np.concatenate((toks, big))
                 doc = np.concatenate((doc, doc[a]))
                 pos = np.concatenate((pos, pos[a]))
