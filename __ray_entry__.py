@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_covering_count": _lazy("index_covering_count"),
         "index_geo_count": _lazy("index_geo_count"),
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
+        "index_shape_count": _lazy("index_shape_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
         "index_feature_topk": _lazy("index_feature_topk"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
@@ -86,7 +87,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_hybrid_rrf": _vs("index_hybrid_rrf"),
         # --- suggesters (FST-suggester surface) ---
         "suggest_analyzing": _suggest_analyzing,
-        "suggest_freetext": _suggest_freetext,
         # --- joins / percolator / multimodal / classification ---
         "bucketed_join": _bucketed_join,
         "percolate": _percolate,
@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- beyond the 50-entry driver window ----------------
         "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
+        "suggest_freetext": _suggest_freetext,
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_conv_children_count": _lazy("index_conv_children_count"),
         "index_highlight_topk": _lazy("index_highlight_topk"),
@@ -320,6 +321,33 @@ def _xy_sql() -> str:
                  <= {r!r} * {r!r})::BIGINT AS n_in_radius,
           (SELECT count(*) FROM xy
            WHERE {' AND '.join(edges)})::BIGINT AS n_in_polygon"""
+
+
+def _shape_sql() -> str:
+    """Oracle for index_shape_count: the doc shapes are axis-aligned
+    rectangles, so every relation is interval arithmetic on the raw
+    degrees (query bounds sit off the quarter-degree doc grid, so
+    int32 quantization cannot flip a touch decision)."""
+    from lucene_ray.pipelines.flagship import SHAPE_QBOX
+
+    qy0, qy1, qx0, qx1 = SHAPE_QBOX
+    return f"""
+        WITH r AS (
+          SELECT doc_id,
+                 ((doc_id * 37) % 160) - 80.0 AS lat0,
+                 ((doc_id * 37) % 160) - 80.0 + 1.0 + (doc_id % 7) * 0.25 AS lat1,
+                 ((doc_id * 53) % 340) - 170.0 AS lon0,
+                 ((doc_id * 53) % 340) - 170.0 + 1.0 + (doc_id % 5) * 0.5 AS lon1
+          FROM documents)
+        SELECT
+          (SELECT count(*) FROM r WHERE lat0 <= {qy1!r} AND lat1 >= {qy0!r}
+             AND lon0 <= {qx1!r} AND lon1 >= {qx0!r})::BIGINT AS n_intersects,
+          (SELECT count(*) FROM r WHERE lat0 >= {qy0!r} AND lat1 <= {qy1!r}
+             AND lon0 >= {qx0!r} AND lon1 <= {qx1!r})::BIGINT AS n_within,
+          (SELECT count(*) FROM r WHERE lat0 <= {qy0!r} AND lat1 >= {qy1!r}
+             AND lon0 <= {qx0!r} AND lon1 >= {qx1!r})::BIGINT AS n_contains,
+          (SELECT count(*) FROM r WHERE NOT (lat0 <= {qy1!r} AND lat1 >= {qy0!r}
+             AND lon0 <= {qx1!r} AND lon1 >= {qx0!r}))::BIGINT AS n_disjoint"""
 
 
 def _geo_sql() -> str:
@@ -699,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
                WHERE lo <= 120 AND hi >= 50
                  AND NOT (lo >= 50 AND hi <= 120))::BIGINT AS n_crosses""",
         "index_geo_count": _geo_sql(),
+        "index_shape_count": _shape_sql(),
         "index_geo_polygon_count": _geo_polygon_sql(),
         "index_geo_distance_topk": _geo_dist_topk_sql(),
         "index_expr_sorted_topk": _TOKS + """

@@ -81,6 +81,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 vector_col: str | None = None,
                 term_vectors: bool = False,
                 point_cols: dict | None = None,
+                shape_cols: dict | None = None,
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -133,8 +134,10 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
     extra_pt = [c for cols in (point_cols or {}).values() for c in cols
                 if c not in key_cols and c not in docvalue_cols
                 and c not in keyword_cols and c != text_col]
+    extra_shp = [c for cols in (shape_cols or {}).values() for c in cols
+                 if c not in key_cols and c != text_col]
     proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv,
-                              *extra_vec, *extra_pt])
+                              *extra_vec, *extra_pt, *extra_shp])
     block_refs = None
     if exchange == "tasks":
         block_refs = [br for bundle in proj.iter_internal_ref_bundles()
@@ -156,6 +159,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "vector_col": vector_col,
         "term_vectors": bool(term_vectors),
         "point_cols": {k: list(v) for k, v in (point_cols or {}).items()},
+        "shape_cols": {k: list(v) for k, v in (shape_cols or {}).items()},
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -183,14 +187,15 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                             fp, text_col=text_col, key_cols=key_cols,
                             keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
                             token_filters=token_filters, vector_col=vector_col,
-                            term_vectors=term_vectors, point_cols=point_cols)
+                            term_vectors=term_vectors, point_cols=point_cols,
+                            shape_cols=shape_cols)
             return pa.table({k: [v] for k, v in m.items()})
 
         if exchange == "tasks":
             new_manifests = _exchange_with_tasks(
                 block_refs, tag_pid, len(split_points) + 1, shards_dir, fp,
                 text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
-                vector_col, term_vectors, point_cols)
+                vector_col, term_vectors, point_cols, shape_cols)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -212,6 +217,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "vector_col": vector_col,
         "term_vectors": bool(term_vectors),
         "point_cols": {k: list(v) for k, v in (point_cols or {}).items()},
+        "shape_cols": {k: list(v) for k, v in (shape_cols or {}).items()},
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -270,7 +276,7 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                          text_col: str, key_cols, keyword_cols=(),
                          docvalue_cols=(), token_filters=(),
                          vector_col=None, term_vectors=False,
-                         point_cols=None) -> list[dict]:
+                         point_cols=None, shape_cols=None) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -288,7 +294,7 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
         return _exchange_two_level(block_refs, tag_pid, n_parts, shards_dir, fp,
                                    text_col, key_cols, keyword_cols,
                                    docvalue_cols, token_filters, vector_col,
-                                   term_vectors, point_cols)
+                                   term_vectors, point_cols, shape_cols)
 
     def _compact(tbl: pa.Table) -> pa.Table:
         # CRITICAL: pickling a sliced Arrow table serializes the WHOLE parent
@@ -319,7 +325,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                            text_col=text_col, key_cols=key_cols,
                            keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
                            token_filters=token_filters, vector_col=vector_col,
-                           term_vectors=term_vectors, point_cols=point_cols)
+                           term_vectors=term_vectors, point_cols=point_cols,
+                           shape_cols=shape_cols)
 
     # several blocks per split task: fewer (task, object) overheads while
     # keeping enough tasks to fill the CPU pool
@@ -340,7 +347,7 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                         fp: str, text_col: str, key_cols, keyword_cols=(),
                         docvalue_cols=(), token_filters=(),
                         vector_col=None, term_vectors=False,
-                        point_cols=None) -> list[dict]:
+                        point_cols=None, shape_cols=None) -> list[dict]:
     """Two-level exchange for large partition counts (block → coarse bucket →
     shards): split tasks return one object per COARSE bucket (contiguous pid
     range), and one flush task per bucket re-splits its data by pid and
@@ -399,7 +406,7 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                 text_col=text_col, key_cols=key_cols, keyword_cols=keyword_cols,
                 docvalue_cols=docvalue_cols, token_filters=token_filters,
                 vector_col=vector_col, term_vectors=term_vectors,
-                point_cols=point_cols))
+                point_cols=point_cols, shape_cols=shape_cols))
         return manifests
 
     per_task = max(1, len(block_refs) // (2 * n_cpus))

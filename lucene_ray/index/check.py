@@ -80,6 +80,14 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
                              rdr.doc_count)
             except (ValueError, FileNotFoundError) as e:
                 errors.append(f"shard {m['pid']}: {e}")
+        for fld, meta in (m.get("shapes") or {}).items():
+            from .shapes import check_shapes
+
+            try:
+                check_shapes(shard_dirpath(index_dir, m), fld, meta,
+                             rdr.doc_count)
+            except (ValueError, FileNotFoundError) as e:
+                errors.append(f"shard {m['pid']}: {e}")
         # vector files (when the shard carries a vector column): row count
         # matches, finite values, graph loads and its node ids are in range
         if int(m.get("vector_dim", 0)) > 0:

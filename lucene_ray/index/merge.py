@@ -188,6 +188,7 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
     dfs_parts, docs_parts, freqs_parts, pos_parts = [], [], [], []
     norms_parts, dm_parts, vec_parts = [], [], []
     pts_parts: dict[str, list] = {}
+    shp_parts: dict[str, list] = {}
     base = 0
     for m in sorted(members, key=lambda x: x["pid"]):
         rdr = ShardReader(shard_dirpath(index_dir, m))
@@ -243,8 +244,12 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
             vec_parts.append(vm[keep_doc] if keep_doc is not None else vm)
             want_graph = want_graph or rdr.hnsw() is not None
         # point sidecars: survivors remapped like postings docs; the merged
-        # sidecar is rebuilt (re-sorted into leaf order) after the index sort
+        # sidecar is rebuilt (re-sorted into leaf order) after the index
+        # sort.  Shape bbox fields (<field>__bbox) are rebuilt by the shape
+        # merge below instead.
         for fld in (m.get("points") or {}):
+            if fld.endswith("__bbox") and fld[:-6] in (m.get("shapes") or {}):
+                continue
             pr = rdr.points(fld)
             pvals = np.asarray(pr.vals)
             pdocs = np.asarray(pr.docs).astype(np.int64)
@@ -252,6 +257,18 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
                 kp = keep_doc[pdocs]
                 pvals, pdocs = pvals[kp], old2new[pdocs[kp]]
             pts_parts.setdefault(fld, []).append((pvals, pdocs + base))
+        for fld in (m.get("shapes") or {}):
+            sr = rdr.shapes(fld)
+            sdocs = np.asarray(sr.docs).astype(np.int64)
+            verts = np.asarray(sr.verts)
+            offs = np.asarray(sr.offs)
+            keep_idx = np.arange(len(sdocs))
+            if deleted is not None:
+                keep_idx = keep_idx[keep_doc[sdocs]]
+            for i in keep_idx:
+                nd = old2new[sdocs[i]] if deleted is not None else sdocs[i]
+                shp_parts.setdefault(fld, []).append(
+                    (int(nd + base), verts[offs[i]:offs[i + 1]]))
         base += n_live
 
     n_docs = base
@@ -338,6 +355,19 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
             pdocs = sort_map[np.concatenate([d for _, d in parts])]
             points_meta[fld] = write_points(tmp_dir, fld, coords,
                                             pdocs.astype(np.int32))
+    shapes_meta = {}
+    if shp_parts:
+        from .shapes import write_shapes
+
+        for fld, parts in sorted(shp_parts.items()):
+            sdocs = sort_map[np.asarray([d for d, _ in parts], dtype=np.int64)]
+            counts = np.asarray([len(v) for _, v in parts], dtype=np.int64)
+            allv = np.concatenate([v for _, v in parts]) if parts \
+                else np.zeros((0, 2), dtype=np.int64)
+            shapes_meta[fld] = write_shapes(tmp_dir, fld, allv[:, 0],
+                                            allv[:, 1], counts,
+                                            sdocs.astype(np.int32))
+            points_meta[f"{fld}__bbox"] = shapes_meta[fld]["bbox"]
 
     range_cols = [c for c in merged_dm.column_names if c != key_cols[0]]
     return _persist_shard(
@@ -347,7 +377,8 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
         sum_ttf=sum_ttf, vector_dim=vector_dim, vector_scale=vector_scale,
         term_vectors=want_tv, fingerprint=fp,
         extra={"dir": dirname, "merged_from": [int(m["pid"]) for m in members],
-               **({"points": points_meta} if points_meta else {})})
+               **({"points": points_meta} if points_meta else {}),
+               **({"shapes": shapes_meta} if shapes_meta else {})})
 
 
 def _plan_merge_groups(shards: list[dict], max_segments: int) -> list[list[dict]]:

@@ -249,7 +249,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 vector_col: str | None = None,
                 vector_graph: bool = True,
                 term_vectors: bool = False,
-                point_cols: dict | None = None) -> dict:
+                point_cols: dict | None = None,
+                shape_cols: dict | None = None) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -344,6 +345,42 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         if drop:
             table = table.drop_columns(sorted(set(drop)))
 
+    shapes_meta = {}
+    if shape_cols:
+        # shape sidecars (`index/shapes.py`): each field maps to a pair of
+        # list<float> degree-coordinate columns (lats, lons); rows with a
+        # null shape are absent from the sidecar
+        from ..search.geo import encode_latitude, encode_longitude
+        from .shapes import write_shapes
+
+        keep_cols = set(key_cols) | set(docvalue_cols) | set(keyword_cols) \
+            | {text_col}
+        for field, (lat_c, lon_c) in shape_cols.items():
+            lat_col = table.column(lat_c).combine_chunks()
+            lon_col = table.column(lon_c).combine_chunks()
+            valid = (pa.compute.is_valid(lat_col).to_numpy(zero_copy_only=False)
+                     & pa.compute.is_valid(lon_col).to_numpy(zero_copy_only=False))
+            la_off = lat_col.offsets.to_numpy().astype(np.int64)
+            counts_all = np.diff(la_off)
+            lo_counts = np.diff(lon_col.offsets.to_numpy().astype(np.int64))
+            if np.any(valid & (counts_all != lo_counts)):
+                raise ValueError(f"shape field {field}: lat/lon vertex "
+                                 "counts differ")
+            docs = np.nonzero(valid)[0].astype(np.int32)
+            counts = counts_all[valid]
+            flat_lat = encode_latitude(
+                lat_col.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64)[np.repeat(valid, counts_all)])
+            flat_lon = encode_longitude(
+                lon_col.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64)[np.repeat(valid, lo_counts)])
+            shapes_meta[field] = write_shapes(tmp_dir, field, flat_lat,
+                                              flat_lon, counts, docs)
+        drop = [c for cols in shape_cols.values() for c in cols
+                if c not in keep_cols and c in table.column_names]
+        if drop:
+            table = table.drop_columns(sorted(set(drop)))
+
     from ..analysis.chars import (
         apply_char_filters_column,
         split_text_stages,
@@ -392,7 +429,22 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         sum_ttf=int(lengths.astype(np.int64).sum()),
         vector_dim=vector_dim, vector_scale=vector_scale,
         term_vectors=term_vectors, fingerprint=fingerprint,
-        extra={"points": points_meta} if points_meta else None)
+        extra=_sidecar_extra(points_meta, shapes_meta))
+
+
+def _sidecar_extra(points_meta: dict, shapes_meta: dict) -> dict | None:
+    """Manifest extras for point/shape sidecars; each shape field's bbox
+    point meta is ALSO registered under points["<field>__bbox"], so the
+    generic points reader / CheckIndex paths see it."""
+    points = dict(points_meta or {})
+    for field, m in (shapes_meta or {}).items():
+        points[f"{field}__bbox"] = m["bbox"]
+    out = {}
+    if points:
+        out["points"] = points
+    if shapes_meta:
+        out["shapes"] = shapes_meta
+    return out or None
 
 
 def _persist_shard(tmp_dir: str, final_dir: str, pid: int, terms,
@@ -709,6 +761,20 @@ class ShardReader:
 
                 self._points[field] = PointsReader(self.dir, field, meta)
         return self._points[field]
+
+    def shapes(self, field: str):
+        """mmap'd ShapesReader for one shape field; None when absent."""
+        if not hasattr(self, "_shapes"):
+            self._shapes = {}
+        if field not in self._shapes:
+            meta = (self.manifest.get("shapes") or {}).get(field)
+            if meta is None:
+                self._shapes[field] = None
+            else:
+                from .shapes import ShapesReader
+
+                self._shapes[field] = ShapesReader(self.dir, field, meta)
+        return self._shapes[field]
 
     def point_bounds(self, field: str):
         """Shard-level (min, max) per-dim bounds from the manifest

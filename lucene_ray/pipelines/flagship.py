@@ -373,6 +373,59 @@ def index_geo_count(sf_dir: str) -> pd.DataFrame:
                          "n_in_radius": pd.Series([n_radius], dtype="int64")})
 
 
+# query box for index_shape_count (bounds off the doc rect grid so
+# quantization can't flip a touch decision between engine and oracle)
+SHAPE_QBOX = (-10.1, 25.1, -30.1, 40.1)
+
+
+def build_shape_index(sf_dir: str, index_dir: str | None = None) -> str:
+    """Index variant carrying a shape field: one rectangle per doc derived
+    deterministically from doc_id (LatLonShape document model —
+    `index/shapes.py` vertex sidecar + 4-dim bbox BKD)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..sources.transcripts import doc_batch_to_transcripts
+
+    def add_shape(batch: pa.Table) -> pa.Table:
+        t = doc_batch_to_transcripts(batch)
+        i = batch.column("doc_id").to_numpy().astype(np.int64)
+        lat0 = ((i * 37) % 160) - 80.0
+        lat1 = lat0 + 1.0 + (i % 7) * 0.25
+        lon0 = ((i * 53) % 340) - 170.0
+        lon1 = lon0 + 1.0 + (i % 5) * 0.5
+        lats = np.stack([lat0, lat0, lat1, lat1], axis=1)
+        lons = np.stack([lon0, lon1, lon1, lon0], axis=1)
+        t = t.append_column("shape_lats", pa.array(
+            list(lats), type=pa.list_(pa.float64())))
+        return t.append_column("shape_lons", pa.array(
+            list(lons), type=pa.list_(pa.float64())))
+
+    index_dir = index_dir or index_dir_for(sf_dir) + "-shp"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]) \
+        .map_batches(add_shape, batch_format="pyarrow")
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                shape_cols={"area": ("shape_lats", "shape_lons")},
+                input_desc=f"documents@{sf_dir}+shp")
+    return index_dir
+
+
+def index_shape_count(sf_dir: str) -> pd.DataFrame:
+    """Shape relation queries (`document/LatLonShapeQuery.java`): per-doc
+    rectangles vs a query box, all four relations, through the bbox BKD
+    prune + exact integer-geometry verify."""
+    from ..search.shapes import lat_lon_shape_box_query
+
+    searcher = IndexSearcher(build_shape_index(sf_dir))
+    counts = {rel: searcher.count(
+        lat_lon_shape_box_query("area", rel, *SHAPE_QBOX))
+        for rel in ("intersects", "within", "contains", "disjoint")}
+    return pd.DataFrame({f"n_{rel}": pd.Series([v], dtype="int64")
+                         for rel, v in counts.items()})
+
+
 def index_charfilter_count(sf_dir: str) -> pd.DataFrame:
     """Char filter + alternate tokenizer end-to-end: a MappingCharFilter
     rewrite (fast→quick) feeding a case-preserving WhitespaceTokenizer +

@@ -528,6 +528,25 @@ def _range_field_docs(pr, q) -> np.ndarray:
     return np.setdiff1d(intersects(), within())        # crosses
 
 
+def search_shard_shape(reader, query, boost: float, k: int, after=None):
+    """LatLonShapeQuery over one shard: constant-score docs whose indexed
+    shape relates to the query polygon (bbox BKD prune + exact verify —
+    `search/shapes.py`)."""
+    from .shapes import shape_query_docs
+
+    cand = shape_query_docs(reader, query)
+    if reader.deleted is not None and len(cand):
+        cand = cand[~reader.deleted[cand]]
+    cand = cand.astype(np.int32)
+    sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    return sc[:k], cand[:k], total, RELATION_EQ
+
+
 def search_shard_dv_numbers(reader, query, k: int, after=None):
     """DocValuesNumbersQuery: constant-score docs whose doc-value is in the
     set (np.isin over the column; shard manifest min/max prunes first)."""

@@ -508,6 +508,14 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "points": query, "boost": query.boost}
+        from .shapes import LatLonShapeQuery
+
+        if isinstance(query, LatLonShapeQuery):
+            # shape relation query (document/LatLonShapeQuery.java):
+            # bbox BKD prune + exact verify per shard
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "shape": query, "boost": query.boost}
         from .automaton import TermAutomatonQuery as _TAQ
 
         if isinstance(query, _TAQ):
@@ -859,6 +867,11 @@ class IndexSearcher:
 
             return search_shard_dv_numbers(rdr, compiled["dv_numbers"], k,
                                            after=after)
+        if compiled.get("shape") is not None:
+            from .scorer import search_shard_shape
+
+            return search_shard_shape(rdr, compiled["shape"],
+                                      compiled["boost"], k, after=after)
         if compiled.get("const_query") is not None:
             from .scorer import search_shard_const
 

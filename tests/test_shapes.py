@@ -1,0 +1,238 @@
+"""Shape fields (`document/LatLonShape.java` surface): exact integer
+geometry predicates vs independent oracles (SAT for convex intersection,
+interval arithmetic for rectangles), end-to-end relation queries, and
+deletes + force_merge + CheckIndex on the shape sidecars."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.index.build import build_index
+from lucene_ray.index.check import check_index
+from lucene_ray.search.searcher import IndexSearcher
+from lucene_ray.search.shapes import (
+    LatLonShapeQuery,
+    _contains_points,
+    lat_lon_shape_box_query,
+    poly_within,
+    polys_intersect,
+)
+from lucene_ray.sources.transcripts import synth_transcripts
+
+
+def _rect(y0, y1, x0, x1):
+    """Axis-aligned rectangle ring as encoded-int (lat, lon) vertices."""
+    return np.array([[y0, x0], [y0, x1], [y1, x1], [y1, x0]], dtype=np.int64)
+
+
+def test_predicates_hand_cases():
+    A = _rect(0, 10, 0, 10)
+    assert polys_intersect(A, _rect(5, 15, 5, 15))          # overlap
+    assert polys_intersect(A, _rect(10, 20, 0, 10))         # edge touch
+    assert polys_intersect(A, _rect(10, 20, 10, 20))        # corner touch
+    assert not polys_intersect(A, _rect(11, 20, 0, 10))     # disjoint
+    assert polys_intersect(A, _rect(2, 8, 2, 8))            # contained
+    assert polys_intersect(_rect(2, 8, 2, 8), A)
+    # cross shape: boundaries cross, no vertex of either inside the other
+    tall = _rect(-5, 15, 3, 7)
+    wide = _rect(3, 7, -5, 15)
+    assert polys_intersect(tall, wide)
+    assert poly_within(_rect(2, 8, 2, 8), A)
+    assert poly_within(A, A)                                # boundary-inclusive
+    assert not poly_within(_rect(5, 15, 5, 15), A)
+    assert not poly_within(tall, wide)
+    # containment of a triangle in a rect and points on edges
+    tri = np.array([[1, 1], [1, 9], [9, 5]], dtype=np.int64)
+    assert poly_within(tri, A)
+    got = _contains_points(A, np.array([[0, 5], [10, 10], [11, 5], [5, 5]],
+                                       dtype=np.int64))
+    assert got.tolist() == [True, True, False, True]
+
+
+def _sat_intersects(A, B):
+    """Separating-axis oracle for CONVEX rings (float math; test data keeps
+    vertices on a coarse grid so boundary contact is exact)."""
+    for poly, other in ((A, B), (B, A)):
+        n = len(poly)
+        for i in range(n):
+            ey = poly[(i + 1) % n][0] - poly[i][0]
+            ex = poly[(i + 1) % n][1] - poly[i][1]
+            ax, ay = -ey, ex                    # edge normal
+            p1 = [ax * v[1] + ay * v[0] for v in poly]
+            p2 = [ax * v[1] + ay * v[0] for v in other]
+            if max(p2) < min(p1) or min(p2) > max(p1):
+                return False
+    return True
+
+
+def test_convex_fuzz_vs_sat():
+    rng = np.random.default_rng(17)
+    for _ in range(120):
+        polys = []
+        for _ in range(2):
+            k = int(rng.integers(3, 8))
+            cy, cx = rng.integers(-50, 50, 2)
+            r = int(rng.integers(2, 30))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            ys = (cy + r * np.sin(ang)).round().astype(np.int64)
+            xs = (cx + r * np.cos(ang)).round().astype(np.int64)
+            p = np.stack([ys, xs], axis=1)
+            # drop duplicate consecutive vertices (degenerate edges)
+            keep = np.ones(len(p), bool)
+            keep[1:] = np.any(p[1:] != p[:-1], axis=1)
+            p = p[keep]
+            if len(p) < 3:
+                p = _rect(cy, cy + 2, cx, cx + 2)
+            polys.append(p)
+        A, B = polys
+        assert polys_intersect(A, B) == _sat_intersects(A, B), (A, B)
+
+
+def test_within_fuzz_rect_vs_intervals():
+    rng = np.random.default_rng(23)
+    for _ in range(200):
+        a = np.sort(rng.integers(-100, 100, 2))
+        b = np.sort(rng.integers(-100, 100, 2))
+        c = np.sort(rng.integers(-100, 100, 2))
+        d = np.sort(rng.integers(-100, 100, 2))
+        if a[0] == a[1] or b[0] == b[1] or c[0] == c[1] or d[0] == d[1]:
+            continue
+        A = _rect(a[0], a[1], b[0], b[1])
+        B = _rect(c[0], c[1], d[0], d[1])
+        want = (a[0] >= c[0] and a[1] <= c[1]
+                and b[0] >= d[0] and b[1] <= d[1])
+        assert poly_within(A, B) == want
+        want_i = (a[0] <= c[1] and a[1] >= c[0]
+                  and b[0] <= d[1] and b[1] >= d[0])
+        assert polys_intersect(A, B) == want_i
+
+
+N = 1500
+
+
+def _doc_rects(n):
+    """Deterministic per-doc rectangles in degrees (quarter-step grid)."""
+    i = np.arange(n, dtype=np.int64)
+    lat0 = ((i * 37) % 160) - 80.0
+    lat1 = lat0 + 1.0 + (i % 7) * 0.25
+    lon0 = ((i * 53) % 340) - 170.0
+    lon1 = lon0 + 1.0 + (i % 5) * 0.5
+    return lat0, lat1, lon0, lon1
+
+
+@pytest.fixture(scope="module")
+def shape_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    t = synth_transcripts(N, seed=81)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    lat0, lat1, lon0, lon1 = _doc_rects(N)
+    lats = [[lat0[i], lat0[i], lat1[i], lat1[i]] for i in range(N)]
+    lons = [[lon0[i], lon1[i], lon1[i], lon0[i]] for i in range(N)]
+    nulls = (np.arange(N) % 13) == 5
+    lats = [None if nulls[i] else lats[i] for i in range(N)]
+    st = st.append_column("shape_lats",
+                          pa.array(lats, type=pa.list_(pa.float64())))
+    st = st.append_column("shape_lons",
+                          pa.array(lons, type=pa.list_(pa.float64())))
+    d = str(tmp_path_factory.mktemp("shpidx"))
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=400,
+                shape_cols={"area": ("shape_lats", "shape_lons")},
+                input_desc="shpsynth")
+    rep = check_index(d)
+    assert rep["errors"] == []
+    return IndexSearcher(d), (lat0, lat1, lon0, lon1), nulls
+
+
+QBOX = (-10.1, 25.1, -30.1, 40.1)       # off the doc grid: no exact touches
+
+
+def _truth(rects, nulls, relation):
+    lat0, lat1, lon0, lon1 = rects
+    qy0, qy1, qx0, qx1 = QBOX
+    inter = (lat0 <= qy1) & (lat1 >= qy0) & (lon0 <= qx1) & (lon1 >= qx0)
+    within = (lat0 >= qy0) & (lat1 <= qy1) & (lon0 >= qx0) & (lon1 <= qx1)
+    contains = (lat0 <= qy0) & (lat1 >= qy1) & (lon0 <= qx0) & (lon1 >= qx1)
+    m = {"intersects": inter, "within": within, "contains": contains,
+         "disjoint": ~inter}[relation]
+    return m & ~nulls
+
+
+def test_shape_relations_end_to_end(shape_index):
+    s, rects, nulls = shape_index
+    for rel in ("intersects", "within", "contains", "disjoint"):
+        q = lat_lon_shape_box_query("area", rel, *QBOX)
+        td = s.search(q, k=N)
+        want = set(np.nonzero(_truth(rects, nulls, rel))[0].tolist())
+        assert {h.gid for h in td.hits} == want, rel
+        assert td.total_hits == len(want)
+
+
+def test_shape_polygon_query(shape_index):
+    """Non-rectangular query polygon (triangle) against the rect docs:
+    truth via the same predicates on raw coords (the engine decodes the
+    identical quantized values, so the sets agree)."""
+    from lucene_ray.search.geo import encode_latitude, encode_longitude
+
+    s, rects, nulls = shape_index
+    lat0, lat1, lon0, lon1 = rects
+    tri_lats, tri_lons = (-20.1, 60.3, -20.1), (-60.2, 0.3, 60.4)
+    td = s.search(LatLonShapeQuery("area", "intersects", tri_lats, tri_lons),
+                  k=N)
+    Q = np.stack([encode_latitude(np.asarray(tri_lats)),
+                  encode_longitude(np.asarray(tri_lons))], axis=1)
+    want = set()
+    for i in range(N):
+        if nulls[i]:
+            continue
+        A = np.stack([encode_latitude(np.array([lat0[i], lat0[i], lat1[i], lat1[i]])),
+                      encode_longitude(np.array([lon0[i], lon1[i], lon1[i], lon0[i]]))],
+                     axis=1)
+        if polys_intersect(A, Q):
+            want.add(i)
+    assert {h.gid for h in td.hits} == want
+
+
+def test_shape_deletes_and_merge(ray_session, tmp_path):
+    import ray.data as rd
+
+    from lucene_ray.index.deletes import delete_by_keys
+    from lucene_ray.index.merge import force_merge
+
+    n = 800
+    t = synth_transcripts(n, seed=82)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    lat0, lat1, lon0, lon1 = _doc_rects(n)
+    st = st.append_column("shape_lats", pa.array(
+        [[lat0[i], lat0[i], lat1[i], lat1[i]] for i in range(n)],
+        type=pa.list_(pa.float64())))
+    st = st.append_column("shape_lons", pa.array(
+        [[lon0[i], lon1[i], lon1[i], lon0[i]] for i in range(n)],
+        type=pa.list_(pa.float64())))
+    d = str(tmp_path / "shpm")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=200,
+                shape_cols={"area": ("shape_lats", "shape_lons")},
+                input_desc="shpm")
+    s = IndexSearcher(d)
+    q = lat_lon_shape_box_query("area", "intersects", *QBOX)
+    victims = s.search(q, k=30).hits[:30]
+    keys = pa.table({
+        "conv_id": pa.array([h.conv_id for h in victims]),
+        "turn_idx": pa.array([h.turn_idx for h in victims], type=pa.int32()),
+    })
+    delete_by_keys(d, keys)
+    gone = {h.gid for h in victims}
+    rects = (lat0, lat1, lon0, lon1)
+    live = ~np.isin(np.arange(n), list(gone))
+    want = set(np.nonzero(
+        _truth(rects, np.zeros(n, bool), "intersects") & live)[0].tolist())
+    assert {h.gid for h in IndexSearcher(d).search(q, k=n).hits} == want
+    force_merge(d, 1)
+    rep = check_index(d)
+    assert rep["errors"] == []
+    got = {h.gid for h in IndexSearcher(d).search(q, k=n).hits}
+    # gids changed by compaction: compare via counts + relation consistency
+    assert len(got) == len(want)
+    assert IndexSearcher(d).count(
+        lat_lon_shape_box_query("area", "disjoint", *QBOX)) \
+        == int(live.sum()) - len(want)
