@@ -48,7 +48,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_term_dictionary": index_term_dictionary,
         "index_bm25_topk": index_bm25_topk,
         "index_bm25_sql_topk": _index_bm25_sql_topk,
-        "index_diversified_topk": _lazy("index_diversified_topk"),
         "index_grouped_topk": _lazy("index_grouped_topk"),
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
@@ -59,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
         "index_delete_count": _lazy("index_delete_count"),
+        "index_delete_query_count": _lazy("index_delete_query_count"),
         "index_dv_update_count": _lazy("index_dv_update_count"),
         "index_range_count": _lazy("index_range_count"),
         "index_point_range_count": _lazy("index_point_range_count"),
@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
         "suggest_freetext": _suggest_freetext,
+        "index_diversified_topk": _lazy("index_diversified_topk"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_conv_children_count": _lazy("index_conv_children_count"),
         "index_highlight_topk": _lazy("index_highlight_topk"),
@@ -612,6 +613,16 @@ def oracle_sql() -> dict[str, str]:
         "index_expr_topk": _expr_sql(),
         "index_knn_filtered": _knn_filtered_sql(),
         "index_hybrid_rrf": _hybrid_rrf_sql(),
+        "index_delete_query_count": _TOKS + """
+            SELECT
+              (SELECT count(*) FROM toklists
+               WHERE list_contains(toks, 'merge')
+                 AND NOT (list_contains(toks, 'merge') AND doc_id <= 250)
+              )::BIGINT AS n_merge,
+              (SELECT count(*) FROM toklists
+               WHERE list_contains(toks, 'join')
+                 AND NOT (list_contains(toks, 'merge') AND doc_id <= 250)
+              )::BIGINT AS n_join""",
         "index_charfilter_count": """
             WITH ws AS (SELECT doc_id,
                                string_split(replace(text, 'fast', 'quick'),

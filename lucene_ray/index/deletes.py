@@ -87,3 +87,44 @@ def delete_by_keys(index_dir: str, keys: pa.Table, *,
                                    "text_col", "format")
             if k in commit}
     return commit_index(index_dir, new_shards, meta)
+
+
+def delete_by_query(index_dir: str, query) -> dict:
+    """IndexWriter.deleteDocuments(Query...) analogue
+    (`index/BufferedUpdatesStream.java` query-delete resolution): run the
+    query against every shard through the ordinary engine, OR the match
+    set into the next-generation live-docs bitmap, publish a new commit.
+    Like the reference, already-deleted docs stay deleted and statistics
+    keep counting them until a merge rewrites the segment."""
+    from ..search.searcher import IndexSearcher
+
+    commit = latest_commit(index_dir)
+    if commit is None:
+        raise FileNotFoundError(index_dir)
+    del_dir = os.path.join(index_dir, "deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    searcher = IndexSearcher(index_dir)
+    compiled = searcher.compile(query)
+    gen = commit["generation"] + 1
+    new_shards = []
+    for m in commit["shards"]:
+        rdr = searcher.reader(m["pid"])
+        _, docs, _, _ = searcher.search_shard(rdr, compiled, rdr.doc_count,
+                                              total_hits_threshold=2**31 - 1)
+        m = dict(m)
+        if len(docs):
+            deleted = np.zeros(m["doc_count"], dtype=bool)
+            old = m.get("del_file")
+            if old and os.path.exists(old):
+                deleted |= np.load(old)
+            deleted[docs] = True
+            path = os.path.join(del_dir, f"shard-{m['pid']:05d}-gen{gen}.npy")
+            np.save(path, deleted)
+            m["del_count"] = int(deleted.sum())
+            m["del_file"] = path
+        new_shards.append(m)
+    meta = {k: commit[k] for k in ("fingerprint", "input_desc", "split_points",
+                                   "key_cols", "keyword_cols", "docvalue_cols",
+                                   "token_filters", "text_col", "format")
+            if k in commit}
+    return commit_index(index_dir, new_shards, meta)

@@ -190,6 +190,34 @@ def index_bm25_topk(sf_dir: str, use_actors: bool = False) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
 
 
+def index_delete_query_count(sf_dir: str) -> pd.DataFrame:
+    """IndexWriter.deleteDocuments(Query) through the driver gate: build a
+    private index, delete every doc matching (merge AND ts <= cutoff), then
+    count 'merge' and 'join' over the survivors — SQL mirror applies the
+    same predicate."""
+    import shutil
+
+    from ..index.deletes import delete_by_query
+    from ..search.query import BooleanClause, BooleanQuery, RangeQuery, TermQuery
+    from ..search.query import FILTER as F, MUST as M
+    from ..sources.transcripts import BASE_TS_US
+
+    index_dir = index_dir_for(sf_dir) + "-delq"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ds = transcripts_from_documents(sf_dir)
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                docvalue_cols=("ts",), input_desc=f"documents@{sf_dir}+delq")
+    cutoff = BASE_TS_US + 250 * 1_000_000
+    delete_by_query(index_dir, BooleanQuery((
+        BooleanClause(TermQuery("merge"), M),
+        BooleanClause(RangeQuery("ts", None, cutoff), F))))
+    searcher = IndexSearcher(index_dir)
+    n_merge = searcher.count(TermQuery("merge"))
+    n_join = searcher.count(TermQuery("join"))
+    return pd.DataFrame({"n_merge": pd.Series([n_merge], dtype="int64"),
+                         "n_join": pd.Series([n_join], dtype="int64")})
+
+
 def index_delete_count(sf_dir: str) -> pd.DataFrame:
     """Live-docs deletions through the driver gate: build a private index,
     delete every doc with doc_id %% 7 == 0 (expressed as transcript keys),

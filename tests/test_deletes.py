@@ -140,3 +140,61 @@ def test_check_index_validates_deletes(idx):
     json.dump(c, open(latest, "w"))
     report2 = check_index(d, sample_terms=30)
     assert not report2["ok"]
+
+
+def test_delete_by_query(ray_session, tmp_path):
+    """deleteDocuments(Query): arbitrary query trees resolve to per-shard
+    live-docs updates; repeated deletes compose; merges drop the docs."""
+    import numpy as np
+    import ray.data as rd
+
+    import lucene_ray.analysis.standard as std
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.deletes import delete_by_query
+    from lucene_ray.index.merge import force_merge
+    from lucene_ray.search.query import (
+        FILTER,
+        MUST,
+        BooleanClause,
+        BooleanQuery,
+        RangeQuery,
+        TermQuery,
+        bool_query,
+    )
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    n = 1200
+    t = synth_transcripts(n, seed=91)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    d = str(tmp_path / "dbq")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=300,
+                docvalue_cols=("ts",), input_desc="dbq")
+    tokens = [set(std.analyze(x)) if x else set()
+              for x in st.column("text").to_pylist()]
+    ts = st.column("ts").cast("int64").to_numpy()
+    lo, hi = int(ts[100]), int(ts[700])
+    q_del = BooleanQuery((BooleanClause(TermQuery("merge"), MUST),
+                          BooleanClause(RangeQuery("ts", lo, hi), FILTER)))
+    delete_by_query(d, q_del)
+    gone = np.array([("merge" in tokens[i]) and lo <= ts[i] <= hi
+                     for i in range(n)])
+    s = IndexSearcher(d)
+    want_merge = sum(1 for i in range(n) if "merge" in tokens[i] and not gone[i])
+    assert s.count(TermQuery("merge")) == want_merge
+    # second delete composes with the first
+    delete_by_query(d, TermQuery("join"))
+    gone |= np.array(["join" in tk for tk in tokens])
+    s2 = IndexSearcher(d)
+    want_any = sum(1 for i in range(n)
+                   if not gone[i] and ("merge" in tokens[i] or "sort" in tokens[i]))
+    assert s2.count(bool_query(should=["merge", "sort"])) == want_any
+    assert s2.count(TermQuery("join")) == 0
+    # merge drops the deleted docs for real
+    force_merge(d, 1)
+    s3 = IndexSearcher(d)
+    assert s3.count(bool_query(should=["merge", "sort"])) == want_any
+    # merged commit carries exactly the surviving docs (searcher.doc_count
+    # is doc_count_field — docs with >= 1 term — so compare the commit)
+    assert int(s3.commit["doc_count"]) == int((~gone).sum())
+    assert all(m.get("del_count", 0) == 0 for m in s3.commit["shards"])
