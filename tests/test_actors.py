@@ -114,3 +114,49 @@ def test_actor_pool_nrt_refresh(ray_session, tmp_path_factory):
     assert after.total_hits >= before.total_hits
     assert svc.refresh() is False          # no newer generation
     svc.shutdown()
+
+
+def test_actor_parity_new_query_types(ray_session, tmp_path):
+    """Actor-pool vs local searcher for the round-4 query families (point /
+    geo / feature): identical hits and totals through the compiled-dict
+    shipping path."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.actors import QueryService
+    from lucene_ray.search.feature import FeatureQuery, encode_feature_value
+    from lucene_ray.search.geo import LatLonDistanceQuery, encode_latitude, \
+        encode_longitude
+    from lucene_ray.search.query import PointRangeQuery
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    import numpy as np
+    import pyarrow as pa
+
+    n = 1000
+    t = synth_transcripts(n, seed=44)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    i = np.arange(n, dtype=np.int64)
+    lat = (i % 180) - 90.0 + 0.25
+    lon = ((i * 3) % 360) - 180.0 + 0.25
+    st = st.append_column("lat_e", pa.array(encode_latitude(lat), type=pa.int64()))
+    st = st.append_column("lon_e", pa.array(encode_longitude(lon), type=pa.int64()))
+    st = st.append_column("f", pa.array(
+        encode_feature_value((i % 31 + 1).astype(np.float32)), type=pa.int64()))
+    d = str(tmp_path / "actgeo")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=300,
+                point_cols={"loc": ("lat_e", "lon_e"), "ts_pt": ("ts",)},
+                docvalue_cols=("f",), input_desc="actgeo")
+    svc = QueryService(d, num_actors=2)
+    s = IndexSearcher(d)
+    ts0 = int(st.column("ts").cast("int64")[200].as_py())
+    for q in (LatLonDistanceQuery("loc", 10.0, 10.0, 4_000_000.0),
+              PointRangeQuery("ts_pt", ts0, None),
+              FeatureQuery("f", "saturation", boost=2.0, pivot=5.0)):
+        a = svc.search(q, k=15)
+        b = s.search(q, k=15)
+        assert [h.gid for h in a.hits] == [h.gid for h in b.hits]
+        assert np.allclose([h.score for h in a.hits],
+                           [h.score for h in b.hits])
+        assert a.total_hits == b.total_hits
