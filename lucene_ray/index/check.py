@@ -28,7 +28,8 @@ from .postings import BLOCK_SIZE
 from .shard import ShardReader
 
 
-def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
+def check_index(index_dir: str, sample_terms: int | None = None,
+                exorcise: bool = False) -> dict:
     commit = latest_commit(index_dir)
     if commit is None:
         raise FileNotFoundError(f"no commit in {index_dir}")
@@ -193,5 +194,38 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
                     if got.get(k) != shard_stats.get(k)}
             errors.append(f"term_stats mismatch for {len(diff)} terms e.g. {sorted(diff)[:3]}")
 
-    return {"ok": not errors, "errors": errors,
-            "n_shards": len(commit["shards"]), "n_terms_checked": n_terms_checked}
+    result = {"ok": not errors, "errors": errors,
+              "n_shards": len(commit["shards"]),
+              "n_terms_checked": n_terms_checked}
+    if exorcise and errors:
+        # CheckIndex -exorcise (`index/CheckIndex.java` exorciseIndex):
+        # drop shards with per-shard corruption from the commit — LOSES
+        # their documents, exactly like the reference's last-resort tool.
+        # Commit-level errors (doc_base / aggregate / term_stats drift)
+        # don't condemn a shard; commit_index recomputes bases and totals.
+        import re as _re
+
+        bad = set()
+        for e in errors:
+            m_ = _re.match(r"shard (\d+)(?: |:)", e)
+            if m_ and "doc_base" not in e:
+                bad.add(int(m_.group(1)))
+        if bad:
+            from .manifest import commit_index
+
+            keep = [m for m in commit["shards"] if m["pid"] not in bad]
+            meta = {k: commit[k] for k in
+                    ("fingerprint", "input_desc", "split_points", "key_cols",
+                     "keyword_cols", "docvalue_cols", "token_filters",
+                     "text_col", "format") if k in commit}
+            new_commit = commit_index(index_dir, keep, meta)
+            # rebuild the merged term_stats store from the survivors so the
+            # collection statistics stay consistent with the new commit
+            from .build import merge_term_stats
+
+            merge_term_stats(index_dir, new_commit)
+            result["exorcised_pids"] = sorted(bad)
+            result["lost_docs"] = int(sum(m["doc_count"] for m in commit["shards"]
+                                          if m["pid"] in bad))
+            result["new_generation"] = new_commit["generation"]
+    return result

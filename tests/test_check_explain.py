@@ -61,3 +61,25 @@ def test_explain_non_matching_doc(idx):
     s = IndexSearcher(idx)
     ex = s.explain(bool_query(should=["zzzabsent"]), 0)
     assert not ex["match"] and ex["value"] == 0.0
+
+
+def test_check_index_exorcise(idx, tmp_path):
+    """-exorcise: a corrupt shard is dropped from the commit (losing its
+    docs); the surviving index is clean and searchable."""
+    import os
+    import shutil
+
+    bad = str(tmp_path / "exo")
+    shutil.copytree(idx, bad)
+    shards = sorted(os.listdir(os.path.join(bad, "shards")))
+    p = os.path.join(bad, "shards", shards[0], "norms.bin")
+    with open(p, "ab") as f:
+        f.write(b"\xff\xff\xff")
+    rep = check_index(bad, exorcise=True)
+    assert not rep["ok"]
+    assert rep["exorcised_pids"] and rep["lost_docs"] > 0
+    rep2 = check_index(bad)
+    assert rep2["ok"], rep2["errors"][:3]
+    assert rep2["n_shards"] == rep["n_shards"] - len(rep["exorcised_pids"])
+    s = IndexSearcher(bad)
+    assert s.count(bool_query(should=["merge"])) > 0
