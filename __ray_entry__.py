@@ -87,11 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_hybrid_rrf": _vs("index_hybrid_rrf"),
         # --- suggesters (FST-suggester surface) ---
         "suggest_analyzing": _suggest_analyzing,
+        "suggest_contexts": _suggest_contexts,
         # --- joins / percolator / multimodal / classification ---
         "bucketed_join": _bucketed_join,
         "percolate": _percolate,
         "percolate_ast": _percolate_ast,
-        "media_features": _media_features,
         "classify_naive_bayes": _classify_nb,
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         # --- family representatives (rest of each family after slot 50) ---
@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_conv_children_count": _lazy("index_conv_children_count"),
         "index_highlight_topk": _lazy("index_highlight_topk"),
+        "media_features": _media_features,
         "media_frames": _media_frames,
         "dedup_minhash": dedup.dedup_minhash,
         "index_knn_topk": _vs("index_knn_topk"),
@@ -203,6 +204,12 @@ def _suggest_analyzing(sf_dir):
     from lucene_ray.pipelines.suggesters import suggest_analyzing
 
     return suggest_analyzing(sf_dir)
+
+
+def _suggest_contexts(sf_dir):
+    from lucene_ray.pipelines.suggesters import suggest_contexts
+
+    return suggest_contexts(sf_dir)
 
 
 def _suggest_fuzzy(sf_dir):
@@ -870,6 +877,16 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT surface, weight FROM keyed
             WHERE starts_with(key, 'merge')
+            ORDER BY weight DESC, key ASC LIMIT 10""",
+        "suggest_contexts": """
+            WITH keyed AS (
+              SELECT text AS surface, n_chars::BIGINT AS weight, lang,
+                     array_to_string(list_transform(
+                         regexp_extract_all(text, '[A-Za-z0-9]+'),
+                         x -> lower(x)), chr(31)) AS key
+              FROM documents)
+            SELECT surface, weight FROM keyed
+            WHERE starts_with(key, 'merge') AND lang = 'en'
             ORDER BY weight DESC, key ASC LIMIT 10""",
         "media_features": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

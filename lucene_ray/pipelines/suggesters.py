@@ -16,15 +16,30 @@ CACHE_ROOT = "/tmp/lucene_ray_indexes"
 
 def _store_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(CACHE_ROOT, f"suggest_{tag}")
+    # v2: entries carry ContextSuggestField labels (the lang column)
+    d = os.path.join(CACHE_ROOT, f"suggest2_{tag}")
     if not os.path.exists(os.path.join(d, MANIFEST)):
         import ray.data
 
         ds = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
-            columns=["text", "n_chars"])
-        build_suggester(ds, d, text_col="text", weight_col="n_chars")
+            columns=["text", "n_chars", "lang"])
+        build_suggester(ds, d, text_col="text", weight_col="n_chars",
+                        contexts_col="lang")
     return d
+
+
+def suggest_contexts(sf_dir: str, prefix: str = "merge", ctx: str = "en",
+                     k: int = 10) -> pa.Table:
+    """Context-filtered completions (ContextQuery any-of over
+    ContextSuggestField labels): only suggestions carrying the ``ctx``
+    label, ranked by weight desc, key asc."""
+    s = Suggester(_store_dir(sf_dir))
+    got = s.lookup(prefix, k, exact_first=False, contexts={ctx})
+    return pa.table({
+        "surface": pa.array([g[0] for g in got], type=pa.string()),
+        "weight": pa.array([g[1] for g in got], type=pa.int64()),
+    })
 
 
 def train_freetext(sf_dir: str, max_order: int = 3, min_count: int = 1,

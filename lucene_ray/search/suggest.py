@@ -54,9 +54,14 @@ def analyzed_key(text: str) -> str:
 
 def build_suggester(ds, out_dir: str, *, text_col: str = "text",
                     weight_col: str = "weight",
+                    contexts_col: str | None = None,
                     num_partitions: int | None = None) -> dict:
     """Build a sorted suggester store from a Ray Dataset of
-    (text_col, weight_col) rows.  Returns the manifest dict."""
+    (text_col, weight_col[, contexts_col]) rows.  ``contexts_col`` (a
+    string or list<string> column) attaches ContextSuggestField-style
+    labels to each suggestion; context-filtered lookups keep only entries
+    sharing at least one label (ContextQuery any-of semantics).  Returns
+    the manifest dict."""
     from ..analysis.standard import tokenize_column
 
     def _key_batch(t: pa.Table) -> pa.Table:
@@ -65,11 +70,20 @@ def build_suggester(ds, out_dir: str, *, text_col: str = "text",
         starts = np.concatenate(([0], np.cumsum(lengths)))
         keys = [SEP.join(toks[starts[i]:starts[i + 1]])
                 for i in range(len(lengths))]
-        out = pa.table({
+        cols = {
             "key": pa.array(keys, type=pa.string()),
             "surface": pa.compute.cast(t.column(text_col), pa.string()),
             "weight": pa.compute.cast(t.column(weight_col), pa.int64()),
-        })
+        }
+        if contexts_col is not None:
+            c = t.column(contexts_col).combine_chunks()
+            if pa.types.is_string(c.type):
+                n = len(c)
+                c = pa.ListArray.from_arrays(
+                    pa.array(np.arange(n + 1, dtype=np.int32)),
+                    pa.compute.cast(c, pa.string()))
+            cols["contexts"] = c
+        out = pa.table(cols)
         return out.filter(pa.compute.not_equal(out.column("key"), ""))
 
     keyed = ds.map_batches(_key_batch, batch_format="pyarrow")
@@ -141,9 +155,14 @@ class Suggester:
         got = self._cache.get(fn)
         if got is None:
             t = pq.read_table(os.path.join(self.dir, fn))
+            ctx = None
+            if "contexts" in t.column_names:
+                ctx = np.asarray([set(x) if x is not None else set()
+                                  for x in t.column("contexts").to_pylist()],
+                                 dtype=object)
             got = (np.asarray(t.column("key"), dtype=object).astype(str),
                    np.asarray(t.column("surface"), dtype=object),
-                   t.column("weight").to_numpy())
+                   t.column("weight").to_numpy(), ctx)
             self._cache[fn] = got
         return got
 
@@ -153,18 +172,25 @@ class Suggester:
                 yield self._shard(s["file"])
 
     def lookup(self, query: str, num: int = 5,
-               exact_first: bool = True) -> list[tuple[str, int]]:
+               exact_first: bool = True,
+               contexts: set | None = None) -> list[tuple[str, int]]:
         """Completions for the analyzed prefix of `query`, ranked by
-        (exact match first, weight desc, key asc)."""
+        (exact match first, weight desc, key asc).  ``contexts`` keeps only
+        entries sharing at least one label (ContextQuery any-of —
+        `suggest/document/ContextQuery.java` filter mode over
+        ContextSuggestField labels)."""
         kq = analyzed_key(query)
         if not kq:
             return []
         hi = kq + "￿"
         out = []
-        for keys, surfaces, weights in self._candidates(kq, hi):
+        for keys, surfaces, weights, ctxs in self._candidates(kq, hi):
             lo_i = int(np.searchsorted(keys, kq, side="left"))
             hi_i = int(np.searchsorted(keys, hi, side="left"))
             for i in range(lo_i, hi_i):
+                if contexts is not None and (
+                        ctxs is None or not (ctxs[i] & contexts)):
+                    continue
                 out.append((keys[i], str(surfaces[i]), int(weights[i])))
         out.sort(key=lambda x: (not (exact_first and x[0] == kq),
                                 -x[2], x[0]))
@@ -188,7 +214,7 @@ class Suggester:
         seen: dict[tuple[str, str], int] = {}
         decided: dict[str, bool] = {}
         probe = len(kq) + max_edits
-        for keys, surfaces, weights in self._candidates(lo_key, hi_key):
+        for keys, surfaces, weights, _ctxs in self._candidates(lo_key, hi_key):
             lo_i = int(np.searchsorted(keys, lo_key, side="left"))
             hi_i = int(np.searchsorted(keys, hi_key, side="left"))
             for i in range(lo_i, hi_i):
@@ -220,7 +246,7 @@ class Suggester:
         qtoks = kq.split(SEP)
         exact, last = qtoks[:-1], qtoks[-1]
         for s in self.manifest["shards"]:
-            keys, surfaces, weights = self._shard(s["file"])
+            keys, surfaces, weights, _ctxs = self._shard(s["file"])
             for i in range(len(keys)):
                 ktoks = keys[i].split(SEP)
                 first = None

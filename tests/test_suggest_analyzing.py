@@ -123,3 +123,40 @@ def test_shard_pruning_only_touches_candidates(sugg):
     for fn in loaded:
         meta = next(m for m in s2.manifest["shards"] if m["file"] == fn)
         assert meta["max"] >= "zebra"
+
+
+def test_contexts_filter(ray_session, tmp_path):
+    """ContextSuggestField labels + ContextQuery any-of filtering."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.search.suggest import Suggester, build_suggester
+
+    t = pa.table({
+        "text": ["merge sort", "merge join", "merge tree", "other thing"],
+        "weight": [5, 9, 7, 3],
+        "ctx": [["en"], ["en", "de"], ["fr"], ["en"]],
+    })
+    d = str(tmp_path / "ctxsugg")
+    build_suggester(rd.from_arrow(t), d, text_col="text",
+                    weight_col="weight", contexts_col="ctx")
+    s = Suggester(d)
+    # unfiltered: all three merge-* entries by weight desc
+    assert [x[0] for x in s.lookup("merge", 5, exact_first=False)] == \
+        ["merge join", "merge tree", "merge sort"]
+    assert [x[0] for x in s.lookup("merge", 5, exact_first=False,
+                                   contexts={"en"})] == \
+        ["merge join", "merge sort"]
+    assert [x[0] for x in s.lookup("merge", 5, exact_first=False,
+                                   contexts={"de", "fr"})] == \
+        ["merge join", "merge tree"]
+    assert s.lookup("merge", 5, contexts={"zz"}) == []
+    # a plain string contexts column works too (single label per entry)
+    t2 = t.drop_columns(["ctx"]).append_column(
+        "ctx", pa.array(["en", "en", "fr", "en"], type=pa.string()))
+    d2 = str(tmp_path / "ctxsugg2")
+    build_suggester(rd.from_arrow(t2), d2, text_col="text",
+                    weight_col="weight", contexts_col="ctx")
+    s2 = Suggester(d2)
+    assert [x[0] for x in s2.lookup("merge", 5, exact_first=False,
+                                    contexts={"fr"})] == ["merge tree"]
