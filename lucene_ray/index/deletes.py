@@ -96,31 +96,56 @@ def delete_by_query(index_dir: str, query) -> dict:
     set into the next-generation live-docs bitmap, publish a new commit.
     Like the reference, already-deleted docs stay deleted and statistics
     keep counting them until a merge rewrites the segment."""
-    from ..search.searcher import IndexSearcher
+    import ray
 
     commit = latest_commit(index_dir)
     if commit is None:
         raise FileNotFoundError(index_dir)
     del_dir = os.path.join(index_dir, "deletes")
     os.makedirs(del_dir, exist_ok=True)
-    searcher = IndexSearcher(index_dir)
-    compiled = searcher.compile(query)
     gen = commit["generation"] + 1
-    new_shards = []
-    for m in commit["shards"]:
-        rdr = searcher.reader(m["pid"])
-        _, docs, _, _ = searcher.search_shard(rdr, compiled, rdr.doc_count,
-                                              total_hits_threshold=2**31 - 1)
-        m = dict(m)
-        if len(docs):
+
+    @ray.remote
+    def mark(pids: list[int]):
+        # one searcher per task, scoped to its shard group (mmaps only the
+        # shards it touches) — the per-segment resolution runs in parallel
+        # across the cluster instead of a driver loop
+        from ..search.searcher import IndexSearcher
+
+        searcher = IndexSearcher(index_dir, query_cache=False)
+        compiled = searcher.compile(query)
+        out = []
+        for pid in pids:
+            rdr = searcher.reader(pid)
+            _, docs, _, _ = searcher.search_shard(
+                rdr, compiled, rdr.doc_count, total_hits_threshold=2**31 - 1)
+            if len(docs) == 0:
+                out.append((pid, None, None))
+                continue
+            m = next(s for s in searcher.commit["shards"] if s["pid"] == pid)
             deleted = np.zeros(m["doc_count"], dtype=bool)
             old = m.get("del_file")
             if old and os.path.exists(old):
                 deleted |= np.load(old)
             deleted[docs] = True
-            path = os.path.join(del_dir, f"shard-{m['pid']:05d}-gen{gen}.npy")
+            path = os.path.join(del_dir, f"shard-{pid:05d}-gen{gen}.npy")
             np.save(path, deleted)
-            m["del_count"] = int(deleted.sum())
+            out.append((pid, int(deleted.sum()), path))
+        return out
+
+    pids = [m["pid"] for m in commit["shards"]]
+    n_tasks = max(1, min(len(pids), int(ray.cluster_resources().get("CPU", 8))))
+    groups = [pids[i::n_tasks] for i in range(n_tasks) if pids[i::n_tasks]]
+    results = {}
+    for part in ray.get([mark.remote(g) for g in groups]):
+        for pid, n, path in part:
+            results[pid] = (n, path)
+    new_shards = []
+    for m in commit["shards"]:
+        m = dict(m)
+        n, path = results[m["pid"]]
+        if path is not None:
+            m["del_count"] = n
             m["del_file"] = path
         new_shards.append(m)
     meta = {k: commit[k] for k in ("fingerprint", "input_desc", "split_points",
