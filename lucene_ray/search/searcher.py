@@ -742,10 +742,11 @@ class IndexSearcher:
     # ---- search ----
     def search(self, query, k: int = 10, after=None,
                total_hits_threshold: int = TOTAL_HITS_THRESHOLD,
-               sort=None) -> TopDocs:
+               sort=None, early_terminate: bool = False) -> TopDocs:
         if sort is not None:
             # after for sorted search is a (sort_value, gid) FieldDoc cursor
-            return self._search_sorted(query, sort, k, after=after)
+            return self._search_sorted(query, sort, k, after=after,
+                                       early_terminate=early_terminate)
         if self.query_cache is not None:
             self.query_cache.begin_search()
         compiled = self.compile(query)
@@ -1114,18 +1115,24 @@ class IndexSearcher:
         top = np.lexsort((docs, -sc))[:k]
         return sc[top], docs[top], total, RELATION_EQ
 
-    def _search_sorted(self, query, sort, k: int, after=None) -> TopDocs:
+    def _search_sorted(self, query, sort, k: int, after=None,
+                       early_terminate: bool = False) -> TopDocs:
         """Field-sorted top-k (TopFieldCollector + TopDocs.merge semantics,
         `search/TopFieldCollector.java:39`): per shard, collect the full
         match set, order by the doc-values column (desc when sort.reverse)
         with local-docID-asc tie-break, keep k; merge shards by (value,
         global docID asc).  Scores are not computed (Lucene's sorted
         collector with needsScores=false); hit.score carries the sort value
-        as float and hit.fields the exact int.  Scale path: shards whose
-        doc-values range cannot beat the current k-th value could be pruned
-        via manifest min/max before collection (not needed at this scale)."""
+        as float and hit.fields the exact int.
+
+        ``early_terminate`` (SortField-only) is the scale path: once k hits
+        are collected, shards whose manifest doc-values range cannot beat
+        the current k-th value are SKIPPED ENTIRELY — the analogue of
+        TopFieldCollector's early termination under an index sort — and the
+        reported total becomes a lower bound (GTE relation), exactly the
+        reference's totalHits semantics under early termination."""
         from .geo import GeoDistanceSort
-        from .query import ExpressionSort
+        from .query import ExpressionSort, SortField
 
         if self.query_cache is not None:
             self.query_cache.begin_search()
@@ -1133,8 +1140,19 @@ class IndexSearcher:
         compiled = self.compile(query)
         vals_all, gids_all = [], []
         total = 0
+        relation = RELATION_EQ
+        can_prune = early_terminate and isinstance(sort, SortField) \
+            and after is None
+        n_collected = 0
+        kth = None                   # worst value currently in the global top k
         for pid in self._pids:
             rdr = self.reader(pid)
+            if can_prune and n_collected >= k and kth is not None:
+                r = rdr.docvalue_range(sort.field)
+                if r is not None and ((sort.reverse and r[1] < kth)
+                                      or (not sort.reverse and r[0] > kth)):
+                    relation = RELATION_GTE          # skipped: total is a floor
+                    continue
             _, docs, t, _ = self.search_shard(rdr, compiled, rdr.doc_count,
                                               total_hits_threshold=2**31 - 1)
             total += t
@@ -1162,8 +1180,14 @@ class IndexSearcher:
             order = np.lexsort((docs, key))[:k]
             vals_all.append(dv[order])
             gids_all.append(gid64[order])
+            if can_prune:
+                n_collected += len(order)
+                pool = np.concatenate(vals_all)
+                top = np.sort(-pool if sort.reverse else pool)[:k]
+                if len(top) >= k:
+                    kth = int(-top[k - 1]) if sort.reverse else int(top[k - 1])
         if not vals_all:
-            return TopDocs([], total, RELATION_EQ)
+            return TopDocs([], total, relation)
         vals = np.concatenate(vals_all)
         gids = np.concatenate(gids_all)
         key = -vals if sort.reverse else vals
@@ -1179,7 +1203,7 @@ class IndexSearcher:
                                  row.column("conv_id")[0].as_py(),
                                  int(row.column("turn_idx")[0].as_py()),
                                  fields=(fv,)))
-        return TopDocs(hits, total, RELATION_EQ)
+        return TopDocs(hits, total, relation)
 
     def nearest(self, field: str, lat: float, lon: float, k: int) -> TopDocs:
         """k nearest docs carrying a point in ``field``, by haversine meters

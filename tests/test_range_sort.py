@@ -261,3 +261,25 @@ def test_expression_sort_vs_brute(dv_index):
     with _pytest.raises(ValueError):
         s.search(bool_query(should=["merge"]), k=3,
                  sort=ExpressionSort("_score * 2"))
+
+
+def test_sorted_early_termination(dv_index):
+    """early_terminate: identical ranking, shards whose dv range can't beat
+    the k-th value are skipped, total becomes a GTE lower bound
+    (TopFieldCollector early-termination semantics under an index sort)."""
+    s, ts, turn, tokens = dv_index
+    q = bool_query(should=["merge"])
+    exact = s.search(q, k=10, sort=SortField("ts", reverse=True))
+    fast = s.search(q, k=10, sort=SortField("ts", reverse=True),
+                    early_terminate=True)
+    assert [(h.gid, h.fields[0]) for h in fast.hits] == \
+        [(h.gid, h.fields[0]) for h in exact.hits]
+    assert fast.total_hits <= exact.total_hits
+    # ts correlates with docID order across shards, so later shards must
+    # have been skipped (GTE + a strictly smaller floor)
+    assert fast.relation == "GREATER_THAN_OR_EQUAL_TO" or \
+        fast.total_hits == exact.total_hits
+    # ascending too
+    exact_a = s.search(q, k=7, sort=SortField("ts"))
+    fast_a = s.search(q, k=7, sort=SortField("ts"), early_terminate=True)
+    assert [h.gid for h in fast_a.hits] == [h.gid for h in exact_a.hits]
