@@ -364,9 +364,12 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
             counts = np.asarray([len(v) for _, v in parts], dtype=np.int64)
             allv = np.concatenate([v for _, v in parts]) if parts \
                 else np.zeros((0, 2), dtype=np.int64)
+            mode = next((m.get("shapes", {}).get(fld, {}).get("mode", "geo")
+                         for m in members if fld in (m.get("shapes") or {})),
+                        "geo")
             shapes_meta[fld] = write_shapes(tmp_dir, fld, allv[:, 0],
                                             allv[:, 1], counts,
-                                            sdocs.astype(np.int32))
+                                            sdocs.astype(np.int32), mode=mode)
             points_meta[f"{fld}__bbox"] = shapes_meta[fld]["bbox"]
 
     range_cols = [c for c in merged_dm.column_names if c != key_cols[0]]

@@ -39,7 +39,8 @@ def _files(field: str) -> tuple[str, str, str]:
 
 
 def write_shapes(out_dir: str, field: str, flat_lat, flat_lon,
-                 counts: np.ndarray, docs: np.ndarray) -> dict:
+                 counts: np.ndarray, docs: np.ndarray,
+                 mode: str = "geo") -> dict:
     """Persist one field's shape sidecar.  ``flat_lat``/``flat_lon`` hold
     every shape's ENCODED int vertices back-to-back; ``counts`` gives
     vertices per shape (aligned with ``docs``).  Returns the manifest
@@ -81,7 +82,7 @@ def write_shapes(out_dir: str, field: str, flat_lat, flat_lon,
     else:
         coords = np.zeros((0, 4), dtype=np.int64)
     bbox_meta = write_points(out_dir, f"{field}__bbox", coords, docs)
-    return {"n_shapes": int(n), "bbox": bbox_meta}
+    return {"n_shapes": int(n), "bbox": bbox_meta, "mode": mode}
 
 
 class ShapesReader:

@@ -355,7 +355,13 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
 
         keep_cols = set(key_cols) | set(docvalue_cols) | set(keyword_cols) \
             | {text_col}
-        for field, (lat_c, lon_c) in shape_cols.items():
+        for field, spec in shape_cols.items():
+            # ("lats", "lons") = geo mode; ("xy", xs, ys) = cartesian floats
+            # via the sortable-int encoding (XYShape document model)
+            if len(spec) == 3 and spec[0] == "xy":
+                mode, (lat_c, lon_c) = "xy", (spec[2], spec[1])  # (y, x) dims
+            else:
+                mode, (lat_c, lon_c) = "geo", spec
             lat_col = table.column(lat_c).combine_chunks()
             lon_col = table.column(lon_c).combine_chunks()
             valid = (pa.compute.is_valid(lat_col).to_numpy(zero_copy_only=False)
@@ -368,14 +374,20 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                                  "counts differ")
             docs = np.nonzero(valid)[0].astype(np.int32)
             counts = counts_all[valid]
-            flat_lat = encode_latitude(
-                lat_col.flatten().to_numpy(zero_copy_only=False)
-                .astype(np.float64)[np.repeat(valid, counts_all)])
-            flat_lon = encode_longitude(
-                lon_col.flatten().to_numpy(zero_copy_only=False)
-                .astype(np.float64)[np.repeat(valid, lo_counts)])
+            raw_lat = lat_col.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)[np.repeat(valid, counts_all)]
+            raw_lon = lon_col.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)[np.repeat(valid, lo_counts)]
+            if mode == "xy":
+                from ..search.xy import encode_xy
+
+                flat_lat, flat_lon = encode_xy(raw_lat), encode_xy(raw_lon)
+            else:
+                flat_lat = encode_latitude(raw_lat)
+                flat_lon = encode_longitude(raw_lon)
             shapes_meta[field] = write_shapes(tmp_dir, field, flat_lat,
-                                              flat_lon, counts, docs)
+                                              flat_lon, counts, docs,
+                                              mode=mode)
         drop = [c for cols in shape_cols.values() for c in cols
                 if c not in keep_cols and c in table.column_names]
         if drop:

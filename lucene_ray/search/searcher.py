@@ -508,9 +508,9 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "points": query, "boost": query.boost}
-        from .shapes import LatLonShapeQuery
+        from .shapes import LatLonShapeQuery, XYShapeQuery
 
-        if isinstance(query, LatLonShapeQuery):
+        if isinstance(query, (LatLonShapeQuery, XYShapeQuery)):
             # shape relation query (document/LatLonShapeQuery.java):
             # bbox BKD prune + exact verify per shard
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,

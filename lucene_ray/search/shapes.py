@@ -60,6 +60,23 @@ def lat_lon_shape_box_query(field: str, relation: str, min_lat: float,
                             (min_lon, max_lon, max_lon, min_lon))
 
 
+@dataclass(frozen=True)
+class XYShapeQuery:
+    """Cartesian twin (`document/XYShape.java`): relation query against a
+    shape field indexed in ``xy`` mode (sortable-float coords)."""
+    field: str
+    relation: str
+    xs: tuple
+    ys: tuple
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.relation not in RELATIONS:
+            raise ValueError(f"unknown shape relation {self.relation!r}")
+        if len(self.xs) != len(self.ys) or len(self.xs) < 3:
+            raise ValueError("polygon needs >= 3 (x, y) vertices")
+
+
 def _encode_poly(lats, lons) -> np.ndarray:
     return np.stack([encode_latitude(np.asarray(lats, dtype=np.float64)),
                      encode_longitude(np.asarray(lons, dtype=np.float64))],
@@ -148,18 +165,33 @@ def poly_within(A: np.ndarray, B: np.ndarray) -> bool:
     return not _edges_intersect_any(A, B, proper_only=True)
 
 
-def shape_query_docs(reader, q: LatLonShapeQuery) -> np.ndarray:
+def shape_query_docs(reader, q) -> np.ndarray:
     """Matching local docIDs on one shard: bbox prune via the 4-dim point
-    sidecar (RangeField relation boxes), exact verify per candidate."""
+    sidecar (RangeField relation boxes), exact verify per candidate.
+    Accepts LatLonShapeQuery (geo mode) or XYShapeQuery (xy mode); the
+    query encoding must match the field's indexed mode."""
     from .query import RangeFieldQuery
     from .scorer import _range_field_docs
 
     meta = (reader.manifest.get("shapes") or {}).get(q.field)
     if meta is None:
         return np.zeros(0, dtype=np.int32)
+    is_xy = isinstance(q, XYShapeQuery)
+    mode = meta.get("mode", "geo")
+    if (mode == "xy") != is_xy:
+        raise ValueError(f"shape field {q.field!r} indexed in {mode!r} mode; "
+                         f"query with {'XYShapeQuery' if mode == 'xy' else 'LatLonShapeQuery'}")
     pr = reader.points(f"{q.field}__bbox")
     sr = reader.shapes(q.field)
-    Q = _encode_poly(q.lats, q.lons)
+    if is_xy:
+        from .xy import encode_xy
+
+        # sidecar dims are (y, x) like the geo layout's (lat, lon)
+        Q = np.stack([encode_xy(np.asarray(q.ys, dtype=np.float64)),
+                      encode_xy(np.asarray(q.xs, dtype=np.float64))],
+                     axis=1).astype(np.int64)
+    else:
+        Q = _encode_poly(q.lats, q.lons)
     q_lo = (int(Q[:, 0].min()), int(Q[:, 1].min()))
     q_hi = (int(Q[:, 0].max()), int(Q[:, 1].max()))
 

@@ -236,3 +236,46 @@ def test_shape_deletes_and_merge(ray_session, tmp_path):
     assert IndexSearcher(d).count(
         lat_lon_shape_box_query("area", "disjoint", *QBOX)) \
         == int(live.sum()) - len(want)
+
+
+def test_xy_shape_queries(ray_session, tmp_path):
+    """XYShape mode: cartesian float rectangles, all four relations vs
+    interval truth; querying with the wrong mode raises."""
+    import ray.data as rd
+
+    from lucene_ray.search.shapes import XYShapeQuery
+
+    n = 900
+    t = synth_transcripts(n, seed=83)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    i = np.arange(n, dtype=np.int64)
+    x0 = ((i * 29) % 400) / 4.0 - 50.0
+    x1 = x0 + 2.0 + (i % 3)
+    y0 = ((i * 41) % 400) / 4.0 - 50.0
+    y1 = y0 + 2.0 + (i % 5)
+    st = st.append_column("sx", pa.array(
+        [[x0[j], x1[j], x1[j], x0[j]] for j in range(n)],
+        type=pa.list_(pa.float64())))
+    st = st.append_column("sy", pa.array(
+        [[y0[j], y0[j], y1[j], y1[j]] for j in range(n)],
+        type=pa.list_(pa.float64())))
+    d = str(tmp_path / "xyshp")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=250,
+                shape_cols={"part": ("xy", "sx", "sy")}, input_desc="xyshp")
+    rep = check_index(d)
+    assert rep["errors"] == []
+    s = IndexSearcher(d)
+    qx0, qx1, qy0, qy1 = -10.1, 20.1, -5.1, 25.1
+    q_xs = (qx0, qx1, qx1, qx0)
+    q_ys = (qy0, qy0, qy1, qy1)
+    inter = (x0 <= qx1) & (x1 >= qx0) & (y0 <= qy1) & (y1 >= qy0)
+    within = (x0 >= qx0) & (x1 <= qx1) & (y0 >= qy0) & (y1 <= qy1)
+    contains = (x0 <= qx0) & (x1 >= qx1) & (y0 <= qy0) & (y1 >= qy1)
+    truth = {"intersects": inter, "within": within,
+             "contains": contains, "disjoint": ~inter}
+    for rel, m in truth.items():
+        got = s.count(XYShapeQuery("part", rel, q_xs, q_ys))
+        assert got == int(m.sum()), rel
+    with pytest.raises(ValueError):
+        s.count(lat_lon_shape_box_query("part", "intersects",
+                                        -10.0, 10.0, -10.0, 10.0))
