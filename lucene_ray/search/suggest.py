@@ -198,26 +198,31 @@ class Suggester:
 
     def lookup_fuzzy(self, query: str, num: int = 5, *,
                      max_edits: int = 1, non_fuzzy_prefix: int = 1,
-                     min_fuzzy_length: int = 3) -> list[tuple[str, int]]:
+                     min_fuzzy_length: int = 3,
+                     contexts: set | None = None) -> list[tuple[str, int]]:
         """FuzzySuggester lookup: like `lookup` but the analyzed query may
         differ from the key prefix by up to `max_edits` edits past the
         first `non_fuzzy_prefix` chars; queries shorter than
-        `min_fuzzy_length` fall back to exact prefix matching."""
+        `min_fuzzy_length` fall back to exact prefix matching.
+        ``contexts`` filters like `lookup`."""
         kq = analyzed_key(query)
         if not kq:
             return []
         if len(kq) < min_fuzzy_length:
-            return self.lookup(query, num)
+            return self.lookup(query, num, contexts=contexts)
         fixed = kq[:non_fuzzy_prefix]
         lo_key, hi_key = fixed, fixed + "￿"
         exact = kq
         seen: dict[tuple[str, str], int] = {}
         decided: dict[str, bool] = {}
         probe = len(kq) + max_edits
-        for keys, surfaces, weights, _ctxs in self._candidates(lo_key, hi_key):
+        for keys, surfaces, weights, ctxs in self._candidates(lo_key, hi_key):
             lo_i = int(np.searchsorted(keys, lo_key, side="left"))
             hi_i = int(np.searchsorted(keys, hi_key, side="left"))
             for i in range(lo_i, hi_i):
+                if contexts is not None and (
+                        ctxs is None or not (ctxs[i] & contexts)):
+                    continue
                 k = keys[i]
                 pref = k[:probe]
                 ok = decided.get(pref)

@@ -160,3 +160,22 @@ def test_contexts_filter(ray_session, tmp_path):
     s2 = Suggester(d2)
     assert [x[0] for x in s2.lookup("merge", 5, exact_first=False,
                                     contexts={"fr"})] == ["merge tree"]
+
+
+def test_contexts_filter_fuzzy(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.search.suggest import Suggester, build_suggester
+
+    t = pa.table({
+        "text": ["merge sort", "merge join", "marge tree"],
+        "weight": [5, 9, 7],
+        "ctx": [["en"], ["de"], ["en"]],
+    })
+    d = str(tmp_path / "ctxfz")
+    build_suggester(rd.from_arrow(t), d, text_col="text",
+                    weight_col="weight", contexts_col="ctx")
+    s = Suggester(d)
+    got = s.lookup_fuzzy("merg", 5, contexts={"en"})
+    assert [x[0] for x in got] == ["marge tree", "merge sort"]
