@@ -268,7 +268,8 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
             for i in keep_idx:
                 nd = old2new[sdocs[i]] if deleted is not None else sdocs[i]
                 shp_parts.setdefault(fld, []).append(
-                    (int(nd + base), verts[offs[i]:offs[i + 1]]))
+                    (int(nd + base), verts[offs[i]:offs[i + 1]],
+                     sr.ring_sizes(int(i))))
         base += n_live
 
     n_docs = base
@@ -360,16 +361,19 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
         from .shapes import write_shapes
 
         for fld, parts in sorted(shp_parts.items()):
-            sdocs = sort_map[np.asarray([d for d, _ in parts], dtype=np.int64)]
-            counts = np.asarray([len(v) for _, v in parts], dtype=np.int64)
-            allv = np.concatenate([v for _, v in parts]) if parts \
+            sdocs = sort_map[np.asarray([d for d, _, _ in parts],
+                                        dtype=np.int64)]
+            counts = np.asarray([len(v) for _, v, _ in parts], dtype=np.int64)
+            allv = np.concatenate([v for _, v, _ in parts]) if parts \
                 else np.zeros((0, 2), dtype=np.int64)
+            ring_sizes = [r for _, _, r in parts]
             mode = next((m.get("shapes", {}).get(fld, {}).get("mode", "geo")
                          for m in members if fld in (m.get("shapes") or {})),
                         "geo")
             shapes_meta[fld] = write_shapes(tmp_dir, fld, allv[:, 0],
                                             allv[:, 1], counts,
-                                            sdocs.astype(np.int32), mode=mode)
+                                            sdocs.astype(np.int32), mode=mode,
+                                            ring_sizes=ring_sizes or None)
             points_meta[f"{fld}__bbox"] = shapes_meta[fld]["bbox"]
 
     range_cols = [c for c in merged_dm.column_names if c != key_cols[0]]

@@ -364,6 +364,41 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 mode, (lat_c, lon_c) = "geo", spec
             lat_col = table.column(lat_c).combine_chunks()
             lon_col = table.column(lon_c).combine_chunks()
+            if pa.types.is_list(lat_col.type.value_type) or \
+                    pa.types.is_large_list(lat_col.type.value_type):
+                # list<list<float>>: ring 0 = outer, rest = holes
+                # (`geo/Polygon.java` holes); row-wise extraction — the
+                # holes path is opt-in, flat single-ring stays vectorized
+                lat_rows = lat_col.to_pylist()
+                lon_rows = lon_col.to_pylist()
+                docs_l, counts_l, sizes_l, flat_la, flat_lo = [], [], [], [], []
+                for i, (la, lo) in enumerate(zip(lat_rows, lon_rows)):
+                    if la is None or lo is None:
+                        continue
+                    sizes = [len(r) for r in la]
+                    if [len(r) for r in lo] != sizes:
+                        raise ValueError(f"shape field {field}: lat/lon "
+                                         "ring sizes differ")
+                    docs_l.append(i)
+                    counts_l.append(sum(sizes))
+                    sizes_l.append(np.asarray(sizes, dtype=np.int64))
+                    flat_la.extend(v for r in la for v in r)
+                    flat_lo.extend(v for r in lo for v in r)
+                raw_lat = np.asarray(flat_la, dtype=np.float64)
+                raw_lon = np.asarray(flat_lo, dtype=np.float64)
+                if mode == "xy":
+                    from ..search.xy import encode_xy
+
+                    e_lat, e_lon = encode_xy(raw_lat), encode_xy(raw_lon)
+                else:
+                    e_lat = encode_latitude(raw_lat)
+                    e_lon = encode_longitude(raw_lon)
+                shapes_meta[field] = write_shapes(
+                    tmp_dir, field, e_lat, e_lon,
+                    np.asarray(counts_l, dtype=np.int64),
+                    np.asarray(docs_l, dtype=np.int32), mode=mode,
+                    ring_sizes=sizes_l or None)
+                continue
             valid = (pa.compute.is_valid(lat_col).to_numpy(zero_copy_only=False)
                      & pa.compute.is_valid(lon_col).to_numpy(zero_copy_only=False))
             la_off = lat_col.offsets.to_numpy().astype(np.int64)

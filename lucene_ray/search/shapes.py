@@ -85,8 +85,15 @@ def _encode_poly(lats, lons) -> np.ndarray:
 
 def _contains_points(poly: np.ndarray, pts: np.ndarray) -> np.ndarray:
     """Boundary-inclusive even-odd containment of ``pts`` (n, 2) in
-    ``poly`` (k, 2), both encoded ints.  Integer arithmetic throughout
-    (object dtype for the cross products — values can exceed int64)."""
+    ``poly`` (k, 2), both encoded ints."""
+    inside, on_edge = _containment(poly, pts)
+    return inside | on_edge
+
+
+def _containment(poly: np.ndarray, pts: np.ndarray):
+    """(strictly-ish inside by even-odd, on-an-edge) masks for ``pts`` in
+    ring ``poly``.  Integer arithmetic throughout (object dtype for the
+    cross products — values can exceed int64)."""
     x = pts[:, 1].astype(object)
     y = pts[:, 0].astype(object)
     inside = np.zeros(len(pts), dtype=bool)
@@ -107,7 +114,45 @@ def _contains_points(poly: np.ndarray, pts: np.ndarray) -> np.ndarray:
             rhs = (y - y1) * (x2 - x1)
             cmp = (lhs < rhs) if (y2 - y1) > 0 else (lhs > rhs)
             inside ^= spans & cmp
-    return inside | on_edge
+    return inside, on_edge
+
+
+def shape_contains_points(rings: list, pts: np.ndarray) -> np.ndarray:
+    """Boundary-inclusive containment in a polygon WITH HOLES (ring 0 =
+    outer): inside-or-on the outer ring and not strictly inside any hole
+    (hole boundaries belong to the shape — `geo/Polygon2D.java`)."""
+    ins, edge = _containment(rings[0], pts)
+    cov = ins | edge
+    for h in rings[1:]:
+        hins, hedge = _containment(h, pts)
+        cov &= ~(hins & ~hedge)
+    return cov
+
+
+def shape_intersects(rings: list, Q: np.ndarray) -> bool:
+    """Polygon-with-holes vs query ring: share at least one point."""
+    if bool(shape_contains_points(rings, Q).any()):
+        return True
+    for r in rings:
+        if bool(_contains_points(Q, r).any()):
+            return True
+    return any(_edges_intersect_any(r, Q) for r in rings)
+
+
+def shape_contains_query(rings: list, Q: np.ndarray) -> bool:
+    """Every point of query ring Q inside the polygon-with-holes: all Q
+    vertices covered, no proper crossing with any ring, and no hole
+    strictly inside Q (a hole swallowed by Q removes area Q needs)."""
+    if not bool(shape_contains_points(rings, Q).all()):
+        return False
+    for r in rings:
+        if _edges_intersect_any(Q, r, proper_only=True):
+            return False
+    for h in rings[1:]:
+        hins, hedge = _containment(Q, h)
+        if bool((hins & ~hedge).any()):
+            return False
+    return True
 
 
 def _edges_intersect_any(A: np.ndarray, B: np.ndarray,
@@ -195,23 +240,32 @@ def shape_query_docs(reader, q) -> np.ndarray:
     q_lo = (int(Q[:, 0].min()), int(Q[:, 1].min()))
     q_hi = (int(Q[:, 0].max()), int(Q[:, 1].max()))
 
+    def _inter(d):
+        rings = sr.rings(int(d))
+        return polys_intersect(rings[0], Q) if len(rings) == 1 \
+            else shape_intersects(rings, Q)
+
+    def _contains(d):
+        rings = sr.rings(int(d))
+        return poly_within(Q, rings[0]) if len(rings) == 1 \
+            else shape_contains_query(rings, Q)
+
     if q.relation in ("intersects", "disjoint"):
         cand = _range_field_docs(pr, RangeFieldQuery(q.field, "intersects",
                                                      q_lo, q_hi))
-        hits = [int(d) for d in cand if polys_intersect(sr.vertices(int(d)), Q)]
-        hits = np.asarray(hits, dtype=np.int32)
+        hits = np.asarray([int(d) for d in cand if _inter(d)], dtype=np.int32)
         if q.relation == "disjoint":
             return np.setdiff1d(sr.docs.astype(np.int32), hits)
         return hits
     if q.relation == "within":
+        # holes only remove doc area, so outer-ring-within-query suffices
         cand = _range_field_docs(pr, RangeFieldQuery(q.field, "within",
                                                      q_lo, q_hi))
         return np.asarray([int(d) for d in cand
-                           if poly_within(sr.vertices(int(d)), Q)],
+                           if poly_within(sr.rings(int(d))[0], Q)],
                           dtype=np.int32)
     # contains: doc bbox must contain the query bbox
     cand = _range_field_docs(pr, RangeFieldQuery(q.field, "contains",
                                                  q_lo, q_hi))
-    return np.asarray([int(d) for d in cand
-                       if poly_within(Q, sr.vertices(int(d)))],
+    return np.asarray([int(d) for d in cand if _contains(d)],
                       dtype=np.int32)

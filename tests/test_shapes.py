@@ -279,3 +279,103 @@ def test_xy_shape_queries(ray_session, tmp_path):
     with pytest.raises(ValueError):
         s.count(lat_lon_shape_box_query("part", "intersects",
                                         -10.0, 10.0, -10.0, 10.0))
+
+
+def test_holes_predicates_hand_cases():
+    """Polygon-with-holes predicates: annulus (outer [0,100]^2, hole
+    [30,70]^2) vs query rectangles in every characteristic placement."""
+    from lucene_ray.search.shapes import (
+        shape_contains_points,
+        shape_contains_query,
+        shape_intersects,
+    )
+
+    rings = [_rect(0, 100, 0, 100), _rect(30, 70, 30, 70)]
+    # point containment: filled band yes, hole interior no, hole edge yes
+    pts = np.array([[10, 10], [50, 50], [30, 50], [0, 0], [101, 50]],
+                   dtype=np.int64)
+    assert shape_contains_points(rings, pts).tolist() == \
+        [True, False, True, True, False]
+    # query fully inside the hole: disjoint
+    assert not shape_intersects(rings, _rect(40, 60, 40, 60))
+    # overlapping the hole boundary: intersects
+    assert shape_intersects(rings, _rect(20, 40, 20, 40))
+    # covering the whole shape: intersects, not contained-by-shape
+    big = _rect(-10, 110, -10, 110)
+    assert shape_intersects(rings, big)
+    assert not shape_contains_query(rings, big)
+    # inside the filled band: contained
+    assert shape_contains_query(rings, _rect(5, 25, 5, 25))
+    # swallowing the hole: NOT contained (hole removes needed area)
+    assert not shape_contains_query(rings, _rect(20, 80, 20, 80))
+    # sticking out of the outer ring: not contained
+    assert not shape_contains_query(rings, _rect(-5, 25, 5, 25))
+    # hole-interior query: not contained
+    assert not shape_contains_query(rings, _rect(40, 60, 40, 60))
+
+
+def test_holes_end_to_end(ray_session, tmp_path):
+    """Annulus doc shapes (nested list columns) through build/search/merge:
+    relation counts vs interval truth for an annulus vs a query box."""
+    import ray.data as rd
+
+    from lucene_ray.index.deletes import delete_by_keys
+    from lucene_ray.index.merge import force_merge
+
+    n = 900
+    t = synth_transcripts(n, seed=85)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    i = np.arange(n, dtype=np.int64)
+    # outer [o0,o1]^2 and a centered hole [h0,h1]^2 (degrees)
+    o0 = ((i * 31) % 120) / 2.0 - 60.0
+    o1 = o0 + 8.0 + (i % 4)
+    h0 = o0 + 2.0
+    h1 = h0 + 2.0 + (i % 3)
+    lats = [[[o0[j], o0[j], o1[j], o1[j]], [h0[j], h0[j], h1[j], h1[j]]]
+            for j in range(n)]
+    lons = [[[o0[j], o1[j], o1[j], o0[j]], [h0[j], h1[j], h1[j], h0[j]]]
+            for j in range(n)]
+    st = st.append_column("sl", pa.array(
+        lats, type=pa.list_(pa.list_(pa.float64()))))
+    st = st.append_column("sn", pa.array(
+        lons, type=pa.list_(pa.list_(pa.float64()))))
+    d = str(tmp_path / "holes")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=250,
+                shape_cols={"area": ("sl", "sn")}, input_desc="holes")
+    rep = check_index(d)
+    assert rep["errors"] == []
+    s = IndexSearcher(d)
+    qy0, qy1, qx0, qx1 = -10.1, 25.3, -10.1, 25.3   # off the doc grids
+
+    def truth(rel):
+        # interval truth for annulus vs box (box == [qx0,qx1]x[qy0,qy1]);
+        # intersects: box meets outer box and is NOT inside the hole box
+        inter_o = (o0 <= qy1) & (o1 >= qy0) & (o0 <= qx1) & (o1 >= qx0)
+        in_hole = (qy0 > h0) & (qy1 < h1) & (qx0 > h0) & (qx1 < h1)
+        inter = inter_o & ~in_hole
+        within = (o0 <= qy0) & (o1 >= qy1) & (o0 <= qx0) & (o1 >= qx1)
+        # contains: box inside outer AND box does not meet the hole...
+        hole_meet = (h0 <= qy1) & (h1 >= qy0) & (h0 <= qx1) & (h1 >= qx0)
+        contains = within & ~hole_meet
+        doc_within = (o0 >= qy0) & (o1 <= qy1) & (o0 >= qx0) & (o1 <= qx1)
+        return {"intersects": inter, "within": doc_within,
+                "contains": contains, "disjoint": ~inter}[rel]
+
+    for rel in ("intersects", "within", "contains", "disjoint"):
+        q = lat_lon_shape_box_query("area", rel, qy0, qy1, qx0, qx1)
+        assert s.count(q) == int(truth(rel).sum()), rel
+    # deletes + merge keep ring structure
+    victims = s.search(lat_lon_shape_box_query("area", "intersects",
+                                               qy0, qy1, qx0, qx1),
+                       k=20).hits[:20]
+    keys = pa.table({
+        "conv_id": pa.array([h.conv_id for h in victims]),
+        "turn_idx": pa.array([h.turn_idx for h in victims], type=pa.int32()),
+    })
+    delete_by_keys(d, keys)
+    force_merge(d, 1)
+    rep = check_index(d)
+    assert rep["errors"] == []
+    s2 = IndexSearcher(d)
+    q = lat_lon_shape_box_query("area", "intersects", qy0, qy1, qx0, qx1)
+    assert s2.count(q) == int(truth("intersects").sum()) - 20
