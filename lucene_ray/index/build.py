@@ -135,8 +135,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 if c not in key_cols and c not in docvalue_cols
                 and c not in keyword_cols and c != text_col]
     extra_shp = [c for cols in (shape_cols or {}).values()
-                 for c in (cols[1:] if len(cols) == 3 and cols[0] == "xy"
-                           else cols)
+                 for c in cols[-2:]          # leading entries are markers
                  if c not in key_cols and c != text_col]
     proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv,
                               *extra_vec, *extra_pt, *extra_shp])

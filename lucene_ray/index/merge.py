@@ -367,13 +367,13 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
             allv = np.concatenate([v for _, v, _ in parts]) if parts \
                 else np.zeros((0, 2), dtype=np.int64)
             ring_sizes = [r for _, _, r in parts]
-            mode = next((m.get("shapes", {}).get(fld, {}).get("mode", "geo")
-                         for m in members if fld in (m.get("shapes") or {})),
-                        "geo")
-            shapes_meta[fld] = write_shapes(tmp_dir, fld, allv[:, 0],
-                                            allv[:, 1], counts,
-                                            sdocs.astype(np.int32), mode=mode,
-                                            ring_sizes=ring_sizes or None)
+            src = next((m["shapes"][fld] for m in members
+                        if fld in (m.get("shapes") or {})), {})
+            shapes_meta[fld] = write_shapes(
+                tmp_dir, fld, allv[:, 0], allv[:, 1], counts,
+                sdocs.astype(np.int32), mode=src.get("mode", "geo"),
+                gtype=src.get("gtype", "polygon"),
+                ring_sizes=ring_sizes or None)
             points_meta[f"{fld}__bbox"] = shapes_meta[fld]["bbox"]
 
     range_cols = [c for c in merged_dm.column_names if c != key_cols[0]]

@@ -47,7 +47,8 @@ def _ring_files(field: str) -> tuple[str, str]:
 def write_shapes(out_dir: str, field: str, flat_lat, flat_lon,
                  counts: np.ndarray, docs: np.ndarray,
                  mode: str = "geo",
-                 ring_sizes: list | None = None) -> dict:
+                 ring_sizes: list | None = None,
+                 gtype: str = "polygon") -> dict:
     """Persist one field's shape sidecar.  ``flat_lat``/``flat_lon`` hold
     every shape's ENCODED int vertices back-to-back; ``counts`` gives
     vertices per shape (aligned with ``docs``).  ``ring_sizes`` (optional,
@@ -56,8 +57,9 @@ def write_shapes(out_dir: str, field: str, flat_lat, flat_lon,
     absent means one ring per shape.  Returns the manifest metadata entry
     (the bbox point-field meta nests under "bbox")."""
     counts = np.asarray(counts, dtype=np.int64)
-    if np.any(counts < 3):
-        raise ValueError("polygons need >= 3 vertices")
+    min_v = 2 if gtype == "line" else 3
+    if np.any(counts < min_v):
+        raise ValueError(f"{gtype}s need >= {min_v} vertices")
     n = len(counts)
     flat = np.zeros((int(counts.sum()), 2), dtype=np.int64)
     if n:
@@ -67,12 +69,15 @@ def write_shapes(out_dir: str, field: str, flat_lat, flat_lon,
     docs = np.asarray(docs, dtype=np.int32)
     if ring_sizes is not None:
         ring_sizes = [np.asarray(r, dtype=np.int64) for r in ring_sizes]
-        for i, r in enumerate(ring_sizes):
-            if int(r.sum()) != int(counts[i]) or np.any(r < 3):
-                raise ValueError("ring sizes must each be >= 3 and sum to "
-                                 "the shape's vertex count")
         if all(len(r) == 1 for r in ring_sizes):
             ring_sizes = None                 # single-ring: legacy layout
+        elif gtype == "line":
+            raise ValueError("lines have no holes")
+        else:
+            for i, r in enumerate(ring_sizes):
+                if int(r.sum()) != int(counts[i]) or np.any(r < 3):
+                    raise ValueError("ring sizes must each be >= 3 and sum "
+                                     "to the shape's vertex count")
     # docID order so candidate lookups are a searchsorted away
     order = np.argsort(docs, kind="stable")
     if not np.array_equal(order, np.arange(n)):
@@ -110,7 +115,7 @@ def write_shapes(out_dir: str, field: str, flat_lat, flat_lon,
         coords = np.zeros((0, 4), dtype=np.int64)
     bbox_meta = write_points(out_dir, f"{field}__bbox", coords, docs)
     return {"n_shapes": int(n), "bbox": bbox_meta, "mode": mode,
-            "has_holes": ring_sizes is not None}
+            "gtype": gtype, "has_holes": ring_sizes is not None}
 
 
 class ShapesReader:
@@ -173,7 +178,8 @@ def check_shapes(shard_dir: str, field: str, meta: dict, doc_count: int):
     if np.any(np.diff(r.docs.astype(np.int64)) <= 0):
         raise ValueError(f"shapes[{field}]: docs not strictly increasing")
     counts = np.diff(r.offs)
-    if np.any(counts < 3) or int(r.offs[-1]) != len(r.verts):
+    min_v = 2 if meta.get("gtype") == "line" else 3
+    if np.any(counts < min_v) or int(r.offs[-1]) != len(r.verts):
         raise ValueError(f"shapes[{field}]: bad vertex offsets")
     if r._rcnt is not None:
         if len(r._rcnt) != r.n_shapes or np.any(r._rsz < 3):

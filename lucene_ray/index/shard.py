@@ -356,12 +356,18 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         keep_cols = set(key_cols) | set(docvalue_cols) | set(keyword_cols) \
             | {text_col}
         for field, spec in shape_cols.items():
-            # ("lats", "lons") = geo mode; ("xy", xs, ys) = cartesian floats
-            # via the sortable-int encoding (XYShape document model)
-            if len(spec) == 3 and spec[0] == "xy":
-                mode, (lat_c, lon_c) = "xy", (spec[2], spec[1])  # (y, x) dims
+            # ("lats", "lons") = geo polygons; leading markers select
+            # variants: "xy" = cartesian floats via the sortable-int
+            # encoding (XYShape), "line" = open polylines (>= 2 vertices,
+            # no rings) — e.g. ("line", lats, lons) or ("xy", "line", x, y)
+            markers = set(spec[:-2])
+            if not markers <= {"xy", "line"}:
+                raise ValueError(f"unknown shape markers {markers}")
+            gtype = "line" if "line" in markers else "polygon"
+            if "xy" in markers:
+                mode, (lat_c, lon_c) = "xy", (spec[-1], spec[-2])  # (y, x)
             else:
-                mode, (lat_c, lon_c) = "geo", spec
+                mode, (lat_c, lon_c) = "geo", spec[-2:]
             lat_col = table.column(lat_c).combine_chunks()
             lon_col = table.column(lon_c).combine_chunks()
             if pa.types.is_list(lat_col.type.value_type) or \
@@ -393,6 +399,9 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 else:
                     e_lat = encode_latitude(raw_lat)
                     e_lon = encode_longitude(raw_lon)
+                if gtype == "line":
+                    raise ValueError("line shape fields take flat "
+                                     "list<float> columns, not rings")
                 shapes_meta[field] = write_shapes(
                     tmp_dir, field, e_lat, e_lon,
                     np.asarray(counts_l, dtype=np.int64),
@@ -422,7 +431,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 flat_lon = encode_longitude(raw_lon)
             shapes_meta[field] = write_shapes(tmp_dir, field, flat_lat,
                                               flat_lon, counts, docs,
-                                              mode=mode)
+                                              mode=mode, gtype=gtype)
         drop = [c for cols in shape_cols.values() for c in cols
                 if c not in keep_cols and c in table.column_names]
         if drop:

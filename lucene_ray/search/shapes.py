@@ -156,13 +156,19 @@ def shape_contains_query(rings: list, Q: np.ndarray) -> bool:
 
 
 def _edges_intersect_any(A: np.ndarray, B: np.ndarray,
-                         proper_only: bool = False) -> bool:
-    """True when any edge of ring A intersects any edge of ring B.
-    Vectorized over all edge pairs with exact integer orientation tests;
+                         proper_only: bool = False,
+                         closed_a: bool = True) -> bool:
+    """True when any edge of A intersects any edge of ring B.  Vectorized
+    over all edge pairs with exact integer orientation tests;
     ``proper_only`` restricts to crossings at interior points (touching
-    endpoints / collinear overlap don't count)."""
-    a1 = A.astype(object)
-    a2 = np.roll(A, -1, axis=0).astype(object)
+    endpoints / collinear overlap don't count); ``closed_a=False`` treats
+    A as an OPEN polyline (no wrap edge)."""
+    if closed_a:
+        a1 = A.astype(object)
+        a2 = np.roll(A, -1, axis=0).astype(object)
+    else:
+        a1 = A[:-1].astype(object)
+        a2 = A[1:].astype(object)
     b1 = B.astype(object)
     b2 = np.roll(B, -1, axis=0).astype(object)
     # broadcast A edges (n,1) x B edges (1,m)
@@ -210,6 +216,21 @@ def poly_within(A: np.ndarray, B: np.ndarray) -> bool:
     return not _edges_intersect_any(A, B, proper_only=True)
 
 
+def line_intersects(L: np.ndarray, Q: np.ndarray) -> bool:
+    """Open polyline vs query ring: share at least one point
+    (`document/LatLonShape.java` LINE geometries)."""
+    if bool(_contains_points(Q, L).any()):
+        return True
+    return _edges_intersect_any(L, Q, closed_a=False)
+
+
+def line_within(L: np.ndarray, Q: np.ndarray) -> bool:
+    """Every point of the polyline inside-or-on the query ring."""
+    if not bool(_contains_points(Q, L).all()):
+        return False
+    return not _edges_intersect_any(L, Q, proper_only=True, closed_a=False)
+
+
 def shape_query_docs(reader, q) -> np.ndarray:
     """Matching local docIDs on one shard: bbox prune via the 4-dim point
     sidecar (RangeField relation boxes), exact verify per candidate.
@@ -240,7 +261,11 @@ def shape_query_docs(reader, q) -> np.ndarray:
     q_lo = (int(Q[:, 0].min()), int(Q[:, 1].min()))
     q_hi = (int(Q[:, 0].max()), int(Q[:, 1].max()))
 
+    is_line = meta.get("gtype") == "line"
+
     def _inter(d):
+        if is_line:
+            return line_intersects(sr.vertices(int(d)), Q)
         rings = sr.rings(int(d))
         return polys_intersect(rings[0], Q) if len(rings) == 1 \
             else shape_intersects(rings, Q)
@@ -250,6 +275,16 @@ def shape_query_docs(reader, q) -> np.ndarray:
         return poly_within(Q, rings[0]) if len(rings) == 1 \
             else shape_contains_query(rings, Q)
 
+    if is_line and q.relation == "contains":
+        # a polyline has no interior — it can never contain a polygon
+        # (LatLonShapeQuery CONTAINS over LINE geometries vs an area query)
+        return np.zeros(0, dtype=np.int32)
+    if is_line and q.relation == "within":
+        cand = _range_field_docs(pr, RangeFieldQuery(q.field, "within",
+                                                     q_lo, q_hi))
+        return np.asarray([int(d) for d in cand
+                           if line_within(sr.vertices(int(d)), Q)],
+                          dtype=np.int32)
     if q.relation in ("intersects", "disjoint"):
         cand = _range_field_docs(pr, RangeFieldQuery(q.field, "intersects",
                                                      q_lo, q_hi))

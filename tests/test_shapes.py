@@ -379,3 +379,53 @@ def test_holes_end_to_end(ray_session, tmp_path):
     s2 = IndexSearcher(d)
     q = lat_lon_shape_box_query("area", "intersects", qy0, qy1, qx0, qx1)
     assert s2.count(q) == int(truth("intersects").sum()) - 20
+
+
+def test_line_geometries(ray_session, tmp_path):
+    """LINE shape fields: polylines vs a query box — intersects/within/
+    disjoint vs segment-interval truth; contains always empty."""
+    import ray.data as rd
+
+    n = 800
+    t = synth_transcripts(n, seed=86)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    i = np.arange(n, dtype=np.int64)
+    # 3-vertex polylines: horizontal then vertical segment ("L" shapes)
+    ax = ((i * 17) % 300) / 2.0 - 75.0
+    ay = ((i * 23) % 300) / 2.0 - 75.0
+    bx = ax + 4.0 + (i % 3)
+    cy = ay + 4.0 + (i % 5)
+    lats = [[ay[j], ay[j], cy[j]] for j in range(n)]
+    lons = [[ax[j], bx[j], bx[j]] for j in range(n)]
+    st = st.append_column("ll", pa.array(lats, type=pa.list_(pa.float64())))
+    st = st.append_column("ln", pa.array(lons, type=pa.list_(pa.float64())))
+    d = str(tmp_path / "lines")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=250,
+                shape_cols={"route": ("line", "ll", "ln")},
+                input_desc="lines")
+    rep = check_index(d)
+    assert rep["errors"] == []
+    s = IndexSearcher(d)
+    qy0, qy1, qx0, qx1 = -20.1, 30.3, -20.1, 30.3
+
+    def seg_in_box(x1, y1, x2, y2):
+        # axis-aligned segment vs box overlap (segments here are axis-aligned)
+        return (np.minimum(x1, x2) <= qx1) & (np.maximum(x1, x2) >= qx0) \
+            & (np.minimum(y1, y2) <= qy1) & (np.maximum(y1, y2) >= qy0)
+
+    inter = seg_in_box(ax, ay, bx, ay) | seg_in_box(bx, ay, bx, cy)
+    within = (ax >= qx0) & (bx <= qx1) & (ay >= qy0) & (cy <= qy1)
+    for rel, want in (("intersects", inter), ("within", within),
+                      ("disjoint", ~inter)):
+        q = lat_lon_shape_box_query("route", rel, qy0, qy1, qx0, qx1)
+        assert s.count(q) == int(want.sum()), rel
+    assert s.count(lat_lon_shape_box_query("route", "contains",
+                                           qy0, qy1, qx0, qx1)) == 0
+    # merge keeps the line gtype
+    from lucene_ray.index.merge import force_merge
+
+    force_merge(d, 1)
+    assert check_index(d)["errors"] == []
+    s2 = IndexSearcher(d)
+    q = lat_lon_shape_box_query("route", "intersects", qy0, qy1, qx0, qx1)
+    assert s2.count(q) == int(inter.sum())
