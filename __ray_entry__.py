@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_geo_count": _lazy("index_geo_count"),
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_shape_count": _lazy("index_shape_count"),
+        "index_shape_holes_count": _lazy("index_shape_holes_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
         "index_feature_topk": _lazy("index_feature_topk"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
@@ -75,7 +76,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_charfilter_count": _lazy("index_charfilter_count"),
         "index_synonym_count": _lazy("index_synonym_count"),
         "index_shingle_count": _lazy("index_shingle_count"),
-        "index_stop_count": _lazy("index_stop_count"),
         "index_interval_count": _lazy("index_interval_count"),
         "index_facet_role": _lazy("index_facet_role"),
         "index_conv_topk": _lazy("index_conv_topk"),
@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_blended": _suggest_blended,
         "suggest_freetext": _suggest_freetext,
         "index_diversified_topk": _lazy("index_diversified_topk"),
+        "index_stop_count": _lazy("index_stop_count"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_conv_children_count": _lazy("index_conv_children_count"),
         "index_highlight_topk": _lazy("index_highlight_topk"),
@@ -356,6 +357,35 @@ def _shape_sql() -> str:
              AND lon0 <= {qx0!r} AND lon1 >= {qx1!r})::BIGINT AS n_contains,
           (SELECT count(*) FROM r WHERE NOT (lat0 <= {qy1!r} AND lat1 >= {qy0!r}
              AND lon0 <= {qx1!r} AND lon1 >= {qx0!r}))::BIGINT AS n_disjoint"""
+
+
+def _shape_holes_sql() -> str:
+    """Oracle for index_shape_holes_count: annulus (outer square + centered
+    square hole) vs the query box — pure interval arithmetic."""
+    from lucene_ray.pipelines.flagship import SHAPE_QBOX
+
+    qy0, qy1, qx0, qx1 = SHAPE_QBOX
+    return f"""
+        WITH r AS (
+          SELECT doc_id,
+                 ((doc_id * 31) % 120) / 2.0 - 60.0 AS o0,
+                 ((doc_id * 31) % 120) / 2.0 - 60.0 + 8.0 + (doc_id % 4) AS o1,
+                 ((doc_id * 31) % 120) / 2.0 - 60.0 + 2.0 AS h0,
+                 ((doc_id * 31) % 120) / 2.0 - 60.0 + 4.0 + (doc_id % 3) AS h1
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 (o0 <= {qy1!r} AND o1 >= {qy0!r} AND o0 <= {qx1!r} AND o1 >= {qx0!r})
+                 AND NOT ({qy0!r} > h0 AND {qy1!r} < h1
+                          AND {qx0!r} > h0 AND {qx1!r} < h1) AS inter,
+                 (o0 <= {qy0!r} AND o1 >= {qy1!r} AND o0 <= {qx0!r} AND o1 >= {qx1!r})
+                 AND NOT (h0 <= {qy1!r} AND h1 >= {qy0!r}
+                          AND h0 <= {qx1!r} AND h1 >= {qx0!r}) AS cont
+          FROM r)
+        SELECT
+          (SELECT count(*) FROM m WHERE inter)::BIGINT AS n_intersects,
+          (SELECT count(*) FROM m WHERE cont)::BIGINT AS n_contains,
+          (SELECT count(*) FROM m WHERE NOT inter)::BIGINT AS n_disjoint"""
 
 
 def _geo_sql() -> str:
@@ -746,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
                  AND NOT (lo >= 50 AND hi <= 120))::BIGINT AS n_crosses""",
         "index_geo_count": _geo_sql(),
         "index_shape_count": _shape_sql(),
+        "index_shape_holes_count": _shape_holes_sql(),
         "index_geo_polygon_count": _geo_polygon_sql(),
         "index_geo_distance_topk": _geo_dist_topk_sql(),
         "index_expr_sorted_topk": _TOKS + """

@@ -454,6 +454,50 @@ def index_shape_count(sf_dir: str) -> pd.DataFrame:
                          for rel, v in counts.items()})
 
 
+def index_shape_holes_count(sf_dir: str) -> pd.DataFrame:
+    """Polygon-with-holes relations: per-doc annuli (outer square + centered
+    square hole, doc_id-derived) vs the query box — intersects excludes
+    boxes swallowed by a hole, contains requires the box to avoid the hole
+    (`geo/Polygon.java` holes semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..search.shapes import lat_lon_shape_box_query
+    from ..sources.transcripts import doc_batch_to_transcripts
+
+    def add_annulus(batch: pa.Table) -> pa.Table:
+        t = doc_batch_to_transcripts(batch)
+        i = batch.column("doc_id").to_numpy().astype(np.int64)
+        o0 = ((i * 31) % 120) / 2.0 - 60.0
+        o1 = o0 + 8.0 + (i % 4)
+        h0 = o0 + 2.0
+        h1 = h0 + 2.0 + (i % 3)
+        lats = [[[o0[j], o0[j], o1[j], o1[j]], [h0[j], h0[j], h1[j], h1[j]]]
+                for j in range(len(i))]
+        lons = [[[o0[j], o1[j], o1[j], o0[j]], [h0[j], h1[j], h1[j], h0[j]]]
+                for j in range(len(i))]
+        t = t.append_column("sl", pa.array(
+            lats, type=pa.list_(pa.list_(pa.float64()))))
+        return t.append_column("sn", pa.array(
+            lons, type=pa.list_(pa.list_(pa.float64()))))
+
+    index_dir = index_dir_for(sf_dir) + "-ann"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]) \
+        .map_batches(add_annulus, batch_format="pyarrow")
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                shape_cols={"area": ("sl", "sn")},
+                input_desc=f"documents@{sf_dir}+ann")
+    searcher = IndexSearcher(index_dir)
+    qy0, qy1, qx0, qx1 = SHAPE_QBOX
+    counts = {rel: searcher.count(
+        lat_lon_shape_box_query("area", rel, qy0, qy1, qx0, qx1))
+        for rel in ("intersects", "contains", "disjoint")}
+    return pd.DataFrame({f"n_{rel}": pd.Series([v], dtype="int64")
+                         for rel, v in counts.items()})
+
+
 def index_charfilter_count(sf_dir: str) -> pd.DataFrame:
     """Char filter + alternate tokenizer end-to-end: a MappingCharFilter
     rewrite (fast→quick) feeding a case-preserving WhitespaceTokenizer +
