@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
         "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
+        "index_phrase_wildcard_count": _lazy("index_phrase_wildcard_count"),
         "index_flexible_count": _lazy("index_flexible_count"),
         "index_span_near_count": _lazy("index_span_near_count"),
         "index_automaton_count": _lazy("index_automaton_count"),
@@ -68,7 +69,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_geo_count": _lazy("index_geo_count"),
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_shape_count": _lazy("index_shape_count"),
-        "index_shape_holes_count": _lazy("index_shape_holes_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
         "index_feature_topk": _lazy("index_feature_topk"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_stop_count": _lazy("index_stop_count"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "index_conv_children_count": _lazy("index_conv_children_count"),
+        "index_shape_holes_count": _lazy("index_shape_holes_count"),
         "index_highlight_topk": _lazy("index_highlight_topk"),
         "media_features": _media_features,
         "media_frames": _media_frames,
@@ -701,6 +702,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(toks) >= 2 AND len(list_filter(
                 generate_series(1, len(toks) - 1),
                 i -> toks[i] = 'merge' AND toks[i + 1] LIKE 'jo%')) > 0""",
+        "index_phrase_wildcard_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE len(toks) >= 2 AND len(list_filter(
+                generate_series(1, len(toks) - 1),
+                i -> toks[i] = 'the' AND toks[i + 1] LIKE 's%')) > 0""",
         # span-near(span-or(merge,sort), the) slop=3 ordered: exists i with
         # toks[i] in {merge,sort} and 'the' at i+1..i+4 (gap <= 3)
         "index_span_near_count": _TOKS + """

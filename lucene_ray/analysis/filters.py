@@ -1810,6 +1810,21 @@ def resolve_one2one(spec: str):
         pat_s, repl = spec[len("pattern_replace:"):].rsplit("=", 1)
         pat = re.compile(pat_s)
         return lambda w: pat.sub(repl, w)
+    if spec.startswith("delimited_payload"):
+        # DelimitedPayloadTokenFilter term side
+        # (`analysis/common/.../payloads/DelimitedPayloadTokenFilter.java:53-70`):
+        # characters before the FIRST delimiter are the token, the rest is
+        # the payload.  The 1:1 view only strips the payload (index-side
+        # payload VALUES are captured by the shard writer before inversion;
+        # query terms carry no payload, so this is usually the identity).
+        # Spec: delimited_payload (default '|') or delimited_payload:<delim>.
+        delim = spec.split(":", 1)[1] if ":" in spec else "|"
+
+        def strip_payload(w: str, _d=delim) -> str:
+            i = w.find(_d)
+            return w if i < 0 else w[:i]
+
+        return strip_payload
     if spec.startswith("protected:"):
         # ProtectedTermFilter / ConditionalTokenFilter
         # (`analysis/miscellaneous/ProtectedTermFilter.java`): listed terms

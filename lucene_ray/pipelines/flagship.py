@@ -159,6 +159,20 @@ def index_complex_phrase_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
 
 
+def index_phrase_wildcard_count(sf_dir: str) -> pd.DataFrame:
+    """PhraseWildcardQuery doc count: 'the' followed by an 's'-prefixed
+    token, resolved through the sandbox expansion-budget path (single term
+    collected first, prefix expanded per shard smallest-first) rather than
+    the ComplexPhrase constant-score path — the count also verifies the
+    scored MultiPhrase resolution matches per-position SQL."""
+    from ..search.query import PhraseWildcardQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n = searcher.count(PhraseWildcardQuery(("the", PrefixQuery("s")),
+                                           max_multi_term_expansions=1024))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
 def index_keyword_count(sf_dir: str) -> pd.DataFrame:
     """Keyword FILTER + scoring term conjunction through the index."""
     from ..index.shard import keyword_term

@@ -84,6 +84,31 @@ class MultiPhraseQuery:
 
 
 @dataclass(frozen=True)
+class PhraseWildcardQuery:
+    """Generalized phrase with multi-term slots under a shared expansion
+    budget (`sandbox/search/PhraseWildcardQuery.java:88-216`).  Each slot is
+    either a single term (str) or a multi-term query (Prefix/Wildcard/
+    Regexp/Fuzzy/TermInSet).  Resolution follows createWeight: single terms
+    collected first with whole-query early stop if one matches nowhere; then
+    each multi-term expands sequentially with
+    ``maxExpansionsForTerm = remainingExpansions // remainingMultiTerms``,
+    smallest dictionaries first, shards where an earlier phrase term did not
+    match skipped (segment optimization).  Matching/scoring after resolution
+    is MultiPhraseQuery over the collected terms (the reference's
+    PhraseWeight over the collected TermStates/TermStatistics)."""
+    slots: tuple
+    slop: int = 0
+    max_multi_term_expansions: int = 128
+    segment_optimization: bool = True
+    field: str = "text"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.max_multi_term_expansions < 0:
+            raise ValueError("negative expansion budget")
+
+
+@dataclass(frozen=True)
 class IntervalQuery:
     """Proximity interval matching (`queries/intervals/Intervals.java`
     surface: ordered / unordered with maxwidth): matches docs containing one

@@ -164,6 +164,12 @@ class IndexSearcher:
             return dataclasses.replace(q, slots=tuple(
                 tuple(self._ft(el) if isinstance(el, str) else el
                       for el in slot) for slot in q.slots))
+        from .query import PhraseWildcardQuery as _PWQ
+
+        if isinstance(q, _PWQ):
+            return dataclasses.replace(q, slots=tuple(
+                self._ft(el) if isinstance(el, str) else el
+                for el in q.slots))
         from .spans import (
             SpanContainingQuery,
             SpanNearQuery,
@@ -291,6 +297,84 @@ class IndexSearcher:
             cache.clear()
         cache[key] = out
         return out
+
+    def _rewrite_phrase_wildcard(self, q):
+        """PhraseWildcardQuery resolution
+        (`sandbox/search/PhraseWildcardQuery.java:116-216` createWeight):
+
+        1. empty phrase -> MatchNoDocs; one slot -> that slot's own query
+           (rewrite at :115-124);
+        2. single terms collected first — a term matching in NO shard early-
+           stops the whole phrase (:163-174);
+        3. multi-terms expand sequentially, each limited to
+           ``remainingExpansions // remainingMultiTerms`` distinct terms
+           (:178-216), walking shards smallest-dictionary-first
+           (SegmentTermsSizeComparator :152-154, so unused credits flow to
+           later multi-terms) in dictionary order within a shard (TermsEnum
+           order); shards where an earlier phrase term matched nothing are
+           skipped for later expansions (segment optimization);
+        4. the collected terms score exactly like MultiPhraseQuery (the
+           reference's PhraseWeight over collected TermStatistics).
+
+        Deviation (documented): the reference's shared budget is decremented
+        in its single-threaded segment-walk order; here each shard's
+        expansion is an independent dictionary scan (parallel-safe on an
+        actor pool) unioned in the same smallest-first order, so when the
+        budget binds, WHICH terms are kept can differ from a single-node
+        walk — both truncations are dictionary-order prefixes per shard."""
+        from .query import (
+            MatchNoDocsQuery,
+            MultiPhraseQuery,
+            TermQuery,
+        )
+
+        if not q.slots:
+            return MatchNoDocsQuery()
+        if len(q.slots) == 1:
+            el = q.slots[0]
+            return TermQuery(el, boost=q.boost) if isinstance(el, str) \
+                else _boosted(el, q.boost)
+        single = [el for el in q.slots if isinstance(el, str)]
+        for t in single:
+            if self.df(t) == 0:
+                return MatchNoDocsQuery()
+        multi_idx = [i for i, el in enumerate(q.slots)
+                     if not isinstance(el, str)]
+        out = [(el,) if isinstance(el, str) else () for el in q.slots]
+        if multi_idx:
+            rdrs = sorted((self.reader(pid) for pid in self._pids),
+                          key=lambda r: r.n_terms)
+            alive = list(rdrs)
+            if q.segment_optimization and single:
+                alive = [r for r in alive
+                         if all(r.seek_exact(t) >= 0 for t in single)]
+            remaining = int(q.max_multi_term_expansions)
+            remaining_multi = len(multi_idx)
+            for i in multi_idx:
+                budget = remaining // remaining_multi
+                collected: list[str] = []
+                seen: set[str] = set()
+                next_alive = []
+                for rdr in alive:
+                    exp = self._expand_shard(rdr, q.slots[i])
+                    if not exp and q.segment_optimization:
+                        continue        # shard can't match the phrase
+                    next_alive.append(rdr)
+                    if len(collected) < budget:
+                        for t in exp:
+                            if t not in seen:
+                                seen.add(t)
+                                collected.append(t)
+                                if len(collected) >= budget:
+                                    break
+                alive = next_alive
+                if not collected:
+                    return MatchNoDocsQuery()
+                out[i] = tuple(sorted(collected))
+                remaining -= len(collected)
+                remaining_multi -= 1
+        return MultiPhraseQuery(slots=tuple(out), slop=int(q.slop),
+                                boost=q.boost)
 
     def _expand_shard_uncached(self, rdr, query) -> list[str]:
         import re as _re
@@ -643,6 +727,11 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "phrase_general": (slots, scorer, int(query.slop))}
+        from .query import PhraseWildcardQuery as _PWQ2
+
+        if isinstance(query, _PWQ2):
+            return self.compile(self._rewrite_phrase_wildcard(query),
+                                _normalized=True)
         from .query import NGramPhraseQuery as _NGPQ
 
         if isinstance(query, _NGPQ):
