@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_flexible_count": _lazy("index_flexible_count"),
         "index_span_near_count": _lazy("index_span_near_count"),
         "index_automaton_count": _lazy("index_automaton_count"),
+        "index_payload_topk": _lazy("index_payload_topk"),
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
         "index_delete_count": _lazy("index_delete_count"),
@@ -99,8 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "knn_cosine": knn.knn_cosine,
         "sessionize": windows.sessionize,
-        "bm25_scan_topk": bm25scan.bm25_scan_topk,
         # ---------------- beyond the 50-entry driver window ----------------
+        "bm25_scan_topk": bm25scan.bm25_scan_topk,
+        "index_payload_check_count": _lazy("index_payload_check_count"),
         "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
         "suggest_freetext": _suggest_freetext,
@@ -823,6 +825,29 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT role, count(*)::BIGINT AS n_docs FROM r
             GROUP BY role ORDER BY role""",
+        # payload of the token at 1-based pos is ((pos - 1) % 5) + 1 (the
+        # transform attaches |((0-based pos % 5) + 1) to every token)
+        "index_payload_topk": _TOKS + """,
+            tp AS (SELECT doc_id, unnest(toks) AS term,
+                          unnest(range(1, len(toks) + 1)) AS pos FROM toklists),
+            p AS (SELECT doc_id, SUM((pos - 1) % 5 + 1) AS psum
+                  FROM tp WHERE term = 'merge' GROUP BY doc_id)
+            SELECT row_number() OVER (ORDER BY psum DESC, doc_id ASC)::BIGINT AS rank,
+                   printf('conv-%08d', doc_id // 5) AS conv_id,
+                   (doc_id % 5)::BIGINT AS turn_idx,
+                   psum::DOUBLE AS payload_sum
+            FROM p ORDER BY psum DESC, doc_id ASC LIMIT 20""",
+        "index_payload_check_count": _TOKS + """
+            SELECT (SELECT count(*) FROM toklists
+                    WHERE len(toks) >= 2 AND len(list_filter(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i] = 'merge' AND toks[i + 1] = 'join'
+                             AND ((i - 1) % 5) + 1 = 2)) > 0)::BIGINT AS n_checked,
+                   (SELECT count(*) FROM toklists
+                    WHERE len(toks) >= 2 AND len(list_filter(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i] = 'merge'
+                             AND toks[i + 1] = 'join')) > 0)::BIGINT AS n_phrase""",
         "index_interval_count": _TOKS + """,
             tp AS (SELECT doc_id, unnest(toks) AS term,
                           unnest(range(1, len(toks) + 1)) AS pos FROM toklists)

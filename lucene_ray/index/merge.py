@@ -160,6 +160,7 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
     from .shard import (
         HNSW_FILE,
         KEYWORD_SEP,
+        PAYLOADS_FILE,
         VECTORS_FILE,
         VECTORS_Q_FILE,
         _persist_shard,
@@ -187,6 +188,7 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
     terms_parts, inv_sizes = [], []
     dfs_parts, docs_parts, freqs_parts, pos_parts = [], [], [], []
     norms_parts, dm_parts, vec_parts = [], [], []
+    pay_parts: list[tuple] = []
     pts_parts: dict[str, list] = {}
     shp_parts: dict[str, list] = {}
     base = 0
@@ -257,6 +259,20 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
                 kp = keep_doc[pdocs]
                 pvals, pdocs = pvals[kp], old2new[pdocs[kp]]
             pts_parts.setdefault(fld, []).append((pvals, pdocs + base))
+        # payload sidecar ((doc, raw position) -> float32): survivors keep
+        # their raw token positions, docs remap like postings
+        pf = os.path.join(rdr.dir, PAYLOADS_FILE)
+        if os.path.exists(pf):
+            z = np.load(pf)
+            p_off, p_pos, p_val = z["doc_off"], z["pos"], z["val"]
+            p_docs = np.repeat(np.arange(len(p_off) - 1, dtype=np.int64),
+                               np.diff(p_off))
+            if deleted is not None:
+                kp = keep_doc[p_docs]
+                p_docs = old2new[p_docs[kp]]
+                p_pos, p_val = p_pos[kp], p_val[kp]
+            if len(p_docs):
+                pay_parts.append((p_docs + base, p_pos, p_val))
         for fld in (m.get("shapes") or {}):
             sr = rdr.shapes(fld)
             sdocs = np.asarray(sr.docs).astype(np.int64)
@@ -346,6 +362,17 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
                           np.arange(n_docs, dtype=np.int64),
                           seed=1000 + pid).build()
             g.save(os.path.join(tmp_dir, HNSW_FILE))
+
+    if pay_parts:
+        pd = sort_map[np.concatenate([p[0] for p in pay_parts])]
+        pp = np.concatenate([p[1] for p in pay_parts])
+        pv = np.concatenate([p[2] for p in pay_parts])
+        o = np.lexsort((pp, pd))
+        pd, pp, pv = pd[o], pp[o], pv[o]
+        np.savez(os.path.join(tmp_dir, PAYLOADS_FILE),
+                 doc_off=np.searchsorted(pd, np.arange(n_docs + 1))
+                 .astype(np.int64),
+                 pos=pp.astype(np.int32), val=pv.astype(np.float32))
 
     points_meta = {}
     if pts_parts:

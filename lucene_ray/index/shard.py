@@ -49,6 +49,7 @@ VECTORS_Q_FILE = "vectors_q.npy"   # int8 scalar-quantized (+ manifest scale)
 HNSW_FILE = "hnsw.npz"
 TV_FILES = ("tv_doc_ptr.npy", "tv_terms.npy", "tv_freqs.npy",
             "tv_pos_ptr.npy", "tv_positions.npy")
+PAYLOADS_FILE = "payloads.npz"
 
 
 def invert_flat(flat: pa.Array, lengths: np.ndarray,
@@ -151,6 +152,49 @@ def _encode_small_terms(term_starts, doc_of, freq, small_ids):
     term_val_bounds = np.cumsum(np.concatenate(([0], 2 * dfs)))
     nbytes = per_val_off[term_val_bounds[1:]] - per_val_off[term_val_bounds[:-1]]
     return payload, nbytes.astype(np.int64)
+
+
+def _extract_payloads(flat, lengths: np.ndarray, spec: str):
+    """DelimitedPayloadTokenFilter index side
+    (`analysis/common/.../payloads/DelimitedPayloadTokenFilter.java:53-70`
+    + FloatEncoder): characters before the FIRST delimiter are the token,
+    those after parse as the payload value (unparsable payloads raise, the
+    Float.parseFloat contract).  Runs at the raw token stream — the
+    reference's canonical placement is immediately after the tokenizer.
+
+    Payload values live in a per-shard (doc, raw-position) -> float32
+    sidecar instead of inside the postings blocks: every later graph stage
+    (stop gaps, synonym/shingle overlays, 1:1 rewrites) PRESERVES a
+    surviving token's raw position, so query-time span matches can look
+    payloads up by (doc, position) with two searchsorteds — no postings
+    format change and no cost on payload-free indexes.
+
+    Returns (stripped flat tokens, sidecar dict | None)."""
+    parts = spec.split(":")
+    delim = parts[1] if len(parts) > 1 and parts[1] else "|"
+    if not isinstance(flat, (pa.Array, pa.ChunkedArray)):
+        flat = pa.array(np.asarray(flat, dtype=object), type=pa.string())
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    sp = pa.compute.split_pattern(flat, delim, max_splits=1)
+    if isinstance(sp, pa.ChunkedArray):
+        sp = sp.combine_chunks()
+    n_elem = pa.compute.list_value_length(sp).to_numpy(zero_copy_only=False)
+    stripped = pa.compute.list_element(sp, 0)
+    idx = np.nonzero(n_elem == 2)[0]
+    if len(idx) == 0:
+        return stripped, None
+    pay_str = pa.compute.list_flatten(sp).take(
+        pa.array(sp.offsets.to_numpy()[idx] + 1))
+    vals = pa.compute.cast(pay_str, pa.float32()) \
+        .to_numpy(zero_copy_only=False).astype(np.float32)
+    ends = np.cumsum(lengths)
+    doc = np.searchsorted(ends, idx, side="right").astype(np.int64)
+    starts = ends - lengths
+    pos = (idx - starts[doc]).astype(np.int32)
+    doc_off = np.searchsorted(doc, np.arange(len(lengths) + 1)) \
+        .astype(np.int64)
+    return stripped, {"doc_off": doc_off, "pos": pos, "val": vals}
 
 
 KEYWORD_SEP = "\x1f"     # cannot appear inside an analyzed token
@@ -453,6 +497,12 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         lengths, flat = tokenize_column_alt(text_arr, alt_tok)
     else:
         lengths, flat = tokenize_column(text_arr)
+    pay_spec = next((s for s in token_filters
+                     if s.startswith("delimited_payload")), None)
+    if pay_spec is not None:
+        flat, pay_meta = _extract_payloads(flat, lengths, pay_spec)
+        if pay_meta is not None:
+            np.savez(os.path.join(tmp_dir, PAYLOADS_FILE), **pay_meta)
     tok_positions = None
     norm_lengths = lengths
     if token_filters:
@@ -1040,6 +1090,50 @@ class ShardReader:
         poss = [tv_pos[int(pos_ptr[p]):int(pos_ptr[p + 1])]
                 for p in range(s, e)]
         return tids, freqs, poss
+
+    def payloads(self):
+        """Lazy (doc_off, pos, val) payload sidecar written by the
+        delimited_payload stage; None when the index carries no payloads."""
+        p = getattr(self, "_pay", False)
+        if p is False:
+            f = os.path.join(self.dir, PAYLOADS_FILE)
+            if os.path.exists(f):
+                z = np.load(f)
+                doc_off, pos, val = z["doc_off"], z["pos"], z["val"]
+                side_doc = np.repeat(
+                    np.arange(len(doc_off) - 1, dtype=np.int64),
+                    np.diff(doc_off))
+                # composite (doc << 32 | pos) keys are globally sorted (doc
+                # asc, pos asc within doc) -> one searchsorted per lookup
+                p = ((side_doc << 32) | pos.astype(np.int64), val)
+            else:
+                p = None
+            self._pay = p
+        return p
+
+    def payload_lookup(self, docs: np.ndarray, positions: np.ndarray):
+        """Vectorized payload lookup for matched (doc, position) pairs:
+        returns ``(values, found)`` parallel arrays where a position with no
+        stored payload yields value 1 and found False — value 1 is the
+        PayloadDecoder.FLOAT_DECODER null convention
+        (`queries/payloads/PayloadDecoder.java:29`), the found mask lets
+        SpanPayloadCheckQuery distinguish genuinely-missing payloads.
+        Docs need not be sorted."""
+        out = np.ones(len(docs), dtype=np.float32)
+        pay = self.payloads()
+        if pay is None or len(docs) == 0:
+            return out, np.zeros(len(docs), dtype=bool)
+        keys, val = pay
+        q = (docs.astype(np.int64) << 32) | positions.astype(np.int64)
+        idx = np.searchsorted(keys, q)
+        ok = idx < len(keys)
+        ok[ok] = keys[idx[ok]] == q[ok]
+        out[ok] = val[idx[ok]]
+        return out, ok
+
+    def payload_factors(self, docs: np.ndarray, positions: np.ndarray) -> np.ndarray:
+        """Payload factors only (missing -> 1), the PayloadScoreQuery view."""
+        return self.payload_lookup(docs, positions)[0]
 
     def lookup_docs(self, local_ids: np.ndarray) -> pa.Table:
         """(conv_id, turn_idx) rows for the given local docIDs (top-k only)."""

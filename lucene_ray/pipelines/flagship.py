@@ -1211,3 +1211,82 @@ def index_term_dictionary(sf_dir: str):
     return (ray.data.read_parquet(os.path.join(index_dir, "term_stats"),
                                   columns=["term", "df", "ttf"])
             .map_batches(_text_terms, batch_format="pyarrow"))
+
+
+def _attach_payloads(batch):
+    """Transform: every whitespace token gets a deterministic
+    ``|((pos % 5) + 1)`` payload suffix (pos = 0-based token index after
+    dropping empty tokens), so the DelimitedPayloadTokenFilter path and its
+    SQL twin see identical values.  Vectorized over the flat token buffer."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    txt = batch.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lst = pc.split_pattern(pc.fill_null(txt, ""), " ")
+    off = lst.offsets.to_numpy()
+    flat = lst.flatten()
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    row = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
+    row_k = row[keep_np]
+    flat_k = flat.filter(keep)
+    # 0-based position within its row = global rank minus the row's first rank
+    pos = np.arange(len(row_k), dtype=np.int64) - np.searchsorted(row_k, row_k)
+    pay = np.char.add("|", ((pos % 5) + 1).astype("U1"))
+    toks = pc.binary_join_element_wise(flat_k, pa.array(pay, type=pa.string()),
+                                       "")
+    new_off = np.searchsorted(row_k, np.arange(len(off), dtype=np.int64))
+    lst2 = pa.ListArray.from_arrays(pa.array(new_off, type=pa.int64())
+                                    .cast(pa.int32()), toks)
+    joined = pc.binary_join(lst2, " ")
+    return batch.set_column(batch.column_names.index("text"), "text",
+                            joined.cast(pa.string()))
+
+
+def _payload_index(sf_dir: str) -> str:
+    """Whitespace-tokenized index with delimited payloads (the reference
+    pairing — StandardTokenizer would split at the delimiter)."""
+    index_dir = index_dir_for(sf_dir) + "-payload"
+    ds = transcripts_from_documents(sf_dir) \
+        .map_batches(_attach_payloads, batch_format="pyarrow")
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                token_filters=("tokenizer:whitespace", "delimited_payload:|"),
+                input_desc=f"documents@{sf_dir}+payload")
+    return index_dir
+
+
+def index_payload_topk(sf_dir: str) -> pd.DataFrame:
+    """DelimitedPayloadTokenFilter + PayloadScoreQuery end-to-end
+    (`analysis/common/.../payloads/DelimitedPayloadTokenFilter.java:53-70`,
+    `queries/payloads/PayloadScoreQuery.java:42-288`): top-k docs by the SUM
+    PayloadFunction over 'merge' occurrences — payload values are small
+    integers, so the float32 sums are exact and the SQL twin matches
+    bit-for-bit.  (rank, conv_id, turn_idx, payload_sum)."""
+    from ..search.query import PayloadScoreQuery
+
+    searcher = IndexSearcher(_payload_index(sf_dir))
+    td = searcher.search(PayloadScoreQuery("merge", func="sum"), k=20)
+    rows = [(r, h.conv_id, int(h.turn_idx), float(h.score))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
+                                       "payload_sum"]) \
+        .astype({"rank": "int64", "turn_idx": "int64",
+                 "payload_sum": "float64"})
+
+
+def index_payload_check_count(sf_dir: str) -> pd.DataFrame:
+    """SpanPayloadCheckQuery (`queries/payloads/SpanPayloadCheckQuery.java`):
+    adjacent 'merge join' spans accepted only when merge's payload equals 2
+    (raw token position % 5 == 1), next to the unchecked phrase count."""
+    from ..search.query import SpanPayloadCheckQuery
+
+    searcher = IndexSearcher(_payload_index(sf_dir))
+    n_checked = searcher.count(
+        SpanPayloadCheckQuery(("merge", "join"), (2.0, None), op="eq"))
+    n_phrase = searcher.count(
+        SpanPayloadCheckQuery(("merge", "join"), (None, None)))
+    return pd.DataFrame({"n_checked": pd.Series([n_checked], dtype="int64"),
+                         "n_phrase": pd.Series([n_phrase], dtype="int64")})

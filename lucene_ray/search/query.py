@@ -109,6 +109,49 @@ class PhraseWildcardQuery:
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery:
+    """Score docs from the payload values at matched occurrences
+    (`queries/payloads/PayloadScoreQuery.java:42-288`): every matched
+    occurrence's payload factor feeds a PayloadFunction (``sum`` / ``min``
+    / ``max`` / ``avg`` — Sum/Min/Max/AveragePayloadFunction docScore
+    semantics, negative results clamp to 0), missing payloads decode to 1
+    (PayloadDecoder.FLOAT_DECODER null convention).  ``query`` is a term or
+    an ordered :class:`~lucene_ray.search.spans.SpanNearQuery` of terms;
+    ``include_span_score`` multiplies by the wrapped query's own score
+    (scoreCurrentDoc at :282-287)."""
+    query: object          # str | spans.SpanNearQuery (ordered, term-only)
+    func: str = "sum"
+    include_span_score: bool = False
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.func not in ("sum", "min", "max", "avg"):
+            raise ValueError(f"unknown payload function {self.func!r}")
+
+
+@dataclass(frozen=True)
+class SpanPayloadCheckQuery:
+    """Match ordered adjacent term spans whose payload sequence satisfies
+    the expected values (`queries/payloads/SpanPayloadCheckQuery.java`,
+    PayloadChecker at :202-240): the i-th constituent's payload must
+    compare (``op`` in eq/gt/gte/lt/lte, numeric) to ``expected[i]``; a
+    None expected entry matches anything, a missing actual payload fails a
+    non-None expectation.  Scored like the wrapped span (idf summed over
+    the terms, freq = accepted spans)."""
+    terms: tuple
+    expected: tuple
+    op: str = "eq"
+    field: str = "text"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if len(self.terms) != len(self.expected):
+            raise ValueError("terms/expected length mismatch")
+        if self.op not in ("eq", "gt", "gte", "lt", "lte"):
+            raise ValueError(f"unknown payload op {self.op!r}")
+
+
+@dataclass(frozen=True)
 class IntervalQuery:
     """Proximity interval matching (`queries/intervals/Intervals.java`
     surface: ordered / unordered with maxwidth): matches docs containing one

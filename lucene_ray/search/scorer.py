@@ -1241,3 +1241,177 @@ def search_shard_synonym(reader, terms_boosts, scorer, k: int, after=None):
     total = int(len(cand))
     sc, cand = _top_k(sc, cand, k)
     return sc, cand, total, RELATION_EQ
+
+
+def _payload_matches_ordered(pls: list[np.ndarray], slop: int):
+    """All ordered arrangements of one position per clause (unit term spans,
+    clause order, non-overlapping, total gap <= slop), as tuples of
+    constituent positions — NearSpansOrdered match shapes with the
+    constituents kept so payloads can be collected per match
+    (`queries/payloads/PayloadSpanCollector` role)."""
+    out = []
+    n = len(pls)
+
+    def rec(i, prev_end, gap, acc):
+        if i == n:
+            out.append(tuple(acc))
+            return
+        a = pls[i]
+        j = int(np.searchsorted(a, prev_end))
+        while j < len(a):
+            p = int(a[j])
+            g2 = gap + (p - prev_end)
+            if g2 > slop:          # positions ascend -> gap only grows
+                break
+            acc.append(p)
+            rec(i + 1, p + 1, g2, acc)
+            acc.pop()
+            j += 1
+
+    for p in pls[0]:
+        rec(1, int(p) + 1, 0, [int(p)])
+    return out
+
+
+def _payload_reduce(factors: np.ndarray, func: str):
+    """One doc's PayloadFunction accumulation
+    (`queries/payloads/SumPayloadFunction.java` & siblings docScore)."""
+    if func == "sum":
+        return float(factors.sum(dtype=np.float64))
+    if func == "min":
+        return float(factors.min())
+    if func == "max":
+        return float(factors.max())
+    return float(factors.sum(dtype=np.float64) / len(factors))   # avg
+
+
+def search_shard_payload_score(reader, query, func: str, scorer, boost: float,
+                               k: int, after=None):
+    """PayloadScoreQuery over one shard
+    (`queries/payloads/PayloadScoreQuery.java:42-288`): every payload factor
+    seen at a matched occurrence feeds the PayloadFunction, accumulated
+    across ALL matches in the doc (currentScore/docScore contract); missing
+    payloads decode to 1 (FLOAT_DECODER null convention); negative docScores
+    clamp to 0.  ``scorer`` is None unless include_span_score, in which case
+    the payload score multiplies the wrapped span's own score (boost lives
+    in the scorer then): exact BM25 for a term span, the summed-idf
+    phrase-style scorer with freq = matched-span count for a SpanNear (the
+    engine's documented span-scoring adaptation)."""
+    if isinstance(query, str):
+        tid = reader.seek_exact(query)
+        if tid < 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+        docs, freqs = reader.postings(tid)
+        pos = reader.positions(tid, freqs)
+        factors = reader.payload_factors(
+            np.repeat(docs.astype(np.int64), freqs), pos)
+        pb = np.concatenate(([0], np.cumsum(freqs)))[:-1]
+        if func == "sum":
+            agg = np.add.reduceat(factors, pb)
+        elif func == "min":
+            agg = np.minimum.reduceat(factors, pb)
+        elif func == "max":
+            agg = np.maximum.reduceat(factors, pb)
+        else:                                   # avg
+            agg = np.add.reduceat(factors, pb) / freqs
+        cand = docs.astype(np.int32)
+        pagg = agg.astype(np.float32)
+        sfreq = freqs.astype(np.float32)
+    else:
+        # ordered SpanNear of plain terms (validated at compile)
+        posting = []
+        for t in query.clauses:
+            tid = reader.seek_exact(t)
+            if tid < 0:
+                return (np.zeros(0, np.float32), np.zeros(0, np.int32),
+                        0, RELATION_EQ)
+            docs, freqs = reader.postings(tid)
+            pos = reader.positions(tid, freqs)
+            pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+            posting.append((docs, pos, pb))
+        cdocs = posting[0][0]
+        for docs, _, _ in posting[1:]:
+            cdocs = np.intersect1d(cdocs, docs, assume_unique=True)
+        cand_l, pagg_l, freq_l = [], [], []
+        for d in cdocs:
+            pls = []
+            for docs, pos, pb in posting:
+                j = int(np.searchsorted(docs, d))
+                pls.append(pos[int(pb[j]):int(pb[j + 1])].astype(np.int64))
+            matches = _payload_matches_ordered(pls, int(query.slop))
+            if not matches:
+                continue
+            occ = np.array([p for m in matches for p in m], dtype=np.int64)
+            factors = reader.payload_factors(
+                np.full(len(occ), int(d), dtype=np.int64), occ)
+            cand_l.append(int(d))
+            pagg_l.append(_payload_reduce(factors, func))
+            freq_l.append(len(matches))
+        cand = np.asarray(cand_l, dtype=np.int32)
+        pagg = np.asarray(pagg_l, dtype=np.float32)
+        sfreq = np.asarray(freq_l, dtype=np.float32)
+    pagg = np.maximum(pagg, np.float32(0.0))
+    if reader.deleted is not None and len(cand):
+        live = ~reader.deleted[cand]
+        cand, pagg, sfreq = cand[live], pagg[live], sfreq[live]
+    if scorer is not None:
+        sc = (pagg * scorer.score(sfreq, reader.norms[cand])).astype(np.float32)
+    else:
+        sc = (np.float32(boost) * pagg).astype(np.float32)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
+def search_shard_payload_check(reader, terms, expected, op: str, scorer,
+                               k: int, after=None):
+    """SpanPayloadCheckQuery over one shard
+    (`queries/payloads/SpanPayloadCheckQuery.java`, PayloadChecker
+    :202-240): ordered ADJACENT term spans (the phrase shape); a match is
+    accepted iff for every i with expected[i] != None the i-th
+    constituent's stored payload exists and compares (op) to expected[i].
+    freq = accepted matches, scored with the summed-idf phrase-style
+    scorer.  Vectorized: one composite-key (doc<<32 | pos - i) intersection
+    finds matches, one payload_lookup per checked slot."""
+    keys = None
+    for i, t in enumerate(terms):
+        tid = reader.seek_exact(t)
+        if tid < 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+        docs, freqs = reader.postings(tid)
+        pos = reader.positions(tid, freqs).astype(np.int64)
+        dexp = np.repeat(docs.astype(np.int64), freqs)
+        ok = pos >= i
+        ki = (dexp[ok] << 32) | (pos[ok] - i)
+        keys = ki if keys is None else np.intersect1d(keys, ki,
+                                                      assume_unique=True)
+        if len(keys) == 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    mdoc = keys >> 32
+    mstart = keys & 0xFFFFFFFF
+    accept = np.ones(len(keys), dtype=bool)
+    cmp = {"eq": np.equal, "gt": np.greater, "gte": np.greater_equal,
+           "lt": np.less, "lte": np.less_equal}[op]
+    for i, exp in enumerate(expected):
+        if exp is None:
+            continue
+        vals, found = reader.payload_lookup(mdoc, mstart + i)
+        accept &= found & cmp(vals, np.float32(exp))
+    docs_u, counts = np.unique(mdoc[accept], return_counts=True)
+    cand = docs_u.astype(np.int32)
+    cfreq = counts.astype(np.float32)
+    if reader.deleted is not None and len(cand):
+        live = ~reader.deleted[cand]
+        cand, cfreq = cand[live], cfreq[live]
+    sc = scorer.score(cfreq, reader.norms[cand])
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ

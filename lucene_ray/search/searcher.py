@@ -189,6 +189,16 @@ class IndexSearcher:
             return dataclasses.replace(
                 q, little=self._normalize_span_leaf(q.little),
                 big=self._normalize_span_leaf(q.big))
+        from .query import PayloadScoreQuery as _PSQ
+        from .query import SpanPayloadCheckQuery as _SPCQ
+
+        if isinstance(q, _PSQ):
+            inner = self._ft(q.query) if isinstance(q.query, str) \
+                else self._normalize(q.query)
+            return dataclasses.replace(q, query=inner)
+        if isinstance(q, _SPCQ):
+            return dataclasses.replace(q, terms=tuple(self._ft(t)
+                                                      for t in q.terms))
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return dataclasses.replace(q, query=self._normalize(q.query))
         if isinstance(q, BooleanQuery):
@@ -550,6 +560,60 @@ class IndexSearcher:
                     "spannot": (query.include, query.exclude,
                                 int(query.pre), int(query.post)),
                     "boost": query.boost}
+        from .query import PayloadScoreQuery as _PSQ2
+        from .query import SpanPayloadCheckQuery as _SPCQ2
+
+        if isinstance(query, _PSQ2):
+            from .spans import SpanNearQuery as _SNQ
+            inner = query.query
+            if isinstance(inner, str):
+                terms = [inner]
+            elif isinstance(inner, _SNQ):
+                if not inner.in_order or \
+                        not all(isinstance(c, str) for c in inner.clauses):
+                    raise TypeError("PayloadScoreQuery supports a term or an "
+                                    "ordered SpanNear of plain terms")
+                terms = list(inner.clauses)
+            else:
+                raise TypeError(f"unsupported PayloadScoreQuery wrap "
+                                f"{type(inner).__name__}")
+            dfs = [self.df(t) for t in terms]
+            if any(d == 0 for d in dfs):
+                return {"scoring": [], "filters": ["\x00missing\x00"],
+                        "must_nots": [], "msm": 0, "n_required": 1,
+                        "match_all": False}
+            scorer = None
+            if query.include_span_score:
+                # boost folds into the span weight, as the reference wraps
+                # it into the inner SpanWeight (PayloadScoreQuery.java:130)
+                if isinstance(inner, str):
+                    scorer = self.sim.scorer(query.boost, self.doc_count,
+                                             self.sum_ttf, dfs[0])
+                else:
+                    idf_sum = np.float32(0.0)
+                    for d in dfs:
+                        idf_sum = idf_sum + self.sim.idf(d, self.doc_count)
+                    scorer = self.sim.scorer_with_idf(
+                        query.boost, idf_sum, self.doc_count, self.sum_ttf)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "payload_score": (inner, query.func, scorer, query.boost)}
+        if isinstance(query, _SPCQ2):
+            dfs = [self.df(t) for t in query.terms]
+            if any(d == 0 for d in dfs):
+                return {"scoring": [], "filters": ["\x00missing\x00"],
+                        "must_nots": [], "msm": 0, "n_required": 1,
+                        "match_all": False}
+            idf_sum = np.float32(0.0)
+            for d in dfs:
+                idf_sum = idf_sum + self.sim.idf(d, self.doc_count)
+            scorer = self.sim.scorer_with_idf(query.boost, idf_sum,
+                                              self.doc_count, self.sum_ttf)
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "payload_check": (tuple(query.terms),
+                                      tuple(query.expected), query.op,
+                                      scorer)}
         from .spans import SPAN_TYPES
 
         if isinstance(query, SPAN_TYPES):
@@ -927,6 +991,18 @@ class IndexSearcher:
 
             return search_shard_spans(rdr, compiled["spans"], self,
                                       compiled["boost"], k, after=after)
+        if compiled.get("payload_score") is not None:
+            from .scorer import search_shard_payload_score
+
+            pq, func, scorer, boost = compiled["payload_score"]
+            return search_shard_payload_score(rdr, pq, func, scorer, boost,
+                                              k, after=after)
+        if compiled.get("payload_check") is not None:
+            from .scorer import search_shard_payload_check
+
+            terms, expected, pop, scorer = compiled["payload_check"]
+            return search_shard_payload_check(rdr, terms, expected, pop,
+                                              scorer, k, after=after)
         if compiled.get("range") is not None:
             from .scorer import search_shard_range
 
