@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_phrase_wildcard_count": _lazy("index_phrase_wildcard_count"),
         "index_flexible_count": _lazy("index_flexible_count"),
         "index_span_near_count": _lazy("index_span_near_count"),
+        "index_interval_fn_count": _lazy("index_interval_fn_count"),
         "index_automaton_count": _lazy("index_automaton_count"),
         "index_payload_topk": _lazy("index_payload_topk"),
         "index_prefix_count": _lazy("index_prefix_count"),
@@ -99,8 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_counts": textstats.term_counts,
         "dedup_exact": dedup.dedup_exact,
         "knn_cosine": knn.knn_cosine,
-        "sessionize": windows.sessionize,
         # ---------------- beyond the 50-entry driver window ----------------
+        "sessionize": windows.sessionize,
         "bm25_scan_topk": bm25scan.bm25_scan_topk,
         "index_payload_check_count": _lazy("index_payload_check_count"),
         "suggest_fuzzy": _suggest_fuzzy,
@@ -825,6 +826,34 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT role, count(*)::BIGINT AS n_docs FROM r
             GROUP BY role ORDER BY role""",
+        # interval relation functions: ordered(merge join) span = [m, j+1)
+        # over 1-based positions; notContaining excludes sort at k in [m, j];
+        # within(merge 3 join) = |m - j| <= 3 (extend(join,3,3) containment);
+        # notContainedBy(sort, ordered(the data)) = a sort outside every
+        # the..data envelope
+        "index_interval_fn_count": _TOKS + """,
+            tp AS (SELECT doc_id, unnest(toks) AS term,
+                          unnest(range(1, len(toks) + 1)) AS pos FROM toklists)
+            SELECT
+              (SELECT count(DISTINCT a.doc_id) FROM tp a JOIN tp b
+                 ON a.doc_id = b.doc_id AND a.term = 'merge'
+                AND b.term = 'join' AND b.pos > a.pos
+                WHERE NOT EXISTS (SELECT 1 FROM tp k
+                    WHERE k.doc_id = a.doc_id AND k.term = 'sort'
+                      AND k.pos BETWEEN a.pos AND b.pos))::BIGINT
+                AS n_not_containing,
+              (SELECT count(DISTINCT a.doc_id) FROM tp a JOIN tp b
+                 ON a.doc_id = b.doc_id AND a.term = 'merge'
+                AND b.term = 'join'
+                AND abs(a.pos - b.pos) <= 3)::BIGINT AS n_within,
+              (SELECT count(DISTINCT s.doc_id) FROM tp s
+                WHERE s.term = 'sort' AND NOT EXISTS (
+                    SELECT 1 FROM tp a JOIN tp b
+                      ON a.doc_id = b.doc_id AND a.term = 'the'
+                     AND b.term = 'data' AND b.pos > a.pos
+                    WHERE a.doc_id = s.doc_id
+                      AND s.pos BETWEEN a.pos AND b.pos))::BIGINT
+                AS n_not_contained_by""",
         # payload of the token at 1-based pos is ((pos - 1) % 5) + 1 (the
         # transform attaches |((0-based pos % 5) + 1) to every token)
         "index_payload_topk": _TOKS + """,

@@ -1290,3 +1290,22 @@ def index_payload_check_count(sf_dir: str) -> pd.DataFrame:
         SpanPayloadCheckQuery(("merge", "join"), (None, None)))
     return pd.DataFrame({"n_checked": pd.Series([n_checked], dtype="int64"),
                          "n_phrase": pd.Series([n_phrase], dtype="int64")})
+
+
+def index_interval_fn_count(sf_dir: str) -> pd.DataFrame:
+    """Interval relation functions through the flexible parser
+    (`queries/intervals/Intervals.java:321-497`,
+    `queryparser/flexible/standard/nodes/intervalfn/`): notContaining /
+    within / notContainedBy counts over the positional postings."""
+    from ..search.flexible import parse_flexible
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n_nc = searcher.count(parse_flexible(
+        "fn:notContaining(fn:ordered(merge join) sort)"))
+    n_w = searcher.count(parse_flexible("fn:within(merge 3 join)"))
+    n_ncb = searcher.count(parse_flexible(
+        "fn:notContainedBy(sort fn:ordered(the data))"))
+    return pd.DataFrame({
+        "n_not_containing": pd.Series([n_nc], dtype="int64"),
+        "n_within": pd.Series([n_w], dtype="int64"),
+        "n_not_contained_by": pd.Series([n_ncb], dtype="int64")})

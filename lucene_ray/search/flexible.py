@@ -425,7 +425,42 @@ class _Flex:
 
     def _interval_body(self, name, field):
         from .spans import SpanContainingQuery, SpanNearQuery, SpanOrQuery,\
-            SpanWithinQuery
+            SpanRelationQuery, SpanWithinQuery
+
+        if name in ("notcontaining", "notcontainedby", "overlapping",
+                    "nonoverlapping", "unorderednooverlaps"):
+            # the filtering half of the Intervals algebra
+            # (StandardSyntaxParser.jj:393-468; Intervals.java:377-469)
+            args = self._interval_args(field)
+            if len(args) != 2:
+                raise FlexibleParseError(f"fn:{name} needs two sources")
+            op = {"notcontaining": "not_containing",
+                  "notcontainedby": "not_contained_by",
+                  "overlapping": "overlapping",
+                  "nonoverlapping": "non_overlapping",
+                  "unorderednooverlaps": "unordered_no_overlaps"}[name]
+            return SpanRelationQuery(op, args[0], reference=args[1],
+                                     field=field)
+        if name in ("within", "notwithin"):
+            # fn:within(source positions reference)
+            # (StandardSyntaxParser.jj:574-618)
+            args = self._interval_args(field)
+            if len(args) != 3 or not (isinstance(args[1], str)
+                                      and args[1].isdigit()):
+                raise FlexibleParseError(
+                    f"fn:{name} needs (source positions reference)")
+            return SpanRelationQuery(
+                "within" if name == "within" else "not_within",
+                args[0], reference=args[2], positions=int(args[1]),
+                field=field)
+        if name == "extend":
+            # fn:extend(source before after) (StandardSyntaxParser.jj:590-602)
+            args = self._interval_args(field)
+            if len(args) != 3 or not all(isinstance(a, str) and a.isdigit()
+                                         for a in args[1:]):
+                raise FlexibleParseError("fn:extend needs (source before after)")
+            return SpanRelationQuery("extend", args[0], before=int(args[1]),
+                                     after=int(args[2]), field=field)
 
         if name in ("ordered", "unordered", "phrase"):
             args = self._interval_args(field)
@@ -511,6 +546,8 @@ class _Flex:
         raise NotImplementedError(
             f"interval function fn:{name} not supported (supported: ordered "
             f"unordered phrase or before after containing containedBy "
+            f"notContaining notContainedBy overlapping nonOverlapping "
+            f"within notWithin extend unorderedNoOverlaps "
             f"wildcard fuzzyTerm maxwidth maxgaps atLeast)")
 
 

@@ -189,6 +189,13 @@ class IndexSearcher:
             return dataclasses.replace(
                 q, little=self._normalize_span_leaf(q.little),
                 big=self._normalize_span_leaf(q.big))
+        from .spans import SpanRelationQuery as _SRQ
+
+        if isinstance(q, _SRQ):
+            return dataclasses.replace(
+                q, source=self._normalize_span_leaf(q.source),
+                reference=(None if q.reference is None
+                           else self._normalize_span_leaf(q.reference)))
         from .query import PayloadScoreQuery as _PSQ
         from .query import SpanPayloadCheckQuery as _SPCQ
 

@@ -81,7 +81,51 @@ class SpanWithinQuery:
     boost: float = 1.0
 
 
-SPAN_TYPES = (SpanNearQuery, SpanOrQuery, SpanContainingQuery, SpanWithinQuery)
+_REL_OPS = ("not_containing", "not_contained_by", "overlapping",
+            "non_overlapping", "within", "not_within", "extend",
+            "unordered_no_overlaps")
+
+
+@dataclass(frozen=True)
+class SpanRelationQuery:
+    """The filtering/combining half of the Intervals algebra
+    (`queries/intervals/Intervals.java:321-497`):
+
+    - ``not_containing`` (notContaining): source spans with NO reference
+      span inside;
+    - ``not_contained_by`` (notContainedBy): source spans inside no
+      reference span;
+    - ``overlapping`` / ``non_overlapping``: source spans that share /
+      share no position with a reference span;
+    - ``within`` / ``not_within`` (within(small, positions, big)):
+      source spans inside (outside) a reference span extended by
+      ``positions`` on both sides — the reference composes these as
+      containedBy(small, extend(big, positions, positions));
+    - ``extend``: each source span widened by (before, after), floored
+      at position 0;
+    - ``unordered_no_overlaps``: both source and reference in either
+      order, spans must not overlap; match span is the envelope.
+
+    Like the rest of this module, span enumeration is exhaustive where the
+    reference iterates minimal intervals — a documented superset."""
+    op: str
+    source: object
+    reference: object = None
+    positions: int = 0          # within / not_within distance
+    before: int = 0             # extend
+    after: int = 0              # extend
+    field: str = "text"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.op not in _REL_OPS:
+            raise ValueError(f"unknown span relation {self.op!r}")
+        if self.op != "extend" and self.reference is None:
+            raise ValueError(f"span relation {self.op!r} needs a reference")
+
+
+SPAN_TYPES = (SpanNearQuery, SpanOrQuery, SpanContainingQuery,
+              SpanWithinQuery, SpanRelationQuery)
 
 
 def _children(q):
@@ -93,6 +137,8 @@ def _children(q):
         return [q.big, q.little]
     if isinstance(q, SpanWithinQuery):
         return [q.little, q.big]
+    if isinstance(q, SpanRelationQuery):
+        return [q.source] + ([q.reference] if q.reference is not None else [])
     return []
 
 
@@ -150,6 +196,13 @@ class _ShardSpans:
             a, b = (_children(q)[0], _children(q)[1])
             return np.intersect1d(self.candidates(a), self.candidates(b),
                                   assume_unique=True)
+        if isinstance(q, SpanRelationQuery):
+            src = self.candidates(q.source)
+            if q.op in ("overlapping", "within", "unordered_no_overlaps"):
+                # positive relations require the reference in the doc too
+                return np.intersect1d(src, self.candidates(q.reference),
+                                      assume_unique=True)
+            return src      # negated relations / extend: source docs suffice
         parts = [docs for docs, _, _ in self.leaf_postings[self._leaf_key(q)]]
         return np.unique(np.concatenate(parts)) if parts else \
             np.empty(0, np.int64)
@@ -176,6 +229,37 @@ class _ShardSpans:
             big = self.spans(q.big, d)
             return [l for l in self.spans(q.little, d)
                     if any(s <= l[0] and l[1] <= e for s, e in big)]
+        if isinstance(q, SpanRelationQuery):
+            src = self.spans(q.source, d)
+            if q.op == "extend":
+                return sorted({(max(0, s - q.before), e + q.after)
+                               for s, e in src})
+            ref = self.spans(q.reference, d)
+            if q.op == "not_containing":
+                return [s for s in src
+                        if not any(s[0] <= r0 and r1 <= s[1] for r0, r1 in ref)]
+            if q.op == "not_contained_by":
+                return [s for s in src
+                        if not any(r0 <= s[0] and s[1] <= r1 for r0, r1 in ref)]
+            if q.op == "overlapping":
+                return [s for s in src
+                        if any(s[0] < r1 and r0 < s[1] for r0, r1 in ref)]
+            if q.op == "non_overlapping":
+                return [s for s in src
+                        if not any(s[0] < r1 and r0 < s[1] for r0, r1 in ref)]
+            if q.op in ("within", "not_within"):
+                n = int(q.positions)
+                inside = [s for s in src
+                          if any(r0 - n <= s[0] and s[1] <= r1 + n
+                                 for r0, r1 in ref)]
+                if q.op == "within":
+                    return inside
+                bad = set(inside)
+                return [s for s in src if s not in bad]
+            # unordered_no_overlaps: either order, no overlap, envelope span
+            return sorted({(min(a0, b0), max(a1, b1))
+                           for a0, a1 in src for b0, b1 in ref
+                           if a1 <= b0 or b1 <= a0})
         # leaf: union of positions across expanded terms
         out = set()
         for docs, pos, pb in self.leaf_postings[self._leaf_key(q)]:

@@ -178,8 +178,14 @@ def test_interval_function_shapes():
     assert parse_flexible("fn:atLeast(2 quick brown fox)") == BooleanQuery(
         (c(t("quick"), SHOULD), c(t("brown"), SHOULD), c(t("fox"), SHOULD)), 2)
     assert parse_flexible("fn:wildcard(qui*)") == WildcardQuery("qui*")
+    from lucene_ray.search.spans import SpanRelationQuery
+
+    assert parse_flexible("fn:extend(quick 1 1)") == SpanRelationQuery(
+        "extend", "quick", before=1, after=1)
+    assert parse_flexible("fn:notWithin(quick 2 fox)") == SpanRelationQuery(
+        "not_within", "quick", reference="fox", positions=2)
     with pytest.raises(NotImplementedError):
-        parse_flexible("fn:extend(quick 1 1)")
+        parse_flexible("fn:bogus(quick)")
 
 
 def test_escaping():

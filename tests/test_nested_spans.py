@@ -22,6 +22,7 @@ from lucene_ray.search.spans import (
     SpanContainingQuery,
     SpanNearQuery,
     SpanOrQuery,
+    SpanRelationQuery,
     SpanWithinQuery,
 )
 from lucene_ray.sources.transcripts import synth_transcripts
@@ -49,6 +50,34 @@ def oracle_spans(q, toks):
         big = oracle_spans(q.big, toks)
         return sorted({l for l in oracle_spans(q.little, toks)
                        if any(s <= l[0] and l[1] <= e for s, e in big)})
+    if isinstance(q, SpanRelationQuery):
+        src = oracle_spans(q.source, toks)
+        if q.op == "extend":
+            return sorted({(max(0, s - q.before), e + q.after)
+                           for s, e in src})
+        ref = oracle_spans(q.reference, toks)
+        if q.op == "not_containing":
+            return sorted({s for s in src if not any(
+                s[0] <= r0 and r1 <= s[1] for r0, r1 in ref)})
+        if q.op == "not_contained_by":
+            return sorted({s for s in src if not any(
+                r0 <= s[0] and s[1] <= r1 for r0, r1 in ref)})
+        if q.op == "overlapping":
+            return sorted({s for s in src if any(
+                s[0] < r1 and r0 < s[1] for r0, r1 in ref)})
+        if q.op == "non_overlapping":
+            return sorted({s for s in src if not any(
+                s[0] < r1 and r0 < s[1] for r0, r1 in ref)})
+        if q.op in ("within", "not_within"):
+            n = q.positions
+            inside = {s for s in src if any(
+                r0 - n <= s[0] and s[1] <= r1 + n for r0, r1 in ref)}
+            return sorted(inside if q.op == "within"
+                          else set(src) - inside)
+        assert q.op == "unordered_no_overlaps"
+        return sorted({(min(a0, b0), max(a1, b1))
+                       for a0, a1 in src for b0, b1 in ref
+                       if a1 <= b0 or b1 <= a0})
     assert isinstance(q, SpanNearQuery)
     lists = [oracle_spans(c, toks) for c in q.clauses]
     if any(not sl for sl in lists):
@@ -193,3 +222,98 @@ def test_fuzz_random_span_trees(span_setup):
         assert got == want, f"trial {trial}: {q}"
         n_nonempty += bool(want)
     assert n_nonempty >= 10          # the fuzz really exercises matches
+
+
+# ---------------- relation algebra (Intervals.java:321-497) ----------------
+
+def test_span_relations_fixed_shapes(span_setup):
+    s, toklists = span_setup
+    near = SpanNearQuery(("merge", "join"), slop=6, in_order=True)
+    shapes = [
+        SpanRelationQuery("not_containing", near, reference="sort"),
+        SpanRelationQuery("not_contained_by", "sort",
+                          reference=SpanNearQuery(("the", "data"), slop=8,
+                                                  in_order=False)),
+        SpanRelationQuery("overlapping", near,
+                          reference=SpanNearQuery(("join", "sort"), slop=4,
+                                                  in_order=True)),
+        SpanRelationQuery("non_overlapping", near, reference="the"),
+        SpanRelationQuery("within", "merge", reference="join", positions=3),
+        SpanRelationQuery("not_within", "merge", reference="join",
+                          positions=3),
+        SpanRelationQuery("unordered_no_overlaps",
+                          SpanOrQuery(("merge", "sort")), reference="the"),
+        # extend only changes spans, not docs — nest it to make it observable
+        SpanRelationQuery("within", "sort",
+                          reference=SpanRelationQuery("extend", "merge",
+                                                      before=2, after=2)),
+    ]
+    n_nonempty = 0
+    for q in shapes:
+        got, want = _engine_docs(s, q), _oracle_docs(toklists, q)
+        assert got == want, q
+        n_nonempty += bool(want)
+    assert n_nonempty >= 6
+
+
+def test_flexible_interval_relations(span_setup):
+    from lucene_ray.search.flexible import parse_flexible
+
+    s, toklists = span_setup
+    cases = [
+        ("fn:notContaining(fn:ordered(merge join) sort)",
+         SpanRelationQuery("not_containing",
+                           SpanNearQuery(("merge", "join"), slop=1 << 29,
+                                         in_order=True), reference="sort")),
+        ("fn:within(merge 3 join)",
+         SpanRelationQuery("within", "merge", reference="join", positions=3)),
+        ("fn:notWithin(merge 3 join)",
+         SpanRelationQuery("not_within", "merge", reference="join",
+                           positions=3)),
+        ("fn:overlapping(fn:unordered(merge the) fn:ordered(the data))",
+         SpanRelationQuery(
+             "overlapping",
+             SpanNearQuery(("merge", "the"), slop=1 << 29, in_order=False),
+             reference=SpanNearQuery(("the", "data"), slop=1 << 29,
+                                     in_order=True))),
+        ("fn:unorderedNoOverlaps(fn:or(merge sort) the)",
+         SpanRelationQuery("unordered_no_overlaps",
+                           SpanOrQuery(("merge", "sort")), reference="the")),
+        ("fn:within(sort 0 fn:extend(merge 2 2))",
+         SpanRelationQuery("within", "sort",
+                           reference=SpanRelationQuery("extend", "merge",
+                                                       before=2, after=2))),
+    ]
+    n_nonempty = 0
+    for text, want_q in cases:
+        got = _engine_docs(s, parse_flexible(text))
+        want = _oracle_docs(toklists, want_q)
+        assert got == want, text
+        n_nonempty += bool(want)
+    assert n_nonempty >= 5
+
+
+def _rand_relation(rng, depth):
+    src = _rand_span(rng, depth)
+    ref = _rand_span(rng, depth)
+    op = rng.choice(["not_containing", "not_contained_by", "overlapping",
+                     "non_overlapping", "within", "not_within",
+                     "unordered_no_overlaps", "extend"])
+    if op == "extend":
+        return SpanRelationQuery("extend", src, before=rng.randint(0, 3),
+                                 after=rng.randint(0, 3))
+    return SpanRelationQuery(op, src, reference=ref,
+                             positions=rng.randint(0, 4))
+
+
+def test_fuzz_span_relations(span_setup):
+    s, toklists = span_setup
+    rng = random.Random(20260819)
+    n_nonempty = 0
+    for trial in range(40):
+        q = _rand_relation(rng, depth=1)
+        got = _engine_docs(s, q)
+        want = _oracle_docs(toklists, q)
+        assert got == want, f"trial {trial}: {q}"
+        n_nonempty += bool(want)
+    assert n_nonempty >= 10
