@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
         "suggest_freetext": _suggest_freetext,
+        "index_all_group_heads": _lazy("index_all_group_heads"),
         "index_diversified_topk": _lazy("index_diversified_topk"),
         "index_stop_count": _lazy("index_stop_count"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
@@ -826,6 +827,18 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT role, count(*)::BIGINT AS n_docs FROM r
             GROUP BY role ORDER BY role""",
+        # constant-score heads tie-break by gid asc -> min(doc_id) per group
+        "index_all_group_heads": _TOKS + """,
+            m AS (SELECT doc_id FROM toklists
+                  WHERE list_contains(toks, 'merge')),
+            r AS (SELECT doc_id,
+                         ['user','assistant','system','tool'][doc_id % 4 + 1]
+                             AS role FROM m),
+            h AS (SELECT role, min(doc_id) AS doc_id FROM r GROUP BY role)
+            SELECT role, printf('conv-%08d', doc_id // 5) AS conv_id,
+                   (doc_id % 5)::BIGINT AS turn_idx,
+                   (SELECT count(DISTINCT role) FROM r)::BIGINT AS n_groups
+            FROM h ORDER BY role""",
         # interval relation functions: ordered(merge join) span = [m, j+1)
         # over 1-based positions; notContaining excludes sort at k in [m, j];
         # within(merge 3 join) = |m - j| <= 3 (extend(join,3,3) containment);

@@ -1309,3 +1309,23 @@ def index_interval_fn_count(sf_dir: str) -> pd.DataFrame:
         "n_not_containing": pd.Series([n_nc], dtype="int64"),
         "n_within": pd.Series([n_w], dtype="int64"),
         "n_not_contained_by": pd.Series([n_ncb], dtype="int64")})
+
+
+def index_all_group_heads(sf_dir: str) -> pd.DataFrame:
+    """AllGroupsCollector + AllGroupHeadsCollector
+    (`grouping/.../AllGroupsCollector.java`, `AllGroupHeadsCollector.java`):
+    every matching group's head doc under a constant-score query — the head
+    is the tie-break winner (gid asc), so the SQL twin is min(doc_id) per
+    group; n_groups doubles as the AllGroups count."""
+    from ..search.query import ConstantScoreQuery, TermQuery
+    from ..search.searcher import all_group_heads, all_groups
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = ConstantScoreQuery(TermQuery("merge"))
+    heads = all_group_heads(searcher, q, "role")
+    n_groups = len(all_groups(searcher, q, "role"))
+    rows = sorted((v, h.conv_id, int(h.turn_idx), n_groups)
+                  for v, h in heads.items())
+    return pd.DataFrame(rows, columns=["role", "conv_id", "turn_idx",
+                                       "n_groups"]) \
+        .astype({"turn_idx": "int64", "n_groups": "int64"})

@@ -1676,6 +1676,44 @@ def grouped_search(searcher: "IndexSearcher", query, group_field: str = "role",
             for v, hits in ranked[:n_groups]]
 
 
+def all_groups(searcher: "IndexSearcher", query, group_field: str = "role",
+               classes: list[str] | None = None) -> list[str]:
+    """AllGroupsCollector (`grouping/.../AllGroupsCollector.java`): the
+    distinct group values among every matching doc (the total-group-count
+    companion to paginated grouping).  Sorted group values."""
+    from ..pipelines.classify import _classes_of_hits, _keyword_classes
+
+    td = searcher.search(query, k=searcher.doc_count,
+                         total_hits_threshold=2**31 - 1)
+    if classes is None:
+        classes = _keyword_classes(searcher, group_field)
+    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
+    vals = _classes_of_hits(searcher, gids, group_field, classes)
+    return sorted({v for v in vals if v is not None})
+
+
+def all_group_heads(searcher: "IndexSearcher", query,
+                    group_field: str = "role",
+                    classes: list[str] | None = None) -> dict:
+    """AllGroupHeadsCollector (`grouping/.../AllGroupHeadsCollector.java`):
+    the most-relevant doc of EVERY group under the hit order (score desc,
+    gid asc) — no group cap, unlike the two-pass grouped top-k.
+    {group_value: ScoreDoc}."""
+    from ..pipelines.classify import _classes_of_hits, _keyword_classes
+
+    td = searcher.search(query, k=searcher.doc_count,
+                         total_hits_threshold=2**31 - 1)
+    if classes is None:
+        classes = _keyword_classes(searcher, group_field)
+    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
+    vals = _classes_of_hits(searcher, gids, group_field, classes)
+    heads: dict = {}
+    for h, v in zip(td.hits, vals):       # stream is (score desc, gid asc)
+        if v is not None and v not in heads:
+            heads[v] = h
+    return heads
+
+
 def more_like_this(searcher: "IndexSearcher", text: str,
                    max_query_terms: int = 25, min_term_freq: int = 2,
                    min_doc_freq: int = 5):

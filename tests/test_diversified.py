@@ -84,3 +84,28 @@ def test_grouped_search_two_pass_semantics(searcher):
                                np.array([h.gid for h in hits], dtype=np.int64),
                                "role", classes)
         assert all(c == role for c in got)
+
+
+def test_all_groups_and_heads(searcher):
+    from lucene_ray.pipelines.classify import _classes_of_hits, _keyword_classes
+    from lucene_ray.search.searcher import all_group_heads, all_groups
+
+    q = bool_query(should=["merge", "join"])
+    full = searcher.search(q, k=searcher.doc_count,
+                           total_hits_threshold=2**31 - 1)
+    import numpy as np
+
+    classes = _keyword_classes(searcher, "role")
+    gids = np.array([h.gid for h in full.hits], dtype=np.int64)
+    vals = _classes_of_hits(searcher, gids, "role", classes)
+    # AllGroups: distinct group values over every hit
+    assert all_groups(searcher, q, "role") == \
+        sorted({v for v in vals if v is not None})
+    # AllGroupHeads: first hit per group under (score desc, gid asc)
+    want = {}
+    for h, v in zip(full.hits, vals):
+        if v is not None and v not in want:
+            want[v] = (h.gid, h.score)
+    got = {v: (h.gid, h.score)
+           for v, h in all_group_heads(searcher, q, "role").items()}
+    assert got == want and len(got) >= 2
