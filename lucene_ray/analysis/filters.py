@@ -2251,6 +2251,90 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
             doc = dd
             pos = rank.astype(np.int32) if len(dd) else np.zeros(0, np.int32)
             incr = np.ones(len(dd), dtype=bool)
+        elif spec.startswith("minhash128"):
+            # Reference-parity MinHashFilter (`analysis/minhash/
+            # MinHashFilter.java`, hash math pinned by its test vectors):
+            # murmur3 x64 128 over UTF-16LE token bytes, combineOrdered
+            # rehash per hash position, bucketed min-sets, optional rotation
+            # fill; all tokens emitted at position 0 (first posInc 1, rest
+            # 0 — norms count 1 per doc).  Terms are hex (Arrow strings
+            # can't hold the reference's unpaired-surrogate char packing).
+            # Spec: minhash128[:hashCount,bucketCount,hashSetSize[,rot|norot]]
+            from .minhash import _pack_hex, int_hash, murmur3_x64_128
+
+            params = spec.split(":", 1)[1] if ":" in spec else ""
+            parts = [p for p in params.split(",") if p]
+            hc = int(parts[0]) if len(parts) > 0 else 1
+            bc = int(parts[1]) if len(parts) > 1 else 512
+            ss = int(parts[2]) if len(parts) > 2 else 1
+            rot = (parts[3] == "rot") if len(parts) > 3 else bc > 1
+            bucket_size = -((1 << 32) // -bc)            # ceil, :130-133
+            uniq, inv = np.unique(toks.astype(str), return_inverse=True)
+            u1 = np.empty(len(uniq), dtype=np.uint64)
+            u2 = np.empty(len(uniq), dtype=np.uint64)
+            for u, w in enumerate(uniq):
+                u1[u], u2[u] = murmur3_x64_128(w.encode("utf-16-le"))
+            with np.errstate(over="ignore"):
+                r1 = np.concatenate([
+                    u1 * np.uint64(37) + np.uint64(int_hash(i)[0])
+                    for i in range(hc)])[
+                        np.tile(inv, hc)
+                        + np.repeat(np.arange(hc) * len(uniq), len(toks))]
+                r2 = np.concatenate([
+                    u2 * np.uint64(37) + np.uint64(int_hash(i)[1])
+                    for i in range(hc)])[
+                        np.tile(inv, hc)
+                        + np.repeat(np.arange(hc) * len(uniq), len(toks))]
+            d_rep = np.tile(doc, hc)
+            i_rep = np.repeat(np.arange(hc, dtype=np.int64), len(toks))
+            bkt = ((r2 >> np.uint64(32)) // np.uint64(bucket_size)) \
+                .astype(np.int64)
+            order_m = np.lexsort((r1, r2, bkt, i_rep, d_rep))
+            d_s, i_s = d_rep[order_m], i_rep[order_m]
+            b_s, r1s, r2s = bkt[order_m], r1[order_m], r2[order_m]
+            if len(d_s):
+                # distinct (doc, i, hash) — the TreeSet set semantics
+                first = np.ones(len(d_s), dtype=bool)
+                first[1:] = ((d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])
+                             | (r2s[1:] != r2s[:-1]) | (r1s[1:] != r1s[:-1]))
+                d_s, i_s, b_s = d_s[first], i_s[first], b_s[first]
+                r1s, r2s = r1s[first], r2s[first]
+                # rank within (doc, i, bucket); keep the hashSetSize smallest
+                grp = np.ones(len(d_s), dtype=bool)
+                grp[1:] = ((d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])
+                           | (b_s[1:] != b_s[:-1]))
+                gs = np.nonzero(grp)[0]
+                glen = np.diff(np.concatenate((gs, [len(d_s)])))
+                rank = np.arange(len(d_s)) - np.repeat(gs, glen)
+                keep_m = rank < ss
+                d_s, i_s, b_s = d_s[keep_m], i_s[keep_m], b_s[keep_m]
+                r1s, r2s = r1s[keep_m], r2s[keep_m]
+            out_t, out_d = [], []
+            # emission (and rotation fill) per (doc, hash position) group —
+            # output-bounded work; the hashing above is vocab-bounded
+            grp = np.ones(len(d_s), dtype=bool)
+            if len(d_s):
+                grp[1:] = (d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])
+            gs = np.nonzero(grp)[0]
+            for gi, s0 in enumerate(gs):
+                e0 = gs[gi + 1] if gi + 1 < len(gs) else len(d_s)
+                d, i = int(d_s[s0]), int(i_s[s0])
+                if rot and ss == 1:
+                    bp = b_s[s0:e0]          # sorted non-empty buckets
+                    idx = np.searchsorted(bp, np.arange(bc))
+                    idx[idx == len(bp)] = 0  # cyclic wrap to the first
+                    sel = s0 + idx
+                else:
+                    sel = np.arange(s0, e0)
+                out_t.extend(_pack_hex(i, int(r1s[j]), int(r2s[j]), hc)
+                             for j in sel)
+                out_d.extend([d] * len(sel))
+            toks = np.array(out_t, dtype=object)
+            doc = np.array(out_d, dtype=np.int64)
+            pos = np.zeros(len(toks), dtype=np.int32)
+            incr = np.zeros(len(toks), dtype=bool)
+            if len(doc):
+                incr[np.concatenate(([True], doc[1:] != doc[:-1]))] = True
         elif spec.startswith("dict_compound:"):
             # DictionaryCompoundWordTokenFilter (`analysis/compound/
             # DictionaryCompoundWordTokenFilter.java` decompose() +
