@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_blended": _suggest_blended,
         "suggest_freetext": _suggest_freetext,
         "index_all_group_heads": _lazy("index_all_group_heads"),
+        "index_term_range_count": _lazy("index_term_range_count"),
+        "index_expr_range_count": _lazy("index_expr_range_count"),
         "index_diversified_topk": _lazy("index_diversified_topk"),
         "index_stop_count": _lazy("index_stop_count"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
@@ -827,6 +829,23 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT role, count(*)::BIGINT AS n_docs FROM r
             GROUP BY role ORDER BY role""",
+        "index_term_range_count": _TOKS + """
+            SELECT (SELECT count(*) FROM toklists WHERE len(list_filter(
+                        toks, t -> t >= 'merge' AND t <= 'sort')) > 0)::BIGINT
+                       AS n_incl,
+                   (SELECT count(*) FROM toklists WHERE len(list_filter(
+                        toks, t -> t > 'merge' AND t < 'sort')) > 0)::BIGINT
+                       AS n_excl""",
+        # expression value = ln(1 + turn_idx) + ts/1e17 (same double math as
+        # the index_expr_sorted_topk twin); boundaries far from any value
+        "index_expr_range_count": """
+            WITH v AS (SELECT doc_id,
+                              ln(1 + (doc_id % 5))
+                              + (1700000000000000 + doc_id * 1000000)
+                                / 100000000000000000 AS val
+                       FROM documents)
+            SELECT count(*)::BIGINT AS n_matching FROM v
+            WHERE val >= 0.5 AND val <= 1.5""",
         # constant-score heads tie-break by gid asc -> min(doc_id) per group
         "index_all_group_heads": _TOKS + """,
             m AS (SELECT doc_id FROM toklists

@@ -1329,3 +1329,30 @@ def index_all_group_heads(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["role", "conv_id", "turn_idx",
                                        "n_groups"]) \
         .astype({"turn_idx": "int64", "n_groups": "int64"})
+
+
+def index_term_range_count(sf_dir: str) -> pd.DataFrame:
+    """TermRangeQuery (`search/TermRangeQuery.java`): lexicographic
+    dictionary ranges with inclusive/exclusive bounds, expanded per shard
+    (no global dictionary)."""
+    from ..search.query import TermRangeQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n_incl = searcher.count(TermRangeQuery("merge", "sort"))
+    n_excl = searcher.count(TermRangeQuery("merge", "sort",
+                                           include_lower=False,
+                                           include_upper=False))
+    return pd.DataFrame({"n_incl": pd.Series([n_incl], dtype="int64"),
+                         "n_excl": pd.Series([n_excl], dtype="int64")})
+
+
+def index_expr_range_count(sf_dir: str) -> pd.DataFrame:
+    """FunctionRangeQuery on the expressions engine
+    (`queries/function/FunctionRangeQuery.java`): docs whose doc-values
+    expression value falls in a range, constant score."""
+    from ..search.query import ExpressionRangeQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    expr = "ln(1 + turn_idx) + ts / 100000000000000000"
+    n = searcher.count(ExpressionRangeQuery(expr, 0.5, 1.5))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})

@@ -527,6 +527,36 @@ class TermInSetQuery:
 
 
 @dataclass(frozen=True)
+class TermRangeQuery:
+    """Lexicographic term-dictionary range (`search/TermRangeQuery.java`):
+    docs containing any term in [lower, upper] under the include flags
+    (None = open end), constant-score multi-term rewrite with per-shard
+    expansion.  Keyword-namespace terms are excluded — the range runs over
+    the analyzed text field's dictionary (the reference's per-field terms)."""
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    field: str = "text"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ExpressionRangeQuery:
+    """FunctionRangeQuery on the expressions engine
+    (`queries/function/FunctionRangeQuery.java` ValueSourceScorer): docs
+    whose compiled doc-values expression value lies in [lo, hi] under the
+    include flags (None = open end); constant score, scoreless evaluation
+    (_score is rejected, like ExpressionSort)."""
+    expression: str
+    lo: float | None
+    hi: float | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PrefixQuery:
     """Term-dictionary prefix expansion, rewritten to a constant-score union
     (`search/PrefixQuery.java` with CONSTANT_SCORE_REWRITE semantics: every

@@ -405,6 +405,22 @@ class IndexSearcher:
         )
 
         terms = rdr._term_np
+        from .query import TermRangeQuery as _TRQ
+
+        if isinstance(query, _TRQ):
+            from ..index.shard import KEYWORD_SEP
+
+            lo_i = 0
+            if query.lower is not None:
+                lo_i = int(np.searchsorted(
+                    terms, query.lower,
+                    side="left" if query.include_lower else "right"))
+            hi_i = len(terms)
+            if query.upper is not None:
+                hi_i = int(np.searchsorted(
+                    terms, query.upper,
+                    side="right" if query.include_upper else "left"))
+            return [t for t in terms[lo_i:hi_i] if KEYWORD_SEP not in t]
         if isinstance(query, TermInSetQuery):
             want = np.asarray(sorted(set(query.terms)), dtype=terms.dtype)
             return want[np.isin(want, terms)].tolist()
@@ -760,15 +776,32 @@ class IndexSearcher:
             from ..index.shard import KEYWORD_SEP
 
             query = PrefixQuery(f"{query.field}{KEYWORD_SEP}", boost=query.boost)
-        from .query import TermInSetQuery
+        from .query import TermInSetQuery, TermRangeQuery
 
         if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery,
-                              FuzzyQuery, TermInSetQuery)):
+                              FuzzyQuery, TermInSetQuery, TermRangeQuery)):
             # expansion happens PER SHARD at execution time (const_query);
             # constant-score rewrite needs no global stats
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "const_query": query, "boost": query.boost}
+        from .query import ExpressionRangeQuery
+
+        if isinstance(query, ExpressionRangeQuery):
+            ev = IndexSearcher._EXPR_CACHE.get(query.expression)
+            if ev is None:
+                from .expressions import compile_expression
+
+                ev = IndexSearcher._EXPR_CACHE[query.expression] = \
+                    compile_expression(query.expression)
+            if "_score" in ev[1]:
+                raise ValueError("ExpressionRangeQuery evaluates scorelessly; "
+                                 "_score is not available")
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "expr_range": (query.expression, query.lo, query.hi,
+                                   query.include_lower, query.include_upper),
+                    "boost": query.boost}
         from .query import MultiPhraseQuery
 
         if isinstance(query, MultiPhraseQuery):
@@ -1050,6 +1083,9 @@ class IndexSearcher:
 
             return search_shard_const(rdr, self._expand_shard(rdr, compiled["const_query"]),
                                       compiled["boost"], k, after=after)
+        if compiled.get("expr_range") is not None:
+            return self._expr_range_shard(rdr, compiled["expr_range"],
+                                          compiled["boost"], k, after=after)
         if compiled.get("const_wrap") is not None:
             # ConstantScoreQuery: inner query's MATCH set, flat boost score
             _, docs, total, rel = self.search_shard(
@@ -1209,6 +1245,38 @@ class IndexSearcher:
             new, docs = new[keep], docs[keep]
         top = np.lexsort((docs, -new))[:k]
         return new[top], docs[top], total, rel
+
+    def _expr_range_shard(self, rdr, spec, boost, k, after=None):
+        """FunctionRangeQuery per shard (ValueSourceScorer model): evaluate
+        the doc-values expression over every doc (through any dv-update
+        overlays), keep values inside the range, constant score."""
+        expr, lo, hi, il, iu = spec
+        ev = IndexSearcher._EXPR_CACHE.get(expr)
+        if ev is None:
+            from .expressions import compile_expression
+
+            ev = IndexSearcher._EXPR_CACHE[expr] = compile_expression(expr)
+        fn, names = ev
+        env = {n: rdr.docvalue(n).astype(np.float64) for n in names}
+        vals = fn(env)
+        n = rdr.doc_count
+        if vals.shape == ():                    # constant expression
+            vals = np.full(n, float(vals))
+        mask = np.ones(n, dtype=bool)
+        if lo is not None:
+            mask &= (vals >= lo) if il else (vals > lo)
+        if hi is not None:
+            mask &= (vals <= hi) if iu else (vals < hi)
+        if rdr.deleted is not None:
+            mask &= ~rdr.deleted
+        cand = np.nonzero(mask)[0].astype(np.int32)
+        sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
+        total = int(len(cand))
+        if after is not None:
+            a_s, a_d = np.float32(after[0]), after[1]
+            keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+            cand, sc = cand[keep], sc[keep]
+        return sc[:k], cand[:k], total, RELATION_EQ
 
     def _block_join_shard(self, rdr, spec, k, after=None):
         """Per-shard child→parent join: conversations never span shards

@@ -1,0 +1,91 @@
+"""TermRangeQuery (`search/TermRangeQuery.java`) and ExpressionRangeQuery
+(`queries/function/FunctionRangeQuery.java`) vs brute force."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.analysis.standard import analyze
+from lucene_ray.index.build import build_index
+from lucene_ray.search.query import (
+    FILTER,
+    BooleanClause,
+    BooleanQuery,
+    ExpressionRangeQuery,
+    TermQuery,
+    TermRangeQuery,
+)
+from lucene_ray.search.searcher import IndexSearcher
+from lucene_ray.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def setup(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    t = synth_transcripts(1500, seed=31)
+    d = str(tmp_path_factory.mktemp("trangeidx"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=400,
+                keyword_cols=("role",), docvalue_cols=("ts",),
+                input_desc="trange")
+    toks = [set(analyze(x or "")) for x in t.column("text").to_pylist()]
+    ts = t.column("ts").cast("int64").to_pylist()
+    return IndexSearcher(d), toks, ts
+
+
+@pytest.mark.parametrize("lo,hi,il,iu", [
+    ("m", "merge", True, True),
+    ("merge", "sort", True, False),
+    ("scan", "sort", False, True),
+    (None, "b", True, True),
+    ("w", None, False, True),
+])
+def test_term_range_counts(setup, lo, hi, il, iu):
+    s, toks, _ = setup
+    got = s.count(TermRangeQuery(lo, hi, include_lower=il, include_upper=iu))
+    def inside(t):
+        if lo is not None and (t < lo or (t == lo and not il)):
+            return False
+        if hi is not None and (t > hi or (t == hi and not iu)):
+            return False
+        return True
+    want = sum(1 for ts_ in toks if any(inside(t) for t in ts_))
+    assert got == want and want > 0
+
+
+def test_term_range_excludes_keyword_namespace(setup):
+    s, toks, _ = setup
+    # an unbounded range must not leak role\x1f... keyword postings
+    got = s.count(TermRangeQuery(None, None))
+    want = sum(1 for ts_ in toks if ts_)
+    assert got == want
+
+
+def test_term_range_in_boolean_filter(setup):
+    s, toks, _ = setup
+    q = BooleanQuery((
+        BooleanClause(TermQuery("merge"), FILTER),
+        BooleanClause(TermRangeQuery("sc", "so", True, False), FILTER)))
+    want = sum(1 for ts_ in toks
+               if "merge" in ts_ and any("sc" <= t < "so" for t in ts_))
+    assert s.count(q) == want and want > 0
+
+
+def test_expression_range(setup):
+    s, toks, ts = setup
+    expr = "ts / 100000000000000000"
+    lo_v = float(np.sort(np.asarray(ts, dtype=np.int64))[300]) / 1e17
+    got = s.count(ExpressionRangeQuery(expr, lo_v, None,
+                                       include_lower=True))
+    vals = np.asarray([int(x) for x in ts], dtype=np.float64) / 1e17
+    want = int((vals >= lo_v).sum())
+    assert got == want and 0 < want < len(toks)
+    # exclusive bound drops the boundary docs
+    got_ex = s.count(ExpressionRangeQuery(expr, lo_v, None,
+                                          include_lower=False))
+    assert got_ex == int((vals > lo_v).sum()) < got
+
+
+def test_expression_range_rejects_score(setup):
+    s, _, _ = setup
+    with pytest.raises(ValueError):
+        s.compile(ExpressionRangeQuery("_score * 2", 0.0, 1.0))
