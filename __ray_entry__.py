@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_all_group_heads": _lazy("index_all_group_heads"),
         "index_term_range_count": _lazy("index_term_range_count"),
         "index_expr_range_count": _lazy("index_expr_range_count"),
+        "index_dv_stats": _lazy("index_dv_stats"),
         "index_diversified_topk": _lazy("index_diversified_topk"),
         "index_stop_count": _lazy("index_stop_count"),
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
@@ -836,6 +837,16 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM toklists WHERE len(list_filter(
                         toks, t -> t > 'merge' AND t < 'sort')) > 0)::BIGINT
                        AS n_excl""",
+        "index_dv_stats": _TOKS + """,
+            m AS (SELECT (doc_id % 5)::DOUBLE AS v FROM toklists
+                  WHERE list_contains(toks, 'merge'))
+            SELECT count(*)::BIGINT AS n_count,
+                   min(v)::BIGINT AS v_min, max(v)::BIGINT AS v_max,
+                   sum(v)::BIGINT AS v_sum,
+                   round(avg(v), 6) AS v_mean,
+                   round(var_pop(v), 6) AS v_var,
+                   round(stddev_pop(v), 6) AS v_stdev
+            FROM m""",
         # expression value = ln(1 + turn_idx) + ts/1e17 (same double math as
         # the index_expr_sorted_topk twin); boundaries far from any value
         "index_expr_range_count": """

@@ -1356,3 +1356,23 @@ def index_expr_range_count(sf_dir: str) -> pd.DataFrame:
     expr = "ln(1 + turn_idx) + ts / 100000000000000000"
     n = searcher.count(ExpressionRangeQuery(expr, 0.5, 1.5))
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
+def index_dv_stats(sf_dir: str) -> pd.DataFrame:
+    """DocValuesStatsCollector (`misc/.../search/DocValuesStats.java`):
+    numeric doc-values statistics over the matches of a term query; values
+    rounded to 6dp so the SQL twin's avg/var_pop/stddev_pop compare exactly
+    on these small-integer values."""
+    from ..search.query import TermQuery
+    from ..search.searcher import dv_stats
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    st = dv_stats(searcher, TermQuery("merge"), "turn_idx")
+    return pd.DataFrame({
+        "n_count": pd.Series([st["count"]], dtype="int64"),
+        "v_min": pd.Series([int(st["min"])], dtype="int64"),
+        "v_max": pd.Series([int(st["max"])], dtype="int64"),
+        "v_sum": pd.Series([int(st["sum"])], dtype="int64"),
+        "v_mean": pd.Series([round(st["mean"], 6)], dtype="float64"),
+        "v_var": pd.Series([round(st["variance"], 6)], dtype="float64"),
+        "v_stdev": pd.Series([round(st["stdev"], 6)], dtype="float64")})

@@ -1744,6 +1744,51 @@ def grouped_search(searcher: "IndexSearcher", query, group_field: str = "role",
             for v, hits in ranked[:n_groups]]
 
 
+def dv_stats(searcher: "IndexSearcher", query, field: str) -> dict:
+    """DocValuesStatsCollector (`misc/.../search/DocValuesStats.java`,
+    `DocValuesStatsCollector.java`): count / min / max / sum / mean /
+    population variance / stdev of a numeric doc-values field over the
+    query's matches.  The reference accumulates with Welford's update
+    (:167-169, variance() = M2/count); here each shard contributes exact
+    sufficient statistics (count, mean, M2) merged with Chan's parallel
+    formula — the same population variance without a driver-side pass over
+    the match values.  Our dv columns are dense, so missing = 0."""
+    compiled = searcher.compile(query)
+    n_t = 0
+    mean_t = 0.0
+    m2_t = 0.0
+    mn = np.inf
+    mx = -np.inf
+    s_t = 0.0
+    for pid in searcher._pids:
+        rdr = searcher.reader(pid)
+        _, docs, _, _ = searcher.search_shard(rdr, compiled, rdr.doc_count,
+                                              total_hits_threshold=2**31 - 1)
+        if len(docs) == 0:
+            continue
+        vals = rdr.docvalue(field)[docs].astype(np.float64)
+        n = len(vals)
+        mean = float(vals.mean())
+        m2 = float(((vals - mean) ** 2).sum())
+        mn = min(mn, float(vals.min()))
+        mx = max(mx, float(vals.max()))
+        s_t += float(vals.sum())
+        if n_t == 0:
+            n_t, mean_t, m2_t = n, mean, m2
+        else:
+            delta = mean - mean_t
+            tot = n_t + n
+            m2_t = m2_t + m2 + delta * delta * n_t * n / tot
+            mean_t = mean_t + delta * n / tot
+            n_t = tot
+    if n_t == 0:
+        return {"count": 0, "missing": 0, "min": None, "max": None,
+                "sum": 0.0, "mean": 0.0, "variance": 0.0, "stdev": 0.0}
+    var = m2_t / n_t
+    return {"count": n_t, "missing": 0, "min": mn, "max": mx, "sum": s_t,
+            "mean": mean_t, "variance": var, "stdev": float(np.sqrt(var))}
+
+
 def all_groups(searcher: "IndexSearcher", query, group_field: str = "role",
                classes: list[str] | None = None) -> list[str]:
     """AllGroupsCollector (`grouping/.../AllGroupsCollector.java`): the

@@ -89,3 +89,20 @@ def test_expression_range_rejects_score(setup):
     s, _, _ = setup
     with pytest.raises(ValueError):
         s.compile(ExpressionRangeQuery("_score * 2", 0.0, 1.0))
+
+
+def test_dv_stats_matches_numpy(setup):
+    from lucene_ray.search.searcher import dv_stats
+
+    s, toks, ts = setup
+    st = dv_stats(s, TermQuery("merge"), "ts")
+    vals = np.asarray([t for t, tk in zip(ts, toks) if "merge" in tk],
+                      dtype=np.float64)
+    assert st["count"] == len(vals) > 0
+    assert st["min"] == vals.min() and st["max"] == vals.max()
+    assert st["sum"] == pytest.approx(vals.sum(), rel=1e-12)
+    assert st["mean"] == pytest.approx(vals.mean(), rel=1e-12)
+    assert st["variance"] == pytest.approx(vals.var(), rel=1e-9)
+    assert st["stdev"] == pytest.approx(vals.std(), rel=1e-9)
+    empty = dv_stats(s, TermQuery("zzznothere"), "ts")
+    assert empty["count"] == 0 and empty["min"] is None
