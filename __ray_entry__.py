@@ -69,7 +69,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_xy_count": _lazy("index_xy_count"),
         "index_covering_count": _lazy("index_covering_count"),
         "index_geo_count": _lazy("index_geo_count"),
-        "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_shape_count": _lazy("index_shape_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
         "index_feature_topk": _lazy("index_feature_topk"),
@@ -81,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_interval_count": _lazy("index_interval_count"),
         "index_facet_role": _lazy("index_facet_role"),
         "index_conv_topk": _lazy("index_conv_topk"),
+        "index_join_topk": _lazy("index_join_topk"),
         "index_mlt_topk": _lazy("index_mlt_topk"),
         "index_expr_topk": _lazy("index_expr_topk"),
         "index_expr_sorted_topk": _lazy("index_expr_sorted_topk"),
@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "knn_cosine": knn.knn_cosine,
         # ---------------- beyond the 50-entry driver window ----------------
+        "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
+        "index_join_count": _lazy("index_join_count"),
         "sessionize": windows.sessionize,
         "bm25_scan_topk": bm25scan.bm25_scan_topk,
         "index_payload_check_count": _lazy("index_payload_check_count"),
@@ -648,6 +650,8 @@ def oracle_sql() -> dict[str, str]:
         "index_grouped_topk": _index_grouped_sql(),
         "index_bm25_bool_sql": _index_bool_oracle_sql(),
         "index_conv_topk": _conv_join_sql(),
+        "index_join_topk": _index_join_sql(),
+        "index_join_count": _index_join_count_sql(),
         "index_conv_children_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM documents
             WHERE doc_id // 5 IN (
@@ -1135,6 +1139,18 @@ def _conv_join_sql() -> str:
     from lucene_ray.pipelines.flagship import index_conv_oracle_sql
 
     return index_conv_oracle_sql()
+
+
+def _index_join_sql() -> str:
+    from lucene_ray.pipelines.flagship import index_join_oracle_sql
+
+    return index_join_oracle_sql()
+
+
+def _index_join_count_sql() -> str:
+    from lucene_ray.pipelines.flagship import index_join_count_oracle_sql
+
+    return index_join_count_oracle_sql()
 
 
 def _knn_filtered_sql() -> str:

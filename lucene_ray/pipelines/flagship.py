@@ -1179,6 +1179,68 @@ def index_conv_children_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
 
 
+JOINUTIL_K = 20
+JOINUTIL_COUNT_TERM = "dup"
+
+
+def index_join_topk(sf_dir: str, k: int = JOINUTIL_K) -> pd.DataFrame:
+    """Query-time join (JoinUtil.createJoinQuery, ScoreMode.Max): from turns
+    matching the reference term pair, join conv_id→conv_id, return the top-k
+    TO-SIDE TURNS scored by their conversation's max from-side BM25 score
+    (TermsIncludingScoreQuery semantics — every turn of a matched
+    conversation is a hit, not just the matching ones).
+    (rank, conv_id, turn_idx, score 4dp)."""
+    from ..search.join import join_search
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    td = join_search(searcher, bool_query(should=list(BM25_SQL_TERMS)),
+                     "conv_id", "conv_id", score_mode="max", k=k)
+    rows = [(r, h.conv_id, int(h.turn_idx), round(float(h.score), 4))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+def index_join_count(sf_dir: str) -> pd.DataFrame:
+    """JoinUtil with ScoreMode.None (TermsQuery / constant-score path):
+    count of live turns whose conversation contains a turn matching the
+    from query."""
+    from ..search.join import join_search
+    from ..search.query import TermQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    td = join_search(searcher, TermQuery(JOINUTIL_COUNT_TERM),
+                     "conv_id", "conv_id", score_mode="none", k=1)
+    return pd.DataFrame({"n_joined": pd.Series([td.total_hits], dtype="int64")})
+
+
+def index_join_oracle_sql(k: int = JOINUTIL_K) -> str:
+    return f"""
+        WITH {bm25_scored_cte(BM25_SQL_TERMS)},
+        conv AS (SELECT doc_id // 5 AS conv, max(score) AS jscore
+                 FROM scored GROUP BY doc_id // 5)
+        SELECT row_number() OVER (ORDER BY c.jscore DESC, d.doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', d.doc_id // 5) AS conv_id,
+               (d.doc_id % 5)::BIGINT AS turn_idx,
+               round(c.jscore, 4) AS score
+        FROM documents d JOIN conv c ON d.doc_id // 5 = c.conv
+        ORDER BY c.jscore DESC, d.doc_id ASC LIMIT {k}"""
+
+
+def index_join_count_oracle_sql() -> str:
+    t = JOINUTIL_COUNT_TERM
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents),
+        matched AS (
+          SELECT DISTINCT doc_id // 5 AS conv FROM toklists
+          WHERE len(list_filter(toks, x -> x = '{t}')) > 0)
+        SELECT count(*)::BIGINT AS n_joined
+        FROM documents d WHERE d.doc_id // 5 IN (SELECT conv FROM matched)"""
+
+
 def index_conv_oracle_sql(k: int = CONV_JOIN_K) -> str:
     return f"""
         WITH {bm25_scored_cte(BM25_SQL_TERMS)},
