@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- beyond the 50-entry driver window ----------------
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_join_count": _lazy("index_join_count"),
+        "index_range_grouped_topk": _lazy("index_range_grouped_topk"),
+        "index_group_facets": _lazy("index_group_facets"),
+        "index_block_grouped_topk": _lazy("index_block_grouped_topk"),
         "sessionize": windows.sessionize,
         "bm25_scan_topk": bm25scan.bm25_scan_topk,
         "index_payload_check_count": _lazy("index_payload_check_count"),
@@ -652,6 +655,9 @@ def oracle_sql() -> dict[str, str]:
         "index_conv_topk": _conv_join_sql(),
         "index_join_topk": _index_join_sql(),
         "index_join_count": _index_join_count_sql(),
+        "index_range_grouped_topk": _flagship_sql("index_range_grouped_oracle_sql"),
+        "index_group_facets": _flagship_sql("index_group_facets_oracle_sql"),
+        "index_block_grouped_topk": _flagship_sql("index_block_grouped_oracle_sql"),
         "index_conv_children_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM documents
             WHERE doc_id // 5 IN (
@@ -1139,6 +1145,12 @@ def _conv_join_sql() -> str:
     from lucene_ray.pipelines.flagship import index_conv_oracle_sql
 
     return index_conv_oracle_sql()
+
+
+def _flagship_sql(fn_name: str) -> str:
+    from lucene_ray.pipelines import flagship
+
+    return getattr(flagship, fn_name)()
 
 
 def _index_join_sql() -> str:

@@ -1179,6 +1179,144 @@ def index_conv_children_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
 
 
+TS_BASE = 1_700_000_000_000_000
+RG_LO = TS_BASE + 100 * 1_000_000
+RG_WIDTH = 100 * 1_000_000
+RG_HI = RG_LO + 3 * RG_WIDTH
+RG_GROUPS, RG_DOCS_PER = 5, 2
+
+
+def index_range_grouped_topk(sf_dir: str) -> pd.DataFrame:
+    """GroupingSearch with LongRangeGroupSelector + LongRangeFactory: BM25
+    over the reference terms, grouped into fixed-width ts ranges (with the
+    factory's open below-min / above-max buckets), top RG_DOCS_PER docs per
+    group; SQL twin buckets the scored CTE with the same factory arithmetic.
+    (group_rank, range_lo, range_hi, doc_rank, conv_id, turn_idx, score)."""
+    from ..search.grouping import range_grouped_search
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    groups = range_grouped_search(
+        searcher, bool_query(should=list(BM25_SQL_TERMS)), "ts",
+        RG_LO, RG_WIDTH, RG_HI, n_groups=RG_GROUPS,
+        docs_per_group=RG_DOCS_PER)
+    rows = []
+    for grank, ((lo, hi), _best, hits) in enumerate(groups, start=1):
+        for drank, h in enumerate(hits, start=1):
+            rows.append((grank, lo, hi, drank, h.conv_id, int(h.turn_idx),
+                         round(float(h.score), 4)))
+    return pd.DataFrame(rows, columns=["group_rank", "range_lo", "range_hi",
+                                       "doc_rank", "conv_id", "turn_idx",
+                                       "score"]) \
+        .astype({"group_rank": "int64", "range_lo": "int64",
+                 "range_hi": "int64", "doc_rank": "int64",
+                 "turn_idx": "int64"})
+
+
+def index_range_grouped_oracle_sql() -> str:
+    from ..search.grouping import LONG_MAX, LONG_MIN
+
+    lo, w, hi = RG_LO, RG_WIDTH, RG_HI
+    return f"""
+        WITH {bm25_scored_cte(BM25_SQL_TERMS)},
+        v AS (SELECT doc_id, score,
+                     {TS_BASE} + doc_id * 1000000 AS ts FROM scored),
+        b AS (SELECT doc_id, score,
+                 CASE WHEN ts < {lo} THEN {LONG_MIN}
+                      WHEN ts >= {hi} THEN {hi}
+                      ELSE {lo} + ((ts - {lo}) // {w}) * {w} END AS rlo,
+                 CASE WHEN ts < {lo} THEN {lo}
+                      WHEN ts >= {hi} THEN {LONG_MAX}
+                      ELSE {lo} + ((ts - {lo}) // {w}) * {w} + {w} END AS rhi
+              FROM v),
+        docs_ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY rlo
+                                       ORDER BY score DESC, doc_id ASC) AS doc_rank
+          FROM b),
+        grp AS (
+          SELECT rlo, row_number() OVER (ORDER BY score DESC, doc_id ASC,
+                                         rlo ASC) AS group_rank
+          FROM docs_ranked WHERE doc_rank = 1)
+        SELECT g.group_rank::BIGINT AS group_rank, d.rlo::BIGINT AS range_lo,
+               d.rhi::BIGINT AS range_hi, d.doc_rank::BIGINT AS doc_rank,
+               printf('conv-%08d', d.doc_id // 5) AS conv_id,
+               (d.doc_id % 5)::BIGINT AS turn_idx, round(d.score, 4) AS score
+        FROM docs_ranked d JOIN grp g USING (rlo)
+        WHERE d.doc_rank <= {RG_DOCS_PER} AND g.group_rank <= {RG_GROUPS}
+        ORDER BY g.group_rank, d.doc_rank"""
+
+
+def index_group_facets(sf_dir: str) -> pd.DataFrame:
+    """TermGroupFacetCollector: per role facet value, the number of DISTINCT
+    conversations (groups) with >=1 matching turn carrying it — not a doc
+    count.  (role, n_groups) ordered count desc, value asc."""
+    from ..search.grouping import group_facets
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    res = group_facets(searcher, bool_query(should=list(BM25_SQL_TERMS)),
+                       "role")
+    return pd.DataFrame(res["entries"], columns=["role", "n_groups"]) \
+        .astype({"n_groups": "int64"})
+
+
+def index_group_facets_oracle_sql() -> str:
+    terms = " OR ".join(f"list_contains(toks, '{t}')" for t in BM25_SQL_TERMS)
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents),
+        m AS (SELECT DISTINCT doc_id // 5 AS conv,
+                     ['user','assistant','system','tool'][doc_id % 4 + 1] AS role
+              FROM toklists WHERE {terms})
+        SELECT role, count(*)::BIGINT AS n_groups FROM m GROUP BY role
+        ORDER BY n_groups DESC, role ASC"""
+
+
+BG_GROUPS, BG_DOCS_PER = 8, 2
+
+
+def index_block_grouped_topk(sf_dir: str) -> pd.DataFrame:
+    """BlockGroupingCollector: grouped top-k where groups are the index's
+    contiguous conversation blocks (no group-field lookup at all), top
+    BG_DOCS_PER turns per conversation.  (group_rank, conv_id, doc_rank,
+    turn_idx, score 4dp)."""
+    from ..search.grouping import block_grouped_search
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    groups = block_grouped_search(
+        searcher, bool_query(should=list(BM25_SQL_TERMS)),
+        n_groups=BG_GROUPS, docs_per_group=BG_DOCS_PER)
+    rows = []
+    for grank, (cid, _best, hits) in enumerate(groups, start=1):
+        for drank, h in enumerate(hits, start=1):
+            rows.append((grank, cid, drank, int(h.turn_idx),
+                         round(float(h.score), 4)))
+    return pd.DataFrame(rows, columns=["group_rank", "conv_id", "doc_rank",
+                                       "turn_idx", "score"]) \
+        .astype({"group_rank": "int64", "doc_rank": "int64",
+                 "turn_idx": "int64"})
+
+
+def index_block_grouped_oracle_sql() -> str:
+    return f"""
+        WITH {bm25_scored_cte(BM25_SQL_TERMS)},
+        docs_ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id // 5
+                                       ORDER BY score DESC, doc_id ASC) AS doc_rank
+          FROM scored),
+        grp AS (
+          SELECT doc_id // 5 AS conv,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS group_rank
+          FROM docs_ranked WHERE doc_rank = 1)
+        SELECT g.group_rank::BIGINT AS group_rank,
+               printf('conv-%08d', d.doc_id // 5) AS conv_id,
+               d.doc_rank::BIGINT AS doc_rank,
+               (d.doc_id % 5)::BIGINT AS turn_idx, round(d.score, 4) AS score
+        FROM docs_ranked d JOIN grp g ON g.conv = d.doc_id // 5
+        WHERE d.doc_rank <= {BG_DOCS_PER} AND g.group_rank <= {BG_GROUPS}
+        ORDER BY g.group_rank, d.doc_rank"""
+
+
 JOINUTIL_K = 20
 JOINUTIL_COUNT_TERM = "dup"
 

@@ -1,0 +1,133 @@
+"""Grouping-module extras beyond the two-pass keyword grouped top-k
+(`searcher.grouped_search`): range group selectors, block grouping, and
+grouped facets.
+
+Reference surface: `lucene/grouping/src/java/org/apache/lucene/search/
+grouping/LongRangeGroupSelector.java` + `LongRangeFactory.java` (group by
+bucketed long values), `BlockGroupingCollector.java` (groups are index
+blocks — one group per contiguous parent block, here a conversation), and
+`GroupFacetCollector.java` / `TermGroupFacetCollector.java` (facet counts
+that count DISTINCT GROUPS rather than docs).
+
+All three ride the engine's existing hit stream (score desc, gid asc) and
+resolve group keys vectorized — doc-values column takes for ranges, the
+docmap conv key for blocks, keyword postings membership for facets.  The
+collector state is O(groups seen), never O(corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LONG_MIN = -(2 ** 63)
+LONG_MAX = 2 ** 63 - 1
+
+
+def long_range_of(value: int, lo: int, width: int, hi: int) -> tuple[int, int]:
+    """LongRangeFactory.getRange (LongRangeFactory.java:45-63): below-min
+    values collapse into [LONG_MIN, min); above-max into [max, LONG_MAX];
+    between, fixed-width buckets [min + k*width, min + (k+1)*width)."""
+    if value < lo:
+        return (LONG_MIN, lo)
+    if value >= hi:
+        return (hi, LONG_MAX)
+    bucket = (value - lo) // width
+    return (lo + bucket * width, lo + bucket * width + width)
+
+
+def _dv_of_gids(searcher, gids: np.ndarray, field: str) -> np.ndarray:
+    """Per-hit int64 doc-values, resolved with one vectorized take per
+    shard (hits grouped by owning shard)."""
+    out = np.zeros(len(gids), dtype=np.int64)
+    for pid in searcher._pids:
+        base = searcher._bases[pid]
+        rdr = searcher.reader(pid)
+        sel = (gids >= base) & (gids < base + rdr.doc_count)
+        if not sel.any():
+            continue
+        out[sel] = rdr.docvalue(field)[gids[sel] - base]
+    return out
+
+
+def range_grouped_search(searcher, query, field: str, lo: int, width: int,
+                         hi: int, n_groups: int = 10,
+                         docs_per_group: int = 2):
+    """GroupingSearch with a LongRangeGroupSelector: two-pass grouped top-k
+    where the group key is the value's LongRangeFactory bucket.  Groups
+    ranked by their best doc (score desc, gid asc; ties: lower range
+    first), top `docs_per_group` docs per group by (score desc, gid asc).
+
+    Returns [((range_lo, range_hi), best_score, [ScoreDoc, ...])]."""
+    td = searcher.search(query, k=searcher.doc_count,
+                         total_hits_threshold=2**31 - 1)
+    if not td.hits:
+        return []
+    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
+    vals = _dv_of_gids(searcher, gids, field)
+    groups: dict[tuple[int, int], list] = {}
+    for h, v in zip(td.hits, vals):       # stream is (score desc, gid asc)
+        key = long_range_of(int(v), lo, width, hi)
+        bucket = groups.setdefault(key, [])
+        if len(bucket) < docs_per_group:
+            bucket.append(h)
+    ranked = sorted(groups.items(),
+                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid, kv[0]))
+    return [(key, float(hits[0].score), hits)
+            for key, hits in ranked[:n_groups]]
+
+
+def block_grouped_search(searcher, query, n_groups: int = 10,
+                         docs_per_group: int = 2):
+    """BlockGroupingCollector: groups ARE the index's contiguous parent
+    blocks (one conversation per block under our index sort), so the group
+    key needs no field lookup at all — it is the hit's block key.  Groups
+    ranked by best doc (score desc, gid asc), `docs_per_group` docs each.
+
+    Returns [(conv_id, best_score, [ScoreDoc, ...])]."""
+    td = searcher.search(query, k=searcher.doc_count,
+                         total_hits_threshold=2**31 - 1)
+    groups: dict[str, list] = {}
+    for h in td.hits:                     # stream is (score desc, gid asc)
+        bucket = groups.setdefault(h.conv_id, [])
+        if len(bucket) < docs_per_group:
+            bucket.append(h)
+    ranked = sorted(groups.items(),
+                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid))
+    return [(cid, float(hits[0].score), hits)
+            for cid, hits in ranked[:n_groups]]
+
+
+def group_facets(searcher, query, facet_field: str,
+                 classes: list[str] | None = None,
+                 min_count: int = 1) -> dict:
+    """TermGroupFacetCollector.mergeSegmentResults: for each facet value,
+    the number of DISTINCT GROUPS (blocks/conversations) that contain at
+    least one matching doc carrying that value — the (group, facet) pair
+    dedup of TermGroupFacetCollector.java:120-152.  Docs with no facet
+    value contribute (group, missing) pairs to `total_missing`.
+
+    Returns {"entries": [(value, group_count) count desc, value asc],
+             "total": distinct (group, facet) pairs,
+             "total_missing": distinct groups with a facetless match}."""
+    from ..pipelines.classify import _classes_of_hits, _keyword_classes
+
+    td = searcher.search(query, k=searcher.doc_count,
+                         total_hits_threshold=2**31 - 1)
+    if classes is None:
+        classes = _keyword_classes(searcher, facet_field)
+    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
+    vals = _classes_of_hits(searcher, gids, facet_field, classes)
+    pairs = set()
+    missing = set()
+    for h, v in zip(td.hits, vals):
+        if v is None:
+            missing.add(h.conv_id)
+        else:
+            pairs.add((h.conv_id, v))
+    counts: dict[str, int] = {}
+    for _g, v in pairs:
+        counts[v] = counts.get(v, 0) + 1
+    entries = sorted(((v, c) for v, c in counts.items() if c >= min_count),
+                     key=lambda vc: (-vc[1], vc[0]))
+    return {"entries": entries, "total": len(pairs),
+            "total_missing": len(missing)}

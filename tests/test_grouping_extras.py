@@ -1,0 +1,96 @@
+"""Grouping extras (search/grouping.py): LongRangeFactory bucket edges,
+range-grouped / block-grouped top-k vs brute-force oracles, grouped facet
+distinct-group counting."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def searcher(ray_session):
+    from lucene_ray.pipelines.flagship import build_transcript_index
+    from lucene_ray.search.searcher import IndexSearcher
+
+    return IndexSearcher(build_transcript_index(SF))
+
+
+def test_long_range_factory_edges():
+    from lucene_ray.search.grouping import LONG_MAX, LONG_MIN, long_range_of
+
+    lo, w, hi = 100, 10, 140
+    assert long_range_of(99, lo, w, hi) == (LONG_MIN, 100)
+    assert long_range_of(100, lo, w, hi) == (100, 110)
+    assert long_range_of(109, lo, w, hi) == (100, 110)
+    assert long_range_of(110, lo, w, hi) == (110, 120)
+    assert long_range_of(139, lo, w, hi) == (130, 140)
+    assert long_range_of(140, lo, w, hi) == (140, LONG_MAX)
+    assert long_range_of(10 ** 12, lo, w, hi) == (140, LONG_MAX)
+
+
+def _all_hits(searcher, q):
+    return searcher.search(q, k=10 ** 6, total_hits_threshold=2 ** 31 - 1).hits
+
+
+def test_range_grouped_vs_brute(searcher):
+    from lucene_ray.pipelines.flagship import TS_BASE
+    from lucene_ray.search.grouping import long_range_of, range_grouped_search
+    from lucene_ray.search.query import bool_query
+
+    lo, w, hi = TS_BASE + 100_000_000, 100_000_000, TS_BASE + 400_000_000
+    q = bool_query(should=["merge", "vector"])
+    got = range_grouped_search(searcher, q, "ts", lo, w, hi,
+                               n_groups=6, docs_per_group=3)
+    # brute force: per-hit ts from doc identity (ts = BASE + doc_id us)
+    hits = _all_hits(searcher, q)
+    groups = {}
+    for h in hits:
+        doc_id = int(h.conv_id.split("-")[1]) * 5 + h.turn_idx
+        key = long_range_of(TS_BASE + doc_id * 1_000_000, lo, w, hi)
+        groups.setdefault(key, []).append(h)
+    expect = sorted(groups.items(),
+                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid, kv[0]))[:6]
+    assert [(k, [(h.gid, np.float32(h.score)) for h in v[:3]])
+            for k, v in expect] == \
+        [(k, [(h.gid, np.float32(h.score)) for h in v]) for k, _s, v in got]
+
+
+def test_block_grouped_vs_brute(searcher):
+    from lucene_ray.search.grouping import block_grouped_search
+    from lucene_ray.search.query import bool_query
+
+    q = bool_query(should=["merge", "join"])
+    got = block_grouped_search(searcher, q, n_groups=5, docs_per_group=2)
+    hits = _all_hits(searcher, q)
+    groups = {}
+    for h in hits:
+        groups.setdefault(h.conv_id, []).append(h)
+    expect = sorted(groups.items(),
+                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid))[:5]
+    assert [(c, [h.gid for h in v[:2]]) for c, v in expect] == \
+        [(c, [h.gid for h in v]) for c, _s, v in got]
+
+
+def test_group_facets_counts_distinct_groups(searcher):
+    from lucene_ray.search.grouping import group_facets
+    from lucene_ray.search.query import bool_query
+
+    q = bool_query(should=["merge", "join"])
+    res = group_facets(searcher, q, "role")
+    hits = _all_hits(searcher, q)
+    # brute force with the deterministic doc->role mapping
+    pairs = set()
+    for h in hits:
+        doc_id = int(h.conv_id.split("-")[1]) * 5 + h.turn_idx
+        pairs.add((h.conv_id, ["user", "assistant", "system", "tool"][doc_id % 4]))
+    counts = {}
+    for _c, r in pairs:
+        counts[r] = counts.get(r, 0) + 1
+    expect = sorted(counts.items(), key=lambda vc: (-vc[1], vc[0]))
+    assert res["entries"] == expect
+    assert res["total"] == len(pairs)
+    assert res["total_missing"] == 0
+    # ordering invariant: counts non-increasing
+    cs = [c for _v, c in res["entries"]]
+    assert cs == sorted(cs, reverse=True)
