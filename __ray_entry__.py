@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- beyond the 50-entry driver window ----------------
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_join_count": _lazy("index_join_count"),
+        "index_flt_topk": _lazy("index_flt_topk"),
         "index_range_grouped_topk": _lazy("index_range_grouped_topk"),
         "index_group_facets": _lazy("index_group_facets"),
         "index_block_grouped_topk": _lazy("index_block_grouped_topk"),
@@ -655,6 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "index_conv_topk": _conv_join_sql(),
         "index_join_topk": _index_join_sql(),
         "index_join_count": _index_join_count_sql(),
+        "index_flt_topk": _flagship_sql("index_flt_oracle_sql"),
         "index_range_grouped_topk": _flagship_sql("index_range_grouped_oracle_sql"),
         "index_group_facets": _flagship_sql("index_group_facets_oracle_sql"),
         "index_block_grouped_topk": _flagship_sql("index_block_grouped_oracle_sql"),

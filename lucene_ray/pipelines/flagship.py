@@ -1317,6 +1317,96 @@ def index_block_grouped_oracle_sql() -> str:
         ORDER BY g.group_rank, d.doc_rank"""
 
 
+FLT_STRING = "vectr merge"          # one misspelled + one indexed source term
+FLT_EDITS, FLT_PREFIX, FLT_MAXTERMS, FLT_K = 1, 1, 8, 15
+
+
+def index_flt_topk(sf_dir: str) -> pd.DataFrame:
+    """FuzzyLikeThisQuery end-to-end through the driver gate: fuzzify the
+    source string (one misspelling, one real term), select the top variants
+    (similarity^2 x classic idf of the SOURCE df, avg-variant df for the
+    unindexed source), score with artificial df=1 stats.  The DuckDB twin
+    recomputes the whole chain — levenshtein() variant expansion, the
+    ScoreTermQueue ordering, and the df=1 BM25 — from the raw text.
+    (rank, conv_id, turn_idx, score 4dp)."""
+    from ..search.query import FuzzyLikeThisQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = FuzzyLikeThisQuery(((FLT_STRING, FLT_EDITS, FLT_PREFIX),),
+                           max_num_terms=FLT_MAXTERMS)
+    td = searcher.search(q, k=FLT_K)
+    rows = [(r, h.conv_id, int(h.turn_idx), round(float(h.score), 4))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+def index_flt_oracle_sql() -> str:
+    sources = FLT_STRING.split()
+    qmap = _normmap_values()
+    src_rows = ", ".join(
+        f"('{s}', '{s[:FLT_PREFIX]}%', {len(s)})" for s in sources)
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents),
+        normmap(n, dec) AS (VALUES {qmap}),
+        dl AS (SELECT t.doc_id, len(t.toks) AS raw_dl, m.dec AS dl
+               FROM toklists t JOIN normmap m ON m.n = len(t.toks)),
+        stats AS (SELECT count(*) AS n_docs,
+                         sum(raw_dl) * 1.0 / count(*) AS avgdl FROM dl),
+        vocab AS (
+          SELECT term, count(DISTINCT doc_id) AS df
+          FROM (SELECT doc_id, unnest(toks) AS term FROM toklists)
+          GROUP BY term),
+        src(s, pre, slen) AS (VALUES {src_rows}),
+        variants AS (
+          SELECT src.s, v.term, v.df,
+                 levenshtein(v.term, src.s) AS ed,
+                 CASE WHEN v.term = src.s THEN 1.0
+                      ELSE 1.0 - levenshtein(v.term, src.s) * 1.0 /
+                           least(length(v.term), src.slen) END AS sim
+          FROM src JOIN vocab v ON v.term LIKE src.pre
+          WHERE levenshtein(v.term, src.s) <= {FLT_EDITS}),
+        kept AS (
+          SELECT *, row_number() OVER (PARTITION BY s
+                                       ORDER BY sim DESC, term ASC) AS vr
+          FROM variants),
+        srcdf AS (
+          SELECT k.s,
+                 coalesce((SELECT df FROM vocab WHERE term = k.s),
+                          (SELECT sum(df) // count(*) FROM variants
+                           WHERE variants.s = k.s)) AS df
+          FROM (SELECT DISTINCT s FROM kept) k),
+        boosted AS (
+          SELECT k.term,
+                 k.sim * k.sim *
+                 (ln((stats.n_docs + 1) * 1.0 / (sd.df + 1)) + 1.0) AS boost
+          FROM kept k JOIN srcdf sd ON sd.s = k.s, stats
+          WHERE k.vr <= 50),
+        sel AS (
+          SELECT term, boost,
+                 row_number() OVER (ORDER BY boost DESC, term ASC) AS r
+          FROM boosted),
+        tf AS (
+          SELECT t.doc_id, s.term, s.boost,
+                 len(list_filter(t.toks, x -> x = s.term)) AS tf
+          FROM toklists t, sel s WHERE s.r <= {FLT_MAXTERMS}),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(tf.boost * ln(1 + (stats.n_docs - 1 + 0.5) / (1 + 0.5))
+                     * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+          FROM tf, stats, dl
+          WHERE dl.doc_id = tf.doc_id AND tf.tf > 0
+          GROUP BY tf.doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT {FLT_K}"""
+
+
 JOINUTIL_K = 20
 JOINUTIL_COUNT_TERM = "dup"
 

@@ -597,6 +597,23 @@ class FuzzyQuery:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class FuzzyLikeThisQuery:
+    """Fuzzify every analyzed term of the provided strings, keep the best
+    `max_num_terms` differentiating variants across all of them, rewrite to
+    a SHOULD boolean (`sandbox/.../queries/FuzzyLikeThisQuery.java:189-332`):
+    variants of one source term share the SOURCE term's df for their IDF
+    factor (misspellings must not win on rarity); each selected variant
+    scores with ARTIFICIAL df=1/ttf=1 term stats, boosted by
+    similarity^2 * classic idf(source df); `ignore_tf` swaps the inner
+    term queries for constant-score ones."""
+    fields: tuple                 # of (query_string, max_edits, prefix_length)
+    max_num_terms: int = 25
+    ignore_tf: bool = False
+    boost: float = 1.0
+    MAX_VARIANTS_PER_TERM = 50
+
+
 def bool_query(should=(), must=(), filter_=(), must_not=(), minimum_should_match=0) -> BooleanQuery:
     cl = [BooleanClause(TermQuery(t) if isinstance(t, str) else t, SHOULD) for t in should]
     cl += [BooleanClause(TermQuery(t) if isinstance(t, str) else t, MUST) for t in must]

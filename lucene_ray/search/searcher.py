@@ -489,6 +489,80 @@ class IndexSearcher:
                              BooleanClause(highq, SHOULD)))
 
     # ---- query compilation (createWeight equivalent) ----
+    def _compile_fuzzy_like_this(self, q) -> dict:
+        """FuzzyLikeThisQuery rewrite
+        (`sandbox/.../queries/FuzzyLikeThisQuery.java:193-332`): per source
+        term, fuzzy-expand against the merged dictionary, rank variants by
+        edit-distance similarity (top MAX_VARIANTS_PER_TERM, ties to the
+        lexicographically smaller term — the ScoreTermQueue order), rescore
+        kept variants with similarity^2 * classic idf(SOURCE df — avg
+        variant df when the source is unindexed, :241-245), keep the global
+        top max_num_terms, and emit a flat SHOULD whose term scorers carry
+        ARTIFICIAL df=1/ttf=1 stats (newTermQuery, :262-277) so variant
+        rarity cannot dominate; ignore_tf swaps in constant-score clauses."""
+        import math
+
+        from ..analysis.standard import analyze
+        from .query import (
+            BooleanClause,
+            BooleanQuery,
+            ConstantScoreQuery,
+            FuzzyQuery,
+            TermQuery,
+        )
+
+        n_docs = max(self.doc_count, 1)
+        global_q: list[tuple[float, str]] = []
+        for query_string, max_edits, prefix_length in q.fields:
+            seen: set[str] = set()
+            for tok in analyze(query_string):
+                term = self._ft(tok)
+                if not term or term in seen:
+                    continue
+                seen.add(term)
+                fq = FuzzyQuery(term, max_edits=int(max_edits),
+                                prefix_length=int(prefix_length))
+                variants: set[str] = set()
+                for pid in self._pids:
+                    variants.update(self._expand_shard(self.reader(pid), fq))
+                if not variants:
+                    continue
+                scored = []
+                total_variant_df = 0
+                for v in variants:
+                    ed = _edit_distance(v, term)
+                    s = 1.0 if ed == 0 else 1.0 - ed / min(len(v), len(term))
+                    total_variant_df += self.df(v)
+                    scored.append((s, v))
+                scored.sort(key=lambda sv: (-sv[0], sv[1]))
+                kept = scored[:q.MAX_VARIANTS_PER_TERM]
+                df = self.df(term)
+                if df == 0:
+                    df = total_variant_df // len(variants)
+                idf = math.log((n_docs + 1) / (df + 1)) + 1.0
+                for s, v in kept:
+                    global_q.append((s * s * idf, v))
+        global_q.sort(key=lambda sv: (-sv[0], sv[1]))
+        selected = global_q[:q.max_num_terms]
+        if not selected:
+            return {"scoring": [], "filters": ["\x00missing\x00"],
+                    "must_nots": [], "msm": 0, "n_required": 1,
+                    "match_all": False}
+        if q.ignore_tf:
+            clauses = tuple(
+                BooleanClause(ConstantScoreQuery(TermQuery(v),
+                                                 boost=s * q.boost), SHOULD)
+                for s, v in selected)
+            return self.compile(BooleanQuery(clauses), _normalized=True)
+        scoring = []
+        for s, v in selected:
+            scorer = self.sim.scorer(s * q.boost, self.doc_count,
+                                     self.sum_ttf, 1, ttf=1)
+            scoring.append((v, scorer, SHOULD))
+        return {"scoring": scoring, "filters": [], "must_nots": [],
+                "range_filters": [], "range_must_nots": [], "msm": 0,
+                "n_required": 0, "match_all": False}
+
     def compile(self, query, _normalized: bool = False) -> dict:
         if not _normalized:
             # normalize exactly once — the Porter chain is not guaranteed
@@ -502,6 +576,10 @@ class IndexSearcher:
 
         if isinstance(query, _CTQ):
             query = self._rewrite_common_terms(query)
+        from .query import FuzzyLikeThisQuery as _FLTQ
+
+        if isinstance(query, _FLTQ):
+            return self._compile_fuzzy_like_this(query)
         if isinstance(query, TermQuery):
             query = BooleanQuery((_clause(query, SHOULD),))
         if isinstance(query, MatchAllDocsQuery):
@@ -1615,6 +1693,21 @@ def _boosted(q, b: float):
             BooleanClause(_boosted(c.query, b), c.occur) for c in q.clauses),
             q.minimum_should_match)
     raise TypeError(f"cannot boost {type(q)}")
+
+
+def _edit_distance(a: str, b: str) -> int:
+    """Exact Levenshtein distance (candidates are pre-filtered to <= 2 edits
+    by the dictionary scan, so the full DP stays tiny)."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i]
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ai != b[j - 1])))
+        prev = cur
+    return prev[lb]
 
 
 def _levenshtein_leq(a: str, b: str, k: int) -> bool:
