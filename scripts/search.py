@@ -64,6 +64,8 @@ def main():
                     help="sort by a doc-values field instead of score, e.g. 'ts' or 'ts:desc'")
     ap.add_argument("--actors", type=int, default=0, help="serve via an actor pool of N")
     ap.add_argument("--count-only", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="emit a QueryProfiler breakdown tree alongside hits")
     ap.add_argument("--similarity", default="bm25",
                     help="scoring model: bm25 | classic | boolean | "
                          "lmdirichlet | lmjm | dfr | ib | dfi | "
@@ -198,14 +200,21 @@ def main():
                       file=sys.stderr)
                 td = searcher.search(q, k=args.k, sort=sort)
             svc.shutdown()
+        elif args.profile and sort is None:
+            from lucene_ray.search.profiler import profile_search
+
+            td, prof = profile_search(searcher, q, k=args.k)
         else:
             td = searcher.search(q, k=args.k, sort=sort)
-        print(json.dumps({
+        out = {
             "total_hits": td.total_hits, "relation": td.relation,
             "hits": [{"rank": i + 1, "score": h.score, "conv_id": h.conv_id,
                       "turn_idx": h.turn_idx, "gid": h.gid}
                      for i, h in enumerate(td.hits)],
-        }))
+        }
+        if args.profile and sort is None and not args.actors:
+            out["profile"] = prof.to_dict()
+        print(json.dumps(out))
     ray.shutdown()
 
 
