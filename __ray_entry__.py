@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_join_count": _lazy("index_join_count"),
         "index_flt_topk": _lazy("index_flt_topk"),
+        "index_combined_topk": _lazy("index_combined_topk"),
         "index_range_grouped_topk": _lazy("index_range_grouped_topk"),
         "index_group_facets": _lazy("index_group_facets"),
         "index_block_grouped_topk": _lazy("index_block_grouped_topk"),
@@ -657,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "index_join_topk": _index_join_sql(),
         "index_join_count": _index_join_count_sql(),
         "index_flt_topk": _flagship_sql("index_flt_oracle_sql"),
+        "index_combined_topk": _flagship_sql("index_combined_oracle_sql"),
         "index_range_grouped_topk": _flagship_sql("index_range_grouped_oracle_sql"),
         "index_group_facets": _flagship_sql("index_group_facets_oracle_sql"),
         "index_block_grouped_topk": _flagship_sql("index_block_grouped_oracle_sql"),

@@ -1317,6 +1317,96 @@ def index_block_grouped_oracle_sql() -> str:
         ORDER BY g.group_rank, d.doc_rank"""
 
 
+CFQ_TERMS = ("user", "merge")       # 'user' is both a text token and a role
+CFQ_W_TEXT, CFQ_W_ROLE = 1.0, 2.0
+CFQ_K = 15
+
+
+def _combined_normmap_values(w_text: float, w_kw: float) -> str:
+    """VALUES list (raw text length -> decoded COMBINED length): the
+    MultiNormsLeafSimScorer composition decode -> weighted sum -> round ->
+    re-encode -> decode, precomputed for every length this corpus can hit."""
+    import numpy as np
+
+    from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    pairs = []
+    for n in range(0, 1025):
+        dec_text = float(LENGTH_TABLE[int(int_to_byte4(np.int64(n)))])
+        combined = w_text * dec_text + w_kw * 1.0
+        b = int(int_to_byte4(np.int64(int(np.floor(combined + 0.5)))))
+        pairs.append(f"({n},{float(LENGTH_TABLE[b])})")
+    return ",".join(pairs)
+
+
+def index_combined_topk(sf_dir: str) -> pd.DataFrame:
+    """CombinedFieldQuery (sandbox BM25F) through the driver gate: 'text'
+    blended with the 'role' keyword field at weight 2 — a term that is also
+    a role value scores role occurrences into the combined tf, and every
+    doc's norm grows by the role weight.  The DuckDB twin recomputes the
+    blended stats, combined tf and the re-encoded combined norm from raw
+    text + the deterministic doc->role mapping.
+    (rank, conv_id, turn_idx, score 4dp)."""
+    from ..search.query import CombinedFieldQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = CombinedFieldQuery(CFQ_TERMS, (("text", CFQ_W_TEXT),
+                                       ("role", CFQ_W_ROLE)))
+    td = searcher.search(q, k=CFQ_K)
+    rows = [(r, h.conv_id, int(h.turn_idx), round(float(h.score), 4))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+def index_combined_oracle_sql() -> str:
+    cmap = _combined_normmap_values(CFQ_W_TEXT, CFQ_W_ROLE)
+    wt, wr = CFQ_W_TEXT, CFQ_W_ROLE
+    df_rows = " UNION ALL ".join(f"""
+        SELECT '{t}' AS term, greatest(
+          (SELECT count(*) FROM toklists WHERE list_contains(toks, '{t}')),
+          (SELECT count(*) FROM base WHERE role = '{t}')) AS df"""
+                                 for t in CFQ_TERMS)
+    tf_rows = " UNION ALL ".join(f"""
+        SELECT b.doc_id, '{t}' AS term,
+               {wt} * len(list_filter(t.toks, x -> x = '{t}'))
+               + {wr} * (CASE WHEN b.role = '{t}' THEN 1 ELSE 0 END) AS tfc
+        FROM base b JOIN toklists t USING (doc_id)""" for t in CFQ_TERMS)
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents),
+        cmap(n, dec) AS (VALUES {cmap}),
+        base AS (
+          SELECT t.doc_id, len(t.toks) AS rawlen,
+                 ['user','assistant','system','tool'][t.doc_id % 4 + 1] AS role
+          FROM toklists t),
+        stats AS (
+          SELECT greatest((SELECT count(*) FROM base WHERE rawlen > 0),
+                          (SELECT count(*) FROM base)) AS n_docs,
+                 round({wt} * (SELECT sum(rawlen) FROM base)
+                       + {wr} * (SELECT count(*) FROM base)) AS sttf),
+        dfs AS ({df_rows}),
+        tf AS ({tf_rows}),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * tf.tfc / (tf.tfc + 1.2 * (1 - 0.75 + 0.75 * m.dec
+                                 / (s.sttf * 1.0 / s.n_docs)))) AS score
+          FROM tf
+          JOIN dfs d ON d.term = tf.term
+          JOIN base b ON b.doc_id = tf.doc_id
+          JOIN cmap m ON m.n = b.rawlen, stats s
+          WHERE tf.tfc > 0
+          GROUP BY tf.doc_id)
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT {CFQ_K}"""
+
+
 FLT_STRING = "vectr merge"          # one misspelled + one indexed source term
 FLT_EDITS, FLT_PREFIX, FLT_MAXTERMS, FLT_K = 1, 1, 8, 15
 

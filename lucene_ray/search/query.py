@@ -598,6 +598,21 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery:
+    """BM25F over a synthetic combined field
+    (`sandbox/.../search/CombinedFieldQuery.java:67-96`): term freqs are the
+    weighted sum of per-field freqs, the norm is the re-encoded weighted sum
+    of per-field decoded lengths (MultiNormsLeafSimScorer.java:143-152), and
+    term/collection statistics blend as max(df) / sum(w*ttf)
+    (CombinedFieldWeight:328-371).  Here the analyzed `text` field combines
+    with keyword fields (single-token fields of decoded length 1) — the
+    engine's other indexed-field kind; weights must be >= 1."""
+    terms: tuple
+    fields: tuple                 # of (field_name, weight >= 1)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FuzzyLikeThisQuery:
     """Fuzzify every analyzed term of the provided strings, keep the best
     `max_num_terms` differentiating variants across all of them, rewrite to

@@ -563,6 +563,112 @@ class IndexSearcher:
                 "range_filters": [], "range_must_nots": [], "msm": 0,
                 "n_required": 0, "match_all": False}
 
+    def _compile_combined(self, q) -> tuple:
+        """CombinedFieldQuery stats blending (CombinedFieldWeight:320-371):
+        pseudo collection stats take max(docCount) across fields and
+        sum(weight * sumTotalTermFreq); each term's pseudo stats take
+        max(df) and sum(weight * ttf).  Keyword-field collection stats
+        derive from the field's (vocabulary-bounded) class values in the
+        hash-bucketed global stats — no dictionary scan."""
+        from ..index.shard import keyword_term
+
+        field_info: list[tuple[str, float]] = []
+        doc_count = 0
+        sum_ttf = 0.0
+        for f, w in q.fields:
+            if w < 1:
+                raise ValueError("field weight must be >= 1 "
+                                 "(CombinedFieldQuery.Builder.addField)")
+            if f == "text":
+                dc, sttf = self.doc_count, float(self.sum_ttf)
+            else:
+                from ..pipelines.classify import _keyword_classes
+
+                classes = _keyword_classes(self, f)
+                dc = sum(self.df(keyword_term(f, v)) for v in classes)
+                sttf = float(sum(self.ttf(keyword_term(f, v))
+                                 for v in classes))
+            doc_count = max(doc_count, dc)
+            sum_ttf += float(w) * sttf
+            field_info.append((f, float(w)))
+        term_specs = []
+        for t in q.terms:
+            df = 0
+            keys = []
+            for f, w in field_info:
+                key = self._ft(t) if f == "text" else keyword_term(f, t)
+                d = self.df(key)
+                if d > 0:
+                    df = max(df, d)
+                keys.append((key, w))
+            if df == 0:
+                continue
+            scorer = self.sim.scorer(q.boost, doc_count,
+                                     max(1, int(round(sum_ttf))), df)
+            term_specs.append((tuple(keys), scorer))
+        return (tuple(term_specs), tuple(field_info))
+
+    def _kw_presence(self, rdr, field: str) -> np.ndarray:
+        """Docs of this shard carrying any value of a keyword field (the
+        norms-exist set of MultiFieldNormValues)."""
+        from ..index.shard import keyword_term
+        from ..pipelines.classify import _keyword_classes
+
+        pres = np.zeros(rdr.doc_count, bool)
+        for v in _keyword_classes(self, field):
+            tid = rdr.seek_exact(keyword_term(field, v))
+            if tid >= 0:
+                docs, _f = rdr.postings(tid)
+                pres[docs] = True
+        return pres
+
+    def _combined_shard(self, rdr, spec, k, after=None):
+        """Per-shard CombinedFieldScorer: dense weighted-sum freqs per term,
+        combined norm = intToByte4(round(sum(w * decoded_len)))
+        (MultiNormsLeafSimScorer.MultiFieldNormValues), scored with the
+        blended-stats scorer, summed across terms."""
+        from ..util.smallfloat import LENGTH_TABLE, int_to_byte4
+
+        term_specs, field_info = spec
+        n = rdr.doc_count
+        dl = np.zeros(n, np.float32)
+        for f, w in field_info:
+            if f == "text":
+                dl += np.float32(w) * \
+                    LENGTH_TABLE[np.asarray(rdr.norms, np.int64) & 0xFF]
+            else:
+                dl[self._kw_presence(rdr, f)] += np.float32(w)
+        norm_bytes = int_to_byte4(np.floor(dl + np.float32(0.5))
+                                  .astype(np.int64))
+        totals = np.zeros(n, np.float32)
+        matched = np.zeros(n, bool)
+        for keys, scorer in term_specs:
+            freqs = np.zeros(n, np.float32)
+            for key, w in keys:
+                tid = rdr.seek_exact(key)
+                if tid < 0:
+                    continue
+                docs, fr = rdr.postings(tid)
+                freqs[docs] += np.float32(w) * fr.astype(np.float32)
+            m = freqs > 0
+            if not m.any():
+                continue
+            matched |= m
+            idx = np.nonzero(m)[0]
+            totals[idx] += scorer.score(freqs[idx], norm_bytes[idx])
+        if rdr.deleted is not None:
+            matched &= ~rdr.deleted
+        docs = np.nonzero(matched)[0].astype(np.int32)
+        scores = totals[docs]
+        if after is not None:
+            a_s, a_d = np.float32(after[0]), int(after[1])
+            keep = (scores < a_s) | ((scores == a_s)
+                                     & (docs.astype(np.int64) > a_d))
+            scores, docs = scores[keep], docs[keep]
+        total = int(matched.sum())
+        top = np.lexsort((docs, -scores))[:k]
+        return scores[top], docs[top], total, RELATION_EQ
+
     def compile(self, query, _normalized: bool = False) -> dict:
         if not _normalized:
             # normalize exactly once — the Porter chain is not guaranteed
@@ -580,6 +686,12 @@ class IndexSearcher:
 
         if isinstance(query, _FLTQ):
             return self._compile_fuzzy_like_this(query)
+        from .query import CombinedFieldQuery as _CFQ
+
+        if isinstance(query, _CFQ):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "combined": self._compile_combined(query)}
         if isinstance(query, TermQuery):
             query = BooleanQuery((_clause(query, SHOULD),))
         if isinstance(query, MatchAllDocsQuery):
@@ -1049,6 +1161,9 @@ class IndexSearcher:
                                         after=after)
         if compiled.get("fnscore") is not None:
             return self._fnscore_shard(rdr, compiled["fnscore"], k, after=after)
+        if compiled.get("combined") is not None:
+            return self._combined_shard(rdr, compiled["combined"], k,
+                                        after=after)
         if compiled.get("nested") is not None:
             from .scorer import search_shard_nested
 
