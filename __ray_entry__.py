@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_join_count": _lazy("index_join_count"),
         "index_flt_topk": _lazy("index_flt_topk"),
         "index_combined_topk": _lazy("index_combined_topk"),
+        "index_block_join_sorted": _lazy("index_block_join_sorted"),
         "index_range_grouped_topk": _lazy("index_range_grouped_topk"),
         "index_group_facets": _lazy("index_group_facets"),
         "index_block_grouped_topk": _lazy("index_block_grouped_topk"),
@@ -659,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "index_join_count": _index_join_count_sql(),
         "index_flt_topk": _flagship_sql("index_flt_oracle_sql"),
         "index_combined_topk": _flagship_sql("index_combined_oracle_sql"),
+        "index_block_join_sorted": _flagship_sql("index_block_join_sorted_oracle_sql"),
         "index_range_grouped_topk": _flagship_sql("index_range_grouped_oracle_sql"),
         "index_group_facets": _flagship_sql("index_group_facets_oracle_sql"),
         "index_block_grouped_topk": _flagship_sql("index_block_grouped_oracle_sql"),

@@ -1317,6 +1317,42 @@ def index_block_grouped_oracle_sql() -> str:
         ORDER BY g.group_rank, d.doc_rank"""
 
 
+BJS_K = 12
+
+
+def index_block_join_sorted(sf_dir: str) -> pd.DataFrame:
+    """ToParentBlockJoinSortField through the driver gate: conversations
+    with a turn matching the reference terms, ranked by the MAX ts of their
+    MATCHING turns (BlockJoinSelector.MAX over the childFilter set), ties
+    to the lower conv.  (rank, conv_id, max_ts)."""
+    from ..search.grouping import block_join_sorted_search
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    rows = block_join_sorted_search(
+        searcher, bool_query(should=list(BM25_SQL_TERMS)), "ts",
+        selector="max", k=BJS_K, reverse=True)
+    return pd.DataFrame(
+        [(r, c, v) for r, (c, v, _g) in enumerate(rows, 1)],
+        columns=["rank", "conv_id", "max_ts"]) \
+        .astype({"rank": "int64", "max_ts": "int64"})
+
+
+def index_block_join_sorted_oracle_sql() -> str:
+    terms = " OR ".join(f"list_contains(toks, '{t}')" for t in BM25_SQL_TERMS)
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents),
+        m AS (SELECT doc_id // 5 AS conv,
+                     max({TS_BASE} + doc_id * 1000000) AS max_ts,
+                     min(doc_id) AS rep
+              FROM toklists WHERE {terms} GROUP BY doc_id // 5)
+        SELECT row_number() OVER (ORDER BY max_ts DESC, rep ASC)::BIGINT AS rank,
+               printf('conv-%08d', conv) AS conv_id, max_ts::BIGINT AS max_ts
+        FROM m ORDER BY max_ts DESC, rep ASC LIMIT {BJS_K}"""
+
+
 CFQ_TERMS = ("user", "merge")       # 'user' is both a text token and a role
 CFQ_W_TEXT, CFQ_W_ROLE = 1.0, 2.0
 CFQ_K = 15

@@ -97,6 +97,41 @@ def block_grouped_search(searcher, query, n_groups: int = 10,
             for cid, hits in ranked[:n_groups]]
 
 
+def block_join_sorted_search(searcher, child_query, field: str,
+                             selector: str = "max", k: int = 10,
+                             reverse: bool = True):
+    """ToParentBlockJoinSortField (`join/.../ToParentBlockJoinSortField.java`
+    + `BlockJoinSelector.java` MIN/MAX): rank parent blocks by the min/max
+    of a child doc-values field over the children matching `child_query`
+    (the childFilter), ties to the lower parent (first matching child's
+    gid).  Returns [(conv_id, value, rep_gid)] of length <= k."""
+    if selector not in ("min", "max"):
+        raise ValueError(selector)
+    rows = []
+    compiled = searcher.compile(child_query)
+    for pid in searcher._pids:
+        rdr = searcher.reader(pid)
+        base = searcher._bases[pid]
+        _s, docs, _t, _r = searcher.search_shard(
+            rdr, compiled, rdr.doc_count, total_hits_threshold=2**31 - 1)
+        if not len(docs):
+            continue
+        docs = np.sort(docs)
+        conv = rdr.docmap().column("conv_id").to_numpy(zero_copy_only=False)
+        cids = conv[docs]
+        run_start = np.ones(len(docs), dtype=bool)
+        run_start[1:] = cids[1:] != cids[:-1]
+        starts = np.nonzero(run_start)[0]
+        vals = rdr.docvalue(field)[docs]
+        agg = (np.maximum if selector == "max" else np.minimum) \
+            .reduceat(vals, starts)
+        rep = docs[starts].astype(np.int64) + base
+        for c, v, g in zip(cids[starts], agg, rep):
+            rows.append((str(c), int(v), int(g)))
+    rows.sort(key=lambda r: (-r[1] if reverse else r[1], r[2]))
+    return rows[:k]
+
+
 def group_facets(searcher, query, facet_field: str,
                  classes: list[str] | None = None,
                  min_count: int = 1) -> dict:

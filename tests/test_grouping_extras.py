@@ -72,6 +72,31 @@ def test_block_grouped_vs_brute(searcher):
         [(c, [h.gid for h in v]) for c, _s, v in got]
 
 
+@pytest.mark.parametrize("selector,reverse", [("max", True), ("min", False)])
+def test_block_join_sorted_vs_brute(searcher, selector, reverse):
+    from lucene_ray.pipelines.flagship import TS_BASE
+    from lucene_ray.search.grouping import block_join_sorted_search
+    from lucene_ray.search.query import bool_query
+
+    q = bool_query(should=["merge", "vector"])
+    got = block_join_sorted_search(searcher, q, "ts", selector=selector,
+                                   k=8, reverse=reverse)
+    hits = _all_hits(searcher, q)
+    agg = {}
+    for h in hits:
+        doc_id = int(h.conv_id.split("-")[1]) * 5 + h.turn_idx
+        ts = TS_BASE + doc_id * 1_000_000
+        cur = agg.get(h.conv_id)
+        if cur is None:
+            agg[h.conv_id] = [ts, h.gid]
+        else:
+            cur[0] = max(cur[0], ts) if selector == "max" else min(cur[0], ts)
+            cur[1] = min(cur[1], h.gid)
+    expect = sorted(((c, v, g) for c, (v, g) in agg.items()),
+                    key=lambda r: (-r[1] if reverse else r[1], r[2]))[:8]
+    assert got == expect
+
+
 def test_group_facets_counts_distinct_groups(searcher):
     from lucene_ray.search.grouping import group_facets
     from lucene_ray.search.query import bool_query
