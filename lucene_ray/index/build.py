@@ -636,3 +636,65 @@ def append_index(ds, index_dir: str, *, input_desc: str,
     if merge_stats:
         merge_term_stats(index_dir, commit)
     return commit
+
+
+def add_indexes(dest_dir: str, src_dirs, *, merge_stats: bool = True) -> dict:
+    """IndexWriter.addIndexes(Directory...) analogue
+    (`index/IndexWriter.java:3006-3080`): graft every committed shard of the
+    source indexes into the destination as pid-renumbered segments — shard
+    directories are copied verbatim (they are immutable and self-contained:
+    postings, norms, docmap, vector/point/shape/payload sidecars), live-docs
+    bitmaps and dv-update sidecars are copied and re-referenced, then one
+    new commit generation is written and the global term-stats store is
+    re-merged.  Analyzer chains must agree across indexes (the reference's
+    shared-Analyzer contract — mixing chains would desynchronize query-side
+    normalization)."""
+    import shutil
+
+    commit = mf.latest_commit(dest_dir)
+    if commit is None:
+        raise FileNotFoundError(dest_dir)
+    shards = [dict(m) for m in commit["shards"]]
+    next_pid = 1 + max((m["pid"] for m in shards), default=-1)
+    gen = commit["generation"]
+    del_dir = os.path.join(dest_dir, "deletes")
+    dv_dir = os.path.join(dest_dir, "dvups")
+    for src in src_dirs:
+        sc = mf.latest_commit(src)
+        if sc is None:
+            raise FileNotFoundError(src)
+        if sc.get("token_filters") != commit.get("token_filters"):
+            raise ValueError(
+                "addIndexes requires identical analyzer chains: "
+                f"{sc.get('token_filters')} != {commit.get('token_filters')}")
+        for m in sc["shards"]:
+            m2 = dict(m)
+            new_dir = f"addidx-g{gen}-{next_pid:05d}"
+            shutil.copytree(mf.shard_dirpath(src, m),
+                            os.path.join(dest_dir, "shards", new_dir))
+            m2["pid"] = next_pid
+            m2["dir"] = new_dir
+            if m.get("del_file"):
+                os.makedirs(del_dir, exist_ok=True)
+                dst = os.path.join(
+                    del_dir, f"{new_dir}-{os.path.basename(m['del_file'])}")
+                shutil.copy(m["del_file"], dst)
+                m2["del_file"] = dst
+            if m.get("dv_files"):
+                os.makedirs(dv_dir, exist_ok=True)
+                new_dv = {}
+                for col, p in m["dv_files"].items():
+                    dst = os.path.join(
+                        dv_dir, f"{new_dir}-{os.path.basename(p)}")
+                    shutil.copy(p, dst)
+                    new_dv[col] = dst
+                m2["dv_files"] = new_dv
+            shards.append(m2)
+            next_pid += 1
+    meta = {k: v for k, v in commit.items()
+            if k not in ("generation", "shards", "doc_count",
+                         "doc_count_field", "sum_ttf", "sum_df")}
+    new_commit = mf.commit_index(dest_dir, shards, meta)
+    if merge_stats:
+        merge_term_stats(dest_dir, new_commit)
+    return new_commit

@@ -26,6 +26,12 @@ def main():
                     help="first/last dictionary terms per shard")
     ap.add_argument("--doc", type=int, default=None,
                     help="stored-fields lookup for one global docID")
+    ap.add_argument("--order", default="df", choices=("df", "ttf"),
+                    help="HighFreqTerms order (misc/HighFreqTerms.java -t "
+                         "flag): docFreq or totalTermFreq")
+    ap.add_argument("--term", default=None,
+                    help="GetTermInfo: print one term's global df/ttf from "
+                         "its stats bucket")
     ap.add_argument("--check", action="store_true",
                     help="run CheckIndex and include its report")
     args = ap.parse_args()
@@ -69,20 +75,32 @@ def main():
         out["shards"].append(entry)
 
     if args.top_df:
+        # HighFreqTerms (misc/HighFreqTerms.java): per-bucket top-k by the
+        # chosen statistic, merged — never the full dictionary
         import pyarrow.parquet as pq
 
+        key = args.order
         tops = []
         for f in sorted(glob.glob(os.path.join(args.index, "term_stats",
                                                "bucket-*.parquet"))):
-            t = pq.read_table(f).sort_by([("df", "descending"),
+            t = pq.read_table(f).sort_by([(key, "descending"),
                                           ("term", "ascending")])
             tops.extend(zip(t.column("term").to_pylist()[:args.top_df],
                             t.column("df").to_pylist()[:args.top_df],
                             t.column("ttf").to_pylist()[:args.top_df]))
-        tops.sort(key=lambda x: (-x[1], x[0]))
-        out["top_terms_by_df"] = [
+        tops.sort(key=lambda x: (-x[1 if key == "df" else 2], x[0]))
+        out[f"top_terms_by_{key}"] = [
             {"term": t, "df": int(d), "ttf": int(f)}
             for t, d, f in tops[:args.top_df]]
+
+    if args.term is not None:
+        # GetTermInfo (misc/GetTermInfo.java): one term, one stats bucket
+        from lucene_ray.search.searcher import IndexSearcher
+
+        s = IndexSearcher(args.index)
+        term = s._ft(args.term)
+        out["term_info"] = {"term": term, "df": s.df(term),
+                            "ttf": s.ttf(term)}
 
     if args.doc is not None:
         from lucene_ray.search.searcher import IndexSearcher
