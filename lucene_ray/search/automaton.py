@@ -164,3 +164,65 @@ def count_matches_doc(positions: list[tuple[int, int]], trans, accepts) -> int:
         # drop exhausted rows so the dict stays O(active positions)
         live.pop(pos - 1, None)
     return freq
+
+
+def token_stream_to_automaton_query(
+        text: str, token_filters=(), field: str = "text",
+        boost: float = 1.0,
+        preserve_position_increments: bool = True) -> TermAutomatonQuery:
+    """TokenStreamToTermAutomatonQuery
+    (`sandbox/.../search/TokenStreamToTermAutomatonQuery.java:56-105`): pull
+    the analyzed token graph of `text` (through the index's filter chain, so
+    synonym/shingle overlays become parallel arcs) and build the
+    corresponding term automaton.  A literal ``*`` token becomes an
+    any-token arc (:94-96); position holes (stop gaps) raise unless
+    ``preserve_position_increments=False``, which collapses them (:73-80).
+    Our flattened stream carries posLength 1, so every arc spans one
+    position state.  `text` is either a raw string (run through the
+    standard tokenizer — which strips `*`) or a pre-tokenized list (the
+    TokenStream-shaped input of the reference, required for `*` arcs)."""
+    import pyarrow as pa
+
+    from ..analysis.filters import run_token_chain
+    from ..analysis.standard import analyze
+
+    toks = analyze(text) if isinstance(text, str) else list(text)
+    if token_filters:
+        flat, _counts, positions, _norms = run_token_chain(
+            pa.array(toks, type=pa.string()),
+            np.array([len(toks)], dtype=np.int64), tuple(token_filters))
+        terms = flat.to_pylist()
+        if positions is None:
+            positions = np.arange(len(terms), dtype=np.int64)
+        else:
+            positions = np.asarray(positions, dtype=np.int64)
+    else:
+        terms = toks
+        positions = np.arange(len(terms), dtype=np.int64)
+    if not terms:
+        raise ValueError("empty token stream")
+    # position increments: gaps (stop-filter holes) are rejected like the
+    # reference unless collapsed
+    distinct = np.unique(positions)
+    if preserve_position_increments:
+        if distinct[0] != 0 or (len(distinct) > 1
+                                and (np.diff(distinct) > 1).any()):
+            raise ValueError(
+                "cannot handle holes; to accept any term, use '*' term "
+                "(or preserve_position_increments=False)")
+        pos_state = {int(p): int(p) for p in distinct}
+    else:
+        pos_state = {int(p): i for i, p in enumerate(distinct)}
+    q = TermAutomatonQuery(field=field, boost=boost)
+    n_states = max(pos_state.values()) + 2
+    for _ in range(n_states):
+        q.create_state()
+    for t, p in zip(terms, positions):
+        src = pos_state[int(p)]
+        if t == "*":
+            q.add_any_transition(src, src + 1)
+        else:
+            q.add_transition(src, src + 1, t)
+    q.set_accept(max(pos_state.values()) + 1, True)
+    q.finish()
+    return q

@@ -123,3 +123,69 @@ def test_dp_repeats_and_overlaps():
     assert count_matches_doc([(0, 0), (1, 0), (2, 0)], trans, accepts) == 2
     # tokens: a b a  (b is not a query term, positions 0 and 2 only)
     assert count_matches_doc([(0, 0), (2, 0)], trans, accepts) == 0
+
+
+def test_token_stream_builder_phrase(ta_index):
+    from lucene_ray.search.automaton import token_stream_to_automaton_query
+
+    s, _toks = ta_index
+    q = token_stream_to_automaton_query("merge join")
+    td_a = s.search(q, k=30)
+    td_p = s.search(PhraseQuery(("merge", "join")), k=30)
+    assert [h.gid for h in td_a.hits] == [h.gid for h in td_p.hits]
+    assert td_a.total_hits == td_p.total_hits
+
+
+def test_token_stream_builder_star_gap(ta_index):
+    from lucene_ray.search.automaton import token_stream_to_automaton_query
+
+    s, _toks = ta_index
+    q = token_stream_to_automaton_query(["merge", "*", "join"])
+    hand = TermAutomatonQuery()
+    s0, s1, s2, s3 = (hand.create_state() for _ in range(4))
+    hand.add_transition(s0, s1, "merge")
+    hand.add_any_transition(s1, s2)
+    hand.add_transition(s2, s3, "join")
+    hand.set_accept(s3, True)
+    hand.finish()
+    got = s.search(q, k=40)
+    want = s.search(hand, k=40)
+    assert [h.gid for h in got.hits] == [h.gid for h in want.hits]
+    assert got.total_hits == want.total_hits
+
+
+def test_token_stream_builder_synonym_overlay(ta_index):
+    """A syn graph stage's posInc-0 overlay becomes parallel arcs: the
+    automaton matches either surface form at that slot."""
+    from lucene_ray.search.automaton import token_stream_to_automaton_query
+
+    s, _toks = ta_index
+    q = token_stream_to_automaton_query("hash join",
+                                        token_filters=("syn:join=merge",))
+    hand = TermAutomatonQuery()
+    s0, s1, s2 = (hand.create_state() for _ in range(3))
+    hand.add_transition(s0, s1, "hash")
+    hand.add_transition(s1, s2, "join")
+    hand.add_transition(s1, s2, "merge")
+    hand.set_accept(s2, True)
+    hand.finish()
+    got = s.search(q, k=40)
+    want = s.search(hand, k=40)
+    assert [h.gid for h in got.hits] == [h.gid for h in want.hits]
+    assert got.total_hits == want.total_hits
+
+
+def test_token_stream_builder_holes(ta_index):
+    from lucene_ray.search.automaton import token_stream_to_automaton_query
+
+    with pytest.raises(ValueError):
+        token_stream_to_automaton_query("merge the join",
+                                        token_filters=("stop:the",))
+    # collapsing the hole gives the adjacent phrase
+    s, _toks = ta_index
+    q = token_stream_to_automaton_query("merge the join",
+                                        token_filters=("stop:the",),
+                                        preserve_position_increments=False)
+    td_a = s.search(q, k=30)
+    td_p = s.search(PhraseQuery(("merge", "join")), k=30)
+    assert [h.gid for h in td_a.hits] == [h.gid for h in td_p.hits]
