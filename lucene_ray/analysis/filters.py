@@ -1663,8 +1663,24 @@ def _make_elision(articles):
     return elide
 
 
+def icu_folding(word: str) -> str:
+    """ICUFoldingFilter (`analysis/icu/.../ICUFoldingFilter.java`) built
+    from the public Unicode tables in `unicodedata`: NFKD → strip combining
+    marks (accent removal) → full case fold → NFKC recompose.  This covers
+    the reference's dominant folding classes — accent removal, case folding
+    (incl. ß→ss and dotted-İ), width folding (fullwidth→ASCII via NFKD) —
+    while the long tail of UTR#30's utr30.nrm custom foldings (e.g. Hangul
+    jamo conflation) is a documented divergence."""
+    import unicodedata
+
+    d = unicodedata.normalize("NFKD", word)
+    stripped = "".join(c for c in d if not unicodedata.combining(c))
+    return unicodedata.normalize("NFKC", stripped.casefold())
+
+
 FILTERS = {
     "ascii_fold": ascii_fold,
+    "icu_folding": icu_folding,
     "porter": porter_stem,
     "english_minimal": english_minimal_stem,
     "french_minimal": french_minimal_stem,

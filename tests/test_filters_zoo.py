@@ -656,3 +656,30 @@ def test_german_snowball_golden():
         assert german_snowball_stem(a) == b, (a, b)
         n += 1
     assert n == 1000
+
+
+def test_icu_folding_cases():
+    """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
+    shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""
+    from lucene_ray.analysis.filters import icu_folding
+
+    assert icu_folding("Résumé") == "resume"
+    assert icu_folding("ＡＢＣ１２３") == "abc123"
+    assert icu_folding("İstanbul") == "istanbul"
+    assert icu_folding("straße") == "strasse"
+    assert icu_folding("ΣΊΣΥΦΟΣ") == "σισυφοσ"
+    assert icu_folding("Čeština") == "cestina"
+    assert icu_folding("already-folded") == "already-folded"
+
+
+def test_icu_folding_is_chain_stage():
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.analysis.filters import run_token_chain
+
+    flat = pa.array(["Résumé", "ＴＥＳＴ", "plain"])
+    out, lens, pos, norms = run_token_chain(
+        flat, np.array([3], dtype=np.int64), ("icu_folding",))
+    assert out.to_pylist() == ["resume", "test", "plain"]
+    assert pos is None
