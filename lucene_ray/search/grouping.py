@@ -76,6 +76,61 @@ def range_grouped_search(searcher, query, field: str, lo: int, width: int,
             for key, hits in ranked[:n_groups]]
 
 
+def double_range_of(value: float, lo: float, width: float,
+                    hi: float) -> tuple[float, float]:
+    """DoubleRangeFactory.getRange (`grouping/DoubleRangeFactory.java`):
+    same bucket algebra as the long factory on doubles."""
+    if value < lo:
+        return (-np.inf, lo)
+    if value >= hi:
+        return (hi, np.inf)
+    bucket = (value - lo) // width
+    return (lo + bucket * width, lo + bucket * width + width)
+
+
+def value_grouped_search(searcher, query, expression: str,
+                         range_factory: tuple | None = None,
+                         n_groups: int = 10, docs_per_group: int = 2):
+    """GroupingSearch with a ValueSourceGroupSelector
+    (`grouping/ValueSourceGroupSelector.java`) — the group key is a computed
+    DoubleValuesSource over doc-values (our expressions module); with
+    `range_factory=(lo, width, hi)` the keys bucket through
+    DoubleRangeGroupSelector + DoubleRangeFactory instead.  Groups ranked by
+    best doc (score desc, gid asc; ties lower key), `docs_per_group` docs
+    per group.
+
+    Returns [(key, best_score, [ScoreDoc, ...])] — key is the float value,
+    or the (lo, hi) range tuple under a factory."""
+    from .expressions import compile_expression
+
+    fn, names = compile_expression(expression)
+    td = searcher.search(query, k=searcher.doc_count,
+                         total_hits_threshold=2**31 - 1)
+    if not td.hits:
+        return []
+    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
+    env = {}
+    for nm in names:
+        if nm == "_score":
+            env[nm] = np.array([h.score for h in td.hits], dtype=np.float64)
+        else:
+            env[nm] = _dv_of_gids(searcher, gids, nm).astype(np.float64)
+    vals = fn(env)
+    if vals.shape == ():
+        vals = np.full(len(gids), float(vals))
+    groups: dict = {}
+    for h, v in zip(td.hits, vals):
+        key = float(v) if range_factory is None \
+            else double_range_of(float(v), *range_factory)
+        bucket = groups.setdefault(key, [])
+        if len(bucket) < docs_per_group:
+            bucket.append(h)
+    ranked = sorted(groups.items(),
+                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid, kv[0]))
+    return [(key, float(hits[0].score), hits)
+            for key, hits in ranked[:n_groups]]
+
+
 def block_grouped_search(searcher, query, n_groups: int = 10,
                          docs_per_group: int = 2):
     """BlockGroupingCollector: groups ARE the index's contiguous parent

@@ -97,6 +97,53 @@ def test_block_join_sorted_vs_brute(searcher, selector, reverse):
     assert got == expect
 
 
+def test_value_grouped_vs_brute(searcher):
+    """ValueSourceGroupSelector: group by the computed value turn_idx % 3."""
+    from lucene_ray.search.grouping import value_grouped_search
+    from lucene_ray.search.query import bool_query
+
+    q = bool_query(should=["merge", "join"])
+    got = value_grouped_search(searcher, q, "turn_idx % 3",
+                               n_groups=4, docs_per_group=2)
+    hits = _all_hits(searcher, q)
+    groups = {}
+    for h in hits:
+        groups.setdefault(float(h.turn_idx % 3), []).append(h)
+    expect = sorted(groups.items(),
+                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid, kv[0]))[:4]
+    assert [(k, [h.gid for h in v[:2]]) for k, v in expect] == \
+        [(k, [h.gid for h in v]) for k, _s, v in got]
+
+
+def test_double_range_grouped(searcher):
+    """DoubleRangeGroupSelector over a scaled expression, with the factory's
+    open end buckets."""
+    from lucene_ray.search.grouping import (
+        double_range_of,
+        value_grouped_search,
+    )
+    from lucene_ray.search.query import bool_query
+
+    assert double_range_of(0.5, 1.0, 1.0, 3.0) == (-np.inf, 1.0)
+    assert double_range_of(3.2, 1.0, 1.0, 3.0) == (3.0, np.inf)
+    assert double_range_of(1.7, 1.0, 1.0, 3.0) == (1.0, 2.0)
+
+    q = bool_query(should=["merge", "join"])
+    fac = (1.0, 1.5, 4.0)
+    got = value_grouped_search(searcher, q, "turn_idx * 1.0",
+                               range_factory=fac, n_groups=5,
+                               docs_per_group=2)
+    hits = _all_hits(searcher, q)
+    groups = {}
+    for h in hits:
+        groups.setdefault(double_range_of(float(h.turn_idx), *fac),
+                          []).append(h)
+    expect = sorted(groups.items(),
+                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid, kv[0]))[:5]
+    assert [(k, [h.gid for h in v[:2]]) for k, v in expect] == \
+        [(k, [h.gid for h in v]) for k, _s, v in got]
+
+
 def test_group_facets_counts_distinct_groups(searcher):
     from lucene_ray.search.grouping import group_facets
     from lucene_ray.search.query import bool_query
