@@ -229,3 +229,49 @@ def check_index(index_dir: str, sample_terms: int | None = None,
                                           if m["pid"] in bad))
             result["new_generation"] = new_commit["generation"]
     return result
+
+
+def check_join_index(index_dir: str) -> dict:
+    """CheckJoinIndex (`join/.../CheckJoinIndex.java:34-78`) for our
+    block-join layout: every conversation's turns must form ONE contiguous
+    run inside ONE shard (the reference checks every segment's parent
+    BitSet covers whole blocks; here blocks are conv runs under the
+    (conv_id, turn_idx) index sort, and conv ranges must not overlap across
+    shards — ToParentBlockJoin/conv grouping rely on both)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .manifest import latest_commit, shard_dirpath
+
+    commit = latest_commit(index_dir)
+    if commit is None:
+        raise FileNotFoundError(index_dir)
+    errors: list[str] = []
+    shard_ranges = []
+    for m in sorted(commit["shards"], key=lambda m: m["pid"]):
+        conv = pq.read_table(
+            os.path.join(shard_dirpath(index_dir, m), "docmap.parquet"),
+            columns=["conv_id"]).column("conv_id").to_numpy(
+            zero_copy_only=False)
+        if not len(conv):
+            continue
+        # contiguity: a conv value must never restart after a different one
+        change = np.nonzero(conv[1:] != conv[:-1])[0]
+        starts = conv[np.concatenate(([0], change + 1))]
+        if len(np.unique(starts)) != len(starts):
+            dupes = [str(s) for s in starts[np.nonzero(
+                starts[1:] == starts[:-1])[0]]][:3]
+            errors.append(f"shard pid={m['pid']}: conversation split into "
+                          f"non-contiguous runs (e.g. {dupes})")
+        shard_ranges.append((m["pid"], str(conv.min()), str(conv.max()),
+                             set(np.unique(conv).tolist())))
+    for i in range(len(shard_ranges)):
+        for j in range(i + 1, len(shard_ranges)):
+            overlap = shard_ranges[i][3] & shard_ranges[j][3]
+            if overlap:
+                errors.append(
+                    f"conversation(s) span shards pid={shard_ranges[i][0]} "
+                    f"and pid={shard_ranges[j][0]}: "
+                    f"{sorted(overlap)[:3]}")
+    return {"ok": not errors, "errors": errors,
+            "n_shards_checked": len(shard_ranges)}

@@ -153,3 +153,83 @@ def delete_by_query(index_dir: str, query) -> dict:
                                    "token_filters", "text_col", "format")
             if k in commit}
     return commit_index(index_dir, new_shards, meta)
+
+
+def split_index(src_dir: str, dir1: str, dir2: str, docs_in_first) -> tuple:
+    """PKIndexSplitter (`misc/.../index/PKIndexSplitter.java:43-118`): split
+    one index into two by a query — `dir1` keeps the docs matching
+    `docs_in_first`, `dir2` keeps the rest, both as DELETE MASKS over
+    hardlinked segment files (the reference wraps a filtered reader and
+    addIndexes it; segments here are immutable so a hardlink copy + inverse
+    live-docs bitmaps gives the same two indexes without rewriting
+    postings — a later force_merge rewrites either side compactly).
+    Statistics keep counting masked docs until a merge, like the reference's
+    deleted docs."""
+    import shutil
+
+    import ray
+
+    commit = latest_commit(src_dir)
+    if commit is None:
+        raise FileNotFoundError(src_dir)
+
+    def _link_copy(dst):
+        os.makedirs(os.path.dirname(os.path.abspath(dst)), exist_ok=True)
+        try:
+            shutil.copytree(src_dir, dst, copy_function=os.link)
+        except OSError:
+            shutil.copytree(src_dir, dst)   # cross-device fallback
+
+    _link_copy(dir1)
+    _link_copy(dir2)
+
+    @ray.remote
+    def resolve(pids: list[int]):
+        from ..search.searcher import IndexSearcher
+
+        searcher = IndexSearcher(src_dir, query_cache=False)
+        compiled = searcher.compile(docs_in_first)
+        out = []
+        for pid in pids:
+            rdr = searcher.reader(pid)
+            _s, docs, _t, _r = searcher.search_shard(
+                rdr, compiled, rdr.doc_count, total_hits_threshold=2**31 - 1)
+            match = np.zeros(rdr.doc_count, dtype=bool)
+            match[docs] = True
+            out.append((pid, match))
+        return out
+
+    pids = [m["pid"] for m in commit["shards"]]
+    n_tasks = max(1, min(len(pids), int(ray.cluster_resources().get("CPU", 8))))
+    groups = [pids[i::n_tasks] for i in range(n_tasks) if pids[i::n_tasks]]
+    matches = {}
+    for part in ray.get([resolve.remote(g) for g in groups]):
+        for pid, m in part:
+            matches[pid] = m
+
+    commits = []
+    for out_dir, keep_matching in ((dir1, True), (dir2, False)):
+        del_dir = os.path.join(out_dir, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        gen = commit["generation"] + 1
+        new_shards = []
+        for m in commit["shards"]:
+            m = dict(m)
+            deleted = ~matches[m["pid"]] if keep_matching \
+                else matches[m["pid"]].copy()
+            old = m.get("del_file")
+            if old and os.path.exists(old):
+                deleted |= np.load(old)
+            path = os.path.join(del_dir,
+                                f"split-{m['pid']:05d}-gen{gen}.npy")
+            np.save(path, deleted)
+            m["del_count"] = int(deleted.sum())
+            m["del_file"] = path
+            new_shards.append(m)
+        meta = {k: commit[k] for k in ("fingerprint", "input_desc",
+                                       "split_points", "key_cols",
+                                       "keyword_cols", "docvalue_cols",
+                                       "token_filters", "text_col", "format")
+                if k in commit}
+        commits.append(commit_index(out_dir, new_shards, meta))
+    return tuple(commits)

@@ -1,0 +1,100 @@
+"""PKIndexSplitter (deletes.split_index) + CheckJoinIndex
+(check.check_join_index)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _tbl(n):
+    return pa.table({
+        "conv_id": pa.array([f"conv-{i // 5:08d}" for i in range(n)]),
+        "turn_idx": pa.array([i % 5 for i in range(n)], type=pa.int32()),
+        "text": pa.array([("odd" if i % 2 else "even") + f" tok{i} shared"
+                          for i in range(n)]),
+    })
+
+
+@pytest.fixture(scope="module")
+def src(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+
+    d = str(tmp_path_factory.mktemp("split") / "src")
+    build_index(rd.from_arrow(_tbl(200)), d, target_docs_per_partition=60,
+                input_desc="split-src")
+    return d
+
+
+def test_split_index_partitions_by_query(src, tmp_path):
+    from lucene_ray.index.deletes import split_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    d1, d2 = str(tmp_path / "odd"), str(tmp_path / "rest")
+    c1, c2 = split_index(src, d1, d2, TermQuery("odd"))
+    s1, s2 = IndexSearcher(d1), IndexSearcher(d2)
+    # dir1 = matching docs only; dir2 = the complement; union = source
+    assert s1.count(TermQuery("shared")) == 100
+    assert s2.count(TermQuery("shared")) == 100
+    assert s1.count(TermQuery("odd")) == 100
+    assert s1.count(TermQuery("even")) == 0
+    assert s2.count(TermQuery("even")) == 100
+    assert s2.count(TermQuery("odd")) == 0
+    # source untouched
+    s0 = IndexSearcher(src)
+    assert s0.count(TermQuery("shared")) == 200
+
+
+def test_split_respects_prior_deletes(src, tmp_path):
+    import shutil
+
+    from lucene_ray.index.deletes import delete_by_query, split_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    work = str(tmp_path / "w")
+    shutil.copytree(src, work)
+    delete_by_query(work, TermQuery("tok3"))        # kills one odd doc
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    split_index(work, d1, d2, TermQuery("odd"))
+    assert IndexSearcher(d1).count(TermQuery("odd")) == 99
+    assert IndexSearcher(d2).count(TermQuery("even")) == 100
+
+
+def test_check_join_index_green(src):
+    from lucene_ray.index.check import check_join_index
+
+    rep = check_join_index(src)
+    assert rep["ok"], rep
+    assert rep["n_shards_checked"] >= 2
+
+
+def test_check_join_index_detects_cross_shard_conv(ray_session, tmp_path):
+    """A conversation whose turns land in two shards (e.g. addIndexes of
+    overlapping conv ranges — build_index itself always range-partitions
+    whole conversations) must be flagged."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import add_indexes, build_index
+    from lucene_ray.index.check import check_join_index
+
+    def tbl(lo, hi):
+        return pa.table({
+            "conv_id": pa.array([f"conv-{i // 5:08d}" for i in range(lo, hi)]),
+            "turn_idx": pa.array([i % 5 for i in range(lo, hi)],
+                                 type=pa.int32()),
+            "text": pa.array([f"tok{i}" for i in range(lo, hi)]),
+        })
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(rd.from_arrow(tbl(0, 63)), a,          # conv 12 half here
+                target_docs_per_partition=63, input_desc="a")
+    build_index(rd.from_arrow(tbl(63, 120)), b,        # ... half here
+                target_docs_per_partition=57, input_desc="b")
+    add_indexes(a, [b])
+    rep = check_join_index(a)
+    assert not rep["ok"]
+    assert any("span" in e for e in rep["errors"])
