@@ -233,3 +233,55 @@ def split_index(src_dir: str, dir1: str, dir2: str, docs_in_first) -> tuple:
                 if k in commit}
         commits.append(commit_index(out_dir, new_shards, meta))
     return tuple(commits)
+
+
+def multi_pass_split(src_dir: str, out_dirs, sequential: bool = False):
+    """MultiPassIndexSplitter (`misc/.../index/MultiPassIndexSplitter.java`):
+    split an index into len(out_dirs) parts — round-robin over global docIDs
+    by default, contiguous ranges with ``sequential=True`` — each part a
+    hardlink copy of the immutable segments carrying an inverse live-docs
+    mask (the reference wraps FakeDeleteIndexReader passes the same way).
+    Docs already deleted in the source stay deleted in every part."""
+    import shutil
+
+    n_parts = len(out_dirs)
+    commit = latest_commit(src_dir)
+    if commit is None:
+        raise FileNotFoundError(src_dir)
+    total = commit["doc_count"]
+    commits = []
+    for part, out_dir in enumerate(out_dirs):
+        os.makedirs(os.path.dirname(os.path.abspath(out_dir)), exist_ok=True)
+        try:
+            shutil.copytree(src_dir, out_dir, copy_function=os.link)
+        except OSError:
+            shutil.copytree(src_dir, out_dir)
+        del_dir = os.path.join(out_dir, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        gen = commit["generation"] + 1
+        lo = part * total // n_parts
+        hi = (part + 1) * total // n_parts
+        new_shards = []
+        for m in sorted(commit["shards"], key=lambda m: m["pid"]):
+            m = dict(m)
+            base = int(m["doc_base"])
+            gids = base + np.arange(int(m["doc_count"]), dtype=np.int64)
+            keep = (gids % n_parts == part) if not sequential \
+                else (gids >= lo) & (gids < hi)
+            deleted = ~keep
+            old = m.get("del_file")
+            if old and os.path.exists(old):
+                deleted |= np.load(old)
+            path = os.path.join(del_dir,
+                                f"mpsplit-{m['pid']:05d}-gen{gen}.npy")
+            np.save(path, deleted)
+            m["del_count"] = int(deleted.sum())
+            m["del_file"] = path
+            new_shards.append(m)
+        meta = {k: commit[k] for k in ("fingerprint", "input_desc",
+                                       "split_points", "key_cols",
+                                       "keyword_cols", "docvalue_cols",
+                                       "token_filters", "text_col", "format")
+                if k in commit}
+        commits.append(commit_index(out_dir, new_shards, meta))
+    return tuple(commits)

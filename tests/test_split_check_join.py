@@ -98,3 +98,22 @@ def test_check_join_index_detects_cross_shard_conv(ray_session, tmp_path):
     rep = check_join_index(a)
     assert not rep["ok"]
     assert any("span" in e for e in rep["errors"])
+
+
+@pytest.mark.parametrize("sequential", [False, True])
+def test_multi_pass_split(src, tmp_path, sequential):
+    from lucene_ray.index.deletes import multi_pass_split
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    outs = [str(tmp_path / f"p{i}-{sequential}") for i in range(3)]
+    multi_pass_split(src, outs, sequential=sequential)
+    counts = [IndexSearcher(d).count(TermQuery("shared")) for d in outs]
+    assert sum(counts) == 200
+    assert all(c > 0 for c in counts)
+    if sequential:
+        # contiguous ranges: sizes are the range widths
+        assert counts == [200 * (i + 1) // 3 - 200 * i // 3 for i in range(3)]
+    else:
+        # round-robin: balanced within 1
+        assert max(counts) - min(counts) <= 1
