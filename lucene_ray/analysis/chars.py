@@ -181,6 +181,38 @@ def apply_char_filters_column(col, char_specs):
 # ------------------------------------------------------------- tokenizers
 
 
+# UAX29URLEmailTokenizer (`analysis/common/.../email/UAX29URLEmailTokenizer
+# .java`): UAX#29 word breaks plus URLs and emails kept as SINGLE tokens.
+# The reference compiles the full RFC 3986/5321 grammars into its JFlex
+# scanner; this covers the productive subset — scheme/www URLs and
+# dot-qualified addr-spec emails — with trailing sentence punctuation
+# stripped from URLs (the grammar's equivalent of not consuming it).
+_URL_EMAIL_RE = re.compile(
+    r"(?:(?:https?|ftp)://[^\s<>\"']+|www\.[^\s<>\"']+)"
+    r"|(?:[A-Za-z0-9!#$%&'*+/=?^_`{|}~.\-]+@"
+    r"[A-Za-z0-9](?:[A-Za-z0-9\-]*[A-Za-z0-9])?"
+    r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9\-]*[A-Za-z0-9])?)+)")
+_URL_TRAIL = ".,;:!?)]}"
+
+
+def _uax29_url_email_tokens(text: str, max_token_length: int = 255) -> list[str]:
+    from .standard import fast_tokens
+
+    out: list[str] = []
+    last = 0
+    for m in _URL_EMAIL_RE.finditer(text):
+        out.extend(fast_tokens(text[last:m.start()], max_token_length))
+        tok = m.group(0).rstrip(_URL_TRAIL)
+        out.append(tok[:max_token_length])
+        last = m.start() + len(tok) if len(tok) else m.end()
+        if last < m.end():
+            # re-tokenize the stripped trailing punctuation span normally
+            out.extend(fast_tokens(text[last:m.end()], max_token_length))
+            last = m.end()
+    out.extend(fast_tokens(text[last:], max_token_length))
+    return out
+
+
 def tokenize_text(text: str, tokenizer: str) -> list[str]:
     """Per-string alternate tokenizer (query-side / slow-path twin of
     tokenize_column_alt)."""
@@ -202,6 +234,8 @@ def tokenize_text(text: str, tokenizer: str) -> list[str]:
         return out
     if tokenizer == "keyword":
         return [text] if text else []
+    if tokenizer == "uax29_url_email":
+        return _uax29_url_email_tokens(text)
     if tokenizer.startswith("path_hierarchy"):
         delim = tokenizer[len("path_hierarchy:"):] \
             if ":" in tokenizer else "/"

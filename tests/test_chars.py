@@ -147,3 +147,62 @@ def test_html_strip_then_standard_search(ray_session, tmp_path):
     assert s.count(TermQuery("hello")) == 3        # script body stripped
     assert s.count(TermQuery("world")) == 1
     assert s.count(TermQuery("script")) == 0
+
+
+def test_uax29_url_email_tokenizer():
+    """UAX29URLEmailTokenizer shapes (reference TestUAX29URLEmailTokenizer):
+    URLs and emails survive as single tokens amid normal UAX#29 words."""
+    from lucene_ray.analysis.chars import tokenize_text
+
+    t = tokenize_text("mail bob@example.com or visit https://x.y/z?a=1&b=2.",
+                      "uax29_url_email")
+    assert t == ["mail", "bob@example.com", "or", "visit",
+                 "https://x.y/z?a=1&b=2"]
+    t = tokenize_text("see www.example.co.uk/path, thanks", "uax29_url_email")
+    assert t == ["see", "www.example.co.uk/path", "thanks"]
+    # plain text falls through to standard UAX#29 behavior
+    assert tokenize_text("state-of-the-art 3.14", "uax29_url_email") == \
+        ["state", "of", "the", "art", "3.14"]
+    # dotted local part + subdomains
+    assert tokenize_text("first.last@sub.domain.org!", "uax29_url_email") == \
+        ["first.last@sub.domain.org"]
+    # ftp scheme, no trailing strip inside the path
+    assert tokenize_text("ftp://h/p.q,", "uax29_url_email") == ["ftp://h/p.q"]
+
+
+def test_uax29_url_email_column_and_chain():
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.analysis.chars import tokenize_column_alt
+
+    col = pa.array(["ping a@b.co now", "", "no urls here"])
+    lens, flat = tokenize_column_alt(col, "uax29_url_email")
+    assert lens.tolist() == [3, 0, 3]
+    assert flat.to_pylist()[:3] == ["ping", "a@b.co", "now"]
+
+
+def test_uax29_url_email_indexed(ray_session, tmp_path):
+    """End-to-end: an index built with tokenizer:uax29_url_email serves the
+    email as one searchable (lowercased) term."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    t = pa.table({
+        "conv_id": pa.array([f"conv-{i:08d}" for i in range(8)]),
+        "turn_idx": pa.array([0] * 8, type=pa.int32()),
+        "text": pa.array([f"Contact Bob@Example.com about doc{i}"
+                          for i in range(8)]),
+    })
+    d = str(tmp_path / "uidx")
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=4,
+                input_desc="uax",
+                token_filters=("tokenizer:uax29_url_email", "lowercase"))
+    s = IndexSearcher(d)
+    assert s.count(TermQuery("bob@example.com")) == 8
+    assert s.count(TermQuery("contact")) == 8
+    assert s.count(TermQuery("example")) == 0       # not split
