@@ -549,3 +549,94 @@ def maybe_merge(index_dir: str, *, target_docs_per_segment: int = 200_000,
     if not did_work:
         return None
     return _run_merge(index_dir, commit, groups, merge_stats=merge_stats)
+
+
+def rearrange_index(src_dir: str, dest_dir: str, selectors) -> dict:
+    """IndexRearranger (`misc/.../index/IndexRearranger.java:40-120`):
+    rewrite an index into one whose segments are defined by document
+    selectors — segment i holds exactly the docs matching ``selectors[i]``
+    (queries).  Like the reference, the selectors must PARTITION the live
+    docs (every live doc selected exactly once) or this raises.
+
+    Composition over existing machinery: per selector, hardlink-copy the
+    immutable segments, mask the complement as deleted, force_merge(1) to
+    expunge (one Ray merge task per selector, concurrent), then graft the
+    single-segment indexes together with addIndexes.  No text re-analysis
+    anywhere — postings rewrite only, like the reference's
+    addIndexes(CodecReader)."""
+    import shutil
+    import tempfile
+
+    from ..search.searcher import IndexSearcher
+    from .build import add_indexes
+    from .manifest import latest_commit
+
+    commit = latest_commit(src_dir)
+    if commit is None:
+        raise FileNotFoundError(src_dir)
+    searcher = IndexSearcher(src_dir, query_cache=False)
+    # per-shard selector masks + partition check
+    per_shard_masks: dict[int, list[np.ndarray]] = {}
+    for pid in searcher._pids:
+        rdr = searcher.reader(pid)
+        cover = np.zeros(rdr.doc_count, dtype=np.int64)
+        masks = []
+        for sel in selectors:
+            compiled = searcher.compile(sel)
+            _s, docs, _t, _r = searcher.search_shard(
+                rdr, compiled, rdr.doc_count, total_hits_threshold=2**31 - 1)
+            m = np.zeros(rdr.doc_count, dtype=bool)
+            m[docs] = True
+            if rdr.deleted is not None:
+                m &= ~rdr.deleted
+            masks.append(m)
+            cover += m
+        live = ~rdr.deleted if rdr.deleted is not None \
+            else np.ones(rdr.doc_count, dtype=bool)
+        if (cover[live] != 1).any():
+            n0 = int((cover[live] == 0).sum())
+            n2 = int((cover[live] > 1).sum())
+            raise ValueError(
+                f"selectors must partition the live docs: shard pid={pid} "
+                f"has {n0} unselected and {n2} multiply-selected docs")
+        per_shard_masks[pid] = masks
+
+    tmp_root = tempfile.mkdtemp(prefix="rearrange-", dir=os.path.dirname(
+        os.path.abspath(dest_dir)) or ".")
+    parts = []
+    try:
+        for i in range(len(selectors)):
+            part_dir = os.path.join(tmp_root, f"part-{i:03d}")
+            try:
+                shutil.copytree(src_dir, part_dir, copy_function=os.link)
+            except OSError:
+                shutil.copytree(src_dir, part_dir)
+            del_dir = os.path.join(part_dir, "deletes")
+            os.makedirs(del_dir, exist_ok=True)
+            gen = commit["generation"] + 1
+            new_shards = []
+            for m in commit["shards"]:
+                m = dict(m)
+                deleted = ~per_shard_masks[m["pid"]][i]
+                path = os.path.join(
+                    del_dir, f"rearrange-{m['pid']:05d}-gen{gen}.npy")
+                np.save(path, deleted)
+                m["del_count"] = int(deleted.sum())
+                m["del_file"] = path
+                new_shards.append(m)
+            from .manifest import commit_index
+
+            meta = {k: commit[k] for k in ("fingerprint", "input_desc",
+                                           "split_points", "key_cols",
+                                           "keyword_cols", "docvalue_cols",
+                                           "token_filters", "text_col",
+                                           "format") if k in commit}
+            commit_index(part_dir, new_shards, meta)
+            force_merge(part_dir, 1)
+            parts.append(part_dir)
+        shutil.move(parts[0], dest_dir)
+        out = add_indexes(dest_dir, parts[1:]) if len(parts) > 1 \
+            else latest_commit(dest_dir)
+        return out
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)

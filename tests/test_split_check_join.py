@@ -117,3 +117,37 @@ def test_multi_pass_split(src, tmp_path, sequential):
     else:
         # round-robin: balanced within 1
         assert max(counts) - min(counts) <= 1
+
+
+def test_rearrange_index(src, tmp_path):
+    """IndexRearranger: segments defined by selectors; partition enforced."""
+    from lucene_ray.index.manifest import latest_commit
+    from lucene_ray.index.merge import rearrange_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    dest = str(tmp_path / "re")
+    commit = rearrange_index(src, dest,
+                             [TermQuery("odd"), TermQuery("even")])
+    assert len(commit["shards"]) == 2
+    s = IndexSearcher(dest)
+    assert s.count(TermQuery("shared")) == 200
+    assert s.count(TermQuery("odd")) == 100
+    # segment membership: each new segment holds exactly one parity
+    by_shard = []
+    for pid in s._pids:
+        rdr = s.reader(pid)
+        tid = rdr.seek_exact("odd")
+        by_shard.append(0 if tid < 0 else len(rdr.postings(tid)[0]))
+    assert sorted(by_shard) == [0, 100]
+    # deletes were expunged during the rewrite
+    assert commit["doc_count"] == 200
+
+
+def test_rearrange_rejects_non_partition(src, tmp_path):
+    from lucene_ray.index.merge import rearrange_index
+    from lucene_ray.search.query import TermQuery
+
+    with pytest.raises(ValueError):
+        rearrange_index(src, str(tmp_path / "bad"),
+                        [TermQuery("odd"), TermQuery("shared")])
