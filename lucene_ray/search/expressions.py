@@ -17,10 +17,11 @@ import ast
 import numpy as np
 
 def _haversin(lat1, lon1, lat2, lon2):
-    """Great-circle distance in meters (the reference's haversin function,
-    `expressions/src/java/org/apache/lucene/expressions/js/
-    JavascriptCompiler.java` function table + util/SloppyMath.haversinMeters;
-    mean earth radius 6371008.7714 m)."""
+    """Great-circle distance in METERS (`util/SloppyMath.haversinMeters`,
+    mean earth radius 6371008.7714 m) — the reference's ``haversinMeters``
+    function; its ``haversin`` is the kilometers wrapper
+    (JavascriptCompiler.properties: haversin → haversinKilometers,
+    haversinMeters → SloppyMath)."""
     r1, r2 = np.radians(lat1), np.radians(lat2)
     dlat = r2 - r1
     dlon = np.radians(lon2) - np.radians(lon1)
@@ -40,7 +41,9 @@ FUNCS = {
     "floor": np.floor, "sin": np.sin, "sinh": np.sinh, "tan": np.tan,
     "tanh": np.tanh,
     "logn": lambda base, x: np.log(x) / np.log(base),
-    "haversin": _haversin,
+    # reference naming: haversin = kilometers, haversinMeters = meters
+    "haversin": lambda a, b, c, d: _haversin(a, b, c, d) / 1000.0,
+    "haversinMeters": _haversin,
 }
 
 _BINOPS = {

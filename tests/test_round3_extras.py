@@ -194,7 +194,12 @@ def test_expression_function_library():
     ev, vars_ = compile_expression("ceil(sin(x) + cos(x)) + logn(2, 8)")
     assert vars_ == ["x"]
     np.testing.assert_allclose(ev({"x": np.array([0.0, 1.0])}), [4.0, 5.0])
+    # reference naming: haversin is KILOMETERS (JavascriptCompiler.properties
+    # haversin -> haversinKilometers), haversinMeters is the meters twin
     ev2, _ = compile_expression("haversin(36.12, -86.67, 33.94, -118.40)")
-    assert float(ev2({})) == pytest.approx(2_886_448.4, rel=1e-4)
+    assert float(ev2({})) == pytest.approx(2_886.4484, rel=1e-4)
+    ev2m, _ = compile_expression(
+        "haversinMeters(36.12, -86.67, 33.94, -118.40)")
+    assert float(ev2m({})) == pytest.approx(2_886_448.4, rel=1e-4)
     ev3, _ = compile_expression("atan2(floor(1.9), tanh(100))")
     assert float(ev3({})) == pytest.approx(np.arctan2(1.0, np.tanh(100.0)))
