@@ -1,0 +1,78 @@
+"""Query-AST JSON round-trips (search/serialize.py) + Monitor persistence
+(MonitorQuerySerializer role)."""
+
+import numpy as np
+import pytest
+
+
+def test_roundtrip_nested_queries():
+    from lucene_ray.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        BoostQuery,
+        CombinedFieldQuery,
+        FuzzyLikeThisQuery,
+        FuzzyQuery,
+        MultiPhraseQuery,
+        PhraseQuery,
+        PrefixQuery,
+        RangeQuery,
+        TermQuery,
+        bool_query,
+    )
+    from lucene_ray.search.serialize import dumps_query, loads_query
+
+    cases = [
+        TermQuery("merge", boost=2.5),
+        PhraseQuery(("state", "of", "the", "art"), slop=2),
+        bool_query(must=["a"], should=["b", "c"], must_not=["d"],
+                   minimum_should_match=1),
+        BooleanQuery((BooleanClause(BoostQuery(PrefixQuery("vec"), 3.0),
+                                    "SHOULD"),
+                      BooleanClause(RangeQuery("ts", 5, 10), "FILTER"))),
+        FuzzyQuery("mrge", max_edits=1, prefix_length=1),
+        FuzzyLikeThisQuery((("vectr merge", 1, 1),), max_num_terms=8),
+        CombinedFieldQuery(("user",), (("text", 1.0), ("role", 2.0))),
+        MultiPhraseQuery((("fast", "quick"), ("merge",))),
+    ]
+    for q in cases:
+        s = dumps_query(q)
+        q2 = loads_query(s)
+        assert q2 == q, q
+        assert dumps_query(q2) == s
+
+
+def test_roundtrip_span_and_geo():
+    from lucene_ray.search.geo import LatLonDistanceQuery, lat_lon_box_query
+    from lucene_ray.search.serialize import dumps_query, loads_query
+    from lucene_ray.search.spans import SpanNearQuery, SpanOrQuery
+
+    q = SpanNearQuery(("merge", SpanOrQuery(("a", "b"))),
+                      slop=3, in_order=True)
+    assert loads_query(dumps_query(q)) == q
+    g = LatLonDistanceQuery("loc", 37.0, -122.0, 5000.0)
+    assert loads_query(dumps_query(g)) == g
+    box = lat_lon_box_query("loc", -10.0, 10.0, 20.0, -20.0)  # dateline split
+    assert loads_query(dumps_query(box)) == box
+
+
+def test_monitor_persistence_roundtrip(ray_session, tmp_path):
+    """A reloaded Monitor matches exactly like the original (Monitor
+    restart with persisted queries)."""
+    from lucene_ray.pipelines.percolate import AstMonitor, _registered_ast
+    from lucene_ray.search.serialize import load_monitor, save_monitor
+
+    registered = _registered_ast()
+    m1 = AstMonitor(registered)
+    path = str(tmp_path / "monitor.json")
+    save_monitor(path, registered)
+    m2 = load_monitor(path)
+    import pandas as pd
+
+    doc_ids = np.arange(4)
+    texts = pd.Series(["merge join now", "the window is open with batch",
+                       "vector search scan merge", "window pane"])
+    r1 = m1.match_batch(doc_ids, texts)
+    r2 = m2.match_batch(doc_ids, texts)
+    assert [tuple(x) for x in zip(*r1)] == [tuple(x) for x in zip(*r2)]
+    assert len(r1[0]) > 0
