@@ -38,12 +38,28 @@ import pyarrow.compute as pc
 SCORE_MODES = ("none", "max", "min", "total", "avg")
 
 
+def _shard_aggregate(values: np.ndarray, scores: np.ndarray):
+    """Per-shard sufficient statistics: (unique values, max, min, sum,
+    count) — every ScoreMode folds from these, so only O(distinct keys)
+    ever leaves a shard (not O(matches))."""
+    uniq, inverse = np.unique(values, return_inverse=True)
+    n = len(uniq)
+    mx = np.full(n, -np.inf)
+    np.maximum.at(mx, inverse, scores)
+    mn = np.full(n, np.inf)
+    np.minimum.at(mn, inverse, scores)
+    sm = np.zeros(n)
+    np.add.at(sm, inverse, scores)
+    cnt = np.bincount(inverse, minlength=n).astype(np.int64)
+    return uniq, mx, mn, sm, cnt
+
+
 def _from_pass(searcher, from_query, from_field: str):
-    """Per-shard from-side collection: (values ndarray, scores ndarray)
-    across all shards, one entry per matching live doc."""
+    """From-side collection, aggregated INSIDE each shard's pass (the
+    map-side combine): returns per-shard (uniq, max, min, sum, count)
+    tuples bounded by the shard's distinct join keys."""
     compiled = searcher.compile(from_query)
-    vals_parts: list[np.ndarray] = []
-    score_parts: list[np.ndarray] = []
+    parts = []
     for pid in searcher._pids:
         rdr = searcher.reader(pid)
         scores, local_docs, _total, _rel = searcher.search_shard(
@@ -53,33 +69,38 @@ def _from_pass(searcher, from_query, from_field: str):
         col = rdr.docmap().column(from_field)
         if pa.types.is_timestamp(col.type):
             col = pc.cast(col, pa.int64())
-        taken = col.take(pa.array(local_docs, type=pa.int64()))
-        vals_parts.append(np.asarray(taken))
-        score_parts.append(scores.astype(np.float64))
-    if not vals_parts:
-        return np.zeros(0), np.zeros(0)
-    return np.concatenate(vals_parts), np.concatenate(score_parts)
+        taken = np.asarray(col.take(pa.array(local_docs, type=pa.int64())))
+        parts.append(_shard_aggregate(taken, scores.astype(np.float64)))
+    return parts
 
 
-def _aggregate(values: np.ndarray, scores: np.ndarray, score_mode: str):
-    """Reduce (value, score) pairs to (unique values, per-value score)."""
+def _aggregate(parts, score_mode: str):
+    """Merge per-shard sufficient statistics into (unique values,
+    per-value score) under the ScoreMode."""
+    values = np.concatenate([p[0] for p in parts])
     uniq, inverse = np.unique(values, return_inverse=True)
     n = len(uniq)
     if score_mode == "none":
         return uniq, np.ones(n, np.float64)
+    mx = np.full(n, -np.inf)
+    mn = np.full(n, np.inf)
+    sm = np.zeros(n)
+    cnt = np.zeros(n, np.int64)
+    off = 0
+    for u, pmx, pmn, psm, pcnt in parts:
+        idx = inverse[off:off + len(u)]
+        off += len(u)
+        np.maximum.at(mx, idx, pmx)
+        np.minimum.at(mn, idx, pmn)
+        np.add.at(sm, idx, psm)
+        np.add.at(cnt, idx, pcnt)
     if score_mode == "max":
-        agg = np.full(n, -np.inf)
-        np.maximum.at(agg, inverse, scores)
-    elif score_mode == "min":
-        agg = np.full(n, np.inf)
-        np.minimum.at(agg, inverse, scores)
-    else:  # total / avg
-        agg = np.zeros(n)
-        np.add.at(agg, inverse, scores)
-        if score_mode == "avg":
-            cnt = np.bincount(inverse, minlength=n)
-            agg = agg / np.maximum(cnt, 1)
-    return uniq, agg
+        return uniq, mx
+    if score_mode == "min":
+        return uniq, mn
+    if score_mode == "total":
+        return uniq, sm
+    return uniq, sm / np.maximum(cnt, 1)           # avg
 
 
 def join_search(searcher, from_query, from_field: str, to_field: str,
@@ -90,11 +111,11 @@ def join_search(searcher, from_query, from_field: str, to_field: str,
     TopDocs of the to side, scored per `score_mode`."""
     if score_mode not in SCORE_MODES:
         raise ValueError(f"score_mode must be one of {SCORE_MODES}")
-    values, scores = _from_pass(searcher, from_query, from_field)
-    if not len(values):
+    parts = _from_pass(searcher, from_query, from_field)
+    if not parts:
         from .searcher import TopDocs
         return TopDocs([], 0, "EQ")
-    uniq, agg = _aggregate(values, scores, score_mode)
+    uniq, agg = _aggregate(parts, score_mode)
     value_set = pa.array(uniq)
     agg32 = agg.astype(np.float32)
 

@@ -1705,17 +1705,23 @@ class IndexSearcher:
         scores = np.concatenate(all_scores) if all_scores else np.zeros(0, np.float32)
         gids = np.concatenate(all_gids) if all_gids else np.zeros(0, np.int64)
         order = np.lexsort((gids, -scores))[:k]
-        hits = []
-        # resolve (conv_id, turn_idx) for final hits only
-        for i in order:
-            gid = int(gids[i])
-            pid = self._pid_of(gid)
-            rdr = self.reader(pid)
-            local = gid - self._bases[pid]
-            row = rdr.lookup_docs(np.array([local]))
-            hits.append(ScoreDoc(float(scores[i]), gid,
-                                 row.column("conv_id")[0].as_py(),
-                                 int(row.column("turn_idx")[0].as_py())))
+        # resolve (conv_id, turn_idx) for final hits only — one batched
+        # docmap take per owning shard, not a row fetch per hit
+        top_gids = gids[order]
+        pids_of = np.array([self._pid_of(int(g)) for g in top_gids],
+                           dtype=np.int64)
+        fields: dict[int, tuple] = {}
+        for pid in np.unique(pids_of):
+            sel = np.nonzero(pids_of == pid)[0]
+            rdr = self.reader(int(pid))
+            rows = rdr.lookup_docs(top_gids[sel] - self._bases[int(pid)])
+            convs = rows.column("conv_id").to_pylist()
+            turns = rows.column("turn_idx").to_pylist()
+            for j, i in enumerate(sel):
+                fields[int(i)] = (convs[j], int(turns[j]))
+        hits = [ScoreDoc(float(scores[i]), int(top_gids[j]),
+                         fields[j][0], fields[j][1])
+                for j, i in enumerate(order)]
         return TopDocs(hits, total, relation)
 
     def _pid_of(self, gid: int) -> int:
