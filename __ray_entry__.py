@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_flt_topk": _lazy("index_flt_topk"),
         "index_combined_topk": _lazy("index_combined_topk"),
         "index_block_join_sorted": _lazy("index_block_join_sorted"),
+        "index_dv_facets": _lazy("index_dv_facets"),
         "index_range_grouped_topk": _lazy("index_range_grouped_topk"),
         "index_group_facets": _lazy("index_group_facets"),
         "index_block_grouped_topk": _lazy("index_block_grouped_topk"),
@@ -661,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "index_flt_topk": _flagship_sql("index_flt_oracle_sql"),
         "index_combined_topk": _flagship_sql("index_combined_oracle_sql"),
         "index_block_join_sorted": _flagship_sql("index_block_join_sorted_oracle_sql"),
+        "index_dv_facets": _flagship_sql("index_dv_facets_oracle_sql"),
         "index_range_grouped_topk": _flagship_sql("index_range_grouped_oracle_sql"),
         "index_group_facets": _flagship_sql("index_group_facets_oracle_sql"),
         "index_block_grouped_topk": _flagship_sql("index_block_grouped_oracle_sql"),

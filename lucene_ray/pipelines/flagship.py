@@ -1317,6 +1317,30 @@ def index_block_grouped_oracle_sql() -> str:
         ORDER BY g.group_rank, d.doc_rank"""
 
 
+def index_dv_facets(sf_dir: str) -> pd.DataFrame:
+    """LongValueFacetCounts over the turn_idx doc-values column for docs
+    matching the reference term: (turn_idx, n_docs) in value order."""
+    from ..search.query import TermQuery
+    from ..search.searcher import dv_value_facets
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    out = dv_value_facets(searcher, TermQuery(BM25_SQL_TERMS[0]), "turn_idx")
+    return pd.DataFrame(out, columns=["turn_idx", "n_docs"]) \
+        .astype({"turn_idx": "int64", "n_docs": "int64"})
+
+
+def index_dv_facets_oracle_sql() -> str:
+    t = BM25_SQL_TERMS[0]
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents)
+        SELECT (doc_id % 5)::BIGINT AS turn_idx, count(*)::BIGINT AS n_docs
+        FROM toklists WHERE list_contains(toks, '{t}')
+        GROUP BY doc_id % 5 ORDER BY turn_idx"""
+
+
 BJS_K = 12
 
 

@@ -1958,6 +1958,31 @@ def grouped_search(searcher: "IndexSearcher", query, group_field: str = "role",
             for v, hits in ranked[:n_groups]]
 
 
+def dv_value_facets(searcher: "IndexSearcher", query, field: str,
+                    top_n: int | None = None) -> list[tuple[int, int]]:
+    """LongValueFacetCounts (`facet/.../LongValueFacetCounts.java:51,344`):
+    per distinct value of a numeric doc-values field, the number of
+    matching docs.  Per-shard vectorized bincount over the match set,
+    merged; getAllChildrenSortByValue order (value asc) by default,
+    getTopChildren (count desc, value asc) with ``top_n``."""
+    compiled = searcher.compile(query)
+    merged: dict[int, int] = {}
+    for pid in searcher._pids:
+        rdr = searcher.reader(pid)
+        _s, docs, _t, _r = searcher.search_shard(
+            rdr, compiled, rdr.doc_count, total_hits_threshold=2**31 - 1)
+        if not len(docs):
+            continue
+        vals = rdr.docvalue(field)[docs]
+        uniq, cnt = np.unique(vals, return_counts=True)
+        for v, c in zip(uniq, cnt):
+            merged[int(v)] = merged.get(int(v), 0) + int(c)
+    out = sorted(merged.items())
+    if top_n is not None:
+        out = sorted(out, key=lambda vc: (-vc[1], vc[0]))[:top_n]
+    return out
+
+
 def dv_stats(searcher: "IndexSearcher", query, field: str) -> dict:
     """DocValuesStatsCollector (`misc/.../search/DocValuesStats.java`,
     `DocValuesStatsCollector.java`): count / min / max / sum / mean /
