@@ -2425,6 +2425,22 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                 doc = np.concatenate((doc, np.repeat(doc[occ], per_pc)))
                 pos = np.concatenate((pos, np.repeat(pos[occ], per_pc)))
                 incr = np.concatenate((incr, np.zeros(total_pc, bool)))
+        elif spec == "ascii_fold:preserve":
+            # ASCIIFoldingFilter(preserveOriginal=true)
+            # (`analysis/miscellaneous/ASCIIFoldingFilter.java:74-100`): the
+            # folded form replaces the token and the ORIGINAL re-emits as a
+            # posInc-0 overlay when folding changed it
+            uniq_af, inv_af = np.unique(toks.astype(str), return_inverse=True)
+            folded_u = np.array([ascii_fold(w) for w in uniq_af],
+                                dtype=object)
+            orig = toks.copy()
+            toks = folded_u[inv_af]
+            add = np.nonzero(toks != orig)[0]
+            if len(add):
+                toks = np.concatenate((toks, orig[add]))
+                doc = np.concatenate((doc, doc[add]))
+                pos = np.concatenate((pos, pos[add]))
+                incr = np.concatenate((incr, np.zeros(len(add), bool)))
         elif spec.startswith("keep:"):
             # KeepWordFilter (`analysis/miscellaneous/KeepWordFilter.java`):
             # inverse of stop — only listed words survive, position gaps kept

@@ -213,3 +213,26 @@ def test_multiword_synonym_output_rejected(ray_session, tmp_path):
     with _pytest.raises(Exception):
         build_index(rd.from_arrow(t), d, target_docs_per_partition=50,
                     token_filters=("syn:nyc=new york",), input_desc="bad")
+
+
+def test_ascii_fold_preserve_original():
+    """ASCIIFoldingFilter(preserveOriginal=true): folded token replaces,
+    original overlays at posInc 0 only when folding changed it; norms count
+    only first-at-position tokens."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.analysis.filters import run_token_chain
+
+    flat = pa.array(["résumé", "plain", "straße"])
+    out, lens, pos, norms = run_token_chain(
+        flat, np.array([3], dtype=np.int64), ("ascii_fold:preserve",))
+    assert out.to_pylist() == ["resume", "résumé", "plain",
+                               "strasse", "straße"]
+    assert np.asarray(pos).tolist() == [0, 0, 1, 2, 2]
+    assert norms.tolist() == [3]
+    # unchanged corpus: no overlays at all
+    out2, _l, _p, n2 = run_token_chain(
+        pa.array(["abc", "def"]), np.array([2], dtype=np.int64),
+        ("ascii_fold:preserve",))
+    assert out2.to_pylist() == ["abc", "def"] and n2.tolist() == [2]
