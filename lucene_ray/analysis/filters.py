@@ -1663,6 +1663,71 @@ def _make_elision(articles):
     return elide
 
 
+def scandinavian_normalize(word: str) -> str:
+    """ScandinavianNormalizationFilter with ALL_FOLDINGS
+    (`analysis/miscellaneous/ScandinavianNormalizer.java:73-135`): ä→æ,
+    ö→ø (incl. uppercase), and digraph collapses aa/ao→å, ae→æ, oe/oo→ø —
+    the 'normalize to the Danish/Norwegian spelling' twin of
+    scandinavian_fold."""
+    buf = list(word)
+    n = len(buf)
+    i = 0
+    while i < n:
+        c = buf[i]
+        if c == "ä":
+            buf[i] = "æ"
+        elif c == "Ä":
+            buf[i] = "Æ"
+        elif c == "ö":
+            buf[i] = "ø"
+        elif c == "Ö":
+            buf[i] = "Ø"
+        elif n - 1 > i:
+            nxt = buf[i + 1]
+            if c == "a" and nxt in ("a", "A", "o", "O"):
+                buf[i] = "å"
+                del buf[i + 1]
+                n -= 1
+            elif c == "A" and nxt in ("a", "A", "o", "O"):
+                buf[i] = "Å"
+                del buf[i + 1]
+                n -= 1
+            elif c == "a" and nxt in ("e", "E"):
+                buf[i] = "æ"
+                del buf[i + 1]
+                n -= 1
+            elif c == "A" and nxt in ("e", "E"):
+                buf[i] = "Æ"
+                del buf[i + 1]
+                n -= 1
+            elif c == "o" and nxt in ("e", "E", "o", "O"):
+                buf[i] = "ø"
+                del buf[i + 1]
+                n -= 1
+            elif c == "O" and nxt in ("e", "E", "o", "O"):
+                buf[i] = "Ø"
+                del buf[i + 1]
+                n -= 1
+        i += 1
+    return "".join(buf)
+
+
+# SerbianNormalizationFilter (`analysis/sr/SerbianNormalizationFilter.java:
+# 44-170`): lowercased Cyrillic (and the carons of Latin Gaj's alphabet)
+# to "bald" Latin; ђ/đ→dj, љ→lj, њ→nj, џ→dz expand to two chars.
+_SERBIAN_MAP = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "dj", "đ": "dj",
+    "е": "e", "ж": "z", "з": "z", "ž": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o", "п": "p",
+    "р": "r", "с": "s", "т": "t", "ћ": "c", "ц": "c", "ч": "c", "č": "c",
+    "ć": "c", "у": "u", "ф": "f", "х": "h", "џ": "dz", "ш": "s", "š": "s",
+}
+
+
+def serbian_normalize(word: str) -> str:
+    return "".join(_SERBIAN_MAP.get(c, c) for c in word)
+
+
 def icu_folding(word: str) -> str:
     """ICUFoldingFilter (`analysis/icu/.../ICUFoldingFilter.java`) built
     from the public Unicode tables in `unicodedata`: NFKD → strip combining
@@ -1681,6 +1746,8 @@ def icu_folding(word: str) -> str:
 FILTERS = {
     "ascii_fold": ascii_fold,
     "icu_folding": icu_folding,
+    "scandinavian_normalize": scandinavian_normalize,
+    "serbian_normalize": serbian_normalize,
     "porter": porter_stem,
     "english_minimal": english_minimal_stem,
     "french_minimal": french_minimal_stem,
@@ -2425,6 +2492,50 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                 doc = np.concatenate((doc, np.repeat(doc[occ], per_pc)))
                 pos = np.concatenate((pos, np.repeat(pos[occ], per_pc)))
                 incr = np.concatenate((incr, np.zeros(total_pc, bool)))
+        elif spec == "hyphenated_words":
+            # HyphenatedWordsFilter (`analysis/miscellaneous/
+            # HyphenatedWordsFilter.java:75-110`): consecutive tokens ending
+            # with '-' merge with the following token (hyphens stripped);
+            # the merged token takes the FIRST part's position; a doc-final
+            # dangling part re-emits with its hyphen restored.  Positions
+            # compact because the parts are never emitted — so this stage
+            # must run before overlay-producing stages.
+            if (~incr).any():
+                raise ValueError("hyphenated_words must run before "
+                                 "overlay-producing stages")
+            import pyarrow.compute as _pc
+
+            ends = _pc.ends_with(pa.array(toks.astype(str)),
+                                 pattern="-").to_numpy(zero_copy_only=False)
+            if ends.any():
+                keep = np.ones(len(toks), dtype=bool)
+                idxs = np.nonzero(ends)[0]
+                run_start = idxs[np.concatenate(
+                    ([True], np.diff(idxs) != 1))]
+                for s in run_start:
+                    d = doc[s]
+                    e = s
+                    while e + 1 < len(toks) and ends[e + 1] \
+                            and doc[e + 1] == d:
+                        e += 1
+                    parts = [str(t)[:-1] for t in toks[s:e + 1]]
+                    if e + 1 < len(toks) and doc[e + 1] == d:
+                        parts.append(str(toks[e + 1]))
+                        keep[s + 1:e + 2] = False
+                    else:
+                        parts[-1] += "-"        # dangling: hyphen restored
+                        keep[s + 1:e + 1] = False
+                    toks[s] = "".join(parts)
+                toks, doc, pos, incr = (toks[keep], doc[keep], pos[keep],
+                                        incr[keep])
+                # recompact positions per doc (all tokens are first-at-
+                # position here, checked above)
+                if len(doc):
+                    starts = np.concatenate(
+                        ([0], np.nonzero(doc[1:] != doc[:-1])[0] + 1))
+                    pos = (np.arange(len(doc), dtype=pos.dtype)
+                           - np.repeat(starts, np.diff(
+                               np.concatenate((starts, [len(doc)])))))
         elif spec == "ascii_fold:preserve":
             # ASCIIFoldingFilter(preserveOriginal=true)
             # (`analysis/miscellaneous/ASCIIFoldingFilter.java:74-100`): the

@@ -1,0 +1,59 @@
+"""ScandinavianNormalizationFilter / SerbianNormalizationFilter /
+HyphenatedWordsFilter — the reference's own test vectors."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.analysis.filters import (
+    run_token_chain,
+    scandinavian_normalize,
+    serbian_normalize,
+)
+
+
+@pytest.mark.parametrize("src,want", [
+    ("aeäaeeea", "æææeea"),
+    ("aeäaeeeae", "æææeeæ"),
+    ("aeaeeeae", "ææeeæ"),
+    ("bøen", "bøen"),
+    ("bOEen", "bØen"),
+    ("åene", "åene"),
+    ("blåbærsyltetøj", "blåbærsyltetøj"),
+    ("blaabaersyltetöj", "blåbærsyltetøj"),
+    ("räksmörgås", "ræksmørgås"),
+    ("raeksmörgaos", "ræksmørgås"),
+    ("raeksmörgaas", "ræksmørgås"),
+    ("raeksmoergås", "ræksmørgås"),
+    ("ab", "ab"), ("ob", "ob"), ("Ab", "Ab"), ("Ob", "Ob"),
+    ("å", "å"), ("aa", "å"), ("aA", "å"), ("ao", "å"),
+])
+def test_scandinavian_normalization_reference_vectors(src, want):
+    assert scandinavian_normalize(src) == want
+
+
+def test_serbian_normalization_reference_vectors():
+    assert serbian_normalize("абвгдђежзијклљмнњопрстћуфхцчџш") == \
+        "abvgddjezzijklljmnnjoprstcufhccdzs"
+    assert serbian_normalize("đinđić") == "djindjic"
+    assert serbian_normalize("") == ""
+    assert serbian_normalize("plain") == "plain"
+
+
+def test_hyphenated_words_filter():
+    flat = pa.array(["ecologi-", "cal", "devel-", "op-", "ment", "plain"])
+    out, lens, pos, norms = run_token_chain(
+        flat, np.array([6], dtype=np.int64), ("hyphenated_words",))
+    assert out.to_pylist() == ["ecological", "development", "plain"]
+    assert np.asarray(pos).tolist() == [0, 1, 2]
+    assert norms.tolist() == [3]
+    # dangling doc-final part keeps its hyphen (reference back-compat)
+    out2, _l, _p, _n = run_token_chain(
+        pa.array(["broken-"]), np.array([1], dtype=np.int64),
+        ("hyphenated_words",))
+    assert out2.to_pylist() == ["broken-"]
+    # never merges across doc boundaries
+    out3, l3, _p3, _n3 = run_token_chain(
+        pa.array(["a-", "b"]), np.array([1, 1], dtype=np.int64),
+        ("hyphenated_words",))
+    assert out3.to_pylist() == ["a-", "b"] and l3.tolist() == [1, 1]
