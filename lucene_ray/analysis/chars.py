@@ -213,6 +213,90 @@ def _uax29_url_email_tokens(text: str, max_token_length: int = 255) -> list[str]
     return out
 
 
+# ClassicTokenizer (`analysis/classic/ClassicTokenizer.java` — the pre-3.1
+# StandardTokenizer JFlex grammar).  Productions re-expressed as ordered
+# longest-match regex candidates: EMAIL, APOSTROPHE (o'reilly, don't),
+# ACRONYM (u.s.a. — trailing dot required), COMPANY (AT&T, Excite@Home),
+# and the joined ALPHANUM family where HOST = dot-joined parts and NUM =
+# P-joined ({_-/.,}) parts with a digit in at least one member of every
+# adjacent pair (the grammar's HAS_DIGIT alternation) — "a1-b-c3" is one
+# NUM, "s-class" splits.  JFlex maximal munch = pick the longest candidate.
+_C_EMAIL = re.compile(
+    r"[A-Za-z0-9]+(?:[._-][A-Za-z0-9]+)*@[A-Za-z0-9]+(?:[.-][A-Za-z0-9]+)+")
+_C_APOS = re.compile(r"[A-Za-z]+(?:'[A-Za-z]+)+")
+_C_ACRO = re.compile(r"[A-Za-z]\.(?:[A-Za-z]\.)+")
+_C_COMP = re.compile(r"[A-Za-z]+[&@][A-Za-z]+")
+_C_JOIN = re.compile(r"[A-Za-z0-9]+(?:[_\-/.,][A-Za-z0-9]+)+")
+_C_ALNUM = re.compile(r"[A-Za-z0-9]+")
+_C_START = re.compile(r"[A-Za-z0-9⺀-鿿가-힯]")
+_C_CJ = re.compile(r"[⺀-鿿가-힯]")
+_C_PART = re.compile(r"[_\-/.,]")
+_HAS_DIGIT = re.compile(r"[0-9]")
+
+
+def _classic_join_prefix(m: re.Match) -> str:
+    """Longest valid HOST/NUM prefix of a P-joined candidate: valid while
+    all joins so far are '.' (HOST) or every adjacent part pair so far has
+    a digit-bearing member (NUM)."""
+    s = m.group(0)
+    parts = _C_PART.split(s)
+    joins = _C_PART.findall(s)
+    all_dots = True
+    best = parts[0]
+    cur = parts[0]
+    num_ok = True
+    for i, j in enumerate(joins):
+        all_dots = all_dots and j == "."
+        num_ok = num_ok and bool(_HAS_DIGIT.search(parts[i])
+                                 or _HAS_DIGIT.search(parts[i + 1]))
+        cur = cur + j + parts[i + 1]
+        if all_dots or num_ok:
+            best = cur
+    return best
+
+
+def classic_scan(text: str, max_token_length: int = 255) -> list[str]:
+    out: list[str] = []
+    pos, n = 0, len(text)
+    while pos < n:
+        m0 = _C_START.search(text, pos)
+        if m0 is None:
+            break
+        pos = m0.start()
+        if _C_CJ.match(text, pos):
+            out.append(text[pos])
+            pos += 1
+            continue
+        cands: list[str] = []
+        for pat in (_C_EMAIL, _C_APOS, _C_ACRO, _C_COMP):
+            m = pat.match(text, pos)
+            if m:
+                cands.append(m.group(0))
+        mj = _C_JOIN.match(text, pos)
+        if mj:
+            cands.append(_classic_join_prefix(mj))
+        ma = _C_ALNUM.match(text, pos)
+        if ma:
+            cands.append(ma.group(0))
+        tok = max(cands, key=len)       # maximal munch, ties to rule order
+        if len(tok) <= max_token_length:
+            out.append(tok)
+        pos += len(tok)
+    return out
+
+
+def classic_token_filter(w: str) -> str:
+    """ClassicFilter (`analysis/classic/ClassicFilter.java`): strip the
+    trailing 's from APOSTROPHE-shaped tokens and the dots from
+    ACRONYM-shaped ones (the type tests re-derived from the surface shape,
+    which uniquely determines them under the classic grammar)."""
+    if _C_ACRO.fullmatch(w):
+        return w.replace(".", "")
+    if _C_APOS.fullmatch(w) and w[-2:] in ("'s", "'S"):
+        return w[:-2]
+    return w
+
+
 def tokenize_text(text: str, tokenizer: str) -> list[str]:
     """Per-string alternate tokenizer (query-side / slow-path twin of
     tokenize_column_alt)."""
@@ -236,6 +320,8 @@ def tokenize_text(text: str, tokenizer: str) -> list[str]:
         return [text] if text else []
     if tokenizer == "uax29_url_email":
         return _uax29_url_email_tokens(text)
+    if tokenizer == "classic":
+        return classic_scan(text)
     if tokenizer.startswith("path_hierarchy"):
         delim = tokenizer[len("path_hierarchy:"):] \
             if ":" in tokenizer else "/"

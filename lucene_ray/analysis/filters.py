@@ -1746,6 +1746,9 @@ def icu_folding(word: str) -> str:
 FILTERS = {
     "ascii_fold": ascii_fold,
     "icu_folding": icu_folding,
+    "classic_filter": lambda w: __import__(
+        "lucene_ray.analysis.chars", fromlist=["classic_token_filter"]
+    ).classic_token_filter(w),
     "scandinavian_normalize": scandinavian_normalize,
     "serbian_normalize": serbian_normalize,
     "porter": porter_stem,
