@@ -2822,6 +2822,11 @@ ANALYZER_PRESETS = {
     # lowercase (the engine tokenizer already lowercases), bigrams, then
     # the English-function-word stop set
     "cjk": ("cjk_width", "cjk_bigram", "stop:english"),
+    # ClassicAnalyzer (`analysis/classic/ClassicAnalyzer.java`): classic
+    # grammar tokenizer, ClassicFilter ('s + acronym dots), lowercase
+    # (tokenizer spec lowercases downstream), English stops
+    "classic": ("tokenizer:classic", "classic_filter", "lowercase",
+                "stop:english"),
     "english": ("english_possessive", "stop:english", "porter"),
     "german": ("german_normalize", "german_light"),
     "french": ("elision:french", "french_light"),

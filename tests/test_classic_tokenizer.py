@@ -67,3 +67,29 @@ def test_classic_filter_is_chain_stage():
         flat, np.array([3], dtype=np.int64), ("classic_filter",))
     assert out.to_pylist() == ["USA", "Jim", "plain"]
     assert pos is None
+
+
+def test_classic_analyzer_preset_end_to_end(ray_session, tmp_path):
+    """ClassicAnalyzer preset through a real index build: acronyms fold to
+    dot-free terms, possessives strip, hosts stay whole, stops vanish."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.analysis.filters import analyzer_preset
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    t = pa.table({
+        "conv_id": pa.array([f"conv-{i:08d}" for i in range(6)]),
+        "turn_idx": pa.array([0] * 6, type=pa.int32()),
+        "text": pa.array(["The U.S.A. called Jim's host www.nutch.org."] * 6),
+    })
+    d = str(tmp_path / "cidx")
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=3,
+                input_desc="classic", token_filters=analyzer_preset("classic"))
+    s = IndexSearcher(d)
+    assert s.count(TermQuery("usa")) == 6
+    assert s.count(TermQuery("jim")) == 6
+    assert s.count(TermQuery("www.nutch.org")) == 6
+    assert s.count(TermQuery("the")) == 0          # stopword
