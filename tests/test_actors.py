@@ -160,3 +160,29 @@ def test_actor_parity_new_query_types(ray_session, tmp_path):
         assert np.allclose([h.score for h in a.hits],
                            [h.score for h in b.hits])
         assert a.total_hits == b.total_hits
+
+
+def test_actor_parity_session5_query_types(ray_session, tmp_path_factory):
+    """Actor-pool vs local for the session-5 families: CombinedFieldQuery
+    (BM25F) and FuzzyLikeThisQuery ship compiled scorers; join_search runs
+    driver-side over the same shards either way."""
+    import numpy as np
+
+    from lucene_ray.pipelines.flagship import build_transcript_index
+    from lucene_ray.search.actors import QueryService
+    from lucene_ray.search.query import CombinedFieldQuery, FuzzyLikeThisQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    d = build_transcript_index("/root/testdata/sf0.001")
+    svc = QueryService(d, num_actors=2)
+    s = IndexSearcher(d)
+    for q in (CombinedFieldQuery(("user", "merge"),
+                                 (("text", 1.0), ("role", 2.0))),
+              FuzzyLikeThisQuery((("vectr merge", 1, 1),), max_num_terms=8)):
+        a = svc.search(q, k=12)
+        b = s.search(q, k=12)
+        assert [h.gid for h in a.hits] == [h.gid for h in b.hits], type(q)
+        assert np.allclose([h.score for h in a.hits],
+                           [h.score for h in b.hits])
+        assert a.total_hits == b.total_hits
+    svc.shutdown()
