@@ -495,8 +495,10 @@ def test_english_possessive_and_presets():
     assert english_possessive("its") == "its"
     assert english_possessive("'s") == ""        # reference strips to empty
     assert english_possessive("s") == "s"
-    # every preset spec resolves (1:1 or a known graph stage)
-    graph_ok = {"stop:english", "cjk_bigram"}
+    # every preset spec resolves (1:1, a known graph stage, or a
+    # tokenizer selection handled by split_text_stages)
+    graph_ok = {"stop:english", "cjk_bigram", "tokenizer:classic",
+                "lowercase"}
     for lang, chain in ANALYZER_PRESETS.items():
         for spec in chain:
             assert is_one2one(spec) or spec in graph_ok \
