@@ -1030,6 +1030,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT surface, weight FROM keyed
             WHERE starts_with(key, 'merge')
             ORDER BY weight DESC, key ASC LIMIT 10""",
+        # BlendedInfixSuggester: infix candidates (first token-prefix match
+        # position), top num*num_factor=100 by (weight desc, pos asc, key
+        # asc — the store's stable scan order), weight adjustments (0→1,
+        # |w|<10 ×10), position_linear coefficient, trunc, re-rank
+        "suggest_blended": """
+            WITH keyed AS (
+              SELECT text AS surface, n_chars::BIGINT AS w,
+                     list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                    x -> lower(x)) AS toks,
+                     array_to_string(list_transform(
+                         regexp_extract_all(text, '[A-Za-z0-9]+'),
+                         x -> lower(x)), chr(31)) AS key
+              FROM documents),
+            m AS (
+              SELECT surface, w, key,
+                     list_aggregate(list_filter(list_apply(toks,
+                         (x, i) -> CASE WHEN starts_with(x, 'merge')
+                                   THEN i - 1 ELSE NULL END),
+                         x -> x IS NOT NULL), 'min') AS pos
+              FROM keyed
+              WHERE len(list_filter(toks, x -> starts_with(x, 'merge'))) > 0),
+            cut AS (
+              SELECT *, row_number() OVER (ORDER BY w DESC, pos ASC,
+                                           key ASC) AS rn
+              FROM m),
+            blended AS (
+              SELECT surface,
+                     trunc((CASE WHEN w = 0 THEN 1
+                                 WHEN w > -10 AND w < 10 THEN w * 10
+                                 ELSE w END) * (1.0 - 0.10 * pos))::BIGINT
+                         AS score
+              FROM cut WHERE rn <= 100)
+            SELECT surface, score FROM blended
+            ORDER BY score DESC, surface ASC LIMIT 10""",
+        # FuzzySuggester: some prefix of the analyzed key within 1 DAMERAU
+        # edit of 'mergw' (prefix lengths m-1..m+1 are the only candidates
+        # at maxEdits=1), first char fixed (nonFuzzyPrefix=1), exact key
+        # first then weight desc / key asc — the engine's queue order
+        "suggest_fuzzy": """
+            WITH keyed AS (
+              SELECT text AS surface, n_chars::BIGINT AS weight,
+                     array_to_string(list_transform(
+                         regexp_extract_all(text, '[A-Za-z0-9]+'),
+                         x -> lower(x)), chr(31)) AS key
+              FROM documents),
+            dedup AS (SELECT key, surface, max(weight) AS weight
+                      FROM keyed GROUP BY key, surface),
+            cand AS (
+              SELECT * FROM dedup
+              WHERE starts_with(key, 'm') AND (
+                    damerau_levenshtein(substr(key, 1, 4), 'mergw') <= 1
+                 OR damerau_levenshtein(substr(key, 1, 5), 'mergw') <= 1
+                 OR damerau_levenshtein(substr(key, 1, 6), 'mergw') <= 1))
+            SELECT surface, weight FROM cand
+            ORDER BY (key = 'mergw') DESC, weight DESC, key ASC LIMIT 10""",
         "suggest_contexts": """
             WITH keyed AS (
               SELECT text AS surface, n_chars::BIGINT AS weight, lang,
