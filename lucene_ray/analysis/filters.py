@@ -2539,6 +2539,30 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                     pos = (np.arange(len(doc), dtype=pos.dtype)
                            - np.repeat(starts, np.diff(
                                np.concatenate((starts, [len(doc)])))))
+        elif spec == "double_metaphone" or spec.startswith("double_metaphone:"):
+            # DoubleMetaphoneFilter (`analysis/phonetic/.../
+            # DoubleMetaphoneFilter.java`, inject=false): the primary code
+            # replaces the token; a DIFFERING alternate code overlays at
+            # posInc 0; tokens with no encodable letters pass through
+            from .phonetic import double_metaphone
+
+            dm_len = int(spec.split(":")[1]) if ":" in spec else 4
+            uniq_dm, inv_dm = np.unique(toks.astype(str),
+                                        return_inverse=True)
+            pairs = [double_metaphone(w, dm_len) for w in uniq_dm]
+            prim_u = np.array([p if p else w
+                               for (p, _a), w in zip(pairs, uniq_dm)],
+                              dtype=object)
+            alt_u = np.array([a if (p and a != p) else ""
+                              for p, a in pairs], dtype=object)
+            toks = prim_u[inv_dm]
+            alts = alt_u[inv_dm]
+            add = np.nonzero(alts != "")[0]
+            if len(add):
+                toks = np.concatenate((toks, alts[add]))
+                doc = np.concatenate((doc, doc[add]))
+                pos = np.concatenate((pos, pos[add]))
+                incr = np.concatenate((incr, np.zeros(len(add), bool)))
         elif spec == "ascii_fold:preserve":
             # ASCIIFoldingFilter(preserveOriginal=true)
             # (`analysis/miscellaneous/ASCIIFoldingFilter.java:74-100`): the

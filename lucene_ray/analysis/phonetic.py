@@ -382,3 +382,485 @@ def caverphone2(word: str) -> str:
         w = w[:-1] + "A"
     w = w.replace("3", "")
     return (w + "1" * 10)[:10]
+
+
+# ---------------------------------------------------------------------------
+# Double Metaphone (Lawrence Philips, C/C++ Users Journal 2000) — the
+# encoder behind `analysis/phonetic/.../DoubleMetaphoneFilter.java` (which
+# wraps commons-codec's DoubleMetaphone).  Re-implemented from the published
+# algorithm; returns (primary, alternate) codes truncated to max_code_len.
+# ---------------------------------------------------------------------------
+
+_DM_VOWELS = "AEIOUY"
+_DM_SILENT_START = ("GN", "KN", "PN", "WR", "PS")
+_DM_L_R_N_M_B_H_F_V_W_SPACE = ("L", "R", "N", "M", "B", "H", "F", "V", "W",
+                               " ")
+
+
+def _dm_contains(v: str, start: int, length: int, *criteria) -> bool:
+    if start < 0 or start + length > len(v):
+        return False
+    return v[start:start + length] in criteria
+
+
+class _DMResult:
+    __slots__ = ("primary", "alternate", "maxlen")
+
+    def __init__(self, maxlen: int):
+        self.primary = []
+        self.alternate = []
+        self.maxlen = maxlen
+
+    def append(self, p: str, a: str | None = None):
+        self.append_primary(p)
+        self.append_alternate(p if a is None else a)
+
+    def append_primary(self, p: str):
+        for ch in p:
+            if len(self.primary) < self.maxlen:
+                self.primary.append(ch)
+
+    def append_alternate(self, a: str):
+        for ch in a:
+            if len(self.alternate) < self.maxlen:
+                self.alternate.append(ch)
+
+    def complete(self) -> bool:
+        return (len(self.primary) >= self.maxlen
+                and len(self.alternate) >= self.maxlen)
+
+
+def double_metaphone(word: str, max_code_len: int = 4) -> tuple[str, str]:
+    """(primary, alternate) Double Metaphone codes; ('', '') for input with
+    no encodable letters (the filter passes such tokens through)."""
+    value = " ".join(word.strip().upper().split())
+    if not value:
+        return "", ""
+    slavo = any(s in value for s in ("W", "K", "CZ", "WITZ"))
+    r = _DMResult(max_code_len)
+    n = len(value)
+
+    def char_at(i: int) -> str:
+        return value[i] if 0 <= i < n else "\0"
+
+    def is_vowel(i: int) -> bool:
+        return char_at(i) in _DM_VOWELS
+
+    index = 1 if value[:2] in _DM_SILENT_START else 0
+    if value[0] == "X":
+        r.append("S")
+        index = 1
+
+    while index < n and not r.complete():
+        ch = value[index]
+        if ch in _DM_VOWELS:
+            if index == 0:
+                r.append("A")
+            index += 1
+        elif ch == "B":
+            r.append("P")
+            index += 2 if char_at(index + 1) == "B" else 1
+        elif ch == "Ç":
+            r.append("S")
+            index += 1
+        elif ch == "C":
+            index = _dm_c(value, r, index, char_at, is_vowel)
+        elif ch == "D":
+            if _dm_contains(value, index, 2, "DG"):
+                if _dm_contains(value, index + 2, 1, "I", "E", "Y"):
+                    r.append("J")
+                    index += 3
+                else:
+                    r.append("TK")
+                    index += 2
+            elif _dm_contains(value, index, 2, "DT", "DD"):
+                r.append("T")
+                index += 2
+            else:
+                r.append("T")
+                index += 1
+        elif ch == "F":
+            r.append("F")
+            index += 2 if char_at(index + 1) == "F" else 1
+        elif ch == "G":
+            index = _dm_g(value, r, index, char_at, is_vowel, slavo)
+        elif ch == "H":
+            if (index == 0 or is_vowel(index - 1)) and is_vowel(index + 1):
+                r.append("H")
+                index += 2
+            else:
+                index += 1
+        elif ch == "J":
+            index = _dm_j(value, r, index, char_at, is_vowel, slavo, n)
+        elif ch == "K":
+            r.append("K")
+            index += 2 if char_at(index + 1) == "K" else 1
+        elif ch == "L":
+            if char_at(index + 1) == "L":
+                if _dm_cond_l0(value, index, n):
+                    r.append_primary("L")
+                else:
+                    r.append("L")
+                index += 2
+            else:
+                r.append("L")
+                index += 1
+        elif ch == "M":
+            r.append("M")
+            cond_m0 = (char_at(index + 1) == "M"
+                       or (_dm_contains(value, index - 1, 3, "UMB")
+                           and (index + 1 == n - 1
+                                or _dm_contains(value, index + 2, 2, "ER"))))
+            index += 2 if cond_m0 else 1
+        elif ch == "N":
+            r.append("N")
+            index += 2 if char_at(index + 1) == "N" else 1
+        elif ch == "Ñ":
+            r.append("N")
+            index += 1
+        elif ch == "P":
+            if char_at(index + 1) == "H":
+                r.append("F")
+                index += 2
+            else:
+                r.append("P")
+                index += 2 if char_at(index + 1) in ("P", "B") else 1
+        elif ch == "Q":
+            r.append("K")
+            index += 2 if char_at(index + 1) == "Q" else 1
+        elif ch == "R":
+            if (index == n - 1 and not slavo
+                    and _dm_contains(value, index - 2, 2, "IE")
+                    and not _dm_contains(value, index - 4, 2, "ME", "MA")):
+                r.append_alternate("R")
+            else:
+                r.append("R")
+            index += 2 if char_at(index + 1) == "R" else 1
+        elif ch == "S":
+            index = _dm_s(value, r, index, char_at, is_vowel, slavo, n)
+        elif ch == "T":
+            index = _dm_t(value, r, index, char_at)
+        elif ch == "V":
+            r.append("F")
+            index += 2 if char_at(index + 1) == "V" else 1
+        elif ch == "W":
+            index = _dm_w(value, r, index, char_at, is_vowel, n)
+        elif ch == "X":
+            if not (index == n - 1
+                    and (_dm_contains(value, index - 3, 3, "IAU", "EAU")
+                         or _dm_contains(value, index - 2, 2, "AU", "OU"))):
+                r.append("KS")
+            index += 2 if char_at(index + 1) in ("C", "X") else 1
+        elif ch == "Z":
+            if char_at(index + 1) == "H":
+                r.append("J")
+                index += 2
+            else:
+                if (_dm_contains(value, index + 1, 2, "ZO", "ZI", "ZA")
+                        or (slavo and index > 0
+                            and char_at(index - 1) != "T")):
+                    r.append("S", "TS")
+                else:
+                    r.append("S")
+                index += 2 if char_at(index + 1) == "Z" else 1
+        else:
+            index += 1
+    return "".join(r.primary), "".join(r.alternate)
+
+
+def _dm_cond_l0(v: str, index: int, n: int) -> bool:
+    if index == n - 3 and _dm_contains(v, index - 1, 4, "ILLO", "ILLA",
+                                       "ALLE"):
+        return True
+    return ((_dm_contains(v, n - 2, 2, "AS", "OS")
+             or _dm_contains(v, n - 1, 1, "A", "O"))
+            and _dm_contains(v, index - 1, 4, "ALLE"))
+
+
+def _dm_cond_c0(v: str, index: int, is_vowel) -> bool:
+    if _dm_contains(v, index, 4, "CHIA"):
+        return True
+    if index <= 1:
+        return False
+    if is_vowel(index - 2):
+        return False
+    if not _dm_contains(v, index - 1, 3, "ACH"):
+        return False
+    c = v[index + 2] if index + 2 < len(v) else "\0"
+    return (c != "I" and c != "E") \
+        or _dm_contains(v, index - 2, 6, "BACHER", "MACHER")
+
+
+def _dm_ch(v: str, r: _DMResult, index: int, n: int) -> int:
+    if index > 0 and _dm_contains(v, index, 4, "CHAE"):
+        r.append("K", "X")
+        return index + 2
+    # Greek roots at word start
+    if (index == 0
+            and (_dm_contains(v, index + 1, 5, "HARAC", "HARIS")
+                 or _dm_contains(v, index + 1, 3, "HOR", "HYM", "HIA",
+                                 "HEM"))
+            and not _dm_contains(v, 0, 5, "CHORE")):
+        r.append("K")
+        return index + 2
+    # Germanic / conditions favoring 'K'
+    if ((_dm_contains(v, 0, 4, "VAN ", "VON ")
+         or _dm_contains(v, 0, 3, "SCH"))
+            or _dm_contains(v, index - 2, 6, "ORCHES", "ARCHIT", "ORCHID")
+            or _dm_contains(v, index + 2, 1, "T", "S")
+            or ((_dm_contains(v, index - 1, 1, "A", "O", "U", "E")
+                 or index == 0)
+                and (_dm_contains(v, index + 2, 1,
+                                  *_DM_L_R_N_M_B_H_F_V_W_SPACE)
+                     or index + 1 == n - 1))):
+        r.append("K")
+    elif index > 0:
+        if _dm_contains(v, 0, 2, "MC"):
+            r.append("K")
+        else:
+            r.append("X", "K")
+    else:
+        r.append("X")
+    return index + 2
+
+
+def _dm_cc(v: str, r: _DMResult, index: int) -> int:
+    if _dm_contains(v, index + 2, 1, "I", "E", "H") \
+            and not _dm_contains(v, index + 2, 2, "HU"):
+        if (index == 1 and v[index - 1] == "A") \
+                or _dm_contains(v, index - 1, 5, "UCCEE", "UCCES"):
+            r.append("KS")
+        else:
+            r.append("X")
+        return index + 3
+    r.append("K")
+    return index + 2
+
+
+def _dm_c(v: str, r: _DMResult, index: int, char_at, is_vowel) -> int:
+    n = len(v)
+    if _dm_cond_c0(v, index, is_vowel):
+        r.append("K")
+        return index + 2
+    if index == 0 and _dm_contains(v, index, 6, "CAESAR"):
+        r.append("S")
+        return index + 2
+    if _dm_contains(v, index, 2, "CH"):
+        return _dm_ch(v, r, index, n)
+    if _dm_contains(v, index, 2, "CZ") \
+            and not _dm_contains(v, index - 2, 4, "WICZ"):
+        r.append("S", "X")
+        return index + 2
+    if _dm_contains(v, index + 1, 3, "CIA"):
+        r.append("X")
+        return index + 3
+    if _dm_contains(v, index, 2, "CC") \
+            and not (index == 1 and v[0] == "M"):
+        return _dm_cc(v, r, index)
+    if _dm_contains(v, index, 2, "CK", "CG", "CQ"):
+        r.append("K")
+        return index + 2
+    if _dm_contains(v, index, 2, "CI", "CE", "CY"):
+        if _dm_contains(v, index, 3, "CIO", "CIE", "CIA"):
+            r.append("S", "X")
+        else:
+            r.append("S")
+        return index + 2
+    r.append("K")
+    if _dm_contains(v, index + 1, 2, " C", " Q", " G"):
+        return index + 3
+    if _dm_contains(v, index + 1, 1, "C", "K", "Q") \
+            and not _dm_contains(v, index + 1, 2, "CE", "CI"):
+        return index + 2
+    return index + 1
+
+
+def _dm_gh(v: str, r: _DMResult, index: int, char_at, is_vowel) -> int:
+    if index > 0 and not is_vowel(index - 1):
+        r.append("K")
+        return index + 2
+    if index == 0:
+        if char_at(index + 2) == "I":
+            r.append("J")
+        else:
+            r.append("K")
+        return index + 2
+    if ((index > 1 and _dm_contains(v, index - 2, 1, "B", "H", "D"))
+            or (index > 2 and _dm_contains(v, index - 3, 1, "B", "H", "D"))
+            or (index > 3 and _dm_contains(v, index - 4, 1, "B", "H"))):
+        return index + 2
+    if index > 2 and char_at(index - 1) == "U" \
+            and _dm_contains(v, index - 3, 1, "C", "G", "L", "R", "T"):
+        r.append("F")
+    elif index > 0 and char_at(index - 1) != "I":
+        r.append("K")
+    return index + 2
+
+
+def _dm_g(v: str, r: _DMResult, index: int, char_at, is_vowel,
+          slavo: bool) -> int:
+    if char_at(index + 1) == "H":
+        return _dm_gh(v, r, index, char_at, is_vowel)
+    if char_at(index + 1) == "N":
+        if index == 1 and is_vowel(0) and not slavo:
+            r.append("KN", "N")
+        elif not _dm_contains(v, index + 2, 2, "EY") \
+                and char_at(index + 1) != "Y" and not slavo:
+            r.append("N", "KN")
+        else:
+            r.append("KN")
+        return index + 2
+    if _dm_contains(v, index + 1, 2, "LI") and not slavo:
+        r.append("KL", "L")
+        return index + 2
+    if index == 0 and (char_at(index + 1) == "Y"
+                       or _dm_contains(v, index + 1, 2, "ES", "EP", "EB",
+                                       "EL", "EY", "IB", "IL", "IN", "IE",
+                                       "EI", "ER")):
+        r.append("K", "J")
+        return index + 2
+    if ((_dm_contains(v, index + 1, 2, "ER") or char_at(index + 1) == "Y")
+            and not _dm_contains(v, 0, 6, "DANGER", "RANGER", "MANGER")
+            and not _dm_contains(v, index - 1, 1, "E", "I")
+            and not _dm_contains(v, index - 1, 3, "RGY", "OGY")):
+        r.append("K", "J")
+        return index + 2
+    if _dm_contains(v, index + 1, 1, "E", "I", "Y") \
+            or _dm_contains(v, index - 1, 4, "AGGI", "OGGI"):
+        if _dm_contains(v, 0, 4, "VAN ", "VON ") \
+                or _dm_contains(v, 0, 3, "SCH") \
+                or _dm_contains(v, index + 1, 2, "ET"):
+            r.append("K")
+        elif _dm_contains(v, index + 1, 3, "IER"):
+            r.append("J")
+        else:
+            r.append("J", "K")
+        return index + 2
+    if char_at(index + 1) == "G":
+        r.append("K")
+        return index + 2
+    r.append("K")
+    return index + 1
+
+
+def _dm_j(v: str, r: _DMResult, index: int, char_at, is_vowel,
+          slavo: bool, n: int) -> int:
+    if _dm_contains(v, index, 4, "JOSE") or _dm_contains(v, 0, 4, "SAN "):
+        if (index == 0 and char_at(index + 4) == " ") or n == 4 \
+                or _dm_contains(v, 0, 4, "SAN "):
+            r.append("H")
+        else:
+            r.append("J", "H")
+        return index + 1
+    if index == 0:
+        r.append("J", "A")
+    elif is_vowel(index - 1) and not slavo \
+            and (char_at(index + 1) == "A" or char_at(index + 1) == "O"):
+        r.append("J", "H")
+    elif index == n - 1:
+        r.append_primary("J")
+    elif not _dm_contains(v, index + 1, 1, "L", "T", "K", "S", "N", "M",
+                          "B", "Z") \
+            and not _dm_contains(v, index - 1, 1, "S", "K", "L"):
+        r.append("J")
+    return index + 2 if char_at(index + 1) == "J" else index + 1
+
+
+def _dm_sc(v: str, r: _DMResult, index: int, char_at, is_vowel) -> int:
+    if char_at(index + 2) == "H":
+        if _dm_contains(v, index + 3, 2, "OO", "ER", "EN", "UY", "ED",
+                        "EM"):
+            if _dm_contains(v, index + 3, 2, "ER", "EN"):
+                r.append("X", "SK")
+            else:
+                r.append("SK")
+        else:
+            if index == 0 and not is_vowel(3) and char_at(3) != "W":
+                r.append("X", "S")
+            else:
+                r.append("X")
+        return index + 3
+    if _dm_contains(v, index + 2, 1, "I", "E", "Y"):
+        r.append("S")
+        return index + 3
+    r.append("SK")
+    return index + 3
+
+
+def _dm_s(v: str, r: _DMResult, index: int, char_at, is_vowel,
+          slavo: bool, n: int) -> int:
+    if _dm_contains(v, index - 1, 3, "ISL", "YSL"):
+        return index + 1
+    if index == 0 and _dm_contains(v, index, 5, "SUGAR"):
+        r.append("X", "S")
+        return index + 1
+    if _dm_contains(v, index, 2, "SH"):
+        if _dm_contains(v, index + 1, 4, "HEIM", "HOEK", "HOLM", "HOLZ"):
+            r.append("S")
+        else:
+            r.append("X")
+        return index + 2
+    if _dm_contains(v, index, 3, "SIO", "SIA") \
+            or _dm_contains(v, index, 4, "SIAN"):
+        if slavo:
+            r.append("S")
+        else:
+            r.append("S", "X")
+        return index + 3
+    if (index == 0 and _dm_contains(v, index + 1, 1, "M", "N", "L", "W")) \
+            or _dm_contains(v, index + 1, 1, "Z"):
+        r.append("S", "X")
+        return index + 2 if _dm_contains(v, index + 1, 1, "Z") \
+            else index + 1
+    if _dm_contains(v, index, 2, "SC"):
+        return _dm_sc(v, r, index, char_at, is_vowel)
+    if index == n - 1 and _dm_contains(v, index - 2, 2, "AI", "OI"):
+        r.append_alternate("S")
+    else:
+        r.append("S")
+    return index + 2 if _dm_contains(v, index + 1, 1, "S", "Z") \
+        else index + 1
+
+
+def _dm_t(v: str, r: _DMResult, index: int, char_at) -> int:
+    if _dm_contains(v, index, 4, "TION"):
+        r.append("X")
+        return index + 3
+    if _dm_contains(v, index, 3, "TIA", "TCH"):
+        r.append("X")
+        return index + 3
+    if _dm_contains(v, index, 2, "TH") or _dm_contains(v, index, 3, "TTH"):
+        if _dm_contains(v, index + 2, 2, "OM", "AM") \
+                or _dm_contains(v, 0, 4, "VAN ", "VON ") \
+                or _dm_contains(v, 0, 3, "SCH"):
+            r.append("T")
+        else:
+            r.append("0", "T")
+        return index + 2
+    r.append("T")
+    return index + 2 if _dm_contains(v, index + 1, 1, "T", "D") \
+        else index + 1
+
+
+def _dm_w(v: str, r: _DMResult, index: int, char_at, is_vowel,
+          n: int) -> int:
+    if _dm_contains(v, index, 2, "WR"):
+        r.append("R")
+        return index + 2
+    if index == 0 and (is_vowel(index + 1)
+                       or _dm_contains(v, index, 2, "WH")):
+        if is_vowel(index + 1):
+            r.append("A", "F")
+        else:
+            r.append("A")
+        return index + 1
+    if (index == n - 1 and is_vowel(index - 1)) \
+            or _dm_contains(v, index - 1, 5, "EWSKI", "EWSKY", "OWSKI",
+                            "OWSKY") \
+            or _dm_contains(v, 0, 3, "SCH"):
+        r.append_alternate("F")
+        return index + 1
+    if _dm_contains(v, index, 4, "WICZ", "WITZ"):
+        r.append("TS", "FX")
+        return index + 4
+    return index + 1

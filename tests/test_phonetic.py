@@ -110,3 +110,36 @@ def test_filter_registry_and_index(ray_session, tmp_path):
     n_merge = s.count(TermQuery("merge"))
     assert n_merge > 0
     assert s.count(TermQuery("mirge")) == n_merge     # M620 == M620
+
+
+def test_double_metaphone_reference_vectors():
+    """Lucene TestDoubleMetaphoneFilter vectors + classic published pairs."""
+    from lucene_ray.analysis.phonetic import double_metaphone as dm
+
+    assert dm("international") == ("ANTR", "ANTR")
+    assert dm("international", 8) == ("ANTRNXNL", "ANTRNXNL")
+    assert dm("Kuczewski") == ("KSSK", "KXFS")
+    assert dm("hello") == ("HL", "HL")
+    assert dm("12345") == ("", "")
+    assert dm("smith") == ("SM0", "XMT")
+    assert dm("schmidt") == ("XMT", "SMT")
+    assert dm("jose") == ("HS", "HS")
+    assert dm("catherine") == ("K0RN", "KTRN")
+    assert dm("gough") == ("KF", "KF")
+    assert dm("knight") == ("NT", "NT")
+
+
+def test_double_metaphone_chain_stage():
+    """Primary replaces; differing alternate overlays posInc-0; unencodable
+    tokens pass through (DoubleMetaphoneFilter inject=false)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.analysis.filters import run_token_chain
+
+    flat = pa.array(["smith", "hello", "12345"])
+    out, lens, pos, norms = run_token_chain(
+        flat, np.array([3], dtype=np.int64), ("double_metaphone",))
+    assert out.to_pylist() == ["SM0", "XMT", "HL", "12345"]
+    assert np.asarray(pos).tolist() == [0, 0, 1, 2]
+    assert norms.tolist() == [3]
