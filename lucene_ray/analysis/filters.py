@@ -2563,6 +2563,34 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                 doc = np.concatenate((doc, doc[add]))
                 pos = np.concatenate((pos, pos[add]))
                 incr = np.concatenate((incr, np.zeros(len(add), bool)))
+        elif spec == "dm_soundex":
+            # DaitchMokotoffSoundexFilter (`analysis/phonetic/.../
+            # DaitchMokotoffSoundexFilter.java`, inject=false): the first
+            # branch code replaces the token, remaining branch codes overlay
+            # at posInc 0 in branch order; unencodable tokens pass through
+            from .phonetic import daitch_mokotoff
+
+            uniq_dk, inv_dk = np.unique(toks.astype(str),
+                                        return_inverse=True)
+            code_lists = [daitch_mokotoff(w) or [w] for w in uniq_dk]
+            first_u = np.array([c[0] for c in code_lists], dtype=object)
+            rest_counts = np.array([len(c) - 1 for c in code_lists],
+                                   dtype=np.int64)
+            toks = first_u[inv_dk]
+            per = rest_counts[inv_dk]
+            total_dk = int(per.sum())
+            if total_dk:
+                rest_flat = np.array([c for cl in code_lists
+                                      for c in cl[1:]], dtype=object)
+                offs = np.concatenate(([0], np.cumsum(rest_counts)))
+                within = np.arange(total_dk) - np.repeat(
+                    np.cumsum(per) - per, per)
+                val_idx = np.repeat(offs[inv_dk], per) + within
+                src = np.repeat(np.arange(len(per)), per)
+                toks = np.concatenate((toks, rest_flat[val_idx]))
+                doc = np.concatenate((doc, doc[src]))
+                pos = np.concatenate((pos, pos[src]))
+                incr = np.concatenate((incr, np.zeros(total_dk, bool)))
         elif spec == "ascii_fold:preserve":
             # ASCIIFoldingFilter(preserveOriginal=true)
             # (`analysis/miscellaneous/ASCIIFoldingFilter.java:74-100`): the

@@ -864,3 +864,142 @@ def _dm_w(v: str, r: _DMResult, index: int, char_at, is_vowel,
         r.append("TS", "FX")
         return index + 4
     return index + 1
+
+
+# ---------------------------------------------------------------------------
+# Daitch-Mokotoff Soundex — `analysis/phonetic/.../DaitchMokotoffSoundexFilter
+# .java` (which wraps commons-codec's DaitchMokotoffSoundex; the coding
+# table below is the published genealogical standard the codec's dmrules.txt
+# transcribes).  Ambiguous patterns (C, CH, CK, J, RZ/RS, Polish nasals)
+# BRANCH: encode() returns every distinct 6-digit code, sorted — the filter
+# emits the first and overlays the rest at posInc 0.
+# ---------------------------------------------------------------------------
+
+# pattern -> (code at word start, code before a vowel, code otherwise);
+# a list means alternative branches; None = not coded
+_DM_NC = None
+_DM_RULES: dict[str, object] = {
+    "AI": ("0", "1", _DM_NC), "AJ": ("0", "1", _DM_NC),
+    "AY": ("0", "1", _DM_NC), "AU": ("0", "7", _DM_NC),
+    "A": ("0", _DM_NC, _DM_NC),
+    "B": ("7", "7", "7"),
+    "CHS": ("5", "54", "54"),
+    "CH": [("5", "5", "5"), ("4", "4", "4")],
+    "CK": [("5", "5", "5"), ("45", "45", "45")],
+    "CZ": ("4", "4", "4"), "CS": ("4", "4", "4"),
+    "CSZ": ("4", "4", "4"), "CZS": ("4", "4", "4"),
+    "C": [("4", "4", "4"), ("5", "5", "5")],
+    "DRZ": ("4", "4", "4"), "DRS": ("4", "4", "4"),
+    "DS": ("4", "4", "4"), "DSH": ("4", "4", "4"), "DSZ": ("4", "4", "4"),
+    "DZ": ("4", "4", "4"), "DZH": ("4", "4", "4"), "DZS": ("4", "4", "4"),
+    "D": ("3", "3", "3"), "DT": ("3", "3", "3"),
+    "EI": ("0", "1", _DM_NC), "EJ": ("0", "1", _DM_NC),
+    "EY": ("0", "1", _DM_NC), "EU": ("1", "1", _DM_NC),
+    "E": ("0", _DM_NC, _DM_NC),
+    "FB": ("7", "7", "7"), "F": ("7", "7", "7"),
+    "G": ("5", "5", "5"),
+    "H": ("5", "5", _DM_NC),
+    "IA": ("1", _DM_NC, _DM_NC), "IE": ("1", _DM_NC, _DM_NC),
+    "IO": ("1", _DM_NC, _DM_NC), "IU": ("1", _DM_NC, _DM_NC),
+    "I": ("0", _DM_NC, _DM_NC),
+    "J": [("1", _DM_NC, _DM_NC), ("4", "4", "4")],
+    "KS": ("5", "54", "54"), "KH": ("5", "5", "5"), "K": ("5", "5", "5"),
+    "L": ("8", "8", "8"),
+    "MN": ("66", "66", "66"), "M": ("6", "6", "6"),
+    "NM": ("66", "66", "66"), "N": ("6", "6", "6"),
+    "OI": ("0", "1", _DM_NC), "OJ": ("0", "1", _DM_NC),
+    "OY": ("0", "1", _DM_NC), "O": ("0", _DM_NC, _DM_NC),
+    "P": ("7", "7", "7"), "PF": ("7", "7", "7"), "PH": ("7", "7", "7"),
+    "Q": ("5", "5", "5"),
+    "RZ": [("94", "94", "94"), ("4", "4", "4")],
+    "RS": [("94", "94", "94"), ("4", "4", "4")],
+    "R": ("9", "9", "9"),
+    "SCHTSCH": ("2", "4", "4"), "SCHTSH": ("2", "4", "4"),
+    "SCHTCH": ("2", "4", "4"),
+    "SCHT": ("2", "43", "43"), "SCHD": ("2", "43", "43"),
+    "SCH": ("4", "4", "4"),
+    "SHTCH": ("2", "4", "4"), "SHCH": ("2", "4", "4"),
+    "SHTSH": ("2", "4", "4"),
+    "SHT": ("2", "43", "43"), "SHD": ("2", "43", "43"),
+    "SH": ("4", "4", "4"),
+    "STCH": ("2", "4", "4"), "STSCH": ("2", "4", "4"), "SC": ("2", "4", "4"),
+    "STRZ": ("2", "4", "4"), "STRS": ("2", "4", "4"), "STSH": ("2", "4", "4"),
+    "ST": ("2", "43", "43"),
+    "SZCZ": ("2", "4", "4"), "SZCS": ("2", "4", "4"),
+    "SZT": ("2", "43", "43"), "SZD": ("2", "43", "43"), "SD": ("2", "43", "43"),
+    "SZ": ("4", "4", "4"), "S": ("4", "4", "4"),
+    "TCH": ("4", "4", "4"), "TTCH": ("4", "4", "4"), "TTSCH": ("4", "4", "4"),
+    "TH": ("3", "3", "3"),
+    "TRZ": ("4", "4", "4"), "TRS": ("4", "4", "4"),
+    "TSCH": ("4", "4", "4"), "TSH": ("4", "4", "4"),
+    "TS": ("4", "4", "4"), "TTS": ("4", "4", "4"), "TTSZ": ("4", "4", "4"),
+    "TC": ("4", "4", "4"),
+    "TZ": ("4", "4", "4"), "TTZ": ("4", "4", "4"), "TZS": ("4", "4", "4"),
+    "TSZ": ("4", "4", "4"),
+    "T": ("3", "3", "3"),
+    "UI": ("0", "1", _DM_NC), "UJ": ("0", "1", _DM_NC),
+    "UY": ("0", "1", _DM_NC), "UE": ("0", "1", _DM_NC),
+    "U": ("0", _DM_NC, _DM_NC),
+    "V": ("7", "7", "7"), "W": ("7", "7", "7"),
+    "X": ("5", "54", "54"),
+    "Y": ("1", _DM_NC, _DM_NC),
+    "ZDZ": ("2", "4", "4"), "ZDZH": ("2", "4", "4"), "ZHDZH": ("2", "4", "4"),
+    "ZD": ("2", "43", "43"), "ZHD": ("2", "43", "43"),
+    "ZH": ("4", "4", "4"), "ZS": ("4", "4", "4"), "ZSCH": ("4", "4", "4"),
+    "ZSH": ("4", "4", "4"), "Z": ("4", "4", "4"),
+}
+_DM_MAXLEN = max(len(p) for p in _DM_RULES)
+_DM_VOWEL_SET = set("AEIOU")
+_DM_CODE_LEN = 6
+
+
+def daitch_mokotoff(word: str) -> list[str]:
+    """All 6-digit Daitch-Mokotoff codes for `word`, sorted ascending
+    (branching patterns multiply); [] when nothing is encodable."""
+    value = "".join(ch for ch in word.upper() if ch.isalpha())
+    if not value:
+        return []
+    n = len(value)
+    # branches: (code_so_far, last_pattern_code or None)
+    branches = [("", None)]
+    i = 0
+    while i < n:
+        rule = None
+        plen = 0
+        for L in range(min(_DM_MAXLEN, n - i), 0, -1):
+            rule = _DM_RULES.get(value[i:i + L])
+            if rule is not None:
+                plen = L
+                break
+        if rule is None:
+            i += 1
+            continue
+        if i == 0:
+            slot = 0
+        elif i + plen < n and value[i + plen] in _DM_VOWEL_SET:
+            slot = 1
+        else:
+            slot = 2
+        alts = rule if isinstance(rule, list) else [rule]
+        prev_is_vowel = i > 0 and value[i - 1] in _DM_VOWEL_SET
+        nxt = []
+        for code_sofar, last in branches:
+            for alt in alts:
+                code = alt[slot]
+                if code is None:
+                    nxt.append((code_sofar, None))
+                    continue
+                if code == last and not prev_is_vowel:
+                    nxt.append((code_sofar, last))    # fold duplicate
+                else:
+                    nxt.append(((code_sofar + code)[:_DM_CODE_LEN], code))
+        # dedup branch states (caps the 2^k blowup)
+        branches = list(dict.fromkeys(nxt))
+        if all(len(c) >= _DM_CODE_LEN for c, _l in branches):
+            break
+        i += plen
+    # emission order = branch-creation order (first fork first), matching
+    # the reference filter's stream order; dedup keeps first occurrence
+    codes = list(dict.fromkeys(
+        (c + "0" * _DM_CODE_LEN)[:_DM_CODE_LEN] for c, _l in branches))
+    return codes

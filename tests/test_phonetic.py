@@ -143,3 +143,36 @@ def test_double_metaphone_chain_stage():
     assert out.to_pylist() == ["SM0", "XMT", "HL", "12345"]
     assert np.asarray(pos).tolist() == [0, 0, 1, 2]
     assert norms.tolist() == [3]
+
+
+def test_daitch_mokotoff_reference_vectors():
+    """The reference TestDaitchMokotoffSoundexFilter vectors, including the
+    branch EMISSION ORDER for the ambiguous 'ccc'."""
+    from lucene_ray.analysis.phonetic import daitch_mokotoff as dms
+
+    assert dms("aaa") == ["000000"]
+    assert dms("bbb") == ["700000"]
+    assert dms("ccc") == ["400000", "450000", "454000",
+                          "540000", "545000", "500000"]
+    assert dms("easgasg") == ["045450"]
+    assert dms("12345") == []
+
+
+def test_dm_soundex_chain_stage():
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.analysis.filters import run_token_chain
+
+    flat = pa.array(["bbb", "ccc", "12345"])
+    out, lens, pos, norms = run_token_chain(
+        flat, np.array([3], dtype=np.int64), ("dm_soundex",))
+    got = out.to_pylist()
+    # position-sorted stream: bbb's code, then ccc's six codes, then the
+    # pass-through token
+    assert got[0] == "700000"
+    assert got[1:7] == ["400000", "450000", "454000",
+                        "540000", "545000", "500000"]
+    assert got[7] == "12345"
+    assert np.asarray(pos).tolist() == [0, 1, 1, 1, 1, 1, 1, 2]
+    assert norms.tolist() == [3]
