@@ -9,10 +9,13 @@ blocks — one group per contiguous parent block, here a conversation), and
 `GroupFacetCollector.java` / `TermGroupFacetCollector.java` (facet counts
 that count DISTINCT GROUPS rather than docs).
 
-All three ride the engine's existing hit stream (score desc, gid asc) and
-resolve group keys vectorized — doc-values column takes for ranges, the
-docmap conv key for blocks, keyword postings membership for facets.  The
-collector state is O(groups seen), never O(corpus).
+The grouped-top-k collectors run PER SHARD (the reference's per-segment
+collection): each shard contributes at most `docs_per_group` candidates per
+group it contains, so driver state is O(groups × docs_per_group) — the full
+match set never leaves its shard.  ``group_facets`` holds the distinct
+(group, facet) pair set, which is inherent to TermGroupFacetCollector's
+semantics (the reference's groupedFacetHits list is the same size); its
+100-TB twin is the Dataset-side facet pipeline.
 """
 
 from __future__ import annotations
@@ -21,6 +24,61 @@ import numpy as np
 
 LONG_MIN = -(2 ** 63)
 LONG_MAX = 2 ** 63 - 1
+
+
+def _collect_grouped(searcher, query, shard_keys, docs_per_group: int):
+    """Per-shard grouped top-k partials.  ``shard_keys(rdr, docs, scores)``
+    returns sortable group-key scalars aligned with ``docs``.  Returns
+    {key: [(score f32, gid), ...] top docs_per_group by (score desc, gid)}."""
+    compiled = searcher.compile(query)
+    groups: dict = {}
+    for pid in searcher._pids:
+        rdr = searcher.reader(pid)
+        base = searcher._bases[pid]
+        scores, docs, _t, _r = searcher.search_shard(
+            rdr, compiled, rdr.doc_count, total_hits_threshold=2**31 - 1)
+        if not len(docs):
+            continue
+        keys = shard_keys(rdr, docs, scores)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        order = np.lexsort((docs, -scores, inv))
+        k_s, s_s, d_s = inv[order], scores[order], docs[order]
+        starts = np.concatenate(([0], np.nonzero(k_s[1:] != k_s[:-1])[0] + 1,
+                                 [len(k_s)]))
+        for a, b in zip(starts[:-1], starts[1:]):
+            key = uniq[k_s[a]]
+            key = key.item() if hasattr(key, "item") else key
+            take = min(b, a + docs_per_group)
+            cand = [(float(s_s[i]), int(d_s[i]) + base)
+                    for i in range(a, take)]
+            cur = groups.get(key)
+            if cur is None:
+                groups[key] = cand
+            else:
+                cur.extend(cand)
+                cur.sort(key=lambda sg: (-sg[0], sg[1]))
+                del cur[docs_per_group:]
+    return groups
+
+
+def _resolve_scoredocs(searcher, pairs):
+    """[(score, gid)] -> [ScoreDoc] with (conv_id, turn_idx) resolved by one
+    batched docmap take per owning shard."""
+    from .searcher import ScoreDoc
+
+    gids = np.array([g for _s, g in pairs], dtype=np.int64)
+    pids = np.array([searcher._pid_of(int(g)) for g in gids], dtype=np.int64)
+    fields = {}
+    for pid in np.unique(pids):
+        sel = np.nonzero(pids == pid)[0]
+        rdr = searcher.reader(int(pid))
+        rows = rdr.lookup_docs(gids[sel] - searcher._bases[int(pid)])
+        convs = rows.column("conv_id").to_pylist()
+        turns = rows.column("turn_idx").to_pylist()
+        for j, i in enumerate(sel):
+            fields[int(i)] = (convs[j], int(turns[j]))
+    return [ScoreDoc(float(s), int(g), fields[i][0], fields[i][1])
+            for i, (s, g) in enumerate(pairs)]
 
 
 def long_range_of(value: int, lo: int, width: int, hi: int) -> tuple[int, int]:
@@ -35,20 +93,6 @@ def long_range_of(value: int, lo: int, width: int, hi: int) -> tuple[int, int]:
     return (lo + bucket * width, lo + bucket * width + width)
 
 
-def _dv_of_gids(searcher, gids: np.ndarray, field: str) -> np.ndarray:
-    """Per-hit int64 doc-values, resolved with one vectorized take per
-    shard (hits grouped by owning shard)."""
-    out = np.zeros(len(gids), dtype=np.int64)
-    for pid in searcher._pids:
-        base = searcher._bases[pid]
-        rdr = searcher.reader(pid)
-        sel = (gids >= base) & (gids < base + rdr.doc_count)
-        if not sel.any():
-            continue
-        out[sel] = rdr.docvalue(field)[gids[sel] - base]
-    return out
-
-
 def range_grouped_search(searcher, query, field: str, lo: int, width: int,
                          hi: int, n_groups: int = 10,
                          docs_per_group: int = 2):
@@ -58,22 +102,26 @@ def range_grouped_search(searcher, query, field: str, lo: int, width: int,
     first), top `docs_per_group` docs per group by (score desc, gid asc).
 
     Returns [((range_lo, range_hi), best_score, [ScoreDoc, ...])]."""
-    td = searcher.search(query, k=searcher.doc_count,
-                         total_hits_threshold=2**31 - 1)
-    if not td.hits:
-        return []
-    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
-    vals = _dv_of_gids(searcher, gids, field)
-    groups: dict[tuple[int, int], list] = {}
-    for h, v in zip(td.hits, vals):       # stream is (score desc, gid asc)
-        key = long_range_of(int(v), lo, width, hi)
-        bucket = groups.setdefault(key, [])
-        if len(bucket) < docs_per_group:
-            bucket.append(h)
+    def shard_keys(rdr, docs, _scores):
+        vals = rdr.docvalue(field)[docs]
+        # sortable lo-edge scalar per doc (tuple order == lo-edge order)
+        return np.where(vals < lo, LONG_MIN,
+                        np.where(vals >= hi, hi,
+                                 lo + ((vals - lo) // width) * width))
+
+    groups = _collect_grouped(searcher, query, shard_keys, docs_per_group)
+
+    def tuple_of(edge: int) -> tuple[int, int]:
+        if edge == LONG_MIN:
+            return (LONG_MIN, lo)
+        if edge == hi:
+            return (hi, LONG_MAX)
+        return (edge, edge + width)
+
     ranked = sorted(groups.items(),
-                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid, kv[0]))
-    return [(key, float(hits[0].score), hits)
-            for key, hits in ranked[:n_groups]]
+                    key=lambda kv: (-kv[1][0][0], kv[1][0][1], kv[0]))
+    return [(tuple_of(int(edge)), kv[0][0], _resolve_scoredocs(searcher, kv))
+            for edge, kv in ranked[:n_groups]]
 
 
 def double_range_of(value: float, lo: float, width: float,
@@ -104,31 +152,40 @@ def value_grouped_search(searcher, query, expression: str,
     from .expressions import compile_expression
 
     fn, names = compile_expression(expression)
-    td = searcher.search(query, k=searcher.doc_count,
-                         total_hits_threshold=2**31 - 1)
-    if not td.hits:
-        return []
-    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
-    env = {}
-    for nm in names:
-        if nm == "_score":
-            env[nm] = np.array([h.score for h in td.hits], dtype=np.float64)
-        else:
-            env[nm] = _dv_of_gids(searcher, gids, nm).astype(np.float64)
-    vals = fn(env)
-    if vals.shape == ():
-        vals = np.full(len(gids), float(vals))
-    groups: dict = {}
-    for h, v in zip(td.hits, vals):
-        key = float(v) if range_factory is None \
-            else double_range_of(float(v), *range_factory)
-        bucket = groups.setdefault(key, [])
-        if len(bucket) < docs_per_group:
-            bucket.append(h)
+
+    def shard_keys(rdr, docs, scores):
+        env = {}
+        for nm in names:
+            if nm == "_score":
+                env[nm] = scores.astype(np.float64)
+            else:
+                env[nm] = rdr.docvalue(nm)[docs].astype(np.float64)
+        vals = fn(env)
+        if vals.shape == ():
+            vals = np.full(len(docs), float(vals))
+        if range_factory is None:
+            return vals
+        lo, width, hi = range_factory
+        return np.where(vals < lo, -np.inf,
+                        np.where(vals >= hi, hi,
+                                 lo + ((vals - lo) // width) * width))
+
+    groups = _collect_grouped(searcher, query, shard_keys, docs_per_group)
+
+    def key_of(edge: float):
+        if range_factory is None:
+            return float(edge)
+        lo, width, hi = range_factory
+        if edge == -np.inf:
+            return (-np.inf, lo)
+        if edge == hi:
+            return (hi, np.inf)
+        return (edge, edge + width)
+
     ranked = sorted(groups.items(),
-                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid, kv[0]))
-    return [(key, float(hits[0].score), hits)
-            for key, hits in ranked[:n_groups]]
+                    key=lambda kv: (-kv[1][0][0], kv[1][0][1], kv[0]))
+    return [(key_of(edge), kv[0][0], _resolve_scoredocs(searcher, kv))
+            for edge, kv in ranked[:n_groups]]
 
 
 def block_grouped_search(searcher, query, n_groups: int = 10,
@@ -138,18 +195,20 @@ def block_grouped_search(searcher, query, n_groups: int = 10,
     key needs no field lookup at all — it is the hit's block key.  Groups
     ranked by best doc (score desc, gid asc), `docs_per_group` docs each.
 
-    Returns [(conv_id, best_score, [ScoreDoc, ...])]."""
-    td = searcher.search(query, k=searcher.doc_count,
-                         total_hits_threshold=2**31 - 1)
-    groups: dict[str, list] = {}
-    for h in td.hits:                     # stream is (score desc, gid asc)
-        bucket = groups.setdefault(h.conv_id, [])
-        if len(bucket) < docs_per_group:
-            bucket.append(h)
+    Returns [(conv_id, best_score, [ScoreDoc, ...])].  Blocks never span
+    shards, so each group's candidates come from exactly one shard pass."""
+    def shard_keys(rdr, docs, _scores):
+        conv = getattr(rdr, "_conv_np", None)
+        if conv is None:
+            conv = rdr._conv_np = rdr.docmap().column("conv_id") \
+                .to_numpy(zero_copy_only=False)
+        return conv[docs]
+
+    groups = _collect_grouped(searcher, query, shard_keys, docs_per_group)
     ranked = sorted(groups.items(),
-                    key=lambda kv: (-kv[1][0].score, kv[1][0].gid))
-    return [(cid, float(hits[0].score), hits)
-            for cid, hits in ranked[:n_groups]]
+                    key=lambda kv: (-kv[1][0][0], kv[1][0][1]))
+    return [(str(cid), kv[0][0], _resolve_scoredocs(searcher, kv))
+            for cid, kv in ranked[:n_groups]]
 
 
 def block_join_sorted_search(searcher, child_query, field: str,
