@@ -57,6 +57,9 @@ class TopDocs:
     hits: list[ScoreDoc]
     total_hits: int
     relation: str
+    timed_out: bool = False       # IndexSearcher.TooManyClauses→timeout flag
+                                  # (TimeLimitingCollector / setTimeout):
+                                  # True = partial results, relation GTE
 
 
 class IndexSearcher:
@@ -1125,21 +1128,44 @@ class IndexSearcher:
     # ---- search ----
     def search(self, query, k: int = 10, after=None,
                total_hits_threshold: int = TOTAL_HITS_THRESHOLD,
-               sort=None, early_terminate: bool = False) -> TopDocs:
+               sort=None, early_terminate: bool = False,
+               timeout_ms: float | None = None) -> TopDocs:
+        """`timeout_ms` is the IndexSearcher.setTimeout /
+        TimeLimitingCollector model (`search/TimeLimitingCollector.java`,
+        IndexSearcher.java `partialResult`): the budget is checked between
+        per-shard (per-leaf) passes; on expiry the remaining shards are
+        skipped and the PARTIAL result returns with ``timed_out=True`` and
+        a GTE total — never an error."""
         if sort is not None:
             # after for sorted search is a (sort_value, gid) FieldDoc cursor
             return self._search_sorted(query, sort, k, after=after,
                                        early_terminate=early_terminate)
         if self.query_cache is not None:
             self.query_cache.begin_search()
+        deadline = None
+        if timeout_ms is not None:
+            import time as _time
+
+            deadline = _time.perf_counter() + timeout_ms / 1000.0
         compiled = self.compile(query)
         per_shard = []
+        timed_out = False
         for pid in self._pids:
+            if deadline is not None and per_shard:
+                import time as _time
+
+                if _time.perf_counter() >= deadline:
+                    timed_out = True
+                    break
             rdr = self.reader(pid)
             res = self.search_shard(rdr, compiled, k, after=_local_after(after, self._bases[pid]),
                                     total_hits_threshold=total_hits_threshold)
             per_shard.append((pid, rdr, res))
-        return self._merge(per_shard, k)
+        td = self._merge(per_shard, k)
+        if timed_out:
+            td.timed_out = True
+            td.relation = RELATION_GTE
+        return td
 
     def search_shard(self, rdr, compiled, k, after=None,
                      total_hits_threshold: int = TOTAL_HITS_THRESHOLD,

@@ -232,3 +232,35 @@ def test_ngram_phrase_query(ray_session, tmp_path_factory):
     assert short.rewrite() == PhraseQuery(("ab", "bc"))
     sloppy = NGramPhraseQuery(N_GRAM, PhraseQuery(("ab", "bc", "cd"), slop=1))
     assert sloppy.rewrite() == PhraseQuery(("ab", "bc", "cd"), slop=1)
+
+
+def test_search_timeout_partial_results(ray_session):
+    """IndexSearcher timeout (TimeLimitingCollector model): an expired
+    budget skips remaining shards and returns a flagged PARTIAL result;
+    a generous budget returns the full result unflagged."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    import tempfile
+
+    t = synth_transcripts(2000, seed=77)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    d = tempfile.mkdtemp(prefix="toidx")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=400,
+                input_desc="timeout")
+    s = IndexSearcher(d)
+    assert len(s._pids) >= 2, "timeout semantics need multiple shards"
+    full = s.search(TermQuery("merge"), k=10)
+    quick = s.search(TermQuery("merge"), k=10, timeout_ms=0)
+    assert quick.timed_out
+    assert quick.relation == "GREATER_THAN_OR_EQUAL_TO"
+    # at least the first shard was searched; totals are a lower bound
+    assert 0 < quick.total_hits <= full.total_hits
+    relaxed = s.search(TermQuery("merge"), k=10, timeout_ms=60_000)
+    assert not relaxed.timed_out
+    assert relaxed.total_hits == full.total_hits
+    assert [h.gid for h in relaxed.hits] == [h.gid for h in full.hits]
