@@ -194,11 +194,30 @@ class QueryService:
             return None
         return self._next_qid()
 
-    def search(self, query, k: int = 10, after=None, threshold: int = 1000) -> TopDocs:
+    def search(self, query, k: int = 10, after=None, threshold: int = 1000,
+               timeout_ms: float | None = None) -> TopDocs:
+        """`timeout_ms` is the pool form of IndexSearcher.setTimeout: wait
+        up to the budget for the per-actor slice futures; actors that miss
+        the deadline are SKIPPED (their in-flight work is not cancelled —
+        the pool stays warm) and the partial merge returns timed_out=True
+        with a GTE total, exactly like the local searcher's partialResult."""
         compiled = self.searcher.compile(query)
         qid = self._qid_for(compiled)
         futs = [a.search.remote(compiled, k, after, threshold, qid) for a in self.actors]
-        return self._merge(ray.get(futs), k)
+        if timeout_ms is None:
+            return self._merge(ray.get(futs), k)
+        done, pending = ray.wait(futs, num_returns=len(futs),
+                                 timeout=timeout_ms / 1000.0)
+        if not pending:
+            return self._merge(ray.get(done), k)
+        if not done:                     # nothing finished: empty partial
+            td = TopDocs([], 0, RELATION_GTE)
+            td.timed_out = True
+            return td
+        td = self._merge(ray.get(done), k)
+        td.timed_out = True
+        td.relation = RELATION_GTE
+        return td
 
     def search_many(self, queries, k: int = 10) -> list[TopDocs]:
         """Pipeline a batch of queries across the pool (keeps all actors

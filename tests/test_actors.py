@@ -186,3 +186,23 @@ def test_actor_parity_session5_query_types(ray_session, tmp_path_factory):
                            [h.score for h in b.hits])
         assert a.total_hits == b.total_hits
     svc.shutdown()
+
+
+def test_actor_pool_timeout(ray_session, tmp_path_factory):
+    """Pool timeout: generous budget = identical full result unflagged;
+    zero budget = flagged partial (possibly empty) with GTE relation."""
+    from lucene_ray.pipelines.flagship import build_transcript_index
+    from lucene_ray.search.actors import QueryService
+    from lucene_ray.search.query import TermQuery
+
+    d = build_transcript_index("/root/testdata/sf0.001")
+    svc = QueryService(d, num_actors=2)
+    full = svc.search(TermQuery("merge"), k=10)
+    ok = svc.search(TermQuery("merge"), k=10, timeout_ms=60_000)
+    assert not ok.timed_out
+    assert [h.gid for h in ok.hits] == [h.gid for h in full.hits]
+    quick = svc.search(TermQuery("merge"), k=10, timeout_ms=0)
+    assert quick.timed_out
+    assert quick.relation == "GREATER_THAN_OR_EQUAL_TO"
+    assert quick.total_hits <= full.total_hits
+    svc.shutdown()
