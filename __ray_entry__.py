@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_combined_topk": _lazy("index_combined_topk"),
         "index_block_join_sorted": _lazy("index_block_join_sorted"),
         "index_dv_facets": _lazy("index_dv_facets"),
+        "index_multi_sorted_topk": _lazy("index_multi_sorted_topk"),
         "index_range_grouped_topk": _lazy("index_range_grouped_topk"),
         "index_group_facets": _lazy("index_group_facets"),
         "index_block_grouped_topk": _lazy("index_block_grouped_topk"),
@@ -663,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
         "index_combined_topk": _flagship_sql("index_combined_oracle_sql"),
         "index_block_join_sorted": _flagship_sql("index_block_join_sorted_oracle_sql"),
         "index_dv_facets": _flagship_sql("index_dv_facets_oracle_sql"),
+        "index_multi_sorted_topk": _flagship_sql("index_multi_sorted_oracle_sql"),
         "index_range_grouped_topk": _flagship_sql("index_range_grouped_oracle_sql"),
         "index_group_facets": _flagship_sql("index_group_facets_oracle_sql"),
         "index_block_grouped_topk": _flagship_sql("index_block_grouped_oracle_sql"),

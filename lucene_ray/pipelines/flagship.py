@@ -1317,6 +1317,43 @@ def index_block_grouped_oracle_sql() -> str:
         ORDER BY g.group_rank, d.doc_rank"""
 
 
+MS_K = 15
+
+
+def index_multi_sorted_topk(sf_dir: str) -> pd.DataFrame:
+    """Multi-field Sort (Sort over SortField[]): docs matching the reference
+    term ordered by (turn_idx asc, ts desc), docID tie — the N-key
+    TopFieldCollector comparator.  (rank, conv_id, turn_idx, ts_us)."""
+    from ..search.query import SortField, TermQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    td = searcher.search(TermQuery(BM25_SQL_TERMS[0]), k=MS_K,
+                         sort=[SortField("turn_idx"),
+                               SortField("ts", reverse=True)])
+    rows = [(r, h.conv_id, int(h.fields[0]), int(h.fields[1]))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
+                                       "ts_us"]) \
+        .astype({"rank": "int64", "turn_idx": "int64", "ts_us": "int64"})
+
+
+def index_multi_sorted_oracle_sql() -> str:
+    t = BM25_SQL_TERMS[0]
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents)
+        SELECT row_number() OVER (ORDER BY doc_id % 5 ASC,
+                                  {TS_BASE} + doc_id * 1000000 DESC,
+                                  doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               ({TS_BASE} + doc_id * 1000000)::BIGINT AS ts_us
+        FROM toklists WHERE list_contains(toks, '{t}')
+        ORDER BY turn_idx ASC, ts_us DESC, doc_id ASC LIMIT {MS_K}"""
+
+
 def index_dv_facets(sf_dir: str) -> pd.DataFrame:
     """LongValueFacetCounts over the turn_idx doc-values column for docs
     matching the reference term: (turn_idx, n_docs) in value order."""

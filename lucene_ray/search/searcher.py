@@ -1593,6 +1593,12 @@ class IndexSearcher:
         from .geo import GeoDistanceSort
         from .query import ExpressionSort, SortField
 
+        if isinstance(sort, (list, tuple)):
+            if len(sort) == 1:
+                sort = sort[0]
+            else:
+                return self._search_sorted_multi(query, list(sort), k,
+                                                 after=after)
         if self.query_cache is not None:
             self.query_cache.begin_search()
         is_float = isinstance(sort, (GeoDistanceSort, ExpressionSort))
@@ -1663,6 +1669,68 @@ class IndexSearcher:
                                  int(row.column("turn_idx")[0].as_py()),
                                  fields=(fv,)))
         return TopDocs(hits, total, relation)
+
+    def _search_sorted_multi(self, query, sorts, k: int,
+                             after=None) -> TopDocs:
+        """Multi-field Sort (`search/Sort.java` over SortField[]):
+        lexicographic compare across the doc-values chain (each field with
+        its own reverse flag), global docID ascending as the final tie —
+        TopFieldCollector semantics extended to an N-key comparator.
+        ``after`` is a FieldDoc cursor of (values tuple, gid)."""
+        from .query import SortField
+
+        if not all(isinstance(s, SortField) for s in sorts):
+            raise TypeError("multi-sort supports SortField chains")
+        if self.query_cache is not None:
+            self.query_cache.begin_search()
+        compiled = self.compile(query)
+        vals_all: list[list[np.ndarray]] = []
+        gids_all = []
+        total = 0
+        for pid in self._pids:
+            rdr = self.reader(pid)
+            _s, docs, t, _r = self.search_shard(
+                rdr, compiled, rdr.doc_count, total_hits_threshold=2**31 - 1)
+            total += t
+            if not len(docs):
+                continue
+            dvs = [rdr.docvalue(s.field)[docs] for s in sorts]
+            gid64 = docs.astype(np.int64) + self._bases[pid]
+            if after is not None:
+                a_vals, a_gid = after
+                gt = np.zeros(len(docs), dtype=bool)
+                eq = np.ones(len(docs), dtype=bool)
+                for s, dv, av in zip(sorts, dvs, a_vals):
+                    av = int(av)
+                    strict = (dv < av) if s.reverse else (dv > av)
+                    gt |= eq & strict
+                    eq &= dv == av
+                keep = gt | (eq & (gid64 > int(a_gid)))
+                if not keep.any():
+                    continue
+                docs = docs[keep]
+                dvs = [dv[keep] for dv in dvs]
+                gid64 = gid64[keep]
+            keys = [(-dv if s.reverse else dv)
+                    for s, dv in zip(sorts, dvs)]
+            order = np.lexsort((docs, *reversed(keys)))[:k]
+            vals_all.append([dv[order] for dv in dvs])
+            gids_all.append(gid64[order])
+        if not gids_all:
+            return TopDocs([], total, RELATION_EQ)
+        merged = [np.concatenate([v[i] for v in vals_all])
+                  for i in range(len(sorts))]
+        gids = np.concatenate(gids_all)
+        keys = [(-mv if s.reverse else mv)
+                for s, mv in zip(sorts, merged)]
+        order = np.lexsort((gids, *reversed(keys)))[:k]
+        pairs = [(float(merged[0][i]), int(gids[i])) for i in order]
+        from .grouping import _resolve_scoredocs
+
+        hits = _resolve_scoredocs(self, pairs)
+        for j, i in enumerate(order):
+            hits[j].fields = tuple(int(mv[i]) for mv in merged)
+        return TopDocs(hits, total, RELATION_EQ)
 
     def nearest(self, field: str, lat: float, lon: float, k: int) -> TopDocs:
         """k nearest docs carrying a point in ``field``, by haversine meters

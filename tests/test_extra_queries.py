@@ -264,3 +264,33 @@ def test_search_timeout_partial_results(ray_session):
     assert not relaxed.timed_out
     assert relaxed.total_hits == full.total_hits
     assert [h.gid for h in relaxed.hits] == [h.gid for h in full.hits]
+
+
+def test_multi_field_sort_and_paging(ray_session):
+    """Sort over SortField[]: lexicographic N-key order with docID tie, and
+    FieldDoc paging concatenation == one deep page."""
+    from lucene_ray.pipelines.flagship import build_transcript_index
+    from lucene_ray.search.query import SortField, TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    s = IndexSearcher(build_transcript_index("/root/testdata/sf0.001"))
+    sorts = [SortField("turn_idx"), SortField("ts", reverse=True)]
+    q = TermQuery("merge")
+    deep = s.search(q, k=20, sort=sorts)
+    # brute force over all matches
+    every = s.search(q, k=10 ** 6, total_hits_threshold=2 ** 31 - 1)
+    rows = sorted(
+        ((h.turn_idx, -(1_700_000_000_000_000
+                        + (int(h.conv_id.split("-")[1]) * 5 + h.turn_idx)
+                        * 1_000_000), h.gid) for h in every.hits))
+    assert [(h.fields[0], -r[1], h.gid) for h, r in zip(deep.hits, rows)] == \
+        [(r[0], -r[1], r[2]) for r in rows[:20]]
+    # paging: two pages of 10 == the deep page
+    p1 = s.search(q, k=10, sort=sorts)
+    cursor = (p1.hits[-1].fields, p1.hits[-1].gid)
+    p2 = s.search(q, k=10, sort=sorts, after=cursor)
+    assert [h.gid for h in p1.hits + p2.hits] == [h.gid for h in deep.hits]
+    # single-element list delegates to the single-field path
+    one = s.search(q, k=5, sort=[SortField("ts", reverse=True)])
+    base = s.search(q, k=5, sort=SortField("ts", reverse=True))
+    assert [h.gid for h in one.hits] == [h.gid for h in base.hits]
