@@ -61,7 +61,7 @@ def main():
     ap.add_argument("--sort-dist", default="",
                     help="lat,lon — sort hits nearest-first from this origin")
     ap.add_argument("--sort", default="",
-                    help="sort by a doc-values field instead of score, e.g. 'ts' or 'ts:desc'")
+                    help="sort by doc-values fields instead of score, e.g. 'ts:desc' or 'turn_idx,ts:desc' (multi-key)")
     ap.add_argument("--actors", type=int, default=0, help="serve via an actor pool of N")
     ap.add_argument("--count-only", action="store_true")
     ap.add_argument("--profile", action="store_true",
@@ -165,8 +165,12 @@ def main():
     elif args.sort:
         from lucene_ray.search.query import SortField
 
-        parts = args.sort.split(":")
-        sort = SortField(parts[0], reverse=(len(parts) > 1 and parts[1] == "desc"))
+        fields = []
+        for spec in args.sort.split(","):
+            parts = spec.split(":")
+            fields.append(SortField(parts[0], reverse=(len(parts) > 1
+                                                       and parts[1] == "desc")))
+        sort = fields if len(fields) > 1 else fields[0]
 
     sim_name = args.similarity.lower()
     if sim_name != "bm25":
