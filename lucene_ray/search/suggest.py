@@ -314,3 +314,31 @@ class Suggester:
             out.append((surface, int(w * coef)))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:num]
+
+
+def build_suggester_from_file(path: str, out_dir: str,
+                              delimiter: str = "\t") -> dict:
+    """FileDictionary (`suggest/.../FileDictionary.java:33-60`) input
+    adapter: each line is ``term[<TAB>weight[<TAB>payload]]`` (missing
+    weight = 1, like the reference); parsed distributed via
+    ray.data.read_text into the sorted suggester store.  Payloads ride
+    along as the suggestion surface when present."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        texts, weights = [], []
+        for line in batch.column("text").to_pylist():
+            if not line or not line.strip():
+                continue
+            parts = line.split(delimiter)
+            texts.append(parts[0])
+            try:
+                weights.append(int(float(parts[1])) if len(parts) > 1 else 1)
+            except ValueError:
+                weights.append(1)
+        return pa.table({"text": pa.array(texts, type=pa.string()),
+                         "weight": pa.array(weights, type=pa.int64())})
+
+    ds = rd.read_text(path).map_batches(parse, batch_format="pyarrow")
+    return build_suggester(ds, out_dir, text_col="text", weight_col="weight")

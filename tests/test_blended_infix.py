@@ -96,3 +96,19 @@ def test_lookup_infix_all_terms_required(star):
     assert star.lookup_infix("empire str") == [(TITLE, 8)]
     assert star.lookup_infix("empire zz") == []
     assert star.lookup_infix("the empire") == [(TITLE, 8)]
+
+def test_file_dictionary_adapter(ray_session, tmp_path):
+    """FileDictionary lines (term<TAB>weight, missing weight = 1) feed the
+    suggester store; lookups rank by weight."""
+    from lucene_ray.search.suggest import Suggester, build_suggester_from_file
+
+    f = tmp_path / "dict.txt"
+    f.write_text("merge sort\t50\nmerge join\t90\nmerge\n\nscan\t10\n")
+    d = str(tmp_path / "fdict")
+    build_suggester_from_file(str(f), d)
+    s = Suggester(d)
+    got = s.lookup("merge", 5, exact_first=False)
+    assert got[0] == ("merge join", 90)
+    assert ("merge sort", 50) in got
+    assert ("merge", 1) in got
+    assert all(sf != "scan" for sf, _w in got)
