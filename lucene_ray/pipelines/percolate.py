@@ -297,6 +297,21 @@ class AstMonitor:
     (`monitor/CandidateMatcher.java` — the reference verifies candidates by
     running the real query against a MemoryIndex of the streamed doc)."""
 
+    def register(self, *entries):
+        """Monitor.register(MonitorQuery...) — add (or replace, by id)
+        queries and rebuild the trigger index (the reference commits the
+        updated QueryIndex the same way)."""
+        current = {qid: q for qid, q in zip(self.query_ids, self.queries)}
+        for qid, q in entries:
+            current[qid] = q
+        self.__init__(list(current.items()))
+
+    def delete_by_id(self, *qids):
+        """Monitor.deleteById(String...)."""
+        drop = set(qids)
+        self.__init__([(qid, q) for qid, q in
+                       zip(self.query_ids, self.queries) if qid not in drop])
+
     def __init__(self, registered):
         self.query_ids = np.array([qid for qid, _ in registered], dtype=object)
         self.queries = [q for _, q in registered]

@@ -76,3 +76,25 @@ def test_monitor_persistence_roundtrip(ray_session, tmp_path):
     r2 = m2.match_batch(doc_ids, texts)
     assert [tuple(x) for x in zip(*r1)] == [tuple(x) for x in zip(*r2)]
     assert len(r1[0]) > 0
+
+
+def test_monitor_register_and_delete(ray_session):
+    """Monitor.register / deleteById: matches reflect the mutated query set
+    exactly (rebuilt trigger index)."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.percolate import AstMonitor
+    from lucene_ray.search.query import PhraseQuery, TermQuery, bool_query
+
+    m = AstMonitor([("q-a", TermQuery("merge"))])
+    texts = pd.Series(["merge join now", "scan only", "join merge"])
+    ids = np.arange(3)
+    d0, q0 = m.match_batch(ids, texts)
+    assert sorted(zip(d0, m.query_ids[q0])) == [(0, "q-a"), (2, "q-a")]
+    m.register(("q-b", PhraseQuery(("merge", "join"))),
+               ("q-a", bool_query(must=["scan"])))     # replace q-a
+    d1, q1 = m.match_batch(ids, texts)
+    assert sorted(zip(d1, m.query_ids[q1])) == [(0, "q-b"), (1, "q-a")]
+    m.delete_by_id("q-a")
+    d2, q2 = m.match_batch(ids, texts)
+    assert sorted(zip(d2, m.query_ids[q2])) == [(0, "q-b")]
