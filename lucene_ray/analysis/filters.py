@@ -2913,3 +2913,73 @@ def analyzer_preset(language: str) -> tuple:
     except KeyError:
         raise ValueError(f"no analyzer preset for {language!r}; "
                          f"available: {sorted(ANALYZER_PRESETS)}") from None
+
+
+def spanish_minimal_stem(word: str) -> str:
+    """SpanishMinimalStemFilter (`analysis/es/SpanishMinimalStemmer.java`):
+    plural-only stemming — accents fold ONLY for words entering the plural
+    branch (len >= 4, trailing s); -as/-os drop the s, -es variants drop
+    two chars with the c→z restore (actrices→actriz)."""
+    if len(word) < 4 or word[-1] != "s":
+        return word
+    tr = str.maketrans("àáâäòóôöèéêëùúûüìíîïñ", "aaaaooooeeeeuuuuiiiin")
+    w = word.translate(tr)
+    if w[-2] in ("a", "o"):
+        return w[:-1]
+    if w[-2] == "e":
+        if w[-3] == "s" and w[-4] == "e":
+            return w[:-2]
+        if w[-3] == "c":
+            return w[:-3] + "z"
+        return w[:-2]
+    return w[:-1]
+
+
+def swedish_minimal_stem(word: str) -> str:
+    """SwedishMinimalStemFilter (`analysis/sv/SwedishMinimalStemmer.java`):
+    noun-plural-only stemming (genitive s, -arne/-erna/-arna/-orna/-aren,
+    -are, -ar/-at/-er/-et/-or/-en, final a/e/n)."""
+    w = word
+    if len(w) > 4 and w[-1] == "s":
+        w = w[:-1]
+    if len(w) > 6 and w[-4:] in ("arne", "erna", "arna", "orna", "aren"):
+        return w[:-4]
+    if len(w) > 5 and w.endswith("are"):
+        return w[:-3]
+    if len(w) > 4 and w[-2:] in ("ar", "at", "er", "et", "or", "en"):
+        return w[:-2]
+    if len(w) > 3 and w[-1] in ("a", "e", "n"):
+        return w[:-1]
+    return w
+
+
+def _norwegian_minimal(word: str, nynorsk: bool) -> str:
+    w = word
+    if len(w) > 4 and w[-1] == "s":                 # genitive s
+        w = w[:-1]
+    if len(w) > 5 and (w.endswith("ene")
+                       or (nynorsk and w.endswith("ane"))):
+        return w[:-3]
+    if len(w) > 4 and (w[-2:] in ("er", "en", "et")
+                       or (nynorsk and w.endswith("ar"))):
+        return w[:-2]
+    if len(w) > 3 and w[-1] in ("a", "e"):
+        return w[:-1]
+    return w
+
+
+def norwegian_minimal_stem(word: str) -> str:
+    """NorwegianMinimalStemFilter (`analysis/no/NorwegianMinimalStemmer.java`,
+    BOKMAAL flag — the filter's default)."""
+    return _norwegian_minimal(word, nynorsk=False)
+
+
+def norwegian_minimal_stem_nn(word: str) -> str:
+    """NorwegianMinimalStemmer with the NYNORSK flag (-ane/-ar suffixes)."""
+    return _norwegian_minimal(word, nynorsk=True)
+
+
+FILTERS["spanish_minimal"] = spanish_minimal_stem
+FILTERS["swedish_minimal"] = swedish_minimal_stem
+FILTERS["norwegian_minimal"] = norwegian_minimal_stem
+FILTERS["norwegian_minimal_nn"] = norwegian_minimal_stem_nn

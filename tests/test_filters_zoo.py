@@ -685,3 +685,50 @@ def test_icu_folding_is_chain_stage():
         flat, np.array([3], dtype=np.int64), ("icu_folding",))
     assert out.to_pylist() == ["resume", "test", "plain"]
     assert pos is None
+
+
+def _pairs(name):
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", name)
+    out = []
+    for line in open(path, encoding="utf-8"):
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        src, want = line.split("\t")
+        out.append((src, want))
+    return out
+
+
+def test_spanish_minimal_reference_cases():
+    from lucene_ray.analysis.filters import spanish_minimal_stem
+
+    for src, want in [("actrices", "actriz"), ("niños", "nino"),
+                      ("países", "pais"), ("caragodor", "caragodor"),
+                      ("móviles", "movil"), ("chicas", "chica")]:
+        assert spanish_minimal_stem(src) == want, src
+
+
+def test_swedish_minimal_full_vocabulary():
+    from lucene_ray.analysis.filters import swedish_minimal_stem
+
+    pairs = _pairs("swedish_minimal_pairs.txt")
+    assert len(pairs) >= 60
+    for src, want in pairs:
+        assert swedish_minimal_stem(src) == want, src
+
+
+def test_norwegian_minimal_full_vocabularies():
+    from lucene_ray.analysis.filters import (
+        norwegian_minimal_stem,
+        norwegian_minimal_stem_nn,
+    )
+
+    nb = _pairs("norwegian_nb_minimal_pairs.txt")
+    nn = _pairs("norwegian_nn_minimal_pairs.txt")
+    assert len(nb) >= 70 and len(nn) >= 50
+    for src, want in nb:
+        assert norwegian_minimal_stem(src) == want, src
+    for src, want in nn:
+        assert norwegian_minimal_stem_nn(src) == want, src
