@@ -1939,7 +1939,9 @@ def is_one2one(spec: str) -> bool:
     """True for specs that map one token to one token (incl. the stateful
     ``keyword_marker:`` protection marker) — these run dictionary-vectorized
     and also apply to query terms."""
-    return resolve_one2one(spec) is not None or spec.startswith("keyword_marker:")
+    return resolve_one2one(spec) is not None \
+        or spec.startswith("keyword_marker:") \
+        or spec.startswith("stemmer_override:")
 
 
 def apply_filters_str(term: str, names) -> str:
@@ -1954,6 +1956,17 @@ def apply_filters_str(term: str, names) -> str:
         if n.startswith("keyword_marker:"):
             if term in n[len("keyword_marker:"):].split(","):
                 protected = True
+            continue
+        if n.startswith("stemmer_override:"):
+            # StemmerOverrideFilter (`analysis/miscellaneous/
+            # StemmerOverrideFilter.java`): dictionary hit REPLACES the term
+            # and sets the KeywordAttribute so later stemmers skip it
+            for rule in n[len("stemmer_override:"):].split(","):
+                src, _, dst = rule.partition("=")
+                if term == src:
+                    term = dst
+                    protected = True
+                    break
             continue
         if protected and n in STEMMERS:
             continue
@@ -2915,6 +2928,34 @@ def analyzer_preset(language: str) -> tuple:
                          f"available: {sorted(ANALYZER_PRESETS)}") from None
 
 
+def irish_lowercase(word: str) -> str:
+    """IrishLowerCaseFilter (`analysis/ga/IrishLowerCaseFilter.java:38-80`):
+    an initial n/t prothesis before an uppercase vowel (incl. fada accents)
+    gains a hyphen (nAthair → n-athair), then JDK lowercase."""
+    from .standard import jdk_lower
+
+    if len(word) > 1 and word[0] in ("n", "t") \
+            and word[1] in "AEIOUÁÉÍÓÚ":
+        word = word[0] + "-" + word[1:]
+    return jdk_lower(word)
+
+
+# SerbianNormalizationRegularFilter (`analysis/sr/
+# SerbianNormalizationRegularFilter.java`): Cyrillic → Latin KEEPING the
+# haček/acute diacritics (the 'regular' Gaj's alphabet, vs the bald variant)
+_SERBIAN_REGULAR_MAP = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "đ", "е": "e",
+    "ж": "ž", "з": "z", "и": "i", "ј": "j", "к": "k", "л": "l", "љ": "lj",
+    "м": "m", "н": "n", "њ": "nj", "о": "o", "п": "p", "р": "r", "с": "s",
+    "т": "t", "ћ": "ć", "у": "u", "ф": "f", "х": "h", "ц": "c", "ч": "č",
+    "џ": "dž", "ш": "š",
+}
+
+
+def serbian_normalize_regular(word: str) -> str:
+    return "".join(_SERBIAN_REGULAR_MAP.get(c, c) for c in word)
+
+
 def spanish_minimal_stem(word: str) -> str:
     """SpanishMinimalStemFilter (`analysis/es/SpanishMinimalStemmer.java`):
     plural-only stemming — accents fold ONLY for words entering the plural
@@ -2983,3 +3024,5 @@ FILTERS["spanish_minimal"] = spanish_minimal_stem
 FILTERS["swedish_minimal"] = swedish_minimal_stem
 FILTERS["norwegian_minimal"] = norwegian_minimal_stem
 FILTERS["norwegian_minimal_nn"] = norwegian_minimal_stem_nn
+FILTERS["irish_lowercase"] = irish_lowercase
+FILTERS["serbian_normalize_regular"] = serbian_normalize_regular

@@ -57,3 +57,42 @@ def test_hyphenated_words_filter():
         pa.array(["a-", "b"]), np.array([1, 1], dtype=np.int64),
         ("hyphenated_words",))
     assert out3.to_pylist() == ["a-", "b"] and l3.tolist() == [1, 1]
+
+
+def test_irish_lowercase_reference_vector():
+    """TestIrishLowerCaseFilter: n/t prothesis before an uppercase vowel
+    gains a hyphen; h-prothesis just lowercases."""
+    from lucene_ray.analysis.filters import irish_lowercase
+
+    assert irish_lowercase("nAthair") == "n-athair"
+    assert irish_lowercase("tUISCE") == "t-uisce"
+    assert irish_lowercase("hARD") == "hard"
+    assert irish_lowercase("nathair") == "nathair"    # lowercase vowel: no dash
+    assert irish_lowercase("tÚR") == "t-úr"
+
+
+def test_serbian_regular_reference_vector():
+    from lucene_ray.analysis.filters import serbian_normalize_regular
+
+    assert serbian_normalize_regular("абвгдђежзијклљмнњопрстћуфхцчџш") == \
+        "abvgdđežzijklljmnnjoprstćufhcčdžš"
+    assert serbian_normalize_regular("plain") == "plain"
+
+
+def test_stemmer_override():
+    """StemmerOverrideFilter: dictionary hit replaces the term AND protects
+    it from later stemmers; misses stem normally."""
+    from lucene_ray.analysis.filters import apply_filters_str
+
+    chain = ("stemmer_override:running=sprint,foobar=foo", "porter")
+    assert apply_filters_str("running", chain) == "sprint"   # not 'sprint'→porter
+    assert apply_filters_str("jumping", chain) == "jump"
+    assert apply_filters_str("foobar", chain) == "foo"
+    # column path agrees
+    import pyarrow as pa
+
+    from lucene_ray.analysis.filters import apply_filters_column
+
+    out = apply_filters_column(
+        pa.array(["running", "jumping"]), chain)
+    assert out.to_pylist() == ["sprint", "jump"]
