@@ -1663,12 +1663,12 @@ def _make_elision(articles):
     return elide
 
 
-def scandinavian_normalize(word: str) -> str:
-    """ScandinavianNormalizationFilter with ALL_FOLDINGS
-    (`analysis/miscellaneous/ScandinavianNormalizer.java:73-135`): ä→æ,
-    ö→ø (incl. uppercase), and digraph collapses aa/ao→å, ae→æ, oe/oo→ø —
-    the 'normalize to the Danish/Norwegian spelling' twin of
-    scandinavian_fold."""
+def _scandinavian_normalize(word: str, aa: bool, ao: bool, ae: bool,
+                            oe: bool, oo: bool) -> str:
+    """ScandinavianNormalizer.processToken
+    (`analysis/miscellaneous/ScandinavianNormalizer.java:73-135`) with a
+    configurable Foldings set: ä→æ, ö→ø always; digraph collapses per
+    flags (aa/ao→å, ae→æ, oe/oo→ø)."""
     buf = list(word)
     n = len(buf)
     i = 0
@@ -1684,32 +1684,47 @@ def scandinavian_normalize(word: str) -> str:
             buf[i] = "Ø"
         elif n - 1 > i:
             nxt = buf[i + 1]
-            if c == "a" and nxt in ("a", "A", "o", "O"):
+            hit_a = (aa and nxt in ("a", "A")) or (ao and nxt in ("o", "O"))
+            if c == "a" and hit_a:
                 buf[i] = "å"
                 del buf[i + 1]
                 n -= 1
-            elif c == "A" and nxt in ("a", "A", "o", "O"):
+            elif c == "A" and hit_a:
                 buf[i] = "Å"
                 del buf[i + 1]
                 n -= 1
-            elif c == "a" and nxt in ("e", "E"):
+            elif c == "a" and ae and nxt in ("e", "E"):
                 buf[i] = "æ"
                 del buf[i + 1]
                 n -= 1
-            elif c == "A" and nxt in ("e", "E"):
+            elif c == "A" and ae and nxt in ("e", "E"):
                 buf[i] = "Æ"
                 del buf[i + 1]
                 n -= 1
-            elif c == "o" and nxt in ("e", "E", "o", "O"):
+            elif c == "o" and ((oe and nxt in ("e", "E"))
+                               or (oo and nxt in ("o", "O"))):
                 buf[i] = "ø"
                 del buf[i + 1]
                 n -= 1
-            elif c == "O" and nxt in ("e", "E", "o", "O"):
+            elif c == "O" and ((oe and nxt in ("e", "E"))
+                               or (oo and nxt in ("o", "O"))):
                 buf[i] = "Ø"
                 del buf[i + 1]
                 n -= 1
         i += 1
     return "".join(buf)
+
+
+def scandinavian_normalize(word: str) -> str:
+    """ScandinavianNormalizationFilter (ALL_FOLDINGS)."""
+    return _scandinavian_normalize(word, True, True, True, True, True)
+
+
+def norwegian_normalize(word: str) -> str:
+    """NorwegianNormalizationFilter (`analysis/no/
+    NorwegianNormalizationFilter.java`): the Scandinavian normalizer with
+    only the {AE, OE, AA} foldings (no ao/oo collapses)."""
+    return _scandinavian_normalize(word, True, False, True, True, False)
 
 
 # SerbianNormalizationFilter (`analysis/sr/SerbianNormalizationFilter.java:
@@ -1750,6 +1765,7 @@ FILTERS = {
         "lucene_ray.analysis.chars", fromlist=["classic_token_filter"]
     ).classic_token_filter(w),
     "scandinavian_normalize": scandinavian_normalize,
+    "norwegian_normalize": norwegian_normalize,
     "serbian_normalize": serbian_normalize,
     "porter": porter_stem,
     "english_minimal": english_minimal_stem,

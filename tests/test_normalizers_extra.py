@@ -96,3 +96,26 @@ def test_stemmer_override():
     out = apply_filters_column(
         pa.array(["running", "jumping"]), chain)
     assert out.to_pylist() == ["sprint", "jump"]
+
+
+@pytest.mark.parametrize("src,want", [
+    ("aeäaeeea", "æææeea"),
+    ("aeäaeeeae", "æææeeæ"),
+    ("aeaeeeae", "ææeeæ"),
+    ("bøen", "bøen"),
+    ("bOEen", "bØen"),
+    ("åene", "åene"),
+    ("blåbærsyltetøj", "blåbærsyltetøj"),
+    ("blaabaersyltetöj", "blåbærsyltetøj"),
+    ("räksmörgås", "ræksmørgås"),
+    ("raeksmörgaas", "ræksmørgås"),
+    ("raeksmoergås", "ræksmørgås"),
+    ("ab", "ab"),
+    ("ao", "ao"),      # AO folding is OFF for Norwegian
+    ("oo", "oo"),      # OO folding too
+    ("aa", "å"),
+])
+def test_norwegian_normalization_reference_vectors(src, want):
+    from lucene_ray.analysis.filters import norwegian_normalize
+
+    assert norwegian_normalize(src) == want
