@@ -3042,3 +3042,111 @@ FILTERS["norwegian_minimal"] = norwegian_minimal_stem
 FILTERS["norwegian_minimal_nn"] = norwegian_minimal_stem_nn
 FILTERS["irish_lowercase"] = irish_lowercase
 FILTERS["serbian_normalize_regular"] = serbian_normalize_regular
+
+
+# ---------------------------------------------------------------------------
+# Bengali (`analysis/bn/BengaliNormalizer.java`, `BengaliStemmer.java` — the
+# published algorithm of Md. Islam/Uddin/Khan, "A Light Weight Stemmer for
+# Bengali and Its Use in Spelling Checker").  The stemmer is a longest-first
+# suffix table (every suffix in a tier strips its own length when the word
+# is at least 2 chars longer).
+# ---------------------------------------------------------------------------
+
+_BN_SUFFIX_TIERS = (
+    (8, {"িয়াছিলাম", "িতেছিলাম", "িতেছিলেন", "ইতেছিলেন", "িয়াছিলেন", "ইয়াছিলেন"}),
+    (7, {"িতেছিলি", "িতেছিলে", "িয়াছিলা", "িয়াছিলে", "িতেছিলা", "িয়াছিলি", "য়েদেরকে"}),
+    (6, {"িতেছিস", "িতেছেন", "িয়াছিস", "িয়াছেন", "েছিলাম", "েছিলেন", "েদেরকে"}),
+    (5, {"িতেছি", "িতেছা", "িতেছে", "ছিলাম", "ছিলেন", "িয়াছি", "িয়াছা", "িয়াছে", "েছিলে", "েছিলা", "য়েদের", "দেরকে"}),
+    (4, {"িলাম", "িলেন", "িতাম", "িতেন", "িবেন", "ছিলি", "ছিলে", "ছিলা", "তেছে", "িতেছ", "খানা", "খানি", "গুলো", "গুলি", "য়েরা", "েদের"}),
+    (3, {"লাম", "িলি", "ইলি", "িলে", "ইলে", "লেন", "িলা", "ইলা", "তাম", "িতি", "ইতি", "িতে", "ইতে", "তেন", "িতা", "িবা", "ইবা", "িবি", "ইবি", "বেন", "িবে", "ইবে", "ছেন", "য়োন", "য়ের", "েরা", "দের"}),
+    (2, {"িস", "েন", "লি", "লে", "লা", "তি", "তে", "তা", "বি", "বে", "বা", "ছি", "ছা", "ছে", "ুন", "ুক", "টা", "টি", "নি", "ের", "তে", "রা", "কে"}),
+    (1, {"ি", "ী", "া", "ো", "ে", "ব", "ত"}),
+)
+
+
+def bengali_stem(word: str) -> str:
+    for strip, sufs in _BN_SUFFIX_TIERS:
+        if len(word) > strip + 1 and word[-strip:] in sufs:
+            return word[:-strip]
+    return word
+
+
+def bengali_normalize(word: str) -> str:
+    """BengaliNormalizer.normalize (`analysis/bn/BengaliNormalizer.java:
+    36-150`): chandrabindu deletion, long→short kar vowels, khio/nga/ja-
+    phala/ba-phalaa rewrites, visarga handling, sh/na/ra conflation."""
+    s = list(word)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\u0981":                      # delete chandrabindu
+            del s[i]
+            continue
+        if c == "\u09c0":
+            s[i] = "\u09bf"
+        elif c == "\u09c2":
+            s[i] = "\u09c1"
+        elif c == "\u0995":                    # khio
+            if i + 2 < len(s) and s[i + 1] == "\u09cd" \
+                    and s[i + 2] == "\u09bf":
+                if i == 0:
+                    s[i] = "\u0996"
+                    del s[i + 2]
+                    del s[i + 1]
+                else:
+                    s[i + 1] = "\u0996"
+                    del s[i + 2]
+        elif c == "\u0999":                    # nga -> anusvara
+            s[i] = "\u0982"
+        elif c == "\u09af":                    # ja phala
+            if i - 2 == 0 and s[i - 1] == "\u09cd":
+                s[i - 1] = "\u09c7"
+                if i + 1 < len(s) and s[i + 1] == "\u09be":
+                    del s[i + 1]
+                del s[i]
+                continue
+            elif i - 1 >= 0 and s[i - 1] == "\u09cd":
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+        elif c == "\u09ac":                    # ba phalaa
+            if i == 0 or s[i - 1] != "\u09cd":
+                pass
+            elif i - 2 == 0:
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+            elif i - 5 >= 0 and s[i - 3] == "\u09cd":
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+            elif i - 2 >= 0:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                continue
+        elif c == "\u0983":                    # visarga
+            if i == len(s) - 1:
+                if len(s) <= 3:
+                    s[i] = "\u09b9"
+                else:
+                    del s[i]
+                    continue
+            else:
+                s[i] = s[i + 1]
+        elif c in ("\u09b6", "\u09b7"):       # sh conflation
+            s[i] = "\u09b8"
+        elif c == "\u09a3":                    # na
+            s[i] = "\u09a8"
+        elif c in ("\u09dc", "\u09dd"):       # ra
+            s[i] = "\u09b0"
+        elif c == "\u09ce":
+            s[i] = "\u09a4"
+        i += 1
+    return "".join(s)
+
+
+FILTERS["bengali_normalize"] = bengali_normalize
+FILTERS["bengali"] = bengali_stem

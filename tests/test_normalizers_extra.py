@@ -119,3 +119,32 @@ def test_norwegian_normalization_reference_vectors(src, want):
     from lucene_ray.analysis.filters import norwegian_normalize
 
     assert norwegian_normalize(src) == want
+
+
+def _tab_pairs(name):
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", name)
+    return [tuple(line.rstrip("\n").split("\t"))
+            for line in open(path, encoding="utf-8") if line.strip()]
+
+
+def test_bengali_normalizer_reference_vectors():
+    """TestBengaliNormalizer's complete check() set (committed fixture)."""
+    from lucene_ray.analysis.filters import bengali_normalize
+
+    pairs = _tab_pairs("bengali_normalize_cases.txt")
+    assert len(pairs) >= 15
+    for src, want in pairs:
+        assert bengali_normalize(src) == want, src
+    assert bengali_normalize("") == ""
+
+
+def test_bengali_stemmer_reference_vectors():
+    """TestBengaliStemmer's complete check() set (committed fixture)."""
+    from lucene_ray.analysis.filters import bengali_stem
+
+    pairs = _tab_pairs("bengali_stem_cases.txt")
+    assert len(pairs) >= 15
+    for src, want in pairs:
+        assert bengali_stem(src) == want, src
