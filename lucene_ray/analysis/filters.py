@@ -3150,3 +3150,69 @@ def bengali_normalize(word: str) -> str:
 
 FILTERS["bengali_normalize"] = bengali_normalize
 FILTERS["bengali"] = bengali_stem
+
+
+# ---------------------------------------------------------------------------
+# Telugu (`analysis/te/TeluguNormalizer.java`, `TeluguStemmer.java`):
+# candrabindu→bindu, visarga/zwj/zwnj deletion, long→short vowels and
+# matras, decomposed diphthong recomposition; plural/case suffix stripping.
+# ---------------------------------------------------------------------------
+
+_TE_SUFFIX_TIERS = (
+    (4, {"\u0c33\u0c4d\u0c33\u0c41", "\u0c21\u0c4d\u0c32\u0c41"}),
+    (2, {"\u0c21\u0c41", "\u0c2e\u0c41", "\u0c35\u0c41", "\u0c32\u0c41", "\u0c28\u0c3f", "\u0c28\u0c41", "\u0c1a\u0c47", "\u0c15\u0c48", "\u0c32\u0c4b", "\u0c21\u0c41", "\u0c26\u0c3f", "\u0c15\u0c3f", "\u0c38\u0c41", "\u0c35\u0c48", "\u0c2a\u0c48"}),
+    (1, {"\u0c3f", "\u0c40", "\u0c41", "\u0c42", "\u0c46", "\u0c47", "\u0c4a", "\u0c4b", "\u0c3e"}),
+)
+
+
+def telugu_stem(word: str) -> str:
+    for strip, sufs in _TE_SUFFIX_TIERS:
+        if len(word) > strip + 1 and word[-strip:] in sufs:
+            return word[:-strip]
+    return word
+
+
+def telugu_normalize(word: str) -> str:
+    s = list(word)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in ("\u0c00", "\u0c01"):        # candrabindu -> bindu
+            s[i] = "\u0c02"
+        elif c == "\u0c03" or c in ("\u200d", "\u200c"):
+            del s[i]                            # visarga / zwj / zwnj
+            continue
+        elif c == "\u0c14":
+            s[i] = "\u0c13"
+        elif c == "\u0c10":
+            s[i] = "\u0c0f"
+        elif c == "\u0c06":
+            s[i] = "\u0c05"
+        elif c == "\u0c08":
+            s[i] = "\u0c07"
+        elif c == "\u0c0a":
+            s[i] = "\u0c09"
+        elif c == "\u0c40":
+            s[i] = "\u0c3f"
+        elif c == "\u0c42":
+            s[i] = "\u0c41"
+        elif c == "\u0c47":
+            s[i] = "\u0c46"
+        elif c == "\u0c4b":
+            s[i] = "\u0c4a"
+        elif c == "\u0c46" and i + 1 < len(s) and s[i + 1] == "\u0c56":
+            s[i] = "\u0c48"                    # decomposed ai diphthong
+            del s[i + 1]
+        elif c == "\u0c12" and i + 1 < len(s):
+            if s[i + 1] == "\u0c55":
+                s[i] = "\u0c13"
+                del s[i + 1]
+            elif s[i + 1] == "\u0c4c":
+                s[i] = "\u0c14"
+                del s[i + 1]
+        i += 1
+    return "".join(s)
+
+
+FILTERS["telugu_normalize"] = telugu_normalize
+FILTERS["telugu"] = telugu_stem

@@ -148,3 +148,18 @@ def test_bengali_stemmer_reference_vectors():
     assert len(pairs) >= 15
     for src, want in pairs:
         assert bengali_stem(src) == want, src
+
+
+def test_telugu_reference_vectors():
+    """TestTeluguNormalizer / TestTeluguStemmer complete check() sets
+    (committed fixtures)."""
+    from lucene_ray.analysis.filters import telugu_normalize, telugu_stem
+
+    npairs = _tab_pairs("telugu_normalize_cases.txt")
+    spairs = _tab_pairs("telugu_stem_cases.txt")
+    assert len(npairs) == 4 and len(spairs) == 4
+    for src, want in npairs:
+        assert telugu_normalize(src) == want, src
+    for src, want in spairs:
+        assert telugu_stem(src) == want, src
+    assert telugu_normalize("") == "" and telugu_stem("") == ""
