@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_shape_count": _lazy("index_shape_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
         "index_feature_topk": _lazy("index_feature_topk"),
+        "index_distance_feature_topk": _lazy("index_distance_feature_topk"),
+        "index_geo_distfeat_topk": _lazy("index_geo_distfeat_topk"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
         "index_charfilter_count": _lazy("index_charfilter_count"),
@@ -468,6 +470,61 @@ def _geo_dist_topk_sql() -> str:
         FROM matches ORDER BY d ASC, doc_id ASC LIMIT {SORT_K}"""
 
 
+def _long_distfeat_sql() -> str:
+    """Oracle for index_distance_feature_topk: the float32
+    LongDistanceFeatureQuery score (weight widened f32->f64 exactly, the
+    saturation computed in f64, cast to FLOAT) recomputed in DuckDB —
+    ts = BASE + doc_id * 1e6, so |ts - origin| = |doc_id - 137| * 1e6."""
+    from lucene_ray.pipelines.flagship import (
+        DISTFEAT_ORIGIN_DOC,
+        DISTFEAT_PIVOT_US,
+        DISTFEAT_WEIGHT,
+        SORT_K,
+    )
+
+    p = float(DISTFEAT_PIVOT_US)
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(CAST(CAST({DISTFEAT_WEIGHT!r} AS FLOAT) AS DOUBLE)
+                      * ({p!r} / ({p!r} + CAST(abs(doc_id - {DISTFEAT_ORIGIN_DOC})
+                                              AS DOUBLE) * 1000000.0))
+                      AS FLOAT) AS score_f
+          FROM documents)
+        SELECT row_number() OVER (ORDER BY score_f DESC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               CAST(score_f AS DOUBLE) AS score
+        FROM s ORDER BY score_f DESC, doc_id ASC LIMIT {SORT_K}"""
+
+
+def _geo_distfeat_sql() -> str:
+    """Oracle for index_geo_distfeat_topk: the float32
+    LatLonPointDistanceFeatureQuery score over decoded coords, quantized
+    floor(score * 1e4) so last-ulp trig differences can't flip the hash."""
+    from lucene_ray.pipelines.flagship import (
+        GEO_DISTFEAT_PIVOT_M,
+        GEO_DISTFEAT_WEIGHT,
+        GEO_SORT_ORIGIN,
+        SORT_K,
+    )
+
+    qlat, qlon = GEO_SORT_ORIGIN
+    p = float(GEO_DISTFEAT_PIVOT_M)
+    return _geo_cte() + f""",
+        s AS (
+          SELECT doc_id,
+                 CAST(CAST(CAST({GEO_DISTFEAT_WEIGHT!r} AS FLOAT) AS DOUBLE)
+                      * ({p!r} / ({p!r} + {_haversine_sql(qlat, qlon)}))
+                      AS FLOAT) AS score_f
+          FROM dec)
+        SELECT row_number() OVER (ORDER BY score_f DESC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               floor(CAST(score_f AS DOUBLE) * 10000.0)::BIGINT AS score_q4
+        FROM s ORDER BY score_f DESC, doc_id ASC LIMIT {SORT_K}"""
+
+
 def oracle_sql() -> dict[str, str]:
     k1, b = 1.2, 0.75
     bm25_terms = ("merge", "join")
@@ -812,6 +869,8 @@ def oracle_sql() -> dict[str, str]:
         "index_shape_holes_count": _shape_holes_sql(),
         "index_geo_polygon_count": _geo_polygon_sql(),
         "index_geo_distance_topk": _geo_dist_topk_sql(),
+        "index_distance_feature_topk": _long_distfeat_sql(),
+        "index_geo_distfeat_topk": _geo_distfeat_sql(),
         "index_expr_sorted_topk": _TOKS + """
             , m AS (SELECT doc_id FROM toklists
                     WHERE list_contains(toks, 'merge')),

@@ -660,6 +660,58 @@ def index_geo_distance_topk(sf_dir: str) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64", "dist_m": "int64"})
 
 
+# LongPoint.newDistanceFeatureQuery config: origin at doc 137's ts, pivot 43s
+DISTFEAT_ORIGIN_DOC = 137
+DISTFEAT_PIVOT_US = 43_000_000
+DISTFEAT_WEIGHT = 1.8
+GEO_DISTFEAT_PIVOT_M = 250_000.0
+GEO_DISTFEAT_WEIGHT = 2.0
+
+
+def index_distance_feature_topk(sf_dir: str) -> pd.DataFrame:
+    """LongPoint.newDistanceFeatureQuery
+    (`document/LongDistanceFeatureQuery.java`): recency-style boosting —
+    top-k docs by weight * pivot/(pivot + |ts - origin|), float32 score
+    reproduced exactly by the SQL twin.  (rank, conv_id, turn_idx, score)."""
+    from ..search.feature import LongDistanceFeatureQuery
+    from ..sources.transcripts import BASE_TS_US
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    origin = BASE_TS_US + DISTFEAT_ORIGIN_DOC * 1_000_000
+    td = searcher.search(
+        LongDistanceFeatureQuery("ts", origin, DISTFEAT_PIVOT_US,
+                                 boost=DISTFEAT_WEIGHT), k=SORT_K)
+    rows = [(r, h.conv_id, int(h.turn_idx), float(h.score))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64", "score": "float64"})
+
+
+def index_geo_distfeat_topk(sf_dir: str) -> pd.DataFrame:
+    """LatLonPoint.newDistanceFeatureQuery
+    (`document/LatLonPointDistanceFeatureQuery.java`): proximity boosting —
+    every doc with a point, scored weight * pivot_m/(pivot_m + haversine_m)
+    on decoded coords.  Reports the floored meter distance alongside the
+    float32 score.  (rank, conv_id, turn_idx, dist_m, score)."""
+    import math
+
+    from ..search.geo import GeoDistanceFeatureQuery
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    qlat, qlon = GEO_SORT_ORIGIN
+    td = searcher.search(
+        GeoDistanceFeatureQuery("loc", qlat, qlon, GEO_DISTFEAT_PIVOT_M,
+                                boost=GEO_DISTFEAT_WEIGHT), k=SORT_K)
+    # score reported quantized (floor(score * 1e4)) so the oracle compare
+    # tolerates last-ulp trig differences, like the floored-meter geo sort
+    rows = [(r, h.conv_id, int(h.turn_idx),
+             int(math.floor(float(h.score) * 10_000.0)))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
+                                       "score_q4"]) \
+        .astype({"rank": "int64", "turn_idx": "int64", "score_q4": "int64"})
+
+
 def index_sorted_topk(sf_dir: str) -> pd.DataFrame:
     """Sort-by-field top-k through the index (TopFieldCollector analogue):
     docs containing 'merge', ordered by turn_idx DESC with global-docID-asc

@@ -109,3 +109,43 @@ def compute_pivot(readers, field: str) -> float:
         return 1.0
     avg_freq = np.float32(np.float64(total) / n)
     return float(decode_feature_value(np.float64(avg_freq)))
+
+
+@dataclass(frozen=True)
+class LongDistanceFeatureQuery:
+    """Distance feature over a long doc-values column
+    (`core/.../document/LongDistanceFeatureQuery.java`, built by
+    `LongPoint.newDistanceFeatureQuery`): every doc carrying the field
+    matches, scored
+
+        (float) (weight * (pivot / (pivot + (double) |value - origin|)))
+
+    with the unsigned distance clamped to Long.MAX_VALUE
+    (LongDistanceFeatureQuery.java:112-117,270-271).  ``boost`` is the
+    reference's ``weight`` (the BoostQuery the factory wraps around it)."""
+    field: str
+    origin: int
+    pivot_distance: int
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.pivot_distance <= 0:
+            raise ValueError("pivotDistance must be > 0, got %r"
+                             % (self.pivot_distance,))
+
+
+def score_long_distance(values: np.ndarray, q: LongDistanceFeatureQuery) -> np.ndarray:
+    """Vectorized LongDistanceFeatureQuery.DistanceScorer.score: unsigned
+    |value - origin| with Long.MAX_VALUE overflow clamp, then the float32
+    saturation (the float weight widens exactly to double before the
+    multiply — Java `boost * (pivotDistance / (pivotDistance + (double) d))`)."""
+    v = np.asarray(values, dtype=np.int64)
+    o = np.int64(q.origin)
+    hi = np.maximum(v, o).astype(np.uint64)
+    lo = np.minimum(v, o).astype(np.uint64)
+    dist = hi - lo                                    # exact unsigned diff
+    maxl = np.uint64((1 << 63) - 1)
+    d = np.where(dist > maxl, np.float64(maxl), dist.astype(np.float64))
+    pivot = np.float64(q.pivot_distance)
+    w = np.float64(np.float32(q.boost))
+    return (w * (pivot / (pivot + d))).astype(np.float32)

@@ -211,3 +211,47 @@ def distance_query_docs(preader, q: LatLonDistanceQuery) -> np.ndarray:
     d = haversine_meters(decode_latitude(pts[:, 0]), decode_longitude(pts[:, 1]),
                          q.lat, q.lon)
     return cand[d <= q.radius_m].astype(np.int32)
+
+
+@dataclass(frozen=True)
+class GeoDistanceFeatureQuery:
+    """LatLonPoint.newDistanceFeatureQuery analogue
+    (`core/.../document/LatLonPointDistanceFeatureQuery.java`): docs with
+    an indexed point match, scored
+
+        (float) (weight * (pivot_m / (pivot_m + haversine_meters)))
+
+    on decoded quantized coordinates (:129-130); a multi-valued doc scores
+    by its CLOSEST point (the reference's distance sort key selects the
+    minimum encoded sort key, :150,255).  ``boost`` is the factory's
+    ``weight``."""
+    field: str
+    lat: float
+    lon: float
+    pivot_m: float
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.pivot_m <= 0:
+            raise ValueError("pivotDistance must be > 0, got %r"
+                             % (self.pivot_m,))
+
+
+def geo_distance_feature_scores(preader, q: GeoDistanceFeatureQuery):
+    """(local_docs int32 sorted-unique, float32 scores) for one shard's
+    point sidecar: haversine on every (doc, point) pair, min distance per
+    doc, then the float32 saturation."""
+    docs_all = np.asarray(preader.docs)
+    if len(docs_all) == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.float32)
+    pts = np.asarray(preader.vals)
+    d = haversine_meters(decode_latitude(pts[:, 0]), decode_longitude(pts[:, 1]),
+                         q.lat, q.lon)
+    order = np.argsort(docs_all, kind="stable")
+    ds, dd = docs_all[order], d[order]
+    uniq, start = np.unique(ds, return_index=True)
+    mind = np.minimum.reduceat(dd, start)
+    w = np.float64(np.float32(q.boost))
+    sc = (w * (np.float64(q.pivot_m) / (np.float64(q.pivot_m) + mind))) \
+        .astype(np.float32)
+    return uniq.astype(np.int32), sc

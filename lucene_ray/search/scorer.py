@@ -505,6 +505,50 @@ def search_shard_feature(reader, q, pivot, k: int, after=None):
     return sc, cand, total, RELATION_EQ
 
 
+def search_shard_long_distance_feature(reader, q, k: int, after=None):
+    """LongDistanceFeatureQuery over one shard: every live doc carrying the
+    dv column matches (dense columns here — the reference iterates docs
+    with a value), scored by the float32 distance saturation
+    (`document/LongDistanceFeatureQuery.java:270-271`)."""
+    from .feature import score_long_distance
+
+    dv = np.asarray(reader.docvalue(q.field), dtype=np.int64)
+    if reader.deleted is not None:
+        cand = np.nonzero(~reader.deleted)[0].astype(np.int32)
+    else:
+        cand = np.arange(len(dv), dtype=np.int32)
+    sc = score_long_distance(dv[cand], q)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
+def search_shard_geo_distance_feature(reader, q, k: int, after=None):
+    """LatLonPointDistanceFeatureQuery over one shard: docs with an indexed
+    point, scored weight * pivot/(pivot + haversine_m) on their closest
+    point (`document/LatLonPointDistanceFeatureQuery.java:129-130`)."""
+    from .geo import geo_distance_feature_scores
+
+    pr = reader.points(q.field)
+    if pr is None or pr.n_points == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    cand, sc = geo_distance_feature_scores(pr, q)
+    if reader.deleted is not None and len(cand):
+        live = ~reader.deleted[cand]
+        cand, sc = cand[live], sc[live]
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
 def _range_field_docs(pr, q) -> np.ndarray:
     """RangeFieldQuery relations as box visits over the 2k-dim sidecar
     (first k dims store range mins, last k store maxes)."""

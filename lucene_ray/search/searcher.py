@@ -910,8 +910,17 @@ class IndexSearcher:
         if isinstance(query, DocValuesNumbersQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False, "dv_numbers": query}
-        from .feature import FeatureQuery, compute_pivot
+        from .feature import FeatureQuery, LongDistanceFeatureQuery, compute_pivot
+        from .geo import GeoDistanceFeatureQuery
 
+        if isinstance(query, LongDistanceFeatureQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "long_dist_feature": query}
+        if isinstance(query, GeoDistanceFeatureQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "geo_dist_feature": query}
         if isinstance(query, FeatureQuery):
             # FeatureField scoring query (document/FeatureField.java): a
             # saturation query without a pivot computes it at rewrite time
@@ -1277,6 +1286,16 @@ class IndexSearcher:
 
             fq, pivot = compiled["feature"]
             return search_shard_feature(rdr, fq, pivot, k, after=after)
+        if compiled.get("long_dist_feature") is not None:
+            from .scorer import search_shard_long_distance_feature
+
+            return search_shard_long_distance_feature(
+                rdr, compiled["long_dist_feature"], k, after=after)
+        if compiled.get("geo_dist_feature") is not None:
+            from .scorer import search_shard_geo_distance_feature
+
+            return search_shard_geo_distance_feature(
+                rdr, compiled["geo_dist_feature"], k, after=after)
         if compiled.get("covering") is not None:
             from .scorer import search_shard_covering
 

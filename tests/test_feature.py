@@ -250,3 +250,73 @@ def test_dv_numbers_query(ray_session, tmp_path):
                        BooleanClause(q, FILTER)))
     want_n = sum(1 for i in range(n) if "merge" in tokens[i] and want[i])
     assert s.count(bq) == want_n
+
+
+def test_long_distance_feature_query(feat_index):
+    """LongPoint.newDistanceFeatureQuery analogue
+    (`document/LongDistanceFeatureQuery.java`): score =
+    (float)(w * (pivot / (pivot + (double)|value - origin|))), every doc
+    with the dv column matches, score-desc docID-asc order."""
+    from lucene_ray.search.feature import (
+        LongDistanceFeatureQuery,
+        score_long_distance,
+    )
+
+    s, vals, enc, tokens = feat_index
+    origin, pivot = 500_000, 120_000
+    q = LongDistanceFeatureQuery("feat", origin, pivot, boost=1.8)
+    td = s.search(q, k=30)
+    assert td.total_hits == N
+    d = np.abs(enc.astype(np.int64) - origin).astype(np.float64)
+    sc = (np.float64(np.float32(1.8)) * (float(pivot) / (pivot + d))) \
+        .astype(np.float32)
+    order = np.lexsort((np.arange(N), -sc))[:30]
+    assert [h.gid for h in td.hits] == order.tolist()
+    assert np.array_equal(np.array([h.score for h in td.hits], np.float32),
+                          sc[order])
+    with pytest.raises(ValueError):
+        LongDistanceFeatureQuery("feat", 0, 0)
+
+
+def test_long_distance_overflow_clamp():
+    """|value - origin| that overflows int64 is clamped to Long.MAX_VALUE
+    (LongDistanceFeatureQuery.java:112-117)."""
+    from lucene_ray.search.feature import (
+        LongDistanceFeatureQuery,
+        score_long_distance,
+    )
+
+    lmax = (1 << 63) - 1
+    q = LongDistanceFeatureQuery("f", -lmax, 10, boost=1.0)
+    vals = np.array([lmax, lmax - 1, 0, -lmax], dtype=np.int64)
+    got = score_long_distance(vals, q)
+    # first two distances exceed Long.MAX_VALUE -> clamped (equal scores)
+    assert got[0] == got[1]
+    want0 = np.float32(np.float64(10) / (10 + np.float64(lmax)))
+    assert got[0] == want0
+    assert got[3] == np.float32(1.0)   # distance 0 -> full weight
+
+
+def test_long_distance_feature_in_boolean(feat_index):
+    """Recency-boost idiom: term MUST + distance-feature SHOULD; the SHOULD
+    clause adds its float32 score without gating matches."""
+    from lucene_ray.search.feature import LongDistanceFeatureQuery
+
+    s, vals, enc, tokens = feat_index
+    origin = 900_000
+    fq = LongDistanceFeatureQuery("feat", origin, 50_000, boost=0.9)
+    base = s.search(BooleanQuery((BooleanClause(TermQuery("merge"), SHOULD),)),
+                    k=N)
+    base_sc = {h.gid: h.score for h in base.hits}
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), SHOULD),
+                      BooleanClause(fq, SHOULD)))
+    td = s.search(q, k=N)
+    assert td.total_hits == N          # the feature clause matches every doc
+    d = np.abs(enc.astype(np.int64) - origin).astype(np.float64)
+    feat = (np.float64(np.float32(0.9)) * (50_000.0 / (50_000.0 + d))) \
+        .astype(np.float32)
+    for h in td.hits[:200]:
+        want = feat[h.gid]
+        if h.gid in base_sc:
+            want = np.float32(base_sc[h.gid]) + want
+        assert np.float32(h.score) == np.float32(want)

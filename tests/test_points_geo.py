@@ -27,6 +27,7 @@ from lucene_ray.search.geo import (
 from lucene_ray.search.query import (
     FILTER,
     MUST,
+    SHOULD,
     BooleanClause,
     BooleanQuery,
     PointInSetQuery,
@@ -544,3 +545,53 @@ def test_nearest(pt_index):
     order = np.lexsort((np.arange(N_TURNS), d))[:12]
     assert [h.gid for h in td.hits] == order.tolist()
     assert not any(nulls[h.gid] for h in td.hits)
+
+
+def test_geo_distance_feature_query(pt_index):
+    """LatLonPoint.newDistanceFeatureQuery analogue
+    (`document/LatLonPointDistanceFeatureQuery.java`): docs without a point
+    don't match; scores = (float) (w * pivot/(pivot + haversine_m)) on the
+    DECODED quantized coords, nearest-first with docID-asc ties."""
+    from lucene_ray.search.geo import GeoDistanceFeatureQuery
+
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    qlat, qlon, pivot, w = 12.0, -7.5, 300_000.0, 1.3
+    td = s.search(GeoDistanceFeatureQuery("loc", qlat, qlon, pivot, boost=w),
+                  k=25)
+    n = len(lat)
+    d = haversine_meters(decode_latitude(encode_latitude(lat)),
+                         decode_longitude(encode_longitude(lon)), qlat, qlon)
+    sc = (np.float64(np.float32(w)) * (pivot / (pivot + d))).astype(np.float32)
+    sc = np.where(nulls, -np.inf, sc)
+    assert td.total_hits == int((~nulls).sum())
+    order = np.lexsort((np.arange(n), -sc))[:25]
+    assert [h.gid for h in td.hits] == order.tolist()
+    assert np.array_equal(np.array([h.score for h in td.hits], np.float32),
+                          sc[order])
+    with pytest.raises(ValueError):
+        GeoDistanceFeatureQuery("loc", 0.0, 0.0, 0.0)
+
+
+def test_geo_distance_feature_in_boolean(pt_index):
+    """The reference idiom: text MUST clause + distance-feature SHOULD
+    clause — proximity boosts the text score."""
+    from lucene_ray.search.geo import GeoDistanceFeatureQuery
+
+    s, _, lat, lon, nulls, ts, tokens = pt_index
+    fq = GeoDistanceFeatureQuery("loc", 40.0, 3.0, 500_000.0, boost=2.0)
+    term = BooleanQuery((BooleanClause(TermQuery("merge"), MUST),))
+    base = s.search(term, k=3000)
+    base_sc = {h.gid: h.score for h in base.hits}
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), MUST),
+                      BooleanClause(fq, SHOULD)))
+    td = s.search(q, k=3000)
+    assert td.total_hits == base.total_hits        # SHOULD doesn't gate
+    d = haversine_meters(decode_latitude(encode_latitude(lat)),
+                         decode_longitude(encode_longitude(lon)), 40.0, 3.0)
+    feat = (np.float64(np.float32(2.0)) * (500_000.0 / (500_000.0 + d))) \
+        .astype(np.float32)
+    for h in td.hits:
+        want = np.float32(base_sc[h.gid])
+        if not nulls[h.gid]:
+            want = want + feat[h.gid]
+        assert np.float32(h.score) == want
