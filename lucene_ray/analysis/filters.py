@@ -2279,6 +2279,62 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                 doc = np.concatenate((doc, *add_d))
                 pos = np.concatenate((pos, *add_p))
                 incr = np.concatenate((incr, np.zeros(sum(map(len, add_t)), bool)))
+        elif spec.startswith("synmap:"):
+            # Replace-semantics synonym rules (SynonymMap keepOrig=false —
+            # what SolrSynonymParser emits for `a, b => x` mappings and for
+            # expand=false equivalence classes): matched source tokens are
+            # REMOVED and the first output token takes the source's position
+            # (posInc 1, counts toward the norm); additional outputs are
+            # posInc-0 overlays.  Multi-word sources consume every
+            # constituent (their positions become gaps — the flattened
+            # graph); multi-word OUTPUT is rejected like `syn:`.
+            rules = {}
+            for rule in spec[len("synmap:"):].split(";"):
+                if rule:
+                    src, outs = rule.split("=")
+                    rules[src] = outs.split("|")
+            remove = np.zeros(len(toks), dtype=bool)
+            add_t, add_d, add_p, add_i = [], [], [], []
+            for src, outs in rules.items():
+                if any(" " in o for o in outs):
+                    raise ValueError(
+                        "multi-word synonym OUTPUT is unsupported (index-"
+                        "side graph flattening; use a single-token alias)")
+                words = src.split(" ")
+                if len(words) == 1:
+                    hit = np.nonzero((toks == src) & incr & ~remove)[0]
+                    remove[hit] = True
+                else:
+                    oi = np.nonzero(incr & ~remove)[0]
+                    o = oi[np.lexsort((pos[oi], doc[oi]))]
+                    L, n_o = len(words), len(oi)
+                    if n_o < L:
+                        hit = np.zeros(0, dtype=np.int64)
+                    else:
+                        w_n = n_o - L + 1
+                        m = np.ones(w_n, dtype=bool)
+                        base_d, base_p = doc[o], pos[o]
+                        for j, w in enumerate(words):
+                            sl = slice(j, w_n + j)
+                            m &= toks[o[sl]] == w
+                            if j:
+                                m &= (base_d[sl] == base_d[:w_n]) \
+                                    & (base_p[sl] == base_p[:w_n] + j)
+                        hit = o[:w_n][m]
+                        for j in range(L):
+                            remove[o[j:w_n + j][m]] = True
+                for j, out in enumerate(outs):
+                    add_t.append(np.full(len(hit), out, dtype=object))
+                    add_d.append(doc[hit])
+                    add_p.append(pos[hit])
+                    add_i.append(np.full(len(hit), j == 0, dtype=bool))
+            keep = ~remove
+            toks, doc, pos, incr = toks[keep], doc[keep], pos[keep], incr[keep]
+            if add_t:
+                toks = np.concatenate((toks, *add_t))
+                doc = np.concatenate((doc, *add_d))
+                pos = np.concatenate((pos, *add_p))
+                incr = np.concatenate((incr, *add_i))
         elif spec.startswith(("edge_ngram:", "ngram:")):
             # EdgeNGramTokenFilter / NGramTokenFilter
             # (`analysis/ngram/EdgeNGramTokenFilter.java`,

@@ -36,6 +36,11 @@ def main():
                     help="per-language analyzer preset (english, german, "
                          "french, ... — see ANALYZER_PRESETS); extra "
                          "--token-filters append after it")
+    ap.add_argument("--synonyms", default="", metavar="FILE[:wordnet][:noexpand]",
+                    help="synonym rule file (Solr flat format by default, "
+                         ":wordnet for the WordNet prolog format; :noexpand "
+                         "maps classes to their first term) — appended to "
+                         "the filter chain as syn:/synmap: stages")
     ap.add_argument("--token-filters", default="",
                     help="comma-separated analyzer filters applied index+query side (ascii_fold,porter)")
     ap.add_argument("--point-cols", default="",
@@ -103,6 +108,21 @@ def main():
         from lucene_ray.analysis.filters import analyzer_preset
 
         tf = analyzer_preset(args.analyzer) + tf
+    if args.synonyms:
+        from lucene_ray.analysis.synparse import (
+            parse_solr_synonyms,
+            parse_wordnet_synonyms,
+            rules_to_specs,
+        )
+
+        parts = args.synonyms.split(":")
+        path, opts = parts[0], set(parts[1:])
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+        parse = parse_wordnet_synonyms if "wordnet" in opts \
+            else parse_solr_synonyms
+        tf = tf + tuple(rules_to_specs(parse(text,
+                                             expand="noexpand" not in opts)))
     if args.append:
         commit = append_index(ds, args.index, target_docs_per_partition=args.target_docs,
                               keyword_cols=kw or None, docvalue_cols=dv or None,
