@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_feature_topk": _lazy("index_feature_topk"),
         "index_distance_feature_topk": _lazy("index_distance_feature_topk"),
         "index_geo_distfeat_topk": _lazy("index_geo_distfeat_topk"),
+        "index_facetset_counts": _lazy("index_facetset_counts"),
         "index_sorted_topk": _lazy("index_sorted_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
         "index_charfilter_count": _lazy("index_charfilter_count"),
@@ -870,6 +871,25 @@ def oracle_sql() -> dict[str, str]:
         "index_geo_polygon_count": _geo_polygon_sql(),
         "index_geo_distance_topk": _geo_dist_topk_sql(),
         "index_distance_feature_topk": _long_distfeat_sql(),
+        # facet sets: two (a, b) sets per doc — pair counts per matcher,
+        # distinct-doc total (MatchingFacetSetsCounts semantics)
+        "index_facetset_counts": _TOKS + """,
+            m AS (SELECT doc_id FROM toklists
+                  WHERE list_contains(toks, 'merge')),
+            p AS (SELECT doc_id, doc_id % 7 AS a, doc_id % 11 AS b FROM m
+                  UNION ALL
+                  SELECT doc_id, doc_id % 5 AS a, doc_id % 13 + 8 AS b FROM m),
+            f AS (SELECT doc_id,
+                         (a = 3 AND b = 4) AS m1,
+                         (a BETWEEN 2 AND 4 AND b BETWEEN 5 AND 9) AS m2,
+                         (a BETWEEN 4 AND 6 AND b BETWEEN 8 AND 20) AS m3
+                  FROM p)
+            SELECT
+              (SELECT count(DISTINCT doc_id) FROM f
+               WHERE m1 OR m2 OR m3)::BIGINT AS total,
+              (SELECT count(*) FROM f WHERE m1)::BIGINT AS n_exact_3_4,
+              (SELECT count(*) FROM f WHERE m2)::BIGINT AS n_mid,
+              (SELECT count(*) FROM f WHERE m3)::BIGINT AS n_hi""",
         "index_geo_distfeat_topk": _geo_distfeat_sql(),
         "index_expr_sorted_topk": _TOKS + """
             , m AS (SELECT doc_id FROM toklists

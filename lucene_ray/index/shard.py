@@ -370,19 +370,44 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         keep_cols = set(key_cols) | set(docvalue_cols) | set(keyword_cols) \
             | {text_col}
         for field, dims in point_cols.items():
-            arrs = []
-            valid = np.ones(table.num_rows, dtype=bool)
-            for c in dims:
-                col = table.column(c)
-                if pa.types.is_timestamp(col.type):
-                    col = pa.compute.cast(col, pa.int64())
-                valid &= pa.compute.is_valid(col).combine_chunks() \
-                    .to_numpy(zero_copy_only=False)
-                arrs.append(col.combine_chunks()
-                            .to_numpy(zero_copy_only=False))
-            coords = np.stack([np.where(valid, a, 0) for a in arrs], axis=1) \
-                .astype(np.int64)[valid]
-            docs = np.nonzero(valid)[0].astype(np.int32)
+            if pa.types.is_list(table.column(dims[0]).type):
+                # multi-valued points (one doc, many k-dim values — the BKD
+                # model FacetSetsField rides on): every dim is a list<int64>
+                # column with per-row lengths equal across dims; a null or
+                # empty list contributes no points for that doc
+                flats, lens = [], None
+                for c in dims:
+                    col = table.column(c).combine_chunks()
+                    ln = pa.compute.fill_null(
+                        pa.compute.list_value_length(col), 0) \
+                        .to_numpy(zero_copy_only=False).astype(np.int64)
+                    if lens is None:
+                        lens = ln
+                    elif not np.array_equal(lens, ln):
+                        raise ValueError(
+                            f"point field {field!r}: per-row list lengths "
+                            f"differ between dimension columns")
+                    flats.append(pa.compute.list_flatten(col)
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64))
+                coords = np.stack(flats, axis=1) if len(flats[0]) else \
+                    np.zeros((0, len(dims)), dtype=np.int64)
+                docs = np.repeat(np.arange(table.num_rows, dtype=np.int32),
+                                 lens)
+            else:
+                arrs = []
+                valid = np.ones(table.num_rows, dtype=bool)
+                for c in dims:
+                    col = table.column(c)
+                    if pa.types.is_timestamp(col.type):
+                        col = pa.compute.cast(col, pa.int64())
+                    valid &= pa.compute.is_valid(col).combine_chunks() \
+                        .to_numpy(zero_copy_only=False)
+                    arrs.append(col.combine_chunks()
+                                .to_numpy(zero_copy_only=False))
+                coords = np.stack([np.where(valid, a, 0) for a in arrs],
+                                  axis=1).astype(np.int64)[valid]
+                docs = np.nonzero(valid)[0].astype(np.int32)
             points_meta[field] = write_points(tmp_dir, field, coords, docs)
         drop = [c for cols in point_cols.values() for c in cols
                 if c not in keep_cols and c in table.column_names]

@@ -660,6 +660,46 @@ def index_geo_distance_topk(sf_dir: str) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64", "dist_m": "int64"})
 
 
+def build_facetset_index(sf_dir: str, index_dir: str | None = None) -> str:
+    """Index variant with a multi-valued 2-dim facet-set point field `fs`
+    (two sets per doc — `facet/facetset/FacetSetsField.java` model)."""
+    from ..sources.transcripts import transcripts_with_facetsets
+
+    index_dir = index_dir or index_dir_for(sf_dir) + "-fs"
+    ds = transcripts_with_facetsets(sf_dir)
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                point_cols={"fs": ("fs_a", "fs_b")},
+                input_desc=f"documents@{sf_dir}+facetsets")
+    return index_dir
+
+
+def index_facetset_counts(sf_dir: str) -> pd.DataFrame:
+    """MatchingFacetSetsCounts (`facet/facetset/MatchingFacetSetsCounts.java`)
+    over docs containing 'merge': an ExactFacetSetMatcher and two
+    RangeFacetSetMatchers against the doc's two (a, b) sets — counts are
+    matching (doc, set) pairs, total is distinct matched docs."""
+    from ..search.facetset import (
+        DimRange,
+        ExactFacetSetMatcher,
+        RangeFacetSetMatcher,
+        facet_set_counts,
+    )
+
+    searcher = IndexSearcher(build_facetset_index(sf_dir))
+    matchers = (
+        ExactFacetSetMatcher("exact_3_4", (3, 4)),
+        RangeFacetSetMatcher("mid", (DimRange(2, 4), DimRange(5, 9))),
+        RangeFacetSetMatcher("hi", (DimRange.from_longs(3, False, 6, True),
+                                    DimRange(8, 20))),
+    )
+    r = facet_set_counts(searcher, bool_query(should=["merge"]), "fs",
+                         matchers)
+    cols = {"total": pd.Series([r["total"]], dtype="int64")}
+    for label, c in r["counts"]:
+        cols[f"n_{label}"] = pd.Series([c], dtype="int64")
+    return pd.DataFrame(cols)
+
+
 # LongPoint.newDistanceFeatureQuery config: origin at doc 137's ts, pivot 43s
 DISTFEAT_ORIGIN_DOC = 137
 DISTFEAT_PIVOT_US = 43_000_000

@@ -277,3 +277,25 @@ def synth_transcripts_tiled(n_turns: int, base_n: int = 150_000, seed: int = 42)
         made += take
         j += 1
     return tiles
+
+
+def transcripts_with_facetsets(sf_dir: str):
+    """transcripts plus two-set 2-dim facet sets (`facet/facetset/
+    FacetSetsField.java` document model): each doc carries TWO (a, b)
+    long pairs derived from doc_id — set1 = (doc_id%7, doc_id%11),
+    set2 = (doc_id%5, doc_id%13 + 8) — as equal-length list<int64>
+    dimension columns (the multi-valued point sidecar layout)."""
+    import ray.data as rd
+
+    def add_fs(batch: pa.Table) -> pa.Table:
+        t = doc_batch_to_transcripts(batch)
+        doc_id = batch.column("doc_id").to_numpy()
+        a = np.stack([doc_id % 7, doc_id % 5], axis=1).astype(np.int64)
+        b = np.stack([doc_id % 11, doc_id % 13 + 8], axis=1).astype(np.int64)
+        t = t.append_column("fs_a", pa.array(list(a)))
+        t = t.append_column("fs_b", pa.array(list(b)))
+        return t
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_fs, batch_format="pyarrow")
