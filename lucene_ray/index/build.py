@@ -82,6 +82,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 term_vectors: bool = False,
                 point_cols: dict | None = None,
                 shape_cols: dict | None = None,
+                bloom_fields: tuple = (),
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -161,6 +162,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "term_vectors": bool(term_vectors),
         "point_cols": {k: list(v) for k, v in (point_cols or {}).items()},
         "shape_cols": {k: list(v) for k, v in (shape_cols or {}).items()},
+        **({"bloom_fields": list(bloom_fields)} if bloom_fields else {}),
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -189,14 +191,15 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                             keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
                             token_filters=token_filters, vector_col=vector_col,
                             term_vectors=term_vectors, point_cols=point_cols,
-                            shape_cols=shape_cols)
+                            shape_cols=shape_cols, bloom_fields=bloom_fields)
             return pa.table({k: [v] for k, v in m.items()})
 
         if exchange == "tasks":
             new_manifests = _exchange_with_tasks(
                 block_refs, tag_pid, len(split_points) + 1, shards_dir, fp,
                 text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
-                vector_col, term_vectors, point_cols, shape_cols)
+                vector_col, term_vectors, point_cols, shape_cols,
+                bloom_fields=bloom_fields)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -219,6 +222,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "term_vectors": bool(term_vectors),
         "point_cols": {k: list(v) for k, v in (point_cols or {}).items()},
         "shape_cols": {k: list(v) for k, v in (shape_cols or {}).items()},
+        "bloom_fields": list(bloom_fields),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -277,7 +281,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                          text_col: str, key_cols, keyword_cols=(),
                          docvalue_cols=(), token_filters=(),
                          vector_col=None, term_vectors=False,
-                         point_cols=None, shape_cols=None) -> list[dict]:
+                         point_cols=None, shape_cols=None,
+                         bloom_fields=()) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -295,7 +300,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
         return _exchange_two_level(block_refs, tag_pid, n_parts, shards_dir, fp,
                                    text_col, key_cols, keyword_cols,
                                    docvalue_cols, token_filters, vector_col,
-                                   term_vectors, point_cols, shape_cols)
+                                   term_vectors, point_cols, shape_cols,
+                                   bloom_fields=bloom_fields)
 
     def _compact(tbl: pa.Table) -> pa.Table:
         # CRITICAL: pickling a sliced Arrow table serializes the WHOLE parent
@@ -327,7 +333,7 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                            keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
                            token_filters=token_filters, vector_col=vector_col,
                            term_vectors=term_vectors, point_cols=point_cols,
-                           shape_cols=shape_cols)
+                           shape_cols=shape_cols, bloom_fields=bloom_fields)
 
     # several blocks per split task: fewer (task, object) overheads while
     # keeping enough tasks to fill the CPU pool
@@ -348,7 +354,8 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                         fp: str, text_col: str, key_cols, keyword_cols=(),
                         docvalue_cols=(), token_filters=(),
                         vector_col=None, term_vectors=False,
-                        point_cols=None, shape_cols=None) -> list[dict]:
+                        point_cols=None, shape_cols=None,
+                        bloom_fields=()) -> list[dict]:
     """Two-level exchange for large partition counts (block → coarse bucket →
     shards): split tasks return one object per COARSE bucket (contiguous pid
     range), and one flush task per bucket re-splits its data by pid and
@@ -407,7 +414,8 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                 text_col=text_col, key_cols=key_cols, keyword_cols=keyword_cols,
                 docvalue_cols=docvalue_cols, token_filters=token_filters,
                 vector_col=vector_col, term_vectors=term_vectors,
-                point_cols=point_cols, shape_cols=shape_cols))
+                point_cols=point_cols, shape_cols=shape_cols,
+                bloom_fields=bloom_fields))
         return manifests
 
     per_task = max(1, len(block_refs) // (2 * n_cpus))
@@ -568,6 +576,8 @@ def append_index(ds, index_dir: str, *, input_desc: str,
     if term_vectors is None:
         # inherit so appended shards stay term-vector-complete
         term_vectors = bool(prev.get("term_vectors", False))
+    # inherit bloom sidecar fields so appended shards stay prunable
+    bloom_fields = tuple(prev.get("bloom_fields", ()))
     pid_offset = 1 + max(m["pid"] for m in prev["shards"])
 
     n_total = ds.count()
@@ -606,7 +616,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         new_manifests = _exchange_with_tasks(
             block_refs, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
             text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
-            term_vectors=term_vectors)
+            term_vectors=term_vectors, bloom_fields=bloom_fields)
         for m in new_manifests:
             done[int(m["pid"])] = dict(m)
 

@@ -107,6 +107,22 @@ def check_index(index_dir: str, sample_terms: int | None = None,
                     errors.append(f"shard {m['pid']}: hnsw node id out of range")
                 if g.entry >= rdr.doc_count:
                     errors.append(f"shard {m['pid']}: hnsw entry out of range")
+        # bloom sidecars (when stored): a FuzzySet can answer NO only for
+        # absent terms — every indexed term of the field must be MAYBE
+        for bfield, bmeta in (m.get("blooms") or {}).items():
+            from .shard import KEYWORD_SEP
+
+            bf = rdr._bloom(bfield)
+            prefix = f"{bfield}{KEYWORD_SEP}"
+            a = int(np.searchsorted(rdr._term_np, prefix))
+            b = int(np.searchsorted(rdr._term_np,
+                                    bfield + chr(ord(KEYWORD_SEP) + 1)))
+            if b - a != int(bmeta.get("n_terms", b - a)):
+                errors.append(f"shard {m['pid']}: bloom n_terms "
+                              f"{bmeta.get('n_terms')} != dict slice {b - a}")
+            if b > a and not bf.contains(rdr._term_np[a:b].tolist()).all():
+                errors.append(f"shard {m['pid']}: bloom false negative "
+                              f"in field {bfield!r}")
         # term vectors (when stored): the doc-major transpose must agree
         # with the postings — for sampled docs, every (term, freq) pair in
         # the vector appears as (doc, freq) in that term's posting list

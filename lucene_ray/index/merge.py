@@ -410,6 +410,8 @@ def _merge_group(index_dir: str, members: list[dict], pid: int,
         range_cols=range_cols, doc_count_field=doc_count_field,
         sum_ttf=sum_ttf, vector_dim=vector_dim, vector_scale=vector_scale,
         term_vectors=want_tv, fingerprint=fp,
+        bloom_fields=tuple(sorted({f for m in members
+                                   for f in (m.get("blooms") or {})})),
         extra={"dir": dirname, "merged_from": [int(m["pid"]) for m in members],
                **({"points": points_meta} if points_meta else {}),
                **({"shapes": shapes_meta} if shapes_meta else {})})

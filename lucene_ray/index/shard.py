@@ -294,7 +294,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 vector_graph: bool = True,
                 term_vectors: bool = False,
                 point_cols: dict | None = None,
-                shape_cols: dict | None = None) -> dict:
+                shape_cols: dict | None = None,
+                bloom_fields: tuple = ()) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -560,6 +561,7 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         sum_ttf=int(lengths.astype(np.int64).sum()),
         vector_dim=vector_dim, vector_scale=vector_scale,
         term_vectors=term_vectors, fingerprint=fingerprint,
+        bloom_fields=bloom_fields,
         extra=_sidecar_extra(points_meta, shapes_meta))
 
 
@@ -585,6 +587,7 @@ def _persist_shard(tmp_dir: str, final_dir: str, pid: int, terms,
                    doc_count_field: int, sum_ttf: int,
                    vector_dim: int = 0, vector_scale=None,
                    term_vectors: bool = False, fingerprint: str = "",
+                   bloom_fields: tuple = (),
                    extra: dict | None = None) -> dict:
     """Encode + persist one shard from its inversion arrays — the codec-write
     half of the flush, shared by ``write_shard`` and the SegmentMerger path
@@ -781,6 +784,16 @@ def _persist_shard(tmp_dir: str, final_dir: str, pid: int, terms,
             dv_sums[c] = [int(arr[arr > 0].sum()), int((arr > 0).sum())]
     pq.write_table(docmap_tbl, os.path.join(tmp_dir, DOCMAP_FILE))
 
+    blooms = {}
+    if bloom_fields:
+        # FuzzySet term sidecars for primary-key fields
+        # (`codecs/bloom/BloomFilteringPostingsFormat.java`) — built from
+        # the sorted dictionary's per-field prefix slice
+        from .bloom import write_field_blooms
+
+        blooms = write_field_blooms(tmp_dir, np.asarray(terms, dtype=object),
+                                    n_docs, bloom_fields, KEYWORD_SEP)
+
     manifest = {
         "pid": int(pid),
         "doc_count": int(n_docs),
@@ -796,6 +809,7 @@ def _persist_shard(tmp_dir: str, final_dir: str, pid: int, terms,
         "dv_sums": dv_sums,
         "fingerprint": fingerprint,
         "status": "committed",
+        **({"blooms": blooms} if blooms else {}),
         **(extra or {}),
     }
     with open(os.path.join(tmp_dir, MANIFEST_FILE), "w") as f:
@@ -929,11 +943,37 @@ class ShardReader:
 
     def seek_exact(self, term: str) -> int:
         """Sorted-term binary search (block-tree seekExact equivalent,
-        `blocktree/Lucene90BlockTreeTermsReader.java:341`); -1 if absent."""
+        `blocktree/Lucene90BlockTreeTermsReader.java:341`); -1 if absent.
+        Fields with a bloom sidecar check it first
+        (`codecs/bloom/BloomFilteringPostingsFormat.java` TermsEnum: a NO
+        skips the dictionary probe — the shard-pruning path for
+        primary-key lookups)."""
+        blooms = self.manifest.get("blooms")
+        if blooms and KEYWORD_SEP in term:
+            field = term.split(KEYWORD_SEP, 1)[0]
+            bf = self._bloom(field)
+            if bf is not None and not bf.contains_one(term):
+                return -1
         i = int(np.searchsorted(self._term_np, term))
         if i < len(self._term_np) and self._term_np[i] == term:
             return i
         return -1
+
+    def _bloom(self, field: str):
+        """Lazy-loaded BloomFilter for a field; None when absent."""
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        if field not in cache:
+            meta = (self.manifest.get("blooms") or {}).get(field)
+            if meta is None:
+                cache[field] = None
+            else:
+                from .bloom import BloomFilter
+
+                cache[field] = BloomFilter.load(
+                    os.path.join(self.dir, meta["file"]))
+        return cache[field]
 
     def term_stats(self, tid: int) -> tuple[int, int]:
         return int(self._df[tid]), int(self._ttf[tid])

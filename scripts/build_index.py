@@ -36,6 +36,9 @@ def main():
                     help="per-language analyzer preset (english, german, "
                          "french, ... — see ANALYZER_PRESETS); extra "
                          "--token-filters append after it")
+    ap.add_argument("--bloom-cols", default="",
+                    help="comma-separated keyword columns that get a "
+                         "per-shard bloom-filter term sidecar (PK lookups)")
     ap.add_argument("--synonyms", default="", metavar="FILE[:wordnet][:noexpand]",
                     help="synonym rule file (Solr flat format by default, "
                          ":wordnet for the WordNet prolog format; :noexpand "
@@ -133,6 +136,8 @@ def main():
                              keyword_cols=kw, docvalue_cols=dv, token_filters=tf,
                              vector_col=args.vector_col or None,
                              point_cols=point_cols or None,
+                             bloom_fields=tuple(
+                                 c for c in args.bloom_cols.split(",") if c),
                              input_desc=f"cli:{args.input}")
     if args.force_merge:
         from lucene_ray.index.merge import force_merge
