@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_payload_topk": _lazy("index_payload_topk"),
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
+        "index_pk_bloom_count": _lazy("index_pk_bloom_count"),
         "index_delete_count": _lazy("index_delete_count"),
         "index_delete_query_count": _lazy("index_delete_query_count"),
         "index_dv_update_count": _lazy("index_dv_update_count"),
@@ -813,6 +814,15 @@ def oracle_sql() -> dict[str, str]:
         "index_keyword_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE doc_id % 4 = 0 AND list_contains(toks, 'merge')""",
+        # pk = 'doc-%09d' % doc_id (unique per doc), bloom-gated seekExact
+        "index_pk_bloom_count": """
+            SELECT
+              (SELECT count(*) FROM documents
+               WHERE doc_id = 117)::BIGINT AS n_present,
+              (SELECT count(*) FROM documents
+               WHERE doc_id = 999999999)::BIGINT AS n_absent,
+              (SELECT count(*) FROM documents
+               WHERE doc_id IN (1, 5, 42, 999999999))::BIGINT AS n_in_set""",
         "bucketed_join": """
             SELECT d.doc_id, d.lang, e.label
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",

@@ -183,6 +183,58 @@ def index_keyword_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
 
 
+def index_pk_bloom_count(sf_dir: str) -> pd.DataFrame:
+    """Primary-key lookups through per-shard bloom-filter term sidecars
+    (`codecs/bloom/BloomFilteringPostingsFormat.java` +
+    `DefaultBloomFilterFactory.java`): the index stores one FuzzySet per
+    shard for the unique `pk` keyword field, and seekExact consults it
+    before the terms dictionary — at 100-TB scale the shards NOT holding a
+    key answer NO from the in-memory filter without an mmap dictionary
+    probe.  Counts: one present key, one absent key, and a TermInSetQuery
+    mixing both."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..index.build import build_index as _build
+    from ..index.shard import keyword_term
+    from ..search.query import FILTER, BooleanClause, BooleanQuery
+    from ..search.query import TermInSetQuery, TermQuery
+    from ..sources.transcripts import doc_batch_to_transcripts
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        t = doc_batch_to_transcripts(batch)
+        pk = [f"doc-{d:09d}" for d in batch.column("doc_id").to_pylist()]
+        return t.append_column("pk", pa.array(pk, type=pa.string()))
+
+    index_dir = index_dir_for(sf_dir) + "-bloom"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    _build(ds.map_batches(add_pk, batch_format="pyarrow"), index_dir,
+           target_docs_per_partition=100_000, keyword_cols=("pk",),
+           bloom_fields=("pk",), input_desc=f"documents@{sf_dir}+pkbloom")
+    searcher = IndexSearcher(index_dir)
+    # the entry is only meaningful if every shard actually carries the
+    # sidecar the seekExact fast path reads
+    for pid in searcher._pids:
+        assert "pk" in (searcher.reader(pid).manifest.get("blooms") or {}), \
+            f"shard {pid} missing pk bloom sidecar"
+
+    def count_term(value: str) -> int:
+        return searcher.count(BooleanQuery((BooleanClause(
+            TermQuery(keyword_term("pk", value)), FILTER),)))
+
+    n_present = count_term("doc-000000117")
+    n_absent = count_term("doc-999999999")
+    n_in_set = searcher.count(BooleanQuery((BooleanClause(
+        TermInSetQuery(tuple(keyword_term("pk", v) for v in
+                             ("doc-000000001", "doc-000000005",
+                              "doc-000000042", "doc-999999999"))),
+        FILTER),)))
+    return pd.DataFrame({"n_present": pd.Series([n_present], dtype="int64"),
+                         "n_absent": pd.Series([n_absent], dtype="int64"),
+                         "n_in_set": pd.Series([n_in_set], dtype="int64")})
+
+
 def index_bm25_topk(sf_dir: str, use_actors: bool = False) -> pd.DataFrame:
     """Run the reference query set; (query_id, rank, conv_id, turn_idx, score)."""
     index_dir = build_transcript_index(sf_dir)
