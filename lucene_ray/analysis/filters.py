@@ -2794,6 +2794,123 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
             doc = np.array(out_d, dtype=np.int64)
             pos = np.zeros(len(toks), dtype=np.int32)
             incr = np.ones(len(toks), dtype=bool)
+        elif spec.startswith("min_hash"):
+            # MinHashFilter (`analysis/minhash/MinHashFilter.java:47-248`):
+            # consume each doc's whole stream (typically 5-word shingles),
+            # murmur3_x64_128 each term's UTF-16LE bytes, rehash per hash
+            # index i via combineOrdered(hash, murmur128(int32_be(i))) =
+            # val*37 + intHash(i).val, bucket by the high-32 range split,
+            # and keep the hashSetSize unsigned-smallest (val2, val1) pairs
+            # per (i, bucket).  withRotation (hashSetSize==1) fills every
+            # empty bucket from the next non-empty bucket cyclically.
+            # The Java payload is the char sequence [int0/1(i) when
+            # hashCount>1] + long0..3(val2) + long0..1(val1) [+ long2/3(val1)
+            # when hashCount==1]; first token posInc 1, rest 0.  Payload
+            # code units are arbitrary 16-bit values including LONE
+            # SURROGATES — legal in Java terms, not in UTF-8 — so the
+            # default emission re-encodes each payload 1:1 as %04x hex
+            # (documented divergence: terms must survive the UTF-8 parquet
+            # dictionary); the ``chars`` flag emits Java-exact char
+            # payloads for parity tests / surrogate-free uses.
+            from ..util.hashing import murmur3_128, murmur3_128_batch
+
+            # spec: min_hash[:hc-bc-hss[-rotate][-chars]] ('-' separators so
+            # the comma-separated --token-filters CLI list stays intact)
+            opts = spec.split(":", 1)[1].replace(",", "-").split("-") \
+                if ":" in spec else []
+            flags = {o for o in opts if o in ("rotate", "hex", "chars")}
+            nums = [o for o in opts if o not in flags]
+            hc = int(nums[0]) if len(nums) > 0 else 1
+            bc = int(nums[1]) if len(nums) > 1 else 512
+            hss = int(nums[2]) if len(nums) > 2 else 1
+            rotate, as_hex = "rotate" in flags, "chars" not in flags
+            if min(hc, bc, hss) <= 0:
+                raise ValueError("min_hash params must be > 0")
+            bucket_size = ((1 << 32) + bc - 1) // bc
+            uniq_mh, inv_mh = np.unique(toks.astype(str), return_inverse=True)
+            u1, u2 = murmur3_128_batch(
+                [u.encode("utf-16-le") for u in uniq_mh])
+            # one contribution per distinct (doc, term): the per-bucket
+            # TreeSet collapses equal rehashed values
+            pair_key = doc * len(uniq_mh) + inv_mh
+            upair = np.unique(pair_key)
+            dd0 = upair // len(uniq_mh)
+            tt0 = upair % len(uniq_mh)
+            with np.errstate(over="ignore"):
+                C37 = np.uint64(37)
+                parts = []
+                for i in range(hc):
+                    ih1, ih2 = murmur3_128(i.to_bytes(4, "big"))
+                    rv1 = u1[tt0] * C37 + np.uint64(ih1)
+                    rv2 = u2[tt0] * C37 + np.uint64(ih2)
+                    bk = ((rv2 >> np.uint64(32)).astype(np.int64)
+                          // bucket_size)
+                    parts.append((dd0, np.full(len(dd0), i, np.int64),
+                                  bk, rv2, rv1))
+            dd = np.concatenate([p[0] for p in parts])
+            ii = np.concatenate([p[1] for p in parts])
+            bk = np.concatenate([p[2] for p in parts])
+            rv2 = np.concatenate([p[3] for p in parts])
+            rv1 = np.concatenate([p[4] for p in parts])
+            o_mh = np.lexsort((rv1, rv2, bk, ii, dd))
+            dd, ii, bk = dd[o_mh], ii[o_mh], bk[o_mh]
+            rv2, rv1 = rv2[o_mh], rv1[o_mh]
+            # rank within (doc, i, bucket); keep rank < hashSetSize
+            gkey = np.ones(len(dd), dtype=bool)
+            if len(dd) > 1:
+                gkey[1:] = ((dd[1:] != dd[:-1]) | (ii[1:] != ii[:-1])
+                            | (bk[1:] != bk[:-1]))
+            gs_mh = np.nonzero(gkey)[0]
+            glen_mh = np.diff(np.concatenate((gs_mh, [len(dd)])))
+            rank = np.arange(len(dd)) - np.repeat(gs_mh, glen_mh)
+            keep_mh = rank < hss
+            dd, ii, bk = dd[keep_mh], ii[keep_mh], bk[keep_mh]
+            rv2, rv1 = rv2[keep_mh], rv1[keep_mh]
+            if rotate and hss == 1:
+                # bucketLoop-ascending fill == value of the next ORIGINALLY
+                # non-empty bucket scanning forward cyclically (earlier
+                # fills only relay that same value): searchsorted on the
+                # present buckets per (doc, i) group, wrap to the first
+                hkey = np.ones(len(dd), dtype=bool)
+                if len(dd) > 1:
+                    hkey[1:] = (dd[1:] != dd[:-1]) | (ii[1:] != ii[:-1])
+                hs = np.nonzero(hkey)[0]
+                hlen = np.diff(np.concatenate((hs, [len(dd)])))
+                gidx = np.repeat(np.arange(len(hs)), hlen)
+                # global-coordinate searchsorted: shift each group into its
+                # own bc-sized window
+                pres = bk + gidx * np.int64(bc)
+                want_b = np.tile(np.arange(bc, dtype=np.int64), len(hs))
+                want_g = np.repeat(np.arange(len(hs)), bc)
+                loc = np.searchsorted(pres, want_b + want_g * np.int64(bc))
+                grp_end = np.repeat(hs + hlen, bc)
+                grp_start = np.repeat(hs, bc)
+                src = np.where(loc < grp_end, loc, grp_start)
+                dd = np.repeat(dd[hs], bc)
+                ii = np.repeat(ii[hs], bc)
+                bk = want_b
+                rv2, rv1 = rv2[src], rv1[src]
+
+            def _mh_term(i_h: int, v2: int, v1: int) -> str:
+                cu = []
+                if hc > 1:
+                    cu += [(i_h >> 16) & 0xFFFF, i_h & 0xFFFF]
+                cu += [(v2 >> s) & 0xFFFF for s in (48, 32, 16, 0)]
+                cu += [(v1 >> 48) & 0xFFFF, (v1 >> 32) & 0xFFFF]
+                if hc == 1:
+                    cu += [(v1 >> 16) & 0xFFFF, v1 & 0xFFFF]
+                if as_hex:
+                    return "".join(f"{c:04x}" for c in cu)
+                return "".join(chr(c) for c in cu)
+
+            toks = np.array([_mh_term(int(i_h), int(v2), int(v1))
+                             for i_h, v2, v1 in zip(ii, rv2, rv1)],
+                            dtype=object)
+            doc = dd
+            pos = np.zeros(len(toks), dtype=np.int32)
+            incr = np.zeros(len(toks), dtype=bool)
+            if len(doc):
+                incr[np.concatenate(([True], doc[1:] != doc[:-1]))] = True
         elif spec.startswith("word_delimiter"):
             # WordDelimiterGraphFilter default flags (`analysis/miscellaneous/
             # WordDelimiterGraphFilter.java` + WordDelimiterIterator.java:

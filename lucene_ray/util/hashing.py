@@ -133,3 +133,111 @@ def murmur64_str(s: str, seed: int = MURMUR_SEED) -> int:
     h = (h * M) & mask
     h ^= h >> 47
     return h
+
+
+# MurmurHash3 x64 128-bit (`analysis/minhash/MinHashFilter.java:414`
+# murmurhash3_x64_128, the Austin Appleby algorithm over byte arrays;
+# Lucene's MinHashFilter hashes each term's UTF-16LE bytes with seed 0)
+_C1_128 = np.uint64(0x87C37B91114253D5)
+_C2_128 = np.uint64(0x4CF5AD432745937F)
+_FMIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix64_np(k: np.ndarray) -> np.ndarray:
+    k ^= k >> np.uint64(33)
+    k *= _FMIX1
+    k ^= k >> np.uint64(33)
+    k *= _FMIX2
+    k ^= k >> np.uint64(33)
+    return k
+
+
+def murmur3_128_batch(items: list[bytes], seed: int = 0
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized murmurhash3_x64_128 over a list of byte strings;
+    returns (h1, h2) uint64 arrays (Java's LongPair.val1/val2)."""
+    n = len(items)
+    if n == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
+    lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=n)
+    width = max(16, int(((lens.max() + 15) // 16) * 16))
+    data = np.zeros((n, width), dtype=np.uint8)
+    for i, b in enumerate(items):
+        if b:
+            data[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    le_words = data.view("<u8").astype(np.uint64)   # (n, width//8) LE longs
+    with np.errstate(over="ignore"):
+        h1 = np.full(n, np.uint64(seed & 0xFFFFFFFF))
+        h2 = h1.copy()
+        nblocks = lens >> 4
+        for i in range(int(nblocks.max())):
+            m = nblocks > i
+            k1 = le_words[m, 2 * i].copy()
+            k2 = le_words[m, 2 * i + 1].copy()
+            k1 *= _C1_128
+            k1 = _rotl64(k1, 31)
+            k1 *= _C2_128
+            h1m = h1[m] ^ k1
+            h1m = _rotl64(h1m, 27)
+            h1m += h2[m]
+            h1m = h1m * np.uint64(5) + np.uint64(0x52DCE729)
+            k2 *= _C2_128
+            k2 = _rotl64(k2, 33)
+            k2 *= _C1_128
+            h2m = h2[m] ^ k2
+            h2m = _rotl64(h2m, 31)
+            h2m += h1m
+            h2m = h2m * np.uint64(5) + np.uint64(0x38495AB5)
+            h1[m], h2[m] = h1m, h2m
+        # tail (len & 15 bytes after the rounded end); the Java switch
+        # mixes k2 only when rem > 8 and k1 from the first min(rem, 8)
+        rem = (lens & 15).astype(np.int64)
+        base = (nblocks << 4).astype(np.int64)
+        rows = np.arange(n)
+        k1 = np.zeros(n, dtype=np.uint64)
+        k2 = np.zeros(n, dtype=np.uint64)
+        for j in range(8, 15):
+            m = rem > j
+            if m.any():
+                k2[m] |= data[rows[m], base[m] + j].astype(np.uint64) \
+                    << np.uint64(8 * (j - 8))
+        m2 = rem > 8
+        if m2.any():
+            t = k2[m2]
+            t *= _C2_128
+            t = _rotl64(t, 33)
+            t *= _C1_128
+            h2[m2] ^= t
+        for j in range(0, 8):
+            m = rem > j
+            if m.any():
+                k1[m] |= data[rows[m], base[m] + j].astype(np.uint64) \
+                    << np.uint64(8 * j)
+        m1 = rem > 0
+        if m1.any():
+            t = k1[m1]
+            t *= _C1_128
+            t = _rotl64(t, 31)
+            t *= _C2_128
+            h1[m1] ^= t
+        h1 ^= lens.astype(np.uint64)
+        h2 ^= lens.astype(np.uint64)
+        h1 += h2
+        h2 += h1
+        h1 = _fmix64_np(h1)
+        h2 = _fmix64_np(h2)
+        h1 += h2
+        h2 += h1
+    return h1, h2
+
+
+def murmur3_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """Scalar twin of :func:`murmur3_128_batch` (bit-identical)."""
+    h1, h2 = murmur3_128_batch([data], seed)
+    return int(h1[0]), int(h2[0])
