@@ -334,7 +334,50 @@ def tokenize_text(text: str, tokenizer: str) -> list[str]:
             if prefix:
                 toks.append(prefix)
         return toks
+    if tokenizer.startswith("edge_ngram"):
+        # EdgeNGramTokenizer (`analysis/ngram/EdgeNGramTokenizer.java`):
+        # prefixes of the whole input, lengths minGram..maxGram, counted
+        # in codepoints (Python len)
+        lo, hi = _ngram_bounds(tokenizer, "edge_ngram")
+        return [text[:k] for k in range(lo, min(hi, len(text)) + 1)]
+    if tokenizer.startswith("ngram"):
+        # NGramTokenizer (`analysis/ngram/NGramTokenizer.java`): all grams
+        # grouped by start offset, increasing length ("a","ab","abc","b",..)
+        lo, hi = _ngram_bounds(tokenizer, "ngram")
+        n = len(text)
+        return [text[i:i + k]
+                for i in range(n)
+                for k in range(lo, min(hi, n - i) + 1)]
+    if tokenizer.startswith("simple_pattern_split:"):
+        # SimplePatternSplitTokenizer (`analysis/pattern/
+        # SimplePatternSplitTokenizer.java`): the pattern matches the
+        # SEPARATORS; tokens are the non-empty runs between matches
+        rx = _pattern_rx(tokenizer[len("simple_pattern_split:"):])
+        return [t for t in rx.split(text) if t]
+    if tokenizer.startswith("simple_pattern:"):
+        # SimplePatternTokenizer (`analysis/pattern/
+        # SimplePatternTokenizer.java`): the pattern matches the TOKENS
+        rx = _pattern_rx(tokenizer[len("simple_pattern:"):])
+        return [m for m in rx.findall(text) if m]
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def _ngram_bounds(tokenizer: str, name: str) -> tuple[int, int]:
+    spec = tokenizer[len(name):]
+    if spec.startswith(":"):
+        lo_s, hi_s = spec[1:].split("-")
+        lo, hi = int(lo_s), int(hi_s)
+    else:
+        lo, hi = (1, 2) if name == "edge_ngram" else (1, 2)
+    if lo < 1 or hi < lo:
+        raise ValueError(f"invalid {name} bounds {lo}-{hi}")
+    return lo, hi
+
+
+def _pattern_rx(pat: str):
+    import re as _re
+
+    return _re.compile(pat)
 
 
 def tokenize_column_alt(col, tokenizer: str):

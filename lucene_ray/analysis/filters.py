@@ -2227,13 +2227,59 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                 pa.array(toks, type=pa.string()), markers + spec),
                 dtype=object)
             markers += [s for s in spec if s.startswith("keyword_marker:")]
-        elif spec.startswith("length:"):
-            # LengthFilter (`analysis/miscellaneous/LengthFilter.java`):
-            # out-of-bounds tokens drop, leaving position gaps
+        elif spec.startswith("length:") or spec.startswith("codepoint_count:"):
+            # LengthFilter (`analysis/miscellaneous/LengthFilter.java`) counts
+            # UTF-16 code units (Java char length); CodepointCountFilter
+            # (`miscellaneous/CodepointCountFilter.java`) counts Unicode
+            # codepoints (Python len).  Out-of-bounds tokens drop, leaving
+            # position gaps.
             lo_n, hi_n = (int(x) for x in spec.split(":")[1].split("-"))
-            ln = np.array([len(w) for w in toks], dtype=np.int64)
+            if spec.startswith("codepoint_count:"):
+                ln = np.array([len(w) for w in toks], dtype=np.int64)
+            else:
+                ln = np.array([len(w) + sum(1 for c in w if ord(c) > 0xFFFF)
+                               for w in toks], dtype=np.int64)
             keep = (ln >= lo_n) & (ln <= hi_n)
             toks, doc, pos, incr = toks[keep], doc[keep], pos[keep], incr[keep]
+        elif spec.startswith("type_token:"):
+            # TypeTokenFilter (`analysis/core/TypeTokenFilter.java`): keep
+            # (whitelist) or drop tokens by type.  The columnar chain does
+            # not carry the tokenizer's TypeAttribute, so types are
+            # RECLASSIFIED from token content with the StandardTokenizer
+            # type rules (`standard.py token_type`) — equivalent for
+            # standard-tokenized streams, documented divergence for graph
+            # stages that synthesize tokens.
+            from .standard import token_type as _ttype
+
+            _, mode_tt, types_tt = spec.split(":", 2)
+            if mode_tt not in ("keep", "drop"):
+                raise ValueError("type_token:<keep|drop>:<T1|T2|...>")
+            tset = set(types_tt.split("|"))
+            uq_tt, inv_tt = np.unique(toks.astype(str), return_inverse=True)
+            in_set = np.array([_ttype(w) in tset for w in uq_tt])[inv_tt]
+            keep = in_set if mode_tt == "keep" else ~in_set
+            toks, doc, pos, incr = toks[keep], doc[keep], pos[keep], incr[keep]
+        elif spec.startswith("delimited_tf"):
+            # DelimitedTermFrequencyTokenFilter (`analysis/miscellaneous/
+            # DelimitedTermFrequencyTokenFilter.java`): "foo|5" -> term
+            # "foo" with termFrequency 5.  The reference requires
+            # DOCS_AND_FREQS (no positions); this engine always stores
+            # positions, so the tf is realized as tf same-position copies —
+            # freq, totalTermFreq and the norm length all see tf exactly
+            # like Lucene's FieldInvertState (which adds termFrequency to
+            # length); the duplicate positions are unobservable without
+            # phrase queries, which the reference forbids on such fields.
+            delim_tf = spec.split(":", 1)[1] if ":" in spec else "|"
+            sp_tf = [str(w).split(delim_tf, 1) for w in toks]
+            base_tf = np.array([p[0] for p in sp_tf], dtype=object)
+            reps = np.array([int(p[1]) if len(p) > 1 else 1 for p in sp_tf],
+                            dtype=np.int64)
+            if (reps < 1).any():
+                raise ValueError("delimited_tf frequency must be >= 1")
+            toks = np.repeat(base_tf, reps)
+            doc = np.repeat(doc, reps)
+            pos = np.repeat(pos, reps)
+            incr = np.repeat(incr, reps)
         elif spec.startswith("stop:"):
             keep = ~np.isin(toks, np.asarray(_parse_stop(spec), dtype=object))
             toks, doc, pos, incr = toks[keep], doc[keep], pos[keep], incr[keep]
@@ -3065,6 +3111,19 @@ def english_possessive(word: str) -> str:
 
 
 FILTERS["english_possessive"] = english_possessive
+
+
+def apostrophe(word: str) -> str:
+    """ApostropheFilter (`analysis/tr/ApostropheFilter.java`): truncate at
+    the first ASCII or right-single-quote apostrophe (Turkish proper-noun
+    suffixes: Türkiye'de -> Türkiye)."""
+    for i, ch in enumerate(word):
+        if ch in ("'", "’"):
+            return word[:i]
+    return word
+
+
+FILTERS["apostrophe"] = apostrophe
 
 # per-language analyzer presets — the filter half of the reference's
 # per-language Analyzers (`analysis/<lang>/<Lang>Analyzer.java`

@@ -169,6 +169,19 @@ _STARTER = re.compile(
     + "0-9#*]")
 
 
+def token_type(term: str) -> str:
+    """Classify a single (already extracted) token with the scanner's typed
+    rule order — the TypeAttribute a StandardTokenizer would have assigned
+    (`standard/StandardTokenizer.java:43-57` type table).  Used by the
+    TypeTokenFilter stage, which reclassifies because the columnar chain
+    does not carry types."""
+    for rx, typ in _RULES:
+        m = rx.match(term)
+        if m and m.end() == len(term):
+            return typ
+    return ALPHANUM
+
+
 def scan(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH) -> Iterator[tuple[str, int, int, str]]:
     """Yield (token_text, start_offset, end_offset, type) per UAX#29.
 
