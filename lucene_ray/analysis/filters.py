@@ -2840,6 +2840,36 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
             doc = np.array(out_d, dtype=np.int64)
             pos = np.zeros(len(toks), dtype=np.int32)
             incr = np.ones(len(toks), dtype=bool)
+        elif spec.startswith("hunspell:"):
+            # HunspellStemFilter (`analysis/hunspell/HunspellStemFilter.java`):
+            # all unique affix-dictionary stems per token — the first stem
+            # replaces the token, additional stems overlay at posInc 0;
+            # unknown words pass through.  Spec:
+            # hunspell:<aff_path>:<dic_path>[:longest]
+            from .hunspell import filter_stems, load_dictionary
+
+            hs_parts = spec.split(":")
+            longest_hs = hs_parts[-1] == "longest"
+            if longest_hs:
+                hs_parts = hs_parts[:-1]
+            if len(hs_parts) != 3:
+                raise ValueError(
+                    "hunspell:<aff_path>:<dic_path>[:longest]")
+            hd = load_dictionary(hs_parts[1], hs_parts[2])
+            uq_hs, inv_hs = np.unique(toks.astype(str), return_inverse=True)
+            slists = [filter_stems(w, hd, longest_hs) for w in uq_hs]
+            scounts = np.array([len(s) for s in slists], dtype=np.int64)
+            sflat = np.array([s for sl in slists for s in sl], dtype=object)
+            soffs = np.concatenate(([0], np.cumsum(scounts)))
+            per_hs = scounts[inv_hs]
+            total_hs = int(per_hs.sum())
+            within_hs = (np.arange(total_hs)
+                         - np.repeat(np.cumsum(per_hs) - per_hs, per_hs))
+            toks = sflat[np.repeat(soffs[inv_hs], per_hs) + within_hs]
+            doc = np.repeat(doc, per_hs)
+            pos = np.repeat(pos, per_hs)
+            # first stem inherits the original's incr; overlays posInc 0
+            incr = np.repeat(incr, per_hs) & (within_hs == 0)
         elif spec.startswith("min_hash"):
             # MinHashFilter (`analysis/minhash/MinHashFilter.java:47-248`):
             # consume each doc's whole stream (typically 5-word shingles),
