@@ -253,6 +253,65 @@ def transcripts_with_vectors(sf_dir: str, target_rows_per_bucket: int = 250_000)
             pa.table({"doc_id": lt.column("key"), "text": lt.column("text")}))
         return out.append_column("embedding", rt.column("embedding"))
 
+    # size-based join selection: when one side is small (here typically the
+    # embeddings table), broadcast it once via the object store and attach
+    # inside map_batches over the big side — no all-to-all shuffle of the
+    # big side for an inner join the small side fully determines.  The
+    # bucketed exchange below remains the both-sides-large path.
+    n_embs = embs.count()                           # parquet metadata only
+    if n_embs <= 500_000:
+        import ray
+
+        @ray.remote
+        def _load_embs():
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+            vid = t.column("vec_id").to_numpy()
+            o = np.argsort(vid)
+            return vid[o], t.column("embedding").combine_chunks().take(
+                pa.array(o))
+
+        ref = _load_embs.remote()
+
+        @ray.remote
+        def _key_bounds(v):
+            vid = v[0]
+            return (int(vid[0]), int(vid[-1])) if len(vid) else (0, -1)
+
+        # push the small side's key range down to the big side's parquet
+        # read: only row groups that can contain a match leave storage
+        # (best-effort — a full-range small side prunes nothing)
+        lo_k, hi_k = ray.get(_key_bounds.remote(ref))
+        import pyarrow.dataset as pads
+
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filter=((pads.field("doc_id") >= lo_k)
+                    & (pads.field("doc_id") <= hi_k)))
+
+        def attach(b: pa.Table) -> pa.Table:
+            vid_sorted, emb_sorted = ray.get(ref)
+            did = b.column("doc_id").to_numpy()
+            if len(vid_sorted) == 0:
+                out = doc_batch_to_transcripts(
+                    pa.table({"doc_id": pa.array([], type=pa.int64()),
+                              "text": pa.array([], type=pa.string())}))
+                return out.append_column("embedding", pa.nulls(0, type=etype))
+            loc = np.searchsorted(vid_sorted, did)
+            loc[loc >= len(vid_sorted)] = 0
+            hit = vid_sorted[loc] == did
+            sel = np.nonzero(hit)[0]
+            out = doc_batch_to_transcripts(
+                pa.table({"doc_id": b.column("doc_id").take(pa.array(sel)),
+                          "text": b.column("text").take(pa.array(sel))}))
+            return out.append_column(
+                "embedding",
+                pc.cast(emb_sorted.take(pa.array(loc[sel])), etype))
+
+        return docs.map_batches(attach, batch_format="pyarrow")
+
     tagged = docs.map_batches(tag_left, batch_format="pyarrow").union(
         embs.map_batches(tag_right, batch_format="pyarrow"))
     return tagged.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
