@@ -1591,11 +1591,11 @@ def scandinavian_fold(word: str) -> str:
 
 def apostrophe_strip(word: str) -> str:
     """ApostropheFilter (`analysis/tr/ApostropheFilter.java:1-60`): drop the
-    apostrophe and everything after it (Turkish possessive suffixes:
-    istanbul'da → istanbul)."""
-    for apo in ("'", "’"):
-        i = word.find(apo)
-        if i >= 0:
+    FIRST apostrophe (ASCII or right single quote) and everything after it
+    (Turkish possessive suffixes: istanbul'da → istanbul) — a single
+    left-to-right scan like the reference, so "a’b'c" cuts at the ’."""
+    for i, ch in enumerate(word):
+        if ch in ("'", "’"):
             return word[:i]
     return word
 
@@ -1826,6 +1826,9 @@ FILTERS.update({
     "german_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_german",
         fromlist=["german_snowball_stem"]).german_snowball_stem(w),
+    "russian_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_russian",
+        fromlist=["russian_snowball_stem"]).russian_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
@@ -3142,19 +3145,6 @@ def english_possessive(word: str) -> str:
 
 FILTERS["english_possessive"] = english_possessive
 
-
-def apostrophe(word: str) -> str:
-    """ApostropheFilter (`analysis/tr/ApostropheFilter.java`): truncate at
-    the first ASCII or right-single-quote apostrophe (Turkish proper-noun
-    suffixes: Türkiye'de -> Türkiye)."""
-    for i, ch in enumerate(word):
-        if ch in ("'", "’"):
-            return word[:i]
-    return word
-
-
-FILTERS["apostrophe"] = apostrophe
-
 # per-language analyzer presets — the filter half of the reference's
 # per-language Analyzers (`analysis/<lang>/<Lang>Analyzer.java`
 # createComponents chains, minus tokenizer+lowercase which the engine
@@ -3180,7 +3170,10 @@ ANALYZER_PRESETS = {
     "norwegian": ("norwegian_light",),
     "finnish": ("finnish_light",),
     "hungarian": ("hungarian_light",),
-    "russian": ("russian_light",),
+    # RussianAnalyzer wires the Snowball stemmer
+    # (`analysis/ru/RussianAnalyzer.java:114`); russian_light remains
+    # available as the `analysis/ru/RussianLightStemFilter` alternative
+    "russian": ("russian_snowball",),
     "czech": ("czech",),
     "bulgarian": ("bulgarian",),
     "arabic": ("arabic_normalize", "arabic_stem"),

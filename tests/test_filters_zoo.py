@@ -660,6 +660,29 @@ def test_german_snowball_golden():
     assert n == 1000
 
 
+def test_russian_snowball_golden():
+    """Snowball Russian (the RussianAnalyzer default,
+    `ru/RussianAnalyzer.java:114`) exact on the full committed 2,000-pair
+    reference vocabulary (russian.zip, 0 mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_russian import russian_snowball_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_russian_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert russian_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 2000
+    # ё folds to е before stemming; the preset spec resolves
+    from lucene_ray.analysis.filters import apply_filters_str
+
+    assert apply_filters_str("ёлками", ("russian_snowball",)) == \
+        russian_snowball_stem("елками")
+
+
 def test_icu_folding_cases():
     """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
     shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""

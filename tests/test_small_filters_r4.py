@@ -24,8 +24,8 @@ def test_apostrophe_filter():
     toks = ["türkiye'de", "2003'te", "van", "gölü'nü", "gördüm"]
     out = [apply_filters_str(t, ("apostrophe",)) for t in toks]
     assert out == ["türkiye", "2003", "van", "gölü", "gördüm"]
-    # right single quote variant + no-apostrophe pass-through
-    assert apply_filters_str("a’b", ("apostrophe",)) == "a"
+    # FIRST apostrophe of either kind wins (single left-to-right scan)
+    assert apply_filters_str("a’b'c", ("apostrophe",)) == "a"
     assert apply_filters_str("plain", ("apostrophe",)) == "plain"
     # leading apostrophe truncates to empty (reference keeps the empty term)
     assert apply_filters_str("'x", ("apostrophe",)) == ""
