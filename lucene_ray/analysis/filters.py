@@ -1829,6 +1829,9 @@ FILTERS.update({
     "russian_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_russian",
         fromlist=["russian_snowball_stem"]).russian_snowball_stem(w),
+    "romanian_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_romanian",
+        fromlist=["romanian_snowball_stem"]).romanian_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
@@ -3188,6 +3191,9 @@ ANALYZER_PRESETS = {
     "greek": ("greek_lowercase", "greek"),
     "latvian": ("latvian",),
     "indonesian": ("indonesian",),
+    # RomanianAnalyzer wires the Snowball stemmer
+    # (`analysis/ro/RomanianAnalyzer.java`)
+    "romanian": ("romanian_snowball",),
 }
 
 

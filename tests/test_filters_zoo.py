@@ -683,6 +683,24 @@ def test_russian_snowball_golden():
         russian_snowball_stem("елками")
 
 
+def test_romanian_snowball_golden():
+    """Snowball Romanian (the RomanianAnalyzer default) exact on the full
+    committed 2,000-pair reference vocabulary (romanian.zip, 0
+    mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_romanian import romanian_snowball_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_romanian_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert romanian_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 2000
+
+
 def test_icu_folding_cases():
     """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
     shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""
