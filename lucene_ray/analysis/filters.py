@@ -1832,6 +1832,9 @@ FILTERS.update({
     "romanian_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_romanian",
         fromlist=["romanian_snowball_stem"]).romanian_snowball_stem(w),
+    "irish_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_irish",
+        fromlist=["irish_snowball_stem"]).irish_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
@@ -3194,6 +3197,11 @@ ANALYZER_PRESETS = {
     # RomanianAnalyzer wires the Snowball stemmer
     # (`analysis/ro/RomanianAnalyzer.java`)
     "romanian": ("romanian_snowball",),
+    # IrishAnalyzer chain (`analysis/ga/IrishAnalyzer.java:129-134`):
+    # hyphenation stop set {h,n,t}, elision articles {d,m,b}, Irish
+    # lowercase, Snowball stemmer
+    "irish": ("stop:h,n,t", "elision:d,m,b", "irish_lowercase",
+              "irish_snowball"),
 }
 
 

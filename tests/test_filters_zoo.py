@@ -701,6 +701,27 @@ def test_romanian_snowball_golden():
     assert n == 2000
 
 
+def test_irish_snowball_golden():
+    """Snowball Irish (IrishAnalyzer default after IrishLowerCaseFilter)
+    exact on the full committed 2,000-pair reference vocabulary
+    (irish.zip, 0 mismatches); `irish` preset mirrors the analyzer chain."""
+    import os
+
+    from lucene_ray.analysis.filters import analyzer_preset
+    from lucene_ray.analysis.snowball_irish import irish_snowball_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_irish_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert irish_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 2000
+    assert analyzer_preset("irish") == (
+        "stop:h,n,t", "elision:d,m,b", "irish_lowercase", "irish_snowball")
+
+
 def test_icu_folding_cases():
     """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
     shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""
