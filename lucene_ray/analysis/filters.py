@@ -1835,6 +1835,9 @@ FILTERS.update({
     "irish_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_irish",
         fromlist=["irish_snowball_stem"]).irish_snowball_stem(w),
+    "nepali_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_nepali",
+        fromlist=["nepali_snowball_stem"]).nepali_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,

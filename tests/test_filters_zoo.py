@@ -722,6 +722,23 @@ def test_irish_snowball_golden():
         "stop:h,n,t", "elision:d,m,b", "irish_lowercase", "irish_snowball")
 
 
+def test_nepali_snowball_golden():
+    """Snowball Nepali exact on the full committed 2,000-pair reference
+    vocabulary (nepali.zip, 0 mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_nepali import nepali_snowball_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_nepali_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert nepali_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 2000
+
+
 def test_icu_folding_cases():
     """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
     shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""
