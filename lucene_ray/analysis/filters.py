@@ -1838,6 +1838,9 @@ FILTERS.update({
     "nepali_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_nepali",
         fromlist=["nepali_snowball_stem"]).nepali_snowball_stem(w),
+    "turkish_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_turkish",
+        fromlist=["turkish_snowball_stem"]).turkish_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
@@ -3189,9 +3192,10 @@ ANALYZER_PRESETS = {
     "persian": ("arabic_normalize", "persian_normalize"),
     "sorani": ("sorani_normalize", "sorani_stem"),
     "hindi": ("hindi",),
-    # TurkishAnalyzer chain: ApostropheFilter then TurkishLowerCaseFilter
-    # (`analysis/tr/TurkishAnalyzer.java:104-110`)
-    "turkish": ("apostrophe", "turkish_lower"),
+    # TurkishAnalyzer chain: ApostropheFilter, TurkishLowerCaseFilter,
+    # then the Snowball TurkishStemmer
+    # (`analysis/tr/TurkishAnalyzer.java:104-113`)
+    "turkish": ("apostrophe", "turkish_lower", "turkish_snowball"),
     "danish": ("danish_snowball",),
     "dutch": ("dutch_snowball",),
     "greek": ("greek_lowercase", "greek"),

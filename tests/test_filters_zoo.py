@@ -739,6 +739,27 @@ def test_nepali_snowball_golden():
     assert n == 2000
 
 
+def test_turkish_snowball_golden():
+    """Snowball Turkish (the TurkishAnalyzer default after apostrophe +
+    Turkish lowercase) exact on the full committed 2,000-pair reference
+    vocabulary (turkish.zip, 0 mismatches)."""
+    import os
+
+    from lucene_ray.analysis.filters import analyzer_preset
+    from lucene_ray.analysis.snowball_turkish import turkish_snowball_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_turkish_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert turkish_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 2000
+    assert analyzer_preset("turkish") == (
+        "apostrophe", "turkish_lower", "turkish_snowball")
+
+
 def test_icu_folding_cases():
     """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
     shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""
