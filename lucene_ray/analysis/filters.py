@@ -1841,6 +1841,9 @@ FILTERS.update({
     "turkish_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_turkish",
         fromlist=["turkish_snowball_stem"]).turkish_snowball_stem(w),
+    "hungarian_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_hungarian",
+        fromlist=["hungarian_snowball_stem"]).hungarian_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
@@ -3181,7 +3184,10 @@ ANALYZER_PRESETS = {
     "swedish": ("swedish_light",),
     "norwegian": ("norwegian_light",),
     "finnish": ("finnish_light",),
-    "hungarian": ("hungarian_light",),
+    # HungarianAnalyzer wires the Snowball stemmer
+    # (`analysis/hu/HungarianAnalyzer.java:118`); hungarian_light remains
+    # the HungarianLightStemFilter alternative
+    "hungarian": ("hungarian_snowball",),
     # RussianAnalyzer wires the Snowball stemmer
     # (`analysis/ru/RussianAnalyzer.java:114`); russian_light remains
     # available as the `analysis/ru/RussianLightStemFilter` alternative

@@ -760,6 +760,26 @@ def test_turkish_snowball_golden():
         "apostrophe", "turkish_lower", "turkish_snowball")
 
 
+def test_hungarian_snowball_golden():
+    """Snowball Hungarian (the HungarianAnalyzer default) exact on the
+    full committed 2,000-pair reference vocabulary (hungarian.zip, 0
+    mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_hungarian import (
+        hungarian_snowball_stem,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_hungarian_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert hungarian_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 2000
+
+
 def test_icu_folding_cases():
     """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
     shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""
