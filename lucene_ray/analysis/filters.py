@@ -1844,6 +1844,9 @@ FILTERS.update({
     "hungarian_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_hungarian",
         fromlist=["hungarian_snowball_stem"]).hungarian_snowball_stem(w),
+    "finnish_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_finnish",
+        fromlist=["finnish_snowball_stem"]).finnish_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
@@ -3183,7 +3186,10 @@ ANALYZER_PRESETS = {
     "portuguese": ("portuguese_light",),
     "swedish": ("swedish_light",),
     "norwegian": ("norwegian_light",),
-    "finnish": ("finnish_light",),
+    # FinnishAnalyzer wires the Snowball stemmer
+    # (`analysis/fi/FinnishAnalyzer.java:118`); finnish_light remains the
+    # FinnishLightStemFilter alternative
+    "finnish": ("finnish_snowball",),
     # HungarianAnalyzer wires the Snowball stemmer
     # (`analysis/hu/HungarianAnalyzer.java:118`); hungarian_light remains
     # the HungarianLightStemFilter alternative

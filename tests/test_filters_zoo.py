@@ -780,6 +780,24 @@ def test_hungarian_snowball_golden():
     assert n == 2000
 
 
+def test_finnish_snowball_golden():
+    """Snowball Finnish (the FinnishAnalyzer default) exact on the full
+    committed 2,000-pair reference vocabulary (finnish.zip, 0
+    mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_finnish import finnish_snowball_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_finnish_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert finnish_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 2000
+
+
 def test_icu_folding_cases():
     """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
     shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""
