@@ -1847,6 +1847,9 @@ FILTERS.update({
     "finnish_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_finnish",
         fromlist=["finnish_snowball_stem"]).finnish_snowball_stem(w),
+    "spanish_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_spanish",
+        fromlist=["spanish_snowball_stem"]).spanish_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,

@@ -798,6 +798,24 @@ def test_finnish_snowball_golden():
     assert n == 2000
 
 
+def test_spanish_snowball_golden():
+    """Snowball Spanish (SnowballPorterFilterFactory surface; the analyzer
+    default stays the light stemmer) exact on the full committed
+    1,999-pair reference vocabulary (spanish.zip, 0 mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_spanish import spanish_snowball_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_spanish_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert spanish_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 1999
+
+
 def test_icu_folding_cases():
     """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
     shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""
