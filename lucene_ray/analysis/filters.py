@@ -1850,6 +1850,9 @@ FILTERS.update({
     "spanish_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_spanish",
         fromlist=["spanish_snowball_stem"]).spanish_snowball_stem(w),
+    "italian_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_italian",
+        fromlist=["italian_snowball_stem"]).italian_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,
