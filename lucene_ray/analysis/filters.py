@@ -1853,6 +1853,9 @@ FILTERS.update({
     "italian_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_italian",
         fromlist=["italian_snowball_stem"]).italian_snowball_stem(w),
+    "portuguese_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_portuguese",
+        fromlist=["portuguese_snowball_stem"]).portuguese_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,

@@ -834,6 +834,26 @@ def test_italian_snowball_golden():
     assert n == 2000
 
 
+def test_portuguese_snowball_golden():
+    """Snowball Portuguese (SnowballPorterFilterFactory surface; the
+    analyzer default stays the light stemmer) exact on the full committed
+    2,000-pair reference vocabulary (portuguese.zip, 0 mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_portuguese import (
+        portuguese_snowball_stem,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_portuguese_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert portuguese_snowball_stem(a) == b, (a, b)
+        n += 1
+    assert n == 2000
+
+
 def test_icu_folding_cases():
     """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
     shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""
