@@ -1856,6 +1856,9 @@ FILTERS.update({
     "portuguese_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_portuguese",
         fromlist=["portuguese_snowball_stem"]).portuguese_snowball_stem(w),
+    "german2_snowball": lambda w: __import__(
+        "lucene_ray.analysis.snowball_german",
+        fromlist=["german2_snowball_stem"]).german2_snowball_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,

@@ -47,7 +47,50 @@ def mark(w):
     return p1, j
 
 def german_snowball_stem(word):
-    w = prelude(word)
+    return _stem_marked(prelude(word))
+
+
+def prelude2(w):
+    """German2 variant prelude (`org/tartarus/snowball/ext/
+    German2Stemmer.java:76-177`): u/y hiatus marking FIRST, then a
+    forward fold of ß→ss and ae/oe/ue→ä/ö/ü with qu skipped whole (so a
+    'ue' after q survives)."""
+    s = list(w)
+    for i in range(1, len(s) - 1):
+        if s[i] == "u" and s[i-1] in V and s[i+1] in V:
+            s[i] = "U"
+        elif s[i] == "y" and s[i-1] in V and s[i+1] in V:
+            s[i] = "Y"
+    w = "".join(s)
+    out, i = [], 0
+    while i < len(w):
+        if w[i] == "ß":
+            out.append("ss")
+            i += 1
+        elif w.startswith("qu", i):
+            out.append("qu")
+            i += 2
+        elif w.startswith("ae", i):
+            out.append("ä")
+            i += 2
+        elif w.startswith("oe", i):
+            out.append("ö")
+            i += 2
+        elif w.startswith("ue", i):
+            out.append("ü")
+            i += 2
+        else:
+            out.append(w[i])
+            i += 1
+    return "".join(out)
+
+
+def german2_snowball_stem(word):
+    """German2 Snowball variant (same suffix passes, folding prelude)."""
+    return _stem_marked(prelude2(word))
+
+
+def _stem_marked(w):
     p1, p2 = mark(w)
     def r1(sl): return len(w) - sl >= p1
     def r2(sl): return len(w) - sl >= p2
