@@ -1859,6 +1859,9 @@ FILTERS.update({
     "german2_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_german",
         fromlist=["german2_snowball_stem"]).german2_snowball_stem(w),
+    "lovins": lambda w: __import__(
+        "lucene_ray.analysis.snowball_lovins",
+        fromlist=["lovins_stem"]).lovins_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
     "german_normalize": german_normalize,

@@ -872,6 +872,24 @@ def test_german2_snowball_golden():
     assert n == 2000
 
 
+def test_lovins_golden():
+    """Lovins (1968) stemmer (SnowballPorterFilterFactory
+    language="Lovins") exact on the full committed 2,000-pair reference
+    vocabulary (lovins.zip, 0 mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_lovins import lovins_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_lovins_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert lovins_stem(a) == b, (a, b)
+        n += 1
+    assert n == 2000
+
+
 def test_icu_folding_cases():
     """ICUFoldingFilter classes it covers (reference TestICUFoldingFilter
     shapes): accents, case (incl. sharp-s and dotted-I), fullwidth, Greek."""
