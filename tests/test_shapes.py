@@ -429,3 +429,79 @@ def test_line_geometries(ray_session, tmp_path):
     s2 = IndexSearcher(d)
     q = lat_lon_shape_box_query("route", "intersects", qy0, qy1, qx0, qx1)
     assert s2.count(q) == int(inter.sum())
+
+
+class _FakeShapesReader:
+    """In-memory stand-in for index.shapes.ShapesReader (CSR layout)."""
+
+    def __init__(self, shapes):
+        # shapes: list of list-of-rings, each ring an (k,2) int array
+        self.n_shapes = len(shapes)
+        self.docs = np.arange(len(shapes), dtype=np.int64)
+        flat, offs, rcnt, rsz = [], [0], [], []
+        for rings in shapes:
+            for r in rings:
+                flat.append(np.asarray(r, dtype=np.int64))
+                rsz.append(len(r))
+            rcnt.append(len(rings))
+            offs.append(offs[-1] + sum(len(r) for r in rings))
+        self.verts = (np.concatenate(flat) if flat
+                      else np.zeros((0, 2), dtype=np.int64))
+        self.offs = np.asarray(offs, dtype=np.int64)
+        self._rcnt = np.asarray(rcnt, dtype=np.int64)
+        self._rsz = np.asarray(rsz, dtype=np.int64)
+        self._rstart = np.concatenate(([0], np.cumsum(self._rcnt)))
+
+    def rings(self, d):
+        i = int(d)
+        v = self.verts[self.offs[i]:self.offs[i + 1]]
+        cuts = np.concatenate(
+            ([0], np.cumsum(self._rsz[self._rstart[i]:self._rstart[i + 1]])))
+        return [v[cuts[j]:cuts[j + 1]] for j in range(len(cuts) - 1)]
+
+
+def _rand_ring(rng, cx, cy, rad, k):
+    """Random star-shaped simple ring around (cx, cy)."""
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    rr = rng.uniform(rad * 0.4, rad, k)
+    pts = np.stack([cy + rr * np.sin(ang), cx + rr * np.cos(ang)], axis=1)
+    return np.round(pts).astype(np.int64)
+
+
+def test_batched_relation_parity_fuzz():
+    """The batched CSR verify agrees with the per-doc reference
+    predicates (shape_intersects / shape_contains_query / poly_within)
+    on random polygons with and without holes, including integer-exact
+    touching cases (shared grid coordinates force collinearity)."""
+    from lucene_ray.search.shapes import (
+        _batch_shape_relation,
+        shape_contains_query,
+        shape_intersects,
+    )
+
+    rng = np.random.default_rng(9174)
+    for trial in range(20):
+        shapes = []
+        for _ in range(40):
+            cx, cy = rng.integers(-40, 40, 2) * 5
+            outer = _rand_ring(rng, cx, cy, rng.integers(8, 60), 7)
+            rings = [outer]
+            if rng.random() < 0.5:
+                # small hole near the centroid (may poke out — the
+                # predicates don't require validity, just agreement)
+                hole = _rand_ring(rng, cx, cy, 4, 5)
+                rings.append(hole)
+            shapes.append(rings)
+        sr = _FakeShapesReader(shapes)
+        Q = _rand_ring(rng, int(rng.integers(-60, 60)),
+                       int(rng.integers(-60, 60)), 50, 6)
+        cand = np.arange(len(shapes), dtype=np.int64)
+        for rel, ref in (
+            ("intersects", lambda r: shape_intersects(r, Q)),
+            ("contains", lambda r: shape_contains_query(r, Q)),
+            ("within", lambda r: poly_within(r[0], Q)),
+        ):
+            got = set(_batch_shape_relation(sr, cand, Q, rel, False)
+                      .tolist())
+            want = {d for d in range(len(shapes)) if ref(sr.rings(d))}
+            assert got == want, (trial, rel, got ^ want)
