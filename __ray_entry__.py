@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_range_field_count": _lazy("index_range_field_count"),
         "index_xy_count": _lazy("index_xy_count"),
         "index_covering_count": _lazy("index_covering_count"),
+        "index_sandbox_point_count": _lazy("index_sandbox_point_count"),
         "index_geo_count": _lazy("index_geo_count"),
         "index_shape_count": _lazy("index_shape_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
@@ -849,6 +850,25 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id BETWEEN 100 AND 300
                        OR doc_id BETWEEN 400 AND 450)::BIGINT AS n_multi""",
         "index_xy_count": _xy_sql(),
+        # HalfFloatPoint values are exact eighth-steps <= 62.5 (no
+        # half-precision rounding), BigIntegerPoint twin runs in HUGEINT
+        "index_sandbox_point_count": """
+            WITH hf AS (SELECT doc_id,
+                               ((doc_id * 37) % 1000 - 500) / 8.0 AS v
+                        FROM documents),
+                 big AS (SELECT doc_id,
+                                (doc_id::HUGEINT - 3000)
+                                * 1180591620717411315769::HUGEINT AS v
+                         FROM documents)
+            SELECT (SELECT count(*) FROM hf
+                    WHERE v BETWEEN -12.25 AND 30.5)::BIGINT AS n_hf_range,
+                   (SELECT count(*) FROM hf
+                    WHERE v IN (0.0, 3.125, 9999.0))::BIGINT AS n_hf_set,
+                   (SELECT count(*) FROM big
+                    WHERE v BETWEEN
+                      (100::HUGEINT - 3000) * 1180591620717411315769::HUGEINT + 1
+                      AND (900::HUGEINT - 3000) * 1180591620717411315769::HUGEINT - 1
+                   )::BIGINT AS n_big_range""",
         "index_covering_count": _TOKS + """
             , cov AS (SELECT doc_id,
                              list_contains(toks, 'merge')::INT

@@ -397,7 +397,8 @@ def build_geo_index(sf_dir: str, index_dir: str | None = None) -> str:
     build_index(ds, index_dir, target_docs_per_partition=100_000,
                 point_cols={"loc": ("lat_enc", "lon_enc"), "ts_pt": ("ts",),
                             "span": ("span_lo", "span_hi"),
-                            "xy": ("x_enc", "y_enc")},
+                            "xy": ("x_enc", "y_enc"),
+                            "hf": ("hf_enc",), "big": ("bhi", "blo")},
                 docvalue_cols=("feat_pr", "min_match"),
                 input_desc=f"documents@{sf_dir}+geo")
     return index_dir
@@ -658,6 +659,35 @@ def index_xy_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_in_box": pd.Series([n_box], dtype="int64"),
                          "n_in_radius": pd.Series([n_radius], dtype="int64"),
                          "n_in_polygon": pd.Series([n_poly], dtype="int64")})
+
+
+HF_RANGE = (-12.25, 30.5)                       # half-float query bounds
+HF_SET = (0.0, 3.125, 9999.0)                   # last value unindexed
+BIG_K = (1 << 70) + 12345                       # BigInteger stride
+BIG_BOUND_DOCS = (100, 900)                     # bounds from these doc_ids
+
+
+def index_sandbox_point_count(sf_dir: str) -> pd.DataFrame:
+    """Sandbox numeric point types (`sandbox/document/HalfFloatPoint.java`,
+    `BigIntegerPoint.java`): half-float range + set counts over the
+    sortable-short dimension, and a 128-bit integer range whose bounds
+    slice the low word (so the <=3-box decomposition is exercised)."""
+    from ..search.point_types import (
+        big_integer_range_query,
+        half_float_range_query,
+        half_float_set_query,
+    )
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    n_hf = searcher.count(half_float_range_query("hf", *HF_RANGE))
+    n_hf_set = searcher.count(half_float_set_query("hf", HF_SET))
+    d0, d1 = BIG_BOUND_DOCS
+    lo = (d0 - 3000) * BIG_K + 1
+    hi = (d1 - 3000) * BIG_K - 1
+    n_big = searcher.count(big_integer_range_query("big", lo, hi))
+    return pd.DataFrame({"n_hf_range": pd.Series([n_hf], dtype="int64"),
+                         "n_hf_set": pd.Series([n_hf_set], dtype="int64"),
+                         "n_big_range": pd.Series([n_big], dtype="int64")})
 
 
 RANGE_FIELD_Q = (50, 120)          # query range for index_range_field_count

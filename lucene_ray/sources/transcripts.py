@@ -197,8 +197,24 @@ def transcripts_with_geo(sf_dir: str):
         t = t.append_column("x_enc", pa.array(encode_xy(x), type=pa.int64()))
         t = t.append_column("y_enc", pa.array(encode_xy(y), type=pa.int64()))
         # per-doc minimum-should-match (CoveringQuery LongValuesSource)
-        return t.append_column("min_match", pa.array(1 + doc_id % 3,
-                                                     type=pa.int64()))
+        t = t.append_column("min_match", pa.array(1 + doc_id % 3,
+                                                  type=pa.int64()))
+        # HalfFloatPoint column: eighth-steps <= 62.5 are exact halves
+        from ..search.point_types import half_float_encode_column
+
+        hf = ((doc_id * 37) % 1000 - 500).astype(np.float32) / 8.0
+        t = t.append_column("hf_enc",
+                            pa.array(half_float_encode_column(hf),
+                                     type=pa.int64()))
+        # BigIntegerPoint column: v = (doc_id - 3000) * (2^70 + 12345),
+        # split into (hi, lo-sign-folded) int64 words without leaving
+        # int64 arithmetic (v = (a<<6)*2^64 + a*12345)
+        a = doc_id.astype(np.int64) - 3000
+        s = a * 12345
+        bhi = (a << 6) + np.where(s < 0, -1, 0)
+        blo = (s.view(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+        t = t.append_column("bhi", pa.array(bhi, type=pa.int64()))
+        return t.append_column("blo", pa.array(blo, type=pa.int64()))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(add_geo, batch_format="pyarrow")
