@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
         "index_pk_bloom_count": _lazy("index_pk_bloom_count"),
+        "index_pk_version_lookup": _lazy("index_pk_version_lookup"),
         "index_delete_count": _lazy("index_delete_count"),
         "index_delete_query_count": _lazy("index_delete_query_count"),
         "index_dv_update_count": _lazy("index_dv_update_count"),
@@ -824,6 +825,17 @@ def oracle_sql() -> dict[str, str]:
                WHERE doc_id = 999999999)::BIGINT AS n_absent,
               (SELECT count(*) FROM documents
                WHERE doc_id IN (1, 5, 42, 999999999))::BIGINT AS n_in_set""",
+        # version = (doc_id * 13) % 5000; absent IDs report -1 / 0
+        "index_pk_version_lookup": """
+            WITH probe AS (SELECT unnest([7, 117, 4242, 9999999]) AS d)
+            SELECT 'doc-' || lpad(d::VARCHAR, 9, '0') AS pk,
+                   coalesce((SELECT (doc_id * 13) % 5000 FROM documents
+                             WHERE doc_id = d), -1)::BIGINT AS version,
+                   (CASE WHEN EXISTS (SELECT 1 FROM documents
+                                      WHERE doc_id = d
+                                        AND (doc_id * 13) % 5000 >= 2500)
+                         THEN 1 ELSE 0 END)::BIGINT AS above_floor
+            FROM probe ORDER BY pk""",
         "bucketed_join": """
             SELECT d.doc_id, d.lang, e.label
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",

@@ -83,6 +83,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 point_cols: dict | None = None,
                 shape_cols: dict | None = None,
                 bloom_fields: tuple = (),
+                id_version_fields: tuple = (),
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -163,6 +164,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "point_cols": {k: list(v) for k, v in (point_cols or {}).items()},
         "shape_cols": {k: list(v) for k, v in (shape_cols or {}).items()},
         **({"bloom_fields": list(bloom_fields)} if bloom_fields else {}),
+        **({"id_version_fields": list(id_version_fields)}
+           if id_version_fields else {}),
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -191,7 +194,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                             keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
                             token_filters=token_filters, vector_col=vector_col,
                             term_vectors=term_vectors, point_cols=point_cols,
-                            shape_cols=shape_cols, bloom_fields=bloom_fields)
+                            shape_cols=shape_cols, bloom_fields=bloom_fields,
+                            id_version_fields=id_version_fields)
             return pa.table({k: [v] for k, v in m.items()})
 
         if exchange == "tasks":
@@ -199,7 +203,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 block_refs, tag_pid, len(split_points) + 1, shards_dir, fp,
                 text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
                 vector_col, term_vectors, point_cols, shape_cols,
-                bloom_fields=bloom_fields)
+                bloom_fields=bloom_fields,
+                id_version_fields=id_version_fields)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -223,6 +228,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "point_cols": {k: list(v) for k, v in (point_cols or {}).items()},
         "shape_cols": {k: list(v) for k, v in (shape_cols or {}).items()},
         "bloom_fields": list(bloom_fields),
+        "id_version_fields": list(id_version_fields),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -282,7 +288,7 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                          docvalue_cols=(), token_filters=(),
                          vector_col=None, term_vectors=False,
                          point_cols=None, shape_cols=None,
-                         bloom_fields=()) -> list[dict]:
+                         bloom_fields=(), id_version_fields=()) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -301,7 +307,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                                    text_col, key_cols, keyword_cols,
                                    docvalue_cols, token_filters, vector_col,
                                    term_vectors, point_cols, shape_cols,
-                                   bloom_fields=bloom_fields)
+                                   bloom_fields=bloom_fields,
+                                   id_version_fields=id_version_fields)
 
     def _compact(tbl: pa.Table) -> pa.Table:
         # CRITICAL: pickling a sliced Arrow table serializes the WHOLE parent
@@ -333,7 +340,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                            keyword_cols=keyword_cols, docvalue_cols=docvalue_cols,
                            token_filters=token_filters, vector_col=vector_col,
                            term_vectors=term_vectors, point_cols=point_cols,
-                           shape_cols=shape_cols, bloom_fields=bloom_fields)
+                           shape_cols=shape_cols, bloom_fields=bloom_fields,
+                           id_version_fields=id_version_fields)
 
     # several blocks per split task: fewer (task, object) overheads while
     # keeping enough tasks to fill the CPU pool
@@ -355,7 +363,7 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                         docvalue_cols=(), token_filters=(),
                         vector_col=None, term_vectors=False,
                         point_cols=None, shape_cols=None,
-                        bloom_fields=()) -> list[dict]:
+                        bloom_fields=(), id_version_fields=()) -> list[dict]:
     """Two-level exchange for large partition counts (block → coarse bucket →
     shards): split tasks return one object per COARSE bucket (contiguous pid
     range), and one flush task per bucket re-splits its data by pid and
@@ -415,7 +423,8 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                 docvalue_cols=docvalue_cols, token_filters=token_filters,
                 vector_col=vector_col, term_vectors=term_vectors,
                 point_cols=point_cols, shape_cols=shape_cols,
-                bloom_fields=bloom_fields))
+                bloom_fields=bloom_fields,
+                id_version_fields=id_version_fields))
         return manifests
 
     per_task = max(1, len(block_refs) // (2 * n_cpus))
@@ -578,6 +587,8 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         term_vectors = bool(prev.get("term_vectors", False))
     # inherit bloom sidecar fields so appended shards stay prunable
     bloom_fields = tuple(prev.get("bloom_fields", ()))
+    # inherit the per-segment one-doc-per-ID writer contract
+    id_version_fields = tuple(prev.get("id_version_fields", ()))
     pid_offset = 1 + max(m["pid"] for m in prev["shards"])
 
     n_total = ds.count()
@@ -616,7 +627,8 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         new_manifests = _exchange_with_tasks(
             block_refs, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
             text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
-            term_vectors=term_vectors, bloom_fields=bloom_fields)
+            term_vectors=term_vectors, bloom_fields=bloom_fields,
+            id_version_fields=id_version_fields)
         for m in new_manifests:
             done[int(m["pid"])] = dict(m)
 
@@ -628,6 +640,8 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "docvalue_cols": list(docvalue_cols),
         "token_filters": list(token_filters),
         "term_vectors": bool(term_vectors),
+        "bloom_fields": list(bloom_fields),
+        "id_version_fields": list(id_version_fields),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })

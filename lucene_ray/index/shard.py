@@ -295,7 +295,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 term_vectors: bool = False,
                 point_cols: dict | None = None,
                 shape_cols: dict | None = None,
-                bloom_fields: tuple = ()) -> dict:
+                bloom_fields: tuple = (),
+                id_version_fields: tuple = ()) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -552,6 +553,21 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
     terms = pa.compute.cast(terms, pa.string())
     norms = int_to_byte4(norm_lengths.astype(np.int64))
     dv_cols = [c for c in docvalue_cols if c not in key_cols]
+    # IDVersion writer contract (IDVersionPostingsWriter.startDoc throws
+    # on a second posting for a term): each ID term of an id_version
+    # field must appear in exactly ONE doc of this segment
+    for f in id_version_fields:
+        pre = keyword_term(f, "")
+        t_np = terms.to_numpy(zero_copy_only=False)
+        lo = int(np.searchsorted(t_np, pre))
+        hi = int(np.searchsorted(t_np, pre[:-1] + chr(ord(KEYWORD_SEP) + 1)))
+        dfs_f = term_starts[lo + 1:hi + 1] - term_starts[lo:hi]
+        if len(dfs_f) and int(dfs_f.max()) > 1:
+            dup = t_np[lo + int(np.argmax(dfs_f))].split(KEYWORD_SEP, 1)[1]
+            raise ValueError(
+                f"id_version field {f!r}: ID {dup!r} indexed in "
+                f"{int(dfs_f.max())} docs of one segment")
+
     return _persist_shard(
         tmp_dir, final_dir, pid, terms, term_starts, doc_of, freq, positions,
         index_positions=index_positions, norms=norms,

@@ -202,16 +202,25 @@ def index_pk_bloom_count(sf_dir: str) -> pd.DataFrame:
     from ..sources.transcripts import doc_batch_to_transcripts
 
     def add_pk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t = doc_batch_to_transcripts(batch)
-        pk = [f"doc-{d:09d}" for d in batch.column("doc_id").to_pylist()]
-        return t.append_column("pk", pa.array(pk, type=pa.string()))
+        d = batch.column("doc_id")
+        pk = pc.binary_join_element_wise(
+            "doc-", pc.utf8_lpad(pc.cast(d, pa.string()), 9, "0"), "")
+        t = t.append_column("pk", pk)
+        # IDVersion payload: a deterministic long version per PK
+        ver = (d.to_numpy().astype("int64") * 13) % 5000
+        return t.append_column("pkver", pa.array(ver, type=pa.int64()))
 
     index_dir = index_dir_for(sf_dir) + "-bloom"
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     _build(ds.map_batches(add_pk, batch_format="pyarrow"), index_dir,
            target_docs_per_partition=100_000, keyword_cols=("pk",),
-           bloom_fields=("pk",), input_desc=f"documents@{sf_dir}+pkbloom")
+           docvalue_cols=("pkver",), bloom_fields=("pk",),
+           id_version_fields=("pk",),
+           input_desc=f"documents@{sf_dir}+pkver")
     searcher = IndexSearcher(index_dir)
     # the entry is only meaningful if every shard actually carries the
     # sidecar the seekExact fast path reads
@@ -233,6 +242,31 @@ def index_pk_bloom_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_present": pd.Series([n_present], dtype="int64"),
                          "n_absent": pd.Series([n_absent], dtype="int64"),
                          "n_in_set": pd.Series([n_in_set], dtype="int64")})
+
+
+PK_LOOKUP_DOCS = (7, 117, 4242, 9999999)   # last one absent at small sf
+PK_VERSION_FLOOR = 2500
+
+
+def index_pk_version_lookup(sf_dir: str) -> pd.DataFrame:
+    """IDVersion PK lookups (`sandbox/codecs/idversion/` — seekExact with
+    a version floor): per probed ID, the indexed version and whether it
+    clears the floor (the optimistic-concurrency gate).  Reuses the
+    bloom-sidecar index (version = (doc_id * 13) %% 5000 doc-values)."""
+    from ..search.pklookup import VersionPKLookup
+
+    index_pk_bloom_count(sf_dir)                 # ensure the index exists
+    searcher = IndexSearcher(index_dir_for(sf_dir) + "-bloom")
+    lk = VersionPKLookup(searcher, "pk", "pkver")
+    rows = []
+    for d in PK_LOOKUP_DOCS:
+        pk = f"doc-{d:09d}"
+        hit = lk.lookup(pk)
+        gated = lk.lookup(pk, min_version=PK_VERSION_FLOOR)
+        rows.append((pk, -1 if hit is None else hit[1],
+                     0 if gated is None else 1))
+    return pd.DataFrame(rows, columns=["pk", "version", "above_floor"]) \
+        .astype({"version": "int64", "above_floor": "int64"})
 
 
 def index_bm25_topk(sf_dir: str, use_actors: bool = False) -> pd.DataFrame:
