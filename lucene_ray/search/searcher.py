@@ -1751,6 +1751,18 @@ class IndexSearcher:
             hits[j].fields = tuple(int(mv[i]) for mv in merged)
         return TopDocs(hits, total, RELATION_EQ)
 
+    def search_large(self, query, k: int) -> TopDocs:
+        """LargeNumHitsTopDocsCollector
+        (`sandbox/search/LargeNumHitsTopDocsCollector.java`): top-k when k
+        is a large fraction of the corpus — COMPLETE score mode (no WAND /
+        minCompetitiveScore pruning, exact totalHits), the reference's
+        list-then-heap accumulation replaced by the vectorized
+        score-all + argpartition per shard.  Hit order identical to
+        ordinary search (score desc, docID asc)."""
+        if k <= 0:
+            raise ValueError("Incorrect number of hits requested")
+        return self.search(query, k=k, total_hits_threshold=2**31 - 1)
+
     def nearest(self, field: str, lat: float, lon: float, k: int) -> TopDocs:
         """k nearest docs carrying a point in ``field``, by haversine meters
         (`document/LatLonPoint.nearest` / FloatPointNearestNeighbor

@@ -294,3 +294,22 @@ def test_multi_field_sort_and_paging(ray_session):
     one = s.search(q, k=5, sort=[SortField("ts", reverse=True)])
     base = s.search(q, k=5, sort=SortField("ts", reverse=True))
     assert [h.gid for h in one.hits] == [h.gid for h in base.hits]
+
+
+def test_search_large_parity(setup):
+    """LargeNumHitsTopDocsCollector: identical hits/order to ordinary
+    search at the same k, exact totalHits, and full-corpus k works."""
+    s, tokens = setup
+    q = bool_query(should=["merge", "join"])
+    want = s.search(q, k=500, total_hits_threshold=2**31 - 1)
+    got = s.search_large(q, k=500)
+    assert got.total_hits == want.total_hits
+    assert got.relation == "EQUAL_TO"
+    assert [(h.gid, h.score) for h in got.hits] == \
+        [(h.gid, h.score) for h in want.hits]
+    # requesting more hits than match returns them all
+    big = s.search_large(q, k=10**6)
+    assert len(big.hits) == big.total_hits == want.total_hits
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        s.search_large(q, k=0)
