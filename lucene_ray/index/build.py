@@ -128,8 +128,6 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
     # with tiny ray tasks — the same refs then feed the exchange, so the
     # corpus is read exactly once instead of once for planning and once for
     # the exchange ----
-    n_total = ds.count()           # parquet metadata only
-    n_parts = max(1, -(-n_total // target_docs_per_partition))
     extra_dv = [c for c in docvalue_cols if c not in key_cols]
     # "col:int8" (scalar-quantized store) still reads the plain column
     extra_vec = [vector_col.split(":")[0]] if vector_col else []
@@ -143,11 +141,20 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                               *extra_vec, *extra_pt, *extra_shp])
     block_refs = None
     if exchange == "tasks":
-        block_refs = [br for bundle in proj.iter_internal_ref_bundles()
-                      for br, meta in zip(bundle.block_refs, bundle.metadata)
-                      if meta.num_rows]            # drop empty sentinel blocks
+        pairs = [(br, meta.num_rows)
+                 for bundle in proj.iter_internal_ref_bundles()
+                 for br, meta in zip(bundle.block_refs, bundle.metadata)
+                 if meta.num_rows]            # drop empty sentinel blocks
+        block_refs = [br for br, _ in pairs]
+        # row count from the materialized block metadata — the input
+        # pipeline executes exactly ONCE (a separate ds.count() would
+        # re-execute any map_batches transforms feeding the build)
+        n_total = sum(n for _, n in pairs)
+        n_parts = max(1, -(-n_total // target_docs_per_partition))
         split_points = _plan_from_blocks(block_refs, n_parts, key_cols[0])
     else:
+        n_total = ds.count()
+        n_parts = max(1, -(-n_total // target_docs_per_partition))
         split_points = plan_split_points(ds, n_parts, key_cols[0])
 
     fp = mf.fingerprint({
@@ -591,9 +598,16 @@ def append_index(ds, index_dir: str, *, input_desc: str,
     id_version_fields = tuple(prev.get("id_version_fields", ()))
     pid_offset = 1 + max(m["pid"] for m in prev["shards"])
 
-    n_total = ds.count()
+    extra_dv = [c for c in docvalue_cols if c not in key_cols]
+    proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv])
+    pairs = [(br, meta.num_rows)
+             for bundle in proj.iter_internal_ref_bundles()
+             for br, meta in zip(bundle.block_refs, bundle.metadata)
+             if meta.num_rows]
+    block_refs = [br for br, _ in pairs]
+    n_total = sum(n for _, n in pairs)     # one execution, like build_index
     n_parts = max(1, -(-n_total // target_docs_per_partition))
-    split_points = plan_split_points(ds, n_parts, key_cols[0])
+    split_points = _plan_from_blocks(block_refs, n_parts, key_cols[0])
     fp = mf.fingerprint({
         "input": input_desc, "splits": split_points, "format": FORMAT_VERSION,
         "text_col": text_col, "key_cols": list(key_cols),
@@ -619,11 +633,6 @@ def append_index(ds, index_dir: str, *, input_desc: str,
 
     todo = [p for p in range(pid_offset, pid_offset + len(split_points) + 1) if p not in done]
     if todo:
-        extra_dv = [c for c in docvalue_cols if c not in key_cols]
-        proj = ds.select_columns([*key_cols, text_col, *keyword_cols, *extra_dv])
-        block_refs = [br for bundle in proj.iter_internal_ref_bundles()
-                      for br, meta in zip(bundle.block_refs, bundle.metadata)
-                      if meta.num_rows]            # drop empty sentinel blocks
         new_manifests = _exchange_with_tasks(
             block_refs, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
             text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
