@@ -22,21 +22,27 @@ def _read_events(sf_dir: str, columns=("event_id", "ts", "user_id", "event_type"
 
 
 def tumbling_counts(sf_dir: str, minutes: int = 60):
-    """Tumbling-window aggregate: (event_type, window_start, n_events)."""
-    from ray.data.aggregate import Count
+    """Tumbling-window aggregate: (event_type, window_start, n_events).
+    Counts combine per batch BEFORE the exchange (map-side combiner), so
+    the shuffle moves one row per (type, window) per batch instead of one
+    per event — the value domain is bounded, the corpus is not."""
+    from ray.data.aggregate import Sum
 
-    step = np.timedelta64(minutes * 60 * 1_000_000, "us")
+    step_us = minutes * 60 * 1_000_000
 
-    def bucket(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         ts = t.column("ts").to_numpy().astype("datetime64[us]").astype("int64")
-        win = ts // int(step.astype("int64")) * int(step.astype("int64"))
-        return pa.table({"event_type": t.column("event_type"),
-                         "window_start": pa.array(win.astype("datetime64[us]"))})
+        win = (ts // step_us * step_us).astype("datetime64[us]")
+        g = pa.table({"event_type": t.column("event_type"),
+                      "window_start": pa.array(win)}) \
+            .group_by(["event_type", "window_start"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "window_start", "n"])
 
     return (_read_events(sf_dir, columns=("ts", "event_type"))
-            .map_batches(bucket, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
             .groupby(["event_type", "window_start"])
-            .aggregate(Count(alias_name="n_events")))
+            .aggregate(Sum("n", alias_name="n_events")))
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):
@@ -74,13 +80,13 @@ def hopping_counts(sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15)
     window/hop overlapping windows — the event is exploded into its member
     windows in the batch map (vectorized np.repeat), then one groupby.
     (event_type, window_start, n_events)."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     win_us = window_minutes * 60 * 1_000_000
     hop_us = hop_minutes * 60 * 1_000_000
     n_hops = win_us // hop_us
 
-    def explode(t: pa.Table) -> pa.Table:
+    def explode_partial(t: pa.Table) -> pa.Table:
         ts = t.column("ts").to_numpy().astype("datetime64[us]").astype("int64")
         # latest hop-aligned window start containing the event, then walk back
         base = ts // hop_us * hop_us
@@ -92,13 +98,19 @@ def hopping_counts(sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15)
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
         idx = np.repeat(np.arange(t.num_rows), n_hops)[keep]
-        return pa.table({"event_type": et.take(pa.array(idx)),
-                         "window_start": pa.array(flat[keep].astype("datetime64[us]"))})
+        # combine BEFORE the exchange: the x(window/hop) explosion never
+        # leaves the batch — one row per (type, window) per batch ships
+        g = pa.table({"event_type": et.take(pa.array(idx)),
+                      "window_start": pa.array(
+                          flat[keep].astype("datetime64[us]"))}) \
+            .group_by(["event_type", "window_start"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "window_start", "n"])
 
     return (_read_events(sf_dir, columns=("ts", "event_type"))
-            .map_batches(explode, batch_format="pyarrow")
+            .map_batches(explode_partial, batch_format="pyarrow")
             .groupby(["event_type", "window_start"])
-            .aggregate(Count(alias_name="n_events")))
+            .aggregate(Sum("n", alias_name="n_events")))
 
 
 def windowed_topk_users(sf_dir: str, minutes: int = 1440, k: int = 3):
