@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_join_topk": _lazy("index_join_topk"),
         "index_mlt_topk": _lazy("index_mlt_topk"),
         "index_expr_topk": _lazy("index_expr_topk"),
+        "index_fn_termstats_topk": _lazy("index_fn_termstats_topk"),
         "index_expr_sorted_topk": _lazy("index_expr_sorted_topk"),
         # --- vector search as a first-class index query (round 3) ---
         "index_knn_filtered": _vs("index_knn_filtered"),
@@ -737,6 +738,8 @@ def oracle_sql() -> dict[str, str]:
                   AND list_contains(toks, 'join'))""",
         "index_mlt_topk": _mlt_sql(),
         "index_expr_topk": _expr_sql(),
+        "index_fn_termstats_topk": _TOKS + _flagship_sql(
+            "index_fn_termstats_oracle_sql"),
         "index_knn_filtered": _knn_filtered_sql(),
         "index_hybrid_rrf": _hybrid_rrf_sql(),
         "index_delete_query_count": _TOKS + """

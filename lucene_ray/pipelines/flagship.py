@@ -1256,6 +1256,28 @@ def index_expr_topk(sf_dir: str, k: int = EXPR_K) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64"})
 
 
+TERMSTAT_EXPR = "tf('join') + df('sort') / maxdoc() + idf('merge') / 100"
+
+
+def index_fn_termstats_topk(sf_dir: str, k: int = EXPR_K) -> pd.DataFrame:
+    """FunctionQuery over term-statistic value sources
+    (`queries/function/valuesource/TermFreqValueSource.java`,
+    DocFreqValueSource, IDFValueSource, MaxDocValueSource): 'merge' docs
+    rescored by per-doc tf('join') plus collection-stat terms — every
+    component reproducible from the token lists in SQL.  (rank, conv_id,
+    turn_idx, score 6dp)."""
+    from ..search.query import FunctionScoreQuery, TermQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    td = searcher.search(FunctionScoreQuery(TermQuery("merge"),
+                                            TERMSTAT_EXPR), k=k)
+    rows = [(r, h.conv_id, int(h.turn_idx), round(float(h.score), 6))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
+                                       "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
 EXPR_SORT_SRC = "ln(1 + turn_idx) + ts / 100000000000000000"
 
 
@@ -1275,6 +1297,32 @@ def index_expr_sorted_topk(sf_dir: str) -> pd.DataFrame:
                                        "sort_value"]) \
         .astype({"rank": "int64", "turn_idx": "int64",
                  "sort_value": "float64"})
+
+
+def index_fn_termstats_oracle_sql(k: int = EXPR_K) -> str:
+    """SQL twin of TERMSTAT_EXPR: tf from the token lists, df/maxdoc as
+    collection counts, idf through a FLOAT (float32) cast like
+    ClassicSimilarity.idf's float return."""
+    return """
+        , stats AS (SELECT
+            (SELECT count(*) FROM toklists
+             WHERE list_contains(toks, 'sort')) AS df_sort,
+            (SELECT count(*) FROM toklists
+             WHERE list_contains(toks, 'merge')) AS df_merge,
+            (SELECT count(*) FROM documents) AS maxdoc),
+        fn AS (SELECT t.doc_id,
+                 len(list_filter(t.toks, x -> x = 'join'))
+                 + df_sort / (1.0 * maxdoc)
+                 + (ln((maxdoc + 1) / (df_merge + 1.0)) + 1.0)::FLOAT::DOUBLE
+                   / 100 AS fscore
+               FROM toklists t, stats
+               WHERE list_contains(t.toks, 'merge'))
+        SELECT row_number() OVER (ORDER BY fscore DESC, doc_id ASC)::BIGINT
+                 AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               round(fscore, 6) AS score
+        FROM fn ORDER BY fscore DESC, doc_id ASC LIMIT """ + str(k)
 
 
 def index_expr_oracle_sql(k: int = EXPR_K) -> str:

@@ -51,6 +51,21 @@ _BINOPS = {
     ast.Div: np.true_divide, ast.Mod: np.mod, ast.Pow: np.power,
 }
 
+# term-statistic value sources (`queries/function/valuesource/
+# TermFreqValueSource.java`, DocFreqValueSource, TotalTermFreqValueSource,
+# IDFValueSource, NormValueSource, MaxDocValueSource, NumDocsValueSource):
+# calls with a string-literal term argument resolve against the index at
+# execution time — the compiled expression records them as "fn:term"
+# environment keys the searcher fills per shard / per match set.
+TERM_FUNCS = {"tf": 1, "df": 1, "ttf": 1, "idf": 1,
+              "norm": 0, "maxdoc": 0, "numdocs": 0}
+
+
+def _term_key(node: "ast.Call") -> str:
+    """Environment key for a term-statistic call: 'tf:merge', 'norm:'."""
+    arg = node.args[0].value if node.args else ""
+    return f"{node.func.id}:{arg}"
+
 
 def compile_expression(src: str):
     """Parse `src` once; returns (evaluator, variable names).  The evaluator
@@ -68,6 +83,18 @@ def compile_expression(src: str):
         elif isinstance(node, ast.UnaryOp) and isinstance(node.op, (ast.USub, ast.UAdd)):
             check(node.operand)
         elif isinstance(node, ast.Call):
+            if isinstance(node.func, ast.Name) and node.func.id in TERM_FUNCS \
+                    and not node.keywords:
+                nargs = TERM_FUNCS[node.func.id]
+                if len(node.args) != nargs or any(
+                        not (isinstance(a, ast.Constant)
+                             and isinstance(a.value, str))
+                        for a in node.args):
+                    raise ValueError(
+                        f"{node.func.id}() takes {nargs} string-literal "
+                        f"term argument(s)")
+                names.add(_term_key(node))
+                return
             if not (isinstance(node.func, ast.Name) and node.func.id in FUNCS) \
                     or node.keywords:
                 raise ValueError(f"disallowed call in expression: {ast.dump(node)}")
@@ -91,6 +118,8 @@ def compile_expression(src: str):
             v = ev(node.operand, env)
             return -v if isinstance(node.op, ast.USub) else +v
         if isinstance(node, ast.Call):
+            if node.func.id in TERM_FUNCS:
+                return env[_term_key(node)]
             return FUNCS[node.func.id](*(ev(a, env) for a in node.args))
         if isinstance(node, ast.Name):
             return env[node.id]

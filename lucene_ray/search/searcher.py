@@ -1472,6 +1472,8 @@ class IndexSearcher:
         for n in names:
             if n == "_score":
                 env[n] = scores.astype(np.float64)
+            elif ":" in n:
+                env[n] = self._term_stat_value(rdr, n, docs)
             else:
                 env[n] = rdr.docvalue(n)[docs].astype(np.float64)
         new = fn(env)
@@ -1483,6 +1485,51 @@ class IndexSearcher:
             new, docs = new[keep], docs[keep]
         top = np.lexsort((docs, -new))[:k]
         return new[top], docs[top], total, rel
+
+    def _term_stat_value(self, rdr, key: str, docs: np.ndarray):
+        """Term-statistic value sources for scoring expressions
+        (`queries/function/valuesource/TermFreqValueSource.java`,
+        DocFreqValueSource, TotalTermFreqValueSource, IDFValueSource,
+        NormValueSource, MaxDocValueSource, NumDocsValueSource):
+        ``tf('t')`` is per-doc (0 when the term is absent), ``df``/``ttf``
+        are the GLOBAL collection statistics from the bucketed term-stats
+        store, ``idf`` is ClassicSimilarity.idf(df, maxDoc) (the reference
+        requires a TFIDFSimilarity there), ``norm()`` decodes the stored
+        norm byte like TFIDFSimilarity (1/sqrt(length), 0 for empty)."""
+        fn, _, term = key.partition(":")
+        if fn == "tf":
+            tid = rdr.seek_exact(term)
+            if tid < 0:
+                return np.zeros(len(docs), dtype=np.float64)
+            pdocs, pfreqs = rdr.postings(tid)
+            pos = np.clip(np.searchsorted(pdocs, docs), 0, len(pdocs) - 1)
+            return np.where(pdocs[pos] == docs, pfreqs[pos], 0) \
+                .astype(np.float64)
+        if fn == "df":
+            return np.float64(self.df(term))
+        if fn == "ttf":
+            return np.float64(self.ttf(term))
+        if fn == "idf":
+            maxdoc = sum(self.reader(p).doc_count for p in self._pids)
+            return np.float64(np.float32(
+                np.log((maxdoc + 1) / (self.df(term) + 1.0)) + 1.0))
+        if fn == "norm":
+            from ..util.smallfloat import byte4_to_int
+
+            lens = byte4_to_int(rdr.norms[docs]).astype(np.float64)
+            with np.errstate(divide="ignore"):
+                return np.where(lens > 0, 1.0 / np.sqrt(lens), 0.0)
+        if fn == "maxdoc":
+            return np.float64(sum(self.reader(p).doc_count
+                                  for p in self._pids))
+        if fn == "numdocs":
+            live = 0
+            for p in self._pids:
+                r = self.reader(p)
+                live += r.doc_count - (0 if r.deleted is None
+                                       else int(r.deleted.sum()))
+            return np.float64(live)
+        raise ValueError(f"unknown term-statistic function {fn!r}")
 
     def _expr_range_shard(self, rdr, spec, boost, k, after=None):
         """FunctionRangeQuery per shard (ValueSourceScorer model): evaluate

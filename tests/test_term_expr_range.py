@@ -106,3 +106,57 @@ def test_dv_stats_matches_numpy(setup):
     assert st["stdev"] == pytest.approx(vals.std(), rel=1e-9)
     empty = dv_stats(s, TermQuery("zzznothere"), "ts")
     assert empty["count"] == 0 and empty["min"] is None
+
+
+def test_term_stat_value_sources(setup, ray_session, tmp_path_factory):
+    """Term-statistic value sources in scoring expressions
+    (TermFreqValueSource / DocFreqValueSource / TotalTermFreqValueSource /
+    IDFValueSource / NormValueSource / MaxDocValueSource /
+    NumDocsValueSource) vs brute force over the analyzed corpus."""
+    import ray.data as rd
+
+    from lucene_ray.search.query import FunctionScoreQuery
+    from lucene_ray.sources.transcripts import synth_transcripts
+    from lucene_ray.util.smallfloat import byte4_to_int, int_to_byte4
+
+    t = synth_transcripts(1200, seed=32)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    d = str(tmp_path_factory.mktemp("tstats"))
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=400,
+                input_desc="tstats")
+    s = IndexSearcher(d)
+    toks_all = [analyze(x or "") for x in st.column("text").to_pylist()]
+
+    maxdoc = len(toks_all)
+    df_join = sum("join" in set(tk) for tk in toks_all)
+    ttf_join = sum(tk.count("join") for tk in toks_all)
+    idf_m = np.float32(np.log((maxdoc + 1) /
+                              (sum("merge" in set(tk) for tk in toks_all)
+                               + 1.0)) + 1.0)
+
+    q = FunctionScoreQuery(
+        TermQuery("merge"),
+        "tf('join') * 1000 + df('join') + ttf('join') / 1000"
+        " + idf('merge') + maxdoc() / 10**9 + numdocs() / 10**12"
+        " + tf('zzzznotaterm')")
+    td = s.search(q, k=40, total_hits_threshold=2**31 - 1)
+    assert td.total_hits == sum("merge" in set(tk) for tk in toks_all)
+    for h in td.hits:
+        tk = toks_all[h.gid]
+        want = (tk.count("join") * 1000 + df_join + ttf_join / 1000
+                + float(idf_m) + maxdoc / 10**9 + maxdoc / 10**12)
+        assert abs(h.score - want) < 1e-9, (h.gid, h.score, want)
+
+    # norm() = 1/sqrt(quantized length), 0 for empty (TFIDFSimilarity
+    # decodeNormValue over the SmallFloat-encoded norm byte)
+    tdn = s.search(FunctionScoreQuery(TermQuery("merge"), "norm()"), k=20)
+    for h in tdn.hits:
+        dl = int(byte4_to_int(np.array([int_to_byte4(
+            np.array([len(toks_all[h.gid])]))[0]]))[0])
+        want = 0.0 if dl == 0 else 1.0 / np.sqrt(float(dl))
+        assert abs(h.score - want) < 1e-12
+
+    # string-literal argument contract
+    with pytest.raises(ValueError):
+        from lucene_ray.search.expressions import compile_expression
+        compile_expression("tf(ts)")
