@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_xy_count": _lazy("index_xy_count"),
         "index_covering_count": _lazy("index_covering_count"),
         "index_sandbox_point_count": _lazy("index_sandbox_point_count"),
+        "index_inet_count": _lazy("index_inet_count"),
         "index_geo_count": _lazy("index_geo_count"),
         "index_shape_count": _lazy("index_shape_count"),
         "index_geo_distance_topk": _lazy("index_geo_distance_topk"),
@@ -884,6 +885,30 @@ def oracle_sql() -> dict[str, str]:
                       (100::HUGEINT - 3000) * 1180591620717411315769::HUGEINT + 1
                       AND (900::HUGEINT - 3000) * 1180591620717411315769::HUGEINT - 1
                    )::BIGINT AS n_big_range""",
+        # ip = 10.<(doc_id*97)%2^24 spread>; iprange offsets relative to
+        # 172.16.0.0 (o in [a<<8|b]); query bounds as plain integers
+        "index_inet_count": """
+            WITH ip AS (SELECT doc_id, (doc_id * 97) % 16777216 AS o,
+                               (doc_id % 2048) * 16 AS rlo,
+                               (doc_id % 2048) * 16 + doc_id % 29 AS rhi
+                        FROM documents)
+            SELECT
+              (SELECT count(*) FROM ip
+               WHERE o = (117 * 97) % 16777216)::BIGINT AS n_exact,
+              (SELECT count(*) FROM ip
+               WHERE o BETWEEN 4194304 AND 8388607)::BIGINT AS n_prefix,
+              (SELECT count(*) FROM ip
+               WHERE o BETWEEN 2097152 AND 10485759)::BIGINT AS n_range,
+              (SELECT count(*) FROM ip
+               WHERE rlo <= 30975 AND rhi >= 10240)::BIGINT AS n_intersects,
+              (SELECT count(*) FROM ip
+               WHERE rlo >= 10240 AND rhi <= 30975)::BIGINT AS n_within,
+              (SELECT count(*) FROM ip
+               WHERE rlo <= 10240 AND rhi >= 30975)::BIGINT AS n_contains,
+              (SELECT count(*) FROM ip
+               WHERE rlo <= 30975 AND rhi >= 10240
+                 AND NOT (rlo >= 10240 AND rhi <= 30975))::BIGINT
+                 AS n_crosses""",
         "index_covering_count": _TOKS + """
             , cov AS (SELECT doc_id,
                              list_contains(toks, 'merge')::INT

@@ -432,7 +432,10 @@ def build_geo_index(sf_dir: str, index_dir: str | None = None) -> str:
                 point_cols={"loc": ("lat_enc", "lon_enc"), "ts_pt": ("ts",),
                             "span": ("span_lo", "span_hi"),
                             "xy": ("x_enc", "y_enc"),
-                            "hf": ("hf_enc",), "big": ("bhi", "blo")},
+                            "hf": ("hf_enc",), "big": ("bhi", "blo"),
+                            "ip": ("iphi", "iplo"),
+                            "iprange": ("ipr_hmin", "ipr_lmin",
+                                        "ipr_hmax", "ipr_lmax")},
                 docvalue_cols=("feat_pr", "min_match"),
                 input_desc=f"documents@{sf_dir}+geo")
     return index_dir
@@ -722,6 +725,41 @@ def index_sandbox_point_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_hf_range": pd.Series([n_hf], dtype="int64"),
                          "n_hf_set": pd.Series([n_hf_set], dtype="int64"),
                          "n_big_range": pd.Series([n_big], dtype="int64")})
+
+
+INET_RANGE_Q = ("172.16.40.0", "172.16.120.255")   # iprange query bounds
+
+
+def index_inet_count(sf_dir: str) -> pd.DataFrame:
+    """InetAddressPoint + InetAddressRange (`document/InetAddressPoint.java`,
+    `InetAddressRange.java`): exact / CIDR-prefix / range counts over the
+    ip point column and all four range relations over the doc-side
+    [min_ip, max_ip] ranges (word-pair half-plane visits composed in
+    boolean FILTER/MUST_NOT position)."""
+    from ..search.point_types import (
+        inet_exact_query,
+        inet_prefix_query,
+        inet_range_query,
+        inet_range_relation_query,
+    )
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+
+    def v4_str(d: int) -> str:
+        v = (10 << 24) + (d * 97) % (1 << 24)
+        return f"10.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
+
+    out = {
+        "n_exact": searcher.count(inet_exact_query("ip", v4_str(117))),
+        "n_prefix": searcher.count(inet_prefix_query("ip", "10.64.0.0/10")),
+        "n_range": searcher.count(
+            inet_range_query("ip", "10.32.0.0", "10.159.255.255")),
+    }
+    for rel in ("intersects", "within", "contains", "crosses"):
+        out[f"n_{rel}"] = searcher.count(
+            inet_range_relation_query("iprange", rel, *INET_RANGE_Q))
+    return pd.DataFrame({k: pd.Series([v], dtype="int64")
+                         for k, v in out.items()})
 
 
 RANGE_FIELD_Q = (50, 120)          # query range for index_range_field_count

@@ -225,8 +225,14 @@ def big_integer_range_query(field: str, lower: int, upper: int,
     """BigIntegerPoint.newRangeQuery (inclusive).  Decomposed into <= 3
     disjoint (hi, lo) boxes so the composite 128-bit comparison becomes
     ordinary per-dimension BKD visits."""
-    hmin, lmin = big_integer_split(lower)
-    hmax, lmax = big_integer_split(upper)
+    return _word_pair_range_query(field, big_integer_split(lower),
+                                  big_integer_split(upper), boost)
+
+
+def _word_pair_range_query(field: str, lo_pair, hi_pair, boost: float = 1.0):
+    """Inclusive range over a 2-word lexicographic value as <= 3 boxes."""
+    hmin, lmin = lo_pair
+    hmax, lmax = hi_pair
     if hmin == hmax:
         return PointRangeQuery(field, (hmin, lmin), (hmax, lmax),
                                boost=boost)
@@ -235,3 +241,151 @@ def big_integer_range_query(field: str, lower: int, upper: int,
         boxes.append(((hmin + 1, _LO_MIN), (hmax - 1, _LO_MAX)))
     boxes.append(((hmax, _LO_MIN), (hmax, lmax)))
     return PointMultiRangeQuery(field, tuple(boxes), boost=boost)
+
+
+# ---------------------------------------------------------------------------
+# IP addresses (`document/InetAddressPoint.java`, `InetAddressRange.java`)
+# ---------------------------------------------------------------------------
+
+
+def inet_to_bytes16(addr: str) -> bytes:
+    """InetAddressPoint.encode: the 16-byte IPv6 form, IPv4 mapped to
+    ::ffff:a.b.c.d (InetAddressPoint.java encode/decode)."""
+    import ipaddress
+
+    ip = ipaddress.ip_address(addr)
+    if ip.version == 4:
+        ip = ipaddress.IPv6Address(f"::ffff:{ip}")
+    return ip.packed
+
+
+def inet_split(addr: str) -> tuple[int, int]:
+    """IP -> (hi, lo) sortable int64 pair; both words are UNSIGNED, so
+    both get the sign fold (unlike BigInteger's arithmetic high word)."""
+    b = inet_to_bytes16(addr)
+    hi_u = int.from_bytes(b[:8], "big")
+    lo_u = int.from_bytes(b[8:], "big")
+    return hi_u - (1 << 63), lo_u - (1 << 63)
+
+
+def inet_encode_column(addrs) -> tuple[np.ndarray, np.ndarray]:
+    """Index-time encoder for a string column of IPs: -> (hi, lo) int64
+    arrays for ``point_cols``.  Parsing is inherently per-value (the
+    reference's InetAddress parsing is too); everything downstream is
+    the vectorized point path."""
+    pairs = [inet_split(a) for a in
+             (addrs.to_pylist() if hasattr(addrs, "to_pylist") else addrs)]
+    hi = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+    lo = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
+    return hi, lo
+
+
+def inet_exact_query(field: str, addr: str) -> PointInSetQuery:
+    """InetAddressPoint.newExactQuery."""
+    return PointInSetQuery(field, (inet_split(addr),))
+
+
+def inet_set_query(field: str, addrs) -> PointInSetQuery:
+    """InetAddressPoint.newSetQuery."""
+    return PointInSetQuery(field, tuple(inet_split(a) for a in addrs))
+
+
+def inet_range_query(field: str, lower: str, upper: str,
+                     boost: float = 1.0):
+    """InetAddressPoint.newRangeQuery (inclusive on both ends)."""
+    return _word_pair_range_query(field, inet_split(lower),
+                                  inet_split(upper), boost)
+
+
+def inet_prefix_query(field: str, cidr: str, boost: float = 1.0):
+    """InetAddressPoint.newPrefixQuery: every address inside the CIDR
+    network (network address .. broadcast address, inclusive)."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    return inet_range_query(field, str(net.network_address),
+                            str(net.broadcast_address), boost)
+
+
+def inet_range_relation_query(field: str, relation: str,
+                              lower: str, upper: str):
+    """InetAddressRange relations (`document/InetAddressRange.java` +
+    RangeFieldQuery semantics) over a doc-side [min_ip, max_ip] range
+    indexed as a 4-dim point (hi_min, lo_min, hi_max, lo_max).
+
+    Composite 128-bit comparisons don't decompose per dimension, so each
+    relation composes from word-pair half-plane visits:
+
+      intersects: NOT(doc.max < q.min) AND NOT(doc.min > q.max)
+      within:     NOT(doc.min < q.min) AND NOT(doc.max > q.max)
+      contains:   NOT(doc.min > q.min) AND NOT(doc.max < q.max)
+      crosses:    intersects AND NOT within
+
+    where each strict word-pair comparison is a <= 2-box
+    PointMultiRangeQuery on the same sidecar (boolean FILTER/MUST_NOT
+    composition, constant score)."""
+    from .query import FILTER, MUST_NOT, BooleanClause, BooleanQuery
+
+    qmin = inet_split(lower)
+    qmax = inet_split(upper)
+    NEG = (_LO_MIN, _LO_MIN, _LO_MIN, _LO_MIN)
+    POS = (_LO_MAX, _LO_MAX, _LO_MAX, _LO_MAX)
+
+    def box(dim_lo: dict, dim_hi: dict):
+        lo = tuple(dim_lo.get(i, NEG[i]) for i in range(4))
+        hi = tuple(dim_hi.get(i, POS[i]) for i in range(4))
+        return lo, hi
+
+    def less_than(hi_dim: int, lo_dim: int, pair) -> object:
+        """value(hi_dim, lo_dim) < pair (strict), as <= 2 boxes."""
+        h, l = pair
+        boxes = []
+        if h > _LO_MIN:
+            boxes.append(box({}, {hi_dim: h - 1}))
+        if l > _LO_MIN:
+            boxes.append(box({hi_dim: h}, {hi_dim: h, lo_dim: l - 1}))
+        if not boxes:                      # nothing is < the minimum value
+            boxes = [box({hi_dim: _LO_MAX, lo_dim: _LO_MAX},
+                         {hi_dim: _LO_MIN, lo_dim: _LO_MIN})]
+        return PointMultiRangeQuery(field, tuple(boxes))
+
+    def greater_than(hi_dim: int, lo_dim: int, pair) -> object:
+        h, l = pair
+        boxes = []
+        if h < _LO_MAX:
+            boxes.append(box({hi_dim: h + 1}, {}))
+        if l < _LO_MAX:
+            boxes.append(box({hi_dim: h, lo_dim: l + 1}, {hi_dim: h}))
+        if not boxes:
+            boxes = [box({hi_dim: _LO_MAX, lo_dim: _LO_MAX},
+                         {hi_dim: _LO_MIN, lo_dim: _LO_MIN})]
+        return PointMultiRangeQuery(field, tuple(boxes))
+
+    exists = PointRangeQuery(field, NEG, POS)
+    # dims: 0 = hi_min, 1 = lo_min, 2 = hi_max, 3 = lo_max
+    max_below_qmin = less_than(2, 3, qmin)        # doc.max < q.min
+    min_above_qmax = greater_than(0, 1, qmax)     # doc.min > q.max
+    min_below_qmin = less_than(0, 1, qmin)        # doc.min < q.min
+    max_above_qmax = greater_than(2, 3, qmax)     # doc.max > q.max
+    min_above_qmin = greater_than(0, 1, qmin)     # doc.min > q.min
+    max_below_qmax = less_than(2, 3, qmax)        # doc.max < q.max
+
+    if relation == "intersects":
+        neg, pos = (max_below_qmin, min_above_qmax), ()
+    elif relation == "within":
+        neg, pos = (min_below_qmin, max_above_qmax), ()
+    elif relation == "contains":
+        neg, pos = (min_above_qmin, max_below_qmax), ()
+    elif relation == "crosses":
+        # intersects AND NOT within: the NOT-within disjunction rides a
+        # nested SHOULD boolean in FILTER position
+        neg = (max_below_qmin, min_above_qmax)
+        from .query import SHOULD
+
+        pos = (BooleanQuery((BooleanClause(min_below_qmin, SHOULD),
+                             BooleanClause(max_above_qmax, SHOULD))),)
+    else:
+        raise ValueError(f"unknown relation {relation!r}")
+    return BooleanQuery((BooleanClause(exists, FILTER),)
+                        + tuple(BooleanClause(q, FILTER) for q in pos)
+                        + tuple(BooleanClause(q, MUST_NOT) for q in neg))

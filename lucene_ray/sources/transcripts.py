@@ -214,7 +214,29 @@ def transcripts_with_geo(sf_dir: str):
         bhi = (a << 6) + np.where(s < 0, -1, 0)
         blo = (s.view(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
         t = t.append_column("bhi", pa.array(bhi, type=pa.int64()))
-        return t.append_column("blo", pa.array(blo, type=pa.int64()))
+        t = t.append_column("blo", pa.array(blo, type=pa.int64()))
+        # InetAddressPoint column (all v4-mapped, hi word 0): 10.x.y.z
+        # with v4int = 10<<24 + (doc_id*97) % 2^24; lo word carries the
+        # ::ffff: prefix.  Sign-folded sortable int64 words.
+        d64 = doc_id.astype(np.int64)
+        v4 = (10 << 24) + (d64 * 97) % (1 << 24)
+        hi_s = np.full(len(d64), -(1 << 63), dtype=np.int64)
+        # fold the sign offset into the Python-int constant FIRST:
+        # int64_array - 2^63 would promote to float64 (2^63 overflows
+        # int64) and silently round the low bits away
+        v4_base = 0xFFFF00000000 - (1 << 63)
+        t = t.append_column("iphi", pa.array(hi_s, type=pa.int64()))
+        t = t.append_column("iplo", pa.array(v4_base + v4, type=pa.int64()))
+        # InetAddressRange column: [172.16/16 base + lo_off, + span]
+        ip_base = v4_base + (172 << 24) + (16 << 16)
+        lo_off = (d64 % 2048) * 16
+        span = d64 % 29
+        t = t.append_column("ipr_hmin", pa.array(hi_s, type=pa.int64()))
+        t = t.append_column("ipr_lmin", pa.array(ip_base + lo_off,
+                                                 type=pa.int64()))
+        t = t.append_column("ipr_hmax", pa.array(hi_s, type=pa.int64()))
+        return t.append_column("ipr_lmax", pa.array(ip_base + lo_off + span,
+                                                    type=pa.int64()))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(add_geo, batch_format="pyarrow")

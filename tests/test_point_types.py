@@ -159,3 +159,114 @@ def test_point_types_end_to_end(ray_session, tmp_path):
     # full-domain sanity
     assert s.count(big_integer_range_query("big", BIGINT_MIN, BIGINT_MAX))\
         == n
+
+
+def test_inet_encoding_and_order():
+    """InetAddressPoint.encode: IPv4 maps to ::ffff:a.b.c.d; the (hi, lo)
+    sortable pair preserves address order across families."""
+    from lucene_ray.search.point_types import inet_split, inet_to_bytes16
+
+    assert inet_to_bytes16("1.2.3.4") == \
+        bytes([0] * 10 + [0xFF, 0xFF, 1, 2, 3, 4])
+    assert inet_to_bytes16("::ffff:1.2.3.4") == inet_to_bytes16("1.2.3.4")
+    import ipaddress
+    addrs = ["0.0.0.0", "1.2.3.4", "10.0.0.1", "10.0.0.2", "255.255.255.255",
+             "::1", "2001:db8::1", "2001:db8::2", "fe80::1",
+             "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff"]
+    mapped = [ipaddress.IPv6Address(inet_to_bytes16(a)) for a in addrs]
+    order = sorted(range(len(addrs)), key=lambda i: mapped[i])
+    pairs = [inet_split(a) for a in addrs]
+    assert sorted(range(len(addrs)), key=lambda i: pairs[i]) == order
+
+
+def test_inet_queries_end_to_end(ray_session, tmp_path):
+    """Exact / set / range / CIDR-prefix queries and InetAddressRange
+    relations vs brute force."""
+    import ipaddress
+
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.point_types import (
+        inet_encode_column,
+        inet_exact_query,
+        inet_prefix_query,
+        inet_range_query,
+        inet_range_relation_query,
+        inet_set_query,
+        inet_split,
+    )
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    n = 900
+    t = synth_transcripts(n, seed=95)
+    st = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    i = np.arange(n)
+    # mix of v4 and v6 addresses
+    addrs = [f"10.{(j * 7) % 250}.{(j * 13) % 250}.{j % 250}" if j % 3
+             else f"2001:db8::{j:x}" for j in i]
+    hi, lo = inet_encode_column(addrs)
+    st = st.append_column("iphi", pa.array(hi))
+    st = st.append_column("iplo", pa.array(lo))
+    # doc-side ranges [lo_addr, hi_addr] over a v4 block
+    v4lo = [f"172.16.{(j * 3) % 200}.{(j * 11) % 200}" for j in i]
+    v4hi = [f"172.16.{(j * 3) % 200 + (0 if (j * 11) % 200 + j % 40 < 256 else 1)}."
+            f"{((j * 11) % 200 + j % 40) % 256}" for j in i]
+    rl = [inet_split(a) for a in v4lo]
+    rh = [inet_split(a) for a in v4hi]
+    st = st.append_column("r_hmin", pa.array(np.array([p[0] for p in rl])))
+    st = st.append_column("r_lmin", pa.array(np.array([p[1] for p in rl])))
+    st = st.append_column("r_hmax", pa.array(np.array([p[0] for p in rh])))
+    st = st.append_column("r_lmax", pa.array(np.array([p[1] for p in rh])))
+    d = str(tmp_path / "inet")
+    build_index(rd.from_arrow(st), d, target_docs_per_partition=300,
+                point_cols={"ip": ("iphi", "iplo"),
+                            "iprange": ("r_hmin", "r_lmin",
+                                        "r_hmax", "r_lmax")},
+                input_desc="inet")
+    s = IndexSearcher(d)
+
+    ip_of = [ipaddress.IPv6Address(
+        a if ":" in a else f"::ffff:{a}") for a in addrs]
+
+    assert s.count(inet_exact_query("ip", addrs[17])) == \
+        sum(1 for x in ip_of if x == ip_of[17])
+    want_set = {str(addrs[3]), str(addrs[4]), "9.9.9.9"}
+    assert s.count(inet_set_query("ip", list(want_set))) == \
+        sum(1 for a in addrs if a in want_set)
+
+    qlo, qhi = "10.0.0.0", "10.120.255.255"
+    L = ipaddress.IPv6Address(f"::ffff:{qlo}")
+    H = ipaddress.IPv6Address(f"::ffff:{qhi}")
+    assert s.count(inet_range_query("ip", qlo, qhi)) == \
+        sum(1 for x in ip_of if L <= x <= H)
+    # v6 range crossing hi words
+    assert s.count(inet_range_query("ip", "2001:db8::10", "2001:db8::ff")) \
+        == sum(1 for x in ip_of
+               if ipaddress.IPv6Address("2001:db8::10") <= x
+               <= ipaddress.IPv6Address("2001:db8::ff"))
+    net = ipaddress.ip_network("10.64.0.0/10")
+    assert s.count(inet_prefix_query("ip", "10.64.0.0/10")) == \
+        sum(1 for a in addrs if ":" not in a
+            and ipaddress.ip_address(a) in net)
+
+    # range relations vs interval brute force on the mapped integers
+    lo_i = np.array([int.from_bytes(
+        (ipaddress.IPv6Address(f"::ffff:{a}")).packed, "big") for a in v4lo])
+    hi_i = np.array([int.from_bytes(
+        (ipaddress.IPv6Address(f"::ffff:{a}")).packed, "big") for a in v4hi])
+    ql = int.from_bytes(ipaddress.IPv6Address("::ffff:172.16.40.0").packed,
+                        "big")
+    qh = int.from_bytes(ipaddress.IPv6Address("::ffff:172.16.120.255").packed,
+                        "big")
+    inter = (lo_i <= qh) & (hi_i >= ql)
+    within = (lo_i >= ql) & (hi_i <= qh)
+    contains = (lo_i <= ql) & (hi_i >= qh)
+    for rel, want in (("intersects", inter.sum()),
+                      ("within", within.sum()),
+                      ("contains", contains.sum()),
+                      ("crosses", (inter & ~within).sum())):
+        q = inet_range_relation_query("iprange", rel,
+                                      "172.16.40.0", "172.16.120.255")
+        assert s.count(q) == int(want), rel
