@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_mlt_topk": _lazy("index_mlt_topk"),
         "index_expr_topk": _lazy("index_expr_topk"),
         "index_fn_termstats_topk": _lazy("index_fn_termstats_topk"),
+        "quality_eval": _lazy("quality_eval"),
         "index_expr_sorted_topk": _lazy("index_expr_sorted_topk"),
         # --- vector search as a first-class index query (round 3) ---
         "index_knn_filtered": _vs("index_knn_filtered"),
@@ -741,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
         "index_expr_topk": _expr_sql(),
         "index_fn_termstats_topk": _TOKS + _flagship_sql(
             "index_fn_termstats_oracle_sql"),
+        "quality_eval": _flagship_sql("quality_eval_oracle_sql"),
         "index_knn_filtered": _knn_filtered_sql(),
         "index_hybrid_rrf": _hybrid_rrf_sql(),
         "index_delete_query_count": _TOKS + """

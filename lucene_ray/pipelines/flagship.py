@@ -1363,6 +1363,82 @@ def index_fn_termstats_oracle_sql(k: int = EXPR_K) -> str:
         FROM fn ORDER BY fscore DESC, doc_id ASC LIMIT """ + str(k)
 
 
+QUALITY_K = 50                 # judged depth for quality_eval
+QUALITY_MOD = 37               # relevant <=> doc_id % QUALITY_MOD == 0
+
+
+class _ModJudge:
+    """Deterministic judge: relevance from the doc name's derived doc_id
+    (external-qrels stand-in; real runs feed TrecJudge + parsed qrels)."""
+
+    def __init__(self, n_docs: int):
+        self.n_docs = n_docs
+
+    @staticmethod
+    def _doc_id(name: str) -> int:
+        conv, turn = name.split(":")
+        return int(conv.split("-")[1]) * 5 + int(turn)
+
+    def is_relevant(self, doc_name: str, qid: str) -> bool:
+        return self._doc_id(doc_name) % QUALITY_MOD == 0
+
+    def max_recall(self, qid: str) -> int:
+        return (self.n_docs + QUALITY_MOD - 1) // QUALITY_MOD
+
+
+def quality_eval(sf_dir: str) -> pd.DataFrame:
+    """TREC-style quality run (`benchmark/quality/QualityStats.java`,
+    QualityBenchmark): BM25 top-50 for query 'merge' judged against a
+    deterministic relevance set — P@5/10/20 (with the reference's
+    short-list extrapolation), MAP (avp), recall, and the top-5-gated
+    MRR, all reproduced from the ranked list in SQL."""
+    import pyarrow.parquet as pq
+
+    from ..search.query import TermQuery
+    from .quality import quality_benchmark
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    stats = quality_benchmark(searcher, [("q1", TermQuery("merge"))],
+                              _ModJudge(n_docs), max_results=QUALITY_K)[0]
+    return pd.DataFrame({
+        "p_at_5": [round(stats.precision_at(5), 6)],
+        "p_at_10": [round(stats.precision_at(10), 6)],
+        "p_at_20": [round(stats.precision_at(20), 6)],
+        "avp": [round(stats.avp(), 6)],
+        "recall": [round(stats.recall, 6)],
+        "mrr": [round(stats.mrr, 6)],
+        "num_good": pd.Series([int(stats.num_good_points)], dtype="int64"),
+    })
+
+
+def quality_eval_oracle_sql(k: int = QUALITY_K) -> str:
+    return f"""
+        WITH {bm25_scored_cte(("merge",))},
+        ranked AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY score DESC,
+                                             doc_id ASC) AS r
+                   FROM scored QUALIFY r <= {k}),
+        j AS (SELECT r, (doc_id % {QUALITY_MOD} = 0)::INT AS rel,
+                     SUM((doc_id % {QUALITY_MOD} = 0)::INT)
+                       OVER (ORDER BY r) AS cum
+              FROM ranked),
+        mg AS (SELECT count(*) AS maxgood FROM documents
+               WHERE doc_id % {QUALITY_MOD} = 0)
+        SELECT
+          round((SELECT cum / 5.0 FROM j WHERE r = 5), 6) AS p_at_5,
+          round((SELECT cum / 10.0 FROM j WHERE r = 10), 6) AS p_at_10,
+          round((SELECT cum / 20.0 FROM j WHERE r = 20), 6) AS p_at_20,
+          round((SELECT sum(rel * cum / (1.0 * r)) FROM j)
+                / (SELECT maxgood FROM mg), 6) AS avp,
+          round((SELECT max(cum) FROM j)
+                / (1.0 * (SELECT maxgood FROM mg)), 6) AS recall,
+          round(coalesce((SELECT CASE WHEN min(r) <= 5 THEN 1.0 / min(r)
+                                      ELSE 0 END
+                          FROM j WHERE rel = 1), 0), 6) AS mrr,
+          (SELECT max(cum) FROM j)::BIGINT AS num_good"""
+
+
 def index_expr_oracle_sql(k: int = EXPR_K) -> str:
     return f"""
         WITH {bm25_scored_cte(BM25_SQL_TERMS)},
