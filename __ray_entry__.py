@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": _bucketed_join,
         "percolate": _percolate,
         "percolate_ast": _percolate_ast,
+        "percolate_tree": _percolate_tree,
         "classify_naive_bayes": _classify_nb,
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         # --- family representatives (rest of each family after slot 50) ---
@@ -180,6 +181,12 @@ def _percolate_ast(sf_dir):
     from lucene_ray.pipelines.percolate import percolate_ast
 
     return percolate_ast(sf_dir)
+
+
+def _percolate_tree(sf_dir):
+    from lucene_ray.pipelines.querytree import percolate_tree
+
+    return percolate_tree(sf_dir)
 
 
 def _classify_nb(sf_dir):
@@ -1259,12 +1266,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "classify_naive_bayes": _classify_nb_sql(),
         "percolate_ast": _TOKS + " " + _percolate_ast_sql(),
+        "percolate_tree": _TOKS + " " + _percolate_tree_sql(),
         "suggest_freetext": _suggest_freetext_sql(),
         # rows-only (non-SQL-expressible / approximate): dedup_minhash,
         # dedup_simhash_pairs, ngram_jaccard, knn_lsh, knn_ivf, knn_hnsw,
         # dedup_embedding_lsh, index_bm25_topk, suggest_fuzzy (Damerau
         # prefix automaton), classify_knn (doc-vs-doc BM25 self-join)
     }
+
+
+def _percolate_tree_sql() -> str:
+    from lucene_ray.pipelines.querytree import percolate_tree_oracle_sql
+
+    return percolate_tree_oracle_sql()
 
 
 def _classify_nb_sql() -> str:
