@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_payload_check_count": _lazy("index_payload_check_count"),
         "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
+        "suggest_wfst": _suggest_wfst,
+        "suggest_fst_bucketed": _suggest_fst_bucketed,
         "suggest_freetext": _suggest_freetext,
         "index_all_group_heads": _lazy("index_all_group_heads"),
         "index_term_range_count": _lazy("index_term_range_count"),
@@ -251,6 +253,18 @@ def _suggest_fuzzy(sf_dir):
     from lucene_ray.pipelines.suggesters import suggest_fuzzy
 
     return suggest_fuzzy(sf_dir)
+
+
+def _suggest_wfst(sf_dir):
+    from lucene_ray.pipelines.suggesters import suggest_wfst
+
+    return suggest_wfst(sf_dir)
+
+
+def _suggest_fst_bucketed(sf_dir):
+    from lucene_ray.pipelines.suggesters import suggest_fst_bucketed
+
+    return suggest_fst_bucketed(sf_dir)
 
 
 def _suggest_blended(sf_dir):
@@ -1268,6 +1282,22 @@ def oracle_sql() -> dict[str, str]:
         "percolate_ast": _TOKS + " " + _percolate_ast_sql(),
         "percolate_tree": _TOKS + " " + _percolate_tree_sql(),
         "suggest_freetext": _suggest_freetext_sql(),
+        "suggest_wfst": _TOKS + """
+            , tc AS (SELECT term, count(*)::BIGINT AS c FROM tokens GROUP BY term)
+            SELECT term AS key, c AS weight FROM tc
+            WHERE term LIKE 's%' ORDER BY c DESC, key LIMIT 5""",
+        "suggest_fst_bucketed": _TOKS + """
+            , tc AS (SELECT term, count(*)::BIGINT AS c FROM tokens GROUP BY term),
+            ranked AS (SELECT term, c,
+                              row_number() OVER (ORDER BY c, term) - 1 AS rn,
+                              count(*) OVER () AS n
+                       FROM tc),
+            firstrn AS (SELECT c, min(rn) AS frn, any_value(n) AS n
+                        FROM ranked GROUP BY c),
+            bucketed AS (SELECT r.term, (f.frn * 4) // f.n AS bucket
+                         FROM ranked r JOIN firstrn f USING (c))
+            SELECT term AS key, bucket FROM bucketed
+            WHERE term LIKE 's%' ORDER BY bucket DESC, key LIMIT 10""",
         # rows-only (non-SQL-expressible / approximate): dedup_minhash,
         # dedup_simhash_pairs, ngram_jaccard, knn_lsh, knn_ivf, knn_hnsw,
         # dedup_embedding_lsh, index_bm25_topk, suggest_fuzzy (Damerau

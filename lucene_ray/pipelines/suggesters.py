@@ -10,6 +10,7 @@ import os
 import pyarrow as pa
 
 from ..search.suggest import MANIFEST, Suggester, build_suggester
+from . import textstats
 
 CACHE_ROOT = "/tmp/lucene_ray_indexes"
 
@@ -258,4 +259,51 @@ def suggest_fuzzy(sf_dir: str, query: str = "mergw",
     return pa.table({
         "surface": pa.array([g[0] for g in got], type=pa.string()),
         "weight": pa.array([g[1] for g in got], type=pa.int64()),
+    })
+
+
+def _term_count_entries(sf_dir: str) -> list[tuple[str, int]]:
+    """(term, occurrence-count) dictionary from the distributed term_counts
+    aggregate — the DocumentDictionary role feeding the Lookup variants.
+    Only the aggregated vocabulary reaches the driver."""
+    t = _pa_concat(textstats.term_counts(sf_dir).to_arrow_refs())
+    return list(zip(t.column("term").to_pylist(),
+                    t.column("n_occurrences").to_pylist()))
+
+
+def _pa_concat(refs):
+    import ray
+
+    tables = [r for r in ray.get(refs) if r.num_rows] or [ray.get(refs[0])]
+    return pa.concat_tables(tables)
+
+
+def suggest_wfst(sf_dir: str, prefix: str = "s", k: int = 5) -> pa.Table:
+    """WFSTCompletionLookup over the corpus term dictionary
+    (`suggest/.../fst/WFSTCompletionLookup.java`): exact weights,
+    (weight desc, key asc); exactFirst off so the order is pure SQL."""
+    from ..search.lookups import WFSTCompletionLookup
+
+    lk = WFSTCompletionLookup(_term_count_entries(sf_dir), exact_first=False)
+    got = lk.lookup(prefix, k)
+    return pa.table({
+        "key": pa.array([g[0] for g in got], type=pa.string()),
+        "weight": pa.array([g[1] for g in got], type=pa.int64()),
+    })
+
+
+def suggest_fst_bucketed(sf_dir: str, prefix: str = "s", k: int = 10,
+                         buckets: int = 4) -> pa.Table:
+    """FSTCompletionLookup over the corpus term dictionary
+    (`suggest/.../fst/FSTCompletionLookup.java:180-240`): weights
+    discretized to rank-based buckets (equal weights share the run-start
+    bucket), results by (bucket desc, key asc)."""
+    from ..search.lookups import FSTCompletionLookup
+
+    lk = FSTCompletionLookup(_term_count_entries(sf_dir), buckets=buckets,
+                             exact_first=False)
+    got = lk.lookup(prefix, k)
+    return pa.table({
+        "key": pa.array([g[0] for g in got], type=pa.string()),
+        "bucket": pa.array([g[1] for g in got], type=pa.int64()),
     })

@@ -2332,11 +2332,16 @@ def suggest_infix(searcher: "IndexSearcher", substring: str, k: int = 10
 
 
 def spell_correct(searcher: "IndexSearcher", term: str, max_edits: int = 2,
-                  k: int = 5) -> list[tuple[str, int]]:
+                  k: int = 5, distance=None) -> list[tuple[str, int]]:
     """Did-you-mean suggestions (`suggest/spell/DirectSpellChecker.java`
     surface): dictionary terms within `max_edits`, ranked by (edit distance
     asc, docFreq desc, term asc), scanned per shard (union of shard
-    dictionaries == global dictionary; no global load)."""
+    dictionaries == global dictionary; no global load).
+
+    `distance` plugs a `StringDistance` similarity (the reference's
+    setDistance — e.g. `lookups.jaro_winkler_distance` or
+    `lookups.ngram_distance`): candidates then rank by (similarity desc,
+    docFreq desc, term asc), SuggestWordScoreComparator order."""
     from .query import FuzzyQuery
 
     cands: dict[str, int] = {}
@@ -2346,6 +2351,11 @@ def spell_correct(searcher: "IndexSearcher", term: str, max_edits: int = 2,
         for t in searcher._expand_shard(rdr, q):
             if t != term and t not in cands:
                 cands[t] = searcher.df(t)
+
+    if distance is not None:
+        ranked = sorted(cands.items(),
+                        key=lambda x: (-distance(term, x[0]), -x[1], x[0]))
+        return ranked[:k]
 
     def dist(t: str) -> int:
         for d in range(max_edits + 1):
