@@ -1115,6 +1115,7 @@ class ShardReader:
         self._dv_files = dict(files or {})
         self._dv_ranges = dict(ranges or {})
         self._dv_cache = {}
+        self._dv_sorted_cache = {}
 
     def docvalue(self, field: str) -> np.ndarray:
         """Per-doc int64 doc-values column in local-docID order (lazy, cached;
@@ -1147,6 +1148,29 @@ class ShardReader:
         r = getattr(self, "_dv_ranges", {}).get(field) \
             or self.manifest.get("docvalues", {}).get(field)
         return (int(r[0]), int(r[1])) if r else None
+
+    def docvalue_is_sorted(self, field: str) -> bool:
+        """True when the column is non-decreasing in local-docID order —
+        the IndexSortSortedNumericDocValuesRangeQuery precondition
+        (`sandbox/.../IndexSortSortedNumericDocValuesRangeQuery.java`
+        semantics: ranges on the index-sort field binary-search the
+        boundaries instead of scanning).  Checked once per reader per
+        column (one O(n) pass, amortized over every later range query;
+        dv-update overlays invalidate via the set_dv_updates cache
+        reset)."""
+        cache = getattr(self, "_dv_sorted_cache", None)
+        if cache is None:
+            cache = self._dv_sorted_cache = {}
+        got = cache.get(field)
+        if got is None:
+            upd = getattr(self, "_dv_files", {}).get(field)
+            if upd:             # overlaid columns lose the sort guarantee
+                got = False
+            else:
+                dv = self.docvalue(field)
+                got = bool(np.all(dv[1:] >= dv[:-1])) if len(dv) else True
+            cache[field] = got
+        return got
 
     @property
     def has_term_vectors(self) -> bool:

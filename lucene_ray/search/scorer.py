@@ -391,7 +391,30 @@ def _range_mask(reader, range_filters, range_must_nots):
 
 def search_shard_range(reader, spec, boost: float, k: int, after=None):
     """Standalone RangeQuery: constant-score docs whose doc-value lies in
-    [lo, hi] (PointRangeQuery constant-score rewrite; docID-order ties)."""
+    [lo, hi] (PointRangeQuery constant-score rewrite; docID-order ties).
+
+    When the column is sorted in docID order (an index-sort field), the
+    match set is a contiguous docID run found by binary search — the
+    IndexSortSortedNumericDocValuesRangeQuery optimization
+    (`sandbox/.../IndexSortSortedNumericDocValuesRangeQuery.java`
+    BoundedDocIdSetIterator): O(log n) instead of a full-column compare."""
+    field, lo, hi = spec
+    if reader.docvalue_is_sorted(field):
+        dv = reader.docvalue(field)
+        lo_i = int(np.searchsorted(dv, lo, side="left")) \
+            if lo is not None else 0
+        hi_i = int(np.searchsorted(dv, hi, side="right")) \
+            if hi is not None else len(dv)
+        cand = np.arange(lo_i, max(hi_i, lo_i), dtype=np.int32)
+        if reader.deleted is not None and len(cand):
+            cand = cand[~reader.deleted[cand]]
+        sc = np.full(len(cand), np.float32(boost), dtype=np.float32)
+        total = int(len(cand))
+        if after is not None:
+            a_s, a_d = np.float32(after[0]), after[1]
+            keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+            cand, sc = cand[keep], sc[keep]
+        return sc[:k], cand[:k], total, RELATION_EQ
     mask = _range_mask(reader, [spec], None)
     if reader.deleted is not None:
         mask = mask & ~reader.deleted

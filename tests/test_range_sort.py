@@ -283,3 +283,55 @@ def test_sorted_early_termination(dv_index):
     exact_a = s.search(q, k=7, sort=SortField("ts"))
     fast_a = s.search(q, k=7, sort=SortField("ts"), early_terminate=True)
     assert [h.gid for h in fast_a.hits] == [h.gid for h in exact_a.hits]
+
+
+def test_sorted_dv_fast_path_equals_scan(ray_session, tmp_path):
+    """IndexSortSortedNumericDocValuesRangeQuery semantics: when the dv
+    column is sorted in docID order (index-sort field), range queries
+    binary-search the boundaries; results must equal the full-scan path
+    (both paths exercised, deletes honored)."""
+    import numpy as np
+    import ray
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.deletes import delete_by_query
+    from lucene_ray.search.query import RangeQuery, TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        rows.append({"conv_id": f"c{i // 8:04d}", "turn_idx": i % 8,
+                     "role": "user", "text": f"turn {i} merge data",
+                     "tool": "", "ts": 1700000000000000 + i * 1000})
+    idx = str(tmp_path / "sorted_idx")
+    build_index(ray.data.from_items(rows), idx, target_docs_per_partition=150,
+                docvalue_cols=("ts",))
+    s = IndexSearcher(idx)
+    # ts ascends with docID in every shard -> fast path active
+    assert all(s.reader(p).docvalue_is_sorted("ts") for p in s._pids)
+    lo, hi = 1700000000050000, 1700000000260000
+    q = RangeQuery("ts", lo, hi)
+    got = s.search(q, k=500)
+    want_ids = {i for i in range(400)
+                if lo <= 1700000000000000 + i * 1000 <= hi}
+    assert {h.gid for h in got.hits} == want_ids
+    assert got.total_hits == len(want_ids)
+    # force the scan path by poisoning the sorted cache: identical results
+    for p in s._pids:
+        s.reader(p)._dv_sorted_cache = {"ts": False}
+    got2 = s.search(q, k=500)
+    assert [(h.gid, h.score) for h in got2.hits] == \
+        [(h.gid, h.score) for h in got.hits]
+    # deletes respected on the fast path
+    s2 = IndexSearcher(idx)
+    delete_by_query(idx, TermQuery("57"))
+    s2.refresh()
+    got3 = s2.search(q, k=500)
+    assert {h.gid for h in got3.hits} == want_ids - {57}
+    # open-ended + after-page parity with the scan path
+    q2 = RangeQuery("ts", None, 1700000000100000)
+    a = s.search(q2, k=30)
+    b = s.search(q2, k=30, after=(a.hits[-1].score, a.hits[-1].gid))
+    ids = [h.gid for h in a.hits] + [h.gid for h in b.hits]
+    assert ids == sorted(set(ids))[:len(ids)]
