@@ -1888,8 +1888,18 @@ def _porter2(word: str) -> str:
     return porter2_stem(word)
 
 
+def _kstem(word: str) -> str:
+    """KStemFilter (`analysis/en/KStemFilter.java`): dictionary-checked
+    Krovetz stemming; requires lowercased input (the filter chain's
+    jdk_lower runs first)."""
+    from .kstem import kstem
+
+    return kstem(word)
+
+
 FILTERS["porter2"] = _porter2
 FILTERS["english_snowball"] = _porter2
+FILTERS["kstem"] = _kstem
 
 
 def _phonetic(name):
@@ -1915,7 +1925,7 @@ FILTERS.update({
 # (`analysis/miscellaneous/KeywordMarkerFilter.java` sets KeywordAttribute;
 # stemmers skip keyword terms)
 STEMMERS = {"porter", "porter2", "english_snowball", "english_minimal",
-            "french_minimal", "german_minimal", "german_light"}
+            "french_minimal", "german_minimal", "german_light", "kstem"}
 
 
 def _make_truncate(n: int):
