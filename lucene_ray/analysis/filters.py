@@ -1888,6 +1888,18 @@ def _porter2(word: str) -> str:
     return porter2_stem(word)
 
 
+def _indic_normalize(word: str) -> str:
+    from .indic import indic_normalize
+
+    return indic_normalize(word)
+
+
+def _hindi_normalize(word: str) -> str:
+    from .indic import hindi_normalize
+
+    return hindi_normalize(word)
+
+
 def _kstem(word: str) -> str:
     """KStemFilter (`analysis/en/KStemFilter.java`): dictionary-checked
     Krovetz stemming; requires lowercased input (the filter chain's
@@ -1900,6 +1912,8 @@ def _kstem(word: str) -> str:
 FILTERS["porter2"] = _porter2
 FILTERS["english_snowball"] = _porter2
 FILTERS["kstem"] = _kstem
+FILTERS["indic_normalize"] = _indic_normalize
+FILTERS["hindi_normalize"] = _hindi_normalize
 
 
 def _phonetic(name):
@@ -2057,7 +2071,17 @@ def apply_filters_column(flat, names):
 
 def _parse_stop(spec: str) -> list[str]:
     body = spec[len("stop:"):]
-    return ENGLISH_STOP if body == "english" else body.split(",")
+    if body == "english":
+        return ENGLISH_STOP
+    if body == "hindi":
+        # the reference HindiAnalyzer stop set (`analysis/hi/stopwords.txt`)
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "hindi_stopwords.txt")
+        with open(path, encoding="utf-8") as f:
+            return [w.strip() for w in f if w.strip()]
+    return body.split(",")
 
 
 def _parse_syn(spec: str) -> dict[str, list[str]]:
@@ -2822,6 +2846,51 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                 doc = np.concatenate((doc, doc[hit]))
                 pos = np.concatenate((pos, pos[hit]))
                 incr = np.concatenate((incr, np.zeros(len(hit), bool)))
+        elif spec.startswith("common_grams_query:"):
+            # CommonGramsQueryFilter (`analysis/commongrams/
+            # CommonGramsQueryFilter.java:60-120`): phrase-query
+            # optimization over CommonGramsFilter output — emit bigrams for
+            # every adjacent pair touching a common word; a unigram
+            # survives only when it does not START a bigram, and the last
+            # token of a doc is also dropped when it ENDS one (the
+            # reference's previousType-after-restoreState behavior).
+            # Replaces the stream; emissions get sequential positions.
+            body = spec[len("common_grams_query:"):]
+            common = np.asarray(ENGLISH_STOP if body == "english"
+                                else body.split(","), dtype=object)
+            oi = np.nonzero(incr)[0]
+            o = oi[np.lexsort((pos[oi], doc[oi]))]
+            t_o, d_o = toks[o].astype(object), doc[o]
+            n_o = len(o)
+            is_c = np.isin(t_o, common)
+            nxt_same = np.zeros(n_o, dtype=bool)
+            if n_o > 1:
+                nxt_same[:-1] = d_o[1:] == d_o[:-1]
+            pair = nxt_same.copy()
+            if n_o > 1:
+                pair[:-1] &= is_c[:-1] | is_c[1:]
+            prev_pair = np.zeros(n_o, dtype=bool)
+            if n_o > 1:
+                prev_pair[1:] = pair[:-1]
+            emit_uni = ~pair & ~(~nxt_same & prev_pair)
+            out_t, out_d = [], []
+            for i in range(n_o):
+                if pair[i]:
+                    out_t.append(f"{t_o[i]}_{t_o[i + 1]}")
+                    out_d.append(d_o[i])
+                elif emit_uni[i]:
+                    out_t.append(t_o[i])
+                    out_d.append(d_o[i])
+            toks = np.array(out_t, dtype=object)
+            doc = np.array(out_d, dtype=np.int64)
+            pos = np.zeros(len(toks), dtype=np.int32)
+            if len(doc):
+                newdoc = np.concatenate(([True], doc[1:] != doc[:-1]))
+                gs = np.nonzero(newdoc)[0]
+                glen = np.diff(np.concatenate((gs, [len(doc)])))
+                pos = (np.arange(len(doc))
+                       - np.repeat(gs, glen)).astype(np.int32)
+            incr = np.ones(len(toks), dtype=bool)
         elif spec.startswith("common_grams:"):
             # CommonGramsFilter (`analysis/commongrams/CommonGramsFilter.java`):
             # for each stream-adjacent pair where either side is a common
@@ -3228,7 +3297,8 @@ ANALYZER_PRESETS = {
     "arabic": ("arabic_normalize", "arabic_stem"),
     "persian": ("arabic_normalize", "persian_normalize"),
     "sorani": ("sorani_normalize", "sorani_stem"),
-    "hindi": ("hindi",),
+    "hindi": ("decimal_digit", "indic_normalize", "hindi_normalize",
+              "stop:hindi", "hindi"),
     # TurkishAnalyzer chain: ApostropheFilter, TurkishLowerCaseFilter,
     # then the Snowball TurkishStemmer
     # (`analysis/tr/TurkishAnalyzer.java:104-113`)

@@ -236,3 +236,44 @@ def test_ascii_fold_preserve_original():
         pa.array(["abc", "def"]), np.array([2], dtype=np.int64),
         ("ascii_fold:preserve",))
     assert out2.to_pylist() == ["abc", "def"] and n2.tolist() == [2]
+
+
+def test_common_grams_query_filter_reference_vectors():
+    """TestCommonGramsFilter.testCommonGramsQueryFilter (+ the four
+    edge-case tests): bigrams out, member unigrams dropped, trailing
+    unigram dropped when it ends a bigram."""
+    import numpy as np
+
+    from lucene_ray.analysis.filters import run_token_chain
+
+    spec = ("common_grams_query:s,of,the",)
+
+    def run(words):
+        flat, lens, pos, norms = run_token_chain(
+            list(words), np.array([len(words)]), spec)
+        return list(np.asarray(flat, dtype=object))
+
+    assert run(["brown", "fox"]) == ["brown", "fox"]
+    assert run(["the", "fox"]) == ["the_fox"]
+    assert run(["fox", "of"]) == ["fox_of"]
+    assert run(["of", "the"]) == ["of_the"]
+    assert run(["the"]) == ["the"]
+    assert run(["foo"]) == ["foo"]
+    assert run(["n", "n", "n"]) == ["n", "n", "n"]
+    assert run(["quick", "brown", "the"]) == ["quick", "brown_the"]
+    assert run(["quick", "the", "brown"]) == ["quick_the", "the_brown"]
+    assert run(["fox", "of", "the"]) == ["fox_of", "of_the"]
+    assert run(["the", "quick", "brown"]) == ["the_quick", "quick", "brown"]
+    assert run(["the", "fox", "of"]) == ["the_fox", "fox_of"]
+    assert run(["of", "the", "fox"]) == ["of_the", "the_fox"]
+    assert run(["of", "the", "of"]) == ["of_the", "the_of"]
+    # testLastWordisStopWord / FirstWordisStopWord / OneWordQueryStopWord
+    assert run(["dog", "the"]) == ["dog_the"]
+    assert run(["the", "dog"]) == ["the_dog"]
+    # multi-doc independence + sequential positions
+    flat, lens, pos, norms = run_token_chain(
+        ["the", "fox", "quick", "brown"], np.array([2, 2]),
+        ("common_grams_query:s,of,the",))
+    assert list(np.asarray(flat, dtype=object)) == \
+        ["the_fox", "quick", "brown"]
+    assert list(lens) == [1, 2]
