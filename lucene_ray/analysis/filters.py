@@ -1900,6 +1900,12 @@ def _hindi_normalize(word: str) -> str:
     return hindi_normalize(word)
 
 
+def _brazilian_stem(word: str) -> str:
+    from .brazilian import brazilian_stem_filter
+
+    return brazilian_stem_filter(word)
+
+
 def _kstem(word: str) -> str:
     """KStemFilter (`analysis/en/KStemFilter.java`): dictionary-checked
     Krovetz stemming; requires lowercased input (the filter chain's
@@ -1912,6 +1918,7 @@ def _kstem(word: str) -> str:
 FILTERS["porter2"] = _porter2
 FILTERS["english_snowball"] = _porter2
 FILTERS["kstem"] = _kstem
+FILTERS["brazilian"] = _brazilian_stem
 FILTERS["indic_normalize"] = _indic_normalize
 FILTERS["hindi_normalize"] = _hindi_normalize
 
@@ -1939,7 +1946,8 @@ FILTERS.update({
 # (`analysis/miscellaneous/KeywordMarkerFilter.java` sets KeywordAttribute;
 # stemmers skip keyword terms)
 STEMMERS = {"porter", "porter2", "english_snowball", "english_minimal",
-            "french_minimal", "german_minimal", "german_light", "kstem"}
+            "french_minimal", "german_minimal", "german_light", "kstem",
+            "brazilian"}
 
 
 def _make_truncate(n: int):
