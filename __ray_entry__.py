@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_term_dictionary": index_term_dictionary,
         "index_bm25_topk": index_bm25_topk,
         "index_bm25_sql_topk": _index_bm25_sql_topk,
+        "index_indri_topk": _lazy("index_indri_topk"),
         "index_grouped_topk": _lazy("index_grouped_topk"),
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
@@ -739,6 +740,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS ttf
             FROM tokens GROUP BY term ORDER BY term""",
         "index_bm25_sql_topk": _index_bm25_oracle_sql(),
+        "index_indri_topk": _flagship_sql("index_indri_oracle_sql"),
         "index_diversified_topk": _index_diversified_sql(),
         "index_grouped_topk": _index_grouped_sql(),
         "index_bm25_bool_sql": _index_bool_oracle_sql(),

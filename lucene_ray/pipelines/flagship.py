@@ -2223,3 +2223,65 @@ def index_dv_stats(sf_dir: str) -> pd.DataFrame:
         "v_mean": pd.Series([round(st["mean"], 6)], dtype="float64"),
         "v_var": pd.Series([round(st["variance"], 6)], dtype="float64"),
         "v_stdev": pd.Series([round(st["stdev"], 6)], dtype="float64")})
+
+
+INDRI_CLAUSES = (("merge", 1.0), ("join", 2.0))
+INDRI_MU = 2000.0
+
+
+def index_indri_topk(sf_dir: str) -> pd.DataFrame:
+    """IndriAndQuery through the index (`search/IndriAndQuery.java` +
+    IndriDirichletSimilarity): boost-weighted average of per-clause
+    Dirichlet log-probabilities with smoothing for absent clauses; SQL
+    twin recomputes the whole chain incl. the SmallFloat norm
+    quantization.  (rank, conv_id, turn_idx, score 4dp)."""
+    from ..search.query import IndriAndQuery, TermQuery
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = IndriAndQuery(tuple(TermQuery(t, boost=b) for t, b in INDRI_CLAUSES),
+                      mu=INDRI_MU)
+    td = searcher.search(q, k=BM25_SQL_K)
+    rows = [(r, h.conv_id, int(h.turn_idx), round(float(h.score), 4))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+def index_indri_oracle_sql() -> str:
+    """DuckDB twin of index_indri_topk: p_w = ttf/sum_ttf over RAW token
+    counts (the engine's global term stats), doc length from the embedded
+    SmallFloat quantization map, score = Σ boost·ln((tf + μ·p_w)/(dl + μ))
+    / Σ boost over docs matching ≥1 clause."""
+    qmap = _normmap_values()
+    mu = INDRI_MU
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, (t, _) in enumerate(INDRI_CLAUSES))
+    pw = ", ".join(
+        f"(SELECT greatest(sum(tf_{i}), 1) * 1.0 FROM tf) / "
+        f"(SELECT sum(len(toks)) * 1.0 FROM toklists) AS pw_{i}"
+        for i, _ in enumerate(INDRI_CLAUSES))
+    boost_sum = sum(b for _, b in INDRI_CLAUSES)
+    score = " + ".join(
+        f"{b} * ln((tf.tf_{i} + {mu} * pw.pw_{i}) / (dl.dl + {mu}))"
+        for i, (_, b) in enumerate(INDRI_CLAUSES))
+    anymatch = " OR ".join(f"tf.tf_{i} > 0"
+                           for i, _ in enumerate(INDRI_CLAUSES))
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents),
+        normmap(n, dec) AS (VALUES {qmap}),
+        dl AS (SELECT t.doc_id, m.dec AS dl
+               FROM toklists t JOIN normmap m ON m.n = len(t.toks)),
+        tf AS (SELECT doc_id, {tf_cols} FROM toklists),
+        pw AS (SELECT {pw}),
+        scored AS (
+          SELECT tf.doc_id, ({score}) / {boost_sum} AS score
+          FROM tf, pw, dl WHERE tf.doc_id = dl.doc_id AND ({anymatch}))
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+               printf('conv-%08d', doc_id // 5) AS conv_id,
+               (doc_id % 5)::BIGINT AS turn_idx,
+               round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_SQL_K}"""

@@ -491,6 +491,19 @@ class DisjunctionMaxQuery:
 
 
 @dataclass(frozen=True)
+class IndriAndQuery:
+    """Indri-style AND (`search/IndriAndQuery.java` + `IndriAndScorer.java:
+    17-90`): matches the UNION of its term clauses' docs; score = the
+    boost-weighted AVERAGE of per-clause scores, where a clause absent
+    from the doc contributes its freq=0 smoothing score (the Indri
+    "smoothing acts like idf" behavior).  Clauses score under
+    IndriDirichletSimilarity regardless of the searcher's similarity
+    (the reference requires IndriScorer subscorers)."""
+    queries: tuple          # TermQuerys (boosts respected)
+    mu: float = 2000.0
+
+
+@dataclass(frozen=True)
 class BoostQuery:
     """Wraps a query, multiplying its boost (`search/BoostQuery.java`)."""
     query: object

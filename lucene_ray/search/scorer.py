@@ -728,6 +728,41 @@ def search_shard_dismax(reader, sub, tie: np.float32, k: int, after=None):
     return sc, cand, total, RELATION_EQ
 
 
+def search_shard_indri_and(reader, sub, k: int, after=None):
+    """IndriAndScorer.scoreDoc (`search/IndriAndScorer.java:40-90`):
+    candidates = union of clause postings (DisjunctionDISIApproximation);
+    score = sum(boost_i * s_i) / sum(boost_i) where s_i is the clause's
+    Indri score when it matches the doc and its freq=0 smoothing score
+    otherwise.  Dense vectorized: one smoothing vector + one postings
+    scatter per clause."""
+    n = reader.doc_count
+    acc = np.zeros(n, dtype=np.float64)
+    matched = np.zeros(n, dtype=bool)
+    boost_sum = 0.0
+    for term, scorer, boost in sub:
+        boost_sum += boost
+        contrib = scorer.smoothing(reader.norms).astype(np.float64)
+        tid = reader.seek_exact(term)
+        if tid >= 0:
+            docs, freqs = reader.postings(tid)
+            contrib[docs] = scorer.score(freqs, reader.norms[docs])
+            matched[docs] = True
+        acc += boost * contrib
+    if boost_sum == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    if reader.deleted is not None:
+        matched &= ~reader.deleted
+    cand = np.nonzero(matched)[0].astype(np.int32)
+    sc = (acc[cand] / boost_sum).astype(np.float32)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
 def sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> np.float32:
     """SloppyPhraseMatcher greedy traversal for NON-REPEATING phrase terms
     (`search/SloppyPhraseMatcher.java:174-205` nextMatch + PhraseScorer freq

@@ -972,6 +972,22 @@ class IndexSearcher:
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "dismax": sub, "tie": np.float32(query.tie_breaker)}
+        from .query import IndriAndQuery as _IndriAnd
+
+        if isinstance(query, _IndriAnd):
+            from .similarity import IndriDirichletSimilarity
+
+            isim = IndriDirichletSimilarity(query.mu)
+            sub = []
+            for tq in query.queries:
+                df = self.df(tq.term)
+                if df > 0:
+                    sub.append((tq.term,
+                                isim.scorer(1.0, self.doc_count, self.sum_ttf,
+                                            df, ttf=self.ttf(tq.term)),
+                                float(tq.boost)))
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False, "indri_and": sub}
         from .query import FieldExistsQuery
 
         if isinstance(query, FieldExistsQuery):
@@ -1336,6 +1352,11 @@ class IndexSearcher:
                 keep = (sc < a_s) | ((sc == a_s) & (docs.astype(np.int64) > a_d))
                 docs, sc = docs[keep], sc[keep]
             return sc[:k], docs[:k], total, rel
+        if compiled.get("indri_and") is not None:
+            from .scorer import search_shard_indri_and
+
+            return search_shard_indri_and(rdr, compiled["indri_and"], k,
+                                          after=after)
         if compiled.get("dismax") is not None:
             from .scorer import search_shard_dismax
 
@@ -1352,6 +1373,7 @@ class IndexSearcher:
         # ImpactsDISI skipping is profitable only with its compiled
         # per-block loop), so route straight to the TAAT accumulator
         wandable = (self.use_wand and len(compiled["scoring"]) >= 2
+                    and getattr(self.sim, "wand_safe", True)
                     and not compiled["filters"]
                     and not compiled.get("range_filters")
                     and not compiled.get("range_must_nots")

@@ -243,6 +243,62 @@ class LMJelinekMercerScorer:
         return (self.weight * s).astype(np.float32)
 
 
+class IndriDirichletScorer:
+    __slots__ = ("weight", "mu", "p_w", "cache")
+
+    def __init__(self, boost, mu, p_w):
+        self.weight = np.float32(boost)
+        self.mu = np.float64(mu)
+        self.p_w = np.float64(p_w)
+        # per-norm-byte smoothing score log(mu * p_w / (dl + mu)) — the
+        # freq=0 score every clause contributes on docs it doesn't match
+        self.cache = np.log(
+            (float(mu) * self.p_w)
+            / (LENGTH_TABLE.astype(np.float64) + float(mu))
+        ).astype(np.float32)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        dl = LENGTH_TABLE[norm_bytes.astype(np.int64) & 0xFF] \
+            .astype(np.float64)
+        f = freqs.astype(np.float64)
+        s = np.log((f + self.mu * self.p_w) / (dl + self.mu))
+        return (self.weight * s).astype(np.float32)
+
+    def smoothing(self, norm_bytes: np.ndarray) -> np.ndarray:
+        """Per-doc freq=0 score (IndriScorer.smoothingScore)."""
+        return self.weight * self.cache[norm_bytes.astype(np.int64) & 0xFF]
+
+
+class IndriDirichletSimilarity:
+    """Indri's Dirichlet-smoothed LM
+    (`search/similarities/IndriDirichletSimilarity.java:36-90`): score =
+    boost * log((freq + mu*p_w) / (dl + mu)) — unlike LMDirichlet, never
+    clipped at 0 (scores are negative log-probabilities), and the same
+    formula at freq=0 serves as the smoothing score for IndriAndQuery's
+    missing-clause contribution."""
+
+    # scores are negative log-probabilities: block-max pruning against a
+    # zero-initialized floor would prune everything, so WAND is disabled
+    wand_safe = False
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = mu
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(1.0)          # LM scoring has no idf factor
+
+    def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
+               ttf: int | None = None):
+        occ = ttf if ttf is not None else max(doc_freq, 1)
+        p_w = max(occ, 1) / max(sum_ttf, 1)
+        return IndriDirichletScorer(boost, self.mu, p_w)
+
+    def scorer_with_idf(self, boost: float, idf: np.float32, doc_count: int,
+                        sum_ttf: int):
+        raise NotImplementedError(
+            "Indri Dirichlet phrase scoring not supported")
+
+
 class LMJelinekMercerSimilarity:
     """Language model with Jelinek-Mercer smoothing
     (`search/similarities/LMJelinekMercerSimilarity.java:55-77`): score =

@@ -179,6 +179,7 @@ def main():
         sim = {
             "classic": sims.ClassicSimilarity, "boolean": sims.BooleanSimilarity,
             "lmdirichlet": sims.LMDirichletSimilarity,
+            "indri": sims.IndriDirichletSimilarity,
             "lmjm": sims.LMJelinekMercerSimilarity,
             "dfr": sims.DFRSimilarity, "ib": sims.IBSimilarity,
             "dfi": sims.DFISimilarity, "sweetspot": sims.SweetSpotSimilarity,
