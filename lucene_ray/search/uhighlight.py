@@ -107,6 +107,135 @@ class SentenceBreakIterator:
         return list(zip(self.bounds, self.bounds[1:]))
 
 
+class CustomSeparatorBreakIterator(SentenceBreakIterator):
+    """Breaks only after a chosen separator character
+    (`uhighlight/CustomSeparatorBreakIterator.java:26-110`) — the
+    UnifiedHighlighter's multi-value field pattern (values joined by an
+    unindexed separator char)."""
+
+    def __init__(self, text: str, separator: str):
+        if len(separator) != 1:
+            raise ValueError("separator must be a single character")
+        self.text = text
+        n = len(text)
+        bounds = [0]
+        bounds.extend(i + 1 for i in range(n) if text[i] == separator)
+        if not bounds or bounds[-1] != n:
+            bounds.append(n)
+        self.bounds = sorted(set(bounds))
+
+
+class WholeBreakIterator(SentenceBreakIterator):
+    """One passage spanning the whole text
+    (`uhighlight/WholeBreakIterator.java`)."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.bounds = [0, len(text)] if text else [0]
+
+
+class LengthGoalBreakIterator:
+    """Wraps a base break iterator so passages aim for a length goal
+    (`uhighlight/LengthGoalBreakIterator.java:33-230`): `create_min_length`
+    never undershoots the goal (skips past too-close base breaks);
+    `create_closest_to_length` picks the base break closest to the target.
+    `fragment_alignment` positions the match inside the fragment (0 =
+    match at the start)."""
+
+    def __init__(self, base, length_goal: int, fragment_alignment: float,
+                 is_minimum_length: bool):
+        if not (0.0 <= fragment_alignment <= 1.0):
+            raise ValueError("fragmentAlignment must be >= zero and <= one")
+        self.base = base
+        self.text = base.text
+        self.length_goal = length_goal
+        self.fragment_alignment = fragment_alignment
+        self.is_minimum_length = is_minimum_length
+        self._current = base.bounds[0]
+
+    @classmethod
+    def create_min_length(cls, base, min_length: int,
+                          fragment_alignment: float = 0.0):
+        return cls(base, min_length, fragment_alignment, True)
+
+    @classmethod
+    def create_closest_to_length(cls, base, target_length: int,
+                                 fragment_alignment: float = 0.0):
+        return cls(base, target_length, fragment_alignment, False)
+
+    def _first(self) -> int:
+        return self.base.bounds[0]
+
+    def _last(self) -> int:
+        return self.base.bounds[-1]
+
+    def following(self, match_end: int) -> int:
+        return self._following(
+            match_end,
+            (match_end + 1)
+            + int(self.length_goal * (1.0 - self.fragment_alignment)))
+
+    def _following(self, match_end: int, target: int) -> int:
+        if target >= len(self.text):
+            if self._current == self._last():
+                return DONE
+            self._current = self._last()
+            return self._current
+        after = self.base.following(target - 1)
+        if after == DONE:
+            self._current = self._last()
+            return DONE
+        if after == target or self.is_minimum_length:
+            self._current = after
+            return after
+        before = self.base.preceding(target)
+        if target - before < after - target and before > match_end:
+            self._current = before
+            return before
+        self._current = after
+        return after
+
+    def preceding(self, match_start: int) -> int:
+        target = (match_start - 1) - int(self.length_goal
+                                         * self.fragment_alignment)
+        if target <= 0:
+            if self._current == self._first():
+                return DONE
+            self._current = self._first()
+            return self._current
+        before = self.base.preceding(target + 1)
+        if before == DONE:
+            self._current = self._first()
+            return DONE
+        if before == target or self.is_minimum_length:
+            self._current = before
+            return before
+        after = self.base.following(target - 1)
+        if after - target < target - before and after < match_start:
+            self._current = after
+            return after
+        self._current = before
+        return before
+
+    def sentences(self):
+        """next()-walk for the no-highlight summary
+        (`LengthGoalBreakIterator.next()`: following(current,
+        current + goal))."""
+        out = []
+        self._current = self._first()
+        while True:
+            start = self._current
+            nxt = self._following(start, start + self.length_goal)
+            if nxt == DONE or nxt <= start:
+                if start < self._last():
+                    out.append((start, self._last()))
+                break
+            out.append((start, nxt))
+            if nxt >= self._last():
+                break
+        return out
+
+
 class Passage:
     """One scored passage (`Passage.java`): [start, end) plus its matches."""
 
@@ -394,7 +523,7 @@ class UnifiedHighlighter:
                  scorer: PassageScorer | None = None,
                  formatter: DefaultPassageFormatter | None = None,
                  max_no_highlight_passages: int = -1,
-                 normalize=None):
+                 normalize=None, break_iterator_factory=None):
         self.max_length = max_length
         self.scorer = scorer or PassageScorer()
         self.formatter = formatter or DefaultPassageFormatter()
@@ -402,6 +531,11 @@ class UnifiedHighlighter:
         # token text -> 0..n index terms at the token's offsets (identity of
         # the index analyzer chain); default: JDK lowercase only
         self.normalize = normalize or (lambda tok: (jdk_lower(tok),))
+        # getBreakIterator hook: text -> break iterator (sentence default;
+        # CustomSeparator / WholeBreakIterator / LengthGoal wrappers plug
+        # in here)
+        self.break_iterator_factory = (break_iterator_factory
+                                       or SentenceBreakIterator)
 
     def _offsets(self, content: str, terms: set[str], matchers):
         """ANALYSIS offset strategy: merged per-term match offsets with
@@ -436,7 +570,7 @@ class UnifiedHighlighter:
         else:
             terms, matchers = extract_highlight_terms(query)
         text = content[:self.max_length]
-        bi = SentenceBreakIterator(text)
+        bi = self.break_iterator_factory(text)
         fh = FieldHighlighter(self.scorer, max_passages,
                               self.max_no_highlight_passages)
         offsets = self._offsets(text, terms, matchers)

@@ -1,0 +1,120 @@
+"""CustomSeparator / Whole / LengthGoal break iterators
+(`uhighlight/CustomSeparatorBreakIterator.java`,
+`uhighlight/LengthGoalBreakIterator.java`) + SearcherManager /
+LiveFieldValues (`search/LiveFieldValues.java`)."""
+
+import pytest
+import ray
+
+from lucene_ray.search.uhighlight import (
+    CustomSeparatorBreakIterator,
+    LengthGoalBreakIterator,
+    SentenceBreakIterator,
+    UnifiedHighlighter,
+    WholeBreakIterator,
+)
+
+
+def test_custom_separator_bounds():
+    bi = CustomSeparatorBreakIterator("one two three", " ")
+    assert bi.bounds == [0, 4, 8, 13]
+    assert bi.preceding(5) == 4 and bi.following(4) == 8
+    assert bi.sentences() == [(0, 4), (4, 8), (8, 13)]
+    # no separator: whole string is one passage
+    assert CustomSeparatorBreakIterator("abc", "|").bounds == [0, 3]
+    with pytest.raises(ValueError):
+        CustomSeparatorBreakIterator("abc", "||")
+
+
+def test_whole_break_iterator():
+    bi = WholeBreakIterator("hello world")
+    assert bi.bounds == [0, 11]
+    assert bi.sentences() == [(0, 11)]
+
+
+def test_length_goal_min_length():
+    text = ("word " * 40).strip() + "."
+    base = CustomSeparatorBreakIterator(text, " ")
+    # min-length: never undershoot the goal
+    lg = LengthGoalBreakIterator.create_min_length(base, 30)
+    end = lg.following(0)
+    assert end >= 30
+    # closest-to: may pick the break just before the target
+    lg2 = LengthGoalBreakIterator.create_closest_to_length(base, 30)
+    end2 = lg2.following(0)
+    assert abs(end2 - 31) <= 5
+    assert end2 <= end
+    with pytest.raises(ValueError):
+        LengthGoalBreakIterator.create_min_length(base, 30, 2.0)
+
+
+def test_length_goal_highlight_end_to_end():
+    text = ("alpha beta gamma. delta merge epsilon. zeta eta theta. "
+            "iota kappa merge. lambda mu nu.")
+    # sentence passages: short snippet around the match
+    uh_sent = UnifiedHighlighter()
+    snip_sent = uh_sent.highlight(text, {"merge"}, max_passages=1)
+    # min-length 60 passages: the highlighted fragment must be longer
+    uh_goal = UnifiedHighlighter(
+        break_iterator_factory=lambda t: LengthGoalBreakIterator
+        .create_min_length(SentenceBreakIterator(t), 60))
+    snip_goal = uh_goal.highlight(text, {"merge"}, max_passages=1)
+    assert "<b>merge</b>" in snip_sent and "<b>merge</b>" in snip_goal
+    assert len(snip_goal) > len(snip_sent)
+    # custom separator as the passage unit
+    uh_sep = UnifiedHighlighter(
+        break_iterator_factory=lambda t: CustomSeparatorBreakIterator(t, "."))
+    snip_sep = uh_sep.highlight(text, {"merge"}, max_passages=1)
+    assert "<b>merge</b>" in snip_sep
+    # whole-text passage
+    uh_whole = UnifiedHighlighter(
+        break_iterator_factory=WholeBreakIterator)
+    snip_whole = uh_whole.highlight(text, {"merge"}, max_passages=1)
+    assert snip_whole.count("<b>merge</b>") == 2
+
+
+def test_searcher_manager_live_field_values(ray_session, tmp_path):
+    from lucene_ray.index.build import append_index, build_index
+    from lucene_ray.search.nrt import LiveFieldValues, SearcherManager
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    def rows(lo, hi, tag):
+        return [{"conv_id": f"c{i:03d}", "turn_idx": 0, "role": "u",
+                 "text": f"{tag} doc id{i}", "tool": "",
+                 "ts": 1700000000000000 + i} for i in range(lo, hi)]
+
+    idx = str(tmp_path / "nrt_idx")
+    build_index(ray.data.from_items(rows(0, 8, "base")),
+                idx, target_docs_per_partition=8)
+    mgr = SearcherManager(IndexSearcher(idx))
+
+    def lookup(searcher, id_):
+        td = searcher.search(TermQuery(id_), k=1)
+        return td.hits[0].conv_id if td.hits else None
+
+    lfv = LiveFieldValues(mgr, missing_value="__deleted__",
+                          lookup_from_searcher=lookup)
+    # live value visible before any refresh, without consulting the index
+    lfv.add("id99", "c-live")
+    assert lfv.get("id99") == "c-live" and lfv.size() == 1
+    # deletes shadow both maps and the index
+    lfv.delete("id3")
+    assert lfv.get("id3") is None
+    # unknown ids fall through to the searcher
+    assert lfv.get("id5") == "c005"
+    # refresh with no index change: old cleared, fall-through now answers
+    assert mgr.maybe_refresh() is False
+    assert lfv.size() == 0
+    assert lfv.get("id99") is None          # never actually indexed
+    assert lfv.get("id3") == "c003"         # delete was never flushed
+    # real NRT flow: append + buffered value until the reopen
+    lfv.add("id20", "c020")
+    append_index(ray.data.from_items(rows(20, 21, "more")), idx,
+                 input_desc="nrt-test-append")
+    assert lfv.get("id20") == "c020"        # still from the live map
+    assert mgr.maybe_refresh() is True
+    assert lfv.size() == 0
+    assert lfv.get("id20") == "c020"        # now via the reopened searcher
+    lfv.close()
+    assert mgr._listeners == []
