@@ -2403,6 +2403,43 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                 doc = np.concatenate((doc, *add_d))
                 pos = np.concatenate((pos, *add_p))
                 incr = np.concatenate((incr, np.zeros(sum(map(len, add_t)), bool)))
+        elif spec.startswith("word2vec_syn:"):
+            # Word2VecSynonymFilter (`analysis/.../synonym/word2vec/
+            # Word2VecSynonymFilter.java`): per token, its model
+            # nearest-neighbour synonyms (DOT_PRODUCT score >= minAccepted,
+            # <= maxSynonymsPerTerm) are emitted at the SAME position
+            # (posInc 0 overlays, no norm contribution).  Spec:
+            # word2vec_syn:<model.npz>[:k[:minsim]] — the model loads once
+            # per worker process (actor-state pattern), synonyms compute
+            # once per DISTINCT token.
+            from .word2vec import (
+                DEFAULT_MAX_SYNONYMS_PER_TERM,
+                DEFAULT_MIN_ACCEPTED_SIMILARITY,
+                expand_tokens,
+            )
+
+            parts = spec[len("word2vec_syn:"):].split(":")
+            path = parts[0]
+            w2v_k = int(parts[1]) if len(parts) > 1 and parts[1] \
+                else DEFAULT_MAX_SYNONYMS_PER_TERM
+            w2v_min = float(parts[2]) if len(parts) > 2 \
+                else DEFAULT_MIN_ACCEPTED_SIMILARITY
+            oi = np.nonzero(incr)[0]
+            syn_map = expand_tokens(toks[oi].astype(str).tolist(), path,
+                                    w2v_k, w2v_min)
+            add_t, add_d, add_p = [], [], []
+            for src, alts in syn_map.items():
+                hit = oi[toks[oi] == src]
+                for alt in alts:
+                    add_t.append(np.full(len(hit), alt, dtype=object))
+                    add_d.append(doc[hit])
+                    add_p.append(pos[hit])
+            if add_t:
+                toks = np.concatenate((toks, *add_t))
+                doc = np.concatenate((doc, *add_d))
+                pos = np.concatenate((pos, *add_p))
+                incr = np.concatenate(
+                    (incr, np.zeros(sum(map(len, add_t)), bool)))
         elif spec.startswith("synmap:"):
             # Replace-semantics synonym rules (SynonymMap keepOrig=false —
             # what SolrSynonymParser emits for `a, b => x` mappings and for
