@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_bm25_topk": index_bm25_topk,
         "index_bm25_sql_topk": _index_bm25_sql_topk,
         "index_indri_topk": _lazy("index_indri_topk"),
+        "percolate_tree": _percolate_tree,
+        "suggest_wfst": _suggest_wfst,
+        "suggest_fst_bucketed": _suggest_fst_bucketed,
         "index_grouped_topk": _lazy("index_grouped_topk"),
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
@@ -104,7 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": _bucketed_join,
         "percolate": _percolate,
         "percolate_ast": _percolate_ast,
-        "percolate_tree": _percolate_tree,
         "classify_naive_bayes": _classify_nb,
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         # --- family representatives (rest of each family after slot 50) ---
@@ -127,8 +129,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_payload_check_count": _lazy("index_payload_check_count"),
         "suggest_fuzzy": _suggest_fuzzy,
         "suggest_blended": _suggest_blended,
-        "suggest_wfst": _suggest_wfst,
-        "suggest_fst_bucketed": _suggest_fst_bucketed,
         "suggest_freetext": _suggest_freetext,
         "index_all_group_heads": _lazy("index_all_group_heads"),
         "index_term_range_count": _lazy("index_term_range_count"),
