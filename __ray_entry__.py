@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_tree": _percolate_tree,
         "suggest_wfst": _suggest_wfst,
         "suggest_fst_bucketed": _suggest_fst_bucketed,
+        "lm_doc_scores": _lm_doc_scores,
         "index_grouped_topk": _lazy("index_grouped_topk"),
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
@@ -184,6 +185,12 @@ def _percolate_ast(sf_dir):
     from lucene_ray.pipelines.percolate import percolate_ast
 
     return percolate_ast(sf_dir)
+
+
+def _lm_doc_scores(sf_dir):
+    from lucene_ray.pipelines.textstats import lm_doc_scores
+
+    return lm_doc_scores(sf_dir)
 
 
 def _percolate_tree(sf_dir):
@@ -1283,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "classify_naive_bayes": _classify_nb_sql(),
         "percolate_ast": _TOKS + " " + _percolate_ast_sql(),
         "percolate_tree": _TOKS + " " + _percolate_tree_sql(),
+        "lm_doc_scores": _lm_scores_sql(),
         "suggest_freetext": _suggest_freetext_sql(),
         "suggest_wfst": _TOKS + """
             , tc AS (SELECT term, count(*)::BIGINT AS c FROM tokens GROUP BY term)
@@ -1305,6 +1313,12 @@ def oracle_sql() -> dict[str, str]:
         # dedup_embedding_lsh, index_bm25_topk, suggest_fuzzy (Damerau
         # prefix automaton), classify_knn (doc-vs-doc BM25 self-join)
     }
+
+
+def _lm_scores_sql() -> str:
+    from lucene_ray.pipelines.textstats import lm_doc_scores_oracle_sql
+
+    return lm_doc_scores_oracle_sql()
 
 
 def _percolate_tree_sql() -> str:

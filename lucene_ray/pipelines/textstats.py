@@ -671,3 +671,133 @@ def facet_taxonomy_assoc(sf_dir: str):
     out = pd.concat([parent[cols], child[cols]], ignore_index=True)
     return (out.astype({"sum_assoc": "int64", "max_assoc": "int64"})
             .sort_values(["lang", "source"]).reset_index(drop=True))
+
+
+def lm_doc_scores(sf_dir: str):
+    """Corpus-LM document scoring — the classic LM-based quality filter of
+    web-scale training-data pipelines (e.g. CCNet's LM-perplexity stage):
+    score(doc) = mean over its adjacent token pairs of
+    ln(count(bigram) / count(prefix-token-as-bigram-start)) under the
+    corpus's OWN bigram model, so low-probability (junky) token sequences
+    score very negative and well-formed text scores near 0.
+
+    Two passes, both distributed: (1) bigram + prefix counts via per-batch
+    partial aggregation + groupby (the freetext-suggester trainer shape);
+    (2) a broadcast-model scoring map (model rides the task closure /
+    object store — never reshuffled per batch).  Returns
+    (doc_id, n_bigrams, lm_score 6dp); single-token docs score 0 with
+    n_bigrams = 0.  Every doc's own bigrams occur in the corpus model by
+    construction, so no smoothing is needed (the SQL twin is exact)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1e"
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        flat, lens = _flat_tokens_np(t.column("text"))
+        toks = np.asarray(flat, dtype=object)
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(toks) < 2:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        same = doc[1:] == doc[:-1]
+        big = np.array([f"{a}{SEP}{b}" for a, b in
+                        zip(toks[:-1][same], toks[1:][same])], dtype=object)
+        agg = (pl.DataFrame({"gram": big}).group_by("gram")
+               .agg(pl.len().cast(pl.Int64).alias("n")))
+        out = agg.to_arrow()
+        return out.cast(pa.schema([("gram", pa.string()),
+                                   ("n", pa.int64())]))
+
+    counts = (_read_documents(sf_dir)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("gram")
+              .aggregate(Sum("n", alias_name="n")))
+    import pyarrow.compute as pc
+    import ray
+
+    tables = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    if tables:
+        grams = pa.concat_tables(tables).combine_chunks()
+        gram_arr = grams.column("gram").combine_chunks()
+        gram_n = grams.column("n").to_numpy().astype(np.float64)
+        # prefix totals: one vectorized split + polars groupby
+        import polars as pl
+
+        pfx = pc.list_element(pc.split_pattern(gram_arr, SEP), 0)
+        pdf = (pl.DataFrame({"p": pl.from_arrow(pfx),
+                             "n": gram_n}).group_by("p")
+               .agg(pl.col("n").sum()))
+        pfx_arr = pdf["p"].to_arrow().cast(pa.string())
+        pfx_n = pdf["n"].to_numpy().astype(np.float64)
+    else:
+        gram_arr = pa.array([], type=pa.string())
+        gram_n = np.zeros(0, dtype=np.float64)
+        pfx_arr = pa.array([], type=pa.string())
+        pfx_n = np.zeros(0, dtype=np.float64)
+    # the model rides the object store ONCE (broadcast, zero-copy reads);
+    # at web scale the bigram table outgrows one object — the bucketed
+    # term-stats parquet layout (build.py merge_term_stats) is the
+    # documented scale path for corpus-sized models
+    model_ref = ray.put((gram_arr, gram_n, pfx_arr, pfx_n))
+
+    def score(t: pa.Table) -> pa.Table:
+        g_arr, g_n, p_arr, p_n = ray.get(model_ref)
+        flat, lens = _flat_tokens_np(t.column("text"))
+        arr = flat.to_arrow()
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        n_docs = len(lens)
+        tot = np.zeros(n_docs, dtype=np.float64)
+        cnt = np.zeros(n_docs, dtype=np.int64)
+        if len(arr) >= 2:
+            same = doc[1:] == doc[:-1]
+            arr = arr.cast(pa.string())     # polars hands back large_string
+            a = arr.slice(0, len(arr) - 1)
+            b = arr.slice(1)
+            big = pc.binary_join_element_wise(a, b, SEP)
+            gi = pc.index_in(big, value_set=g_arr).to_numpy(
+                zero_copy_only=False)[same]
+            pi = pc.index_in(a, value_set=p_arr).to_numpy(
+                zero_copy_only=False)[same]
+            # every in-doc bigram is in the corpus model by construction
+            lp = np.log(g_n[gi.astype(np.int64)]
+                        / p_n[pi.astype(np.int64)])
+            d = doc[:-1][same]
+            np.add.at(tot, d, lp)
+            np.add.at(cnt, d, 1)
+        sc = np.where(cnt > 0, tot / np.maximum(cnt, 1), 0.0)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bigrams": pa.array(cnt, type=pa.int64()),
+            "lm_score": pa.array(np.round(sc, 6), type=pa.float64()),
+        })
+
+    return _read_documents(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def lm_doc_scores_oracle_sql() -> str:
+    """DuckDB twin of lm_doc_scores (bigram model recomputed in SQL)."""
+    return """
+        WITH toklists AS (
+          SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                        x -> lower(x)) AS toks
+          FROM documents),
+        pairs AS (
+          SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+          FROM toklists, unnest(range(1, len(toks))) AS t(i)),
+        bigram AS (SELECT a, b, count(*)::DOUBLE AS n FROM pairs GROUP BY a, b),
+        prefix AS (SELECT a, sum(n) AS pn FROM bigram GROUP BY a),
+        doc_lp AS (
+          SELECT p.doc_id,
+                 count(*)::BIGINT AS n_bigrams,
+                 avg(ln(bg.n / pf.pn)) AS s
+          FROM pairs p
+          JOIN bigram bg ON bg.a = p.a AND bg.b = p.b
+          JOIN prefix pf ON pf.a = p.a
+          GROUP BY p.doc_id)
+        SELECT t.doc_id,
+               coalesce(d.n_bigrams, 0) AS n_bigrams,
+               round(coalesce(d.s, 0.0), 6) AS lm_score
+        FROM toklists t LEFT JOIN doc_lp d USING (doc_id)"""

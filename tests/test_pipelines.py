@@ -252,3 +252,49 @@ def test_contamination_planted_overlap(ray_session, tmp_path):
     assert got[1] == 1                    # one shared 8-gram window
     assert got[2] > 3                     # repeated benchmark content
     assert got[3] == 0 and got[4] == 0
+
+
+def test_lm_doc_scores_shapes(ray_session):
+    """Corpus-bigram LM scoring: exact agreement with a hand-computed
+    model on a tiny corpus + degenerate docs (the sf-level value check is
+    the DuckDB oracle)."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from lucene_ray.pipelines import textstats
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b"},
+        {"doc_id": 1, "text": "a b"},
+        {"doc_id": 2, "text": "solo"},
+        {"doc_id": 3, "text": ""},
+    ]
+    import unittest.mock as mock
+
+    ds = ray.data.from_items(rows)
+    with mock.patch.object(textstats, "_read_documents",
+                           lambda sf_dir: ds):
+        t = pa.concat_tables(
+            ray.get(textstats.lm_doc_scores("unused").to_arrow_refs()))
+    got = {r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+           for r in t.to_pylist()}
+    # corpus bigrams: ab x3, ba x1 -> P(b|a)=3/3=1? prefixes: a as start
+    # of bigram occurs 3 times (ab,ab,ab) ... wait ba once: prefix b = 1
+    # doc0 pairs: ab, ba, ab -> ln(3/3), ln(1/1), ln(3/3) = 0
+    assert got[0] == (3, 0.0)
+    assert got[1] == (1, 0.0)
+    assert got[2] == (0, 0.0)
+    assert got[3] == (0, 0.0)
+    # a skewed corpus produces negative scores for the rare continuation
+    rows2 = [{"doc_id": i, "text": "x y"} for i in range(9)] + \
+        [{"doc_id": 9, "text": "x z"}]
+    ds2 = ray.data.from_items(rows2)
+    with mock.patch.object(textstats, "_read_documents",
+                           lambda sf_dir: ds2):
+        t2 = pa.concat_tables(
+            ray.get(textstats.lm_doc_scores("unused").to_arrow_refs()))
+    got2 = {r["doc_id"]: r["lm_score"] for r in t2.to_pylist()}
+    assert got2[0] == round(math.log(9 / 10), 6)
+    assert got2[9] == round(math.log(1 / 10), 6)
