@@ -106,3 +106,159 @@ class LiveFieldValues:
             return self._lookup(s, id_)
         finally:
             self.manager.release(s)
+
+
+# ---------------------------------------------------------------------------
+# Rescorers (`search/Rescorer.java`, `QueryRescorer.java:17-192`,
+# `SortRescorer.java`)
+# ---------------------------------------------------------------------------
+
+
+class QueryRescorer:
+    """Second-pass re-scoring of first-pass hits with another query
+    (`search/QueryRescorer.java`): `combine(first, second_matches,
+    second_score)` merges the two passes; hits the second query misses
+    keep only their combined-with-zero score.  Executes ONE vectorized
+    evaluation of the second query per shard holding candidates — the
+    analogue of the reference's per-segment scorer advance."""
+
+    def __init__(self, query, combine=None):
+        self.query = query
+        self.combine = combine or (
+            lambda first, matches, second: first + second if matches
+            else first)
+
+    def rescore(self, searcher, top_docs, top_n: int):
+        import numpy as np
+
+        from .searcher import ScoreDoc, TopDocs
+
+        hits = list(top_docs.hits)
+        if not hits:
+            return TopDocs([], top_docs.total_hits, top_docs.relation)
+        want = {h.gid for h in hits}
+        compiled = searcher.compile(self.query)
+        second: dict[int, float] = {}
+        for pid in searcher._pids:
+            base = searcher._bases[pid]
+            rdr = searcher.reader(pid)
+            lo, hi = base, base + rdr.doc_count
+            if not any(lo <= g < hi for g in want):
+                continue
+            sc, docs, _, _ = searcher.search_shard(
+                rdr, compiled, rdr.doc_count,
+                total_hits_threshold=2**31 - 1)
+            for s, d in zip(sc, docs):
+                g = base + int(d)
+                if g in want:
+                    second[g] = float(s)
+        out = []
+        for h in hits:
+            if h.gid in second:
+                ns = self.combine(h.score, True, second[h.gid])
+            else:
+                ns = self.combine(h.score, False, 0.0)
+            out.append(ScoreDoc(float(np.float32(ns)), h.gid, h.conv_id,
+                                h.turn_idx, h.fields))
+        out.sort(key=lambda h: (-h.score, h.gid))
+        return TopDocs(out[:top_n], top_docs.total_hits, top_docs.relation)
+
+    @staticmethod
+    def rescore_linear(searcher, top_docs, query, weight: float,
+                       top_n: int):
+        """The reference's sugar API: first + weight * second."""
+        return QueryRescorer(
+            query,
+            combine=lambda first, matches, second:
+            first + weight * second if matches else first
+        ).rescore(searcher, top_docs, top_n)
+
+
+class SortRescorer:
+    """Re-sort first-pass hits by a SortField (`search/SortRescorer.java`);
+    first-pass scores are preserved on the hits (the reference's
+    setScorer-captured scores)."""
+
+    def __init__(self, sort):
+        self.sort = sort
+
+    def rescore(self, searcher, top_docs, top_n: int):
+        from .searcher import ScoreDoc, TopDocs
+
+        hits = list(top_docs.hits)
+        if not hits:
+            return top_docs
+        field, reverse = self.sort.field, self.sort.reverse
+        vals = {}
+        for pid in searcher._pids:
+            base = searcher._bases[pid]
+            rdr = searcher.reader(pid)
+            lo, hi = base, base + rdr.doc_count
+            local = [h.gid - base for h in hits if lo <= h.gid < hi]
+            if not local:
+                continue
+            dv = rdr.docvalue(field)
+            for d in local:
+                vals[base + d] = int(dv[d])
+        out = [ScoreDoc(h.score, h.gid, h.conv_id, h.turn_idx,
+                        (vals.get(h.gid, 0),)) for h in hits]
+        out.sort(key=lambda h: (-h.fields[0] if reverse else h.fields[0],
+                                h.gid))
+        return TopDocs(out[:top_n], top_docs.total_hits, top_docs.relation)
+
+
+# ---------------------------------------------------------------------------
+# SearcherLifetimeManager (`search/SearcherLifetimeManager.java`)
+# ---------------------------------------------------------------------------
+
+
+class SearcherLifetimeManager:
+    """Keeps old searcher views alive so follow-on actions (paging,
+    drill-down) run against the SAME point-in-time view the user saw:
+    `record` a searcher → token; `acquire(token)` returns that exact view
+    or None when pruned; `prune(PruneByAge(sec))` drops stale ones.
+    Tokens key on the commit generation — this engine's generations are
+    immutable directory sets, so an old view stays valid as long as its
+    commit is retained (manifest snapshot/prune policy)."""
+
+    def __init__(self, clock=None):
+        import time as _t
+
+        self._clock = clock or _t.monotonic
+        self._searchers: dict[int, tuple[object, float]] = {}
+        self._closed = False
+
+    def record(self, searcher) -> int:
+        if self._closed:
+            raise RuntimeError("this SearcherLifetimeManager is closed")
+        token = int(searcher.commit["generation"])
+        if token not in self._searchers:
+            self._searchers[token] = (searcher, self._clock())
+        return token
+
+    def acquire(self, token: int):
+        got = self._searchers.get(int(token))
+        return got[0] if got is not None else None
+
+    def release(self, searcher) -> None:
+        pass                    # single-process: nothing to ref-count
+
+    class PruneByAge:
+        def __init__(self, max_age_sec: float):
+            if max_age_sec < 0:
+                raise ValueError("maxAgeSec must be > 0")
+            self.max_age_sec = max_age_sec
+
+        def do_prune(self, age_sec: float, searcher) -> bool:
+            return age_sec > self.max_age_sec
+
+    def prune(self, pruner) -> None:
+        now = self._clock()
+        for token in list(self._searchers):
+            s, t0 = self._searchers[token]
+            if pruner.do_prune(now - t0, s):
+                del self._searchers[token]
+
+    def close(self) -> None:
+        self._closed = True
+        self._searchers.clear()

@@ -118,3 +118,89 @@ def test_searcher_manager_live_field_values(ray_session, tmp_path):
     assert lfv.get("id20") == "c020"        # now via the reopened searcher
     lfv.close()
     assert mgr._listeners == []
+
+
+def test_query_rescorer(ray_session, tmp_path):
+    """QueryRescorer (`search/QueryRescorer.java`): linear combine parity
+    with independent first/second pass searches."""
+    import numpy as np
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.nrt import QueryRescorer, SortRescorer
+    from lucene_ray.search.query import SortField, TermQuery, bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+
+    texts = ["merge tables", "merge join fast", "join sort", "merge merge",
+             "sort data", "merge join join"] * 4
+    rows = [{"conv_id": f"c{i//4}", "turn_idx": i % 4, "role": "u",
+             "text": t, "tool": "", "ts": 1700000000000000 + i}
+            for i, t in enumerate(texts)]
+    idx = str(tmp_path / "resc_idx")
+    build_index(ray.data.from_items(rows), idx, docvalue_cols=("ts",),
+                target_docs_per_partition=9)
+    s = IndexSearcher(idx)
+    first = s.search(TermQuery("merge"), k=10,
+                     total_hits_threshold=2**31 - 1)
+    second_q = TermQuery("join")
+    rescored = QueryRescorer.rescore_linear(s, first, second_q, 2.0, 10)
+    # independent oracle: second-pass scores from a full search
+    td2 = s.search(second_q, k=100, total_hits_threshold=2**31 - 1)
+    smap = {h.gid: h.score for h in td2.hits}
+    want = sorted(
+        [(float(np.float32(h.score + 2.0 * smap.get(h.gid, 0.0))), h.gid)
+         for h in first.hits], key=lambda x: (-x[0], x[1]))
+    got = [(h.score, h.gid) for h in rescored.hits]
+    assert got == want[:10]
+    # hits missing the second query keep their first-pass score
+    misses = [h for h in rescored.hits if h.gid not in smap]
+    firsts = {h.gid: h.score for h in first.hits}
+    assert misses and all(h.score == firsts[h.gid] for h in misses)
+    # custom combine: replace score entirely when matched
+    r2 = QueryRescorer(second_q,
+                       combine=lambda f, m, sec: sec if m else -1.0)
+    out2 = r2.rescore(s, first, 5)
+    assert all(h.score == -1.0 for h in out2.hits if h.gid not in smap)
+    # SortRescorer: first-pass hits re-sorted by ts desc
+    sr = SortRescorer(SortField("ts", reverse=True)).rescore(s, first, 10)
+    ts_vals = [h.fields[0] for h in sr.hits]
+    assert ts_vals == sorted(ts_vals, reverse=True)
+    assert {h.gid for h in sr.hits} == {h.gid for h in first.hits}
+
+
+def test_searcher_lifetime_manager(ray_session, tmp_path):
+    from lucene_ray.index.build import append_index, build_index
+    from lucene_ray.search.nrt import SearcherLifetimeManager
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    rows = [{"conv_id": "c0", "turn_idx": i, "role": "u",
+             "text": "merge data", "tool": "", "ts": 1700000000000000 + i}
+            for i in range(4)]
+    idx = str(tmp_path / "slm_idx")
+    build_index(ray.data.from_items(rows), idx)
+    now = [0.0]
+    mgr = SearcherLifetimeManager(clock=lambda: now[0])
+    s1 = IndexSearcher(idx)
+    tok1 = mgr.record(s1)
+    assert mgr.acquire(tok1) is s1
+    # index moves on; the recorded view still answers with its snapshot
+    append_index(ray.data.from_items(rows), idx, input_desc="slm-append")
+    s2 = IndexSearcher(idx)
+    tok2 = mgr.record(s2)
+    assert tok2 != tok1
+    old = mgr.acquire(tok1)
+    assert old.count(TermQuery("merge")) == 4          # point-in-time view
+    assert mgr.acquire(tok2).count(TermQuery("merge")) == 8
+    # prune by age drops only stale views (a NEW generation: records of
+    # the same generation return the original token/entry)
+    append_index(ray.data.from_items(rows), idx, input_desc="slm-append2")
+    now[0] = 100.0
+    tok3 = mgr.record(IndexSearcher(idx))
+    assert tok3 not in (tok1, tok2)
+    now[0] = 700.0                                     # tok1/tok2 ancient...
+    mgr.prune(SearcherLifetimeManager.PruneByAge(650.0))
+    assert mgr.acquire(tok1) is None and mgr.acquire(tok2) is None
+    assert mgr.acquire(tok3) is not None
+    mgr.close()
+    with pytest.raises(RuntimeError):
+        mgr.record(s2)
