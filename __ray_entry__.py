@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_ast": _percolate_ast,
         "classify_naive_bayes": _classify_nb,
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
+        "facet_taxonomy_float_assoc": textstats.facet_taxonomy_float_assoc,
+        "string_value_facets": textstats.string_value_facets,
+        "range_on_range_facets": textstats.range_on_range_facets,
         # --- family representatives (rest of each family after slot 50) ---
         "term_counts": textstats.term_counts,
         "dedup_exact": dedup.dedup_exact,
@@ -643,6 +646,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY GROUPING SETS ((lang), (lang, source))
             ORDER BY lang, source""",
+        "facet_taxonomy_float_assoc": """
+            SELECT lang, coalesce(source, '') AS source,
+                   sum(n_chars * 0.5)::DOUBLE AS sum_assoc,
+                   max(n_chars * 0.5)::DOUBLE AS max_assoc
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (lang, source))
+            ORDER BY lang, source""",
+        "string_value_facets": """
+            WITH hits AS (SELECT source FROM documents
+                          WHERE text LIKE '%merge%'),
+                 c AS (SELECT source AS value, count(*)::BIGINT AS n_docs
+                       FROM hits GROUP BY source)
+            SELECT value, n_docs FROM c
+            UNION ALL
+            SELECT '' AS value, count(*)::BIGINT AS n_docs FROM hits
+            ORDER BY value""",
+        "range_on_range_facets": """
+            WITH docs AS (SELECT n_chars AS lo,
+                                 n_chars + (doc_id % 50) AS hi
+                          FROM documents),
+                 q(label, qlo, qhi) AS (VALUES ('small', 0, 400),
+                                               ('mid', 400, 900),
+                                               ('large', 900, 2000)),
+                 rel(relation) AS (VALUES ('intersects'), ('within'),
+                                          ('contains'))
+            SELECT q.label, rel.relation,
+                   count(*) FILTER (
+                     (relation = 'intersects' AND lo <= qhi AND hi >= qlo) OR
+                     (relation = 'within' AND lo >= qlo AND hi <= qhi) OR
+                     (relation = 'contains' AND lo <= qlo AND hi >= qhi)
+                   )::BIGINT AS n_docs
+            FROM docs CROSS JOIN q CROSS JOIN rel
+            GROUP BY q.label, rel.relation
+            ORDER BY q.label, rel.relation""",
         "dedup_embedding": """
             SELECT a.vec_id::BIGINT AS doc_a, b.vec_id::BIGINT AS doc_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],

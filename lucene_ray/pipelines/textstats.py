@@ -19,6 +19,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SIMPLE_TOKEN = re.compile(r"[A-Za-z0-9]+")
 
@@ -671,6 +672,101 @@ def facet_taxonomy_assoc(sf_dir: str):
     out = pd.concat([parent[cols], child[cols]], ignore_index=True)
     return (out.astype({"sum_assoc": "int64", "max_assoc": "int64"})
             .sort_values(["lang", "source"]).reset_index(drop=True))
+
+
+def facet_taxonomy_float_assoc(sf_dir: str):
+    """Float taxonomy facet associations
+    (`facet/.../taxonomy/TaxonomyFacetFloatAssociations.java` with the SUM
+    and MAX AssociationAggregationFunctions): like the int variant but the
+    association value is a float — here n_chars * 0.5, chosen exactly
+    representable so the distributed float sum is order-independent and
+    hash-comparable with the SQL twin.  Hierarchical rollup as in
+    `FacetsConfig` (parent aggregates its children's docs)."""
+    from ray.data.aggregate import Max, Sum
+
+    child = (_read_documents(sf_dir, columns=("doc_id", "lang", "source",
+                                              "n_chars"))
+             .map_batches(lambda b: b.append_column(
+                 "assoc", pc.multiply(pc.cast(b["n_chars"], pa.float64()),
+                                      pa.scalar(0.5))),
+                 batch_format="pyarrow")
+             .groupby(["lang", "source"])
+             .aggregate(Sum("assoc", alias_name="sum_assoc"),
+                        Max("assoc", alias_name="max_assoc"))
+             ).to_pandas()
+    parent = child.groupby("lang", as_index=False).agg(
+        sum_assoc=("sum_assoc", "sum"), max_assoc=("max_assoc", "max"))
+    parent["source"] = ""
+    cols = ["lang", "source", "sum_assoc", "max_assoc"]
+    out = pd.concat([parent[cols], child[cols]], ignore_index=True)
+    return (out.astype({"sum_assoc": "float64", "max_assoc": "float64"})
+            .sort_values(["lang", "source"]).reset_index(drop=True))
+
+
+def string_value_facets(sf_dir: str, contains: str = "merge"):
+    """StringValueFacetCounts (`facet/StringValueFacetCounts.java`): facet
+    counts over a plain string doc-values field with no dimension/path
+    assumptions — the field itself is the dimension and every unique value
+    is a label.  Counted across the hits of a filter query (FacetsCollector
+    model: here docs whose text contains `contains`), plus the totalDocCount
+    row (docs with a value that matched, the reference's totalDocCount).
+    Distributed: filter + groupby(value) count; no driver-side value table."""
+    from ray.data.aggregate import Count
+
+    counts = (_read_documents(sf_dir, columns=("doc_id", "text", "source"))
+              .map_batches(lambda b: b.filter(
+                  pc.match_substring(b["text"], contains)),
+                  batch_format="pyarrow")
+              .select_columns(["source"])
+              .groupby("source")
+              .aggregate(Count(alias_name="n_docs"))
+              ).to_pandas()
+    counts = counts.rename(columns={"source": "value"})
+    total = pd.DataFrame({"value": [""],
+                          "n_docs": [int(counts["n_docs"].sum())]})
+    out = pd.concat([total, counts[["value", "n_docs"]]], ignore_index=True)
+    return (out.astype({"n_docs": "int64"})
+            .sort_values("value").reset_index(drop=True))
+
+
+def range_on_range_facets(sf_dir: str):
+    """RangeOnRangeFacetCounts (`facet/rangeonrange/RangeOnRangeFacetCounts.java`,
+    `LongRangeOnRangeFacetCounts.java`): docs carry a RANGE (not a point) and
+    each query range counts docs whose stored range satisfies the relation.
+    Doc range here = [n_chars, n_chars + (doc_id % 50)] (deterministic from
+    the table).  Three query ranges are counted under each of the reference's
+    QueryType relations INTERSECTS / WITHIN / CONTAINS
+    (`rangeonrange/RangeOnRangeFacetCounts.java` getQueryType semantics):
+    INTERSECTS: doc.lo <= q.hi AND doc.hi >= q.lo
+    WITHIN:     doc.lo >= q.lo AND doc.hi <= q.hi  (doc inside query)
+    CONTAINS:   doc.lo <= q.lo AND doc.hi >= q.hi  (doc covers query)
+    Distributed: one map_batches partial-count pass + a tiny groupby."""
+    ranges = [("small", 0, 400), ("mid", 400, 900), ("large", 900, 2000)]
+
+    def counts(batch: pa.Table) -> pa.Table:
+        lo = batch["n_chars"].to_numpy(zero_copy_only=False)
+        hi = lo + (batch["doc_id"].to_numpy(zero_copy_only=False) % 50)
+        labels, rels, ns = [], [], []
+        for label, qlo, qhi in ranges:
+            for rel, mask in (
+                    ("intersects", (lo <= qhi) & (hi >= qlo)),
+                    ("within", (lo >= qlo) & (hi <= qhi)),
+                    ("contains", (lo <= qlo) & (hi >= qhi))):
+                labels.append(label)
+                rels.append(rel)
+                ns.append(int(mask.sum()))
+        return pa.table({"label": labels, "relation": rels,
+                         "n_docs": pa.array(ns, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = (_read_documents(sf_dir, columns=("doc_id", "n_chars"))
+           .map_batches(counts, batch_format="pyarrow")
+           .groupby(["label", "relation"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"))
+           ).to_pandas()
+    return (out.astype({"n_docs": "int64"})
+            .sort_values(["label", "relation"]).reset_index(drop=True))
 
 
 def lm_doc_scores(sf_dir: str):

@@ -1,0 +1,79 @@
+"""Facet extras: float taxonomy associations
+(`facet/taxonomy/TaxonomyFacetFloatAssociations.java`), string value facet
+counts (`facet/StringValueFacetCounts.java`) and range-on-range facets
+(`facet/rangeonrange/RangeOnRangeFacetCounts.java`) — doc-side pipelines
+cross-checked against DuckDB on the sf0.001 table."""
+
+import duckdb
+
+from lucene_ray.pipelines.textstats import (
+    facet_taxonomy_float_assoc,
+    range_on_range_facets,
+    string_value_facets,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return con
+
+
+def test_float_assoc(ray_session):
+    got = facet_taxonomy_float_assoc(SF)
+    con = _con()
+    want = con.sql("""
+        SELECT lang, coalesce(source, '') AS source,
+               sum(n_chars * 0.5)::DOUBLE AS sum_assoc,
+               max(n_chars * 0.5)::DOUBLE AS max_assoc
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (lang, source))
+        ORDER BY lang, source""").df()
+    assert got[["lang", "source"]].values.tolist() == \
+        want[["lang", "source"]].values.tolist()
+    # exactly-representable halves: distributed float sum is exact
+    assert got["sum_assoc"].tolist() == want["sum_assoc"].tolist()
+    assert got["max_assoc"].tolist() == want["max_assoc"].tolist()
+    # hierarchical rollup: the parent ('' source) row covers its children
+    parents = got[got["source"] == ""]
+    for _, p in parents.iterrows():
+        kids = got[(got["lang"] == p["lang"]) & (got["source"] != "")]
+        assert p["sum_assoc"] == kids["sum_assoc"].sum()
+        assert p["max_assoc"] == kids["max_assoc"].max()
+
+
+def test_string_value_facets(ray_session):
+    got = string_value_facets(SF)
+    con = _con()
+    want = con.sql("""
+        WITH hits AS (SELECT source FROM documents WHERE text LIKE '%merge%')
+        SELECT source AS value, count(*)::BIGINT AS n_docs
+        FROM hits GROUP BY source ORDER BY value""").df()
+    total = got[got["value"] == ""]["n_docs"].iloc[0]
+    rest = got[got["value"] != ""].reset_index(drop=True)
+    assert rest["value"].tolist() == want["value"].tolist()
+    assert rest["n_docs"].tolist() == want["n_docs"].tolist()
+    assert total == want["n_docs"].sum()
+
+
+def test_range_on_range(ray_session):
+    got = range_on_range_facets(SF)
+    assert len(got) == 9
+    con = _con()
+    want = con.sql("""
+        WITH docs AS (SELECT n_chars AS lo, n_chars + (doc_id % 50) AS hi
+                      FROM documents)
+        SELECT count(*) FILTER (lo <= 400 AND hi >= 0)::BIGINT AS isect,
+               count(*) FILTER (lo >= 0 AND hi <= 400)::BIGINT AS within,
+               count(*) FILTER (lo <= 0 AND hi >= 400)::BIGINT AS contains
+        FROM docs""").df()
+    small = got[got["label"] == "small"].set_index("relation")["n_docs"]
+    assert small["intersects"] == want["isect"].iloc[0]
+    assert small["within"] == want["within"].iloc[0]
+    assert small["contains"] == want["contains"].iloc[0]
+    # a doc range never within AND containing unless equal to the query range
+    assert (got.groupby("label")["n_docs"].max()
+            == got[got["relation"] == "intersects"]
+            .set_index("label")["n_docs"]).all()
