@@ -352,6 +352,90 @@ def knn_classify_doc(searcher, gid: int, class_field: str = "role",
     return best, votes[best], ssum[best]
 
 
+def bm25_nb_classify(searcher, text: str, class_field: str = "role",
+                     classes: list[str] | None = None):
+    """`BM25NBClassifier.assignClassNormalizedList`
+    (`classification/BM25NBClassifier.java:120-231`): naive bayes
+    approximated with pure BM25 queries — per class c,
+    score(c) = logPrior(c) + sum over input tokens w of
+    log(top-1 BM25 score of bool(MUST class-term(c), SHOULD w)), where
+    logPrior(c) = log(top-1 score of MUST class-term(c)) (0 when the class
+    has no docs) and a token query with no hits contributes log(1) = 0.
+    Scores are then softmax-normalized against the max
+    (`normClassificationResults`: exp(score - logsumexp)).  Class terms are
+    keyword postings; they score against the text-field collection stats
+    (our keyword fields carry no separate norms — the reference's
+    StringField likewise scores with norm 1).  Returns [(class, prob)]
+    sorted best-first."""
+    import math
+
+    from ..analysis.standard import analyze
+    from ..index.shard import keyword_term
+    from ..search.query import BooleanClause, BooleanQuery, TermQuery
+
+    if classes is None:
+        classes = _keyword_classes(searcher, class_field)
+    if not classes:
+        return []
+    tokens = list(analyze(text))
+    scored: list[tuple[str, float]] = []
+    for c in classes:
+        ckey = keyword_term(class_field, c)
+        must = BooleanClause(TermQuery(ckey), "MUST")
+        prior_td = searcher.search(BooleanQuery((must,)), k=1)
+        prior = math.log(prior_td.hits[0].score) if prior_td.hits else 0.0
+        loglik = 0.0
+        for w in tokens:
+            td = searcher.search(
+                BooleanQuery((must, BooleanClause(TermQuery(w), "SHOULD"))),
+                k=1)
+            p = float(td.hits[0].score) if td.hits else 1.0
+            loglik += math.log(p)
+        scored.append((c, prior + loglik))
+    # normClassificationResults: softmax via logsumexp against the max
+    smax = max(s for _, s in scored)
+    loga = smax + math.log(sum(math.exp(s - smax) for _, s in scored))
+    out = [(c, math.exp(s - loga)) for c, s in scored]
+    out.sort(key=lambda cs: (-cs[1], cs[0]))
+    return out
+
+
+def knearest_fuzzy_classify(searcher, text: str, class_field: str = "role",
+                            k: int = 10, classes: list[str] | None = None):
+    """`KNearestFuzzyClassifier.assignClass`
+    (`classification/KNearestFuzzyClassifier.java:104-176`): top-k docs of a
+    NearestFuzzyQuery built from the input text, then the same per-class
+    (votes, score-sum) ranking as the MLT-based kNN classifier
+    (`buildListFromTopDocs`).  NearestFuzzyQuery
+    (`classification/utils/NearestFuzzyQuery.java:53-56`) is the
+    FuzzyLikeThisQuery rewrite with fixed parameters maxEdits=1,
+    prefixLength=2, MAX_VARIANTS_PER_TERM=50, MAX_NUM_TERMS=300 — our
+    FuzzyLikeThisQuery implements exactly that rewrite, so the classifier
+    composes it directly.  Returns (predicted_class | None, votes,
+    score_sum)."""
+    from ..search.query import FuzzyLikeThisQuery
+
+    q = FuzzyLikeThisQuery(fields=((text, 1, 2),), max_num_terms=300)
+    td = searcher.search(q, k=k)
+    if not td.hits:
+        return None, 0, 0.0
+    if classes is None:
+        classes = _keyword_classes(searcher, class_field)
+    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
+    cls = _classes_of_hits(searcher, gids, class_field, classes)
+    votes: dict[str, int] = {}
+    ssum: dict[str, float] = {}
+    for h, c in zip(td.hits, cls):
+        if c is None:
+            continue
+        votes[c] = votes.get(c, 0) + 1
+        ssum[c] = ssum.get(c, 0.0) + float(h.score)
+    if not votes:
+        return None, 0, 0.0
+    best = sorted(votes, key=lambda c: (-votes[c], -ssum[c], c))[0]
+    return best, votes[best], ssum[best]
+
+
 # ---------------------------------------------------------------------------
 # Boolean (two-class) perceptron
 # ---------------------------------------------------------------------------

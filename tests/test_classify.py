@@ -192,3 +192,72 @@ def test_classify_knn_pipeline_deterministic(ray_session):
     assert a.equals(b)
     assert list(a.columns) == ["i", "pred_role", "votes"]
     assert len(a) == 8 and (a["votes"] > 0).all()
+
+
+def test_bm25_nb_classifier(ray_session):
+    """BM25NBClassifier parity: re-issue the same per-class MUST/SHOULD
+    probe queries independently, redo the logsumexp normalization by hand
+    (`BM25NBClassifier.java` assignClassNormalizedList +
+    normClassificationResults), and compare."""
+    from lucene_ray.analysis.standard import analyze
+    from lucene_ray.index.shard import keyword_term
+    from lucene_ray.pipelines.classify import _keyword_classes, bm25_nb_classify
+    from lucene_ray.pipelines.flagship import build_transcript_index
+    from lucene_ray.search.query import BooleanClause, BooleanQuery, TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    searcher = IndexSearcher(build_transcript_index(SF))
+    text = "merge join throughput"
+    got = bm25_nb_classify(searcher, text, "role")
+    classes = _keyword_classes(searcher, "role")
+    assert [c for c, _ in sorted(got)] == classes
+    assert sum(p for _, p in got) == pytest.approx(1.0, abs=1e-9)
+    assert all(got[i][1] >= got[i + 1][1] for i in range(len(got) - 1))
+    # independent recomputation
+    raw = {}
+    for c in classes:
+        must = BooleanClause(TermQuery(keyword_term("role", c)), "MUST")
+        prior_td = searcher.search(BooleanQuery((must,)), k=1)
+        s = math.log(prior_td.hits[0].score) if prior_td.hits else 0.0
+        for w in analyze(text):
+            td = searcher.search(
+                BooleanQuery((must, BooleanClause(TermQuery(w), "SHOULD"))), k=1)
+            s += math.log(float(td.hits[0].score) if td.hits else 1.0)
+        raw[c] = s
+    smax = max(raw.values())
+    loga = smax + math.log(sum(math.exp(s - smax) for s in raw.values()))
+    for c, p in got:
+        assert p == pytest.approx(math.exp(raw[c] - loga), rel=1e-12)
+
+
+def test_knearest_fuzzy_classifier(ray_session):
+    """KNearestFuzzyClassifier vote parity: same NearestFuzzyQuery
+    (FuzzyLikeThisQuery maxEdits=1/prefix=2/maxTerms=300), independent
+    per-class recount from the top docs."""
+    from lucene_ray.pipelines.classify import (
+        _classes_of_hits,
+        _keyword_classes,
+        knearest_fuzzy_classify,
+    )
+    from lucene_ray.pipelines.flagship import build_transcript_index
+    from lucene_ray.search.query import FuzzyLikeThisQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    searcher = IndexSearcher(build_transcript_index(SF))
+    classes = _keyword_classes(searcher, "role")
+    text = "merge joni throghput"          # misspellings exercise the fuzz
+    pred, votes, ssum = knearest_fuzzy_classify(searcher, text, "role", k=12,
+                                                classes=classes)
+    q = FuzzyLikeThisQuery(fields=((text, 1, 2),), max_num_terms=300)
+    td = searcher.search(q, k=12)
+    assert td.hits, "fuzzy query should match"
+    gids = np.array([h.gid for h in td.hits], dtype=np.int64)
+    cls = _classes_of_hits(searcher, gids, "role", classes)
+    vc, sc = Counter(), Counter()
+    for h, c in zip(td.hits, cls):
+        if c is not None:
+            vc[c] += 1
+            sc[c] += float(h.score)
+    best = sorted(vc, key=lambda c: (-vc[c], -sc[c], c))[0]
+    assert pred == best and votes == vc[best]
+    assert ssum == pytest.approx(sc[best])
