@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_mlt_topk": _lazy("index_mlt_topk"),
         "index_expr_topk": _lazy("index_expr_topk"),
         "index_fn_termstats_topk": _lazy("index_fn_termstats_topk"),
+        "index_function_range_topk": _lazy("index_function_range_topk"),
         "quality_eval": _lazy("quality_eval"),
         "index_expr_sorted_topk": _lazy("index_expr_sorted_topk"),
         # --- vector search as a first-class index query (round 3) ---
@@ -809,6 +810,19 @@ def oracle_sql() -> dict[str, str]:
         "index_expr_topk": _expr_sql(),
         "index_fn_termstats_topk": _TOKS + _flagship_sql(
             "index_fn_termstats_oracle_sql"),
+        # FunctionRangeQuery: value = 2*turn_idx+1 in [5,9) → turn_idx 2..3;
+        # score IS the value; merge order = score desc, global docID asc
+        "index_function_range_topk": """
+            WITH m AS (SELECT doc_id, 2.0 * (doc_id % 5) + 1.0 AS v
+                       FROM documents
+                       WHERE 2.0 * (doc_id % 5) + 1.0 >= 5
+                         AND 2.0 * (doc_id % 5) + 1.0 < 9)
+            SELECT row_number() OVER (ORDER BY v DESC, doc_id ASC)::BIGINT AS rank,
+                   printf('conv-%08d', doc_id // 5) AS conv_id,
+                   (doc_id % 5)::BIGINT AS turn_idx,
+                   v::DOUBLE AS score,
+                   (SELECT count(*) FROM m)::BIGINT AS n_total
+            FROM m ORDER BY v DESC, doc_id ASC LIMIT 40""",
         "quality_eval": _flagship_sql("quality_eval_oracle_sql"),
         "index_knn_filtered": _knn_filtered_sql(),
         "index_hybrid_rrf": _hybrid_rrf_sql(),

@@ -1294,6 +1294,31 @@ def index_expr_topk(sf_dir: str, k: int = EXPR_K) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64"})
 
 
+def index_function_range_topk(sf_dir: str, k: int = 40) -> pd.DataFrame:
+    """FunctionRangeQuery over a composed ValueSource
+    (`queries/function/FunctionRangeQuery.java` + ValueSourceScorer,
+    `valuesource/LinearFloatFunction.java`): docs whose value
+    2*turn_idx + 1 lies in [5, 9); the score IS the value.  (rank, conv_id,
+    turn_idx, score)."""
+    from ..search.valuesource import (
+        FieldSource,
+        FunctionRangeQuery,
+        LinearFloatFunction,
+    )
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = FunctionRangeQuery(LinearFloatFunction(FieldSource("turn_idx"),
+                                               2.0, 1.0),
+                           lo=5, hi=9, include_upper=False)
+    td = searcher.search(q, k=k, total_hits_threshold=2**31 - 1)
+    rows = [(r, h.conv_id, int(h.turn_idx), float(h.score))
+            for r, h in enumerate(td.hits, 1)]
+    out = pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx", "score"]) \
+        .astype({"rank": "int64", "turn_idx": "int64", "score": "float64"})
+    out["n_total"] = int(td.total_hits)
+    return out
+
+
 TERMSTAT_EXPR = "tf('join') + df('sort') / maxdoc() + idf('merge') / 100"
 
 

@@ -712,6 +712,13 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "fnscore": (self.compile(query.query, _normalized=False),
                                 query.expression)}
+        from .valuesource import FunctionMatchQuery as _FnMQ
+        from .valuesource import FunctionQuery as _FnQ
+        from .valuesource import FunctionRangeQuery as _FnRQ
+
+        if isinstance(query, (_FnQ, _FnRQ, _FnMQ)):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False, "function": query}
         if isinstance(query, ToParentBlockJoinQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
@@ -1212,6 +1219,11 @@ class IndexSearcher:
                                         after=after)
         if compiled.get("fnscore") is not None:
             return self._fnscore_shard(rdr, compiled["fnscore"], k, after=after)
+        if compiled.get("function") is not None:
+            from .valuesource import search_shard_function
+
+            return search_shard_function(self, rdr, compiled["function"], k,
+                                         after=after)
         if compiled.get("combined") is not None:
             return self._combined_shard(rdr, compiled["combined"], k,
                                         after=after)
