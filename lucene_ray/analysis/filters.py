@@ -1915,10 +1915,19 @@ def _kstem(word: str) -> str:
     return kstem(word)
 
 
+def _stempel(word: str) -> str:
+    """StempelFilter over the Polish egothor table
+    (`analysis/stempel/.../StempelFilter.java`, minLength=3)."""
+    from .stempel import stempel_stem
+
+    return stempel_stem(word)
+
+
 FILTERS["porter2"] = _porter2
 FILTERS["english_snowball"] = _porter2
 FILTERS["kstem"] = _kstem
 FILTERS["brazilian"] = _brazilian_stem
+FILTERS["stempel"] = _stempel
 FILTERS["indic_normalize"] = _indic_normalize
 FILTERS["hindi_normalize"] = _hindi_normalize
 
@@ -1947,7 +1956,7 @@ FILTERS.update({
 # stemmers skip keyword terms)
 STEMMERS = {"porter", "porter2", "english_snowball", "english_minimal",
             "french_minimal", "german_minimal", "german_light", "kstem",
-            "brazilian"}
+            "brazilian", "stempel"}
 
 
 def _make_truncate(n: int):
@@ -2087,6 +2096,15 @@ def _parse_stop(spec: str) -> list[str]:
 
         path = os.path.join(os.path.dirname(__file__), "data",
                             "hindi_stopwords.txt")
+        with open(path, encoding="utf-8") as f:
+            return [w.strip() for w in f if w.strip()]
+    if body == "polish":
+        # PolishAnalyzer's carrot2 stop set
+        # (`analysis/stempel/.../pl/stopwords.txt`)
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "polish_stopwords.txt")
         with open(path, encoding="utf-8") as f:
             return [w.strip() for w in f if w.strip()]
     return body.split(",")
@@ -3339,6 +3357,9 @@ ANALYZER_PRESETS = {
     "russian": ("russian_snowball",),
     "czech": ("czech",),
     "bulgarian": ("bulgarian",),
+    # PolishAnalyzer (`analysis/stempel/.../pl/PolishAnalyzer.java:108-116`):
+    # carrot2 stop set, then the Stempel table stemmer (minLength 3)
+    "polish": ("stop:polish", "stempel"),
     "arabic": ("arabic_normalize", "arabic_stem"),
     "persian": ("arabic_normalize", "persian_normalize"),
     "sorani": ("sorani_normalize", "sorani_stem"),
