@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_naive_bayes": _classify_nb,
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         "facet_taxonomy_float_assoc": textstats.facet_taxonomy_float_assoc,
+        "repetition_stats": textstats.repetition_stats,
         "string_value_facets": textstats.string_value_facets,
         "range_on_range_facets": textstats.range_on_range_facets,
         # --- family representatives (rest of each family after slot 50) ---
@@ -647,6 +648,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY GROUPING SETS ((lang), (lang, source))
             ORDER BY lang, source""",
+        # Gopher repetition filters: per-doc duplicate-word fraction, top
+        # word fraction, top adjacent-bigram fraction (6dp both sides)
+        "repetition_stats": """
+            WITH toklists AS (SELECT doc_id, list_transform(
+                     regexp_extract_all(text, '[A-Za-z0-9]+'),
+                     x -> lower(x)) AS toks FROM documents),
+            tokens AS (SELECT doc_id, unnest(toks) AS term,
+                              generate_subscripts(toks, 1) AS pos
+                       FROM toklists),
+            tc AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM tokens
+                   GROUP BY doc_id, term),
+            agg AS (SELECT doc_id, sum(c) AS total,
+                           count(*)::DOUBLE AS distinct_terms, max(c) AS top
+                    FROM tc GROUP BY doc_id),
+            bi AS (SELECT doc_id, term || ' ' ||
+                          lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                          AS bg FROM tokens),
+            bc0 AS (SELECT doc_id, bg, count(*)::DOUBLE AS c FROM bi
+                    WHERE bg IS NOT NULL GROUP BY doc_id, bg),
+            bc AS (SELECT doc_id, max(c) AS topbg FROM bc0 GROUP BY doc_id)
+            SELECT t.doc_id,
+                   round(CASE WHEN a.total > 0
+                         THEN 1 - a.distinct_terms/a.total ELSE 0 END,
+                         6) AS dup_word_frac,
+                   round(CASE WHEN a.total > 0 THEN a.top/a.total
+                         ELSE 0 END, 6) AS top_word_frac,
+                   round(CASE WHEN coalesce(a.total, 0) > 1
+                         THEN coalesce(bc.topbg, 0)/(a.total-1)
+                         ELSE 0 END, 6) AS top_bigram_frac
+            FROM toklists t LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN bc USING (doc_id)
+            ORDER BY t.doc_id""",
         "facet_taxonomy_float_assoc": """
             SELECT lang, coalesce(source, '') AS source,
                    sum(n_chars * 0.5)::DOUBLE AS sum_assoc,

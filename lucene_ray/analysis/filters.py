@@ -1758,9 +1758,37 @@ def icu_folding(word: str) -> str:
     return unicodedata.normalize("NFKC", stripped.casefold())
 
 
+def _icu_normalizer(form: str):
+    """ICUNormalizer2Filter (`analysis/icu/.../ICUNormalizer2Filter.java`):
+    per-token Unicode normalization.  The reference default is nfkc_cf
+    (NFKC + case folding, `ICUNormalizer2Filter.java:47-50`); nfc/nfkc/nfd
+    variants select other Normalizer2 instances.  Built on the public
+    unicodedata tables: nfkc_cf = casefold-then-NFKC iterated to the
+    fixpoint (ICU applies the fold inside normalization; two rounds reach
+    the same fixpoint for BMP text)."""
+    import unicodedata
+
+    if form == "nfkc_cf":
+        def f(word: str) -> str:
+            prev = None
+            w = word
+            while w != prev:
+                prev = w
+                w = unicodedata.normalize("NFKC", w.casefold())
+            return w
+        return f
+    return lambda w: unicodedata.normalize(form.upper(), w)
+
+
 FILTERS = {
     "ascii_fold": ascii_fold,
     "icu_folding": icu_folding,
+    "icu_normalizer": _icu_normalizer("nfkc_cf"),
+    "icu_normalizer:nfc": _icu_normalizer("nfc"),
+    "icu_normalizer:nfd": _icu_normalizer("nfd"),
+    "icu_normalizer:nfkc": _icu_normalizer("nfkc"),
+    "icu_normalizer:nfkd": _icu_normalizer("nfkd"),
+    "icu_normalizer:nfkc_cf": _icu_normalizer("nfkc_cf"),
     "classic_filter": lambda w: __import__(
         "lucene_ray.analysis.chars", fromlist=["classic_token_filter"]
     ).classic_token_filter(w),

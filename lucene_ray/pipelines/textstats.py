@@ -674,6 +674,63 @@ def facet_taxonomy_assoc(sf_dir: str):
             .sort_values(["lang", "source"]).reset_index(drop=True))
 
 
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, the
+    standard web-pipeline document filters): per doc
+    - dup_word_frac   = 1 - distinct_tokens / tokens
+    - top_word_frac   = count of the most frequent token / tokens
+    - top_bigram_frac = count of the most frequent adjacent bigram / (tokens-1)
+    (0 for degenerate 0/1-token docs; 6dp for hash-stable comparison).
+    Fully vectorized: per-batch token codes (np.unique), (doc, code) keys
+    sorted once, run-length counts, segmented max — no Python loop over
+    docs or tokens.  Streams batch-parallel; no shuffle."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens_np(batch.column("text"))
+        n_docs = len(lens)
+        dup = np.zeros(n_docs)
+        topw = np.zeros(n_docs)
+        topb = np.zeros(n_docs)
+        if lens.sum() > 0:
+            toks = flat.to_numpy()
+            _, codes = np.unique(toks, return_inverse=True)
+            v = np.int64(codes.max() + 1)
+            didx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            # (doc, token) run-length counts from one sort
+            key = didx * v + codes
+            key.sort()
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            run_len = np.diff(np.r_[starts, len(key)])
+            run_doc = key[starts] // v
+            distinct = np.bincount(run_doc, minlength=n_docs).astype(np.float64)
+            np.maximum.at(topw, run_doc, run_len.astype(np.float64))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                total = lens.astype(np.float64)
+                dup = np.where(total > 0, 1.0 - distinct / total, 0.0)
+                topw = np.where(total > 0, topw / total, 0.0)
+            # adjacent bigrams within a doc
+            adj = didx[:-1] == didx[1:] if len(didx) > 1 else np.zeros(0, bool)
+            if adj.any():
+                bkey = (didx[:-1][adj] * v + codes[:-1][adj]) * v \
+                    + codes[1:][adj]
+                bkey.sort()
+                bs = np.flatnonzero(np.r_[True, bkey[1:] != bkey[:-1]])
+                blen = np.diff(np.r_[bs, len(bkey)])
+                bdoc = bkey[bs] // (v * v)
+                topb_cnt = np.zeros(n_docs)
+                np.maximum.at(topb_cnt, bdoc, blen.astype(np.float64))
+                nbg = np.maximum(lens - 1, 1).astype(np.float64)
+                topb = np.where(lens > 1, topb_cnt / nbg, 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "dup_word_frac": pa.array(np.round(dup, 6), pa.float64()),
+            "top_word_frac": pa.array(np.round(topw, 6), pa.float64()),
+            "top_bigram_frac": pa.array(np.round(topb, 6), pa.float64()),
+        })
+
+    return _read_documents(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
 def facet_taxonomy_float_assoc(sf_dir: str):
     """Float taxonomy facet associations
     (`facet/.../taxonomy/TaxonomyFacetFloatAssociations.java` with the SUM

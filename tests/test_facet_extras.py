@@ -77,3 +77,43 @@ def test_range_on_range(ray_session):
     assert (got.groupby("label")["n_docs"].max()
             == got[got["relation"] == "intersects"]
             .set_index("label")["n_docs"]).all()
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    """Gopher repetition signals on a hand corpus with known fractions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from lucene_ray.pipelines.textstats import repetition_stats
+
+    texts = [
+        "spam spam spam eggs",          # dup=1-2/4, topw=3/4, topbg=2/3
+        "a b c d",                      # all distinct
+        "",                             # degenerate
+        "one",                          # single token
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": texts,
+                  "lang": ["en"] * 4, "source": ["s"] * 4,
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pqw.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (repetition_stats(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["dup_word_frac"].tolist() == [round(1 - 2 / 4, 6), 0.0, 0.0, 0.0]
+    assert got["top_word_frac"].tolist() == [0.75, 0.25, 0.0, 1.0]
+    assert got["top_bigram_frac"].tolist() == [round(2 / 3, 6),
+                                               round(1 / 3, 6), 0.0, 0.0]
+
+
+def test_icu_normalizer_forms():
+    from lucene_ray.analysis.filters import FILTERS
+
+    nf = FILTERS["icu_normalizer"]           # nfkc_cf default
+    assert nf("ＡＢＣ") == "abc"
+    assert nf("ﬁx") == "fix"
+    assert nf("STRASSE") == "strasse"
+    assert nf("ｶﾞ") == "ガ"                   # halfwidth + dakuten compose
+    import unicodedata
+    assert FILTERS["icu_normalizer:nfc"]("é") == \
+        unicodedata.normalize("NFC", "é")
+    assert FILTERS["icu_normalizer:nfkd"]("Ⅸ") == "IX"
