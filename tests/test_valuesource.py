@@ -176,3 +176,24 @@ def test_query_value_source(vs_index):
     by_gid = {h.gid: h.score for h in td.hits}
     for gid, score in list(by_gid.items())[:20]:
         assert v[gid] == pytest.approx(score, rel=1e-6)
+
+
+def test_function_queries_actor_parity(vs_index):
+    """FunctionQuery / FunctionRangeQuery through the actor pool return the
+    local searcher's exact results (compiled dict ships the dataclass)."""
+    from lucene_ray.search.actors import QueryService
+
+    s = vs_index
+    svc = QueryService(s.index_dir, num_actors=2)
+    try:
+        for q in (FunctionQuery(LinearFloatFunction(FieldSource("turn_idx"),
+                                                    1.0, 0.0), boost=2.0),
+                  FunctionRangeQuery(FieldSource("turn_idx"), lo=3, hi=7,
+                                     include_upper=False)):
+            a = s.search(q, k=12)
+            b = svc.search(q, k=12)
+            assert [(h.gid, h.score) for h in a.hits] == \
+                [(h.gid, h.score) for h in b.hits]
+            assert a.total_hits == b.total_hits
+    finally:
+        svc.shutdown()
