@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_expr_topk": _lazy("index_expr_topk"),
         "index_fn_termstats_topk": _lazy("index_fn_termstats_topk"),
         "index_function_range_topk": _lazy("index_function_range_topk"),
+        "index_intervals_algebra_count": _lazy("index_intervals_algebra_count"),
         "quality_eval": _lazy("quality_eval"),
         "index_expr_sorted_topk": _lazy("index_expr_sorted_topk"),
         # --- vector search as a first-class index query (round 3) ---
@@ -843,6 +844,30 @@ def oracle_sql() -> dict[str, str]:
         "index_expr_topk": _expr_sql(),
         "index_fn_termstats_topk": _TOKS + _flagship_sql(
             "index_fn_termstats_oracle_sql"),
+        # intervals algebra: ordered = a merge strictly before a join;
+        # within(3) = |merge_pos - join_pos| <= 3; atLeast(2 of 3 terms)
+        "index_intervals_algebra_count": """
+            WITH toklists AS (SELECT doc_id, list_transform(
+                     regexp_extract_all(text, '[A-Za-z0-9]+'),
+                     x -> lower(x)) AS toks FROM documents),
+            tokens AS (SELECT doc_id, lower(t.term) AS term,
+                              t.pos FROM (
+                       SELECT doc_id, unnest(toks) AS term,
+                              generate_subscripts(toks, 1) AS pos
+                       FROM toklists) t)
+            SELECT
+              (SELECT count(DISTINCT a.doc_id) FROM tokens a JOIN tokens b
+               ON a.doc_id = b.doc_id AND a.term = 'merge'
+               AND b.term = 'join' AND a.pos < b.pos)::BIGINT AS n_ordered,
+              (SELECT count(DISTINCT a.doc_id) FROM tokens a JOIN tokens b
+               ON a.doc_id = b.doc_id AND a.term = 'merge'
+               AND b.term = 'join'
+               AND abs(a.pos - b.pos) <= 3)::BIGINT AS n_within,
+              (SELECT count(*) FROM (
+                 SELECT doc_id FROM tokens
+                 WHERE term IN ('merge', 'join', 'sort')
+                 GROUP BY doc_id
+                 HAVING count(DISTINCT term) >= 2))::BIGINT AS n_atleast""",
         # FunctionRangeQuery: value = 2*turn_idx+1 in [5,9) → turn_idx 2..3;
         # score IS the value; merge order = score desc, global docID asc
         "index_function_range_topk": """

@@ -1294,6 +1294,26 @@ def index_expr_topk(sf_dir: str, k: int = EXPR_K) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64"})
 
 
+def index_intervals_algebra_count(sf_dir: str) -> pd.DataFrame:
+    """Minimal-interval algebra counts (`queries/intervals/Intervals.java`):
+    ordered(merge, join), within(merge, 3, join) and
+    atLeast(2, merge, join, sort) doc counts through the index — each has a
+    pure positional definition the SQL twin reproduces from the token
+    lists."""
+    from ..search import intervals as iv
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n_ordered = searcher.count(iv.IntervalsSourceQuery(
+        iv.ordered(iv.term("merge"), iv.term("join"))))
+    n_within = searcher.count(iv.IntervalsSourceQuery(
+        iv.within(iv.term("merge"), 3, iv.term("join"))))
+    n_atleast = searcher.count(iv.IntervalsSourceQuery(
+        iv.at_least(2, iv.term("merge"), iv.term("join"), iv.term("sort"))))
+    return pd.DataFrame({"n_ordered": pd.Series([n_ordered], dtype="int64"),
+                         "n_within": pd.Series([n_within], dtype="int64"),
+                         "n_atleast": pd.Series([n_atleast], dtype="int64")})
+
+
 def index_function_range_topk(sf_dir: str, k: int = 40) -> pd.DataFrame:
     """FunctionRangeQuery over a composed ValueSource
     (`queries/function/FunctionRangeQuery.java` + ValueSourceScorer,

@@ -1,0 +1,614 @@
+"""Full minimal-interval algebra (`queries/intervals/` — the Intervals API).
+
+The reference's intervals package implements Vigna-style *minimal interval
+semantics*: per document each source produces the set of minimal intervals
+(no emitted interval strictly contains another emitted interval), and
+combinators compose those lists:
+
+- leaves: `Intervals.term` (`TermIntervalsSource.java`), `prefix` /
+  `wildcard` / `fuzzyTerm` (`MultiTermIntervalsSource.java`, expansion cap
+  128 — `Intervals.java:156-262`)
+- `phrase` (`BlockIntervalsSource.java`: consecutive blocks), `ordered` /
+  `unordered` (`OrderedIntervalsSource.java`, `UnorderedIntervalsSource.java`),
+  `unorderedNoOverlaps` = or(ordered(a,b), ordered(b,a))
+  (`Intervals.java:355-362`), `or` (`DisjunctionIntervalsSource.java`),
+  `atLeast` (`MinimumShouldMatchIntervalsSource.java`)
+- filters: `maxwidth` / `maxgaps` (`FilteredIntervalsSource.java`),
+  `extend` (`ExtendedIntervalsSource.java`)
+- relations: `containing` / `containedBy` / `notContaining` /
+  `notContainedBy` (`ContainingIntervalsSource.java` et al.),
+  `overlapping` / `nonOverlapping`, and the compositions the reference
+  itself uses (`Intervals.java:403-500`): `within(s,n,r)` =
+  containedBy(s, extend(r,n,n)); `notWithin` = nonOverlapping(m,
+  extend(s,n,n)); `before(s,r)` = containedBy(s, extend(offset(r,start-1),
+  MAX, 0)); `after` mirrored.
+
+Scoring (`IntervalScorer.java:69-73` + `IntervalScoreFunction.java`):
+freq(doc) = Σ over matching intervals of 1 / max(length − minExtent + 1, 1);
+score = saturation: boost * freq / (freq + pivot) (default pivot 1), or
+sigmoid with exponent a: boost * freq^a / (freq^a + pivot^a).
+
+Per-shard execution: candidate docs from the sources' postings doc-set
+algebra (conjunction for ordered/unordered/phrase, union for or/atLeast,
+minuend for the not-relations), then per candidate one pass over its
+position lists.  Interval lists per doc are tiny (positions per doc), so
+the per-doc combinators are plain Python over numpy position arrays — the
+same execution shape as the existing interval/span matchers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+MAX_POS = 1 << 30
+
+
+def _minimalize(ivals):
+    """Drop intervals that strictly contain another (minimal semantics);
+    returns sorted unique list."""
+    if not ivals:
+        return []
+    # sort by (start asc, end DESC): any interval that contains another
+    # precedes it, so a right-to-left scan keeping intervals whose end is
+    # strictly below the smallest end seen to the right drops exactly the
+    # containing (non-minimal) ones
+    ivals = sorted(set(ivals), key=lambda x: (x[0], -x[1]))
+    best_end = None
+    keep = [False] * len(ivals)
+    for i in range(len(ivals) - 1, -1, -1):
+        if best_end is None or ivals[i][1] < best_end:
+            keep[i] = True
+            best_end = ivals[i][1]
+    return sorted(iv for iv, k in zip(ivals, keep) if k)
+
+
+class IntervalsSource:
+    def doc_intervals(self, ctx) -> list:  # pragma: no cover
+        raise NotImplementedError
+
+    def min_extent(self) -> int:  # pragma: no cover
+        raise NotImplementedError
+
+
+
+@dataclass(frozen=True)
+class Term(IntervalsSource):
+    term: str
+
+    def doc_intervals(self, ctx):
+        pos = ctx.get(self.term)
+        if pos is None or len(pos) == 0:
+            return []
+        return [(int(p), int(p)) for p in pos]
+
+    def min_extent(self):
+        return 1
+
+
+
+@dataclass(frozen=True)
+class MultiTerm(IntervalsSource):
+    """Prefix / wildcard / fuzzy leaf: expanded per shard at execution into
+    an OR of term leaves, capped at max_expansions
+    (`MultiTermIntervalsSource.java`; default 128)."""
+    query: object                   # PrefixQuery / WildcardQuery / FuzzyQuery
+    max_expansions: int = 128
+
+
+    def min_extent(self):
+        return 1
+
+
+def _ordered_intervals(subs):
+    """Minimal ordered intervals: for each interval of the first source,
+    greedily chain the earliest following interval of each next source
+    (start > previous end, `OrderedIntervalsSource.java`), then minimalize."""
+    if any(not s for s in subs):
+        return []
+    out = []
+    for a in subs[0]:
+        prev_end = a[1]
+        ok = True
+        for lst in subs[1:]:
+            nxt = None
+            for iv in lst:
+                if iv[0] > prev_end:
+                    nxt = iv
+                    break
+            if nxt is None:
+                ok = False
+                break
+            prev_end = nxt[1]
+        if ok:
+            out.append((a[0], prev_end))
+    return _minimalize(out)
+
+
+def _unordered_intervals(subs):
+    """Minimal windows containing one interval from each source
+    (overlaps allowed, `UnorderedIntervalsSource.java`): classic pointer
+    sweep — record the window of the current tuple, then advance the
+    source holding the smallest start."""
+    if any(not s for s in subs):
+        return []
+    ptr = [0] * len(subs)
+    out = []
+    while True:
+        starts = [subs[i][ptr[i]][0] for i in range(len(subs))]
+        ends = [subs[i][ptr[i]][1] for i in range(len(subs))]
+        out.append((min(starts), max(ends)))
+        i_min = int(np.argmin(starts))
+        ptr[i_min] += 1
+        if ptr[i_min] >= len(subs[i_min]):
+            break
+    return _minimalize(out)
+
+
+def _block_intervals(subs):
+    """Consecutive blocks (`BlockIntervalsSource.java`):
+    start(i+1) == end(i) + 1."""
+    if any(not s for s in subs):
+        return []
+    out = []
+    for a in subs[0]:
+        prev_end = a[1]
+        ok = True
+        for lst in subs[1:]:
+            nxt = None
+            for iv in lst:
+                if iv[0] == prev_end + 1:
+                    nxt = iv
+                    break
+                if iv[0] > prev_end + 1:
+                    break
+            if nxt is None:
+                ok = False
+                break
+            prev_end = nxt[1]
+        if ok:
+            out.append((a[0], prev_end))
+    return _minimalize(out)
+
+
+@dataclass(frozen=True)
+class Combine(IntervalsSource):
+    """ordered / unordered / phrase(block) over sub-sources."""
+    kind: str                       # "ordered" | "unordered" | "block"
+    subs: tuple
+
+    def doc_intervals(self, ctx):
+        lists = [s.doc_intervals(ctx) for s in self.subs]
+        if self.kind == "ordered":
+            return _ordered_intervals(lists)
+        if self.kind == "block":
+            return _block_intervals(lists)
+        return _unordered_intervals(lists)
+
+    def min_extent(self):
+        return sum(s.min_extent() for s in self.subs)
+
+
+
+@dataclass(frozen=True)
+class Or(IntervalsSource):
+    subs: tuple
+
+    def doc_intervals(self, ctx):
+        out = []
+        for s in self.subs:
+            out.extend(s.doc_intervals(ctx))
+        return _minimalize(out)
+
+    def min_extent(self):
+        return min(s.min_extent() for s in self.subs)
+
+
+
+@dataclass(frozen=True)
+class AtLeast(IntervalsSource):
+    """`MinimumShouldMatchIntervalsSource`: minimal windows covering
+    intervals from at least n distinct sub-sources — the union over all
+    size-n subsets of the unordered windows, minimalized.  Subset count is
+    C(m, n) with m = len(subs), small for real queries."""
+    n: int
+    subs: tuple
+
+    def doc_intervals(self, ctx):
+        from itertools import combinations
+
+        lists = [s.doc_intervals(ctx) for s in self.subs]
+        present = [lst for lst in lists if lst]
+        if len(present) < self.n:
+            return []
+        out = []
+        for combo in combinations(present, self.n):
+            out.extend(_unordered_intervals(list(combo)))
+        return _minimalize(out)
+
+    def min_extent(self):
+        exts = sorted(s.min_extent() for s in self.subs)
+        return sum(exts[:self.n])
+
+
+
+@dataclass(frozen=True)
+class Filtered(IntervalsSource):
+    """maxwidth / maxgaps (`FilteredIntervalsSource.java`).  gaps(interval)
+    = width − minExtent of the inner source (`IntervalIterator.gaps`)."""
+    kind: str                       # "maxwidth" | "maxgaps"
+    limit: int
+    source: IntervalsSource
+
+    def doc_intervals(self, ctx):
+        ivals = self.source.doc_intervals(ctx)
+        if self.kind == "maxwidth":
+            return [iv for iv in ivals if iv[1] - iv[0] + 1 <= self.limit]
+        me = self.source.min_extent()
+        return [iv for iv in ivals if (iv[1] - iv[0] + 1) - me <= self.limit]
+
+    def min_extent(self):
+        return self.source.min_extent()
+
+
+
+@dataclass(frozen=True)
+class Extend(IntervalsSource):
+    source: IntervalsSource
+    before: int
+    after: int
+
+    def doc_intervals(self, ctx):
+        # NO minimalization: ExtendedIntervalIterator maps intervals 1:1
+        # (extended intervals may contain each other; relations like
+        # before()/within() rely on the full extended list)
+        return sorted({(max(0, s - self.before), min(MAX_POS, e + self.after))
+                       for s, e in self.source.doc_intervals(ctx)})
+
+    def min_extent(self):
+        return self.before + self.source.min_extent() + self.after
+
+
+
+@dataclass(frozen=True)
+class Offset(IntervalsSource):
+    """`OffsetIntervalsSource`: zero-width intervals at start-1 (before) or
+    end+1 (after) of each inner interval — the before()/after() helper."""
+    source: IntervalsSource
+    at_start: bool
+
+    def doc_intervals(self, ctx):
+        out = []
+        for s, e in self.source.doc_intervals(ctx):
+            p = s - 1 if self.at_start else e + 1
+            if p >= 0:
+                out.append((p, p))
+        return _minimalize(out)
+
+    def min_extent(self):
+        return 1
+
+
+
+@dataclass(frozen=True)
+class Relate(IntervalsSource):
+    """containing / containedBy / notContaining / notContainedBy /
+    overlapping / nonOverlapping — emits intervals of `source` filtered by
+    their relation to `reference` intervals."""
+    kind: str
+    source: IntervalsSource
+    reference: IntervalsSource
+
+    def doc_intervals(self, ctx):
+        src = self.source.doc_intervals(ctx)
+        if not src:
+            return []
+        ref = self.reference.doc_intervals(ctx)
+
+        def contains(a, b):         # a contains b
+            return a[0] <= b[0] and a[1] >= b[1]
+
+        def overlaps(a, b):
+            return a[0] <= b[1] and b[0] <= a[1]
+
+        k = self.kind
+        if k == "containing":
+            out = [a for a in src if any(contains(a, b) for b in ref)]
+        elif k == "contained_by":
+            out = [a for a in src if any(contains(b, a) for b in ref)]
+        elif k == "not_containing":
+            out = [a for a in src if not any(contains(a, b) for b in ref)]
+        elif k == "not_contained_by":
+            out = [a for a in src if not any(contains(b, a) for b in ref)]
+        elif k == "overlapping":
+            out = [a for a in src if any(overlaps(a, b) for b in ref)]
+        else:                       # non_overlapping
+            out = [a for a in src if not any(overlaps(a, b) for b in ref)]
+        return out
+
+    def min_extent(self):
+        return self.source.min_extent()
+
+
+
+# ---- the Intervals factory surface (`Intervals.java`) ----
+
+
+def term(t: str) -> IntervalsSource:
+    return Term(t)
+
+
+def phrase(*terms_) -> IntervalsSource:
+    return Combine("block", tuple(Term(t) if isinstance(t, str) else t
+                                  for t in terms_))
+
+
+def ordered(*subs) -> IntervalsSource:
+    return Combine("ordered", tuple(subs))
+
+
+def unordered(*subs) -> IntervalsSource:
+    return Combine("unordered", tuple(subs))
+
+
+def unordered_no_overlaps(a, b) -> IntervalsSource:
+    return Or((Combine("ordered", (a, b)), Combine("ordered", (b, a))))
+
+
+def or_(*subs) -> IntervalsSource:
+    return Or(tuple(subs))
+
+
+def at_least(n: int, *subs) -> IntervalsSource:
+    if n == len(subs):
+        return unordered(*subs)
+    return AtLeast(n, tuple(subs))
+
+
+def maxwidth(width: int, source) -> IntervalsSource:
+    return Filtered("maxwidth", width, source)
+
+
+def maxgaps(gaps: int, source) -> IntervalsSource:
+    return Filtered("maxgaps", gaps, source)
+
+
+def extend(source, before: int, after: int) -> IntervalsSource:
+    return Extend(source, before, after)
+
+
+def containing(big, small) -> IntervalsSource:
+    return Relate("containing", big, small)
+
+
+def contained_by(small, big) -> IntervalsSource:
+    return Relate("contained_by", small, big)
+
+
+def not_containing(minuend, subtrahend) -> IntervalsSource:
+    return Relate("not_containing", minuend, subtrahend)
+
+
+def not_contained_by(small, big) -> IntervalsSource:
+    return Relate("not_contained_by", small, big)
+
+
+def overlapping(source, reference) -> IntervalsSource:
+    return Relate("overlapping", source, reference)
+
+
+def non_overlapping(minuend, subtrahend) -> IntervalsSource:
+    return Relate("non_overlapping", minuend, subtrahend)
+
+
+def within(source, positions: int, reference) -> IntervalsSource:
+    return contained_by(source, extend(reference, positions, positions))
+
+
+def not_within(minuend, positions: int, subtrahend) -> IntervalsSource:
+    return non_overlapping(minuend, extend(subtrahend, positions, positions))
+
+
+def before(source, reference) -> IntervalsSource:
+    return contained_by(source, Extend(Offset(reference, True), MAX_POS, 0))
+
+
+def after(source, reference) -> IntervalsSource:
+    return contained_by(source, Extend(Offset(reference, False), 0, MAX_POS))
+
+
+def prefix(p: str, max_expansions: int = 128) -> IntervalsSource:
+    from .query import PrefixQuery
+
+    return MultiTerm(PrefixQuery(p), max_expansions)
+
+
+def wildcard(pattern: str, max_expansions: int = 128) -> IntervalsSource:
+    from .query import WildcardQuery
+
+    return MultiTerm(WildcardQuery(pattern), max_expansions)
+
+
+def fuzzy_term(t: str, max_edits: int = 2,
+               max_expansions: int = 128) -> IntervalsSource:
+    from .query import FuzzyQuery
+
+    return MultiTerm(FuzzyQuery(t, max_edits=max_edits), max_expansions)
+
+
+# ---- query + per-shard execution ----
+
+
+@dataclass(frozen=True)
+class IntervalsSourceQuery:
+    """`queries/intervals/IntervalQuery.java`: scores docs by the source's
+    minimal intervals — freq = Σ 1/max(len − minExtent + 1, 1), score =
+    saturation(pivot) (default pivot 1) or sigmoid when exp != 1."""
+    source: IntervalsSource
+    pivot: float = 1.0
+    exp: float = 1.0
+    boost: float = 1.0
+    field: str = "text"
+
+
+def normalize_terms(src, fn):
+    """Apply the index's analyzer filter chain to every Term leaf
+    (shared Analyzer contract with the rest of the query surface)."""
+    if isinstance(src, Term):
+        return Term(fn(src.term))
+    if isinstance(src, MultiTerm):
+        return src
+    if isinstance(src, Combine):
+        return Combine(src.kind, tuple(normalize_terms(s, fn)
+                                       for s in src.subs))
+    if isinstance(src, Or):
+        return Or(tuple(normalize_terms(s, fn) for s in src.subs))
+    if isinstance(src, AtLeast):
+        return AtLeast(src.n, tuple(normalize_terms(s, fn)
+                                    for s in src.subs))
+    if isinstance(src, Filtered):
+        return Filtered(src.kind, src.limit, normalize_terms(src.source, fn))
+    if isinstance(src, Extend):
+        return Extend(normalize_terms(src.source, fn), src.before, src.after)
+    if isinstance(src, Offset):
+        return Offset(normalize_terms(src.source, fn), src.at_start)
+    if isinstance(src, Relate):
+        return Relate(src.kind, normalize_terms(src.source, fn),
+                      normalize_terms(src.reference, fn))
+    raise TypeError(type(src).__name__)
+
+
+def _resolve_multiterm(searcher, rdr, src):
+    """Expand MultiTerm leaves against THIS shard's dictionary (per-leaf
+    rewrite, like SpanMultiTermQueryWrapper)."""
+    if isinstance(src, MultiTerm):
+        terms_ = searcher._expand_shard(rdr, src.query)[:src.max_expansions]
+        return Or(tuple(Term(t) for t in terms_)) if terms_ else Or(())
+    if isinstance(src, Term):
+        return src
+    if isinstance(src, Combine):
+        return Combine(src.kind, tuple(
+            _resolve_multiterm(searcher, rdr, s) for s in src.subs))
+    if isinstance(src, Or):
+        return Or(tuple(_resolve_multiterm(searcher, rdr, s)
+                        for s in src.subs))
+    if isinstance(src, AtLeast):
+        return AtLeast(src.n, tuple(_resolve_multiterm(searcher, rdr, s)
+                                    for s in src.subs))
+    if isinstance(src, Filtered):
+        return Filtered(src.kind, src.limit,
+                        _resolve_multiterm(searcher, rdr, src.source))
+    if isinstance(src, Extend):
+        return Extend(_resolve_multiterm(searcher, rdr, src.source),
+                      src.before, src.after)
+    if isinstance(src, Offset):
+        return Offset(_resolve_multiterm(searcher, rdr, src.source),
+                      src.at_start)
+    if isinstance(src, Relate):
+        return Relate(src.kind,
+                      _resolve_multiterm(searcher, rdr, src.source),
+                      _resolve_multiterm(searcher, rdr, src.reference))
+    raise TypeError(type(src).__name__)
+
+
+def _candidate_docs(rdr, src):
+    """Doc-set algebra for candidates: which docs can possibly produce an
+    interval.  Conjunctions intersect, disjunctions union, relations follow
+    their source side (the reference side only filters)."""
+    if isinstance(src, Term):
+        tid = rdr.seek_exact(src.term)
+        if tid < 0:
+            return np.zeros(0, np.int64)
+        return rdr.postings(tid)[0].astype(np.int64)
+    if isinstance(src, Combine):
+        docs = _candidate_docs(rdr, src.subs[0])
+        for s in src.subs[1:]:
+            docs = np.intersect1d(docs, _candidate_docs(rdr, s),
+                                  assume_unique=True)
+        return docs
+    if isinstance(src, Or):
+        parts = [_candidate_docs(rdr, s) for s in src.subs]
+        return np.unique(np.concatenate(parts)) if parts \
+            else np.zeros(0, np.int64)
+    if isinstance(src, AtLeast):
+        parts = [_candidate_docs(rdr, s) for s in src.subs]
+        if not parts:
+            return np.zeros(0, np.int64)
+        allv = np.concatenate(parts)
+        uniq, cnt = np.unique(allv, return_counts=True)
+        return uniq[cnt >= src.n]
+    if isinstance(src, (Filtered, Extend, Offset)):
+        return _candidate_docs(rdr, src.source)
+    if isinstance(src, Relate):
+        docs = _candidate_docs(rdr, src.source)
+        if src.kind in ("containing", "contained_by", "overlapping"):
+            docs = np.intersect1d(docs, _candidate_docs(rdr, src.reference),
+                                  assume_unique=True)
+        return docs
+    raise TypeError(type(src).__name__)
+
+
+def _collect_terms(src, out):
+    if isinstance(src, Term):
+        out.add(src.term)
+    elif isinstance(src, (Combine, Or, AtLeast)):
+        for s in src.subs:
+            _collect_terms(s, out)
+    elif isinstance(src, (Filtered, Extend, Offset)):
+        _collect_terms(src.source, out)
+    elif isinstance(src, Relate):
+        _collect_terms(src.source, out)
+        _collect_terms(src.reference, out)
+
+
+def search_shard_intervals(searcher, rdr, query, k: int, after_=None):
+    from .searcher import RELATION_EQ
+
+    src = _resolve_multiterm(searcher, rdr, query.source)
+    cand = _candidate_docs(rdr, src)
+    if rdr.deleted is not None and len(cand):
+        cand = cand[~rdr.deleted[cand]]
+    terms_: set = set()
+    _collect_terms(src, terms_)
+    # per-term postings + positions, decoded once for the shard
+    plists = {}
+    for t in terms_:
+        tid = rdr.seek_exact(t)
+        if tid < 0:
+            continue
+        docs, freqs = rdr.postings(tid)
+        pos = rdr.positions(tid, freqs)
+        pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+        plists[t] = (docs, pos, pb)
+    me = src.min_extent()
+    out_docs, out_scores = [], []
+    for d in cand:
+        ctx = {}
+        for t, (docs, pos, pb) in plists.items():
+            j = int(np.searchsorted(docs, d))
+            if j < len(docs) and docs[j] == d:
+                ctx[t] = pos[int(pb[j]):int(pb[j + 1])].astype(np.int64)
+        ivals = src.doc_intervals(ctx)
+        if not ivals:
+            continue
+        freq = np.float32(0.0)
+        for s, e in ivals:
+            freq += np.float32(1.0 / max((e - s + 1) - me + 1, 1))
+        if query.exp == 1.0:
+            score = np.float32(query.boost) * freq / (freq + np.float32(query.pivot))
+        else:
+            fa = np.float32(freq) ** np.float32(query.exp)
+            pa_ = np.float32(query.pivot) ** np.float32(query.exp)
+            score = np.float32(query.boost) * fa / (fa + pa_)
+        out_docs.append(int(d))
+        out_scores.append(np.float32(score))
+    cand_out = np.array(out_docs, dtype=np.int32)
+    sc = np.array(out_scores, dtype=np.float32)
+    total = int(len(cand_out))
+    if after_ is not None:
+        a_s, a_d = np.float32(after_[0]), after_[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand_out.astype(np.int64) > a_d))
+        cand_out, sc = cand_out[keep], sc[keep]
+    order = np.lexsort((cand_out, -sc))[:k]
+    return sc[order], cand_out[order], total, RELATION_EQ

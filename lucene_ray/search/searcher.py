@@ -719,6 +719,19 @@ class IndexSearcher:
         if isinstance(query, (_FnQ, _FnRQ, _FnMQ)):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False, "function": query}
+        from .intervals import IntervalsSourceQuery as _ISQ
+
+        if isinstance(query, _ISQ):
+            if self.token_filters:
+                import dataclasses
+
+                from .intervals import normalize_terms
+
+                query = dataclasses.replace(
+                    query, source=normalize_terms(query.source, self._ft))
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "intervals_source": query}
         if isinstance(query, ToParentBlockJoinQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
@@ -1224,6 +1237,12 @@ class IndexSearcher:
 
             return search_shard_function(self, rdr, compiled["function"], k,
                                          after=after)
+        if compiled.get("intervals_source") is not None:
+            from .intervals import search_shard_intervals
+
+            return search_shard_intervals(self, rdr,
+                                          compiled["intervals_source"], k,
+                                          after_=after)
         if compiled.get("combined") is not None:
             return self._combined_shard(rdr, compiled["combined"], k,
                                         after=after)

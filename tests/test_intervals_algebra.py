@@ -1,0 +1,224 @@
+"""Full intervals algebra (`queries/intervals/`): minimal-interval
+semantics per combinator vs an independent brute-force enumerator;
+IntervalsSourceQuery scoring (saturation freq formula); end-to-end over a
+small built index including multi-term leaves and atLeast."""
+
+import itertools
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from lucene_ray.index.build import build_index
+from lucene_ray.search import intervals as iv
+from lucene_ray.search.searcher import IndexSearcher
+from lucene_ray.sources.transcripts import synth_transcripts
+
+# ---- brute-force oracle over explicit token lists ----
+
+
+def _brute(src, toks):
+    """Enumerate ALL satisfying intervals by definition, then minimalize."""
+    n = len(toks)
+
+    def sat(s, e, node):
+        """Does window [s,e] exactly equal a satisfying interval?"""
+        return (s, e) in all_ivals(node)
+
+    def all_ivals(node):
+        if isinstance(node, iv.Term):
+            return {(i, i) for i, t in enumerate(toks) if t == node.term}
+        if isinstance(node, iv.Combine):
+            subs = [sorted(all_ivals(x)) for x in node.subs]
+            if any(not s for s in subs):
+                return set()
+            out = set()
+            for combo in itertools.product(*subs):
+                if node.kind == "ordered":
+                    ok = all(combo[i + 1][0] > combo[i][1]
+                             for i in range(len(combo) - 1))
+                elif node.kind == "block":
+                    ok = all(combo[i + 1][0] == combo[i][1] + 1
+                             for i in range(len(combo) - 1))
+                else:
+                    ok = True
+                if ok:
+                    out.add((min(c[0] for c in combo),
+                             max(c[1] for c in combo)))
+            return set(iv._minimalize(out))
+        if isinstance(node, iv.Or):
+            out = set()
+            for x in node.subs:
+                out |= all_ivals(x)
+            return set(iv._minimalize(out))
+        if isinstance(node, iv.AtLeast):
+            subs = [sorted(all_ivals(x)) for x in node.subs]
+            out = set()
+            for combo_sources in itertools.combinations(
+                    [s for s in subs if s], node.n):
+                for combo in itertools.product(*combo_sources):
+                    out.add((min(c[0] for c in combo),
+                             max(c[1] for c in combo)))
+            return set(iv._minimalize(out))
+        if isinstance(node, iv.Filtered):
+            ivals = all_ivals(node.source)
+            if node.kind == "maxwidth":
+                return {x for x in ivals if x[1] - x[0] + 1 <= node.limit}
+            me = node.source.min_extent()
+            return {x for x in ivals
+                    if (x[1] - x[0] + 1) - me <= node.limit}
+        if isinstance(node, iv.Extend):
+            return {(max(0, s - node.before), min(iv.MAX_POS, e + node.after))
+                    for s, e in all_ivals(node.source)}
+        if isinstance(node, iv.Offset):
+            out = set()
+            for s, e in all_ivals(node.source):
+                p = s - 1 if node.at_start else e + 1
+                if p >= 0:
+                    out.add((p, p))
+            return set(iv._minimalize(out))
+        if isinstance(node, iv.Relate):
+            src_ = all_ivals(node.source)
+            ref = all_ivals(node.reference)
+            k = node.kind
+
+            def c(a, b):
+                return a[0] <= b[0] and a[1] >= b[1]
+
+            def ov(a, b):
+                return a[0] <= b[1] and b[0] <= a[1]
+
+            if k == "containing":
+                return {a for a in src_ if any(c(a, b) for b in ref)}
+            if k == "contained_by":
+                return {a for a in src_ if any(c(b, a) for b in ref)}
+            if k == "not_containing":
+                return {a for a in src_ if not any(c(a, b) for b in ref)}
+            if k == "not_contained_by":
+                return {a for a in src_ if not any(c(b, a) for b in ref)}
+            if k == "overlapping":
+                return {a for a in src_ if any(ov(a, b) for b in ref)}
+            return {a for a in src_ if not any(ov(a, b) for b in ref)}
+        raise TypeError(type(node).__name__)
+
+    return sorted(all_ivals(src))
+
+
+def _engine(src, toks):
+    ctx = {}
+    for i, t in enumerate(toks):
+        ctx.setdefault(t, []).append(i)
+    ctx = {t: np.array(p, dtype=np.int64) for t, p in ctx.items()}
+    return sorted(src.doc_intervals(ctx))
+
+
+VOCAB = list("abcd")
+
+
+def _random_source(rng, depth=0):
+    kind = rng.choice(["term"] if depth >= 2 else
+                      ["term", "term", "ordered", "unordered", "or",
+                       "block", "maxwidth", "maxgaps", "atleast",
+                       "containing", "contained_by", "not_containing",
+                       "not_contained_by", "overlapping", "non_overlapping",
+                       "extend"])
+    if kind == "term":
+        return iv.Term(rng.choice(VOCAB))
+    if kind in ("ordered", "unordered", "block"):
+        n = int(rng.integers(2, 4))
+        return iv.Combine(kind, tuple(_random_source(rng, depth + 1)
+                                      for _ in range(n)))
+    if kind == "or":
+        n = int(rng.integers(2, 4))
+        return iv.Or(tuple(_random_source(rng, depth + 1) for _ in range(n)))
+    if kind == "atleast":
+        n = int(rng.integers(2, 5))
+        m = int(rng.integers(1, n))
+        return iv.AtLeast(m, tuple(_random_source(rng, depth + 1)
+                                   for _ in range(n)))
+    if kind in ("maxwidth", "maxgaps"):
+        return iv.Filtered(kind, int(rng.integers(0, 6)),
+                           _random_source(rng, depth + 1))
+    if kind == "extend":
+        return iv.Extend(_random_source(rng, depth + 1),
+                         int(rng.integers(0, 3)), int(rng.integers(0, 3)))
+    return iv.Relate(kind, _random_source(rng, depth + 1),
+                     _random_source(rng, depth + 1))
+
+
+def test_randomized_vs_brute_force():
+    rng = np.random.default_rng(1234)
+    for trial in range(300):
+        toks = [str(rng.choice(VOCAB)) for _ in range(int(rng.integers(1, 14)))]
+        src = _random_source(rng)
+        assert _engine(src, toks) == _brute(src, toks), \
+            f"trial {trial}: {src} over {toks}"
+
+
+def test_hand_cases():
+    toks = "a b c a c b".split()
+    assert _engine(iv.ordered(iv.term("a"), iv.term("b")), toks) == \
+        [(0, 1), (3, 5)]
+    assert _engine(iv.phrase("a", "b"), toks) == [(0, 1)]
+    assert _engine(iv.unordered(iv.term("b"), iv.term("a")), toks) == \
+        [(0, 1), (1, 3), (3, 5)]
+    assert _engine(iv.maxgaps(0, iv.ordered(iv.term("a"), iv.term("c"))),
+                   toks) == [(3, 4)]
+    # within: 'a' within 1 position of 'c'
+    assert _engine(iv.within(iv.term("a"), 1, iv.term("c")), toks) == [(3, 3)]
+    assert _engine(iv.before(iv.term("a"), iv.term("b")), toks) == [(0, 0), (3, 3)]
+    assert _engine(iv.after(iv.term("c"), iv.term("b")), toks) == [(2, 2), (4, 4)]
+    assert _engine(iv.unordered_no_overlaps(iv.term("a"), iv.term("c")),
+                   toks) == [(0, 2), (2, 3), (3, 4)]
+    assert _engine(iv.at_least(2, iv.term("a"), iv.term("b"), iv.term("z")),
+                   toks) == [(0, 1), (1, 3), (3, 5)]
+
+
+@pytest.fixture(scope="module")
+def iv_index(ray_session, tmp_path_factory):
+    t = synth_transcripts(900, seed=11)
+    d = str(tmp_path_factory.mktemp("ivx"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300,
+                input_desc="ivx900")
+    texts = {(c, int(i)): x for c, i, x in
+             zip(t.column("conv_id").to_pylist(),
+                 t.column("turn_idx").to_pylist(),
+                 t.column("text").to_pylist())}
+    return IndexSearcher(d), texts
+
+
+def test_end_to_end_scoring(iv_index):
+    s, texts = iv_index
+    q = iv.IntervalsSourceQuery(iv.ordered(iv.term("merge"), iv.term("join")))
+    td = s.search(q, k=1000, total_hits_threshold=2**31 - 1)
+    # every hit's score must equal the saturation formula recomputed from
+    # the doc's own token positions
+    from lucene_ray.analysis.standard import analyze
+
+    for h in td.hits:
+        toks = analyze(texts[(h.conv_id, int(h.turn_idx))])
+        ivals = _engine(iv.ordered(iv.term("merge"), iv.term("join")), toks)
+        assert ivals, "hit must contain an ordered (merge, join) interval"
+        me = 2
+        freq = np.float32(0.0)
+        for st, en in ivals:
+            freq += np.float32(1.0 / max((en - st + 1) - me + 1, 1))
+        want = np.float32(1.0) * freq / (freq + np.float32(1.0))
+        assert h.score == pytest.approx(float(want), rel=1e-6)
+    # sanity: matches exist and are fewer than the disjunction
+    assert 0 < td.total_hits < s.doc_count
+
+
+def test_multiterm_leaf_and_atleast_end_to_end(iv_index):
+    s, _ = iv_index
+    q = iv.IntervalsSourceQuery(
+        iv.maxwidth(8, iv.unordered(iv.prefix("mer"), iv.term("join"))))
+    td = s.search(q, k=50, total_hits_threshold=2**31 - 1)
+    assert td.total_hits > 0
+    q2 = iv.IntervalsSourceQuery(
+        iv.at_least(2, iv.term("merge"), iv.term("join"), iv.term("sort")))
+    td2 = s.search(q2, k=50, total_hits_threshold=2**31 - 1)
+    base = s.search(iv.IntervalsSourceQuery(
+        iv.unordered(iv.term("merge"), iv.term("join"))), k=50,
+        total_hits_threshold=2**31 - 1)
+    assert td2.total_hits >= base.total_hits
