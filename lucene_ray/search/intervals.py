@@ -437,6 +437,24 @@ def fuzzy_term(t: str, max_edits: int = 2,
     return MultiTerm(FuzzyQuery(t, max_edits=max_edits), max_expansions)
 
 
+def analyzed_text(text: str, max_gaps: int = 0,
+                  ordered_: bool = True) -> IntervalsSource:
+    """`Intervals.analyzedText` (`Intervals.java:518-545` →
+    `IntervalBuilder.analyzeText`): analyze the string and combine the
+    tokens as a maxgaps-filtered ordered (or unordered) source; a single
+    token is a plain term source."""
+    from ..analysis.standard import analyze
+
+    toks = analyze(text)
+    if not toks:
+        return Or(())
+    if len(toks) == 1:
+        return Term(toks[0])
+    combined = Combine("ordered" if ordered_ else "unordered",
+                       tuple(Term(t) for t in toks))
+    return maxgaps(max_gaps, combined) if max_gaps >= 0 else combined
+
+
 # ---- query + per-shard execution ----
 
 

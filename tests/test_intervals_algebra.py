@@ -222,3 +222,13 @@ def test_multiterm_leaf_and_atleast_end_to_end(iv_index):
         iv.unordered(iv.term("merge"), iv.term("join"))), k=50,
         total_hits_threshold=2**31 - 1)
     assert td2.total_hits >= base.total_hits
+
+
+def test_analyzed_text():
+    src = iv.analyzed_text("Merge JOIN", max_gaps=0)
+    toks = "a merge join b merge x join".split()
+    # maxgaps=0 ordered = adjacent pair only
+    assert _engine(src, toks) == [(1, 2)]
+    assert iv.analyzed_text("merge") == iv.Term("merge")
+    assert _engine(iv.analyzed_text("merge join", max_gaps=1), toks) == \
+        [(1, 2), (4, 6)]
