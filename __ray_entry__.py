@@ -84,6 +84,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_distance_feature_topk": _lazy("index_distance_feature_topk"),
         "index_geo_distfeat_topk": _lazy("index_geo_distfeat_topk"),
         "index_facetset_counts": _lazy("index_facetset_counts"),
+        "index_function_range_topk": _lazy("index_function_range_topk"),
+        "index_intervals_algebra_count": _lazy("index_intervals_algebra_count"),
+        "facet_taxonomy_float_assoc": textstats.facet_taxonomy_float_assoc,
+        "repetition_stats": textstats.repetition_stats,
+        "string_value_facets": textstats.string_value_facets,
+        "range_on_range_facets": textstats.range_on_range_facets,
         "index_sorted_topk": _lazy("index_sorted_topk"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
         "index_charfilter_count": _lazy("index_charfilter_count"),
@@ -96,8 +102,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_mlt_topk": _lazy("index_mlt_topk"),
         "index_expr_topk": _lazy("index_expr_topk"),
         "index_fn_termstats_topk": _lazy("index_fn_termstats_topk"),
-        "index_function_range_topk": _lazy("index_function_range_topk"),
-        "index_intervals_algebra_count": _lazy("index_intervals_algebra_count"),
         "quality_eval": _lazy("quality_eval"),
         "index_expr_sorted_topk": _lazy("index_expr_sorted_topk"),
         # --- vector search as a first-class index query (round 3) ---
@@ -112,10 +116,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_ast": _percolate_ast,
         "classify_naive_bayes": _classify_nb,
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
-        "facet_taxonomy_float_assoc": textstats.facet_taxonomy_float_assoc,
-        "repetition_stats": textstats.repetition_stats,
-        "string_value_facets": textstats.string_value_facets,
-        "range_on_range_facets": textstats.range_on_range_facets,
         # --- family representatives (rest of each family after slot 50) ---
         "term_counts": textstats.term_counts,
         "dedup_exact": dedup.dedup_exact,
