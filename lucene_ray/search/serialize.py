@@ -8,8 +8,11 @@ wrapper for sequence fields.
 
 Not covered (documented): identity-built objects with internal state —
 TermAutomatonQuery (rebuild from its builder calls or
-token_stream_to_automaton_query) and KnnVectorQuery's ndarray vector
-(serialize the list form upstream if needed).
+token_stream_to_automaton_query), KnnVectorQuery's ndarray vector
+(serialize the list form upstream if needed), and FunctionMatchQuery
+(holds an arbitrary predicate callable).  The intervals algebra
+(`search/intervals.py`) and ValueSource family (`search/valuesource.py`)
+round-trip like every other dataclass tree.
 """
 
 from __future__ import annotations
@@ -20,9 +23,9 @@ import json
 
 def _registry() -> dict:
     reg = {}
-    from . import geo, query, spans, xy
+    from . import geo, intervals, query, spans, valuesource, xy
 
-    for mod in (query, spans, geo, xy):
+    for mod in (query, spans, geo, xy, intervals, valuesource):
         for name in dir(mod):
             obj = getattr(mod, name)
             if isinstance(obj, type) and dataclasses.is_dataclass(obj):

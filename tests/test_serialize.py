@@ -98,3 +98,24 @@ def test_monitor_register_and_delete(ray_session):
     m.delete_by_id("q-a")
     d2, q2 = m.match_batch(ids, texts)
     assert sorted(zip(d2, m.query_ids[q2])) == [(0, "q-b")]
+
+
+def test_intervals_and_valuesource_round_trip():
+    from lucene_ray.search import intervals as iv
+    from lucene_ray.search.serialize import query_from_dict, query_to_dict
+    from lucene_ray.search.valuesource import (
+        FieldSource,
+        FunctionQuery,
+        FunctionRangeQuery,
+        LinearFloatFunction,
+    )
+
+    q1 = iv.IntervalsSourceQuery(
+        iv.maxgaps(2, iv.ordered(iv.term("merge"),
+                                 iv.or_(iv.term("join"), iv.prefix("sor")))))
+    assert query_from_dict(query_to_dict(q1)) == q1
+    q2 = FunctionRangeQuery(LinearFloatFunction(FieldSource("turn_idx"),
+                                                2.0, 1.0), lo=5, hi=9)
+    assert query_from_dict(query_to_dict(q2)) == q2
+    q3 = FunctionQuery(FieldSource("ts"), boost=3.0)
+    assert query_from_dict(query_to_dict(q3)) == q3
