@@ -89,6 +89,33 @@ class Term(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class PayloadFilteredTerm(IntervalsSource):
+    """`Intervals.term(term, payloadFilter)`
+    (`PayloadFilteredTermIntervalsSource.java`): term positions kept only
+    where the predicate accepts the occurrence's payload.  The predicate
+    receives (values float32[n], found bool[n]) from the payload sidecar —
+    missing payloads carry the FLOAT_DECODER null value 1.0 with
+    found=False, so filters can treat absence explicitly.  Not
+    JSON-serializable (callable), like FunctionMatchQuery."""
+    term: str
+    predicate: object
+
+    def doc_intervals(self, ctx):
+        pos = ctx.get(self.term)
+        if pos is None or len(pos) == 0:
+            return []
+        rdr = ctx.get("\x00rdr")
+        d = ctx.get("\x00doc")
+        vals, found = rdr.payload_lookup(
+            np.full(len(pos), d, dtype=np.int64), pos)
+        keep = np.asarray(self.predicate(vals, found), dtype=bool)
+        return [(int(p), int(p)) for p in pos[keep]]
+
+    def min_extent(self):
+        return 1
+
+
+@dataclass(frozen=True)
 class MultiTerm(IntervalsSource):
     """Prefix / wildcard / fuzzy leaf: expanded per shard at execution into
     an OR of term leaves, capped at max_expansions
@@ -475,6 +502,8 @@ def normalize_terms(src, fn):
     (shared Analyzer contract with the rest of the query surface)."""
     if isinstance(src, Term):
         return Term(fn(src.term))
+    if isinstance(src, PayloadFilteredTerm):
+        return PayloadFilteredTerm(fn(src.term), src.predicate)
     if isinstance(src, MultiTerm):
         return src
     if isinstance(src, Combine):
@@ -503,7 +532,7 @@ def _resolve_multiterm(searcher, rdr, src):
     if isinstance(src, MultiTerm):
         terms_ = searcher._expand_shard(rdr, src.query)[:src.max_expansions]
         return Or(tuple(Term(t) for t in terms_)) if terms_ else Or(())
-    if isinstance(src, Term):
+    if isinstance(src, (Term, PayloadFilteredTerm)):
         return src
     if isinstance(src, Combine):
         return Combine(src.kind, tuple(
@@ -534,7 +563,7 @@ def _candidate_docs(rdr, src):
     """Doc-set algebra for candidates: which docs can possibly produce an
     interval.  Conjunctions intersect, disjunctions union, relations follow
     their source side (the reference side only filters)."""
-    if isinstance(src, Term):
+    if isinstance(src, (Term, PayloadFilteredTerm)):
         tid = rdr.seek_exact(src.term)
         if tid < 0:
             return np.zeros(0, np.int64)
@@ -568,7 +597,7 @@ def _candidate_docs(rdr, src):
 
 
 def _collect_terms(src, out):
-    if isinstance(src, Term):
+    if isinstance(src, (Term, PayloadFilteredTerm)):
         out.add(src.term)
     elif isinstance(src, (Combine, Or, AtLeast)):
         for s in src.subs:
@@ -602,7 +631,7 @@ def search_shard_intervals(searcher, rdr, query, k: int, after_=None):
     me = src.min_extent()
     out_docs, out_scores = [], []
     for d in cand:
-        ctx = {}
+        ctx = {"\x00rdr": rdr, "\x00doc": int(d)}
         for t, (docs, pos, pb) in plists.items():
             j = int(np.searchsorted(docs, d))
             if j < len(docs) and docs[j] == d:

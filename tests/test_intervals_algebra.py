@@ -232,3 +232,45 @@ def test_analyzed_text():
     assert iv.analyzed_text("merge") == iv.Term("merge")
     assert _engine(iv.analyzed_text("merge join", max_gaps=1), toks) == \
         [(1, 2), (4, 6)]
+
+
+def test_payload_filtered_term(ray_session, tmp_path_factory):
+    """Intervals.term(term, payloadFilter)
+    (PayloadFilteredTermIntervalsSource): only occurrences whose payload
+    passes the predicate produce intervals — verified against a
+    per-document recount from the source corpus."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    texts, parsed = [], []
+    for i in range(120):
+        toks, doc = [], []
+        for _ in range(int(rng.integers(2, 10))):
+            w = ["alpha", "beta", "gamma"][int(rng.integers(0, 3))]
+            if rng.random() < 0.6:
+                p = float(np.float32(round(float(rng.uniform(0, 4)), 2)))
+                toks.append(f"{w}|{p}")
+                doc.append((w, p))
+            else:
+                toks.append(w)
+                doc.append((w, None))
+        texts.append(" ".join(toks))
+        parsed.append(doc)
+    rows = pa.table({
+        "conv_id": pa.array([f"conv-{i:08d}" for i in range(120)]),
+        "turn_idx": pa.array([0] * 120, type=pa.int32()),
+        "text": pa.array(texts)})
+    d = str(tmp_path_factory.mktemp("ivpay"))
+    build_index(rd.from_arrow(rows), d, target_docs_per_partition=50,
+                token_filters=("tokenizer:whitespace", "delimited_payload:|"),
+                input_desc="ivpay")
+    s = IndexSearcher(d)
+    src = iv.PayloadFilteredTerm(
+        "alpha", lambda vals, found: found & (vals >= 2.0))
+    td = s.search(iv.IntervalsSourceQuery(src), k=500,
+                  total_hits_threshold=2**31 - 1)
+    want = {i for i, doc in enumerate(parsed)
+            if any(w == "alpha" and p is not None and np.float32(p) >= 2.0
+                   for w, p in doc)}
+    assert {h.gid for h in td.hits} == want
+    assert td.total_hits == len(want)
