@@ -368,9 +368,14 @@ class DFRSimilarity:
              score = (B - (B-A)/(1+tfn))*ae
     after effects (`AfterEffectL/B.java` scoreTimes1pTfn):
       L: 1.0        B: (F+2)/(n+1)   [Java: F'=ttf+1, n'=df+1 -> (F'+1)/n']
-    normalizations (`NormalizationH1/H2.java`):
+    normalizations (`NormalizationH1/H2/H3/Z.java`):
       H1: tfn = tf * c * avgfl/dl     H2: tfn = tf * log2(1 + c*avgfl/dl)
+      H3: tfn = (tf + mu*((F+1)/(T+1))) / (dl + mu) * mu  (mu default 800,
+          Dirichlet priors; T = sumTotalTermFreq)
+      Z:  tfn = tf * (avgfl/dl)^z  (Pareto-Zipf, z default 0.30)
       none: tfn = tf
+    The `c` parameter doubles as mu for H3 and z for Z (each
+    normalization's single knob, like the reference constructors).
     """
 
     def __init__(self, basic_model: str = "I(n)", after_effect: str = "L",
@@ -379,7 +384,7 @@ class DFRSimilarity:
             raise ValueError(f"unknown basic model {basic_model!r}")
         if after_effect not in ("L", "B"):
             raise ValueError(f"unknown after effect {after_effect!r}")
-        if normalization not in ("H1", "H2", "none"):
+        if normalization not in ("H1", "H2", "H3", "Z", "none"):
             raise ValueError(f"unknown normalization {normalization!r}")
         self.basic_model = basic_model
         self.after_effect = after_effect
@@ -389,12 +394,19 @@ class DFRSimilarity:
     def idf(self, doc_freq: int, doc_count: int) -> np.float32:
         return np.float32(1.0)
 
-    def _tfn(self, avgfl: float):
+    def _tfn(self, avgfl: float, F: float = 0.0, T: float = 0.0):
         c = self.c
         if self.normalization == "H1":
             return lambda f, dl: f * c * (avgfl / dl)
         if self.normalization == "H2":
             return lambda f, dl: f * _log2(1.0 + c * avgfl / dl)
+        if self.normalization == "H3":
+            mu = c if c != 1.0 else 800.0
+            return lambda f, dl: (f + mu * ((F + 1.0) / (T + 1.0))) \
+                / (dl + mu) * mu
+        if self.normalization == "Z":
+            z = c if c != 1.0 else 0.30
+            return lambda f, dl: f * np.power(avgfl / dl, z)
         return lambda f, dl: f
 
     def scorer(self, boost: float, doc_count: int, sum_ttf: int, doc_freq: int,
@@ -404,7 +416,7 @@ class DFRSimilarity:
         F = float(ttf if ttf is not None else doc_freq)
         avgfl = sum_ttf / max(N, 1.0)
         ae = 1.0 if self.after_effect == "L" else (F + 2.0) / (n + 1.0)
-        tfn = self._tfn(avgfl)
+        tfn = self._tfn(avgfl, F, float(sum_ttf))
         bm = self.basic_model
         if bm == "I(n)":
             A = _log2((N + 1.0) / (n + 0.5))
@@ -440,7 +452,7 @@ class IBSimilarity:
            nextUp/nextDown guards against pow collapsing to lam]
     lambdas (`LambdaDF/LambdaTTF.java`, float math then nextDown at 1):
       DF:  (n+1)/(N+1)        TTF: (F+1)/(N+1)
-    normalizations: H1 / H2 / none as in DFR.
+    normalizations: H1 / H2 / H3 / Z / none as in DFR.
     """
 
     def __init__(self, distribution: str = "SPL", lambda_: str = "DF",
@@ -449,7 +461,7 @@ class IBSimilarity:
             raise ValueError(f"unknown distribution {distribution!r}")
         if lambda_ not in ("DF", "TTF"):
             raise ValueError(f"unknown lambda {lambda_!r}")
-        if normalization not in ("H1", "H2", "none"):
+        if normalization not in ("H1", "H2", "H3", "Z", "none"):
             raise ValueError(f"unknown normalization {normalization!r}")
         self.distribution = distribution
         self.lambda_ = lambda_
@@ -470,10 +482,18 @@ class IBSimilarity:
         lam = float(lam)
         c = self.c
         avgfl = sum_ttf / max(N, 1.0)
+        F_ = float(ttf if ttf is not None else doc_freq)
         if self.normalization == "H1":
             tfn = lambda f, dl: f * c * (avgfl / dl)
         elif self.normalization == "H2":
             tfn = lambda f, dl: f * _log2(1.0 + c * avgfl / dl)
+        elif self.normalization == "H3":
+            mu = c if c != 1.0 else 800.0
+            tfn = lambda f, dl: (f + mu * ((F_ + 1.0) / (float(sum_ttf) + 1.0))) \
+                / (dl + mu) * mu
+        elif self.normalization == "Z":
+            z = c if c != 1.0 else 0.30
+            tfn = lambda f, dl: f * np.power(avgfl / dl, z)
         else:
             tfn = lambda f, dl: f
         b = float(boost)

@@ -114,17 +114,23 @@ def _corpus_stats(tokens, term):
     return N, df, ttf, sum_ttf
 
 
-def _tfn(norm_kind, c, f, dl, avgfl):
+def _tfn(norm_kind, c, f, dl, avgfl, ttf=0.0, sum_ttf=0.0):
     if norm_kind == "H1":
         return f * c * (avgfl / dl)
     if norm_kind == "H2":
         return f * _lg2(1 + c * avgfl / dl)
+    if norm_kind == "H3":
+        mu = 800.0
+        return (f + mu * ((ttf + 1.0) / (sum_ttf + 1.0))) / (dl + mu) * mu
+    if norm_kind == "Z":
+        return f * (avgfl / dl) ** 0.30
     return f
 
 
 @pytest.mark.parametrize("bm,ae,nz", [
     ("I(n)", "L", "H2"), ("I(F)", "B", "H1"),
     ("I(ne)", "B", "H2"), ("G", "L", "H1"),
+    ("I(n)", "L", "H3"), ("I(F)", "B", "Z"),
 ])
 def test_dfr_oracle(sim_index, bm, ae, nz):
     d, tokens = sim_index
@@ -139,7 +145,7 @@ def test_dfr_oracle(sim_index, bm, ae, nz):
         for h in td.hits[:6]:
             f = tokens[h.gid].count(term)
             dl = _decoded_dl(tokens, h.gid)
-            t = _tfn(nz, 1.0, f, dl, avgfl)
+            t = _tfn(nz, 1.0, f, dl, avgfl, ttf, sum_ttf)
             if bm == "I(n)":
                 A = _lg2((N + 1) / (df + 0.5))
                 exp = A * aev * (1 - 1 / (1 + t))
@@ -161,6 +167,7 @@ def test_dfr_oracle(sim_index, bm, ae, nz):
 @pytest.mark.parametrize("dist,lam_k,nz", [
     ("LL", "DF", "H1"), ("LL", "TTF", "H2"),
     ("SPL", "DF", "H2"), ("SPL", "TTF", "H1"),
+    ("LL", "DF", "H3"), ("SPL", "DF", "Z"),
 ])
 def test_ib_oracle(sim_index, dist, lam_k, nz):
     d, tokens = sim_index
@@ -176,7 +183,7 @@ def test_ib_oracle(sim_index, dist, lam_k, nz):
         for h in td.hits[:6]:
             f = tokens[h.gid].count(term)
             dl = _decoded_dl(tokens, h.gid)
-            t = _tfn(nz, 1.0, f, dl, avgfl)
+            t = _tfn(nz, 1.0, f, dl, avgfl, ttf, sum_ttf)
             if dist == "LL":
                 exp = -math.log(lam / (t + lam))
             else:
