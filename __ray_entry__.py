@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_intervals_algebra_count": _lazy("index_intervals_algebra_count"),
         "facet_taxonomy_float_assoc": textstats.facet_taxonomy_float_assoc,
         "repetition_stats": textstats.repetition_stats,
+        "curation_pipeline": _curation_pipeline,
         "string_value_facets": textstats.string_value_facets,
         "range_on_range_facets": textstats.range_on_range_facets,
         "index_sorted_topk": _lazy("index_sorted_topk"),
@@ -221,6 +222,18 @@ def _classify_perceptron(sf_dir):
     from lucene_ray.pipelines.classify import classify_perceptron
 
     return classify_perceptron(sf_dir)
+
+
+def _curation_pipeline(sf_dir):
+    from lucene_ray.pipelines.curation import curate_corpus
+
+    return curate_corpus(sf_dir)
+
+
+def _curation_sql():
+    from lucene_ray.pipelines.curation import curation_oracle_sql
+
+    return curation_oracle_sql()
 
 
 def _lazy(name):
@@ -1400,6 +1413,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate_ast": _TOKS + " " + _percolate_ast_sql(),
         "percolate_tree": _TOKS + " " + _percolate_tree_sql(),
         "lm_doc_scores": _lm_scores_sql(),
+        "curation_pipeline": _curation_sql(),
         "suggest_freetext": _suggest_freetext_sql(),
         "suggest_wfst": _TOKS + """
             , tc AS (SELECT term, count(*)::BIGINT AS c FROM tokens GROUP BY term)

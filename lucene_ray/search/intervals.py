@@ -610,6 +610,11 @@ def _collect_terms(src, out):
 
 
 def search_shard_intervals(searcher, rdr, query, k: int, after_=None):
+    """Scale note: work is candidate-bounded (docs satisfying the source's
+    postings algebra), matching the execution shape of the phrase/interval
+    matchers — the reference's IntervalIterator is likewise doc-at-a-time.
+    Shards execute independently, so the actor pool parallelizes this
+    per-shard loop across the cluster."""
     from .searcher import RELATION_EQ
 
     src = _resolve_multiterm(searcher, rdr, query.source)
