@@ -1155,8 +1155,12 @@ class IndexSearcher:
                     return {"scoring": [], "filters": ["\x00missing\x00"], "must_nots": [],
                             "msm": 0, "n_required": 1, "match_all": False}
                 if df > 0:
-                    scorer = self.sim.scorer(c.query.boost, self.doc_count,
-                                             self.sum_ttf, df, ttf=self.ttf(t))
+                    # PerFieldSimilarityWrapper: keyword-namespace terms
+                    # resolve their field's similarity
+                    sim = self.sim.for_key(t) \
+                        if hasattr(self.sim, "for_key") else self.sim
+                    scorer = sim.scorer(c.query.boost, self.doc_count,
+                                        self.sum_ttf, df, ttf=self.ttf(t))
                     scoring.append((t, scorer, c.occur))
                     if c.occur == MUST:
                         n_required += 1

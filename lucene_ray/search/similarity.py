@@ -670,3 +670,30 @@ def _takes_ttf(sim) -> bool:
         return "ttf" in inspect.signature(sim.scorer).parameters
     except (TypeError, ValueError):
         return False
+
+
+class PerFieldSimilarity:
+    """Per-field Similarity selection
+    (`search/similarities/PerFieldSimilarityWrapper.java`: `get(field)`
+    returns the Similarity used for one field's SimScorer).  Our index has
+    one analyzed field plus keyword namespaces, so field resolution happens
+    from the term key at compile time (`field\\x1fvalue` keys name their
+    field; plain keys are the text field); every non-term query shape is
+    text-field by construction and uses the text similarity, to which all
+    other attribute lookups delegate."""
+
+    def __init__(self, per_field: dict, default=None):
+        self.per_field = dict(per_field)
+        self.default = default if default is not None else BM25Similarity()
+
+    def get(self, field: str):
+        return self.per_field.get(field, self.default)
+
+    def for_key(self, term_key: str):
+        sep = "\x1f"
+        field = term_key.split(sep, 1)[0] if sep in term_key else "text"
+        return self.get(field)
+
+    def __getattr__(self, name):
+        # delegate scorer/scorer_with_idf/idf/wand_safe/... to the text sim
+        return getattr(self.get("text"), name)

@@ -381,3 +381,48 @@ def test_sweetspot_baseline_tf(sim_index):
     assert got[1] == pytest.approx(1.5)            # freq <= min -> base
     assert got[2] == pytest.approx(1.5)
     assert got[3] == pytest.approx(np.sqrt(5 + 1.5 ** 2 - 2.0), rel=1e-6)
+
+
+def test_per_field_similarity_wrapper(ray_session, tmp_path_factory):
+    """PerFieldSimilarityWrapper (`PerFieldSimilarityWrapper.java`): a
+    keyword field scored with BooleanSimilarity while the text field keeps
+    BM25 — each clause's score matches the single-similarity searcher's
+    score for that clause alone."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.shard import keyword_term
+    from lucene_ray.search.query import BooleanClause, BooleanQuery, TermQuery
+    from lucene_ray.search.similarity import (
+        BM25Similarity,
+        BooleanSimilarity,
+        PerFieldSimilarity,
+    )
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(600, seed=3)
+    d = str(tmp_path_factory.mktemp("pfs"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300,
+                keyword_cols=("role",), input_desc="pfs600")
+    pf = PerFieldSimilarity({"role": BooleanSimilarity()},
+                            default=BM25Similarity())
+    s = IndexSearcher(d, similarity=pf)
+    rk = keyword_term("role", "user")
+    q = BooleanQuery((BooleanClause(TermQuery("merge"), "SHOULD"),
+                      BooleanClause(TermQuery(rk, boost=2.5), "SHOULD")))
+    td = s.search(q, k=400, total_hits_threshold=2**31 - 1)
+    # reference scorers: text clause under plain BM25, role clause Boolean
+    bm = IndexSearcher(d, similarity=BM25Similarity())
+    t_merge = {h.gid: h.score for h in bm.search(
+        TermQuery("merge"), k=10**6, total_hits_threshold=2**31 - 1).hits}
+    role_docs = {h.gid for h in bm.search(
+        BooleanQuery((BooleanClause(TermQuery(rk), "FILTER"),)),
+        k=10**6, total_hits_threshold=2**31 - 1).hits}
+    import numpy as np
+    for h in td.hits[:60]:
+        want = np.float32(0.0)
+        if h.gid in t_merge:
+            want = want + np.float32(t_merge[h.gid])
+        if h.gid in role_docs:
+            want = want + np.float32(2.5)      # Boolean score = boost
+        assert h.score == pytest.approx(float(want), rel=1e-6), h.gid
