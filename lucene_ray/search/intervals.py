@@ -609,15 +609,113 @@ def _collect_terms(src, out):
         _collect_terms(src.reference, out)
 
 
+def _gather_positions(rdr, tid, cand):
+    """Flat positions of one term restricted to the candidate docs:
+    (positions int64[n], doc_index int64[n] into cand)."""
+    docs, freqs = rdr.postings(tid)
+    pos = rdr.positions(tid, freqs)
+    pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+    idx = np.searchsorted(docs, cand)
+    starts, ends = pb[idx], pb[idx + 1]
+    counts = (ends - starts).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    flat_idx = (np.arange(offsets[-1], dtype=np.int64)
+                - np.repeat(offsets[:-1], counts)
+                + np.repeat(starts, counts))
+    didx = np.repeat(np.arange(len(cand), dtype=np.int64), counts)
+    return pos[flat_idx].astype(np.int64), didx
+
+
+def _fast_ordered_pair(searcher, rdr, query, src, k, after_):
+    """Vectorized execution for ordered(term, term), optionally wrapped in
+    one maxgaps/maxwidth filter — the dominant interval shape.  Minimal
+    intervals of an ordered pair are exactly {(a, b): a = closest 'a'
+    before b AND b = closest 'b' after a}, computed with two searchsorted
+    passes over (doc, position) composite keys; per-doc freqs come from one
+    segmented np.add.at.  Returns None when any term is absent from the
+    shard (no matches)."""
+    from .searcher import RELATION_EQ
+
+    filt = src if isinstance(src, Filtered) else None
+    inner = src.source if filt is not None else src
+    ta, tb = inner.subs
+    tid_a = rdr.seek_exact(ta.term)
+    tid_b = rdr.seek_exact(tb.term)
+    empty = (np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ)
+    if tid_a < 0 or tid_b < 0:
+        return empty
+    docs_a = rdr.postings(tid_a)[0]
+    docs_b = rdr.postings(tid_b)[0]
+    cand = np.intersect1d(docs_a, docs_b, assume_unique=True)
+    if rdr.deleted is not None and len(cand):
+        cand = cand[~rdr.deleted[cand]]
+    if len(cand) == 0:
+        return empty
+    pa_, da = _gather_positions(rdr, tid_a, cand)
+    pb_, db = _gather_positions(rdr, tid_b, cand)
+    ka = (da << np.int64(32)) | pa_
+    kb = (db << np.int64(32)) | pb_
+    j = np.searchsorted(ka, kb, side="left") - 1
+    valid = (j >= 0)
+    valid &= np.where(valid, da[np.maximum(j, 0)] == db, False)
+    if not valid.any():
+        return empty
+    jv = j[valid]
+    # closest-following-b per a: first (smallest-b) occurrence of each a
+    _, first = np.unique(jv, return_index=True)
+    a_pos = pa_[jv[first]]
+    b_pos = pb_[valid][first]
+    doc_i = db[valid][first]
+    w = b_pos - a_pos + 1
+    me = src.min_extent()
+    keep = np.ones(len(w), dtype=bool)
+    if filt is not None:
+        if filt.kind == "maxwidth":
+            keep = w <= filt.limit
+        else:                           # maxgaps
+            keep = (w - inner.min_extent()) <= filt.limit
+    contrib = (1.0 / np.maximum(w[keep] - me + 1, 1)).astype(np.float32)
+    freq = np.zeros(len(cand), dtype=np.float32)
+    np.add.at(freq, doc_i[keep], contrib)
+    matched = freq > 0
+    f = freq[matched]
+    if query.exp == 1.0:
+        sc = np.float32(query.boost) * f / (f + np.float32(query.pivot))
+    else:
+        fa = f ** np.float32(query.exp)
+        pv = np.float32(query.pivot) ** np.float32(query.exp)
+        sc = np.float32(query.boost) * fa / (fa + pv)
+    cand_out = cand[matched].astype(np.int32)
+    sc = sc.astype(np.float32)
+    total = int(len(cand_out))
+    if after_ is not None:
+        a_s, a_d = np.float32(after_[0]), after_[1]
+        keep2 = (sc < a_s) | ((sc == a_s) & (cand_out.astype(np.int64) > a_d))
+        cand_out, sc = cand_out[keep2], sc[keep2]
+    order = np.lexsort((cand_out, -sc))[:k]
+    return sc[order], cand_out[order], total, RELATION_EQ
+
+
+def _is_ordered_pair(src) -> bool:
+    inner = src.source if isinstance(src, Filtered) else src
+    return (isinstance(inner, Combine) and inner.kind == "ordered"
+            and len(inner.subs) == 2
+            and all(type(s) is Term for s in inner.subs))
+
+
 def search_shard_intervals(searcher, rdr, query, k: int, after_=None):
     """Scale note: work is candidate-bounded (docs satisfying the source's
     postings algebra), matching the execution shape of the phrase/interval
     matchers — the reference's IntervalIterator is likewise doc-at-a-time.
     Shards execute independently, so the actor pool parallelizes this
-    per-shard loop across the cluster."""
+    per-shard loop across the cluster.  The dominant shape — an ordered
+    pair of plain terms, optionally maxgaps/maxwidth-filtered — takes a
+    fully vectorized path instead of the per-doc tree walk."""
     from .searcher import RELATION_EQ
 
     src = _resolve_multiterm(searcher, rdr, query.source)
+    if _is_ordered_pair(src):
+        return _fast_ordered_pair(searcher, rdr, query, src, k, after_)
     cand = _candidate_docs(rdr, src)
     if rdr.deleted is not None and len(cand):
         cand = cand[~rdr.deleted[cand]]

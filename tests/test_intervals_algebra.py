@@ -274,3 +274,27 @@ def test_payload_filtered_term(ray_session, tmp_path_factory):
                    for w, p in doc)}
     assert {h.gid for h in td.hits} == want
     assert td.total_hits == len(want)
+
+
+def test_fast_ordered_pair_parity(iv_index, monkeypatch):
+    """The vectorized ordered-pair path returns bit-identical results to
+    the generic per-doc tree walk (scores, docIDs, totals), with and
+    without a maxgaps/maxwidth wrapper."""
+    s, _ = iv_index
+    queries = [
+        iv.IntervalsSourceQuery(iv.ordered(iv.term("merge"), iv.term("join"))),
+        iv.IntervalsSourceQuery(
+            iv.maxgaps(3, iv.ordered(iv.term("merge"), iv.term("join")))),
+        iv.IntervalsSourceQuery(
+            iv.maxwidth(5, iv.ordered(iv.term("sort"), iv.term("data"))),
+            pivot=0.5, exp=2.0, boost=3.0),
+    ]
+    fast = [s.search(q, k=200, total_hits_threshold=2**31 - 1)
+            for q in queries]
+    monkeypatch.setattr(iv, "_is_ordered_pair", lambda src: False)
+    slow = [s.search(q, k=200, total_hits_threshold=2**31 - 1)
+            for q in queries]
+    for a, b in zip(fast, slow):
+        assert a.total_hits == b.total_hits
+        assert [(h.gid, h.score) for h in a.hits] == \
+            [(h.gid, h.score) for h in b.hits]
