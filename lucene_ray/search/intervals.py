@@ -696,6 +696,78 @@ def _fast_ordered_pair(searcher, rdr, query, src, k, after_):
     return sc[order], cand_out[order], total, RELATION_EQ
 
 
+def _is_within_pair(src) -> bool:
+    """within(term, n, term) after composition: contained_by(Term,
+    Extend(Term, n, n)) with symmetric extension."""
+    return (isinstance(src, Relate) and src.kind == "contained_by"
+            and type(src.source) is Term
+            and isinstance(src.reference, Extend)
+            and type(src.reference.source) is Term
+            and src.reference.before == src.reference.after
+            and src.reference.before < MAX_POS)
+
+
+def _fast_within_pair(searcher, rdr, query, src, k, after_):
+    """Vectorized within(term, n, term): an 'a' position matches iff some
+    'b' position lies within n (|a-b| <= n, same doc) — two searchsorted
+    probes (previous and next b) against composite (doc, pos) keys; each
+    kept a is a width-1 interval, so freq = per-doc kept count."""
+    from .searcher import RELATION_EQ
+
+    n = src.reference.before
+    ta, tb = src.source, src.reference.source
+    tid_a = rdr.seek_exact(ta.term)
+    tid_b = rdr.seek_exact(tb.term)
+    empty = (np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ)
+    if tid_a < 0 or tid_b < 0:
+        return empty
+    docs_a = rdr.postings(tid_a)[0]
+    docs_b = rdr.postings(tid_b)[0]
+    cand = np.intersect1d(docs_a, docs_b, assume_unique=True)
+    if rdr.deleted is not None and len(cand):
+        cand = cand[~rdr.deleted[cand]]
+    if len(cand) == 0:
+        return empty
+    pa_, da = _gather_positions(rdr, tid_a, cand)
+    pb_, db = _gather_positions(rdr, tid_b, cand)
+    ka = (da << np.int64(32)) | pa_
+    kb = (db << np.int64(32)) | pb_
+    j_next = np.searchsorted(kb, ka, side="left")
+    j_prev = j_next - 1
+    ok_next = j_next < len(kb)
+    ok_next &= np.where(ok_next, db[np.minimum(j_next, len(kb) - 1)] == da,
+                        False)
+    ok_next &= np.where(ok_next,
+                        pb_[np.minimum(j_next, len(kb) - 1)] - pa_ <= n,
+                        False)
+    ok_prev = j_prev >= 0
+    ok_prev &= np.where(ok_prev, db[np.maximum(j_prev, 0)] == da, False)
+    ok_prev &= np.where(ok_prev, pa_ - pb_[np.maximum(j_prev, 0)] <= n,
+                        False)
+    kept = ok_next | ok_prev
+    if not kept.any():
+        return empty
+    freq = np.zeros(len(cand), dtype=np.float32)
+    np.add.at(freq, da[kept], np.float32(1.0))     # width-1 intervals
+    matched = freq > 0
+    f = freq[matched]
+    if query.exp == 1.0:
+        sc = np.float32(query.boost) * f / (f + np.float32(query.pivot))
+    else:
+        fa = f ** np.float32(query.exp)
+        pv = np.float32(query.pivot) ** np.float32(query.exp)
+        sc = np.float32(query.boost) * fa / (fa + pv)
+    cand_out = cand[matched].astype(np.int32)
+    sc = sc.astype(np.float32)
+    total = int(len(cand_out))
+    if after_ is not None:
+        a_s, a_d = np.float32(after_[0]), after_[1]
+        keep2 = (sc < a_s) | ((sc == a_s) & (cand_out.astype(np.int64) > a_d))
+        cand_out, sc = cand_out[keep2], sc[keep2]
+    order = np.lexsort((cand_out, -sc))[:k]
+    return sc[order], cand_out[order], total, RELATION_EQ
+
+
 def _is_ordered_pair(src) -> bool:
     inner = src.source if isinstance(src, Filtered) else src
     return (isinstance(inner, Combine) and inner.kind == "ordered"
@@ -716,6 +788,8 @@ def search_shard_intervals(searcher, rdr, query, k: int, after_=None):
     src = _resolve_multiterm(searcher, rdr, query.source)
     if _is_ordered_pair(src):
         return _fast_ordered_pair(searcher, rdr, query, src, k, after_)
+    if _is_within_pair(src):
+        return _fast_within_pair(searcher, rdr, query, src, k, after_)
     cand = _candidate_docs(rdr, src)
     if rdr.deleted is not None and len(cand):
         cand = cand[~rdr.deleted[cand]]

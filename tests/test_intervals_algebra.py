@@ -298,3 +298,22 @@ def test_fast_ordered_pair_parity(iv_index, monkeypatch):
         assert a.total_hits == b.total_hits
         assert [(h.gid, h.score) for h in a.hits] == \
             [(h.gid, h.score) for h in b.hits]
+
+
+def test_fast_within_pair_parity(iv_index, monkeypatch):
+    s, _ = iv_index
+    queries = [
+        iv.IntervalsSourceQuery(iv.within(iv.term("merge"), 3,
+                                          iv.term("join"))),
+        iv.IntervalsSourceQuery(iv.within(iv.term("data"), 1,
+                                          iv.term("sort")), boost=2.0),
+    ]
+    fast = [s.search(q, k=200, total_hits_threshold=2**31 - 1)
+            for q in queries]
+    monkeypatch.setattr(iv, "_is_within_pair", lambda src: False)
+    slow = [s.search(q, k=200, total_hits_threshold=2**31 - 1)
+            for q in queries]
+    for a, b in zip(fast, slow):
+        assert a.total_hits == b.total_hits
+        assert [(h.gid, h.score) for h in a.hits] == \
+            [(h.gid, h.score) for h in b.hits]
