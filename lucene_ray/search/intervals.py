@@ -616,7 +616,12 @@ def _gather_positions(rdr, tid, cand):
     pos = rdr.positions(tid, freqs)
     pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
     idx = np.searchsorted(docs, cand)
-    starts, ends = pb[idx], pb[idx + 1]
+    found = (idx < len(docs))
+    found &= np.where(found, docs[np.minimum(idx, len(docs) - 1)] == cand,
+                      False)
+    idx = np.minimum(idx, len(docs) - 1)
+    starts = np.where(found, pb[idx], 0)
+    ends = np.where(found, pb[idx + 1], 0)
     counts = (ends - starts).astype(np.int64)
     offsets = np.concatenate(([0], np.cumsum(counts)))
     flat_idx = (np.arange(offsets[-1], dtype=np.int64)
@@ -768,6 +773,150 @@ def _fast_within_pair(searcher, rdr, query, src, k, after_):
     return sc[order], cand_out[order], total, RELATION_EQ
 
 
+def _minimal_mask_vec(doc: np.ndarray, s: np.ndarray, e: np.ndarray):
+    """Vectorized minimality filter over (doc, start, end) window arrays:
+    returns (order, keep) where windows[order][keep] are the minimal
+    windows per doc in (doc, start) order — the array form of
+    `_minimalize` (sort by start asc / end desc, drop rows whose exclusive
+    same-doc suffix holds an end <= theirs; cross-doc leakage is impossible
+    because the composite doc*2^32+end keys of later docs are strictly
+    larger)."""
+    order = np.lexsort((-e, s, doc))
+    d, ee = doc[order], e[order]
+    K = np.int64(1) << 32
+    ep = d * K + ee
+    rev = ep[::-1]
+    acc = np.minimum.accumulate(rev)
+    cm_excl = np.empty_like(ep)
+    cm_excl[-1] = np.iinfo(np.int64).max
+    if len(ep) > 1:
+        cm_excl[:-1] = acc[:-1][::-1]
+    keep = ep < cm_excl
+    return order, keep
+
+
+def _pair_windows(pa_, da, pb_, db):
+    """Candidate minimal unordered windows of two position streams: every
+    minimal window holds exactly one a and one b, so pairing each a with
+    its nearest b on each side (same doc) covers the minimal set."""
+    K = np.int64(1) << 32
+    ka = (da << np.int64(32)) | pa_
+    kb = (db << np.int64(32)) | pb_
+    jn = np.searchsorted(kb, ka, side="left")
+    jp = jn - 1
+    docs, ss, ee = [], [], []
+    okn = jn < len(kb)
+    okn &= np.where(okn, db[np.minimum(jn, len(kb) - 1)] == da, False)
+    if okn.any():
+        bn = pb_[jn[okn]]
+        an = pa_[okn]
+        docs.append(da[okn])
+        ss.append(np.minimum(an, bn))
+        ee.append(np.maximum(an, bn))
+    okp = jp >= 0
+    okp &= np.where(okp, db[np.maximum(jp, 0)] == da, False)
+    if okp.any():
+        bp = pb_[jp[okp]]
+        ap = pa_[okp]
+        docs.append(da[okp])
+        ss.append(np.minimum(ap, bp))
+        ee.append(np.maximum(ap, bp))
+    if not docs:
+        return (np.zeros(0, np.int64),) * 3
+    return (np.concatenate(docs), np.concatenate(ss), np.concatenate(ee))
+
+
+def _is_atleast2_terms(src) -> bool:
+    return (isinstance(src, AtLeast) and src.n == 2
+            and all(type(s) is Term for s in src.subs)) or \
+        (isinstance(src, Combine) and src.kind == "unordered"
+         and len(src.subs) == 2
+         and all(type(s) is Term for s in src.subs))
+
+
+def _fast_atleast2(searcher, rdr, query, src, k, after_):
+    """Vectorized atLeast(2, terms...) / unordered(term, term): union of
+    pairwise nearest-neighbor windows over all source pairs, one vectorized
+    minimality pass, segmented freq."""
+    from itertools import combinations
+
+    from .searcher import RELATION_EQ
+
+    subs = src.subs
+    empty = (np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ)
+    streams = []
+    for t in subs:
+        tid = rdr.seek_exact(t.term)
+        streams.append(tid if tid >= 0 else -1)
+    present = [i for i, tid in enumerate(streams) if tid >= 0]
+    if isinstance(src, Combine):
+        if len(present) < 2:
+            return empty
+        pairs = [(0, 1)]
+        cand = np.intersect1d(rdr.postings(streams[0])[0],
+                              rdr.postings(streams[1])[0],
+                              assume_unique=True)
+    else:
+        if len(present) < 2:
+            return empty
+        # candidates: docs holding >= 2 of the present terms
+        allv = np.concatenate([rdr.postings(streams[i])[0]
+                               for i in present])
+        uniq, cnt = np.unique(allv, return_counts=True)
+        cand = uniq[cnt >= 2]
+        pairs = list(combinations(present, 2))
+    if rdr.deleted is not None and len(cand):
+        cand = cand[~rdr.deleted[cand]]
+    if len(cand) == 0:
+        return empty
+    gathered = {}
+    for i in set(x for p in pairs for x in p):
+        gathered[i] = _gather_positions(rdr, streams[i], cand)
+    docs, ss, ee = [], [], []
+    for i, j in pairs:
+        pa_, da = gathered[i]
+        pb_, db = gathered[j]
+        d_, s_, e_ = _pair_windows(pa_, da, pb_, db)
+        if len(d_):
+            docs.append(d_)
+            ss.append(s_)
+            ee.append(e_)
+    if not docs:
+        return empty
+    doc = np.concatenate(docs)
+    s_ = np.concatenate(ss)
+    e_ = np.concatenate(ee)
+    order, keepm = _minimal_mask_vec(doc, s_, e_)
+    d2, s2, e2 = doc[order][keepm], s_[order][keepm], e_[order][keepm]
+    # duplicates across pairs survive _minimal_mask_vec once each run of
+    # identical windows keeps its last copy; dedup exact repeats
+    if len(d2) > 1:
+        same = np.r_[False, (d2[1:] == d2[:-1]) & (s2[1:] == s2[:-1])
+                     & (e2[1:] == e2[:-1])]
+        d2, s2, e2 = d2[~same], s2[~same], e2[~same]
+    me = src.min_extent()
+    contrib = (1.0 / np.maximum((e2 - s2 + 1) - me + 1, 1)).astype(np.float32)
+    freq = np.zeros(len(cand), dtype=np.float32)
+    np.add.at(freq, d2, contrib)
+    matched = freq > 0
+    f = freq[matched]
+    if query.exp == 1.0:
+        sc = np.float32(query.boost) * f / (f + np.float32(query.pivot))
+    else:
+        fa = f ** np.float32(query.exp)
+        pv = np.float32(query.pivot) ** np.float32(query.exp)
+        sc = np.float32(query.boost) * fa / (fa + pv)
+    cand_out = cand[matched].astype(np.int32)
+    sc = sc.astype(np.float32)
+    total = int(len(cand_out))
+    if after_ is not None:
+        a_s, a_d = np.float32(after_[0]), after_[1]
+        keep2 = (sc < a_s) | ((sc == a_s) & (cand_out.astype(np.int64) > a_d))
+        cand_out, sc = cand_out[keep2], sc[keep2]
+    order2 = np.lexsort((cand_out, -sc))[:k]
+    return sc[order2], cand_out[order2], total, RELATION_EQ
+
+
 def _is_ordered_pair(src) -> bool:
     inner = src.source if isinstance(src, Filtered) else src
     return (isinstance(inner, Combine) and inner.kind == "ordered"
@@ -790,6 +939,8 @@ def search_shard_intervals(searcher, rdr, query, k: int, after_=None):
         return _fast_ordered_pair(searcher, rdr, query, src, k, after_)
     if _is_within_pair(src):
         return _fast_within_pair(searcher, rdr, query, src, k, after_)
+    if _is_atleast2_terms(src):
+        return _fast_atleast2(searcher, rdr, query, src, k, after_)
     cand = _candidate_docs(rdr, src)
     if rdr.deleted is not None and len(cand):
         cand = cand[~rdr.deleted[cand]]

@@ -317,3 +317,27 @@ def test_fast_within_pair_parity(iv_index, monkeypatch):
         assert a.total_hits == b.total_hits
         assert [(h.gid, h.score) for h in a.hits] == \
             [(h.gid, h.score) for h in b.hits]
+
+
+def test_fast_atleast2_parity(iv_index, monkeypatch):
+    s, _ = iv_index
+    queries = [
+        iv.IntervalsSourceQuery(iv.at_least(2, iv.term("merge"),
+                                            iv.term("join"), iv.term("sort"))),
+        iv.IntervalsSourceQuery(iv.unordered(iv.term("merge"),
+                                             iv.term("join"))),
+        iv.IntervalsSourceQuery(iv.at_least(2, iv.term("data"),
+                                            iv.term("data"), iv.term("sort"))),
+        iv.IntervalsSourceQuery(iv.at_least(2, iv.term("merge"),
+                                            iv.term("zzznope"),
+                                            iv.term("join"))),
+    ]
+    fast = [s.search(q, k=300, total_hits_threshold=2**31 - 1)
+            for q in queries]
+    monkeypatch.setattr(iv, "_is_atleast2_terms", lambda src: False)
+    slow = [s.search(q, k=300, total_hits_threshold=2**31 - 1)
+            for q in queries]
+    for qi, (a, b) in enumerate(zip(fast, slow)):
+        assert a.total_hits == b.total_hits, qi
+        assert [(h.gid, h.score) for h in a.hits] == \
+            [(h.gid, h.score) for h in b.hits], qi
