@@ -3046,6 +3046,44 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
             doc = np.array(out_d, dtype=np.int64)
             pos = np.zeros(len(toks), dtype=np.int32)
             incr = np.ones(len(toks), dtype=bool)
+        elif spec == "concatenate_graph" or spec.startswith("concatenate_graph:"):
+            # ConcatenateGraphFilter (`analysis/miscellaneous/
+            # ConcatenateGraphFilter.java`): consume the whole stream per
+            # doc and emit ONE token — the terms joined in position order
+            # by SEP_LABEL (, preserveSep default true; a custom
+            # separator may be given as concatenate_graph:<sep>).  Our
+            # streams are flattened (overlays are posInc-0 synonyms), so
+            # one path — the original-token path, overlays excluded — is
+            # concatenated, matching the filter's use for completion keys.
+            sep_cg = spec.split(":", 1)[1] if ":" in spec else ""
+            base_m = incr                  # originals only (single path)
+            order_cg = np.lexsort((pos[base_m], doc[base_m]))
+            d_o = doc[base_m][order_cg]
+            t_o = toks[base_m][order_cg].astype(str)
+            grp = np.concatenate(([True], d_o[1:] != d_o[:-1])) \
+                if len(d_o) else np.zeros(0, bool)
+            gs = np.nonzero(grp)[0]
+            ge = np.concatenate((gs[1:], [len(d_o)]))
+            out_t = [sep_cg.join(t_o[s_i:e_i]) for s_i, e_i in zip(gs, ge)]
+            toks = np.array(out_t, dtype=object)
+            doc = d_o[gs] if len(d_o) else np.zeros(0, np.int64)
+            pos = np.zeros(len(toks), dtype=np.int32)
+            incr = np.ones(len(toks), dtype=bool)
+        elif spec == "type_as_synonym" or spec.startswith("type_as_synonym:"):
+            # TypeAsSynonymFilter (`analysis/miscellaneous/
+            # TypeAsSynonymFilter.java`): inject each token's type (the
+            # StandardTokenizer classification, e.g. <ALPHANUM>) as a
+            # posInc-0 synonym overlay, optionally prefixed
+            # (type_as_synonym:<prefix>)
+            from .standard import token_type as _tt
+
+            pref_tas = spec.split(":", 1)[1] if ":" in spec else ""
+            types_tas = np.array([pref_tas + _tt(str(w)) for w in toks],
+                                 dtype=object)
+            toks = np.concatenate((toks, types_tas))
+            doc = np.concatenate((doc, doc))
+            pos = np.concatenate((pos, pos))
+            incr = np.concatenate((incr, np.zeros(len(types_tas), bool)))
         elif spec.startswith("hunspell:"):
             # HunspellStemFilter (`analysis/hunspell/HunspellStemFilter.java`):
             # all unique affix-dictionary stems per token — the first stem

@@ -108,3 +108,43 @@ def test_tokenize_column_alt_parity():
         assert list(lens) == [len(p) for p in per_doc]
         assert [str(x) for x in flat.to_pylist()] == \
             [t for p in per_doc for t in p]
+
+
+def test_concatenate_graph_filter():
+    """ConcatenateGraphFilter (`analysis/miscellaneous/
+    ConcatenateGraphFilter.java`): whole stream → one token joined by
+    SEP_LABEL (U+001F) in position order; custom separator spec; overlays
+    (synonyms) excluded from the single concatenated path."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.filters import run_token_chain
+    from lucene_ray.analysis.standard import tokenize_column
+
+    lengths, flat = tokenize_column(
+        pa.array(["hello world 42", "one"], type=pa.string()))
+    out = run_token_chain(flat, lengths, ("concatenate_graph",))
+    sep = chr(0x1F)
+    assert out[0].to_pylist() == [f"hello{sep}world{sep}42", "one"]
+    out2 = run_token_chain(flat, lengths, ("concatenate_graph:-",))
+    assert out2[0].to_pylist() == ["hello-world-42", "one"]
+    # synonym overlays do not join the concatenated path
+    out3 = run_token_chain(flat, lengths,
+                           ("syn:world=globe", "concatenate_graph:-"))
+    assert out3[0].to_pylist() == ["hello-world-42", "one"]
+
+
+def test_type_as_synonym_filter():
+    """TypeAsSynonymFilter: token type injected as a posInc-0 overlay with
+    optional prefix; norms unaffected (overlays are overlaps)."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.filters import run_token_chain
+    from lucene_ray.analysis.standard import tokenize_column
+
+    lengths, flat = tokenize_column(
+        pa.array(["abc 42"], type=pa.string()))
+    toks, counts, pos, norms = run_token_chain(
+        flat, lengths, ("type_as_synonym:T",))
+    assert toks.to_pylist() == ["abc", "T<ALPHANUM>", "42", "T<NUM>"]
+    assert list(pos) == [0, 0, 1, 1]
+    assert list(norms) == [2]            # overlays discounted from norm
