@@ -101,14 +101,40 @@ def curate_corpus(sf_dir: str):
                                columns=("doc_id", "text", "lang"))
                .map_batches(_signals, batch_format="pyarrow")
                .map_batches(_quality_mask, batch_format="pyarrow"))
-    # exact dedup in ONE hash shuffle: min-doc_id row per content hash
-    # (groupby keys are content hashes — uniform, no salting needed)
-    def first_by_doc_id(group: pa.Table) -> pa.Table:
-        i = int(np.argmin(group.column("doc_id").to_numpy()))
-        return group.slice(i, 1)
 
-    survivors = (signals.groupby("text_md5")
-                 .map_groups(first_by_doc_id, batch_format="pyarrow"))
+    # exact dedup in ONE hash shuffle, fully vectorized: pack each row into
+    # a zero-padded-doc_id-prefixed string so the native Min aggregate
+    # selects the min-doc_id ROW per content hash (argmin-by-proxy — no
+    # per-group Python callback), then unpack.  Groupby keys are content
+    # hashes: uniform by construction, no salting needed.
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def pack(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        lang = t.column("lang").to_pylist()
+        nt = t.column("n_tokens").to_numpy()
+        dup = t.column("dup_word_frac").to_numpy()
+        rows = [f"{i:012d}|{lg}|{n}|{d:.6f}"
+                for i, lg, n, d in zip(ids, lang, nt, dup)]
+        return pa.table({"text_md5": t.column("text_md5"),
+                         "packed": pa.array(rows, pa.string())})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("packed"), "|")
+        lists = parts.to_pylist()
+        return pa.table({
+            "doc_id": pa.array([int(p[0]) for p in lists], pa.int64()),
+            "lang": pa.array([p[1] for p in lists], pa.string()),
+            "n_tokens": pa.array([int(p[2]) for p in lists], pa.int64()),
+            "dup_word_frac": pa.array([float(p[3]) for p in lists],
+                                      pa.float64()),
+        })
+
+    survivors = (signals.map_batches(pack, batch_format="pyarrow")
+                 .groupby("text_md5")
+                 .aggregate(Min("packed", alias_name="packed"))
+                 .map_batches(unpack, batch_format="pyarrow"))
     out = survivors.map_batches(_assign_split, batch_format="pyarrow")
     df = (out.select_columns(["doc_id", "lang", "split", "n_tokens",
                               "dup_word_frac"])
