@@ -3021,6 +3021,14 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
             rank[order_lm] = np.arange(len(d_o)) - np.repeat(gs, glen)
             kmask = rank < n_lim
             toks, doc, pos, incr = toks[kmask], doc[kmask], pos[kmask], incr[kmask]
+        elif spec.startswith("limit_pos:"):
+            # LimitTokenPositionFilter (`analysis/miscellaneous/
+            # LimitTokenPositionFilter.java`, consumeAllTokens): tokens
+            # whose POSITION exceeds maxTokenPosition are dropped
+            # (1-based in the reference; overlays at a kept position stay)
+            p_lim = int(spec.split(":")[1])
+            kmask = pos < p_lim
+            toks, doc, pos, incr = toks[kmask], doc[kmask], pos[kmask], incr[kmask]
         elif spec == "fingerprint":
             # FingerprintFilter (`analysis/miscellaneous/FingerprintFilter.java`):
             # consume the whole stream per doc and emit ONE token — the

@@ -148,3 +148,21 @@ def test_type_as_synonym_filter():
     assert toks.to_pylist() == ["abc", "T<ALPHANUM>", "42", "T<NUM>"]
     assert list(pos) == [0, 0, 1, 1]
     assert list(norms) == [2]            # overlays discounted from norm
+
+
+def test_limit_token_position_filter():
+    """LimitTokenPositionFilter: positions beyond the cap dropped; overlays
+    at kept positions survive."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.filters import run_token_chain
+    from lucene_ray.analysis.standard import tokenize_column
+
+    lengths, flat = tokenize_column(
+        pa.array(["a b c d e", "x y"], type=pa.string()))
+    toks, counts, pos, norms = run_token_chain(flat, lengths,
+                                               ("limit_pos:2",))
+    assert toks.to_pylist() == ["a", "b", "x", "y"]
+    toks2, *_ = run_token_chain(flat, lengths,
+                                ("syn:b=bee", "limit_pos:2"))
+    assert toks2.to_pylist() == ["a", "b", "bee", "x", "y"]
