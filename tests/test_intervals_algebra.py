@@ -341,3 +341,52 @@ def test_fast_atleast2_parity(iv_index, monkeypatch):
         assert a.total_hits == b.total_hits, qi
         assert [(h.gid, h.score) for h in a.hits] == \
             [(h.gid, h.score) for h in b.hits], qi
+
+
+def test_fast_paths_randomized_parity(ray_session, tmp_path_factory,
+                                      monkeypatch):
+    """Randomized shard-level parity: vectorized ordered/within/atLeast
+    paths vs the generic tree walk over a random small-vocab corpus
+    (absent terms, repeats, overlapping positions all exercised)."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(77)
+    texts = [" ".join(str(rng.choice(VOCAB + ["zz"]))
+                      for _ in range(int(rng.integers(1, 18))))
+             for _ in range(300)]
+    t = pa.table({"conv_id": pa.array([f"conv-{i:08d}" for i in range(300)]),
+                  "turn_idx": pa.array([0] * 300, type=pa.int32()),
+                  "text": pa.array(texts)})
+    d = str(tmp_path_factory.mktemp("ivfuzz"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=120,
+                input_desc="ivfuzz300")
+    s = IndexSearcher(d)
+    qs = []
+    for _ in range(40):
+        a, b, c = (str(rng.choice(VOCAB + ["zz", "qq"])) for _ in range(3))
+        kind = rng.choice(["ordered", "within", "atleast", "unordered",
+                           "ordered_mg", "ordered_mw"])
+        if kind == "ordered":
+            src = iv.ordered(iv.term(a), iv.term(b))
+        elif kind == "ordered_mg":
+            src = iv.maxgaps(int(rng.integers(0, 4)),
+                             iv.ordered(iv.term(a), iv.term(b)))
+        elif kind == "ordered_mw":
+            src = iv.maxwidth(int(rng.integers(1, 6)),
+                              iv.ordered(iv.term(a), iv.term(b)))
+        elif kind == "within":
+            src = iv.within(iv.term(a), int(rng.integers(0, 4)), iv.term(b))
+        elif kind == "unordered":
+            src = iv.unordered(iv.term(a), iv.term(b))
+        else:
+            src = iv.at_least(2, iv.term(a), iv.term(b), iv.term(c))
+        qs.append(iv.IntervalsSourceQuery(src, pivot=float(rng.uniform(0.5, 2))))
+    fast = [s.search(q, k=400, total_hits_threshold=2**31 - 1) for q in qs]
+    monkeypatch.setattr(iv, "_is_ordered_pair", lambda src: False)
+    monkeypatch.setattr(iv, "_is_within_pair", lambda src: False)
+    monkeypatch.setattr(iv, "_is_atleast2_terms", lambda src: False)
+    slow = [s.search(q, k=400, total_hits_threshold=2**31 - 1) for q in qs]
+    for qi, (x, y) in enumerate(zip(fast, slow)):
+        assert x.total_hits == y.total_hits, qs[qi]
+        assert [(h.gid, h.score) for h in x.hits] == \
+            [(h.gid, h.score) for h in y.hits], qs[qi]
