@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_value_facets": textstats.string_value_facets,
         "range_on_range_facets": textstats.range_on_range_facets,
         "index_sorted_topk": _lazy("index_sorted_topk"),
+        "index_sorted_numeric_topk": _lazy("index_sorted_numeric_topk"),
+        "index_sorted_set_topk": _lazy("index_sorted_set_topk"),
+        "index_multivalue_range_count": _lazy("index_multivalue_range_count"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
         "index_charfilter_count": _lazy("index_charfilter_count"),
         "index_synonym_count": _lazy("index_synonym_count"),
@@ -117,11 +120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_ast": _percolate_ast,
         "classify_naive_bayes": _classify_nb,
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
-        # --- family representatives (rest of each family after slot 50) ---
+        # ---------------- beyond the 50-entry driver window ----------------
+        # (family representatives, driver-green in r03, now past the window)
         "term_counts": textstats.term_counts,
         "dedup_exact": dedup.dedup_exact,
         "knn_cosine": knn.knn_cosine,
-        # ---------------- beyond the 50-entry driver window ----------------
         "index_geo_polygon_count": _lazy("index_geo_polygon_count"),
         "index_join_count": _lazy("index_join_count"),
         "index_flt_topk": _lazy("index_flt_topk"),
@@ -1146,6 +1149,50 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 5)::BIGINT AS sort_value
             FROM toklists WHERE list_contains(toks, 'merge')
             ORDER BY (doc_id % 5) DESC, doc_id ASC LIMIT 15""",
+        # multi-valued dv twins: mv_num_j = (doc_id*7 + j*131) %% 500 for
+        # j < doc_id %% 4; mv_str_j = 't%02d' %% ((doc_id*(j*17+13)) %% 23)
+        # for j < doc_id %% 3 (distinct-set semantics)
+        "index_sorted_numeric_topk": _TOKS + """,
+            m AS (SELECT doc_id FROM toklists WHERE list_contains(toks, 'merge')),
+            v AS (SELECT doc_id,
+                         coalesce(list_aggregate(list_transform(
+                             range(0, CAST(doc_id % 4 AS INT)),
+                             j -> (doc_id * 7 + j * 131) % 500), 'max'),
+                             -1) AS sort_value
+                  FROM m)
+            SELECT row_number() OVER (ORDER BY sort_value DESC, doc_id ASC)::BIGINT AS rank,
+                   printf('conv-%08d', doc_id // 5) AS conv_id,
+                   (doc_id % 5)::BIGINT AS turn_idx,
+                   sort_value::BIGINT AS sort_value
+            FROM v ORDER BY sort_value DESC, doc_id ASC LIMIT 15""",
+        "index_sorted_set_topk": _TOKS + """,
+            m AS (SELECT doc_id FROM toklists WHERE list_contains(toks, 'merge')),
+            t AS (SELECT doc_id,
+                         list_sort(list_distinct(list_transform(
+                             range(0, CAST(doc_id % 3 AS INT)),
+                             j -> printf('t%02d', (doc_id * (j * 17 + 13)) % 23)))) AS l
+                  FROM m),
+            v AS (SELECT doc_id, l[len(l) // 2 + 1] AS sel FROM t)
+            SELECT row_number() OVER (ORDER BY sel ASC NULLS FIRST, doc_id ASC)::BIGINT AS rank,
+                   printf('conv-%08d', doc_id // 5) AS conv_id,
+                   (doc_id % 5)::BIGINT AS turn_idx,
+                   coalesce(sel, '') AS sort_tag
+            FROM v ORDER BY sel ASC NULLS FIRST, doc_id ASC LIMIT 15""",
+        "index_multivalue_range_count": """
+            WITH v AS (SELECT doc_id,
+                   list_transform(range(0, CAST(doc_id % 4 AS INT)),
+                                  j -> (doc_id * 7 + j * 131) % 500) AS nums,
+                   list_transform(range(0, CAST(doc_id % 3 AS INT)),
+                                  j -> printf('t%02d', (doc_id * (j * 17 + 13)) % 23)) AS tags
+                       FROM documents)
+            SELECT (SELECT count(*) FROM v WHERE len(list_filter(nums,
+                        x -> x >= 100 AND x <= 220)) > 0)::BIGINT AS n_num,
+                   (SELECT count(*) FROM v
+                        WHERE list_contains(nums, 150))::BIGINT AS n_num_exact,
+                   (SELECT count(*) FROM v WHERE len(list_filter(tags,
+                        s -> s >= 't03' AND s <= 't07')) > 0)::BIGINT AS n_str,
+                   (SELECT count(*) FROM v WHERE len(list_filter(tags,
+                        s -> s > 't03' AND s < 't07')) > 0)::BIGINT AS n_str_excl""",
         # adapter: role = ['user','assistant','system','tool'][doc_id %% 4]
         "index_facet_role": """
             WITH r AS (SELECT doc_id,

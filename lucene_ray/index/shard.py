@@ -789,6 +789,14 @@ def _persist_shard(tmp_dir: str, final_dir: str, pid: int, terms,
         if pa.types.is_integer(col.type) and len(col):
             dv_ranges[c] = [int(pa.compute.min(col).as_py()),
                             int(pa.compute.max(col).as_py())]
+        elif (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)) \
+                and pa.types.is_integer(col.type.value_type):
+            # multi-valued numeric dv (SortedNumericDocValues): flattened
+            # min/max — valid shard-prune bounds for any-value range queries
+            flat = pa.compute.list_flatten(col)
+            if len(flat):
+                dv_ranges[c] = [int(pa.compute.min(flat).as_py()),
+                                int(pa.compute.max(flat).as_py())]
     # per-column aggregate stats (sum, n_positive): the analogue of the
     # precomputed term stats FeatureField.computePivotFeatureValue reads —
     # lets pivot computation stay O(shards) instead of scanning columns
@@ -1171,6 +1179,117 @@ class ShardReader:
                 got = bool(np.all(dv[1:] >= dv[:-1])) if len(dv) else True
             cache[field] = got
         return got
+
+    def sorted_numeric_docvalue(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """Multi-valued numeric doc values (`index/SortedNumericDocValues.java`
+        semantics: per-doc values returned in ASCENDING order): CSR view
+        (offsets int64[n_docs+1], values int64[]) over the docmap list<int>
+        column.  Canonicalized (per-doc sort) once per reader and cached —
+        the reference sorts at index time; here the docmap column doubles as
+        the stored field, so the dv view canonicalizes lazily instead."""
+        cache = getattr(self, "_mv_num_cache", None)
+        if cache is None:
+            cache = self._mv_num_cache = {}
+        got = cache.get(field)
+        if got is None:
+            col = self.docmap().column(field).combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+            offsets = np.asarray(col.offsets, dtype=np.int64)
+            # flatten() drops the offset window; slice values explicitly
+            values = np.asarray(col.values, dtype=np.int64)[offsets[0]:offsets[-1]]
+            offsets = offsets - offsets[0]
+            # per-doc ascending sort, vectorized: order by (doc, value)
+            parent = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                               np.diff(offsets))
+            order = np.lexsort((values, parent))
+            got = cache[field] = (offsets, values[order])
+        return got
+
+    def sorted_set_docvalue(self, field: str) \
+            -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Multi-valued string doc values (`index/SortedSetDocValues.java`
+        semantics: per-doc DISTINCT ords in ascending order): (offsets
+        int64[n_docs+1], ords int32[], vocab str[]) where vocab is the
+        shard's sorted term dictionary for the field and ords index it.
+        Built once per reader from the docmap list<string> column."""
+        cache = getattr(self, "_mv_str_cache", None)
+        if cache is None:
+            cache = self._mv_str_cache = {}
+        got = cache.get(field)
+        if got is None:
+            col = self.docmap().column(field).combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            flat = col.values.slice(offs[0], offs[-1] - offs[0])
+            offs = offs - offs[0]
+            vocab_arr = pa.compute.unique(flat).sort()
+            vocab = vocab_arr.to_numpy(zero_copy_only=False)
+            ords = pa.compute.index_in(flat, vocab_arr) \
+                .to_numpy(zero_copy_only=False).astype(np.int32)
+            parent = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                               np.diff(offs))
+            order = np.lexsort((ords, parent))
+            ords, parent = ords[order], parent[order]
+            # SORTED SET: drop per-doc duplicate ords, rebuild offsets
+            if len(ords):
+                keep = np.concatenate((
+                    [True], (ords[1:] != ords[:-1]) | (parent[1:] != parent[:-1])))
+                ords, parent = ords[keep], parent[keep]
+            counts = np.bincount(parent, minlength=len(offs) - 1) \
+                if len(parent) else np.zeros(len(offs) - 1, dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+            got = cache[field] = (offsets, ords, vocab)
+        return got
+
+    def selected_numeric(self, field: str, selector: str,
+                         missing: int = 0) -> np.ndarray:
+        """Single-valued view over a multi-valued numeric column
+        (`search/SortedNumericSelector.java` MIN/MAX wrap): per-doc selected
+        int64, docs with no values mapped to ``missing`` (the SortField
+        missingValue, default 0 like the reference LongComparator)."""
+        cache = getattr(self, "_mv_sel_cache", None)
+        if cache is None:
+            cache = self._mv_sel_cache = {}
+        key = (field, selector, int(missing))
+        got = cache.get(key)
+        if got is None:
+            offsets, values = self.sorted_numeric_docvalue(field)
+            counts = np.diff(offsets)
+            hi = max(len(values) - 1, 0)
+            if selector == "min":
+                idx = np.clip(offsets[:-1], 0, hi)
+            elif selector == "max":
+                idx = np.clip(offsets[1:] - 1, 0, hi)
+            else:
+                raise ValueError(f"unknown SortedNumericSelector {selector!r}")
+            vals = values[idx] if len(values) else np.zeros(len(counts), np.int64)
+            got = cache[key] = np.where(counts > 0, vals, np.int64(missing))
+        return got
+
+    def selected_ord(self, field: str, selector: str) -> np.ndarray:
+        """Single-valued ord view over a multi-valued string column
+        (`search/SortedSetSelector.java` MIN/MAX/MIDDLE_MIN/MIDDLE_MAX):
+        per-doc selected ord into ``sorted_set_docvalue``'s vocab; docs with
+        no values get ord -1 (missing sorts first ascending, the reference
+        TermOrdValComparator null semantics)."""
+        offsets, ords, _ = self.sorted_set_docvalue(field)
+        counts = np.diff(offsets)
+        hi = max(len(ords) - 1, 0)
+        if selector == "min":
+            idx = offsets[:-1]
+        elif selector == "max":
+            idx = offsets[1:] - 1
+        elif selector == "middle_min":     # even count -> lower middle
+            idx = offsets[:-1] + (counts - 1) // 2
+        elif selector == "middle_max":     # even count -> higher middle
+            idx = offsets[:-1] + counts // 2
+        else:
+            raise ValueError(f"unknown SortedSetSelector {selector!r}")
+        sel = ords[np.clip(idx, 0, hi)].astype(np.int64) if len(ords) \
+            else np.zeros(len(counts), np.int64)
+        return np.where(counts > 0, sel, np.int64(-1))
 
     @property
     def has_term_vectors(self) -> bool:

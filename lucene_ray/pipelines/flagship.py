@@ -922,6 +922,79 @@ def index_sorted_topk(sf_dir: str) -> pd.DataFrame:
         .astype({"rank": "int64", "turn_idx": "int64", "sort_value": "int64"})
 
 
+def build_mv_index(sf_dir: str, index_dir: str | None = None) -> str:
+    """Index variant carrying MULTI-VALUED doc-values columns: ``mv_num``
+    (list<int64>, SortedNumericDocValuesField model) and ``mv_str``
+    (list<string>, SortedSetDocValuesField model)."""
+    from ..sources.transcripts import transcripts_with_multivalues
+
+    index_dir = index_dir or index_dir_for(sf_dir) + "-mv"
+    ds = transcripts_with_multivalues(sf_dir)
+    build_index(ds, index_dir, target_docs_per_partition=100_000,
+                docvalue_cols=("mv_num", "mv_str"),
+                input_desc=f"documents@{sf_dir}+mv")
+    return index_dir
+
+
+def index_sorted_numeric_topk(sf_dir: str) -> pd.DataFrame:
+    """Sort by a MULTI-VALUED numeric dv column through a selector
+    (`search/SortedNumericSortField.java` + SortedNumericSelector.MAX):
+    docs containing 'merge' ordered by max(mv_num) DESC, docs with no
+    values taking missing=-1 (sorting last), global-docID-asc ties.
+    (rank, conv_id, turn_idx, sort_value)."""
+    from ..search.query import SortedNumericSortField
+
+    searcher = IndexSearcher(build_mv_index(sf_dir))
+    td = searcher.search(
+        bool_query(should=["merge"]), k=SORT_K,
+        sort=SortedNumericSortField("mv_num", "max", reverse=True,
+                                    missing=-1))
+    rows = [(r, h.conv_id, int(h.turn_idx), int(h.fields[0]))
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
+                                       "sort_value"]) \
+        .astype({"rank": "int64", "turn_idx": "int64", "sort_value": "int64"})
+
+
+def index_sorted_set_topk(sf_dir: str) -> pd.DataFrame:
+    """Sort by a MULTI-VALUED string dv column through a selector
+    (`search/SortedSetSortField.java` + SortedSetSelector.MIDDLE_MAX):
+    docs containing 'merge' ordered by the selected tag ASC with docs
+    missing the field first (TermOrdValComparator null semantics), k=15.
+    Missing tags report as '' so the oracle compare sees one value domain.
+    (rank, conv_id, turn_idx, sort_tag)."""
+    from ..search.query import SortedSetSortField
+
+    searcher = IndexSearcher(build_mv_index(sf_dir))
+    td = searcher.search(bool_query(should=["merge"]), k=SORT_K,
+                         sort=SortedSetSortField("mv_str", "middle_max"))
+    rows = [(r, h.conv_id, int(h.turn_idx), h.fields[0] or "")
+            for r, h in enumerate(td.hits, 1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
+                                       "sort_tag"]) \
+        .astype({"rank": "int64", "turn_idx": "int64"})
+
+
+def index_multivalue_range_count(sf_dir: str) -> pd.DataFrame:
+    """Slow multi-valued dv range queries
+    (`document/SortedNumericDocValuesField.newSlowRangeQuery` /
+    `SortedSetDocValuesField.newSlowRangeQuery`): any-value-in-range
+    semantics over the list columns — numeric range, numeric exact,
+    string range inclusive and exclusive."""
+    from ..search.query import SortedNumericRangeQuery, SortedSetRangeQuery
+
+    searcher = IndexSearcher(build_mv_index(sf_dir))
+    n_num = searcher.count(SortedNumericRangeQuery("mv_num", 100, 220))
+    n_exact = searcher.count(SortedNumericRangeQuery("mv_num", 150, 150))
+    n_str = searcher.count(SortedSetRangeQuery("mv_str", "t03", "t07"))
+    n_str_x = searcher.count(SortedSetRangeQuery(
+        "mv_str", "t03", "t07", include_lower=False, include_upper=False))
+    return pd.DataFrame({"n_num": pd.Series([n_num], dtype="int64"),
+                         "n_num_exact": pd.Series([n_exact], dtype="int64"),
+                         "n_str": pd.Series([n_str], dtype="int64"),
+                         "n_str_excl": pd.Series([n_str_x], dtype="int64")})
+
+
 def index_sorted_ts_topk(sf_dir: str) -> pd.DataFrame:
     """Most-recent-matching-turns: docs containing 'merge' by ts DESC, k=15
     (the 'search within a time window, newest first' surface), combined with

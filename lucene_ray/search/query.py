@@ -400,6 +400,58 @@ class SortField:
 
 
 @dataclass(frozen=True)
+class SortedNumericSortField:
+    """Sort on a MULTI-VALUED numeric doc-values column through a selector
+    (`search/SortedNumericSortField.java` + `SortedNumericSelector.java`):
+    each doc's sort value is the MIN or MAX of its value set; docs with no
+    values take ``missing`` (SortField missingValue, default 0 like the
+    reference LongComparator).  Tie-break global docID ascending."""
+    field: str
+    selector: str = "min"          # "min" | "max"
+    reverse: bool = False
+    missing: int = 0
+
+
+@dataclass(frozen=True)
+class SortedSetSortField:
+    """Sort on a MULTI-VALUED string doc-values column through a selector
+    (`search/SortedSetSortField.java` + `SortedSetSelector.java`): each
+    doc's sort key is the MIN / MAX / MIDDLE_MIN / MIDDLE_MAX of its
+    DISTINCT value set (middle selectors pick the lower / higher of the two
+    middles on even counts).  Docs with no values sort first ascending
+    (reference TermOrdValComparator null-ord semantics); hit.fields carries
+    the selected string (None when missing)."""
+    field: str
+    selector: str = "min"          # "min" | "max" | "middle_min" | "middle_max"
+    reverse: bool = False
+
+
+@dataclass(frozen=True)
+class SortedNumericRangeQuery:
+    """Slow range over a multi-valued numeric dv column
+    (`document/SortedNumericDocValuesField.java` newSlowRangeQuery /
+    newSlowExactQuery): constant-score docs with AT LEAST ONE value in
+    [lower, upper] (None bound = unbounded).  Shard manifest flattened
+    min/max prunes non-overlapping shards first."""
+    field: str
+    lower: int | None = None
+    upper: int | None = None
+
+
+@dataclass(frozen=True)
+class SortedSetRangeQuery:
+    """Slow range over a multi-valued string dv column
+    (`document/SortedSetDocValuesField.java` newSlowRangeQuery): constant-
+    score docs with at least one value in the [lower, upper] term range;
+    inclusive flags follow the reference's lowerInclusive/upperInclusive."""
+    field: str
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class ExpressionSort:
     """Sort by an arithmetic expression over doc-values columns (the
     `expressions` module's `Expression.getSortField` /

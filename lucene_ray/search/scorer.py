@@ -637,6 +637,63 @@ def search_shard_dv_numbers(reader, query, k: int, after=None):
     return sc[:k], cand[:k], total, RELATION_EQ
 
 
+def _const_score_hits(cand: np.ndarray, k: int, after):
+    """Shared constant-score tail: sorted candidate docIDs -> (scores, docs,
+    total, relation) with searchAfter cursoring."""
+    sc = np.ones(len(cand), dtype=np.float32)
+    total = int(len(cand))
+    if after is not None:
+        a_s, a_d = np.float32(after[0]), after[1]
+        keep = (sc < a_s) | ((sc == a_s) & (cand.astype(np.int64) > a_d))
+        cand, sc = cand[keep], sc[keep]
+    return sc[:k], cand[:k], total, RELATION_EQ
+
+
+def search_shard_sorted_numeric_range(reader, query, k: int, after=None):
+    """SortedNumericDocValuesField.newSlowRangeQuery: constant-score docs
+    with ANY value of the multi-valued column in [lower, upper].  Vectorized
+    over the CSR (offsets, values) view; shard flattened min/max prunes."""
+    lo = -(1 << 63) if query.lower is None else int(query.lower)
+    hi = (1 << 63) - 1 if query.upper is None else int(query.upper)
+    r = reader.docvalue_range(query.field)
+    if lo > hi or (r is not None and (hi < r[0] or lo > r[1])):
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    offsets, values = reader.sorted_numeric_docvalue(query.field)
+    inr = (values >= lo) & (values <= hi)
+    parent = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                       np.diff(offsets))
+    mask = np.zeros(len(offsets) - 1, dtype=bool)
+    mask[parent[inr]] = True
+    if reader.deleted is not None:
+        mask &= ~reader.deleted
+    return _const_score_hits(np.nonzero(mask)[0].astype(np.int32), k, after)
+
+
+def search_shard_sorted_set_range(reader, query, k: int, after=None):
+    """SortedSetDocValuesField.newSlowRangeQuery: constant-score docs with
+    any value of the multi-valued string column in the term range.  The
+    bounds resolve to an ord window via binary search on the shard vocab."""
+    offsets, ords, vocab = reader.sorted_set_docvalue(query.field)
+    lo_ord = 0
+    if query.lower is not None:
+        side = "left" if query.include_lower else "right"
+        lo_ord = int(np.searchsorted(vocab, query.lower, side=side))
+    hi_ord = len(vocab)
+    if query.upper is not None:
+        side = "right" if query.include_upper else "left"
+        hi_ord = int(np.searchsorted(vocab, query.upper, side=side))
+    if lo_ord >= hi_ord:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    inr = (ords >= lo_ord) & (ords < hi_ord)
+    parent = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                       np.diff(offsets))
+    mask = np.zeros(len(offsets) - 1, dtype=bool)
+    mask[parent[inr]] = True
+    if reader.deleted is not None:
+        mask &= ~reader.deleted
+    return _const_score_hits(np.nonzero(mask)[0].astype(np.int32), k, after)
+
+
 def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
     """Exact-phrase scoring over one shard (ExactPhraseMatcher equivalent,
     vectorized): for phrase term i, build composite keys (doc, pos - i) and

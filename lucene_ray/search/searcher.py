@@ -930,6 +930,14 @@ class IndexSearcher:
         if isinstance(query, DocValuesNumbersQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False, "dv_numbers": query}
+        from .query import SortedNumericRangeQuery, SortedSetRangeQuery
+
+        if isinstance(query, SortedNumericRangeQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False, "mv_num_range": query}
+        if isinstance(query, SortedSetRangeQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False, "mv_str_range": query}
         from .feature import FeatureQuery, LongDistanceFeatureQuery, compute_pivot
         from .geo import GeoDistanceFeatureQuery
 
@@ -1362,6 +1370,16 @@ class IndexSearcher:
 
             return search_shard_dv_numbers(rdr, compiled["dv_numbers"], k,
                                            after=after)
+        if compiled.get("mv_num_range") is not None:
+            from .scorer import search_shard_sorted_numeric_range
+
+            return search_shard_sorted_numeric_range(
+                rdr, compiled["mv_num_range"], k, after=after)
+        if compiled.get("mv_str_range") is not None:
+            from .scorer import search_shard_sorted_set_range
+
+            return search_shard_sorted_set_range(
+                rdr, compiled["mv_str_range"], k, after=after)
         if compiled.get("shape") is not None:
             from .scorer import search_shard_shape
 
@@ -1714,7 +1732,7 @@ class IndexSearcher:
         reported total becomes a lower bound (GTE relation), exactly the
         reference's totalHits semantics under early termination."""
         from .geo import GeoDistanceSort
-        from .query import ExpressionSort, SortField
+        from .query import ExpressionSort, SortField, SortedNumericSortField, SortedSetSortField
 
         if isinstance(sort, (list, tuple)):
             if len(sort) == 1:
@@ -1722,6 +1740,8 @@ class IndexSearcher:
             else:
                 return self._search_sorted_multi(query, list(sort), k,
                                                  after=after)
+        if isinstance(sort, SortedSetSortField):
+            return self._search_sorted_set(query, sort, k, after=after)
         if self.query_cache is not None:
             self.query_cache.begin_search()
         is_float = isinstance(sort, (GeoDistanceSort, ExpressionSort))
@@ -1750,6 +1770,9 @@ class IndexSearcher:
                 dv = self._distances(rdr, sort, docs)
             elif isinstance(sort, ExpressionSort):
                 dv = self._expr_sort_values(rdr, sort, docs)
+            elif isinstance(sort, SortedNumericSortField):
+                dv = rdr.selected_numeric(sort.field, sort.selector,
+                                          sort.missing)[docs]
             else:
                 dv = rdr.docvalue(sort.field)[docs]
             gid64 = docs.astype(np.int64) + self._bases[pid]
@@ -1793,6 +1816,87 @@ class IndexSearcher:
                                  fields=(fv,)))
         return TopDocs(hits, total, relation)
 
+    @staticmethod
+    def _set_cursor_keep(sel, gid64, vocab, a_v, a_g: int, reverse: bool):
+        """searchAfter predicate for SortedSetSortField: docs strictly after
+        the (string-or-None, gid) cursor in sort order.  The cursor string
+        is resolved into THIS shard's ord space by binary search (missing =
+        below every ord ascending / after every ord descending)."""
+        if a_v is None:
+            # cursor doc had no value: asc -> every valued doc and later
+            # missing docs remain; desc -> only later missing docs remain
+            if reverse:
+                return (sel < 0) & (gid64 > a_g)
+            return (sel >= 0) | (gid64 > a_g)
+        p = int(np.searchsorted(vocab, a_v))
+        exact = p < len(vocab) and vocab[p] == a_v
+        if reverse:
+            # desc: smaller strings follow; missing (-1 < p) sorts last
+            if exact:
+                return (sel < p) | ((sel == p) & (gid64 > a_g))
+            return sel < p
+        if exact:
+            return (sel > p) | ((sel == p) & (gid64 > a_g))
+        return sel >= p
+
+    def _search_sorted_set(self, query, sort, k: int, after=None) -> TopDocs:
+        """Top-k sorted by a SortedSetSortField (`search/SortedSetSortField`
+        + TermOrdValComparator semantics): per shard, select each matching
+        doc's ord through the selector (missing = -1, sorting first
+        ascending / last descending), keep the shard top-k by (ord, docID),
+        then merge ACROSS shards on the selected STRINGS (shard ords are not
+        comparable between segments — exactly why the reference comparator
+        re-resolves ords per leaf).  ``after`` is a (string-or-None, gid)
+        FieldDoc cursor resolved into each shard's ord space by binary
+        search on the shard vocab."""
+        if self.query_cache is not None:
+            self.query_cache.begin_search()
+        compiled = self.compile(query)
+        cands: list[tuple] = []       # (string_or_None, gid)
+        total = 0
+        for pid in self._pids:
+            rdr = self.reader(pid)
+            _s, docs, t, _r = self.search_shard(
+                rdr, compiled, rdr.doc_count, total_hits_threshold=2**31 - 1)
+            total += t
+            if not len(docs):
+                continue
+            sel = rdr.selected_ord(sort.field, sort.selector)[docs]
+            _offs, _ords, vocab = rdr.sorted_set_docvalue(sort.field)
+            gid64 = docs.astype(np.int64) + self._bases[pid]
+            if after is not None:
+                a_v, a_g = after
+                keep = self._set_cursor_keep(sel, gid64, vocab, a_v,
+                                             int(a_g), sort.reverse)
+                docs, sel, gid64 = docs[keep], sel[keep], gid64[keep]
+                if not len(docs):
+                    continue
+            # shard-local key: asc = ord with missing(-1) first; desc = -ord
+            # with missing pushed past every real ord (missing LAST desc)
+            key = np.where(sel < 0, np.int64(len(vocab)), -sel) \
+                if sort.reverse else sel
+            order = np.lexsort((docs, key))[:k]
+            for i in order:
+                o = int(sel[i])
+                cands.append((str(vocab[o]) if o >= 0 else None,
+                              int(gid64[i])))
+        if not cands:
+            return TopDocs([], total, RELATION_EQ)
+        if sort.reverse:
+            # string desc with missing last, gid asc ties: two stable passes
+            cands.sort(key=lambda vg: vg[1])
+            cands.sort(key=lambda vg: vg[0] or "", reverse=True)
+            cands.sort(key=lambda vg: vg[0] is None)
+        else:
+            cands.sort(key=lambda vg: (vg[0] is not None, vg[0] or "", vg[1]))
+        cands = cands[:k]
+        from .grouping import _resolve_scoredocs
+
+        hits = _resolve_scoredocs(self, [(0.0, g) for _v, g in cands])
+        for h, (v, _g) in zip(hits, cands):
+            h.fields = (v,)
+        return TopDocs(hits, total, RELATION_EQ)
+
     def _search_sorted_multi(self, query, sorts, k: int,
                              after=None) -> TopDocs:
         """Multi-field Sort (`search/Sort.java` over SortField[]):
@@ -1800,9 +1904,10 @@ class IndexSearcher:
         its own reverse flag), global docID ascending as the final tie —
         TopFieldCollector semantics extended to an N-key comparator.
         ``after`` is a FieldDoc cursor of (values tuple, gid)."""
-        from .query import SortField
+        from .query import SortField, SortedNumericSortField
 
-        if not all(isinstance(s, SortField) for s in sorts):
+        if not all(isinstance(s, (SortField, SortedNumericSortField))
+                   for s in sorts):
             raise TypeError("multi-sort supports SortField chains")
         if self.query_cache is not None:
             self.query_cache.begin_search()
@@ -1817,7 +1922,9 @@ class IndexSearcher:
             total += t
             if not len(docs):
                 continue
-            dvs = [rdr.docvalue(s.field)[docs] for s in sorts]
+            dvs = [rdr.selected_numeric(s.field, s.selector, s.missing)[docs]
+                   if isinstance(s, SortedNumericSortField)
+                   else rdr.docvalue(s.field)[docs] for s in sorts]
             gid64 = docs.astype(np.int64) + self._bases[pid]
             if after is not None:
                 a_vals, a_gid = after

@@ -376,6 +376,52 @@ def synth_transcripts_tiled(n_turns: int, base_n: int = 150_000, seed: int = 42)
     return tiles
 
 
+def transcripts_with_multivalues(sf_dir: str):
+    """transcripts plus MULTI-VALUED doc-values columns (the
+    SortedNumericDocValuesField / SortedSetDocValuesField document model):
+
+    - ``mv_num``: list<int64>, len = doc_id % 4 (empties exercise missing-
+      value semantics), value_j = (doc_id*7 + j*131) % 500 — NOT pre-sorted,
+      so the reader's canonicalization (per-doc ascending) is exercised.
+    - ``mv_str``: list<string>, len = doc_id % 3, tag_j =
+      't%02d' % ((doc_id*(j*17+13)) % 23) — duplicates possible, so the
+      SORTED-SET dedup is exercised.
+
+    Both derivations are integer-exact, so the oracle SQL reproduces them
+    with DuckDB list_transform over range()."""
+    import ray.data as rd
+
+    def add_mv(batch: pa.Table) -> pa.Table:
+        t = doc_batch_to_transcripts(batch)
+        doc_id = batch.column("doc_id").to_numpy().astype(np.int64)
+        n = len(doc_id)
+        # vectorized ragged build: values for j in 0..3 masked by j < len
+        num_lens = doc_id % 4
+        j = np.arange(4, dtype=np.int64)
+        num_vals = (doc_id[:, None] * 7 + j[None, :] * 131) % 500
+        num_mask = j[None, :] < num_lens[:, None]
+        num_offsets = np.concatenate(([0], np.cumsum(num_lens)))
+        mv_num = pa.ListArray.from_arrays(
+            pa.array(num_offsets, type=pa.int32()),
+            pa.array(num_vals[num_mask], type=pa.int64()))
+        str_lens = doc_id % 3
+        js = np.arange(3, dtype=np.int64)
+        codes = (doc_id[:, None] * (js[None, :] * 17 + 13)) % 23
+        str_mask = js[None, :] < str_lens[:, None]
+        flat_codes = codes[str_mask]
+        tags = np.array([f"t{c:02d}" for c in range(23)], dtype=object)
+        str_offsets = np.concatenate(([0], np.cumsum(str_lens)))
+        mv_str = pa.ListArray.from_arrays(
+            pa.array(str_offsets, type=pa.int32()),
+            pa.array(tags[flat_codes], type=pa.string()))
+        t = t.append_column("mv_num", mv_num)
+        return t.append_column("mv_str", mv_str)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(add_mv, batch_format="pyarrow")
+
+
 def transcripts_with_facetsets(sf_dir: str):
     """transcripts plus two-set 2-dim facet sets (`facet/facetset/
     FacetSetsField.java` document model): each doc carries TWO (a, b)
