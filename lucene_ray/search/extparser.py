@@ -67,10 +67,9 @@ class Extensions:
 
     def build_extension_field(self, key: str, field: str = "") -> str:
         """Escaped composite field for the classic grammar
-        (`Extensions.buildExtensionField`)."""
-        return self.escape(field) + "\\" + self.delimiter + self.escape(key) \
-            if self.delimiter == ":" else \
-            self.escape(field) + self.delimiter + self.escape(key)
+        (`Extensions.buildExtensionField`: field + delimiter + key, then
+        escape the WHOLE composite)."""
+        return self.escape(field + self.delimiter + key)
 
     @staticmethod
     def escape(s: str) -> str:
@@ -100,6 +99,11 @@ def try_extension(word: str, default_field: str, extensions: Extensions):
         if not value.endswith('"') or len(value) < 1:
             raise ValueError(f"unbalanced quote in {word!r}")
         value = value[:-1]
+    elif '"' in value:
+        # an UNESCAPED delimiter left quote chars inside the value part —
+        # the reference grammar rejects this (TestExtendableQueryParser
+        # testUnescapedExtDelimiter ParseException)
+        raise ValueError(f"unescaped extension delimiter in {word!r}")
     field_part = unescape(raw_field)
     fld, key = extensions.split_extension_field(default_field, field_part)
     if key is None:

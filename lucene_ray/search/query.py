@@ -964,13 +964,18 @@ def _complex_phrase_query(ptext: str, slop: int, field: str):
     return ComplexPhraseQuery(tuple(slots), slop=slop, field=field)
 
 
-def _parse_classic(text: str, field: str, complex_phrases: bool):
+def _parse_classic(text: str, field: str, complex_phrases: bool,
+                   extensions=None):
     import re as _re
 
-    # lexer: parens, field ranges, quoted phrases (with slop), bare words
+    # lexer: parens, field ranges, field:"quoted" composites, quoted
+    # phrases (with slop), bare words.  fielded-quote tokens keep the
+    # quotes so the extension dispatch sees the raw form
+    # (`queryparser/ext/ExtendableQueryParser.java` getFieldQuery hook).
     tok_pat = _re.compile(
         r"""(?P<lp>\()|(?P<rp>\))|(?P<sign>[+-])(?=\S)
           |(?P<range>\w+:[\[\{][^\]\}]*?\s+TO\s+[^\]\}]*?[\]\}])
+          |(?P<fquoted>(?:[^\s()"\\]|\\.)+:"[^"]*")
           |"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
           |(?P<word>[^\s()]+)""", _re.VERBOSE)
     tokens = []
@@ -983,6 +988,8 @@ def _parse_classic(text: str, field: str, complex_phrases: bool):
             tokens.append(("sign", m.group("sign")))
         elif m.group("range"):
             tokens.append(("range", m.group("range")))
+        elif m.group("fquoted"):
+            tokens.append(("fquoted", m.group("fquoted")))
         elif m.group("phrase") is not None:
             tokens.append(("phrase", (m.group("phrase"), m.group("slop"))))
         else:
@@ -1023,6 +1030,29 @@ def _parse_classic(text: str, field: str, complex_phrases: bool):
                 hi_v = None if hi == "*" else int(hi) - (1 if rb == "}" else 0)
                 clauses.append((RangeQuery(f, lo_v, hi_v), occur))
                 continue
+            if kind == "fquoted":
+                # <field>:"..." composite: extension dispatch first
+                # (ExtendableQueryParser.getFieldQuery), else fielded phrase
+                if extensions is not None:
+                    from .extparser import try_extension
+
+                    eq = try_extension(val, field, extensions)
+                    if eq is not None:
+                        clauses.append((eq, occur))
+                        continue
+                raw_f, ptext = val.split(':"', 1)
+                ptext = ptext[:-1]
+                raw_f = raw_f.replace("\\", "")
+                if raw_f and raw_f != field:
+                    clauses.append((TermQuery(f"{raw_f}\x1f{ptext}", raw_f),
+                                    occur))
+                    continue
+                terms = tuple(analyze(ptext))
+                if terms:
+                    q = PhraseQuery(terms, field) if len(terms) > 1 \
+                        else TermQuery(terms[0], field)
+                    clauses.append((q, occur))
+                continue
             if kind == "phrase":
                 ptext, slop = val
                 slop_i = int(slop) if slop else 0
@@ -1039,6 +1069,13 @@ def _parse_classic(text: str, field: str, complex_phrases: bool):
                 clauses.append((q, occur))
                 continue
             word = val
+            if kind == "word" and extensions is not None and ":" in word:
+                from .extparser import try_extension
+
+                eq = try_extension(word, field, extensions)
+                if eq is not None:
+                    clauses.append((eq, occur))
+                    continue
             f = field
             fm = _re.fullmatch(r"(\w+):(.+)", word)
             if fm and fm.group(1) != field:
