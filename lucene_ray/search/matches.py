@@ -17,7 +17,57 @@ no scan, no scoring."""
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
+
+
+@dataclass(frozen=True)
+class NamedQuery:
+    """NamedMatches.wrapQuery (`search/NamedMatches.java` NamedQuery):
+    scores/matches exactly like the wrapped query, but tags its Matches
+    with a name so `find_named_matches` can report WHICH sub-queries of a
+    composite matched a given doc."""
+    name: str
+    query: object
+
+
+def wrap_query(name: str, query) -> NamedQuery:
+    """`NamedMatches.wrapQuery(String, Query)`."""
+    return NamedQuery(name, query)
+
+
+def strip_named(q):
+    """Recursively remove NamedQuery wrappers so the search compiler sees
+    the underlying tree (the reference NamedQuery delegates its Weight to
+    the wrapped query; here the wrapper is erased before compile).  Walks
+    any frozen-dataclass query tree generically; returns the SAME object
+    when nothing changed."""
+    import dataclasses
+
+    if isinstance(q, NamedQuery):
+        return strip_named(q.query)
+    if dataclasses.is_dataclass(q) and not isinstance(q, type):
+        changes = {}
+        for f in dataclasses.fields(q):
+            v = getattr(q, f.name)
+            nv = _strip_val(v)
+            if nv is not v:
+                changes[f.name] = nv
+        return dataclasses.replace(q, **changes) if changes else q
+    return q
+
+
+def _strip_val(v):
+    import dataclasses
+
+    if isinstance(v, NamedQuery) or (dataclasses.is_dataclass(v)
+                                     and not isinstance(v, type)):
+        return strip_named(v)
+    if isinstance(v, tuple):
+        nt = tuple(_strip_val(x) for x in v)
+        return nt if any(a is not b for a, b in zip(nt, v)) else v
+    return v
 
 
 def _doc_positions(searcher, rdr, local: int, term: str) -> np.ndarray:
@@ -47,6 +97,8 @@ def _walk(searcher, rdr, local: int, q):
         TermQuery,
     )
 
+    if isinstance(q, NamedQuery):
+        return _walk(searcher, rdr, local, q.query)
     if isinstance(q, TermQuery):
         pos = _doc_positions(searcher, rdr, local, searcher._ft(q.term))
         if len(pos) == 0:
@@ -130,3 +182,63 @@ def matches(searcher, query, gid: int):
             # the analyzer chain is not guaranteed idempotent)
             return _walk(searcher, rdr, int(gid - base), query)
     raise KeyError(gid)
+
+
+def find_named_matches(searcher, query, gid: int) -> list:
+    """`NamedMatches.findNamedMatches(Matches)`: every NamedQuery in the
+    tree whose sub-Matches participated in this doc's match, parent-first,
+    as (name, [(start, end, label), ...]) pairs.  Empty when the doc does
+    not match the query at all (Matches == null)."""
+    from .query import FILTER, MUST, MUST_NOT, BooleanQuery
+
+    rdr = local = None
+    for pid in searcher._pids:
+        r = searcher.reader(pid)
+        base = searcher._bases[pid]
+        if base <= gid < base + r.doc_count:
+            rdr, local = r, int(gid - base)
+            break
+    if rdr is None:
+        raise KeyError(gid)
+    if rdr.deleted is not None and rdr.deleted[local]:
+        return []
+
+    def walk(q):
+        """(flat matches | None, named list) — named lists are only kept
+        along paths whose enclosing node itself matches."""
+        if isinstance(q, NamedQuery):
+            sub, named = walk(q.query)
+            if sub is None:
+                return None, []
+            return sub, [(q.name, sub)] + named
+        if isinstance(q, BooleanQuery):
+            out, named = [], []
+            n_should = matched_should = 0
+            has_req = any(c.occur in (MUST, FILTER) for c in q.clauses)
+            for c in q.clauses:
+                if c.occur == MUST_NOT:
+                    s, _n = walk(c.query)
+                    if s is not None:
+                        return None, []
+                    continue
+                s, nm = walk(c.query)
+                if c.occur in (MUST, FILTER):
+                    if s is None:
+                        return None, []
+                    out.extend(s)
+                    named.extend(nm)
+                else:
+                    n_should += 1
+                    if s is not None:
+                        matched_should += 1
+                        out.extend(s)
+                        named.extend(nm)
+            if matched_should < int(q.minimum_should_match):
+                return None, []
+            if n_should and matched_should == 0 and not has_req:
+                return None, []
+            return sorted(set(out)), named
+        return _walk(searcher, rdr, local, q), []
+
+    flat, named = walk(query)
+    return named if flat is not None else []

@@ -674,6 +674,12 @@ class IndexSearcher:
 
     def compile(self, query, _normalized: bool = False) -> dict:
         if not _normalized:
+            from .matches import strip_named
+
+            # NamedQuery wrappers score exactly like the wrapped query
+            # (NamedMatches.java NamedQuery delegates its Weight); erase
+            # them before normalize/compile sees the tree
+            query = strip_named(query)
             # normalize exactly once — the Porter chain is not guaranteed
             # idempotent, and compile recurses (Boost/ConstantScore)
             query = self._normalize(query)

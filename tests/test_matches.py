@@ -91,3 +91,47 @@ def test_intervals_matches(m_index):
     toks = _toks_of(texts, h)
     for st, en, _ in got:
         assert toks[st] == "merge" and toks[en] == "join" and st < en
+
+
+def test_named_matches(m_index):
+    """NamedMatches (`search/NamedMatches.java`): wrapQuery tags a
+    sub-query; findNamedMatches lists the tagged sub-matches of exactly
+    the named clauses that participated in the doc's match."""
+    from lucene_ray.search.matches import find_named_matches, wrap_query
+
+    s, texts = m_index
+    named_q = BooleanQuery((
+        BooleanClause(wrap_query("m", TermQuery("merge")), "SHOULD"),
+        BooleanClause(wrap_query("j", TermQuery("join")), "SHOULD"),
+    ))
+    plain_q = bool_query(should=["merge", "join"])
+    td = s.search(named_q, k=20, total_hits_threshold=2**31 - 1)
+    td_plain = s.search(plain_q, k=20, total_hits_threshold=2**31 - 1)
+    # NamedQuery is score-transparent (reference delegates the Weight)
+    assert [(h.gid, np.float32(h.score)) for h in td.hits] == \
+        [(h.gid, np.float32(h.score)) for h in td_plain.hits]
+    only_m = s.search(bool_query(must=["merge"], must_not=["join"]),
+                      k=1).hits
+    for h in list(td.hits) + only_m:
+        toks = _toks_of(texts, h)
+        nm = dict(find_named_matches(s, named_q, h.gid))
+        want_names = {n for n, t in (("m", "merge"), ("j", "join"))
+                      if t in toks}
+        assert set(nm) == want_names
+        for name, term in (("m", "merge"), ("j", "join")):
+            if name in nm:
+                assert nm[name] == [(i, i, term)
+                                    for i, t in enumerate(toks) if t == term]
+    assert only_m and dict(find_named_matches(
+        s, named_q, only_m[0].gid)).keys() == {"m"}
+    # whole-query miss -> empty list (Matches == null)
+    gid_miss = next(h.gid for h in s.search(
+        bool_query(must=["the"], must_not=["merge", "join"]), k=1).hits)
+    assert find_named_matches(s, named_q, gid_miss) == []
+    # nested: named boolean wrapping named leaves, parent-first order
+    outer = wrap_query("outer", BooleanQuery((
+        BooleanClause(wrap_query("inner", TermQuery("merge")), "MUST"),)))
+    hit = td.hits[0] if "merge" in _toks_of(texts, td.hits[0]) else next(
+        h for h in td.hits if "merge" in _toks_of(texts, h))
+    got = find_named_matches(s, outer, hit.gid)
+    assert [n for n, _ in got] == ["outer", "inner"]
