@@ -1192,7 +1192,9 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM v WHERE len(list_filter(tags,
                         s -> s >= 't03' AND s <= 't07')) > 0)::BIGINT AS n_str,
                    (SELECT count(*) FROM v WHERE len(list_filter(tags,
-                        s -> s > 't03' AND s < 't07')) > 0)::BIGINT AS n_str_excl""",
+                        s -> s > 't03' AND s < 't07')) > 0)::BIGINT AS n_str_excl,
+                   (SELECT count(*) FROM v WHERE len(list_filter(tags,
+                        s -> regexp_matches(s, '^t.2$'))) > 0)::BIGINT AS n_wild""",
         # adapter: role = ['user','assistant','system','tool'][doc_id %% 4]
         "index_facet_role": """
             WITH r AS (SELECT doc_id,

@@ -981,7 +981,12 @@ def index_multivalue_range_count(sf_dir: str) -> pd.DataFrame:
     `SortedSetDocValuesField.newSlowRangeQuery`): any-value-in-range
     semantics over the list columns — numeric range, numeric exact,
     string range inclusive and exclusive."""
-    from ..search.query import SortedNumericRangeQuery, SortedSetRangeQuery
+    from ..search.query import (
+        DocValuesRewriteQuery,
+        SortedNumericRangeQuery,
+        SortedSetRangeQuery,
+        WildcardQuery,
+    )
 
     searcher = IndexSearcher(build_mv_index(sf_dir))
     n_num = searcher.count(SortedNumericRangeQuery("mv_num", 100, 220))
@@ -989,10 +994,14 @@ def index_multivalue_range_count(sf_dir: str) -> pd.DataFrame:
     n_str = searcher.count(SortedSetRangeQuery("mv_str", "t03", "t07"))
     n_str_x = searcher.count(SortedSetRangeQuery(
         "mv_str", "t03", "t07", include_lower=False, include_upper=False))
+    # DocValuesRewriteMethod: a wildcard evaluated on the dv vocab
+    n_wild = searcher.count(DocValuesRewriteQuery(
+        "mv_str", WildcardQuery("t?2")))
     return pd.DataFrame({"n_num": pd.Series([n_num], dtype="int64"),
                          "n_num_exact": pd.Series([n_exact], dtype="int64"),
                          "n_str": pd.Series([n_str], dtype="int64"),
-                         "n_str_excl": pd.Series([n_str_x], dtype="int64")})
+                         "n_str_excl": pd.Series([n_str_x], dtype="int64"),
+                         "n_wild": pd.Series([n_wild], dtype="int64")})
 
 
 def index_sorted_ts_topk(sf_dir: str) -> pd.DataFrame:

@@ -439,6 +439,19 @@ class SortedNumericRangeQuery:
 
 
 @dataclass(frozen=True)
+class DocValuesRewriteQuery:
+    """DocValuesRewriteMethod (`search/DocValuesRewriteMethod.java`): a
+    MultiTermQuery (prefix / wildcard / regexp / fuzzy / term-range /
+    term-set) evaluated against a SortedSet DOC-VALUES field instead of the
+    postings dictionary: per shard, intersect the wrapped query with the dv
+    vocab to an ord set, then constant-score docs carrying ANY matching
+    ord.  Terms are matched RAW (dv values are not analyzed), matching the
+    reference's dv TermsEnum visit."""
+    field: str
+    query: object
+
+
+@dataclass(frozen=True)
 class SortedSetRangeQuery:
     """Slow range over a multi-valued string dv column
     (`document/SortedSetDocValuesField.java` newSlowRangeQuery): constant-

@@ -694,6 +694,27 @@ def search_shard_sorted_set_range(reader, query, k: int, after=None):
     return _const_score_hits(np.nonzero(mask)[0].astype(np.int32), k, after)
 
 
+def search_shard_dv_rewrite(reader, query, expand_fn, k: int, after=None):
+    """DocValuesRewriteMethod (`search/DocValuesRewriteMethod.java`): the
+    wrapped MultiTermQuery intersects THIS shard's SortedSet dv vocab (the
+    per-leaf automaton-vs-TermsEnum visit) to an ord set; constant-score
+    docs carrying any matching ord."""
+    offsets, ords, vocab = reader.sorted_set_docvalue(query.field)
+    matched = expand_fn(vocab, query.query)
+    if not matched:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    want = np.searchsorted(vocab, np.asarray(matched, dtype=vocab.dtype)) \
+        .astype(np.int32)
+    inr = np.isin(ords, want)
+    parent = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                       np.diff(offsets))
+    mask = np.zeros(len(offsets) - 1, dtype=bool)
+    mask[parent[inr]] = True
+    if reader.deleted is not None:
+        mask &= ~reader.deleted
+    return _const_score_hits(np.nonzero(mask)[0].astype(np.int32), k, after)
+
+
 def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
     """Exact-phrase scoring over one shard (ExactPhraseMatcher equivalent,
     vectorized): for phrase term i, build composite keys (doc, pos - i) and

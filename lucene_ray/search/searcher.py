@@ -397,19 +397,9 @@ class IndexSearcher:
                                 boost=q.boost)
 
     def _expand_shard_uncached(self, rdr, query) -> list[str]:
-        import re as _re
-
-        from .query import (
-            FuzzyQuery,
-            PrefixQuery,
-            RegexpQuery,
-            TermInSetQuery,
-            WildcardQuery,
-        )
-
-        terms = rdr._term_np
         from .query import TermRangeQuery as _TRQ
 
+        terms = rdr._term_np
         if isinstance(query, _TRQ):
             from ..index.shard import KEYWORD_SEP
 
@@ -424,35 +414,7 @@ class IndexSearcher:
                     terms, query.upper,
                     side="right" if query.include_upper else "left"))
             return [t for t in terms[lo_i:hi_i] if KEYWORD_SEP not in t]
-        if isinstance(query, TermInSetQuery):
-            want = np.asarray(sorted(set(query.terms)), dtype=terms.dtype)
-            return want[np.isin(want, terms)].tolist()
-        if isinstance(query, PrefixQuery):
-            lo, hi = _prefix_range(terms, query.prefix)
-            return terms[lo:hi].tolist()
-        if isinstance(query, WildcardQuery):
-            pat = _re.compile("".join(
-                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-                for c in query.pattern))
-            # literal-prefix range narrowing before the regex scan
-            pre = _re.match(r"[^*?]*", query.pattern).group(0)
-            lo, hi = _prefix_range(terms, pre) if pre else (0, len(terms))
-            return [t for t in terms[lo:hi] if pat.fullmatch(t)]
-        if isinstance(query, RegexpQuery):
-            pat = _re.compile(query.regexp)
-            return [t for t in terms if pat.fullmatch(t)]
-        if isinstance(query, FuzzyQuery):
-            base = query.term
-            pre = base[:query.prefix_length]
-            lo, hi = _prefix_range(terms, pre) if pre else (0, len(terms))
-            out = []
-            for t in terms[lo:hi]:
-                if abs(len(t) - len(base)) > query.max_edits:
-                    continue
-                if _levenshtein_leq(t, base, query.max_edits):
-                    out.append(t)
-            return out
-        raise TypeError(type(query))
+        return _expand_terms(terms, query)
 
     def reader(self, pid: int) -> ShardReader:
         r = self._readers.get(pid)
@@ -936,7 +898,11 @@ class IndexSearcher:
         if isinstance(query, DocValuesNumbersQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False, "dv_numbers": query}
-        from .query import SortedNumericRangeQuery, SortedSetRangeQuery
+        from .query import (
+            DocValuesRewriteQuery,
+            SortedNumericRangeQuery,
+            SortedSetRangeQuery,
+        )
 
         if isinstance(query, SortedNumericRangeQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
@@ -944,6 +910,9 @@ class IndexSearcher:
         if isinstance(query, SortedSetRangeQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False, "mv_str_range": query}
+        if isinstance(query, DocValuesRewriteQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False, "dv_rewrite": query}
         from .feature import FeatureQuery, LongDistanceFeatureQuery, compute_pivot
         from .geo import GeoDistanceFeatureQuery
 
@@ -1386,6 +1355,11 @@ class IndexSearcher:
 
             return search_shard_sorted_set_range(
                 rdr, compiled["mv_str_range"], k, after=after)
+        if compiled.get("dv_rewrite") is not None:
+            from .scorer import search_shard_dv_rewrite
+
+            return search_shard_dv_rewrite(
+                rdr, compiled["dv_rewrite"], _expand_terms, k, after=after)
         if compiled.get("shape") is not None:
             from .scorer import search_shard_shape
 
@@ -2171,6 +2145,66 @@ def _edit_distance(a: str, b: str) -> int:
                            prev[j - 1] + (ai != b[j - 1])))
         prev = cur
     return prev[lb]
+
+
+def _expand_terms(terms: np.ndarray, query) -> list[str]:
+    """MultiTermQuery intersection with ONE sorted term array — the
+    CompiledAutomaton-vs-TermsEnum core shared by the postings dictionary
+    (`_expand_shard_uncached`) and DocValuesRewriteMethod's per-shard
+    SortedSet dv vocab (`search/DocValuesRewriteMethod.java` visits the dv
+    TermsEnum with the same automaton)."""
+    import re as _re
+
+    from .query import (
+        FuzzyQuery,
+        PrefixQuery,
+        RegexpQuery,
+        TermInSetQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
+
+    if isinstance(query, TermRangeQuery):
+        lo_i = 0
+        if query.lower is not None:
+            lo_i = int(np.searchsorted(
+                terms, query.lower,
+                side="left" if query.include_lower else "right"))
+        hi_i = len(terms)
+        if query.upper is not None:
+            hi_i = int(np.searchsorted(
+                terms, query.upper,
+                side="right" if query.include_upper else "left"))
+        return terms[lo_i:hi_i].tolist()
+    if isinstance(query, TermInSetQuery):
+        want = np.asarray(sorted(set(query.terms)), dtype=terms.dtype)
+        return want[np.isin(want, terms)].tolist()
+    if isinstance(query, PrefixQuery):
+        lo, hi = _prefix_range(terms, query.prefix)
+        return terms[lo:hi].tolist()
+    if isinstance(query, WildcardQuery):
+        pat = _re.compile("".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in query.pattern))
+        # literal-prefix range narrowing before the regex scan
+        pre = _re.match(r"[^*?]*", query.pattern).group(0)
+        lo, hi = _prefix_range(terms, pre) if pre else (0, len(terms))
+        return [t for t in terms[lo:hi] if pat.fullmatch(t)]
+    if isinstance(query, RegexpQuery):
+        pat = _re.compile(query.regexp)
+        return [t for t in terms if pat.fullmatch(t)]
+    if isinstance(query, FuzzyQuery):
+        base = query.term
+        pre = base[:query.prefix_length]
+        lo, hi = _prefix_range(terms, pre) if pre else (0, len(terms))
+        out = []
+        for t in terms[lo:hi]:
+            if abs(len(t) - len(base)) > query.max_edits:
+                continue
+            if _levenshtein_leq(t, base, query.max_edits):
+                out.append(t)
+        return out
+    raise TypeError(type(query))
 
 
 def _levenshtein_leq(a: str, b: str, k: int) -> bool:

@@ -234,3 +234,36 @@ def test_multi_sort_chain_with_selector(searcher):
     assert [h.gid for h in expect] == [h.gid for h in td.hits]
     assert [int(h.fields[0]) for h in td.hits] == \
         [key[h.gid][0] for h in expect]
+
+
+def test_dv_rewrite_vs_brute(searcher):
+    """DocValuesRewriteMethod: wildcard/prefix/regexp/term-set multiterm
+    queries evaluated on the mv_str SortedSet dv vocab, vs python brute
+    force over the deterministic derivation."""
+    import re
+
+    from lucene_ray.search.query import (
+        DocValuesRewriteQuery,
+        PrefixQuery,
+        RegexpQuery,
+        TermInSetQuery,
+        WildcardQuery,
+    )
+
+    n_docs = sum(searcher.reader(p).doc_count for p in searcher._pids)
+
+    def brute(pred):
+        return sum(1 for d in range(n_docs)
+                   if any(pred(s) for s in mv_str_of(d)))
+
+    q = DocValuesRewriteQuery("mv_str", WildcardQuery("t?2"))
+    assert searcher.count(q) == brute(lambda s: re.fullmatch("t.2", s))
+    q = DocValuesRewriteQuery("mv_str", PrefixQuery("t1"))
+    assert searcher.count(q) == brute(lambda s: s.startswith("t1"))
+    q = DocValuesRewriteQuery("mv_str", RegexpQuery("t0[13]"))
+    assert searcher.count(q) == brute(lambda s: re.fullmatch("t0[13]", s))
+    q = DocValuesRewriteQuery("mv_str", TermInSetQuery(("t05", "t09", "zz")))
+    assert searcher.count(q) == brute(lambda s: s in ("t05", "t09"))
+    # no vocab intersection -> zero
+    q = DocValuesRewriteQuery("mv_str", PrefixQuery("zzz"))
+    assert searcher.count(q) == 0
