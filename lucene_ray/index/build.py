@@ -84,6 +84,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 shape_cols: dict | None = None,
                 bloom_fields: tuple = (),
                 id_version_fields: tuple = (),
+                bp_reorder: bool = False,
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -173,6 +174,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         **({"bloom_fields": list(bloom_fields)} if bloom_fields else {}),
         **({"id_version_fields": list(id_version_fields)}
            if id_version_fields else {}),
+        **({"bp_reorder": True} if bp_reorder else {}),
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -202,7 +204,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                             token_filters=token_filters, vector_col=vector_col,
                             term_vectors=term_vectors, point_cols=point_cols,
                             shape_cols=shape_cols, bloom_fields=bloom_fields,
-                            id_version_fields=id_version_fields)
+                            id_version_fields=id_version_fields,
+                bp_reorder=bp_reorder)
             return pa.table({k: [v] for k, v in m.items()})
 
         if exchange == "tasks":
@@ -211,7 +214,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
                 vector_col, term_vectors, point_cols, shape_cols,
                 bloom_fields=bloom_fields,
-                id_version_fields=id_version_fields)
+                id_version_fields=id_version_fields,
+                bp_reorder=bp_reorder)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -236,6 +240,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "shape_cols": {k: list(v) for k, v in (shape_cols or {}).items()},
         "bloom_fields": list(bloom_fields),
         "id_version_fields": list(id_version_fields),
+        "bp_reorder": bool(bp_reorder),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -295,7 +300,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                          docvalue_cols=(), token_filters=(),
                          vector_col=None, term_vectors=False,
                          point_cols=None, shape_cols=None,
-                         bloom_fields=(), id_version_fields=()) -> list[dict]:
+                         bloom_fields=(), id_version_fields=(),
+                         bp_reorder=False) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -315,7 +321,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                                    docvalue_cols, token_filters, vector_col,
                                    term_vectors, point_cols, shape_cols,
                                    bloom_fields=bloom_fields,
-                                   id_version_fields=id_version_fields)
+                                   id_version_fields=id_version_fields,
+                bp_reorder=bp_reorder)
 
     def _compact(tbl: pa.Table) -> pa.Table:
         # CRITICAL: pickling a sliced Arrow table serializes the WHOLE parent
@@ -348,7 +355,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                            token_filters=token_filters, vector_col=vector_col,
                            term_vectors=term_vectors, point_cols=point_cols,
                            shape_cols=shape_cols, bloom_fields=bloom_fields,
-                           id_version_fields=id_version_fields)
+                           id_version_fields=id_version_fields,
+                bp_reorder=bp_reorder)
 
     # several blocks per split task: fewer (task, object) overheads while
     # keeping enough tasks to fill the CPU pool
@@ -370,7 +378,8 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                         docvalue_cols=(), token_filters=(),
                         vector_col=None, term_vectors=False,
                         point_cols=None, shape_cols=None,
-                        bloom_fields=(), id_version_fields=()) -> list[dict]:
+                        bloom_fields=(), id_version_fields=(),
+                        bp_reorder=False) -> list[dict]:
     """Two-level exchange for large partition counts (block → coarse bucket →
     shards): split tasks return one object per COARSE bucket (contiguous pid
     range), and one flush task per bucket re-splits its data by pid and
@@ -431,7 +440,8 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                 vector_col=vector_col, term_vectors=term_vectors,
                 point_cols=point_cols, shape_cols=shape_cols,
                 bloom_fields=bloom_fields,
-                id_version_fields=id_version_fields))
+                id_version_fields=id_version_fields,
+                bp_reorder=bp_reorder))
         return manifests
 
     per_task = max(1, len(block_refs) // (2 * n_cpus))
@@ -596,6 +606,8 @@ def append_index(ds, index_dir: str, *, input_desc: str,
     bloom_fields = tuple(prev.get("bloom_fields", ()))
     # inherit the per-segment one-doc-per-ID writer contract
     id_version_fields = tuple(prev.get("id_version_fields", ()))
+    # inherit the BP layout choice so appended shards match the index
+    bp_reorder = bool(prev.get("bp_reorder", False))
     pid_offset = 1 + max(m["pid"] for m in prev["shards"])
 
     extra_dv = [c for c in docvalue_cols if c not in key_cols]
@@ -615,6 +627,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "docvalue_cols": list(docvalue_cols),
         "token_filters": list(token_filters),
         "term_vectors": bool(term_vectors),
+        **({"bp_reorder": True} if bp_reorder else {}),
     })
     shards_dir = os.path.join(index_dir, "shards")
     done = mf.committed_shards(index_dir, fp)
@@ -637,7 +650,8 @@ def append_index(ds, index_dir: str, *, input_desc: str,
             block_refs, tag_pid, pid_offset + len(split_points) + 1, shards_dir, fp,
             text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
             term_vectors=term_vectors, bloom_fields=bloom_fields,
-            id_version_fields=id_version_fields)
+            id_version_fields=id_version_fields,
+                bp_reorder=bp_reorder)
         for m in new_manifests:
             done[int(m["pid"])] = dict(m)
 
@@ -651,6 +665,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "term_vectors": bool(term_vectors),
         "bloom_fields": list(bloom_fields),
         "id_version_fields": list(id_version_fields),
+        "bp_reorder": bool(bp_reorder),
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })

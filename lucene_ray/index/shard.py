@@ -296,7 +296,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 point_cols: dict | None = None,
                 shape_cols: dict | None = None,
                 bloom_fields: tuple = (),
-                id_version_fields: tuple = ()) -> dict:
+                id_version_fields: tuple = (),
+                bp_reorder: bool = False) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -320,6 +321,24 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         raise ValueError("partition exceeds int32 local docID space; lower "
                          "target_docs_per_partition")
     table = table.sort_by([(key_cols[0], "ascending"), (key_cols[1], "ascending")])
+
+    if bp_reorder and table.num_rows:
+        # recursive-graph-bisection doc layout (Dhulipala et al., KDD 2016;
+        # the BPIndexReorderer role): permute THIS partition's rows so docs
+        # sharing terms are adjacent — postings deltas shrink, PFor blocks
+        # get narrower bit widths.  Runs inside the flush task (parallel
+        # across shards, no extra shuffle).  The graph uses the raw
+        # standard tokenization as a layout proxy (one extra tokenize pass;
+        # the real analyzer chain still runs below on the permuted rows).
+        # Trade-off: local docIDs stop following key_cols order, so block-
+        # join parent/child adjacency and index-sort early termination must
+        # not be combined with bp_reorder.
+        from ..analysis.standard import tokenize_column as _tok
+        from .bp import bp_permutation
+
+        bp_lens, bp_flat = _tok(table.column(text_col))
+        perm = bp_permutation(bp_lens, bp_flat)
+        table = table.take(pa.array(perm, type=pa.int64()))
 
     vector_dim = 0
     vector_scale = None

@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--geo-col", default="",
                     help="field=latCol:lonCol — degree columns quantized "
                          "(GeoEncodingUtils int32) into a 2-D point field")
+    ap.add_argument("--bp-reorder", action="store_true",
+                    help="recursive-graph-bisection doc layout per shard "
+                         "(Dhulipala et al. KDD'16): smaller postings, "
+                         "incompatible with block-join adjacency")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--force-merge", type=int, default=0, metavar="N",
                     help="after building, forceMerge the index down to N segments")
@@ -138,6 +142,7 @@ def main():
                              point_cols=point_cols or None,
                              bloom_fields=tuple(
                                  c for c in args.bloom_cols.split(",") if c),
+                             bp_reorder=args.bp_reorder,
                              input_desc=f"cli:{args.input}")
     if args.force_merge:
         from lucene_ray.index.merge import force_merge
