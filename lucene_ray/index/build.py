@@ -85,6 +85,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 bloom_fields: tuple = (),
                 id_version_fields: tuple = (),
                 bp_reorder: bool = False,
+                index_sort: tuple = (),
                 input_desc: str = "", merge_stats: bool = True,
                 exchange: str = "tasks") -> dict:
     """Build (or resume) an index from a transcripts Dataset; returns commit.
@@ -175,6 +176,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         **({"id_version_fields": list(id_version_fields)}
            if id_version_fields else {}),
         **({"bp_reorder": True} if bp_reorder else {}),
+        **({"index_sort": [list(x) for x in index_sort]} if index_sort else {}),
     })
 
     done = mf.committed_shards(index_dir, fp)
@@ -205,7 +207,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                             term_vectors=term_vectors, point_cols=point_cols,
                             shape_cols=shape_cols, bloom_fields=bloom_fields,
                             id_version_fields=id_version_fields,
-                bp_reorder=bp_reorder)
+                bp_reorder=bp_reorder,
+                index_sort=index_sort)
             return pa.table({k: [v] for k, v in m.items()})
 
         if exchange == "tasks":
@@ -215,7 +218,8 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
                 vector_col, term_vectors, point_cols, shape_cols,
                 bloom_fields=bloom_fields,
                 id_version_fields=id_version_fields,
-                bp_reorder=bp_reorder)
+                bp_reorder=bp_reorder,
+                index_sort=index_sort)
         else:
             new_manifests = (
                 proj.map_batches(tag_pid, batch_format="pyarrow")
@@ -241,6 +245,7 @@ def build_index(ds, index_dir: str, *, target_docs_per_partition: int = 200_000,
         "bloom_fields": list(bloom_fields),
         "id_version_fields": list(id_version_fields),
         "bp_reorder": bool(bp_reorder),
+        "index_sort": [list(x) for x in index_sort],
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })
@@ -301,7 +306,7 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                          vector_col=None, term_vectors=False,
                          point_cols=None, shape_cols=None,
                          bloom_fields=(), id_version_fields=(),
-                         bp_reorder=False) -> list[dict]:
+                         bp_reorder=False, index_sort=()) -> list[dict]:
     """Explicit map/reduce partition exchange (raw Ray tasks).
 
     Map side: one task per input block tags pids and splits the block into P
@@ -322,7 +327,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                                    term_vectors, point_cols, shape_cols,
                                    bloom_fields=bloom_fields,
                                    id_version_fields=id_version_fields,
-                bp_reorder=bp_reorder)
+                bp_reorder=bp_reorder,
+                index_sort=index_sort)
 
     def _compact(tbl: pa.Table) -> pa.Table:
         # CRITICAL: pickling a sliced Arrow table serializes the WHOLE parent
@@ -356,7 +362,8 @@ def _exchange_with_tasks(block_refs, tag_pid, n_parts: int, shards_dir: str, fp:
                            term_vectors=term_vectors, point_cols=point_cols,
                            shape_cols=shape_cols, bloom_fields=bloom_fields,
                            id_version_fields=id_version_fields,
-                bp_reorder=bp_reorder)
+                bp_reorder=bp_reorder,
+                index_sort=index_sort)
 
     # several blocks per split task: fewer (task, object) overheads while
     # keeping enough tasks to fill the CPU pool
@@ -379,7 +386,7 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                         vector_col=None, term_vectors=False,
                         point_cols=None, shape_cols=None,
                         bloom_fields=(), id_version_fields=(),
-                        bp_reorder=False) -> list[dict]:
+                        bp_reorder=False, index_sort=()) -> list[dict]:
     """Two-level exchange for large partition counts (block → coarse bucket →
     shards): split tasks return one object per COARSE bucket (contiguous pid
     range), and one flush task per bucket re-splits its data by pid and
@@ -441,7 +448,8 @@ def _exchange_two_level(block_refs, tag_pid, n_parts: int, shards_dir: str,
                 point_cols=point_cols, shape_cols=shape_cols,
                 bloom_fields=bloom_fields,
                 id_version_fields=id_version_fields,
-                bp_reorder=bp_reorder))
+                bp_reorder=bp_reorder,
+                index_sort=index_sort))
         return manifests
 
     per_task = max(1, len(block_refs) // (2 * n_cpus))
@@ -606,8 +614,9 @@ def append_index(ds, index_dir: str, *, input_desc: str,
     bloom_fields = tuple(prev.get("bloom_fields", ()))
     # inherit the per-segment one-doc-per-ID writer contract
     id_version_fields = tuple(prev.get("id_version_fields", ()))
-    # inherit the BP layout choice so appended shards match the index
+    # inherit the BP / index-sort layout choices so appended shards match
     bp_reorder = bool(prev.get("bp_reorder", False))
+    index_sort = tuple(tuple(x) for x in prev.get("index_sort", ()))
     pid_offset = 1 + max(m["pid"] for m in prev["shards"])
 
     extra_dv = [c for c in docvalue_cols if c not in key_cols]
@@ -628,6 +637,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "token_filters": list(token_filters),
         "term_vectors": bool(term_vectors),
         **({"bp_reorder": True} if bp_reorder else {}),
+        **({"index_sort": [list(x) for x in index_sort]} if index_sort else {}),
     })
     shards_dir = os.path.join(index_dir, "shards")
     done = mf.committed_shards(index_dir, fp)
@@ -651,7 +661,8 @@ def append_index(ds, index_dir: str, *, input_desc: str,
             text_col, key_cols, keyword_cols, docvalue_cols, token_filters,
             term_vectors=term_vectors, bloom_fields=bloom_fields,
             id_version_fields=id_version_fields,
-                bp_reorder=bp_reorder)
+                bp_reorder=bp_reorder,
+                index_sort=index_sort)
         for m in new_manifests:
             done[int(m["pid"])] = dict(m)
 
@@ -666,6 +677,7 @@ def append_index(ds, index_dir: str, *, input_desc: str,
         "bloom_fields": list(bloom_fields),
         "id_version_fields": list(id_version_fields),
         "bp_reorder": bool(bp_reorder),
+        "index_sort": [list(x) for x in index_sort],
         "text_col": text_col,
         "format": FORMAT_VERSION,
     })

@@ -297,7 +297,8 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
                 shape_cols: dict | None = None,
                 bloom_fields: tuple = (),
                 id_version_fields: tuple = (),
-                bp_reorder: bool = False) -> dict:
+                bp_reorder: bool = False,
+                index_sort: tuple = ()) -> dict:
     """Build one shard from this partition's rows; atomic (tmp dir + rename).
 
     Rows are sorted by key_cols (stable global order); local docIDs are their
@@ -321,6 +322,19 @@ def write_shard(out_dir: str, pid: int, table: pa.Table,
         raise ValueError("partition exceeds int32 local docID space; lower "
                          "target_docs_per_partition")
     table = table.sort_by([(key_cols[0], "ascending"), (key_cols[1], "ascending")])
+
+    if index_sort:
+        # index-time sort (IndexWriterConfig.setIndexSort / `index/Sorter.java`
+        # semantics): local docIDs follow the given (field, asc|desc) chain,
+        # key_cols order as the stable tie-break (the sort above ran first).
+        # An ascending single-field sort additionally unlocks the
+        # sorted-dv binary-search range fast path (docvalue_is_sorted) and
+        # makes sorted-top-k early termination exact per shard.
+        if bp_reorder:
+            raise ValueError("index_sort and bp_reorder both dictate the "
+                             "doc layout; pick one")
+        table = table.sort_by([(f, "ascending" if d in ("asc", "ascending")
+                                else "descending") for f, d in index_sort])
 
     if bp_reorder and table.num_rows:
         # recursive-graph-bisection doc layout (Dhulipala et al., KDD 2016;

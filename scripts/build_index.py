@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--geo-col", default="",
                     help="field=latCol:lonCol — degree columns quantized "
                          "(GeoEncodingUtils int32) into a 2-D point field")
+    ap.add_argument("--index-sort", default="", metavar="FIELD:asc|desc[,..]",
+                    help="index-time sort (IndexWriterConfig.setIndexSort): "
+                         "local docIDs follow this field chain")
     ap.add_argument("--bp-reorder", action="store_true",
                     help="recursive-graph-bisection doc layout per shard "
                          "(Dhulipala et al. KDD'16): smaller postings, "
@@ -143,6 +146,9 @@ def main():
                              bloom_fields=tuple(
                                  c for c in args.bloom_cols.split(",") if c),
                              bp_reorder=args.bp_reorder,
+                             index_sort=tuple(
+                                 (p.split(":")[0], (p.split(":") + ["asc"])[1])
+                                 for p in args.index_sort.split(",") if p),
                              input_desc=f"cli:{args.input}")
     if args.force_merge:
         from lucene_ray.index.merge import force_merge
