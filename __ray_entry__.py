@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_sorted_numeric_topk": _lazy("index_sorted_numeric_topk"),
         "index_sorted_set_topk": _lazy("index_sorted_set_topk"),
         "index_multivalue_range_count": _lazy("index_multivalue_range_count"),
+        "index_ssdv_facets": _lazy("index_ssdv_facets"),
         "index_stemmed_count": _lazy("index_stemmed_count"),
         "index_charfilter_count": _lazy("index_charfilter_count"),
         "index_synonym_count": _lazy("index_synonym_count"),
@@ -106,7 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_mlt_topk": _lazy("index_mlt_topk"),
         "index_expr_topk": _lazy("index_expr_topk"),
         "index_fn_termstats_topk": _lazy("index_fn_termstats_topk"),
-        "quality_eval": _lazy("quality_eval"),
         "index_expr_sorted_topk": _lazy("index_expr_sorted_topk"),
         # --- vector search as a first-class index query (round 3) ---
         "index_knn_filtered": _vs("index_knn_filtered"),
@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         # ---------------- beyond the 50-entry driver window ----------------
         # (family representatives, driver-green in r03, now past the window)
+        "quality_eval": _lazy("quality_eval"),
         "term_counts": textstats.term_counts,
         "dedup_exact": dedup.dedup_exact,
         "knn_cosine": knn.knn_cosine,
@@ -1195,6 +1196,18 @@ def oracle_sql() -> dict[str, str]:
                         s -> s > 't03' AND s < 't07')) > 0)::BIGINT AS n_str_excl,
                    (SELECT count(*) FROM v WHERE len(list_filter(tags,
                         s -> regexp_matches(s, '^t.2$'))) > 0)::BIGINT AS n_wild""",
+        "index_ssdv_facets": _TOKS + """,
+            m AS (SELECT doc_id FROM toklists WHERE list_contains(toks, 'merge')),
+            t AS (SELECT doc_id, list_distinct(list_transform(
+                      range(0, CAST(doc_id % 3 AS INT)),
+                      j -> printf('t%02d', (doc_id * (j * 17 + 13)) % 23))) AS tags
+                  FROM m),
+            u AS (SELECT unnest(tags) AS tag FROM t),
+            c AS (SELECT tag, count(*)::BIGINT AS n_docs FROM u GROUP BY tag),
+            d AS (SELECT count(*)::BIGINT AS dim_count FROM t WHERE len(tags) > 0)
+            SELECT row_number() OVER (ORDER BY n_docs DESC, tag ASC)::BIGINT AS rank,
+                   tag, n_docs, (SELECT dim_count FROM d) AS dim_count
+            FROM c ORDER BY n_docs DESC, tag ASC LIMIT 8""",
         # adapter: role = ['user','assistant','system','tool'][doc_id %% 4]
         "index_facet_role": """
             WITH r AS (SELECT doc_id,

@@ -1004,6 +1004,21 @@ def index_multivalue_range_count(sf_dir: str) -> pd.DataFrame:
                          "n_wild": pd.Series([n_wild], dtype="int64")})
 
 
+def index_ssdv_facets(sf_dir: str) -> pd.DataFrame:
+    """SortedSetDocValues faceting over a MULTI-VALUED field
+    (`facet/sortedset/SortedSetDocValuesFacetCounts.java` getTopChildren):
+    per-tag doc counts of mv_str among docs matching 'merge', count desc /
+    tag asc, top 8, plus the dim count (docs with >= 1 tag).
+    (rank, tag, n_docs, dim_count)."""
+    searcher = IndexSearcher(build_mv_index(sf_dir))
+    top, dim_count = searcher.facet_sorted_set(
+        bool_query(should=["merge"]), "mv_str", top_n=8)
+    rows = [(r, tag, n, dim_count) for r, (tag, n) in enumerate(top, 1)]
+    return pd.DataFrame(rows, columns=["rank", "tag", "n_docs",
+                                       "dim_count"]) \
+        .astype({"rank": "int64", "n_docs": "int64", "dim_count": "int64"})
+
+
 def index_sorted_ts_topk(sf_dir: str) -> pd.DataFrame:
     """Most-recent-matching-turns: docs containing 'merge' by ts DESC, k=15
     (the 'search within a time window, newest first' surface), combined with

@@ -2086,6 +2086,40 @@ class IndexSearcher:
                 "description": "sum of clause scores (BM25, k1=%.1f b=%.2f)"
                                % (self.sim.k1, self.sim.b)}
 
+    def facet_sorted_set(self, query, field: str, top_n: int = 10):
+        """SortedSetDocValuesFacetCounts
+        (`facet/sortedset/SortedSetDocValuesFacetCounts.java`): per-value
+        doc counts of a multi-valued string dv field over the query's match
+        set.  Per shard: gather the matching docs' ord runs, one bincount
+        over the shard vocab; merge across shards BY STRING (shard ords are
+        segment-local, exactly why the reference counts against the
+        global-ord map).  Returns (list[(label, count)] count-desc /
+        label-asc like getTopChildren, dim_count = docs with >= 1 value)."""
+        from ..index.bp import _gather_ranges
+
+        if self.query_cache is not None:
+            self.query_cache.begin_search()
+        compiled = self.compile(query)
+        agg: dict[str, int] = {}
+        dim_count = 0
+        for pid in self._pids:
+            rdr = self.reader(pid)
+            _s, docs, _t, _r = self.search_shard(
+                rdr, compiled, rdr.doc_count, total_hits_threshold=2**31 - 1)
+            if not len(docs):
+                continue
+            offsets, ords, vocab = rdr.sorted_set_docvalue(field)
+            docs64 = docs.astype(np.int64)
+            dim_count += int(((offsets[docs64 + 1] - offsets[docs64]) > 0).sum())
+            sel = ords[_gather_ranges(offsets, docs64)]
+            bc = np.bincount(sel, minlength=len(vocab)) if len(sel) \
+                else np.zeros(len(vocab), np.int64)
+            for o in np.nonzero(bc)[0]:
+                lbl = str(vocab[o])
+                agg[lbl] = agg.get(lbl, 0) + int(bc[o])
+        top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+        return top, dim_count
+
     def count(self, query) -> int:
         """IndexSearcher.count equivalent (`search/IndexSearcher.java:428`)."""
         if self.query_cache is not None:

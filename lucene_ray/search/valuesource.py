@@ -77,6 +77,22 @@ IntFieldSource = LongFieldSource = FloatFieldSource = DoubleFieldSource = \
     FieldSource
 
 
+@dataclass(frozen=True)
+class SortedNumericFieldSource(ValueSource):
+    """MultiValuedLongFieldSource / MultiValuedDoubleFieldSource
+    (`valuesource/MultiValuedLongFieldSource.java` — SortedNumericSelector
+    wrapped as a single-valued view "for use with sorting, expressions,
+    function queries"): per-doc MIN or MAX of a multi-valued numeric dv
+    column, ``missing`` for docs with no values."""
+    field: str
+    selector: str = "min"
+    missing: int = 0
+
+    def vals(self, searcher, rdr):
+        return rdr.selected_numeric(self.field, self.selector,
+                                    self.missing).astype(np.float64)
+
+
 # ---- composition functions ----
 
 

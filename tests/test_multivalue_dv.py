@@ -267,3 +267,40 @@ def test_dv_rewrite_vs_brute(searcher):
     # no vocab intersection -> zero
     q = DocValuesRewriteQuery("mv_str", PrefixQuery("zzz"))
     assert searcher.count(q) == 0
+
+
+def test_facet_sorted_set_vs_brute(searcher):
+    """SortedSetDocValuesFacetCounts: per-tag doc counts over the match
+    set vs python recount; count-desc/label-asc order; dim_count."""
+    from collections import Counter
+
+    from lucene_ray.search.query import bool_query
+
+    q = bool_query(should=["merge"])
+    hits = _all_hits(searcher, q)
+    want = Counter()
+    dim = 0
+    for h in hits:
+        tags = mv_str_of(doc_id_of(h))
+        dim += bool(tags)
+        want.update(tags)
+    top, dim_count = searcher.facet_sorted_set(q, "mv_str", top_n=8)
+    assert dim_count == dim
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert top == expect
+
+
+def test_sorted_numeric_valuesource(searcher):
+    """MultiValuedLongFieldSource: selector view usable in function
+    queries — FunctionRangeQuery over min(mv_num) vs brute force."""
+    from lucene_ray.search.valuesource import (
+        FunctionRangeQuery,
+        SortedNumericFieldSource,
+    )
+
+    n_docs = sum(searcher.reader(p).doc_count for p in searcher._pids)
+    src = SortedNumericFieldSource("mv_num", "min", missing=10**6)
+    q = FunctionRangeQuery(src, 0.0, 120.0)
+    want = sum(1 for d in range(n_docs)
+               if mv_num_of(d) and 0 <= min(mv_num_of(d)) <= 120)
+    assert searcher.count(q) == want
