@@ -51,7 +51,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_indri_topk": _lazy("index_indri_topk"),
         "percolate_tree": _percolate_tree,
         "suggest_wfst": _suggest_wfst,
-        "suggest_fst_bucketed": _suggest_fst_bucketed,
         "lm_doc_scores": _lm_doc_scores,
         "index_grouped_topk": _lazy("index_grouped_topk"),
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
@@ -100,7 +99,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_charfilter_count": _lazy("index_charfilter_count"),
         "index_synonym_count": _lazy("index_synonym_count"),
         "index_shingle_count": _lazy("index_shingle_count"),
-        "index_interval_count": _lazy("index_interval_count"),
         "index_facet_role": _lazy("index_facet_role"),
         "index_conv_topk": _lazy("index_conv_topk"),
         "index_join_topk": _lazy("index_join_topk"),
@@ -123,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- beyond the 50-entry driver window ----------------
         # (family representatives, driver-green in r03, now past the window)
         "quality_eval": _lazy("quality_eval"),
+        "index_interval_count": _lazy("index_interval_count"),
+        "suggest_fst_bucketed": _suggest_fst_bucketed,
         "term_counts": textstats.term_counts,
         "dedup_exact": dedup.dedup_exact,
         "knn_cosine": knn.knn_cosine,
