@@ -78,6 +78,39 @@ IntFieldSource = LongFieldSource = FloatFieldSource = DoubleFieldSource = \
 
 
 @dataclass(frozen=True)
+class FloatVectorSimilaritySource(ValueSource):
+    """FloatVectorSimilarityFunction over FloatKnnVectorFieldSource +
+    ConstKnnFloatValueSource (`queries/function/valuesource/
+    FloatVectorSimilarityFunction.java`): per-doc similarity between the
+    shard's stored vector and a constant query vector, usable in
+    FunctionQuery / FunctionRangeQuery / expressions.  ``metric``:
+    'cosine' ((1 + cos) / 2, VectorSimilarityFunction.COSINE's score
+    mapping), 'dot' ((1 + dot) / 2, DOT_PRODUCT's normalized mapping, for
+    unit vectors), or 'euclidean' (1 / (1 + ||a-b||^2)).  Docs without a
+    vector store score 0."""
+    vector: tuple
+    metric: str = "cosine"
+
+    def vals(self, searcher, rdr):
+        vm = rdr.vectors()
+        n = rdr.doc_count
+        if vm is None:
+            return np.zeros(n, dtype=np.float64)
+        q = np.asarray(self.vector, dtype=np.float64)
+        vm64 = np.asarray(vm, dtype=np.float64)
+        dots = vm64 @ q
+        if self.metric == "dot":
+            return (1.0 + dots) / 2.0
+        if self.metric == "euclidean":
+            d2 = (vm64 * vm64).sum(axis=1) - 2.0 * dots + float(q @ q)
+            return 1.0 / (1.0 + np.maximum(d2, 0.0))
+        if self.metric != "cosine":
+            raise ValueError(f"unknown vector similarity {self.metric!r}")
+        qn = np.linalg.norm(q) or 1.0
+        return (1.0 + dots / (rdr.vector_norms() * qn)) / 2.0
+
+
+@dataclass(frozen=True)
 class SortedNumericFieldSource(ValueSource):
     """MultiValuedLongFieldSource / MultiValuedDoubleFieldSource
     (`valuesource/MultiValuedLongFieldSource.java` — SortedNumericSelector

@@ -137,3 +137,41 @@ def test_hybrid_rrf_shape_and_determinism(vec_index, ray_session):
     assert list(out1.columns) == ["rank", "doc_id", "rrf"]
     assert (out1["rrf"].diff().dropna() <= 1e-12).all()   # rrf non-increasing
     assert len(out1) == 10
+
+
+def test_float_vector_similarity_valuesource(vec_index):
+    """FloatVectorSimilarityFunction (`queries/function/valuesource/
+    FloatVectorSimilarityFunction.java`): per-doc vector similarity as a
+    ValueSource — FunctionQuery scores match brute-force cosine/dot/
+    euclidean mappings; FunctionRangeQuery counts match a recount."""
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.search.valuesource import (
+        FloatVectorSimilaritySource,
+        FunctionQuery,
+        FunctionRangeQuery,
+    )
+
+    ids, m = _corpus()
+    s = IndexSearcher(vec_index)
+    qv = m[5]
+    for metric in ("cosine", "dot", "euclidean"):
+        src = FloatVectorSimilaritySource(tuple(qv.tolist()), metric)
+        td = s.search(FunctionQuery(src), k=5)
+        if metric == "cosine":
+            sims = (1.0 + (m @ qv) / (np.linalg.norm(m, axis=1)
+                                      * np.linalg.norm(qv))) / 2.0
+        elif metric == "dot":
+            sims = (1.0 + m @ qv) / 2.0
+        else:
+            d2 = ((m - qv) ** 2).sum(axis=1)
+            sims = 1.0 / (1.0 + d2)
+        order = np.lexsort((ids, -np.float32(sims)))[:5]
+        got = [int(h.conv_id[5:]) * 5 + h.turn_idx for h in td.hits]
+        assert got == ids[order].tolist()
+        for h, e in zip(td.hits, np.float32(sims)[order]):
+            assert abs(h.score - float(e)) < 1e-6
+    src = FloatVectorSimilaritySource(tuple(qv.tolist()), "cosine")
+    cos = (1.0 + (m @ qv) / (np.linalg.norm(m, axis=1)
+                             * np.linalg.norm(qv))) / 2.0
+    n = s.count(FunctionRangeQuery(src, 0.6, 1.0))
+    assert n == int(((cos >= 0.6) & (cos <= 1.0)).sum()) > 0
