@@ -439,6 +439,32 @@ class SortedNumericRangeQuery:
 
 
 @dataclass(frozen=True)
+class SortedNumericSetQuery:
+    """Slow set query over a multi-valued numeric dv column
+    (`document/SortedNumericDocValuesField.newSlowSetQuery` /
+    `SortedNumericDocValuesSetQuery.java`): constant-score docs with AT
+    LEAST ONE value in the set — the multi-valued sibling of
+    DocValuesNumbersQuery."""
+    field: str
+    values: tuple
+
+
+@dataclass(frozen=True)
+class FeatureSortField:
+    """Sort by a FeatureField's decoded static score
+    (`document/FeatureSortField.java`): value = decode(encoded freq),
+    DESCENDING always (the reference's comparator is reverse-only — higher
+    feature first), docs without the feature at 0.0; global docID
+    ascending tie-break.  The reference addresses (field, featureName);
+    here each feature is one encoded dv column, so ``field`` names it
+    directly.  setMissingValue is unsupported in the reference — there is
+    deliberately no missing/reverse knob."""
+    field: str
+    reverse = True            # class attr: the reference comparator is
+                              # descending-only (SortField.Type.CUSTOM, true)
+
+
+@dataclass(frozen=True)
 class DocValuesRewriteQuery:
     """DocValuesRewriteMethod (`search/DocValuesRewriteMethod.java`): a
     MultiTermQuery (prefix / wildcard / regexp / fuzzy / term-range /

@@ -669,6 +669,28 @@ def search_shard_sorted_numeric_range(reader, query, k: int, after=None):
     return _const_score_hits(np.nonzero(mask)[0].astype(np.int32), k, after)
 
 
+def search_shard_sorted_numeric_set(reader, query, k: int, after=None):
+    """SortedNumericDocValuesField.newSlowSetQuery
+    (`document/SortedNumericDocValuesSetQuery.java`): constant-score docs
+    with ANY value of the multi-valued column in the set; shard flattened
+    min/max prunes values outside the shard's domain first."""
+    vals = np.asarray(query.values, dtype=np.int64)
+    r = reader.docvalue_range(query.field)
+    if r is not None:
+        vals = vals[(vals >= r[0]) & (vals <= r[1])]
+    if len(vals) == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
+    offsets, values = reader.sorted_numeric_docvalue(query.field)
+    inr = np.isin(values, vals)
+    parent = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                       np.diff(offsets))
+    mask = np.zeros(len(offsets) - 1, dtype=bool)
+    mask[parent[inr]] = True
+    if reader.deleted is not None:
+        mask &= ~reader.deleted
+    return _const_score_hits(np.nonzero(mask)[0].astype(np.int32), k, after)
+
+
 def search_shard_sorted_set_range(reader, query, k: int, after=None):
     """SortedSetDocValuesField.newSlowRangeQuery: constant-score docs with
     any value of the multi-valued string column in the term range.  The

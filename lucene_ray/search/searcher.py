@@ -913,6 +913,11 @@ class IndexSearcher:
         if isinstance(query, DocValuesRewriteQuery):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False, "dv_rewrite": query}
+        from .query import SortedNumericSetQuery
+
+        if isinstance(query, SortedNumericSetQuery):
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False, "mv_num_set": query}
         from .feature import FeatureQuery, LongDistanceFeatureQuery, compute_pivot
         from .geo import GeoDistanceFeatureQuery
 
@@ -1360,6 +1365,11 @@ class IndexSearcher:
 
             return search_shard_dv_rewrite(
                 rdr, compiled["dv_rewrite"], _expand_terms, k, after=after)
+        if compiled.get("mv_num_set") is not None:
+            from .scorer import search_shard_sorted_numeric_set
+
+            return search_shard_sorted_numeric_set(
+                rdr, compiled["mv_num_set"], k, after=after)
         if compiled.get("shape") is not None:
             from .scorer import search_shard_shape
 
@@ -1712,7 +1722,13 @@ class IndexSearcher:
         reported total becomes a lower bound (GTE relation), exactly the
         reference's totalHits semantics under early termination."""
         from .geo import GeoDistanceSort
-        from .query import ExpressionSort, SortField, SortedNumericSortField, SortedSetSortField
+        from .query import (
+            ExpressionSort,
+            FeatureSortField,
+            SortField,
+            SortedNumericSortField,
+            SortedSetSortField,
+        )
 
         if isinstance(sort, (list, tuple)):
             if len(sort) == 1:
@@ -1724,7 +1740,8 @@ class IndexSearcher:
             return self._search_sorted_set(query, sort, k, after=after)
         if self.query_cache is not None:
             self.query_cache.begin_search()
-        is_float = isinstance(sort, (GeoDistanceSort, ExpressionSort))
+        is_float = isinstance(sort, (GeoDistanceSort, ExpressionSort,
+                                     FeatureSortField))
         compiled = self.compile(query)
         vals_all, gids_all = [], []
         total = 0
@@ -1753,6 +1770,15 @@ class IndexSearcher:
             elif isinstance(sort, SortedNumericSortField):
                 dv = rdr.selected_numeric(sort.field, sort.selector,
                                           sort.missing)[docs]
+            elif isinstance(sort, FeatureSortField):
+                from .feature import decode_feature_value
+
+                # comparator parses the feature value, missing -> 0.0
+                # (FeatureSortField.java FeatureComparator)
+                enc = rdr.docvalue(sort.field)[docs]
+                dv = np.where(enc > 0,
+                              decode_feature_value(enc.astype(np.float64)),
+                              0.0)
             else:
                 dv = rdr.docvalue(sort.field)[docs]
             gid64 = docs.astype(np.int64) + self._bases[pid]

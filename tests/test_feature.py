@@ -320,3 +320,22 @@ def test_long_distance_feature_in_boolean(feat_index):
         if h.gid in base_sc:
             want = np.float32(base_sc[h.gid]) + want
         assert np.float32(h.score) == np.float32(want)
+
+
+def test_feature_sort_field(feat_index):
+    """FeatureSortField (`document/FeatureSortField.java`): hits ordered by
+    the decoded feature value DESCENDING (the comparator is reverse-only),
+    missing feature -> 0.0, docID-asc ties."""
+    from lucene_ray.search.feature import decode_feature_value
+    from lucene_ray.search.query import FeatureSortField, bool_query
+
+    s, vals, enc, tokens = feat_index
+    q = bool_query(should=["merge"])
+    td = s.search(q, k=25, sort=FeatureSortField("feat"))
+    match = np.array([("merge" in t) for t in tokens])
+    dec = np.where(enc > 0,
+                   decode_feature_value(enc.astype(np.float64)), 0.0)
+    cand = np.nonzero(match)[0]
+    order = cand[np.lexsort((cand, -dec[cand]))][:25]
+    assert [h.gid for h in td.hits] == order.tolist()
+    assert [float(h.fields[0]) for h in td.hits] == dec[order].tolist()

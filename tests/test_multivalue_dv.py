@@ -304,3 +304,16 @@ def test_sorted_numeric_valuesource(searcher):
     want = sum(1 for d in range(n_docs)
                if mv_num_of(d) and 0 <= min(mv_num_of(d)) <= 120)
     assert searcher.count(q) == want
+
+
+def test_sorted_numeric_set_query_vs_brute(searcher):
+    """SortedNumericDocValuesField.newSlowSetQuery: any-value-in-set
+    semantics vs brute force; out-of-range set values prune to nothing."""
+    from lucene_ray.search.query import SortedNumericSetQuery
+
+    n_docs = sum(searcher.reader(p).doc_count for p in searcher._pids)
+    wanted = (3, 150, 499, 777)
+    brute = sum(1 for d in range(n_docs)
+                if any(v in wanted for v in mv_num_of(d)))
+    assert searcher.count(SortedNumericSetQuery("mv_num", wanted)) == brute
+    assert searcher.count(SortedNumericSetQuery("mv_num", (1234, -5))) == 0
