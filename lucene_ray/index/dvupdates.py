@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from .manifest import commit_index, latest_commit, shard_dirpath
 
-__all__ = ["update_numeric_docvalue"]
+__all__ = ["update_numeric_docvalue", "soft_delete_by_keys",
+           "soft_undelete_by_keys"]
 
 
 def update_numeric_docvalue(index_dir: str, keys: pa.Table, field: str,
@@ -101,3 +102,30 @@ def update_numeric_docvalue(index_dir: str, keys: pa.Table, field: str,
                                    "text_col", "format")
             if k in commit}
     return commit_index(index_dir, new_shards, meta)
+
+
+def soft_delete_by_keys(index_dir: str, keys: pa.Table, *,
+                        field: str = "soft_del",
+                        key_cols: tuple[str, str] = ("conv_id", "turn_idx")
+                        ) -> dict:
+    """Soft deletes (`IndexWriter.softUpdateDocument` /
+    `index/SoftDeletesDirectoryReaderWrapper.java` model): mark matching
+    docs deleted by SETTING A DOC-VALUES FIELD instead of flipping the
+    live-docs bitmap.  The docs stay physically present (merges fold the
+    marker dv like any update — the SoftDeletesRetentionMergePolicy
+    retention role for retention=MatchAll), searchers opened with
+    ``soft_deletes_field=field`` hide them, searchers opened without see
+    them — the wrapper's dual-view contract.  Reversible via
+    :func:`soft_undelete_by_keys` (hard deletes are not)."""
+    return update_numeric_docvalue(index_dir, keys, field, 1,
+                                   key_cols=key_cols)
+
+
+def soft_undelete_by_keys(index_dir: str, keys: pa.Table, *,
+                          field: str = "soft_del",
+                          key_cols: tuple[str, str] = ("conv_id", "turn_idx")
+                          ) -> dict:
+    """Clear the soft-delete marker (the reversibility soft deletes exist
+    for — `SoftDeletesDirectoryReaderWrapper` javadoc)."""
+    return update_numeric_docvalue(index_dir, keys, field, 0,
+                                   key_cols=key_cols)

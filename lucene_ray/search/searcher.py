@@ -64,7 +64,13 @@ class TopDocs:
 
 class IndexSearcher:
     def __init__(self, index_dir: str, similarity: BM25Similarity | None = None,
-                 use_wand: bool = True, query_cache=None):
+                 use_wand: bool = True, query_cache=None,
+                 soft_deletes_field: str | None = None):
+        # soft_deletes_field: open the SoftDeletesDirectoryReaderWrapper
+        # view (`index/SoftDeletesDirectoryReaderWrapper.java`) — docs whose
+        # marker dv column is non-zero are treated as deleted; opening
+        # WITHOUT the field sees them (the dual-view contract)
+        self.soft_deletes_field = soft_deletes_field
         self.index_dir = index_dir
         self.commit = latest_commit(index_dir)
         if self.commit is None:
@@ -252,6 +258,7 @@ class IndexSearcher:
             dvu = self._dvu.get(pid)
             r.set_dv_updates(dvu[0] if dvu else None,
                              dvu[1] if dvu else None)
+            self._apply_soft_deletes(r)
         self._stats = None
         # a new commit may have merged shards (pid reused, docids remapped):
         # drop all cached filter sets, as the reference drops per-core cache
@@ -425,8 +432,21 @@ class IndexSearcher:
             dvu = self._dvu.get(pid)
             if dvu:
                 r.set_dv_updates(dvu[0], dvu[1])
+            self._apply_soft_deletes(r)
             self._readers[pid] = r
         return r
+
+    def _apply_soft_deletes(self, r) -> None:
+        """Fold the soft-delete marker dv into the reader's deleted mask
+        (SoftDeletesDirectoryReaderWrapper#wrap hardLiveDocs & softDeletes).
+        Must run AFTER set_deletes/set_dv_updates — the marker reads
+        through the newest dv generation."""
+        fld = self.soft_deletes_field
+        if not fld or fld not in tuple(self.commit.get("docvalue_cols", ())):
+            return
+        sd = r.docvalue(fld) != 0
+        if sd.any():
+            r.deleted = sd if r.deleted is None else (r.deleted | sd)
 
     def _rewrite_common_terms(self, q):
         """CommonTermsQuery.rewrite (`queries/CommonTermsQuery.java:116-189`
