@@ -321,8 +321,10 @@ class MemoryIndex:
                         else re.escape(ch) for ch in query.pattern) + r"\Z")
             ok = any(pat.match(t) for t in terms)
         elif isinstance(query, RegexpQuery):
-            pat = re.compile(query.regexp + r"\Z")
-            ok = any(pat.match(t) for t in terms)
+            from ..util.regexp import LuceneRegExp
+
+            rx = LuceneRegExp(query.regexp, query.flags)
+            ok = any(rx.fullmatch(t) for t in terms)
         elif isinstance(query, FuzzyQuery):
             ok = any(
                 _levenshtein_leq(query.term, t, query.max_edits)

@@ -139,12 +139,14 @@ class SuggestIndexSearcher:
             for k, s, w, c in self._entries(kq, kq + HI):
                 yield k, s, w, c, 0.0
         elif isinstance(query, RegexCompletionQuery):
-            pat = re.compile(query.regexp)
-            # prune by the regex's leading literal run when present
-            lit = re.match(r"[^\\.\*\+\?\[\(\{\|\^\$]*", query.regexp)
-            lo = lit.group(0) if lit else ""
+            # Lucene RegExp dialect (`util/automaton/RegExp.java`), prefix
+            # intersection semantics; the literal prefix prunes the store
+            from ..util.regexp import LuceneRegExp
+
+            rx = LuceneRegExp(query.regexp)
+            lo = rx.literal_prefix()
             for k, s, w, c in self._entries(lo, (lo + HI) if lo else HI):
-                if pat.match(k):
+                if rx.prefix_match(k):
                     yield k, s, w, c, 0.0
         elif isinstance(query, FuzzyCompletionQuery):
             from .suggest import _prefix_within_edits

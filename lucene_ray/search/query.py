@@ -681,11 +681,15 @@ class WildcardQuery:
 
 @dataclass(frozen=True)
 class RegexpQuery:
-    """Anchored regular-expression term expansion (`search/RegexpQuery.java`),
-    constant-score rewrite."""
+    """Anchored regular-expression term expansion (`search/RegexpQuery.java`)
+    in LUCENE's RegExp dialect (`util/automaton/RegExp.java` via
+    `util/regexp.py`: union/concat/repeats/classes plus — under the default
+    ALL flags — intersection ``&``, numerical intervals ``<n-m>``,
+    any-string ``@`` and empty-language ``#``), constant-score rewrite."""
     regexp: str
     field: str = "text"
     boost: float = 1.0
+    flags: int = 0xFF            # RegExp.ALL; pass util.regexp flag bits
 
 
 @dataclass(frozen=True)

@@ -2271,8 +2271,16 @@ def _expand_terms(terms: np.ndarray, query) -> list[str]:
         lo, hi = _prefix_range(terms, pre) if pre else (0, len(terms))
         return [t for t in terms[lo:hi] if pat.fullmatch(t)]
     if isinstance(query, RegexpQuery):
-        pat = _re.compile(query.regexp)
-        return [t for t in terms if pat.fullmatch(t)]
+        # Lucene RegExp dialect, not java/python regex (`util/automaton/
+        # RegExp.java` — intersection &, intervals <n-m>, @, #); the literal
+        # prefix narrows the dictionary scan like CompiledAutomaton's
+        # common prefix
+        from ..util.regexp import LuceneRegExp
+
+        rx = LuceneRegExp(query.regexp, query.flags)
+        pre = rx.literal_prefix()
+        lo, hi = _prefix_range(terms, pre) if pre else (0, len(terms))
+        return [t for t in terms[lo:hi] if rx.fullmatch(t)]
     if isinstance(query, FuzzyQuery):
         base = query.term
         pre = base[:query.prefix_length]

@@ -500,9 +500,10 @@ def extract_highlight_terms(query):
             matchers.append((q.pattern,
                              lambda t, pat=pat: pat.fullmatch(t) is not None))
         elif isinstance(q, RegexpQuery):
-            pat = re.compile(q.regexp)
-            matchers.append((q.regexp,
-                             lambda t, pat=pat: pat.fullmatch(t) is not None))
+            from ..util.regexp import LuceneRegExp
+
+            rx = LuceneRegExp(q.regexp, q.flags)
+            matchers.append((q.regexp, rx.fullmatch))
         elif isinstance(q, FuzzyQuery):
             base, k, pl = q.term, q.max_edits, q.prefix_length
             matchers.append((base + "~", lambda t, base=base, k=k, pl=pl:

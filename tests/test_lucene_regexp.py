@@ -1,0 +1,99 @@
+"""Lucene RegExp dialect (`util/automaton/RegExp.java`): parser/matcher
+semantics incl. intersection, numerical intervals, any-string, quoted
+strings, predefined classes, ASCII case folding — plus end-to-end
+RegexpQuery counts through the index and completion prefix semantics."""
+
+import pytest
+
+from lucene_ray.util.regexp import (
+    ALL,
+    ASCII_CASE_INSENSITIVE,
+    INTERSECTION,
+    NONE,
+    LuceneRegExp,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("pat,s,want", [
+    ("merg.*ing", "merging", True),
+    ("merg.*ing", "merge", False),
+    ("ab&.b", "ab", True),                    # intersection
+    ("ab&.c", "ab", False),
+    ("[a-z]+&.*b.*", "cab", True),
+    ("<5-40>", "7", True),                    # interval, value semantics
+    ("<5-40>", "007", True),                  # leading zeros (digits=0)
+    ("<5-40>", "41", False),
+    ("<05-40>", "07", True),                  # equal-width bounds: fixed 2
+    ("<05-40>", "7", False),
+    ("foo<1-100>bar", "foo99bar", True),
+    ("foo<1-100>bar", "foo0bar", False),
+    ("@", "anything at all", True),           # any string
+    ("#", "", False),                         # empty language
+    ('"a|b"', "a|b", True),                   # quoted literal
+    ('"a|b"', "a", False),
+    ("()", "", True),                         # empty string
+    ("a{2,3}", "aaa", True),
+    ("a{2,3}", "aaaa", False),
+    ("a{2,}", "aaaaa", True),
+    (r"\d+", "123", True),                    # predefined = [0-9]
+    (r"\d+", "12a", False),
+    (r"\w+", "ab_9", True),
+    (r"\s", "\t", True),
+    ("[^a-c]x", "dx", True),
+    ("[^a-c]x", "ax", False),
+    ("(ab&ab)+", "abab", True),               # structural node under repeat
+    ("(ab&ba)+", "ab", False),
+    ("(a|b)*c", "ababc", True),
+])
+def test_dialect_matrix(pat, s, want):
+    assert LuceneRegExp(pat).fullmatch(s) == want
+
+
+def test_flags():
+    # NONE: & and <..> and @ and # are plain characters / errors
+    assert LuceneRegExp("a&b", NONE).fullmatch("a&b")
+    assert not LuceneRegExp("a&b", NONE).fullmatch("a")
+    assert LuceneRegExp("a&b", INTERSECTION).fullmatch("a") is False
+    r = LuceneRegExp("Foo.*", ALL | ASCII_CASE_INSENSITIVE)
+    assert r.fullmatch("fOO!") and not r.fullmatch("bar")
+    with pytest.raises(ValueError):
+        LuceneRegExp("a(b")                   # unbalanced
+    with pytest.raises(ValueError):
+        LuceneRegExp("<name>")                # named automata unsupported
+
+
+def test_prefix_helpers():
+    assert LuceneRegExp("abc[xy]z").literal_prefix() == "abc"
+    assert LuceneRegExp('"lit"x*').literal_prefix() == "lit"
+    r = LuceneRegExp("mer&m.*")               # structural prefix match
+    assert r.prefix_match("mer tail is ignored"[:3])
+    assert LuceneRegExp("me").prefix_match("merge")
+    assert not LuceneRegExp("xx").prefix_match("merge")
+
+
+def test_regexp_query_end_to_end(ray_session, tmp_path):
+    """RegexpQuery through the index in the Lucene dialect: an interval
+    pattern and an intersection pattern over the rareterm vocabulary,
+    counts vs TermInSetQuery recomputation."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import RegexpQuery, TermInSetQuery
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    d = str(tmp_path / "rxidx")
+    build_index(rd.from_arrow(synth_transcripts(8000, seed=11)), d,
+                target_docs_per_partition=3000, input_desc="rxcorpus")
+    s = IndexSearcher(d)
+    # rareterm<i:04d> vocabulary: interval selects a numeric band
+    q = RegexpQuery("rareterm<0100-0120>")
+    want_terms = tuple(f"rareterm{i:04d}" for i in range(100, 121))
+    n_interval = s.count(q)
+    assert n_interval == s.count(TermInSetQuery(want_terms)) > 0
+    # intersection: terms matching rareterm.* AND .*7
+    n_inter = s.count(RegexpQuery("rareterm.*&.*7"))
+    sevens = tuple(f"rareterm{i:04d}" for i in range(2000) if i % 10 == 7)
+    assert n_inter == s.count(TermInSetQuery(sevens)) > 0
