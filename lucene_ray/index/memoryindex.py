@@ -316,10 +316,10 @@ class MemoryIndex:
         if isinstance(query, PrefixQuery):
             ok = any(t.startswith(query.prefix) for t in terms)
         elif isinstance(query, WildcardQuery):
-            pat = re.compile(
-                "".join(".*" if ch == "*" else "." if ch == "?"
-                        else re.escape(ch) for ch in query.pattern) + r"\Z")
-            ok = any(pat.match(t) for t in terms)
+            from ..util.regexp import wildcard_to_pattern
+
+            pat = re.compile(wildcard_to_pattern(query.pattern)[0], re.DOTALL)
+            ok = any(pat.fullmatch(t) for t in terms)
         elif isinstance(query, RegexpQuery):
             from ..util.regexp import LuceneRegExp
 

@@ -2263,11 +2263,12 @@ def _expand_terms(terms: np.ndarray, query) -> list[str]:
         lo, hi = _prefix_range(terms, query.prefix)
         return terms[lo:hi].tolist()
     if isinstance(query, WildcardQuery):
-        pat = _re.compile("".join(
-            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-            for c in query.pattern))
-        # literal-prefix range narrowing before the regex scan
-        pre = _re.match(r"[^*?]*", query.pattern).group(0)
+        from ..util.regexp import wildcard_to_pattern
+
+        # `\x` escapes per WildcardQuery.toAutomaton; literal-prefix range
+        # narrowing before the regex scan
+        pat_s, pre = wildcard_to_pattern(query.pattern)
+        pat = _re.compile(pat_s, _re.DOTALL)
         lo, hi = _prefix_range(terms, pre) if pre else (0, len(terms))
         return [t for t in terms[lo:hi] if pat.fullmatch(t)]
     if isinstance(query, RegexpQuery):

@@ -494,9 +494,9 @@ def extract_highlight_terms(query):
             p = q.prefix
             matchers.append((p + "*", lambda t, p=p: t.startswith(p)))
         elif isinstance(q, WildcardQuery):
-            pat = re.compile("".join(
-                ".*" if c == "*" else "." if c == "?" else re.escape(c)
-                for c in q.pattern))
+            from ..util.regexp import wildcard_to_pattern
+
+            pat = re.compile(wildcard_to_pattern(q.pattern)[0], re.DOTALL)
             matchers.append((q.pattern,
                              lambda t, pat=pat: pat.fullmatch(t) is not None))
         elif isinstance(q, RegexpQuery):

@@ -419,3 +419,34 @@ def _match(node, s: str, i: int, j: int, memo: dict) -> bool:
         raise AssertionError(k)
     memo[key] = r
     return r
+
+
+def wildcard_to_pattern(pattern: str) -> tuple[str, str]:
+    """WildcardQuery translation (`search/WildcardQuery.java` toAutomaton):
+    ``*`` any string, ``?`` any char, ``\\x`` the literal x (a trailing
+    backslash is lenient-parsed as a literal backslash).  Returns the
+    anchored python pattern and the literal prefix usable for dictionary
+    narrowing (stops at the first unescaped wildcard)."""
+    out: list[str] = []
+    prefix: list[str] = []
+    literal_run = True
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "*":
+            out.append(".*")
+            literal_run = False
+        elif c == "?":
+            out.append(".")
+            literal_run = False
+        elif c == "\\" and i + 1 < len(pattern):
+            i += 1
+            out.append(re.escape(pattern[i]))
+            if literal_run:
+                prefix.append(pattern[i])
+        else:
+            out.append(re.escape(c))
+            if literal_run:
+                prefix.append(c)
+        i += 1
+    return "".join(out), "".join(prefix)

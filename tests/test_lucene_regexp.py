@@ -97,3 +97,41 @@ def test_regexp_query_end_to_end(ray_session, tmp_path):
     n_inter = s.count(RegexpQuery("rareterm.*&.*7"))
     sevens = tuple(f"rareterm{i:04d}" for i in range(2000) if i % 10 == 7)
     assert n_inter == s.count(TermInSetQuery(sevens)) > 0
+
+
+def test_wildcard_escapes(ray_session, tmp_path):
+    """WildcardQuery escape handling (`search/WildcardQuery.java`
+    WILDCARD_ESCAPE): \\* is a literal star, \\? a literal question mark,
+    a trailing backslash is lenient-parsed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import WildcardQuery
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.util.regexp import wildcard_to_pattern
+
+    assert wildcard_to_pattern(r"a\*b") == ("a\\*b", "a*b")
+    assert wildcard_to_pattern("a*b") [1] == "a"
+    assert wildcard_to_pattern(r"x\?") == ("x\\?", "x?")
+
+    n = 40
+    texts = ["star*term other" if i % 2 else "starXterm other"
+             for i in range(n)]
+    t = pa.table({
+        "conv_id": pa.array([f"conv-{i:08d}" for i in range(n)]),
+        "turn_idx": pa.array([0] * n, type=pa.int32()),
+        "role": pa.array(["user"] * n), "text": pa.array(texts),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([1_700_000_000_000_000] * n,
+                       type=pa.timestamp("us")),
+    })
+    d = str(tmp_path / "wcidx")
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=n,
+                input_desc="wc")
+    s = IndexSearcher(d)
+    # the tokenizer splits star*term on '*': 'star' and 'term' both appear
+    # in every doc; starxterm survives as one token in the even docs
+    assert s.count(WildcardQuery(r"star\*term")) == 0   # literal star token never indexed
+    assert s.count(WildcardQuery("star?term")) == n // 2
+    assert s.count(WildcardQuery("star*")) == n         # every doc has 'star'
