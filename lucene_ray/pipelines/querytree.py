@@ -467,6 +467,17 @@ class RegexpQueryHandler:
             return None
         if q.field in self.excluded_fields:
             return AnyNode(f"excluded field[{q.field}]")
+        import re as _re
+
+        if _re.search(r'[|&<>{}\[\]()@#"\\+]', q.regexp):
+            # Lucene-dialect operators beyond the reference splitter's
+            # simple subset (unions, intersections, intervals, classes,
+            # quoted strings): no substring is provably REQUIRED, so the
+            # query must stay unscreenable — a wrong "literal" here would
+            # be a percolator false negative.  (Defensive divergence: the
+            # reference RegexpQueryHandler is documented for simple
+            # regexes only and would mis-trigger on these.)
+            return AnyNode(repr(q))
         selected = self.select_longest_substring(q.regexp)
         if not selected:
             return AnyNode(repr(q))

@@ -135,3 +135,52 @@ def test_wildcard_escapes(ray_session, tmp_path):
     assert s.count(WildcardQuery(r"star\*term")) == 0   # literal star token never indexed
     assert s.count(WildcardQuery("star?term")) == n // 2
     assert s.count(WildcardQuery("star*")) == n         # every doc has 'star'
+
+
+def test_structural_matcher_agrees_with_compiled_fuzz():
+    """The memoized span matcher and the compiled-pattern fast path are two
+    evaluators of the same AST — on randomly generated pure-subset patterns
+    they must agree on every candidate string."""
+    import random
+
+    from lucene_ray.util import regexp as lr
+
+    rng = random.Random(99)
+    alphabet = "abc"
+
+    def gen(depth: int) -> str:
+        if depth <= 0:
+            return rng.choice([rng.choice(alphabet), ".", "[ab]", "[^a]"])
+        k = rng.randrange(6)
+        if k == 0:
+            return gen(depth - 1) + gen(depth - 1)
+        if k == 1:
+            return f"({gen(depth - 1)}|{gen(depth - 1)})"
+        if k == 2:
+            return f"({gen(depth - 1)})*"
+        if k == 3:
+            return f"({gen(depth - 1)})?"
+        if k == 4:
+            lo = rng.randrange(3)
+            return f"({gen(depth - 1)}){{{lo},{lo + rng.randrange(3)}}}"
+        return gen(depth - 1)
+
+    def strings(max_len: int):
+        out = [""]
+        for _ in range(max_len):
+            out += [s + c for s in out[-len(alphabet) ** 3:]
+                    for c in alphabet]
+        return out[:200]
+
+    cands = strings(4)
+    for _ in range(150):
+        pat = gen(3)
+        try:
+            r = lr.LuceneRegExp(pat)
+        except ValueError:
+            continue
+        assert r._re is not None, pat       # pure subset compiles
+        for s in cands[:60]:
+            fast = r._re.fullmatch(s) is not None
+            slow = lr._match(r.ast, s, 0, len(s), {})
+            assert fast == slow, (pat, s, fast, slow)

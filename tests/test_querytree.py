@@ -336,3 +336,16 @@ def test_tree_monitor_prunes():
     flat, lens, didx = mon._tokenize(texts)
     assert mon._candidates(didx, flat, lens) == []
     assert len(mon.always_units) == 0
+
+
+def test_regexp_handler_dialect_guard():
+    """Lucene-dialect operators (union / intersection / interval / class /
+    quoted) make the simple substring extraction unsound — the handler must
+    fall back to ANYTOKEN instead of risking percolator false negatives."""
+    h = RegexpQueryHandler()
+    for pat in ("a|b", "rare.*&.*7", "x<1-100>y", "[ab]cd", '"lit"x', "a+"):
+        tree = build_query_tree(RegexpQuery(pat), handlers=[h])
+        assert not {t for t in _terms(tree) if t[0] == "__substr__"}, pat
+    # the simple subset keeps its substring trigger
+    tree = build_query_tree(RegexpQuery("merg.*ing"), handlers=[h])
+    assert {t for t in _terms(tree) if t[0] == "__substr__"}
