@@ -255,3 +255,21 @@ def geo_distance_feature_scores(preader, q: GeoDistanceFeatureQuery):
     sc = (w * (np.float64(q.pivot_m) / (np.float64(q.pivot_m) + mind))) \
         .astype(np.float32)
     return uniq.astype(np.int32), sc
+
+
+def lat_lon_bbox_query(field: str, relation: str, min_lat: float,
+                       min_lon: float, max_lat: float, max_lon: float):
+    """LatLonBoundingBox query builders (`sandbox/document/
+    LatLonBoundingBox.java` newIntersectsQuery / newWithinQuery /
+    newContainsQuery / newCrossesQuery): each doc stores a geo bounding box
+    as a 2-dim range field — (minLat, minLon) mins, (maxLat, maxLon) maxes,
+    GeoEncodingUtils-encoded like the reference's packed sortable ints —
+    and the search box relates to it through the generic RangeFieldQuery
+    relation algebra."""
+    from .query import RangeFieldQuery
+
+    if max_lat < min_lat or max_lon < min_lon:
+        raise ValueError("invalid bounding box")
+    lo = (int(encode_latitude(min_lat)), int(encode_longitude(min_lon)))
+    hi = (int(encode_latitude(max_lat)), int(encode_longitude(max_lon)))
+    return RangeFieldQuery(field, relation, lo, hi)
