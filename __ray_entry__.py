@@ -47,28 +47,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- inverted-index engine (SURVEY §2.1, §2.4-§2.9) ---
         "index_term_dictionary": index_term_dictionary,
         "index_bm25_topk": index_bm25_topk,
-        "index_bm25_sql_topk": _index_bm25_sql_topk,
+        # VERDICT r3 #2: these eight must be driver-green in CORRECTNESS_r4
+        "index_knn_filtered": _vs("index_knn_filtered"),
+        "index_hybrid_rrf": _vs("index_hybrid_rrf"),
+        "index_conv_topk": _lazy("index_conv_topk"),
+        "index_mlt_topk": _lazy("index_mlt_topk"),
+        "classify_naive_bayes": _classify_nb,
+        "percolate": _percolate,
+        "percolate_ast": _percolate_ast,
+        "suggest_analyzing": _suggest_analyzing,
+        "classify_confusion": _classify_confusion,
         "index_indri_topk": _lazy("index_indri_topk"),
         "percolate_tree": _percolate_tree,
         "suggest_wfst": _suggest_wfst,
         "lm_doc_scores": _lm_doc_scores,
-        "index_grouped_topk": _lazy("index_grouped_topk"),
-        "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
-        "index_phrase_count": _lazy("index_phrase_count"),
-        "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
         "index_phrase_wildcard_count": _lazy("index_phrase_wildcard_count"),
         "index_flexible_count": _lazy("index_flexible_count"),
         "index_span_near_count": _lazy("index_span_near_count"),
         "index_interval_fn_count": _lazy("index_interval_fn_count"),
         "index_automaton_count": _lazy("index_automaton_count"),
         "index_payload_topk": _lazy("index_payload_topk"),
-        "index_prefix_count": _lazy("index_prefix_count"),
-        "index_keyword_count": _lazy("index_keyword_count"),
         "index_pk_bloom_count": _lazy("index_pk_bloom_count"),
         "index_pk_version_lookup": _lazy("index_pk_version_lookup"),
-        "index_delete_count": _lazy("index_delete_count"),
         "index_delete_query_count": _lazy("index_delete_query_count"),
-        "index_dv_update_count": _lazy("index_dv_update_count"),
         "index_range_count": _lazy("index_range_count"),
         "index_point_range_count": _lazy("index_point_range_count"),
         "index_range_field_count": _lazy("index_range_field_count"),
@@ -106,20 +107,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_expr_topk": _lazy("index_expr_topk"),
         "index_fn_termstats_topk": _lazy("index_fn_termstats_topk"),
         "index_expr_sorted_topk": _lazy("index_expr_sorted_topk"),
-        # --- vector search as a first-class index query (round 3) ---
-        "index_knn_filtered": _vs("index_knn_filtered"),
-        "index_hybrid_rrf": _vs("index_hybrid_rrf"),
-        # --- suggesters (FST-suggester surface) ---
-        "suggest_analyzing": _suggest_analyzing,
         "suggest_contexts": _suggest_contexts,
-        # --- joins / percolator / multimodal / classification ---
         "bucketed_join": _bucketed_join,
-        "percolate": _percolate,
-        "percolate_ast": _percolate_ast,
-        "classify_naive_bayes": _classify_nb,
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         # ---------------- beyond the 50-entry driver window ----------------
         # (family representatives, driver-green in r03, now past the window)
+        "index_bm25_sql_topk": _index_bm25_sql_topk,
+        "index_grouped_topk": _lazy("index_grouped_topk"),
+        "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
+        "index_phrase_count": _lazy("index_phrase_count"),
+        "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
+        "index_prefix_count": _lazy("index_prefix_count"),
+        "index_keyword_count": _lazy("index_keyword_count"),
+        "index_delete_count": _lazy("index_delete_count"),
+        "index_dv_update_count": _lazy("index_dv_update_count"),
         "quality_eval": _lazy("quality_eval"),
         "index_interval_count": _lazy("index_interval_count"),
         "suggest_fst_bucketed": _suggest_fst_bucketed,
@@ -214,6 +215,12 @@ def _classify_nb(sf_dir):
     from lucene_ray.pipelines.classify import classify_naive_bayes
 
     return classify_naive_bayes(sf_dir)
+
+
+def _classify_confusion(sf_dir):
+    from lucene_ray.pipelines.classify import classify_confusion
+
+    return classify_confusion(sf_dir)
 
 
 def _classify_knn(sf_dir):
@@ -1472,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
                    ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0)::BIGINT AS n_sampled
             FROM documents""",
         "classify_naive_bayes": _classify_nb_sql(),
+        "classify_confusion": _classify_confusion_sql(),
         "percolate_ast": _TOKS + " " + _percolate_ast_sql(),
         "percolate_tree": _TOKS + " " + _percolate_tree_sql(),
         "lm_doc_scores": _lm_scores_sql(),
@@ -1516,6 +1524,12 @@ def _classify_nb_sql() -> str:
     from lucene_ray.pipelines.classify import naive_bayes_oracle_sql
 
     return naive_bayes_oracle_sql()
+
+
+def _classify_confusion_sql() -> str:
+    from lucene_ray.pipelines.classify import confusion_oracle_sql
+
+    return confusion_oracle_sql()
 
 
 def _redact_sql() -> str:

@@ -148,11 +148,11 @@ def train_naive_bayes(sf_dir: str, class_col: str = "lang",
             "log_lik": log_lik, "log_lik_oov": log_lik_oov}
 
 
-def classify_naive_bayes(sf_dir: str, class_col: str = "lang",
-                         max_features: int | None = 1 << 20) -> pd.DataFrame:
-    """(doc_id, pred) — NB self-classification of every document: fit on the
-    labeled corpus, then one broadcast + vectorized map_batches scoring pass
-    (``assignClass`` over a stream instead of one text at a time).
+def _nb_pred_ds(sf_dir: str, class_col: str,
+                max_features: int | None, carry: tuple[str, ...] = ()):
+    """Fit NB and return the scored Dataset of (doc_id, *carry, pred) — the
+    shared one-broadcast + vectorized map_batches scoring pass behind both
+    ``classify_naive_bayes`` and the confusion-matrix generator.
 
     Per batch: tokens resolve to vocab rows via ``pc.index_in`` (OOV → the
     smoothing row), per-doc per-class log-likelihood sums via a segmented
@@ -183,16 +183,154 @@ def classify_naive_bayes(sf_dir: str, class_col: str = "lang",
             scores[nz] += np.add.reduceat(
                 lnp_ext[idx], _seg_starts(lens)[nz], axis=0)
         pred = classes[np.argmax(scores, axis=1)]
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "pred": pa.array(pred, type=pa.string()),
-        })
+        cols = {"doc_id": t.column("doc_id")}
+        for c in carry:
+            cols[c] = t.column(c)
+        cols["pred"] = pa.array(pred, type=pa.string())
+        return pa.table(cols)
 
-    out = (rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-           .map_batches(score, batch_format="pyarrow")
-           .to_pandas())
+    read_cols = ["doc_id", "text"] + [c for c in carry if c != "text"]
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=read_cols)
+            .map_batches(score, batch_format="pyarrow"))
+
+
+def classify_naive_bayes(sf_dir: str, class_col: str = "lang",
+                         max_features: int | None = 1 << 20) -> pd.DataFrame:
+    """(doc_id, pred) — NB self-classification of every document: fit on the
+    labeled corpus, then one broadcast + vectorized scoring pass
+    (``assignClass`` over a stream instead of one text at a time)."""
+    out = _nb_pred_ds(sf_dir, class_col, max_features).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+class ConfusionMatrix:
+    """The reference's ConfusionMatrixGenerator.ConfusionMatrix
+    (`classification/src/java/org/apache/lucene/classification/utils/
+    ConfusionMatrixGenerator.java:158-330`): a linearized
+    actual → (predicted → count) map with the reference's exact metric
+    formulas — per-class precision tp/(tp+fp) (0 when tp==0), per-class
+    recall tp/(tp+fn), F1 = 2pr/(p+r) (0 unless both positive), macro-
+    averaged precision/recall over the matrix's actual-class rows, and
+    the reference's accuracy accumulation (tn counted once per
+    (klass, row-missing-klass) pair, faithfully reproduced)."""
+
+    def __init__(self, counts: dict[str, dict[str, int]],
+                 avg_classification_time: float = 0.0,
+                 number_of_evaluated_docs: int | None = None):
+        self.counts = counts
+        self.avg_classification_time = avg_classification_time
+        self.number_of_evaluated_docs = (
+            number_of_evaluated_docs if number_of_evaluated_docs is not None
+            else sum(v for row in counts.values() for v in row.values()))
+
+    def precision(self, klass: str) -> float:
+        row = self.counts.get(klass)
+        tp = 0.0
+        den = 0.0
+        if row is not None:
+            tp = float(row.get(klass, 0))
+            for values in self.counts.values():
+                if klass in values:
+                    den += values[klass]
+        return tp / den if tp > 0 else 0.0
+
+    def recall(self, klass: str) -> float:
+        row = self.counts.get(klass)
+        tp = 0.0
+        fn = 0.0
+        if row is not None:
+            for pred, n in row.items():
+                if pred == klass:
+                    tp += n
+                else:
+                    fn += n
+        return tp / (tp + fn) if tp + fn > 0 else 0.0
+
+    def f1(self, klass: str | None = None) -> float:
+        p = self.macro_precision() if klass is None else self.precision(klass)
+        r = self.macro_recall() if klass is None else self.recall(klass)
+        return 2 * p * r / (p + r) if p > 0 and r > 0 else 0.0
+
+    def macro_precision(self) -> float:
+        if not self.counts:
+            return 0.0
+        return sum(self.precision(k) for k in self.counts) / len(self.counts)
+
+    def macro_recall(self) -> float:
+        if not self.counts:
+            return 0.0
+        return sum(self.recall(k) for k in self.counts) / len(self.counts)
+
+    def accuracy(self) -> float:
+        tp = tn = tfp = fn = 0.0
+        for klass, row in self.counts.items():
+            for pred, n in row.items():
+                if pred == klass:
+                    tp += n
+                else:
+                    fn += n
+            for values in self.counts.values():
+                if klass in values:
+                    tfp += values[klass]
+                else:
+                    tn += 1
+        den = tfp + fn + tn
+        return (tp + tn) / den if den else 0.0
+
+
+def classify_confusion(sf_dir: str, class_col: str = "lang",
+                       max_features: int | None = 1 << 20) -> pd.DataFrame:
+    """(actual, pred, n) — the confusion matrix of the NB self-classification
+    as a distributed aggregation (the Ray-native
+    ``ConfusionMatrixGenerator.getConfusionMatrix``): the scored stream is
+    pre-aggregated per batch (C² combiner rows per block) and reduced by one
+    vocabulary-free ``groupby(actual, pred)`` — no per-doc rows ever reach
+    the driver, so the matrix costs one scoring pass at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    ds = _nb_pred_ds(sf_dir, class_col, max_features, carry=(class_col,))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        tl = pl.DataFrame({
+            "actual": t.column(class_col).to_numpy(zero_copy_only=False),
+            "pred": t.column("pred").to_numpy(zero_copy_only=False),
+        })
+        agg = tl.group_by(["actual", "pred"]).agg(
+            pl.len().cast(pl.Int64).alias("n"))
+        return agg.to_arrow().cast(pa.schema([
+            ("actual", pa.string()), ("pred", pa.string()),
+            ("n", pa.int64())]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["actual", "pred"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    return out.sort_values(["actual", "pred"]).reset_index(drop=True)
+
+
+def confusion_matrix_nb(sf_dir: str, class_col: str = "lang",
+                        max_features: int | None = 1 << 20) -> ConfusionMatrix:
+    """ConfusionMatrix object (reference accessors) from the distributed
+    counts."""
+    df = classify_confusion(sf_dir, class_col, max_features)
+    counts: dict[str, dict[str, int]] = {}
+    for actual, pred, n in df.itertuples(index=False):
+        counts.setdefault(actual, {})[pred] = int(n)
+    return ConfusionMatrix(counts)
+
+
+def confusion_oracle_sql(class_col: str = "lang") -> str:
+    """DuckDB twin of classify_confusion: the NB-prediction oracle joined
+    back to the labeled corpus and grouped to (actual, pred) counts."""
+    return f"""
+SELECT d.{class_col} AS actual, p.pred AS pred, count(*)::BIGINT AS n
+FROM ({naive_bayes_oracle_sql(class_col)}) p
+JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
 
 
 def naive_bayes_oracle_sql(class_col: str = "lang") -> str:

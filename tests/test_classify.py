@@ -261,3 +261,74 @@ def test_knearest_fuzzy_classifier(ray_session):
     best = sorted(vc, key=lambda c: (-vc[c], -sc[c], c))[0]
     assert pred == best and votes == vc[best]
     assert ssum == pytest.approx(sc[best])
+
+
+# ---------------------------------------------------------------------------
+# ConfusionMatrixGenerator (`classification/utils/ConfusionMatrixGenerator.java`)
+# ---------------------------------------------------------------------------
+
+
+def test_confusion_matrix_metrics_match_reference_formulas():
+    """Metric accessors vs hand computation on a fixed 3-class matrix,
+    including the reference's quirky accuracy tn accumulation
+    (ConfusionMatrixGenerator.java:259-286)."""
+    from lucene_ray.pipelines.classify import ConfusionMatrix
+
+    counts = {"a": {"a": 8, "b": 2},
+              "b": {"b": 5, "c": 1},
+              "c": {"a": 1, "c": 3}}
+    cm = ConfusionMatrix(counts)
+    assert cm.number_of_evaluated_docs == 20
+    # precision(a): tp=8, den = column-a mass over rows containing 'a' = 8+1
+    assert cm.precision("a") == pytest.approx(8 / 9)
+    assert cm.precision("b") == pytest.approx(5 / 7)
+    assert cm.precision("c") == pytest.approx(3 / 4)
+    # recall = row tp / row mass
+    assert cm.recall("a") == pytest.approx(8 / 10)
+    assert cm.recall("b") == pytest.approx(5 / 6)
+    assert cm.recall("c") == pytest.approx(3 / 4)
+    p, r = cm.macro_precision(), cm.macro_recall()
+    assert p == pytest.approx((8 / 9 + 5 / 7 + 3 / 4) / 3)
+    assert r == pytest.approx((8 / 10 + 5 / 6 + 3 / 4) / 3)
+    assert cm.f1() == pytest.approx(2 * p * r / (p + r))
+    assert cm.f1("a") == pytest.approx(
+        2 * (8 / 9) * 0.8 / (8 / 9 + 0.8))
+    # reference accuracy: tp=16, fn=4; per klass row: tfp += col mass when
+    # present, tn += 1 when absent.  cols: a in rows a,c (9); b in row a,b
+    # (7); c in rows b,c (4) -> tfp = 9+7+4 = 20; tn: klass a absent in row
+    # b (1), klass b absent in row c (1), klass c absent in row a (1) -> 3
+    assert cm.accuracy() == pytest.approx((16 + 3) / (20 + 4 + 3))
+    # zero-tp class: precision/recall/f1 all 0 (reference's tp>0 guard)
+    cm2 = ConfusionMatrix({"x": {"y": 4}, "y": {"y": 1}})
+    assert cm2.precision("x") == 0.0
+    assert cm2.recall("x") == 0.0
+    assert cm2.f1("x") == 0.0
+
+
+def test_confusion_distributed_counts_match_local(ray_session):
+    """The per-batch-combiner + groupby matrix equals a driver-side recount
+    of the NB predictions, and the ConfusionMatrix wrapper agrees."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.classify import (
+        classify_confusion,
+        confusion_matrix_nb,
+    )
+
+    df = classify_confusion(SF)
+    pred = classify_naive_bayes(SF).set_index("doc_id")["pred"]
+    actual = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas().set_index("doc_id")["lang"]
+    want = Counter(zip(actual.loc[pred.index], pred))
+    got = {(a, p): int(n) for a, p, n in df.itertuples(index=False)}
+    assert got == dict(want)
+    assert int(df["n"].sum()) == len(pred)
+    cm = confusion_matrix_nb(SF)
+    assert cm.number_of_evaluated_docs == len(pred)
+    # self-classification on a small labeled corpus should beat chance
+    diag = sum(n for (a, p), n in got.items() if a == p)
+    assert cm.recall("en") == pytest.approx(
+        got.get(("en", "en"), 0)
+        / sum(n for (a, _), n in got.items() if a == "en"))
+    assert diag / len(pred) > 1.0 / len({a for a, _ in got})
