@@ -207,6 +207,64 @@ class SortRescorer:
         return TopDocs(out[:top_n], top_docs.total_hits, top_docs.relation)
 
 
+class ExpressionRescorer:
+    """Second-pass re-ranking by a scoring expression
+    (`expressions/ExpressionRescorer.java`): functionally SortRescorer over
+    ``Sort(expression.getSortField(bindings, reverse=True))`` — hits re-sort
+    descending by the expression value, which may bind ``_score`` (the
+    first-pass score, the reference's DoubleValuesSource.SCORES binding),
+    doc-value fields, and the ``tf:/df:/idf:``-style term-stat sources.
+    First-pass scores are preserved on the hits (SortRescorer semantics);
+    the expression value rides ``fields[0]`` like a FieldDoc sort value.
+    Evaluation is one vectorized pass per shard holding candidates."""
+
+    def __init__(self, expression: str):
+        self.expression = expression
+
+    def rescore(self, searcher, top_docs, top_n: int):
+        import numpy as np
+
+        from .searcher import IndexSearcher, ScoreDoc, TopDocs
+
+        hits = list(top_docs.hits)
+        if not hits:
+            return top_docs
+        ev = IndexSearcher._EXPR_CACHE.get(self.expression)
+        if ev is None:
+            from .expressions import compile_expression
+
+            ev = IndexSearcher._EXPR_CACHE[self.expression] = \
+                compile_expression(self.expression)
+        fn, names = ev
+        vals: dict[int, float] = {}
+        for pid in searcher._pids:
+            base = searcher._bases[pid]
+            rdr = searcher.reader(pid)
+            local = [h for h in hits
+                     if base <= h.gid < base + rdr.doc_count]
+            if not local:
+                continue
+            docs = np.array([h.gid - base for h in local], dtype=np.int32)
+            env = {}
+            for n in names:
+                if n == "_score":
+                    env[n] = np.array([h.score for h in local],
+                                      dtype=np.float64)
+                elif ":" in n:
+                    env[n] = searcher._term_stat_value(rdr, n, docs)
+                else:
+                    env[n] = rdr.docvalue(n)[docs].astype(np.float64)
+            v = fn(env)
+            if v.shape == ():               # constant expression
+                v = np.full(len(docs), float(v))
+            for h, x in zip(local, v):
+                vals[h.gid] = float(x)
+        out = [ScoreDoc(h.score, h.gid, h.conv_id, h.turn_idx,
+                        (vals.get(h.gid, 0.0),)) for h in hits]
+        out.sort(key=lambda h: (-h.fields[0], h.gid))
+        return TopDocs(out[:top_n], top_docs.total_hits, top_docs.relation)
+
+
 # ---------------------------------------------------------------------------
 # SearcherLifetimeManager (`search/SearcherLifetimeManager.java`)
 # ---------------------------------------------------------------------------

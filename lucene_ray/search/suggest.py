@@ -342,3 +342,49 @@ def build_suggester_from_file(path: str, out_dir: str,
 
     ds = rd.read_text(path).map_batches(parse, batch_format="pyarrow")
     return build_suggester(ds, out_dir, text_col="text", weight_col="weight")
+
+
+def build_suggester_from_index(index_dir: str, out_dir: str, *,
+                               min_freq: float = 0.0,
+                               weight: str = "df",
+                               num_partitions: int | None = None) -> dict:
+    """Suggester input from the index's own term dictionary —
+    LuceneDictionary (`suggest/.../LuceneDictionary.java:30-55`, all terms
+    of a field) and HighFrequencyDictionary
+    (`suggest/.../spell/HighFrequencyDictionary.java:30-95`, terms whose
+    docFreq >= (int)(min_freq * numDocs), weight = docFreq).
+
+    Reads the index's bucketed term-stats store as a parquet Dataset (the
+    global (term, df, ttf) table the build already merged — never the
+    per-shard dictionaries on the driver), filters distributed, and feeds
+    the sorted suggester store.  Keyword-namespace terms
+    (``field\\x1fvalue``) are excluded like the reference's per-field
+    Terms walk."""
+    import ray.data as rd
+
+    from ..index.manifest import latest_commit
+    from ..index.shard import KEYWORD_SEP
+
+    commit = latest_commit(index_dir)
+    if commit is None:
+        raise FileNotFoundError(f"no commit in {index_dir}")
+    num_docs = int(commit["doc_count"])
+    min_num_docs = int(min_freq * float(num_docs))
+    wcol = {"df": "df", "ttf": "ttf"}[weight]
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.invert(pc.match_substring(t.column("term"), KEYWORD_SEP))
+        if min_num_docs > 0:
+            keep = pc.and_(keep, pc.greater_equal(
+                t.column("df"), pa.scalar(min_num_docs, type=pa.int64())))
+        t = t.filter(keep)
+        return pa.table({"text": t.column("term"),
+                         "weight": t.column(wcol)})
+
+    ds = (rd.read_parquet(os.path.join(index_dir, "term_stats"))
+          .map_batches(prep, batch_format="pyarrow"))
+    return build_suggester(ds, out_dir, text_col="text",
+                           weight_col="weight",
+                           num_partitions=num_partitions)

@@ -204,3 +204,54 @@ def test_searcher_lifetime_manager(ray_session, tmp_path):
     mgr.close()
     with pytest.raises(RuntimeError):
         mgr.record(s2)
+
+
+def test_expression_rescorer(ray_session, tmp_path):
+    """ExpressionRescorer (`expressions/ExpressionRescorer.java`): hits
+    re-sort descending by the expression value with _score bound to the
+    first-pass score; first-pass scores preserved (SortRescorer
+    semantics); value recomputed independently per hit."""
+    import math
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.nrt import ExpressionRescorer
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    texts = ["merge tables", "merge join fast", "join sort", "merge merge",
+             "sort data", "merge join join"] * 5
+    rows = [{"conv_id": f"c{i//5}", "turn_idx": i % 5, "role": "u",
+             "text": t, "tool": "", "ts": 1700000000000000 + 7 * i}
+            for i, t in enumerate(texts)]
+    idx = str(tmp_path / "exprresc_idx")
+    build_index(ray.data.from_items(rows), idx, docvalue_cols=("ts",),
+                target_docs_per_partition=8)
+    s = IndexSearcher(idx)
+    first = s.search(TermQuery("merge"), k=12,
+                     total_hits_threshold=2**31 - 1)
+    assert first.hits
+    expr = "_score * 2 + ln(1 + turn_idx) + ts / 1e18"
+    out = ExpressionRescorer(expr).rescore(s, first, 8)
+    # independent recompute: turn_idx/ts resolved from the row synthesis
+    ts_of = {}
+    ti_of = {}
+    for i, _ in enumerate(texts):
+        gidless = (f"c{i//5}", i % 5)
+        ts_of[gidless] = 1700000000000000 + 7 * i
+        ti_of[gidless] = i % 5
+    want = sorted(
+        [(-(h.score * 2 + math.log(1 + ti_of[(h.conv_id, h.turn_idx)])
+            + ts_of[(h.conv_id, h.turn_idx)] / 1e18), h.gid)
+         for h in first.hits])
+    got = [(-h.fields[0], h.gid) for h in out.hits]
+    for (wv, wg), (gv, gg) in zip(want[:8], got):
+        assert wg == gg
+        assert gv == pytest.approx(wv, rel=1e-12)
+    # first-pass scores preserved on the re-ranked hits
+    firsts = {h.gid: h.score for h in first.hits}
+    assert all(h.score == firsts[h.gid] for h in out.hits)
+    # constant expression: stable gid tie-break, all values equal
+    cout = ExpressionRescorer("3.5").rescore(s, first, 12)
+    assert all(h.fields[0] == 3.5 for h in cout.hits)
+    gids = [h.gid for h in cout.hits]
+    assert gids == sorted(gids)
