@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_taxonomy_assoc": textstats.facet_taxonomy_assoc,
         # ---------------- beyond the 50-entry driver window ----------------
         # (family representatives, driver-green in r03, now past the window)
+        "dataset_split_stratified": _dataset_split_stratified,
         "index_bm25_sql_topk": _index_bm25_sql_topk,
         "index_grouped_topk": _lazy("index_grouped_topk"),
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
@@ -215,6 +216,12 @@ def _classify_nb(sf_dir):
     from lucene_ray.pipelines.classify import classify_naive_bayes
 
     return classify_naive_bayes(sf_dir)
+
+
+def _dataset_split_stratified(sf_dir):
+    from lucene_ray.pipelines.classify import dataset_split_stratified
+
+    return dataset_split_stratified(sf_dir)
 
 
 def _classify_confusion(sf_dir):
@@ -1480,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "classify_naive_bayes": _classify_nb_sql(),
         "classify_confusion": _classify_confusion_sql(),
+        "dataset_split_stratified": _dataset_split_stratified_sql(),
         "percolate_ast": _TOKS + " " + _percolate_ast_sql(),
         "percolate_tree": _TOKS + " " + _percolate_tree_sql(),
         "lm_doc_scores": _lm_scores_sql(),
@@ -1524,6 +1532,12 @@ def _classify_nb_sql() -> str:
     from lucene_ray.pipelines.classify import naive_bayes_oracle_sql
 
     return naive_bayes_oracle_sql()
+
+
+def _dataset_split_stratified_sql() -> str:
+    from lucene_ray.pipelines.classify import dataset_split_stratified_sql
+
+    return dataset_split_stratified_sql()
 
 
 def _classify_confusion_sql() -> str:

@@ -712,3 +712,94 @@ def classify_knn(sf_dir: str, n_queries: int = 20, k: int = 10) -> pd.DataFrame:
         rows.append((i, pred or "", votes))
     return pd.DataFrame(rows, columns=["i", "pred_role", "votes"]).astype(
         {"i": "int64", "pred_role": "string", "votes": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# DatasetSplitter (`classification/utils/DatasetSplitter.java:46-182`)
+# ---------------------------------------------------------------------------
+
+
+def dataset_split_stratified(sf_dir: str, test_ratio: float = 0.2,
+                             cv_ratio: float = 0.1,
+                             class_col: str = "lang") -> pd.DataFrame:
+    """(doc_id, split) — the reference DatasetSplitter's stratified
+    train/test/cross-validation assignment, re-expressed distributed.
+
+    The reference iterates class groups in INDEXORDER (groups ordered by
+    their first docID, docs within a group by docID) with a GLOBAL
+    alternation counter ``b``: an even-``b`` doc goes to test while the
+    group's test quota (``tc < n*testRatio``) is open, otherwise to cv
+    while ``cvc < n*cvRatio``, else to train.  Given stable doc order the
+    assignment is pure arithmetic, so it vectorizes per class: the only
+    cross-group state is each group's starting ``b`` offset — the sizes of
+    groups ahead of it — which is a C-row driver computation.  Per-class
+    assignment runs inside ``groupby(class).map_groups`` (the grouping is
+    inherently per-class, like sessionize; classes are few and the group
+    body is one vectorized pass).  Doc order here is ``doc_id`` (the
+    documents table's stable identity = the reference's index order)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", class_col])
+    heads = (ds.groupby(class_col)
+             .aggregate(Min("doc_id", alias_name="head"),
+                        Count(alias_name="n"))
+             .to_pandas())                      # C rows
+    heads = heads.sort_values("head").reset_index(drop=True)
+    b0 = np.concatenate(([0], np.cumsum(heads["n"].to_numpy())[:-1]))
+    offsets = dict(zip(heads[class_col], (int(x) for x in b0)))
+    off_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = len(g)
+        b = off[g[class_col].iloc[0]] + np.arange(n, dtype=np.int64)
+        even = (b % 2) == 0
+        test_size = n * test_ratio
+        cv_size = n * cv_ratio
+        ecum = np.cumsum(even)                  # 1-based rank among evens
+        is_test = even & ((ecum - 1) < test_size)
+        ncum = np.cumsum(~is_test)              # 1-based rank among rest
+        is_cv = ~is_test & ((ncum - 1) < cv_size)
+        split = np.where(is_test, "test", np.where(is_cv, "cv", "train"))
+        return pd.DataFrame({"doc_id": g["doc_id"],
+                             "split": split.astype(object)})
+
+    out = ds.groupby(class_col).map_groups(assign).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dataset_split_stratified_sql(test_ratio: float = 0.2,
+                                 cv_ratio: float = 0.1,
+                                 class_col: str = "lang") -> str:
+    """DuckDB twin of dataset_split_stratified (same float quota math)."""
+    return f"""
+WITH d AS (SELECT doc_id, {class_col} AS cls FROM documents),
+heads AS (SELECT cls, min(doc_id) AS head, count(*)::BIGINT AS n
+          FROM d GROUP BY 1),
+ord AS (SELECT d.doc_id, d.cls, h.n,
+               row_number() OVER (PARTITION BY d.cls ORDER BY d.doc_id) - 1
+                   AS i,
+               row_number() OVER (ORDER BY h.head, d.doc_id) - 1 AS b
+        FROM d JOIN heads h USING (cls)),
+m AS (SELECT *,
+             sum(CASE WHEN b % 2 = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY cls ORDER BY i) AS ecum
+      FROM ord),
+t AS (SELECT *,
+             (b % 2 = 0) AND (ecum - 1 < n * {test_ratio!r}) AS is_test
+      FROM m),
+c AS (SELECT *,
+             sum(CASE WHEN is_test THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY cls ORDER BY i) AS ncum
+      FROM t)
+SELECT doc_id,
+       CASE WHEN is_test THEN 'test'
+            WHEN ncum - 1 < n * {cv_ratio!r} THEN 'cv'
+            ELSE 'train' END AS split
+FROM c
+ORDER BY doc_id
+"""

@@ -332,3 +332,43 @@ def test_confusion_distributed_counts_match_local(ray_session):
         got.get(("en", "en"), 0)
         / sum(n for (a, _), n in got.items() if a == "en"))
     assert diag / len(pred) > 1.0 / len({a for a, _ in got})
+
+
+def test_dataset_splitter_matches_reference_loop(ray_session):
+    """dataset_split_stratified vs a literal transcription of the reference
+    DatasetSplitter loop (DatasetSplitter.java:134-161: global alternation
+    counter b, per-group float quotas, INDEXORDER groups)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.classify import dataset_split_stratified
+
+    test_ratio, cv_ratio = 0.2, 0.1
+    mine = dataset_split_stratified(SF, test_ratio, cv_ratio)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "lang"]).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    # groups ordered by first doc_id, docs within a group by doc_id
+    heads = t.groupby("lang")["doc_id"].min().sort_values()
+    want = {}
+    b = 0
+    for lang in heads.index:
+        docs = t[t["lang"] == lang]["doc_id"].tolist()
+        n = len(docs)
+        test_size, cv_size = n * test_ratio, n * cv_ratio
+        tc = cvc = 0
+        for d in docs:
+            if b % 2 == 0 and tc < test_size:
+                want[d] = "test"
+                tc += 1
+            elif cvc < cv_size:
+                want[d] = "cv"
+                cvc += 1
+            else:
+                want[d] = "train"
+            b += 1
+    got = dict(zip(mine["doc_id"], mine["split"]))
+    assert got == want
+    # stratification: every class contributes to every split at this size
+    joined = mine.merge(t, on="doc_id")
+    per = joined.groupby(["lang", "split"]).size().unstack(fill_value=0)
+    assert (per > 0).all().all()
