@@ -803,3 +803,114 @@ SELECT doc_id,
 FROM c
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SimpleNaiveBayesDocumentClassifier
+# (`classification/document/SimpleNaiveBayesDocumentClassifier.java:60-280`)
+# ---------------------------------------------------------------------------
+
+
+def _field_sum_df(searcher, field: str) -> tuple[float, int]:
+    """(sumDocFreq, docCount) for a field, from the index's bucketed
+    term-stats store read as a distributed parquet aggregation (the
+    reference's Terms.getSumDocFreq/getDocCount).  ``field='text'`` is the
+    analyzed column (terms without the keyword separator); any other name
+    is a keyword namespace (single-valued: docCount = sumDocFreq).
+    Cached per searcher instance."""
+    import os
+
+    import ray.data as rd
+
+    from ..index.shard import KEYWORD_SEP
+
+    cache = getattr(searcher, "_field_stats_cache", None)
+    if cache is None:
+        cache = searcher._field_stats_cache = {}
+    if field in cache:
+        return cache[field]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if field == "text":
+            keep = pc.invert(pc.match_substring(t.column("term"),
+                                                KEYWORD_SEP))
+        else:
+            keep = pc.starts_with(t.column("term"),
+                                  f"{field}{KEYWORD_SEP}")
+        df = t.filter(keep).column("df")
+        s = pc.sum(df).as_py() or 0
+        return pa.table({"s": pa.array([s], type=pa.int64())})
+
+    store = os.path.join(searcher.index_dir, "term_stats")
+    sum_df = int(sum(
+        rd.read_parquet(store)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()["s"]))
+    if field == "text":
+        doc_count = int(searcher.doc_count)
+    else:
+        doc_count = sum_df          # single-valued keyword field
+    cache[field] = (float(sum_df), doc_count)
+    return cache[field]
+
+
+def nb_document_classify(searcher, field_texts: dict[str, str],
+                         class_field: str = "role",
+                         boosts: dict[str, float] | None = None,
+                         classes: list[str] | None = None):
+    """`SimpleNaiveBayesDocumentClassifier.assignNormClasses`
+    (`classification/document/SimpleNaiveBayesDocumentClassifier.java:
+    106-280`): multi-field naive bayes where the likelihood counts DOCUMENT
+    frequencies via index intersections — per class c and field f,
+    score += logPrior(c) + boost(f) * avg_w log((count(f:w AND class:c)+1)
+    / (avgUniqueTermsPerDoc(f) * docFreq(c) + docsWithClass)); the
+    reference's ``title^10`` boost syntax maps to the ``boosts`` dict.
+    ``field_texts['text']`` is analyzed; other keys are keyword fields
+    whose value is one token.  Scores softmax-normalize
+    (``normClassificationResults``).  Returns [(class, prob)] best-first."""
+    import math
+
+    from ..analysis.standard import analyze
+    from ..index.shard import keyword_term
+    from ..search.query import BooleanClause, BooleanQuery, TermQuery
+
+    boosts = boosts or {}
+    if classes is None:
+        classes = _keyword_classes(searcher, class_field)
+    if not classes:
+        return []
+    docs_with_class = sum(
+        searcher.df(keyword_term(class_field, c)) for c in classes)
+    field_tokens = {
+        f: (list(analyze(v)) if f == "text" else [v])
+        for f, v in field_texts.items()}
+    field_stats = {f: _field_sum_df(searcher, f) for f in field_texts}
+
+    scored: list[tuple[str, float]] = []
+    for c in classes:
+        ckey = keyword_term(class_field, c)
+        class_df = searcher.df(ckey)
+        log_prior = math.log(class_df) - math.log(docs_with_class)
+        class_score = 0.0
+        for f, tokens in field_tokens.items():
+            sum_df, f_doc_count = field_stats[f]
+            avg_unique = sum_df / f_doc_count if f_doc_count else 0.0
+            den = avg_unique * class_df + docs_with_class
+            loglik = 0.0
+            for w in tokens:
+                wkey = w if f == "text" else keyword_term(f, w)
+                hits = searcher.count(BooleanQuery((
+                    BooleanClause(TermQuery(wkey), "MUST"),
+                    BooleanClause(TermQuery(ckey), "MUST"))))
+                loglik += math.log((hits + 1) / den)
+            n = max(len(tokens), 1)
+            class_score += log_prior + (loglik / n) * boosts.get(f, 1.0)
+        scored.append((c, class_score))
+    # normClassificationResults: softmax via logsumexp against the max
+    smax = max(s for _, s in scored)
+    loga = smax + math.log(sum(math.exp(s - smax) for _, s in scored))
+    out = [(c, math.exp(s - loga)) for c, s in scored]
+    out.sort(key=lambda x: -x[1])
+    return out

@@ -372,3 +372,69 @@ def test_dataset_splitter_matches_reference_loop(ray_session):
     joined = mine.merge(t, on="doc_id")
     per = joined.groupby(["lang", "split"]).size().unstack(fill_value=0)
     assert (per > 0).all().all()
+
+
+def test_nb_document_classifier_matches_recount(ray_session, tmp_path):
+    """SimpleNaiveBayesDocumentClassifier: multi-field scores vs an
+    independent recount of every doc-freq intersection and collection
+    statistic from the corpus (SimpleNaiveBayesDocumentClassifier.java:
+    106-280 math, including the boost multiplier and softmax)."""
+    import math
+
+    import ray.data as rd
+
+    from lucene_ray.analysis.standard import analyze
+    from lucene_ray.index.build import build_index
+    from lucene_ray.pipelines.classify import nb_document_classify
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(400, seed=77)
+    idx = str(tmp_path / "nbdoc_idx")
+    build_index(rd.from_arrow(t), idx, target_docs_per_partition=150,
+                keyword_cols=("role", "tool"), input_desc="nbdoc400")
+    s = IndexSearcher(idx)
+
+    texts = t.column("text").to_pylist()
+    roles = t.column("role").to_pylist()
+    tools = t.column("tool").to_pylist()
+    tok_sets = [set(analyze(x or "")) for x in texts]
+    classes = sorted(set(roles))
+    docs_with_class = len(roles)
+
+    input_doc = {"text": "merge the tables and join", "tool": tools[0]}
+    boosts = {"text": 1.0, "tool": 3.0}
+    got = nb_document_classify(s, input_doc, class_field="role",
+                               boosts=boosts)
+
+    # independent recount
+    sum_df_text = sum(len(ts) for ts in tok_sets)
+    n_docs_text = sum(1 for ts in tok_sets if ts)   # Terms.getDocCount
+    sum_df_tool = len(tools)            # one keyword per doc
+    want_scores = {}
+    for c in classes:
+        cdf = sum(1 for r in roles if r == c)
+        prior = math.log(cdf) - math.log(docs_with_class)
+        score = 0.0
+        # text field
+        toks = list(analyze(input_doc["text"]))
+        den = (sum_df_text / n_docs_text) * cdf + docs_with_class
+        ll = sum(math.log(
+            (sum(1 for ts, r in zip(tok_sets, roles)
+                 if r == c and w in ts) + 1) / den) for w in toks)
+        score += prior + (ll / len(toks)) * boosts["text"]
+        # tool keyword field
+        den2 = (sum_df_tool / len(tools)) * cdf + docs_with_class
+        hits = sum(1 for tl, r in zip(tools, roles)
+                   if r == c and tl == input_doc["tool"])
+        score += prior + math.log((hits + 1) / den2) * boosts["tool"]
+        want_scores[c] = score
+    smax = max(want_scores.values())
+    loga = smax + math.log(sum(math.exp(v - smax)
+                               for v in want_scores.values()))
+    want = sorted(((c, math.exp(v - loga)) for c, v in want_scores.items()),
+                  key=lambda x: -x[1])
+    assert [c for c, _ in got] == [c for c, _ in want]
+    for (gc, gp), (wc, wp) in zip(got, want):
+        assert gp == pytest.approx(wp, rel=1e-9)
+    assert sum(p for _, p in got) == pytest.approx(1.0, abs=1e-9)
