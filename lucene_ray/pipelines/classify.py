@@ -859,7 +859,8 @@ def _field_sum_df(searcher, field: str) -> tuple[float, int]:
 def nb_document_classify(searcher, field_texts: dict[str, str],
                          class_field: str = "role",
                          boosts: dict[str, float] | None = None,
-                         classes: list[str] | None = None):
+                         classes: list[str] | None = None,
+                         use_cache: bool = False):
     """`SimpleNaiveBayesDocumentClassifier.assignNormClasses`
     (`classification/document/SimpleNaiveBayesDocumentClassifier.java:
     106-280`): multi-field naive bayes where the likelihood counts DOCUMENT
@@ -869,7 +870,13 @@ def nb_document_classify(searcher, field_texts: dict[str, str],
     reference's ``title^10`` boost syntax maps to the ``boosts`` dict.
     ``field_texts['text']`` is analyzed; other keys are keyword fields
     whose value is one token.  Scores softmax-normalize
-    (``normClassificationResults``).  Returns [(class, prob)] best-first."""
+    (``normClassificationResults``).  Returns [(class, prob)] best-first.
+
+    ``use_cache=True`` is the CachingNaiveBayesClassifier
+    (`classification/CachingNaiveBayesClassifier.java:35-180`): the
+    (word, class) → hit-count intersections memoize on the searcher, so
+    repeated classifications over a shared vocabulary skip the index
+    counts (the reference's insertPoint/reInitCache warm map)."""
     import math
 
     from ..analysis.standard import analyze
@@ -898,12 +905,21 @@ def nb_document_classify(searcher, field_texts: dict[str, str],
             sum_df, f_doc_count = field_stats[f]
             avg_unique = sum_df / f_doc_count if f_doc_count else 0.0
             den = avg_unique * class_df + docs_with_class
+            cache = None
+            if use_cache:
+                cache = getattr(searcher, "_nbdoc_count_cache", None)
+                if cache is None:
+                    cache = searcher._nbdoc_count_cache = {}
             loglik = 0.0
             for w in tokens:
                 wkey = w if f == "text" else keyword_term(f, w)
-                hits = searcher.count(BooleanQuery((
-                    BooleanClause(TermQuery(wkey), "MUST"),
-                    BooleanClause(TermQuery(ckey), "MUST"))))
+                hits = cache.get((wkey, ckey)) if cache is not None else None
+                if hits is None:
+                    hits = searcher.count(BooleanQuery((
+                        BooleanClause(TermQuery(wkey), "MUST"),
+                        BooleanClause(TermQuery(ckey), "MUST"))))
+                    if cache is not None:
+                        cache[(wkey, ckey)] = hits
                 loglik += math.log((hits + 1) / den)
             n = max(len(tokens), 1)
             class_score += log_prior + (loglik / n) * boosts.get(f, 1.0)

@@ -1351,3 +1351,24 @@ class NGramPhraseQuery:
         keep = [i for i in range(len(terms))
                 if i % self.n == 0 or i == len(terms) - 1]
         return tuple(terms[i] for i in keep), tuple(keep)
+
+
+def facet_query(dimension: str, *path: str) -> TermQuery:
+    """FacetQuery (`facet/FacetQuery.java:28-46`): filter docs carrying the
+    given facet dimension + path — a TermQuery over the drill-down term
+    ``FacetsConfig.pathToString`` produces (dim and path components joined
+    by the same \\x1f separator our keyword namespaces use)."""
+    key = "\x1f".join((dimension,) + tuple(path))
+    return TermQuery(key)
+
+
+def multi_facet_query(dimension: str, *paths) -> TermInSetQuery:
+    """MultiFacetQuery (`facet/MultiFacetQuery.java:30-55`): docs carrying
+    ANY of the given paths under one dimension — a TermInSetQuery over the
+    drill-down terms (constant-score union, like the reference's
+    TermInSetQuery base)."""
+    keys = tuple(
+        "\x1f".join((dimension,) + ((p,) if isinstance(p, str)
+                                    else tuple(p)))
+        for p in paths)
+    return TermInSetQuery(keys)

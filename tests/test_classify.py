@@ -438,3 +438,37 @@ def test_nb_document_classifier_matches_recount(ray_session, tmp_path):
     for (gc, gp), (wc, wp) in zip(got, want):
         assert gp == pytest.approx(wp, rel=1e-9)
     assert sum(p for _, p in got) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_caching_nb_document_classifier(ray_session, tmp_path):
+    """CachingNaiveBayesClassifier: cached path returns identical
+    probabilities and skips repeat index counts."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.pipelines.classify import nb_document_classify
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(300, seed=5)
+    idx = str(tmp_path / "nbcache_idx")
+    build_index(rd.from_arrow(t), idx, target_docs_per_partition=150,
+                keyword_cols=("role",), input_desc="nbc300")
+    s = IndexSearcher(idx)
+    doc = {"text": "merge the tables and join the data"}
+    plain = nb_document_classify(s, doc, class_field="role")
+    calls = {"n": 0}
+    orig = s.count
+
+    def counting(q):
+        calls["n"] += 1
+        return orig(q)
+
+    s.count = counting
+    first = nb_document_classify(s, doc, class_field="role",
+                                 use_cache=True)
+    warm_calls = calls["n"]
+    second = nb_document_classify(s, doc, class_field="role",
+                                  use_cache=True)
+    assert first == plain and second == plain
+    assert calls["n"] == warm_calls          # all repeat counts cached

@@ -117,3 +117,29 @@ def test_icu_normalizer_forms():
     assert FILTERS["icu_normalizer:nfc"]("é") == \
         unicodedata.normalize("NFC", "é")
     assert FILTERS["icu_normalizer:nfkd"]("Ⅸ") == "IX"
+
+
+def test_facet_query_and_multi_facet_query(ray_session, tmp_path):
+    """FacetQuery == keyword TermQuery on the drill-down term;
+    MultiFacetQuery == constant-score union over paths (recount parity)."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import facet_query, multi_facet_query
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(500, seed=13)
+    idx = str(tmp_path / "fq_idx")
+    build_index(rd.from_arrow(t), idx, target_docs_per_partition=200,
+                keyword_cols=("role",), input_desc="fq500")
+    s = IndexSearcher(idx)
+    roles = t.column("role").to_pylist()
+    want_user = sum(1 for r in roles if r == "user")
+    assert s.count(facet_query("role", "user")) == want_user
+    two = {"user", "assistant"}
+    want_two = sum(1 for r in roles if r in two)
+    assert s.count(multi_facet_query("role", "user", "assistant")) == want_two
+    # list-path form and absent path
+    assert s.count(multi_facet_query("role", ["user"])) == want_user
+    assert s.count(facet_query("role", "nosuchrole")) == 0
