@@ -1007,8 +1007,67 @@ def _complex_phrase_query(ptext: str, slop: int, field: str):
     return ComplexPhraseQuery(tuple(slots), slop=slop, field=field)
 
 
+def _mf_boost(q, f, boosts):
+    """Apply the MultiFieldQueryParser per-field boost map (BoostQuery wrap,
+    `MultiFieldQueryParser.java:92-100`)."""
+    if boosts:
+        b = boosts.get(f)
+        if b is not None:
+            return BoostQuery(q, b)
+    return q
+
+
+def _mf_group(legs):
+    """One cross-field SHOULD group (`MultiFieldQueryParser.java:188-199`);
+    a single surviving leg is added bare, as the reference does when
+    maxTerms == 1."""
+    if len(legs) == 1:
+        return legs[0]
+    return BooleanQuery(tuple(BooleanClause(q, SHOULD) for q in legs))
+
+
+def parse_multi_field(text: str, fields, boosts=None):
+    """MultiFieldQueryParser (`queryparser/classic/MultiFieldQueryParser.java:
+    83-297`): classic syntax where every field-LESS leaf expands across
+    `fields` — grouped per analyzed term, so ``one two`` over (title, body)
+    becomes ``(title:one body:one) (title:two body:two)`` — with an optional
+    per-field boost map applied inside each group.  Explicitly fielded
+    syntax (``role:user``, ``ts:[..]``, ``text:foo``) stays single-field,
+    like the reference's non-null-field dispatch.
+
+    Engine field model: ``text`` is the analyzed field; every other name is
+    a keyword namespace whose terms are stored as ``f\\x1fvalue`` —
+    expansion legs there use the RAW token (StringField semantics).  Fuzzy
+    legs in a keyword namespace pin the namespace prefix via
+    ``prefix_length`` so edits apply to the value only; prefix/wildcard
+    legs prepend the namespace to the pattern."""
+    return _parse_classic(text, "text", complex_phrases=False,
+                          multi=(tuple(fields), dict(boosts or {})))
+
+
+def multi_field_parse(queries, fields, flags=None, boosts=None):
+    """The static MultiFieldQueryParser.parse overloads
+    (`MultiFieldQueryParser.java:300-420`): ``queries[i]`` parsed against
+    ``fields[i]`` (or one query string against every field), combined with
+    ``flags[i]`` occurs (default SHOULD); empty per-field parses are
+    skipped, as the reference's ``q != null`` / non-empty-boolean guard."""
+    qs = [queries] * len(fields) if isinstance(queries, str) else list(queries)
+    if len(qs) != len(fields):
+        raise ValueError("queries, fields lengths differ")
+    occurs = list(flags) if flags is not None else [SHOULD] * len(fields)
+    if len(occurs) != len(fields):
+        raise ValueError("queries, fields, flags lengths differ")
+    cl = []
+    for qtext, f, oc in zip(qs, fields, occurs):
+        q = parse_multi_field(qtext, (f,), boosts)
+        if isinstance(q, BooleanQuery) and not q.clauses:
+            continue
+        cl.append(BooleanClause(q, oc))
+    return BooleanQuery(tuple(cl))
+
+
 def _parse_classic(text: str, field: str, complex_phrases: bool,
-                   extensions=None):
+                   extensions=None, multi=None):
     import re as _re
 
     # lexer: parens, field ranges, field:"quoted" composites, quoted
@@ -1105,6 +1164,21 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                         clauses.append((q, occur))
                     continue
                 terms = tuple(analyze(ptext))
+                if multi is not None:
+                    legs = []
+                    for f in multi[0]:
+                        if f == "text":
+                            if not terms:
+                                continue
+                            lq = PhraseQuery(terms, "text", slop=slop_i) \
+                                if len(terms) > 1 else TermQuery(terms[0],
+                                                                 "text")
+                        else:
+                            lq = TermQuery(f"{f}\x1f{ptext}", f)
+                        legs.append(_mf_boost(lq, f, multi[1]))
+                    if legs:
+                        clauses.append((_mf_group(legs), occur))
+                    continue
                 if not terms:
                     continue
                 q = PhraseQuery(terms, field, slop=slop_i) \
@@ -1126,8 +1200,10 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 f, kw_val = fm.group(1), fm.group(2)
                 clauses.append((TermQuery(f"{f}\x1f{kw_val}", f), occur))
                 continue
+            mlt = multi
             if fm:
                 word = fm.group(2)
+                mlt = None      # explicitly fielded: single-field dispatch
             boost = 1.0
             bm = _re.fullmatch(r"(.*)\^(\d+(?:\.\d+)?)", word)
             if bm:
@@ -1136,14 +1212,51 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
             if em:
                 analyzed = analyze(em.group(1))
                 if analyzed:
-                    clauses.append((FuzzyQuery(analyzed[0], max_edits=int(em.group(2)),
-                                               field=field, boost=boost), occur))
+                    if mlt is not None:
+                        legs = [_mf_boost(
+                            FuzzyQuery(analyzed[0],
+                                       max_edits=int(em.group(2)),
+                                       field="text", boost=boost)
+                            if f == "text" else
+                            FuzzyQuery(f"{f}\x1f{em.group(1)}",
+                                       max_edits=int(em.group(2)),
+                                       prefix_length=len(f) + 1,
+                                       field=f, boost=boost),
+                            f, mlt[1]) for f in mlt[0]]
+                        clauses.append((_mf_group(legs), occur))
+                    else:
+                        clauses.append((FuzzyQuery(analyzed[0],
+                                                   max_edits=int(em.group(2)),
+                                                   field=field, boost=boost),
+                                        occur))
                 continue
             if "*" in word or "?" in word:
-                if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
+                is_prefix = (word.endswith("*") and "*" not in word[:-1]
+                             and "?" not in word)
+                if mlt is not None:
+                    legs = []
+                    for f in mlt[0]:
+                        ns = "" if f == "text" else f"{f}\x1f"
+                        lq = PrefixQuery(ns + word[:-1].lower(), f, boost) \
+                            if is_prefix \
+                            else WildcardQuery(ns + word.lower(), f, boost)
+                        legs.append(_mf_boost(lq, f, mlt[1]))
+                    clauses.append((_mf_group(legs), occur))
+                elif is_prefix:
                     clauses.append((PrefixQuery(word[:-1].lower(), field, boost), occur))
                 else:
                     clauses.append((WildcardQuery(word.lower(), field, boost), occur))
+                continue
+            if mlt is not None:
+                cols = [[TermQuery(t, "text", boost) for t in analyze(word)]
+                        if f == "text" else [TermQuery(f"{f}\x1f{word}", f,
+                                                       boost)]
+                        for f in mlt[0]]
+                for i in range(max((len(c) for c in cols), default=0)):
+                    legs = [_mf_boost(c[i], f, mlt[1])
+                            for f, c in zip(mlt[0], cols) if i < len(c)]
+                    if legs:
+                        clauses.append((_mf_group(legs), occur))
                 continue
             for t in analyze(word):
                 clauses.append((TermQuery(t, field, boost), occur))
