@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- beyond the 50-entry driver window ----------------
         # (family representatives, driver-green in r03, now past the window)
         "dataset_split_stratified": _dataset_split_stratified,
+        "spellcheck_suggest": _spellcheck_suggest,
         "index_bm25_sql_topk": _index_bm25_sql_topk,
         "index_grouped_topk": _lazy("index_grouped_topk"),
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
@@ -292,6 +293,12 @@ def _suggest_contexts(sf_dir):
     from lucene_ray.pipelines.suggesters import suggest_contexts
 
     return suggest_contexts(sf_dir)
+
+
+def _spellcheck_suggest(sf_dir):
+    from lucene_ray.pipelines.suggesters import spellcheck_suggest
+
+    return spellcheck_suggest(sf_dir)
 
 
 def _suggest_fuzzy(sf_dir):
@@ -1485,6 +1492,31 @@ def oracle_sql() -> dict[str, str]:
                    ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_frames,
                    ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0)::BIGINT AS n_sampled
             FROM documents""",
+        # SpellChecker suggestSimilar: candidates share a query n-gram with
+        # n inside BOTH length ranges (getMin/getMax); accuracy 0.35 and the
+        # ordering are integer-exact (dist/ml <= 0.65 <=> 20*dist <= 13*ml)
+        "spellcheck_suggest": _TOKS + """
+            , words AS (SELECT DISTINCT term AS w FROM tokens
+                        WHERE length(term) >= 3),
+            cand AS (
+              SELECT w FROM words WHERE w <> 'parts' AND (
+                CASE WHEN length(w) > 5 THEN
+                       (w LIKE '%par%' OR w LIKE '%art%' OR w LIKE '%rts%')
+                     WHEN length(w) = 5 THEN
+                       (w LIKE '%pa%' OR w LIKE '%ar%' OR w LIKE '%rt%'
+                        OR w LIKE '%ts%' OR w LIKE '%par%' OR w LIKE '%art%'
+                        OR w LIKE '%rts%')
+                     ELSE
+                       (w LIKE '%pa%' OR w LIKE '%ar%' OR w LIKE '%rt%'
+                        OR w LIKE '%ts%')
+                END)),
+            scored AS (
+              SELECT w AS word, levenshtein('parts', w)::BIGINT AS dist,
+                     greatest(5, length(w)) AS ml
+              FROM cand)
+            SELECT word, dist, round(1.0 - dist::DOUBLE / ml, 4) AS score
+            FROM scored WHERE 20 * dist <= 13 * ml
+            ORDER BY dist::DOUBLE / ml ASC, word ASC LIMIT 5""",
         "classify_naive_bayes": _classify_nb_sql(),
         "classify_confusion": _classify_confusion_sql(),
         "dataset_split_stratified": _dataset_split_stratified_sql(),

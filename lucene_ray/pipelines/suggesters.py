@@ -307,3 +307,43 @@ def suggest_fst_bucketed(sf_dir: str, prefix: str = "s", k: int = 10,
         "key": pa.array([g[0] for g in got], type=pa.string()),
         "bucket": pa.array([g[1] for g in got], type=pa.int64()),
     })
+
+
+def _spell_store_dir(sf_dir: str) -> str:
+    """Build (or reuse) the n-gram spell store over the transcript index's
+    own term dictionary (LuceneDictionary path — the reference's
+    `spellChecker.indexDictionary(new LuceneDictionary(reader, field))`)."""
+    from ..search.spellchecker import build_spell_store
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(CACHE_ROOT, f"spell_{tag}")
+    if not os.path.exists(os.path.join(d, "field_stats.json")):
+        from .flagship import build_transcript_index
+
+        build_spell_store(build_transcript_index(sf_dir), d)
+    return d
+
+
+def spellcheck_suggest(sf_dir: str, word: str = "parts", num_sug: int = 5,
+                       accuracy: float = 0.35) -> pa.Table:
+    """Classic SpellChecker suggestSimilar through the driver gate
+    (`spell/SpellChecker.java:305-409`): dictionary = the index's term
+    dictionary, retrieval = gram-bucket point reads, re-rank = Levenshtein
+    score with the accuracy cutoff.  ``max_hits`` is unbounded so the
+    result is retrieval-order independent (the SQL-twinnable mode); the
+    SQL twin reproduces the candidate condition (shares a query n-gram
+    with n inside BOTH length ranges) and the (score desc, word asc)
+    order with integer-exact filters.  Columns (word, dist, score 4dp)."""
+    from ..search.spellchecker import SUGGEST_ALWAYS, SpellChecker
+
+    checker = SpellChecker(_spell_store_dir(sf_dir), accuracy=accuracy)
+    got = checker.suggest_words(word, num_sug, suggest_mode=SUGGEST_ALWAYS,
+                                max_hits=1 << 30)
+    dists = [int(round((1.0 - s) * max(len(word), len(w))))
+             for s, _f, w in got]
+    return pa.table({
+        "word": pa.array([w for _s, _f, w in got], type=pa.string()),
+        "dist": pa.array(dists, type=pa.int64()),
+        "score": pa.array([round(float(s), 4) for s, _f, _w in got],
+                          type=pa.float64()),
+    })
