@@ -220,6 +220,9 @@ SUGGEST_WHEN_NOT_IN_INDEX = "when_not_in_index"
 SUGGEST_MORE_POPULAR = "more_popular"
 SUGGEST_ALWAYS = "always"
 
+COMPARATOR_SCORE = "score"          # SuggestWordScoreComparator (default)
+COMPARATOR_FREQUENCY = "frequency"  # SuggestWordFrequencyComparator
+
 
 class SpellChecker:
     """Point-lookup / actor-state side of the store.  ``b_start``/``b_end``
@@ -228,7 +231,7 @@ class SpellChecker:
 
     def __init__(self, store_dir: str, *, accuracy: float = 0.5,
                  b_start: float = 2.0, b_end: float = 1.0,
-                 distance=None):
+                 distance=None, comparator: str = COMPARATOR_SCORE):
         from .lookups import levenshtein_distance
 
         self.store_dir = store_dir
@@ -236,6 +239,7 @@ class SpellChecker:
         self.b_start = b_start
         self.b_end = b_end
         self.distance = distance or levenshtein_distance
+        self.comparator = comparator   # setComparator(SuggestWord*Comparator)
         with open(os.path.join(store_dir, "field_stats.json")) as fh:
             meta = json.load(fh)
         self.num_buckets = meta["num_buckets"]
@@ -400,10 +404,17 @@ class SpellChecker:
             max_hits = 10 * num_sug
         queue: list[tuple] = []            # (score, freq, word)
 
+        if self.comparator == COMPARATOR_FREQUENCY:
+            # SuggestWordFrequencyComparator.java:24-46: freq first
+            def key(x):
+                return (x[1], x[0], _RevStr(x[2]))
+        else:
+            def key(x):
+                return (x[0], x[1], _RevStr(x[2]))
+
         def least(q):
-            # queue "top" = least by (score, freq, reversed-string)
-            return min(q, key=lambda x: (x[0], x[1],
-                                         _RevStr(x[2])))
+            # queue "top" = least by the configured comparator
+            return min(q, key=key)
 
         for cand, _s, _df in self._retrieve(word, max_hits):
             if cand == word:
@@ -423,8 +434,12 @@ class SpellChecker:
             if len(queue) > num_sug:
                 queue.remove(least(queue))
             if len(queue) == num_sug:
-                acc = least(queue)[0]      # tighten to queue minimum
-        queue.sort(key=lambda x: (-x[0], -x[1], x[2]))
+                # tighten to the queue top's SCORE whatever the comparator
+                # (SpellChecker.java:393-398 reads sugQueue.top().score)
+                acc = least(queue)[0]
+        queue.sort(key=key, reverse=True)
+        # reverse=True flips _RevStr too, giving word ASC — the reference's
+        # pop-order reversal (SpellChecker.java:402-407)
         return queue
 
 

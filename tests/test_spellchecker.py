@@ -267,3 +267,30 @@ def test_index_dictionary_e2e(ray_session, tmp_path):
     # a word the index contains suggests itself
     assert sc.suggest_similar("merge", 5, s, "text",
                               SUGGEST_WHEN_NOT_IN_INDEX) == ["merge"]
+
+
+def test_frequency_comparator(store):
+    """setComparator(SuggestWordFrequencyComparator): queue order and the
+    final list become freq-first (SuggestWordFrequencyComparator.java:24-46),
+    the accuracy tightening still reads the queue top's SCORE."""
+    from lucene_ray.search.spellchecker import (
+        COMPARATOR_FREQUENCY,
+        SUGGEST_WHEN_NOT_IN_INDEX,
+        SpellChecker,
+    )
+
+    out, _ = store
+    freqs = {"merge": 100, "merged": 50, "merges": 2, "marge": 1}
+    s = _StubSearcher(freqs)
+    sc_score = SpellChecker(out)
+    sc_freq = SpellChecker(out, comparator=COMPARATOR_FREQUENCY)
+    # query "mergd" (len 5): candidates merge 0.8 / merged 0.8333 /
+    # merges 0.6667 / marge 0.6 (mergers freq 0 -> dropped by the mode)
+    # score comparator: distance first
+    assert sc_score.suggest_similar(
+        "mergd", 3, s, "text", SUGGEST_WHEN_NOT_IN_INDEX) == \
+        ["merged", "merge", "merges"]
+    # frequency comparator: user-index freq first, same survivor set
+    assert sc_freq.suggest_similar(
+        "mergd", 3, s, "text", SUGGEST_WHEN_NOT_IN_INDEX) == \
+        ["merge", "merged", "merges"]
