@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_conv_children_count": _lazy("index_conv_children_count"),
         "index_shape_holes_count": _lazy("index_shape_holes_count"),
         "index_highlight_topk": _lazy("index_highlight_topk"),
+        "index_matchhl_topk": _lazy("index_matchhl_topk"),
         "media_features": _media_features,
         "media_frames": _media_frames,
         "dedup_minhash": dedup.dedup_minhash,
@@ -1492,6 +1493,18 @@ def oracle_sql() -> dict[str, str]:
                    ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_frames,
                    ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0)::BIGINT AS n_sampled
             FROM documents""",
+        # MatchHighlighter with an unbounded window: snippet == full text
+        # with every 'merge' TOKEN wrapped (word-boundary replace)
+        "index_matchhl_topk": _TOKS + """
+            SELECT row_number() OVER (ORDER BY (t.doc_id % 5) DESC,
+                                      t.doc_id ASC)::BIGINT AS rank,
+                   printf('conv-%08d', t.doc_id // 5) AS conv_id,
+                   (t.doc_id % 5)::BIGINT AS turn_idx,
+                   regexp_replace(d.text, '\\bmerge\\b', '>merge<', 'g')
+                       AS snippet
+            FROM toklists t JOIN documents d ON t.doc_id = d.doc_id
+            WHERE list_contains(t.toks, 'merge')
+            ORDER BY (t.doc_id % 5) DESC, t.doc_id ASC LIMIT 10""",
         # SpellChecker suggestSimilar: candidates share a query n-gram with
         # n inside BOTH length ranges (getMin/getMax); accuracy 0.35 and the
         # ordering are integer-exact (dist/ml <= 0.65 <=> 20*dist <= 13*ml)

