@@ -87,3 +87,41 @@ def replicate(src_index: str, dst_index: str) -> dict | None:
     os.rename(tmp, path)
     new_commit["_files_copied"] = copied
     return new_commit
+
+
+def precopy(src_index: str, dst_index: str) -> dict:
+    """`replicator/nrt/PreCopyMergedSegmentWarmer.java` role: copy the data
+    files of the primary's latest revision to the replica WITHOUT
+    publishing a commit — the primary warms freshly-merged segments on all
+    replicas before cutting a searchable point over to them, so the
+    subsequent `replicate()` publish is metadata-only (zero bulk copy in
+    the refresh critical path).  Crash-safe like replicate(): tmp dir +
+    rename per shard, no segments_N written.  Returns
+    {"precopied": n_shards, "generation": primary generation}."""
+    commit = mf.latest_commit(src_index)
+    if commit is None:
+        raise FileNotFoundError(f"no commit in {src_index}")
+    os.makedirs(os.path.join(dst_index, "shards"), exist_ok=True)
+    copied = 0
+    for m in commit["shards"]:
+        name = mf.shard_dirname(m)
+        dst = os.path.join(dst_index, "shards", name)
+        dm = read_manifest(dst)
+        if dm and dm.get("status") == "committed" \
+                and dm.get("fingerprint") == m.get("fingerprint"):
+            continue
+        tmp = dst + ".sync"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(os.path.join(src_index, "shards", name), tmp)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(tmp, dst)
+        copied += 1
+        if m.get("del_file"):
+            rel = os.path.basename(m["del_file"])
+            d = os.path.join(dst_index, "deletes")
+            os.makedirs(d, exist_ok=True)
+            if not os.path.exists(os.path.join(d, rel)):
+                shutil.copy2(m["del_file"], os.path.join(d, rel))
+    return {"precopied": copied, "generation": commit["generation"]}

@@ -69,3 +69,36 @@ def test_replicate_and_refresh(ray_session, tmp_path):
         if m.get("del_file"):
             assert m["del_file"].startswith(str(tmp_path / "replica"))
             assert os.path.exists(m["del_file"])
+
+
+def test_precopy_warms_before_publish(ray_session, tmp_path):
+    """PreCopyMergedSegmentWarmer flow: precopy moves the bulk data with NO
+    commit published; the subsequent replicate() publish copies zero
+    files."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.index.manifest import latest_commit
+    from lucene_ray.index.replicate import precopy, replicate
+    from lucene_ray.search.query import bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import transcripts_from_documents
+
+    primary = str(tmp_path / "p2")
+    replica = str(tmp_path / "r2")
+    build_index(transcripts_from_documents(SF), primary,
+                target_docs_per_partition=200, input_desc="precopy-base")
+
+    got = precopy(primary, replica)
+    assert got["precopied"] > 0
+    # nothing searchable yet: no commit published on the replica
+    assert latest_commit(replica) is None
+    # idempotent: a second warm copies nothing
+    assert precopy(primary, replica)["precopied"] == 0
+
+    # the publish step is metadata-only
+    c = replicate(primary, replica)
+    assert c is not None and c["_files_copied"] == 0
+    sp, sr = IndexSearcher(primary), IndexSearcher(replica)
+    q = bool_query(must=["merge"])
+    assert sp.count(q) == sr.count(q) > 0
