@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_frames": _media_frames,
         "dedup_minhash": dedup.dedup_minhash,
+        "dedup_substring": dedup.dedup_substring,
         "index_knn_topk": _vs("index_knn_topk"),
         "knn_ivf": knn.knn_ivf,
         "classify_knn": _classify_knn,
@@ -248,6 +249,12 @@ def _curation_pipeline(sf_dir):
     from lucene_ray.pipelines.curation import curate_corpus
 
     return curate_corpus(sf_dir)
+
+
+def _dedup_substring_sql():
+    from lucene_ray.pipelines.dedup import dedup_substring_oracle_sql
+
+    return dedup_substring_oracle_sql()
 
 
 def _curation_sql():
@@ -773,6 +780,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS rep_doc_id,
                    count(*)::BIGINT AS n_dups
             FROM documents GROUP BY md5(text)""",
+        "dedup_substring": _dedup_substring_sql(),
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_vec_id, embedding FROM embeddings
                        WHERE vec_id IN (0, 1, 2)),

@@ -194,6 +194,7 @@ def run_bench() -> dict:
     timed("classify_nb", classify_mod.classify_naive_bayes)
     timed("percolate_ast", percolate_mod.percolate_ast)
     timed("repetition_stats", textstats.repetition_stats)
+    timed("dedup_substring", dedup.dedup_substring)
     # vectors-on variant: per-shard HNSW build + graph-served top-k over the
     # embeddings table (tracks the round-4 batched-insert construction cost;
     # the cached vector index is removed so the graph build is IN the time)

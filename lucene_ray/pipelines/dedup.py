@@ -741,3 +741,178 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     if len(out) == 0:
         return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exact substring (duplicated-span) dedup — the "deduplicating training
+# data" operator (Lee et al. 2021): find every token span that occurs more
+# than once in the corpus and report the merged maximal duplicated spans
+# per document, seeded by length-k token grams (exact for spans >= k
+# tokens; the distributed stand-in for the paper's suffix array).
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 5
+
+
+def _gram_occurrences(t: pa.Table, k: int) -> pa.Table:
+    """(part, gram, doc_id, pos) for every k-token window of each doc —
+    vectorized object-array concat (the freetext-trainer shape); pos is
+    1-based to match the SQL twin's unnest subscripts."""
+    doc_ids = t.column("doc_id").to_numpy()
+    flat, lens = _flat_tokens(t.column("text"))
+    toks = np.asarray(flat, dtype=object)
+    doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    n = len(toks)
+    if n < k:
+        return pa.table({"part": pa.array([], pa.int32()),
+                         "gram": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    ok = doc[: n - k + 1] == doc[k - 1:]
+    g = toks[: n - k + 1].copy()
+    for j in range(1, k):
+        g = g + " "
+        g = g + toks[j: n - k + 1 + j]
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = (np.arange(n - k + 1, dtype=np.int64)
+           - starts[doc[: n - k + 1]]) + 1
+    grams = pa.array(g[ok], type=pa.string())
+    part = (_fnv1a64(grams, seed=11) % np.uint64(N_PARTS)).astype(np.int32)
+    return pa.table({
+        "part": pa.array(part),
+        "gram": grams,
+        "doc_id": pa.array(doc_ids[doc[: n - k + 1][ok]], type=pa.int64()),
+        "pos": pa.array(pos[ok], type=pa.int64()),
+    })
+
+
+def _dup_occurrences(g: pa.Table) -> pa.Table:
+    """Inside one gram-hash partition (a gram's occurrences land whole):
+    keep occurrences of grams with global count > 1 — one sort +
+    run-length pass, no per-gram Python."""
+    grams = g.column("gram").to_numpy(zero_copy_only=False)
+    if len(grams) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    order = np.argsort(grams, kind="mergesort")
+    gs = grams[order]
+    new_run = np.empty(len(gs), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = gs[1:] != gs[:-1]
+    run_id = np.cumsum(new_run) - 1
+    run_sizes = np.bincount(run_id)
+    keep = run_sizes[run_id] > 1
+    sel = order[keep]
+    return pa.table({
+        "doc_id": pa.array(g.column("doc_id").to_numpy()[sel], pa.int64()),
+        "pos": pa.array(g.column("pos").to_numpy()[sel], pa.int64()),
+    })
+
+
+def _merge_spans(g: pa.Table, k: int) -> pa.Table:
+    """Per doc-hash partition: merge each doc's duplicated k-gram seed
+    positions into maximal spans ([pos, pos+k-1] windows, overlap or
+    adjacency merges) — one lexsort + vectorized island detection."""
+    doc = g.column("doc_id").to_numpy()
+    pos = g.column("pos").to_numpy()
+    if len(doc) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "span_start": pa.array([], pa.int64()),
+                         "span_end": pa.array([], pa.int64()),
+                         "span_tokens": pa.array([], pa.int64())})
+    order = np.lexsort((pos, doc))
+    doc, pos = doc[order], pos[order]
+    fin = pos + k - 1
+    # running max of fin WITHIN each doc (the SQL twin's doc-partitioned
+    # window max): offset-trick segmented accumulate — doc-rank * OFF
+    # dominates any earlier doc's contribution
+    doc_rank = np.cumsum(np.concatenate(([True], doc[1:] != doc[:-1]))) - 1
+    off = np.int64(fin.max() + 2)
+    run_max = np.maximum.accumulate(fin + doc_rank * off) - doc_rank * off
+    new_span = np.empty(len(doc), dtype=bool)
+    new_span[0] = True
+    # a new island when the doc changes or this window starts past the
+    # previous in-doc maximum end + 1 (overlap or adjacency merges)
+    new_span[1:] = (doc[1:] != doc[:-1]) | (pos[1:] > run_max[:-1] + 1)
+    seg_starts = np.nonzero(new_span)[0]
+    span_start = pos[seg_starts]
+    span_end = np.maximum.reduceat(fin, seg_starts)
+    sdoc = doc[seg_starts]
+    return pa.table({
+        "doc_id": pa.array(sdoc, pa.int64()),
+        "span_start": pa.array(span_start, pa.int64()),
+        "span_end": pa.array(span_end, pa.int64()),
+        "span_tokens": pa.array(span_end - span_start + 1, pa.int64()),
+    })
+
+
+def _add_doc_part(t: pa.Table) -> pa.Table:
+    with np.errstate(over="ignore"):
+        dp = (t.column("doc_id").to_numpy().astype(np.uint64) * _GOLDEN
+              % np.uint64(N_PARTS)).astype(np.int32)
+    return t.append_column("dpart", pa.array(dp))
+
+
+def dedup_substring(sf_dir: str, k: int = SUBSTR_K):
+    """Duplicated-span report: (doc_id, span_start, span_end, span_tokens)
+    for every maximal token span covered by k-grams occurring more than
+    once in the corpus (1-based inclusive token positions).  Fully
+    distributed: gram occurrences hash-partitioned by gram (one shuffle,
+    all occurrences of a gram co-located), global-count filter as a
+    vectorized run-length pass per partition, per-doc island merge in a
+    second doc-keyed partition pass.  SQL twin = the same k-gram seeds +
+    gaps-and-islands window functions."""
+    ds = (_read_documents(sf_dir)
+          .map_batches(_gram_occurrences, batch_format="pyarrow",
+                       fn_kwargs={"k": k})
+          .groupby("part")
+          .map_groups(_dup_occurrences, batch_format="pyarrow")
+          .map_batches(_add_doc_part, batch_format="pyarrow")
+          .groupby("dpart")
+          .map_groups(_merge_spans, batch_format="pyarrow",
+                      fn_kwargs={"k": k}))
+    out = ds.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(columns=["doc_id", "span_start", "span_end",
+                                     "span_tokens"]).astype("int64")
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+def dedup_substring_oracle_sql(k: int = SUBSTR_K) -> str:
+    """DuckDB twin: k-gram seeds + HAVING count(*)>1 + gaps-and-islands."""
+    return f"""
+        WITH toklists AS (
+          SELECT doc_id, list_transform(
+                   regexp_extract_all(text, '[A-Za-z0-9]+'),
+                   x -> lower(x)) AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(range(1, greatest(len(toks) - {k} + 2, 1)))::BIGINT
+                     AS pos,
+                 toks
+          FROM toklists),
+        grams AS (
+          SELECT doc_id, pos,
+                 array_to_string(toks[pos:pos + {k} - 1], ' ') AS gram
+          FROM g),
+        dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+        occ AS (SELECT grams.doc_id, grams.pos
+                FROM grams JOIN dup USING (gram)),
+        m AS (
+          SELECT doc_id, pos, pos + {k} - 1 AS fin,
+                 CASE WHEN pos > coalesce(max(pos + {k} - 1) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM occ),
+        grp AS (
+          SELECT doc_id, pos, fin,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM m)
+        SELECT doc_id, min(pos)::BIGINT AS span_start,
+               max(fin)::BIGINT AS span_end,
+               (max(fin) - min(pos) + 1)::BIGINT AS span_tokens
+        FROM grp GROUP BY doc_id, gid"""
