@@ -549,13 +549,23 @@ class MatchHighlighter:
         (each match range is tagged with its origin query)."""
         from .matches import matches
 
+        from .query import TermQuery
+
         out = []
         for gid in gids:
             doc = self.fetch_doc(gid)
             ranges_by_field: dict[str, list] = {}
             for q in queries:
                 m = matches(self.searcher, q, gid)
-                if not m:
+                if m is None:
+                    continue
+                if isinstance(q, TermQuery) and q.field != self.text_field:
+                    # keyword/string field: the whole stored value is the
+                    # match region (`OffsetsFromValues.java` strategy)
+                    v = str(doc.get(q.field, ""))
+                    if v:
+                        ranges_by_field.setdefault(q.field, []).append(
+                            QueryOffsetRange(0, len(v), q))
                     continue
                 offs = positions_to_offsets(m, doc.get(self.text_field, ""))
                 if offs:

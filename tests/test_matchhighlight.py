@@ -329,3 +329,25 @@ def test_max_leading_characters(mh_index):
     text = fetch(td.hits[0].gid)["text"]
     assert got and got[0].startswith(text[:4])
     assert len(got[0]) <= 10 + len("...")
+
+
+def test_keyword_field_whole_value_highlight(mh_index):
+    """OffsetsFromValues strategy: a keyword-field term match wraps the
+    WHOLE stored value of that field."""
+    from lucene_ray.search.query import TermQuery
+
+    s, docs = mh_index
+    fetch = _fetch(s, docs)
+    mh = MatchHighlighter(s, fetch)
+    mh.append_field_highlighter(
+        highlighted(10**4, 1, PassageFormatter("...", ">", "<"),
+                    {"text", "role"}))
+    mh.append_field_highlighter(skip_remaining())
+
+    q = TermQuery("user", field="role")
+    td = s.search(q, k=3)
+    assert td.hits
+    out = mh.highlight([h.gid for h in td.hits], q)
+    for res, h in zip(out, td.hits):
+        role = fetch(h.gid)["role"]
+        assert res["fields"]["role"] == [f">{role}<"]
