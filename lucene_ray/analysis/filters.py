@@ -1317,6 +1317,19 @@ def persian_normalize(word: str) -> str:
     return "".join(out)
 
 
+def persian_stem(word: str) -> str:
+    """PersianStemFilter (`analysis/fa/PersianStemmer.java:17-93`) — exact
+    port: each listed suffix strips in order (several may strip from one
+    word), a strip requires >= 2 characters to remain."""
+    ALEF, HEH, TEH, REH = "\u0627", "\u0647", "\u062a", "\u0631"
+    NOON, YEH, ZWNJ = "\u0646", "\u064a", "\u200c"
+    for suf in (ALEF + TEH, ALEF + NOON, TEH + REH + YEH + NOON,
+                TEH + REH, YEH + YEH, YEH, HEH + ALEF, ZWNJ):
+        if len(word) >= len(suf) + 2 and word.endswith(suf):
+            word = word[: len(word) - len(suf)]
+    return word
+
+
 _HI_5 = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
 _HI_4 = ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
          "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
@@ -1817,6 +1830,7 @@ FILTERS = {
     "czech": czech_stem,
     "bulgarian": bulgarian_stem,
     "persian_normalize": persian_normalize,
+    "persian_stem": persian_stem,
     "hindi": hindi_stem,
     "indonesian": indonesian_stem,
     "latvian": latvian_stem,
@@ -2124,6 +2138,14 @@ def _parse_stop(spec: str) -> list[str]:
 
         path = os.path.join(os.path.dirname(__file__), "data",
                             "hindi_stopwords.txt")
+        with open(path, encoding="utf-8") as f:
+            return [w.strip() for w in f if w.strip()]
+    if body == "persian":
+        # PersianAnalyzer's stop set (`analysis/fa/stopwords.txt`)
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "persian_stopwords.txt")
         with open(path, encoding="utf-8") as f:
             return [w.strip() for w in f if w.strip()]
     if body == "polish":
@@ -3435,7 +3457,8 @@ ANALYZER_PRESETS = {
     # carrot2 stop set, then the Stempel table stemmer (minLength 3)
     "polish": ("stop:polish", "stempel"),
     "arabic": ("arabic_normalize", "arabic_stem"),
-    "persian": ("arabic_normalize", "persian_normalize"),
+    "persian": ("decimal_digit", "arabic_normalize", "persian_normalize",
+                "stop:persian", "persian_stem"),
     "sorani": ("sorani_normalize", "sorani_stem"),
     "hindi": ("decimal_digit", "indic_normalize", "hindi_normalize",
               "stop:hindi", "hindi"),

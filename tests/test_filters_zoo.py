@@ -962,3 +962,26 @@ def test_norwegian_minimal_full_vocabularies():
         assert norwegian_minimal_stem(src) == want, src
     for src, want in nn:
         assert norwegian_minimal_stem_nn(src) == want, src
+
+
+def test_persian_stem():
+    """PersianStemFilter reference vectors (TestPersianStemFilter) + the
+    2-chars-must-remain guard and multi-suffix stripping order."""
+    from lucene_ray.analysis.filters import persian_stem
+
+    cases = [
+        ("دوستان", "دوست"),      # -an
+        ("كتابها", "كتاب"),      # -ha
+        ("جامدات", "جامد"),      # -at
+        ("عليرضايي", "عليرضا"),  # -yee
+        ("شادماني", "شادمان"),   # -ye
+        ("باحالتر", "باحال"),    # -tar
+        ("خوبترين", "خوب"),      # -tarin
+        ("كباب", "كباب"),        # no stem
+    ]
+    for a, b in cases:
+        assert persian_stem(a) == b, (a, b)
+    # too short to strip: len < suffix + 2
+    assert persian_stem("ات") == "ات"
+    # ZWNJ suffix strips after other suffixes
+    assert persian_stem("۱۲من‌") == "۱۲من"
