@@ -198,12 +198,18 @@ def build_spell_store(source, out_dir: str, *, num_buckets: int = 32,
     # one word hit many buckets, but explode() emits all of a word's rows
     # inside the batch that held the word, so the per-batch (field, word)
     # count is exact before partitioning.
+    STATS_SCHEMA = pa.schema([("field", pa.string()), ("ttf", pa.int64()),
+                              ("doc_count", pa.int64())])
     parts = ds.map_batches(
-        lambda t: fstat(explode(t)), batch_format="pyarrow").materialize()
+        lambda t: (fstat(explode(t)).cast(STATS_SCHEMA) if t.num_rows
+                   else STATS_SCHEMA.empty_table()),
+        batch_format="pyarrow").materialize()
     agg = parts.to_arrow_refs()
     import ray as _ray
 
-    tbl = pa.concat_tables([_ray.get(r) for r in agg])
+    tables = [t for t in (_ray.get(r) for r in agg) if t.num_rows]
+    tbl = pa.concat_tables(tables) if tables \
+        else STATS_SCHEMA.empty_table()
     tbl = tbl.group_by("field").aggregate([("ttf", "sum"),
                                            ("doc_count", "sum")])
     stats = {f: {"ttf": int(t), "doc_count": int(d)}
