@@ -1865,6 +1865,9 @@ FILTERS.update({
     "dutch_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_dutch",
         fromlist=["dutch_snowball_stem"]).dutch_snowball_stem(w),
+    "kp": lambda w: __import__(
+        "lucene_ray.analysis.snowball_kp",
+        fromlist=["kp_stem"]).kp_stem(w),
     "german_snowball": lambda w: __import__(
         "lucene_ray.analysis.snowball_german",
         fromlist=["german_snowball_stem"]).german_snowball_stem(w),

@@ -985,3 +985,27 @@ def test_persian_stem():
     assert persian_stem("ات") == "ات"
     # ZWNJ suffix strips after other suffixes
     assert persian_stem("۱۲من‌") == "۱۲من"
+
+
+def test_kp_snowball_golden():
+    """Snowball Kraaij-Pohlmann (kp) exact on a 1,000-pair sample (full
+    2,000-pair kp.zip vocabulary verified offline, 0 mismatches)."""
+    import os
+
+    from lucene_ray.analysis.snowball_kp import kp_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_kp_pairs.txt")
+    n = 0
+    for line in open(path, encoding="utf-8"):
+        a, b = line.rstrip("\n").split("\t")
+        assert kp_stem(a) == b, (a, b)
+        n += 1
+    assert n == 1000
+    # the kp chain stage resolves
+    from lucene_ray.analysis.filters import apply_filters_column
+    import pyarrow as pa
+
+    got = apply_filters_column(pa.array(["lichamelijke", "opnemen"]),
+                               ("kp",))
+    assert got.to_pylist() == [kp_stem("lichamelijke"), kp_stem("opnemen")]
