@@ -312,10 +312,18 @@ def _sketch_batch(t: pa.Table, k: int = 3) -> pa.Table:
     sigs = np.empty((len(nz), N_PERM), dtype=np.uint64)
     if len(nz):
         seg_starts = starts[nz]
+        # t % M for M = 2^61-1 via the Mersenne identity
+        # (t mod M == ((t & M) + (t >> 61)) adjusted by one subtract) —
+        # bit-identical to the % path, ~4x cheaper than uint64 division
+        M = np.uint64(_MERSENNE)
+        S61 = np.uint64(61)
         with np.errstate(over="ignore"):
-            xm = sh % np.uint64(_MERSENNE)
+            xm = (sh & M) + (sh >> S61)
+            xm -= M * (xm >= M).astype(np.uint64)
             for p in range(N_PERM):
-                vals = (_PERM_A[p] * xm + _PERM_B[p]) % np.uint64(_MERSENNE)
+                tv = _PERM_A[p] * xm + _PERM_B[p]
+                vals = (tv & M) + (tv >> S61)
+                vals -= M * (vals >= M).astype(np.uint64)
                 sigs[:, p] = np.minimum.reduceat(vals, seg_starts)
     bkeys = _band_keys(sigs)                      # (nnz, N_BANDS)
 
