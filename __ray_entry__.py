@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact": textstats.redact,
         "pack_sequences": textstats.pack_sequences,
         "dataset_split": textstats.dataset_split,
+        "sample_mixture": textstats.sample_mixture,
         "doc_length_deciles": textstats.doc_length_deciles,
         "export_splits": _export_splits,
         "facet_counts": textstats.facet_counts,
@@ -252,6 +253,12 @@ def _curation_pipeline(sf_dir):
     from lucene_ray.pipelines.curation import curate_corpus
 
     return curate_corpus(sf_dir)
+
+
+def _sample_mixture_sql():
+    from lucene_ray.pipelines.textstats import sample_mixture_oracle_sql
+
+    return sample_mixture_oracle_sql()
 
 
 def _dedup_substring_sql():
@@ -664,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN toklists t USING (doc_id)""",
         "redact": _redact_sql(),
         "dataset_split": _dataset_split_sql(),
+        "sample_mixture": _sample_mixture_sql(),
         "contamination": _contamination_sql(),
         "doc_length_deciles": _deciles_sql(),
         "export_splits": """

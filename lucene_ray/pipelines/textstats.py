@@ -954,3 +954,37 @@ def lm_doc_scores_oracle_sql() -> str:
                coalesce(d.n_bigrams, 0) AS n_bigrams,
                round(coalesce(d.s, 0.0), 6) AS lm_score
         FROM toklists t LEFT JOIN doc_lp d USING (doc_id)"""
+
+
+MIX_RATES = (("en", 1.0), ("de", 0.5), ("fr", 0.25))   # default mixture
+
+
+def sample_mixture(sf_dir: str, rates=MIX_RATES):
+    """Domain-mixing sampler — the data-mixing step of training-data
+    pipelines (per-domain sampling weights, e.g. upweight curated sources,
+    downsample common crawl): keep a doc iff
+    knuth_hash(doc_id) < rate[domain] * 2^32, domain = the lang column.
+    Deterministic, streaming, one map_batches — no shuffle, no RNG state;
+    unlisted domains drop.  Returns the kept (doc_id, lang) rows (exact
+    integer arithmetic; the SQL twin reproduces it bit-for-bit)."""
+    thresholds = {k: int(r * 2**32) for k, r in dict(rates).items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = ((ids % np.uint64(2**32)) * np.uint64(_KNUTH)) % np.uint64(2**32)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        lim = np.array([thresholds.get(x, 0) for x in lang],
+                       dtype=np.uint64)
+        return t.select(["doc_id", "lang"]).filter(pa.array(h < lim))
+
+    return (_read_documents(sf_dir, columns=("doc_id", "lang"))
+            .map_batches(keep, batch_format="pyarrow"))
+
+
+def sample_mixture_oracle_sql(rates=MIX_RATES) -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(r * 2**32)}" for k, r in dict(rates).items())
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296
+              < (CASE lang {cases} ELSE 0 END)"""

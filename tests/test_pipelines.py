@@ -298,3 +298,29 @@ def test_lm_doc_scores_shapes(ray_session):
     got2 = {r["doc_id"]: r["lm_score"] for r in t2.to_pylist()}
     assert got2[0] == round(math.log(9 / 10), 6)
     assert got2[9] == round(math.log(1 / 10), 6)
+
+
+def test_sample_mixture_rates(ray_session):
+    """Domain-mixing sampler: per-domain keep rates approximate the
+    configured weights; unlisted domains drop; deterministic replay."""
+    import pandas as pd
+
+    from lucene_ray.pipelines.textstats import sample_mixture
+
+    sf = "/root/testdata/sf0.01"
+    got = sample_mixture(sf).to_pandas()
+    again = sample_mixture(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+    import pyarrow.parquet as pq
+
+    tot = pq.read_table(f"{sf}/documents.parquet", columns=["lang"]) \
+        .column("lang").to_pandas().value_counts()
+    kept = got["lang"].value_counts()
+    assert kept.get("en", 0) == tot.get("en", 0)           # rate 1.0
+    for lang, rate in (("de", 0.5), ("fr", 0.25)):
+        if tot.get(lang, 0) >= 40:
+            frac = kept.get(lang, 0) / tot[lang]
+            assert abs(frac - rate) < 0.15, (lang, frac)
+    assert set(got["lang"]) <= {"en", "de", "fr"}
