@@ -1066,6 +1066,56 @@ def multi_field_parse(queries, fields, flags=None, boosts=None):
     return BooleanQuery(tuple(cl))
 
 
+def classic_escape(s: str) -> str:
+    """`QueryParserUtil.escape` / `QueryParserBase.escape`: backslash every
+    character the classic grammar treats as syntax, so arbitrary user text
+    parses as literal terms."""
+    out = []
+    for c in s:
+        if c in '\\+-!():^[]"{}~*?|&/':
+            out.append("\\")
+        out.append(c)
+    return "".join(out)
+
+
+def _discard_escapes(s: str) -> str:
+    """`QueryParserBase.discardEscapeChar`: drop escape backslashes keeping
+    the escaped char; ``\\uXXXX`` decodes a unicode codepoint.  Lenient on
+    a trailing lone backslash (kept literal)."""
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            if s[i + 1] == "u" and i + 6 <= n and all(
+                    ch in "0123456789abcdefABCDEF" for ch in s[i + 2:i + 6]):
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            out.append(s[i + 1])
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _escaped_at(s: str, idx: int) -> bool:
+    """True when s[idx] is preceded by an odd number of backslashes."""
+    k = 0
+    j = idx - 1
+    while j >= 0 and s[j] == "\\":
+        k += 1
+        j -= 1
+    return k % 2 == 1
+
+
+def _has_unescaped(s: str, chars) -> bool:
+    return any(c in chars and not _escaped_at(s, i)
+               for i, c in enumerate(s))
+
+
 def _parse_classic(text: str, field: str, complex_phrases: bool,
                    extensions=None, multi=None):
     import re as _re
@@ -1079,7 +1129,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
           |(?P<range>\w+:[\[\{][^\]\}]*?\s+TO\s+[^\]\}]*?[\]\}])
           |(?P<fquoted>(?:[^\s()"\\]|\\.)+:"[^"]*")
           |"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
-          |(?P<word>[^\s()]+)""", _re.VERBOSE)
+          |(?P<word>(?:[^\s()\\]|\\.)+\\?|\\)""", _re.VERBOSE)
     tokens = []
     for m in tok_pat.finditer(text):
         if m.group("lp"):
@@ -1196,8 +1246,9 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
             f = field
             fm = _re.fullmatch(r"(\w+):(.+)", word)
             if fm and fm.group(1) != field:
-                # non-default field: keyword-term namespace (StringField)
-                f, kw_val = fm.group(1), fm.group(2)
+                # non-default field: keyword-term namespace (StringField);
+                # escapes discarded per QueryParserBase.discardEscapeChar
+                f, kw_val = fm.group(1), _discard_escapes(fm.group(2))
                 clauses.append((TermQuery(f"{f}\x1f{kw_val}", f), occur))
                 continue
             mlt = multi
@@ -1206,11 +1257,13 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 mlt = None      # explicitly fielded: single-field dispatch
             boost = 1.0
             bm = _re.fullmatch(r"(.*)\^(\d+(?:\.\d+)?)", word)
-            if bm:
+            if bm and not _escaped_at(word, len(bm.group(1))):
                 word, boost = bm.group(1), float(bm.group(2))
             em = _re.fullmatch(r"(.*)~(\d+)", word)
+            if em and _escaped_at(word, len(em.group(1))):
+                em = None       # \~ is a literal tilde, not fuzzy
             if em:
-                analyzed = analyze(em.group(1))
+                analyzed = analyze(_discard_escapes(em.group(1)))
                 if analyzed:
                     if mlt is not None:
                         legs = [_mf_boost(
@@ -1218,7 +1271,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                                        max_edits=int(em.group(2)),
                                        field="text", boost=boost)
                             if f == "text" else
-                            FuzzyQuery(f"{f}\x1f{em.group(1)}",
+                            FuzzyQuery(f"{f}\x1f{_discard_escapes(em.group(1))}",
                                        max_edits=int(em.group(2)),
                                        prefix_length=len(f) + 1,
                                        field=f, boost=boost),
@@ -1230,23 +1283,31 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                                                    field=field, boost=boost),
                                         occur))
                 continue
-            if "*" in word or "?" in word:
-                is_prefix = (word.endswith("*") and "*" not in word[:-1]
-                             and "?" not in word)
+            if _has_unescaped(word, "*?"):
+                # escaped \* / \? are literals (WildcardQuery.toAutomaton
+                # honors them downstream); prefix = one unescaped trailing *
+                wl = [i for i, c in enumerate(word)
+                      if c in "*?" and not _escaped_at(word, i)]
+                is_prefix = (len(wl) == 1 and word[wl[0]] == "*"
+                             and wl[0] == len(word) - 1)
                 if mlt is not None:
                     legs = []
                     for f in mlt[0]:
                         ns = "" if f == "text" else f"{f}\x1f"
-                        lq = PrefixQuery(ns + word[:-1].lower(), f, boost) \
-                            if is_prefix \
+                        lq = PrefixQuery(
+                            ns + _discard_escapes(word[:-1]).lower(), f,
+                            boost) if is_prefix \
                             else WildcardQuery(ns + word.lower(), f, boost)
                         legs.append(_mf_boost(lq, f, mlt[1]))
                     clauses.append((_mf_group(legs), occur))
                 elif is_prefix:
-                    clauses.append((PrefixQuery(word[:-1].lower(), field, boost), occur))
+                    clauses.append((PrefixQuery(
+                        _discard_escapes(word[:-1]).lower(), field, boost),
+                        occur))
                 else:
                     clauses.append((WildcardQuery(word.lower(), field, boost), occur))
                 continue
+            word = _discard_escapes(word)
             if mlt is not None:
                 cols = [[TermQuery(t, "text", boost) for t in analyze(word)]
                         if f == "text" else [TermQuery(f"{f}\x1f{word}", f,

@@ -217,3 +217,52 @@ def test_highlight_hits_end_to_end(ray_session, tmp_path_factory):
     assert len(res) == 5
     for h, snip in res:
         assert snip is not None and "<b>merge</b>" in snip
+
+
+def test_classic_escapes():
+    """QueryParserBase escape semantics: escaped syntax chars parse as
+    literal term text; classic_escape() makes arbitrary input literal."""
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        FuzzyQuery,
+        PhraseQuery,
+        PrefixQuery,
+        TermQuery,
+        WildcardQuery,
+        classic_escape,
+        parse_classic,
+    )
+
+    # escaped wildcard -> literal (analyzed term, not a WildcardQuery)
+    assert parse_classic(r"data\*") == TermQuery("data")
+    assert parse_classic("data*") == PrefixQuery("data")
+    # escaped tilde -> no fuzzy; escaped caret -> no boost
+    assert parse_classic(r"merge\~1") != parse_classic("merge~1")
+    assert isinstance(parse_classic("merge~1"), FuzzyQuery)
+    assert parse_classic(r"merge\^2") != TermQuery("merge", boost=2.0)
+    assert parse_classic("merge^2") == TermQuery("merge", boost=2.0)
+    # escaped colon in a keyword value reaches the term verbatim
+    assert parse_classic(r"role:a\:b") == TermQuery("role\x1fa:b", "role")
+    # escaped space joins one keyword value
+    assert parse_classic(r"role:user\ admin") == \
+        TermQuery("role\x1fuser admin", "role")
+    # escaped parens don't open groups
+    q = parse_classic(r"\(merge\)")
+    assert q == TermQuery("merge")
+    # \uXXXX unicode escape decodes (discardEscapeChar)
+    assert parse_classic("\\u006derge") == TermQuery("merge")
+    # escape() round-trip: syntax chars become literal text; the standard
+    # analyzer then tokenizes the literal string
+    esc = classic_escape('c++ (merge)')
+    assert esc == r"c\+\+ \(merge\)"
+    q = parse_classic(esc)
+    assert isinstance(q, (BooleanQuery, TermQuery))
+    terms = ([c.query.term for c in q.clauses]
+             if isinstance(q, BooleanQuery) else [q.term])
+    assert terms == ["c", "merge"]
+    # a\*b* : escaped star literal, trailing star = prefix over "a*b"
+    assert parse_classic(r"a\*b*") == PrefixQuery("a*b")
+    # both wildcards unescaped -> wildcard query keeps the escape form
+    assert isinstance(parse_classic(r"a*b?"), WildcardQuery)
+    # phrases still parse around escapes
+    assert parse_classic('"the data"') == PhraseQuery(("the", "data"))
