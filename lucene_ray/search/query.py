@@ -942,11 +942,15 @@ class ComplexPhraseQuery:
             raise ValueError("empty slot")
 
 
-def parse_classic(text: str, field: str = "text"):
+def parse_classic(text: str, field: str = "text",
+                  default_operator: str = "OR"):
     """Classic-QueryParser syntax (`queryparser/classic/QueryParser.java`
     surface, re-implemented as a small recursive-descent parser):
 
         +term      -> MUST          -term      -> MUST_NOT
+        a AND b / && -> both MUST    a OR b / || -> SHOULD
+        NOT x / !x -> MUST_NOT       (addClause flip semantics;
+                                      default_operator="AND" supported)
         term       -> SHOULD        "a b"      -> PhraseQuery
         "a b"~2    -> sloppy phrase  term~1     -> FuzzyQuery(max_edits)
         pre*       -> PrefixQuery    w?ld*card  -> WildcardQuery
@@ -958,7 +962,8 @@ def parse_classic(text: str, field: str = "text"):
     Free text falls back to analyzed SHOULD terms (QueryParserBase.parse
     default-field behavior); nested groups execute through the recursive
     dense boolean path."""
-    return _parse_classic(text, field, complex_phrases=False)
+    return _parse_classic(text, field, complex_phrases=False,
+                          default_operator=default_operator)
 
 
 def parse_complex_phrase(text: str, field: str = "text"):
@@ -1117,7 +1122,7 @@ def _has_unescaped(s: str, chars) -> bool:
 
 
 def _parse_classic(text: str, field: str, complex_phrases: bool,
-                   extensions=None, multi=None):
+                   extensions=None, multi=None, default_operator="OR"):
     import re as _re
 
     # lexer: parens, field ranges, field:"quoted" composites, quoted
@@ -1153,12 +1158,50 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
         from ..analysis.standard import analyze
 
         clauses = []
+        state = {"conj": None, "not": False}
+
+        def emit(pair):
+            # QueryParserBase.addClause conjunction semantics: AND flips
+            # the previous non-prohibited clause to required; with the
+            # AND default operator, OR flips it back to optional
+            q, occur = pair
+            conj = state["conj"]
+            if conj == "AND" and clauses and clauses[-1][1] != MUST_NOT:
+                clauses[-1] = (clauses[-1][0], MUST)
+            if default_operator == "AND":
+                if conj == "OR" and clauses and clauses[-1][1] != MUST_NOT:
+                    clauses[-1] = (clauses[-1][0], SHOULD)
+                if occur == SHOULD and conj != "OR":
+                    occur = MUST
+            elif conj == "AND" and occur == SHOULD:
+                occur = MUST
+            clauses.append((q, occur))
+            state["conj"] = None
+            state["not"] = False
+
         while pos[0] < len(tokens):
             kind, val = tokens[pos[0]]
             if kind == ")":
                 pos[0] += 1
                 break
-            occur = SHOULD
+            if kind == "word" and val in ("AND", "&&"):
+                state["conj"] = "AND"
+                pos[0] += 1
+                continue
+            if kind == "word" and val in ("OR", "||"):
+                state["conj"] = "OR"
+                pos[0] += 1
+                continue
+            if kind == "word" and (val in ("NOT", "!")
+                                   or (val.startswith("!") and len(val) > 1
+                                       and not _escaped_at(val, 0))):
+                state["not"] = True
+                if val in ("NOT", "!"):
+                    pos[0] += 1
+                else:
+                    tokens[pos[0]] = ("word", val[1:])
+                continue
+            occur = MUST_NOT if state["not"] else SHOULD
             if kind == "sign":
                 occur = MUST if val == "+" else MUST_NOT
                 pos[0] += 1
@@ -1169,7 +1212,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 pos[0] += 1
                 sub = parse_group()
                 if sub is not None:
-                    clauses.append((sub, occur))
+                    emit((sub, occur))
                 continue
             pos[0] += 1
             if kind == ")":
@@ -1180,7 +1223,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 f, lb, lo, hi, rb = m.groups()
                 lo_v = None if lo == "*" else int(lo) + (1 if lb == "{" else 0)
                 hi_v = None if hi == "*" else int(hi) - (1 if rb == "}" else 0)
-                clauses.append((RangeQuery(f, lo_v, hi_v), occur))
+                emit((RangeQuery(f, lo_v, hi_v), occur))
                 continue
             if kind == "fquoted":
                 # <field>:"..." composite: extension dispatch first
@@ -1190,20 +1233,20 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
 
                     eq = try_extension(val, field, extensions)
                     if eq is not None:
-                        clauses.append((eq, occur))
+                        emit((eq, occur))
                         continue
                 raw_f, ptext = val.split(':"', 1)
                 ptext = ptext[:-1]
                 raw_f = raw_f.replace("\\", "")
                 if raw_f and raw_f != field:
-                    clauses.append((TermQuery(f"{raw_f}\x1f{ptext}", raw_f),
+                    emit((TermQuery(f"{raw_f}\x1f{ptext}", raw_f),
                                     occur))
                     continue
                 terms = tuple(analyze(ptext))
                 if terms:
                     q = PhraseQuery(terms, field) if len(terms) > 1 \
                         else TermQuery(terms[0], field)
-                    clauses.append((q, occur))
+                    emit((q, occur))
                 continue
             if kind == "phrase":
                 ptext, slop = val
@@ -1211,7 +1254,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 if complex_phrases and _re.search(r"[*?~(]", ptext):
                     q = _complex_phrase_query(ptext, slop_i, field)
                     if q is not None:
-                        clauses.append((q, occur))
+                        emit((q, occur))
                     continue
                 terms = tuple(analyze(ptext))
                 if multi is not None:
@@ -1227,13 +1270,13 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                             lq = TermQuery(f"{f}\x1f{ptext}", f)
                         legs.append(_mf_boost(lq, f, multi[1]))
                     if legs:
-                        clauses.append((_mf_group(legs), occur))
+                        emit((_mf_group(legs), occur))
                     continue
                 if not terms:
                     continue
                 q = PhraseQuery(terms, field, slop=slop_i) \
                     if len(terms) > 1 else TermQuery(terms[0], field)
-                clauses.append((q, occur))
+                emit((q, occur))
                 continue
             word = val
             if kind == "word" and extensions is not None and ":" in word:
@@ -1241,7 +1284,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
 
                 eq = try_extension(word, field, extensions)
                 if eq is not None:
-                    clauses.append((eq, occur))
+                    emit((eq, occur))
                     continue
             f = field
             fm = _re.fullmatch(r"(\w+):(.+)", word)
@@ -1249,7 +1292,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 # non-default field: keyword-term namespace (StringField);
                 # escapes discarded per QueryParserBase.discardEscapeChar
                 f, kw_val = fm.group(1), _discard_escapes(fm.group(2))
-                clauses.append((TermQuery(f"{f}\x1f{kw_val}", f), occur))
+                emit((TermQuery(f"{f}\x1f{kw_val}", f), occur))
                 continue
             mlt = multi
             if fm:
@@ -1276,9 +1319,9 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                                        prefix_length=len(f) + 1,
                                        field=f, boost=boost),
                             f, mlt[1]) for f in mlt[0]]
-                        clauses.append((_mf_group(legs), occur))
+                        emit((_mf_group(legs), occur))
                     else:
-                        clauses.append((FuzzyQuery(analyzed[0],
+                        emit((FuzzyQuery(analyzed[0],
                                                    max_edits=int(em.group(2)),
                                                    field=field, boost=boost),
                                         occur))
@@ -1299,13 +1342,13 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                             boost) if is_prefix \
                             else WildcardQuery(ns + word.lower(), f, boost)
                         legs.append(_mf_boost(lq, f, mlt[1]))
-                    clauses.append((_mf_group(legs), occur))
+                    emit((_mf_group(legs), occur))
                 elif is_prefix:
-                    clauses.append((PrefixQuery(
+                    emit((PrefixQuery(
                         _discard_escapes(word[:-1]).lower(), field, boost),
                         occur))
                 else:
-                    clauses.append((WildcardQuery(word.lower(), field, boost), occur))
+                    emit((WildcardQuery(word.lower(), field, boost), occur))
                 continue
             word = _discard_escapes(word)
             if mlt is not None:
@@ -1317,10 +1360,10 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                     legs = [_mf_boost(c[i], f, mlt[1])
                             for f, c in zip(mlt[0], cols) if i < len(c)]
                     if legs:
-                        clauses.append((_mf_group(legs), occur))
+                        emit((_mf_group(legs), occur))
                 continue
             for t in analyze(word):
-                clauses.append((TermQuery(t, field, boost), occur))
+                emit((TermQuery(t, field, boost), occur))
         if not clauses:
             return None
         if len(clauses) == 1 and clauses[0][1] == SHOULD:

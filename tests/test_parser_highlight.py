@@ -266,3 +266,35 @@ def test_classic_escapes():
     assert isinstance(parse_classic(r"a*b?"), WildcardQuery)
     # phrases still parse around escapes
     assert parse_classic('"the data"') == PhraseQuery(("the", "data"))
+
+
+def test_classic_boolean_operators():
+    """AND/OR/NOT/&&/||/! with QueryParserBase.addClause flip semantics,
+    both default operators."""
+    from lucene_ray.search.query import (
+        MUST,
+        MUST_NOT,
+        SHOULD,
+        parse_classic,
+    )
+
+    def occurs(q):
+        return [c.occur for c in q.clauses]
+
+    assert occurs(parse_classic("merge AND join")) == [MUST, MUST]
+    assert occurs(parse_classic("merge && join")) == [MUST, MUST]
+    assert occurs(parse_classic("merge OR join")) == [SHOULD, SHOULD]
+    assert occurs(parse_classic("merge NOT join")) == [SHOULD, MUST_NOT]
+    assert occurs(parse_classic("!merge join")) == [MUST_NOT, SHOULD]
+    # AND flips the PREVIOUS clause; OR (default OR) leaves it required
+    assert occurs(parse_classic("a AND b OR c")) == [MUST, MUST, SHOULD]
+    # AND NOT: previous required, current prohibited
+    assert occurs(parse_classic("a AND NOT b")) == [MUST, MUST_NOT]
+    # lowercase and/or are ordinary terms
+    q = parse_classic("merge and join")
+    assert [c.query.term for c in q.clauses] == ["merge", "and", "join"]
+    # default_operator="AND": bare terms are required, OR makes optional
+    assert occurs(parse_classic("a b", default_operator="AND")) == \
+        [MUST, MUST]
+    assert occurs(parse_classic("a OR b", default_operator="AND")) == \
+        [SHOULD, SHOULD]
