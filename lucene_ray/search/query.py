@@ -1221,9 +1221,22 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 m = _re.fullmatch(
                     r"(\w+):([\[\{])\s*([^\s]+)\s+TO\s+([^\s]+)\s*([\]\}])", val)
                 f, lb, lo, hi, rb = m.groups()
-                lo_v = None if lo == "*" else int(lo) + (1 if lb == "{" else 0)
-                hi_v = None if hi == "*" else int(hi) - (1 if rb == "}" else 0)
-                emit((RangeQuery(f, lo_v, hi_v), occur))
+                try:
+                    lo_v = None if lo == "*" else \
+                        int(lo) + (1 if lb == "{" else 0)
+                    hi_v = None if hi == "*" else \
+                        int(hi) - (1 if rb == "}" else 0)
+                    emit((RangeQuery(f, lo_v, hi_v), occur))
+                except ValueError:
+                    # non-numeric bounds: getRangeQuery -> TermRangeQuery
+                    # over the term dictionary (keyword fields range over
+                    # their namespaced terms)
+                    ns = "" if f == field else f"{f}\x1f"
+                    emit((TermRangeQuery(
+                        None if lo == "*" else ns + lo.lower(),
+                        None if hi == "*" else ns + hi.lower(),
+                        include_lower=lb == "[", include_upper=rb == "]",
+                        field="text" if f == field else f), occur))
                 continue
             if kind == "fquoted":
                 # <field>:"..." composite: extension dispatch first

@@ -420,6 +420,11 @@ class IndexSearcher:
                 hi_i = int(np.searchsorted(
                     terms, query.upper,
                     side="right" if query.include_upper else "left"))
+            if query.field != "text":
+                # keyword-field range (parser getRangeQuery): bounds are
+                # namespaced; keep only THIS field's namespace terms
+                pre = f"{query.field}{KEYWORD_SEP}"
+                return [t for t in terms[lo_i:hi_i] if t.startswith(pre)]
             return [t for t in terms[lo_i:hi_i] if KEYWORD_SEP not in t]
         return _expand_terms(terms, query)
 

@@ -298,3 +298,39 @@ def test_classic_boolean_operators():
         [MUST, MUST]
     assert occurs(parse_classic("a OR b", default_operator="AND")) == \
         [SHOULD, SHOULD]
+
+
+def test_classic_string_ranges(ray_session, tmp_path_factory):
+    """Non-numeric range bounds -> TermRangeQuery (getRangeQuery): text
+    dictionary ranges and keyword-field namespaced ranges."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import TermRangeQuery, parse_classic
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    q = parse_classic("text:[merge TO sort]")
+    assert q == TermRangeQuery("merge", "sort")
+    q2 = parse_classic("role:{admin TO user}")
+    assert q2 == TermRangeQuery("role\x1fadmin", "role\x1fuser",
+                                include_lower=False, include_upper=False,
+                                field="role")
+
+    t = synth_transcripts(800, seed=5)
+    d = str(tmp_path_factory.mktemp("trange"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300,
+                keyword_cols=("role",), input_desc="trange")
+    s = IndexSearcher(d)
+    # text range vs brute force over the analyzed corpus
+    from lucene_ray.analysis.standard import analyze
+
+    texts = t.column("text").to_pylist()
+    want = sum(1 for x in texts
+               if any("merge" <= tok <= "sort" for tok in analyze(x or "")))
+    assert s.count(q) == want
+    # keyword range: roles within ["assistant", "tool"] bounds
+    roles = t.column("role").to_pylist()
+    qk = parse_classic("role:[assistant TO tool]")
+    want_k = sum(1 for r in roles if "assistant" <= r <= "tool")
+    assert s.count(qk) == want_k
