@@ -1154,7 +1154,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
 
     pos = [0]
 
-    def parse_group():
+    def parse_group(group_field=None):
         from ..analysis.standard import analyze
 
         clauses = []
@@ -1210,13 +1210,33 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 kind, val = tokens[pos[0]]
             if kind == "(":
                 pos[0] += 1
-                sub = parse_group()
+                sub = parse_group(group_field)
+                if sub is not None:
+                    emit((sub, occur))
+                continue
+            if kind == "word" and _re.fullmatch(r"\w+:", val) \
+                    and pos[0] + 1 < len(tokens) \
+                    and tokens[pos[0] + 1][0] == "(":
+                # fielded group `f:(a b)` (QueryParser field grouping):
+                # the field applies to every clause of the group
+                pos[0] += 2
+                sub = parse_group(val[:-1])
                 if sub is not None:
                     emit((sub, occur))
                 continue
             pos[0] += 1
             if kind == ")":
                 break
+            if group_field is not None and group_field != field:
+                # keyword-field group member: raw (unescaped) value term
+                if kind == "word":
+                    emit((TermQuery(
+                        f"{group_field}\x1f{_discard_escapes(val)}",
+                        group_field), occur))
+                elif kind == "phrase":
+                    emit((TermQuery(f"{group_field}\x1f{val[0]}",
+                                    group_field), occur))
+                continue
             if kind == "range":
                 m = _re.fullmatch(
                     r"(\w+):([\[\{])\s*([^\s]+)\s+TO\s+([^\s]+)\s*([\]\}])", val)

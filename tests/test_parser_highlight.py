@@ -334,3 +334,38 @@ def test_classic_string_ranges(ray_session, tmp_path_factory):
     qk = parse_classic("role:[assistant TO tool]")
     want_k = sum(1 for r in roles if "assistant" <= r <= "tool")
     assert s.count(qk) == want_k
+
+
+def test_classic_fielded_groups(ray_session, tmp_path_factory):
+    """`f:(a b)` field grouping: the field applies to every group member;
+    keyword fields take raw values, the default field analyzes normally."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import (
+        MUST,
+        SHOULD,
+        TermQuery,
+        parse_classic,
+    )
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    q = parse_classic("role:(user admin)")
+    assert [c.query for c in q.clauses] == \
+        [TermQuery("role\x1fuser", "role"), TermQuery("role\x1fadmin", "role")]
+    q2 = parse_classic("text:(merge AND join)")
+    assert [(c.query.term, c.occur) for c in q2.clauses] == \
+        [("merge", MUST), ("join", MUST)]
+    # signs inside the group
+    q3 = parse_classic("role:(+user -tool)")
+    assert [c.occur for c in q3.clauses] == [MUST, "MUST_NOT"]
+
+    t = synth_transcripts(600, seed=7)
+    d = str(tmp_path_factory.mktemp("fgrp"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300,
+                keyword_cols=("role",), input_desc="fgrp")
+    s = IndexSearcher(d)
+    roles = t.column("role").to_pylist()
+    want = sum(1 for r in roles if r in ("user", "assistant"))
+    assert s.count(parse_classic("role:(user assistant)")) == want
