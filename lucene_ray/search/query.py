@@ -1312,6 +1312,10 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 emit((q, occur))
                 continue
             word = val
+            if kind == "word" and word == "*:*":
+                # the classic grammar's match-all (`*:*`)
+                emit((MatchAllDocsQuery(), occur))
+                continue
             if kind == "word" and extensions is not None and ":" in word:
                 from .extparser import try_extension
 
@@ -1335,27 +1339,43 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
             bm = _re.fullmatch(r"(.*)\^(\d+(?:\.\d+)?)", word)
             if bm and not _escaped_at(word, len(bm.group(1))):
                 word, boost = bm.group(1), float(bm.group(2))
-            em = _re.fullmatch(r"(.*)~(\d+)", word)
-            if em and _escaped_at(word, len(em.group(1))):
+            em = _re.fullmatch(r"(.*)~(\d+(?:\.\d+)?)?", word)
+            if em and (em.group(1) == ""
+                       or _escaped_at(word, len(em.group(1)))
+                       or not word.endswith(("~",) if em.group(2) is None
+                                            else (em.group(2),))
+                       or "~" not in word):
                 em = None       # \~ is a literal tilde, not fuzzy
             if em:
+                # bare `term~` = fuzzyMinSim 2.0 -> 2 edits; similarity
+                # converts via FuzzyQuery.floatToEdits over the normalized
+                # term's length (QueryParserBase.newFuzzyQuery:590-596)
                 analyzed = analyze(_discard_escapes(em.group(1)))
+                g2 = em.group(2)
+                sim = 2.0 if g2 is None else float(g2)
+                tl = len(analyzed[0]) if analyzed else 0
+                if sim >= 1.0:
+                    edits = min(int(sim), 2)
+                elif sim == 0.0:
+                    edits = 0
+                else:
+                    edits = min(int((1.0 - sim) * tl), 2)
                 if analyzed:
                     if mlt is not None:
                         legs = [_mf_boost(
                             FuzzyQuery(analyzed[0],
-                                       max_edits=int(em.group(2)),
+                                       max_edits=edits,
                                        field="text", boost=boost)
                             if f == "text" else
                             FuzzyQuery(f"{f}\x1f{_discard_escapes(em.group(1))}",
-                                       max_edits=int(em.group(2)),
+                                       max_edits=edits,
                                        prefix_length=len(f) + 1,
                                        field=f, boost=boost),
                             f, mlt[1]) for f in mlt[0]]
                         emit((_mf_group(legs), occur))
                     else:
                         emit((FuzzyQuery(analyzed[0],
-                                                   max_edits=int(em.group(2)),
+                                                   max_edits=edits,
                                                    field=field, boost=boost),
                                         occur))
                 continue

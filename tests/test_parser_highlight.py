@@ -369,3 +369,21 @@ def test_classic_fielded_groups(ray_session, tmp_path_factory):
     roles = t.column("role").to_pylist()
     want = sum(1 for r in roles if r in ("user", "assistant"))
     assert s.count(parse_classic("role:(user assistant)")) == want
+
+
+def test_classic_bare_fuzzy_and_matchall():
+    """`term~` (fuzzyMinSim 2.0), float similarity via floatToEdits, and
+    the `*:*` match-all (QueryParserBase.handleBareFuzzy semantics)."""
+    from lucene_ray.search.query import (
+        FuzzyQuery,
+        MatchAllDocsQuery,
+        parse_classic,
+    )
+
+    assert parse_classic("merge~") == FuzzyQuery("merge", max_edits=2)
+    assert parse_classic("xyz~0.8") == FuzzyQuery("xyz", max_edits=0)
+    assert parse_classic("merge~0.5") == FuzzyQuery("merge", max_edits=2)
+    assert parse_classic("merge~0.0") == FuzzyQuery("merge", max_edits=0)
+    assert parse_classic("merge~1^3") == FuzzyQuery("merge", max_edits=1,
+                                                    boost=3.0)
+    assert parse_classic("*:*") == MatchAllDocsQuery()
