@@ -1133,7 +1133,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
         r"""(?P<lp>\()|(?P<rp>\))|(?P<sign>[+-])(?=\S)
           |(?P<range>\w+:[\[\{][^\]\}]*?\s+TO\s+[^\]\}]*?[\]\}])
           |(?P<fquoted>(?:[^\s()"\\]|\\.)+:"[^"]*")
-          |"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+          |"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+(?:\.\d+)?))?
           |(?P<word>(?:[^\s()\\]|\\.)+\\?|\\)""", _re.VERBOSE)
     tokens = []
     for m in tok_pat.finditer(text):
@@ -1283,7 +1283,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 continue
             if kind == "phrase":
                 ptext, slop = val
-                slop_i = int(slop) if slop else 0
+                slop_i = int(float(slop)) if slop else 0
                 if complex_phrases and _re.search(r"[*?~(]", ptext):
                     q = _complex_phrase_query(ptext, slop_i, field)
                     if q is not None:
@@ -1312,6 +1312,12 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 emit((q, occur))
                 continue
             word = val
+            if kind == "word" and len(word) >= 2 and word[0] == "/" \
+                    and word.endswith("/") and not _escaped_at(word, len(word) - 1):
+                # /regexp/ term (classic REGEXPTERM; escaped \/ stays in)
+                emit((RegexpQuery(word[1:-1].replace("\\/", "/"), field),
+                      occur))
+                continue
             if kind == "word" and word == "*:*":
                 # the classic grammar's match-all (`*:*`)
                 emit((MatchAllDocsQuery(), occur))
@@ -1326,10 +1332,18 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
             f = field
             fm = _re.fullmatch(r"(\w+):(.+)", word)
             if fm and fm.group(1) != field:
+                f, v = fm.group(1), fm.group(2)
+                if len(v) >= 2 and v[0] == "/" and v.endswith("/") \
+                        and not _escaped_at(v, len(v) - 1):
+                    # fielded /regexp/: runs over the field's namespaced
+                    # dictionary slice
+                    emit((RegexpQuery(
+                        f"{f}\x1f" + v[1:-1].replace("\\/", "/"), f),
+                        occur))
+                    continue
                 # non-default field: keyword-term namespace (StringField);
                 # escapes discarded per QueryParserBase.discardEscapeChar
-                f, kw_val = fm.group(1), _discard_escapes(fm.group(2))
-                emit((TermQuery(f"{f}\x1f{kw_val}", f), occur))
+                emit((TermQuery(f"{f}\x1f{_discard_escapes(v)}", f), occur))
                 continue
             mlt = multi
             if fm:

@@ -387,3 +387,31 @@ def test_classic_bare_fuzzy_and_matchall():
     assert parse_classic("merge~1^3") == FuzzyQuery("merge", max_edits=1,
                                                     boost=3.0)
     assert parse_classic("*:*") == MatchAllDocsQuery()
+
+
+def test_classic_regexp_terms(ray_session, tmp_path_factory):
+    """Classic /regexp/ terms (REGEXPTERM): default-field and fielded
+    (keyword-namespaced) forms + float phrase slop truncation."""
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import PhraseQuery, RegexpQuery, parse_classic
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    assert parse_classic("/ab.c/") == RegexpQuery("ab.c")
+    assert parse_classic("role:/us.r/") == RegexpQuery("role\x1fus.r", "role")
+    assert parse_classic('"merge join"~2.5') == \
+        PhraseQuery(("merge", "join"), slop=2)
+
+    t = synth_transcripts(600, seed=9)
+    d = str(tmp_path_factory.mktemp("rx"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300,
+                keyword_cols=("role",), input_desc="rx")
+    s = IndexSearcher(d)
+    texts = t.column("text").to_pylist()
+    assert s.count(parse_classic("/mer.e/")) == \
+        sum(1 for x in texts if "merge" in (x or ""))
+    roles = t.column("role").to_pylist()
+    assert s.count(parse_classic("role:/us.r/")) == \
+        sum(1 for r in roles if r == "user")
