@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_bm25_bool_sql": _lazy("index_bm25_bool_sql"),
         "index_phrase_count": _lazy("index_phrase_count"),
         "index_complex_phrase_count": _lazy("index_complex_phrase_count"),
+        "index_classic_ops_count": _lazy("index_classic_ops_count"),
         "index_prefix_count": _lazy("index_prefix_count"),
         "index_keyword_count": _lazy("index_keyword_count"),
         "index_delete_count": _lazy("index_delete_count"),
@@ -869,6 +870,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
                    doc_id::BIGINT AS doc_id, round(score, 4) AS score
             FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20""",
+        "index_classic_ops_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE list_contains(toks, 'merge') AND list_contains(toks, 'join')
+              AND NOT list_contains(toks, 'scan')""",
         "bm25_scan_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE list_contains(toks, 'merge') AND list_contains(toks, 'join')""",

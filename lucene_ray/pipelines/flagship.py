@@ -2472,3 +2472,15 @@ def index_matchhl_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["rank", "conv_id", "turn_idx",
                                        "snippet"]).astype(
         {"rank": "int64", "turn_idx": "int64"})
+
+
+def index_classic_ops_count(sf_dir: str) -> pd.DataFrame:
+    """Classic-parser boolean operators end-to-end through the driver gate:
+    ``merge AND join NOT scan`` (addClause semantics: +merge +join -scan)
+    counted via the index; SQL twin = the literal set algebra.
+    (n_matching)."""
+    from ..search.query import parse_classic
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n = searcher.count(parse_classic("merge AND join NOT scan"))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})

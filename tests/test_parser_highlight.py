@@ -415,3 +415,33 @@ def test_classic_regexp_terms(ray_session, tmp_path_factory):
     roles = t.column("role").to_pylist()
     assert s.count(parse_classic("role:/us.r/")) == \
         sum(1 for r in roles if r == "user")
+
+
+def test_classic_escape_fuzz():
+    """Property: parse_classic(classic_escape(s)) always equals the plain
+    free-text SHOULD-of-analyzed-terms of s (no syntax survives escaping),
+    over random strings dense in grammar metacharacters."""
+    import random
+
+    from lucene_ray.analysis.standard import analyze
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        TermQuery,
+        classic_escape,
+        parse_classic,
+    )
+
+    rng = random.Random(42)
+    alphabet = 'ab1 +-!():^[]"{}~*?|&/\\.'
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        q = parse_classic(classic_escape(s))
+        want = analyze(s)
+        if not want:
+            assert q == BooleanQuery(())
+        elif len(want) == 1:
+            assert q == TermQuery(want[0]), (s, q)
+        else:
+            assert isinstance(q, BooleanQuery), (s, q)
+            assert [c.query.term for c in q.clauses] == want, (s, q)
+            assert all(c.occur == "SHOULD" for c in q.clauses)
