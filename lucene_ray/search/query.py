@@ -737,6 +737,23 @@ class FuzzyLikeThisQuery:
     MAX_VARIANTS_PER_TERM = 50
 
 
+@dataclass(frozen=True)
+class MoreLikeThisQuery:
+    """Deferred find-similar query (`queries/mlt/MoreLikeThisQuery.java`):
+    rewrite at search time builds the MoreLikeThis SHOULD boolean from the
+    like-text against the INDEX's stats, then applies
+    minimumNumberShouldMatch = int(clauses * percent_terms_to_match)
+    (MoreLikeThisQuery.rewrite:68-80).  The XML `LikeThisQuery` element
+    builds this."""
+    like_text: str
+    max_query_terms: int = 20
+    min_term_freq: int = 1
+    min_doc_freq: int = -1        # -1 -> MoreLikeThis default (5)
+    percent_terms_to_match: float = 0.3
+    field: str = "text"
+    boost: float = 1.0
+
+
 def bool_query(should=(), must=(), filter_=(), must_not=(), minimum_should_match=0) -> BooleanQuery:
     cl = [BooleanClause(TermQuery(t) if isinstance(t, str) else t, SHOULD) for t in should]
     cl += [BooleanClause(TermQuery(t) if isinstance(t, str) else t, MUST) for t in must]

@@ -682,6 +682,21 @@ class IndexSearcher:
 
         if isinstance(query, _FLTQ):
             return self._compile_fuzzy_like_this(query)
+        from .query import MoreLikeThisQuery as _MLTQ
+
+        if isinstance(query, _MLTQ):
+            # MoreLikeThisQuery.rewrite: build the MLT boolean, then msm =
+            # int(n_clauses * percentTermsToMatch)
+            mdf = 5 if query.min_doc_freq < 0 else query.min_doc_freq
+            bq = more_like_this(self, query.like_text,
+                                max_query_terms=query.max_query_terms,
+                                min_term_freq=query.min_term_freq,
+                                min_doc_freq=mdf)
+            from dataclasses import replace as _replace
+
+            bq = _replace(bq, minimum_should_match=int(
+                len(bq.clauses) * query.percent_terms_to_match))
+            return self.compile(bq, _normalized=True)
         from .query import CombinedFieldQuery as _CFQ
 
         if isinstance(query, _CFQ):

@@ -138,6 +138,37 @@ def _build(e: ET.Element, inherited_field: str | None, default_field: str):
         return _boost(e, BooleanQuery(clauses))
     if tag == "MatchAllDocsQuery":
         return MatchAllDocsQuery()
+    if tag == "LikeThisQuery":
+        # builders/LikeThisQueryBuilder.java: text content + maxQueryTerms
+        # / minTermFrequency / percentTermsToMatch (percent) / minDocFreq
+        from .query import MoreLikeThisQuery
+
+        return _boost(e, MoreLikeThisQuery(
+            _text(e),
+            max_query_terms=int(e.get("maxQueryTerms", "20")),
+            min_term_freq=int(e.get("minTermFrequency", "1")),
+            min_doc_freq=int(e.get("minDocFreq", "-1")),
+            percent_terms_to_match=float(
+                e.get("percentTermsToMatch", "30")) / 100.0,
+            field=fld))
+    if tag == "FuzzyLikeThisQuery":
+        # builders/FuzzyLikeThisQueryBuilder.java: Field children carry
+        # (text, minSimilarity -> floatToEdits ints here, prefixLength)
+        from .query import FuzzyLikeThisQuery
+
+        flds = []
+        for fe in _children(e):
+            if fe.tag != "Field":
+                continue
+            sim = float(fe.get("minSimilarity", "2"))
+            edits = min(int(sim), 2) if sim >= 1.0 else (
+                0 if sim == 0.0 else 1)
+            flds.append((_text(fe), edits,
+                         int(fe.get("prefixLength", "1"))))
+        return _boost(e, FuzzyLikeThisQuery(
+            tuple(flds),
+            max_num_terms=int(e.get("maxNumTerms", "50")),
+            ignore_tf=e.get("ignoreTF", "false").lower() == "true"))
     if tag == "BooleanQuery":
         msm = int(e.get("minimumNumberShouldMatch", "0"))
         clauses = []

@@ -281,3 +281,50 @@ def test_span_or_general(xml_idx):
                       "<SpanTerm>join</SpanTerm></SpanNear></SpanOr>")
     # docs matching 'scan' (doc 3) OR exact "merge join" (doc 4)
     assert s.count(mixed) == 2
+
+
+def test_xml_like_this_queries(ray_session, tmp_path_factory):
+    """LikeThisQuery / FuzzyLikeThisQuery XML builders: AST shapes + the
+    deferred MoreLikeThisQuery rewrite (msm = clauses * percent) matches an
+    independent more_like_this construction."""
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import FuzzyLikeThisQuery, MoreLikeThisQuery
+    from lucene_ray.search.searcher import IndexSearcher, more_like_this
+    from lucene_ray.search.xmlparser import parse_xml
+    from lucene_ray.sources.transcripts import synth_transcripts
+
+    q = parse_xml('<LikeThisQuery maxQueryTerms="10" minDocFreq="5" '
+                  'percentTermsToMatch="30">merge join hash scan'
+                  '</LikeThisQuery>')
+    assert q == MoreLikeThisQuery("merge join hash scan",
+                                  max_query_terms=10, min_doc_freq=5,
+                                  percent_terms_to_match=0.3)
+    q2 = parse_xml('<FuzzyLikeThisQuery maxNumTerms="12" ignoreTF="true">'
+                   '<Field fieldName="text" minSimilarity="1" '
+                   'prefixLength="2">mergw</Field></FuzzyLikeThisQuery>')
+    assert q2 == FuzzyLikeThisQuery((("mergw", 1, 2),), max_num_terms=12,
+                                    ignore_tf=True)
+
+    t = synth_transcripts(700, seed=13)
+    d = str(tmp_path_factory.mktemp("xmlmlt"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300,
+                input_desc="xmlmlt")
+    s = IndexSearcher(d)
+    text = next(x for x in t.column("text").to_pylist()
+                if x and "merge" in x)
+    qq = MoreLikeThisQuery(text, max_query_terms=10, min_term_freq=1,
+                           percent_terms_to_match=0.3)
+    td = s.search(qq, k=5)
+    bq = more_like_this(s, text, max_query_terms=10, min_term_freq=1,
+                        min_doc_freq=5)
+    bq = replace(bq, minimum_should_match=int(len(bq.clauses) * 0.3))
+    td2 = s.search(bq, k=5)
+    assert [(h.gid, h.score) for h in td.hits] == \
+        [(h.gid, h.score) for h in td2.hits]
+    assert td.total_hits > 0
+    # FLT through XML executes
+    assert s.search(q2, k=3).total_hits > 0
