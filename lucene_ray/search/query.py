@@ -1526,13 +1526,38 @@ def parse_surround(text: str, field: str = "text"):
     def term_of(q):
         if isinstance(q, TermQuery) and "\x1f" not in q.term:
             return q.term
+        return None
+
+    def _iv_source(q):
+        """Distance operand -> intervals source: term / prefix / wildcard /
+        OR-of-those (the reference's SrndTruncQuery + OrQuery operands,
+        `surround/query/DistanceQuery.java` getSpanQuery over sub-spans)."""
+        from . import intervals as iv
+
+        if isinstance(q, TermQuery) and "\x1f" not in q.term:
+            return iv.term(q.term)
+        if isinstance(q, PrefixQuery) and "\x1f" not in q.prefix:
+            return iv.prefix(q.prefix)
+        if isinstance(q, WildcardQuery) and "\x1f" not in q.pattern:
+            return iv.wildcard(q.pattern)
+        if isinstance(q, BooleanQuery) and q.clauses and \
+                all(c.occur == SHOULD for c in q.clauses):
+            return iv.or_(*[_iv_source(c.query) for c in q.clauses])
         raise SurroundParseError(
-            "distance operands must be plain terms in this subset")
+            f"unsupported distance operand {type(q).__name__}")
 
     def mk_distance(operands, dist, ordered):
         terms = tuple(term_of(q) for q in operands)
-        return IntervalQuery(terms, max_width=len(terms) + dist - 1,
-                             ordered=ordered, field=field)
+        if all(t is not None for t in terms):
+            return IntervalQuery(terms, max_width=len(terms) + dist - 1,
+                                 ordered=ordered, field=field)
+        from . import intervals as iv
+        from .intervals import IntervalsSourceQuery
+
+        subs = [_iv_source(q) for q in operands]
+        comb = iv.ordered(*subs) if ordered else iv.unordered(*subs)
+        return IntervalsSourceQuery(
+            iv.maxwidth(len(operands) + dist - 1, comb), field=field)
 
     def prefix_args(parse_fn):
         expect("(")

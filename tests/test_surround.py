@@ -151,3 +151,63 @@ def test_surround_execution(srnd_searcher, q, expect):
     s, docs = srnd_searcher
     td = s.search(parse_surround(q), k=10, total_hits_threshold=2**31 - 1)
     assert {h.gid for h in td.hits} == expect, q
+
+
+def test_surround_trunc_and_group_distance_operands(ray_session,
+                                                    tmp_path_factory):
+    """Truncated (pre*/te?m) and OR-group operands inside W/N distance
+    queries — the documented round-4 divergence closed; brute-force
+    position oracle."""
+    import re
+
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import parse_surround
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.sources.transcripts import synth_transcripts
+    import lucene_ray.analysis.standard as std
+
+    t = synth_transcripts(800, seed=17)
+    d = str(tmp_path_factory.mktemp("surr"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=300,
+                input_desc="surr")
+    s = IndexSearcher(d)
+    ts = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    docs = [std.analyze(x or "") for x in ts.column("text").to_pylist()]
+
+    def brute(toksets, width, ordered):
+        """docs with an occurrence of one token from each set within a
+        window of `width` positions (ordered when asked)."""
+        out = set()
+        for i, toks in enumerate(docs):
+            pos = [[p for p, tk in enumerate(toks) if pred(tk)]
+                   for pred in toksets]
+            if any(not p for p in pos):
+                continue
+            from itertools import product
+
+            for combo in product(*pos):
+                if len(set(combo)) < len(combo):
+                    continue
+                if ordered and list(combo) != sorted(combo):
+                    continue
+                if max(combo) - min(combo) + 1 <= width:
+                    out.add(i)
+                    break
+        return out
+
+    q = parse_surround("mer* 2n jo?n")
+    got = {h.gid for h in s.search(q, k=4000,
+                                   total_hits_threshold=2**31 - 1).hits}
+    want = brute([lambda tk: tk.startswith("mer"),
+                  lambda tk: re.fullmatch(r"jo.n", tk) is not None],
+                 width=3, ordered=False)
+    assert got == want and want
+
+    q2 = parse_surround("(merge or sort) w the")
+    got2 = {h.gid for h in s.search(q2, k=4000,
+                                    total_hits_threshold=2**31 - 1).hits}
+    want2 = brute([lambda tk: tk in ("merge", "sort"),
+                   lambda tk: tk == "the"], width=2, ordered=True)
+    assert got2 == want2 and want2
