@@ -1543,6 +1543,15 @@ def parse_surround(text: str, field: str = "text"):
         if isinstance(q, BooleanQuery) and q.clauses and \
                 all(c.occur == SHOULD for c in q.clauses):
             return iv.or_(*[_iv_source(c.query) for c in q.clauses])
+        if isinstance(q, IntervalQuery):
+            comb = (iv.ordered if q.ordered else iv.unordered)(
+                *[iv.term(t) for t in q.terms])
+            # equivalent gap form for term leaves: width n+d-1 == d-1 gaps
+            return iv.maxgaps(q.max_width - len(q.terms), comb)
+        from .intervals import IntervalsSourceQuery as _ISQ
+
+        if isinstance(q, _ISQ):
+            return q.source
         raise SurroundParseError(
             f"unsupported distance operand {type(q).__name__}")
 
@@ -1556,8 +1565,12 @@ def parse_surround(text: str, field: str = "text"):
 
         subs = [_iv_source(q) for q in operands]
         comb = iv.ordered(*subs) if ordered else iv.unordered(*subs)
-        return IntervalsSourceQuery(
-            iv.maxwidth(len(operands) + dist - 1, comb), field=field)
+        # SpanNear slop semantics: <= dist-1 GAP positions between the
+        # operand spans (DistanceQuery opDistance -> slop = d-1), which
+        # maxgaps expresses for variable-width operands where a width
+        # bound cannot
+        return IntervalsSourceQuery(iv.maxgaps(dist - 1, comb),
+                                    field=field)
 
     def prefix_args(parse_fn):
         expect("(")
@@ -1566,6 +1579,10 @@ def parse_surround(text: str, field: str = "text"):
             pos[0] += 1
             args.append(parse_fn())
         expect(")")
+        if len(args) < 2:
+            # FieldsQueryList is `q ("," q)+` — one operand is a
+            # ParseException in the reference grammar
+            raise SurroundParseError("prefix operator needs >= 2 operands")
         return args
 
     def parse_primary():
@@ -1596,29 +1613,41 @@ def parse_surround(text: str, field: str = "text"):
         if fm:
             word = fm.group(2)
         if "*" in word or "?" in word:
+            # "Too unrestrictive truncation": a prefix needs >= 3 prefix
+            # chars (allowedSuffix), a truncated term >= 3 normal chars
+            # (allowedTruncation) — QueryParser.jj:78-179
             if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
+                if len(word) - 1 < 3:
+                    raise SurroundParseError(
+                        f"Too unrestrictive truncation: {word!r}")
                 return PrefixQuery(word[:-1].lower(), field)
+            if sum(1 for c in word if c not in "*?") < 3:
+                raise SurroundParseError(
+                    f"Too unrestrictive truncation: {word!r}")
             return WildcardQuery(word.lower(), field)
         analyzed = analyze(word)
         if not analyzed:
             raise SurroundParseError(f"term {word!r} analyzes to nothing")
         return TermQuery(analyzed[0], field)
 
-    def parse_dist():
+    def parse_w():
+        # WQuery: Primary (<W> Primary)* — LEFT-ASSOCIATIVE binary nesting
+        # (QueryParser.jj:357-373: a new DistanceQuery per operator)
         q = parse_primary()
-        k, v = peek()
-        if k != "distop":
-            return q
-        dist, ordered = v
-        operands = [q]
-        while peek()[0] == "distop":
-            d2, o2 = peek()[1]
-            if (d2, o2) != (dist, ordered):
-                raise SurroundParseError(
-                    "mixed distance operators in one chain are not supported")
+        while peek()[0] == "distop" and peek()[1][1]:
+            d, _ = peek()[1]
             pos[0] += 1
-            operands.append(parse_primary())
-        return mk_distance(operands, dist, ordered)
+            q = mk_distance([q, parse_primary()], d, True)
+        return q
+
+    def parse_dist():
+        # NQuery: WQuery (<N> WQuery)* — W binds tighter than N
+        q = parse_w()
+        while peek()[0] == "distop" and not peek()[1][1]:
+            d, _ = peek()[1]
+            pos[0] += 1
+            q = mk_distance([q, parse_w()], d, False)
+        return q
 
     def parse_not():
         q = parse_dist()

@@ -51,9 +51,25 @@ def test_prefix_distance_form():
         ("a", "b"), max_width=3, ordered=False)
 
 
-def test_distance_chain_same_op():
-    assert parse_surround("a w b w c") == IntervalQuery(
+def test_distance_chain_left_assoc():
+    """Infix chains nest LEFT-ASSOCIATIVELY per the reference grammar
+    (QueryParser.jj WQuery/NQuery: one binary DistanceQuery per operator);
+    W binds tighter than N.  Adjacency chains keep the same match set as
+    the old flat form (verified in the execution suite)."""
+    from lucene_ray.search import intervals as iv
+    from lucene_ray.search.intervals import IntervalsSourceQuery
+
+    q = parse_surround("a w b w c")
+    inner = iv.maxgaps(0, iv.ordered(iv.term("a"), iv.term("b")))
+    assert q == IntervalsSourceQuery(
+        iv.maxgaps(0, iv.ordered(inner, iv.term("c"))), field="text")
+    # prefix form stays n-ary (FieldsQueryList)
+    assert parse_surround("W(a, b, c)") == IntervalQuery(
         ("a", "b", "c"), max_width=3, ordered=True)
+    # W tighter than N: a w b n c == (a w b) n c
+    qn = parse_surround("a w b n c")
+    assert qn == IntervalsSourceQuery(
+        iv.maxgaps(0, iv.unordered(inner, iv.term("c"))), field="text")
 
 
 def test_boolean_ops_case_insensitive():
@@ -94,13 +110,21 @@ def test_grouping_and_truncation():
 
 
 def test_rejects_reference_exception_shapes():
-    # Test01Exceptions.java shapes: these must raise, not mis-parse
-    for bad in ("", "aa and", "(aa", "aa)", "a 3x b", "(aa or bb) w cc",
-                "a w b 2w c"):
-        with pytest.raises((SurroundParseError, Exception)):
+    # Test01Exceptions.java: every reference exception query must raise
+    # (incl. the truncation minimums and the >=2-operand prefix forms);
+    # grouped/mixed distance operands are VALID grammar now (see below)
+    for bad in ("", "aa and", "(aa", "aa)", "a 3x b",
+                "*", "a*", "ab*", "?", "a?", "ab?", "a???b", "a*b?",
+                "word1 word2", "word2 AND", "word1 OR",
+                "AND(word2)", "AND(word2,)", "AND(word2,word1,)",
+                "OR(word2)", "OR(word2 ,", "OR(word2 , word1 ,)",
+                "xx NOT", "xx (a AND b)", "(a AND b", "a OR b)",
+                "or(word2+ not ord+, and xyz,def)"):
+        try:
             q = parse_surround(bad)
-            # tolerate a parse only if it consumed everything meaningfully
-            raise SurroundParseError(f"accepted {bad!r} as {q}")
+        except Exception:
+            continue
+        raise AssertionError(f"accepted {bad!r} as {q}")
 
 
 # --- execution over a SingleFieldTestDb-style corpus ----------------------
@@ -146,6 +170,10 @@ def srnd_searcher(ray_session, tmp_path_factory):
     ("a w b", {4}),                     # "a c e a b c": a@3 b@4 adjacent
     ("a 2w b", {4}),
     ("b n c", {4}),
+    ("a w b w c", {4}),                 # left-assoc chain: a@3 b@4 c@5
+    ("a w b n e", {4}),                 # e@2 adjacent to the (a w b) span
+    ("e n b", set()),                   # gap (a@3) between e@2 and b@4
+    ("e 2n b", {4}),
 ])
 def test_surround_execution(srnd_searcher, q, expect):
     s, docs = srnd_searcher
