@@ -130,9 +130,11 @@ def _to_span_node(q):
 
 
 def _float_to_edits(similarity: float, term_len: int) -> int:
-    """FuzzyQuery.floatToEdits (`search/FuzzyQuery.java:436-444`)."""
+    """FuzzyQuery.floatToEdits (`search/FuzzyQuery.java:261-270`)."""
     if similarity >= 1.0:
         return min(int(similarity), 2)
+    if similarity == 0.0:
+        return 0            # 0 means exact, not infinite edits
     return min(int((1.0 - similarity) * term_len), 2)
 
 

@@ -1384,13 +1384,10 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 analyzed = analyze(_discard_escapes(em.group(1)))
                 g2 = em.group(2)
                 sim = 2.0 if g2 is None else float(g2)
-                tl = len(analyzed[0]) if analyzed else 0
-                if sim >= 1.0:
-                    edits = min(int(sim), 2)
-                elif sim == 0.0:
-                    edits = 0
-                else:
-                    edits = min(int((1.0 - sim) * tl), 2)
+                from .flexible import _float_to_edits
+
+                edits = _float_to_edits(
+                    sim, len(analyzed[0]) if analyzed else 0)
                 if analyzed:
                     if mlt is not None:
                         legs = [_mf_boost(
