@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": textstats.pack_sequences,
         "dataset_split": textstats.dataset_split,
         "sample_mixture": textstats.sample_mixture,
+        "cap_per_source": textstats.cap_per_source,
         "doc_length_deciles": textstats.doc_length_deciles,
         "export_splits": _export_splits,
         "facet_counts": textstats.facet_counts,
@@ -254,6 +255,12 @@ def _curation_pipeline(sf_dir):
     from lucene_ray.pipelines.curation import curate_corpus
 
     return curate_corpus(sf_dir)
+
+
+def _cap_per_source_sql():
+    from lucene_ray.pipelines.textstats import cap_per_source_oracle_sql
+
+    return cap_per_source_oracle_sql()
 
 
 def _sample_mixture_sql():
@@ -673,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "redact": _redact_sql(),
         "dataset_split": _dataset_split_sql(),
         "sample_mixture": _sample_mixture_sql(),
+        "cap_per_source": _cap_per_source_sql(),
         "contamination": _contamination_sql(),
         "doc_length_deciles": _deciles_sql(),
         "export_splits": """

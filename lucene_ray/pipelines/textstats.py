@@ -988,3 +988,47 @@ def sample_mixture_oracle_sql(rates=MIX_RATES) -> str:
         SELECT doc_id, lang FROM documents
         WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296
               < (CASE lang {cases} ELSE 0 END)"""
+
+
+def cap_per_source(sf_dir: str, cap: int = 10):
+    """Per-domain document caps — the common-crawl curation step that
+    bounds any one source's contribution: keep each source's first ``cap``
+    docs by (n_chars DESC, doc_id ASC) (quality-proxy order, deterministic
+    ties).  One groupby(source) with a vectorized per-partition rank —
+    source-count-bounded shuffle, no driver state.  Returns the kept
+    (doc_id, source, src_rank)."""
+    import ray.data as rd
+
+    def rank_and_cap(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        n_chars = t.column("n_chars").to_numpy()
+        doc_id = t.column("doc_id").to_numpy()
+        order = np.lexsort((doc_id, -n_chars, src))
+        s_sorted = src[order]
+        new_grp = np.concatenate(([True], s_sorted[1:] != s_sorted[:-1]))
+        grp_start = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(order)), 0))
+        rank = np.arange(len(order)) - grp_start + 1
+        keep = rank <= cap
+        sel = order[keep]
+        return pa.table({
+            "doc_id": pa.array(doc_id[sel], pa.int64()),
+            "source": pa.array(src[sel], pa.string()),
+            "src_rank": pa.array(rank[keep], pa.int64()),
+        })
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "n_chars"])
+            .groupby("source")
+            .map_groups(rank_and_cap, batch_format="pyarrow"))
+
+
+def cap_per_source_oracle_sql(cap: int = 10) -> str:
+    return f"""
+        SELECT doc_id, source, src_rank FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id ASC)
+                     AS src_rank
+          FROM documents)
+        WHERE src_rank <= {cap}"""

@@ -324,3 +324,22 @@ def test_sample_mixture_rates(ray_session):
             frac = kept.get(lang, 0) / tot[lang]
             assert abs(frac - rate) < 0.15, (lang, frac)
     assert set(got["lang"]) <= {"en", "de", "fr"}
+
+
+def test_cap_per_source(ray_session):
+    """Per-source caps: every source contributes at most `cap` docs, kept
+    docs are each source's top by (n_chars desc, doc_id asc)."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import cap_per_source
+
+    sf = "/root/testdata/sf0.01"
+    got = cap_per_source(sf, cap=10).to_pandas()
+    counts = got.groupby("source").size()
+    assert (counts <= 10).all() and (counts == 10).any()
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "source", "n_chars"]).to_pandas()
+    src = t[t.source == got.source.iloc[0]].sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]).head(10)
+    assert set(got[got.source == got.source.iloc[0]].doc_id) == \
+        set(src.doc_id)
