@@ -351,18 +351,24 @@ class _Flex:
             edits = _float_to_edits(fms, len(analyzed[0]))
             return self._with_boost(FuzzyQuery(analyzed[0], max_edits=edits,
                                                field=field))
-        if "*" in word or "?" in word:
-            if word[0] in "*?" and not self.allow_leading:
+        from .query import _escaped_at as _esc
+
+        wl = [i for i, c in enumerate(val)
+              if c in "*?" and not _esc(val, i)]
+        if wl:
+            # wildcard routing on the ESCAPED form: \* / \? are literals
+            if wl[0] == 0 and not self.allow_leading:
                 # AllowLeadingWildcardProcessor default contract
                 raise FlexibleParseError(
                     "leading wildcard not allowed (set "
                     "allow_leading_wildcard=True)")
-            if word == "*":
+            if val == "*":
                 from .query import MatchAllDocsQuery
                 return self._with_boost(MatchAllDocsQuery())
-            if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
-                return self._with_boost(PrefixQuery(word[:-1].lower(), field))
-            return self._with_boost(WildcardQuery(word.lower(), field))
+            if len(wl) == 1 and val[wl[0]] == "*" and wl[0] == len(val) - 1:
+                return self._with_boost(
+                    PrefixQuery(_unescape(val[:-1]).lower(), field))
+            return self._with_boost(WildcardQuery(val.lower(), field))
         terms = analyze(word)
         if not terms:
             return None

@@ -297,3 +297,14 @@ def test_interval_span_functions_end_to_end(flex_index):
     got, n_got = _ids(s, q)
     expect, n_want = _ids(s, want)
     assert (got, n_got) == (expect, n_want) and n_got > 0
+
+
+def test_flexible_escaped_wildcards_literal():
+    """Escaped \\* / \\? stay literal through the flexible dialect (the
+    wildcard routing runs on the escaped form)."""
+    from lucene_ray.search.flexible import parse_flexible
+    from lucene_ray.search.query import PrefixQuery, TermQuery
+
+    assert parse_flexible(r"data\*") == TermQuery("data")
+    assert parse_flexible("data*") == PrefixQuery("data")
+    assert parse_flexible(r"a\*b*") == PrefixQuery("a*b")
