@@ -801,7 +801,7 @@ def parse_simple(text: str, field: str = "text", default_operator: str = SHOULD)
     tok_pat = _re.compile(
         r"""(?P<lp>\()|(?P<rp>\))|(?P<and>\+)|(?P<or>\|)|(?P<not>-(?=\S))
           |"(?P<phrase>[^"]*)"?(?:~(?P<slop>\d+))?
-          |(?P<word>[^\s()+|]+)""", _re.VERBOSE)
+          |(?P<word>(?:\\.|[^\s()+|\\])+\\?|\\)""", _re.VERBOSE)
     tokens = []
     for m in tok_pat.finditer(text):
         if m.group("lp"):
@@ -856,14 +856,17 @@ def parse_simple(text: str, field: str = "text", default_operator: str = SHOULD)
             return PhraseQuery(terms, field, slop=int(slop) if slop else 0)
         word = val
         fm = _re.fullmatch(r"(.*)~(\d+)", word)
+        if fm and _escaped_at(word, len(fm.group(1))):
+            fm = None                      # \~ is literal
         if fm:
-            analyzed = analyze(fm.group(1))
+            analyzed = analyze(_discard_escapes(fm.group(1)))
             if not analyzed:
                 return None
             return FuzzyQuery(analyzed[0], max_edits=int(fm.group(2)), field=field)
-        if word.endswith("*") and len(word) > 1:
-            return PrefixQuery(word[:-1].lower(), field)
-        terms = analyze(word)
+        if word.endswith("*") and len(word) > 1 \
+                and not _escaped_at(word, len(word) - 1):
+            return PrefixQuery(_discard_escapes(word[:-1]).lower(), field)
+        terms = analyze(_discard_escapes(word))
         if not terms:
             return None
         if len(terms) == 1:

@@ -104,3 +104,24 @@ def test_executes_through_searcher(ray_session):
     assert n_simple == n_ref > 0
     # grouped query runs through the nested path
     assert s.count(parse_simple("(merge | join) + -window")) > 0
+
+
+def test_simple_escapes():
+    """SimpleQueryParser escape handling: \\ before any special char makes
+    it literal text (operators, wildcard star, tilde, parens)."""
+    from lucene_ray.search.query import (
+        FuzzyQuery,
+        PrefixQuery,
+        TermQuery,
+        parse_simple,
+    )
+
+    assert parse_simple(r"data\*") == TermQuery("data")
+    assert parse_simple("data*") == PrefixQuery("data")
+    # escaped + is literal text -> two analyzed SHOULD terms, not AND
+    q = parse_simple(r"a\+b")
+    assert all(c.occur == "SHOULD" for c in q.clauses)
+    # escaped tilde is literal, unescaped is fuzzy
+    assert parse_simple("merge~1") == FuzzyQuery("merge", max_edits=1)
+    assert not isinstance(parse_simple(r"merge\~1"), FuzzyQuery)
+    assert parse_simple(r"\(x\)") == TermQuery("x")
