@@ -2714,15 +2714,57 @@ def suggest_word_breaks(searcher: "IndexSearcher", term: str,
 
 def suggest_word_combinations(searcher: "IndexSearcher", terms,
                               min_suggestion_freq: int = 1,
-                              k: int = 5) -> list[tuple[str, int]]:
-    """WordBreakSpellChecker.suggestWordCombinations: adjacent query terms
-    whose concatenation is a dictionary word with docFreq >=
-    min_suggestion_freq; ranked by docFreq desc, combined-term asc.
-    Returns [(combined, df)] for each adjacent pair that combines."""
-    cands = []
-    for a, b in zip(terms, terms[1:]):
-        comb = a + b
-        df = searcher.df(comb)
-        if df >= min_suggestion_freq:
-            cands.append((comb, df))
-    return sorted(set(cands), key=lambda x: (-x[1], x[0]))[:k]
+                              k: int = 5, suggest_mode: str = "always",
+                              max_changes: int = 2,
+                              max_combine_word_length: int = 20,
+                              max_evaluations: int = 1000) -> list:
+    """WordBreakSpellChecker.suggestWordCombinations — faithful port
+    (`suggest/spell/WordBreakSpellChecker.java:169-247`): runs of 2..
+    maxChanges+1 ADJACENT terms whose concatenation is a dictionary word
+    with docFreq >= min_suggestion_freq; SuggestMode gates per the
+    reference (`when_not_in_index`: at least one combined original must be
+    absent (minFreq==0); `more_popular`: combined df >= max original df);
+    combined length capped at maxCombineWordLength; maxEvaluations bounds
+    the scan.  Output order = the CombinationsThenFreqComparator queue
+    drain: fewer combined terms first, then higher combined df, then
+    scan order.  Returns [(orig_indexes tuple, combined, df,
+    score=n_combined-1)]."""
+    if k < 1:
+        return []
+    orig_freqs = None
+    if suggest_mode != "always":
+        orig_freqs = [searcher.df(t) for t in terms]
+    out = []
+    evals = 0
+    for i in range(len(terms) - 1):
+        left = terms[i]
+        if len(left) > max_combine_word_length:
+            continue
+        max_f = orig_freqs[i] if orig_freqs else 0
+        min_f = orig_freqs[i] if orig_freqs else (1 << 31)
+        combined = left
+        length = len(left)
+        j = i + 1
+        stop = False
+        while j < len(terms) and j - i <= max_changes and not stop:
+            right = terms[j]
+            combined += right
+            length += len(right)
+            if length > max_combine_word_length:
+                break
+            if orig_freqs:
+                max_f = max(max_f, orig_freqs[j])
+                min_f = min(min_f, orig_freqs[j])
+            df = searcher.df(combined)
+            if (suggest_mode != "more_popular" or df >= max_f) and \
+                    (suggest_mode != "when_not_in_index" or min_f == 0) and \
+                    df >= min_suggestion_freq:
+                out.append((tuple(range(i, j + 1)), combined, df, j - i))
+            evals += 1
+            if evals == max_evaluations:
+                stop = True
+            j += 1
+        if evals == max_evaluations:
+            break
+    out.sort(key=lambda x: (x[3], -x[2]))       # stable: scan order ties
+    return out[:k]

@@ -65,8 +65,52 @@ def test_word_breaks_no_garbage(wb_index):
 
 def test_word_combinations(wb_index):
     got = suggest_word_combinations(wb_index, ["merge", "join", "now"])
-    assert got and got[0][0] == "mergejoin"
-    assert got[0][1] == wb_index.df("mergejoin")
+    assert got and got[0][1] == "mergejoin" and got[0][0] == (0, 1)
+    assert got[0][2] == wb_index.df("mergejoin") and got[0][3] == 1
     got2 = suggest_word_combinations(wb_index, ["data", "base"])
-    assert got2[0][0] == "database"
+    assert got2[0][1] == "database"
     assert suggest_word_combinations(wb_index, ["now", "stable"]) == []
+
+
+def test_word_combinations_reference_vectors(ray_session, tmp_path_factory):
+    """TestWordBreakSpellChecker.testCombiningWords, transcribed: the
+    hun/dred/eight/y/eight corpus, 2- and 3-term combinations, queue
+    order, and the SUGGEST_WHEN_NOT_IN_INDEX gate."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.searcher import IndexSearcher
+
+    texts = ["one hundred eight", "eighty eight", "yeight one",
+             "hundredeight hundred", "eightyeight eighty", "yeight two",
+             "tres y cinco"]     # provides 'y' (the reference corpus doc)
+    t = pa.table({
+        "conv_id": pa.array([f"w{i:02d}" for i in range(len(texts))]),
+        "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+        "text": pa.array(texts),
+    })
+    d = str(tmp_path_factory.mktemp("wbc"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=16,
+                input_desc="wbc")
+    s = IndexSearcher(d)
+    terms = ["one", "hun", "dred", "eight", "y", "eight"]
+    cs = suggest_word_combinations(s, terms, k=10, max_changes=3)
+    combos = [(c[0], c[1], c[3]) for c in cs]
+    # three 2-term combos (score 1) first, then the 3-term (score 2) ones
+    assert ((1, 2), "hundred", 1) in combos[:3]
+    assert ((3, 4), "eighty", 1) in combos[:3]
+    assert ((4, 5), "yeight", 1) in combos[:3]
+    assert {( (1, 2, 3), "hundredeight", 2), ((3, 4, 5), "eightyeight", 2)} \
+        <= set(combos[3:])
+    # WHEN_NOT_IN_INDEX: only combos containing an absent original term
+    # survive ("hun"/"dred" are not index words; eight/y/eight all are)
+    cs2 = suggest_word_combinations(s, terms, k=5,
+                                    suggest_mode="when_not_in_index",
+                                    max_changes=3)
+    combos2 = [(c[0], c[1]) for c in cs2]
+    assert combos2[0] == ((1, 2), "hundred")
+    assert ((1, 2, 3), "hundredeight") in combos2
+    assert all("y" != c[1] for c in cs2)
+    assert not any(c[1] in ("eighty", "yeight", "eightyeight")
+                   for c in cs2)
