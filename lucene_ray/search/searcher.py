@@ -2683,15 +2683,17 @@ def spell_correct(searcher: "IndexSearcher", term: str, max_edits: int = 2,
 def suggest_word_breaks(searcher: "IndexSearcher", term: str,
                         max_changes: int = 2, min_suggestion_freq: int = 1,
                         min_break_length: int = 2,
-                        k: int = 5) -> list[tuple[tuple[str, ...], int]]:
+                        k: int = 5, suggest_mode: str = "when_not_in_index"
+                        ) -> list[tuple[tuple[str, ...], int]]:
     """WordBreakSpellChecker.suggestWordBreaks
     (`suggest/spell/WordBreakSpellChecker.java`): split a (likely
     run-together) term into dictionary words, every part with
     docFreq >= min_suggestion_freq and length >= min_break_length, using at
-    most `max_changes` break points.  Ranked like the reference's default
-    sort: fewer changes first, then higher frequency (here: the MINIMUM part
-    docFreq — the limiting word), then lexicographic.  Returns
-    [(parts, min_df)]."""
+    most `max_changes` break points.  Terms already present in the index
+    return no suggestions (the SUGGEST_WHEN_NOT_IN_INDEX gate).  Ranked by
+    the reference's NUM_CHANGES_THEN_MAX_FREQUENCY: fewer changes first,
+    then higher MAX part docFreq, then lexicographic.  Returns
+    [(parts, max_df)]."""
     out: list[tuple[tuple[str, ...], int]] = []
 
     def rec(rest: str, parts: tuple[str, ...], changes: int):
@@ -2706,8 +2708,16 @@ def suggest_word_breaks(searcher: "IndexSearcher", term: str,
             if searcher.df(head) >= min_suggestion_freq:
                 rec(rest[i:], parts + (head,), changes + 1)
 
+    # SUGGEST_WHEN_NOT_IN_INDEX gate (WordBreakSpellChecker.java:96-99,
+    # the reference default mode): an in-index term yields no suggestions
+    if suggest_mode == "when_not_in_index" and searcher.df(term) >= 1:
+        return []
     rec(term, (), 0)
-    uniq = {p: d for p, d in sorted(out, key=lambda x: (-x[1],))}
+    # NUM_CHANGES_THEN_MAX_FREQUENCY drain order: fewer parts first, then
+    # HIGHER max part frequency (LengthThenMaxFreqComparator)
+    uniq = {}
+    for p, _mn in out:
+        uniq[p] = max(searcher.df(w) for w in p)
     ranked = sorted(uniq.items(), key=lambda x: (len(x[0]), -x[1], x[0]))
     return ranked[:k]
 

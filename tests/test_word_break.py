@@ -36,13 +36,18 @@ def wb_index(ray_session, tmp_path_factory):
 
 
 def test_word_breaks_basic(wb_index):
-    got = suggest_word_breaks(wb_index, "mergejoin")
+    # "mergejoin" IS an index word -> gated under the default mode
+    assert suggest_word_breaks(wb_index, "mergejoin") == []
+    got = suggest_word_breaks(wb_index, "mergejoin", suggest_mode="always")
     parts = [p for p, _ in got]
     assert ("merge", "join") in parts
-    # min_df rank: merge df=3? (docs 0,1) + join (0,2) -> min(df)
+    # NUM_CHANGES_THEN_MAX_FREQUENCY rank: fewest breaks, then MAX part df
     top_parts, top_df = got[0]
     assert top_parts == ("merge", "join")
-    assert top_df == min(wb_index.df("merge"), wb_index.df("join"))
+    assert top_df == max(wb_index.df("merge"), wb_index.df("join"))
+    # a non-indexed run-together term suggests under the default mode
+    got2 = suggest_word_breaks(wb_index, "joindata")
+    assert ("join", "data") in [p for p, _ in got2]
 
 
 def test_word_breaks_multi_split(wb_index):
@@ -56,11 +61,13 @@ def test_word_breaks_multi_split(wb_index):
 
 def test_word_breaks_no_garbage(wb_index):
     assert suggest_word_breaks(wb_index, "zzzqqqxxx") == []
-    # a term that IS a dictionary word still only returns real splits
-    for parts, _ in suggest_word_breaks(wb_index, "database"):
+    # the reference default mode returns NOTHING for an in-index term
+    assert suggest_word_breaks(wb_index, "database") == []
+    # SUGGEST_ALWAYS still only returns real splits
+    got = suggest_word_breaks(wb_index, "database", suggest_mode="always")
+    for parts, _ in got:
         assert all(wb_index.df(p) > 0 for p in parts)
-    assert ("data", "base") in [p for p, _ in
-                                suggest_word_breaks(wb_index, "database")]
+    assert ("data", "base") in [p for p, _ in got]
 
 
 def test_word_combinations(wb_index):
