@@ -2680,6 +2680,94 @@ def spell_correct(searcher: "IndexSearcher", term: str, max_edits: int = 2,
     return ranked[:k]
 
 
+def direct_spell_suggest(searcher: "IndexSearcher", term: str,
+                         num_sug: int = 5,
+                         suggest_mode: str = "when_not_in_index",
+                         accuracy: float = 0.5, max_edits: int = 2,
+                         min_prefix: int = 1, max_inspections: int = 5,
+                         min_query_length: int = 4,
+                         max_query_length: int = 1 << 30,
+                         max_query_frequency: float = 0.01,
+                         threshold_frequency: float = 0.0,
+                         lower_case_terms: bool = True,
+                         distance=None,
+                         comparator: str = "score") -> list:
+    """DirectSpellChecker.suggestSimilar — the full configured surface
+    (`suggest/spell/DirectSpellChecker.java:284-470`): query gates
+    (minQueryLength 4, maxQueryLength, lowercase, the WHEN_NOT_IN_INDEX
+    df>0 gate, maxQueryFrequency as a fraction-of-maxDoc or absolute
+    cutoff), candidate df floors (thresholdFrequency; MORE_POPULAR floors
+    at the query's own df), two-pass candidate draw (ed=1 first, widened
+    to maxEdits only when numSug*maxInspections not yet filled) with
+    prefix = max(minPrefix, editDistance-1), default score =
+    1 - d/min(len) (the INTERNAL_LEVENSHTEIN scaling; this engine's
+    dictionary scan uses plain Levenshtein without transpositions — the
+    same documented choice as FuzzyQuery expansion), accuracy cutoff, and
+    the SuggestWord comparator order (``score`` or ``frequency``).
+    Returns [(word, score, freq)]."""
+    from .query import FuzzyQuery
+
+    text = term.lower() if lower_case_terms else term
+    if not (min_query_length <= len(text) <= max_query_length):
+        return []
+    docfreq = searcher.df(text)
+    if suggest_mode == "when_not_in_index" and docfreq > 0:
+        return []
+    max_doc = searcher.doc_count
+    if max_query_frequency >= 1.0:
+        if docfreq > max_query_frequency:
+            return []
+    elif docfreq > int(math.ceil(max_query_frequency * float(max_doc))):
+        return []
+    if suggest_mode != "more_popular":
+        docfreq = 0
+    if threshold_frequency >= 1.0:
+        docfreq = max(docfreq, int(threshold_frequency))
+    elif threshold_frequency > 0.0:
+        docfreq = max(docfreq, int(threshold_frequency * float(max_doc)) - 1)
+
+    inspections = num_sug * max_inspections
+
+    def draw(edit_distance: int) -> dict:
+        q = FuzzyQuery(text, max_edits=edit_distance,
+                       prefix_length=max(min_prefix, edit_distance - 1))
+        got: dict[str, tuple] = {}
+        for pid in searcher._pids:
+            rdr = searcher.reader(pid)
+            for t in searcher._expand_shard(rdr, q):
+                if t == text or t in got:
+                    continue
+                df = searcher.df(t)
+                if df <= docfreq:
+                    continue
+                if distance is None:
+                    d = next(d for d in range(edit_distance + 1)
+                             if _levenshtein_leq(t, text, d))
+                    score = 1.0 - d / min(len(t), len(text))
+                else:
+                    score = distance(text, t)
+                if score < accuracy:
+                    continue
+                got[t] = (score, df)
+        return got
+
+    cands = draw(1)
+    if max_edits > 1 and len(cands) < inspections:
+        for t, v in draw(max_edits).items():
+            cands.setdefault(t, v)
+
+    # SuggestWord comparator drain order == (score desc, freq desc, word
+    # asc) / freq-first for the frequency comparator (the reversed-string
+    # third criterion ends word-ascending, as in SpellChecker)
+    if comparator == "frequency":
+        key = (lambda kv: (-kv[1][1], -kv[1][0], kv[0]))
+    else:
+        key = (lambda kv: (-kv[1][0], -kv[1][1], kv[0]))
+    ranked = sorted(cands.items(), key=key)
+    return [(t, round(float(sc), 6), df)
+            for t, (sc, df) in ranked[:num_sug]]
+
+
 def suggest_word_breaks(searcher: "IndexSearcher", term: str,
                         max_changes: int = 2, min_suggestion_freq: int = 1,
                         min_break_length: int = 2,

@@ -121,3 +121,60 @@ def test_word_combinations_reference_vectors(ray_session, tmp_path_factory):
     assert all("y" != c[1] for c in cs2)
     assert not any(c[1] in ("eighty", "yeight", "eightyeight")
                    for c in cs2)
+
+
+def test_direct_spell_suggest_full_surface(ray_session, tmp_path_factory):
+    """DirectSpellChecker.suggestSimilar with the full gate/knob surface:
+    query-length and frequency gates, WHEN_NOT_IN_INDEX, candidate df
+    floors, 1 - d/min(len) scoring with the accuracy cutoff, comparator
+    order, prefix = max(minPrefix, ed-1)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.searcher import IndexSearcher, direct_spell_suggest
+
+    texts = (["query merge data"] * 6 + ["quern appears here"] * 3
+             + ["qtern shares one prefix char"] * 2)
+    t = pa.table({
+        "conv_id": pa.array([f"d{i:02d}" for i in range(len(texts))]),
+        "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+        "text": pa.array(texts),
+    })
+    d = str(tmp_path_factory.mktemp("dss"))
+    build_index(rd.from_arrow(t), d, target_docs_per_partition=32,
+                input_desc="dss")
+    s = IndexSearcher(d)
+
+    got = direct_spell_suggest(s, "querz", max_query_frequency=1.0)
+    # querz: query d=1 (0.8), quern d=1 (0.8), qtern d=2 (0.6); score
+    # ties break freq desc
+    assert [g[0] for g in got] == ["query", "quern", "qtern"]
+    assert [g[1] for g in got] == [0.8, 0.8, 0.6]
+    assert got[0][2] == 6 and got[1][2] == 3
+    # accuracy cutoff removes the d=2 candidate
+    got = direct_spell_suggest(s, "querz", accuracy=0.75,
+                               max_query_frequency=1.0)
+    assert [g[0] for g in got] == ["query", "quern"]
+    # frequency comparator: freq first
+    got = direct_spell_suggest(s, "querz", comparator="frequency",
+                               max_query_frequency=1.0)
+    assert got[0][0] == "query"
+    # gates: too short / in index / too frequent
+    assert direct_spell_suggest(s, "que") == []
+    assert direct_spell_suggest(s, "query") == []
+    # maxQueryFrequency gates terms PRESENT above the cutoff (df 0
+    # always passes: ceil(0*maxDoc) == 0 is not exceeded)
+    assert direct_spell_suggest(s, "quern", suggest_mode="always",
+                                max_query_frequency=0.0001) == []
+    # prefix = max(minPrefix, ed-1): 'qtern' shares only 1 leading char,
+    # so min_prefix=2 drops it (and a different-first-char word would
+    # never appear at all under the default minPrefix=1)
+    got = direct_spell_suggest(s, "querz", min_prefix=2,
+                               max_query_frequency=1.0)
+    assert "qtern" not in [g[0] for g in got]
+    assert [g[0] for g in got] == ["query", "quern"]
+    # MORE_POPULAR: only candidates strictly more frequent than the query
+    got = direct_spell_suggest(s, "quern", suggest_mode="more_popular",
+                               max_query_frequency=100)
+    assert [g[0] for g in got] == ["query"]
