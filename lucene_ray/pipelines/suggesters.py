@@ -136,7 +136,9 @@ def freetext_lookup(model, text: str, k: int = 5, alpha: float = 0.4):
     ALPHA (= 0.4, `FreeTextSuggester.java` ALPHA) and only contributes
     words the higher orders did not already offer.  A trailing partial
     token (no trailing separator) becomes a prefix filter on the suggested
-    word.  Returns [(word, score)] sorted score desc, word asc."""
+    word; with a TRAILING separator the unigram order is skipped (the
+    reference's empty-fragment rule).  Returns [(word, score)] sorted
+    score desc, word asc."""
     from .textstats import simple_tokens
 
     SEP = "\x1e"
@@ -149,6 +151,11 @@ def freetext_lookup(model, text: str, k: int = 5, alpha: float = 0.4):
     out: dict[str, float] = {}
     backoff = 0
     for order in range(min(max_order, len(toks) + 1), 0, -1):
+        if order == 1 and not prefix and text:
+            # FreeTextSuggester.lookup:523-525: with an ENDED last token
+            # the unigram order's fragment is empty and the order is
+            # skipped (no all-vocabulary dump after a trailing separator)
+            continue
         ctx = toks[len(toks) - (order - 1):]
         ctx_key = SEP.join(ctx)
         if order > 1:

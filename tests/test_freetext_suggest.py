@@ -44,9 +44,13 @@ def test_trigram_context_scores(tiny_model):
     got = dict(freetext_lookup(tiny_model, "merge join ", k=10))
     assert got["wins"] == pytest.approx(1 / 3)
     assert got["loses"] == pytest.approx(1 / 3)
-    # 'sort' never follows "merge join": reached only via backoff, scored
-    # below the trigram candidates
-    assert 0 < got["sort"] < got["wins"]
+    # with an ENDED last token the unigram order is skipped (the
+    # reference's empty-fragment rule), so only words actually seen
+    # after 'join' arrive via the bigram backoff
+    assert "sort" not in got
+    # 'join' is only ever followed by wins/loses, both already offered by
+    # the trigram order, so nothing else appears
+    assert set(got) == {"wins", "loses"}
 
 
 def test_backoff_keeps_higher_order_score(tiny_model):
@@ -67,10 +71,13 @@ def test_prefix_filter(tiny_model):
 
 
 def test_unseen_context_backs_off_to_unigrams(tiny_model):
-    got = freetext_lookup(tiny_model, "zzz ", k=3)
-    words = [w for w, _ in got]
-    assert words[0] in ("join", "merge")    # highest unigram counts (tie)
-    assert len(got) == 3
+    # ended token + unseen context: every order with a non-empty fragment
+    # fails and the unigram order is skipped -> NO suggestions (the
+    # reference's behavior for "zzz ")
+    assert freetext_lookup(tiny_model, "zzz ", k=3) == []
+    # an unseen context WITH a live fragment still backs off to unigrams
+    got = freetext_lookup(tiny_model, "zzz m", k=3)
+    assert [w for w, _ in got] == ["merge"]
 
 
 def test_max_grams_cap(ray_session, tmp_path):
@@ -115,6 +122,8 @@ def test_fuzz_lookup_vs_brute_backoff(ray_session, tmp_path):
         out = {}
         backoff = 0
         for order in range(min(3, len(toks) + 1), 0, -1):
+            if order == 1 and not prefix and text:
+                continue               # ended token: unigram order skipped
             ctx = S.join(toks[len(toks) - (order - 1):])
             denom = (model["counts"][order - 1].get(ctx, 0) if order > 1
                      else model["totals"][1])
@@ -136,3 +145,32 @@ def test_fuzz_lookup_vs_brute_backoff(ray_session, tmp_path):
                                            size=int(rng.integers(1, 4)))) + " ")
     for qtext in queries:
         assert freetext_lookup(model, qtext, k=6) == brute(qtext), qtext
+
+
+def test_freetext_reference_basic_vectors(ray_session, tmp_path):
+    """TestFreeTextSuggester.testBasic, transcribed: the two-doc corpus,
+    bigram scores, unigram backoff at ALPHA=0.4, and the exact printed
+    fractions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.suggesters import freetext_lookup, train_freetext
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["foo bar baz blah", "boo foo bar foo bee"]),
+    }), str(tmp_path / "documents.parquet"))
+    model = train_freetext(str(tmp_path), max_order=2)
+
+    def fmt(got):
+        return " ".join(f"{w}/{s:.2f}" for w, s in got)
+
+    # bigram model + unigram backoff
+    assert fmt(freetext_lookup(model, "foo b", 10)) == \
+        "bar/0.67 bee/0.33 baz/0.04 blah/0.04 boo/0.04"
+    # bigram only
+    assert fmt(freetext_lookup(model, "foo ", 10)) == "bar/0.67 bee/0.33"
+    # unigram only (trailing partial token)
+    assert fmt(freetext_lookup(model, "foo", 10)) == "foo/0.33"
+    assert fmt(freetext_lookup(model, "b", 10)) == \
+        "bar/0.22 baz/0.11 bee/0.11 blah/0.11 boo/0.11"
