@@ -33,15 +33,20 @@ class MemoryIndex:
         self.token_filters = tuple(token_filters)
         self._pos: dict[str, dict[str, list[int]]] = {}   # field → term → positions
         self._len: dict[str, int] = {}                    # field → token count
+        self._nextpos: dict[str, int] = {}                # field → next position
         self._numeric: dict[str, int] = {}                # field → doc-value
 
     # ------------------------------------------------------------------
     # ingestion (addField)
     # ------------------------------------------------------------------
 
-    def add_field(self, field: str, text: str) -> "MemoryIndex":
+    def add_field(self, field: str, text: str,
+                  pos_inc_gap: int = 0) -> "MemoryIndex":
         """Analyze `text` with the StandardAnalyzer (+ the configured filter
-        chain) and add its tokens under `field` (MemoryIndex.addField)."""
+        chain) and add its tokens under `field` (MemoryIndex.addField).
+        Repeated adds of the same field append, separated by
+        ``pos_inc_gap`` positions (Analyzer.getPositionIncrementGap — the
+        reference's multi-valued-field behavior, default 0)."""
         from ..analysis.standard import analyze
 
         toks = analyze(text or "")
@@ -51,10 +56,13 @@ class MemoryIndex:
             toks = [apply_filters_str(t, self.token_filters) for t in toks]
             toks = [t for t in toks if t]
         d = self._pos.setdefault(field, {})
-        base = self._len.get(field, 0)
+        base = self._nextpos.get(field, 0)
+        if field in self._len and pos_inc_gap:
+            base += pos_inc_gap
         for i, t in enumerate(toks):
             d.setdefault(t, []).append(base + i)
-        self._len[field] = base + len(toks)
+        self._nextpos[field] = base + len(toks)
+        self._len[field] = self._len.get(field, 0) + len(toks)
         return self
 
     @classmethod
@@ -68,6 +76,7 @@ class MemoryIndex:
         for i, t in enumerate(tokens):
             d.setdefault(t, []).append(i)
         m._len[field] = len(tokens)
+        m._nextpos[field] = len(tokens)
         return m
 
     def add_keyword(self, field: str, value: str) -> "MemoryIndex":

@@ -277,6 +277,104 @@ def trigger_prefixes(q):
     return None
 
 
+def decompose(q) -> set:
+    """QueryDecomposer.decompose (`monitor/QueryDecomposer.java:41-59`):
+    split a disjunction into its constituent parts so each can be indexed
+    and matched separately in the Monitor."""
+    from ..search.query import BooleanQuery, BoostQuery, DisjunctionMaxQuery
+
+    if isinstance(q, BooleanQuery):
+        return _decompose_boolean(q)
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for sub in q.queries:
+            out |= decompose(sub)
+        return out
+    if isinstance(q, BoostQuery):
+        # QueryDecomposer.decomposeBoostQuery: boost 1 unwraps, otherwise
+        # the boost re-applies to every decomposed part (folded into the
+        # part's intrinsic boost field where our AST carries one — the
+        # structural twin of the reference's BoostQuery re-wrap)
+        if q.boost == 1.0:
+            return decompose(q.query)
+        import dataclasses as _dc
+
+        out = set()
+        for s in decompose(q.query):
+            if hasattr(s, "boost") and not isinstance(s, BooleanQuery):
+                out.add(_dc.replace(s, boost=s.boost * q.boost))
+            else:
+                out.add(BoostQuery(s, q.boost))
+        return out
+    return {q}
+
+
+def _decompose_boolean(q) -> set:
+    """`monitor/QueryDecomposer.java:72-120` decomposeBoolean: only pure
+    disjunctions split; >1 mandatory clause (or mandatory + SHOULD mix, or
+    msm>1) stays whole; a single mandatory clause with no SHOULDs is
+    decomposed in its place; MUST_NOT exclusions re-attach to every part."""
+    from ..search.query import (
+        FILTER,
+        MUST,
+        MUST_NOT,
+        BooleanClause,
+        BooleanQuery,
+    )
+
+    if q.minimum_should_match > 1:
+        return {q}
+    subqueries: set = set()
+    exclusions: set = set()
+    mandatory: set = set()
+    for c in q.clauses:
+        if c.occur in (MUST, FILTER):
+            mandatory.add(c.query)
+        elif c.occur == MUST_NOT:
+            exclusions.add(c.query)
+        else:
+            subqueries |= decompose(c.query)
+    if len(mandatory) > 1 or (len(mandatory) == 1 and subqueries):
+        return {q}
+    if len(mandatory) == 1:
+        subqueries |= decompose(next(iter(mandatory)))
+    if not exclusions:
+        return subqueries
+    ex = tuple(BooleanClause(e, MUST_NOT) for e in
+               sorted(exclusions, key=repr))
+    return {BooleanQuery((BooleanClause(s, MUST),) + ex) for s in subqueries}
+
+
+class QueryMatch:
+    """QueryMatch + metadata handle (`monitor/QueryMatch.java` surface)."""
+
+    __slots__ = ("query_id", "metadata")
+
+    def __init__(self, query_id, metadata=None):
+        self.query_id = query_id
+        self.metadata = metadata or {}
+
+
+class MultiMatchingQueries:
+    """`monitor/MultiMatchingQueries.java` reporting surface: per-doc
+    matches, the batch size, and the number of registered (parent) queries
+    the presearcher selected for verification."""
+
+    def __init__(self, per_doc, queries_run: int):
+        self._per_doc = per_doc
+        self.queries_run = queries_run
+        self.batch_size = len(per_doc)
+
+    def match_count(self, doc: int = 0) -> int:
+        return len(self._per_doc[doc])
+
+    def matches(self, query_id, doc: int = 0):
+        return self._per_doc[doc].get(query_id)
+
+    def get_matches(self, doc: int = 0):
+        return list(self._per_doc[doc].values())
+
+
 # richer registered set exercising the MemoryIndex verification path
 def _registered_ast():
     from ..search.query import PhraseQuery, PrefixQuery, bool_query
@@ -300,30 +398,71 @@ class AstMonitor:
     def register(self, *entries):
         """Monitor.register(MonitorQuery...) — add (or replace, by id)
         queries and rebuild the trigger index (the reference commits the
-        updated QueryIndex the same way)."""
-        current = {qid: q for qid, q in zip(self.query_ids, self.queries)}
-        for qid, q in entries:
-            current[qid] = q
-        self.__init__(list(current.items()))
+        updated QueryIndex the same way).  Entries are (id, query) or
+        (id, query, metadata)."""
+        current = {qid: (q, self.metadata.get(qid))
+                   for qid, q in zip(self.query_ids, self.queries)}
+        for e in entries:
+            if len(e) == 3:
+                qid, q, md = e
+            else:
+                (qid, q), md = e, None
+            current[qid] = (q, md)
+        self.__init__([(qid, q, md) for qid, (q, md) in current.items()])
 
     def delete_by_id(self, *qids):
         """Monitor.deleteById(String...)."""
         drop = set(qids)
-        self.__init__([(qid, q) for qid, q in
+        self.__init__([(qid, q, self.metadata.get(qid)) for qid, q in
                        zip(self.query_ids, self.queries) if qid not in drop])
 
+    def clear(self):
+        """Monitor.clear()."""
+        self.__init__([])
+
+    @property
+    def query_count(self) -> int:
+        """Monitor.getQueryCount()."""
+        return len(self.queries)
+
+    @property
+    def disjunct_count(self) -> int:
+        """Monitor.getDisjunctCount() — decomposed subqueries indexed."""
+        return len(self.sub_queries)
+
     def __init__(self, registered):
-        self.query_ids = np.array([qid for qid, _ in registered], dtype=object)
-        self.queries = [q for _, q in registered]
-        trig = [trigger_terms(q) for q in self.queries]
-        # term-unscreenable queries fall back to vectorized prefix triggers
-        # before the true ANYTOKEN bucket
+        entries = []
+        self.metadata = {}
+        for e in registered:
+            if len(e) == 3:
+                qid, q, md = e
+                if md:
+                    self.metadata[qid] = md
+            else:
+                qid, q = e
+            entries.append((qid, q))
+        self.query_ids = np.array([qid for qid, _ in entries], dtype=object)
+        self.queries = [q for _, q in entries]
+        # QueryDecomposer: disjunctions are indexed and verified per part
+        # (`monitor/Monitor.java:183` register → decomposer.decompose);
+        # candidates map back to the parent id and dedupe
+        subs: list = []
+        parents: list[int] = []
+        for pi, q in enumerate(self.queries):
+            for s in sorted(decompose(q), key=repr):
+                subs.append(s)
+                parents.append(pi)
+        self.sub_queries = subs
+        self.sub_parent = np.array(parents, dtype=np.int64)
+        trig = [trigger_terms(s) for s in subs]
+        # term-unscreenable subqueries fall back to vectorized prefix
+        # triggers before the true ANYTOKEN bucket
         self.prefix_triggers = []
         always = []
         for i, t in enumerate(trig):
             if t is not None:
                 continue
-            p = trigger_prefixes(self.queries[i])
+            p = trigger_prefixes(subs[i])
             if p:
                 self.prefix_triggers.append((i, sorted(set(p))))
             else:
@@ -382,14 +521,24 @@ class AstMonitor:
                     pairs.add((int(d), int(qi)))
         for qi in self.always:                   # ANYTOKEN queries
             pairs.update((d, int(qi)) for d in range(n_docs))
+        # queriesRun: distinct registered (parent) queries selected by the
+        # presearcher for this batch (MatchingQueries.getQueriesRun)
+        self.last_queries_run = len({int(self.sub_parent[qi])
+                                     for _, qi in pairs})
         # exact verification through a per-doc MemoryIndex, built lazily
         # once per doc that has candidates — from the batch's ALREADY
-        # tokenized flat arrays (no per-candidate re-analysis)
+        # tokenized flat arrays (no per-candidate re-analysis).  Each
+        # DECOMPOSED part verifies independently (cheaper than the whole
+        # parent disjunction); matches dedupe to the parent id.
         starts = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         mems: dict[int, MemoryIndex] = {}
+        emitted: set[tuple[int, int]] = set()
         out_d, out_q = [], []
         for d, qi in sorted(pairs):
+            parent = int(self.sub_parent[qi])
+            if (d, parent) in emitted:
+                continue
             m = mems.get(d)
             if m is None:
                 # tokens materialize to Python lazily, only for docs that
@@ -397,13 +546,30 @@ class AstMonitor:
                 m = MemoryIndex.from_tokens(
                     flat_arr.slice(starts[d], lens[d]).to_pylist())
                 mems[d] = m
-            if m.matches(self.queries[qi]):
+            if m.matches(self.sub_queries[qi]):
+                emitted.add((d, parent))
                 out_d.append(d)
-                out_q.append(qi)
+                out_q.append(parent)
         idx = np.array(out_d, dtype=np.int64)
         qidx = np.array(out_q, dtype=np.int64)
         order = np.lexsort((idx, qidx))
         return doc_ids[idx[order]] if len(idx) else idx, qidx[order]
+
+    def match(self, docs):
+        """Monitor.match(Document[], QueryMatch.SIMPLE_MATCHER) convenience
+        for small in-hand batches (`monitor/Monitor.java:230-254`): returns
+        the MultiMatchingQueries reporting surface.  `docs` is one text or
+        a list of texts."""
+        texts = [docs] if isinstance(docs, str) else list(docs)
+        n = len(texts)
+        d, qidx = self.match_batch(
+            np.arange(n, dtype=np.int64),
+            pa.chunked_array([pa.array(texts, type=pa.string())]))
+        per_doc: list[dict] = [{} for _ in range(n)]
+        for di, qi in zip(d.tolist(), qidx.tolist()):
+            qid = self.query_ids[qi]
+            per_doc[di][qid] = QueryMatch(qid, self.metadata.get(qid))
+        return MultiMatchingQueries(per_doc, self.last_queries_run)
 
 
 def percolate_ast(sf_dir: str, registered=None):

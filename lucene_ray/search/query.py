@@ -1180,6 +1180,29 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
         clauses = []
         state = {"conj": None, "not": False}
 
+        def peek_boost():
+            # Clause := ... (CARAT <NUMBER>)? — the classic grammar allows
+            # a boost after ANY clause (groups, phrases, ranges), not just
+            # bare terms (QueryParser.jj Clause production)
+            if pos[0] < len(tokens):
+                k, v = tokens[pos[0]]
+                if k == "word":
+                    bm = _re.fullmatch(r"\^(\d+(?:\.\d+)?)", v)
+                    if bm:
+                        pos[0] += 1
+                        return float(bm.group(1))
+            return None
+
+        def boosted(q):
+            b = peek_boost()
+            if b is None or q is None:
+                return q
+            if hasattr(q, "boost") and not isinstance(q, BooleanQuery):
+                import dataclasses as _dc
+
+                return _dc.replace(q, boost=q.boost * b)
+            return BoostQuery(q, b)
+
         def emit(pair):
             # QueryParserBase.addClause conjunction semantics: AND flips
             # the previous non-prohibited clause to required; with the
@@ -1230,7 +1253,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 kind, val = tokens[pos[0]]
             if kind == "(":
                 pos[0] += 1
-                sub = parse_group(group_field)
+                sub = boosted(parse_group(group_field))
                 if sub is not None:
                     emit((sub, occur))
                 continue
@@ -1240,7 +1263,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 # fielded group `f:(a b)` (QueryParser field grouping):
                 # the field applies to every clause of the group
                 pos[0] += 2
-                sub = parse_group(val[:-1])
+                sub = boosted(parse_group(val[:-1]))
                 if sub is not None:
                     emit((sub, occur))
                 continue
@@ -1266,17 +1289,17 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                         int(lo) + (1 if lb == "{" else 0)
                     hi_v = None if hi == "*" else \
                         int(hi) - (1 if rb == "}" else 0)
-                    emit((RangeQuery(f, lo_v, hi_v), occur))
+                    emit((boosted(RangeQuery(f, lo_v, hi_v)), occur))
                 except ValueError:
                     # non-numeric bounds: getRangeQuery -> TermRangeQuery
                     # over the term dictionary (keyword fields range over
                     # their namespaced terms)
                     ns = "" if f == field else f"{f}\x1f"
-                    emit((TermRangeQuery(
+                    emit((boosted(TermRangeQuery(
                         None if lo == "*" else ns + lo.lower(),
                         None if hi == "*" else ns + hi.lower(),
                         include_lower=lb == "[", include_upper=rb == "]",
-                        field="text" if f == field else f), occur))
+                        field="text" if f == field else f)), occur))
                 continue
             if kind == "fquoted":
                 # <field>:"..." composite: extension dispatch first
@@ -1292,20 +1315,20 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 ptext = ptext[:-1]
                 raw_f = raw_f.replace("\\", "")
                 if raw_f and raw_f != field:
-                    emit((TermQuery(f"{raw_f}\x1f{ptext}", raw_f),
-                                    occur))
+                    emit((boosted(TermQuery(f"{raw_f}\x1f{ptext}", raw_f)),
+                                  occur))
                     continue
                 terms = tuple(analyze(ptext))
                 if terms:
                     q = PhraseQuery(terms, field) if len(terms) > 1 \
                         else TermQuery(terms[0], field)
-                    emit((q, occur))
+                    emit((boosted(q), occur))
                 continue
             if kind == "phrase":
                 ptext, slop = val
                 slop_i = int(float(slop)) if slop else 0
                 if complex_phrases and _re.search(r"[*?~(]", ptext):
-                    q = _complex_phrase_query(ptext, slop_i, field)
+                    q = boosted(_complex_phrase_query(ptext, slop_i, field))
                     if q is not None:
                         emit((q, occur))
                     continue
@@ -1323,13 +1346,13 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                             lq = TermQuery(f"{f}\x1f{ptext}", f)
                         legs.append(_mf_boost(lq, f, multi[1]))
                     if legs:
-                        emit((_mf_group(legs), occur))
+                        emit((boosted(_mf_group(legs)), occur))
                     continue
                 if not terms:
                     continue
                 q = PhraseQuery(terms, field, slop=slop_i) \
                     if len(terms) > 1 else TermQuery(terms[0], field)
-                emit((q, occur))
+                emit((boosted(q), occur))
                 continue
             word = val
             if kind == "word" and len(word) >= 2 and word[0] == "/" \
