@@ -1448,9 +1448,10 @@ def oracle_sql() -> dict[str, str]:
                          regexp_extract_all(text, '[A-Za-z0-9]+'),
                          x -> lower(x)), chr(31)) AS key
               FROM documents)
-            SELECT surface, weight FROM keyed
+            SELECT surface, max(weight) AS weight FROM keyed
             WHERE starts_with(key, 'merge')
-            ORDER BY weight DESC, key ASC LIMIT 10""",
+            GROUP BY key, surface
+            ORDER BY weight DESC, key ASC, surface ASC LIMIT 10""",
         # BlendedInfixSuggester: infix candidates (first token-prefix match
         # position), top num*num_factor=100 by (weight desc, pos asc, key
         # asc — the store's stable scan order), weight adjustments (0→1,
@@ -1513,9 +1514,10 @@ def oracle_sql() -> dict[str, str]:
                          regexp_extract_all(text, '[A-Za-z0-9]+'),
                          x -> lower(x)), chr(31)) AS key
               FROM documents)
-            SELECT surface, weight FROM keyed
+            SELECT surface, max(weight) AS weight FROM keyed
             WHERE starts_with(key, 'merge') AND lang = 'en'
-            ORDER BY weight DESC, key ASC LIMIT 10""",
+            GROUP BY key, surface
+            ORDER BY weight DESC, key ASC, surface ASC LIMIT 10""",
         "media_features": """
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                    md5(text) AS payload_md5

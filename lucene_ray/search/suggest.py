@@ -182,18 +182,36 @@ class Suggester:
         kq = analyzed_key(query)
         if not kq:
             return []
-        hi = kq + "￿"
-        out = []
-        for keys, surfaces, weights, ctxs in self._candidates(kq, hi):
-            lo_i = int(np.searchsorted(keys, kq, side="left"))
+        # PRESERVE_SEP trailing-separator rule (TestAnalyzingSuggester
+        # testEndingSpace; TokenStreamToAutomaton appends a SEP when the
+        # raw query ends past the last token's end offset): "i " requires
+        # "i" to be a COMPLETE token, so the match prefix becomes key+SEP
+        # and the bare key itself no longer qualifies.
+        ended = bool(query) and not query[-1].isalnum()
+        pre = kq + SEP if ended else kq
+        hi = pre + "￿"
+        # duplicate (analyzed, surface) entries keep the max weight — the
+        # reference's build-time dedup (AnalyzingSuggester.build seen-set;
+        # TestAnalyzingSuggester testKeyword / testDupSurfaceFormsMissing-
+        # Results3).  Done at lookup over the pruned range: result-set
+        # equal to the build-time dedup for num <= the per-form cap.
+        best: dict[tuple[str, str], int] = {}
+        for keys, surfaces, weights, ctxs in self._candidates(pre, hi):
+            lo_i = int(np.searchsorted(keys, pre, side="left"))
             hi_i = int(np.searchsorted(keys, hi, side="left"))
             for i in range(lo_i, hi_i):
                 if contexts is not None and (
                         ctxs is None or not (ctxs[i] & contexts)):
                     continue
-                out.append((keys[i], str(surfaces[i]), int(weights[i])))
+                k2, s2, w2 = keys[i], str(surfaces[i]), int(weights[i])
+                cur = best.get((k2, s2))
+                if cur is None or w2 > cur:
+                    best[(k2, s2)] = w2
+        out = [(k, s, w) for (k, s), w in best.items()]
+        # equal weights tie-break on the surface form
+        # (testTieBreakOnSurfaceForm), after the analyzed key
         out.sort(key=lambda x: (not (exact_first and x[0] == kq),
-                                -x[2], x[0]))
+                                -x[2], x[0], x[1]))
         return [(s, w) for _, s, w in out[:num]]
 
     def lookup_fuzzy(self, query: str, num: int = 5, *,
