@@ -257,6 +257,9 @@ class MemoryIndex:
         if isinstance(query, TermInSetQuery):
             ok = any(self._positions(field, t) for t in query.terms)
             return np.float32(query.boost), ok
+        if isinstance(query, FuzzyQuery) and \
+                query.rewrite == "top_terms_blended":
+            return self._fuzzy_blended(query, field, sim)
         if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery,
                               FuzzyQuery)):
             return self._multi_term(query, field)
@@ -336,12 +339,47 @@ class MemoryIndex:
             ok = any(rx.fullmatch(t) for t in terms)
         elif isinstance(query, FuzzyQuery):
             ok = any(
-                _levenshtein_leq(query.term, t, query.max_edits)
+                t.startswith(query.term[:query.prefix_length])
+                and _levenshtein_leq(query.term, t, query.max_edits)
                 for t in terms
                 if abs(len(t) - len(query.term)) <= query.max_edits)
         else:                                    # pragma: no cover
             raise TypeError(type(query).__name__)
         return np.float32(getattr(query, "boost", 1.0)), ok
+
+    def _fuzzy_blended(self, query, field: str, sim) -> tuple:
+        """FuzzyQuery's TopTermsBlendedFreqScoringRewrite over the one-doc
+        dictionary (the engine's `_compile_fuzzy_blended` twin): variants
+        from the doc's own terms, FuzzyTermsEnum boosts, top
+        max_expansions by (boost desc, term asc), SHOULD-sum of per-variant
+        scorers (every present term has df == max df == 1 here)."""
+        from ..search.searcher import _edit_distance, _levenshtein_leq
+
+        base = query.term
+        pre = base[:query.prefix_length]
+        scored = []
+        for t in self._pos.get(field, {}):
+            if abs(len(t) - len(base)) > query.max_edits:
+                continue
+            if pre and not t.startswith(pre):
+                continue
+            if not _levenshtein_leq(base, t, query.max_edits):
+                continue
+            ed = _edit_distance(t, base)
+            b = 1.0 if ed == 0 else 1.0 - ed / min(len(t), len(base))
+            scored.append((b, t))
+        if not scored:
+            return np.float32(0.0), False
+        scored.sort(key=lambda bv: (-bv[0], bv[1]))
+        kept = scored[:max(1, int(query.max_expansions))]
+        n, sttf = self._stats(field)
+        acc = np.float32(0.0)
+        for b, t in kept:
+            freq = np.float32(len(self._positions(field, t)))
+            scorer = sim.scorer(query.boost * b, n, sttf, 1)
+            acc = acc + scorer.score(np.array([freq], dtype=np.float32),
+                                     self._norm(field))[0]
+        return np.float32(acc), True
 
     def _phrase_freq(self, query, field: str):
         """(phrase freq, present terms) — 0 freq means no match."""

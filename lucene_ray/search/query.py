@@ -694,15 +694,23 @@ class RegexpQuery:
 
 @dataclass(frozen=True)
 class FuzzyQuery:
-    """Levenshtein expansion within max_edits (`search/FuzzyQuery.java`);
-    scored constant-score here (the reference's default blended-freq rewrite
-    is noted as a divergence in the docstring: we score matching docs with
-    the flat boost instead of blended term stats)."""
+    """Levenshtein expansion within max_edits (`search/FuzzyQuery.java`).
+    Scored contexts use the reference's default
+    TopTermsBlendedFreqScoringRewrite (`MultiTermQuery.java:197-230`):
+    the top ``max_expansions`` variants by (boost desc, term asc) — boost
+    = 1 for exact else 1 - ed/min(|term|,|query|) per FuzzyTermsEnum:249-255
+    — scored as a SHOULD-sum of TermQuerys whose docFreq is blended to the
+    set's max (BlendedTermQuery BOOLEAN_REWRITE).  Scoreless contexts
+    (count / FILTER / MUST_NOT) keep the capped constant-score expansion
+    (no stats loads).  rewrite="constant_score" forces the old flat
+    behavior (CONSTANT_SCORE_BLENDED rewrite role)."""
     term: str
     max_edits: int = 2
     prefix_length: int = 0
     field: str = "text"
     boost: float = 1.0
+    max_expansions: int = 50
+    rewrite: str = "top_terms_blended"
 
 
 @dataclass(frozen=True)

@@ -553,6 +553,50 @@ class IndexSearcher:
                 "range_filters": [], "range_must_nots": [], "msm": 0,
                 "n_required": 0, "match_all": False}
 
+    def _fuzzy_top_terms(self, q) -> list[tuple[float, str]]:
+        """TopTermsRewrite term collection for a FuzzyQuery: merged-
+        dictionary expansion, FuzzyTermsEnum boosts, top max_expansions by
+        (boost desc, term asc) — no term statistics consulted."""
+        variants: set[str] = set()
+        for pid in self._pids:
+            variants.update(self._expand_shard(self.reader(pid), q))
+        scored = []
+        for v in variants:
+            ed = _edit_distance(v, q.term)
+            b = 1.0 if ed == 0 else 1.0 - ed / min(len(v), len(q.term))
+            scored.append((b, v))
+        scored.sort(key=lambda bv: (-bv[0], bv[1]))
+        return scored[:max(1, int(q.max_expansions))]
+
+    def _compile_fuzzy_blended(self, q) -> dict:
+        """FuzzyQuery's default TopTermsBlendedFreqScoringRewrite
+        (`search/MultiTermQuery.java:197-230` + `FuzzyTermsEnum.java:
+        236-255` + `BlendedTermQuery.java:281-290`): expand across every
+        shard's dictionary (merged-dictionary union, the FuzzyLikeThis
+        shape — bounded by the edit-distance automaton's selectivity),
+        boost each variant 1.0 for exact else 1 - ed/min(|variant|,
+        |query|), keep the top max_expansions by (boost desc, term asc —
+        the ScoreTermQueue eviction order), blend every kept term's
+        docFreq to the set's max (adjustFrequencies), and emit the
+        BOOLEAN_REWRITE SHOULD-sum of boosted term scorers."""
+        kept = self._fuzzy_top_terms(q)
+        if not kept:
+            return {"scoring": [], "filters": ["\x00missing\x00"],
+                    "must_nots": [], "msm": 0, "n_required": 1,
+                    "match_all": False}
+        dfs = {v: self.df(v) for _, v in kept}
+        df_max = max(dfs.values(), default=0)
+        if df_max == 0:
+            return {"scoring": [], "filters": ["\x00missing\x00"],
+                    "must_nots": [], "msm": 0, "n_required": 1,
+                    "match_all": False}
+        scoring = [(v, self.sim.scorer(q.boost * b, self.doc_count,
+                                       self.sum_ttf, df_max), SHOULD)
+                   for b, v in kept if dfs[v] > 0]
+        return {"scoring": scoring, "filters": [], "must_nots": [],
+                "range_filters": [], "range_must_nots": [], "msm": 0,
+                "n_required": 0, "match_all": False}
+
     def _compile_combined(self, q) -> tuple:
         """CombinedFieldQuery stats blending (CombinedFieldWeight:320-371):
         pseudo collection stats take max(docCount) across fields and
@@ -659,7 +703,8 @@ class IndexSearcher:
         top = np.lexsort((docs, -scores))[:k]
         return scores[top], docs[top], total, RELATION_EQ
 
-    def compile(self, query, _normalized: bool = False) -> dict:
+    def compile(self, query, _normalized: bool = False,
+                needs_scores: bool = True) -> dict:
         if not _normalized:
             from .matches import strip_named
 
@@ -1044,6 +1089,19 @@ class IndexSearcher:
             query = PrefixQuery(f"{query.field}{KEYWORD_SEP}", boost=query.boost)
         from .query import TermInSetQuery, TermRangeQuery
 
+        if isinstance(query, FuzzyQuery) and \
+                query.rewrite == "top_terms_blended":
+            if needs_scores:
+                return self._compile_fuzzy_blended(query)
+            # scoreless (count): same capped term set, constant score —
+            # selection by (boost desc, term asc) needs no stats
+            kept = self._fuzzy_top_terms(query)
+            from .query import TermInSetQuery as _TIS
+
+            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                    "n_required": 0, "match_all": False,
+                    "const_query": _TIS(tuple(v for _, v in kept)),
+                    "boost": query.boost}
         if isinstance(query, (PrefixQuery, WildcardQuery, RegexpQuery,
                               FuzzyQuery, TermInSetQuery, TermRangeQuery)):
             # expansion happens PER SHARD at execution time (const_query);
@@ -2190,7 +2248,7 @@ class IndexSearcher:
         """IndexSearcher.count equivalent (`search/IndexSearcher.java:428`)."""
         if self.query_cache is not None:
             self.query_cache.begin_search()
-        compiled = self.compile(query)
+        compiled = self.compile(query, needs_scores=False)
         total = 0
         for pid in self._pids:
             rdr = self.reader(pid)

@@ -70,13 +70,55 @@ def test_regexp_query(setup):
 
 def test_fuzzy_query(setup):
     s, tokens = setup
-    td = s.search(FuzzyQuery("quera", max_edits=1), k=1000)
+    # constant-score rewrite keeps the flat docID-ordered hit list
+    td = s.search(FuzzyQuery("quera", max_edits=1,
+                             rewrite="constant_score"), k=1000)
     want = _brute_docs(tokens, lambda t: _levenshtein_leq(t, "quera", 1))
     assert [h.gid for h in td.hits] == want
+    # the default blended rewrite scores the SAME match set (the top-50
+    # cap is not binding on this corpus)
+    td_b = s.search(FuzzyQuery("quera", max_edits=1), k=1000)
+    assert sorted(h.gid for h in td_b.hits) == want
     # prefix_length constrains the expansion
-    td2 = s.search(FuzzyQuery("query", max_edits=2, prefix_length=5), k=1000)
+    td2 = s.search(FuzzyQuery("query", max_edits=2, prefix_length=5,
+                              rewrite="constant_score"), k=1000)
     want2 = _brute_docs(tokens, lambda t: t.startswith("query") and _levenshtein_leq(t, "query", 2))
     assert [h.gid for h in td2.hits] == want2
+
+
+def test_fuzzy_blended_scoring(setup):
+    """TopTermsBlendedFreqScoringRewrite parity: the default FuzzyQuery
+    scores EXACTLY like a SHOULD-sum of per-variant-boosted TermQuerys
+    whose docFreq is forced to the set's max (BlendedTermQuery
+    adjustFrequencies + BOOLEAN_REWRITE)."""
+    from lucene_ray.search.query import TermQuery, bool_query
+
+    s, tokens = setup
+    q = FuzzyQuery("quera", max_edits=1)
+    kept = s._fuzzy_top_terms(q)
+    assert kept, "expansion found no variants"
+    # FuzzyTermsEnum boost formula
+    from lucene_ray.search.searcher import _edit_distance
+
+    for b, v in kept:
+        ed = _edit_distance(v, "quera")
+        expect = 1.0 if ed == 0 else 1.0 - ed / min(len(v), len("quera"))
+        assert b == expect
+    td = s.search(q, k=1000)
+    # equivalent flat boolean with df monkeypatched to the blended max
+    vset = {v for _, v in kept}
+    df_max = max(s.df(v) for v in vset)
+    orig_df = s.df
+    s.df = lambda t: df_max if t in vset else orig_df(t)
+    try:
+        twin = bool_query(should=[TermQuery(v, boost=b) for b, v in kept])
+        td2 = s.search(twin, k=1000)
+    finally:
+        s.df = orig_df
+    assert [(h.gid, h.score) for h in td.hits] == \
+        [(h.gid, h.score) for h in td2.hits]
+    # count() agrees with the scored match set and consults no stats
+    assert s.count(q) == td.total_hits
 
 
 def test_expansion_without_global_dictionary(setup):
