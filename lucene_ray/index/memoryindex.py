@@ -338,9 +338,10 @@ class MemoryIndex:
             rx = LuceneRegExp(query.regexp, query.flags)
             ok = any(rx.fullmatch(t) for t in terms)
         elif isinstance(query, FuzzyQuery):
+            trans = getattr(query, "transpositions", False)
             ok = any(
                 t.startswith(query.term[:query.prefix_length])
-                and _levenshtein_leq(query.term, t, query.max_edits)
+                and _levenshtein_leq(query.term, t, query.max_edits, trans)
                 for t in terms
                 if abs(len(t) - len(query.term)) <= query.max_edits)
         else:                                    # pragma: no cover
@@ -357,15 +358,16 @@ class MemoryIndex:
 
         base = query.term
         pre = base[:query.prefix_length]
+        trans = getattr(query, "transpositions", False)
         scored = []
         for t in self._pos.get(field, {}):
             if abs(len(t) - len(base)) > query.max_edits:
                 continue
             if pre and not t.startswith(pre):
                 continue
-            if not _levenshtein_leq(base, t, query.max_edits):
+            if not _levenshtein_leq(base, t, query.max_edits, trans):
                 continue
-            ed = _edit_distance(t, base)
+            ed = _edit_distance(t, base, trans)
             b = 1.0 if ed == 0 else 1.0 - ed / min(len(t), len(base))
             scored.append((b, t))
         if not scored:

@@ -2025,7 +2025,8 @@ def index_flt_topk(sf_dir: str) -> pd.DataFrame:
     source string (one misspelling, one real term), select the top variants
     (similarity^2 x classic idf of the SOURCE df, avg-variant df for the
     unindexed source), score with artificial df=1 stats.  The DuckDB twin
-    recomputes the whole chain — levenshtein() variant expansion, the
+    recomputes the whole chain — damerau_levenshtein() variant expansion
+    (FuzzyLikeThisQuery.java:213-214 transpositions=true), the
     ScoreTermQueue ordering, and the df=1 BM25 — from the raw text.
     (rank, conv_id, turn_idx, score 4dp)."""
     from ..search.query import FuzzyLikeThisQuery
@@ -2062,12 +2063,12 @@ def index_flt_oracle_sql() -> str:
         src(s, pre, slen) AS (VALUES {src_rows}),
         variants AS (
           SELECT src.s, v.term, v.df,
-                 levenshtein(v.term, src.s) AS ed,
+                 damerau_levenshtein(v.term, src.s) AS ed,
                  CASE WHEN v.term = src.s THEN 1.0
-                      ELSE 1.0 - levenshtein(v.term, src.s) * 1.0 /
+                      ELSE 1.0 - damerau_levenshtein(v.term, src.s) * 1.0 /
                            least(length(v.term), src.slen) END AS sim
           FROM src JOIN vocab v ON v.term LIKE src.pre
-          WHERE levenshtein(v.term, src.s) <= {FLT_EDITS}),
+          WHERE damerau_levenshtein(v.term, src.s) <= {FLT_EDITS}),
         kept AS (
           SELECT *, row_number() OVER (PARTITION BY s
                                        ORDER BY sim DESC, term ASC) AS vr

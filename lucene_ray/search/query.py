@@ -711,6 +711,9 @@ class FuzzyQuery:
     boost: float = 1.0
     max_expansions: int = 50
     rewrite: str = "top_terms_blended"
+    # adjacent swaps count as one edit (FuzzyQuery.defaultTranspositions —
+    # the LevenshteinAutomata withTranspositions=true default)
+    transpositions: bool = True
 
 
 @dataclass(frozen=True)
@@ -1159,7 +1162,7 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
     # (`queryparser/ext/ExtendableQueryParser.java` getFieldQuery hook).
     tok_pat = _re.compile(
         r"""(?P<lp>\()|(?P<rp>\))|(?P<sign>[+-])(?=\S)
-          |(?P<range>\w+:[\[\{][^\]\}]*?\s+TO\s+[^\]\}]*?[\]\}])
+          |(?P<range>(?:\w+:)?[\[\{][^\]\}]*?\s+TO\s+[^\]\}]*?[\]\}])
           |(?P<fquoted>(?:[^\s()"\\]|\\.)+:"[^"]*")
           |"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+(?:\.\d+)?))?
           |(?P<word>(?:[^\s()\\]|\\.)+\\?|\\)""", _re.VERBOSE)
@@ -1290,9 +1293,26 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 continue
             if kind == "range":
                 m = _re.fullmatch(
-                    r"(\w+):([\[\{])\s*([^\s]+)\s+TO\s+([^\s]+)\s*([\]\}])", val)
+                    r"(?:(\w+):)?([\[\{])\s*([^\s]+)\s+TO\s+([^\s]+)\s*([\]\}])",
+                    val)
                 f, lb, lo, hi, rb = m.groups()
+                if f is None:
+                    f = group_field if group_field is not None else field
+
+                def _bound(x: str) -> str:
+                    # quoted bounds unquote (QueryParser.jj Range production
+                    # RANGE_QUOTED) and escapes discard
+                    if len(x) >= 2 and x[0] == '"' and x[-1] == '"':
+                        x = x[1:-1]
+                    return _discard_escapes(x)
+
+                lo, hi = _bound(lo), _bound(hi)
                 try:
+                    if f == field:
+                        # default-field ranges are TERM ranges (the classic
+                        # grammar's getRangeQuery -> TermRangeQuery); only
+                        # explicit non-default fields hit doc values
+                        raise ValueError
                     lo_v = None if lo == "*" else \
                         int(lo) + (1 if lb == "{" else 0)
                     hi_v = None if hi == "*" else \
@@ -1758,3 +1778,96 @@ def multi_facet_query(dimension: str, *paths) -> TermInSetQuery:
                                     else tuple(p)))
         for p in paths)
     return TermInSetQuery(keys)
+
+
+# ---------------------------------------------------------------------------
+# Query.toString twin
+# ---------------------------------------------------------------------------
+
+def _fmt_float(x: float) -> str:
+    """Java Float.toString for the common range (2.0 -> "2.0")."""
+    s = repr(float(x))
+    return s
+
+
+def query_to_string(q, field: str = "text") -> str:
+    """`Query.toString(String field)` twin over the AST — the reference's
+    canonical debug rendering (BooleanQuery.java toString occur prefixes +
+    sub-bool parens + ~msm; BoostQuery "(q)^b"; PhraseQuery quotes + ~slop;
+    FuzzyQuery ~maxEdits; TermRangeQuery bracket forms).  Queries whose
+    intrinsic ``boost`` differs from 1 render through the BoostQuery form,
+    matching the parser's BoostQuery wrapping in the reference."""
+    import dataclasses as _dc
+
+    b = getattr(q, "boost", 1.0)
+    if b != 1.0 and not isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        plain = _dc.replace(q, boost=1.0)
+        return f"({query_to_string(plain, field)})^{_fmt_float(b)}"
+
+    def fld(f: str, term: str) -> tuple[str, str]:
+        # keyword-namespace terms print as field:value
+        if "\x1f" in term:
+            f2, v = term.split("\x1f", 1)
+            return f2, v
+        return f, term
+
+    if isinstance(q, BoostQuery):
+        return f"({query_to_string(q.query, field)})^{_fmt_float(q.boost)}"
+    if isinstance(q, ConstantScoreQuery):
+        base = f"ConstantScore({query_to_string(q.query, field)})"
+        if q.boost != 1.0:
+            return f"({base})^{_fmt_float(q.boost)}"
+        return base
+    if isinstance(q, TermQuery):
+        f, v = fld(q.field, q.term)
+        return v if f == field else f"{f}:{v}"
+    if isinstance(q, PhraseQuery):
+        body = '"' + " ".join(q.terms) + '"'
+        if q.slop:
+            body += f"~{q.slop}"
+        return body if q.field == field else f"{q.field}:{body}"
+    if isinstance(q, PrefixQuery):
+        f, v = fld(q.field, q.prefix)
+        body = v + "*"
+        return body if f == field else f"{f}:{body}"
+    if isinstance(q, WildcardQuery):
+        f, v = fld(q.field, q.pattern)
+        return v if f == field else f"{f}:{v}"
+    if isinstance(q, RegexpQuery):
+        f, v = fld(q.field, q.regexp)
+        body = f"/{v}/"
+        return body if f == field else f"{f}:{body}"
+    if isinstance(q, FuzzyQuery):
+        f, v = fld(q.field, q.term)
+        body = f"{v}~{q.max_edits}"
+        return body if f == field else f"{f}:{body}"
+    if isinstance(q, TermRangeQuery):
+        def side(x, ns_strip=True):
+            if x is None:
+                return "*"
+            return x.split("\x1f", 1)[-1]
+        lb = "[" if q.include_lower else "{"
+        rb = "]" if q.include_upper else "}"
+        body = f"{lb}{side(q.lower)} TO {side(q.upper)}{rb}"
+        return body if q.field == field else f"{q.field}:{body}"
+    if isinstance(q, RangeQuery):
+        body = (f"[{'*' if q.lo is None else q.lo} TO "
+                f"{'*' if q.hi is None else q.hi}]")
+        return body if q.field == field else f"{q.field}:{body}"
+    if isinstance(q, MatchAllDocsQuery):
+        return "*:*"
+    if isinstance(q, MatchNoDocsQuery):
+        return 'MatchNoDocsQuery("")'
+    if isinstance(q, BooleanQuery):
+        occ = {SHOULD: "", MUST: "+", MUST_NOT: "-", FILTER: "#"}
+        parts = []
+        for c in q.clauses:
+            s = query_to_string(c.query, field)
+            if isinstance(c.query, BooleanQuery):
+                s = f"({s})"
+            parts.append(occ[c.occur] + s)
+        out = " ".join(parts)
+        if q.minimum_should_match > 0:
+            out = f"({out})~{q.minimum_should_match}"
+        return out
+    return repr(q)

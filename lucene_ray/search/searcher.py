@@ -520,7 +520,9 @@ class IndexSearcher:
                 scored = []
                 total_variant_df = 0
                 for v in variants:
-                    ed = _edit_distance(v, term)
+                    # FuzzyLikeThisQuery:213-214 builds its FuzzyTermsEnum
+                    # with transpositions=true
+                    ed = _edit_distance(v, term, True)
                     s = 1.0 if ed == 0 else 1.0 - ed / min(len(v), len(term))
                     total_variant_df += self.df(v)
                     scored.append((s, v))
@@ -562,7 +564,7 @@ class IndexSearcher:
             variants.update(self._expand_shard(self.reader(pid), q))
         scored = []
         for v in variants:
-            ed = _edit_distance(v, q.term)
+            ed = _edit_distance(v, q.term, q.transpositions)
             b = 1.0 if ed == 0 else 1.0 - ed / min(len(v), len(q.term))
             scored.append((b, v))
         scored.sort(key=lambda bv: (-bv[0], bv[1]))
@@ -2290,18 +2292,25 @@ def _boosted(q, b: float):
     raise TypeError(f"cannot boost {type(q)}")
 
 
-def _edit_distance(a: str, b: str) -> int:
-    """Exact Levenshtein distance (candidates are pre-filtered to <= 2 edits
-    by the dictionary scan, so the full DP stays tiny)."""
+def _edit_distance(a: str, b: str, transpositions: bool = False) -> int:
+    """Exact edit distance (candidates are pre-filtered to <= 2 edits
+    by the dictionary scan, so the full DP stays tiny).  With
+    ``transpositions`` an adjacent swap counts as one edit (the
+    LuceneLevenshteinDistance / FuzzyTermsEnum contract)."""
     la, lb = len(a), len(b)
+    prev2: list[int] | None = None
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
         cur = [i]
         ai = a[i - 1]
         for j in range(1, lb + 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                           prev[j - 1] + (ai != b[j - 1])))
-        prev = cur
+            c = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ai != b[j - 1]))
+            if (transpositions and prev2 is not None and i > 1 and j > 1
+                    and ai == b[j - 2] and a[i - 2] == b[j - 1]):
+                c = min(c, prev2[j - 2] + 1)
+            cur.append(c)
+        prev2, prev = prev, cur
     return prev[lb]
 
 
@@ -2363,23 +2372,28 @@ def _expand_terms(terms: np.ndarray, query) -> list[str]:
     if isinstance(query, FuzzyQuery):
         base = query.term
         pre = base[:query.prefix_length]
+        trans = getattr(query, "transpositions", False)
         lo, hi = _prefix_range(terms, pre) if pre else (0, len(terms))
         out = []
         for t in terms[lo:hi]:
             if abs(len(t) - len(base)) > query.max_edits:
                 continue
-            if _levenshtein_leq(t, base, query.max_edits):
+            if _levenshtein_leq(t, base, query.max_edits, trans):
                 out.append(t)
         return out
     raise TypeError(type(query))
 
 
-def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+def _levenshtein_leq(a: str, b: str, k: int,
+                     transpositions: bool = False) -> bool:
     """Banded edit distance <= k (the dictionary-scan stand-in for the
-    reference's Levenshtein automata, `util/automaton/LevenshteinAutomata`)."""
+    reference's Levenshtein automata, `util/automaton/LevenshteinAutomata`).
+    With ``transpositions`` an adjacent swap counts as ONE edit (the
+    automata's withTranspositions=true / FuzzyQuery default)."""
     la, lb = len(a), len(b)
     if abs(la - lb) > k:
         return False
+    prev2: list[int] | None = None
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
         cur = [i]
@@ -2387,12 +2401,15 @@ def _levenshtein_leq(a: str, b: str, k: int) -> bool:
         ai = a[i - 1]
         for j in range(1, lb + 1):
             c = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ai != b[j - 1]))
+            if (transpositions and prev2 is not None and i > 1 and j > 1
+                    and ai == b[j - 2] and a[i - 2] == b[j - 1]):
+                c = min(c, prev2[j - 2] + 1)
             cur.append(c)
             if c < best:
                 best = c
         if best > k:
             return False
-        prev = cur
+        prev2, prev = prev, cur
     return prev[lb] <= k
 
 
@@ -2729,8 +2746,9 @@ def spell_correct(searcher: "IndexSearcher", term: str, max_edits: int = 2,
         return ranked[:k]
 
     def dist(t: str) -> int:
+        # LuceneLevenshteinDistance: transpositions count one edit
         for d in range(max_edits + 1):
-            if _levenshtein_leq(t, term, d):
+            if _levenshtein_leq(t, term, d, True):
                 return d
         return max_edits
 
@@ -2799,8 +2817,10 @@ def direct_spell_suggest(searcher: "IndexSearcher", term: str,
                 if df <= docfreq:
                     continue
                 if distance is None:
+                    # INTERNAL_LEVENSHTEIN (LuceneLevenshteinDistance):
+                    # adjacent transpositions count one edit
                     d = next(d for d in range(edit_distance + 1)
-                             if _levenshtein_leq(t, text, d))
+                             if _levenshtein_leq(t, text, d, True))
                     score = 1.0 - d / min(len(t), len(text))
                 else:
                     score = distance(text, t)

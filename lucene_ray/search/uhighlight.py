@@ -429,21 +429,11 @@ class FieldHighlighter:
         return out
 
 
-def _levenshtein_leq(a: str, b: str, k: int) -> bool:
-    if abs(len(a) - len(b)) > k:
-        return False
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        lo = len(b) + 1
-        for j, cb in enumerate(b, 1):
-            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            cur.append(v)
-            lo = min(lo, v)
-        if lo > k:
-            return False
-        prev = cur
-    return prev[-1] <= k
+def _levenshtein_leq(a: str, b: str, k: int,
+                     transpositions: bool = False) -> bool:
+    from .searcher import _levenshtein_leq as _impl
+
+    return _impl(a, b, k, transpositions)
 
 
 def extract_highlight_terms(query):
@@ -506,9 +496,10 @@ def extract_highlight_terms(query):
             matchers.append((q.regexp, rx.fullmatch))
         elif isinstance(q, FuzzyQuery):
             base, k, pl = q.term, q.max_edits, q.prefix_length
-            matchers.append((base + "~", lambda t, base=base, k=k, pl=pl:
-                             t.startswith(base[:pl])
-                             and _levenshtein_leq(t, base, k)))
+            tr = getattr(q, "transpositions", False)
+            matchers.append((base + "~", lambda t, base=base, k=k, pl=pl,
+                             tr=tr: t.startswith(base[:pl])
+                             and _levenshtein_leq(t, base, k, tr)))
         # other query kinds contribute no highlightable terms
 
     walk(query)

@@ -86,6 +86,38 @@ def test_fuzzy_query(setup):
     assert [h.gid for h in td2.hits] == want2
 
 
+def test_fuzzy_transpositions():
+    """FuzzyQuery.defaultTranspositions: an adjacent swap counts ONE edit
+    (LevenshteinAutomata withTranspositions=true); plain Levenshtein counts
+    two."""
+    from lucene_ray.search.searcher import _edit_distance
+
+    assert _levenshtein_leq("mreged", "merged", 1, True)
+    assert not _levenshtein_leq("mreged", "merged", 1, False)
+    assert _edit_distance("mreged", "merged", True) == 1
+    assert _edit_distance("mreged", "merged", False) == 2
+    # non-adjacent swaps still cost two
+    assert not _levenshtein_leq("dcb", "bcd", 1, True)
+    assert _edit_distance("dcb", "bcd", True) == 2
+
+
+def test_fuzzy_transpositions_e2e(setup):
+    s, tokens = setup
+    # 'josn' ~1 matches 'join'? no (substitute+substitute) — but a term
+    # whose transposition exists in the corpus must match at maxEdits=1
+    # under the default and NOT with transpositions=False
+    base = next(t for toks in tokens for t in toks
+                if len(t) >= 5 and t[0] != t[1])
+    swapped = base[1] + base[0] + base[2:]
+    assert swapped != base
+    q_on = FuzzyQuery(swapped, max_edits=1)
+    q_off = FuzzyQuery(swapped, max_edits=1, transpositions=False)
+    on_terms = {v for _, v in s._fuzzy_top_terms(q_on)}
+    assert base in on_terms
+    off_terms = {v for _, v in s._fuzzy_top_terms(q_off)}
+    assert base not in off_terms
+
+
 def test_fuzzy_blended_scoring(setup):
     """TopTermsBlendedFreqScoringRewrite parity: the default FuzzyQuery
     scores EXACTLY like a SHOULD-sum of per-variant-boosted TermQuerys
