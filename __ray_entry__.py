@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_scores": _lm_doc_scores,
         "index_phrase_wildcard_count": _lazy("index_phrase_wildcard_count"),
         "index_flexible_count": _lazy("index_flexible_count"),
+        "index_precedence_count": _lazy("index_precedence_count"),
         "index_span_near_count": _lazy("index_span_near_count"),
         "index_interval_fn_count": _lazy("index_interval_fn_count"),
         "index_automaton_count": _lazy("index_automaton_count"),
@@ -882,6 +883,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE list_contains(toks, 'merge') AND list_contains(toks, 'join')
               AND NOT list_contains(toks, 'scan')""",
+        # PrecedenceQueryParser: AND binds tighter than OR
+        "index_precedence_count": _TOKS + """
+            SELECT count(*)::BIGINT AS n_matching FROM toklists
+            WHERE (list_contains(toks, 'merge') AND list_contains(toks, 'join'))
+               OR (list_contains(toks, 'sort') AND list_contains(toks, 'scan'))""",
         "bm25_scan_count": _TOKS + """
             SELECT count(*)::BIGINT AS n_matching FROM toklists
             WHERE list_contains(toks, 'merge') AND list_contains(toks, 'join')""",

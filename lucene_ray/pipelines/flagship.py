@@ -2475,6 +2475,19 @@ def index_matchhl_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         {"rank": "int64", "turn_idx": "int64"})
 
 
+def index_precedence_count(sf_dir: str) -> pd.DataFrame:
+    """PrecedenceQueryParser end-to-end through the driver gate:
+    ``merge AND join OR sort AND scan`` groups as
+    (+merge +join) (+sort +scan) — AND binds tighter than OR
+    (`queryparser/flexible/precedence/PrecedenceQueryParser.java`).
+    SQL twin = the literal set algebra.  (n_matching)."""
+    from ..search.query import parse_precedence
+
+    searcher = IndexSearcher(build_transcript_index(sf_dir))
+    n = searcher.count(parse_precedence("merge AND join OR sort AND scan"))
+    return pd.DataFrame({"n_matching": pd.Series([n], dtype="int64")})
+
+
 def index_classic_ops_count(sf_dir: str) -> pd.DataFrame:
     """Classic-parser boolean operators end-to-end through the driver gate:
     ``merge AND join NOT scan`` (addClause semantics: +merge +join -scan)

@@ -1153,7 +1153,8 @@ def _has_unescaped(s: str, chars) -> bool:
 
 
 def _parse_classic(text: str, field: str, complex_phrases: bool,
-                   extensions=None, multi=None, default_operator="OR"):
+                   extensions=None, multi=None, default_operator="OR",
+                   precedence: bool = False):
     import re as _re
 
     # lexer: parens, field ranges, field:"quoted" composites, quoted
@@ -1219,6 +1220,15 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
             # the previous non-prohibited clause to required; with the
             # AND default operator, OR flips it back to optional
             q, occur = pair
+            if precedence:
+                # PrecedenceQueryParser: record the raw (query, sign, conj)
+                # stream; operator-precedence grouping happens at group end
+                sign = "+" if occur == MUST else \
+                       "-" if occur == MUST_NOT else None
+                clauses.append((q, sign, state["conj"]))
+                state["conj"] = None
+                state["not"] = False
+                return
             conj = state["conj"]
             if conj == "AND" and clauses and clauses[-1][1] != MUST_NOT:
                 clauses[-1] = (clauses[-1][0], MUST)
@@ -1501,6 +1511,8 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                 emit((TermQuery(t, field, boost), occur))
         if not clauses:
             return None
+        if precedence:
+            return _combine_precedence(clauses, default_operator)
         if len(clauses) == 1 and clauses[0][1] == SHOULD:
             return clauses[0][0]
         return BooleanQuery(tuple(BooleanClause(q, o) for q, o in clauses))
@@ -1509,6 +1521,79 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
     if q is None:
         return BooleanQuery(())
     return q
+
+
+def _combine_precedence(rows, default_operator: str):
+    """PrecedenceQueryParser grouping (`queryparser/flexible/precedence/
+    processors/BooleanQuery2ModifierNodeProcessor.java` semantics, pinned by
+    TestPrecedenceQueryParser.testPrecedence): AND binds tighter than OR;
+    juxtaposition separates top-level clauses.  ``rows`` is the raw
+    (query, sign, preceding-conjunction) stream of one group."""
+    # split into operator chains at juxtaposition boundaries
+    chains: list[list] = []
+    cur: list = []
+    for i, r in enumerate(rows):
+        if i > 0 and r[2] is None:
+            chains.append(cur)
+            cur = []
+        cur.append(r)
+    chains.append(cur)
+
+    def build_chain(rows):
+        # AND-groups inside the chain; OR starts a new group
+        groups: list[list] = []
+        g: list = []
+        for i, r in enumerate(rows):
+            if i > 0 and r[2] == "OR":
+                groups.append(g)
+                g = []
+            g.append(r)
+        groups.append(g)
+        outs = []          # (query, sign) per OR operand
+        for g in groups:
+            if len(g) == 1:
+                q, sign, _ = g[0]
+                outs.append((q, sign))
+            else:
+                cl = tuple(BooleanClause(q, MUST_NOT if sign == "-" else MUST)
+                           for q, sign, _ in g)
+                outs.append((BooleanQuery(cl), None))
+        if len(outs) == 1:
+            return outs[0]
+        cl = tuple(BooleanClause(q, MUST_NOT if sign == "-" else SHOULD)
+                   for q, sign in outs)
+        return (BooleanQuery(cl), None)
+
+    built = [build_chain(c) for c in chains]
+    if len(built) == 1:
+        q, sign = built[0]
+        if sign == "+":
+            return BooleanQuery((BooleanClause(q, MUST),))
+        if sign == "-":
+            return BooleanQuery((BooleanClause(q, MUST_NOT),))
+        return q
+    cl = []
+    for q, sign in built:
+        if sign == "+":
+            occ = MUST
+        elif sign == "-":
+            occ = MUST_NOT
+        else:
+            occ = MUST if default_operator == "AND" else SHOULD
+        cl.append(BooleanClause(q, occ))
+    return BooleanQuery(tuple(cl))
+
+
+def parse_precedence(text: str, field: str = "text",
+                     default_operator: str = "OR"):
+    """PrecedenceQueryParser (`queryparser/flexible/precedence/
+    PrecedenceQueryParser.java`): the classic grammar with true operator
+    precedence — AND binds tighter than OR, and plain juxtaposition keeps
+    the default-operator semantics — instead of the classic addClause
+    flip."""
+    return _parse_classic(text, field, False,
+                          default_operator=default_operator,
+                          precedence=True)
 
 
 class SurroundParseError(ValueError):

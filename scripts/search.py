@@ -40,6 +40,9 @@ def main():
                     help="flexible (Standard) dialect (AND/OR/NOT && || !, "
                          "/regexp/, (a b c)@msm, field<val ranges, "
                          "fn:ordered(...) interval functions)")
+    ap.add_argument("--precedence", action="store_true",
+                    help="PrecedenceQueryParser dialect (classic grammar "
+                         "with AND binding tighter than OR)")
     ap.add_argument("--xml", action="store_true",
                     help="CoreParser XML dialect (TermQuery/BooleanQuery/"
                          "SpanNear/RangeQuery/UserQuery/... elements)")
@@ -103,6 +106,10 @@ def main():
         from lucene_ray.search.flexible import parse_flexible
 
         q = parse_flexible(args.query)
+    elif args.precedence:
+        from lucene_ray.search.query import parse_precedence
+
+        q = parse_precedence(args.query)
     elif args.xml:
         from lucene_ray.search.xmlparser import parse_xml
 
