@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw": _knn_hnsw,
         "dedup_embedding": knn.dedup_embedding,
         "dedup_embedding_lsh": knn.dedup_embedding_lsh,
+        "dedup_semantic": knn.dedup_semantic,
         "quantize_embeddings": knn.quantize_embeddings,
         "tumbling_counts": windows.tumbling_counts,
         "hopping_counts": windows.hopping_counts,

@@ -414,3 +414,78 @@ def quantize_embeddings(sf_dir: str):
         })
 
     return _read_embeddings(sf_dir).map_batches(qb, batch_format="pyarrow")
+
+
+def dedup_semantic(sf_dir: str, threshold: float = 0.95,
+                   n_centroids: int = N_CENTROIDS):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication by k-means clustering + within-cluster cosine screening,
+    the published alternative to hyperplane LSH (`dedup_embedding_lsh`):
+
+    1. centroids from the distributed seeded-sample k-means
+       (`_ivf_centroids` — only the sample reaches the driver);
+    2. one `map_batches` pass assigns every vector to its nearest
+       centroid (cosine);
+    3. `groupby(cluster).map_groups`: within each cluster, x_j is dropped
+       when max_{i<j} cos(x_i, x_j) >= threshold over the cluster's
+       vec_id order (the released SemDeDup screen — upper-triangular max
+       per column), fully vectorized per group.
+
+    Partitioning assumption (the paper's recall bound): near-duplicates
+    only dedupe when k-means lands them in the SAME cluster; cluster size
+    is ~corpus/n_centroids, so the pairwise screen is O(m^2) per cluster,
+    not O(N^2) — raise n_centroids with corpus size to hold m steady.
+    Returns dropped rows (vec_id, dup_of = the most-similar earlier
+    vector, cos 4dp), sorted by vec_id."""
+    import ray
+
+    cents = _ivf_centroids(sf_dir, n_centroids=n_centroids)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        vid, vm = _block_matrix(batch)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vn = vm / np.maximum(np.linalg.norm(vm, axis=1, keepdims=True),
+                             1e-12)
+        cl = np.argmax(vn @ c.T, axis=1).astype(np.int64)
+        return pa.table({"cluster": pa.array(cl), "vec_id": pa.array(vid),
+                         "embedding": emb})
+
+    def screen(g: pa.Table) -> pa.Table:
+        empty = pa.schema([("vec_id", pa.int64()), ("dup_of", pa.int64()),
+                           ("cos", pa.float64())]).empty_table()
+        if g.num_rows < 2:
+            return empty
+        vid, vm = _block_matrix(g)
+        order = np.argsort(vid)
+        vid, vm = vid[order], vm[order]
+        vn = vm / np.maximum(np.linalg.norm(vm, axis=1, keepdims=True),
+                             1e-12)
+        sims = vn @ vn.T
+        np.fill_diagonal(sims, -1.0)
+        tri = np.tril(sims, -1)           # sims[j, i] for i < j
+        best = tri.max(axis=1)
+        arg = tri.argmax(axis=1)
+        drop = best >= threshold
+        if not drop.any():
+            return empty
+        return pa.table({
+            "vec_id": pa.array(vid[drop].astype(np.int64)),
+            "dup_of": pa.array(vid[arg[drop]].astype(np.int64)),
+            "cos": pa.array(np.round(best[drop], 4)),
+        })
+
+    out = (_read_embeddings(sf_dir)
+           .map_batches(assign, batch_format="pyarrow")
+           .groupby("cluster")
+           .map_groups(screen, batch_format="pyarrow")
+           ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "dup_of": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
+    return out.sort_values("vec_id").reset_index(drop=True).astype(
+        {"vec_id": "int64", "dup_of": "int64"})

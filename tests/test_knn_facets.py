@@ -211,3 +211,44 @@ def test_drill_sideways(ray_session):
     # the drilled value's sideways row exists and >= hits
     en_row = out[(out.dim == "lang") & (out.value == "en")]
     assert int(en_row.n_docs.iloc[0]) == hits
+
+
+def test_dedup_semantic_planted(ray_session, tmp_path):
+    """SemDeDup (cluster + within-cluster cosine screen): planted
+    near-identical vectors dedupe to the earliest vec_id; the singleton
+    originals survive.  Clustering must co-locate near-dups (they are
+    perturbations, so cosine-nearest centroid agrees)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.knn import dedup_semantic
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(80, 64))
+    # two planted groups: 80..82 perturb vector 0; 83..84 perturb vector 5
+    g1 = base[0][None, :] + rng.normal(scale=0.005, size=(3, 64))
+    g2 = base[5][None, :] + rng.normal(scale=0.005, size=(2, 64))
+    m = np.vstack([base, g1, g2])
+    t = pa.table({"vec_id": pa.array(range(len(m)), type=pa.int64()),
+                  "embedding": pa.array([row.tolist() for row in m],
+                                        type=pa.list_(pa.float32())),
+                  "label": pa.array([0] * len(m), type=pa.int32())})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = dedup_semantic(str(tmp_path), threshold=0.95, n_centroids=4)
+    dropped = set(out.vec_id.tolist())
+    # every planted copy drops; its dup_of points into its own group
+    assert {80, 81, 82, 83, 84} <= dropped
+    by_id = dict(zip(out.vec_id, out.dup_of))
+    assert by_id[80] in {0}
+    assert by_id[81] in {0, 80}
+    assert by_id[82] in {0, 80, 81}
+    assert by_id[83] in {5}
+    assert by_id[84] in {5, 83}
+    # the group roots survive
+    assert 0 not in dropped and 5 not in dropped
+    # reported cosines are the true pairwise values (4dp)
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for v, d, c in zip(out.vec_id, out.dup_of, out.cos):
+        assert abs(c - round(float(mm[v] @ mm[d]), 4)) <= 1e-9
+    # unrelated vectors never drop against this threshold
+    assert all(v >= 80 for v in dropped)
