@@ -196,7 +196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw": _knn_hnsw,
         "dedup_embedding": knn.dedup_embedding,
         "dedup_embedding_lsh": knn.dedup_embedding_lsh,
-        "dedup_semantic": knn.dedup_semantic,
+        # synthetic embeddings are near-orthogonal, so the driver entry
+        # runs the screen at the LSH entries' 0.4 threshold to produce rows
+        "dedup_semantic": lambda sf: knn.dedup_semantic(sf, threshold=0.4),
         "quantize_embeddings": knn.quantize_embeddings,
         "tumbling_counts": windows.tumbling_counts,
         "hopping_counts": windows.hopping_counts,
