@@ -1909,6 +1909,7 @@ FILTERS.update({
         fromlist=["lovins_stem"]).lovins_stem(w),
     "portuguese_minimal": _rslp("portuguese_minimal_stem"),
     "galician": _rslp("galician_stem"),
+    "galician_minimal": _rslp("galician_minimal_stem"),
     "german_normalize": german_normalize,
     "scandinavian_fold": scandinavian_fold,
     "reverse": reverse_token,
@@ -2625,6 +2626,81 @@ def run_token_chain(flat, lengths: np.ndarray, specs):
                 doc = np.concatenate((doc, doc[a]))
                 pos = np.concatenate((pos, pos[a]))
                 incr = np.concatenate((incr, np.zeros(len(a), bool)))
+        elif spec.startswith("fixed_shingle"):
+            # FixedShingleFilter (`analysis/shingle/FixedShingleFilter.java`):
+            # ONLY shingles of exactly n tokens (2-4), no unigrams, no
+            # partial trailing shingles; position gaps fill with "_".
+            # Spec: fixed_shingle:N[:sep[:filler]].  Runs over the linear
+            # incr-token stream (stacked-synonym shingle combinations are
+            # not expanded — same linearization note as cjk_bigram).
+            parts_fs = spec.split(":")
+            n_fs = int(parts_fs[1]) if len(parts_fs) > 1 else 2
+            if not 2 <= n_fs <= 4:
+                # FixedShingleFilter ctor: "Shingle size must be between
+                # 2 and 4"
+                raise ValueError("fixed_shingle size must be in [2, 4]")
+            sep_fs = parts_fs[2] if len(parts_fs) > 2 else " "
+            fill_fs = parts_fs[3] if len(parts_fs) > 3 else "_"
+            oi = np.nonzero(incr)[0]
+            o = oi[np.lexsort((pos[oi], doc[oi]))]
+            od, op, ot = doc[o], pos[o].astype(np.int64), toks[o]
+            if len(o):
+                grp = np.concatenate(([True], od[1:] != od[:-1]))
+                gs = np.nonzero(grp)[0]
+                glen = np.diff(np.concatenate((gs, [len(od)])))
+                maxpos = np.repeat(np.maximum.reduceat(op, gs), glen)
+                # a window may contain fillers only where a later real
+                # token exists; trailing windows never emit
+                vi = np.nonzero(maxpos >= op + n_fs - 1)[0]
+                span = int(op.max()) + n_fs + 2
+                base_keys = od * span + op          # ascending (lexsorted)
+                import pyarrow as _pa
+                import pyarrow.compute as _pc
+
+                cols_fs = []
+                for k_fs in range(n_fs):
+                    want = od[vi] * span + (op[vi] + k_fs)
+                    j = np.searchsorted(base_keys, want)
+                    jj = np.minimum(j, len(base_keys) - 1)
+                    hit = (j < len(base_keys)) & (base_keys[jj] == want)
+                    col = np.where(hit, ot[jj], fill_fs)
+                    cols_fs.append(_pa.array(col.astype(object),
+                                             type=_pa.string()))
+                if len(vi):
+                    joined = _pc.binary_join_element_wise(
+                        *cols_fs, sep_fs).to_numpy(zero_copy_only=False)
+                else:
+                    joined = np.zeros(0, dtype=object)
+                toks = np.asarray(joined, dtype=object)
+                doc = od[vi]
+                pos = op[vi].astype(np.int32)
+                incr = np.ones(len(vi), dtype=bool)
+            else:
+                toks = np.zeros(0, dtype=object)
+                doc = np.zeros(0, np.int64)
+                pos = np.zeros(0, np.int32)
+                incr = np.zeros(0, bool)
+        elif spec.startswith("date_recognizer"):
+            # DateRecognizerFilter (`analysis/miscellaneous/
+            # DateRecognizerFilter.java`): keep only tokens parseable as
+            # dates.  The reference defaults to the JVM locale's
+            # DateFormat; here the format is an explicit strptime pattern
+            # (default %m/%d/%Y) — documented divergence from the
+            # locale-dependent default.
+            from datetime import datetime as _dt
+
+            fmt_dr = spec.split(":", 1)[1] if ":" in spec else "%m/%d/%Y"
+
+            def _is_date(w, _f=fmt_dr):
+                try:
+                    _dt.strptime(w, _f)
+                    return True
+                except ValueError:
+                    return False
+
+            uq_dr, inv_dr = np.unique(toks.astype(str), return_inverse=True)
+            keep = np.array([_is_date(w) for w in uq_dr])[inv_dr]
+            toks, doc, pos, incr = toks[keep], doc[keep], pos[keep], incr[keep]
         elif spec.startswith("minhash:"):
             # MinHashFilter (`analysis/minhash/MinHashFilter.java`): consume
             # the whole token stream per doc and emit only its K minimum

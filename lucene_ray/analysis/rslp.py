@@ -97,3 +97,10 @@ def galician_stem(word: str) -> str:
         w = _GL["Verb"].apply(w)
     w = _GL["Vowel"].apply(w)
     return "".join(_GL_ACCENTS.get(c, c) for c in w)
+
+
+def galician_minimal_stem(word: str) -> str:
+    """GalicianMinimalStemFilter (`analysis/gl/GalicianMinimalStemmer.java`)
+    — the RSLG Plural step alone (no accent folding, matching the
+    reference's minimal variant)."""
+    return _GL["Plural"].apply(word)
