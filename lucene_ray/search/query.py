@@ -1422,6 +1422,12 @@ def _parse_classic(text: str, field: str, complex_phrases: bool,
                         f"{f}\x1f" + v[1:-1].replace("\\/", "/"), f),
                         occur))
                     continue
+                if v == "*":
+                    # f:* = any value in the field (testStarParsing:
+                    # getWildcardQuery(f, "*"), the FieldExistsQuery
+                    # rewrite)
+                    emit((boosted(FieldExistsQuery(f)), occur))
+                    continue
                 # non-default field: keyword-term namespace (StringField);
                 # escapes discarded per QueryParserBase.discardEscapeChar
                 emit((TermQuery(f"{f}\x1f{_discard_escapes(v)}", f), occur))

@@ -135,6 +135,16 @@ def test_fielded_conjunction():
     assert q("foo:term AND text:anotherTerm") == "+foo:term +anotherterm"
 
 
+def test_star_parsing():
+    # testStarParsing: f:* = any value in the field (FieldExistsQuery
+    # rewrite of WildcardQuery(f, "*")); escaped star stays literal
+    from lucene_ray.search.query import FieldExistsQuery, TermQuery
+
+    assert parse_classic("role:*") == FieldExistsQuery("role")
+    # escaped star stays a literal keyword term
+    assert parse_classic("role:\\*") == TermQuery("role\x1f*", "role")
+
+
 def test_default_operator_and():
     # testDefaultOperator shapes: the parser flips with AND default
     assert query_to_string(
