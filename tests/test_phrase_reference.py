@@ -117,7 +117,11 @@ def test_palindrome3(palindrome_index):
     assert set(e) == {0, 1}
     assert sl[0] == pytest.approx(e[0], abs=1e-6)
     assert sl[1] >= e[1]
-    # reversed trigram: matchable only in the palindrome within slop 4
-    rev = s.search(PhraseQuery(("three", "two", "one"), slop=4), k=10)
-    assert 1 in {h.gid for h in rev.hits}
-    assert 0 not in {h.gid for h in rev.hits}
+    # reversed trigram: a full reversal is exactly 2*(n-1)=4 edits of
+    # slop, so BOTH docs match at slop 4 and NEITHER at slop 3 —
+    # except the palindrome, whose reversed reading is closer
+    rev4 = s.search(PhraseQuery(("three", "two", "one"), slop=4), k=10)
+    assert {h.gid for h in rev4.hits} == {0, 1}
+    rev3 = s.search(PhraseQuery(("three", "two", "one"), slop=3), k=10)
+    assert 0 not in {h.gid for h in rev3.hits}
+    assert 1 in {h.gid for h in rev3.hits}      # "three two one" tail
