@@ -77,10 +77,20 @@ class MultiPhraseQuery:
     field: str = "text"
     boost: float = 1.0
     slop: int = 0
+    # explicit slot positions (MultiPhraseQuery.Builder.add(terms, pos) —
+    # gaps allowed, e.g. testMultiExactWithRepeats' (0, 2)); empty =
+    # consecutive 0..n-1
+    positions: tuple[int, ...] = ()
 
     def __post_init__(self):
         if any(len(s) == 0 for s in self.slots):
             raise ValueError("empty slot")
+        if self.positions:
+            if len(self.positions) != len(self.slots):
+                raise ValueError("positions must match slots")
+            if any(b <= a for a, b in zip(self.positions,
+                                          self.positions[1:])):
+                raise ValueError("positions must be strictly increasing")
 
 
 @dataclass(frozen=True)

@@ -1013,7 +1013,10 @@ def search_shard_phrase_general(reader, slots, slop: int, scorer, k: int,
     if len(common) == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
 
-    matcher = SloppyPhraseMatcher([tuple(ts) for ts in slots], slop) if slop > 0 else None
+    matcher = SloppyPhraseMatcher(
+        [tuple(ts) for ts in slots], slop,
+        offsets=list(offsets) if offsets is not None else None) \
+        if slop > 0 else None
     out_docs, out_freqs = [], []
     for d in common:
         pls = []

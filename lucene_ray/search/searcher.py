@@ -1154,9 +1154,14 @@ class IndexSearcher:
                                               self.doc_count, self.sum_ttf)
             slots = tuple(tuple(t for t in slot if self.df(t) > 0)
                           for slot in query.slots)
-            return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
-                    "n_required": 0, "match_all": False,
-                    "phrase_general": (slots, scorer, int(query.slop))}
+            out = {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
+                   "n_required": 0, "match_all": False,
+                   "phrase_general": (slots, scorer, int(query.slop))}
+            if getattr(query, "positions", ()):
+                # explicit slot positions (gaps) ride the same offsets
+                # channel the NGramPhrase rewrite uses
+                out["phrase_offsets"] = tuple(query.positions)
+            return out
         from .query import PhraseWildcardQuery as _PWQ2
 
         if isinstance(query, _PWQ2):
