@@ -391,9 +391,12 @@ class MemoryIndex:
         if isinstance(query, MultiPhraseQuery):
             slots = [tuple(ts) for ts in query.slots]
             slop = int(query.slop)
+            offsets = list(getattr(query, "positions", ()) or
+                           range(len(slots)))
         else:
             slots = [(t,) for t in query.terms]
             slop = int(query.slop)
+            offsets = list(range(len(slots)))
         pos_lists = []
         present_terms = []
         for ts in slots:
@@ -406,13 +409,19 @@ class MemoryIndex:
         if slop > 0 and len(set(flat)) != len(flat):
             from ..search.phrase_matcher import SloppyPhraseMatcher
 
-            freq = SloppyPhraseMatcher(slots, slop).freq(pos_lists)
+            freq = SloppyPhraseMatcher(slots, slop,
+                                       offsets=offsets).freq(pos_lists)
         elif slop > 0:
-            freq = sloppy_freq([pl - i for i, pl in enumerate(pos_lists)], slop)
+            freq = sloppy_freq([pl - off
+                                for off, pl in zip(offsets, pos_lists)],
+                               slop)
         else:
-            starts = pos_lists[0]
-            for i, pl in enumerate(pos_lists[1:], start=1):
-                starts = starts[np.isin(starts, pl - i)]
+            # explicit slot positions (gapped MultiPhraseQuery) shift each
+            # slot by its declared offset, like the engine's
+            # phrase_offsets channel
+            starts = pos_lists[0] - offsets[0]
+            for off, pl in zip(offsets[1:], pos_lists[1:]):
+                starts = starts[np.isin(starts, pl - off)]
             freq = np.float32(len(starts))
         return np.float32(freq), present_terms
 

@@ -465,8 +465,10 @@ def dedup_semantic(sf_dir: str, threshold: float = 0.95,
         vn = vm / np.maximum(np.linalg.norm(vm, axis=1, keepdims=True),
                              1e-12)
         sims = vn @ vn.T
-        np.fill_diagonal(sims, -1.0)
-        tri = np.tril(sims, -1)           # sims[j, i] for i < j
+        # mask the diagonal and upper triangle with -inf (NOT tril's 0.0
+        # fill, which would fake a 0-similarity entry and false-drop at
+        # thresholds <= 0)
+        tri = np.where(np.tri(len(vid), k=-1, dtype=bool), sims, -np.inf)
         best = tri.max(axis=1)
         arg = tri.argmax(axis=1)
         drop = best >= threshold

@@ -1576,7 +1576,11 @@ def _combine_precedence(rows, default_operator: str):
                 outs.append((BooleanQuery(cl), None))
         if len(outs) == 1:
             return outs[0]
-        cl = tuple(BooleanClause(q, MUST_NOT if sign == "-" else SHOULD)
+        # explicit modifiers survive the OR grouping: the reference's
+        # BooleanModifiersQueryNodeProcessor.applyModifier only upgrades
+        # MOD_NONE — '+a OR b' keeps a required ('+a b')
+        cl = tuple(BooleanClause(q, MUST if sign == "+" else
+                                 MUST_NOT if sign == "-" else SHOULD)
                    for q, sign in outs)
         return (BooleanQuery(cl), None)
 
@@ -1971,4 +1975,33 @@ def query_to_string(q, field: str = "text") -> str:
         if q.minimum_should_match > 0:
             out = f"({out})~{q.minimum_should_match}"
         return out
+    if isinstance(q, FieldExistsQuery):
+        # rendered as the classic grammar form that parses back to it
+        return f"{q.field}:*"
+    if isinstance(q, DisjunctionMaxQuery):
+        inner = " | ".join(query_to_string(s, field) for s in q.queries)
+        return f"({inner})~{_fmt_float(q.tie_breaker)}"
+    if isinstance(q, SynonymQuery):
+        inner = " ".join(
+            (f"{field}:{t}" if b == 1.0 else
+             f"{field}:{t}^{_fmt_float(b)}")
+            for t, b in zip(q.terms, q.boosts or (1.0,) * len(q.terms)))
+        return f"Synonym({inner})"
+    if isinstance(q, TermInSetQuery):
+        f2 = q.field
+        vals = " ".join(t.split("\x1f", 1)[-1] for t in q.terms)
+        return f"{f2}:({vals})"
+    if isinstance(q, MultiPhraseQuery):
+        offs = list(q.positions) if q.positions else list(range(len(q.slots)))
+        parts = []
+        last = -1
+        for off, slot in zip(offs, q.slots):
+            parts.extend(["?"] * (off - last - 1))   # position gaps
+            parts.append(slot[0] if len(slot) == 1
+                         else "(" + " ".join(slot) + ")")
+            last = off
+        body = '"' + " ".join(parts) + '"'
+        if q.slop:
+            body += f"~{q.slop}"
+        return body if q.field == field else f"{q.field}:{body}"
     return repr(q)

@@ -186,7 +186,12 @@ class Suggester:
         # testEndingSpace; TokenStreamToAutomaton appends a SEP when the
         # raw query ends past the last token's end offset): "i " requires
         # "i" to be a COMPLETE token, so the match prefix becomes key+SEP
-        # and the bare key itself no longer qualifies.
+        # and the bare key itself no longer qualifies.  isalnum
+        # approximates "last char is token-internal" for the UAX#29
+        # tokenizer: trailing separators and DROPPED trailing punctuation
+        # (apostrophe, period) both read ended, exactly like the
+        # reference's final-offset test; a tokenizer-probe variant
+        # misfires at the 255-char token chop, so the char test stays.
         ended = bool(query) and not query[-1].isalnum()
         pre = kq + SEP if ended else kq
         hi = pre + "￿"

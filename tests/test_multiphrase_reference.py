@@ -78,6 +78,26 @@ def test_multi_exact_with_repeats(ray_session, tmp_path_factory):
     assert s.count(q4) == 0
 
 
+def test_memoryindex_gapped_positions():
+    # Monitor verification path: MemoryIndex must honor explicit slot
+    # positions exactly like the engine's phrase_offsets channel
+    from lucene_ray.index.memoryindex import MemoryIndex
+
+    q = MultiPhraseQuery((("quick",), ("fox",)), positions=(0, 2))
+    m1 = MemoryIndex().add_field("text", "quick brown fox")
+    assert m1.matches(q)
+    m2 = MemoryIndex().add_field("text", "quick fox")
+    assert not m2.matches(q)
+    # gapped + sloppy through the matcher offsets
+    qs = MultiPhraseQuery((("quick",), ("fox",)), positions=(0, 3), slop=1)
+    assert m1.matches(qs)
+    # fox@4 is distance 1 from the declared offset 3: still within slop 1
+    assert MemoryIndex().add_field("text", "quick a b c fox").matches(qs)
+    # fox@5 is distance 2: out of slop
+    assert not MemoryIndex().add_field(
+        "text", "quick a b c d fox").matches(qs)
+
+
 def test_positions_validation():
     with pytest.raises(ValueError):
         MultiPhraseQuery((("a",), ("b",)), positions=(0,))

@@ -26,8 +26,11 @@ def main() -> int:
         ray.init(address="local", num_cpus=8, include_dashboard=False)
     import ray.data as rd
 
-    sys.path.insert(0, "/root/repo")
-    sys.path.insert(0, "/root/repo/tests")
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    sys.path.insert(0, os.path.join(root, "tests"))
 
     import tempfile
 
