@@ -313,3 +313,17 @@ def test_search_large_parity(setup):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         s.search_large(q, k=0)
+
+
+def test_ngram_phrase_rewrite_reference_vectors():
+    """TestNGramPhraseQuery.testRewrite: AB/BC stays whole; ABCD and the
+    tri-gram chain drop redundant inner grams keeping sparse positions."""
+    from lucene_ray.search.query import NGramPhraseQuery, PhraseQuery
+
+    rw1 = NGramPhraseQuery(2, PhraseQuery(("ab", "bc"))).rewrite()
+    assert rw1 == PhraseQuery(("ab", "bc"))
+    rw2 = NGramPhraseQuery(2, PhraseQuery(("ab", "bc", "cd"))).rewrite()
+    assert rw2 == (("ab", "cd"), (0, 2))
+    rw3 = NGramPhraseQuery(
+        3, PhraseQuery(("abc", "bcd", "cde", "def", "efg", "fgh"))).rewrite()
+    assert rw3 == (("abc", "def", "fgh"), (0, 3, 5))
