@@ -65,3 +65,16 @@ def test_boost_validation():
         SynonymQuery(("a",), boosts=(1.5,))
     with pytest.raises(ValueError):
         SynonymQuery(("a",), boosts=(0.0,))
+
+
+def test_blended_term_scores(ray_session, tmp_path_factory):
+    """TestBlendedTermQuery.testBlendedScores: 1 doc 'a' + 10 docs 'b'
+    under the df-max blend — every doc scores identically (tie 0 makes
+    the DisMax a pure max of equal-stat scorers)."""
+    from lucene_ray.search.query import BlendedTermQuery
+
+    s = _index(tmp_path_factory, ["a"] + ["b"] * 10, "blended_scores")
+    td = s.search(BlendedTermQuery(("a", "b")), k=20)
+    assert td.total_hits == 11
+    scores = [h.score for h in td.hits]
+    assert all(sc == scores[0] for sc in scores)
