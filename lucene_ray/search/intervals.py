@@ -206,6 +206,25 @@ class Combine(IntervalsSource):
     subs: tuple
 
     def doc_intervals(self, ctx):
+        if self.kind == "unordered":
+            # UnorderedIntervalsSource.java:36-55 deduplicate: equal
+            # sub-sources collapse into a RepeatingIntervalsSource —
+            # sliding windows of `count` CONSECUTIVE underlying intervals
+            # (no minimalization), so duplicate terms require DISTINCT
+            # occurrences (TestIntervals.testUnorderedWithRepeats)
+            from collections import Counter
+
+            counts = Counter(self.subs)
+            lists = []
+            for s, c in counts.items():
+                base = s.doc_intervals(ctx)
+                if c > 1:
+                    base = sorted(base)
+                    base = ([] if len(base) < c else
+                            [(base[i][0], base[i + c - 1][1])
+                             for i in range(len(base) - c + 1)])
+                lists.append(base)
+            return _unordered_intervals(lists)
         lists = [s.doc_intervals(ctx) for s in self.subs]
         if self.kind == "ordered":
             return _ordered_intervals(lists)

@@ -29,7 +29,22 @@ def _brute(src, toks):
         if isinstance(node, iv.Term):
             return {(i, i) for i, t in enumerate(toks) if t == node.term}
         if isinstance(node, iv.Combine):
-            subs = [sorted(all_ivals(x)) for x in node.subs]
+            if node.kind == "unordered":
+                # duplicate sub-sources require DISTINCT occurrences:
+                # the reference's RepeatingIntervalsSource windows
+                from collections import Counter
+
+                cnt = Counter(node.subs)
+                subs = []
+                for x, c in cnt.items():
+                    base = sorted(all_ivals(x))
+                    if c > 1:
+                        base = ([] if len(base) < c else
+                                [(base[i][0], base[i + c - 1][1])
+                                 for i in range(len(base) - c + 1)])
+                    subs.append(base)
+            else:
+                subs = [sorted(all_ivals(x)) for x in node.subs]
             if any(not s for s in subs):
                 return set()
             out = set()
