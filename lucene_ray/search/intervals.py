@@ -68,8 +68,32 @@ class IntervalsSource:
     def doc_intervals(self, ctx) -> list:  # pragma: no cover
         raise NotImplementedError
 
+    def doc_intervals_gaps(self, ctx) -> list:
+        """(start, end, gaps) triples.  Default approximation: gaps =
+        width − minExtent (exact for single-position leaves); Combine/Or
+        override with the reference's per-match accounting
+        (`UnorderedIntervalsSource.java:170-172` slop = width − Σ
+        sub-iterator widths)."""
+        me = self.min_extent()
+        return [(s, e, (e - s + 1) - me)
+                for s, e in self.doc_intervals(ctx)]
+
     def min_extent(self) -> int:  # pragma: no cover
         raise NotImplementedError
+
+
+def _minimalize3(triples):
+    """_minimalize over (start, end, payload) triples keyed by the
+    interval; equal intervals keep the smallest payload."""
+    if not triples:
+        return []
+    best: dict = {}
+    for s, e, g in triples:
+        k = (s, e)
+        if k not in best or g < best[k]:
+            best[k] = g
+    kept = _minimalize(best.keys())
+    return [(s, e, best[(s, e)]) for s, e in kept]
 
 
 
@@ -128,15 +152,18 @@ class MultiTerm(IntervalsSource):
         return 1
 
 
-def _ordered_intervals(subs):
-    """Minimal ordered intervals: for each interval of the first source,
-    greedily chain the earliest following interval of each next source
-    (start > previous end, `OrderedIntervalsSource.java`), then minimalize."""
+def _ordered_intervals3(subs):
+    """Minimal ordered intervals over (start, end, width) sub-lists: for
+    each interval of the first source, greedily chain the earliest
+    following interval of each next source (start > previous end,
+    `OrderedIntervalsSource.java`); gaps = window span − Σ chained sub
+    widths (the slop accounting at OrderedIntervalsSource.java:150-176)."""
     if any(not s for s in subs):
         return []
     out = []
     for a in subs[0]:
         prev_end = a[1]
+        wsum = a[2]
         ok = True
         for lst in subs[1:]:
             nxt = None
@@ -148,16 +175,18 @@ def _ordered_intervals(subs):
                 ok = False
                 break
             prev_end = nxt[1]
+            wsum += nxt[2]
         if ok:
-            out.append((a[0], prev_end))
-    return _minimalize(out)
+            out.append((a[0], prev_end,
+                        (prev_end - a[0] + 1) - wsum))
+    return _minimalize3(out)
 
 
-def _unordered_intervals(subs):
+def _unordered_intervals3(subs):
     """Minimal windows containing one interval from each source
     (overlaps allowed, `UnorderedIntervalsSource.java`): classic pointer
-    sweep — record the window of the current tuple, then advance the
-    source holding the smallest start."""
+    sweep; gaps = window span − Σ current sub widths
+    (UnorderedIntervalsSource.java:170-172)."""
     if any(not s for s in subs):
         return []
     ptr = [0] * len(subs)
@@ -165,17 +194,19 @@ def _unordered_intervals(subs):
     while True:
         starts = [subs[i][ptr[i]][0] for i in range(len(subs))]
         ends = [subs[i][ptr[i]][1] for i in range(len(subs))]
-        out.append((min(starts), max(ends)))
+        wsum = sum(subs[i][ptr[i]][2] for i in range(len(subs)))
+        s0, e0 = min(starts), max(ends)
+        out.append((s0, e0, (e0 - s0 + 1) - wsum))
         i_min = int(np.argmin(starts))
         ptr[i_min] += 1
         if ptr[i_min] >= len(subs[i_min]):
             break
-    return _minimalize(out)
+    return _minimalize3(out)
 
 
-def _block_intervals(subs):
+def _block_intervals3(subs):
     """Consecutive blocks (`BlockIntervalsSource.java`):
-    start(i+1) == end(i) + 1."""
+    start(i+1) == end(i) + 1; gaps are always 0."""
     if any(not s for s in subs):
         return []
     out = []
@@ -195,8 +226,15 @@ def _block_intervals(subs):
                 break
             prev_end = nxt[1]
         if ok:
-            out.append((a[0], prev_end))
-    return _minimalize(out)
+            out.append((a[0], prev_end, 0))
+    return _minimalize3(out)
+
+
+def _unordered_intervals(subs):
+    """Pair-list adapter over `_unordered_intervals3` (kept for callers
+    holding plain (start, end) lists, e.g. AtLeast combos)."""
+    return [(s, e) for s, e, _ in _unordered_intervals3(
+        [[(b, e, e - b + 1) for b, e in lst] for lst in subs])]
 
 
 @dataclass(frozen=True)
@@ -206,31 +244,44 @@ class Combine(IntervalsSource):
     subs: tuple
 
     def doc_intervals(self, ctx):
+        return [(s, e) for s, e, _ in self.doc_intervals_gaps(ctx)]
+
+    def _sub_lists(self, ctx):
+        """Per-sub (start, end, width) lists.  width = the sub-interval's
+        span, except RepeatingIntervalsSource windows (duplicate
+        sub-sources of an unordered interval: sliding windows of `count`
+        CONSECUTIVE underlying intervals) whose width is the SUM of the
+        constituent spans (DuplicateIntervalIterator.width)."""
         if self.kind == "unordered":
-            # UnorderedIntervalsSource.java:36-55 deduplicate: equal
-            # sub-sources collapse into a RepeatingIntervalsSource —
-            # sliding windows of `count` CONSECUTIVE underlying intervals
-            # (no minimalization), so duplicate terms require DISTINCT
-            # occurrences (TestIntervals.testUnorderedWithRepeats)
+            # UnorderedIntervalsSource.java:36-55 deduplicate
             from collections import Counter
 
             counts = Counter(self.subs)
             lists = []
             for s, c in counts.items():
-                base = s.doc_intervals(ctx)
+                base = sorted(s.doc_intervals(ctx))
                 if c > 1:
-                    base = sorted(base)
-                    base = ([] if len(base) < c else
-                            [(base[i][0], base[i + c - 1][1])
-                             for i in range(len(base) - c + 1)])
+                    if len(base) < c:
+                        lists.append([])
+                        continue
+                    spans = [e - b + 1 for b, e in base]
+                    base = [(base[i][0], base[i + c - 1][1],
+                             sum(spans[i:i + c]))
+                            for i in range(len(base) - c + 1)]
+                else:
+                    base = [(b, e, e - b + 1) for b, e in base]
                 lists.append(base)
-            return _unordered_intervals(lists)
-        lists = [s.doc_intervals(ctx) for s in self.subs]
+            return lists
+        return [[(b, e, e - b + 1) for b, e in sorted(s.doc_intervals(ctx))]
+                for s in self.subs]
+
+    def doc_intervals_gaps(self, ctx):
+        lists = self._sub_lists(ctx)
         if self.kind == "ordered":
-            return _ordered_intervals(lists)
+            return _ordered_intervals3(lists)
         if self.kind == "block":
-            return _block_intervals(lists)
-        return _unordered_intervals(lists)
+            return _block_intervals3(lists)
+        return _unordered_intervals3(lists)
 
     def min_extent(self):
         return sum(s.min_extent() for s in self.subs)
@@ -246,6 +297,12 @@ class Or(IntervalsSource):
         for s in self.subs:
             out.extend(s.doc_intervals(ctx))
         return _minimalize(out)
+
+    def doc_intervals_gaps(self, ctx):
+        out = []
+        for s in self.subs:
+            out.extend(s.doc_intervals_gaps(ctx))
+        return _minimalize3(out)
 
     def min_extent(self):
         return min(s.min_extent() for s in self.subs)
@@ -288,11 +345,17 @@ class Filtered(IntervalsSource):
     source: IntervalsSource
 
     def doc_intervals(self, ctx):
-        ivals = self.source.doc_intervals(ctx)
+        return [(s, e) for s, e, _ in self.doc_intervals_gaps(ctx)]
+
+    def doc_intervals_gaps(self, ctx):
         if self.kind == "maxwidth":
-            return [iv for iv in ivals if iv[1] - iv[0] + 1 <= self.limit]
-        me = self.source.min_extent()
-        return [iv for iv in ivals if (iv[1] - iv[0] + 1) - me <= self.limit]
+            return [t for t in self.source.doc_intervals_gaps(ctx)
+                    if t[1] - t[0] + 1 <= self.limit]
+        # true per-match gaps from the source (Combine tracks the
+        # reference's slop accounting; leaves fall back to width −
+        # minExtent, exact for single-position leaves)
+        return [t for t in self.source.doc_intervals_gaps(ctx)
+                if t[2] <= self.limit]
 
     def min_extent(self):
         return self.source.min_extent()

@@ -79,6 +79,10 @@ def _brute(src, toks):
             ivals = all_ivals(node.source)
             if node.kind == "maxwidth":
                 return {x for x in ivals if x[1] - x[0] + 1 <= node.limit}
+            # gaps approximation (width - minExtent): exact while the
+            # generator keeps width-1 leaves under every Combine (depth>=2
+            # forces terms); the true per-match slop accounting is pinned
+            # by tests/test_intervals_reference.py's maxgaps vectors
             me = node.source.min_extent()
             return {x for x in ivals
                     if (x[1] - x[0] + 1) - me <= node.limit}

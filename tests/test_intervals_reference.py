@@ -152,3 +152,54 @@ def test_unordered_distinct():
         iv.unordered(iv.term("pease"), iv.term("porridge")))
     _check(src2, FIELD1,
            [[], [1, 4, 4, 7], [1, 4, 4, 7], [], [1, 4, 4, 7], []])
+
+
+def test_contained_by():
+    src = iv.contained_by(
+        iv.term("porridge"),
+        iv.ordered(iv.term("pease"), iv.term("cold")))
+    _check(src, FIELD1,
+           [[], [4, 4, 7, 7], [1, 1, 7, 7], [], [4, 4], []])
+
+
+def test_containing():
+    src = iv.containing(
+        iv.ordered(iv.term("pease"), iv.term("cold")),
+        iv.term("porridge"))
+    _check(src, FIELD1,
+           [[], [3, 5, 6, 21], [0, 2, 6, 17], [], [3, 5], []])
+
+
+def test_not_containing():
+    src = iv.not_containing(
+        iv.ordered(iv.term("porridge"), iv.term("pease")),
+        iv.term("hot"))
+    _check(src, FIELD1, [[], [4, 6], [1, 3], [], [4, 6], []])
+    assert src.min_extent() == 2
+
+
+def test_maxgaps_unordered_w_terms():
+    src = iv.maxgaps(1, iv.unordered(iv.term("w1"), iv.term("w3"),
+                                     iv.term("w4")))
+    _check(src, FIELD2, [[], [], [], [], [], [0, 3, 2, 4, 3, 6], []])
+    assert src.min_extent() == 3
+
+
+def test_maxgaps_ordered_with_repeats():
+    src = iv.maxgaps(11, iv.ordered(iv.term("pease"), iv.term("pease"),
+                                    iv.term("hot")))
+    _check(src, FIELD1, [[], [], [0, 5], [], [], []])
+
+
+def test_maxgaps_with_only_repeats():
+    src = iv.maxgaps(1, iv.ordered(
+        iv.or_(iv.term("pease"), iv.term("hot")),
+        iv.or_(iv.term("pease"), iv.term("hot"))))
+    _check(src, FIELD1,
+           [[], [0, 2, 2, 3], [3, 5, 5, 6], [], [0, 2, 2, 3], []])
+
+
+def test_nested_maxgaps():
+    src = iv.maxgaps(1, iv.unordered(
+        iv.ordered(iv.term("w1"), iv.term("w3")), iv.term("w4")))
+    _check(src, FIELD2, [[], [], [], [], [], [0, 3, 3, 6, 4, 8], []])
