@@ -171,12 +171,34 @@ def run_bench() -> dict:
     svc.shutdown()
 
     # ---- pipeline suite over SF_DIR ----
+    # Contention probes (round-5 bench hygiene): this host documents 5-10x
+    # co-tenant swings on identical code.  A ~60ms single-thread spin probe
+    # brackets every suite entry; if the window's probe throughput fell
+    # below 70% of the session's reference (or 1-min load > 1.5x num_cpus),
+    # the entry re-runs once (min taken) and carries a contention record so
+    # a published 10x artifact is visible as such.
+    probe_ref = max(_quick_probe() for _ in range(3))
+    contention: dict[str, dict] = {}
+
     def timed(name, fn):
-        t0 = time.perf_counter()
-        r = fn(SF_DIR)
-        if hasattr(r, "to_pandas"):
-            r.to_pandas()
-        timings[name] = time.perf_counter() - t0
+        best, info = None, None
+        for attempt in range(2):
+            load1 = os.getloadavg()[0]
+            p0 = _quick_probe()
+            t0 = time.perf_counter()
+            r = fn(SF_DIR)
+            if hasattr(r, "to_pandas"):
+                r.to_pandas()
+            dt = time.perf_counter() - t0
+            ratio = min(p0, _quick_probe()) / probe_ref
+            best = dt if best is None else min(best, dt)
+            degraded = ratio < 0.7 or load1 > NUM_CPUS * 1.5
+            info = {"probe_ratio": round(ratio, 3), "load1": round(load1, 1),
+                    "degraded_window": degraded, "runs": attempt + 1}
+            if not degraded:
+                break
+        timings[name] = best
+        contention[name] = info
 
     from lucene_ray.pipelines import percolate as percolate_mod
 
@@ -201,8 +223,13 @@ def run_bench() -> dict:
     from lucene_ray.pipelines import vsearch as vsearch_mod
     from lucene_ray.pipelines.flagship import index_dir_for
 
-    shutil.rmtree(index_dir_for(SF_DIR) + "-vec", ignore_errors=True)
-    timed("knn_hnsw_build_query", vsearch_mod.knn_hnsw)
+    def _hnsw_cold(sf_dir):
+        # rebuild per attempt: the graph construction cost is the point, so
+        # a contention re-run must not silently reuse the cached index
+        shutil.rmtree(index_dir_for(sf_dir) + "-vec", ignore_errors=True)
+        return vsearch_mod.knn_hnsw(sf_dir)
+
+    timed("knn_hnsw_build_query", _hnsw_cold)
 
     calib = None
     bw = None
@@ -218,6 +245,8 @@ def run_bench() -> dict:
         "value": round(build_sec, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "contention": contention,
+        "probe_ref_its": round(probe_ref, 0),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "n_turns": N_TURNS,
@@ -226,6 +255,20 @@ def run_bench() -> dict:
         "query_p99_ms": round(p99 * 1000, 2),
         "query_qps_pipelined": round(qps, 1),
     }
+
+
+def _quick_probe(sec: float = 0.06) -> float:
+    """Single-thread spin iterations/sec on the driver — a cheap sample of
+    instantaneous host steal/co-tenancy, taken immediately before and after
+    each suite entry (the full _cpu_calibration is too heavy per entry)."""
+    t0 = time.perf_counter()
+    n = 0
+    x = 1.0
+    while time.perf_counter() - t0 < sec:
+        for _ in range(10000):
+            x = x * 1.0000001
+        n += 10000
+    return n / (time.perf_counter() - t0)
 
 
 def _cpu_calibration(ncpu: int, sec: float = 2.0) -> float:
