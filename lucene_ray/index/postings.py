@@ -436,6 +436,94 @@ def impact_skyline(freqs: np.ndarray, norms: np.ndarray) -> tuple[np.ndarray, np
     return maxf[keep].astype(np.int32), uniq[keep]
 
 
+def _unpack_block_group(buf, raw, padded, offs, out) -> np.ndarray:
+    """Unpack one PFor part (doc-deltas or freqs) for the full blocks at
+    byte offsets `offs` into ``out[(len(offs), BLOCK_SIZE)]`` uint64,
+    grouped by (bits, n_exceptions) so each group unpacks in one
+    vectorized pass.  Returns each block's part size in bytes (so the
+    caller can locate the freq part after the doc part)."""
+    tokens = raw[offs]
+    n_exc = (tokens >> 5).astype(np.int64)
+    bits = (tokens & 0x1F).astype(np.int64)
+    # vint-value fast path only when the value fits one byte; else scalar.
+    # bits==0 blocks whose all-equal value is >=128 carry a 2-byte vint
+    # (encoder guarantees <=2 bytes: patched value fits 8 bits), so the
+    # block size must account for the extra byte even on the fallback path.
+    vint2 = (bits == 0) & (raw[offs + 1] >= 0x80)
+    fallback = vint2
+    sizes = np.where(bits == 0, 2 + vint2.astype(np.int64) + 2 * n_exc,
+                     1 + BLOCK_SIZE * bits // 8 + 2 * n_exc)
+    for b in np.unique(bits[~fallback] if fallback.any() else bits):
+        b = int(b)
+        sel = np.nonzero((bits == b) & ~fallback)[0]
+        if len(sel) == 0:
+            continue
+        if b == 0:
+            out[sel] = raw[offs[sel] + 1].astype(np.uint64)[:, None]
+        elif b <= 24:
+            # byte-aligned extraction: value v sits at bit v*b of the
+            # little-endian stream; gather 4 bytes and shift — no
+            # unpackbits, no big temporaries
+            bit_off = np.arange(BLOCK_SIZE, dtype=np.int64) * b
+            rel = bit_off >> 3
+            shift = (bit_off & 7).astype(np.uint32)
+            idx = (offs[sel] + 1)[:, None] + rel[None, :]
+            u32 = (padded[idx].astype(np.uint32)
+                   | (padded[idx + 1].astype(np.uint32) << 8)
+                   | (padded[idx + 2].astype(np.uint32) << 16)
+                   | (padded[idx + 3].astype(np.uint32) << 24))
+            out[sel] = ((u32 >> shift[None, :]) & np.uint32((1 << b) - 1)).astype(np.uint64)
+        else:
+            nbytes = BLOCK_SIZE * b // 8
+            byte_idx = (offs[sel] + 1)[:, None] + np.arange(nbytes)
+            bits_arr = np.unpackbits(raw[byte_idx], axis=1, bitorder="little")
+            out[sel] = (bits_arr.reshape(len(sel), BLOCK_SIZE, b).astype(np.uint64)
+                        * _BIT_W[b]).sum(axis=2)
+        # exceptions (grouped by count so gathers stay rectangular)
+        esel = sel[n_exc[sel] > 0]
+        for ne in np.unique(n_exc[esel]) if len(esel) else []:
+            ne = int(ne)
+            ss = esel[n_exc[esel] == ne]
+            ebase = offs[ss] + sizes[ss] - 2 * ne
+            eidx = ebase[:, None] + np.arange(2 * ne)
+            ebytes = raw[eidx].reshape(len(ss), ne, 2)
+            rows = np.repeat(np.arange(len(ss)), ne)
+            pos = ebytes[:, :, 0].reshape(-1).astype(np.int64)
+            high = ebytes[:, :, 1].reshape(-1).astype(np.uint64)
+            if b == 0:
+                out[ss[rows], pos] |= high
+            else:
+                out[ss[rows], pos] |= high << np.uint64(b)
+    for i in np.nonzero(fallback)[0]:
+        vals, _ = pfor_decode(buf, int(offs[i]))
+        out[i] = vals
+    return sizes
+
+
+def decode_blocks(buf, df: int, skip_offs: np.ndarray, skip_last: np.ndarray,
+                  block_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a SUBSET of full blocks (ascending indices into the skip
+    table) in one grouped vectorized pass — the seek path for
+    candidate-restricted scoring (MaxScore non-essential lookups), where a
+    per-block Python loop would dominate.  Returns (doc_ids int32, freqs
+    int32) flat in ascending block order (globally doc-sorted).  The vint
+    tail (index n_full) must be handled by the caller via decode_tail."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    padded = np.concatenate((raw, np.zeros(4, dtype=np.uint8)))
+    block_idx = np.asarray(block_idx, dtype=np.int64)
+    offs = skip_offs[block_idx].astype(np.int64)
+    nb = len(block_idx)
+    deltas = np.empty((nb, BLOCK_SIZE), dtype=np.uint64)
+    freqs = np.empty((nb, BLOCK_SIZE), dtype=np.uint64)
+    sizes = _unpack_block_group(buf, raw, padded, offs, deltas)
+    _unpack_block_group(buf, raw, padded, offs + sizes, freqs)
+    prev_last = np.where(block_idx > 0,
+                         skip_last[np.maximum(block_idx - 1, 0)], -1)
+    docs = (np.cumsum(deltas.astype(np.int64), axis=1)
+            + prev_last.astype(np.int64)[:, None])
+    return docs.reshape(-1).astype(np.int32), freqs.reshape(-1).astype(np.int32)
+
+
 def decode_list(buf, df: int, skip_offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Batched full-list decode using the skip table: groups full blocks by
     (bits, n_exceptions) and unpacks each group in one vectorized pass —
@@ -454,65 +542,8 @@ def decode_list(buf, df: int, skip_offs: np.ndarray) -> tuple[np.ndarray, np.nda
     deltas = np.empty((n_full, BLOCK_SIZE), dtype=np.uint64)
     freqs = np.empty((n_full, BLOCK_SIZE), dtype=np.uint64)
 
-    for which, out in (("doc", deltas), ("freq", freqs)):
-        tokens = raw[offs]
-        n_exc = (tokens >> 5).astype(np.int64)
-        bits = (tokens & 0x1F).astype(np.int64)
-        # vint-value fast path only when the value fits one byte; else scalar.
-        # bits==0 blocks whose all-equal value is >=128 carry a 2-byte vint
-        # (encoder guarantees <=2 bytes: patched value fits 8 bits), so the
-        # block size must account for the extra byte even on the fallback path.
-        vint2 = (bits == 0) & (raw[offs + 1] >= 0x80)
-        fallback = vint2
-        sizes = np.where(bits == 0, 2 + vint2.astype(np.int64) + 2 * n_exc,
-                         1 + BLOCK_SIZE * bits // 8 + 2 * n_exc)
-        for b in np.unique(bits[~fallback] if fallback.any() else bits):
-            b = int(b)
-            sel = np.nonzero((bits == b) & ~fallback)[0]
-            if len(sel) == 0:
-                continue
-            if b == 0:
-                out[sel] = raw[offs[sel] + 1].astype(np.uint64)[:, None]
-            elif b <= 24:
-                # byte-aligned extraction: value v sits at bit v*b of the
-                # little-endian stream; gather 4 bytes and shift — no
-                # unpackbits, no big temporaries
-                bit_off = np.arange(BLOCK_SIZE, dtype=np.int64) * b
-                rel = bit_off >> 3
-                shift = (bit_off & 7).astype(np.uint32)
-                idx = (offs[sel] + 1)[:, None] + rel[None, :]
-                u32 = (padded[idx].astype(np.uint32)
-                       | (padded[idx + 1].astype(np.uint32) << 8)
-                       | (padded[idx + 2].astype(np.uint32) << 16)
-                       | (padded[idx + 3].astype(np.uint32) << 24))
-                out[sel] = ((u32 >> shift[None, :]) & np.uint32((1 << b) - 1)).astype(np.uint64)
-            else:
-                nbytes = BLOCK_SIZE * b // 8
-                byte_idx = (offs[sel] + 1)[:, None] + np.arange(nbytes)
-                bits_arr = np.unpackbits(raw[byte_idx], axis=1, bitorder="little")
-                out[sel] = (bits_arr.reshape(len(sel), BLOCK_SIZE, b).astype(np.uint64)
-                            * _BIT_W[b]).sum(axis=2)
-            # exceptions (grouped by count so gathers stay rectangular)
-            esel = sel[n_exc[sel] > 0]
-            for ne in np.unique(n_exc[esel]) if len(esel) else []:
-                ne = int(ne)
-                ss = esel[n_exc[esel] == ne]
-                ebase = offs[ss] + sizes[ss] - 2 * ne
-                eidx = ebase[:, None] + np.arange(2 * ne)
-                ebytes = raw[eidx].reshape(len(ss), ne, 2)
-                rows = np.repeat(np.arange(len(ss)), ne)
-                pos = ebytes[:, :, 0].reshape(-1).astype(np.int64)
-                high = ebytes[:, :, 1].reshape(-1).astype(np.uint64)
-                if b == 0:
-                    out[ss[rows], pos] |= high
-                else:
-                    out[ss[rows], pos] |= high << np.uint64(b)
-        for i in np.nonzero(fallback)[0]:
-            vals, _ = pfor_decode(buf, int(offs[i]))
-            out[i] = vals
-        if which == "doc":
-            # freq block follows the doc block
-            offs = offs + sizes
+    sizes = _unpack_block_group(buf, raw, padded, offs, deltas)
+    _unpack_block_group(buf, raw, padded, offs + sizes, freqs)
 
     flat_deltas = deltas.reshape(-1).astype(np.int64)
     all_deltas = np.empty(df, dtype=np.int64)

@@ -316,6 +316,161 @@ class BlockMaxWand:
         return top_scores, top_docs, collected, relation
 
 
+def _term_scores_at(reader, tid, scorer, docs_q: np.ndarray) -> np.ndarray:
+    """float32 score contribution of term `tid` at the given sorted local
+    docIDs (0 where the term does not match).  Decodes only the blocks that
+    contain query docs (the skip table doubles as the seek structure) unless
+    the query set touches most blocks, in which case one batched full
+    decode + searchsorted lookup is cheaper."""
+    norms = reader.norms
+    out = np.zeros(len(docs_q), dtype=np.float32)
+    df = int(reader._df[tid])
+    if df == 0 or not len(docs_q):
+        return out
+    so, sl, _, _, _ = reader.skip_data(tid)
+    bi_of = np.searchsorted(sl, docs_q, side="left")
+    valid = bi_of < len(sl)
+    blocks = np.unique(bi_of[valid])
+    n_full = df // BLOCK_SIZE
+    if len(blocks) * 2 > len(sl) or n_full < 4:
+        docs, freqs = reader.postings(tid)          # batched full decode
+    else:
+        # batched SUBSET decode: only blocks containing query docs
+        from ..index.postings import decode_blocks
+
+        payload = reader.payload(tid)
+        parts = []
+        full_sel = blocks[blocks < n_full]
+        if len(full_sel):
+            parts.append(decode_blocks(payload, df, so, sl, full_sel))
+        if blocks[-1] == n_full:                    # vint tail touched
+            prev_last = int(sl[n_full - 1]) if n_full > 0 else -1
+            parts.append(decode_tail(payload, int(so[n_full]),
+                                     df % BLOCK_SIZE, prev_last))
+        if not parts:
+            return out
+        docs = np.concatenate([p[0] for p in parts])
+        freqs = np.concatenate([p[1] for p in parts])
+    pos = np.searchsorted(docs, docs_q)
+    pos_c = np.minimum(pos, len(docs) - 1)
+    hit = docs[pos_c] == docs_q
+    if hit.any():
+        out[hit] = scorer.score(freqs[pos_c[hit]], norms[docs_q[hit]])
+    return out
+
+
+def search_shard_maxscore(reader, compiled, k: int, *,
+                          threshold: int = TOTAL_HITS_THRESHOLD,
+                          ext_theta: float = -np.inf, ext_collected: int = 0):
+    """Impact-ordered TAAT for DENSE pure disjunctions — the
+    MaxScoreBulkScorer essential/non-essential partition
+    (`search/MaxScoreBulkScorer.java:1-120`) re-expressed for the
+    vectorized accumulator engine.
+
+    The block-max WAND router sends high-density disjunctions to the TAAT
+    accumulator because per-window bookkeeping loses to one vectorized
+    scatter-add — but exhaustive TAAT decodes EVERY posting of EVERY term,
+    which is the 100M-doc p99 tail.  This path processes terms in
+    max-impact-DESCENDING order and, before each term, checks whether the
+    k-th partial score already exceeds the sum of the remaining terms'
+    max scores (the MaxScore invariant): once it does, the remaining
+    ("non-essential") terms cannot introduce new competitive docs, so
+    their long posting lists are never fully decoded — contributions are
+    looked up only at surviving-candidate positions via the skip table.
+
+    Float32 exactness: partial sums accumulate in processing order, so a
+    final CLAUSE-ORDER rescore of a small top pool (4k+64) reproduces the
+    TAAT accumulator's left-to-right additions bit-identically; pruning
+    bounds carry the same upward-rounding compensation as the WAND path
+    (MaxScoreSumPropagator.sumUpperBound) plus a symmetric downward slack
+    on theta.  Applies to: all-SHOULD scoring clauses, msm <= 1, no
+    filters / must_nots / ranges, no paging cursor.  Pruning arms only
+    after `threshold` collected hits (totalHitsThreshold semantics);
+    un-pruned runs return exact totals with EQUAL_TO."""
+    n = reader.doc_count
+    norms = reader.norms
+    resolved = []
+    for term, scorer, _occur in compiled["scoring"]:
+        tid = reader.seek_exact(term)
+        if tid < 0:
+            continue
+        _, _, _, if_, in_ = reader.skip_data(tid)
+        tmax = float(scorer.score(if_, in_).max()) if len(if_) else 0.0
+        resolved.append((tid, scorer, tmax))
+    if not resolved:
+        return (np.zeros(0, np.float32), np.zeros(0, np.int32), 0,
+                RELATION_EQ)
+    order = sorted(resolved, key=lambda t: -t[2])
+    m = len(order)
+    maxes = np.array([t[2] for t in order], dtype=np.float64)
+    suffix = np.concatenate((np.cumsum(maxes[::-1])[::-1], [0.0]))
+    infl = 1.0 + 2.0 * m * 2.0 ** -24          # upward-rounding compensation
+    slack = 1.0 - 4.0 * m * 2.0 ** -24         # symmetric theta down-slack
+    live = None if reader.deleted is None else ~reader.deleted
+    ext_ready = ext_theta > -np.inf and ext_collected >= threshold
+
+    acc = np.zeros(n, dtype=np.float32)
+    matched = np.zeros(n, dtype=bool)
+    theta = -np.inf
+    stop_i = m
+    for i, (tid, scorer, tmax) in enumerate(order):
+        if i >= 1 and (suffix[i] < suffix[0] - suffix[i] or ext_ready):
+            # bound check is only worth O(n) work when the processed terms'
+            # max mass exceeds the remaining mass (theta <= processed sum)
+            lv = matched if live is None else (matched & live)
+            collected = int(np.count_nonzero(lv))
+            if collected >= max(k, threshold) or ext_ready:
+                if collected >= k:
+                    vals = acc[lv]
+                    kth = float(np.partition(vals, len(vals) - k)
+                                [len(vals) - k])
+                    theta = max(theta, kth * slack if kth > 0 else kth)
+                if ext_ready:
+                    theta = max(theta, float(ext_theta))
+                if theta >= suffix[i] * infl and collected >= threshold:
+                    stop_i = i
+                    break
+        docs, freqs = reader.postings(tid)
+        acc[docs] += scorer.score(freqs, norms[docs])
+        matched[docs] = True
+
+    if live is not None:
+        matched &= live
+    pruned = stop_i < m
+    if pruned:
+        total = int(np.count_nonzero(matched))
+        relation = RELATION_GTE
+        r_rest = np.float32(suffix[stop_i] * infl)
+        cand_mask = matched
+        cand = np.nonzero(cand_mask)[0].astype(np.int32)
+        keep = (acc[cand] + r_rest) >= np.float32(theta)
+        cand = cand[keep]
+        for tid, scorer, _tmax in order[stop_i:]:
+            acc[cand] += _term_scores_at(reader, tid, scorer, cand)
+    else:
+        cand = np.nonzero(matched)[0].astype(np.int32)
+        total = int(len(cand))
+        relation = RELATION_EQ
+
+    sc = acc[cand]
+    pool_n = min(len(cand), 4 * k + 64)
+    if len(cand) > pool_n:
+        sel = np.lexsort((cand, -sc))[:pool_n]
+        pool = np.sort(cand[sel])
+    else:
+        pool = cand
+    # exact clause-order rescore: per-doc float32 additions in CLAUSE order
+    # == the TAAT accumulator bit-identically
+    exact = np.zeros(len(pool), dtype=np.float32)
+    for term, scorer, _occur in compiled["scoring"]:
+        tid = reader.seek_exact(term)
+        if tid < 0:
+            continue
+        exact += _term_scores_at(reader, tid, scorer, pool)
+    sc_k, docs_k = _top_k(exact, pool, k)
+    return sc_k, docs_k, total, relation
+
+
 def _verify_ranges(reader, cand: np.ndarray, range_filters, range_must_nots):
     """Doc-values verification at candidate positions only — the dvQuery arm
     of `search/IndexOrDocValuesQuery.java` (two-phase: the lead iterator

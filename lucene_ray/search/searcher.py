@@ -1528,6 +1528,7 @@ class IndexSearcher:
                     and not compiled["must_nots"]
                     and (all(o == SHOULD for _, _, o in compiled["scoring"])
                          or all(o == MUST for _, _, o in compiled["scoring"])))
+        dense_disjunction = False
         if wandable:
             # cost router (BooleanScorer-style heuristic): when the scoring
             # terms cover a large fraction of the shard, block-max pruning
@@ -1540,6 +1541,8 @@ class IndexSearcher:
                     local_df += int(rdr._df[tid])
             if local_df > 0.15 * max(rdr.doc_count, 1):
                 wandable = False
+                dense_disjunction = all(
+                    o == SHOULD for _, _, o in compiled["scoring"])
         if wandable:
             conj = compiled["scoring"][0][2] == MUST
             states = []
@@ -1559,6 +1562,17 @@ class IndexSearcher:
                                 msm=compiled["msm"],
                                 ext_theta=ext_theta, ext_collected=ext_collected)
             return wand.run(after=after)
+        if (dense_disjunction and compiled["msm"] <= 1 and after is None):
+            # hot-disjunction tail (round-5): impact-ordered TAAT with the
+            # MaxScoreBulkScorer essential/non-essential partition — skips
+            # full decode of low-max hot terms once the k-th partial score
+            # clears the remaining max mass; bit-identical to exhaustive
+            # (clause-order pool rescore), GTE totals only when pruned
+            from .scorer import search_shard_maxscore
+
+            return search_shard_maxscore(
+                rdr, compiled, k, threshold=total_hits_threshold,
+                ext_theta=ext_theta, ext_collected=ext_collected)
         return search_shard_exhaustive(rdr, compiled, k, after=after)
 
     def _knn_shard(self, rdr, spec, after=None):
