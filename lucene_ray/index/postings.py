@@ -510,6 +510,9 @@ def decode_blocks(buf, df: int, skip_offs: np.ndarray, skip_last: np.ndarray,
     tail (index n_full) must be handled by the caller via decode_tail."""
     raw = np.frombuffer(buf, dtype=np.uint8)
     padded = np.concatenate((raw, np.zeros(4, dtype=np.uint8)))
+    raw = padded          # one RAM copy: fancy indexing on an mmap-backed
+    # array takes numpy.memmap's slow per-element path; padded is a real
+    # ndarray and a strict superset of raw, so index it everywhere
     block_idx = np.asarray(block_idx, dtype=np.int64)
     offs = skip_offs[block_idx].astype(np.int64)
     nb = len(block_idx)
@@ -537,6 +540,7 @@ def decode_list(buf, df: int, skip_offs: np.ndarray) -> tuple[np.ndarray, np.nda
         return decode_postings(buf, df)
     raw = np.frombuffer(buf, dtype=np.uint8)
     padded = np.concatenate((raw, np.zeros(4, dtype=np.uint8)))   # safe +3 reads
+    raw = padded          # see decode_blocks: avoid memmap fancy indexing
     offs = skip_offs[:n_full].astype(np.int64)
 
     deltas = np.empty((n_full, BLOCK_SIZE), dtype=np.uint64)

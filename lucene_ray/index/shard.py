@@ -1070,6 +1070,12 @@ class ShardReader:
                 ShardReader._CACHE_BYTES[0] -= old[0].nbytes + old[1].nbytes
         return out
 
+    def postings_if_cached(self, tid: int):
+        """The LRU-cached full decode, or None — candidate-position lookups
+        (MaxScore rescore) prefer a cache hit over a subset block decode."""
+        key = (self.dir, self.manifest.get("fingerprint", ""), tid)
+        return ShardReader._CACHE.get(key)
+
     def skip_data(self, tid: int):
         """(skip_offs, skip_last, imp_counts, imp_freqs, imp_norms) numpy."""
         return (self._skip_offs[tid].values.to_numpy(),

@@ -191,7 +191,20 @@ class QueryService:
             return None
         total_df = sum(self.searcher.df(t) for t, _, _ in scoring)
         if total_df > 0.15 * max(self.searcher.doc_count, 1):
-            return None
+            # dense queries historically shared nothing (TAAT never reads
+            # the floor — r2 measured pure overhead), EXCEPT the round-5
+            # maxscore path: dense pure disjunctions consult ext_theta to
+            # skip non-essential hot terms, so the floor pays there
+            from .query import SHOULD
+
+            pure_disj = (len(scoring) >= 2
+                         and all(o == SHOULD for _, _, o in scoring)
+                         and compiled.get("msm", 0) <= 1
+                         and not compiled.get("range_filters")
+                         and not compiled.get("range_must_nots")
+                         and getattr(self.searcher.sim, "wand_safe", True))
+            if not pure_disj:
+                return None
         return self._next_qid()
 
     def search(self, query, k: int = 10, after=None, threshold: int = 1000,

@@ -33,11 +33,27 @@ RELATION_GTE = "GREATER_THAN_OR_EQUAL_TO"
 
 
 def _top_k(scores: np.ndarray, docs: np.ndarray, k: int):
-    """(score desc, doc asc) selection — HitQueue order (`search/HitQueue.java`)."""
-    if len(scores) > k:
-        order = np.lexsort((docs, -scores))[:k]
-    else:
-        order = np.lexsort((docs, -scores))
+    """(score desc, doc asc) selection — HitQueue order (`search/HitQueue.java`).
+
+    O(n) preselection via argpartition (exact tie handling: every doc
+    scoring above the k-th value survives; boundary ties resolve by
+    smallest docID), then an exact lexsort of only the surviving pool —
+    the full-candidate lexsort was the dominant per-shard cost for hot
+    queries (hundreds of thousands of candidates for k=10)."""
+    n = len(scores)
+    if k < n and n > 2048:
+        kth = -np.partition(-scores, k - 1)[k - 1]       # k-th largest
+        gt = scores > kth
+        eq_idx = np.nonzero(scores == kth)[0]
+        need = k - int(np.count_nonzero(gt))
+        if len(eq_idx) > need:
+            eq_idx = eq_idx[np.argpartition(docs[eq_idx], need - 1)[:need]] \
+                if need > 0 else eq_idx[:0]
+        keep = np.concatenate((np.nonzero(gt)[0], eq_idx))
+        scores, docs = scores[keep], docs[keep]
+    order = np.lexsort((docs, -scores))
+    if len(order) > k:
+        order = order[:k]
     return scores[order], docs[order]
 
 
@@ -327,6 +343,16 @@ def _term_scores_at(reader, tid, scorer, docs_q: np.ndarray) -> np.ndarray:
     df = int(reader._df[tid])
     if df == 0 or not len(docs_q):
         return out
+    cached = reader.postings_if_cached(tid) \
+        if hasattr(reader, "postings_if_cached") else None
+    if cached is not None:
+        docs, freqs = cached
+        pos = np.searchsorted(docs, docs_q)
+        pos_c = np.minimum(pos, len(docs) - 1)
+        hit = docs[pos_c] == docs_q
+        if hit.any():
+            out[hit] = scorer.score(freqs[pos_c[hit]], norms[docs_q[hit]])
+        return out
     so, sl, _, _, _ = reader.skip_data(tid)
     bi_of = np.searchsorted(sl, docs_q, side="left")
     valid = bi_of < len(sl)
@@ -396,7 +422,7 @@ def search_shard_maxscore(reader, compiled, k: int, *,
             continue
         _, _, _, if_, in_ = reader.skip_data(tid)
         tmax = float(scorer.score(if_, in_).max()) if len(if_) else 0.0
-        resolved.append((tid, scorer, tmax))
+        resolved.append((tid, scorer, tmax, int(reader._df[tid])))
     if not resolved:
         return (np.zeros(0, np.float32), np.zeros(0, np.int32), 0,
                 RELATION_EQ)
@@ -413,23 +439,57 @@ def search_shard_maxscore(reader, compiled, k: int, *,
     matched = np.zeros(n, dtype=bool)
     theta = -np.inf
     stop_i = m
-    for i, (tid, scorer, tmax) in enumerate(order):
-        if i >= 1 and (suffix[i] < suffix[0] - suffix[i] or ext_ready):
-            # bound check is only worth O(n) work when the processed terms'
-            # max mass exceeds the remaining mass (theta <= processed sum)
+    keep_mask = None
+    for i, (tid, scorer, tmax, _df) in enumerate(order):
+        if (i >= 1 and suffix[i] < suffix[0] - suffix[i]) or ext_ready:
+            # bound check: a ready external floor (cross-actor
+            # MaxScoreAccumulator) can even preempt the FIRST term — the
+            # global k-th already rules this shard's remaining mass out.
+            # The local k-th lower bound comes from a STRIDED SAMPLE of the
+            # accumulator (any subset's k-th largest underestimates the
+            # full k-th, so it is always a valid pruning bound) — the full
+            # gather+partition per term cost more than it saved on dense
+            # shards.
             lv = matched if live is None else (matched & live)
             collected = int(np.count_nonzero(lv))
             if collected >= max(k, threshold) or ext_ready:
+                theta_cand = theta
                 if collected >= k:
-                    vals = acc[lv]
-                    kth = float(np.partition(vals, len(vals) - k)
-                                [len(vals) - k])
-                    theta = max(theta, kth * slack if kth > 0 else kth)
+                    step = max(1, n >> 15)
+                    sample = acc if step == 1 else acc[::step]
+                    if live is not None:
+                        sample = np.where(live if step == 1 else live[::step],
+                                          sample, np.float32(0))
+                    if len(sample) >= k:
+                        kth = float(np.partition(sample, len(sample) - k)
+                                    [len(sample) - k])
+                        if kth > 0:
+                            theta_cand = max(theta_cand, kth * slack)
                 if ext_ready:
-                    theta = max(theta, float(ext_theta))
-                if theta >= suffix[i] * infl and collected >= threshold:
-                    stop_i = i
-                    break
+                    theta_cand = max(theta_cand, float(ext_theta))
+                if theta_cand >= suffix[i] * infl and (collected >= threshold
+                                                       or ext_ready):
+                    # cost model: restriction only wins when the surviving
+                    # candidate set is much smaller than the remaining
+                    # postings mass — an all-hot disjunction keeps most
+                    # matched docs competitive, and there one vectorized
+                    # scatter-add beats per-candidate lookups.  Estimate
+                    # |C| from the same strided sample before paying the
+                    # O(n) mask.
+                    rem_df = sum(t[3] for t in order[i:])
+                    r32 = np.float32(suffix[i] * infl)
+                    t32 = np.float32(theta_cand)
+                    step = max(1, n >> 15)
+                    c_est = int(np.count_nonzero(
+                        (acc if step == 1 else acc[::step]) + r32 >= t32)
+                        ) * step
+                    if c_est * 6 <= rem_df:
+                        theta = theta_cand
+                        km = lv & (acc + r32 >= t32)
+                        if int(np.count_nonzero(km)) * 8 <= rem_df:
+                            stop_i = i
+                            keep_mask = km
+                            break
         docs, freqs = reader.postings(tid)
         acc[docs] += scorer.score(freqs, norms[docs])
         matched[docs] = True
@@ -440,12 +500,8 @@ def search_shard_maxscore(reader, compiled, k: int, *,
     if pruned:
         total = int(np.count_nonzero(matched))
         relation = RELATION_GTE
-        r_rest = np.float32(suffix[stop_i] * infl)
-        cand_mask = matched
-        cand = np.nonzero(cand_mask)[0].astype(np.int32)
-        keep = (acc[cand] + r_rest) >= np.float32(theta)
-        cand = cand[keep]
-        for tid, scorer, _tmax in order[stop_i:]:
+        cand = np.nonzero(keep_mask)[0].astype(np.int32)
+        for tid, scorer, _tmax, _df in order[stop_i:]:
             acc[cand] += _term_scores_at(reader, tid, scorer, cand)
     else:
         cand = np.nonzero(matched)[0].astype(np.int32)
@@ -455,8 +511,8 @@ def search_shard_maxscore(reader, compiled, k: int, *,
     sc = acc[cand]
     pool_n = min(len(cand), 4 * k + 64)
     if len(cand) > pool_n:
-        sel = np.lexsort((cand, -sc))[:pool_n]
-        pool = np.sort(cand[sel])
+        _, pool_docs = _top_k(sc, cand, pool_n)
+        pool = np.sort(pool_docs)
     else:
         pool = cand
     # exact clause-order rescore: per-doc float32 additions in CLAUSE order
