@@ -9,11 +9,21 @@ and `HunspellStemFilter.java` (all unique stems emitted, first stem
 replaces the token, the rest overlay at posInc 0; unknown words pass
 through; longestOnly keeps the length-then-text max).
 
-Subset boundaries (documented, reference-checked where implemented):
-compounding (COMPOUND*/BREAK), REP/ICONV/OCONV conversions, morphological
-aliases (AF/AM), NEEDAFFIX/ONLYINCOMPOUND/circumfix flags and case-variant
-analysis (allcaps/titlecase) are NOT implemented — the stemmer covers the
-affix algebra that `TestStemmer` / `TestCondition` exercise.
+Round 5 adds the compounding subset (`Dictionary.java` compound directives
++ `Hunspell.java` checkCompounds): COMPOUNDRULE (flag-pattern NFA with
+*/?/() tokens across FLAG single/long/num modes), COMPOUNDFLAG with
+COMPOUNDMIN/COMPOUNDPERMITFLAG/COMPOUNDFORBIDFLAG (affixed parts allowed
+when boundary-touching affixes carry the permit flag; forbid-flagged
+homonyms block begin/middle positions), the boundary checks
+CHECKCOMPOUNDDUP / CHECKCOMPOUNDTRIPLE / CHECKCOMPOUNDREP (REP table) /
+CHECKCOMPOUNDCASE / CHECKCOMPOUNDPATTERN, plus NEEDAFFIX and
+ONLYINCOMPOUND filtering in standalone analysis — exercised by the
+reference's own spell-checking fixtures (compoundrule1-8, compoundflag,
+checkcompound*, compoundforbid, needaffix, onlyincompound).
+
+Remaining subset boundaries (documented): COMPOUNDBEGIN/MIDDLE/END word
+classes (germancompounding), BREAK, ICONV/OCONV, morphological aliases
+(AF/AM), circumfix, and case-variant analysis (allcaps/titlecase).
 """
 
 from __future__ import annotations
@@ -85,6 +95,21 @@ class HunspellDictionary:
         self.fullstrip = False
         self.prefixes: list[AffixRule] = []
         self.suffixes: list[AffixRule] = []
+        # compounding directives (Dictionary.java compound* fields)
+        self.compound_rules: list[list[tuple[str, str]]] = []
+        self.compound_flag: str | None = None
+        self.compound_min = 3
+        self.compound_max = 1 << 30
+        self.compound_permit: str | None = None
+        self.compound_forbid: str | None = None
+        self.check_compound_dup = False
+        self.check_compound_triple = False
+        self.check_compound_rep = False
+        self.check_compound_case = False
+        self.check_compound_patterns: list[tuple] = []
+        self.rep_table: list[tuple[str, str]] = []
+        self.needaffix: str | None = None
+        self.onlyincompound: str | None = None
         self._parse_aff(aff_text)
         self.words: dict[str, list[frozenset]] = {}
         self._parse_dic(dic_text)
@@ -99,13 +124,40 @@ class HunspellDictionary:
     # ---- parsing ----
     def _parse_aff(self, text: str) -> None:
         lines = text.splitlines()
+        raw_rules: list[str] = []
+        single_flag_raw: dict[str, str] = {}
         i = 0
         while i < len(lines):
             parts = lines[i].split()
             i += 1
-            if not parts or parts[0].startswith("#"):
+            if not parts or parts[0].startswith(("#", "//")):
                 continue
             key = parts[0]
+            if key == "COMPOUNDRULE" and len(parts) > 1:
+                if not parts[1].isdigit():
+                    raw_rules.append(parts[1])
+            elif key in ("COMPOUNDFLAG", "COMPOUNDPERMITFLAG",
+                         "COMPOUNDFORBIDFLAG", "NEEDAFFIX", "PSEUDOROOT",
+                         "ONLYINCOMPOUND") and len(parts) > 1:
+                single_flag_raw[key] = parts[1]
+            elif key == "COMPOUNDMIN" and len(parts) > 1:
+                self.compound_min = max(1, int(parts[1]))
+            elif key == "COMPOUNDWORDMAX" and len(parts) > 1:
+                self.compound_max = max(1, int(parts[1]))
+            elif key == "CHECKCOMPOUNDDUP":
+                self.check_compound_dup = True
+            elif key == "CHECKCOMPOUNDTRIPLE":
+                self.check_compound_triple = True
+            elif key == "CHECKCOMPOUNDREP":
+                self.check_compound_rep = True
+            elif key == "CHECKCOMPOUNDCASE":
+                self.check_compound_case = True
+            elif key == "CHECKCOMPOUNDPATTERN" and len(parts) > 2:
+                self.check_compound_patterns.append(
+                    (parts[1], parts[2],
+                     parts[3] if len(parts) > 3 else None))
+            elif key == "REP" and len(parts) > 2:
+                self.rep_table.append((parts[1], parts[2]))
             if key == "FLAG" and len(parts) > 1:
                 self.flag_mode = {"long": "long", "num": "num",
                                   "UTF-8": "single"}.get(parts[1], "single")
@@ -133,6 +185,66 @@ class HunspellDictionary:
                         affix=affix,
                         cont=frozenset(_parse_flags(cont_s, self.flag_mode)),
                         cond=_cond_regex(cond, anchor_end=(key == "SFX"))))
+        # flag-typed directives resolve after the whole file (FLAG mode may
+        # follow them); COMPOUNDRULE patterns tokenize per flag mode
+        def one_flag(s):
+            fl = _parse_flags(s, self.flag_mode)
+            return fl[0] if fl else None
+
+        self.compound_flag = one_flag(single_flag_raw.get("COMPOUNDFLAG", ""))
+        self.compound_permit = one_flag(
+            single_flag_raw.get("COMPOUNDPERMITFLAG", ""))
+        self.compound_forbid = one_flag(
+            single_flag_raw.get("COMPOUNDFORBIDFLAG", ""))
+        self.needaffix = one_flag(single_flag_raw.get(
+            "NEEDAFFIX", single_flag_raw.get("PSEUDOROOT", "")))
+        self.onlyincompound = one_flag(
+            single_flag_raw.get("ONLYINCOMPOUND", ""))
+        self.compound_rules = [self._tokenize_rule(r) for r in raw_rules]
+        self.check_compound_patterns = [
+            self._parse_cpd_pattern(e, b, r)
+            for e, b, r in self.check_compound_patterns]
+
+    def _tokenize_rule(self, pattern: str) -> list[tuple[str, str]]:
+        """COMPOUNDRULE pattern -> [(flag, quant)] with quant in
+        {'1','*','?'}; '(..)' groups one long/num flag, every other char
+        except */? is a flag (including '.', digits, '%')."""
+        toks: list[tuple[str, str]] = []
+        i = 0
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "(":
+                j = pattern.find(")", i + 1)
+                if j < 0:
+                    flag, i = pattern[i + 1:], len(pattern)
+                else:
+                    flag, i = pattern[i + 1:j], j + 1
+            else:
+                flag, i = c, i + 1
+            quant = "1"
+            if i < len(pattern) and pattern[i] in "*?":
+                quant, i = pattern[i], i + 1
+            toks.append((flag, quant))
+        return toks
+
+    def _parse_cpd_pattern(self, end_s: str, begin_s: str,
+                           repl: str | None) -> tuple:
+        """CHECKCOMPOUNDPATTERN operand: endchars[/flag] beginchars[/flag]
+        [replacement].  The literal '0' keeps its reference meaning
+        (non-affixed root must abut the boundary —
+        `CheckCompoundPattern.isNonAffixedPattern`)."""
+        def split(s):
+            if "/" in s:
+                txt, fs = s.split("/", 1)
+                fl = _parse_flags(fs, self.flag_mode)
+                flag = fl[0] if fl else None
+            else:
+                txt, flag = s, None
+            return txt, flag
+
+        e_txt, e_flag = split(end_s)
+        b_txt, b_flag = split(begin_s)
+        return e_txt, e_flag, b_txt, b_flag, repl
 
     def _parse_dic(self, text: str) -> None:
         lines = text.splitlines()
@@ -171,11 +283,14 @@ class HunspellDictionary:
         return sum(1 for fs in self.words.get(word, ())
                    if all(f in fs for f in flags))
 
-    def stem(self, word: str) -> list[str]:
-        """All stems (with homonym multiplicity, order-insensitive like the
-        reference's sorted assertions)."""
-        stems: list[str] = []
-        stems += [word] * len(self.words.get(word, ()))
+    def _raw_analyses(self, word: str):
+        """Every affix analysis of `word`: yields (root, entry_flags,
+        prefix_rules, suffix_rules) per matching homonym entry, bare form
+        first (the reference's doStem root loop order).  No context
+        filtering — `stem` / `_context_analyses` apply needaffix /
+        onlyincompound / compound permit rules on top."""
+        for fs in self.words.get(word, ()):
+            yield word, fs, (), ()
         # one suffix removed
         for alen, rules in self._sfx_by_len.items():
             if alen > len(word):
@@ -189,7 +304,9 @@ class HunspellDictionary:
                     continue
                 if not self._cond_ok(r, cand):
                     continue
-                stems += [cand] * self._dict_with(cand, r.flag)
+                for fs in self.words.get(cand, ()):
+                    if r.flag in fs:
+                        yield cand, fs, (), (r,)
                 # twofold: the outer suffix r was enabled by an inner
                 # suffix rule whose continuation classes carry r.flag
                 for blen, inner_rules in self._sfx_by_len.items():
@@ -204,7 +321,9 @@ class HunspellDictionary:
                             continue
                         if not self._cond_ok(r2, cand2):
                             continue
-                        stems += [cand2] * self._dict_with(cand2, r2.flag)
+                        for fs in self.words.get(cand2, ()):
+                            if r2.flag in fs:
+                                yield cand2, fs, (), (r2, r)
         # one prefix removed (optionally + one cross-product suffix)
         for plen, rules in self._pfx_by_len.items():
             if plen == 0 or plen > len(word):
@@ -218,7 +337,9 @@ class HunspellDictionary:
                     continue
                 if not self._cond_ok(p, cand):
                     continue
-                stems += [cand] * self._dict_with(cand, p.flag)
+                for fs in self.words.get(cand, ()):
+                    if p.flag in fs:
+                        yield cand, fs, (p,), ()
                 if not p.cross_product:
                     continue
                 for alen, srules in self._sfx_by_len.items():
@@ -233,9 +354,277 @@ class HunspellDictionary:
                             continue
                         if not self._cond_ok(r, cand2):
                             continue
-                        stems += [cand2] * self._dict_with(
-                            cand2, p.flag, r.flag)
-        return stems
+                        for fs in self.words.get(cand2, ()):
+                            if p.flag in fs and r.flag in fs:
+                                yield cand2, fs, (p,), (r,)
+
+    def _context_analyses(self, word: str, context: str):
+        """Analyses valid in a word context — 'simple' (standalone),
+        'begin'/'middle'/'end' (COMPOUNDFLAG parts), 'rule_end'
+        (COMPOUNDRULE last part).  Mirrors `Stemmer.doStem` +
+        `isRootCompatibleWithContext` + `isAffixCompatible`."""
+        if (context in ("begin", "middle") and self.compound_forbid
+                and any(self.compound_forbid in fs
+                        for fs in self.words.get(word, ()))):
+            return                      # doStem aborts ALL analyses
+        in_compound = context in ("begin", "middle", "end", "rule_end")
+        needs_cf = context in ("begin", "middle", "end")
+        for root, fs, pfx, sfx in self._raw_analyses(word):
+            if not pfx and not sfx:
+                if self.needaffix and self.needaffix in fs:
+                    continue            # pseudostem requiring an affix
+                if (context == "simple" and self.onlyincompound
+                        and self.onlyincompound in fs):
+                    continue
+                if needs_cf and not (self.compound_flag
+                                     and self.compound_flag in fs):
+                    continue
+                yield root, fs, pfx, sfx
+                continue
+            conts = [r.cont for r in pfx] + [r.cont for r in sfx]
+            if context == "simple":
+                if self.onlyincompound and (
+                        self.onlyincompound in fs
+                        or any(self.onlyincompound in c for c in conts)):
+                    continue
+            if in_compound:
+                if self.compound_forbid and any(
+                        self.compound_forbid in r.cont for r in sfx):
+                    continue
+                # affixes touching an internal boundary need the permit
+                # flag: suffixes on begin/middle parts, prefixes on
+                # middle/end parts (WordContext.isAffixAllowedWithout
+                # SpecialPermit)
+                if context in ("begin", "middle") and any(
+                        self.compound_permit not in r.cont for r in sfx):
+                    continue
+                if context in ("middle", "end") and any(
+                        self.compound_permit not in r.cont for r in pfx):
+                    continue
+                if (context == "end" and self.onlyincompound and not pfx
+                        and any(self.onlyincompound in r.cont for r in sfx)):
+                    continue
+            if needs_cf:
+                carried = self.compound_flag and (
+                    self.compound_flag in fs
+                    or any(self.compound_flag in c for c in conts))
+                if not carried:
+                    continue
+            yield root, fs, pfx, sfx
+
+    def stem(self, word: str) -> list[str]:
+        """All stems (with homonym multiplicity, order-insensitive like the
+        reference's sorted assertions)."""
+        return [root for root, _, _, _
+                in self._context_analyses(word, "simple")]
+
+    # ---- spell checking (Hunspell.java spell/checkCompounds) ----
+
+    def _is_simple_word(self, word: str) -> bool:
+        return next(iter(self._context_analyses(word, "simple")), None) \
+            is not None
+
+    def spell(self, word: str) -> bool:
+        """`Hunspell.spellClean` subset: standalone analysis, then
+        COMPOUNDRULE matching, then COMPOUNDFLAG compounds with the
+        boundary checks."""
+        if self._is_simple_word(word):
+            return True
+        if self.compound_rules and self._check_compound_rules(word):
+            return True
+        if self.compound_flag and self._cpds(word, None):
+            return True
+        # default BREAK table (hunspell breaks words at middle hyphens and
+        # spells each side recursively; the BREAK directive itself is not
+        # parsed — the default '-' entry covers the reference fixtures)
+        for i in range(1, len(word) - 1):
+            if word[i] == "-" and self.spell(word[:i]) \
+                    and self.spell(word[i + 1:]):
+                return True
+        return False
+
+    # COMPOUNDRULE (`Hunspell.checkCompoundRules` + `CompoundRule`)
+
+    def _nfa_match(self, toks, parts, full: bool) -> bool:
+        """NFA over part flag-sets; `parts` is a list of homonym-flagset
+        tuples; `full` requires the whole pattern consumed."""
+        def closure(states):
+            states = set(states)
+            stack = list(states)
+            while stack:
+                ti = stack.pop()
+                if ti < len(toks) and toks[ti][1] in "*?" \
+                        and ti + 1 not in states:
+                    states.add(ti + 1)
+                    stack.append(ti + 1)
+            return states
+
+        states = closure({0})
+        for forms in parts:
+            nxt = set()
+            for ti in states:
+                if ti >= len(toks):
+                    continue
+                flag, q = toks[ti]
+                if any(flag in fs for fs in forms):
+                    nxt.add(ti if q == "*" else ti + 1)
+            if not nxt:
+                return False
+            states = closure(nxt)
+        return (len(toks) in states) if full else True
+
+    def _check_compound_rules(self, word: str) -> bool:
+        cmin = self.compound_min
+        words = self.words
+
+        def rec(offset: int, parts: list) -> bool:
+            if len(parts) >= 100:
+                return False
+            remaining = len(word) - offset
+            for bp in range(cmin, remaining - cmin + 1):
+                forms = words.get(word[offset:offset + bp])
+                if not forms:
+                    continue
+                parts.append(tuple(forms))
+                if any(self._nfa_match(r, parts, full=False)
+                       for r in self.compound_rules):
+                    if self._last_rule_part(word[offset + bp:], parts):
+                        parts.pop()
+                        return True
+                    if rec(offset + bp, parts):
+                        parts.pop()
+                        return True
+                parts.pop()
+            return False
+
+        return rec(0, [])
+
+    def _last_rule_part(self, rest: str, parts: list) -> bool:
+        """`checkLastCompoundPart`: the final part may be an affixed form;
+        rule matching uses its root entry's flags."""
+        for _root, fs, _p, _s in self._context_analyses(rest, "rule_end"):
+            if any(self._nfa_match(r, parts + [(fs,)], full=True)
+                   for r in self.compound_rules):
+                return True
+        return False
+
+    # COMPOUNDFLAG (`Hunspell.checkCompounds` + `CompoundPart`)
+
+    def _find_compound_stem(self, surface: str, context: str):
+        """First acceptable root, like `findStem` (the reference stops at
+        the first processed root)."""
+        return next(iter(self._context_analyses(surface, context)), None)
+
+    def _may_break(self, tail: str, bp: int) -> bool:
+        """`mayBreakIntoCompounds`: raw-character CASE and TRIPLE checks at
+        the break position (bounds relative to the current tail)."""
+        if self.check_compound_case:
+            a, b = tail[bp - 1], tail[bp]
+            if (a.isupper() or b.isupper()) and a != "-" and b != "-":
+                return False
+        if self.check_compound_triple and tail[bp - 1] == tail[bp]:
+            if (bp > 1 and tail[bp - 2] == tail[bp - 1]) or \
+                    (bp < len(tail) - 1 and tail[bp] == tail[bp + 1]):
+                return False
+        return True
+
+    def _pattern_prohibits(self, pat, tail: str, bp: int,
+                           before, after) -> bool:
+        """`CheckCompoundPattern.prohibitsCompounding`; `before`/`after`
+        are (root, entry_flags).  The literal '0' operand requires the
+        NON-affixed root surface to abut the boundary."""
+        e_txt, e_flag, b_txt, b_flag, _repl = pat
+        broot, bfs = before
+        aroot, afs = after
+        if e_txt == "0":
+            if tail[max(bp - len(broot), 0):bp] != broot:
+                return False
+        elif not tail[:bp].endswith(e_txt):
+            return False
+        if b_txt == "0":
+            if tail[bp:bp + len(aroot)] != aroot:
+                return False
+        elif not tail[bp:].startswith(b_txt):
+            return False
+        if e_flag and e_flag not in bfs:
+            return False
+        if b_flag and b_flag not in afs:
+            return False
+        return True
+
+    def _rep_candidates(self, s: str):
+        for frm, to in self.rep_table:
+            if frm.startswith("^") or frm.endswith("$"):
+                continue                # only middle entries (RepEntry.isMiddle)
+            start = s.find(frm)
+            while start >= 0:
+                yield s[:start] + to + s[start + len(frm):]
+                start = s.find(frm, start + 1)
+
+    def _may_compound(self, part, nxt, next_len: int) -> bool:
+        """`CompoundPart.mayCompound`: pattern + CHECKCOMPOUNDREP checks at
+        the boundary between `part` and the next stem."""
+        tail, bp, root, rfs, _prev, _idx, enabler = part
+        before, after = (root, rfs), (nxt[0], nxt[1])
+        if enabler is not None:
+            if not self._pattern_prohibits(enabler, tail, bp, before, after):
+                return False
+        elif any(self._pattern_prohibits(p, tail, bp, before, after)
+                 for p in self.check_compound_patterns):
+            return False
+        if self.check_compound_rep and self.rep_table:
+            region = tail[:bp + next_len]
+            for cand in self._rep_candidates(region):
+                if self._is_simple_word(cand):
+                    return False
+        return True
+
+    def _cpds(self, tail: str, prev) -> bool:
+        """`Hunspell.checkCompounds(CharsRef, ...)`: recursive break-point
+        scan over the current tail."""
+        idx = 1 if prev is None else prev[5] + 1
+        if idx > self.compound_max - 1:
+            return False
+        cmin = self.compound_min
+        n = len(tail)
+        ctx = "begin" if prev is None else "middle"
+        for bp in range(cmin, n - cmin + 1):
+            if self._may_break(tail, bp):
+                stem = self._find_compound_stem(tail[:bp], ctx)
+                if stem is not None and (
+                        prev is None or self._may_compound(prev, stem, bp)):
+                    part = (tail, bp, stem[0], stem[1], prev, idx, None)
+                    if self._cpds_after(part):
+                        return True
+            # CHECKCOMPOUNDPATTERN replacement expansion
+            for pat in self.check_compound_patterns:
+                repl = pat[4]
+                if not repl or not tail[bp:].startswith(repl):
+                    continue
+                expanded = tail[:bp] + pat[0] + pat[2] + tail[bp + len(repl):]
+                bp2 = bp + len(pat[0])
+                stem = self._find_compound_stem(expanded[:bp2], ctx)
+                if stem is None:
+                    continue
+                if prev is not None and not self._may_compound(
+                        prev, stem, bp2):
+                    continue
+                part = (expanded, bp2, stem[0], stem[1], prev, idx, pat)
+                if self._cpds_after(part):
+                    return True
+        return False
+
+    def _cpds_after(self, part) -> bool:
+        """`Hunspell.checkCompoundsAfter`: try closing the compound with
+        the remaining tail as the last part, else recurse."""
+        tail, bp, root, _rfs, _prev, _idx, _enabler = part
+        rest = tail[bp:]
+        last = self._find_compound_stem(rest, "end")
+        if last is not None:
+            dup = self.check_compound_dup and root == last[0]
+            if not dup and self._may_compound(part, last, len(rest)):
+                return True
+        return self._cpds(rest, part)
 
     def unique_stems(self, word: str) -> list[str]:
         seen, out = set(), []

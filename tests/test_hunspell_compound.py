@@ -1,0 +1,276 @@
+"""Hunspell compounding subset vs the reference's own spell-checking
+fixtures (`analysis/common/src/test/.../hunspell/TestSpellChecking.java`
+doTest harness: every `.good` word spells, every `.wrong` word does not),
+plus the TestNeedAffix / TestOnlyInCompound stemmer vectors."""
+
+import pytest
+
+from lucene_ray.analysis.hunspell import HunspellDictionary
+
+
+def check(aff, dic, good, wrong):
+    d = HunspellDictionary(aff, dic)
+    for w in good.split():
+        assert d.spell(w), f"good word rejected: {w!r}"
+    for w in wrong.split():
+        assert not d.spell(w), f"wrong word accepted: {w!r}"
+
+
+def test_compoundrule():
+    check("COMPOUNDMIN 1\nCOMPOUNDRULE 1\nCOMPOUNDRULE ABC\n",
+          "3\na/A\nb/B\nc/BC\n",
+          "abc acc",
+          """ba aaabaaa bbaaa aaaaba bbbbbaa aa aaa aaaa ab aab aaab aaaab
+             abb aabb aaabbb bb bbb bbbb abcc abbc abbcc aabc aabcc aabbc
+             aabbcc aaabbbccc ac aac aacc aaaccc bc bcc bbc bbcc bbbccc cc
+             ccc cccccc""")
+
+
+def test_compoundrule2():
+    check("COMPOUNDMIN 1\nCOMPOUNDRULE 1\nCOMPOUNDRULE A*B*C*\n",
+          "3\na/A\nb/B\nc/C\n",
+          """aa aaa aaaa ab aab aaab aaaab abb aabb aaabbb bb bbb bbbb abc
+             abcc abbc abbcc aabc aabcc aabbc aabbcc aaabbbccc ac acc aac
+             aacc aaaccc bc bcc bbc bbcc bbbccc cc ccc cccccc""",
+          "ba aaabaaa bbaaa aaaaba bbbbbaa cba cab acb")
+
+
+def test_compoundrule3():
+    check("COMPOUNDMIN 1\nCOMPOUNDRULE 1\nCOMPOUNDRULE A?B?C?\n",
+          "3\na/A\nb/B\nc/C\n",
+          "a b c ab abc ac bc",
+          """aa aaa aaaa aab aaab aaaab abb aabb aaabbb bb bbb bbbb abcc
+             abbc abbcc aabc aabcc aabbc aabbcc aaabbbccc acc aac aacc
+             aaaccc bcc bbc bbcc bbbccc cc ccc cccccc ba aaabaaa bbaaa
+             aaaaba bbbbbaa cba cab acb""")
+
+
+ORDINALS_GOOD = """1st 2nd 3rd 4th 5th 6th 7th 8th 9th 10th 11th 12th 13th
+    14th 15th 16th 17th 18th 19th 20th 21st 22nd 23rd 24th 25th 100th
+    1000th 10001st 10011th"""
+ORDINALS_WRONG = "1th 2th 3th 10001th 10011st"
+
+
+def test_compoundrule4():
+    check("""WORDCHARS 0123456789
+COMPOUNDMIN 1
+ONLYINCOMPOUND c
+COMPOUNDRULE 2
+COMPOUNDRULE n*1t
+COMPOUNDRULE n*mp
+""",
+          "22\n0/nm\n1/n1\n2/nm\n3/nm\n4/nm\n5/nm\n6/nm\n7/nm\n8/nm\n9/nm\n"
+          "0th/ptS\n1st/p\n1th/tc\n2nd/p\n2th/tc\n3rd/p\n3th/tc\n4th/pt\n"
+          "5th/pt\n6th/pt\n7th/pt\n8th/pt\n9th/pt\n",
+          ORDINALS_GOOD, ORDINALS_WRONG)
+
+
+def test_compoundrule5():
+    check("""SET UTF-8
+COMPOUNDMIN 1
+COMPOUNDRULE 2
+COMPOUNDRULE N*%?
+COMPOUNDRULE NN*.NN*%?
+WORDCHARS 0123456789‰.
+""",
+          "13\n0/N\n1/N\n2/N\n3/N\n4/N\n5/N\n6/N\n7/N\n8/N\n9/N\n"
+          "./.\n%/%\n‰/%\n",
+          "10% 0.2% 0.20% 123.4561‰ 10 0000 10.25",
+          ".25")
+
+
+def test_compoundrule6():
+    check("COMPOUNDMIN 1\nCOMPOUNDRULE 2\nCOMPOUNDRULE A*A\n"
+          "COMPOUNDRULE A*AAB*BBBC*C\n",
+          "3\na/A\nb/B\nc/C\n",
+          "aa aaaaaa aabbbc aaaaabbbbbbcccccc",
+          "abc abbbbbccccccc aabbccccccc aabbbbbbb")
+
+
+def test_compoundrule7_long_flags():
+    check("""FLAG long
+WORDCHARS 0123456789
+COMPOUNDMIN 1
+ONLYINCOMPOUND cc
+COMPOUNDRULE 2
+COMPOUNDRULE (nn)*(11)(tt)
+COMPOUNDRULE (nn)*(mm)(pp)
+""",
+          "22\n0/nnmm\n1/nn11\n2/nnmm\n3/nnmm\n4/nnmm\n5/nnmm\n6/nnmm\n"
+          "7/nnmm\n8/nnmm\n9/nnmm\n0th/pptt\n1st/pp\n1th/ttcc\n2nd/pp\n"
+          "2th/ttcc\n3rd/pp\n3th/ttcc\n4th/pptt\n5th/pptt\n6th/pptt\n"
+          "7th/pptt\n8th/pptt\n9th/pptt\n",
+          ORDINALS_GOOD, ORDINALS_WRONG)
+
+
+def test_compoundrule8_num_flags():
+    check("""FLAG num
+WORDCHARS 0123456789
+COMPOUNDMIN 1
+ONLYINCOMPOUND 1000
+COMPOUNDRULE 2
+COMPOUNDRULE (1001)*(1002)(2001)
+COMPOUNDRULE (1001)*(2002)(2000)
+""",
+          "22\n0/1001,2002\n1/1001,1002\n2/1001,2002\n3/1001,2002\n"
+          "4/1001,2002\n5/1001,2002\n6/1001,2002\n7/1001,2002\n8/1001,2002\n"
+          "9/1001,2002\n0th/2000,2001\n1st/2000\n1th/2001,1000\n2nd/2000\n"
+          "2th/2001,1000\n3rd/2000\n3th/2001,1000\n4th/2000,2001\n"
+          "5th/2000,2001\n6th/2000,2001\n7th/2000,2001\n8th/2000,2001\n"
+          "9th/2000,2001\n",
+          ORDINALS_GOOD, ORDINALS_WRONG)
+
+
+def test_compoundflag():
+    check("COMPOUNDMIN 3\nCOMPOUNDFLAG A\n",
+          "4\nfoo/A\nbar/A\nxy/A\nyz/A\n",
+          "foobar barfoo foobarfoo",
+          "xyyz fooxy xyfoo fooxybar")
+
+
+def test_checkcompounddup():
+    check("CHECKCOMPOUNDDUP\nCOMPOUNDFLAG A\n",
+          "2\nfoo/A\nbar/A\n",
+          "barfoo foobar foofoobar foobarfoo barfoobarfoo",
+          "foofoo foofoofoo foobarbar")
+
+
+def test_checkcompoundtriple():
+    check("CHECKCOMPOUNDTRIPLE\nCOMPOUNDFLAG A\n",
+          "4\nfoo/A\nopera/A\neel/A\nbare/A\n",
+          "operafoo operaeel operabare eelbare eelfoo eelopera",
+          "fooopera bareeel")
+
+
+def test_checkcompoundrep():
+    check("CHECKCOMPOUNDREP\nCOMPOUNDFLAG A\n\nREP 1\nREP í i\n",
+          "3\nszer/A\nvíz/A\nszerviz\nkocsi/A\n",
+          "vízszer szerkocsi",
+          "szervíz szervízkocsi kocsiszervíz")
+
+
+def test_checkcompoundcase():
+    check("CHECKCOMPOUNDCASE\nWORDCHARS -\nCOMPOUNDFLAG A\n",
+          "5\nfoo/A\nBar/A\nBAZ/A\n-/A\nprefix-/A\n",
+          "Barfoo foo-Bar foo-BAZ BAZ-foo BAZ-Bar prefix-BAZ",
+          "fooBar BAZBar BAZfoo")
+
+
+def test_checkcompoundpattern():
+    check("COMPOUNDFLAG A\nCHECKCOMPOUNDPATTERN 2\n"
+          "CHECKCOMPOUNDPATTERN nny ny\nCHECKCOMPOUNDPATTERN ssz sz\n",
+          "4\nkönny/A\nnyelés/A\nhossz/A\nszámítás/A\n",
+          "könnyszámítás hossznyelés",
+          "könnynyelés hosszszámítás hosszkönnynyelés könnynyeléshossz")
+
+
+def test_checkcompoundpattern2_replacement():
+    check("COMPOUNDFLAG A\nCHECKCOMPOUNDPATTERN 2\n"
+          "CHECKCOMPOUNDPATTERN o b z\nCHECKCOMPOUNDPATTERN oo ba u\n"
+          "COMPOUNDMIN 1\n",
+          "2\nfoo/A\nbar/A\n",
+          "barfoo fozar fur",
+          "foobar")
+
+
+def test_checkcompoundpattern3_replacement_flags():
+    check("COMPOUNDFLAG A\nCHECKCOMPOUNDPATTERN 1\n"
+          "CHECKCOMPOUNDPATTERN o/X b/Y z\nCOMPOUNDMIN 1\n",
+          "4\nfoo/A\nboo/AX\nbar/A\nban/AY\n",
+          "bozan barfoo banfoo banbar foobar fooban foobanbar boobar "
+          "boobarfoo",
+          "booban boobanfoo fozar fozarfoo fozan fozanfoo bozar bozarfoo")
+
+
+def test_compoundforbid():
+    check("""COMPOUNDFLAG X
+COMPOUNDPERMITFLAG Y
+COMPOUNDFORBIDFLAG Z
+
+SFX S Y 2
+SFX S   0     bar/YX         .
+SFX S   0     baz/YX         .
+""",
+          "3\nfoo/S\nexample/X\nfoobaz/Z\n",
+          "foo example foobar foobaz foobarexample",
+          "fooexample examplefoo foobazexample")
+
+
+NEEDAFFIX_AFF = """SET UTF-8
+
+NEEDAFFIX Z
+
+PFX Y Y 1
+PFX Y 0 pre . pre+
+
+SFX X Y 1
+SFX X 0 s . +s
+"""
+NEEDAFFIX_DIC = "3\ndrink/X\nwalk/XYZ\ntest/Z\n"
+
+
+def test_needaffix_stems():
+    """TestNeedAffix.testPossibilities vectors."""
+    d = HunspellDictionary(NEEDAFFIX_AFF, NEEDAFFIX_DIC)
+    assert d.unique_stems("drink") == ["drink"]
+    assert d.unique_stems("drinks") == ["drink"]
+    assert d.unique_stems("walk") == []
+    assert d.unique_stems("walks") == ["walk"]
+    assert d.unique_stems("prewalk") == ["walk"]
+    assert d.unique_stems("prewalks") == ["walk"]
+    assert d.unique_stems("test") == []
+    assert d.unique_stems("pretest") == []
+    assert d.unique_stems("tests") == []
+    assert d.unique_stems("pretests") == []
+
+
+ONLYINCOMPOUND_AFF = """SET UTF-8
+
+ONLYINCOMPOUND A
+
+PFX Y Y 1
+PFX Y 0 pre/A . pre+
+
+SFX X Y 1
+SFX X 0 s . +s
+
+SFX Z Y 1
+SFX Z 0 ed/A . +ed
+"""
+ONLYINCOMPOUND_DIC = "2\ndrink/XYZ\nwalk/A\n"
+
+
+def test_onlyincompound_stems():
+    """TestOnlyInCompound.testPossibilities vectors."""
+    d = HunspellDictionary(ONLYINCOMPOUND_AFF, ONLYINCOMPOUND_DIC)
+    assert d.unique_stems("drink") == ["drink"]
+    assert d.unique_stems("drinks") == ["drink"]
+    assert d.unique_stems("drinked") == []
+    assert d.unique_stems("predrink") == []
+    assert d.unique_stems("predrinked") == []
+    assert d.unique_stems("walk") == []
+
+
+def test_onlyincompound2():
+    """onlyincompound2 fixture: obligate fogemorpheme via
+    CHECKCOMPOUNDPATTERN with the non-affixed '0' operand."""
+    check("""ONLYINCOMPOUND O
+COMPOUNDFLAG A
+COMPOUNDPERMITFLAG P
+
+SFX B Y 1
+SFX B 0 s/OP .
+
+CHECKCOMPOUNDPATTERN 1
+CHECKCOMPOUNDPATTERN 0/B /A
+""",
+          "2\nfoo/A\npseudo/AB\n",
+          "foo foopseudo pseudosfoo",
+          "pseudos foopseudos pseudofoo")
+
+
+def test_spell_plain_words_and_affixed():
+    d = HunspellDictionary(
+        "SFX S Y 1\nSFX S 0 s . +s\n", "2\ncat/S\ndog\n")
+    assert d.spell("cat") and d.spell("cats") and d.spell("dog")
+    assert not d.spell("dogs") and not d.spell("catdog")
