@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_sorted_ts_topk": _lazy("index_sorted_ts_topk"),
         "media_features": _media_features,
         "media_frames": _media_frames,
+        "media_image_pixel_stats": _media_image_pixel_stats,
+        "media_audio_sample_stats": _media_audio_sample_stats,
         "collection_stats": textstats.collection_stats,
         "grouped_topk": textstats.grouped_topk,
         "top_terms": textstats.top_terms,
@@ -370,6 +372,30 @@ def _media_features(sf_dir):
     from lucene_ray.pipelines.multimodal import media_features_table
 
     return media_features_table(sf_dir)
+
+
+def _media_image_sql():
+    from lucene_ray.pipelines.multimodal import media_image_pixel_stats_sql
+
+    return media_image_pixel_stats_sql()
+
+
+def _media_audio_sql():
+    from lucene_ray.pipelines.multimodal import media_audio_sample_stats_sql
+
+    return media_audio_sample_stats_sql()
+
+
+def _media_image_pixel_stats(sf_dir):
+    from lucene_ray.pipelines.multimodal import media_image_pixel_stats
+
+    return media_image_pixel_stats(sf_dir)
+
+
+def _media_audio_sample_stats(sf_dir):
+    from lucene_ray.pipelines.multimodal import media_audio_sample_stats
+
+    return media_audio_sample_stats(sf_dir)
 
 
 def _media_frames(sf_dir):
@@ -1529,6 +1555,8 @@ def oracle_sql() -> dict[str, str]:
                    ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_frames,
                    ceil(ceil(octet_length(encode(text)) / 64.0) / 4.0)::BIGINT AS n_sampled
             FROM documents""",
+        "media_image_pixel_stats": _media_image_sql(),
+        "media_audio_sample_stats": _media_audio_sql(),
         # MatchHighlighter with an unbounded window: snippet == full text
         # with every 'merge' TOKEN wrapped (word-boundary replace)
         "index_matchhl_topk": _TOKS + """

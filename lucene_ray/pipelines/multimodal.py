@@ -1,13 +1,18 @@
 """Multimodal-column plumbing: opaque binary payloads + actor-pool feature
 extraction.
 
-Real image/audio decode libraries are not in this container, so the decode
-step is a clearly-marked deterministic STUB — but the Ray-side plumbing is
-real and is what matters at scale: binary payloads live in Arrow `binary`
-columns (never converted to pandas object dtype), the extractor is a
-callable CLASS run as a `map_batches` actor pool (model "loaded" once per
-actor in __init__), batches are kept small because rows are wide, and the
-output schema is (doc_id, n_bytes, payload_md5, feat list<float>).
+Round 5: the decode step is REAL for PNG images and WAV audio —
+`util/codecs.py` implements both from their public specs with only
+zlib/wave/numpy (`media_image_pixel_stats` / `media_audio_sample_stats`
+synthesize real PNG/WAV bytes into Arrow binary columns and the actor
+pool genuinely decodes them; both carry SQL-exact oracles because the
+synthesized content has a closed form).  JPEG/video decode remains a
+clearly-marked deterministic STUB (no codec libs in this container) — the
+Ray-side plumbing is identical either way: binary payloads live in Arrow
+`binary` columns (never converted to pandas object dtype), the extractor
+is a callable CLASS run as a `map_batches` actor pool (model "loaded"
+once per actor in __init__), batches are kept small because rows are
+wide.
 """
 
 from __future__ import annotations
@@ -173,3 +178,135 @@ def media_resize(sf_dir: str, concurrency: int = 2):
     return (ds.map_batches(_attach_payload, batch_format="pyarrow")
             .map_batches(ImageResizer, batch_format="pyarrow",
                          batch_size=256, concurrency=concurrency, num_cpus=1))
+
+
+# ---------------------------------------------------------------------------
+# REAL decode paths (round 5): PNG + WAV via util/codecs.py
+# ---------------------------------------------------------------------------
+
+IMG_W, IMG_H = 16, 12
+WAV_N = 256
+
+
+def _attach_png(batch: pa.Table) -> pa.Table:
+    """Real PNG payload per doc: pixel[y,x] = (doc_id*3 + x + 2y) mod 256
+    (closed form, so the decoded stats have an exact SQL twin)."""
+    from ..util.codecs import png_encode
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    x = np.arange(IMG_W)[None, :]
+    y = np.arange(IMG_H)[:, None]
+    payloads = [png_encode(((int(d) * 3 + x + 2 * y) % 256).astype(np.uint8))
+                for d in ids]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+class PngPixelStats:
+    """Actor-pool stage that REALLY decodes PNG bytes (zlib inflate +
+    scanline unfilter) and emits exact pixel statistics."""
+
+    def __init__(self):
+        from ..util.codecs import png_decode
+
+        self.decode = png_decode            # bound once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_px, mean_px, max_px = [], [], []
+        for p in batch.column("payload").to_pylist():
+            img = self.decode(p)
+            n = img.size
+            n_px.append(n)
+            mean_px.append(float(img.sum(dtype=np.float64)) / n)
+            max_px.append(int(img.max()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_pixels": pa.array(n_px, type=pa.int64()),
+            "mean_pixel": pa.array(mean_px, type=pa.float64()),
+            "max_pixel": pa.array(max_px, type=pa.int64()),
+        })
+
+
+def media_image_pixel_stats(sf_dir: str, concurrency: int = 2):
+    """documents -> real PNG payloads -> actor-pool decode -> pixel stats
+    (SQL-exact against the generator's closed form)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return (ds.map_batches(_attach_png, batch_format="pyarrow")
+            .map_batches(PngPixelStats, batch_format="pyarrow",
+                         batch_size=256, concurrency=concurrency, num_cpus=1))
+
+
+def media_image_pixel_stats_sql() -> str:
+    return f"""
+SELECT d.doc_id,
+       {IMG_W * IMG_H}::BIGINT AS n_pixels,
+       avg(((d.doc_id * 3 + x.x + 2 * y.y) % 256)::DOUBLE) AS mean_pixel,
+       max((d.doc_id * 3 + x.x + 2 * y.y) % 256)::BIGINT AS max_pixel
+FROM documents d, range({IMG_W}) x(x), range({IMG_H}) y(y)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _attach_wav(batch: pa.Table) -> pa.Table:
+    """Real WAV payload per doc: sample[i] = ((doc_id*7 + i*13) mod 65536)
+    - 32768 as int16 PCM."""
+    from ..util.codecs import wav_encode
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    i = np.arange(WAV_N, dtype=np.int64)
+    payloads = [wav_encode((((int(d) * 7 + i * 13) % 65536) - 32768)
+                           .astype(np.int16)) for d in ids]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+class WavSampleStats:
+    """Actor-pool stage that decodes WAV PCM (stdlib wave) and emits exact
+    sample statistics."""
+
+    def __init__(self):
+        from ..util.codecs import wav_decode
+
+        self.decode = wav_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_s, mean_abs, peak = [], [], []
+        for p in batch.column("payload").to_pylist():
+            samples, _rate = self.decode(p)
+            s = samples.astype(np.int64)
+            n_s.append(len(s))
+            mean_abs.append(float(np.abs(s).sum()) / len(s))
+            peak.append(int(np.abs(s).max()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_samples": pa.array(n_s, type=pa.int64()),
+            "mean_abs": pa.array(mean_abs, type=pa.float64()),
+            "peak": pa.array(peak, type=pa.int64()),
+        })
+
+
+def media_audio_sample_stats(sf_dir: str, concurrency: int = 2):
+    """documents -> real WAV payloads -> actor-pool decode -> sample stats
+    (SQL-exact against the generator's closed form)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return (ds.map_batches(_attach_wav, batch_format="pyarrow")
+            .map_batches(WavSampleStats, batch_format="pyarrow",
+                         batch_size=256, concurrency=concurrency, num_cpus=1))
+
+
+def media_audio_sample_stats_sql() -> str:
+    return f"""
+SELECT d.doc_id,
+       {WAV_N}::BIGINT AS n_samples,
+       avg(abs((d.doc_id * 7 + i.i * 13) % 65536 - 32768)::DOUBLE)
+           AS mean_abs,
+       max(abs((d.doc_id * 7 + i.i * 13) % 65536 - 32768))::BIGINT AS peak
+FROM documents d, range({WAV_N}) i(i)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
