@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _media_frames,
         "media_image_pixel_stats": _media_image_pixel_stats,
         "media_audio_sample_stats": _media_audio_sample_stats,
+        "index_geo3d_count": _lazy("index_geo3d_count"),
         "collection_stats": textstats.collection_stats,
         "grouped_topk": textstats.grouped_topk,
         "top_terms": textstats.top_terms,
@@ -558,6 +559,22 @@ def _geo_sql() -> str:
              AND (lon_e >= {d_lon_w} OR lon_e <= {d_lon_e}))::BIGINT AS n_dateline,
           (SELECT count(*) FROM dec
            WHERE {_haversine_sql(qlat, qlon)} <= {radius!r})::BIGINT AS n_in_radius"""
+
+
+def _geo3d_sql() -> str:
+    """Oracle for index_geo3d_count: the SPHERE planet model's cap test
+    equals haversine on the same mean radius, so the twin is two
+    haversine-radius predicates."""
+    from lucene_ray.pipelines.flagship import GEO3D_CIRCLE2, GEO_CIRCLE
+
+    lat1, lon1, r1 = GEO_CIRCLE
+    lat2, lon2, r2 = GEO3D_CIRCLE2
+    return _geo_cte() + f"""
+        SELECT
+          (SELECT count(*) FROM dec
+           WHERE {_haversine_sql(lat1, lon1)} <= {r1!r})::BIGINT AS n_circle,
+          (SELECT count(*) FROM dec
+           WHERE {_haversine_sql(lat2, lon2)} <= {r2!r})::BIGINT AS n_polar"""
 
 
 def _geo_polygon_sql() -> str:
@@ -1557,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "media_image_pixel_stats": _media_image_sql(),
         "media_audio_sample_stats": _media_audio_sql(),
+        "index_geo3d_count": _geo3d_sql(),
         # MatchHighlighter with an unbounded window: snippet == full text
         # with every 'merge' TOKEN wrapped (word-boundary replace)
         "index_matchhl_topk": _TOKS + """

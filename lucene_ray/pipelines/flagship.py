@@ -505,6 +505,26 @@ def index_geo_count(sf_dir: str) -> pd.DataFrame:
                          "n_in_radius": pd.Series([n_radius], dtype="int64")})
 
 
+# second circle for index_geo3d_count (polar-adjacent center exercises the
+# high-latitude band where spherical-vs-ellipsoid divergence peaks)
+GEO3D_CIRCLE2 = (68.0, 120.0, 1_500_000.0)
+
+
+def index_geo3d_count(sf_dir: str) -> pd.DataFrame:
+    """Geo3DPoint.newDistanceQuery with PlanetModel.SPHERE
+    (`spatial3d/.../Geo3DPoint.java` + `geom/GeoStandardCircle.java`):
+    membership evaluated in 3-D Cartesian space (unit vectors, spherical
+    cap dot-product) — equal to the haversine metric on the same mean
+    radius, which is the SQL twin."""
+    from ..search.geo3d import Geo3DCircleQuery
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    n1 = searcher.count(Geo3DCircleQuery("loc", *GEO_CIRCLE))
+    n2 = searcher.count(Geo3DCircleQuery("loc", *GEO3D_CIRCLE2))
+    return pd.DataFrame({"n_circle": pd.Series([n1], dtype="int64"),
+                         "n_polar": pd.Series([n2], dtype="int64")})
+
+
 # query box for index_shape_count (bounds off the doc rect grid so
 # quantization can't flip a touch decision between engine and oracle)
 SHAPE_QBOX = (-10.1, 25.1, -30.1, 40.1)

@@ -686,7 +686,8 @@ def search_shard_points(reader, query, boost: float, k: int, after=None):
         pr = reader.points(query.field)
         parts = [pr.intersect_box(v, v) for v in vals]
         cand = np.unique(np.concatenate(parts))
-    elif isinstance(query, LatLonDistanceQuery):
+    elif isinstance(query, LatLonDistanceQuery) or \
+            type(query).__name__ == "Geo3DCircleQuery":
         min_lat, max_lat, min_lon, max_lon = circle_bbox(
             query.lat, query.lon, query.radius_m)
         if int(encode_latitude(max_lat)) < smin[0] or \
@@ -695,7 +696,12 @@ def search_shard_points(reader, query, boost: float, k: int, after=None):
         if min_lon <= max_lon and (int(encode_longitude(max_lon)) < smin[1]
                                    or int(encode_longitude(min_lon)) > smax[1]):
             return _empty()
-        cand = distance_query_docs(reader.points(query.field), query)
+        if isinstance(query, LatLonDistanceQuery):
+            cand = distance_query_docs(reader.points(query.field), query)
+        else:
+            from .geo3d import geo3d_circle_docs
+
+            cand = geo3d_circle_docs(reader.points(query.field), query)
     elif isinstance(query, LatLonPolygonQuery):
         if int(encode_latitude(max(query.lats))) < smin[0] or \
                 int(encode_latitude(min(query.lats))) > smax[0] or \

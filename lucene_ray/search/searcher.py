@@ -942,8 +942,10 @@ class IndexSearcher:
                     "n_required": 0, "match_all": False,
                     "points": query, "boost": getattr(query, "boost", 1.0)}
         from .geo import LatLonDistanceQuery, LatLonPolygonQuery
+        from .geo3d import Geo3DCircleQuery
 
-        if isinstance(query, (LatLonDistanceQuery, LatLonPolygonQuery)):
+        if isinstance(query, (LatLonDistanceQuery, LatLonPolygonQuery,
+                              Geo3DCircleQuery)):
             return {"scoring": [], "filters": [], "must_nots": [], "msm": 0,
                     "n_required": 0, "match_all": False,
                     "points": query, "boost": query.boost}
