@@ -1067,7 +1067,7 @@ class ShardReader:
             while ShardReader._CACHE_BYTES[0] > ShardReader._CACHE_LIMIT:
                 old_key, old = next(iter(ShardReader._CACHE.items()))
                 ShardReader._CACHE.pop(old_key)
-                ShardReader._CACHE_BYTES[0] -= old[0].nbytes + old[1].nbytes
+                ShardReader._CACHE_BYTES[0] -= sum(a.nbytes for a in old)
         return out
 
     def postings_if_cached(self, tid: int):
@@ -1087,7 +1087,29 @@ class ShardReader:
     def positions(self, tid: int, freqs: np.ndarray) -> np.ndarray:
         """Flat occurrence positions for this term's postings, given the
         decoded freqs (posting p's positions are flat[pb[p]:pb[p+1]] with
-        pb = cumsum(freqs)).  Lazy vint decode from positions.bin."""
+        pb = cumsum(freqs)).  Lazy vint decode from positions.bin,
+        LRU-cached like postings (the vint scan dominated repeat phrase /
+        span / interval queries on hot terms)."""
+        from .postings import vint_decode
+
+        key = (self.dir, self.manifest.get("fingerprint", ""), "pos", tid)
+        hit = ShardReader._CACHE.get(key)
+        if hit is not None:
+            ShardReader._CACHE.pop(key)
+            ShardReader._CACHE[key] = hit
+            return hit[0]
+        out = self._decode_positions(tid, freqs)
+        nbytes = out.nbytes
+        if nbytes < ShardReader._CACHE_LIMIT // 8:
+            ShardReader._CACHE[key] = (out,)
+            ShardReader._CACHE_BYTES[0] += nbytes
+            while ShardReader._CACHE_BYTES[0] > ShardReader._CACHE_LIMIT:
+                old_key, old = next(iter(ShardReader._CACHE.items()))
+                ShardReader._CACHE.pop(old_key)
+                ShardReader._CACHE_BYTES[0] -= sum(a.nbytes for a in old)
+        return out
+
+    def _decode_positions(self, tid: int, freqs: np.ndarray) -> np.ndarray:
         from .postings import vint_decode
 
         if self._pos is None:

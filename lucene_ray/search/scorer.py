@@ -966,17 +966,51 @@ def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
         if tid < 0:
             return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
         tids.append(tid)
+    postings = [reader.postings(tid) for tid in tids]
+    # doc-level intersection first (the phrase can only start in docs that
+    # contain EVERY term): composite keys are then built only for the
+    # intersection's positions — the dominant win on hot phrases, where
+    # the candidate set is far smaller than either posting list.  DocIDs
+    # are dense ints, so a bitmask beats binary search.
+    n_docs = reader.doc_count
+    mask = np.zeros(n_docs, dtype=bool)
+    mask[postings[0][0]] = True
+    for docs, _ in postings[1:]:
+        nxt = np.zeros(n_docs, dtype=bool)
+        sel = mask[docs]
+        nxt[docs[sel]] = True
+        mask = nxt
+    inter_docs = np.nonzero(mask)[0].astype(np.int32)
+    if len(inter_docs) == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
     inter = None
     # Offset keeps the adjusted position strictly positive for every phrase
     # length (pos >= 0, i < len(terms)  =>  pos - i + len(terms) >= 1), so the
     # low 33 bits never borrow into the doc bits.
     off = np.int64(len(terms))
+    pos_map = np.empty(n_docs, dtype=np.int64)
     for i, tid in enumerate(tids):
-        docs, freqs = reader.postings(tid)
-        pos = reader.positions(tid, freqs)
-        doc_exp = np.repeat(docs.astype(np.int64), freqs)
+        docs, freqs = postings[i]
+        flat = reader.positions(tid, freqs)
+        pos_map[docs] = np.arange(len(docs), dtype=np.int64)
+        sel = pos_map[inter_docs]                    # exact hits by constr.
+        lens = freqs[sel].astype(np.int64)
+        pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+        starts = pb[sel]
+        total = int(lens.sum())
+        ends = np.cumsum(lens)
+        idx = np.repeat(starts - (ends - lens), lens) + np.arange(total)
+        pos = flat[idx]
+        doc_exp = np.repeat(inter_docs.astype(np.int64), lens)
         comp = (doc_exp << np.int64(33)) | (pos.astype(np.int64) - i + off)
-        inter = comp if inter is None else np.intersect1d(inter, comp, assume_unique=True)
+        if inter is None:
+            inter = comp
+        else:
+            # both key arrays are sorted (doc asc, position asc within
+            # doc), so the intersection needs no sort
+            loc = np.searchsorted(comp, inter)
+            loc_c = np.minimum(loc, len(comp) - 1)
+            inter = inter[comp[loc_c] == inter]
         if len(inter) == 0:
             return np.zeros(0, np.float32), np.zeros(0, np.int32), 0, RELATION_EQ
     pdocs, pfreq = np.unique(inter >> np.int64(33), return_counts=True)
