@@ -110,6 +110,10 @@ class HunspellDictionary:
         self.rep_table: list[tuple[str, str]] = []
         self.needaffix: str | None = None
         self.onlyincompound: str | None = None
+        self.compound_begin: str | None = None
+        self.compound_middle: str | None = None
+        self.compound_end: str | None = None
+        self.forbiddenword: str | None = None
         self._parse_aff(aff_text)
         self.words: dict[str, list[frozenset]] = {}
         self._parse_dic(dic_text)
@@ -138,7 +142,8 @@ class HunspellDictionary:
                     raw_rules.append(parts[1])
             elif key in ("COMPOUNDFLAG", "COMPOUNDPERMITFLAG",
                          "COMPOUNDFORBIDFLAG", "NEEDAFFIX", "PSEUDOROOT",
-                         "ONLYINCOMPOUND") and len(parts) > 1:
+                         "ONLYINCOMPOUND", "COMPOUNDBEGIN", "COMPOUNDMIDDLE",
+                         "COMPOUNDEND", "FORBIDDENWORD") and len(parts) > 1:
                 single_flag_raw[key] = parts[1]
             elif key == "COMPOUNDMIN" and len(parts) > 1:
                 self.compound_min = max(1, int(parts[1]))
@@ -200,6 +205,11 @@ class HunspellDictionary:
             "NEEDAFFIX", single_flag_raw.get("PSEUDOROOT", "")))
         self.onlyincompound = one_flag(
             single_flag_raw.get("ONLYINCOMPOUND", ""))
+        self.compound_begin = one_flag(single_flag_raw.get("COMPOUNDBEGIN", ""))
+        self.compound_middle = one_flag(
+            single_flag_raw.get("COMPOUNDMIDDLE", ""))
+        self.compound_end = one_flag(single_flag_raw.get("COMPOUNDEND", ""))
+        self.forbiddenword = one_flag(single_flag_raw.get("FORBIDDENWORD", ""))
         self.compound_rules = [self._tokenize_rule(r) for r in raw_rules]
         self.check_compound_patterns = [
             self._parse_cpd_pattern(e, b, r)
@@ -343,9 +353,12 @@ class HunspellDictionary:
                 if not p.cross_product:
                     continue
                 for alen, srules in self._sfx_by_len.items():
-                    if alen == 0 or alen > len(cand):
+                    if alen > len(cand):
                         continue
-                    tail = cand[len(cand) - alen:]
+                    # alen == 0 participates: zero-affix rules exist solely
+                    # to append continuation flags (germancompounding's
+                    # `SFX A 0 0/WXD`-style fogemorpheme carriers)
+                    tail = cand[len(cand) - alen:] if alen else ""
                     for r in srules:
                         if not r.cross_product or tail != r.affix:
                             continue
@@ -355,7 +368,12 @@ class HunspellDictionary:
                         if not self._cond_ok(r, cand2):
                             continue
                         for fs in self.words.get(cand2, ()):
-                            if p.flag in fs and r.flag in fs:
+                            # either affix may be enabled by the entry OR
+                            # appended by the other affix's continuation
+                            # (Stemmer.processStemCandidate's
+                            # isFlagAppendedByAffix cross-check)
+                            if (r.flag in fs or r.flag in p.cont) and \
+                                    (p.flag in fs or p.flag in r.cont):
                                 yield cand2, fs, (p,), (r,)
 
     def _context_analyses(self, word: str, context: str):
@@ -369,15 +387,29 @@ class HunspellDictionary:
             return                      # doStem aborts ALL analyses
         in_compound = context in ("begin", "middle", "end", "rule_end")
         needs_cf = context in ("begin", "middle", "end")
+        # per-position required flag (COMPOUNDBEGIN/MIDDLE/END); the
+        # general COMPOUNDFLAG satisfies any position
+        # (Stemmer.isRootCompatibleWithContext)
+        pos_flag = {"begin": self.compound_begin,
+                    "middle": self.compound_middle,
+                    "end": self.compound_end}.get(context)
+
+        def cf_ok(fs, conts):
+            for f in (pos_flag, self.compound_flag):
+                if f and (f in fs or any(f in c for c in conts)):
+                    return True
+            return False
+
         for root, fs, pfx, sfx in self._raw_analyses(word):
+            if self.forbiddenword and self.forbiddenword in fs:
+                continue                # explicitly forbidden entry
             if not pfx and not sfx:
                 if self.needaffix and self.needaffix in fs:
                     continue            # pseudostem requiring an affix
                 if (context == "simple" and self.onlyincompound
                         and self.onlyincompound in fs):
                     continue
-                if needs_cf and not (self.compound_flag
-                                     and self.compound_flag in fs):
+                if needs_cf and not cf_ok(fs, ()):
                     continue
                 yield root, fs, pfx, sfx
                 continue
@@ -404,12 +436,8 @@ class HunspellDictionary:
                 if (context == "end" and self.onlyincompound and not pfx
                         and any(self.onlyincompound in r.cont for r in sfx)):
                     continue
-            if needs_cf:
-                carried = self.compound_flag and (
-                    self.compound_flag in fs
-                    or any(self.compound_flag in c for c in conts))
-                if not carried:
-                    continue
+            if needs_cf and not cf_ok(fs, conts):
+                continue
             yield root, fs, pfx, sfx
 
     def stem(self, word: str) -> list[str]:
@@ -428,11 +456,15 @@ class HunspellDictionary:
         """`Hunspell.spellClean` subset: standalone analysis, then
         COMPOUNDRULE matching, then COMPOUNDFLAG compounds with the
         boundary checks."""
+        if self.forbiddenword and any(
+                self.forbiddenword in fs for fs in self.words.get(word, ())):
+            return False                # FORBIDDENWORD blocks the surface
         if self._is_simple_word(word):
             return True
         if self.compound_rules and self._check_compound_rules(word):
             return True
-        if self.compound_flag and self._cpds(word, None):
+        if (self.compound_flag or self.compound_begin) \
+                and self._cpds(word, None):
             return True
         # default BREAK table (hunspell breaks words at middle hyphens and
         # spells each side recursively; the BREAK directive itself is not

@@ -274,3 +274,72 @@ def test_spell_plain_words_and_affixed():
         "SFX S Y 1\nSFX S 0 s . +s\n", "2\ncat/S\ndog\n")
     assert d.spell("cat") and d.spell("cats") and d.spell("dog")
     assert not d.spell("dogs") and not d.spell("catdog")
+
+
+GERMAN_AFF = """CHECKSHARPS
+
+COMPOUNDBEGIN U
+COMPOUNDMIDDLE V
+COMPOUNDEND W
+
+COMPOUNDPERMITFLAG P
+ONLYINCOMPOUND X
+CHECKCOMPOUNDCASE
+COMPOUNDMIN 1
+WORDCHARS -
+
+SFX A Y 3
+SFX A 0 s/UPX .
+SFX A 0 s/VPDX .
+SFX A 0 0/WXD .
+
+SFX B Y 2
+SFX B 0 0/UPX .
+SFX B 0 0/VWXDP .
+
+SFX C Y 1
+SFX C 0 n/WD .
+
+FORBIDDENWORD Z
+
+PFX - Y 1
+PFX - 0 -/P .
+
+PFX D Y 2
+PFX D A a/PX A
+PFX D C c/PX C
+"""
+GERMAN_DIC = "4\nArbeit/A-\nComputer/BC-\n-/W\nArbeitsnehmer/Z\n"
+
+
+def test_germancompounding():
+    """The reference germancompounding fixture: COMPOUNDBEGIN/MIDDLE/END
+    position classes, decapitalizing circumfix-style prefix enabled by
+    suffix continuations, fogemorphemes, FORBIDDENWORD, dash words.
+    (The D prefix table is reduced to the two letters the dic needs.)"""
+    check(GERMAN_AFF, GERMAN_DIC,
+          """Computer Computern Arbeit Arbeits- Computerarbeit
+             Computerarbeits- Arbeitscomputer Computercomputer
+             Computercomputern Arbeitscomputern Computerarbeitscomputer
+             Computerarbeitscomputern Arbeitscomputercomputer
+             Computercomputerarbeit Arbeitscomputerarbeit
+             Arbeitsarbeitsarbeit Computerarbeitsarbeit
+             Computerarbeits-Computer Computerarbeits-Computern
+             Computer-Arbeit""",
+          """computer computern arbeit Arbeits arbeits ComputerArbeit
+             ComputernArbeit Computernarbeit ComputerArbeits Arbeitcomputer
+             Arbeitcomputern ArbeitsComputer ArbeitsComputern
+             Computerarbeitcomputer ComputerArbeitcomputer
+             ComputerArbeitscomputer Computerarbeitcomputern
+             ComputerArbeitcomputern ComputerArbeitscomputern
+             Arbeitscomputerarbeits Arbeitscomputernarbeits
+             Computerarbeits-computer Arbeitsnehmer computers
+             computernarbeit computernArbeit computerArbeit computerArbeits
+             arbeitcomputer arbeitsComputer computerarbeitcomputer
+             computerArbeitcomputer computerArbeitscomputer
+             arbeitscomputerarbeits computerarbeits-computer arbeitsnehmer
+             arbeits- computerarbeit computerarbeits- arbeitscomputer
+             arbeitscomputern computerarbeitscomputer
+             computerarbeitscomputern computerarbeitscomputers
+             arbeitscomputerarbeit computerarbeits-Computer
+             computerarbeits-Computern""")
