@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_pixel_stats": _media_image_pixel_stats,
         "media_audio_sample_stats": _media_audio_sample_stats,
         "index_geo3d_count": _lazy("index_geo3d_count"),
+        "index_geo3d_wgs84_count": _lazy("index_geo3d_wgs84_count"),
         "collection_stats": textstats.collection_stats,
         "grouped_topk": textstats.grouped_topk,
         "top_terms": textstats.top_terms,
@@ -559,6 +560,49 @@ def _geo_sql() -> str:
              AND (lon_e >= {d_lon_w} OR lon_e <= {d_lon_e}))::BIGINT AS n_dateline,
           (SELECT count(*) FROM dec
            WHERE {_haversine_sql(qlat, qlon)} <= {radius!r})::BIGINT AS n_in_radius"""
+
+
+def _andoyer_sql(qlat: float, qlon: float) -> str:
+    """SQL Andoyer-Lambert WGS84 geodesic meters from (qlat, qlon) to
+    (dlat, dlon), mirroring `search/geo3d.py` andoyer_wgs84_meters; the
+    query point's reduced latitude is precomputed as literals."""
+    import math
+
+    from lucene_ray.search.geo3d import WGS84_A, WGS84_F
+
+    f = WGS84_F
+    b1 = math.atan((1 - f) * math.tan(math.radians(qlat)))
+    sigma = (f"acos(greatest(-1.0, least(1.0, "
+             f"{math.sin(b1)!r} * sin(atan({1 - f!r} * tan(radians(dlat)))) "
+             f"+ {math.cos(b1)!r} * cos(atan({1 - f!r} * tan(radians(dlat)))) "
+             f"* cos(radians(dlon) - {math.radians(qlon)!r}))))")
+    b2 = f"atan({1 - f!r} * tan(radians(dlat)))"
+    p = f"(({b1!r} + {b2}) / 2)"
+    q = f"(({b2} - {b1!r}) / 2)"
+    x = (f"(CASE WHEN {sigma} > 0 THEN ({sigma} - sin({sigma})) "
+         f"* sin({p}) * sin({p}) * cos({q}) * cos({q}) "
+         f"/ greatest(cos({sigma} / 2) * cos({sigma} / 2), 1e-300) "
+         f"ELSE 0 END)")
+    y = (f"(CASE WHEN sin({sigma}) > 0 THEN ({sigma} + sin({sigma})) "
+         f"* cos({p}) * cos({p}) * sin({q}) * sin({q}) "
+         f"/ greatest(sin({sigma} / 2) * sin({sigma} / 2), 1e-300) "
+         f"ELSE 0 END)")
+    return f"({WGS84_A!r} * ({sigma} - {f / 2.0!r} * ({x} + {y})))"
+
+
+def _geo3d_wgs84_sql() -> str:
+    """Oracle for index_geo3d_wgs84_count: two Andoyer-geodesic radius
+    predicates over the decoded-coordinate CTE."""
+    from lucene_ray.pipelines.flagship import GEO3D_CIRCLE2, GEO_CIRCLE
+
+    lat1, lon1, r1 = GEO_CIRCLE
+    lat2, lon2, r2 = GEO3D_CIRCLE2
+    return _geo_cte() + f"""
+        SELECT
+          (SELECT count(*) FROM dec
+           WHERE {_andoyer_sql(lat1, lon1)} <= {r1!r})::BIGINT AS n_circle,
+          (SELECT count(*) FROM dec
+           WHERE {_andoyer_sql(lat2, lon2)} <= {r2!r})::BIGINT AS n_polar"""
 
 
 def _geo3d_sql() -> str:
@@ -1575,6 +1619,7 @@ def oracle_sql() -> dict[str, str]:
         "media_image_pixel_stats": _media_image_sql(),
         "media_audio_sample_stats": _media_audio_sql(),
         "index_geo3d_count": _geo3d_sql(),
+        "index_geo3d_wgs84_count": _geo3d_wgs84_sql(),
         # MatchHighlighter with an unbounded window: snippet == full text
         # with every 'merge' TOKEN wrapped (word-boundary replace)
         "index_matchhl_topk": _TOKS + """

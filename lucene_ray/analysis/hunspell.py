@@ -114,6 +114,8 @@ class HunspellDictionary:
         self.compound_middle: str | None = None
         self.compound_end: str | None = None
         self.forbiddenword: str | None = None
+        # BREAK table; None = use the hunspell default {-, ^-, -$}
+        self.break_table: list[str] | None = None
         self._parse_aff(aff_text)
         self.words: dict[str, list[frozenset]] = {}
         self._parse_dic(dic_text)
@@ -163,6 +165,12 @@ class HunspellDictionary:
                      parts[3] if len(parts) > 3 else None))
             elif key == "REP" and len(parts) > 2:
                 self.rep_table.append((parts[1], parts[2]))
+            elif key == "BREAK" and len(parts) > 1:
+                if parts[1].isdigit():
+                    self.break_table = []       # explicit table replaces
+                    # the default (BREAK 0 turns breaking off entirely)
+                else:
+                    self.break_table.append(parts[1])
             if key == "FLAG" and len(parts) > 1:
                 self.flag_mode = {"long": "long", "num": "num",
                                   "UTF-8": "single"}.get(parts[1], "single")
@@ -466,13 +474,34 @@ class HunspellDictionary:
         if (self.compound_flag or self.compound_begin) \
                 and self._cpds(word, None):
             return True
-        # default BREAK table (hunspell breaks words at middle hyphens and
-        # spells each side recursively; the BREAK directive itself is not
-        # parsed — the default '-' entry covers the reference fixtures)
-        for i in range(1, len(word) - 1):
-            if word[i] == "-" and self.spell(word[:i]) \
-                    and self.spell(word[i + 1:]):
-                return True
+        # BREAK table (`Dictionary.java` breaks + `Hunspell.tryBreaks`):
+        # '^x' trims a leading x, 'x$' a trailing x, anything else splits at
+        # every middle occurrence with both pieces spelled recursively; an
+        # explicit BREAK table replaces the default {-, ^-, -$}, BREAK 0
+        # disables breaking
+        table = self.break_table if self.break_table is not None \
+            else ["-", "^-", "-$"]
+        for entry in table:
+            if entry.startswith("^"):
+                t = entry[1:]
+                if t and word.startswith(t) and len(word) > len(t) \
+                        and self.spell(word[len(t):]):
+                    return True
+            elif entry.endswith("$"):
+                t = entry[:-1]
+                if t and word.endswith(t) and len(word) > len(t) \
+                        and self.spell(word[:-len(t)]):
+                    return True
+            elif entry:
+                start = 1
+                while True:
+                    i = word.find(entry, start)
+                    if i < 0 or i + len(entry) >= len(word):
+                        break
+                    if self.spell(word[:i]) and \
+                            self.spell(word[i + len(entry):]):
+                        return True
+                    start = i + 1
         return False
 
     # COMPOUNDRULE (`Hunspell.checkCompoundRules` + `CompoundRule`)

@@ -525,6 +525,23 @@ def index_geo3d_count(sf_dir: str) -> pd.DataFrame:
                          "n_polar": pd.Series([n2], dtype="int64")})
 
 
+def index_geo3d_wgs84_count(sf_dir: str) -> pd.DataFrame:
+    """Geo3DPoint.newDistanceQuery WGS84 surface-distance semantics: the
+    same circles evaluated as ellipsoid geodesics (Andoyer-Lambert
+    first-order; `spatial3d/.../PlanetModel.java` WGS84 +
+    `GeoStandardCircle` on the ellipsoid, documented O(f^2)
+    approximation)."""
+    from ..search.geo3d import Geo3DCircleQuery
+
+    searcher = IndexSearcher(build_geo_index(sf_dir))
+    n1 = searcher.count(Geo3DCircleQuery("loc", *GEO_CIRCLE,
+                                         planet="wgs84"))
+    n2 = searcher.count(Geo3DCircleQuery("loc", *GEO3D_CIRCLE2,
+                                         planet="wgs84"))
+    return pd.DataFrame({"n_circle": pd.Series([n1], dtype="int64"),
+                         "n_polar": pd.Series([n2], dtype="int64")})
+
+
 # query box for index_shape_count (bounds off the doc rect grid so
 # quantization can't flip a touch decision between engine and oracle)
 SHAPE_QBOX = (-10.1, 25.1, -30.1, 40.1)

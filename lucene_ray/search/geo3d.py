@@ -56,24 +56,33 @@ def latlon_to_xyz(lat, lon) -> np.ndarray:
 
 @dataclass(frozen=True)
 class Geo3DCircleQuery:
-    """`Geo3DPoint.newDistanceQuery` with `PlanetModel.SPHERE`
-    (GeoStandardCircle): docs whose quantized point lies inside the
-    spherical cap of `radius_m` around (lat, lon).  Constant score.
-    Membership is evaluated in 3-D (dot product vs the cap cosine), the
-    Geo3D computational model, and coincides with the haversine metric on
-    the same mean radius."""
+    """`Geo3DPoint.newDistanceQuery`: docs whose quantized point lies
+    inside the distance circle around (lat, lon).  Constant score.
+
+    ``planet="sphere"`` (PlanetModel.SPHERE / GeoStandardCircle):
+    membership evaluated in 3-D (dot product vs the cap cosine), the Geo3D
+    computational model, coinciding with the haversine metric on the same
+    mean radius.  ``planet="wgs84"`` (PlanetModel.WGS84 surface-distance
+    semantics): ellipsoid geodesic membership via the Andoyer-Lambert
+    first-order formula (relative error O(f^2) ~ 1e-5 — documented
+    approximation of the reference's exact GeoDistanceShape arcs)."""
     field: str
     lat: float
     lon: float
     radius_m: float
     boost: float = 1.0
+    planet: str = "sphere"
 
 
 def geo3d_circle_docs(preader, q: Geo3DCircleQuery) -> np.ndarray:
     """BKD bbox prune (same two-phase shape as LatLonPointDistanceQuery),
-    then the 3-D cap test on decoded coordinates."""
-    min_lat, max_lat, min_lon, max_lon = circle_bbox(q.lat, q.lon,
-                                                     q.radius_m)
+    then the 3-D cap test (sphere) or the Andoyer geodesic verify (wgs84)
+    on decoded coordinates."""
+    # the bbox formulas are spherical; inflate the radius by the maximum
+    # sphere-vs-ellipsoid divergence (0.56% + slack) so the WGS84 prune
+    # stays conservative
+    prune_r = q.radius_m * (1.008 if q.planet == "wgs84" else 1.0)
+    min_lat, max_lat, min_lon, max_lon = circle_bbox(q.lat, q.lon, prune_r)
     lat_lo, lat_hi = int(encode_latitude(min_lat)), \
         int(encode_latitude(max_lat))
     if min_lon <= max_lon:
@@ -90,8 +99,12 @@ def geo3d_circle_docs(preader, q: Geo3DCircleQuery) -> np.ndarray:
     if len(cand) == 0:
         return cand.astype(np.int32)
     pts = preader.doc_values(cand.astype(np.int64))
-    xyz = latlon_to_xyz(decode_latitude(pts[:, 0]),
-                        decode_longitude(pts[:, 1]))
+    dlat = decode_latitude(pts[:, 0])
+    dlon = decode_longitude(pts[:, 1])
+    if q.planet == "wgs84":
+        d = andoyer_wgs84_meters(dlat, dlon, q.lat, q.lon)
+        return cand[d <= q.radius_m].astype(np.int32)
+    xyz = latlon_to_xyz(dlat, dlon)
     center = latlon_to_xyz(q.lat, q.lon)
     cos_cap = np.cos(q.radius_m / MEAN_EARTH_RADIUS_M)
     return cand[xyz @ center >= cos_cap].astype(np.int32)

@@ -71,3 +71,37 @@ def test_andoyer_sanity():
     assert abs(quarter_meridian - 10_001_966) < 5_000
     quarter_equator = andoyer_wgs84_meters(0.0, 0.0, 0.0, 90.0)
     assert abs(quarter_equator - 10_018_754) < 5_000
+
+
+def test_wgs84_circle_query_diverges_from_sphere(ray_session):
+    """The WGS84 path is real: it matches an Andoyer brute force exactly
+    and (at the high-latitude circle) can differ from the spherical
+    count."""
+    import numpy as np
+
+    from lucene_ray.pipelines.flagship import (
+        GEO3D_CIRCLE2,
+        GEO_CIRCLE,
+        build_geo_index,
+    )
+    from lucene_ray.search.geo3d import Geo3DCircleQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    s = IndexSearcher(build_geo_index("/root/testdata/sf0.001"))
+    for circle in (GEO_CIRCLE, GEO3D_CIRCLE2):
+        lat, lon, r = circle
+        n = s.count(Geo3DCircleQuery("loc", lat, lon, r, planet="wgs84"))
+        # brute force over every indexed point (decoded like the engine)
+        total = 0
+        for pid in s._pids:
+            rdr = s.reader(pid)
+            pr = rdr.points("loc")
+            pts = pr.doc_values(np.arange(rdr.doc_count, dtype=np.int64))
+            from lucene_ray.search.geo import decode_latitude, decode_longitude
+            d = andoyer_wgs84_meters(decode_latitude(pts[:, 0]),
+                                     decode_longitude(pts[:, 1]), lat, lon)
+            live = np.ones(rdr.doc_count, bool) if rdr.deleted is None \
+                else ~rdr.deleted
+            total += int(((d <= r) & live).sum())
+        assert n == total
+        assert n > 0

@@ -343,3 +343,34 @@ def test_germancompounding():
              computerarbeitscomputern computerarbeitscomputers
              arbeitscomputerarbeit computerarbeits-Computer
              computerarbeits-Computern""")
+
+
+def test_break_table():
+    """`break` fixture: explicit BREAK entries (dash + en-dash, middle
+    only — no edge trims), FORBIDDENWORD blocking a breakable surface."""
+    check("SET UTF-8\n\nBREAK 2\nBREAK -\nBREAK –\n\nWORDCHARS -–\n"
+          "\nFORBIDDENWORD !\n",
+          "6\nfoo\nbar\nbaz\nfox-bax\nfoo-baz/!\ne-mail\n",
+          """foo bar fox-bax foo-bar foo–bar foo-bar-foo-bar
+             foo-bar–foo-bar bar-baz baz-foo
+             foo-bar-foo-bar-foo-bar-foo-bar-foo-bar e-mail e-mail-foo""",
+          """fox bax -foo bar- fox-bar foo-bax foo–bax fox–bar
+             foo-bar-fox-bar foo-bax-foo-bar foo-bar–fox-bar
+             foo-bax–foo-bar foo-baz""")
+
+
+def test_break_default():
+    """`breakdefault` fixture: no BREAK directive -> default {-, ^-, -$}
+    (edge hyphens trim)."""
+    check("SET UTF-8\nMAXNGRAMSUGS 0\nWORDCHARS -\nTRY ot\n",
+          "3\nfoo\nbar\nfree\nscott\nscot-free\n",
+          "foo bar foo- -foo scot-free foo-bar foo-bar-foo-bar",
+          "scot sco-free fo-bar foo-fo-bar foo-foo-fo -")
+
+
+def test_break_off():
+    """`breakoff` fixture: BREAK 0 disables all breaking."""
+    check("SET UTF-8\nMAXNGRAMSUGS 0\nWORDCHARS -\nTRY ot\n\nBREAK 0\n",
+          "3\nfoo\nbar\nfree\nscott\nscot-free\n",
+          "foo bar scot-free",
+          "foo- -foo foo-bar foo-bar-foo-bar scot")
