@@ -21,15 +21,63 @@ ONLYINCOMPOUND filtering in standalone analysis — exercised by the
 reference's own spell-checking fixtures (compoundrule1-8, compoundflag,
 checkcompound*, compoundforbid, needaffix, onlyincompound).
 
-Remaining subset boundaries (documented): COMPOUNDBEGIN/MIDDLE/END word
-classes (germancompounding), BREAK, ICONV/OCONV, morphological aliases
-(AF/AM), circumfix, and case-variant analysis (allcaps/titlecase).
+Also implemented (round-5 extensions): COMPOUNDBEGIN/MIDDLE/END position
+classes + FORBIDDENWORD + continuation-enabled affix cross-products
+(germancompounding), the BREAK table, and case-variant analysis —
+KEEPCASE, hidden title-folded homonyms (Dictionary.HIDDEN_FLAG),
+UPPER/TITLE variant generation with apostrophe capitalization, CHECKSHARPS
+ss/ß variation, and trailing-dot handling (keepcase / allcaps /
+checksharps fixtures).
+
+Remaining subset boundaries (documented): ICONV/OCONV, morphological
+aliases (AF/AM), circumfix flag, IGNORE, and number recognition.
 """
 
 from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+
+
+HIDDEN = "￧"     # Dictionary.HIDDEN_FLAG: title-folded case homonyms
+
+
+def _word_case(w: str) -> str:
+    """`WordCase.caseOf`: upper (no lowercase cased chars), title (first
+    upper, rest without uppercase), lower, or mixed."""
+    has_lower = any(c.islower() for c in w)
+    has_upper = any(c.isupper() for c in w)
+    if has_upper and not has_lower:
+        return "upper"
+    if w[:1].isupper() and not any(c.isupper() for c in w[1:]):
+        return "title"
+    if not has_upper:
+        return "lower"
+    return "mixed"
+
+
+def _sharp_variants(s: str, depth: int = 0):
+    """CHECKSHARPS `varySharpS`: every combination substituting each 'ss'
+    occurrence with 'ß' (depth-capped), excluding the original."""
+    def expand(start, depth):
+        if depth > 5:
+            return [s[start:]]
+        i = s.find("ss", start)
+        if i < 0:
+            return None
+        tails = expand(i + 2, depth + 1) or [s[i + 2:]]
+        out = []
+        for t in tails:
+            out.append(s[start:i] + "ss" + t)
+            out.append(s[start:i] + "ß" + t)
+        return out
+
+    res = expand(0, 0)
+    if res is None:
+        return
+    for v in res:
+        if v != s:
+            yield v
 
 
 @dataclass(frozen=True)
@@ -114,6 +162,8 @@ class HunspellDictionary:
         self.compound_middle: str | None = None
         self.compound_end: str | None = None
         self.forbiddenword: str | None = None
+        self.keepcase: str | None = None
+        self.check_sharps = False
         # BREAK table; None = use the hunspell default {-, ^-, -$}
         self.break_table: list[str] | None = None
         self._parse_aff(aff_text)
@@ -145,8 +195,11 @@ class HunspellDictionary:
             elif key in ("COMPOUNDFLAG", "COMPOUNDPERMITFLAG",
                          "COMPOUNDFORBIDFLAG", "NEEDAFFIX", "PSEUDOROOT",
                          "ONLYINCOMPOUND", "COMPOUNDBEGIN", "COMPOUNDMIDDLE",
-                         "COMPOUNDEND", "FORBIDDENWORD") and len(parts) > 1:
+                         "COMPOUNDEND", "FORBIDDENWORD",
+                         "KEEPCASE") and len(parts) > 1:
                 single_flag_raw[key] = parts[1]
+            elif key == "CHECKSHARPS":
+                self.check_sharps = True
             elif key == "COMPOUNDMIN" and len(parts) > 1:
                 self.compound_min = max(1, int(parts[1]))
             elif key == "COMPOUNDWORDMAX" and len(parts) > 1:
@@ -218,6 +271,7 @@ class HunspellDictionary:
             single_flag_raw.get("COMPOUNDMIDDLE", ""))
         self.compound_end = one_flag(single_flag_raw.get("COMPOUNDEND", ""))
         self.forbiddenword = one_flag(single_flag_raw.get("FORBIDDENWORD", ""))
+        self.keepcase = one_flag(single_flag_raw.get("KEEPCASE", ""))
         self.compound_rules = [self._tokenize_rule(r) for r in raw_rules]
         self.check_compound_patterns = [
             self._parse_cpd_pattern(e, b, r)
@@ -289,8 +343,17 @@ class HunspellDictionary:
                 word = "".join(esc)
             if not word:
                 continue
-            self.words.setdefault(word, []).append(
-                frozenset(_parse_flags(flags_s, self.flag_mode)))
+            fs = frozenset(_parse_flags(flags_s, self.flag_mode))
+            self.words.setdefault(word, []).append(fs)
+            # hidden title-folded case homonym (Dictionary.java
+            # addHiddenCapitalizedWord): MIXED entries always, UPPER
+            # entries when flagged — reachable only through case variants
+            wc = _word_case(word)
+            if wc == "mixed" or (wc == "upper" and flags_s):
+                hidden = word[0].upper() + word[1:].lower()
+                if hidden != word:
+                    self.words.setdefault(hidden, []).append(
+                        fs | {HIDDEN})
 
     # ---- analysis (Stemmer.java) ----
     def _cond_ok(self, rule: AffixRule, stem: str) -> bool:
@@ -384,11 +447,28 @@ class HunspellDictionary:
                                     (p.flag in fs or p.flag in r.cont):
                                 yield cand2, fs, (p,), (r,)
 
-    def _context_analyses(self, word: str, context: str):
+    def _accept_case(self, oc, fs, root: str) -> bool:
+        """`Hunspell.acceptCase`: keepcase entries reject case VARIANTS
+        (oc != None) except the CHECKSHARPS title+ß exemption; exact-case
+        lookups (oc None) reject hidden folded homonyms."""
+        keep = self.keepcase is not None and self.keepcase in fs
+        if oc is not None:
+            if keep and self.check_sharps and oc == "title" and "ß" in root:
+                return True
+            return not keep
+        return HIDDEN not in fs
+
+    def _context_analyses(self, word: str, context: str, oc=None):
         """Analyses valid in a word context — 'simple' (standalone),
         'begin'/'middle'/'end' (COMPOUNDFLAG parts), 'rule_end'
         (COMPOUNDRULE last part).  Mirrors `Stemmer.doStem` +
-        `isRootCompatibleWithContext` + `isAffixCompatible`."""
+        `isRootCompatibleWithContext` + `isAffixCompatible`; `oc` is the
+        input word's case for variant acceptance (begin/simple contexts
+        only, like `findStem`'s toCheck).  An accept-case rejection of a
+        NON-hidden homonym aborts every analysis (the reference's doStem
+        early return — a keepcase surface blocks its affixed readings
+        too)."""
+        eff_oc = oc if context in ("simple", "begin") else None
         if (context in ("begin", "middle") and self.compound_forbid
                 and any(self.compound_forbid in fs
                         for fs in self.words.get(word, ()))):
@@ -419,6 +499,10 @@ class HunspellDictionary:
                     continue
                 if needs_cf and not cf_ok(fs, ()):
                     continue
+                if not self._accept_case(eff_oc, fs, root):
+                    if HIDDEN in fs:
+                        continue
+                    return              # doStem aborts ALL analyses
                 yield root, fs, pfx, sfx
                 continue
             conts = [r.cont for r in pfx] + [r.cont for r in sfx]
@@ -446,6 +530,10 @@ class HunspellDictionary:
                     continue
             if needs_cf and not cf_ok(fs, conts):
                 continue
+            if not self._accept_case(eff_oc, fs, root):
+                if HIDDEN in fs:
+                    continue
+                return                  # doStem aborts ALL analyses
             yield root, fs, pfx, sfx
 
     def stem(self, word: str) -> list[str]:
@@ -461,19 +549,73 @@ class HunspellDictionary:
             is not None
 
     def spell(self, word: str) -> bool:
-        """`Hunspell.spellClean` subset: standalone analysis, then
-        COMPOUNDRULE matching, then COMPOUNDFLAG compounds with the
-        boundary checks."""
+        """`Hunspell.spell`: trailing-dot handling, exact word (simple +
+        compounds), UPPER/TITLE case variants (keepcase + hidden-homonym
+        + CHECKSHARPS rules), then the BREAK table."""
+        if not word:
+            return True
+        if word.endswith("."):
+            # spellWithTrailingDots: strip the dot run, try both forms
+            n = len(word) - 1
+            while n > 0 and word[n - 1] == ".":
+                n -= 1
+            return self._spell_clean(word[:n]) or \
+                self._spell_clean(word[:n + 1])
+        return self._spell_clean(word)
+
+    def _check_simple(self, word: str, oc):
+        """True / False(forbidden) / None(not found) — `checkSimpleWord`."""
         if self.forbiddenword and any(
                 self.forbiddenword in fs for fs in self.words.get(word, ())):
             return False                # FORBIDDENWORD blocks the surface
-        if self._is_simple_word(word):
+        if next(iter(self._context_analyses(word, "simple", oc)),
+                None) is not None:
             return True
+        return None
+
+    def _check_word(self, word: str, oc) -> bool:
+        simple = self._check_simple(word, oc)
+        if simple is not None:
+            return simple
         if self.compound_rules and self._check_compound_rules(word):
             return True
         if (self.compound_flag or self.compound_begin) \
-                and self._cpds(word, None):
+                and self._cpds(word, None, oc):
             return True
+        return False
+
+    def _case_variants(self, word: str, wc: str):
+        """`Stemmer.varyCase` order: apostrophe-capitalized title, title,
+        title sharps, lower, lower sharps (UPPER); lower (TITLE).  Sharp-s
+        variants check with oc=None (keepcase-exempt, like the
+        reference's varySharpS processor)."""
+        if wc == "upper":
+            title = word[0] + word[1:].lower()
+            i = title.find("'", 1)
+            if 0 < i < len(title) - 1:
+                apos = title[:i + 1] + title[i + 1].upper() + title[i + 2:]
+                if apos != title:
+                    yield apos, "upper"
+            yield title, "upper"
+            if self.check_sharps:
+                yield from ((v, None) for v in _sharp_variants(title))
+            lower = title[0].lower() + title[1:]
+            yield lower, "upper"
+            if self.check_sharps:
+                yield from ((v, None) for v in _sharp_variants(lower))
+        elif wc == "title":
+            yield word[0].lower() + word[1:], "title"
+
+    def _spell_clean(self, word: str) -> bool:
+        if self._check_word(word, None):
+            return True
+        if self._check_simple(word, None) is False:
+            return False                # forbidden surface: no variants
+        wc = "mixed" if not word[:1].isupper() else _word_case(word)
+        if wc in ("upper", "title"):
+            for variant, oc in self._case_variants(word, wc):
+                if self._check_word(variant, oc):
+                    return True
         # BREAK table (`Dictionary.java` breaks + `Hunspell.tryBreaks`):
         # '^x' trims a leading x, 'x$' a trailing x, anything else splits at
         # every middle occurrence with both pieces spelled recursively; an
@@ -485,12 +627,12 @@ class HunspellDictionary:
             if entry.startswith("^"):
                 t = entry[1:]
                 if t and word.startswith(t) and len(word) > len(t) \
-                        and self.spell(word[len(t):]):
+                        and self._spell_clean(word[len(t):]):
                     return True
             elif entry.endswith("$"):
                 t = entry[:-1]
                 if t and word.endswith(t) and len(word) > len(t) \
-                        and self.spell(word[:-len(t)]):
+                        and self._spell_clean(word[:-len(t)]):
                     return True
             elif entry:
                 start = 1
@@ -498,8 +640,8 @@ class HunspellDictionary:
                     i = word.find(entry, start)
                     if i < 0 or i + len(entry) >= len(word):
                         break
-                    if self.spell(word[:i]) and \
-                            self.spell(word[i + len(entry):]):
+                    if self._spell_clean(word[:i]) and \
+                            self._spell_clean(word[i + len(entry):]):
                         return True
                     start = i + 1
         return False
@@ -571,10 +713,12 @@ class HunspellDictionary:
 
     # COMPOUNDFLAG (`Hunspell.checkCompounds` + `CompoundPart`)
 
-    def _find_compound_stem(self, surface: str, context: str):
+    def _find_compound_stem(self, surface: str, context: str, oc=None):
         """First acceptable root, like `findStem` (the reference stops at
-        the first processed root)."""
-        return next(iter(self._context_analyses(surface, context)), None)
+        the first processed root; the input case is checked for BEGIN
+        parts only — `findStem`'s toCheck)."""
+        return next(iter(self._context_analyses(surface, context, oc)),
+                    None)
 
     def _may_break(self, tail: str, bp: int) -> bool:
         """`mayBreakIntoCompounds`: raw-character CASE and TRIPLE checks at
@@ -640,9 +784,9 @@ class HunspellDictionary:
                     return False
         return True
 
-    def _cpds(self, tail: str, prev) -> bool:
+    def _cpds(self, tail: str, prev, oc=None) -> bool:
         """`Hunspell.checkCompounds(CharsRef, ...)`: recursive break-point
-        scan over the current tail."""
+        scan over the current tail; `oc` reaches BEGIN stems only."""
         idx = 1 if prev is None else prev[5] + 1
         if idx > self.compound_max - 1:
             return False
@@ -651,11 +795,11 @@ class HunspellDictionary:
         ctx = "begin" if prev is None else "middle"
         for bp in range(cmin, n - cmin + 1):
             if self._may_break(tail, bp):
-                stem = self._find_compound_stem(tail[:bp], ctx)
+                stem = self._find_compound_stem(tail[:bp], ctx, oc)
                 if stem is not None and (
                         prev is None or self._may_compound(prev, stem, bp)):
                     part = (tail, bp, stem[0], stem[1], prev, idx, None)
-                    if self._cpds_after(part):
+                    if self._cpds_after(part, oc):
                         return True
             # CHECKCOMPOUNDPATTERN replacement expansion
             for pat in self.check_compound_patterns:
@@ -664,18 +808,18 @@ class HunspellDictionary:
                     continue
                 expanded = tail[:bp] + pat[0] + pat[2] + tail[bp + len(repl):]
                 bp2 = bp + len(pat[0])
-                stem = self._find_compound_stem(expanded[:bp2], ctx)
+                stem = self._find_compound_stem(expanded[:bp2], ctx, oc)
                 if stem is None:
                     continue
                 if prev is not None and not self._may_compound(
                         prev, stem, bp2):
                     continue
                 part = (expanded, bp2, stem[0], stem[1], prev, idx, pat)
-                if self._cpds_after(part):
+                if self._cpds_after(part, oc):
                     return True
         return False
 
-    def _cpds_after(self, part) -> bool:
+    def _cpds_after(self, part, oc=None) -> bool:
         """`Hunspell.checkCompoundsAfter`: try closing the compound with
         the remaining tail as the last part, else recurse."""
         tail, bp, root, _rfs, _prev, _idx, _enabler = part
@@ -685,7 +829,7 @@ class HunspellDictionary:
             dup = self.check_compound_dup and root == last[0]
             if not dup and self._may_compound(part, last, len(rest)):
                 return True
-        return self._cpds(rest, part)
+        return self._cpds(rest, part, oc)
 
     def unique_stems(self, word: str) -> list[str]:
         seen, out = set(), []

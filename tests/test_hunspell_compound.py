@@ -374,3 +374,39 @@ def test_break_off():
           "3\nfoo\nbar\nfree\nscott\nscot-free\n",
           "foo bar scot-free",
           "foo- -foo foo-bar foo-bar-foo-bar scot")
+
+
+def test_keepcase():
+    """`keepcase` fixture: KEEPCASE entries accept only their exact case;
+    a keepcase homonym blocks even affixed readings of a case variant;
+    compounds case-check their BEGIN part only."""
+    check("SET UTF-8\n\nKEEPCASE Z\n\nSFX X Y 1\nSFX X 0 s . +s\n\n"
+          "COMPOUNDFLAG C\n",
+          "11\ndrink/X\nwalk/XZ\ntest/Z\nfoo/Z\nBar/Z\nbaz./Z\nQuux./Z\n"
+          "way/X\nways/Z\ntvv/ZC\nschool/C\nuni/ZC\n",
+          "foo Bar baz. Quux. way Way WAY ways schooltvv Schooltvv "
+          "SCHOOLTVV unitvv",
+          "Foo FOO BAR bar Baz. BAZ. quux. QUUX. Ways Unitvv UNITVV")
+
+
+def test_allcaps():
+    """`allcaps` fixture: hidden title-folded homonyms are reachable only
+    from UPPER input; mixed-case entries reject their titlecase."""
+    check("WORDCHARS '.\n\nSFX S N 1\nSFX S   0     's      .\n\n"
+          "PFX L N 1\nPFX L   0     L'\n",
+          "2\nOpenOffice.org\nUNICEF/S\nAfrique/L\n",
+          "OpenOffice.org OPENOFFICE.ORG UNICEF's UNICEF'S L'AFRIQUE "
+          "L'Afrique",
+          "Openoffice.org Unicef Unicef's")
+
+
+def test_checksharps():
+    """`checksharps` fixture: ß/SS case variation; keepcase ß-words accept
+    their titlecase via the sharp-s exemption."""
+    check("CHECKSHARPS\nWORDCHARS ß.\nKEEPCASE k\n",
+          "6\nmüßig/k\nAusstoß\nAbstoß.\nAußenabmessung\n"
+          "Prozessionsstraße\nAußenmaße\n",
+          "müßig Müßig MÜSSIG Ausstoß Abstoß. Außenabmessung "
+          "Prozessionsstraße Außenmaße AUSSTOSS ABSTOSS. AUSSENABMESSUNG "
+          "PROZESSIONSSTRASSE AUSSENMASSE",
+          "MÜßIG Müssig")
