@@ -29,8 +29,17 @@ UPPER/TITLE variant generation with apostrophe capitalization, CHECKSHARPS
 ss/ß variation, and trailing-dot handling (keepcase / allcaps /
 checksharps fixtures).
 
-Remaining subset boundaries (documented): ICONV/OCONV, morphological
-aliases (AF/AM), circumfix flag, IGNORE, and number recognition.
+Also: AF flag aliases + AM morph aliases with `st:` stem overrides
+(compressed real-world dictionaries), IGNORE character stripping,
+CIRCUMFIX pairing, and case-variant stemming (hidden homonyms surface
+for UPPER/TITLE inputs — TestCompressed/TestMorphAlias/TestIgnore/
+TestCircumfix vectors).
+
+Remaining subset boundaries (documented): ICONV/OCONV input/output
+conversion (suggestion-side), number recognition, and suggestion
+generation itself (TRY/MAXNGRAMSUGS/REP suggestions — the engine is a
+stemmer/speller; the repo's spellcheck surface is the n-gram
+SpellChecker).
 """
 
 from __future__ import annotations
@@ -163,11 +172,16 @@ class HunspellDictionary:
         self.compound_end: str | None = None
         self.forbiddenword: str | None = None
         self.keepcase: str | None = None
+        self.circumfix: str | None = None
+        self.ignore_chars = ""
+        self.af_table: list[str] = []       # AF flag aliases (1-based)
+        self.am_table: list[str] = []       # AM morph aliases (1-based)
         self.check_sharps = False
         # BREAK table; None = use the hunspell default {-, ^-, -$}
         self.break_table: list[str] | None = None
         self._parse_aff(aff_text)
         self.words: dict[str, list[frozenset]] = {}
+        self.morphs: dict[str, list] = {}   # st: overrides per homonym
         self._parse_dic(dic_text)
         # index rules by affix for the analysis direction
         self._sfx_by_len: dict[int, list[AffixRule]] = {}
@@ -196,8 +210,17 @@ class HunspellDictionary:
                          "COMPOUNDFORBIDFLAG", "NEEDAFFIX", "PSEUDOROOT",
                          "ONLYINCOMPOUND", "COMPOUNDBEGIN", "COMPOUNDMIDDLE",
                          "COMPOUNDEND", "FORBIDDENWORD",
-                         "KEEPCASE") and len(parts) > 1:
+                         "KEEPCASE", "CIRCUMFIX") and len(parts) > 1:
                 single_flag_raw[key] = parts[1]
+            elif key == "IGNORE" and len(parts) > 1:
+                self.ignore_chars = parts[1]
+            elif key == "AF" and len(parts) > 1:
+                if not parts[1].isdigit():
+                    self.af_table.append(parts[1])
+            elif key == "AM" and len(parts) > 1:
+                if not (len(parts) == 2 and parts[1].isdigit()):
+                    self.am_table.append(
+                        " ".join(parts[1:]).split("#")[0].strip())
             elif key == "CHECKSHARPS":
                 self.check_sharps = True
             elif key == "COMPOUNDMIN" and len(parts) > 1:
@@ -272,6 +295,7 @@ class HunspellDictionary:
         self.compound_end = one_flag(single_flag_raw.get("COMPOUNDEND", ""))
         self.forbiddenword = one_flag(single_flag_raw.get("FORBIDDENWORD", ""))
         self.keepcase = one_flag(single_flag_raw.get("KEEPCASE", ""))
+        self.circumfix = one_flag(single_flag_raw.get("CIRCUMFIX", ""))
         self.compound_rules = [self._tokenize_rule(r) for r in raw_rules]
         self.check_compound_patterns = [
             self._parse_cpd_pattern(e, b, r)
@@ -325,7 +349,21 @@ class HunspellDictionary:
             ln = ln.strip()
             if not ln or ln.startswith("#"):
                 continue
-            entry = ln.split("\t")[0].split(" ")[0]
+            fields = ln.split("\t")
+            entry = fields[0].split(" ")[0]
+            # morph data: the remainder of the line (tab- or space-
+            # separated); numeric tokens resolve through the AM alias
+            # table; an `st:` token overrides the returned stem
+            morph_raw = " ".join([fields[0][len(entry):]] + fields[1:])
+            st_override = None
+            for tok in morph_raw.split():
+                if tok.isdigit() and self.am_table:
+                    idx = int(tok) - 1
+                    if 0 <= idx < len(self.am_table):
+                        tok = self.am_table[idx]
+                if tok.startswith("st:"):
+                    st_override = tok[3:]
+                    break
             # split word/flags at the first unescaped '/'
             word, flags_s = entry, ""
             k, esc = 0, []
@@ -341,10 +379,18 @@ class HunspellDictionary:
                 k += 1
             else:
                 word = "".join(esc)
+            if self.ignore_chars:
+                word = "".join(c for c in word
+                               if c not in self.ignore_chars)
             if not word:
                 continue
+            if flags_s.isdigit() and self.af_table:
+                idx = int(flags_s) - 1
+                flags_s = self.af_table[idx] \
+                    if 0 <= idx < len(self.af_table) else ""
             fs = frozenset(_parse_flags(flags_s, self.flag_mode))
             self.words.setdefault(word, []).append(fs)
+            self.morphs.setdefault(word, []).append(st_override)
             # hidden title-folded case homonym (Dictionary.java
             # addHiddenCapitalizedWord): MIXED entries always, UPPER
             # entries when flagged — reachable only through case variants
@@ -354,10 +400,18 @@ class HunspellDictionary:
                 if hidden != word:
                     self.words.setdefault(hidden, []).append(
                         fs | {HIDDEN})
+                    self.morphs.setdefault(hidden, []).append(st_override)
 
     # ---- analysis (Stemmer.java) ----
     def _cond_ok(self, rule: AffixRule, stem: str) -> bool:
         return rule.cond is None or rule.cond.search(stem) is not None
+
+    def _entries(self, word: str):
+        """(flag_set, st_override) per homonym of `word`."""
+        ws = self.words.get(word, ())
+        ms = self.morphs.get(word)
+        for i, fs in enumerate(ws):
+            yield fs, (ms[i] if ms else None)
 
     def _dict_with(self, word: str, *flags) -> int:
         """Count of homonym entries of `word` carrying ALL the flags."""
@@ -370,8 +424,8 @@ class HunspellDictionary:
         first (the reference's doStem root loop order).  No context
         filtering — `stem` / `_context_analyses` apply needaffix /
         onlyincompound / compound permit rules on top."""
-        for fs in self.words.get(word, ()):
-            yield word, fs, (), ()
+        for fs, st in self._entries(word):
+            yield word, fs, (), (), st
         # one suffix removed
         for alen, rules in self._sfx_by_len.items():
             if alen > len(word):
@@ -385,9 +439,9 @@ class HunspellDictionary:
                     continue
                 if not self._cond_ok(r, cand):
                     continue
-                for fs in self.words.get(cand, ()):
+                for fs, st in self._entries(cand):
                     if r.flag in fs:
-                        yield cand, fs, (), (r,)
+                        yield cand, fs, (), (r,), st
                 # twofold: the outer suffix r was enabled by an inner
                 # suffix rule whose continuation classes carry r.flag
                 for blen, inner_rules in self._sfx_by_len.items():
@@ -402,9 +456,9 @@ class HunspellDictionary:
                             continue
                         if not self._cond_ok(r2, cand2):
                             continue
-                        for fs in self.words.get(cand2, ()):
+                        for fs, st in self._entries(cand2):
                             if r2.flag in fs:
-                                yield cand2, fs, (), (r2, r)
+                                yield cand2, fs, (), (r2, r), st
         # one prefix removed (optionally + one cross-product suffix)
         for plen, rules in self._pfx_by_len.items():
             if plen == 0 or plen > len(word):
@@ -418,9 +472,9 @@ class HunspellDictionary:
                     continue
                 if not self._cond_ok(p, cand):
                     continue
-                for fs in self.words.get(cand, ()):
+                for fs, st in self._entries(cand):
                     if p.flag in fs:
-                        yield cand, fs, (p,), ()
+                        yield cand, fs, (p,), (), st
                 if not p.cross_product:
                     continue
                 for alen, srules in self._sfx_by_len.items():
@@ -438,14 +492,14 @@ class HunspellDictionary:
                             continue
                         if not self._cond_ok(r, cand2):
                             continue
-                        for fs in self.words.get(cand2, ()):
+                        for fs, st in self._entries(cand2):
                             # either affix may be enabled by the entry OR
                             # appended by the other affix's continuation
                             # (Stemmer.processStemCandidate's
                             # isFlagAppendedByAffix cross-check)
                             if (r.flag in fs or r.flag in p.cont) and \
                                     (p.flag in fs or p.flag in r.cont):
-                                yield cand2, fs, (p,), (r,)
+                                yield cand2, fs, (p,), (r,), st
 
     def _accept_case(self, oc, fs, root: str) -> bool:
         """`Hunspell.acceptCase`: keepcase entries reject case VARIANTS
@@ -488,7 +542,7 @@ class HunspellDictionary:
                     return True
             return False
 
-        for root, fs, pfx, sfx in self._raw_analyses(word):
+        for root, fs, pfx, sfx, st in self._raw_analyses(word):
             if self.forbiddenword and self.forbiddenword in fs:
                 continue                # explicitly forbidden entry
             if not pfx and not sfx:
@@ -503,9 +557,17 @@ class HunspellDictionary:
                     if HIDDEN in fs:
                         continue
                     return              # doStem aborts ALL analyses
-                yield root, fs, pfx, sfx
+                yield root, fs, pfx, sfx, st
                 continue
             conts = [r.cont for r in pfx] + [r.cont for r in sfx]
+            if self.circumfix:
+                # CIRCUMFIX: an affix carrying the circumfix marker is
+                # valid only when the OTHER side carries it too
+                # (Stemmer.needsAnotherAffix)
+                pfx_c = any(self.circumfix in r.cont for r in pfx)
+                sfx_c = any(self.circumfix in r.cont for r in sfx)
+                if pfx_c != sfx_c:
+                    continue
             if context == "simple":
                 if self.onlyincompound and (
                         self.onlyincompound in fs
@@ -534,13 +596,24 @@ class HunspellDictionary:
                 if HIDDEN in fs:
                     continue
                 return                  # doStem aborts ALL analyses
-            yield root, fs, pfx, sfx
+            yield root, fs, pfx, sfx, st
 
     def stem(self, word: str) -> list[str]:
         """All stems (with homonym multiplicity, order-insensitive like the
-        reference's sorted assertions)."""
-        return [root for root, _, _, _
-                in self._context_analyses(word, "simple")]
+        reference's sorted assertions): the surface root, or its `st:`
+        morph override when the entry carries one; UPPER/TITLE inputs also
+        stem through their case variants (Stemmer.stem + varyCase — how
+        hidden folded homonyms like Xyz surface for XYZ input)."""
+        if self.ignore_chars:
+            word = "".join(c for c in word if c not in self.ignore_chars)
+        out = [st or root for root, _, _, _, st
+               in self._context_analyses(word, "simple")]
+        wc = "mixed" if not word[:1].isupper() else _word_case(word)
+        if wc in ("upper", "title"):
+            for variant, oc in self._case_variants(word, wc):
+                out += [st or root for root, _, _, _, st
+                        in self._context_analyses(variant, "simple", oc)]
+        return out
 
     # ---- spell checking (Hunspell.java spell/checkCompounds) ----
 
@@ -552,6 +625,8 @@ class HunspellDictionary:
         """`Hunspell.spell`: trailing-dot handling, exact word (simple +
         compounds), UPPER/TITLE case variants (keepcase + hidden-homonym
         + CHECKSHARPS rules), then the BREAK table."""
+        if self.ignore_chars:
+            word = "".join(c for c in word if c not in self.ignore_chars)
         if not word:
             return True
         if word.endswith("."):
@@ -705,7 +780,7 @@ class HunspellDictionary:
     def _last_rule_part(self, rest: str, parts: list) -> bool:
         """`checkLastCompoundPart`: the final part may be an affixed form;
         rule matching uses its root entry's flags."""
-        for _root, fs, _p, _s in self._context_analyses(rest, "rule_end"):
+        for _root, fs, _p, _s, _st in self._context_analyses(rest, "rule_end"):
             if any(self._nfa_match(r, parts + [(fs,)], full=True)
                    for r in self.compound_rules):
                 return True

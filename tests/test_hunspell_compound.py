@@ -410,3 +410,81 @@ def test_checksharps():
           "Prozessionsstraße Außenmaße AUSSTOSS ABSTOSS. AUSSENABMESSUNG "
           "PROZESSIONSSTRASSE AUSSENMASSE",
           "MÜßIG Müssig")
+
+
+def test_ignore_chars():
+    """TestIgnore vectors: IGNORE characters are stripped from both the
+    dictionary and the input before analysis."""
+    d = HunspellDictionary(
+        "SET UTF-8\n\nIGNORE '-\n\nSFX X Y 1\nSFX X 0 able . +ABLE\n",
+        "1\ndrink/X\t[VERB]\ndr-ank/X\t[VERB]\n")
+    assert d.unique_stems("drink") == ["drink"]
+    assert d.unique_stems("drinkable") == ["drink"]
+    assert d.unique_stems("dr'ink-able") == ["drink"]
+    assert d.unique_stems("drank-able") == ["drank"]
+    assert d.unique_stems("'-'-'-") == []
+
+
+def test_circumfix():
+    """TestCircumfix vectors: a circumfix-marked affix needs its partner
+    on the other side."""
+    d = HunspellDictionary(
+        "SET UTF-8\n\nCIRCUMFIX X\n\nPFX A Y 1\nPFX A 0 leg/X .\n\n"
+        "PFX B Y 1\nPFX B 0 legesleg/X .\n\n"
+        "SFX C Y 3\nSFX C 0 obb . +COMPARATIVE\n"
+        "SFX C 0 obb/AX . +SUPERLATIVE\n"
+        "SFX C 0 obb/BX . +SUPERSUPERLATIVE\n",
+        "1\nnagy/C\t[MN]\n")
+    assert d.unique_stems("nagy") == ["nagy"]
+    assert d.unique_stems("nagyobb") == ["nagy"]
+    assert d.unique_stems("legnagyobb") == ["nagy"]
+    assert d.unique_stems("legeslegnagyobb") == ["nagy"]
+    assert d.unique_stems("nagyobbobb") == []
+    assert d.unique_stems("legnagy") == []
+    assert d.unique_stems("legeslegnagy") == []
+
+
+def test_morph_alias_stem_overrides():
+    """TestMorphAlias vectors: AM aliases resolve numeric morph refs; an
+    st: token overrides the returned stem."""
+    d = HunspellDictionary(
+        "AM 4\nAM st:foot\nAM    st:workverb  \nAM   st:worknoun\n"
+        "AM po:garbage\n\nSET UTF-8\n\nSFX X Y 1\nSFX X 0 scratcher .\n\n"
+        "SFX A Y 1\nSFX A 0 s . +SG3\n\nSFX B Y 1\nSFX B 0 s . +PLUR\n",
+        "5\nfeet/X\t1\nwork/A\t2  \nwork/B\t3\nnotspecial\t4\n"
+        "simplenoun/A\n")
+    assert d.unique_stems("feet") == ["foot"]
+    assert d.unique_stems("feetscratcher") == ["foot"]
+    assert sorted(d.unique_stems("work")) == ["worknoun", "workverb"]
+    assert sorted(d.unique_stems("works")) == ["worknoun", "workverb"]
+    assert d.unique_stems("notspecial") == ["notspecial"]
+    assert d.unique_stems("simplenoun") == ["simplenoun"]
+    assert d.unique_stems("simplenouns") == ["simplenoun"]
+    assert d.unique_stems("simplenounscratcher") == []
+
+
+def test_af_flag_aliases_and_case_stems():
+    """TestCompressed vectors: AF numeric flag aliases (declared before
+    FLAG long) and case-variant stemming through hidden homonyms."""
+    d = HunspellDictionary(
+        "AF 5\nAF AA\nAF BB\nAF CC\nAF DD\nAF EE\n\nSET UTF-8\n"
+        "TRY abcdefghijklmopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ\n\n"
+        "FLAG long\n\n"
+        "SFX AA Y 3\nSFX AA   0     e         n\n"
+        "SFX AA   0     e         t\nSFX AA   0     e         h\n\n"
+        "SFX CC Y 2\nSFX CC   0     d/3       c\n"
+        "SFX CC   0     c         b\n\n"
+        "SFX DD Y 1\nSFX DD   0     s         .\n\n"
+        "SFX EE Y 1\nSFX EE   0     d         o\n\n"
+        "PFX BB Y 1\nPFX BB   0     s         o\n",
+        "10\nab/3\napach/1\nfoo/4\nfoo/5\nlucen/1\nlucene\nmahout/1\n"
+        "olr/2\nXYZ/4\nmixedCase\n")
+    assert d.unique_stems("apach") == ["apach"]
+    assert d.unique_stems("apache") == ["apach"]
+    assert d.unique_stems("apachee") == []
+    assert sorted(d.unique_stems("XYZ")) == ["XYZ", "Xyz"]
+    assert d.unique_stems("XYZs") == ["XYZ"]
+    assert d.unique_stems("XYZS") == ["Xyz"]
+    assert d.unique_stems("xyz") == []
+    assert d.unique_stems("mixedCase") == ["mixedCase"]
+    assert d.unique_stems("MIXEDCASE") == ["Mixedcase"]
