@@ -66,6 +66,15 @@ def search_shard_exhaustive(reader, compiled, k: int, after=None):
     """
     n = reader.doc_count
     norms = reader.norms
+    # required-lead fast path: when MUST/FILTER clauses exist (and no
+    # minShouldMatch), eligibility is their intersection — compute it with
+    # dense bitmasks FIRST and score every clause only at candidate
+    # positions (clause order, so float32 sums stay bit-identical to the
+    # full accumulator; adding 0.0f for non-matching docs is exact).  The
+    # old path decoded+scored+scattered every posting of every term.
+    if compiled["n_required"] and not compiled["msm"] \
+            and not compiled.get("match_all"):
+        return _search_shard_required_lead(reader, compiled, k, after)
     acc = np.zeros(n, dtype=np.float32)
     matched = np.zeros(n, dtype=bool)
     req_cnt = np.zeros(n, dtype=np.int16) if compiled["n_required"] else None
@@ -147,6 +156,76 @@ def search_shard_exhaustive(reader, compiled, k: int, after=None):
         keep = (sc < a_score) | ((sc == a_score) & (cand.astype(np.int64) > a_doc))
         cand, sc = cand[keep], sc[keep]
     sc, cand = _top_k(sc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
+def _search_shard_required_lead(reader, compiled, k: int, after=None):
+    """Required-lead boolean execution: intersect MUST/FILTER postings with
+    dense bitmasks, subtract MUST_NOTs, verify ranges per candidate, then
+    score every scoring clause ONLY at candidate positions (clause order —
+    float32 sums bit-identical to the full accumulator)."""
+    n = reader.doc_count
+
+    def _empty():
+        return (np.zeros(0, np.float32), np.zeros(0, np.int32), 0,
+                RELATION_EQ)
+
+    mask = None
+    req_terms = [t for t, _s, o in compiled["scoring"] if o == MUST]
+    req_terms += list(compiled["filters"])
+    for term in req_terms:
+        tid = reader.seek_exact(term)
+        if tid < 0:
+            return _empty()
+        docs, _ = reader.postings(tid)
+        m = np.zeros(n, dtype=bool)
+        m[docs] = True
+        if mask is None:
+            mask = m
+        else:
+            mask &= m
+    for term in compiled["must_nots"]:
+        tid = reader.seek_exact(term)
+        if tid >= 0:
+            docs, _ = reader.postings(tid)
+            mask[docs] = False
+    if reader.deleted is not None:
+        mask &= ~reader.deleted
+    cand = np.nonzero(mask)[0].astype(np.int32)
+    range_filters = compiled.get("range_filters")
+    range_must_nots = compiled.get("range_must_nots")
+    if (range_filters or range_must_nots) and len(cand):
+        cand = _verify_ranges(reader, cand, range_filters, range_must_nots)
+    resolved = []
+    sum_df = 0
+    for term, scorer, _occur in compiled["scoring"]:
+        tid = reader.seek_exact(term)
+        if tid < 0:
+            continue                    # absent SHOULD (MUST returned above)
+        resolved.append((tid, scorer))
+        sum_df += int(reader._df[tid])
+    if len(cand) * 4 <= sum_df:
+        # selective intersection: per-candidate lookups beat decoding and
+        # scoring every posting
+        acc = np.zeros(len(cand), dtype=np.float32)
+        for tid, scorer in resolved:
+            acc += _term_scores_at(reader, tid, scorer, cand)
+    else:
+        # dense intersection: one vectorized scatter-add per clause, then
+        # gather at candidates (same clause-order float32 sums)
+        norms = reader.norms
+        dense = np.zeros(n, dtype=np.float32)
+        for tid, scorer in resolved:
+            docs, freqs = reader.postings(tid)
+            dense[docs] += scorer.score(freqs, norms[docs])
+        acc = dense[cand]
+    total = int(len(cand))
+    if after is not None:
+        a_score, a_doc = np.float32(after[0]), after[1]
+        keep = (acc < a_score) | ((acc == a_score)
+                                  & (cand.astype(np.int64) > a_doc))
+        cand, acc = cand[keep], acc[keep]
+    sc, cand = _top_k(acc, cand, k)
     return sc, cand, total, RELATION_EQ
 
 
