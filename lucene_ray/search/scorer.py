@@ -75,6 +75,13 @@ def search_shard_exhaustive(reader, compiled, k: int, after=None):
     if compiled["n_required"] and not compiled["msm"] \
             and not compiled.get("match_all"):
         return _search_shard_required_lead(reader, compiled, k, after)
+    if (compiled["msm"] >= 2 and not compiled["n_required"]
+            and not compiled["filters"]
+            and not compiled.get("range_filters")
+            and not compiled.get("range_must_nots")
+            and not compiled.get("match_all")
+            and 2 <= len(compiled["scoring"]) < 255):
+        return _search_shard_msm_lead(reader, compiled, k, after)
     acc = np.zeros(n, dtype=np.float32)
     matched = np.zeros(n, dtype=bool)
     req_cnt = np.zeros(n, dtype=np.int16) if compiled["n_required"] else None
@@ -197,28 +204,64 @@ def _search_shard_required_lead(reader, compiled, k: int, after=None):
     if (range_filters or range_must_nots) and len(cand):
         cand = _verify_ranges(reader, cand, range_filters, range_must_nots)
     resolved = []
-    sum_df = 0
     for term, scorer, _occur in compiled["scoring"]:
         tid = reader.seek_exact(term)
         if tid < 0:
             continue                    # absent SHOULD (MUST returned above)
         resolved.append((tid, scorer))
-        sum_df += int(reader._df[tid])
+    acc = _score_candidates(reader, resolved, cand, n)
+    total = int(len(cand))
+    if after is not None:
+        a_score, a_doc = np.float32(after[0]), after[1]
+        keep = (acc < a_score) | ((acc == a_score)
+                                  & (cand.astype(np.int64) > a_doc))
+        cand, acc = cand[keep], acc[keep]
+    sc, cand = _top_k(acc, cand, k)
+    return sc, cand, total, RELATION_EQ
+
+
+def _score_candidates(reader, resolved, cand: np.ndarray, n: int):
+    """Clause-order float32 scores at candidate docIDs, choosing between
+    per-candidate skip-table lookups (selective) and per-clause dense
+    scatter-add + gather (dense) by cost; both give bit-identical sums."""
+    sum_df = sum(int(reader._df[tid]) for tid, _ in resolved)
     if len(cand) * 4 <= sum_df:
-        # selective intersection: per-candidate lookups beat decoding and
-        # scoring every posting
         acc = np.zeros(len(cand), dtype=np.float32)
         for tid, scorer in resolved:
             acc += _term_scores_at(reader, tid, scorer, cand)
-    else:
-        # dense intersection: one vectorized scatter-add per clause, then
-        # gather at candidates (same clause-order float32 sums)
-        norms = reader.norms
-        dense = np.zeros(n, dtype=np.float32)
-        for tid, scorer in resolved:
-            docs, freqs = reader.postings(tid)
-            dense[docs] += scorer.score(freqs, norms[docs])
-        acc = dense[cand]
+        return acc
+    norms = reader.norms
+    dense = np.zeros(n, dtype=np.float32)
+    for tid, scorer in resolved:
+        docs, freqs = reader.postings(tid)
+        dense[docs] += scorer.score(freqs, norms[docs])
+    return dense[cand]
+
+
+def _search_shard_msm_lead(reader, compiled, k: int, after=None):
+    """minimumShouldMatch execution: one uint8 match-count scatter per
+    clause, threshold to the candidate set, then the shared two-mode
+    candidate scoring (clause-order float32, bit-identical)."""
+    n = reader.doc_count
+    cnt = np.zeros(n, dtype=np.uint8)
+    resolved = []
+    for term, scorer, _occur in compiled["scoring"]:
+        tid = reader.seek_exact(term)
+        if tid < 0:
+            continue
+        resolved.append((tid, scorer))
+        docs, _ = reader.postings(tid)
+        cnt[docs] += 1
+    mask = cnt >= np.uint8(compiled["msm"])
+    for term in compiled["must_nots"]:
+        tid = reader.seek_exact(term)
+        if tid >= 0:
+            docs, _ = reader.postings(tid)
+            mask[docs] = False
+    if reader.deleted is not None:
+        mask &= ~reader.deleted
+    cand = np.nonzero(mask)[0].astype(np.int32)
+    acc = _score_candidates(reader, resolved, cand, n)
     total = int(len(cand))
     if after is not None:
         a_score, a_doc = np.float32(after[0]), after[1]

@@ -175,3 +175,59 @@ def test_maxscore_ext_theta_prunes_and_stays_exact(mixed_shard):
                                          ext_theta=floor, ext_collected=5000)
     assert np.array_equal(ed, md)
     assert np.array_equal(es, ms)
+
+
+def test_msm_lead_matches_bruteforce(mixed_shard):
+    """minimumShouldMatch lead path (uint8 count scatter + candidate
+    scoring) vs an independent dense recount — docs, float32 scores and
+    totals bit-identical."""
+    rdr, m = mixed_shard
+    for terms, msm in [(["hotone", "hottwo"], 2),
+                       (["hotone", "hottwo", "warm"], 2),
+                       (["hotone", "hottwo", "warm", "rareone"], 3)]:
+        compiled = _compiled(rdr, m, terms)
+        compiled["msm"] = msm
+        s_new, d_new, t_new, _ = search_shard_exhaustive(rdr, compiled, 25)
+        acc = np.zeros(rdr.doc_count, np.float32)
+        cnt = np.zeros(rdr.doc_count, np.int32)
+        for t, scorer, _ in compiled["scoring"]:
+            tid = rdr.seek_exact(t)
+            docs, freqs = rdr.postings(tid)
+            acc[docs] += scorer.score(freqs, rdr.norms[docs])
+            cnt[docs] += 1
+        el = np.nonzero(cnt >= msm)[0].astype(np.int32)
+        order = np.lexsort((el, -acc[el]))[:25]
+        assert np.array_equal(d_new, el[order]), (terms, msm)
+        assert np.array_equal(s_new, acc[el][order]), (terms, msm)
+        assert t_new == len(el)
+
+
+def test_required_lead_matches_bruteforce(mixed_shard):
+    """Required-lead path (MUST/FILTER bitmask intersect + candidate
+    scoring) vs an independent dense recount."""
+    from lucene_ray.search.query import MUST
+
+    rdr, m = mixed_shard
+    for must, should in [(["hotone", "hottwo"], []),
+                         (["rareone"], ["hotone", "warm"]),
+                         (["hotone"], ["raretwo"])]:
+        compiled = _compiled(rdr, m, must + should)
+        scoring = []
+        for i, (t, sc, _o) in enumerate(compiled["scoring"]):
+            scoring.append((t, sc, MUST if i < len(must) else SHOULD))
+        compiled["scoring"] = scoring
+        compiled["n_required"] = len(must)
+        s_new, d_new, t_new, _ = search_shard_exhaustive(rdr, compiled, 25)
+        acc = np.zeros(rdr.doc_count, np.float32)
+        req = np.zeros(rdr.doc_count, np.int32)
+        for t, scorer, occ in scoring:
+            tid = rdr.seek_exact(t)
+            docs, freqs = rdr.postings(tid)
+            acc[docs] += scorer.score(freqs, rdr.norms[docs])
+            if occ == MUST:
+                req[docs] += 1
+        el = np.nonzero(req >= len(must))[0].astype(np.int32)
+        order = np.lexsort((el, -acc[el]))[:25]
+        assert np.array_equal(d_new, el[order]), (must, should)
+        assert np.array_equal(s_new, acc[el][order]), (must, should)
+        assert t_new == len(el)
