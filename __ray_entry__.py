@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_sample_stats": _media_audio_sample_stats,
         "index_geo3d_count": _lazy("index_geo3d_count"),
         "index_geo3d_wgs84_count": _lazy("index_geo3d_wgs84_count"),
+        "dsir_select": textstats.dsir_select,
         "collection_stats": textstats.collection_stats,
         "grouped_topk": textstats.grouped_topk,
         "top_terms": textstats.top_terms,
@@ -603,6 +604,12 @@ def _geo3d_wgs84_sql() -> str:
            WHERE {_andoyer_sql(lat1, lon1)} <= {r1!r})::BIGINT AS n_circle,
           (SELECT count(*) FROM dec
            WHERE {_andoyer_sql(lat2, lon2)} <= {r2!r})::BIGINT AS n_polar"""
+
+
+def _dsir_sql() -> str:
+    from lucene_ray.pipelines.textstats import dsir_select_oracle_sql
+
+    return dsir_select_oracle_sql()
 
 
 def _geo3d_sql() -> str:
@@ -1620,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_sample_stats": _media_audio_sql(),
         "index_geo3d_count": _geo3d_sql(),
         "index_geo3d_wgs84_count": _geo3d_wgs84_sql(),
+        "dsir_select": _dsir_sql(),
         # MatchHighlighter with an unbounded window: snippet == full text
         # with every 'merge' TOKEN wrapped (word-boundary replace)
         "index_matchhl_topk": _TOKS + """

@@ -1054,3 +1054,127 @@ def cap_per_source_oracle_sql(cap: int = 10) -> str:
                      AS src_rank
           FROM documents)
         WHERE src_rank <= {cap}"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_DOCS = 10       # docs 0..9 stand in for the target domain
+DSIR_TOP = 200
+
+
+def dsir_select(sf_dir: str, target_docs: int = DSIR_TARGET_DOCS,
+                top: int = DSIR_TOP):
+    """(doc_id, dsir_score) — the DSIR data-selection operator: score each
+    document by its importance weight under a bag-of-features model,
+    log w(doc) = sum over its tokens f of ln p_target(f) - ln q_raw(f)
+    (add-one smoothing over the target vocabulary), and keep the `top`
+    highest-weighted documents.  This closed-vocabulary unigram variant is
+    SQL-exact (weights quantized to integers via floor(1e6*x + 0.5), so
+    both engines agree bit-for-bit); the paper's hashed n-gram buckets are
+    the drop-in scale path (replace index_in with a hash-mod bucket id).
+
+    Ray shape (100-TB): the target vocabulary and the integer log-ratio
+    table are ONE broadcast Arrow array pair (target sets are small); the
+    corpus pass is a per-batch partial count vector reduced on the driver
+    (vocab-sized, bytes); scoring is one map_batches with vectorized
+    index_in + segmented sums — no shuffle anywhere."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    # target vocabulary + counts (small, driver-side like contamination)
+    tgt = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "<", target_docs)])
+    tflat, _ = _flat_tokens_np(tgt.column("text"))
+    tarr = tflat.to_arrow()
+    vc = pa.table({"t": tarr}).group_by("t").aggregate([("t", "count")])
+    vocab = vc.column("t").combine_chunks()
+    tgt_counts = vc.column("t_count").to_numpy().astype(np.int64)
+    t_total = int(tgt_counts.sum())
+    v_size = len(vocab)
+    vocab_ref = ray.put(vocab)
+
+    # corpus pass: counts of vocab terms + total token count
+    def partial(t: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        flat, _lens = _flat_tokens_np(t.column("text"))
+        fa = flat.to_arrow()
+        idx = pc.index_in(fa, value_set=v)
+        valid = idx.drop_null().to_numpy().astype(np.int64)
+        cnt = np.bincount(valid, minlength=len(v)).astype(np.int64)
+        return pa.table({"i": pa.array(np.arange(len(v) + 1), pa.int64()),
+                         "c": pa.array(np.concatenate((cnt, [len(fa)])),
+                                       pa.int64())})
+
+    agg = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("i").sum("c").to_pandas().sort_values("i"))
+    totals = agg["sum(c)"].to_numpy().astype(np.int64)
+    corpus_counts, corpus_total = totals[:v_size], int(totals[v_size])
+
+    # integer-quantized log ratios (floor(x*1e6 + 0.5) on BOTH engines)
+    lp = np.log((tgt_counts + 1.0) / (t_total + v_size))
+    lq = np.log((corpus_counts + 1.0) / (corpus_total + v_size))
+    r = np.floor(1e6 * (lp - lq) + 0.5).astype(np.int64)
+    r_ref = ray.put((vocab, r))
+
+    def score(t: pa.Table) -> pa.Table:
+        v, rv = ray.get(r_ref)
+        flat, lens = _flat_tokens_np(t.column("text"))
+        fa = flat.to_arrow()
+        idx_arr = pc.index_in(fa, value_set=v)
+        hit = pc.is_valid(idx_arr).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(idx_arr, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals = np.where(hit, rv[idx], 0)
+        out = np.zeros(len(lens), dtype=np.int64)
+        nz = lens > 0
+        if nz.any() and len(vals):
+            out[nz] = np.add.reduceat(vals, _seg_starts(lens)[nz])
+        nhit = np.zeros(len(lens), dtype=np.int64)
+        if nz.any() and len(vals):
+            nhit[nz] = np.add.reduceat(hit.astype(np.int64),
+                                       _seg_starts(lens)[nz])
+        keep = nhit > 0             # docs with no vocab token are excluded
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "dsir_score": pa.array(out[keep], pa.int64()),
+        })
+
+    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+          .map_batches(score, batch_format="pyarrow"))
+    df = ds.to_pandas().sort_values(
+        ["dsir_score", "doc_id"], ascending=[False, True]).head(top)
+    return df.reset_index(drop=True).astype(
+        {"doc_id": "int64", "dsir_score": "int64"})
+
+
+def dsir_select_oracle_sql(target_docs: int = DSIR_TARGET_DOCS,
+                           top: int = DSIR_TOP) -> str:
+    toks = ("WITH toklists AS (SELECT doc_id, list_transform("
+            "regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS "
+            "toks FROM documents), tokens AS (SELECT doc_id, unnest(toks) "
+            "AS term FROM toklists)")
+    return toks + f""",
+tgt AS (SELECT term, count(*)::BIGINT AS c FROM tokens
+        WHERE doc_id < {target_docs} GROUP BY term),
+tt AS (SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS v FROM tgt),
+corpus AS (SELECT t.term, count(*)::BIGINT AS c FROM tokens t
+           JOIN tgt USING (term) GROUP BY t.term),
+ct AS (SELECT count(*)::BIGINT AS n FROM tokens),
+r AS (SELECT g.term,
+             floor(1e6 * (ln((g.c + 1.0) / (tt.t + tt.v))
+                          - ln((c.c + 1.0) / (ct.n + tt.v)))
+                   + 0.5)::BIGINT AS r
+      FROM tgt g JOIN corpus c USING (term), tt, ct)
+SELECT t.doc_id, sum(r.r)::BIGINT AS dsir_score
+FROM tokens t JOIN r USING (term)
+GROUP BY t.doc_id
+ORDER BY dsir_score DESC, t.doc_id ASC
+LIMIT {top}"""

@@ -60,3 +60,55 @@ def test_split_is_pure_function_of_doc_id(ray_session):
     full = dataset_split(SF).to_pandas().set_index("doc_id")["split"]
     for did, sp in zip(a["doc_id"], a["split"]):
         assert full.loc[did] == sp
+
+
+def test_dsir_select_hand_model(ray_session):
+    """dsir_select vs a from-scratch numpy recount of the DSIR importance
+    weights (target counts, corpus counts, add-one smoothing, integer
+    quantization, top ordering)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import (
+        DSIR_TARGET_DOCS,
+        dsir_select,
+        simple_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = dsir_select(sf, top=50)
+
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    docs = {int(r.doc_id): simple_tokens(r.text or "")
+            for r in t.itertuples()}
+    tgt_counts = {}
+    for d, toks in docs.items():
+        if d < DSIR_TARGET_DOCS:
+            for tok in toks:
+                tgt_counts[tok] = tgt_counts.get(tok, 0) + 1
+    t_total = sum(tgt_counts.values())
+    v = len(tgt_counts)
+    corpus_counts = {w: 0 for w in tgt_counts}
+    corpus_total = 0
+    for toks in docs.values():
+        corpus_total += len(toks)
+        for tok in toks:
+            if tok in corpus_counts:
+                corpus_counts[tok] += 1
+    r = {w: int(np.floor(1e6 * (np.log((c + 1.0) / (t_total + v))
+                                - np.log((corpus_counts[w] + 1.0)
+                                         / (corpus_total + v))) + 0.5))
+         for w, c in tgt_counts.items()}
+    scores = {}
+    for d, toks in docs.items():
+        s, hits = 0, 0
+        for tok in toks:
+            if tok in r:
+                s += r[tok]
+                hits += 1
+        if hits:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert list(zip(got["doc_id"], got["dsir_score"])) == want
