@@ -35,10 +35,12 @@ CIRCUMFIX pairing, and case-variant stemming (hidden homonyms surface
 for UPPER/TITLE inputs — TestCompressed/TestMorphAlias/TestIgnore/
 TestCircumfix vectors).
 
-Remaining subset boundaries (documented): ICONV/OCONV input/output
-conversion (suggestion-side), number recognition, and suggestion
-generation itself (TRY/MAXNGRAMSUGS/REP suggestions — the engine is a
-stemmer/speller; the repo's spellcheck surface is the n-gram
+Also: ICONV/OCONV longest-match conversion tables (input folding before
+analysis, output rewriting of returned stems — TestConv vectors).
+
+Remaining subset boundaries (documented): number recognition and
+suggestion generation (TRY/MAXNGRAMSUGS/REP suggestions — the engine is
+a stemmer/speller; the repo's spellcheck surface is the n-gram
 SpellChecker).
 """
 
@@ -176,6 +178,8 @@ class HunspellDictionary:
         self.ignore_chars = ""
         self.af_table: list[str] = []       # AF flag aliases (1-based)
         self.am_table: list[str] = []       # AM morph aliases (1-based)
+        self.iconv: list[tuple[str, str]] = []   # input conversions
+        self.oconv: list[tuple[str, str]] = []   # output conversions
         self.check_sharps = False
         # BREAK table; None = use the hunspell default {-, ^-, -$}
         self.break_table: list[str] | None = None
@@ -223,6 +227,9 @@ class HunspellDictionary:
                         " ".join(parts[1:]).split("#")[0].strip())
             elif key == "CHECKSHARPS":
                 self.check_sharps = True
+            elif key in ("ICONV", "OCONV") and len(parts) > 2:
+                tbl = self.iconv if key == "ICONV" else self.oconv
+                tbl.append((parts[1], parts[2]))
             elif key == "COMPOUNDMIN" and len(parts) > 1:
                 self.compound_min = max(1, int(parts[1]))
             elif key == "COMPOUNDWORDMAX" and len(parts) > 1:
@@ -297,6 +304,9 @@ class HunspellDictionary:
         self.keepcase = one_flag(single_flag_raw.get("KEEPCASE", ""))
         self.circumfix = one_flag(single_flag_raw.get("CIRCUMFIX", ""))
         self.compound_rules = [self._tokenize_rule(r) for r in raw_rules]
+        # longest-match-first conversion order (ConvTable trie semantics)
+        self.iconv.sort(key=lambda pr: -len(pr[0]))
+        self.oconv.sort(key=lambda pr: -len(pr[0]))
         self.check_compound_patterns = [
             self._parse_cpd_pattern(e, b, r)
             for e, b, r in self.check_compound_patterns]
@@ -379,6 +389,8 @@ class HunspellDictionary:
                 k += 1
             else:
                 word = "".join(esc)
+            if self.iconv:
+                word = self._apply_conv(self.iconv, word)
             if self.ignore_chars:
                 word = "".join(c for c in word
                                if c not in self.ignore_chars)
@@ -405,6 +417,24 @@ class HunspellDictionary:
     # ---- analysis (Stemmer.java) ----
     def _cond_ok(self, rule: AffixRule, stem: str) -> bool:
         return rule.cond is None or rule.cond.search(stem) is not None
+
+    @staticmethod
+    def _apply_conv(table, s: str) -> str:
+        """ICONV/OCONV longest-match rewriting (`ConvTable.applyMappings`)."""
+        if not table:
+            return s
+        out = []
+        i = 0
+        while i < len(s):
+            for pat, rep in table:
+                if s.startswith(pat, i):
+                    out.append(rep)
+                    i += len(pat)
+                    break
+            else:
+                out.append(s[i])
+                i += 1
+        return "".join(out)
 
     def _entries(self, word: str):
         """(flag_set, st_override) per homonym of `word`."""
@@ -604,6 +634,8 @@ class HunspellDictionary:
         morph override when the entry carries one; UPPER/TITLE inputs also
         stem through their case variants (Stemmer.stem + varyCase — how
         hidden folded homonyms like Xyz surface for XYZ input)."""
+        if self.iconv:
+            word = self._apply_conv(self.iconv, word)
         if self.ignore_chars:
             word = "".join(c for c in word if c not in self.ignore_chars)
         out = [st or root for root, _, _, _, st
@@ -613,6 +645,8 @@ class HunspellDictionary:
             for variant, oc in self._case_variants(word, wc):
                 out += [st or root for root, _, _, _, st
                         in self._context_analyses(variant, "simple", oc)]
+        if self.oconv:
+            out = [self._apply_conv(self.oconv, s) for s in out]
         return out
 
     # ---- spell checking (Hunspell.java spell/checkCompounds) ----
@@ -625,6 +659,8 @@ class HunspellDictionary:
         """`Hunspell.spell`: trailing-dot handling, exact word (simple +
         compounds), UPPER/TITLE case variants (keepcase + hidden-homonym
         + CHECKSHARPS rules), then the BREAK table."""
+        if self.iconv:
+            word = self._apply_conv(self.iconv, word)
         if self.ignore_chars:
             word = "".join(c for c in word if c not in self.ignore_chars)
         if not word:

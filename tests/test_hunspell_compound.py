@@ -488,3 +488,29 @@ def test_af_flag_aliases_and_case_stems():
     assert d.unique_stems("xyz") == []
     assert d.unique_stems("mixedCase") == ["mixedCase"]
     assert d.unique_stems("MIXEDCASE") == ["Mixedcase"]
+
+
+def test_iconv_oconv():
+    """TestConv vectors: ICONV folds input (and dictionary words) before
+    analysis; OCONV rewrites the returned stems."""
+    d = HunspellDictionary(
+        "SET UTF-8\n\nICONV 4\nICONV A a\nICONV B b\nICONV C c\n"
+        "ICONV I i\n\nOCONV 4\nOCONV\ta A\nOCONV\tb\tB\nOCONV c C\n"
+        "OCONV i I\n\nSFX X Y 1\nSFX X 0 able . +ABLE\n",
+        "1\ndrink/X\t[VERB]\n")
+    assert d.unique_stems("drink") == ["drInk"]
+    assert d.unique_stems("drInk") == ["drInk"]
+    assert d.unique_stems("drInkAble") == ["drInk"]
+    assert d.unique_stems("drInkABle") == ["drInk"]
+    assert d.unique_stems("drinkABle") == ["drInk"]
+
+
+def test_oconv_spell_unaffected():
+    """oconv fixture words: OCONV applies only to stemmer output; spell
+    still accepts the dictionary surfaces."""
+    d = HunspellDictionary(
+        "SET UTF-8\n\nOCONV 7\nOCONV\ta A\nOCONV\tá\tÁ\nOCONV\tb\tB\n"
+        "OCONV  c  C\nOCONV\t d \tD\nOCONV e E\nOCONV é É\n",
+        "3\nbébé\ndádá\naábcdeé\n")
+    assert d.spell("bébé") and d.spell("dádá")
+    assert not d.spell("béb") and not d.spell("dád")
