@@ -382,7 +382,10 @@ class HunspellDictionary:
                     esc.append(entry[k + 1])
                     k += 2
                     continue
-                if entry[k] == "/":
+                if entry[k] == "/" and k > 0:
+                    # a leading '/' is part of the word (entries like '/'
+                    # or '/a' in the reference's escaped fixture); only a
+                    # later unescaped slash separates flags
                     word, flags_s = "".join(esc), entry[k + 1:]
                     break
                 esc.append(entry[k])

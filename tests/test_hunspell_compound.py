@@ -514,3 +514,32 @@ def test_oconv_spell_unaffected():
         "3\nbébé\ndádá\naábcdeé\n")
     assert d.spell("bébé") and d.spell("dádá")
     assert not d.spell("béb") and not d.spell("dád")
+
+
+def test_homonyms_multiplicity():
+    """TestHomonyms: both homonym analyses surface (multiplicity in
+    stem(), deduped in unique_stems)."""
+    d = HunspellDictionary(
+        "SET UTF-8\n\nSFX A Y 1\nSFX A 0 s . +SG3\n\n"
+        "SFX B Y 1\nSFX B 0 s . +PLUR\n",
+        "2\nwork/A\t[VERB]\nwork/B\t[NOUN]\n")
+    assert d.stem("works") == ["work", "work"]
+    assert d.unique_stems("works") == ["work"]
+
+
+def test_escaped_slashes():
+    """TestEscaped: backslash-escaped slashes are word characters, not
+    flag separators; R2/D2 also yields its hidden case homonym."""
+    d = HunspellDictionary(
+        "SET UTF-8\nWORDCHARS \\/0123456789\n\n"
+        "SFX A Y 1\nSFX A 0 s . +PLUR\n",
+        "5\n/\n/a\nwork/A\nR2\\/D2/A\nN\\/A\n")
+    assert d.unique_stems("/") == ["/"]
+    assert d.unique_stems("works") == ["work"]
+    assert d.unique_stems("work") == ["work"]
+    assert sorted(d.unique_stems("R2/D2")) == ["R2/D2", "R2/d2"]
+    assert d.unique_stems("R2/D2s") == ["R2/D2"]
+    assert d.unique_stems("N/A") == ["N/A"]
+    assert d.unique_stems("N/As") == []
+    assert d.unique_stems("/a") == ["/a"]
+    assert d.unique_stems("//") == []
