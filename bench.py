@@ -135,7 +135,13 @@ def run_bench() -> dict:
     # vs 15.1/30.6/110 at NUM_CPUS/4 on the 1M-turn 128-shard index — more
     # actors = fewer shards per slice and better pipelining; /2 leaves
     # headroom for the driver + object store (24 actors regresses QPS)
-    svc = QueryService(index_dir, num_actors=max(2, NUM_CPUS // 2))
+    # actor sizing: on small corpora per-shard work is tiny and actor
+    # overhead dominates (r2: 24 actors regressed QPS at 1M turns), so
+    # NUM_CPUS/2; on big corpora the serial shard chain per actor
+    # dominates latency, so one actor per CPU (r5: 100M-turn p50/p99
+    # improved 187/321 -> 131/214 ms going 16 -> 32 actors)
+    n_actors = NUM_CPUS if N_TURNS >= 10_000_000 else max(2, NUM_CPUS // 2)
+    svc = QueryService(index_dir, num_actors=n_actors)
     for _ in range(3):                                  # warmup
         for _, q, k in QUERY_SET:
             svc.search(q, k=k)
