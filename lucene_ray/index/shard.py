@@ -1090,18 +1090,24 @@ class ShardReader:
         pb = cumsum(freqs)).  Lazy vint decode from positions.bin,
         LRU-cached like postings (the vint scan dominated repeat phrase /
         span / interval queries on hot terms)."""
-        from .postings import vint_decode
+        return self.positions_with_bounds(tid, freqs)[0]
 
+    def positions_with_bounds(self, tid: int, freqs: np.ndarray):
+        """(flat positions, pb boundaries) with pb = [0, cumsum(freqs)] —
+        cached together so repeat positional queries skip both the vint
+        scan and the boundary cumsum."""
         key = (self.dir, self.manifest.get("fingerprint", ""), "pos", tid)
         hit = ShardReader._CACHE.get(key)
         if hit is not None:
             ShardReader._CACHE.pop(key)
             ShardReader._CACHE[key] = hit
-            return hit[0]
-        out = self._decode_positions(tid, freqs)
-        nbytes = out.nbytes
+            return hit
+        flat = self._decode_positions(tid, freqs)
+        pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
+        out = (flat, pb)
+        nbytes = flat.nbytes + pb.nbytes
         if nbytes < ShardReader._CACHE_LIMIT // 8:
-            ShardReader._CACHE[key] = (out,)
+            ShardReader._CACHE[key] = out
             ShardReader._CACHE_BYTES[0] += nbytes
             while ShardReader._CACHE_BYTES[0] > ShardReader._CACHE_LIMIT:
                 old_key, old = next(iter(ShardReader._CACHE.items()))

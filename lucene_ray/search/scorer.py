@@ -1113,11 +1113,14 @@ def search_shard_phrase(reader, terms: list[str], scorer, k: int, after=None):
     pos_map = np.empty(n_docs, dtype=np.int64)
     for i, tid in enumerate(tids):
         docs, freqs = postings[i]
-        flat = reader.positions(tid, freqs)
+        if hasattr(reader, "positions_with_bounds"):
+            flat, pb = reader.positions_with_bounds(tid, freqs)
+        else:
+            flat = reader.positions(tid, freqs)
+            pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
         pos_map[docs] = np.arange(len(docs), dtype=np.int64)
         sel = pos_map[inter_docs]                    # exact hits by constr.
         lens = freqs[sel].astype(np.int64)
-        pb = np.concatenate(([0], np.cumsum(freqs.astype(np.int64))))
         starts = pb[sel]
         total = int(lens.sum())
         ends = np.cumsum(lens)
