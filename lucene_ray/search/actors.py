@@ -67,7 +67,7 @@ class QueryActor:
                qid: str | None = None):
         if self.searcher.query_cache is not None:
             self.searcher.query_cache.begin_search()
-        out_scores, out_gids, out_conv, out_turn = [], [], [], []
+        out_scores, out_gids, out_pids, out_local = [], [], [], []
         total = 0
         relation = RELATION_EQ
         share = self.board is not None and qid is not None and after is None
@@ -109,18 +109,31 @@ class QueryActor:
             if rel == RELATION_GTE:
                 relation = RELATION_GTE
             if len(local_docs):
-                rows = rdr.lookup_docs(local_docs.astype(np.int64))
                 out_scores.append(scores)
                 out_gids.append(local_docs.astype(np.int64) + base)
-                out_conv.extend(rows.column("conv_id").to_pylist())
-                out_turn.extend(rows.column("turn_idx").to_pylist())
+                out_pids.append(np.full(len(local_docs), pid, np.int64))
+                out_local.append(local_docs.astype(np.int64))
         scores = np.concatenate(out_scores) if out_scores else np.zeros(0, np.float32)
         gids = np.concatenate(out_gids) if out_gids else np.zeros(0, np.int64)
-        # local merge down to k before shipping to the driver
+        pids_a = np.concatenate(out_pids) if out_pids else np.zeros(0, np.int64)
+        local_a = np.concatenate(out_local) if out_local else np.zeros(0, np.int64)
+        # local merge down to k BEFORE any stored-field fetch: the old
+        # per-shard lookup cost ~5 ms x n_shards for rows the merge then
+        # discarded — fetch only the actor-level winners, grouped by shard
         order = np.lexsort((gids, -scores))[:k]
-        return (scores[order], gids[order],
-                [out_conv[i] for i in order], [out_turn[i] for i in order],
-                total, relation)
+        conv = [None] * len(order)
+        turn = [None] * len(order)
+        sel_pid = pids_a[order]
+        sel_local = local_a[order]
+        for pid in np.unique(sel_pid):
+            m = sel_pid == pid
+            rows = self.readers[int(pid)].lookup_docs(sel_local[m])
+            cv = rows.column("conv_id").to_pylist()
+            tn = rows.column("turn_idx").to_pylist()
+            for j, idx in enumerate(np.nonzero(m)[0]):
+                conv[int(idx)] = cv[j]
+                turn[int(idx)] = tn[j]
+        return (scores[order], gids[order], conv, turn, total, relation)
 
     def refresh(self, pids: list[int]):
         """openIfChanged for the pool: reload the commit, take over the
