@@ -149,23 +149,36 @@ def run_bench() -> dict:
     # contaminate whole measurement windows (±3x run-to-run on identical
     # code); the best epoch is the closest observable to the machine's
     # actual serving profile (same convention as the build's best-of-2)
+    # query phase carries the same contention bracketing as the suite
+    # (round-5: two published runs had 5-25x p99 artifacts from co-tenant
+    # bursts inside this unprobed window); degraded windows re-run once
+    qprobe_ref = max(_quick_probe() for _ in range(3))
     p50 = p99 = None
+    qcontention = None
     t0 = time.perf_counter()
-    for _ in range(3):
-        lat = []
-        for _ in range(5):
-            for _, q, k in QUERY_SET:
-                tq = time.perf_counter()
-                svc.search(q, k=k)
-                lat.append(time.perf_counter() - tq)
-        lat.sort()
-        ep50 = lat[len(lat) // 2]
-        ep99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
-        # elementwise best across epochs: a single co-tenant burst inside
-        # the lowest-p50 epoch otherwise sets the reported p99 to that
-        # window's max (observed 46ms -> 244ms on identical code)
-        p50 = ep50 if p50 is None else min(p50, ep50)
-        p99 = ep99 if p99 is None else min(p99, ep99)
+    for attempt in range(2):
+        pr0 = _quick_probe()
+        for _ in range(3):
+            lat = []
+            for _ in range(5):
+                for _, q, k in QUERY_SET:
+                    tq = time.perf_counter()
+                    svc.search(q, k=k)
+                    lat.append(time.perf_counter() - tq)
+            lat.sort()
+            ep50 = lat[len(lat) // 2]
+            ep99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+            # elementwise best across epochs: a single co-tenant burst inside
+            # the lowest-p50 epoch otherwise sets the reported p99 to that
+            # window's max (observed 46ms -> 244ms on identical code)
+            p50 = ep50 if p50 is None else min(p50, ep50)
+            p99 = ep99 if p99 is None else min(p99, ep99)
+        ratio = min(pr0, _quick_probe()) / qprobe_ref
+        degraded = ratio < 0.7 or os.getloadavg()[0] > NUM_CPUS * 1.5
+        qcontention = {"probe_ratio": round(ratio, 3),
+                       "degraded_window": degraded, "runs": attempt + 1}
+        if not degraded:
+            break
     timings["query_total"] = time.perf_counter() - t0
     # pipelined QPS (search_many keeps every actor busy); best of 3
     qlist = [q for _, q, _ in QUERY_SET] * 10
@@ -252,6 +265,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "contention": contention,
+        "query_contention": qcontention,
         "probe_ref_its": round(probe_ref, 0),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
