@@ -543,3 +543,16 @@ def test_escaped_slashes():
     assert d.unique_stems("N/As") == []
     assert d.unique_stems("/a") == ["/a"]
     assert d.unique_stems("//") == []
+
+
+def test_dutch_ij():
+    """TestDutchIJ + IJ fixture: the IJ-digraph prefix accepts IJs, the
+    forbidden mixed-case Ijs homonym is rejected."""
+    d = HunspellDictionary(
+        "TRY i\nFORBIDDENWORD *\nPFX i N 1\nPFX i ij IJ ij\n\n"
+        "REP 1\nREP ij IJ\n",
+        "1\nijs/i\nIjs/*\n")
+    assert d.unique_stems("ijs") == ["ijs"]
+    assert d.unique_stems("IJs") == ["ijs"]
+    assert d.spell("ijs") and d.spell("IJs")
+    assert not d.spell("Ijs")
